@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 for
+the driver's DuckDB-oracle correctness gate. All implementations live in
+``inception_eventstore_spark`` (see plans/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inception_eventstore_spark.plans.queries import (  # noqa: E402
+    oracle_queries,
+    spark_queries,
+)
+
+
+def _ensure_nanos_config(spark: SparkSession) -> None:
+    """The testdata parquet carries TIMESTAMP(NANOS); sessions built
+    outside our factory need the legacy read config set."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the R10 replay-grouped
+    aggregate over the event log analog (driver checks rows > 0)."""
+    _ensure_nanos_config(spark)
+    return spark_queries()["r10_replay_grouped"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    wrapped: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in spark_queries().items():
+        def _runner(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            _ensure_nanos_config(spark)
+            return _fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        wrapped[name] = _runner
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted for the
+    probabilistic / hash-family-specific ops → rows-only check)."""
+    return oracle_queries()

@@ -1,0 +1,48 @@
+""".NET FileTime UTC ↔ timestamp conversion.
+
+The reference stores ``ts`` as a .NET FileTime: 100 ns ticks since
+1601-01-01 UTC (reference: CassandraEventStore.cs:419-420,
+IndexByEventTypeStore.cs:242,256). FileTime precision (100 ns) exceeds
+Spark timestamp precision (µs), so the engine keeps ``ts`` as LONG in
+storage and converts only for partitioning/display (SURVEY §7 risk e).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: FileTime ticks (100 ns) between 1601-01-01 and 1970-01-01 UTC.
+FILETIME_EPOCH_TICKS = 116_444_736_000_000_000
+
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def filetime_to_datetime(ticks: int) -> _dt.datetime:
+    """FileTime ticks → aware UTC datetime (µs precision, truncating)."""
+    micros = (ticks - FILETIME_EPOCH_TICKS) // 10
+    return _EPOCH + _dt.timedelta(microseconds=micros)
+
+
+def datetime_to_filetime(dt: _dt.datetime) -> int:
+    """Aware (or naive-UTC) datetime → FileTime ticks."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    micros = round((dt - _EPOCH).total_seconds() * 1_000_000)
+    return micros * 10 + FILETIME_EPOCH_TICKS
+
+
+def filetime_to_timestamp_col(col: Column | str) -> Column:
+    """Column expr: FileTime LONG → TimestampType (µs, truncating)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(
+        ((c - F.lit(FILETIME_EPOCH_TICKS)) / F.lit(10)).cast("long")
+    )
+
+
+def timestamp_to_filetime_col(col: Column | str) -> Column:
+    """Column expr: TimestampType → FileTime LONG (µs resolution)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c) * F.lit(10) + F.lit(FILETIME_EPOCH_TICKS)

@@ -1,0 +1,388 @@
+"""Event-log operators R1-R12 over a partitioned Parquet event table.
+
+Spark-first re-expression of the reference's CassandraEventStore
+(reference: src/One.Inception.EventStore.Cassandra/CassandraEventStore.cs):
+appends are bulk DataFrame writes; loads are Catalyst-pruned scans;
+replay is a single filtered/grouped job; the index-driven replay is a
+broadcast-hash join instead of a client-side index-nested-loop.
+
+Physical design for 100 TB:
+- events live under ``bucket=<hash(id) % n_buckets>`` directories with
+  files sorted by (id, rev, pos); a single-aggregate load touches one
+  directory and prunes files via parquet min/max on ``id``.
+- deletes are merge-on-read tombstones (Delta is not on the classpath);
+  ``compact()`` folds them in. Scans anti-join the (tiny, broadcast)
+  tombstone set.
+- appends dedupe within the batch on (id, rev, pos) — the reference's
+  PK-upsert gives at-least-once semantics the same way (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inception_eventstore_spark import schemas
+from inception_eventstore_spark.functions.commits import explode_commits, group_commits
+from inception_eventstore_spark.functions.filetime import filetime_to_timestamp_col
+from inception_eventstore_spark.functions.paging import PagingToken
+from inception_eventstore_spark.functions.partitions import pid_col_from_filetime
+from inception_eventstore_spark.sources.layout import EventStoreLayout
+
+
+@dataclass
+class AggregateCommit:
+    """The unit of atomic append (reference: AggregateCommit shape at
+    CassandraEventStore.cs:61): private + public payloads, one timestamp."""
+
+    aggregate_root_id: bytes
+    revision: int
+    timestamp: int  # FileTime ticks
+    events: list[bytes] = field(default_factory=list)
+    public_events: list[bytes] = field(default_factory=list)
+
+
+@dataclass
+class PlayerOptions:
+    """Replay options (reference: PlayerOptions used at
+    CassandraEventStore.cs:416-460): inclusive FileTime bounds and an
+    optional event-type filter."""
+
+    after: int | None = None  # inclusive lower ts bound (FileTime)
+    before: int | None = None  # inclusive upper ts bound (FileTime)
+    event_type_id: str | None = None
+    batch_size: int = 5000
+    max_degree_of_parallelism: int = 32
+
+
+_COMMIT_INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.BinaryType(), False),
+        T.StructField("rev", T.IntegerType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("events", T.ArrayType(T.BinaryType()), True),
+        T.StructField("public_events", T.ArrayType(T.BinaryType()), True),
+    ]
+)
+
+_TOMBSTONE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.BinaryType(), False),
+        T.StructField("rev", T.IntegerType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+class EventStore:
+    """R1-R12 over one tenant's event table (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, layout: EventStoreLayout,
+                 event_type_of: Callable[[bytes], str] | None = None,
+                 event_type_expr: Callable[..., "F.Column"] | None = None):
+        self.spark = spark
+        self.layout = layout
+        #: Pluggable payload → event-type-id resolver (the ISerializer
+        #: seam, reference csproj:32); used to maintain the index/counter
+        #: views during ingest. Prefer ``event_type_expr`` (a function
+        #: data-Column → event-type Column, stays JVM-side/codegen);
+        #: ``event_type_of`` (bytes → str) runs as a Python UDF.
+        #: Both None disables derived-view maintenance.
+        self.event_type_of = event_type_of
+        self.event_type_expr = event_type_expr
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64("id"), F.lit(self.layout.n_buckets)).cast("int")
+
+    def append_commits_df(self, commits: DataFrame,
+                          maintain_index: bool = True) -> None:
+        """R1 bulk form: commits DataFrame (id, rev, ts, events[],
+        public_events[]) → envelope rows appended in one job.
+
+        The same job maintains the X1 index when an ``event_type_of``
+        resolver is configured — replacing the reference's dual-write
+        handlers with a single write (SURVEY §3.1)."""
+        rows = explode_commits(commits)
+        self._append_rows(rows, maintain_index=maintain_index)
+
+    def append_commits(self, commits: Iterable[AggregateCommit],
+                       maintain_index: bool = True) -> None:
+        """R1 convenience: python commits → DataFrame → bulk append."""
+        data = [
+            (c.aggregate_root_id, c.revision, c.timestamp, c.events, c.public_events)
+            for c in commits
+        ]
+        df = self.spark.createDataFrame(data, schema=_COMMIT_INPUT_SCHEMA)
+        self.append_commits_df(df, maintain_index=maintain_index)
+
+    def append_raw(self, aid: bytes, rev: int, pos: int, ts: int,
+                   data: bytes, maintain_index: bool = True) -> None:
+        """R2: append one raw envelope row (reference:
+        CassandraEventStore.cs:96-110)."""
+        df = self.spark.createDataFrame(
+            [(aid, rev, pos, ts, data)], schema=schemas.EVENTS_SCHEMA
+        )
+        self._append_rows(df, maintain_index=maintain_index)
+
+    def _append_rows(self, rows: DataFrame, maintain_index: bool) -> None:
+        rows = rows.dropDuplicates(["id", "rev", "pos"])
+        (
+            rows.withColumn("bucket", self._bucket_col())
+            .repartition("bucket")
+            .sortWithinPartitions("id", "rev", "pos")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.layout.events_path)
+        )
+        if maintain_index and (
+            self.event_type_of is not None or self.event_type_expr is not None
+        ):
+            self._append_index(rows)
+
+    def _append_index(self, rows: DataFrame) -> None:
+        """X1 maintained inside ingest: derive (et, pid, aid, rev, pos, ts)."""
+        if self.event_type_expr is not None:
+            et_col = self.event_type_expr(F.col("data"))
+        else:
+            et_udf = F.udf(self.event_type_of, T.StringType())
+            et_col = et_udf("data")
+        index_rows = rows.select(
+            et_col.alias("et"),
+            pid_col_from_filetime("ts").alias("pid"),
+            F.col("id").alias("aid"),
+            "rev",
+            "pos",
+            "ts",
+        )
+        (
+            index_rows.repartition("et", "pid")
+            .sortWithinPartitions("ts")
+            .write.mode("append")
+            .partitionBy("et", "pid")
+            .parquet(self.layout.index_path)
+        )
+
+    # ------------------------------------------------------------------
+    # Tombstoned base scan
+    # ------------------------------------------------------------------
+    def _tombstones(self) -> DataFrame | None:
+        path = os.path.join(self.layout.root, "tombstones")
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return None
+        return self.spark.read.schema(_TOMBSTONE_SCHEMA).parquet(path)
+
+    def events_df(self) -> DataFrame:
+        """Live envelope rows (tombstones folded out via broadcast anti-join)."""
+        df = self.layout.read_events(self.spark).drop("bucket")
+        tombs = self._tombstones()
+        if tombs is not None:
+            df = df.join(F.broadcast(tombs), ["id", "rev", "pos"], "left_anti")
+        return df
+
+    def _aggregate_scan(self, aid: bytes) -> DataFrame:
+        """Single-partition scan: bucket dir pruning + id file pruning."""
+        bucket = None
+        # Compute the bucket driver-side with the same xxhash64 the write
+        # used, via a 1-row expression — keeps the scan to one directory.
+        row = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(aid)), F.lit(self.layout.n_buckets)).alias("b")
+        ).first()
+        bucket = int(row["b"])
+        df = self.layout.read_events(self.spark)
+        df = df.where(F.col("bucket") == bucket).drop("bucket")
+        df = df.where(F.col("id") == F.lit(aid))
+        tombs = self._tombstones()
+        if tombs is not None:
+            df = df.join(F.broadcast(tombs), ["id", "rev", "pos"], "left_anti")
+        return df
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+    def load_aggregate(self, aid: bytes) -> DataFrame:
+        """R3: one aggregate's commits in (rev ASC) order with the
+        private/public split (reference: CassandraEventStore.cs:112-117,
+        AggregateCommitBlock.cs:33-76). Returns the commit DataFrame;
+        callers ``.orderBy('rev')`` is already applied."""
+        rows = self._aggregate_scan(aid)
+        return group_commits(rows).orderBy("rev")
+
+    def load_with_paging(
+        self,
+        aid: bytes,
+        take: int,
+        token: PagingToken | None = None,
+        descending: bool = False,
+    ) -> tuple[list, PagingToken]:
+        """R4/R5: keyset-paged raw events for one aggregate.
+
+        Deterministic value-based token = last (rev, pos) (SURVEY §4
+        replaces Cassandra's opaque PagingState, PagingInfo.cs:54-92).
+        Returns (rows, next_token)."""
+        df = self._aggregate_scan(aid).select("rev", "pos", "ts", "data")
+        keys = (token.keys if token else {}) or {}
+        last_rev, last_pos = keys.get("rev"), keys.get("pos")
+        if last_rev is not None:
+            boundary = (F.col("rev") < last_rev) if descending else (
+                F.col("rev") > last_rev
+            )
+            tie = (F.col("rev") == last_rev) & (
+                (F.col("pos") < last_pos) if descending else (F.col("pos") > last_pos)
+            )
+            df = df.where(boundary | tie)
+        order = (
+            [F.col("rev").desc(), F.col("pos").desc()]
+            if descending
+            else [F.col("rev").asc(), F.col("pos").asc()]
+        )
+        rows = df.orderBy(*order).limit(take + 1).collect()
+        has_more = len(rows) > take
+        rows = rows[:take]
+        if rows:
+            next_token = PagingToken(
+                keys={"rev": rows[-1]["rev"], "pos": rows[-1]["pos"]},
+                has_more=has_more,
+            )
+        else:
+            next_token = PagingToken(keys=keys, has_more=False)
+        return rows, next_token
+
+    def load_event_raw(self, aid: bytes, rev: int, pos: int):
+        """R6: point lookup (reference: CassandraEventStore.cs:177-193).
+        Returns a Row or None."""
+        rows = (
+            self._aggregate_scan(aid)
+            .where((F.col("rev") == rev) & (F.col("pos") == pos))
+            .select("data", "ts")
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def load_event(self, aid: bytes, rev: int, pos: int,
+                   deserialize: Callable[[bytes], object]):
+        """R7: point lookup + payload decode (reference:
+        CassandraEventStore.cs:163-175)."""
+        row = self.load_event_raw(aid, rev, pos)
+        return deserialize(bytes(row["data"])) if row is not None else None
+
+    # ------------------------------------------------------------------
+    # Delete
+    # ------------------------------------------------------------------
+    def delete(self, aid: bytes, rev: int, pos: int) -> bool:
+        """R8: tombstone one event (reference: CassandraEventStore.cs:126-146).
+        Merge-on-read; ``compact()`` rewrites files to drop tombstoned rows."""
+        path = os.path.join(self.layout.root, "tombstones")
+        df = self.spark.createDataFrame([(aid, rev, pos)], schema=_TOMBSTONE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(path)
+        return True
+
+    def compact(self) -> None:
+        """Fold tombstones into the base files (one rewrite job)."""
+        tombs = self._tombstones()
+        if tombs is None:
+            return
+        live = self.events_df()
+        tmp = self.layout.events_path + ".compact"
+        (
+            live.withColumn("bucket", self._bucket_col())
+            .repartition("bucket")
+            .sortWithinPartitions("id", "rev", "pos")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        import shutil
+
+        shutil.rmtree(self.layout.events_path)
+        os.replace(tmp, self.layout.events_path)
+        shutil.rmtree(os.path.join(self.layout.root, "tombstones"))
+
+    # ------------------------------------------------------------------
+    # Replay surface
+    # ------------------------------------------------------------------
+    def replay(self, options: PlayerOptions | None = None) -> DataFrame:
+        """R9: full event-store scan with the inclusive time window
+        pushed down to parquet row groups — the reference applies this
+        filter client-side after a full scan (CassandraEventStore.cs:440);
+        Catalyst does strictly better (SURVEY §4)."""
+        options = options or PlayerOptions()
+        df = self.events_df()
+        if options.after is not None:
+            df = df.where(F.col("ts") >= options.after)
+        if options.before is not None:
+            df = df.where(F.col("ts") <= options.before)
+        return df
+
+    def replay_grouped(self, options: PlayerOptions | None = None) -> DataFrame:
+        """R10: replay grouped into per-aggregate commit streams
+        (reference: EnumerateEventStoreGG, CassandraEventStore.cs:336-391
+        — which depends on Cassandra partition contiguity; here the
+        grouping is an explicit shuffle on id, correct by construction)."""
+        return group_commits(self.replay(options)).orderBy("id", "rev")
+
+    def replay_by_event_type(self, index: "IndexByEventTypeStore",
+                             options: PlayerOptions) -> DataFrame:
+        """R11: index-driven replay = index selection joined back to the
+        event log (reference does a client-side index-nested-loop with
+        bounded parallelism, CassandraEventStore.cs:278-334; here the
+        day-pruned index selection joins on (id, rev, pos) and AQE picks
+        broadcast when the selection is small)."""
+        sel = index.records(options.event_type_id, options.after, options.before)
+        sel = sel.select(
+            F.col("aid").alias("id"), "rev", "pos"
+        ).dropDuplicates(["id", "rev", "pos"])
+        return self.events_df().join(sel, ["id", "rev", "pos"], "inner")
+
+    def replay_aggregates_by_event_type(self, index: "IndexByEventTypeStore",
+                                        options: PlayerOptions) -> DataFrame:
+        """R11 variant (OnAggregateStreamLoadedAsync): full commit streams
+        of every aggregate that has at least one matching event — a
+        semi-join then R10 grouping (SURVEY §2 R11)."""
+        sel = index.records(options.event_type_id, options.after, options.before)
+        hit_ids = sel.select(F.col("aid").alias("id")).distinct()
+        rows = self.events_df().join(F.broadcast(hit_ids), ["id"], "left_semi")
+        return group_commits(rows).orderBy("id", "rev")
+
+    def for_each_aggregate(self, options: PlayerOptions,
+                           fn: Callable[[object], None]) -> None:
+        """R10 callback form: stream per-aggregate commit groups through
+        ``fn`` on the executors (the reference's OnLoadAsync fan-out with
+        MaxDegreeOfParallelism becomes Spark task parallelism)."""
+        grouped = self.replay_grouped(options)
+        grouped.foreachPartition(
+            lambda rows: [fn(r) for r in rows] and None
+        )
+
+    # R12: progress — per-partition high-water marks. For batch replay the
+    # deterministic keyset token doubles as the checkpoint; streaming uses
+    # Structured Streaming checkpoints (see streaming/ingest.py).
+    def replay_progress_token(self, last_rev: int, last_pos: int,
+                              has_more: bool) -> str:
+        return PagingToken(
+            keys={"rev": last_rev, "pos": last_pos}, has_more=has_more
+        ).encode()
+
+    # ------------------------------------------------------------------
+    # Convenience views
+    # ------------------------------------------------------------------
+    def events_with_time(self) -> DataFrame:
+        """Envelope rows + derived µs timestamp column ``ts_dt``."""
+        return self.events_df().withColumn(
+            "ts_dt", filetime_to_timestamp_col("ts")
+        )
+
+
+# Imported at the bottom to avoid a cycle: index.py imports nothing from
+# this module, but type annotation above references it by name only.
+from inception_eventstore_spark.operators.index import IndexByEventTypeStore  # noqa: E402,F401

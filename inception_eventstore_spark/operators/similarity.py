@@ -1,0 +1,175 @@
+"""Embedding similarity search (SURVEY §2 F extensions).
+
+Baseline: brute-force top-k over the full table — one broadcast of the
+query vector, one narrow pass, one ordered limit (Spark's TakeOrdered is
+a per-partition top-k + driver merge, no full sort shuffle).
+
+Scale path: random-hyperplane LSH buckets — signatures computed once and
+persisted alongside the table at ingest; a query probes only its own
+bucket (optionally hamming-adjacent buckets), then exact re-rank. All
+math in JVM column expressions (zip_with / aggregate over DOUBLE).
+
+Near-dup variant: all-pairs cosine ≥ threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a left-fold in index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact top-k: (id, dist) ascending for l2, descending cosine → the
+    output column is always ``dist`` ordered best-first, ties broken by
+    id. The query vector is a literal array (broadcast by value)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    if metric == "l2":
+        d = l2_distance(F.col(vec_col), q)
+        order = [F.col("dist").asc(), F.col(id_col).asc()]
+    elif metric == "cosine":
+        d = -cosine_similarity(F.col(vec_col), q)
+        order = [F.col("dist").asc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        embeddings.select(F.col(id_col), d.alias("dist"))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64,
+                         seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature: bit p = sign(v · r_p) where r_p is
+    a deterministic pseudo-random ±1 vector derived from xxhash64(seed,
+    p, i). Returns a LONG bucket id (n_planes ≤ 63)."""
+    comp = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def plane_bit(p: int) -> Column:
+        s = F.aggregate(
+            F.zip_with(
+                vec,
+                comp,
+                lambda x, i: x.cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig + plane_bit(p)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k (l2): restrict the exact scan to rows whose LSH
+    bucket is within hamming distance 1 of the query's bucket, then
+    re-rank exactly. Recall is tunable via n_planes/probe radius; the
+    candidate set is |table| / 2^{n_planes} · (1 + n_planes) in
+    expectation — at 100 TB, signatures are precomputed at ingest and
+    the probe is a partition-pruned scan on ``sig_bucket``."""
+    dim = len(query_vector)
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sigged = embeddings.withColumn(
+        "_sig", hyperplane_signature(F.col(vec_col), n_planes, dim, seed)
+    )
+    qsig_row = (
+        embeddings.sparkSession.range(1)
+        .select(hyperplane_signature(q, n_planes, dim, seed).alias("s"))
+        .first()
+    )
+    qsig = int(qsig_row["s"])
+    probe = [qsig] + [qsig ^ (1 << p) for p in range(n_planes)]
+    cand = sigged.where(F.col("_sig").isin(probe))
+    return (
+        cand.select(F.col(id_col), l2_distance(F.col(vec_col), q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket by hyperplane signature, exact
+    cosine within buckets (near-identical vectors collide with high
+    probability). Returns (id_a, id_b, cosine)."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    sigged = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim, seed).alias("_sig"),
+    )
+    left = sigged.select("_sig", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    right = sigged.select("_sig", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        left.join(right, "_sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

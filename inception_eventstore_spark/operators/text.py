@@ -1,0 +1,139 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2 F extensions).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting — all JVM-side column expressions so they
+run inside whole-stage codegen over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.dedup import normalize_text, tokens
+
+#: Tiny per-language stopword lists — enough signal for a heuristic
+#: n-gram/stopword language id without external models.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es": ("el", "la", "los", "las", "de", "y", "un", "una", "es", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "他", "这", "不"),
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation via regex — the
+    standard ~chars/4 heuristic refined by splitting on non-alphanumerics."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.filter(
+        F.split(F.lower(c), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit("")
+    )
+    # long words count as ceil(len/4) subword units
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4)).cast("int"),
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Best-guess language = argmax over stopword hit counts; 'und' when
+    nothing matches. For zh (no whitespace tokens) falls back to CJK
+    character presence."""
+    c = F.col(col) if isinstance(col, str) else col
+    langs = [l for l in STOPWORDS if l != "zh"]
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_hits(c, l).alias("hits"), F.lit(l).alias("lang")
+            )
+            for l in langs
+        ]
+    )
+    best = F.array_max(pairs)
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
+    return (
+        F.when(cjk, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio / repetition features plus a
+    composite ``quality_score`` in [0, 1]."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    n_stop = sum(
+        (stopword_hits(text_col, l) for l in STOPWORDS), F.lit(0)
+    )
+    n_uniq = F.size(F.array_distinct(toks))
+    out = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_m", n_chars)
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                n_tok > 0,
+                F.aggregate(
+                    toks, F.lit(0), lambda a, t: a + F.length(t)
+                ) / n_tok,
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    # Composite: reward lengths in a sane band, some stopwords, low
+    # punctuation, lexical diversity.
+    len_score = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    score = (
+        len_score * F.lit(0.3)
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * F.lit(0.2)
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * F.lit(0.2)
+        + F.col("uniq_token_ratio") * F.lit(0.3)
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    normalized content (rolling-hash analog; stable across runs)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def text_stats_by_lang(docs: DataFrame) -> DataFrame:
+    """The declared text-analysis rollup: docs + chars per language."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )

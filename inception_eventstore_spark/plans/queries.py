@@ -1,0 +1,488 @@
+"""The declared correctness queries (SURVEY §2 G): every read-semantic
+operator from the §2 inventory re-expressed on the driver's synthetic
+analytics tables, each paired with the ANSI-SQL oracle DuckDB runs on
+the same parquet files.
+
+Conventions that make the oracle hash-match exact:
+- every query totally ordered;
+- every computed column aliased identically on both sides;
+- integer-typed columns cast to BIGINT on both sides (Spark year() is
+  INT, DuckDB's is BIGINT; DuckDB sum(BIGINT) is HUGEINT);
+- floating aggregates rounded (money → 2 dp, distances → 6 dp) so the
+  partial-aggregation order (nondeterministic in both engines) cannot
+  leak into the hash;
+- timestamps compared in UTC (session timezone pinned in session.py).
+
+The event-log analog mapping (SURVEY §2 G): ``events(event_id, ts,
+user_id, event_type, value, props)`` with user_id ≈ aggregate id,
+event_type ≈ et, props ≈ payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import dedup as D
+from inception_eventstore_spark.operators import similarity as S
+from inception_eventstore_spark.operators import text as TX
+from inception_eventstore_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """One declared operator query: Spark plan + optional DuckDB oracle."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------
+# A. Event-log operators on the analytics analog table
+# ----------------------------------------------------------------------
+def q_r3_load_aggregate(spark, sf_dir):
+    """R3/R4: one aggregate's events in storage order."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("user_id") == 42)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+
+
+def q_r5_load_desc(spark, sf_dir):
+    """R5: descending clustering order with a page limit."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("user_id") == 42)
+        .select("event_id", "ts")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+    )
+
+
+def q_r6_point_lookup(spark, sf_dir):
+    """R6/R7: point lookup by key."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(F.col("event_id") == 1001).select("event_type", "value", "props")
+
+
+def q_r9_time_scan(spark, sf_dir):
+    """R9: full replay scan with inclusive time window pushed to parquet."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-06-30 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def q_r10_replay_grouped(spark, sf_dir):
+    """R10: replay grouped per aggregate (per-group stream stats)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_r11_replay_by_type(spark, sf_dir):
+    """R11: index-driven selection by (event type, time range)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+def q_window_commit_order(spark, sf_dir):
+    """Commit-ordering analog: per-aggregate ordinal via window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# B. Index operators
+# ----------------------------------------------------------------------
+def q_x1_index_day_counts(spark, sf_dir):
+    """X1/X3: the day-partitioned index layout (pid = y*1000 + doy)."""
+    e = _t(spark, sf_dir, "events")
+    pid = (F.year("ts") * F.lit(1000) + F.dayofyear("ts")).cast("long")
+    return (
+        e.groupBy(F.col("event_type"), pid.alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "pid")
+    )
+
+
+def q_x5_min_ts(spark, sf_dir):
+    """X5: global MIN(ts) — the reference's only server-side aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(F.min("ts").alias("ts"))
+
+
+# ----------------------------------------------------------------------
+# C. Counter operators
+# ----------------------------------------------------------------------
+def q_c3_counters(spark, sf_dir):
+    """X6/C1-C3: counter view = associative count per message type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("event_type").alias("msgid"))
+        .agg(F.count("*").alias("cv"))
+        .orderBy("msgid")
+    )
+
+
+# ----------------------------------------------------------------------
+# D. Message store
+# ----------------------------------------------------------------------
+def q_m2_message_scan(spark, sf_dir):
+    """M2: raw archive scan (payload column)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", "props").orderBy("event_id")
+
+
+def q_json_props_extract(spark, sf_dir):
+    """Payload decode analog (ISerializer seam): JSON field extraction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# Join / aggregation / top-k coverage (R11's join strategy at scale)
+# ----------------------------------------------------------------------
+def q_join_revenue_by_nation(spark, sf_dir):
+    """Multi-way equi-join with broadcast dims + grouped aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog: wide multi-aggregate groupBy."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events by value per event type (window top-k)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rk")
+    )
+
+
+def q_setop_users(spark, sf_dir):
+    """Set operation: users who signed up but never purchased (EXCEPT)."""
+    e = _t(spark, sf_dir, "events")
+    signup = e.where(F.col("event_type") == "signup").select("user_id")
+    purchase = e.where(F.col("event_type") == "purchase").select("user_id")
+    return signup.distinct().subtract(purchase.distinct()).orderBy("user_id")
+
+
+# ----------------------------------------------------------------------
+# Extensions: dedup / text / similarity
+# ----------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: identical-content groups."""
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(d).orderBy("text")
+
+
+def q_text_stats(spark, sf_dir):
+    """Text analysis rollup per language."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting over documents (whitespace tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_sim_topk_l2(spark, sf_dir):
+    """Exact top-10 nearest embeddings (L2) to the vec_id=0 vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = S.brute_force_topk(
+        emb.where(F.col("vec_id") != 0), list(qvec), k=10, metric="l2"
+    )
+    return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
+        "dist", "vec_id"
+    )
+
+
+# ----------------------------------------------------------------------
+# Non-SQL-expressible extensions (rows-only checks; verified in tests/)
+# ----------------------------------------------------------------------
+def q_dedup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    res = S.lsh_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6)
+    return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
+        "dist", "vec_id"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.quality_features(d)
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", TX.fingerprint64("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# Registry
+# ----------------------------------------------------------------------
+QUERIES: dict[str, QueryDef] = {
+    "r3_load_aggregate": QueryDef(
+        q_r3_load_aggregate,
+        "SELECT event_id, ts, event_type, value FROM events "
+        "WHERE user_id = 42 ORDER BY ts, event_id",
+    ),
+    "r5_load_desc": QueryDef(
+        q_r5_load_desc,
+        "SELECT event_id, ts FROM events WHERE user_id = 42 "
+        "ORDER BY ts DESC, event_id DESC LIMIT 10",
+    ),
+    "r6_point_lookup": QueryDef(
+        q_r6_point_lookup,
+        "SELECT event_type, value, props FROM events WHERE event_id = 1001",
+    ),
+    "r9_time_scan": QueryDef(
+        q_r9_time_scan,
+        "SELECT event_id, user_id, event_type FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-06-30' "
+        "ORDER BY event_id",
+    ),
+    "r10_replay_grouped": QueryDef(
+        q_r10_replay_grouped,
+        "SELECT user_id, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts "
+        "FROM events GROUP BY user_id ORDER BY user_id",
+    ),
+    "r11_replay_by_type": QueryDef(
+        q_r11_replay_by_type,
+        "SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-01' "
+        "ORDER BY event_id",
+    ),
+    "window_commit_order": QueryDef(
+        q_window_commit_order,
+        "SELECT event_id, user_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        "FROM events ORDER BY user_id, rn",
+    ),
+    "x1_index_day_counts": QueryDef(
+        q_x1_index_day_counts,
+        "SELECT event_type, CAST(year(ts)*1000 + dayofyear(ts) AS BIGINT) AS pid, "
+        "count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    ),
+    "x5_min_ts": QueryDef(
+        q_x5_min_ts, "SELECT min(ts) AS ts FROM events"
+    ),
+    "c3_counters": QueryDef(
+        q_c3_counters,
+        "SELECT event_type AS msgid, count(*) AS cv FROM events "
+        "GROUP BY event_type ORDER BY msgid",
+    ),
+    "m2_message_scan": QueryDef(
+        q_m2_message_scan,
+        "SELECT event_id, props FROM events ORDER BY event_id",
+    ),
+    "json_props_extract": QueryDef(
+        q_json_props_extract,
+        "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k "
+        "FROM events ORDER BY event_id",
+    ),
+    "join_revenue_by_nation": QueryDef(
+        q_join_revenue_by_nation,
+        "SELECT n.n_name, count(*) AS n, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY n.n_name",
+    ),
+    "q1_pricing_summary": QueryDef(
+        q_q1_pricing_summary,
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "round(avg(l_discount), 6) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    ),
+    "topk_per_group": QueryDef(
+        q_topk_per_group,
+        "SELECT event_type, rk, event_id, value FROM ("
+        "  SELECT e.event_type, e.event_id, round(e.value, 6) AS value, "
+        "  row_number() OVER (PARTITION BY e.event_type "
+        "                     ORDER BY e.value DESC, e.event_id ASC) AS rk "
+        "  FROM events e) t WHERE rk <= 3 ORDER BY event_type, rk",
+    ),
+    "setop_users": QueryDef(
+        q_setop_users,
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "ORDER BY user_id",
+    ),
+    "dedup_exact": QueryDef(
+        q_dedup_exact,
+        "SELECT text, count(*) AS dup_count FROM documents "
+        "GROUP BY text HAVING count(*) > 1 ORDER BY text",
+    ),
+    "text_stats": QueryDef(
+        q_text_stats,
+        "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars "
+        "FROM documents GROUP BY lang ORDER BY lang",
+    ),
+    "token_count": QueryDef(
+        q_token_count,
+        "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        " AS n_tokens FROM documents ORDER BY doc_id",
+    ),
+    "sim_topk_l2": QueryDef(
+        q_sim_topk_l2,
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "pairs AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y "
+        "          FROM embeddings e, q WHERE e.vec_id <> 0), "
+        "dists AS (SELECT vec_id, round(sqrt(sum("
+        "            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))), 6) AS dist "
+        "          FROM pairs GROUP BY vec_id) "
+        "SELECT vec_id, dist FROM dists ORDER BY dist, vec_id LIMIT 10",
+    ),
+    # rows-only (probabilistic / hash-family-specific; verified in tests/)
+    "dedup_minhash_lsh": QueryDef(q_dedup_minhash, None),
+    "dedup_simhash": QueryDef(q_dedup_simhash, None),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, None),
+    "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
+    "text_lang_id": QueryDef(q_lang_id, None),
+    "text_quality_scores": QueryDef(q_quality_scores, None),
+    "text_fingerprints": QueryDef(q_fingerprints, None),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark for name, qd in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None
+    }

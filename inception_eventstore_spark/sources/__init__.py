@@ -1,0 +1,14 @@
+"""Sources & sinks: testdata loaders, table layout, naming strategies."""
+
+from inception_eventstore_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    TIMESTAMP_COLUMNS,
+    load_table,
+    load_all,
+    register_views,
+)
+from inception_eventstore_spark.sources.layout import (  # noqa: F401
+    keyspace_per_tenant,
+    table_per_bounded_context,
+    EventStoreLayout,
+)

@@ -1,0 +1,140 @@
+"""Tenant/bounded-context naming and physical table layout (S1-S4).
+
+Reference naming strategies:
+- keyspace per tenant ``{tenant}_{base}``, ≤48 chars, lower-cased
+  (reference: KeyspacePerTenantKeyspace.cs:16-21, CassandraProvider.cs:156-159)
+- table per bounded context ``{boundedContext}events`` or fixed
+  ``events`` (reference: TablePerBoundedContext.cs:16,
+  NoTableNamingStrategy.cs:7; DDL lower-cases, CassandraEventStoreSchema.cs:92)
+
+Spark mapping (SURVEY §1.4): keyspace → a root directory per tenant
+database holding partitioned parquet tables. Replication is a
+storage-layer concern (HDFS/S3) — recorded as a table property only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inception_eventstore_spark import schemas
+
+MAX_KEYSPACE_LENGTH = 48  # reference: KeyspacePerTenantKeyspace.cs:18
+
+
+def keyspace_per_tenant(tenant: str, base_keyspace: str) -> str:
+    """``{tenant}_{base}`` lower-cased, ≤48 chars (raises on overflow)."""
+    if not tenant:
+        raise ValueError("tenant must be non-empty")
+    name = f"{tenant}_{base_keyspace}".lower()
+    if len(name) > MAX_KEYSPACE_LENGTH:
+        raise ValueError(
+            f"keyspace name {name!r} exceeds {MAX_KEYSPACE_LENGTH} chars"
+        )
+    return name
+
+
+def table_per_bounded_context(bounded_context: str | None) -> str:
+    """``{boundedContext}events`` lower-cased; plain ``events`` if None."""
+    return f"{bounded_context or ''}events".lower()
+
+
+@dataclass
+class EventStoreLayout:
+    """Physical layout of one tenant's event store under a warehouse root.
+
+    Four stores per tenant (SURVEY §1.1):
+      events/          envelope rows, bucketed by hash(id) so one
+                       aggregate's rows co-locate (dir partition ``bucket``)
+      index/           derived index, dir-partitioned by (et, pid)
+      counter_deltas/  append-only counter increments (msgid, cv delta)
+      message_store/   date-partitioned raw message archive
+
+    At 100 TB the ``bucket`` column keeps a single aggregate's partition
+    scan to one directory (file-level min/max on id prunes further), and
+    (et, pid) directories make index day-range scans touch only the
+    selected days — the same pruning the reference gets from Cassandra's
+    partition keys, supplied here by Catalyst's static partition pruning.
+    """
+
+    warehouse: str
+    keyspace: str
+    table: str = "events"
+    n_buckets: int = 64
+
+    @property
+    def root(self) -> str:
+        return os.path.join(self.warehouse, self.keyspace)
+
+    @property
+    def events_path(self) -> str:
+        return os.path.join(self.root, self.table)
+
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.root, "index_by_eventtype")
+
+    @property
+    def counter_path(self) -> str:
+        return os.path.join(self.root, "message_counter")
+
+    @property
+    def message_store_path(self) -> str:
+        return os.path.join(self.root, "message_store")
+
+    # -- S2: create tables (idempotent). Parquet dirs materialize on first
+    # write; ensure_storage records intent and validates nothing clashes.
+    def ensure_storage(self) -> None:
+        for path in (
+            self.events_path,
+            self.index_path,
+            self.counter_path,
+            self.message_store_path,
+        ):
+            os.makedirs(path, exist_ok=True)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.events_path)
+
+    # -- S3: wipe tenant, guarded like EventStoreDataWiper.cs:31-57.
+    def wipe(self, tenant_guard: str) -> None:
+        """Drop the whole keyspace iff ``tenant_guard`` matches its tenant."""
+        if not self.keyspace.startswith(tenant_guard.lower() + "_") and (
+            self.keyspace != tenant_guard.lower()
+        ):
+            raise PermissionError(
+                f"refusing to wipe {self.keyspace!r} for tenant {tenant_guard!r}"
+            )
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def read_events(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import types as T
+
+        # StructType.add mutates in place — build a fresh copy.
+        schema = T.StructType(
+            list(schemas.EVENTS_SCHEMA.fields)
+            + [T.StructField("bucket", T.IntegerType(), True)]
+        )
+        return spark.read.schema(schema).parquet(self.events_path)
+
+    def read_index(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(schemas.INDEX_SCHEMA).parquet(self.index_path)
+
+
+def for_tenant(
+    warehouse: str,
+    tenant: str,
+    base_keyspace: str = "eventstore",
+    bounded_context: str | None = None,
+) -> EventStoreLayout:
+    """S4 bootstrap: resolve naming strategies and ensure storage."""
+    layout = EventStoreLayout(
+        warehouse=warehouse,
+        keyspace=keyspace_per_tenant(tenant, base_keyspace),
+        table=table_per_bounded_context(bounded_context),
+    )
+    layout.ensure_storage()
+    return layout

@@ -1,0 +1,234 @@
+"""End-to-end tests of the event-store engine over local Parquet,
+mirroring the reference's integration suite (SURVEY §5; fixture
+scenarios FIXTURES.md §2, reference tests CassandraEventStoreTests.cs).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.functions.filetime import datetime_to_filetime
+from inception_eventstore_spark.functions.paging import PagingToken
+from inception_eventstore_spark.operators.eventstore import (
+    AggregateCommit,
+    EventStore,
+    PlayerOptions,
+)
+from inception_eventstore_spark.operators.index import IndexByEventTypeStore
+from inception_eventstore_spark.sources import layout as L
+
+import datetime as dt
+
+T0 = datetime_to_filetime(dt.datetime(2024, 3, 14, 12, 0, 0, tzinfo=dt.timezone.utc))
+SEC = 10_000_000  # FileTime ticks per second
+DAY = 864_000_000_000
+
+AID1 = b"aggregate-one-" + bytes(range(50))
+AID2 = b"aggregate-two-" + bytes(range(50, 100))
+AID3 = b"aggregate-three-" + bytes(range(100, 150))
+
+
+def _payload(name: str, et: str = "type-a") -> bytes:
+    return json.dumps({"name": name, "et": et}).encode()
+
+
+def _et_expr(data_col):
+    """JVM-side event-type extraction from the JSON payload."""
+    return F.get_json_object(data_col.cast("string"), "$.et")
+
+
+@pytest.fixture()
+def store(spark, warehouse):
+    lay = L.for_tenant(warehouse, "tests", "eventstore")
+    return EventStore(spark, lay, event_type_expr=_et_expr)
+
+
+class TestAppendLoad:
+    def test_single_commit_round_trip(self, store):
+        """Mirrors CassandraEventStoreTests.cs:100-135: 1 private (pos 0)
+        + 1 public (pos 5)."""
+        commit = AggregateCommit(
+            AID1, 1, T0, [_payload("p0")], [_payload("pub0")]
+        )
+        store.append_commits([commit])
+        rows = (
+            store.events_df().orderBy("rev", "pos").collect()
+        )
+        assert [(r["rev"], r["pos"]) for r in rows] == [(1, 0), (1, 5)]
+
+        commits = store.load_aggregate(AID1).collect()
+        assert len(commits) == 1
+        c = commits[0]
+        assert c["rev"] == 1 and c["ts"] == T0
+        assert [bytes(e) for e in c["events"]] == [_payload("p0")]
+        assert [bytes(e) for e in c["public_events"]] == [_payload("pub0")]
+
+    def test_multi_revision_order_and_split(self, store):
+        """Mirrors :161-197: rev 1 (private+public), rev 2 (private only)."""
+        store.append_commits(
+            [
+                AggregateCommit(AID1, 1, T0, [_payload("a"), _payload("b")],
+                                [_payload("pub")]),
+                AggregateCommit(AID1, 2, T0 + SEC, [_payload("c")], []),
+            ]
+        )
+        commits = store.load_aggregate(AID1).collect()
+        assert [c["rev"] for c in commits] == [1, 2]
+        first, second = commits
+        assert [bytes(e) for e in first["events"]] == [_payload("a"), _payload("b")]
+        assert [bytes(e) for e in first["public_events"]] == [_payload("pub")]
+        # public of 2-private commit sits at pos (2-1)+5 = 6
+        raw = store.events_df().where(F.col("rev") == 1).orderBy("pos").collect()
+        assert [r["pos"] for r in raw] == [0, 1, 6]
+        assert [bytes(e) for e in second["events"]] == [_payload("c")]
+        assert second["public_events"] == []
+
+    def test_raw_append(self, store):
+        """Mirrors :137-159."""
+        store.append_raw(AID1, 2, 0, T0, _payload("raw"))
+        rows = store.events_df().collect()
+        assert len(rows) == 1
+        assert rows[0]["rev"] == 2 and rows[0]["pos"] == 0
+
+    def test_append_is_idempotent_within_batch(self, store):
+        commit = AggregateCommit(AID1, 1, T0, [_payload("x")], [])
+        store.append_commits([commit, commit])
+        assert store.events_df().count() == 1
+
+
+class TestPointLookupAndPaging:
+    def test_point_lookup_hit_and_miss(self, store):
+        """Mirrors :199-239."""
+        store.append_commits(
+            [AggregateCommit(AID1, 1, T0, [_payload("p")], [_payload("q")])]
+        )
+        hit = store.load_event_raw(AID1, 1, 5)
+        assert hit is not None and bytes(hit["data"]) == _payload("q")
+        assert hit["ts"] == T0
+        assert store.load_event_raw(AID1, 9, 0) is None
+        decoded = store.load_event(AID1, 1, 0, lambda b: json.loads(b.decode()))
+        assert decoded["name"] == "p"
+
+    def test_paged_load_asc_desc(self, store):
+        """Mirrors :241-260 with take=2 over 6 rows; keyset tokens."""
+        commits = [
+            AggregateCommit(AID1, rev, T0 + rev * SEC, [_payload(f"e{rev}a"),
+                                                        _payload(f"e{rev}b")], [])
+            for rev in (1, 2, 3)
+        ]
+        store.append_commits(commits)
+        seen = []
+        token: PagingToken | None = None
+        for _ in range(4):
+            rows, token = store.load_with_paging(AID1, 2, token)
+            seen.extend((r["rev"], r["pos"]) for r in rows)
+            if not token.has_more:
+                break
+        assert seen == [(1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)]
+
+        rows, token = store.load_with_paging(AID1, 4, None, descending=True)
+        assert [(r["rev"], r["pos"]) for r in rows] == [
+            (3, 1), (3, 0), (2, 1), (2, 0)
+        ]
+        rows, token = store.load_with_paging(AID1, 4, token, descending=True)
+        assert [(r["rev"], r["pos"]) for r in rows] == [(1, 1), (1, 0)]
+        assert token.has_more is False
+
+
+class TestDelete:
+    def test_delete_then_load_empty(self, store):
+        """Mirrors :329-350."""
+        store.append_commits([AggregateCommit(AID1, 1, T0, [_payload("x")], [])])
+        assert store.delete(AID1, 1, 0) is True
+        assert store.events_df().count() == 0
+        assert store.load_aggregate(AID1).count() == 0
+
+    def test_compact_folds_tombstones(self, store):
+        store.append_commits(
+            [AggregateCommit(AID1, 1, T0, [_payload("x"), _payload("y")], [])]
+        )
+        store.delete(AID1, 1, 0)
+        store.compact()
+        assert store._tombstones() is None
+        rows = store.events_df().collect()
+        assert [(r["rev"], r["pos"]) for r in rows] == [(1, 1)]
+
+
+class TestReplay:
+    def _seed(self, store):
+        store.append_commits(
+            [
+                AggregateCommit(AID1, 1, T0, [_payload("a1", "type-a")], []),
+                AggregateCommit(AID2, 1, T0 + DAY, [_payload("b1", "type-b")], []),
+                AggregateCommit(AID3, 1, T0 + 2 * DAY,
+                                [_payload("c1", "type-a")], []),
+                AggregateCommit(AID1, 2, T0 + 3 * DAY,
+                                [_payload("a2", "type-b")], []),
+            ]
+        )
+
+    def test_full_replay_time_window_inclusive(self, store):
+        """Mirrors the client-side filter at CassandraEventStore.cs:440 —
+        bounds are inclusive on both ends."""
+        self._seed(store)
+        df = store.replay(PlayerOptions(after=T0 + DAY, before=T0 + 2 * DAY))
+        got = {bytes(r["data"]) for r in df.collect()}
+        assert got == {_payload("b1", "type-b"), _payload("c1", "type-a")}
+
+    def test_replay_grouped_per_aggregate(self, store):
+        """Mirrors EnumerateEventStoreGG grouping (:336-391)."""
+        self._seed(store)
+        grouped = store.replay_grouped().collect()
+        by_id = {}
+        for row in grouped:
+            by_id.setdefault(bytes(row["id"]), []).append(row["rev"])
+        assert by_id == {AID1: [1, 2], AID2: [1], AID3: [1]}
+
+    def test_index_driven_replay(self, store):
+        """Mirrors index replay (:262-327): one type over a window."""
+        self._seed(store)
+        idx = IndexByEventTypeStore(store.spark, store.layout)
+        opts = PlayerOptions(event_type_id="type-a", after=T0,
+                             before=T0 + 4 * DAY)
+        rows = store.replay_by_event_type(idx, opts).collect()
+        assert {bytes(r["data"]) for r in rows} == {
+            _payload("a1", "type-a"),
+            _payload("c1", "type-a"),
+        }
+
+    def test_index_driven_aggregate_streams(self, store):
+        self._seed(store)
+        idx = IndexByEventTypeStore(store.spark, store.layout)
+        opts = PlayerOptions(event_type_id="type-b", after=T0,
+                             before=T0 + 4 * DAY)
+        commits = store.replay_aggregates_by_event_type(idx, opts).collect()
+        ids = {bytes(r["id"]) for r in commits}
+        # type-b hits AID2(rev1) and AID1(rev2) → full streams of both
+        assert ids == {AID1, AID2}
+        revs_a1 = [r["rev"] for r in commits if bytes(r["id"]) == AID1]
+        assert revs_a1 == [1, 2]
+
+
+class TestTenantLayout:
+    def test_keyspace_naming(self, warehouse):
+        """Mirrors CassandraProviderTests.cs:68-91 + 48-char guard."""
+        assert L.keyspace_per_tenant("tests", "test_containers") == (
+            "tests_test_containers"
+        )
+        with pytest.raises(ValueError):
+            L.keyspace_per_tenant("t" * 40, "e" * 20)
+
+    def test_table_naming(self):
+        assert L.table_per_bounded_context("Shop") == "shopevents"
+        assert L.table_per_bounded_context(None) == "events"
+
+    def test_wipe_guard(self, spark, warehouse):
+        """Mirrors EventStoreDataWiper.cs:31-57 tenant guard."""
+        lay = L.for_tenant(warehouse, "tenant1", "es")
+        with pytest.raises(PermissionError):
+            lay.wipe("other")
+        lay.wipe("tenant1")
+        assert not lay.exists()

@@ -1,0 +1,113 @@
+"""Unit tests for the pure transforms (no Spark I/O needed for most).
+
+The pid unit vectors come from the reference's PartitionCalculatorTests
+(One.Inception.EventStore.Cassandra.Tests/CassandraEventStoreSchemaTests.cs:3-19).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from inception_eventstore_spark.functions.filetime import (
+    FILETIME_EPOCH_TICKS,
+    datetime_to_filetime,
+    filetime_to_datetime,
+)
+from inception_eventstore_spark.functions.paging import (
+    PagingToken,
+    decode_token,
+    encode_token,
+)
+from inception_eventstore_spark.functions.partitions import (
+    next_pid,
+    pid_from_datetime,
+    pid_range,
+)
+
+
+class TestFileTime:
+    def test_epoch(self):
+        assert filetime_to_datetime(FILETIME_EPOCH_TICKS) == dt.datetime(
+            1970, 1, 1, tzinfo=dt.timezone.utc
+        )
+
+    def test_round_trip(self):
+        d = dt.datetime(2024, 3, 14, 15, 9, 26, 535897, tzinfo=dt.timezone.utc)
+        assert filetime_to_datetime(datetime_to_filetime(d)) == d
+
+    def test_known_value(self):
+        # (11644473600 + 1704067200) s × 10^7 ticks/s
+        d = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        ticks = datetime_to_filetime(d)
+        assert ticks == 133485408000000000
+        assert filetime_to_datetime(ticks) == d
+
+    def test_naive_treated_as_utc(self):
+        naive = dt.datetime(2024, 1, 1)
+        aware = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        assert datetime_to_filetime(naive) == datetime_to_filetime(aware)
+
+
+class TestPid:
+    @pytest.mark.parametrize(
+        "date,expected",
+        [
+            (dt.datetime(2024, 3, 14), 2024074),
+            (dt.datetime(2023, 12, 31), 2023365),
+            (dt.datetime(2024, 1, 1), 2024001),
+            (dt.datetime(2024, 12, 31), 2024366),  # leap year
+            (dt.datetime(2025, 1, 1), 2025001),
+        ],
+    )
+    def test_pid_values(self, date, expected):
+        assert pid_from_datetime(date) == expected
+
+    @pytest.mark.parametrize(
+        "pid,expected",
+        [
+            (2024074, 2024075),  # plain day
+            (2023365, 2024001),  # year rollover
+            (2024366, 2025001),  # leap-year rollover
+            (2025365, 2026001),  # non-leap rollover at 365
+        ],
+    )
+    def test_next_pid(self, pid, expected):
+        assert next_pid(pid) == expected
+
+    def test_pid_range_across_year(self):
+        assert pid_range(2023364, 2024002) == [
+            2023364,
+            2023365,
+            2024001,
+            2024002,
+        ]
+
+    def test_pid_range_empty(self):
+        assert pid_range(2024002, 2024001) == []
+
+
+class TestPagingToken:
+    def test_round_trip(self):
+        t = PagingToken(keys={"rev": 3, "pos": 7}, has_more=True)
+        assert decode_token(encode_token(t)) == t
+
+    def test_bytes_round_trip(self):
+        t = PagingToken(keys={"aid": b"\x00\xffab", "rev": 1}, has_more=False)
+        back = decode_token(encode_token(t))
+        assert back.keys["aid"] == b"\x00\xffab"
+        assert back.has_more is False
+
+    def test_none_is_fresh(self):
+        t = decode_token(None)
+        assert t.keys == {} and t.has_more is True
+
+    def test_encoded_is_base64_json(self):
+        import base64
+        import json
+
+        t = PagingToken(keys={"rev": 1, "pos": 2}, has_more=True)
+        payload = json.loads(base64.b64decode(encode_token(t)))
+        assert payload["HasMore"] is True
+        assert payload["Token"] == {"pos": 2, "rev": 1}
