@@ -75,15 +75,56 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """Array of ``num_hashes`` min-hash values. Hash family =
-    xxhash64(seed_i, shingle) — deterministic, JVM-side."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(shingles, lambda sh: F.xxhash64(s, sh))
-        ),
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """(_id, _sh) where _sh = distinct k-word shingles hashed to LONG —
+    all downstream set math (minhash, jaccard) runs on 8-byte keys.
+
+    The shingle hash is computed numerically — hash each token once,
+    then combine k consecutive token hashes with one xxhash64 per
+    position — O(n) per doc with no intermediate strings (the
+    string-concat formulation was ~20× more expensive in codegen)."""
+    toks = tokens(text_col)
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(h)
+    # Chained zip_with over shifted slices: element i of the final array
+    # is the hash chain of h[i..i+k-1]. O(k·n) per row — element_at on a
+    # non-materialized array expression re-evaluates it per access
+    # (O(n²), ~15× slower at k=3, doc≈100 tokens).
+    chain = h
+    for j in range(1, k):
+        chain = F.zip_with(
+            chain,
+            F.slice(h, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    # positions past n-k+1 chain in nulls (xxhash64 skips them) — trim,
+    # keeping at least one shingle so short docs (< k tokens) survive.
+    trimmed = F.slice(chain, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.when(n == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(trimmed)
+    )
+    return docs.select(
+        F.col(id_col).alias("_id"), sh.alias("_sh")
+    ).where(F.size("_sh") > 0)
+
+
+def minhash_signatures(sets: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(_id, _sig ARRAY<LONG>[num_hashes]) from (_id, _sh ARRAY<LONG>).
+
+    Shape: explode the shingle hashes, then ONE vectorized hash-agg with
+    ``num_hashes`` MIN columns (seed-mixed rehash per column). Partial
+    aggregation combines map-side, so the shuffle carries num_hashes
+    longs per doc — the same pattern that made simhash ~7× faster than
+    a per-row array fold."""
+    ex = sets.select("_id", F.explode("_sh").alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    mins = ex.groupBy("_id").agg(*aggs)
+    return mins.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -100,50 +141,51 @@ def minhash_lsh_pairs(
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     rows/band = num_hashes // bands; a pair collides in ≥1 band with
-    probability 1-(1-j^r)^b — the standard S-curve. Verification uses
-    array_intersect on the (deduplicated) shingle sets of bucket
-    partners only.
+    probability 1-(1-j^r)^b — the standard S-curve. Verification
+    intersects the hashed shingle sets of bucket partners only.
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-
-    banded = base.select(
+    # sets feed the signature pass AND both sides of the verify join —
+    # persist (memory-and-disk) instead of recomputing the shingling 3×.
+    sets = shingle_sets(docs, id_col, text_col, shingle_k).persist()
+    # Candidates stay NARROW (id + 8-byte band hash); the shingle sets
+    # are joined back only for the surviving pairs — carrying arrays
+    # through the band explode would multiply shuffle volume ×bands.
+    banded = minhash_signatures(sets, num_hashes).select(
         "_id",
-        "_sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("_sig").getItem(b * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
                     )
-                ),
+                    for b in range(bands)
+                ]
             )
         ).alias("_band", "_bh"),
     )
-
-    left = banded.select("_band", "_bh", F.col("_id").alias("id_a"),
-                         F.col("_sh").alias("sh_a"))
-    right = banded.select("_band", "_bh", F.col("_id").alias("id_b"),
-                          F.col("_sh").alias("sh_b"))
+    left = banded.select("_band", "_bh", F.col("_id").alias("id_a"))
+    right = banded.select("_band", "_bh", F.col("_id").alias("id_b"))
     cand = (
         left.join(right, ["_band", "_bh"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    full_a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    full_b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (
-        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.size(
+        F.array_intersect("sh_a", "sh_b")
     ).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(full_a, "id_a")
+        .join(full_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -246,31 +288,56 @@ def ngram_jaccard_pairs(
     inverted-index (token → docs) join: |A∩B| = count of shared n-grams,
     jaccard = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard).
 
-    At scale the explode keys are 8-byte n-gram hashes; a prefix filter
-    (keep only the rarest ceil((1-t)|A|)+1 n-grams per doc) is the
-    documented next optimization if the inverted index skews.
+    Exactness is preserved by PPJoin-style prefix filtering: in a
+    global rarest-first ordering of n-grams, any pair with J ≥ t must
+    share an n-gram within the first |A| - ⌈t·|A|⌉ + 1 of each side —
+    so the inverted index is built over prefixes only, which caps the
+    blowup on frequent n-grams. A length filter (t·|B| ≤ |A| ≤ |B|/t)
+    prunes candidates further; survivors are verified with the exact
+    Jaccard over the full hashed sets.
     """
-    sets = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("_ng"),
-    ).withColumn("_sz", F.size("_ng"))
-    inv = sets.select(
-        "_id", "_sz", F.explode(F.transform("_ng", lambda g: F.xxhash64(g))).alias("_g")
-    )
-    left = inv.select(F.col("_g"), F.col("_id").alias("id_a"),
-                      F.col("_sz").alias("sz_a"))
-    right = inv.select(F.col("_g"), F.col("_id").alias("id_b"),
-                       F.col("_sz").alias("sz_b"))
-    return (
-        left.join(right, "_g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("_inter"))
+    sets = shingle_sets(docs, id_col, text_col, n).withColumn(
+        "_sz", F.size("_sh")
+    ).persist()
+    ex = sets.select("_id", "_sz", F.explode("_sh").alias("_g"))
+    freq = ex.groupBy("_g").agg(F.count("*").alias("_df"))
+    ranked = (
+        ex.join(freq, "_g")
         .withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("_inter")).cast("double"),
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_df", "_g")
+            ),
         )
+        .where(
+            F.col("_rk")
+            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+    )
+    left = ranked.select(F.col("_g"), F.col("_id").alias("id_a"),
+                         F.col("_sz").alias("sz_a"))
+    right = ranked.select(F.col("_g"), F.col("_id").alias("id_b"),
+                          F.col("_sz").alias("sz_b"))
+    cand = (
+        left.join(right, "_g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full_a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    full_b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.size(
+        F.array_intersect("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.join(full_a, "id_a")
+        .join(full_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

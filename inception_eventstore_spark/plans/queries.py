@@ -296,7 +296,7 @@ def q_sim_topk_l2(spark, sf_dir):
 # ----------------------------------------------------------------------
 def q_dedup_minhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+    return D.minhash_lsh_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -306,7 +306,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
 
 
 def q_sim_topk_lsh(spark, sf_dir):
