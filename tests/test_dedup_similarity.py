@@ -1,0 +1,210 @@
+"""Correctness tests for the dedup + similarity extension operators,
+using synthetic corpora with planted duplicates / known neighbors."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import dedup as D
+from inception_eventstore_spark.operators import similarity as S
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega red green blue"
+).split()
+
+
+def _doc(rng: random.Random, n: int = 40) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 base docs + planted near-dups:
+    - ids 1000/1001: exact duplicates of doc 0
+    - id 2000: doc 1 with one word changed (high jaccard)
+    - id 3000: doc 2 with half the words changed (low jaccard)
+    """
+    rng = random.Random(7)
+    docs = [(i, _doc(rng)) for i in range(60)]
+    base0, base1, base2 = docs[0][1], docs[1][1], docs[2][1]
+    near = base1.split()
+    near[10] = "changedword"
+    far = base2.split()
+    for i in range(0, len(far), 2):
+        far[i] = f"other{i}"
+    docs += [
+        (1000, base0),
+        (1001, base0),
+        (2000, " ".join(near)),
+        (3000, " ".join(far)),
+    ]
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def _exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+class TestExactDedup:
+    def test_duplicate_groups(self, corpus):
+        groups = D.exact_duplicate_groups(corpus).collect()
+        assert len(groups) == 1
+        assert groups[0]["dup_count"] == 3  # doc 0, 1000, 1001
+
+    def test_dedup_exact_keeps_smallest_id(self, corpus):
+        kept = D.dedup_exact(corpus)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert 0 in ids and 1000 not in ids and 1001 not in ids
+        assert kept.count() == corpus.count() - 2
+
+
+class TestMinHashLSH:
+    def test_planted_pairs_found(self, corpus):
+        pairs = D.minhash_lsh_pairs(corpus, threshold=0.8).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        # exact dups of doc 0 collide in every band
+        assert (0, 1000) in found and (0, 1001) in found and (1000, 1001) in found
+        # one-word change → jaccard ≈ (38-3)/(38+3) ≳ 0.85 → found
+        assert (1, 2000) in found
+        # half-changed doc must NOT pass the 0.8 verify
+        assert (2, 3000) not in found
+
+    def test_jaccard_values_match_exact(self, corpus):
+        rows = D.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+        texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+        for r in rows:
+            expected = _exact_jaccard(texts[r["id_a"]], texts[r["id_b"]])
+            assert r["jaccard"] == pytest.approx(expected, abs=1e-9)
+
+
+class TestNgramJaccard:
+    def test_matches_minhash_verified_pairs(self, corpus):
+        """The exact prefix-filtered join must find a superset of the
+        LSH pairs at the same threshold (LSH can only miss)."""
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.minhash_lsh_pairs(corpus, threshold=0.6).collect()
+        }
+        assert set(lsh) <= set(exact)
+        for pair, j in lsh.items():
+            assert exact[pair] == pytest.approx(j, abs=1e-9)
+        assert (2, 3000) not in exact  # below threshold
+
+    def test_exact_pair_values(self, corpus):
+        texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+        rows = D.ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+        for r in rows:
+            assert r["jaccard"] == pytest.approx(
+                _exact_jaccard(texts[r["id_a"]], texts[r["id_b"]]), abs=1e-9
+            )
+
+
+class TestSimHash:
+    def test_exact_dups_hamming_zero(self, corpus):
+        pairs = D.simhash_near_duplicates(corpus, max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        assert got[(0, 1000)] == 0
+        assert got[(0, 1001)] == 0
+        assert got[(1000, 1001)] == 0
+
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox")],
+            ["doc_id", "text"],
+        )
+        sigs = D.simhash_signatures(df).collect()
+        assert sigs[0]["_sh"] == sigs[1]["_sh"]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """100 random 16-dim vectors + a known neighbor of vector 0."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(100):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    near = [x + 0.01 for x in rows[0][1]]
+    rows.append((500, near))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_numpy(self, vectors):
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        by_dist = sorted(
+            (
+                (
+                    math.sqrt(sum((a - b) ** 2 for a, b in zip(r["embedding"], q))),
+                    r["vec_id"],
+                )
+                for r in rows
+                if r["vec_id"] != 0
+            ),
+        )[:5]
+        got = S.brute_force_topk(
+            vectors.where(F.col("vec_id") != 0), q, k=5, metric="l2"
+        ).collect()
+        assert [r["vec_id"] for r in got] == [vid for _, vid in by_dist]
+        for r, (d, _) in zip(got, by_dist):
+            assert r["dist"] == pytest.approx(d, abs=1e-9)
+        assert got[0]["vec_id"] == 500  # the planted neighbor wins
+
+    def test_cosine_metric(self, vectors):
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        got = S.brute_force_topk(
+            vectors.where(F.col("vec_id") != 0), q, k=1, metric="cosine"
+        ).collect()
+        assert got[0]["vec_id"] == 500
+
+    def test_lsh_topk_finds_planted_neighbor(self, vectors):
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        got = S.lsh_topk(
+            vectors.where(F.col("vec_id") != 0), q, k=5, n_planes=6
+        ).collect()
+        # vector 500 = q + 0.01 shares q's bucket with overwhelming
+        # probability → must be the nearest candidate
+        assert got and got[0]["vec_id"] == 500
+
+    def test_cosine_near_duplicates(self, vectors):
+        pairs = S.cosine_near_duplicates(vectors, threshold=0.999).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 500)}
+
+    def test_lsh_recall_vs_brute_force(self, spark):
+        """Recall sanity on a bigger random set: ≥ half of the true
+        top-10 should surface with 6 planes + hamming-1 probing."""
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(1000)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = rows[0][1]
+        truth = [
+            r["vec_id"]
+            for r in S.brute_force_topk(
+                df.where(F.col("vec_id") != 0), q, k=10
+            ).collect()
+        ]
+        approx = [
+            r["vec_id"]
+            for r in S.lsh_topk(
+                df.where(F.col("vec_id") != 0), q, k=10, n_planes=6
+            ).collect()
+        ]
+        assert len(set(truth) & set(approx)) >= 5

@@ -1,0 +1,153 @@
+"""Tests for text-analysis and multimodal extension operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import multimodal as M
+from inception_eventstore_spark.operators import text as TX
+from inception_eventstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTokenCount:
+    def test_whitespace_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two  three"), (2, ""), (3, "  padded  ")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", TX.token_count("text").alias("n")
+            ).collect()
+        }
+        assert got == {1: 3, 2: 0, 3: 1}
+
+    def test_bpe_ish_counts_subword_units(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hi"), (2, "internationalization"), (3, "a-b,c")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", TX.bpe_ish_token_count("text").alias("n")
+            ).collect()
+        }
+        assert got[1] == 1          # ceil(2/4)
+        assert got[2] == 5          # ceil(20/4)
+        assert got[3] == 3          # three 1-char pieces
+
+
+class TestLangId:
+    def test_real_sentences(self, spark):
+        """The synthetic corpus's lang column is a label, not the actual
+        text language (all texts are English-ish word salad), so the
+        heuristic is tested on genuine sentences per language."""
+        samples = [
+            ("en", "the cat sat on the mat and it is happy that the sun "
+                   "is out for a walk in the park"),
+            ("fr", "le chat est sur la table et les enfants de la maison "
+                   "regardent un oiseau qui est dans le jardin"),
+            ("es", "el perro y el gato de la casa miran los pájaros que "
+                   "es una vista muy bonita en el jardín"),
+            ("de", "der Hund und die Katze sind in dem Haus und das ist "
+                   "ein schönes Bild von den Tieren"),
+            ("zh", "这是一个很好的例子我们在这里看到了他和我的朋友"),
+        ]
+        df = spark.createDataFrame(samples, ["lang", "text"])
+        rows = df.select("lang", TX.lang_id("text").alias("pred")).collect()
+        for r in rows:
+            assert r["pred"] == r["lang"], (r["lang"], r["pred"])
+
+    def test_runs_on_synthetic_corpus(self, spark):
+        docs = load_table(spark, SF, "documents")
+        n = docs.select(TX.lang_id("text").alias("p")).where(
+            F.col("p").isNotNull()
+        ).count()
+        assert n == docs.count()
+
+    def test_unknown_text(self, spark):
+        df = spark.createDataFrame([(1, "xqzt blorp")], ["doc_id", "text"])
+        assert df.select(TX.lang_id("text")).first()[0] == "und"
+
+
+class TestQuality:
+    def test_features_ranges(self, spark):
+        docs = load_table(spark, SF, "documents").limit(100)
+        feats = TX.quality_features(docs).collect()
+        for r in feats:
+            assert 0.0 <= r["quality_score"] <= 1.0
+            assert 0.0 <= r["punct_ratio"] <= 1.0
+            assert 0.0 <= r["uniq_token_ratio"] <= 1.0
+
+    def test_empty_doc_scores_low(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "the quick brown fox jumps over the lazy dog and "
+                          "then runs far away to the old red barn nearby")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r["quality_score"]
+                for r in TX.quality_features(df).collect()}
+        assert rows[1] < rows[2]
+
+
+class TestFingerprint:
+    def test_normalization_invariance(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+            ["doc_id", "text"],
+        )
+        fps = {
+            r["doc_id"]: r["fp"]
+            for r in df.select(
+                "doc_id", TX.fingerprint64("text").alias("fp")
+            ).collect()
+        }
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        assets = M.synthetic_assets(spark, n=32)
+        feats = M.extract_features(assets, decode="fake")
+        rows = feats.collect()
+        assert len(rows) == 32
+        for r in rows:
+            assert len(r["features"]) == 16
+            assert r["n_bytes"] > 0
+        # deterministic: same payload → same features
+        again = {r["asset_id"]: r["features"]
+                 for r in M.extract_features(assets, decode="fake").collect()}
+        for r in rows:
+            assert again[r["asset_id"]] == pytest.approx(r["features"])
+
+    def test_real_decode_is_stubbed(self, spark):
+        assets = M.synthetic_assets(spark, n=4)
+        from py4j.protocol import Py4JJavaError  # noqa: F401
+
+        with pytest.raises(Exception) as exc:
+            M.extract_features(assets, decode="real").collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+
+    def test_frame_sample_plan(self, spark):
+        assets = M.synthetic_assets(spark, n=9)
+        plan = M.frame_sample_plan(assets, every_ms=1000)
+        rows = plan.collect()
+        assert rows, "videos must produce frame rows"
+        by_asset: dict[int, list] = {}
+        for r in rows:
+            by_asset.setdefault(r["asset_id"], []).append(
+                (r["frame_idx"], r["offset_ms"])
+            )
+        for frames in by_asset.values():
+            idxs = [i for i, _ in sorted(frames)]
+            assert idxs == list(range(len(idxs)))
+            for i, off in frames:
+                assert off == i * 1000
