@@ -1,0 +1,86 @@
+"""Structured Streaming ingest: incremental event appends that maintain
+the derived index / counter views, plus streaming analytics on the log.
+
+The reference's "streaming" is replay-with-checkpoint (R9-R12); true
+incremental ingest arrives with Structured Streaming (SURVEY §2 F):
+
+- ``stream_ingest``: file-source stream of envelope rows →
+  ``foreachBatch`` running the same ingest job the batch path uses
+  (event append + X1 index + C1 counter deltas in one job). The
+  streaming checkpoint is the R12 progress token equivalent: exactly-
+  once batch tracking + at-least-once row delivery, made idempotent by
+  the PK dedup inside the append (SURVEY §4 consistency row).
+- ``windowed_event_counts``: watermarked tumbling-window counts per
+  event type — the streaming analog of the C-view, late data bounded by
+  the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from inception_eventstore_spark import schemas
+from inception_eventstore_spark.functions.filetime import filetime_to_timestamp_col
+from inception_eventstore_spark.operators.eventstore import EventStore
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store: EventStore,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Continuously ingest envelope-row parquet files dropped under
+    ``source_path`` into ``store`` (events + index in one batch job).
+
+    At 100 TB the same topology holds with a Kafka source: swap
+    ``readStream.parquet`` for ``readStream.format('kafka')`` + payload
+    projection; ``foreachBatch`` stays identical.
+    """
+    stream = (
+        spark.readStream.schema(schemas.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        store._append_rows(batch_df, maintain_index=True)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    event_type_col: str = "et",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type over a
+    *streaming* envelope DataFrame (``ts`` is FileTime LONG → converted
+    to an event-time column for the watermark)."""
+    with_time = events.withColumn("ts_dt", filetime_to_timestamp_col("ts"))
+    return (
+        with_time.withWatermark("ts_dt", watermark)
+        .groupBy(F.window("ts_dt", window), F.col(event_type_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(event_type_col),
+            "n",
+        )
+    )
+
+
+def read_event_stream(spark: SparkSession, source_path: str) -> DataFrame:
+    """Streaming view of an envelope-row parquet directory."""
+    return (
+        spark.readStream.schema(schemas.EVENTS_SCHEMA).parquet(source_path)
+    )

@@ -1,0 +1,176 @@
+"""Tests for Structured-Streaming ingest and the S5 migration pipeline."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark import schemas
+from inception_eventstore_spark.functions.filetime import datetime_to_filetime
+from inception_eventstore_spark.operators.eventstore import (
+    AggregateCommit,
+    EventStore,
+    PlayerOptions,
+)
+from inception_eventstore_spark.operators.index import IndexByEventTypeStore
+from inception_eventstore_spark.operators.migration import (
+    copy_raw,
+    migrate_event_store,
+)
+from inception_eventstore_spark.sources import layout as L
+from inception_eventstore_spark.streaming.ingest import (
+    stream_ingest,
+    windowed_event_counts,
+)
+
+T0 = datetime_to_filetime(dt.datetime(2024, 3, 14, 12, 0, 0, tzinfo=dt.timezone.utc))
+HOUR = 36_000_000_000
+
+AID1 = b"stream-aggregate-1"
+AID2 = b"stream-aggregate-2"
+
+
+def _payload(name, et="type-s"):
+    return json.dumps({"name": name, "et": et}).encode()
+
+
+def _et_expr(data_col):
+    return F.get_json_object(data_col.cast("string"), "$.et")
+
+
+class TestStreamingIngest:
+    def test_file_stream_ingests_and_indexes(self, spark, tmp_path):
+        source = str(tmp_path / "incoming")
+        ckpt = str(tmp_path / "ckpt")
+        lay = L.for_tenant(str(tmp_path / "wh"), "stream", "es")
+        store = EventStore(spark, lay, event_type_expr=_et_expr)
+
+        rows = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID1, 2, 0, T0 + HOUR, _payload("b")),
+            (AID2, 1, 0, T0 + 2 * HOUR, _payload("c", "type-t")),
+        ]
+        spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(source)
+
+        q = stream_ingest(spark, source, store, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert store.events_df().count() == 3
+        idx = IndexByEventTypeStore(spark, lay)
+        assert idx.count("type-s") == 2
+        assert idx.count("type-t") == 1
+
+        # second batch of files → incremental pickup, no reprocessing
+        more = [(AID2, 2, 0, T0 + 3 * HOUR, _payload("d", "type-t"))]
+        spark.createDataFrame(more, schema=schemas.EVENTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(source)
+        q = stream_ingest(spark, source, store, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert store.events_df().count() == 4
+        assert idx.count("type-t") == 2
+
+    def test_windowed_counts_memory_sink(self, spark, tmp_path):
+        source = str(tmp_path / "in2")
+        rows = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID1, 2, 0, T0 + HOUR // 2, _payload("b")),
+            (AID2, 1, 0, T0 + 2 * HOUR, _payload("c", "type-t")),
+        ]
+        spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(source)
+        stream = (
+            spark.readStream.schema(schemas.EVENTS_SCHEMA).parquet(source)
+            .withColumn(
+                "et",
+                F.get_json_object(F.col("data").cast("string"), "$.et"),
+            )
+        )
+        agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("win_counts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["window_start"], r["et"]): r["n"]
+                for r in spark.sql("SELECT * FROM win_counts").collect()
+            }
+        finally:
+            q.stop()
+        base = dt.datetime(2024, 3, 14, 12, 0, 0)
+        assert got[(base, "type-s")] == 2
+        assert got[(base + dt.timedelta(hours=2), "type-t")] == 1
+
+
+class TestMigration:
+    def _seed(self, spark, tmp_path):
+        src_lay = L.for_tenant(str(tmp_path / "wh"), "src", "es")
+        dst_lay = L.for_tenant(str(tmp_path / "wh"), "dst", "es")
+        src = EventStore(spark, src_lay, event_type_expr=_et_expr)
+        dst = EventStore(spark, dst_lay, event_type_expr=_et_expr)
+        src.append_commits(
+            [
+                AggregateCommit(AID1, 1, T0, [_payload("a")], [_payload("p")]),
+                AggregateCommit(AID1, 2, T0 + HOUR, [_payload("b")], []),
+                AggregateCommit(AID2, 1, T0, [_payload("c")], []),
+            ]
+        )
+        return src, dst
+
+    def test_migrate_preserves_commits(self, spark, tmp_path):
+        src, dst = self._seed(spark, tmp_path)
+        n = migrate_event_store(src, dst)
+        assert n == 3
+        src_rows = {
+            (bytes(r["id"]), r["rev"], r["pos"], bytes(r["data"]))
+            for r in src.events_df().collect()
+        }
+        dst_rows = {
+            (bytes(r["id"]), r["rev"], r["pos"], bytes(r["data"]))
+            for r in dst.events_df().collect()
+        }
+        assert src_rows == dst_rows  # incl. the public event at pos 5
+        commits = dst.load_aggregate(AID1).collect()
+        assert [c["rev"] for c in commits] == [1, 2]
+        assert [bytes(e) for e in commits[0]["public_events"]] == [_payload("p")]
+
+    def test_migrate_with_transform(self, spark, tmp_path):
+        src, dst = self._seed(spark, tmp_path)
+
+        def bump_ts(commits):
+            return commits.withColumn("ts", F.col("ts") + F.lit(HOUR))
+
+        migrate_event_store(src, dst, transform=bump_ts)
+        src_min = src.events_df().agg(F.min("ts")).first()[0]
+        dst_min = dst.events_df().agg(F.min("ts")).first()[0]
+        assert dst_min == src_min + HOUR
+
+    def test_copy_raw_is_byte_faithful(self, spark, tmp_path):
+        src, dst = self._seed(spark, tmp_path)
+        copy_raw(src, dst)
+        assert dst.events_df().count() == src.events_df().count()
+
+    def test_migrate_respects_time_window(self, spark, tmp_path):
+        src, dst = self._seed(spark, tmp_path)
+        n = migrate_event_store(
+            src, dst, options=PlayerOptions(after=T0 + HOUR)
+        )
+        assert n == 1  # only AID1 rev 2
+        assert dst.events_df().count() == 1
