@@ -45,6 +45,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _ns(ts: str) -> int:
+    """UTC timestamp string → int64 nanoseconds since epoch."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000_000
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` kept as raw int64 ns — time predicates on this
+    column push down to parquet row-group stats, which the µs-converted
+    column cannot (the filter would sit on a derived expression).
+
+    Equivalence with the converted column (truncating ns → µs):
+      ts_µs >= K  ⟺  ts_ns >= K·1000          (floor-division algebra)
+      ts_µs <= K  ⟺  ts_ns <= (K+1)·1000 - 1
+    so whole-second bounds map exactly to raw-ns bounds.
+    """
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+
+
 # ----------------------------------------------------------------------
 # A. Event-log operators on the analytics analog table
 # ----------------------------------------------------------------------
@@ -76,13 +99,14 @@ def q_r6_point_lookup(spark, sf_dir):
 
 
 def q_r9_time_scan(spark, sf_dir):
-    """R9: full replay scan with inclusive time window pushed to parquet."""
-    e = _t(spark, sf_dir, "events")
+    """R9: full replay scan with the inclusive time window pushed to
+    parquet row groups (the reference applies it client-side after a
+    full scan — CassandraEventStore.cs:440)."""
+    e = _events_raw(spark, sf_dir)
+    lo = _ns("2024-01-01 00:00:00")
+    hi = _ns("2024-06-30 00:00:00") + 999  # inclusive after ns→µs truncation
     return (
-        e.where(
-            (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-            & (F.col("ts") <= F.lit("2024-06-30 00:00:00").cast("timestamp"))
-        )
+        e.where((F.col("ts") >= lo) & (F.col("ts") <= hi))
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
@@ -103,12 +127,13 @@ def q_r10_replay_grouped(spark, sf_dir):
 
 
 def q_r11_replay_by_type(spark, sf_dir):
-    """R11: index-driven selection by (event type, time range)."""
-    e = _t(spark, sf_dir, "events")
+    """R11: index-driven selection by (event type, time range); both
+    predicates reach the parquet scan."""
+    e = _events_raw(spark, sf_dir)
     return (
         e.where(
             (F.col("event_type") == "click")
-            & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") >= _ns("2024-01-01 00:00:00"))
         )
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
@@ -129,6 +154,29 @@ def q_window_commit_order(spark, sf_dir):
     )
 
 
+def q_r4_keyset_page(spark, sf_dir):
+    """R4: keyset-paged load — page 2 of aggregate 42's stream at
+    take=5, resuming after the 5th row (deterministic value-based token
+    replacing Cassandra's opaque paging state, PagingInfo.cs:54-92)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.where(F.col("user_id") == 42).select("event_id", "ts", "value")
+    first_page = agg.orderBy("ts", "event_id").limit(5)
+    last = first_page.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1)
+    boundary = last.select(
+        F.col("ts").alias("_bts"), F.col("event_id").alias("_bid")
+    )
+    return (
+        agg.crossJoin(F.broadcast(boundary))
+        .where(
+            (F.col("ts") > F.col("_bts"))
+            | ((F.col("ts") == F.col("_bts")) & (F.col("event_id") > F.col("_bid")))
+        )
+        .select("event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(5)
+    )
+
+
 # ----------------------------------------------------------------------
 # B. Index operators
 # ----------------------------------------------------------------------
@@ -140,6 +188,19 @@ def q_x1_index_day_counts(spark, sf_dir):
         e.groupBy(F.col("event_type"), pid.alias("pid"))
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "pid")
+    )
+
+
+def q_x2_index_day_read(spark, sf_dir):
+    """X2: one (event type, day) partition in ts order — the single-
+    partition index read (IndexByEventTypeStore.cs:125-136)."""
+    e = _t(spark, sf_dir, "events")
+    pid = (F.year("ts") * F.lit(1000) + F.dayofyear("ts")).cast("long")
+    return (
+        e.withColumn("pid", pid)
+        .where((F.col("event_type") == "click") & (F.col("pid") == 2024003))
+        .select("user_id", "event_id", "ts")
+        .orderBy("ts", "event_id")
     )
 
 
@@ -238,6 +299,47 @@ def q_topk_per_group(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("event_type", "rk", "event_id", F.round("value", 6).alias("value"))
         .orderBy("event_type", "rk")
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Grouping-set coverage: ROLLUP over (status, priority) — absent
+    from the reference (SURVEY §2 F), supplied by Spark natively."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """String/date/math scalar-function coverage on one projection."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.upper("event_type").alias("et_upper"),
+            F.length("event_type").cast("long").alias("et_len"),
+            F.substring("event_type", 1, 2).alias("et_pre"),
+            F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias(
+                "et_key"
+            ),
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+            F.hour("ts").cast("long").alias("h"),
+            F.round(F.abs(F.col("value") - 50.0), 6).alias("dev"),
+            F.round(F.sqrt(F.abs("value")), 6).alias("rt"),
+            F.floor("value").cast("long").alias("fl"),
+        )
+        .orderBy("event_id")
     )
 
 
@@ -378,6 +480,16 @@ QUERIES: dict[str, QueryDef] = {
         "WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-01' "
         "ORDER BY event_id",
     ),
+    "r4_keyset_page": QueryDef(
+        q_r4_keyset_page,
+        "WITH agg AS (SELECT event_id, ts, value FROM events WHERE user_id = 42), "
+        "b AS (SELECT ts AS _bts, event_id AS _bid FROM agg "
+        "      ORDER BY ts, event_id LIMIT 5), "
+        "q AS (SELECT _bts, _bid FROM b ORDER BY _bts DESC, _bid DESC LIMIT 1) "
+        "SELECT agg.event_id, agg.ts, agg.value FROM agg, q "
+        "WHERE agg.ts > q._bts OR (agg.ts = q._bts AND agg.event_id > q._bid) "
+        "ORDER BY agg.ts, agg.event_id LIMIT 5",
+    ),
     "window_commit_order": QueryDef(
         q_window_commit_order,
         "SELECT event_id, user_id, "
@@ -388,6 +500,12 @@ QUERIES: dict[str, QueryDef] = {
         q_x1_index_day_counts,
         "SELECT event_type, CAST(year(ts)*1000 + dayofyear(ts) AS BIGINT) AS pid, "
         "count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    ),
+    "x2_index_day_read": QueryDef(
+        q_x2_index_day_read,
+        "SELECT user_id, event_id, ts FROM events WHERE event_type = 'click' "
+        "AND CAST(year(ts)*1000 + dayofyear(ts) AS BIGINT) = 2024003 "
+        "ORDER BY ts, event_id",
     ),
     "x5_min_ts": QueryDef(
         q_x5_min_ts, "SELECT min(ts) AS ts FROM events"
@@ -434,6 +552,24 @@ QUERIES: dict[str, QueryDef] = {
         "  row_number() OVER (PARTITION BY e.event_type "
         "                     ORDER BY e.value DESC, e.event_id ASC) AS rk "
         "  FROM events e) t WHERE rk <= 3 ORDER BY event_type, rk",
+    ),
+    "rollup_orders": QueryDef(
+        q_rollup_orders,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST",
+    ),
+    "scalar_funcs": QueryDef(
+        q_scalar_funcs,
+        "SELECT event_id, upper(event_type) AS et_upper, "
+        "CAST(length(event_type) AS BIGINT) AS et_len, "
+        "substring(event_type, 1, 2) AS et_pre, "
+        "concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS et_key, "
+        "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, "
+        "CAST(dayofmonth(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, "
+        "round(abs(value - 50.0), 6) AS dev, round(sqrt(abs(value)), 6) AS rt, "
+        "CAST(floor(value) AS BIGINT) AS fl FROM events ORDER BY event_id",
     ),
     "setop_users": QueryDef(
         q_setop_users,
