@@ -153,23 +153,52 @@ def cosine_near_duplicates(
     n_planes: int = 8,
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding near-dup pairs: bucket by hyperplane signature, exact
-    cosine within buckets (near-identical vectors collide with high
-    probability). Returns (id_a, id_b, cosine)."""
+    """Embedding near-dup pairs: bucket by hyperplane signature with
+    hamming-1 multiprobe (one side explodes to its own bucket plus every
+    1-bit-flipped bucket, so pairs that straddle a single near-zero
+    hyperplane still collide), exact cosine verify on the survivors.
+    Returns (id_a, id_b, cosine).
+
+    Candidates stay narrow (id + bucket) through the join; vectors are
+    joined back only for the verification — at scale the probe explode
+    multiplies an 16-byte row, not the embedding payload."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     dim = int(dim_row["d"])
-    sigged = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         hyperplane_signature(F.col(vec_col), n_planes, dim, seed).alias("_sig"),
+    ).persist()
+    probes = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                F.col("_sig"),
+                *[
+                    F.col("_sig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("_b"),
     )
-    left = sigged.select("_sig", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    right = sigged.select("_sig", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    return (
+    left = probes.select(F.col("_b").alias("_sig"), F.col("_id").alias("id_a"))
+    right = base.select("_sig", F.col("_id").alias("id_b"))
+    cand = (
         left.join(right, "_sig")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )

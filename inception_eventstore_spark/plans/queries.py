@@ -420,6 +420,36 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+def q_sim_cosine_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine ≥ 0.99 within LSH buckets).
+
+    The synthetic embeddings have no true near-dups (max pairwise cosine
+    ≈ 0.45), so the query plants them: each vec_id < 50 gets a slightly
+    perturbed copy at vec_id + 1_000_000. The operator must recover
+    exactly those 50 pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(planted)
+    return S.cosine_near_duplicates(both, threshold=0.99).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary assets → Arrow-batched
+    feature extraction (decode kernel stubbed; see operators/multimodal)."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = MM.synthetic_assets(spark, n=256)
+    return MM.extract_features(assets, decode="fake").orderBy("asset_id")
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -608,6 +638,8 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(q_dedup_simhash, None),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, None),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
+    "sim_cosine_near_dup": QueryDef(q_sim_cosine_near_dup, None),
+    "multimodal_features": QueryDef(q_multimodal_features, None),
     "text_lang_id": QueryDef(q_lang_id, None),
     "text_quality_scores": QueryDef(q_quality_scores, None),
     "text_fingerprints": QueryDef(q_fingerprints, None),
