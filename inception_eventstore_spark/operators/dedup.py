@@ -28,8 +28,13 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lower-cased text — a single regex split
+    (equivalent to splitting the normalized text, without paying a
+    separate regexp_replace pass)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(normalize_text(c), " "), lambda t: t != F.lit(""))
+    return F.filter(
+        F.split(F.lower(c), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 # ----------------------------------------------------------------------
