@@ -148,7 +148,10 @@ class EventStore:
             self._append_index(rows)
 
     def _append_index(self, rows: DataFrame) -> None:
-        """X1 maintained inside ingest: derive (et, pid, aid, rev, pos, ts)."""
+        """X1 + C1 maintained inside ingest: the same derived projection
+        feeds the (et, pid) index append and the per-type counter deltas
+        — one job replaces the reference's separate dual-write handlers
+        (SURVEY §3.1)."""
         if self.event_type_expr is not None:
             et_col = self.event_type_expr(F.col("data"))
         else:
@@ -161,14 +164,21 @@ class EventStore:
             "rev",
             "pos",
             "ts",
-        )
-        (
-            index_rows.repartition("et", "pid")
-            .sortWithinPartitions("ts")
-            .write.mode("append")
-            .partitionBy("et", "pid")
-            .parquet(self.layout.index_path)
-        )
+        ).persist()
+        try:
+            (
+                index_rows.repartition("et", "pid")
+                .sortWithinPartitions("ts")
+                .write.mode("append")
+                .partitionBy("et", "pid")
+                .parquet(self.layout.index_path)
+            )
+            counter_deltas = index_rows.groupBy(
+                F.col("et").alias("msgid")
+            ).agg(F.count("*").alias("cv"))
+            counter_deltas.write.mode("append").parquet(self.layout.counter_path)
+        finally:
+            index_rows.unpersist()
 
     # ------------------------------------------------------------------
     # Tombstoned base scan

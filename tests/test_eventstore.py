@@ -212,6 +212,42 @@ class TestReplay:
         assert revs_a1 == [1, 2]
 
 
+class TestIngestMaintainsDerivedViews:
+    def test_counter_view_tracks_ingest(self, store):
+        """The single ingest job maintains C1 deltas alongside the X1
+        index (SURVEY §3.1 — replaces the reference's dual writes)."""
+        from inception_eventstore_spark.operators.counters import MessageCounter
+
+        store.append_commits(
+            [
+                AggregateCommit(AID1, 1, T0, [_payload("a", "type-a")],
+                                [_payload("p", "type-b")]),
+                AggregateCommit(AID2, 1, T0, [_payload("b", "type-a")], []),
+            ]
+        )
+        counter = MessageCounter(store.spark, store.layout)
+        assert counter.get_count("type-a") == 2
+        assert counter.get_count("type-b") == 1
+        assert counter.get_count("missing") == 0
+        # manual decrement composes with ingest-maintained deltas (C2)
+        counter.decrement("type-a", 1)
+        assert counter.get_count("type-a") == 1
+
+    def test_single_aggregate_scan_prunes_buckets(self, store):
+        """The single-partition load (R3) must scan only the aggregate's
+        bucket directory — PartitionFilters on the bucket column."""
+        store.append_commits(
+            [AggregateCommit(AID1, 1, T0, [_payload("x")], [])]
+        )
+        df = store._aggregate_scan(AID1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(bucket" in plan or (
+            "bucket#" in plan and "PartitionFilters" in plan
+        )
+        # and the id point filter reaches the parquet pushdown layer
+        assert "PushedFilters" in plan
+
+
 class TestTenantLayout:
     def test_keyspace_naming(self, warehouse):
         """Mirrors CassandraProviderTests.cs:68-91 + 48-char guard."""
