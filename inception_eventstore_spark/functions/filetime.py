@@ -30,7 +30,10 @@ def datetime_to_filetime(dt: _dt.datetime) -> int:
     """Aware (or naive-UTC) datetime → FileTime ticks."""
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
-    micros = round((dt - _EPOCH).total_seconds() * 1_000_000)
+    delta = dt - _EPOCH
+    # integer math — total_seconds() is a float and loses µs precision
+    # for dates a few centuries from the epoch
+    micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
     return micros * 10 + FILETIME_EPOCH_TICKS
 
 
