@@ -20,15 +20,21 @@ from inception_eventstore_spark.plans.queries import spark_queries  # noqa: E402
 from inception_eventstore_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "r3_load_aggregate",
+    "r4_keyset_page",
     "r9_time_scan",
     "r10_replay_grouped",
     "r11_replay_by_type",
     "window_commit_order",
     "x1_index_day_counts",
+    "x2_index_day_read",
     "c3_counters",
     "join_revenue_by_nation",
     "q1_pricing_summary",
     "topk_per_group",
+    "rollup_orders",
+    "scalar_funcs",
+    "json_props_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -38,6 +44,8 @@ HEADLINE = [
     "text_lang_id",
     "sim_topk_l2",
     "sim_topk_lsh",
+    "sim_cosine_near_dup",
+    "multimodal_features",
 ]
 
 

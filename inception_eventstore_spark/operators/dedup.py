@@ -215,12 +215,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     ex = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     ).select("_id", F.xxhash64("_t").alias("_h"))
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"_c{b}")
+    # branch-free: sum the raw bit (0/1); the ±1 contribution sum is
+    # 2·bitsum - n, positive iff 2·bitsum > n.
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
         for b in range(64)
     ]
     counts = ex.groupBy("_id").agg(*aggs)
@@ -228,7 +226,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     for b in range(64):
         bit_val = (1 << b) if b < 63 else -(1 << 63)  # sign bit in two's complement
         fp = fp + F.when(
-            F.col(f"_c{b}") > 0, F.lit(bit_val).cast("long")
+            F.col(f"_c{b}") * 2 > F.col("_n"), F.lit(bit_val).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return counts.select("_id", fp.alias("_sh"))
 

@@ -382,14 +382,22 @@ def q_token_count(spark, sf_dir):
 
 
 def q_sim_topk_l2(spark, sf_dir):
-    """Exact top-10 nearest embeddings (L2) to the vec_id=0 vector."""
+    """Exact top-10 nearest embeddings (L2) to the vec_id=0 vector.
+
+    The cutoff is taken on the ROUNDED distance (ties broken by vec_id)
+    so the selected set matches the oracle bit-for-bit even when two
+    raw distances straddle a rounding boundary at rank 10."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    res = S.brute_force_topk(
-        emb.where(F.col("vec_id") != 0), list(qvec), k=10, metric="l2"
-    )
-    return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
-        "dist", "vec_id"
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(S.l2_distance(F.col("embedding"), q), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
     )
 
 
@@ -446,7 +454,9 @@ def q_multimodal_features(spark, sf_dir):
     feature extraction (decode kernel stubbed; see operators/multimodal)."""
     from inception_eventstore_spark.operators import multimodal as MM
 
-    assets = MM.synthetic_assets(spark, n=256)
+    # coalesce: 256 tiny rows over 32 partitions would cold-start 32
+    # python workers for ~8 rows each
+    assets = MM.synthetic_assets(spark, n=256).coalesce(4)
     return MM.extract_features(assets, decode="fake").orderBy("asset_id")
 
 
