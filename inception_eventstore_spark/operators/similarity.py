@@ -79,24 +79,34 @@ def brute_force_topk(
     )
 
 
+def _plane_signs(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane vectors (same on driver and every
+    executor — plain python PRNG seeded per plane)."""
+    import random
+
+    return [
+        [
+            1.0 if random.Random(seed * 1_000_003 + p * 8_191 + i).random() < 0.5
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64,
                          seed: int = 7) -> Column:
-    """Random-hyperplane LSH signature: bit p = sign(v · r_p) where r_p is
-    a deterministic pseudo-random ±1 vector derived from xxhash64(seed,
-    p, i). Returns a LONG bucket id (n_planes ≤ 63)."""
-    comp = F.sequence(F.lit(0), F.lit(dim - 1))
+    """Random-hyperplane LSH signature: bit p = sign(v · r_p) with r_p a
+    deterministic ±1 vector. The plane vectors are LITERAL arrays baked
+    into the plan (constants — computing them per row from hashes cost
+    n_planes·dim hash calls per row). Returns a LONG bucket id
+    (n_planes ≤ 63)."""
+    signs = _plane_signs(n_planes, dim, seed)
 
     def plane_bit(p: int) -> Column:
+        r = F.array(*[F.lit(s) for s in signs[p]])
         s = F.aggregate(
-            F.zip_with(
-                vec,
-                comp,
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(vec, r, lambda x, sgn: x.cast("double") * sgn),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -118,13 +128,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 7,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k (l2): restrict the exact scan to rows whose LSH
-    bucket is within hamming distance 1 of the query's bucket, then
-    re-rank exactly. Recall is tunable via n_planes/probe radius; the
-    candidate set is |table| / 2^{n_planes} · (1 + n_planes) in
-    expectation — at 100 TB, signatures are precomputed at ingest and
-    the probe is a partition-pruned scan on ``sig_bucket``."""
+    bucket is within hamming distance ``probe_radius`` of the query's
+    bucket, then re-rank exactly. Recall/candidate-volume is tuned via
+    n_planes × probe_radius; the expected candidate set is
+    |table|·Σ C(n_planes, r)/2^{n_planes} — at 100 TB, signatures are
+    precomputed at ingest and the probe is a partition-pruned scan on
+    the signature column."""
     dim = len(query_vector)
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     sigged = embeddings.withColumn(
@@ -136,7 +148,12 @@ def lsh_topk(
         .first()
     )
     qsig = int(qsig_row["s"])
-    probe = [qsig] + [qsig ^ (1 << p) for p in range(n_planes)]
+    probe = {qsig}
+    frontier = {qsig}
+    for _ in range(max(0, probe_radius)):
+        frontier = {s ^ (1 << p) for s in frontier for p in range(n_planes)}
+        probe |= frontier
+    probe = sorted(probe)
     cand = sigged.where(F.col("_sig").isin(probe))
     return (
         cand.select(F.col(id_col), l2_distance(F.col(vec_col), q).alias("dist"))
