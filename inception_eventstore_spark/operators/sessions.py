@@ -1,0 +1,58 @@
+"""Sessionization: gap-based session assignment over an event stream
+(SURVEY §2 F additive operator; streaming analog = session_window).
+
+Pure window composition — lag to detect gaps, running sum of gap flags
+to number sessions — one shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str | Column = "1 hour",
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Assign ``session_id`` (1-based per key): a new session starts when
+    the time since the previous event of the same key exceeds ``gap``
+    (an INTERVAL string or literal Column)."""
+    gap_expr = F.expr(f"INTERVAL {gap}") if isinstance(gap, str) else gap
+    order = [F.col(time_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(time_col).over(w)
+    new_session = (
+        prev.isNull() | (F.col(time_col) > prev + gap_expr)
+    ).cast("long")
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Per-key session rollup: session count, events per session stats."""
+    s = sessionize(events, key_col, time_col, gap)
+    per_session = s.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+    )
+    return per_session.groupBy(key_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

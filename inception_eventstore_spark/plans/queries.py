@@ -351,6 +351,35 @@ def q_setop_users(spark, sf_dir):
     return signup.distinct().subtract(purchase.distinct()).orderBy("user_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: for each purchase, the user's most recent click at or
+    before the purchase time (union+window formulation — one shuffle)."""
+    from inception_eventstore_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=["click_id"],
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id").orderBy(
+        "event_id"
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) rolled up per user."""
+    from inception_eventstore_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap="30 minutes").orderBy("user_id")
+
+
 # ----------------------------------------------------------------------
 # Extensions: dedup / text / similarity
 # ----------------------------------------------------------------------
@@ -616,6 +645,34 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
         "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' "
         "ORDER BY user_id",
+    ),
+    "asof_join": QueryDef(
+        q_asof_join,
+        "SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, "
+        "c.event_id AS click_id "
+        "FROM (SELECT event_id, user_id, ts FROM events "
+        "      WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
+        "                WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts "
+        "ORDER BY p.event_id",
+    ),
+    "sessionize": QueryDef(
+        q_sessionize,
+        "WITH s AS ("
+        "  SELECT user_id, ts, event_id, "
+        "    SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE "
+        "        THEN 1 ELSE 0 END) OVER ("
+        "      PARTITION BY user_id ORDER BY ts, event_id) AS session_id "
+        "  FROM (SELECT user_id, ts, event_id, "
+        "          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "          AS prev_ts FROM events) t), "
+        "per AS (SELECT user_id, session_id, count(*) AS n_events "
+        "        FROM s GROUP BY user_id, session_id) "
+        "SELECT user_id, count(*) AS n_sessions, "
+        "CAST(sum(n_events) AS BIGINT) AS n_events, "
+        "max(n_events) AS max_session_events "
+        "FROM per GROUP BY user_id ORDER BY user_id",
     ),
     "dedup_exact": QueryDef(
         q_dedup_exact,
