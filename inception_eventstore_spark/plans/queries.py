@@ -343,6 +343,21 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT) per type + exact median (distributed sort-based
+    percentile) — the aggregation shapes a counter/index store cannot
+    express (SURVEY §2 F)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.median("value"), 6).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_setop_users(spark, sf_dir):
     """Set operation: users who signed up but never purchased (EXCEPT)."""
     e = _t(spark, sf_dir, "events")
@@ -639,6 +654,12 @@ QUERIES: dict[str, QueryDef] = {
         "CAST(dayofmonth(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, "
         "round(abs(value - 50.0), 6) AS dev, round(sqrt(abs(value)), 6) AS rt, "
         "CAST(floor(value) AS BIGINT) AS fl FROM events ORDER BY event_id",
+    ),
+    "distinct_users": QueryDef(
+        q_distinct_users,
+        "SELECT event_type, count(DISTINCT user_id) AS users, "
+        "round(median(value), 6) AS median_value "
+        "FROM events GROUP BY event_type ORDER BY event_type",
     ),
     "setop_users": QueryDef(
         q_setop_users,
