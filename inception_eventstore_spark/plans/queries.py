@@ -343,6 +343,39 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_pivot_status_priority(spark, sf_dir):
+    """Pivot (conditional aggregation): order counts by status × priority
+    columns — spelled as CASE sums so the same SQL runs in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    pivoted = o.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(
+                F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+            ).alias(f"p{i + 1}")
+            for i, p in enumerate(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+            )
+        ]
+    )
+    return pivoted.orderBy("o_orderstatus")
+
+
+def q_approx_stats(spark, sf_dir):
+    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
+    internals differ across engines, so this is a rows-only check; the
+    exact counterparts are oracle-verified in distinct_users."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("p50"),
+            F.percentile_approx("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """COUNT(DISTINCT) per type + exact median (distributed sort-based
     percentile) — the aggregation shapes a counter/index store cannot
@@ -655,6 +688,17 @@ QUERIES: dict[str, QueryDef] = {
         "round(abs(value - 50.0), 6) AS dev, round(sqrt(abs(value)), 6) AS rt, "
         "CAST(floor(value) AS BIGINT) AS fl FROM events ORDER BY event_id",
     ),
+    "pivot_status_priority": QueryDef(
+        q_pivot_status_priority,
+        "SELECT o_orderstatus, "
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1, "
+        "CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2, "
+        "CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3, "
+        "CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4, "
+        "CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ),
+    "approx_stats": QueryDef(q_approx_stats, None),
     "distinct_users": QueryDef(
         q_distinct_users,
         "SELECT event_type, count(DISTINCT user_id) AS users, "

@@ -37,8 +37,20 @@ def keyspace_per_tenant(tenant: str, base_keyspace: str) -> str:
     return name
 
 
+def no_keyspace_naming(keyspace: str) -> str:
+    """Passthrough strategy (reference: NoKeyspaceNamingStrategy.cs:9-12)
+    — same 48-char limit, lower-cased."""
+    name = keyspace.lower()
+    if len(name) > MAX_KEYSPACE_LENGTH:
+        raise ValueError(
+            f"keyspace name {name!r} exceeds {MAX_KEYSPACE_LENGTH} chars"
+        )
+    return name
+
+
 def table_per_bounded_context(bounded_context: str | None) -> str:
-    """``{boundedContext}events`` lower-cased; plain ``events`` if None."""
+    """``{boundedContext}events`` lower-cased; plain ``events`` if None
+    (reference: TablePerBoundedContext.cs:16, NoTableNamingStrategy.cs:7)."""
     return f"{bounded_context or ''}events".lower()
 
 

@@ -1,0 +1,52 @@
+"""Tests for the salted join and the passthrough naming strategy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.functions.skew import salted_join
+from inception_eventstore_spark.sources.layout import no_keyspace_naming
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        """Same result set as the unsalted join, hot key included."""
+        big = spark.createDataFrame(
+            [(k, i) for i in range(200) for k in (["hot"] if i % 2 else ["cold"])]
+            + [("hot", 10_000 + i) for i in range(300)],
+            ["key", "payload"],
+        )
+        small = spark.createDataFrame(
+            [("hot", "H"), ("cold", "C"), ("absent", "A")], ["key", "dim"]
+        )
+        plain = {
+            (r["key"], r["payload"], r["dim"])
+            for r in big.join(small, "key").collect()
+        }
+        salted = {
+            (r["key"], r["payload"], r["dim"])
+            for r in salted_join(big, small, "key", salt_factor=8).collect()
+        }
+        assert salted == plain
+        assert len(salted) == 500
+
+    def test_salt_scatters_hot_key(self, spark):
+        big = spark.createDataFrame(
+            [("hot", i) for i in range(1000)], ["key", "payload"]
+        )
+        salted = big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("key", "payload"), F.lit(8)).cast("int"),
+        )
+        n_buckets = salted.select("_salt").distinct().count()
+        assert n_buckets == 8  # one hot key spreads across all salts
+
+
+class TestNoKeyspaceNaming:
+    def test_passthrough_lowercases(self):
+        assert no_keyspace_naming("MyKeyspace") == "mykeyspace"
+
+    def test_length_guard(self):
+        with pytest.raises(ValueError):
+            no_keyspace_naming("k" * 49)
