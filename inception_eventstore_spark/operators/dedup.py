@@ -89,6 +89,9 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
     then combine k consecutive token hashes with one xxhash64 per
     position — O(n) per doc with no intermediate strings (the
     string-concat formulation was ~20× more expensive in codegen)."""
+    from inception_eventstore_spark.functions.spread import spread
+
+    docs = spread(docs)
     toks = tokens(text_col)
     h = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(h)
@@ -212,7 +215,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     ints per document, not the token stream. (A per-row array fold was
     ~20× slower: 64 expression branches per token defeat codegen.)
     """
-    ex = docs.select(
+    from inception_eventstore_spark.functions.spread import spread
+
+    ex = spread(docs).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     ).select("_id", F.xxhash64("_t").alias("_h"))
     # branch-free: sum the raw bit (0/1); the ±1 contribution sum is

@@ -139,6 +139,9 @@ def lsh_topk(
     the signature column."""
     dim = len(query_vector)
     q = F.array(*[F.lit(float(x)) for x in query_vector])
+    from inception_eventstore_spark.functions.spread import spread
+
+    embeddings = spread(embeddings)
     sigged = embeddings.withColumn(
         "_sig", hyperplane_signature(F.col(vec_col), n_planes, dim, seed)
     )
@@ -185,6 +188,9 @@ def cosine_near_duplicates(
             [], "id_a long, id_b long, cosine double"
         )
     dim = int(dim_row["d"])
+    from inception_eventstore_spark.functions.spread import spread
+
+    embeddings = spread(embeddings)
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

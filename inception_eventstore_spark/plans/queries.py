@@ -538,7 +538,9 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from inception_eventstore_spark.functions.spread import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
         .orderBy("doc_id")
@@ -546,7 +548,9 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from inception_eventstore_spark.functions.spread import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
     return (
         TX.quality_features(d)
         .select("doc_id", "n_tokens", "quality_score")
