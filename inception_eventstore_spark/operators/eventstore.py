@@ -200,14 +200,14 @@ class EventStore:
         return df
 
     def _aggregate_scan(self, aid: bytes) -> DataFrame:
-        """Single-partition scan: bucket dir pruning + id file pruning."""
-        bucket = None
-        # Compute the bucket driver-side with the same xxhash64 the write
-        # used, via a 1-row expression — keeps the scan to one directory.
-        row = self.spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(aid)), F.lit(self.layout.n_buckets)).alias("b")
-        ).first()
-        bucket = int(row["b"])
+        """Single-partition scan: bucket dir pruning + id file pruning.
+
+        The bucket is computed driver-side with a pure-python XXH64 that
+        bit-matches Spark's xxhash64 (pinned by tests) — no 1-row Spark
+        job per point lookup."""
+        from inception_eventstore_spark.functions.hashing import bucket_of
+
+        bucket = bucket_of(aid, self.layout.n_buckets)
         df = self.layout.read_events(self.spark)
         df = df.where(F.col("bucket") == bucket).drop("bucket")
         df = df.where(F.col("id") == F.lit(aid))

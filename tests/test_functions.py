@@ -88,6 +88,48 @@ class TestPid:
         assert pid_range(2024002, 2024001) == []
 
 
+class TestXxHash64:
+    """Pin the pure-python XXH64 to Spark's xxhash64 — the bucket
+    routing of every point lookup depends on this equality."""
+
+    def test_matches_spark(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.functions.hashing import xxhash64
+
+        rng = random.Random(99)
+        samples = [
+            b"", b"x", bytes(range(7)), bytes(range(8)), bytes(range(31)),
+            bytes(range(32)), bytes(range(33)), bytes(range(200)),
+        ] + [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 150)))
+            for _ in range(40)
+        ]
+        rows = (
+            spark.createDataFrame([(s,) for s in samples], "b binary")
+            .select(F.xxhash64("b").alias("h"))
+            .collect()
+        )
+        for row, s in zip(rows, samples):
+            assert row["h"] == xxhash64(s), s.hex()
+
+    def test_bucket_matches_pmod(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.functions.hashing import bucket_of
+
+        samples = [b"agg-%d" % i for i in range(50)]
+        rows = (
+            spark.createDataFrame([(s,) for s in samples], "b binary")
+            .select(F.pmod(F.xxhash64("b"), F.lit(64)).alias("m"))
+            .collect()
+        )
+        for row, s in zip(rows, samples):
+            assert int(row["m"]) == bucket_of(s, 64)
+
+
 class TestPagingToken:
     def test_round_trip(self):
         t = PagingToken(keys={"rev": 3, "pos": 7}, has_more=True)
