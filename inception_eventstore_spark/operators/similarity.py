@@ -165,6 +165,70 @@ def lsh_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means cells over the embedding space.
+
+    Returns (assigned, centroids) where ``assigned`` is the input plus a
+    ``_cell`` column (the inverted-file key — at 100 TB this is the
+    partition column the table is written under, so a probe scans only
+    its cells) and ``centroids`` is the driver-side cell→center list.
+
+    Uses pyspark.ml KMeans when available (it is in this image); the
+    sklearn-free fallback raises ImportError loudly rather than
+    silently degrading.
+    """
+    from pyspark.ml.clustering import KMeans  # import-try seam
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from inception_eventstore_spark.functions.spread import spread
+
+    base = spread(embeddings).withColumn(
+        "_fv", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_fv",
+                predictionCol="_cell")
+    model = km.fit(base)
+    assigned = model.transform(base).drop("_fv")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank cells by centroid distance to the query, scan the
+    ``n_probe`` nearest cells, exact re-rank inside them. Expected scan
+    fraction ≈ n_probe / n_cells of the table."""
+    import math
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    order = sorted(range(len(centroids)),
+                   key=lambda c: _l2(centroids[c], query_vector))
+    probe = order[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        assigned.where(F.col("_cell").isin(probe))
+        .select(F.col(id_col), l2_distance(F.col(vec_col), q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

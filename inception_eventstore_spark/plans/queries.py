@@ -505,6 +505,20 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF (k-means cells) approximate top-10 — the scale-path ANN
+    variant; recall vs the exact baseline is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    assigned, centroids = S.build_ivf_index(
+        emb.where(F.col("vec_id") != 0), n_cells=8
+    )
+    res = S.ivf_topk(assigned, centroids, list(qvec), k=10, n_probe=3)
+    return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
+        "dist", "vec_id"
+    )
+
+
 def q_sim_cosine_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs (cosine ≥ 0.99 within LSH buckets).
 
@@ -774,6 +788,7 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(q_dedup_simhash, None),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, None),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
+    "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
     "sim_cosine_near_dup": QueryDef(q_sim_cosine_near_dup, None),
     "multimodal_features": QueryDef(q_multimodal_features, None),
     "text_lang_id": QueryDef(q_lang_id, None),

@@ -186,6 +186,21 @@ class TestSimilarity:
         pairs = S.cosine_near_duplicates(vectors, threshold=0.999).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 500)}
 
+    def test_ivf_topk_recall(self, vectors):
+        """IVF with 4 cells / probe 2 must recover the planted neighbor
+        and ≥ half of the true top-10."""
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        base = vectors.where(F.col("vec_id") != 0)
+        assigned, centroids = S.build_ivf_index(base, n_cells=4)
+        got = S.ivf_topk(assigned, centroids, q, k=10, n_probe=2).collect()
+        assert got[0]["vec_id"] == 500
+        truth = {
+            r["vec_id"]
+            for r in S.brute_force_topk(base, q, k=10).collect()
+        }
+        assert len(truth & {r["vec_id"] for r in got}) >= 5
+
     def test_lsh_recall_vs_brute_force(self, spark):
         """Recall sanity on a bigger random set: ≥ half of the true
         top-10 should surface with 6 planes + hamming-1 probing."""
