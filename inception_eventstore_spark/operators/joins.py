@@ -30,8 +30,9 @@ def asof_join(
 
     Returns all left columns plus each requested right ``value_cols``
     (null when no prior right row exists) and ``asof_ts`` (the matched
-    right timestamp). Ties on equal timestamps resolve to the latest
-    right row in (time, original order).
+    right timestamp). The right side should be unique per (key, time) —
+    with duplicates, which of the equal-time rows wins is
+    plan-order-dependent (dedupe upstream if that matters).
     """
     if value_cols is None:
         value_cols = [

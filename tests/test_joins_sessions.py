@@ -62,6 +62,54 @@ class TestAsofJoin:
         assert set(left.columns) <= set(out.columns)
 
 
+class TestAsofJoinProperty:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Randomized agreement with pandas.merge_asof (backward,
+        inclusive) over 300 left × 200 right rows and 8 keys."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(17)
+        left_rows = [
+            (i, f"k{rng.randrange(8)}", _ts(rng.randrange(0, 59)))
+            for i in range(300)
+        ]
+        # unique (key, ts) per the operator's documented precondition
+        seen: dict[tuple, int] = {}
+        for j in range(200):
+            seen[(f"k{rng.randrange(8)}", _ts(rng.randrange(0, 59)))] = 1000 + j
+        right_rows = [(k, t, v) for (k, t), v in seen.items()]
+        left = spark.createDataFrame(left_rows, ["event_id", "key", "ts"])
+        right = spark.createDataFrame(right_rows, ["key", "ts", "val"])
+
+        got = {
+            r["event_id"]: r["val"]
+            for r in asof_join(left, right, "key", "ts", "ts", ["val"]).collect()
+        }
+
+        lp = pd.DataFrame(left_rows, columns=["event_id", "key", "ts"]).sort_values(
+            "ts", kind="stable"
+        )
+        # make right unique per (key, ts) keeping the LAST val, matching
+        # the operator's latest-wins tie rule inside equal timestamps
+        rp = (
+            pd.DataFrame(right_rows, columns=["key", "ts", "val"])
+            .sort_values(["ts"], kind="stable")
+            .groupby(["key", "ts"], as_index=False)
+            .last()
+            .sort_values("ts", kind="stable")
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="key", direction="backward"
+        )
+        expect = {
+            int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+            for r in merged.itertuples()
+        }
+        assert got == expect
+
+
 class TestSessionize:
     def _events(self, spark):
         rows = [
