@@ -5,5 +5,17 @@ from inception_eventstore_spark.operators.eventstore import (  # noqa: F401
     EventStore,
     PlayerOptions,
 )
+from inception_eventstore_spark.operators.index import (  # noqa: F401
+    IndexByEventTypeStore,
+)
 from inception_eventstore_spark.operators.counters import MessageCounter  # noqa: F401
 from inception_eventstore_spark.operators.message_store import MessageStore  # noqa: F401
+from inception_eventstore_spark.operators.migration import (  # noqa: F401
+    copy_raw,
+    migrate_event_store,
+)
+from inception_eventstore_spark.operators.joins import asof_join  # noqa: F401
+from inception_eventstore_spark.operators.sessions import (  # noqa: F401
+    session_stats,
+    sessionize,
+)

@@ -227,6 +227,21 @@ class EventStore:
         rows = self._aggregate_scan(aid)
         return group_commits(rows).orderBy("rev")
 
+    def load_aggregates(self, aids: list[bytes]) -> DataFrame:
+        """Bulk R3: commit streams of MANY aggregates in one job — the
+        reference can only loop LoadAsync per aggregate; Spark-first the
+        id set becomes one pruned scan + one grouping shuffle."""
+        from inception_eventstore_spark.functions.hashing import bucket_of
+
+        buckets = sorted({bucket_of(a, self.layout.n_buckets) for a in aids})
+        df = self.layout.read_events(self.spark)
+        df = df.where(F.col("bucket").isin(buckets)).drop("bucket")
+        df = df.where(F.col("id").isin([bytes(a) for a in aids]))
+        tombs = self._tombstones()
+        if tombs is not None:
+            df = df.join(F.broadcast(tombs), ["id", "rev", "pos"], "left_anti")
+        return group_commits(df).orderBy("id", "rev")
+
     def load_with_paging(
         self,
         aid: bytes,

@@ -187,6 +187,15 @@ class TestReplay:
             by_id.setdefault(bytes(row["id"]), []).append(row["rev"])
         assert by_id == {AID1: [1, 2], AID2: [1], AID3: [1]}
 
+    def test_bulk_load_aggregates(self, store):
+        """Bulk R3: several aggregates' commit streams in one job."""
+        self._seed(store)
+        commits = store.load_aggregates([AID1, AID3]).collect()
+        by_id = {}
+        for r in commits:
+            by_id.setdefault(bytes(r["id"]), []).append(r["rev"])
+        assert by_id == {AID1: [1, 2], AID3: [1]}
+
     def test_index_driven_replay(self, store):
         """Mirrors index replay (:262-327): one type over a window."""
         self._seed(store)
