@@ -81,6 +81,12 @@ class TestStreamingIngest:
             q.stop()
         assert store.events_df().count() == 4
         assert idx.count("type-t") == 2
+        # counters maintained by the same streaming batches
+        from inception_eventstore_spark.operators.counters import MessageCounter
+
+        counter = MessageCounter(spark, lay)
+        assert counter.get_count("type-s") == 2
+        assert counter.get_count("type-t") == 2
 
     def test_windowed_counts_memory_sink(self, spark, tmp_path):
         source = str(tmp_path / "in2")
