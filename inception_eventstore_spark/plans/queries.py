@@ -302,6 +302,19 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_exists_semi_join(spark, sf_dir):
+    """EXISTS / left-semi join — the R11 OnAggregateStreamLoaded
+    selection shape: aggregates having at least one matching event."""
+    e = _t(spark, sf_dir, "events")
+    purchasers = e.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        e.join(purchasers.distinct(), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 def q_rollup_orders(spark, sf_dir):
     """Grouping-set coverage: ROLLUP over (status, priority) — absent
     from the reference (SURVEY §2 F), supplied by Spark natively."""
@@ -687,6 +700,13 @@ QUERIES: dict[str, QueryDef] = {
         "  row_number() OVER (PARTITION BY e.event_type "
         "                     ORDER BY e.value DESC, e.event_id ASC) AS rk "
         "  FROM events e) t WHERE rk <= 3 ORDER BY event_type, rk",
+    ),
+    "exists_semi_join": QueryDef(
+        q_exists_semi_join,
+        "SELECT user_id, count(*) AS n_events FROM events e "
+        "WHERE EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase' "
+        "              AND p.user_id = e.user_id) "
+        "GROUP BY user_id ORDER BY user_id",
     ),
     "rollup_orders": QueryDef(
         q_rollup_orders,

@@ -125,6 +125,57 @@ class TestStreamingIngest:
         assert got[(base + dt.timedelta(hours=2), "type-t")] == 1
 
 
+class TestWatermarkLateData:
+    def test_late_event_dropped_in_append_mode(self, spark, tmp_path):
+        """Append-mode windowed aggregation with a 1h watermark: a
+        window's count is emitted once the watermark passes its end, and
+        an event arriving later than the watermark is dropped."""
+        source = str(tmp_path / "late_in")
+        et = F.get_json_object(F.col("data").cast("string"), "$.et")
+
+        def _write(rows):
+            spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA).write.mode(
+                "append"
+            ).parquet(source)
+
+        # batch 1 must exist before the stream starts (the file source
+        # needs the directory present)
+        _write([(AID1, 1, 0, T0, _payload("a")),
+                (AID1, 2, 0, T0 + HOUR // 2, _payload("b"))])
+        stream = (
+            spark.readStream.schema(schemas.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source)
+            .withColumn("et", et)
+        )
+        agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_counts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: an event far in the future advances the watermark
+            # beyond the 12:00 window → that window closes and emits
+            _write([(AID2, 1, 0, T0 + 10 * HOUR, _payload("c"))])
+            q.processAllAvailable()
+            # batch 3: a LATE event for the closed 12:00 window — dropped
+            _write([(AID2, 2, 0, T0 + HOUR // 4, _payload("late"))])
+            q.processAllAvailable()
+            got = {
+                (r["window_start"], r["et"]): r["n"]
+                for r in spark.sql("SELECT * FROM late_counts").collect()
+            }
+        finally:
+            q.stop()
+        base = dt.datetime(2024, 3, 14, 12, 0, 0)
+        # the 12:00 window emitted exactly the two on-time events; the
+        # late third event did not re-open it
+        assert got.get((base, "type-s")) == 2
+
+
 class TestMigration:
     def _seed(self, spark, tmp_path):
         src_lay = L.for_tenant(str(tmp_path / "wh"), "src", "es")
