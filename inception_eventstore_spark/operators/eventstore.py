@@ -312,12 +312,23 @@ class EventStore:
         df.coalesce(1).write.mode("append").parquet(path)
         return True
 
+    def optimize(self) -> None:
+        """Small-file compaction: rewrite every bucket into freshly
+        sorted files (and fold in any tombstones). Each append job adds
+        a file per bucket; replay throughput degrades once buckets hold
+        hundreds of small files — periodic optimize restores one sorted
+        run per bucket, which also restores tight (id, rev, pos) min/max
+        stats for point-lookup pruning."""
+        self._rewrite(self.events_df())
+
     def compact(self) -> None:
         """Fold tombstones into the base files (one rewrite job)."""
         tombs = self._tombstones()
         if tombs is None:
             return
-        live = self.events_df()
+        self._rewrite(self.events_df())
+
+    def _rewrite(self, live: DataFrame) -> None:
         tmp = self.layout.events_path + ".compact"
         (
             live.withColumn("bucket", self._bucket_col())
@@ -331,7 +342,9 @@ class EventStore:
 
         shutil.rmtree(self.layout.events_path)
         os.replace(tmp, self.layout.events_path)
-        shutil.rmtree(os.path.join(self.layout.root, "tombstones"))
+        shutil.rmtree(
+            os.path.join(self.layout.root, "tombstones"), ignore_errors=True
+        )
 
     # ------------------------------------------------------------------
     # Replay surface

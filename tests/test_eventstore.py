@@ -146,6 +146,26 @@ class TestDelete:
         assert store.events_df().count() == 0
         assert store.load_aggregate(AID1).count() == 0
 
+    def test_optimize_compacts_files(self, store):
+        """Repeated appends leave many files per bucket; optimize
+        rewrites to one sorted run per bucket, preserving every row."""
+        import glob
+
+        for rev in range(1, 6):
+            store.append_commits(
+                [AggregateCommit(AID1, rev, T0 + rev, [_payload(f"e{rev}")], [])]
+            )
+        before = len(glob.glob(store.layout.events_path + "/**/*.parquet",
+                               recursive=True))
+        rows_before = {(r["rev"], r["pos"]) for r in store.events_df().collect()}
+        store.optimize()
+        after = len(glob.glob(store.layout.events_path + "/**/*.parquet",
+                              recursive=True))
+        assert after < before
+        assert {(r["rev"], r["pos"]) for r in store.events_df().collect()} == (
+            rows_before
+        )
+
     def test_compact_folds_tombstones(self, store):
         store.append_commits(
             [AggregateCommit(AID1, 1, T0, [_payload("x"), _payload("y")], [])]
