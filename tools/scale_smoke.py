@@ -3,8 +3,10 @@ into the envelope event store (bucketed layout + derived index +
 counters in one job), then time the R-path operators against OUR
 storage, not the analytics parquet.
 
-Usage: python tools/scale_smoke.py [sf_dir] [warehouse_dir]
-Prints one JSON line with ingest + per-operator timings.
+Usage: python tools/scale_smoke.py [sf_dir] [warehouse_dir] [multiplier]
+``multiplier`` replicates the events table N× with disjoint aggregate
+ids (1M envelope rows at sf0.1 × 10) to push the layout past the
+single-job scale. Prints one JSON line with ingest + operator timings.
 """
 
 from __future__ import annotations
@@ -32,14 +34,23 @@ from inception_eventstore_spark.sources.tables import load_table
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    wh = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="es-smoke-")
-    cleanup = len(sys.argv) <= 2
+    wh = (sys.argv[2] if len(sys.argv) > 2 and sys.argv[2] else
+          tempfile.mkdtemp(prefix="es-smoke-"))
+    cleanup = len(sys.argv) <= 2 or not sys.argv[2]
+
+    multiplier = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
     events = load_table(spark, sf_dir, "events")
+    if multiplier > 1:
+        events = events.crossJoin(
+            spark.range(multiplier).select(F.col("id").alias("_rep"))
+        ).withColumn(
+            "user_id", F.col("user_id") + F.col("_rep") * F.lit(1_000_000)
+        ).drop("_rep")
     envelope = events.select(
         F.col("user_id").cast("string").cast("binary").alias("id"),
         F.row_number()
