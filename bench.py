@@ -33,8 +33,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "topk_per_group",
     "rollup_orders",
+    "pivot_status_priority",
     "scalar_funcs",
     "json_props_extract",
+    "exists_semi_join",
+    "distinct_users",
+    "asof_join",
+    "sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

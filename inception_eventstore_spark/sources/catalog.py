@@ -1,0 +1,62 @@
+"""Multi-tenant catalog: the S4 bootstrap surface.
+
+Reference: EventStoreStartup.cs:37-79 ensures per-tenant storage at
+startup under a distributed lock and reacts to tenant-list changes.
+Here the warehouse directory IS the catalog (a database per tenant
+keyspace); ensure/bootstrap is idempotent filesystem creation, so the
+reference's lock is unnecessary (SURVEY §2 S4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from inception_eventstore_spark.sources.layout import (
+    EventStoreLayout,
+    for_tenant,
+)
+
+
+class EventStoreCatalog:
+    """Tenant registry over one warehouse root."""
+
+    def __init__(self, warehouse: str, base_keyspace: str = "eventstore",
+                 bounded_context: str | None = None):
+        self.warehouse = warehouse
+        self.base_keyspace = base_keyspace
+        self.bounded_context = bounded_context
+
+    def keyspaces(self) -> list[str]:
+        """Existing keyspace directories under the warehouse."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+            and not d.startswith(".")
+        )
+
+    def tenants(self) -> list[str]:
+        """Tenant names recovered from ``{tenant}_{base}`` keyspaces."""
+        suffix = "_" + self.base_keyspace.lower()
+        return [k[: -len(suffix)] for k in self.keyspaces() if k.endswith(suffix)]
+
+    def ensure_tenant(self, tenant: str) -> EventStoreLayout:
+        """S4: idempotent per-tenant bootstrap."""
+        return for_tenant(
+            self.warehouse, tenant, self.base_keyspace, self.bounded_context
+        )
+
+    def ensure_tenants(self, tenants: list[str]) -> dict[str, EventStoreLayout]:
+        """Bootstrap every tenant in the (possibly updated) tenant list —
+        the reaction to tenant-list changes in the reference's startup."""
+        return {t: self.ensure_tenant(t) for t in tenants}
+
+    def wipe_tenant(self, tenant: str) -> None:
+        """S3 with the same tenant guard."""
+        layout = EventStoreLayout(
+            warehouse=self.warehouse,
+            keyspace=f"{tenant}_{self.base_keyspace}".lower(),
+        )
+        layout.wipe(tenant)

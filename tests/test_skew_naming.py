@@ -43,6 +43,35 @@ class TestSaltedJoin:
         assert n_buckets == 8  # one hot key spreads across all salts
 
 
+class TestCatalog:
+    def test_bootstrap_and_discovery(self, tmp_path):
+        from inception_eventstore_spark.sources.catalog import EventStoreCatalog
+
+        cat = EventStoreCatalog(str(tmp_path / "wh"), "es")
+        assert cat.tenants() == []
+        cat.ensure_tenants(["acme", "globex"])
+        assert cat.tenants() == ["acme", "globex"]
+        # idempotent re-bootstrap (the tenant-list-change reaction)
+        cat.ensure_tenants(["acme", "globex", "initech"])
+        assert cat.tenants() == ["acme", "globex", "initech"]
+        cat.wipe_tenant("globex")
+        assert cat.tenants() == ["acme", "initech"]
+
+    def test_wipe_guard_via_catalog(self, tmp_path):
+        from inception_eventstore_spark.sources.catalog import EventStoreCatalog
+
+        cat = EventStoreCatalog(str(tmp_path / "wh"), "es")
+        cat.ensure_tenant("acme")
+        # wiping never crosses tenants: the layout guard still applies
+        import pytest as _pytest
+
+        from inception_eventstore_spark.sources.layout import EventStoreLayout
+
+        lay = EventStoreLayout(str(tmp_path / "wh"), "acme_es")
+        with _pytest.raises(PermissionError):
+            lay.wipe("other")
+
+
 class TestNoKeyspaceNaming:
     def test_passthrough_lowercases(self):
         assert no_keyspace_naming("MyKeyspace") == "mykeyspace"
