@@ -389,6 +389,63 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_week_rollup(spark, sf_dir):
+    """Calendar bucketing: weekly event counts via date_trunc (both
+    engines truncate to Monday-start weeks)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("week")
+    )
+
+
+def q_null_funcs(spark, sf_dir):
+    """NULL-handling scalar coverage: nullif / coalesce / CASE."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.coalesce(
+                F.nullif(F.col("event_type"), F.lit("click")), F.lit("non-click")
+            ).alias("et_or_default"),
+            F.when(F.col("value") > 50, F.col("value")).alias("big_value"),
+            F.isnull(F.nullif(F.col("event_type"), F.lit("click"))).alias(
+                "is_click"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation per group (listagg analog):
+    array_join(array_sort(collect_set)) == string_agg(DISTINCT ... ORDER BY)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("types")
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_above_own_average(spark, sf_dir):
+    """Correlated-subquery shape: events whose value exceeds their own
+    user's average (window formulation — one shuffle, no rescan)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("user_avg", F.avg("value").over(w))
+        .where(F.col("value") > F.col("user_avg"))
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """COUNT(DISTINCT) per type + exact median (distributed sort-based
     percentile) — the aggregation shapes a counter/index store cannot
@@ -725,6 +782,33 @@ QUERIES: dict[str, QueryDef] = {
         "CAST(dayofmonth(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, "
         "round(abs(value - 50.0), 6) AS dev, round(sqrt(abs(value)), 6) AS rt, "
         "CAST(floor(value) AS BIGINT) AS fl FROM events ORDER BY event_id",
+    ),
+    "week_rollup": QueryDef(
+        q_week_rollup,
+        "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, "
+        "count(*) AS n, round(sum(value), 2) AS total FROM events "
+        "GROUP BY 1 ORDER BY week",
+    ),
+    "null_funcs": QueryDef(
+        q_null_funcs,
+        "SELECT event_id, "
+        "coalesce(nullif(event_type, 'click'), 'non-click') AS et_or_default, "
+        "CASE WHEN value > 50 THEN value END AS big_value, "
+        "nullif(event_type, 'click') IS NULL AS is_click "
+        "FROM events ORDER BY event_id",
+    ),
+    "string_agg": QueryDef(
+        q_string_agg,
+        "SELECT user_id, string_agg(DISTINCT event_type, ',' "
+        "ORDER BY event_type) AS types FROM events "
+        "GROUP BY user_id ORDER BY user_id",
+    ),
+    "above_own_average": QueryDef(
+        q_above_own_average,
+        "SELECT event_id, user_id, round(value, 6) AS value FROM ("
+        "  SELECT event_id, user_id, value, "
+        "  avg(value) OVER (PARTITION BY user_id) AS user_avg FROM events) t "
+        "WHERE value > user_avg ORDER BY event_id",
     ),
     "pivot_status_priority": QueryDef(
         q_pivot_status_priority,
