@@ -38,11 +38,18 @@ def datetime_to_filetime(dt: _dt.datetime) -> int:
 
 
 def filetime_to_timestamp_col(col: Column | str) -> Column:
-    """Column expr: FileTime LONG → TimestampType (µs, truncating)."""
+    """Column expr: FileTime LONG → TimestampType (µs, truncating).
+
+    The tick delta (~1.8e16 for current dates) exceeds 2^53, so float
+    division ``/10`` rounds ~half the tick values ending in 9 one µs
+    up — which can push an event stamped in the last 100 ns of a day
+    into the next day's pid partition. Decimal division is exact; the
+    cast to long truncates toward zero exactly like python ``// 10``
+    for the non-negative deltas FileTime produces.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros(
-        ((c - F.lit(FILETIME_EPOCH_TICKS)) / F.lit(10)).cast("long")
-    )
+    delta = (c - F.lit(FILETIME_EPOCH_TICKS)).cast("decimal(20,0)")
+    return F.timestamp_micros((delta / F.lit(10)).cast("long"))
 
 
 def timestamp_to_filetime_col(col: Column | str) -> Column:

@@ -28,7 +28,17 @@ def salted_join(
     row content (deterministic, JVM-side); the small side is exploded
     ×salt_factor so every (key, salt) pair exists. Output columns =
     big's ∪ small's (like ``big.join(small, on, how)``).
+
+    Only ``inner`` and ``left`` (outer on the big side) are supported:
+    the small side is replicated ×salt_factor, so a right/full outer
+    join would emit each unmatched small-side row once per salt.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the small side is replicated per salt, so right/full outer "
+            "would duplicate unmatched small-side rows"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor)).cast(

@@ -10,12 +10,11 @@ row per msgid so the view stays O(#types) regardless of increment count.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from inception_eventstore_spark.sources import fsutil
 from inception_eventstore_spark.sources.layout import EventStoreLayout
 
 _DELTA_SCHEMA = T.StructType(
@@ -27,21 +26,31 @@ _DELTA_SCHEMA = T.StructType(
 
 
 class MessageCounter:
-    """C1-C4 over one tenant's counter store."""
+    """C1-C4 over one tenant's counter store.
 
-    def __init__(self, spark: SparkSession, layout: EventStoreLayout):
+    Each single increment appends one tiny file; past
+    ``auto_compact_threshold`` files the delta log is folded into one
+    row per msgid (O(#types) data), so a hot counter stays bounded in
+    file count without waiting for a manual ``compact()``.
+    """
+
+    def __init__(self, spark: SparkSession, layout: EventStoreLayout,
+                 auto_compact_threshold: int = 64):
         self.spark = spark
         self.layout = layout
+        self.auto_compact_threshold = auto_compact_threshold
 
     def _exists(self) -> bool:
-        p = self.layout.counter_path
-        return os.path.isdir(p) and any(
-            not f.startswith((".", "_")) for f in os.listdir(p)
-        )
+        return bool(fsutil.list_data_files(self.spark, self.layout.counter_path))
 
     def _append_delta(self, msgid: str, delta: int) -> None:
         df = self.spark.createDataFrame([(msgid, delta)], schema=_DELTA_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.layout.counter_path)
+        if (
+            fsutil.data_file_count(self.spark, self.layout.counter_path)
+            >= self.auto_compact_threshold
+        ):
+            self.compact()
 
     def append_deltas(self, deltas: DataFrame) -> None:
         """Bulk form used by the ingest job: (msgid, cv-delta) rows."""
@@ -91,7 +100,4 @@ class MessageCounter:
         snapshot = self.counters_df()
         tmp = self.layout.counter_path + ".tmp"
         snapshot.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.layout.counter_path)
-        os.replace(tmp, self.layout.counter_path)
+        fsutil.replace_dir(self.spark, tmp, self.layout.counter_path)

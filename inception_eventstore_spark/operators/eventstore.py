@@ -13,8 +13,10 @@ Physical design for 100 TB:
 - deletes are merge-on-read tombstones (Delta is not on the classpath);
   ``compact()`` folds them in. Scans anti-join the (tiny, broadcast)
   tombstone set.
-- appends dedupe within the batch on (id, rev, pos) — the reference's
-  PK-upsert gives at-least-once semantics the same way (SURVEY §4).
+- appends dedupe within the batch on (id, rev, pos); streaming ingest
+  additionally anti-joins against keys already on disk (bucket- and
+  ts-pruned) so at-least-once redelivery never stores duplicates —
+  matching the reference's idempotent PK upsert (SURVEY §4).
 """
 
 from __future__ import annotations
@@ -132,8 +134,11 @@ class EventStore:
         )
         self._append_rows(df, maintain_index=maintain_index)
 
-    def _append_rows(self, rows: DataFrame, maintain_index: bool) -> None:
+    def _append_rows(self, rows: DataFrame, maintain_index: bool,
+                     anti_join_existing: bool = False) -> None:
         rows = rows.dropDuplicates(["id", "rev", "pos"])
+        if anti_join_existing:
+            rows = self._drop_already_stored(rows)
         (
             rows.withColumn("bucket", self._bucket_col())
             .repartition("bucket")
@@ -146,6 +151,38 @@ class EventStore:
             self.event_type_of is not None or self.event_type_expr is not None
         ):
             self._append_index(rows)
+
+    def _drop_already_stored(self, rows: DataFrame) -> DataFrame:
+        """Cross-batch idempotence for at-least-once delivery: anti-join
+        the batch against keys already on disk, so a foreachBatch retry
+        after a partially-committed epoch doesn't append duplicates
+        (the reference's PK upsert is idempotent the same way,
+        CassandraEventStore.cs:96-110).
+
+        Scale: the existing side is pruned to the batch's buckets and
+        the batch's [min(ts), max(ts)] window — a duplicate always
+        carries the original ts, so parquet min/max stats confine the
+        key scan to the files the batch could collide with, not 100 TB.
+        """
+        from inception_eventstore_spark.sources import fsutil
+
+        if not fsutil.list_data_files(self.spark, self.layout.events_path,
+                                      recursive=True):
+            return rows
+        stats = rows.select(
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.collect_set(self._bucket_col()).alias("buckets"),
+        ).first()
+        if stats["lo"] is None:
+            return rows
+        existing = (
+            self.layout.read_events(self.spark)
+            .where(F.col("bucket").isin(list(stats["buckets"])))
+            .where(F.col("ts").between(stats["lo"], stats["hi"]))
+            .select("id", "rev", "pos")
+        )
+        return rows.join(existing, ["id", "rev", "pos"], "left_anti")
 
     def _append_index(self, rows: DataFrame) -> None:
         """X1 + C1 maintained inside ingest: the same derived projection
@@ -184,10 +221,10 @@ class EventStore:
     # Tombstoned base scan
     # ------------------------------------------------------------------
     def _tombstones(self) -> DataFrame | None:
+        from inception_eventstore_spark.sources import fsutil
+
         path = os.path.join(self.layout.root, "tombstones")
-        if not os.path.isdir(path) or not any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
+        if not fsutil.list_data_files(self.spark, path):
             return None
         return self.spark.read.schema(_TOMBSTONE_SCHEMA).parquet(path)
 
@@ -304,13 +341,44 @@ class EventStore:
     # ------------------------------------------------------------------
     # Delete
     # ------------------------------------------------------------------
+    #: Fold the tombstone log once it holds this many files — each
+    #: single delete appends one tiny file; folding keeps the broadcast
+    #: anti-join side a handful of files regardless of delete count.
+    tombstone_fold_threshold: int = 64
+
     def delete(self, aid: bytes, rev: int, pos: int) -> bool:
         """R8: tombstone one event (reference: CassandraEventStore.cs:126-146).
         Merge-on-read; ``compact()`` rewrites files to drop tombstoned rows."""
         path = os.path.join(self.layout.root, "tombstones")
         df = self.spark.createDataFrame([(aid, rev, pos)], schema=_TOMBSTONE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(path)
+        self._maybe_fold_tombstones(path)
         return True
+
+    def delete_df(self, keys: DataFrame) -> None:
+        """R8 bulk form: tombstone many (id, rev, pos) keys in one append."""
+        path = os.path.join(self.layout.root, "tombstones")
+        (
+            keys.select("id", "rev", "pos").dropDuplicates()
+            .coalesce(1).write.mode("append").parquet(path)
+        )
+        self._maybe_fold_tombstones(path)
+
+    def _maybe_fold_tombstones(self, path: str) -> None:
+        """Rewrite the (tiny) tombstone log into one file when the
+        file count passes the threshold — O(#tombstones), never touches
+        the base table."""
+        from inception_eventstore_spark.sources import fsutil
+
+        if fsutil.data_file_count(self.spark, path) < self.tombstone_fold_threshold:
+            return
+        folded = (
+            self.spark.read.schema(_TOMBSTONE_SCHEMA).parquet(path)
+            .dropDuplicates(["id", "rev", "pos"])
+        )
+        tmp = path + ".fold"
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fsutil.replace_dir(self.spark, tmp, path)
 
     def optimize(self) -> None:
         """Small-file compaction: rewrite every bucket into freshly
@@ -329,6 +397,10 @@ class EventStore:
         self._rewrite(self.events_df())
 
     def _rewrite(self, live: DataFrame) -> None:
+        """Write-temp-then-swap through the Hadoop FileSystem API so the
+        same code path works on file:/, hdfs:/ and s3a:/ URIs."""
+        from inception_eventstore_spark.sources import fsutil
+
         tmp = self.layout.events_path + ".compact"
         (
             live.withColumn("bucket", self._bucket_col())
@@ -338,12 +410,9 @@ class EventStore:
             .partitionBy("bucket")
             .parquet(tmp)
         )
-        import shutil
-
-        shutil.rmtree(self.layout.events_path)
-        os.replace(tmp, self.layout.events_path)
-        shutil.rmtree(
-            os.path.join(self.layout.root, "tombstones"), ignore_errors=True
+        fsutil.replace_dir(self.spark, tmp, self.layout.events_path)
+        fsutil.delete_path(
+            self.spark, os.path.join(self.layout.root, "tombstones")
         )
 
     # ------------------------------------------------------------------

@@ -873,7 +873,10 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "token_count": QueryDef(
         q_token_count,
-        "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        # CASE guards blank text: DuckDB's split of '' yields [''] (len 1)
+        # while the Spark tokenizer filters empties and returns 0.
+        "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
         " AS n_tokens FROM documents ORDER BY doc_id",
     ),
     "sim_topk_l2": QueryDef(

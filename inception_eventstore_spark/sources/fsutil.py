@@ -1,0 +1,80 @@
+"""Filesystem maintenance through the Hadoop FileSystem API.
+
+Maintenance paths (tombstone discovery, compaction rewrites) must work
+wherever Spark can read — local disk in this sandbox, HDFS/S3A on a real
+cluster. ``os.listdir``/``shutil`` only work for local paths, so every
+maintenance touch goes through the JVM's ``org.apache.hadoop.fs.FileSystem``
+resolved from the session's Hadoop configuration (scheme-aware: ``file:/``,
+``hdfs:/``, ``s3a:/`` all behave identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(hconf), path
+
+
+def path_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_and_path(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def mkdirs(spark: SparkSession, path_str: str) -> None:
+    fs, path = _fs_and_path(spark, path_str)
+    fs.mkdirs(path)
+
+
+def list_data_files(spark: SparkSession, dir_str: str,
+                    recursive: bool = False) -> list[str]:
+    """Data-file paths under ``dir_str`` (skips ``_SUCCESS``/hidden files).
+    Returns [] if the directory doesn't exist."""
+    fs, path = _fs_and_path(spark, dir_str)
+    if not fs.exists(path):
+        return []
+    out: list[str] = []
+    if recursive:
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith((".", "_")):
+                out.append(st.getPath().toString())
+    else:
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith((".", "_")):
+                out.append(st.getPath().toString())
+    return out
+
+
+def data_file_count(spark: SparkSession, dir_str: str) -> int:
+    return len(list_data_files(spark, dir_str, recursive=True))
+
+
+def delete_path(spark: SparkSession, path_str: str) -> bool:
+    """Recursive delete; False if the path didn't exist."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return False
+    return bool(fs.delete(path, True))
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-where-the-FS-allows rename (HDFS/local: atomic dir move;
+    S3A: copy-based). The destination must not exist."""
+    fs, src_p = _fs_and_path(spark, src)
+    _, dst_p = _fs_and_path(spark, dst)
+    if not fs.rename(src_p, dst_p):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
+    """Swap ``tmp`` into place of ``final`` (delete final, rename tmp)."""
+    delete_path(spark, final)
+    rename_path(spark, tmp, final)

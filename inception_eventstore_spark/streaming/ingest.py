@@ -9,7 +9,10 @@ incremental ingest arrives with Structured Streaming (SURVEY §2 F):
   (event append + X1 index + C1 counter deltas in one job). The
   streaming checkpoint is the R12 progress token equivalent: exactly-
   once batch tracking + at-least-once row delivery, made idempotent by
-  the PK dedup inside the append (SURVEY §4 consistency row).
+  an anti-join against keys already on disk (pruned to the batch's
+  buckets and ts window) — a foreachBatch retry after a partially
+  committed epoch re-delivers rows but appends none of them twice,
+  matching the reference's idempotent PK upsert (SURVEY §4).
 - ``windowed_event_counts``: watermarked tumbling-window counts per
   event type — the streaming analog of the C-view, late data bounded by
   the watermark.
@@ -47,7 +50,8 @@ def stream_ingest(
     )
 
     def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        store._append_rows(batch_df, maintain_index=True)
+        store._append_rows(batch_df, maintain_index=True,
+                           anti_join_existing=True)
 
     return (
         stream.writeStream.foreachBatch(_ingest_batch)

@@ -297,3 +297,39 @@ class TestTenantLayout:
             lay.wipe("other")
         lay.wipe("tenant1")
         assert not lay.exists()
+
+
+class TestTombstoneFolding:
+    def test_delete_log_file_count_stays_bounded(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.sources import fsutil
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.for_tenant(str(tmp_path / "wh"), "fold", "es")
+        store = EventStore(spark, lay)
+        store.tombstone_fold_threshold = 8
+        t0 = datetime_to_filetime(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+        store.append_commits(
+            [
+                AggregateCommit(b"fold-agg", r, t0 + r, events=[b"e"])
+                for r in range(1, 21)
+            ],
+            maintain_index=False,
+        )
+        import os
+
+        tomb_path = os.path.join(lay.root, "tombstones")
+        for r in range(1, 13):
+            store.delete(b"fold-agg", r, 0)
+            assert (
+                fsutil.data_file_count(spark, tomb_path)
+                < store.tombstone_fold_threshold
+            )
+        # all 12 tombstones still effective after folding
+        assert store.events_df().count() == 8

@@ -153,3 +153,46 @@ class TestPagingToken:
         payload = json.loads(base64.b64decode(encode_token(t)))
         assert payload["HasMore"] is True
         assert payload["Token"] == {"pos": 2, "rev": 1}
+
+
+class TestFileTimeSparkEquivalence:
+    def test_jvm_matches_python_all_trailing_digits(self, spark):
+        """The JVM column conversion must truncate exactly like python
+        ``// 10`` — float division rounds ticks ending in 9 one µs up
+        once the delta exceeds 2^53, shifting day-boundary events into
+        the wrong pid partition (ADVICE r1)."""
+        import random
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from inception_eventstore_spark.functions.filetime import (
+            filetime_to_timestamp_col,
+        )
+        from inception_eventstore_spark.functions.partitions import (
+            pid_col_from_filetime,
+            pid_from_filetime,
+        )
+
+        rng = random.Random(7)
+        ticks = [
+            FILETIME_EPOCH_TICKS + rng.randrange(0, 2 * 10**17)
+            for _ in range(500)
+        ]
+        # every trailing digit 0..9 near a modern date
+        base = FILETIME_EPOCH_TICKS + 17_700_000_000_000_000
+        ticks += [base + d for d in range(10)]
+        # the last 100 ns of a day — the exact ADVICE failure mode
+        day_ticks = 864_000_000_000
+        ticks += [
+            FILETIME_EPOCH_TICKS + 20_000 * day_ticks - d for d in range(1, 11)
+        ]
+        df = spark.createDataFrame([(t,) for t in ticks], "ts long")
+        rows = df.select(
+            "ts",
+            filetime_to_timestamp_col("ts").alias("dt"),
+            pid_col_from_filetime("ts").alias("pid"),
+        ).collect()
+        for r in rows:
+            expected_dt = filetime_to_datetime(r["ts"]).replace(tzinfo=None)
+            assert r["dt"] == expected_dt, f"ts={r['ts']}"
+            assert r["pid"] == pid_from_filetime(r["ts"]), f"ts={r['ts']}"

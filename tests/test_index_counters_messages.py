@@ -206,3 +206,17 @@ class TestMessageStore:
         assert len(dates) == 3
         decoded = ms.load_messages(decode=lambda b: bytes(b).decode())
         assert {r["decoded"] for r in decoded.collect()} == {"m0", "m1", "m2"}
+
+
+class TestCounterAutoCompact:
+    def test_hot_counter_file_count_bounded(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.counters import MessageCounter
+        from inception_eventstore_spark.sources import fsutil
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.for_tenant(str(tmp_path / "wh"), "hot", "es")
+        counter = MessageCounter(spark, lay, auto_compact_threshold=8)
+        for _ in range(20):
+            counter.increment("hot-type")
+        assert counter.get_count("hot-type") == 20
+        assert fsutil.data_file_count(spark, lay.counter_path) < 8

@@ -79,3 +79,30 @@ class TestNoKeyspaceNaming:
     def test_length_guard(self):
         with pytest.raises(ValueError):
             no_keyspace_naming("k" * 49)
+
+
+class TestSaltedJoinGuard:
+    def test_rejects_right_and_full_outer(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.functions.skew import salted_join
+
+        big = spark.range(10).withColumnRenamed("id", "k")
+        small = spark.range(3).withColumnRenamed("id", "k")
+        for how in ("right", "full", "right_outer", "outer"):
+            with _pytest.raises(ValueError):
+                salted_join(big, small, "k", how=how)
+
+    def test_left_join_keeps_unmatched_big_rows_once(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.functions.skew import salted_join
+
+        big = spark.range(10).withColumnRenamed("id", "k")
+        small = (
+            spark.range(3).withColumnRenamed("id", "k")
+            .withColumn("v", F.col("k") * 10)
+        )
+        out = salted_join(big, small, "k", salt_factor=4, how="left")
+        assert out.count() == 10
+        assert out.where(F.col("v").isNull()).count() == 7

@@ -231,3 +231,34 @@ class TestMigration:
         )
         assert n == 1  # only AID1 rev 2
         assert dst.events_df().count() == 1
+
+
+class TestIngestIdempotence:
+    def test_redelivered_batch_appends_nothing(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a retry re-runs the same batch.
+        The anti-join against stored keys must make the second run a
+        no-op (ADVICE r1 — duplicates would corrupt group_commits'
+        pos == row_number-1 classification)."""
+        lay = L.for_tenant(str(tmp_path / "wh"), "idem", "es")
+        store = EventStore(spark, lay, event_type_expr=_et_expr)
+        rows = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID1, 1, 1, T0, _payload("b")),
+            (AID2, 1, 0, T0 + HOUR, _payload("c", "type-t")),
+        ]
+        batch = spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA)
+        store._append_rows(batch, maintain_index=False, anti_join_existing=True)
+        assert store.events_df().count() == 3
+        # redelivery of the identical epoch
+        store._append_rows(batch, maintain_index=False, anti_join_existing=True)
+        assert store.events_df().count() == 3
+        # partial overlap: one old row + one new row → only the new lands
+        mixed = spark.createDataFrame(
+            rows[:1] + [(AID2, 2, 0, T0 + 2 * HOUR, _payload("d", "type-t"))],
+            schema=schemas.EVENTS_SCHEMA,
+        )
+        store._append_rows(mixed, maintain_index=False, anti_join_existing=True)
+        assert store.events_df().count() == 4
+        # commit reconstruction survives the redeliveries intact
+        commits = store.load_aggregate(AID1).collect()
+        assert len(commits) == 1 and commits[0]["rev"] == 1
