@@ -53,6 +53,95 @@ def _ns(ts: str) -> int:
     return int(d.timestamp()) * 1_000_000_000
 
 
+# DuckDB twin of operators.dedup.tokens(): lower-case, split on the
+# exact Java-\s char set (spelled out — RE2's \s lacks \x0b), drop
+# empties. Embedded into the text-operator oracles below.
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), "
+    "x -> x <> '')"
+)
+
+
+def _duck_stopword_list(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"[{words}]"
+
+
+def _duck_stopword_hits(lang: str) -> str:
+    return f"len(list_filter(tk, x -> list_contains({_duck_stopword_list(lang)}, x)))"
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Exact word-3-gram Jaccard join (threshold 0.8) as brute-force SQL
+    — O(n²) pairs is fine at oracle scale; the Spark side is the
+    PPJoin-filtered distributed version of the same math."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i, least(i+2, len(tk))), ' ')
+                   for i in generate_series(1, greatest(len(tk)-2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.grams, b.grams)) AS inter,
+    len(a.grams) AS sa, len(b.grams) AS sb
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  round(CAST(inter AS DOUBLE) / (CAST(sa + sb AS DOUBLE) - CAST(inter AS DOUBLE)), 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (CAST(sa + sb AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def _quality_scores_oracle() -> str:
+    """Twin of text.quality_features' composite score — identical
+    arithmetic in identical order so the IEEE doubles agree bit-for-bit.
+    A token appearing in several languages' stopword lists counts once
+    per list, exactly like the Spark sum over per-language hits."""
+    hits = " + ".join(_duck_stopword_hits(l) for l in TX.STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk,
+    length(text) AS nc,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
+  FROM documents),
+f AS (
+  SELECT doc_id, len(tk) AS n_tok,
+    CASE WHEN len(tk) > 0 THEN CAST({hits} AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS uniq_ratio
+  FROM t)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  round(least(n_tok / 20.0, 1.0) * 0.3
+      + least(stop_ratio * 4, 1.0) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+      + uniq_ratio * 0.3, 6) AS quality_score
+FROM f ORDER BY doc_id
+"""
+
+
+def _lang_id_oracle() -> str:
+    """Twin of text.lang_id: argmax over stopword hits with the same
+    tie-break (struct-lexicographic max → alphabetically-last language
+    on equal hits), CJK-presence short-circuit for zh."""
+    structs = ", ".join(
+        f"{{'h': {_duck_stopword_hits(l)}, 'l': '{l}'}}"
+        for l in ("en", "fr", "es", "de")
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+s AS (SELECT doc_id, text, list_sort([{structs}])[-1] AS best FROM t)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN best.h > 0 THEN best.l
+       ELSE 'und' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
 def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` kept as raw int64 ns — time predicates on this
     column push down to parquet row-group stats, which the µs-converted
@@ -462,11 +551,22 @@ def q_distinct_users(spark, sf_dir):
 
 
 def q_setop_users(spark, sf_dir):
-    """Set operation: users who signed up but never purchased (EXCEPT)."""
+    """Set operation: heavy purchasers who are not heavy clickers
+    (EXCEPT over two grouped selections — non-empty at every sf; the
+    signup-minus-purchase variant was vacuously empty because every
+    fixture user has every event type)."""
     e = _t(spark, sf_dir, "events")
-    signup = e.where(F.col("event_type") == "signup").select("user_id")
-    purchase = e.where(F.col("event_type") == "purchase").select("user_id")
-    return signup.distinct().subtract(purchase.distinct()).orderBy("user_id")
+
+    def heavy(et):
+        return (
+            e.where(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 14)
+            .select("user_id")
+        )
+
+    return heavy("purchase").subtract(heavy("click")).orderBy("user_id")
 
 
 def q_asof_join(spark, sf_dir):
@@ -502,9 +602,27 @@ def q_sessionize(spark, sf_dir):
 # Extensions: dedup / text / similarity
 # ----------------------------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: identical-content groups."""
-    d = _t(spark, sf_dir, "documents")
-    return D.exact_duplicate_groups(d).orderBy("text")
+    """Exact dedup on normalized content, with planted variants.
+
+    The fixtures carry no byte-identical texts, so the query plants
+    deterministic case/whitespace variants (every doc_id % 10 == 0 gets
+    an UPPER-cased, space-padded copy at doc_id + 100000) and dedups on
+    the normalized form — a 0-row "pass" proves nothing (VERDICT r1)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    both = d.unionByName(variants)
+    return (
+        both.groupBy(D.normalize_text("text").alias("norm_text"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+        .orderBy("norm_text")
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -562,8 +680,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard join — deterministic, so oracle-paired: the
+    DuckDB twin computes the same word-3-gram sets as strings (the Spark
+    side works on hashed shingles; intersection cardinalities agree
+    modulo xxhash64 collisions, which the gate would surface)."""
     d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
+    return (
+        D.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_sim_topk_lsh(spark, sf_dir):
@@ -618,7 +744,18 @@ def q_multimodal_features(spark, sf_dir):
     # coalesce: 256 tiny rows over 32 partitions would cold-start 32
     # python workers for ~8 rows each
     assets = MM.synthetic_assets(spark, n=256).coalesce(4)
-    return MM.extract_features(assets, decode="fake").orderBy("asset_id")
+    feats = MM.extract_features(assets, decode="fake")
+    # The raw array<float> column is unhashable in the driver's pandas
+    # canonicalizer (the one red row in CORRECTNESS_r01) — emit a
+    # deterministic JSON digest of the rounded vector instead.
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.to_json(
+            F.transform("features", lambda x: F.round(x.cast("double"), 6))
+        ).alias("features_json"),
+    ).orderBy("asset_id")
 
 
 def q_lang_id(spark, sf_dir):
@@ -637,7 +774,11 @@ def q_quality_scores(spark, sf_dir):
     d = spread(_t(spark, sf_dir, "documents"))
     return (
         TX.quality_features(d)
-        .select("doc_id", "n_tokens", "quality_score")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality_score",
+        )
         .orderBy("doc_id")
     )
 
@@ -829,8 +970,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "setop_users": QueryDef(
         q_setop_users,
-        "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
-        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "GROUP BY user_id HAVING count(*) >= 14 "
+        "EXCEPT "
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "GROUP BY user_id HAVING count(*) >= 14 "
         "ORDER BY user_id",
     ),
     "asof_join": QueryDef(
@@ -863,8 +1007,18 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "dedup_exact": QueryDef(
         q_dedup_exact,
-        "SELECT text, count(*) AS dup_count FROM documents "
-        "GROUP BY text HAVING count(*) > 1 ORDER BY text",
+        # [ \t\n\x0b\f\r] spelled out: Java's \s (Spark) and RE2's \s
+        # (DuckDB) disagree on \x0b, so neither side uses the class.
+        "WITH both_docs AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text"
+        "  FROM documents WHERE doc_id % 10 = 0) "
+        "SELECT trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
+        "  AS norm_text, "
+        "count(*) AS dup_count, min(doc_id) AS keep_id "
+        "FROM both_docs GROUP BY norm_text HAVING count(*) > 1 "
+        "ORDER BY norm_text",
     ),
     "text_stats": QueryDef(
         q_text_stats,
@@ -890,16 +1044,18 @@ QUERIES: dict[str, QueryDef] = {
         "          FROM pairs GROUP BY vec_id) "
         "SELECT vec_id, dist FROM dists ORDER BY dist, vec_id LIMIT 10",
     ),
+    # deterministic text/dedup extensions — oracle-paired (SQL generated
+    # from the same STOPWORDS table the Spark operators use)
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _ngram_jaccard_oracle()),
+    "text_lang_id": QueryDef(q_lang_id, _lang_id_oracle()),
+    "text_quality_scores": QueryDef(q_quality_scores, _quality_scores_oracle()),
     # rows-only (probabilistic / hash-family-specific; verified in tests/)
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash, None),
     "dedup_simhash": QueryDef(q_dedup_simhash, None),
-    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, None),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
     "sim_cosine_near_dup": QueryDef(q_sim_cosine_near_dup, None),
     "multimodal_features": QueryDef(q_multimodal_features, None),
-    "text_lang_id": QueryDef(q_lang_id, None),
-    "text_quality_scores": QueryDef(q_quality_scores, None),
     "text_fingerprints": QueryDef(q_fingerprints, None),
 }
 
