@@ -462,14 +462,94 @@ class EventStore:
         return group_commits(rows).orderBy("id", "rev")
 
     def for_each_aggregate(self, options: PlayerOptions,
-                           fn: Callable[[object], None]) -> None:
+                           fn: Callable[[object], None],
+                           on_progress: Callable[[str], None] | None = None) -> None:
         """R10 callback form: stream per-aggregate commit groups through
         ``fn`` on the executors (the reference's OnLoadAsync fan-out with
-        MaxDegreeOfParallelism becomes Spark task parallelism)."""
+        MaxDegreeOfParallelism becomes Spark task parallelism).
+
+        ``on_progress`` (R12, reference NotifyProgressAsync at
+        CassandraEventStore.cs:462-472) receives one encoded token per
+        partition — (partition id, groups processed, last aggregate
+        high-water mark). Callback exceptions are swallowed like the
+        reference's (HandlePaginationStateChangesAsync catch-all)."""
         grouped = self.replay_grouped(options)
-        grouped.foreachPartition(
-            lambda rows: [fn(r) for r in rows] and None
-        )
+        if on_progress is None:
+            grouped.foreachPartition(
+                lambda rows: [fn(r) for r in rows] and None
+            )
+            return
+
+        def run(pid: int, it):
+            n = 0
+            last_id, last_rev = None, None
+            for r in it:
+                fn(r)
+                n += 1
+                last_id, last_rev = r["id"], r["rev"]
+            yield (pid, n, last_id, last_rev)
+
+        summaries = grouped.rdd.mapPartitionsWithIndex(run).collect()
+        for pid, n, last_id, last_rev in summaries:
+            token = PagingToken(
+                keys={
+                    "partition": pid,
+                    "groups": n,
+                    "id": bytes(last_id) if last_id is not None else b"",
+                    "rev": last_rev if last_rev is not None else -1,
+                },
+                has_more=False,
+            )
+            try:
+                on_progress(token.encode())
+            except Exception:
+                pass  # reference swallows callback failures (logs only)
+
+    def replay_chunked(
+        self,
+        options: PlayerOptions | None = None,
+        on_progress: Callable[[str], None] | None = None,
+        resume_token: str | None = None,
+    ):
+        """R9+R12 enumeration form: yield replay rows bucket-by-bucket
+        with a resumable progress token after each chunk.
+
+        The reference enumerates Cassandra partitions page-wise and
+        surfaces the paging state through ``onPagingInfoChanged``
+        (CassandraEventStore.cs:416-472); the Spark analog of a "page"
+        is a bucket directory — each chunk is a partition-pruned scan,
+        and the token (last completed bucket) makes the whole replay
+        resumable after a crash: pass it back as ``resume_token`` and
+        completed buckets are never re-read. Callback exceptions are
+        swallowed, mirroring HandlePaginationStateChangesAsync."""
+        from inception_eventstore_spark.functions.paging import decode_token
+
+        options = options or PlayerOptions()
+        start_after = -1
+        if resume_token is not None:
+            start_after = decode_token(resume_token).keys.get("bucket", -1)
+        tombs = self._tombstones()
+        for bucket in range(start_after + 1, self.layout.n_buckets):
+            df = self.layout.read_events(self.spark)
+            df = df.where(F.col("bucket") == bucket).drop("bucket")
+            if tombs is not None:
+                df = df.join(F.broadcast(tombs), ["id", "rev", "pos"], "left_anti")
+            if options.after is not None:
+                df = df.where(F.col("ts") >= options.after)
+            if options.before is not None:
+                df = df.where(F.col("ts") <= options.before)
+            rows = df.collect()
+            if rows:
+                yield rows
+            if on_progress is not None:
+                token = PagingToken(
+                    keys={"bucket": bucket, "rows": len(rows)},
+                    has_more=bucket < self.layout.n_buckets - 1,
+                )
+                try:
+                    on_progress(token.encode())
+                except Exception:
+                    pass  # reference swallows callback failures
 
     # R12: progress — per-partition high-water marks. For batch replay the
     # deterministic keyset token doubles as the checkpoint; streaming uses

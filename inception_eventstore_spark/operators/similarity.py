@@ -136,17 +136,23 @@ def lsh_topk(
     bucket is within hamming distance ``probe_radius`` of the query's
     bucket, then re-rank exactly. Recall/candidate-volume is tuned via
     n_planes × probe_radius; the expected candidate set is
-    |table|·Σ C(n_planes, r)/2^{n_planes} — at 100 TB, signatures are
-    precomputed at ingest and the probe is a partition-pruned scan on
-    the signature column."""
+    |table|·Σ C(n_planes, r)/2^{n_planes}.
+
+    If the input already carries a ``_sig`` column (an
+    ``ann_index.LshVectorIndex`` table, where it's the partition
+    column), it is trusted and the probe is a pruned scan; otherwise
+    signatures are computed on the fly — the ad-hoc path for tables
+    not indexed at ingest."""
     dim = len(query_vector)
     q = F.array(*[F.lit(float(x)) for x in query_vector])
-    from inception_eventstore_spark.functions.spread import spread
+    if "_sig" in embeddings.columns:
+        sigged = embeddings
+    else:
+        from inception_eventstore_spark.functions.spread import spread
 
-    embeddings = spread(embeddings)
-    sigged = embeddings.withColumn(
-        "_sig", _signature_udf(n_planes, dim, seed)(F.col(vec_col))
-    )
+        sigged = spread(embeddings).withColumn(
+            "_sig", _signature_udf(n_planes, dim, seed)(F.col(vec_col))
+        )
     qsig = _py_signature([float(x) for x in query_vector], n_planes, dim, seed)
     probe = {qsig}
     frontier = {qsig}

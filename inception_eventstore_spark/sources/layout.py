@@ -9,18 +9,23 @@ Reference naming strategies:
 
 Spark mapping (SURVEY §1.4): keyspace → a root directory per tenant
 database holding partitioned parquet tables. Replication is a
-storage-layer concern (HDFS/S3) — recorded as a table property only.
+storage-layer concern (HDFS/S3) — the declared strategy is recorded in
+the keyspace's ``properties.json`` (see sources/replication.py).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from inception_eventstore_spark import schemas
+from inception_eventstore_spark.sources.replication import (
+    SimpleReplicationStrategy,
+)
 
 MAX_KEYSPACE_LENGTH = 48  # reference: KeyspacePerTenantKeyspace.cs:18
 
@@ -76,10 +81,17 @@ class EventStoreLayout:
     keyspace: str
     table: str = "events"
     n_buckets: int = 64
+    #: Declared replication strategy, persisted by ensure_storage()
+    #: (reference: CassandraReplicationStrategyFactory.cs:17-37).
+    replication: object = field(default_factory=SimpleReplicationStrategy)
 
     @property
     def root(self) -> str:
         return os.path.join(self.warehouse, self.keyspace)
+
+    @property
+    def properties_path(self) -> str:
+        return os.path.join(self.root, "properties.json")
 
     @property
     def events_path(self) -> str:
@@ -107,6 +119,23 @@ class EventStoreLayout:
             self.message_store_path,
         ):
             os.makedirs(path, exist_ok=True)
+        with open(self.properties_path, "w") as f:
+            json.dump(
+                {
+                    "keyspace": self.keyspace,
+                    "replication": self.replication.to_property(),
+                },
+                f,
+                indent=2,
+                sort_keys=True,
+            )
+
+    def properties(self) -> dict:
+        """The recorded keyspace properties ({} before ensure_storage)."""
+        if not os.path.isfile(self.properties_path):
+            return {}
+        with open(self.properties_path) as f:
+            return json.load(f)
 
     def exists(self) -> bool:
         return os.path.isdir(self.events_path)
@@ -141,12 +170,15 @@ def for_tenant(
     tenant: str,
     base_keyspace: str = "eventstore",
     bounded_context: str | None = None,
+    replication=None,
 ) -> EventStoreLayout:
-    """S4 bootstrap: resolve naming strategies and ensure storage."""
+    """S4 bootstrap: resolve naming strategies and ensure storage
+    (recording the replication strategy, default Simple/RF=1)."""
     layout = EventStoreLayout(
         warehouse=warehouse,
         keyspace=keyspace_per_tenant(tenant, base_keyspace),
         table=table_per_bounded_context(bounded_context),
+        replication=replication or SimpleReplicationStrategy(),
     )
     layout.ensure_storage()
     return layout

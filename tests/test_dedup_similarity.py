@@ -223,3 +223,65 @@ class TestSimilarity:
             ).collect()
         ]
         assert len(set(truth) & set(approx)) >= 5
+
+
+class TestPersistedAnnIndex:
+    """Ingest-time index state (VERDICT r1 #2): signatures/cells are
+    partition columns, so a probe is a pruned scan — asserted on the
+    physical plan's PartitionFilters."""
+
+    def test_lsh_index_probe_is_partition_pruned(self, spark, vectors, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = vectors.where(F.col("vec_id") != 0)
+        idx = LshVectorIndex.build(
+            base, str(tmp_path / "lsh_idx"), n_planes=6
+        )
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        plan = idx.candidates(q, probe_radius=2)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_sig" in plan.split("PartitionFilters", 1)[1][:200]
+        got = idx.topk(q, k=5, probe_radius=2).collect()
+        assert got and got[0]["vec_id"] == 500
+
+    def test_lsh_index_matches_ad_hoc_lsh_topk(self, spark, vectors, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = vectors.where(F.col("vec_id") != 0)
+        idx = LshVectorIndex.build(
+            base, str(tmp_path / "lsh_idx2"), n_planes=6
+        )
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        ad_hoc = S.lsh_topk(base, q, k=5, n_planes=6).collect()
+        persisted = idx.topk(q, k=5).collect()
+        assert [(r["vec_id"], round(r["dist"], 9)) for r in persisted] == [
+            (r["vec_id"], round(r["dist"], 9)) for r in ad_hoc
+        ]
+
+    def test_lsh_index_round_trips_via_load(self, spark, vectors, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = vectors.where(F.col("vec_id") != 0)
+        LshVectorIndex.build(base, str(tmp_path / "lsh_idx3"), n_planes=6)
+        idx = LshVectorIndex.load(spark, str(tmp_path / "lsh_idx3"))
+        assert idx.meta.n_planes == 6 and idx.meta.dim == 16
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        got = idx.topk(q, k=3).collect()
+        assert got and got[0]["vec_id"] == 500
+
+    def test_ivf_index_probe_is_partition_pruned(self, spark, vectors, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import IvfVectorIndex
+
+        base = vectors.where(F.col("vec_id") != 0)
+        IvfVectorIndex.build(base, str(tmp_path / "ivf_idx"), n_cells=4)
+        idx = IvfVectorIndex.load(spark, str(tmp_path / "ivf_idx"))
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        plan = idx.candidates(q, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+        got = idx.topk(q, k=10, n_probe=2).collect()
+        assert got[0]["vec_id"] == 500
+        truth = {r["vec_id"] for r in S.brute_force_topk(base, q, k=10).collect()}
+        assert len(truth & {r["vec_id"] for r in got}) >= 5

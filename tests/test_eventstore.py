@@ -333,3 +333,146 @@ class TestTombstoneFolding:
             )
         # all 12 tombstones still effective after folding
         assert store.events_df().count() == 8
+
+
+class TestProgressNotifications:
+    """R12 progress hooks (reference: NotifyProgressAsync per page,
+    CassandraEventStore.cs:462-472; count asserted like
+    CassandraEventStoreTests.cs:63,309)."""
+
+    def _store(self, spark, tmp_path, n_buckets=4):
+        import datetime as dt
+
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.EventStoreLayout(
+            warehouse=str(tmp_path / "wh"), keyspace="prog_es",
+            n_buckets=n_buckets,
+        )
+        lay.ensure_storage()
+        store = EventStore(spark, lay)
+        t0 = datetime_to_filetime(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+        store.append_commits(
+            [
+                AggregateCommit(f"prog-{i}".encode(), r, t0 + i * 100 + r,
+                                events=[b"e1", b"e2"])
+                for i in range(6)
+                for r in range(1, 4)
+            ],
+            maintain_index=False,
+        )
+        return store, t0
+
+    def test_for_each_aggregate_notifies_per_partition(self, spark, tmp_path):
+        from inception_eventstore_spark.functions.paging import decode_token
+        from inception_eventstore_spark.operators.eventstore import PlayerOptions
+
+        store, _ = self._store(spark, tmp_path)
+        tokens = []
+        store.for_each_aggregate(
+            PlayerOptions(), lambda r: None, on_progress=tokens.append
+        )
+        assert len(tokens) >= 1
+        decoded = [decode_token(t) for t in tokens]
+        # every commit group processed exactly once (6 aggregates × 3 revs)
+        assert sum(d.keys["groups"] for d in decoded) == 18
+        assert all("partition" in d.keys for d in decoded)
+
+    def test_replay_chunked_tokens_and_resume(self, spark, tmp_path):
+        from inception_eventstore_spark.functions.paging import decode_token
+        from inception_eventstore_spark.operators.eventstore import PlayerOptions
+
+        store, _ = self._store(spark, tmp_path)
+        tokens = []
+        rows = [
+            r
+            for chunk in store.replay_chunked(PlayerOptions(),
+                                              on_progress=tokens.append)
+            for r in chunk
+        ]
+        assert len(rows) == 6 * 3 * 2
+        assert len(tokens) == store.layout.n_buckets  # one per chunk
+        assert decode_token(tokens[-1]).has_more is False
+        # resume after the second bucket re-reads only the remainder
+        resume_from = tokens[1]
+        resumed = [
+            r
+            for chunk in store.replay_chunked(PlayerOptions(),
+                                              resume_token=resume_from)
+            for r in chunk
+        ]
+        first_two = sum(
+            decode_token(t).keys["rows"] for t in tokens[:2]
+        )
+        assert len(resumed) == len(rows) - first_two
+
+    def test_progress_callback_errors_are_swallowed(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.eventstore import PlayerOptions
+
+        store, _ = self._store(spark, tmp_path)
+
+        def boom(_tok):
+            raise RuntimeError("callback failed")
+
+        rows = [
+            r
+            for chunk in store.replay_chunked(PlayerOptions(), on_progress=boom)
+            for r in chunk
+        ]
+        assert len(rows) == 6 * 3 * 2  # replay unaffected, like the reference
+
+
+class TestReplicationRecording:
+    """S1: the declared replication strategy is recorded as a keyspace
+    property (reference: CassandraReplicationStrategyFactory.cs:17-37)."""
+
+    def test_simple_strategy_recorded(self, warehouse):
+        from inception_eventstore_spark.sources.replication import (
+            SimpleReplicationStrategy,
+        )
+
+        lay = L.for_tenant(
+            warehouse, "repl1", "es",
+            replication=SimpleReplicationStrategy(replication_factor=3),
+        )
+        props = lay.properties()
+        assert props["replication"] == {
+            "class": "SimpleStrategy",
+            "replication_factor": 3,
+        }
+        assert props["keyspace"] == lay.keyspace
+
+    def test_network_topology_strategy_recorded(self, warehouse):
+        from inception_eventstore_spark.sources.replication import (
+            replication_strategy_factory,
+        )
+
+        strat = replication_strategy_factory(
+            "network_topology", replication_factor=2,
+            datacenters=["dc-west", "dc-east"],
+        )
+        lay = L.for_tenant(warehouse, "repl2", "es", replication=strat)
+        assert lay.properties()["replication"] == {
+            "class": "NetworkTopologyStrategy",
+            "dc-west": 2,
+            "dc-east": 2,
+        }
+
+    def test_strategy_guards(self):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.sources.replication import (
+            NetworkTopologyReplicationStrategy,
+            SimpleReplicationStrategy,
+            replication_strategy_factory,
+        )
+
+        with _pytest.raises(ValueError):
+            SimpleReplicationStrategy(replication_factor=0)
+        with _pytest.raises(ValueError):
+            NetworkTopologyReplicationStrategy(datacenters=())
+        with _pytest.raises(ValueError):
+            replication_strategy_factory("exotic")
