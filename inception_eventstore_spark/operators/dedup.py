@@ -164,7 +164,8 @@ def minhash_lsh_pairs(
     # Candidates stay NARROW (id + 8-byte band hash); the shingle sets
     # are joined back only for the surviving pairs — carrying arrays
     # through the band explode would multiply shuffle volume ×bands.
-    banded = minhash_signatures(sets, num_hashes).select(
+    banded = minhash_signatures(sets, num_hashes)
+    banded = banded.select(
         "_id",
         F.posexplode(
             F.array(
@@ -180,7 +181,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_band", "_bh"),
-    )
+    ).persist()  # both sides of the bucket self-join read this (16 rows ×
+    # 20 bytes per doc) — without it the shingle+signature pipeline runs twice
     left = banded.select("_band", "_bh", F.col("_id").alias("id_a"))
     right = banded.select("_band", "_bh", F.col("_id").alias("id_b"))
     cand = (
@@ -207,6 +209,11 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
+#: SWAR lane mask: selects bits 0, 16, 32, 48 of a long — four 16-bit
+#: accumulator lanes per summed long.
+_SWAR_MASK = 0x0001_0001_0001_0001
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document → (_id, _sh).
@@ -215,9 +222,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     the fingerprint sets bit b iff the summed contribution > 0.
 
     Shape chosen for scale: explode tokens (narrow), hash once per
-    token, then ONE vectorized hash aggregation with 64 sum columns —
-    partial aggregation combines map-side, so the shuffle carries 64
-    ints per document, not the token stream. (A per-row array fold was
+    token, then ONE vectorized hash aggregation — partial aggregation
+    combines map-side, so the shuffle carries the per-doc counters, not
+    the token stream. The 64 bit-counters are packed SWAR-style into 16
+    summed longs (4 × 16-bit lanes each, selected by ``_SWAR_MASK``):
+    4× less aggregate state and shuffle payload than one sum per bit,
+    and a 4× smaller generated aggregate. Lane capacity 65535 tokens
+    per doc — far above any shuffled group. (A per-row array fold was
     ~20× slower: 64 expression branches per token defeat codegen.)
     """
     from inception_eventstore_spark.functions.spread import spread
@@ -225,18 +236,22 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     ex = spread(docs).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     ).select("_id", F.xxhash64("_t").alias("_h"))
-    # branch-free: sum the raw bit (0/1); the ±1 contribution sum is
-    # 2·bitsum - n, positive iff 2·bitsum > n.
+    # branch-free: sum the raw bit (0/1) per lane; the ±1 contribution
+    # sum is 2·bitsum - n, positive iff 2·bitsum > n.
     aggs = [F.count("*").alias("_n")] + [
-        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
-        for b in range(64)
+        F.sum(
+            F.shiftright(F.col("_h"), s).bitwiseAND(F.lit(_SWAR_MASK))
+        ).alias(f"_s{s}")
+        for s in range(16)
     ]
     counts = ex.groupBy("_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for b in range(64):
-        bit_val = (1 << b) if b < 63 else -(1 << 63)  # sign bit in two's complement
+        s, lane = b % 16, b // 16
+        c = F.shiftright(F.col(f"_s{s}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        bit_val = (1 << b) if b < 63 else -(1 << 63)  # sign bit, two's complement
         fp = fp + F.when(
-            F.col(f"_c{b}") * 2 > F.col("_n"), F.lit(bit_val).cast("long")
+            c * 2 > F.col("_n"), F.lit(bit_val).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return counts.select("_id", fp.alias("_sh"))
 
@@ -256,7 +271,10 @@ def simhash_near_duplicates(
     (block_idx, block_value), verify with bit_count(xor). Returns
     (id_a, id_b, hamming).
     """
-    base = simhash_signatures(docs, id_col, text_col)
+    # base feeds BOTH sides of the self-join: without a persist the whole
+    # token→signature aggregation executes (and compiles) twice.
+    # 16 bytes/doc — negligible even at 100 TB doc counts.
+    base = simhash_signatures(docs, id_col, text_col).persist()
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
     blocks = base.select(
@@ -326,6 +344,10 @@ def ngram_jaccard_pairs(
             F.col("_rk")
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
+        # both sides of the prefix-token self-join read the ranked prefix
+        # index — persist the narrow (_g, _id, _sz) rows or the whole
+        # explode+freq+window pipeline executes twice
+        .persist()
     )
     left = ranked.select(F.col("_g"), F.col("_id").alias("id_a"),
                          F.col("_sz").alias("sz_a"))
