@@ -40,6 +40,7 @@ HEADLINE = [
     "distinct_users",
     "asof_join",
     "sessionize",
+    "range_join_windows",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

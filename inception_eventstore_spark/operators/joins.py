@@ -8,6 +8,18 @@ as-of join — the union+window formulation:
   (ignorenulls) window; left rows then read their as-of match directly.
   One shuffle on the key — the same shuffle any per-key window needs —
   versus the naive range-join's quadratic bucket explosion.
+
+range join — the bucketized formulation:
+  a plain ``points JOIN intervals ON p BETWEEN lo AND hi`` has no equi
+  key, so Catalyst falls back to BroadcastNestedLoopJoin (O(n·m)).
+  Bucketizing restores an equi key: intervals explode to every bucket
+  of width ``bucket_width`` they overlap, points map to exactly one
+  bucket, and the hash join on the bucket id is followed by the exact
+  bound filter. Each (point, interval) pair meets in at most one bucket
+  (the point's), so no dedup pass is needed. Cost: |intervals| ×
+  avg(span/bucket_width) exploded rows — pick ``bucket_width`` near the
+  typical interval span to keep the blowup ~2× while each point joins
+  only interval fragments it could actually match.
 """
 
 from __future__ import annotations
@@ -81,3 +93,49 @@ def asof_join(
         *[F.col("_match")[c].alias(c) for c in value_cols],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    bounds: str = "[]",
+) -> DataFrame:
+    """Inner join of ``points`` to every interval containing its
+    ``point_col`` value (numeric/long columns; see module docstring for
+    the bucketization strategy).
+
+    ``bounds``: "[]" (lo ≤ p ≤ hi, default) or "[)" (lo ≤ p < hi).
+    Output columns = points' ∪ intervals'. Integer ``div`` bucketing is
+    exact for the full int64 range (no float rounding — ns-scale
+    timestamps exceed 2^53).
+    """
+    if bounds not in ("[]", "[)"):
+        raise ValueError(f"bounds must be '[]' or '[)', got {bounds!r}")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    left = points.withColumn(
+        "_rb", F.expr(f"`{point_col}` div {bucket_width}")
+    )
+    right = intervals.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{lo_col}` div {bucket_width}"),
+                F.expr(f"`{hi_col}` div {bucket_width}"),
+            )
+        ),
+    )
+    upper = (
+        F.col(point_col) <= F.col(hi_col)
+        if bounds == "[]"
+        else F.col(point_col) < F.col(hi_col)
+    )
+    return (
+        left.join(right, "_rb", "inner")
+        .where((F.col(point_col) >= F.col(lo_col)) & upper)
+        .drop("_rb")
+    )

@@ -598,6 +598,37 @@ def q_sessionize(spark, sf_dir):
     return session_stats(e, gap="30 minutes").orderBy("user_id")
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_range_join_windows(spark, sf_dir):
+    """Range join (bucketized interval join): events aggregated into 10
+    half-open daily windows spaced 48 h apart from the global min ts.
+    The operator hash-joins on bucket ids instead of the nested-loop
+    theta join a plain BETWEEN predicate would produce."""
+    from inception_eventstore_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.unix_micros("ts").alias("p")
+    )
+    t0 = e.agg(F.min("p").alias("t0")).first()["t0"]
+    intervals = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        (F.lit(t0) + F.col("id") * F.lit(2 * _DAY_US)).alias("lo"),
+        (F.lit(t0) + F.col("id") * F.lit(2 * _DAY_US) + F.lit(_DAY_US)).alias("hi"),
+    )
+    joined = range_join(e, intervals, "p", "lo", "hi",
+                        bucket_width=_DAY_US, bounds="[)")
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
 # ----------------------------------------------------------------------
 # Extensions: dedup / text / similarity
 # ----------------------------------------------------------------------
@@ -641,6 +672,20 @@ def q_token_count(spark, sf_dir):
     return (
         d.select(
             "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword count (regex word pieces, long words as
+    ceil(len/4) units) — the ~chars-per-token heuristic used to budget
+    LLM training data."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            TX.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -1005,6 +1050,19 @@ QUERIES: dict[str, QueryDef] = {
         "max(n_events) AS max_session_events "
         "FROM per GROUP BY user_id ORDER BY user_id",
     ),
+    "range_join_windows": QueryDef(
+        q_range_join_windows,
+        "WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events), "
+        "w AS (SELECT i AS window_id, "
+        "        t0 + i * 172800000000 AS lo, "
+        "        t0 + i * 172800000000 + 86400000000 AS hi "
+        "      FROM generate_series(0, 9) s(i), m) "
+        "SELECT w.window_id, count(*) AS n_events, "
+        "round(sum(e.value), 2) AS total_value "
+        "FROM events e JOIN w "
+        "  ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi "
+        "GROUP BY w.window_id ORDER BY w.window_id",
+    ),
     "dedup_exact": QueryDef(
         q_dedup_exact,
         # [ \t\n\x0b\f\r] spelled out: Java's \s (Spark) and RE2's \s
@@ -1032,6 +1090,16 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
         "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
         " AS n_tokens FROM documents ORDER BY doc_id",
+    ),
+    "token_count_bpe": QueryDef(
+        q_token_count_bpe,
+        # \pL / \pN are the same Unicode categories in Java regex and RE2
+        r"WITH p AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(lower(text), '[^\pL\pN]+'), "
+        r"x -> x <> '') AS pieces FROM documents) "
+        r"SELECT doc_id, CAST(coalesce(list_sum(list_transform(pieces, "
+        r"w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) "
+        r"AS n_bpe_tokens FROM p ORDER BY doc_id",
     ),
     "sim_topk_l2": QueryDef(
         q_sim_topk_l2,

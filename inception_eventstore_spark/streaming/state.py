@@ -1,0 +1,128 @@
+"""Custom stateful streaming operators (SURVEY §2 F: Structured
+Streaming with ``applyInPandasWithState`` for semantics the built-in
+windowed aggregations cannot express).
+
+Two operators:
+
+- ``commit_watermarks``: per-aggregate commit-stream integrity monitor.
+  The reference guarantees revision contiguity through its PK-upsert +
+  optimistic concurrency (AggregateCommit revisions are dense); on an
+  at-least-once streaming log the same invariant becomes an *assertion
+  to monitor*. State per aggregate = (contiguous high-water revision,
+  max seen, event count, bounded pending set); each micro-batch emits
+  the updated watermark row and whether a revision gap is currently
+  open. This is genuinely stateful-custom: a session/tumbling window
+  cannot express "dense-prefix high-water mark across batches".
+- ``streaming_sessionize``: the Spark-first gap sessionization —
+  built-in ``session_window`` + watermark (no custom state needed; kept
+  here as the streaming twin of operators/sessions.py).
+
+Scale: state is per-aggregate-id and O(1) outside pathological gap
+windows (the pending set is capped at ``_PENDING_CAP``); Spark shards
+state by the group key across executors, checkpointed with the query.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Bound on tracked out-of-order revisions per aggregate — beyond this
+#: the furthest-ahead revisions are dropped (the gap flag stays true).
+_PENDING_CAP = 1024
+
+_OUTPUT_SCHEMA = (
+    "id binary, high_water_rev int, max_seen_rev int, "
+    "n_events bigint, has_gap boolean"
+)
+_STATE_SCHEMA = "high_water int, max_seen int, n bigint, pending array<int>"
+
+
+def _advance(hw: int, pending: set[int]) -> int:
+    while hw + 1 in pending:
+        pending.discard(hw + 1)
+        hw += 1
+    return hw
+
+
+def commit_watermarks(
+    events: DataFrame,
+    id_col: str = "id",
+    rev_col: str = "rev",
+) -> DataFrame:
+    """Streaming per-aggregate revision watermark with gap detection.
+
+    Emits one row per aggregate per micro-batch it appears in:
+    (id, high_water_rev, max_seen_rev, n_events, has_gap) where
+    ``high_water_rev`` is the densest contiguous revision prefix seen so
+    far (1..hw all present) and ``has_gap`` flags max_seen > high_water.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hw, mx, n, pending_list = state.get
+            pending = set(int(p) for p in pending_list)
+        else:
+            hw, mx, n, pending = 0, 0, 0, set()
+        for pdf in pdfs:
+            for r in pdf[rev_col]:
+                r = int(r)
+                n += 1
+                if r > mx:
+                    mx = r
+                if r == hw + 1:
+                    hw = _advance(r, pending)
+                elif r > hw:
+                    pending.add(r)
+        if len(pending) > _PENDING_CAP:
+            pending = set(sorted(pending)[:_PENDING_CAP])
+        state.update((hw, mx, n, sorted(pending)))
+        yield pd.DataFrame(
+            {
+                "id": [bytes(key[0])],
+                "high_water_rev": [hw],
+                "max_seen_rev": [mx],
+                "n_events": [n],
+                "has_gap": [mx > hw],
+            }
+        )
+
+    return events.groupBy(F.col(id_col)).applyInPandasWithState(
+        update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts_dt",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked gap-session aggregation over a streaming DataFrame —
+    the built-in ``session_window`` merges overlapping per-event windows
+    into variable-length sessions; state eviction is driven by the
+    watermark (late events beyond it are dropped)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(user_col),
+            F.col("n_events"),
+        )
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from inception_eventstore_spark.operators.joins import asof_join
 from inception_eventstore_spark.operators.sessions import (
     session_stats,
@@ -144,3 +146,67 @@ class TestSessionize:
             for r in session_stats(e, gap="1 hour").collect()
         }
         assert stats == {"u1": (2, 4, 3), "u2": (1, 1, 1)}
+
+
+class TestRangeJoin:
+    def test_matches_naive_theta_join(self, spark):
+        import random
+
+        from inception_eventstore_spark.operators.joins import range_join
+
+        rng = random.Random(5)
+        pts = [(i, rng.randrange(0, 10_000)) for i in range(300)]
+        ivs = [
+            (j, lo, lo + rng.randrange(0, 800))
+            for j, lo in ((j, rng.randrange(0, 10_000)) for j in range(40))
+        ]
+        points = spark.createDataFrame(pts, ["pid", "v"])
+        intervals = spark.createDataFrame(ivs, ["iid", "lo", "hi"])
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "v", "lo", "hi",
+                                bucket_width=500).collect()
+        }
+        naive = {
+            (p, j) for p, v in pts for j, lo, hi in ivs if lo <= v <= hi
+        }
+        assert got == naive
+        # half-open variant
+        got_ho = {
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "v", "lo", "hi",
+                                bucket_width=500, bounds="[)").collect()
+        }
+        naive_ho = {
+            (p, j) for p, v in pts for j, lo, hi in ivs if lo <= v < hi
+        }
+        assert got_ho == naive_ho
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        from inception_eventstore_spark.operators.joins import range_join
+
+        points = spark.range(1000).withColumnRenamed("id", "v")
+        intervals = spark.range(10).select(
+            F.col("id").alias("iid"),
+            (F.col("id") * 100).alias("lo"),
+            (F.col("id") * 100 + 50).alias("hi"),
+        )
+        plan = range_join(
+            points, intervals, "v", "lo", "hi", bucket_width=100
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.joins import range_join
+
+        df = spark.range(3).withColumnRenamed("id", "v")
+        iv = spark.range(1).select(
+            F.col("id").alias("lo"), (F.col("id") + 1).alias("hi")
+        )
+        with _pytest.raises(ValueError):
+            range_join(df, iv, "v", "lo", "hi", 10, bounds="()")
+        with _pytest.raises(ValueError):
+            range_join(df, iv, "v", "lo", "hi", 0)

@@ -262,3 +262,113 @@ class TestIngestIdempotence:
         # commit reconstruction survives the redeliveries intact
         commits = store.load_aggregate(AID1).collect()
         assert len(commits) == 1 and commits[0]["rev"] == 1
+
+
+class TestStatefulOperators:
+    """Custom stateful streaming ops (applyInPandasWithState) + the
+    built-in session_window sessionizer."""
+
+    def test_commit_watermarks_state_spans_batches(self, spark, tmp_path):
+        from inception_eventstore_spark.streaming.state import commit_watermarks
+
+        source = str(tmp_path / "wm_in")
+        ckpt = str(tmp_path / "wm_ckpt")
+        # batch 1: revs 1,2 for AID1 — contiguous
+        spark.createDataFrame(
+            [(AID1, 1, 0, T0, _payload("a")), (AID1, 2, 0, T0 + HOUR, _payload("b"))],
+            schema=schemas.EVENTS_SCHEMA,
+        ).write.mode("append").parquet(source)
+
+        stream = spark.readStream.schema(schemas.EVENTS_SCHEMA).parquet(source)
+        out = commit_watermarks(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wm_sink")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {
+                bytes(r["id"]): r
+                for r in spark.sql("SELECT * FROM wm_sink").collect()
+            }
+            assert rows[AID1]["high_water_rev"] == 2
+            assert rows[AID1]["has_gap"] is False
+
+            # batch 2: rev 4 arrives out of order — gap opens
+            spark.createDataFrame(
+                [(AID1, 4, 0, T0 + 2 * HOUR, _payload("d"))],
+                schema=schemas.EVENTS_SCHEMA,
+            ).write.mode("append").parquet(source)
+            q.processAllAvailable()
+            last = spark.sql(
+                "SELECT * FROM wm_sink ORDER BY n_events DESC LIMIT 1"
+            ).collect()[0]
+            assert last["high_water_rev"] == 2
+            assert last["max_seen_rev"] == 4
+            assert last["has_gap"] is True
+
+            # batch 3: rev 3 closes the gap — high water jumps to 4
+            spark.createDataFrame(
+                [(AID1, 3, 0, T0 + 3 * HOUR, _payload("c"))],
+                schema=schemas.EVENTS_SCHEMA,
+            ).write.mode("append").parquet(source)
+            q.processAllAvailable()
+            last = spark.sql(
+                "SELECT * FROM wm_sink ORDER BY n_events DESC LIMIT 1"
+            ).collect()[0]
+            assert last["high_water_rev"] == 4
+            assert last["has_gap"] is False
+            assert last["n_events"] == 4
+        finally:
+            q.stop()
+
+    def test_streaming_sessionize_gap_split(self, spark, tmp_path):
+        from inception_eventstore_spark.streaming.state import (
+            streaming_sessionize,
+        )
+
+        source = str(tmp_path / "sess_in")
+        # user 7: two events 10 min apart (one session), then one 2 h
+        # later (a second session)
+        base = [
+            (1, T0, 7),
+            (2, T0 + HOUR // 6, 7),
+            (3, T0 + 2 * HOUR, 7),
+        ]
+        rows = [
+            (f"sess-{i}".encode(), 1, 0, ts, _payload(f"e{i}"))
+            for i, ts, _u in base
+        ]
+        spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(source)
+
+        from inception_eventstore_spark.functions.filetime import (
+            filetime_to_timestamp_col,
+        )
+
+        stream = (
+            spark.readStream.schema(schemas.EVENTS_SCHEMA)
+            .parquet(source)
+            .withColumn("ts_dt", filetime_to_timestamp_col("ts"))
+            .withColumn("user_id", F.lit(7))
+        )
+        sessions = streaming_sessionize(stream, gap="30 minutes")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_sink")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT * FROM sess_sink ORDER BY session_start"
+            ).collect()
+            assert [r["n_events"] for r in got] == [2, 1]
+            assert got[0]["session_end"] > got[0]["session_start"]
+        finally:
+            q.stop()
