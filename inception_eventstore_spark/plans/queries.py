@@ -142,6 +142,56 @@ FROM s ORDER BY doc_id
 """
 
 
+def _corpus_curation_oracle() -> str:
+    """Twin of pipeline.curate_corpus + curation_summary over the same
+    planted-variant corpus as ``dedup_exact``: normalized-content dedup
+    (keep smallest id) → quality/lang annotation → threshold filter →
+    per-language budget rollup."""
+    hits = " + ".join(_duck_stopword_hits(l) for l in TX.STOPWORDS)
+    structs = ", ".join(
+        f"{{'h': {_duck_stopword_hits(l)}, 'l': '{l}'}}"
+        for l in ("en", "fr", "es", "de")
+    )
+    return f"""
+WITH both_docs AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 10 = 0),
+d AS (
+  SELECT doc_id, lang, text, row_number() OVER (
+      PARTITION BY trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))
+      ORDER BY doc_id) AS _rk
+  FROM both_docs),
+t AS (
+  SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tk,
+    length(text) AS nc,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
+  FROM d WHERE _rk = 1),
+f AS (
+  SELECT doc_id, lang, text, tk, len(tk) AS n_tok,
+    CASE WHEN len(tk) > 0 THEN CAST({hits} AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS uniq_ratio
+  FROM t),
+q AS (
+  SELECT doc_id, lang, n_tok,
+    round(least(n_tok / 20.0, 1.0) * 0.3
+        + least(stop_ratio * 4, 1.0) * 0.2
+        + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+        + uniq_ratio * 0.3, 6) AS quality_score,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN (list_sort([{structs}])[-1]).h > 0 THEN (list_sort([{structs}])[-1]).l
+         ELSE 'und' END AS lang_pred
+  FROM f)
+SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+  round(avg(quality_score), 6) AS avg_quality
+FROM q WHERE quality_score >= 0.65 AND lang_pred <> 'und'
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` kept as raw int64 ns — time predicates on this
     column push down to parquet row-group stats, which the µs-converted
@@ -677,6 +727,41 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Composed LLM-corpus curation over the planted-variant corpus:
+    dedup → annotate → filter → per-language token-budget rollup
+    (operators/pipeline.py). Variants (doc_id + 100000) must all be
+    removed by the dedup stage — the oracle keeps the smallest id per
+    normalized-content group the same way."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.pipeline import (
+        curate_corpus,
+        curation_summary,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    variants = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        "lang",
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    both = spread(d.unionByName(variants))
+    # threshold 0.65 actually bites on this corpus (quality spans
+    # 0.59-0.90); rollup by the source-metadata lang column (5 groups —
+    # the heuristic lang_pred collapses this English-text fixture to
+    # en/und and acts as the 'und' filter instead)
+    kept = curate_corpus(both, min_quality=0.65)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_token_count_bpe(spark, sf_dir):
     """BPE-ish subword count (regex word pieces, long words as
     ceil(len/4) units) — the ~chars-per-token heuristic used to budget
@@ -1091,6 +1176,7 @@ QUERIES: dict[str, QueryDef] = {
         "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
         " AS n_tokens FROM documents ORDER BY doc_id",
     ),
+    "corpus_curation": QueryDef(q_corpus_curation, _corpus_curation_oracle()),
     "token_count_bpe": QueryDef(
         q_token_count_bpe,
         # \pL / \pN are the same Unicode categories in Java regex and RE2

@@ -151,3 +151,48 @@ class TestMultimodal:
             assert idxs == list(range(len(idxs)))
             for i, off in frames:
                 assert off == i * 1000
+
+
+class TestCorpusCuration:
+    def test_dedup_filter_and_rollup(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.pipeline import (
+            curate_corpus,
+            curation_summary,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # dense English — passes quality; dup pair (keep id 1)
+                (1, "the quick brown fox jumps over the lazy dog and it is fine for all of us to see that"),
+                (2, "The  quick brown fox JUMPS over the lazy dog and it is fine for all of us to see that  "),
+                # junk: pure punctuation — fails quality
+                (3, "!!! ??? ... ### $$$ %%% ^^^ &&& *** ((( )))"),
+                # no stopword hits in any language — 'und', dropped
+                (4, "zzz qqq xxx vvv www yyy kkk jjj hhh ggg fff ddd sss aaa bbb ccc eee rrr ttt uuu"),
+                # French
+                (5, "le chat est sur la table et il est content de la vie que nous avons dans les maisons"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept = curate_corpus(docs, min_quality=0.5)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert ids == {1, 5}  # dup removed (smallest kept), junk + und dropped
+        summary = curation_summary(kept).collect()
+        assert [r["lang_pred"] for r in summary] == ["en", "fr"]
+        assert all(r["kept_docs"] == 1 for r in summary)
+        assert all(r["total_tokens"] > 10 for r in summary)
+
+    def test_language_allow_list(self, spark):
+        from inception_eventstore_spark.operators.pipeline import curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat is on the table and it is a fine day for all of us in the house"),
+                (2, "le chat est sur la table et il est content de la vie que nous avons ici"),
+            ],
+            ["doc_id", "text"],
+        )
+        only_fr = curate_corpus(docs, min_quality=0.1, langs=["fr"])
+        assert [r["doc_id"] for r in only_fr.collect()] == [2]
