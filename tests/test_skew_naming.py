@@ -106,3 +106,45 @@ class TestSaltedJoinGuard:
         out = salted_join(big, small, "k", salt_factor=4, how="left")
         assert out.count() == 10
         assert out.where(F.col("v").isNull()).count() == 7
+
+
+class TestBucketedJoin:
+    """Co-located joins via native bucketing: both sides bucketed on the
+    join key with the same count → SortMergeJoin with NO Exchange."""
+
+    def test_join_plan_has_no_exchange(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.sources.bucketed import (
+            colocated_join,
+            read_bucketed,
+            write_bucketed,
+        )
+
+        # spark.sql.warehouse.dir is static config — the managed tables
+        # land under ./spark-warehouse and are dropped in the finally
+        facts = spark.range(10_000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        dims = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # disable broadcast so the join strategy is decided by
+        # distribution, proving bucket metadata reaches the planner
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(facts, "b_facts", "k", n_buckets=8, sort_col="k")
+            write_bucketed(dims, "b_dims", "k", n_buckets=8, sort_col="k")
+            joined = colocated_join(spark, "b_facts", "b_dims", "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            # and it's not just metadata: the join is correct
+            assert joined.count() == 10_000
+            total = joined.agg(F.sum(F.col("w"))).first()[0]
+            assert total == sum((i % 500) * 2 for i in range(10_000))
+            assert read_bucketed(spark, "b_facts").count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS b_facts")
+            spark.sql("DROP TABLE IF EXISTS b_dims")
