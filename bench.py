@@ -30,6 +30,7 @@ HEADLINE = [
     "x2_index_day_read",
     "c3_counters",
     "join_revenue_by_nation",
+    "supplier_margin",
     "q1_pricing_summary",
     "topk_per_group",
     "rollup_orders",

@@ -407,6 +407,31 @@ def q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_supplier_margin(spark, sf_dir):
+    """TPC-H Q9-style 5-way join covering the remaining dims (part,
+    supplier, region): small-part revenue by supplier nation and region.
+    All four dims broadcast; the only shuffle is the final rollup."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("amount"),
+        )
+        .orderBy("nation", "region")
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 analog: wide multi-aggregate groupBy."""
     l = _t(spark, sf_dir, "lineitem")
@@ -1008,6 +1033,18 @@ QUERIES: dict[str, QueryDef] = {
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "GROUP BY n.n_name ORDER BY n.n_name",
+    ),
+    "supplier_margin": QueryDef(
+        q_supplier_margin,
+        "SELECT n.n_name AS nation, r.r_name AS region, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS amount "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE p.p_size <= 10 "
+        "GROUP BY nation, region ORDER BY nation, region",
     ),
     "q1_pricing_summary": QueryDef(
         q_q1_pricing_summary,

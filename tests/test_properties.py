@@ -155,3 +155,25 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+@given(st.permutations(list(range(1, 30))))
+@settings(max_examples=200, deadline=None)
+def test_commit_watermark_dense_prefix(perm):
+    """The streaming watermark state update maintains: high_water ==
+    length of the dense revision prefix received so far, for ANY arrival
+    order — the invariant commit_watermarks' gap detection hangs on."""
+    from inception_eventstore_spark.streaming.state import _advance
+
+    hw, pending, seen = 0, set(), set()
+    for r in perm:
+        seen.add(r)
+        if r == hw + 1:
+            hw = _advance(r, pending)
+        elif r > hw:
+            pending.add(r)
+        expect = 0
+        while expect + 1 in seen:
+            expect += 1
+        assert hw == expect
+    assert hw == 29 and not pending
