@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from inception_eventstore_spark.operators.similarity import (
     _py_signature,
     _signature_udf,
-    l2_distance,
+    brute_force_topk,
+    hamming_ball,
+    rank_cells,
 )
 
 
@@ -51,16 +53,6 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(spark.read.text(path).first()["value"])
-
-
-def _exact_rerank(cand: DataFrame, query_vector: list[float], k: int,
-                  id_col: str, vec_col: str) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
-    return (
-        cand.select(F.col(id_col), l2_distance(F.col(vec_col), q).alias("dist"))
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
 
 
 @dataclass(frozen=True)
@@ -104,7 +96,13 @@ class LshVectorIndex:
         """Ingest-time pass: signature once per vector (Arrow matmul
         kernel), one shuffle on ``_sig``, one partitioned write."""
         spark = embeddings.sparkSession
-        dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+        dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None:
+            raise ValueError(
+                "cannot build an LSH index over an empty embeddings "
+                "DataFrame (no rows to infer the vector dimension from)"
+            )
+        dim = int(dim_row["d"])
         sigged = embeddings.withColumn(
             "_sig", _signature_udf(n_planes, dim, seed)(F.col(vec_col))
         )
@@ -130,19 +128,13 @@ class LshVectorIndex:
     def probe_buckets(self, query_vector: list[float],
                       probe_radius: int = 2) -> list[int]:
         """The query's bucket plus all buckets within hamming distance
-        ``probe_radius`` — computed driver-side from the metadata."""
+        ``probe_radius`` — computed driver-side from the metadata
+        (same ``hamming_ball`` as the ad-hoc ``lsh_topk`` path)."""
         qsig = _py_signature(
             [float(x) for x in query_vector],
             self.meta.n_planes, self.meta.dim, self.meta.seed,
         )
-        probe = {qsig}
-        frontier = {qsig}
-        for _ in range(max(0, probe_radius)):
-            frontier = {
-                s ^ (1 << p) for s in frontier for p in range(self.meta.n_planes)
-            }
-            probe |= frontier
-        return sorted(probe)
+        return hamming_ball(qsig, self.meta.n_planes, probe_radius)
 
     def candidates(self, query_vector: list[float],
                    probe_radius: int = 2) -> DataFrame:
@@ -155,8 +147,8 @@ class LshVectorIndex:
     def topk(self, query_vector: list[float], k: int = 10,
              probe_radius: int = 2) -> DataFrame:
         cand = self.candidates(query_vector, probe_radius)
-        return _exact_rerank(cand, query_vector, k,
-                             self.meta.id_col, self.meta.vec_col)
+        return brute_force_topk(cand, query_vector, k,
+                                self.meta.id_col, self.meta.vec_col, "l2")
 
 
 class IvfVectorIndex:
@@ -215,16 +207,7 @@ class IvfVectorIndex:
         return self.spark.read.parquet(self._vectors_path(self.path))
 
     def probe_cells(self, query_vector: list[float], n_probe: int = 3) -> list[int]:
-        import math
-
-        def _l2(a, b):
-            return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
-
-        order = sorted(
-            range(len(self.centroids)),
-            key=lambda c: _l2(self.centroids[c], query_vector),
-        )
-        return order[:n_probe]
+        return rank_cells(self.centroids, query_vector)[:n_probe]
 
     def candidates(self, query_vector: list[float], n_probe: int = 3) -> DataFrame:
         probe = self.probe_cells(query_vector, n_probe)
@@ -233,4 +216,5 @@ class IvfVectorIndex:
     def topk(self, query_vector: list[float], k: int = 10,
              n_probe: int = 3) -> DataFrame:
         cand = self.candidates(query_vector, n_probe)
-        return _exact_rerank(cand, query_vector, k, self.id_col, self.vec_col)
+        return brute_force_topk(cand, query_vector, k,
+                                self.id_col, self.vec_col, "l2")

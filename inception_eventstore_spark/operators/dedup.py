@@ -13,6 +13,14 @@ Shuffle profile: each near-dup variant shuffles once on the bucket key
 (bands / simhash prefix / ngram token) and once to dedupe candidate
 pairs; candidate verification is a self-join restricted to bucket
 partners, never a full cross join.
+
+Cache lifecycle: the narrow intermediates feeding both sides of each
+self-join are persisted (MEMORY_AND_DISK) and intentionally left to the
+CacheManager — the returned DataFrames reference them lazily, so an
+eager unpersist would silently recompute the whole upstream on first
+use. Entries are a few bytes per document and evict under storage-
+memory pressure; long-lived services cycling many corpora can call
+``spark.catalog.clearCache()`` between runs.
 """
 
 from __future__ import annotations
@@ -209,9 +217,13 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
-#: SWAR lane mask: selects bits 0, 16, 32, 48 of a long — four 16-bit
-#: accumulator lanes per summed long.
-_SWAR_MASK = 0x0001_0001_0001_0001
+#: SWAR lane mask: selects bits 0 and 32 of a long — two 32-bit
+#: accumulator lanes per summed long. Two lanes, not four: with 16-bit
+#: spacing the top lane's addend is ~2^48 and a >=32k-token document
+#: overflows LongType under ANSI mode (job-aborting); with 32-bit
+#: spacing the addend is <= 2^32+1, so overflow needs a 2^30-token
+#: document — beyond Spark's 2 GiB string limit, i.e. unreachable.
+_SWAR_MASK = 0x0000_0001_0000_0001
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -224,12 +236,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Shape chosen for scale: explode tokens (narrow), hash once per
     token, then ONE vectorized hash aggregation — partial aggregation
     combines map-side, so the shuffle carries the per-doc counters, not
-    the token stream. The 64 bit-counters are packed SWAR-style into 16
-    summed longs (4 × 16-bit lanes each, selected by ``_SWAR_MASK``):
-    4× less aggregate state and shuffle payload than one sum per bit,
-    and a 4× smaller generated aggregate. Lane capacity 65535 tokens
-    per doc — far above any shuffled group. (A per-row array fold was
-    ~20× slower: 64 expression branches per token defeat codegen.)
+    the token stream. The 64 bit-counters are packed SWAR-style into 32
+    summed longs (2 × 32-bit lanes each, selected by ``_SWAR_MASK``):
+    2× less aggregate state and shuffle payload than one sum per bit,
+    overflow-free under ANSI for any representable document (see the
+    mask note). (A per-row array fold was ~20× slower: 64 expression
+    branches per token defeat codegen.)
     """
     from inception_eventstore_spark.functions.spread import spread
 
@@ -242,13 +254,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         F.sum(
             F.shiftright(F.col("_h"), s).bitwiseAND(F.lit(_SWAR_MASK))
         ).alias(f"_s{s}")
-        for s in range(16)
+        for s in range(32)
     ]
     counts = ex.groupBy("_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for b in range(64):
-        s, lane = b % 16, b // 16
-        c = F.shiftright(F.col(f"_s{s}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        s, lane = b % 32, b // 32
+        c = F.shiftright(F.col(f"_s{s}"), 32 * lane).bitwiseAND(F.lit(0xFFFFFFFF))
         bit_val = (1 << b) if b < 63 else -(1 << 63)  # sign bit, two's complement
         fp = fp + F.when(
             c * 2 > F.col("_n"), F.lit(bit_val).cast("long")

@@ -137,8 +137,33 @@ class EventStore:
     def _append_rows(self, rows: DataFrame, maintain_index: bool,
                      anti_join_existing: bool = False) -> None:
         rows = rows.dropDuplicates(["id", "rev", "pos"])
-        if anti_join_existing:
-            rows = self._drop_already_stored(rows)
+        maintain = maintain_index and (
+            self.event_type_of is not None or self.event_type_expr is not None
+        )
+        if not anti_join_existing:
+            self._write_events(rows)
+            if maintain:
+                self._append_index(rows)
+            return
+        # Streaming retry path. The batch (post-dedup) feeds the stats
+        # job, the anti-join, the events write AND the index derivation —
+        # persist it or the plan (including the pruned existing-keys
+        # scan) executes up to 4×. Index/counter maintenance anti-joins
+        # against the INDEX store, not the events result: if a prior
+        # attempt crashed after the events commit but before the index
+        # append, the retried rows are already in events (anti-joined to
+        # nothing there) yet still missing from the index — deriving the
+        # index from the events survivors would lose them permanently.
+        rows = rows.persist()
+        try:
+            new_events = self._drop_already_stored(rows)
+            self._write_events(new_events)
+            if maintain:
+                self._append_index(rows, anti_join_existing=True)
+        finally:
+            rows.unpersist()
+
+    def _write_events(self, rows: DataFrame) -> None:
         (
             rows.withColumn("bucket", self._bucket_col())
             .repartition("bucket")
@@ -147,10 +172,26 @@ class EventStore:
             .partitionBy("bucket")
             .parquet(self.layout.events_path)
         )
-        if maintain_index and (
-            self.event_type_of is not None or self.event_type_expr is not None
-        ):
-            self._append_index(rows)
+
+    def _drop_already_indexed(self, index_rows: DataFrame) -> DataFrame:
+        """Anti-join derived index rows against the index store, pruned
+        to the batch's (et, pid) partition set (static directory
+        pruning — the batch touches a handful of day partitions)."""
+        from inception_eventstore_spark.sources import fsutil
+
+        if not fsutil.list_data_files(self.spark, self.layout.index_path,
+                                      recursive=True):
+            return index_rows
+        keys = index_rows.select("et", "pid").distinct().collect()
+        if not keys:
+            return index_rows
+        existing = (
+            self.layout.read_index(self.spark)
+            .where(F.col("et").isin([k["et"] for k in keys]))
+            .where(F.col("pid").isin([k["pid"] for k in keys]))
+            .select("aid", "rev", "pos")
+        )
+        return index_rows.join(existing, ["aid", "rev", "pos"], "left_anti")
 
     def _drop_already_stored(self, rows: DataFrame) -> DataFrame:
         """Cross-batch idempotence for at-least-once delivery: anti-join
@@ -184,11 +225,24 @@ class EventStore:
         )
         return rows.join(existing, ["id", "rev", "pos"], "left_anti")
 
-    def _append_index(self, rows: DataFrame) -> None:
+    def _append_index(self, rows: DataFrame,
+                      anti_join_existing: bool = False) -> None:
         """X1 + C1 maintained inside ingest: the same derived projection
         feeds the (et, pid) index append and the per-type counter deltas
         — one job replaces the reference's separate dual-write handlers
-        (SURVEY §3.1)."""
+        (SURVEY §3.1).
+
+        ``anti_join_existing`` (streaming retry path) drops rows whose
+        (aid, rev, pos) already sit in the index — pruned to the batch's
+        (et, pid) partitions — so a re-delivered epoch appends neither
+        duplicate index rows nor double counter deltas. Counters are
+        derived from the index survivors, which shrinks the
+        partial-failure window to the gap between the index write and
+        the counter write (exactly-once across three independent parquet
+        commits needs a transaction log the storage layer doesn't have;
+        a crash landing in that residual window under-counts counters
+        until the next ``MessageCounter.compact``-style reconciliation).
+        """
         if self.event_type_expr is not None:
             et_col = self.event_type_expr(F.col("data"))
         else:
@@ -201,7 +255,17 @@ class EventStore:
             "rev",
             "pos",
             "ts",
-        ).persist()
+        )
+        if anti_join_existing:
+            # localCheckpoint (eager), not persist: the anti-join plan
+            # READS the index path the first write below APPENDS to, and
+            # Spark invalidates caches over a just-written path — a
+            # lazily-recomputed plan would then see its own output and
+            # anti-join the counter deltas away. Severing the lineage
+            # pins the survivor set computed BEFORE the write.
+            index_rows = self._drop_already_indexed(index_rows)
+            index_rows = index_rows.localCheckpoint(eager=True)
+        index_rows = index_rows.persist()
         try:
             (
                 index_rows.repartition("et", "pid")

@@ -122,6 +122,30 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64,
     return sig
 
 
+def hamming_ball(sig: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within hamming distance ``radius`` of ``sig`` —
+    the multiprobe set shared by the ad-hoc and persisted-index paths."""
+    probe = {sig}
+    frontier = {sig}
+    for _ in range(max(0, radius)):
+        frontier = {s ^ (1 << p) for s in frontier for p in range(n_planes)}
+        probe |= frontier
+    return sorted(probe)
+
+
+def rank_cells(centroids: list[list[float]],
+               query_vector: list[float]) -> list[int]:
+    """Cell indices ordered by centroid L2 distance to the query
+    (driver-side — the centroid list is tiny by construction)."""
+    import math
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    return sorted(range(len(centroids)),
+                  key=lambda c: _l2(centroids[c], query_vector))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vector: list[float],
@@ -154,12 +178,7 @@ def lsh_topk(
             "_sig", _signature_udf(n_planes, dim, seed)(F.col(vec_col))
         )
     qsig = _py_signature([float(x) for x in query_vector], n_planes, dim, seed)
-    probe = {qsig}
-    frontier = {qsig}
-    for _ in range(max(0, probe_radius)):
-        frontier = {s ^ (1 << p) for s in frontier for p in range(n_planes)}
-        probe |= frontier
-    probe = sorted(probe)
+    probe = hamming_ball(qsig, n_planes, probe_radius)
     cand = sigged.where(F.col("_sig").isin(probe))
     return (
         cand.select(F.col(id_col), l2_distance(F.col(vec_col), q).alias("dist"))
@@ -215,14 +234,7 @@ def ivf_topk(
     """IVF probe: rank cells by centroid distance to the query, scan the
     ``n_probe`` nearest cells, exact re-rank inside them. Expected scan
     fraction ≈ n_probe / n_cells of the table."""
-    import math
-
-    def _l2(a: list[float], b: list[float]) -> float:
-        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
-
-    order = sorted(range(len(centroids)),
-                   key=lambda c: _l2(centroids[c], query_vector))
-    probe = order[:n_probe]
+    probe = rank_cells(centroids, query_vector)[:n_probe]
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
         assigned.where(F.col("_cell").isin(probe))

@@ -1207,10 +1207,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "token_count": QueryDef(
         q_token_count,
-        # CASE guards blank text: DuckDB's split of '' yields [''] (len 1)
-        # while the Spark tokenizer filters empties and returns 0.
-        "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-        "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+        # the filtered split handles blank text (0 tokens) and the
+        # spelled-out char class matches Java's \s (RE2's lacks \x0b)
+        f"SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT)"
         " AS n_tokens FROM documents ORDER BY doc_id",
     ),
     "corpus_curation": QueryDef(q_corpus_curation, _corpus_curation_oracle()),

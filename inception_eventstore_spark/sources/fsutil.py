@@ -78,3 +78,29 @@ def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
     """Swap ``tmp`` into place of ``final`` (delete final, rename tmp)."""
     delete_path(spark, final)
     rename_path(spark, tmp, final)
+
+
+def write_text(spark: SparkSession, path_str: str, content: str) -> None:
+    """Write a small text FILE (not a directory) through the Hadoop FS —
+    for metadata sidecars like properties.json on any scheme."""
+    fs, path = _fs_and_path(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path_str: str) -> str | None:
+    """Read a small text file; None if it doesn't exist."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(path)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()

@@ -111,27 +111,45 @@ class EventStoreLayout:
 
     # -- S2: create tables (idempotent). Parquet dirs materialize on first
     # write; ensure_storage records intent and validates nothing clashes.
-    def ensure_storage(self) -> None:
-        for path in (
+    def ensure_storage(self, spark: SparkSession | None = None) -> None:
+        """Idempotent storage bootstrap + properties.json recording.
+
+        With ``spark`` the I/O goes through the Hadoop FileSystem API
+        (any scheme — file:/, hdfs:/, s3a:/); without it, plain local
+        filesystem calls (the common driver-local-warehouse case)."""
+        payload = json.dumps(
+            {
+                "keyspace": self.keyspace,
+                "replication": self.replication.to_property(),
+            },
+            indent=2,
+            sort_keys=True,
+        )
+        dirs = (
             self.events_path,
             self.index_path,
             self.counter_path,
             self.message_store_path,
-        ):
+        )
+        if spark is not None:
+            from inception_eventstore_spark.sources import fsutil
+
+            for path in dirs:
+                fsutil.mkdirs(spark, path)
+            fsutil.write_text(spark, self.properties_path, payload)
+            return
+        for path in dirs:
             os.makedirs(path, exist_ok=True)
         with open(self.properties_path, "w") as f:
-            json.dump(
-                {
-                    "keyspace": self.keyspace,
-                    "replication": self.replication.to_property(),
-                },
-                f,
-                indent=2,
-                sort_keys=True,
-            )
+            f.write(payload)
 
-    def properties(self) -> dict:
+    def properties(self, spark: SparkSession | None = None) -> dict:
         """The recorded keyspace properties ({} before ensure_storage)."""
+        if spark is not None:
+            from inception_eventstore_spark.sources import fsutil
+
+            text = fsutil.read_text(spark, self.properties_path)
+            return json.loads(text) if text else {}
         if not os.path.isfile(self.properties_path):
             return {}
         with open(self.properties_path) as f:

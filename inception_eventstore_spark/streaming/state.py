@@ -35,10 +35,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: the furthest-ahead revisions are dropped (the gap flag stays true).
 _PENDING_CAP = 1024
 
-_OUTPUT_SCHEMA = (
-    "id binary, high_water_rev int, max_seen_rev int, "
-    "n_events bigint, has_gap boolean"
-)
 _STATE_SCHEMA = "high_water int, max_seen int, n bigint, pending array<int>"
 
 
@@ -57,10 +53,25 @@ def commit_watermarks(
     """Streaming per-aggregate revision watermark with gap detection.
 
     Emits one row per aggregate per micro-batch it appears in:
-    (id, high_water_rev, max_seen_rev, n_events, has_gap) where
+    (<id_col>, high_water_rev, max_seen_rev, n_events, has_gap) where
     ``high_water_rev`` is the densest contiguous revision prefix seen so
     far (1..hw all present) and ``has_gap`` flags max_seen > high_water.
+    The id column keeps its name and input type (binary aggregate ids,
+    string/long analytics keys all work).
     """
+    from pyspark.sql import types as T
+
+    id_type = events.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("high_water_rev", T.IntegerType(), False),
+            T.StructField("max_seen_rev", T.IntegerType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("has_gap", T.BooleanType(), False),
+        ]
+    )
+    is_binary = isinstance(id_type, T.BinaryType)
 
     def update(
         key: Tuple[Any, ...],
@@ -85,9 +96,10 @@ def commit_watermarks(
         if len(pending) > _PENDING_CAP:
             pending = set(sorted(pending)[:_PENDING_CAP])
         state.update((hw, mx, n, sorted(pending)))
+        key_val = bytes(key[0]) if is_binary else key[0]
         yield pd.DataFrame(
             {
-                "id": [bytes(key[0])],
+                id_col: [key_val],
                 "high_water_rev": [hw],
                 "max_seen_rev": [mx],
                 "n_events": [n],
@@ -97,7 +109,7 @@ def commit_watermarks(
 
     return events.groupBy(F.col(id_col)).applyInPandasWithState(
         update,
-        outputStructType=_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -285,3 +285,28 @@ class TestPersistedAnnIndex:
         assert got[0]["vec_id"] == 500
         truth = {r["vec_id"] for r in S.brute_force_topk(base, q, k=10).collect()}
         assert len(truth & {r["vec_id"] for r in got}) >= 5
+
+
+class TestSimhashLongDocument:
+    def test_no_ansi_overflow_and_correct_fingerprint(self, spark):
+        """ANSI-mode regression: the SWAR lane sums must not overflow on
+        very long documents (a 16-bit-lane packing crashed at ~32k
+        tokens). Verifies the fingerprint against a python recomputation
+        from the same Spark-side token hashes."""
+        words = [f"w{i % 5000}" for i in range(70_000)]
+        df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+        sh = D.simhash_signatures(df).collect()[0]["_sh"]
+
+        hashes = [
+            r["_h"]
+            for r in df.select(
+                F.explode(D.tokens("text")).alias("_t")
+            ).select(F.xxhash64("_t").alias("_h")).collect()
+        ]
+        n = len(hashes)
+        fp = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hashes)
+            if 2 * ones > n:
+                fp += (1 << b) if b < 63 else -(1 << 63)
+        assert sh == fp

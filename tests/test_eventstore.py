@@ -476,3 +476,23 @@ class TestReplicationRecording:
             NetworkTopologyReplicationStrategy(datacenters=())
         with _pytest.raises(ValueError):
             replication_strategy_factory("exotic")
+
+
+class TestLayoutHadoopFs:
+    def test_ensure_storage_and_properties_via_file_uri(self, spark, tmp_path):
+        """ensure_storage/properties route through the Hadoop FS when a
+        session is supplied — same code path an hdfs:/ or s3a:/
+        warehouse would take (exercised here with a file:/ URI)."""
+        from inception_eventstore_spark.sources.replication import (
+            SimpleReplicationStrategy,
+        )
+
+        lay = L.EventStoreLayout(
+            warehouse="file:" + str(tmp_path / "fs_wh"),
+            keyspace="fsuri_es",
+            replication=SimpleReplicationStrategy(replication_factor=2),
+        )
+        lay.ensure_storage(spark=spark)
+        props = lay.properties(spark=spark)
+        assert props["replication"]["replication_factor"] == 2
+        assert props["keyspace"] == "fsuri_es"

@@ -372,3 +372,39 @@ class TestStatefulOperators:
             assert got[0]["session_end"] > got[0]["session_start"]
         finally:
             q.stop()
+
+
+class TestIndexRetrySafety:
+    def test_index_backfilled_after_partial_epoch_failure(self, spark, tmp_path):
+        """Crash between the events commit and the index append: the
+        retried epoch finds every event row already stored, but the
+        index anti-join works against the INDEX store, so the missing
+        index rows (and their counter deltas) are appended exactly once
+        (code-review finding r2: deriving the index from the events
+        anti-join survivors would lose them forever)."""
+        from inception_eventstore_spark.operators.counters import MessageCounter
+
+        lay = L.for_tenant(str(tmp_path / "wh"), "retry", "es")
+        store = EventStore(spark, lay, event_type_expr=_et_expr)
+        rows = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID1, 2, 0, T0 + HOUR, _payload("b")),
+            (AID2, 1, 0, T0 + 2 * HOUR, _payload("c", "type-t")),
+        ]
+        batch = spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA)
+        # attempt 1 "crashes" after the events write, before the index
+        store._append_rows(batch, maintain_index=False, anti_join_existing=True)
+        idx = IndexByEventTypeStore(spark, lay)
+        assert idx.count("type-s") == 0
+        # retry of the same epoch, full maintenance
+        store._append_rows(batch, maintain_index=True, anti_join_existing=True)
+        assert store.events_df().count() == 3          # events not duplicated
+        assert idx.count("type-s") == 2                # index backfilled
+        assert idx.count("type-t") == 1
+        counter = MessageCounter(spark, lay)
+        assert counter.get_count("type-s") == 2
+        # a further redelivery appends nothing anywhere
+        store._append_rows(batch, maintain_index=True, anti_join_existing=True)
+        assert store.events_df().count() == 3
+        assert idx.count("type-s") == 2
+        assert counter.get_count("type-s") == 2
