@@ -1,0 +1,123 @@
+"""Text/dedup scale smoke: the dedup + curation family at ~100k docs.
+
+The sf fixtures hold 5k documents — small enough that bench timings are
+dominated by per-stage fixed costs. This smoke synthesizes a 20× corpus
+(each sf0.1 doc replicated with a distinct integer prefix so content is
+unique, plus planted near-duplicate pairs) and times the three near-dup
+operators, exact dedup, and the curation pipeline end-to-end. The point
+is the SCALING SHAPE: a bucketed candidate join should grow
+near-linearly in docs, not quadratically.
+
+Usage: python tools/scale_smoke_text.py [sf_dir] [replication]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    from inception_eventstore_spark.operators import dedup as D
+    from inception_eventstore_spark.operators.pipeline import (
+        curate_corpus,
+        curation_summary,
+    )
+    from inception_eventstore_spark.session import get_spark
+    from inception_eventstore_spark.sources.tables import load_table
+
+    # local mode: driver JVM == executor; 100k-doc agg state needs heap
+    spark = get_spark(
+        "scale-smoke-text",
+        extra_configs={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_base = base.count()
+    # replicate with a per-copy prefix: contents stay unique across
+    # copies (no cross-copy exact dups), sizes scale linearly
+    copies = spark.range(reps).select(F.col("id").alias("_copy"))
+    # every 7th token is rewritten per copy (different positions AND
+    # replacements per copy), pushing cross-copy 3-gram jaccard to
+    # ~0.2 — realistic near-dup density instead of every copy being a
+    # 0.97-jaccard twin of its siblings (which correctly yields ~1M
+    # true pairs and benchmarks verification volume, not candidate
+    # generation). Copy 0 stays verbatim so the planted twins match it.
+    toks = F.split(F.col("text"), " ")
+    mutated = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i % 7 == F.pmod(F.col("_copy"), F.lit(7)),
+                F.concat(t, F.lit("x"), F.col("_copy").cast("string")),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    corpus = (
+        base.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_copy") * F.lit(1_000_000)).alias("doc_id"),
+            F.concat(
+                F.lit("copy"), F.col("_copy").cast("string"), F.lit(" "),
+                F.when(F.col("_copy") == 0, F.col("text")).otherwise(mutated),
+            ).alias("text"),
+        )
+    )
+    # plant near-dups: every 100th doc of copy 0 gets an upper-cased,
+    # padded twin (exact dup after normalization) — recovered by exact
+    # dedup AND by every near-dup operator at jaccard 1.0
+    planted = (
+        base.where(F.col("doc_id") % 100 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+            F.concat(F.lit("copy0 "), F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    corpus = corpus.unionByName(planted)
+    corpus = corpus.repartition(32).persist()
+    n_docs = corpus.count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name, df):
+        t0 = time.time()
+        counts[name] = df.count()
+        timings[name] = round(time.time() - t0, 2)
+
+    run("dedup_exact_groups", D.exact_duplicate_groups(
+        corpus.select(D.normalize_text("text").alias("text"))))
+    run("dedup_minhash_lsh", D.minhash_lsh_pairs(corpus, threshold=0.8))
+    run("dedup_simhash", D.simhash_near_duplicates(corpus, max_hamming=3))
+    run("dedup_ngram_jaccard", D.ngram_jaccard_pairs(corpus, n=3, threshold=0.8))
+    run("corpus_curation", curation_summary(
+        curate_corpus(corpus, min_quality=0.65)))
+
+    corpus.unpersist()
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "base_docs": n_base,
+        "corpus_docs": n_docs,
+        "planted_pairs": counts.get("dedup_exact_groups"),
+        "counts": counts,
+        "timings": timings,
+        "total_sec": round(sum(timings.values()), 2),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
