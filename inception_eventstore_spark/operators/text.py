@@ -68,7 +68,9 @@ def lang_id(col: Column | str) -> Column:
         ]
     )
     best = F.array_max(pairs)
-    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
+    # rlike stops at the first CJK hit; the regexp_replace formulation
+    # rebuilt the whole string just to test presence (~2× lang_id cost)
+    cjk = c.rlike("[一-鿿]")
     return (
         F.when(cjk, F.lit("zh"))
         .when(best["hits"] > 0, best["lang"])
