@@ -34,6 +34,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "topk_per_group",
     "rollup_orders",
+    "time_bucket_rollup",
     "pivot_status_priority",
     "scalar_funcs",
     "json_props_extract",

@@ -752,6 +752,26 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: 45-minute buckets
+    (an interval date_trunc can't express), per event type — pure
+    integer epoch math so both engines agree bit-for-bit."""
+    from inception_eventstore_spark.functions.timebucket import time_bucket
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            time_bucket("ts", "45 minutes").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """Composed LLM-corpus curation over the planted-variant corpus:
     dedup → annotate → filter → per-language token-budget rollup
@@ -1211,6 +1231,14 @@ QUERIES: dict[str, QueryDef] = {
         # spelled-out char class matches Java's \s (RE2's lacks \x0b)
         f"SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT)"
         " AS n_tokens FROM documents ORDER BY doc_id",
+    ),
+    "time_bucket_rollup": QueryDef(
+        q_time_bucket_rollup,
+        "SELECT make_timestamp(CAST(epoch_us(ts) - epoch_us(ts) % 2700000000 "
+        "AS BIGINT)) AS bucket, event_type, count(*) AS n, "
+        "round(sum(value), 2) AS total_value "
+        "FROM events GROUP BY bucket, event_type "
+        "ORDER BY bucket, event_type",
     ),
     "corpus_curation": QueryDef(q_corpus_curation, _corpus_curation_oracle()),
     "token_count_bpe": QueryDef(

@@ -196,3 +196,42 @@ class TestFileTimeSparkEquivalence:
             expected_dt = filetime_to_datetime(r["ts"]).replace(tzinfo=None)
             assert r["dt"] == expected_dt, f"ts={r['ts']}"
             assert r["pid"] == pid_from_filetime(r["ts"]), f"ts={r['ts']}"
+
+
+class TestTimeBucket:
+    def test_interval_parsing(self):
+        from inception_eventstore_spark.functions.timebucket import (
+            interval_to_micros,
+        )
+
+        assert interval_to_micros("45 minutes") == 45 * 60_000_000
+        assert interval_to_micros("1 day") == 86_400_000_000
+        assert interval_to_micros("6 hours") == 6 * 3_600_000_000
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            interval_to_micros("fortnight")
+        with _pytest.raises(ValueError):
+            interval_to_micros("3 weeks")
+
+    def test_bucket_boundaries(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from inception_eventstore_spark.functions.timebucket import time_bucket
+
+        rows = [
+            (dt.datetime(2024, 3, 14, 0, 0, 0),),
+            (dt.datetime(2024, 3, 14, 0, 44, 59),),
+            (dt.datetime(2024, 3, 14, 0, 45, 0),),
+            (dt.datetime(2024, 3, 14, 23, 59, 59),),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        got = [
+            r["b"]
+            for r in df.select(time_bucket("ts", "45 minutes").alias("b")).collect()
+        ]
+        assert got[0] == got[1] == dt.datetime(2024, 3, 14, 0, 0, 0)
+        assert got[2] == dt.datetime(2024, 3, 14, 0, 45, 0)
+        assert got[3] == dt.datetime(2024, 3, 14, 23, 15, 0)
