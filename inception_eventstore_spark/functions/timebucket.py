@@ -37,7 +37,14 @@ def interval_to_micros(interval: str) -> int:
         raise ValueError(
             f"unsupported unit {unit!r} (use second/minute/hour/day)"
         )
-    return int(n) * _UNIT_US[unit]
+    count = int(n)
+    if count < 1:
+        raise ValueError(
+            f"interval count must be positive, got {count} "
+            "(0 would divide by zero at runtime, negative widths are "
+            "meaningless)"
+        )
+    return count * _UNIT_US[unit]
 
 
 def time_bucket(col: Column | str, interval: str) -> Column:

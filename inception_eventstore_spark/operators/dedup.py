@@ -130,7 +130,8 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
     ).where(F.size("_sh") > 0)
 
 
-def minhash_signatures(sets: DataFrame, num_hashes: int = 64) -> DataFrame:
+def minhash_signatures(sets: DataFrame, num_hashes: int = 64,
+                       n_bases: int = 4) -> DataFrame:
     """(_id, _sig ARRAY<LONG>[num_hashes]) from (_id, _sh ARRAY<LONG>).
 
     Shape: explode the shingle hashes, then ONE vectorized hash-agg
@@ -156,8 +157,22 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = 64) -> DataFrame:
     min — band collision probability degrades from ~J⁴ toward ~J and
     candidates explode quadratically on corpora with weak global
     similarity (e.g. shared boilerplate tokens).
+
+    ``n_bases`` MUST equal the caller's rows-per-band (minhash_lsh_pairs
+    passes it through) — fewer bases than band rows would reuse a base
+    within a band and re-correlate its rows; more than 64 rotations per
+    base would duplicate functions outright.
     """
-    n_bases = 4
+    if num_hashes % n_bases != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a multiple of n_bases={n_bases}"
+        )
+    if num_hashes // n_bases > 64:
+        raise ValueError(
+            f"num_hashes={num_hashes} with n_bases={n_bases} needs "
+            f"{num_hashes // n_bases} rotations per base; only 64 distinct "
+            "rotations exist — raise n_bases"
+        )
     ex = sets.select("_id", F.explode("_sh").alias("_h"))
     bases = [F.xxhash64(F.lit(r), F.col("_h")) for r in range(n_bases)]
     step = max(1, (64 * n_bases) // num_hashes)
@@ -203,7 +218,9 @@ def minhash_lsh_pairs(
     # Candidates stay NARROW (id + 8-byte band hash); the shingle sets
     # are joined back only for the surviving pairs — carrying arrays
     # through the band explode would multiply shuffle volume ×bands.
-    banded = minhash_signatures(sets, num_hashes)
+    # n_bases = rows_per_band keeps every band's rows on independent
+    # base hashes (the ~J^r selectivity the S-curve math assumes)
+    banded = minhash_signatures(sets, num_hashes, n_bases=rows_per_band)
     banded = banded.select(
         "_id",
         F.posexplode(

@@ -1234,7 +1234,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "time_bucket_rollup": QueryDef(
         q_time_bucket_rollup,
-        "SELECT make_timestamp(CAST(epoch_us(ts) - epoch_us(ts) % 2700000000 "
+        # ((x % W) + W) % W = pmod: DuckDB's % truncates toward zero, so
+        # the plain form would disagree with Spark's floor semantics on
+        # pre-epoch timestamps
+        "SELECT make_timestamp(CAST(epoch_us(ts) - "
+        "((epoch_us(ts) % 2700000000) + 2700000000) % 2700000000 "
         "AS BIGINT)) AS bucket, event_type, count(*) AS n, "
         "round(sum(value), 2) AS total_value "
         "FROM events GROUP BY bucket, event_type "

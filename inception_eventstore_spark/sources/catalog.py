@@ -42,21 +42,24 @@ class EventStoreCatalog:
         suffix = "_" + self.base_keyspace.lower()
         return [k[: -len(suffix)] for k in self.keyspaces() if k.endswith(suffix)]
 
-    def ensure_tenant(self, tenant: str) -> EventStoreLayout:
-        """S4: idempotent per-tenant bootstrap."""
+    def ensure_tenant(self, tenant: str, spark=None) -> EventStoreLayout:
+        """S4: idempotent per-tenant bootstrap (pass ``spark`` for
+        non-local warehouse URIs — see layout.for_tenant)."""
         return for_tenant(
-            self.warehouse, tenant, self.base_keyspace, self.bounded_context
+            self.warehouse, tenant, self.base_keyspace, self.bounded_context,
+            spark=spark,
         )
 
-    def ensure_tenants(self, tenants: list[str]) -> dict[str, EventStoreLayout]:
+    def ensure_tenants(self, tenants: list[str],
+                       spark=None) -> dict[str, EventStoreLayout]:
         """Bootstrap every tenant in the (possibly updated) tenant list —
         the reaction to tenant-list changes in the reference's startup."""
-        return {t: self.ensure_tenant(t) for t in tenants}
+        return {t: self.ensure_tenant(t, spark=spark) for t in tenants}
 
-    def wipe_tenant(self, tenant: str) -> None:
+    def wipe_tenant(self, tenant: str, spark=None) -> None:
         """S3 with the same tenant guard."""
         layout = EventStoreLayout(
             warehouse=self.warehouse,
             keyspace=f"{tenant}_{self.base_keyspace}".lower(),
         )
-        layout.wipe(tenant)
+        layout.wipe(tenant, spark=spark)

@@ -155,11 +155,16 @@ class EventStoreLayout:
         with open(self.properties_path) as f:
             return json.load(f)
 
-    def exists(self) -> bool:
+    def exists(self, spark: SparkSession | None = None) -> bool:
+        if spark is not None:
+            from inception_eventstore_spark.sources import fsutil
+
+            return fsutil.path_exists(spark, self.events_path)
         return os.path.isdir(self.events_path)
 
     # -- S3: wipe tenant, guarded like EventStoreDataWiper.cs:31-57.
-    def wipe(self, tenant_guard: str) -> None:
+    def wipe(self, tenant_guard: str,
+             spark: SparkSession | None = None) -> None:
         """Drop the whole keyspace iff ``tenant_guard`` matches its tenant."""
         if not self.keyspace.startswith(tenant_guard.lower() + "_") and (
             self.keyspace != tenant_guard.lower()
@@ -167,6 +172,11 @@ class EventStoreLayout:
             raise PermissionError(
                 f"refusing to wipe {self.keyspace!r} for tenant {tenant_guard!r}"
             )
+        if spark is not None:
+            from inception_eventstore_spark.sources import fsutil
+
+            fsutil.delete_path(spark, self.root)
+            return
         shutil.rmtree(self.root, ignore_errors=True)
 
     def read_events(self, spark: SparkSession) -> DataFrame:
@@ -189,14 +199,20 @@ def for_tenant(
     base_keyspace: str = "eventstore",
     bounded_context: str | None = None,
     replication=None,
+    spark: SparkSession | None = None,
 ) -> EventStoreLayout:
     """S4 bootstrap: resolve naming strategies and ensure storage
-    (recording the replication strategy, default Simple/RF=1)."""
+    (recording the replication strategy, default Simple/RF=1).
+
+    Pass ``spark`` when the warehouse is not driver-local (hdfs:/,
+    s3a:/) — the bootstrap then runs through the Hadoop FileSystem API;
+    without it, ``os.makedirs`` would create a literal local directory
+    named after the URI scheme."""
     layout = EventStoreLayout(
         warehouse=warehouse,
         keyspace=keyspace_per_tenant(tenant, base_keyspace),
         table=table_per_bounded_context(bounded_context),
         replication=replication or SimpleReplicationStrategy(),
     )
-    layout.ensure_storage()
+    layout.ensure_storage(spark=spark)
     return layout

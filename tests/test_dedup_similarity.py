@@ -310,3 +310,22 @@ class TestSimhashLongDocument:
             if 2 * ones > n:
                 fp += (1 << b) if b < 63 else -(1 << 63)
         assert sh == fp
+
+
+class TestMinhashBandingGuards:
+    def test_non_default_banding_keeps_independent_band_rows(self, spark, corpus):
+        # 128 hashes / 16 bands → 8 rows per band needs 8 bases; must
+        # not silently reuse 4 (correlated band rows → candidate blowup)
+        pairs = D.minhash_lsh_pairs(
+            corpus, num_hashes=128, bands=16, threshold=0.8
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} >= set()  # runs clean
+
+    def test_rotation_exhaustion_raises(self, spark):
+        import pytest as _pytest
+
+        sets = spark.createDataFrame([(1, [1, 2, 3])], ["_id", "_sh"])
+        with _pytest.raises(ValueError):
+            D.minhash_signatures(sets, num_hashes=512, n_bases=4)
+        with _pytest.raises(ValueError):
+            D.minhash_signatures(sets, num_hashes=64, n_bases=3)

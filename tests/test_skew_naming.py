@@ -131,6 +131,7 @@ class TestBucketedJoin:
         )
         # disable broadcast so the join strategy is decided by
         # distribution, proving bucket metadata reaches the planner
+        prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             write_bucketed(facts, "b_facts", "k", n_buckets=8, sort_col="k")
@@ -145,6 +146,6 @@ class TestBucketedJoin:
             assert total == sum((i % 500) * 2 for i in range(10_000))
             assert read_bucketed(spark, "b_facts").count() == 10_000
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
             spark.sql("DROP TABLE IF EXISTS b_facts")
             spark.sql("DROP TABLE IF EXISTS b_dims")
