@@ -121,6 +121,25 @@ class LshVectorIndex:
         meta = LshIndexMeta(**_read_meta(spark, cls._meta_path(path)))
         return cls(spark, path, meta)
 
+    def append(self, embeddings: DataFrame) -> None:
+        """Incremental maintenance: signature the new vectors with the
+        index's recorded parameters and append into the existing
+        ``_sig`` partition directories — the ingest-maintained-index
+        pattern (X1 analog); no rebuild, probes see the new rows on the
+        next scan."""
+        sigged = embeddings.withColumn(
+            "_sig",
+            _signature_udf(self.meta.n_planes, self.meta.dim, self.meta.seed)(
+                F.col(self.meta.vec_col)
+            ),
+        )
+        (
+            sigged.repartition("_sig")
+            .write.mode("append")
+            .partitionBy("_sig")
+            .parquet(self._vectors_path(self.path))
+        )
+
     # -- read side
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(self._vectors_path(self.path))
@@ -202,6 +221,34 @@ class IvfVectorIndex:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfVectorIndex":
         return cls(spark, path, _read_meta(spark, cls._meta_path(path)))
+
+    def append(self, embeddings: DataFrame) -> None:
+        """Incremental maintenance: assign new vectors to the EXISTING
+        centroids (nearest-cell, no refit — the standard IVF insert) and
+        append into the ``_cell`` partition directories. Rebuild when
+        drift makes the quantizer stale; probes meanwhile stay correct,
+        just less selective for drifted vectors."""
+        from inception_eventstore_spark.operators.similarity import l2_distance
+
+        cells = [
+            F.struct(
+                l2_distance(
+                    F.col(self.vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(self.centroids)
+        ]
+        assigned = embeddings.withColumn(
+            "_cell", F.array_min(F.array(*cells))["c"]
+        )
+        (
+            assigned.repartition("_cell")
+            .write.mode("append")
+            .partitionBy("_cell")
+            .parquet(self._vectors_path(self.path))
+        )
 
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(self._vectors_path(self.path))

@@ -329,3 +329,31 @@ class TestMinhashBandingGuards:
             D.minhash_signatures(sets, num_hashes=512, n_bases=4)
         with _pytest.raises(ValueError):
             D.minhash_signatures(sets, num_hashes=64, n_bases=3)
+
+
+class TestAnnIndexAppend:
+    def test_lsh_append_visible_to_probes(self, spark, vectors, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = vectors.where(F.col("vec_id") != 0).where(F.col("vec_id") != 500)
+        idx = LshVectorIndex.build(base, str(tmp_path / "lsh_app"), n_planes=6)
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        before = [r["vec_id"] for r in idx.topk(q, k=3).collect()]
+        assert 500 not in before
+        # ingest-maintained: append the planted neighbor, no rebuild
+        idx.append(vectors.where(F.col("vec_id") == 500))
+        after = [r["vec_id"] for r in idx.topk(q, k=3).collect()]
+        assert after and after[0] == 500
+
+    def test_ivf_append_visible_to_probes(self, spark, vectors, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import IvfVectorIndex
+
+        base = vectors.where(F.col("vec_id") != 0).where(F.col("vec_id") != 500)
+        IvfVectorIndex.build(base, str(tmp_path / "ivf_app"), n_cells=4)
+        idx = IvfVectorIndex.load(spark, str(tmp_path / "ivf_app"))
+        rows = vectors.collect()
+        q = [float(x) for x in rows[0]["embedding"]]
+        idx.append(vectors.where(F.col("vec_id") == 500))
+        got = [r["vec_id"] for r in idx.topk(q, k=3, n_probe=4).collect()]
+        assert got and got[0] == 500
