@@ -66,17 +66,20 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Keep the smallest id per exact-content group. One shuffle on the
     64-bit content hash (not the full text) — at 100 TB the shuffle key
-    is 8 bytes/row."""
+    is 8 bytes/row.
+
+    ``min_by`` hash aggregation, not a row_number window: the aggregate
+    combines map-side (the shuffle carries one surviving row per
+    (partition, content-key) instead of every duplicate) and needs no
+    per-partition sort."""
+    cols = docs.columns
     key = F.xxhash64(normalize_text(text_col)).alias("_ck")
-    return (
+    kept = (
         docs.withColumn("_ck", key)
-        .withColumn(
-            "_keep",
-            F.row_number().over(Window.partitionBy("_ck").orderBy(id_col)),
-        )
-        .where(F.col("_keep") == 1)
-        .drop("_ck", "_keep")
+        .groupBy("_ck")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
     )
+    return kept.select(*[F.col("_row")[c].alias(c) for c in cols])
 
 
 # ----------------------------------------------------------------------

@@ -308,12 +308,20 @@ def cosine_near_duplicates(
             [], "id_a long, id_b long, cosine double"
         )
     dim = int(dim_row["d"])
+    # a persisted ann_index table already carries _sig as its partition
+    # column — trust it instead of recomputing (n_planes/seed travel
+    # with the index build in that case)
+    sig_col = (
+        F.col("_sig")
+        if "_sig" in embeddings.columns
+        else _signature_udf(n_planes, dim, seed)(F.col(vec_col))
+    )
     # no spread: the Arrow matmul kernel processes ~10k rows/ms per
     # batch; extra partitions only multiply python-worker cold starts
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _signature_udf(n_planes, dim, seed)(F.col(vec_col)).alias("_sig"),
+        sig_col.alias("_sig"),
     ).persist()
     probes = base.select(
         "_id",
