@@ -20,3 +20,7 @@ from inception_eventstore_spark.functions.paging import (  # noqa: F401
     encode_token,
     decode_token,
 )
+from inception_eventstore_spark.functions.timebucket import (  # noqa: F401
+    interval_to_micros,
+    time_bucket,
+)

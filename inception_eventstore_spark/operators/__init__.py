@@ -14,8 +14,19 @@ from inception_eventstore_spark.operators.migration import (  # noqa: F401
     copy_raw,
     migrate_event_store,
 )
-from inception_eventstore_spark.operators.joins import asof_join  # noqa: F401
+from inception_eventstore_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    range_join,
+)
 from inception_eventstore_spark.operators.sessions import (  # noqa: F401
     session_stats,
     sessionize,
+)
+from inception_eventstore_spark.operators.ann_index import (  # noqa: F401
+    IvfVectorIndex,
+    LshVectorIndex,
+)
+from inception_eventstore_spark.operators.pipeline import (  # noqa: F401
+    curate_corpus,
+    curation_summary,
 )
