@@ -133,6 +133,14 @@ def fingerprint64(col: Column | str) -> Column:
     return F.xxhash64(normalize_text(col))
 
 
+def content_digest(col: Column | str) -> Column:
+    """Portable 128-bit content fingerprint: lowercase md5 hex of the
+    UTF-8 normalized content. Any SQL engine computes the same value, so
+    the declared query is oracle-paired; ``fingerprint64`` (xxhash64)
+    remains the cheap 8-byte key for hot-path joins."""
+    return F.md5(F.encode(normalize_text(col), "UTF-8"))
+
+
 def text_stats_by_lang(docs: DataFrame) -> DataFrame:
     """The declared text-analysis rollup: docs + chars per language."""
     return (

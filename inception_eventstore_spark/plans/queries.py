@@ -4,7 +4,13 @@ analytics tables, each paired with the ANSI-SQL oracle DuckDB runs on
 the same parquet files.
 
 Conventions that make the oracle hash-match exact:
-- every query totally ordered;
+- the gate's value hash is order-insensitive (rows sorted before
+  hashing, both here in tools/check_oracle.py and in the driver), so
+  queries carry ORDER BY only where it is semantic (keyset paging,
+  top-k limits) or free (post-aggregation hundreds of rows). Wide
+  full-table projections deliberately do NOT sort — a decorative global
+  orderBy is a full range-partition shuffle that would dominate the
+  benchmark without changing the verified result;
 - every computed column aliased identically on both sides;
 - integer-typed columns cast to BIGINT on both sides (Spark year() is
   INT, DuckDB's is BIGINT; DuckDB sum(BIGINT) is HUGEINT);
@@ -244,10 +250,8 @@ def q_r9_time_scan(spark, sf_dir):
     e = _events_raw(spark, sf_dir)
     lo = _ns("2024-01-01 00:00:00")
     hi = _ns("2024-06-30 00:00:00") + 999  # inclusive after ns→µs truncation
-    return (
-        e.where((F.col("ts") >= lo) & (F.col("ts") <= hi))
-        .select("event_id", "user_id", "event_type")
-        .orderBy("event_id")
+    return e.where((F.col("ts") >= lo) & (F.col("ts") <= hi)).select(
+        "event_id", "user_id", "event_type"
     )
 
 
@@ -269,27 +273,20 @@ def q_r11_replay_by_type(spark, sf_dir):
     """R11: index-driven selection by (event type, time range); both
     predicates reach the parquet scan."""
     e = _events_raw(spark, sf_dir)
-    return (
-        e.where(
-            (F.col("event_type") == "click")
-            & (F.col("ts") >= _ns("2024-01-01 00:00:00"))
-        )
-        .select("event_id", "user_id", "value")
-        .orderBy("event_id")
-    )
+    return e.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= _ns("2024-01-01 00:00:00"))
+    ).select("event_id", "user_id", "value")
 
 
 def q_window_commit_order(spark, sf_dir):
     """Commit-ordering analog: per-aggregate ordinal via window."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.select(
-            "event_id",
-            "user_id",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .orderBy("user_id", "rn")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 
@@ -368,18 +365,15 @@ def q_c3_counters(spark, sf_dir):
 def q_m2_message_scan(spark, sf_dir):
     """M2: raw archive scan (payload column)."""
     e = _t(spark, sf_dir, "events")
-    return e.select("event_id", "props").orderBy("event_id")
+    return e.select("event_id", "props")
 
 
 def q_json_props_extract(spark, sf_dir):
     """Payload decode analog (ISerializer seam): JSON field extraction."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.select(
-            "event_id",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
-        )
-        .orderBy("event_id")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
 
 
@@ -516,7 +510,6 @@ def q_scalar_funcs(spark, sf_dir):
             F.round(F.sqrt(F.abs("value")), 6).alias("rt"),
             F.floor("value").cast("long").alias("fl"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -578,7 +571,6 @@ def q_null_funcs(spark, sf_dir):
                 "is_click"
             ),
         )
-        .orderBy("event_id")
     )
 
 
@@ -606,7 +598,6 @@ def q_above_own_average(spark, sf_dir):
         e.withColumn("user_avg", F.avg("value").over(w))
         .where(F.col("value") > F.col("user_avg"))
         .select("event_id", "user_id", F.round("value", 6).alias("value"))
-        .orderBy("event_id")
     )
 
 
@@ -660,9 +651,7 @@ def q_asof_join(spark, sf_dir):
         purchases, clicks, on="user_id", left_time="ts", right_time="ts",
         value_cols=["click_id"],
     )
-    return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id").orderBy(
-        "event_id"
-    )
+    return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id")
 
 
 def q_sessionize(spark, sf_dir):
@@ -744,11 +733,8 @@ def q_text_stats(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     """Token counting over documents (whitespace tokens)."""
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
-        )
-        .orderBy("doc_id")
+    return d.select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
     )
 
 
@@ -812,12 +798,9 @@ def q_token_count_bpe(spark, sf_dir):
     ceil(len/4) units) — the ~chars-per-token heuristic used to budget
     LLM training data."""
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            TX.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
-        )
-        .orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        TX.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -937,33 +920,27 @@ def q_lang_id(spark, sf_dir):
     from inception_eventstore_spark.functions.spread import spread
 
     d = spread(_t(spark, sf_dir, "documents"))
-    return (
-        d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
-        .orderBy("doc_id")
-    )
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
 def q_quality_scores(spark, sf_dir):
     from inception_eventstore_spark.functions.spread import spread
 
     d = spread(_t(spark, sf_dir, "documents"))
-    return (
-        TX.quality_features(d)
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "quality_score",
-        )
-        .orderBy("doc_id")
+    return TX.quality_features(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
     )
 
 
 def q_fingerprints(spark, sf_dir):
+    """Document fingerprinting, oracle-paired via the portable md5
+    content digest (identical bytes-in → hex-out in any engine). The
+    xxhash64 hot-path key (``fingerprint64``) has no DuckDB twin and is
+    pinned by pytest instead."""
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", TX.fingerprint64("text").alias("fp"))
-        .orderBy("doc_id")
-    )
+    return d.select("doc_id", TX.content_digest("text").alias("fp"))
 
 
 # ----------------------------------------------------------------------
@@ -1278,7 +1255,14 @@ QUERIES: dict[str, QueryDef] = {
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
     "sim_cosine_near_dup": QueryDef(q_sim_cosine_near_dup, None),
     "multimodal_features": QueryDef(q_multimodal_features, None),
-    "text_fingerprints": QueryDef(q_fingerprints, None),
+    "text_fingerprints": QueryDef(
+        q_fingerprints,
+        # md5 of the same normalized content normalize_text() produces
+        # (lower → collapse Java-\s runs → trim); char class spelled out
+        # because RE2's \s lacks \x0b
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
+        "'[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp FROM documents",
+    ),
 }
 
 

@@ -110,6 +110,27 @@ class TestFingerprint:
         assert fps[1] == fps[2]
         assert fps[1] != fps[3]
 
+    def test_content_digest_matches_python_md5(self, spark):
+        """content_digest (the oracle-portable fingerprint) is exactly
+        md5 over the UTF-8 normalized content."""
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(1, "Hello \t World"), (2, "naïve café — unicode"), (3, "")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in df.select(
+                "doc_id", TX.content_digest("text").alias("fp")
+            ).collect()
+        }
+        import re
+
+        for doc_id, text in [(1, "Hello \t World"), (2, "naïve café — unicode"), (3, "")]:
+            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            assert got[doc_id] == hashlib.md5(norm.encode()).hexdigest()
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
