@@ -30,3 +30,7 @@ from inception_eventstore_spark.operators.pipeline import (  # noqa: F401
     curate_corpus,
     curation_summary,
 )
+from inception_eventstore_spark.operators.components import (  # noqa: F401
+    connected_components,
+    dedup_by_components,
+)

@@ -1,0 +1,135 @@
+"""Connected components over near-duplicate pair lists → cluster dedup.
+
+The near-dup operators (minhash_lsh_pairs / simhash_near_duplicates /
+ngram_jaccard_pairs / cosine_near_duplicates) emit PAIRS, but a corpus
+dedup needs CLUSTERS: if A~B and B~C, exactly one of {A, B, C} should
+survive even though (A, C) may never appear as a pair. That closure is
+connected components over the pair graph.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014) — the
+standard shuffle-based CC that converges in O(log² n) rounds regardless
+of component diameter, unlike naive label propagation whose round count
+is the graph diameter (a 100 TB crawl corpus can chain near-dups into
+long paths). Each round is two hash-shuffles over the CURRENT edge set,
+which only shrinks as stars collapse; per-round state is one
+(node, min-neighbor) pair per node.
+
+Driver-side iteration uses ``localCheckpoint`` per round to truncate
+lineage (without it the plan doubles every round and Catalyst analysis
+dominates), and a (count, hash-sum) signature to detect the fixed point
+with one tiny aggregate instead of a full anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge large→small, drop self-loops, dedupe."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach each node's strictly-larger neighbors to its minimum
+    neighborhood node (Γ⁺ min): emit (v, m) for v ∈ Γ(u), v > u."""
+    nbrs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    mins = mins.select("u", F.least("m", F.col("u")).alias("m"))
+    return _canonical(
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach each node's smaller-or-equal neighbors (and itself) to its
+    minimum smaller neighbor."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return _canonical(nbr_edges.union(self_edges))
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fixed-point signature: (edge count, XOR of
+    per-edge hashes) — one aggregate, no join. XOR (not sum): the edge
+    set is distinct so xor is a faithful set digest, and it cannot
+    overflow under ANSI mode."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    ``component`` is the smallest node id in its connected component.
+
+    ``pairs`` is an undirected edge list (near-dup pairs); extra columns
+    (jaccard, hamming, …) are ignored. Isolated documents never appear
+    in a pair list — callers wanting them labeled union the full id set
+    afterwards (see ``dedup_by_components``)."""
+    edges = _canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixed point = star graphs: every edge points node → component min.
+    members = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    roots = edges.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return members.union(roots)
+
+
+def dedup_by_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Corpus-level near-dup removal: keep exactly one representative
+    (the smallest id) per connected component of the pair graph, plus
+    every document that appears in no pair. One left-anti hash join
+    against the (small) non-representative set."""
+    comp = connected_components(pairs, src, dst)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -187,6 +187,54 @@ def lsh_topk(
     )
 
 
+def _lloyd_kmeans(
+    X: "np.ndarray", n_cells: int, seed: int, max_iter: int
+) -> "np.ndarray":
+    """Driver-side k-means: k-means++ seeding + Lloyd iterations, all
+    numpy matmuls. Empty cells are reseeded to the point farthest from
+    its assigned centroid (standard FAISS-style repair)."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    k = min(n_cells, n)
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[rng.integers(n)]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        idx = rng.choice(n, p=d2 / total) if total > 0 else rng.integers(n)
+        C[i] = X[idx]
+        d2 = np.minimum(d2, ((X - C[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        D = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        a = D.argmin(axis=1)
+        newC = C.copy()
+        for c in range(k):
+            members = a == c
+            if members.any():
+                newC[c] = X[members].mean(axis=0)
+            else:
+                newC[c] = X[D.min(axis=1).argmax()]
+        if np.allclose(newC, C):
+            return newC
+        C = newC
+    return C
+
+
+def _cell_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment: one matmul per batch
+    against the (tiny) centroid matrix baked into the closure."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        D = (M**2).sum(1)[:, None] - 2.0 * (M @ C.T) + Cn[None, :]
+        return pd.Series(D.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -194,6 +242,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 10,
+    train_sample: int = 65_536,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means cells over the embedding space.
 
@@ -202,23 +251,32 @@ def build_ivf_index(
     partition column the table is written under, so a probe scans only
     its cells) and ``centroids`` is the driver-side cell→center list.
 
-    Uses pyspark.ml KMeans when available (it is in this image); the
-    sklearn-free fallback raises ImportError loudly rather than
-    silently degrading.
-    """
-    from pyspark.ml.clustering import KMeans  # import-try seam
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    Trained FAISS-style on a bounded sample, never the full table: a
+    deterministic hash-ordered TakeOrdered pulls ≤ ``train_sample``
+    vectors to the driver (per-partition top-k, no full sort), Lloyd
+    runs there in numpy, and the full table then gets exactly ONE
+    vectorized assignment pass. A distributed k-means (pyspark.ml)
+    would cache the whole dataset and rescan it every iteration —
+    ~max_iter full passes over 100 TB for a quantizer whose quality
+    saturates at a few tens of thousands of training points."""
     from inception_eventstore_spark.functions.spread import spread
 
-    base = spread(embeddings).withColumn(
-        "_fv", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    sample = (
+        embeddings.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .collect()
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_fv",
-                predictionCol="_cell")
-    model = km.fit(base)
-    assigned = model.transform(base).drop("_fv")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if not sample:
+        raise ValueError(
+            "cannot build an IVF index over an empty embeddings DataFrame"
+        )
+    X = np.array([r["_v"] for r in sample], dtype=np.float64)
+    C = _lloyd_kmeans(X, n_cells, seed, max_iter)
+    centroids = [list(map(float, c)) for c in C]
+    assigned = spread(embeddings).withColumn(
+        "_cell", _cell_assign_udf(centroids)(F.col(vec_col))
+    )
     return assigned, centroids
 
 

@@ -102,6 +102,38 @@ ORDER BY id_a, id_b
 """
 
 
+def _cc_clusters_oracle() -> str:
+    """Twin of connected_components over the exact n-gram-Jaccard pair
+    graph: the same brute-force pair query as _ngram_jaccard_oracle,
+    closed transitively with a recursive CTE, labeled by component min.
+    (DuckDB can afford the O(V·E) closure at oracle scale; the Spark
+    side is the O(log² n)-round alternating-star algorithm.)"""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i, least(i+2, len(tk))), ' ')
+                   for i in generate_series(1, greatest(len(tk)-2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) >= 0.8),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pr
+  UNION SELECT id_b AS u, id_a AS v FROM pr),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u WHERE n.v <> r.u)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
 def _quality_scores_oracle() -> str:
     """Twin of text.quality_features' composite score — identical
     arithmetic in identical order so the IEEE doubles agree bit-for-bit.
@@ -850,6 +882,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_cc_clusters(spark, sf_dir):
+    """Cluster-level dedup: connected components over the exact n-gram
+    Jaccard pair graph (alternating large-star/small-star), labeling
+    every clustered document with its component's smallest doc_id —
+    the closure a pair list alone cannot express (A~B, B~C ⇒ one
+    survivor among {A,B,C})."""
+    from inception_eventstore_spark.operators.components import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_sim_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -1246,6 +1294,7 @@ QUERIES: dict[str, QueryDef] = {
     # deterministic text/dedup extensions — oracle-paired (SQL generated
     # from the same STOPWORDS table the Spark operators use)
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _ngram_jaccard_oracle()),
+    "dedup_cc_clusters": QueryDef(q_dedup_cc_clusters, _cc_clusters_oracle()),
     "text_lang_id": QueryDef(q_lang_id, _lang_id_oracle()),
     "text_quality_scores": QueryDef(q_quality_scores, _quality_scores_oracle()),
     # rows-only (probabilistic / hash-family-specific; verified in tests/)
