@@ -44,6 +44,7 @@ HEADLINE = [
     "sessionize",
     "range_join_windows",
     "dedup_exact",
+    "corpus_split",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -34,3 +34,8 @@ from inception_eventstore_spark.operators.components import (  # noqa: F401
     connected_components,
     dedup_by_components,
 )
+from inception_eventstore_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+    mix_corpora,
+)

@@ -1,0 +1,112 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A training corpus needs reproducible, engine-independent assignment of
+every document to train/val/test (and reproducible down-sampling for
+mixture weighting) — `df.sample()`/`randomSplit()` are seed-dependent on
+partitioning and not portable across engines or runs. The standard fix
+is content-keyed hashing: bucket = H(seed || id) mod B, assign by
+cumulative weight thresholds. Properties:
+
+- deterministic under any partitioning, executor count, or engine
+  (the hash is md5, identical everywhere);
+- stable under corpus growth: a document's split never changes when
+  other documents are added or removed;
+- nested fractions: ``deterministic_sample(f1) ⊆ deterministic_sample(f2)``
+  whenever f1 ≤ f2 — growing a mixture weight only ADDS documents.
+
+All JVM-side column expressions (md5 + conv), no UDFs; one projection,
+no shuffle. The 60-bit hash prefix keeps the value positive and exact
+in a BIGINT (and in DuckDB's ``CAST('0x…' AS BIGINT)`` for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket space for split assignment — 1e6 gives weight resolution 1e-6.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column | str, seed: str = "v1",
+                buckets: int = BUCKETS) -> Column:
+    """Portable uniform bucket in [0, buckets): md5 of ``seed:value``,
+    60-bit prefix as BIGINT, mod buckets."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(seed + ":"), c.cast("string")), "UTF-8")),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative weight thresholds
+    over its hash bucket. Default 80/10/10 train/val/test.
+
+    Weights must sum to ≤ 1 + 1e-9; any residual mass (weights summing
+    below 1) falls into the LAST split, so the assignment is total."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total > 1 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    b = hash_bucket(id_col, seed)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Keep rows with bucket < fraction·BUCKETS — reproducible threshold
+    sampling; samples at growing fractions are nested."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_bucket(id_col, seed) < int(round(fraction * BUCKETS)))
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: str = "v1",
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mixture: down-sample each source to its weight
+    (deterministic threshold sampling, per-source seed) and union with a
+    ``source`` tag. Columns are aligned by name; each input must share
+    the schema. Raising a weight later only adds documents (nesting), so
+    mixtures are refinable without resampling the world."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for i, (df, w) in enumerate(sources):
+        tagged = deterministic_sample(
+            df, w, id_col, f"{seed}/{i}"
+        ).withColumn(source_col, F.lit(i))
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -882,6 +882,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (portable md5 bucket
+    thresholds — operators/sampling.py) rolled up to per-split document
+    and token counts. The same arithmetic runs verbatim in DuckDB, so
+    the 80/10/10 assignment is verified document-for-document via the
+    aggregate hashes."""
+    from inception_eventstore_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = hash_split(d, id_col="doc_id", seed="v1")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_dedup_cc_clusters(spark, sf_dir):
     """Cluster-level dedup: connected components over the exact n-gram
     Jaccard pair graph (alternating large-star/small-star), labeling
@@ -1295,6 +1315,19 @@ QUERIES: dict[str, QueryDef] = {
     # from the same STOPWORDS table the Spark operators use)
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _ngram_jaccard_oracle()),
     "dedup_cc_clusters": QueryDef(q_dedup_cc_clusters, _cc_clusters_oracle()),
+    "corpus_split": QueryDef(
+        q_corpus_split,
+        # same md5-prefix bucket arithmetic as sampling.hash_bucket:
+        # 60-bit hex prefix is positive, so % == pmod on both engines
+        "WITH b AS (SELECT doc_id, text, "
+        "CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 1000000 AS bk FROM documents) "
+        "SELECT CASE WHEN bk < 800000 THEN 'train' "
+        "WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split, "
+        "count(*) AS n_docs, "
+        f"CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens "
+        "FROM b GROUP BY split ORDER BY split",
+    ),
     "text_lang_id": QueryDef(q_lang_id, _lang_id_oracle()),
     "text_quality_scores": QueryDef(q_quality_scores, _quality_scores_oracle()),
     # rows-only (probabilistic / hash-family-specific; verified in tests/)

@@ -1,0 +1,100 @@
+"""Deterministic sampling / splitting (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+    mix_corpora,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+
+
+class TestHashSplit:
+    def test_total_and_disjoint(self, docs):
+        s = hash_split(docs)
+        counts = {r["split"]: r["n"] for r in
+                  s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 500
+        assert set(counts) == {"train", "val", "test"}
+
+    def test_proportions_in_binomial_range(self, docs):
+        s = hash_split(docs)
+        counts = {r["split"]: r["n"] for r in
+                  s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        # 500 draws at 0.8 / 0.1 / 0.1: ±5σ bounds
+        assert 355 <= counts["train"] <= 445
+        assert 20 <= counts["val"] <= 85
+        assert 20 <= counts["test"] <= 85
+
+    def test_deterministic_under_repartition(self, docs):
+        a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs.repartition(7)).collect()
+        }
+        assert a == b
+
+    def test_stable_under_corpus_growth(self, spark, docs):
+        """Adding documents never reassigns an existing one."""
+        bigger = docs.union(
+            spark.createDataFrame(
+                [(i, f"extra {i}") for i in range(10_000, 10_200)],
+                "doc_id long, text string",
+            )
+        )
+        a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_weights_validated(self, docs):
+        with pytest.raises(ValueError):
+            hash_split(docs, weights={"a": 0.9, "b": 0.2})
+
+
+class TestDeterministicSample:
+    def test_nested_fractions(self, docs):
+        small = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+        big = {r["doc_id"] for r in deterministic_sample(docs, 0.7).collect()}
+        assert small <= big
+        assert len(small) < len(big) < 500
+
+    def test_boundary_fractions(self, docs):
+        assert deterministic_sample(docs, 0.0).count() == 0
+        assert deterministic_sample(docs, 1.0).count() == 500
+
+    def test_bucket_range(self, docs):
+        mx = docs.select(
+            F.max(hash_bucket("doc_id")).alias("m"),
+            F.min(hash_bucket("doc_id")).alias("n"),
+        ).first()
+        assert 0 <= mx["n"] and mx["m"] < 1_000_000
+
+
+class TestMixCorpora:
+    def test_weighted_union_with_source_tags(self, spark, docs):
+        other = spark.createDataFrame(
+            [(i, f"web page {i}") for i in range(1000, 1500)],
+            "doc_id long, text string",
+        )
+        mixed = mix_corpora([(docs, 1.0), (other, 0.2)])
+        counts = {r["source"]: r["n"] for r in
+                  mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts[0] == 500
+        assert 50 <= counts[1] <= 160  # 500 draws at 0.2, ±5σ
+
+    def test_growing_weight_only_adds(self, spark, docs):
+        a = {r["doc_id"] for r in mix_corpora([(docs, 0.3)]).collect()}
+        b = {r["doc_id"] for r in mix_corpora([(docs, 0.6)]).collect()}
+        assert a <= b
