@@ -860,8 +860,21 @@ def q_sim_topk_l2(spark, sf_dir):
 # Non-SQL-expressible extensions (rows-only checks; verified in tests/)
 # ----------------------------------------------------------------------
 def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, oracle-paired against the EXACT
+    word-3-gram Jaccard ground truth (the same SQL as
+    dedup_ngram_jaccard): the banding hash family is seeded, so the
+    candidate set is deterministic, and on the gate fixtures banding
+    recall is 100% — the verify stage computes the same exact Jaccard
+    over the same shingle sets, so a hash-match certifies both the
+    S-curve recall and the verification math. A banding regression that
+    drops a true pair fails the gate loudly instead of hiding in a
+    rows-only count."""
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+    return (
+        D.minhash_lsh_pairs(d, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -957,8 +970,10 @@ def q_sim_cosine_near_dup(spark, sf_dir):
         "label",
     )
     both = emb.unionByName(planted)
-    return S.cosine_near_duplicates(both, threshold=0.99).orderBy(
-        "id_a", "id_b"
+    return (
+        S.cosine_near_duplicates(both, threshold=0.99)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1330,12 +1345,35 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "text_lang_id": QueryDef(q_lang_id, _lang_id_oracle()),
     "text_quality_scores": QueryDef(q_quality_scores, _quality_scores_oracle()),
-    # rows-only (probabilistic / hash-family-specific; verified in tests/)
-    "dedup_minhash_lsh": QueryDef(q_dedup_minhash, None),
+    # oracle = the exact-Jaccard ground truth (see q_dedup_minhash doc)
+    "dedup_minhash_lsh": QueryDef(q_dedup_minhash, _ngram_jaccard_oracle()),
     "dedup_simhash": QueryDef(q_dedup_simhash, None),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
-    "sim_cosine_near_dup": QueryDef(q_sim_cosine_near_dup, None),
+    # oracle = exact all-pairs cosine ground truth: the LSH-bucketed
+    # operator must recover every planted pair (cosine ≈ 0.9999, the
+    # base corpus tops out at ~0.45, so the 0.99 threshold has huge
+    # float margin on both engines). float32 plant arithmetic mirrored
+    # exactly (x + CAST(0.001 AS FLOAT) stays single-precision), cosine
+    # computed over DOUBLE-cast lists like the numpy kernel.
+    "sim_cosine_near_dup": QueryDef(
+        q_sim_cosine_near_dup,
+        "WITH planted AS ("
+        "  SELECT vec_id + 1000000 AS vec_id, "
+        "    list_transform(embedding, x -> x + CAST(0.001 AS FLOAT)) AS embedding "
+        "  FROM embeddings WHERE vec_id < 50), "
+        "allv AS ("
+        "  SELECT vec_id, embedding FROM embeddings "
+        "  UNION ALL SELECT vec_id, embedding FROM planted), "
+        "pairs AS ("
+        "  SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "    list_cosine_similarity("
+        "      list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+        "      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c "
+        "  FROM allv a JOIN allv b ON a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs "
+        "WHERE c >= 0.99 ORDER BY id_a, id_b",
+    ),
     "multimodal_features": QueryDef(q_multimodal_features, None),
     "text_fingerprints": QueryDef(
         q_fingerprints,
