@@ -93,17 +93,38 @@ def main() -> int:
     counts: dict[str, int] = {}
 
     def run(name, df):
+        """Times count() for lazy DataFrames; pass a thunk for operators
+        that do eager work at construction (connected_components
+        checkpoints per round) so that work lands inside the timer."""
         t0 = time.time()
+        if callable(df):
+            df = df()
         counts[name] = df.count()
         timings[name] = round(time.time() - t0, 2)
 
     run("dedup_exact_groups", D.exact_duplicate_groups(
         corpus.select(D.normalize_text("text").alias("text"))))
-    run("dedup_minhash_lsh", D.minhash_lsh_pairs(corpus, threshold=0.8))
+    mh_pairs = D.minhash_lsh_pairs(corpus, threshold=0.8).persist()
+    run("dedup_minhash_lsh", mh_pairs)
     run("dedup_simhash", D.simhash_near_duplicates(corpus, max_hamming=3))
     run("dedup_ngram_jaccard", D.ngram_jaccard_pairs(corpus, n=3, threshold=0.8))
     run("corpus_curation", curation_summary(
         curate_corpus(corpus, min_quality=0.65)))
+
+    # cluster closure over the real near-dup pair graph
+    from inception_eventstore_spark.operators.components import (
+        connected_components,
+    )
+
+    run("cc_over_minhash_pairs", lambda: connected_components(mh_pairs))
+    mh_pairs.unpersist()
+    # worst-case diameter stress: a 100k-node path would take 100k
+    # rounds of naive label propagation; the alternating-star algorithm
+    # must close it in O(log² n) rounds
+    chain = spark.range(100_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    run("cc_100k_node_chain", lambda: connected_components(chain))
 
     corpus.unpersist()
     print(json.dumps({
