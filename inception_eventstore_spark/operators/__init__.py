@@ -39,3 +39,6 @@ from inception_eventstore_spark.operators.sampling import (  # noqa: F401
     hash_split,
     mix_corpora,
 )
+from inception_eventstore_spark.operators.text_index import (  # noqa: F401
+    MinHashTextIndex,
+)

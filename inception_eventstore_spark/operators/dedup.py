@@ -198,6 +198,33 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = 64,
     )
 
 
+def band_hashes(signatures: DataFrame, bands: int,
+                rows_per_band: int) -> DataFrame:
+    """(_id, _band, _bh) from (_id, _sig): one 8-byte bucket hash per
+    band (xxhash64 over the band index and its signature rows). The
+    shared banding step of ad-hoc pair mining (minhash_lsh_pairs) and
+    the persisted text index (text_index.MinHashTextIndex) — both sides
+    MUST use identical (num_hashes, bands, n_bases) for buckets to
+    collide."""
+    return signatures.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("_sig").getItem(b * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -223,23 +250,9 @@ def minhash_lsh_pairs(
     # through the band explode would multiply shuffle volume ×bands.
     # n_bases = rows_per_band keeps every band's rows on independent
     # base hashes (the ~J^r selectivity the S-curve math assumes)
-    banded = minhash_signatures(sets, num_hashes, n_bases=rows_per_band)
-    banded = banded.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col("_sig").getItem(b * rows_per_band + r)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bh"),
+    banded = band_hashes(
+        minhash_signatures(sets, num_hashes, n_bases=rows_per_band),
+        bands, rows_per_band,
     ).persist()  # both sides of the bucket self-join read this (16 rows ×
     # 20 bytes per doc) — without it the shingle+signature pipeline runs twice
     left = banded.select("_band", "_bh", F.col("_id").alias("id_a"))
