@@ -83,6 +83,55 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    index,
+    corpus_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.8,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Streaming dedup-at-ingest: document files dropped under
+    ``source_path`` are checked per micro-batch against a persisted
+    ``MinHashTextIndex`` (near-dup probe, no corpus re-read); only
+    unmatched documents are indexed and appended to ``corpus_path``.
+
+    Exact within-batch duplicates are collapsed first (hash-groupBy),
+    then ``append_unique`` handles batch-vs-corpus near-dups.
+
+    Idempotence: ``append_unique`` is naturally idempotent across
+    foreachBatch re-deliveries — rows indexed by a partially-failed
+    epoch match THEMSELVES (jaccard 1.0) on retry and are skipped.
+    The index is updated BEFORE the corpus write, so a crash between
+    the two drops the batch from the corpus output rather than ever
+    double-writing it — the conservative direction for a dedup
+    pipeline; flip the order if corpus completeness matters more than
+    uniqueness.
+    """
+    from inception_eventstore_spark.operators.dedup import dedup_exact
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = dedup_exact(batch_df, id_col=index.meta.id_col,
+                            text_col=index.meta.text_col)
+        kept = index.append_unique(batch, threshold)
+        kept.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )
+
+
 def read_event_stream(spark: SparkSession, source_path: str) -> DataFrame:
     """Streaming view of an envelope-row parquet directory."""
     return (
