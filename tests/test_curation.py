@@ -1,0 +1,149 @@
+"""Tests for Gopher/C4 corpus-curation filters (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import curation as C
+
+
+def _one(df, **cols):
+    row = df.collect()
+    assert len(row) == 1
+    return row[0]
+
+
+class TestLineMetrics:
+    def test_doc_lines_trims_and_drops_empties(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\n  b  \n\n\nc"), (2, ""), (3, "   ")], ["id", "text"]
+        )
+        got = {
+            r["id"]: r["ln"]
+            for r in df.select("id", C.doc_lines("text").alias("ln")).collect()
+        }
+        assert got == {1: ["a", "b", "c"], 2: [], 3: []}
+
+    def test_paragraphs_split_on_blank_line(self, spark):
+        df = spark.createDataFrame([(1, "p one\nstill p one\n\np two")],
+                                   ["id", "text"])
+        got = df.select(C.doc_paragraphs("text").alias("pg")).first()["pg"]
+        assert got == ["p one\nstill p one", "p two"]
+
+    def test_duplicate_fractions(self, spark):
+        # 8 non-empty lines over 3 distinct values -> 1 - 3/8
+        # paragraphs identical -> dup_paragraph_fraction = 0.5
+        text = "x\ny\nx\nz\n\nx\ny\nx\nz"
+        df = C.curation_features(
+            spark.createDataFrame([(1, text)], ["id", "text"])
+        )
+        r = _one(df)
+        assert r["dup_line_fraction"] == pytest.approx(1 - 3 / 8)
+        assert r["dup_paragraph_fraction"] == pytest.approx(0.5)
+
+    def test_layout_fractions(self, spark):
+        text = "- first bullet\n* second bullet\nplain line\nwaiting..."
+        r = _one(C.curation_features(
+            spark.createDataFrame([(1, text)], ["id", "text"])
+        ))
+        assert r["bullet_line_fraction"] == pytest.approx(0.5)
+        assert r["ellipsis_line_fraction"] == pytest.approx(0.25)
+        # '...' ends with '.', so the ellipsis line also counts terminal
+        assert r["terminal_punct_line_fraction"] == pytest.approx(0.25)
+
+
+class TestWordMetrics:
+    def test_word_stats(self, spark):
+        r = _one(C.curation_features(
+            spark.createDataFrame([(1, "aa bbbb cc 12")], ["id", "text"])
+        ))
+        assert r["word_count"] == 4
+        assert r["mean_word_len"] == pytest.approx((2 + 4 + 2 + 2) / 4)
+        assert r["alpha_word_fraction"] == pytest.approx(3 / 4)
+
+    def test_symbol_ratio_counts_hashes_and_ellipses(self, spark):
+        r = _one(C.curation_features(
+            spark.createDataFrame(
+                [(1, "# one # two ... three … four")], ["id", "text"]
+            )
+        ))
+        # 2 hashes + 2 ellipses over 8 tokens
+        assert r["symbol_word_ratio"] == pytest.approx(4 / 8)
+
+    def test_c4_flags(self, spark):
+        df = C.curation_features(spark.createDataFrame(
+            [(1, "Lorem Ipsum dolor"), (2, "def f() { return 1 }"),
+             (3, "clean prose here")],
+            ["id", "text"],
+        ))
+        got = {r["id"]: (r["has_lorem_ipsum"], r["has_curly_brace"])
+               for r in df.collect()}
+        assert got == {1: (1, 0), 2: (0, 1), 3: (0, 0)}
+
+    def test_empty_text_is_all_zeros(self, spark):
+        r = _one(C.curation_features(
+            spark.createDataFrame([(1, "")], ["id", "text"])
+        ))
+        assert r["word_count"] == 0
+        for c in ("mean_word_len", "alpha_word_fraction", "symbol_word_ratio",
+                  "dup_line_fraction", "terminal_punct_line_fraction"):
+            assert r[c] == 0.0
+
+
+class TestGopherFlags:
+    GOOD = " ".join(["sentence with several ordinary readable words"] * 10)
+
+    def test_good_document_passes(self, spark):
+        r = _one(C.gopher_quality_flags(
+            spark.createDataFrame([(1, self.GOOD)], ["id", "text"])
+        ))
+        assert r["passes_gopher"] == 1 and r["n_rules_failed"] == 0
+
+    def test_short_document_fails_word_count_only(self, spark):
+        r = _one(C.gopher_quality_flags(
+            spark.createDataFrame([(1, "too short to keep")], ["id", "text"])
+        ))
+        assert r["r_word_count"] == 0
+        assert r["passes_gopher"] == 0 and r["n_rules_failed"] == 1
+
+    def test_repeated_lines_fail_dup_rule(self, spark):
+        text = "\n".join([self.GOOD] * 5)  # 5 identical lines
+        r = _one(C.gopher_quality_flags(
+            spark.createDataFrame([(1, text)], ["id", "text"])
+        ))
+        assert r["dup_line_fraction"] == pytest.approx(0.8)
+        assert r["r_dup_lines"] == 0 and r["passes_gopher"] == 0
+
+    def test_symbol_heavy_fails(self, spark):
+        text = C.GOPHER_MIN_WORDS * "word " + "# # # # # # # # #"
+        r = _one(C.gopher_quality_flags(
+            spark.createDataFrame([(1, text)], ["id", "text"])
+        ))
+        assert r["r_symbol_ratio"] == 0
+
+
+class TestTopNgramFraction:
+    def test_exact_fraction(self, spark):
+        # bigrams of "a b a b a": (a b)x2 (b a)x2 -> 2/4
+        df = C.top_ngram_fraction(
+            spark.createDataFrame([(1, "a b a b a"), (2, "x y z")],
+                                  ["doc_id", "text"])
+        )
+        got = {r["doc_id"]: r["top_ngram_frac"] for r in df.collect()}
+        assert got[1] == pytest.approx(0.5)
+        assert got[2] == pytest.approx(0.5)  # both bigrams unique: 1/2
+
+    def test_single_token_docs_excluded(self, spark):
+        df = C.top_ngram_fraction(
+            spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+        )
+        assert df.count() == 0
+
+    def test_trigram_mode(self, spark):
+        df = C.top_ngram_fraction(
+            spark.createDataFrame([(1, "a b c a b c a b")], ["doc_id", "text"]),
+            n=3,
+        )
+        # trigrams: abc bca cab abc bca cab -> top (abc) 2/6
+        assert df.first()["top_ngram_frac"] == pytest.approx(round(2 / 6, 6))
