@@ -944,6 +944,47 @@ FROM fl ORDER BY doc_id
 """
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-membership dedup (operators/bloom.py): even-id documents
+    form the corpus; the incoming batch is the odd-id documents plus
+    planted case/whitespace variants of corpus docs (doc_id + 100000).
+    Exactness contract: output = exact anti-join on normalized
+    content, so every planted variant must be dropped and every odd
+    doc kept — the bloom prefilter only changes the join input size."""
+    from inception_eventstore_spark.operators.bloom import (
+        bloom_membership_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    variants = corpus.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    incoming = d.where(F.col("doc_id") % 2 == 1).unionByName(variants)
+    return (
+        bloom_membership_dedup(incoming, corpus)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_BLOOM_ORACLE = """
+WITH norm_c AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nt
+  FROM documents WHERE doc_id % 2 = 0),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 20 = 0)
+SELECT i.doc_id FROM incoming i
+WHERE trim(regexp_replace(lower(i.text), '[ \t\n\x0b\f\r]+', ' ', 'g'))
+      NOT IN (SELECT nt FROM norm_c)
+ORDER BY doc_id
+"""
+
+
 def q_curation_top_bigram(spark, sf_dir):
     """Gopher repetition metric: per-document fraction of bigram
     occurrences taken by the most frequent bigram (explode → count →
@@ -1454,6 +1495,7 @@ QUERIES: dict[str, QueryDef] = {
     "curation_top_bigram": QueryDef(
         q_curation_top_bigram, _curation_top_bigram_oracle()
     ),
+    "dedup_bloom_membership": QueryDef(q_dedup_bloom, _DEDUP_BLOOM_ORACLE),
     "token_count_bpe": QueryDef(
         q_token_count_bpe,
         # \pL / \pN are the same Unicode categories in Java regex and RE2
