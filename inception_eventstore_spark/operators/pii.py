@@ -1,0 +1,63 @@
+"""PII detection and redaction for training-data pipelines.
+
+Emails, IPv4 addresses, URLs and phone numbers found and masked with
+``regexp_count`` / ``regexp_replace`` — pure JVM column expressions, so
+a redaction pass over 100 TB is one codegen'd projection with zero
+Python. (The reference engine treats payloads as opaque blobs and has
+no analog; this is part of the mandated LLM-pipeline extension
+surface.)
+
+The patterns are deliberately written in the common subset of Java
+regex (Spark) and RE2 (DuckDB oracle): no lookarounds (RE2 has none),
+no ``\\s`` (Java's includes \\x0B, RE2's does not), explicit character
+classes only, and no ambiguous alternation (Java is leftmost-first,
+RE2 leftmost-longest — patterns where those differ would silently
+diverge between engine and oracle). The phone pattern requires a
+leading ``+`` or ``(`` so that IPv4 addresses and URL path digits do
+not double-match.
+
+Redaction applies patterns in a fixed order (email → url → ipv4 →
+phone); each replacement's token contains no digits, so later patterns
+cannot re-match inside an earlier mask.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (kind, pattern, replacement) in application order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("url", r"https?://[^ \t\n]+", "[URL]"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"[+(][0-9()., -]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds one BIGINT ``n_<kind>`` column per PII pattern."""
+    c = F.col(text_col)
+    return docs.withColumns(
+        {
+            f"n_{kind}": F.regexp_count(c, F.lit(pat)).cast("bigint")
+            for kind, pat, _ in PII_PATTERNS
+        }
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """The text with every PII match masked, patterns applied in the
+    canonical order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Counts + redacted text in one projection — the per-kind counts
+    let a pipeline report how much PII mass was scrubbed per shard."""
+    return pii_counts(docs, text_col).withColumn(
+        "redacted", redact_pii(text_col)
+    )

@@ -985,6 +985,73 @@ ORDER BY doc_id
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (operators/pii.py) over deterministically planted
+    identifiers (the fixtures carry none): per-kind counts + an md5
+    digest of the redacted text, so the oracle verifies both detection
+    and the exact replacement output."""
+    from inception_eventstore_spark.operators.pii import redact_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    nothing = F.lit("")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com soon"))).otherwise(nothing),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" see https://example.org/page/"), did.cast("string"),
+                F.lit(" today"))).otherwise(nothing),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" host 10.0."), (did % 250).cast("string"),
+                F.lit(".7 up"))).otherwise(nothing),
+            F.when(did % 11 == 0,
+                   F.lit(" call +1 (555) 123-4567 now")).otherwise(nothing),
+        ).alias("text"),
+    )
+    return (
+        redact_documents(planted)
+        .select(
+            "doc_id", "n_email", "n_url", "n_ipv4", "n_phone",
+            F.md5(F.encode("redacted", "UTF-8")).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_redaction_oracle() -> str:
+    """Twin generated from the SAME PII_PATTERNS tuple the operator
+    applies — counts via regexp_extract_all, redaction via chained
+    regexp_replace(..., 'g') in the canonical order."""
+    from inception_eventstore_spark.operators.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com soon' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/page/'
+         || CAST(doc_id AS VARCHAR) || ' today' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+         || '.7 up' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 123-4567 now' ELSE '' END
+    AS text
+  FROM documents)
+SELECT doc_id, {counts}, md5({red}) AS redacted_fp
+FROM planted ORDER BY doc_id
+"""
+
+
 def q_curation_top_bigram(spark, sf_dir):
     """Gopher repetition metric: per-document fraction of bigram
     occurrences taken by the most frequent bigram (explode → count →
@@ -1496,6 +1563,7 @@ QUERIES: dict[str, QueryDef] = {
         q_curation_top_bigram, _curation_top_bigram_oracle()
     ),
     "dedup_bloom_membership": QueryDef(q_dedup_bloom, _DEDUP_BLOOM_ORACLE),
+    "pii_redaction": QueryDef(q_pii_redaction, _pii_redaction_oracle()),
     "token_count_bpe": QueryDef(
         q_token_count_bpe,
         # \pL / \pN are the same Unicode categories in Java regex and RE2

@@ -1,0 +1,64 @@
+"""Tests for PII detection/redaction (operators/pii.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import pii as P
+
+
+def _row(spark, text):
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    return P.redact_documents(df).first()
+
+
+class TestDetection:
+    def test_email(self, spark):
+        r = _row(spark, "write to jane.doe+spam@sub.example.co.uk today")
+        assert r["n_email"] == 1
+        assert "[EMAIL]" in r["redacted"] and "@" not in r["redacted"]
+
+    def test_url_and_ipv4(self, spark):
+        r = _row(spark, "visit https://ex.org/a?b=1 or ping 10.0.255.7 now")
+        assert r["n_url"] == 1 and r["n_ipv4"] == 1
+        assert "[URL]" in r["redacted"] and "[IP]" in r["redacted"]
+
+    def test_phone_requires_plus_or_paren(self, spark):
+        r = _row(spark, "call +1 (555) 123-4567 or (020) 7946 0958 now")
+        assert r["n_phone"] == 2
+        # bare digit runs (order ids, IPs) must NOT match the phone rule
+        r2 = _row(spark, "order 123456789012 shipped to 192.168.0.1")
+        assert r2["n_phone"] == 0
+
+    def test_ip_not_counted_as_phone(self, spark):
+        r = _row(spark, "server 192.168.100.200 port 8080")
+        assert r["n_ipv4"] == 1 and r["n_phone"] == 0
+
+    def test_clean_text_untouched(self, spark):
+        text = "perfectly ordinary sentence with no identifiers"
+        r = _row(spark, text)
+        assert r["redacted"] == text
+        assert (r["n_email"], r["n_url"], r["n_ipv4"], r["n_phone"]) == (
+            0, 0, 0, 0,
+        )
+
+
+class TestRedactionOrder:
+    def test_masks_contain_no_digits_for_rematch(self, spark):
+        # an IP-literal "email" misses the email rule (no alpha TLD) but
+        # the IP rule still masks the raw address — nothing leaks
+        r = _row(spark, "odd address user@192.168.1.1 here")
+        assert r["redacted"] == "odd address user@[IP] here"
+        # a URL containing digits is consumed whole by the URL rule
+        # before the IP rule can bite into its path
+        r2 = _row(spark, "see http://1.2.3.4/path?x=9 there")
+        assert r2["redacted"] == "see [URL] there"
+
+    def test_multiple_kinds_one_doc(self, spark):
+        r = _row(
+            spark,
+            "a@b.com then https://c.de/f then 1.2.3.4 then +49 30 901820",
+        )
+        assert r["redacted"] == (
+            "[EMAIL] then [URL] then [IP] then [PHONE]"
+        )
