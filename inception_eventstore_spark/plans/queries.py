@@ -1207,6 +1207,28 @@ def q_sim_topk_ivf(spark, sf_dir):
     )
 
 
+def q_sim_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-10 (operators/pq.py): 32× compressed
+    codes scanned via ADC lookup tables, exact re-rank of the best
+    40 candidates. Rows-only (approximate by construction); recall and
+    exactness of the re-rank are pinned in tests/test_pq.py."""
+    import tempfile
+
+    from inception_eventstore_spark.operators.pq import IvfPqVectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    idx = IvfPqVectorIndex.build(
+        emb.where(F.col("vec_id") != 0),
+        tempfile.mkdtemp(prefix="ivfpq_"),
+        n_cells=8, m_subspaces=8, n_codes=64,
+    )
+    res = idx.topk(list(qvec), k=10, n_probe=3, rerank=4)
+    return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
+        "dist", "vec_id"
+    )
+
+
 def q_sim_cosine_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs (cosine ≥ 0.99 within LSH buckets).
 
@@ -1609,6 +1631,7 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(q_dedup_simhash, None),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
+    "sim_topk_ivfpq": QueryDef(q_sim_topk_ivfpq, None),
     # oracle = exact all-pairs cosine ground truth: the LSH-bucketed
     # operator must recover every planted pair (cosine ≈ 0.9999, the
     # base corpus tops out at ~0.45, so the 0.99 threshold has huge
