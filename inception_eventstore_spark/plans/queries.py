@@ -686,6 +686,52 @@ def q_asof_join(spark, sf_dir):
     return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id")
 
 
+def q_session_windows(spark, sf_dir):
+    """Session-level rows from the streaming-capable ``session_window``
+    operator, run in batch mode over the events table: (user, session
+    start, end = last event + gap, event count). The oracle rebuilds
+    identical sessions with the lag/running-sum formulation — engine-
+    level agreement between Spark's SessionWindow physical operator and
+    plain SQL window algebra."""
+    from inception_eventstore_spark.streaming.ingest import (
+        session_window_stats,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        session_window_stats(
+            e, gap="30 minutes", key_col="user_id", time_col="ts",
+            filetime=False,
+        )
+        .select(
+            "user_id", "session_start", "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_WINDOWS_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT user_id, ts, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) rolled up per user."""
     from inception_eventstore_spark.operators.sessions import session_stats
@@ -1586,6 +1632,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "dedup_bloom_membership": QueryDef(q_dedup_bloom, _DEDUP_BLOOM_ORACLE),
     "pii_redaction": QueryDef(q_pii_redaction, _pii_redaction_oracle()),
+    "session_windows": QueryDef(q_session_windows, _SESSION_WINDOWS_ORACLE),
     "token_count_bpe": QueryDef(
         q_token_count_bpe,
         # \pL / \pN are the same Unicode categories in Java regex and RE2

@@ -83,6 +83,50 @@ def windowed_event_counts(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "id",
+    time_col: str = "ts",
+    filetime: bool = True,
+) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``
+    stateful operator — the streaming analog of the batch
+    ``operators.sessions.sessionize`` (which numbers sessions with a
+    lag/running-sum window the streaming engine cannot express).
+
+    State per key is bounded by the watermark: a session closes once
+    event time passes its end + watermark, and the row is emitted
+    exactly once (append mode). Works unchanged on a batch DataFrame
+    (tested for equivalence against the lag-based operator) — same
+    plan shape either way: one shuffle on the key, sessions merged by
+    the SessionWindowStateStore.
+
+    ``time_col`` is the envelope's FileTime LONG by default; pass
+    ``filetime=False`` when it is already a timestamp (the analytics
+    ``events`` table).
+    """
+    with_time = events.withColumn(
+        "_ts_dt",
+        filetime_to_timestamp_col(time_col) if filetime else F.col(time_col),
+    )
+    if events.isStreaming:
+        with_time = with_time.withWatermark("_ts_dt", watermark)
+    return (
+        with_time.groupBy(
+            F.col(key_col), F.session_window("_ts_dt", gap)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     source_path: str,
