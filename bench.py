@@ -55,6 +55,12 @@ HEADLINE = [
     "sim_topk_lsh",
     "sim_cosine_near_dup",
     "multimodal_features",
+    "curation_gopher",
+    "curation_top_bigram",
+    "dedup_bloom_membership",
+    "pii_redaction",
+    "session_windows",
+    "sim_topk_ivfpq",
 ]
 
 

@@ -220,18 +220,26 @@ def top_ngram_fraction(
     by doc. Both shuffles are keyed by document (plus gram), so the
     work is linear in corpus size and a pathological single document
     cannot quadratic-blow a task the way a per-row self-join of its
-    gram array would."""
-    toks = tokens(text_col)
+    gram array would.
+
+    The token array MUST be staged as a column before the gram lambda:
+    ``element_at(tokens(text), i)`` inside ``transform`` re-evaluates
+    the whole split per element (codegen subexpression elimination does
+    not reach through lambda scopes) — O(tokens²) per document,
+    measured 9× slower at sf0.1. (A shuffle-free sort+max-run fold was
+    tried and is 30× slower still: ``F.aggregate`` folds are
+    interpreted per element.)"""
+    staged = docs.withColumn("_toks", tokens(text_col)).where(
+        F.size("_toks") >= n
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    exploded = (
-        docs.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("_gram"))
-    )
+    exploded = staged.select(F.col(id_col), F.explode(grams).alias("_gram"))
     per_gram = exploded.groupBy(id_col, "_gram").agg(
         F.count("*").alias("_n")
     )

@@ -83,6 +83,56 @@ def _ann_ivf_probe(spark, sf_dir: str):
     return idx.candidates([float(x) for x in q], n_probe=3)
 
 
+def _pq_code_scan(spark, sf_dir: str):
+    """IVF-PQ ADC scan: the candidate pass must read ONLY the probed
+    cell directories (PartitionFilters on _cell) and only the 8-byte
+    _code column — the float embedding column stays untouched until
+    the k·rerank exact re-rank."""
+    import tempfile
+
+    from inception_eventstore_spark.operators.pq import IvfPqVectorIndex
+    from inception_eventstore_spark.plans.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    idx = IvfPqVectorIndex.build(
+        emb.where("vec_id <> 0"),
+        tempfile.mkdtemp(prefix="pq_idx_") + "/idx",
+        n_cells=8, m_subspaces=8, n_codes=64,
+    )
+    probe = idx.probe_cells([float(x) for x in q], n_probe=3)
+    from pyspark.sql import functions as F
+
+    return (
+        idx.vectors()
+        .where(F.col("_cell").isin(probe))
+        .select("vec_id", "_code")
+    )
+
+
+def _curation_projection(spark, sf_dir: str):
+    """Gopher metrics must be one shuffle-free codegen'd projection —
+    no Exchange, no python UDF, arrays staged once."""
+    from inception_eventstore_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    return gopher_quality_flags(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _pii_projection(spark, sf_dir: str):
+    """PII counting + redaction: one codegen'd projection."""
+    from inception_eventstore_spark.operators.pii import redact_documents
+    from inception_eventstore_spark.plans.queries import _t
+
+    return redact_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def _split_projection(spark, sf_dir: str):
     """hash_split over documents WITHOUT the rollup — the assignment
     itself must be a shuffle-free, codegen'd projection (no Exchange,
@@ -116,6 +166,32 @@ EXTRA_CHECKS = [
         _ann_ivf_probe,
         [("probe scans only the selected cells",
           r"PartitionFilters: \[[^\]]*_cell")],
+    ),
+    (
+        "ann_ivfpq_code_scan",
+        _pq_code_scan,
+        [
+            ("ADC scan prunes to the probed cells",
+             r"PartitionFilters: \[[^\]]*_cell"),
+            ("only the 8-byte code column is read, not the vectors",
+             r"!ReadSchema: [^\n]*embedding"),
+        ],
+    ),
+    (
+        "curation_gopher_projection",
+        _curation_projection,
+        [
+            ("metrics shuffle nothing", "!Exchange"),
+            ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
+    (
+        "pii_redaction_projection",
+        _pii_projection,
+        [
+            ("redaction shuffles nothing", "!Exchange"),
+            ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ],
     ),
 ]
 
