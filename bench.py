@@ -61,6 +61,8 @@ HEADLINE = [
     "pii_redaction",
     "session_windows",
     "sim_topk_ivfpq",
+    "dedup_corpus_lines",
+    "stratified_sample",
 ]
 
 

@@ -169,6 +169,79 @@ class LshVectorIndex:
         return brute_force_topk(cand, query_vector, k,
                                 self.meta.id_col, self.meta.vec_col, "l2")
 
+    # -- batch probe / semantic dedup-at-ingest
+    def query(self, embeddings: DataFrame, threshold: float = 0.99,
+              probe_radius: int = 1) -> DataFrame:
+        """Near-duplicate matches of a NEW batch of vectors against the
+        indexed corpus: (query_id, match_id, cosine ≥ threshold). The
+        batch explodes to its hamming-``probe_radius`` probe buckets
+        (narrow 16-byte rows), equi-joins the stored ``_sig`` buckets,
+        and survivors are verified with the exact Arrow cosine kernel —
+        the same candidates-stay-narrow shape as
+        ``similarity.cosine_near_duplicates``, but one side is the
+        persisted corpus, which is never re-signatured."""
+        from inception_eventstore_spark.operators.similarity import (
+            _cosine_pair_udf,
+            hamming_ball,
+        )
+
+        m = self.meta
+        sigged = embeddings.select(
+            F.col(m.id_col).alias("query_id"),
+            F.col(m.vec_col).alias("_qv"),
+            _signature_udf(m.n_planes, m.dim, m.seed)(
+                F.col(m.vec_col)
+            ).alias("_qsig"),
+        ).persist()
+        flips = [0] + [1 << p for p in range(m.n_planes)]
+        if probe_radius >= 2:
+            flips = sorted(
+                {a ^ b for a in flips for b in hamming_ball(0, m.n_planes, 1)}
+            )
+        probes = sigged.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(F.array(
+                    *[F.col("_qsig").bitwiseXOR(F.lit(x).cast("long"))
+                      for x in flips]
+                ))
+            ).alias("_sig"),
+        )
+        stored = self.vectors().select(
+            "_sig",
+            F.col(m.id_col).alias("match_id"),
+            F.col(m.vec_col).alias("_mv"),
+        )
+        cand = (
+            probes.join(stored, "_sig")
+            .select("query_id", "match_id", "_mv")
+            .dropDuplicates(["query_id", "match_id"])
+        )
+        return (
+            cand.join(sigged.select("query_id", "_qv"), "query_id")
+            .withColumn("cosine", _cosine_pair_udf()(F.col("_qv"), F.col("_mv")))
+            .where(F.col("cosine") >= threshold)
+            .select("query_id", "match_id", "cosine")
+        )
+
+    def append_unique(self, embeddings: DataFrame,
+                      threshold: float = 0.99) -> DataFrame:
+        """Semantic dedup-at-ingest: index only the vectors that match
+        nothing already indexed; returns the appended (unique) rows.
+        Naturally idempotent across at-least-once redeliveries: a row
+        indexed by a partially-failed epoch matches ITSELF (cosine 1.0)
+        on retry and is skipped. Matched ids are materialized BEFORE
+        the append so the probe cannot see the batch's own rows."""
+        dup_ids = (
+            self.query(embeddings, threshold)
+            .select(F.col("query_id").alias(self.meta.id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unique = embeddings.join(dup_ids, self.meta.id_col, "left_anti")
+        self.append(unique)
+        return unique
+
 
 class IvfVectorIndex:
     """IVF index persisted as a ``_cell``-partitioned parquet table;

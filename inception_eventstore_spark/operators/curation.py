@@ -21,7 +21,7 @@ single 1 M-token outlier document turns into 10¹² comparisons).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inception_eventstore_spark.operators.dedup import tokens
@@ -202,6 +202,59 @@ def gopher_quality_flags(
         "n_rules_failed", n_failed.cast("bigint")
     ).withColumn(
         "passes_gopher", (n_failed == 0).cast("bigint")
+    )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """C4-style corpus-level span dedup at line granularity (Raffel et
+    al. 2020 §2.2 deduplicate their three-sentence spans the same way):
+    a line occurring anywhere else in the CORPUS survives only in its
+    first occurrence, ordered by (doc id, position). Lines shorter than
+    ``min_line_chars`` bypass dedup — trivial connectives ("Yes.",
+    bullet glyphs, blank separators) are structure, not boilerplate.
+
+    Returns the input with ``text`` rebuilt from the surviving lines
+    (documents keep their row even if every line was removed).
+
+    Distributed shape: posexplode → one window shuffle keyed by the
+    8-byte line hash (row_number over (doc, pos)) → one reassembly
+    shuffle keyed by doc. Both linear; the boilerplate skew case (one
+    line in 10⁸ documents) lands one hot window partition whose state
+    is a single running counter, not a buffered list.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    w = Window.partitionBy(F.xxhash64("_line")).orderBy(id_col, "_pos")
+    ranked = lines.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.where(
+        (F.length("_line") < min_line_chars) | (F.col("_rk") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+    # left join keeps fully-deduped documents (empty text, 0 lines)
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
     )
 
 

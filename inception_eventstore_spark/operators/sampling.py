@@ -87,6 +87,36 @@ def deterministic_sample(
     return df.where(hash_bucket(id_col, seed) < int(round(fraction * BUCKETS)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/domain
+    re-balancing step of a training mixture (keep 100% of a rare
+    language, 10% of an over-represented one). Same hash-threshold
+    mechanics as ``deterministic_sample``, so per-stratum samples are
+    nested under rate increases and stable under corpus growth; strata
+    missing from ``rates`` get ``default_rate``.
+
+    One codegen'd projection (CASE over the strata thresholds), no
+    shuffle — unlike ``df.sampleBy``, which is seed-and-partitioning
+    dependent and not reproducible across engines."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    c = F.col(strata_col).cast("string")
+    thr: Column = F.lit(int(round(default_rate * BUCKETS)))
+    for k, v in rates.items():
+        thr = F.when(c == k, F.lit(int(round(v * BUCKETS)))).otherwise(thr)
+    return df.where(hash_bucket(id_col, seed) < thr)
+
+
 def mix_corpora(
     sources: list[tuple[DataFrame, float]],
     id_col: str = "doc_id",

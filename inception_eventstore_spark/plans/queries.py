@@ -990,6 +990,95 @@ FROM fl ORDER BY doc_id
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing stratified sample (operators/sampling.py):
+    per-lang deterministic hash rates incl. the default-rate path (zh
+    is absent from the rate map). Doc-level output — the oracle
+    re-derives every kept id from the same md5 arithmetic."""
+    from inception_eventstore_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_hash_sample(
+        d, {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1},
+        default_rate=0.75,
+    )
+    return out.orderBy("doc_id")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 1000000 AS bk
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 1000000 WHEN 'fr' THEN 500000
+                     WHEN 'de' THEN 250000 WHEN 'es' THEN 100000
+                     ELSE 750000 END
+ORDER BY doc_id
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level duplicate-line removal (C4-style span dedup) over a
+    planted corpus: every document gains a global boilerplate line and
+    a per-group (doc_id % 7) footer. The global line must survive only
+    in the smallest doc_id, each footer once per group; per-doc text is
+    verified by md5 of the rebuilt document."""
+    from inception_eventstore_spark.operators.curation import (
+        remove_duplicate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter for updates"),
+            F.concat(
+                F.lit("group footer number "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    out = remove_duplicate_lines(planted)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_fp"),
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+    ).orderBy("doc_id")
+
+
+_DEDUP_LINES_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, text || chr(10) || 'subscribe to our newsletter for updates'
+    || chr(10) || 'group footer number ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+lines AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(l))) AS pos,
+    unnest(l) AS line
+  FROM split_docs),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM lines),
+kept AS (SELECT * FROM ranked WHERE length(line) < 10 OR rk = 1),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+    CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id)
+SELECT p.doc_id, md5(coalesce(r.text, '')) AS text_fp,
+  CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_bloom(spark, sf_dir):
     """Bloom-membership dedup (operators/bloom.py): even-id documents
     form the corpus; the incoming batch is the odd-id documents plus
@@ -1633,6 +1722,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_bloom_membership": QueryDef(q_dedup_bloom, _DEDUP_BLOOM_ORACLE),
     "pii_redaction": QueryDef(q_pii_redaction, _pii_redaction_oracle()),
     "session_windows": QueryDef(q_session_windows, _SESSION_WINDOWS_ORACLE),
+    "dedup_corpus_lines": QueryDef(q_dedup_lines, _DEDUP_LINES_ORACLE),
+    "stratified_sample": QueryDef(
+        q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE
+    ),
     "token_count_bpe": QueryDef(
         q_token_count_bpe,
         # \pL / \pN are the same Unicode categories in Java regex and RE2

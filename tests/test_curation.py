@@ -123,6 +123,54 @@ class TestGopherFlags:
         assert r["r_symbol_ratio"] == 0
 
 
+class TestRemoveDuplicateLines:
+    BOILER = "subscribe to our newsletter for updates"
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_survives(self, spark):
+        docs = self._docs(spark, [
+            (1, f"unique opening line one\n{self.BOILER}"),
+            (2, f"{self.BOILER}\nunique closing line two"),
+            (3, f"another distinct document\n{self.BOILER}"),
+        ])
+        got = {r["doc_id"]: r for r in
+               C.remove_duplicate_lines(docs).collect()}
+        # doc 1 has the smallest (doc_id, pos) for the boilerplate
+        assert got[1]["text"] == f"unique opening line one\n{self.BOILER}"
+        assert got[2]["text"] == "unique closing line two"
+        assert got[3]["text"] == "another distinct document"
+        assert [got[i]["n_lines_kept"] for i in (1, 2, 3)] == [2, 1, 1]
+
+    def test_short_lines_bypass_dedup(self, spark):
+        docs = self._docs(spark, [
+            (1, "Yes.\nlong distinctive content here"),
+            (2, "Yes.\ndifferent long distinctive content"),
+        ])
+        got = {r["doc_id"]: r["text"] for r in
+               C.remove_duplicate_lines(docs).collect()}
+        assert got[1].startswith("Yes.\n") and got[2].startswith("Yes.\n")
+
+    def test_fully_deduped_doc_kept_empty(self, spark):
+        docs = self._docs(spark, [
+            (1, self.BOILER),
+            (2, self.BOILER),
+        ])
+        got = {r["doc_id"]: (r["text"], r["n_lines_kept"]) for r in
+               C.remove_duplicate_lines(docs).collect()}
+        assert got[1] == (self.BOILER, 1)
+        assert got[2] == ("", 0)
+
+    def test_within_doc_repetition_collapses(self, spark):
+        docs = self._docs(spark, [
+            (1, f"{self.BOILER}\nmiddle unique line text\n{self.BOILER}"),
+        ])
+        r = C.remove_duplicate_lines(docs).first()
+        assert r["text"] == f"{self.BOILER}\nmiddle unique line text"
+        assert r["n_lines_kept"] == 2
+
+
 class TestTopNgramFraction:
     def test_exact_fraction(self, spark):
         # bigrams of "a b a b a": (a b)x2 (b a)x2 -> 2/4

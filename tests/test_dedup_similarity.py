@@ -225,6 +225,59 @@ class TestSimilarity:
         assert len(set(truth) & set(approx)) >= 5
 
 
+class TestSemanticDedupAtIngest:
+    def _base(self, spark):
+        rng = random.Random(31)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_append_unique_skips_near_dups(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = self._base(spark)
+        idx = LshVectorIndex.build(base, str(tmp_path / "sem_idx"), n_planes=6)
+        rows = base.collect()
+        near = [
+            (1000, [x + 0.001 for x in rows[3]["embedding"]]),  # dup of 3
+        ]
+        rng = random.Random(77)
+        fresh = [(2000 + i, [rng.gauss(0, 1) for _ in range(16)])
+                 for i in range(5)]
+        batch = spark.createDataFrame(near + fresh, ["vec_id", "embedding"])
+        kept = idx.append_unique(batch, threshold=0.999)
+        kept_ids = {r["vec_id"] for r in kept.collect()}
+        assert kept_ids == {2000 + i for i in range(5)}
+        stored = {r["vec_id"] for r in idx.vectors().collect()}
+        assert 1000 not in stored and kept_ids <= stored
+
+    def test_redelivery_is_idempotent(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = self._base(spark)
+        idx = LshVectorIndex.build(base, str(tmp_path / "sem_idx2"), n_planes=6)
+        batch = spark.createDataFrame(
+            [(3000, [0.5] * 16)], ["vec_id", "embedding"]
+        )
+        assert idx.append_unique(batch, threshold=0.999).count() == 1
+        # second delivery of the same batch: matches itself in the index
+        assert idx.append_unique(batch, threshold=0.999).count() == 0
+        n = idx.vectors().where(F.col("vec_id") == 3000).count()
+        assert n == 1
+
+    def test_query_reports_match_pairs(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.ann_index import LshVectorIndex
+
+        base = self._base(spark)
+        idx = LshVectorIndex.build(base, str(tmp_path / "sem_idx3"), n_planes=6)
+        rows = base.collect()
+        probe = spark.createDataFrame(
+            [(9000, list(rows[7]["embedding"]))], ["vec_id", "embedding"]
+        )
+        got = idx.query(probe, threshold=0.999).collect()
+        assert [(r["query_id"], r["match_id"]) for r in got] == [(9000, 7)]
+        assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
 class TestPersistedAnnIndex:
     """Ingest-time index state (VERDICT r1 #2): signatures/cells are
     partition columns, so a probe is a pruned scan — asserted on the

@@ -10,6 +10,7 @@ from inception_eventstore_spark.operators.sampling import (
     hash_bucket,
     hash_split,
     mix_corpora,
+    stratified_hash_sample,
 )
 
 
@@ -80,6 +81,49 @@ class TestDeterministicSample:
             F.min(hash_bucket("doc_id")).alias("n"),
         ).first()
         assert 0 <= mx["n"] and mx["m"] < 1_000_000
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def langs(self, spark):
+        rows = [(i, f"doc {i}", ["en", "fr", "de", "es"][i % 4])
+                for i in range(800)]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_per_stratum_rates(self, langs):
+        out = stratified_hash_sample(
+            langs, {"en": 1.0, "fr": 0.5, "de": 0.0}, default_rate=0.25
+        )
+        n = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert n["en"] == 200          # keep all
+        assert "de" not in n           # drop all
+        assert 60 <= n.get("fr", 0) <= 140   # ~100 of 200
+        assert 20 <= n.get("es", 0) <= 80    # default 0.25 → ~50
+
+    def test_nested_under_rate_increase(self, langs):
+        lo = {r["doc_id"] for r in
+              stratified_hash_sample(langs, {"en": 0.3}).collect()}
+        hi = {r["doc_id"] for r in
+              stratified_hash_sample(langs, {"en": 0.8}).collect()}
+        assert lo <= hi
+
+    def test_agrees_with_flat_sample_per_stratum(self, langs):
+        """A stratum sampled at rate r contains exactly the ids
+        deterministic_sample(r) keeps — same hash, same threshold."""
+        strat = {r["doc_id"] for r in
+                 stratified_hash_sample(langs, {"en": 0.4}).collect()}
+        flat = {r["doc_id"] for r in
+                deterministic_sample(
+                    langs.where(F.col("lang") == "en"), 0.4
+                ).collect()}
+        assert strat == flat
+
+    def test_rejects_bad_rates(self, langs):
+        with pytest.raises(ValueError):
+            stratified_hash_sample(langs, {"en": 1.5})
+        with pytest.raises(ValueError):
+            stratified_hash_sample(langs, {}, default_rate=-0.1)
 
 
 class TestMixCorpora:
