@@ -176,6 +176,68 @@ def stream_dedup_ingest(
     )
 
 
+def stream_curation_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    index,
+    corpus_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.8,
+    require_gopher_pass: bool = True,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """The full training-data ingestion pipeline as one streaming job —
+    document files dropped under ``source_path`` flow through, per
+    micro-batch:
+
+    1. PII redaction (emails/urls/ips/phones masked — codegen'd
+       projection, the corpus never stores raw identifiers);
+    2. Gopher quality gate (``passes_gopher``, optional);
+    3. within-batch exact dedup (normalized-content hash groupBy);
+    4. corpus-level near-dup check against the persisted
+       ``MinHashTextIndex`` (bucket probe + exact-Jaccard verify, the
+       corpus text itself is never re-read);
+    5. survivors are indexed and appended to ``corpus_path``.
+
+    Same idempotence contract as ``stream_dedup_ingest``: survivors are
+    indexed before the corpus write, and re-delivered rows self-match
+    in the index, so an at-least-once retry appends nothing twice.
+    """
+    from inception_eventstore_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+    from inception_eventstore_spark.operators.dedup import dedup_exact
+    from inception_eventstore_spark.operators.pii import redact_pii
+
+    id_col, text_col = index.meta.id_col, index.meta.text_col
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        clean = batch_df.withColumn(text_col, redact_pii(text_col))
+        if require_gopher_pass:
+            clean = (
+                gopher_quality_flags(clean, text_col)
+                .where(F.col("passes_gopher") == 1)
+                .select(id_col, text_col)
+            )
+        batch = dedup_exact(clean, id_col=id_col, text_col=text_col)
+        kept = index.append_unique(batch, threshold)
+        kept.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )
+
+
 def read_event_stream(spark: SparkSession, source_path: str) -> DataFrame:
     """Streaming view of an envelope-row parquet directory."""
     return (

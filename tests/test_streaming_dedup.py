@@ -1,11 +1,15 @@
-"""Streaming dedup-at-ingest: stream_dedup_ingest + MinHashTextIndex."""
+"""Streaming dedup-at-ingest: stream_dedup_ingest + MinHashTextIndex,
+and the composed stream_curation_pipeline."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from inception_eventstore_spark.operators.text_index import MinHashTextIndex
-from inception_eventstore_spark.streaming.ingest import stream_dedup_ingest
+from inception_eventstore_spark.streaming.ingest import (
+    stream_curation_pipeline,
+    stream_dedup_ingest,
+)
 
 SCHEMA = "doc_id long, text string"
 
@@ -87,3 +91,75 @@ class TestStreamingDedupIngest:
         stored = spark.read.parquet(str(tmp_path / "tidx" / "sets"))
         assert stored.where(F.col("_id") == 30).count() == 1
         assert spark.read.parquet(corpus).count() == 1
+
+
+class TestStreamCurationPipeline:
+    # long enough to clear Gopher's 50-word minimum
+    GOOD = " ".join(
+        f"sentence {i} with several ordinary readable words in it"
+        for i in range(8)
+    )
+
+    def test_full_pipeline(self, spark, tmp_path):
+        source = str(tmp_path / "cp_in")
+        corpus = str(tmp_path / "cp_corpus")
+        ckpt = str(tmp_path / "cp_ckpt")
+        idx = MinHashTextIndex.build(
+            spark.createDataFrame(SEED_DOCS, SCHEMA), str(tmp_path / "cp_idx")
+        )
+        batch = [
+            (1, self.GOOD + " contact admin@example.com for details"),
+            (2, "way too short to keep"),                    # fails gopher
+            (3, self.GOOD + " contact admin@example.com for details"),
+            # ^ exact dup of 1 after redaction+normalization
+            (4, self.GOOD.replace("ordinary", "unusual")),   # fresh, kept
+        ]
+        spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(
+            source
+        )
+        q = stream_curation_pipeline(
+            spark, source, idx, corpus, ckpt, threshold=0.9
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(corpus).collect()}
+        assert set(rows) == {1, 4}
+        assert "admin@example.com" not in rows[1]
+        assert "[EMAIL]" in rows[1]
+
+    def test_near_dup_of_corpus_rejected_next_batch(self, spark, tmp_path):
+        source = str(tmp_path / "cp2_in")
+        corpus = str(tmp_path / "cp2_corpus")
+        idx = MinHashTextIndex.build(
+            spark.createDataFrame(SEED_DOCS, SCHEMA), str(tmp_path / "cp2_idx")
+        )
+        spark.createDataFrame(
+            [(10, self.GOOD)], SCHEMA
+        ).write.mode("append").parquet(source)
+        q = stream_curation_pipeline(
+            spark, source, idx, corpus, str(tmp_path / "cp2_ck1"),
+            threshold=0.8,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # second drop: ONE token changed; the repeated-sentence text has
+        # only 29 distinct shingles, 3 change -> exact jaccard 0.8125
+        spark.createDataFrame(
+            [(11, self.GOOD.replace("sentence 7 ", "sentence seven "))],
+            SCHEMA,
+        ).write.mode("append").parquet(source)
+        q2 = stream_curation_pipeline(
+            spark, source, idx, corpus, str(tmp_path / "cp2_ck1"),
+            threshold=0.8,
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {10}
