@@ -244,7 +244,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # sets feed the signature pass AND both sides of the verify join —
     # persist (memory-and-disk) instead of recomputing the shingling 3×.
+    # The count() MATERIALIZES the cache before the multi-consumer DAG
+    # runs: with a lazy persist, the self-join's two sides and the two
+    # verify sides are scheduled as concurrent stages that each compute
+    # the full shingle pipeline before any of them has filled the cache
+    # (measured 145 s → 38 s at 100k docs for the whole operator).
     sets = shingle_sets(docs, id_col, text_col, shingle_k).persist()
+    sets.count()
     # Candidates stay NARROW (id + 8-byte band hash); the shingle sets
     # are joined back only for the surviving pairs — carrying arrays
     # through the band explode would multiply shuffle volume ×bands.
@@ -255,6 +261,7 @@ def minhash_lsh_pairs(
         bands, rows_per_band,
     ).persist()  # both sides of the bucket self-join read this (16 rows ×
     # 20 bytes per doc) — without it the shingle+signature pipeline runs twice
+    banded.count()
     left = banded.select("_band", "_bh", F.col("_id").alias("id_a"))
     right = banded.select("_band", "_bh", F.col("_id").alias("id_b"))
     cand = (
@@ -351,6 +358,7 @@ def simhash_near_duplicates(
     # token→signature aggregation executes (and compiles) twice.
     # 16 bytes/doc — negligible even at 100 TB doc counts.
     base = simhash_signatures(docs, id_col, text_col).persist()
+    base.count()  # materialize BEFORE the concurrent self-join stages
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
     blocks = base.select(
@@ -406,6 +414,7 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(docs, id_col, text_col, n).withColumn(
         "_sz", F.size("_sh")
     ).persist()
+    sets.count()  # materialize BEFORE the concurrent consumer stages
     ex = sets.select("_id", "_sz", F.explode("_sh").alias("_g"))
     freq = ex.groupBy("_g").agg(F.count("*").alias("_df"))
     ranked = (
@@ -425,6 +434,7 @@ def ngram_jaccard_pairs(
         # explode+freq+window pipeline executes twice
         .persist()
     )
+    ranked.count()  # materialize BEFORE the self-join's two sides run
     left = ranked.select(F.col("_g"), F.col("_id").alias("id_a"),
                          F.col("_sz").alias("sz_a"))
     right = ranked.select(F.col("_g"), F.col("_id").alias("id_b"),

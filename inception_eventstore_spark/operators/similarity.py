@@ -381,6 +381,7 @@ def cosine_near_duplicates(
         F.col(vec_col).alias("_v"),
         sig_col.alias("_sig"),
     ).persist()
+    base.count()  # materialize BEFORE the three concurrent consumers
     probes = base.select(
         "_id",
         F.explode(

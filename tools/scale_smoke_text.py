@@ -111,6 +111,28 @@ def main() -> int:
     run("corpus_curation", curation_summary(
         curate_corpus(corpus, min_quality=0.65)))
 
+    # round-2 additions: gopher metrics / corpus line dedup / PII /
+    # bloom membership — all must stay near-linear in docs
+    from inception_eventstore_spark.operators.bloom import (
+        bloom_membership_dedup,
+    )
+    from inception_eventstore_spark.operators.curation import (
+        gopher_quality_flags,
+        remove_duplicate_lines,
+        top_ngram_fraction,
+    )
+    from inception_eventstore_spark.operators.pii import redact_documents
+
+    run("curation_gopher_flags", gopher_quality_flags(corpus))
+    run("curation_top_bigram", top_ngram_fraction(corpus))
+    run("dedup_corpus_lines", remove_duplicate_lines(corpus))
+    run("pii_redaction", redact_documents(corpus))
+    # membership probe: odd-id half of the corpus against the even half
+    run("dedup_bloom_membership", lambda: bloom_membership_dedup(
+        corpus.where(F.col("doc_id") % 2 == 1),
+        corpus.where(F.col("doc_id") % 2 == 0),
+    ))
+
     # cluster closure over the real near-dup pair graph
     from inception_eventstore_spark.operators.components import (
         connected_components,
