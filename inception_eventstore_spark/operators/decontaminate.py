@@ -1,0 +1,141 @@
+"""Benchmark decontamination for LLM training corpora.
+
+Training data that overlaps an evaluation benchmark inflates eval
+scores; standard practice (GPT-3 appendix C, The Pile, Dolma) removes
+any training document sharing a long-enough word n-gram with the
+benchmark. This module is the Spark-first formulation:
+
+1. ``ngram_hashes``: each doc → distinct xxhash64 of its word
+   ``n``-grams (JVM expressions only — the tokens array is staged as a
+   real column BEFORE the gram lambda, per the repo invariant: a
+   ``tokens(text)`` call inside ``transform`` re-splits the text per
+   element).
+2. ``contaminated_ids``: explode the BENCHMARK side (the small side —
+   benchmarks are a few thousand docs even when the corpus is 100 TB)
+   into a distinct hash set, and LEFT SEMI broadcast-join the exploded
+   training grams against it. Only 8-byte hashes ever shuffle, and the
+   broadcast means the training table is touched in a single map-side
+   pass: no shuffle of the 100 TB side at all.
+3. ``decontaminate``: anti-join the flagged ids back out (or keep them
+   with a flag for audit via ``flag_contamination``).
+
+Contamination is judged on normalized tokens (lower-case, whitespace
+split) so cosmetic differences don't hide overlap — the same
+normalization both The Pile and Dolma apply.
+
+At 100 TB: the benchmark gram set is O(benchmark tokens) ≈ MBs —
+broadcast-able by construction; the training side is scanned once,
+grams are generated inline in codegen, and the semi-join is map-side.
+The only wide operation is the final ``distinct`` on contaminated ids,
+whose input is already a tiny fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.dedup import tokens
+
+
+def _gram_hashes(toks: Column, n: int) -> Column:
+    """Distinct xxhash64 of every ``n``-gram of a staged token array.
+
+    ``transform(sequence(...))`` indexes the SAME array column n times
+    per gram — cheap — instead of re-tokenizing, and hashing the
+    space-joined gram keeps the downstream join payload at 8 bytes."""
+    length = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
+
+
+def ngram_hashes(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, gram_hash) — one row per distinct word n-gram per document.
+
+    Documents shorter than ``n`` tokens produce no rows (they cannot
+    carry a full n-gram, matching the n-gram-overlap definition)."""
+    staged = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= n)
+    return staged.select(
+        F.col(id_col),
+        F.explode(_gram_hashes(F.col("_toks"), n)).alias("gram_hash"),
+    )
+
+
+def benchmark_gram_set(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct gram hashes of the benchmark — the broadcast side."""
+    staged = benchmark.select(tokens(text_col).alias("_toks")).where(
+        F.size("_toks") >= n
+    )
+    return (
+        staged.select(
+            F.explode(_gram_hashes(F.col("_toks"), n)).alias("gram_hash")
+        )
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ids of training docs sharing ≥1 word n-gram with the benchmark.
+
+    The benchmark gram set is broadcast: the training side is a single
+    map-side semi-join pass with no shuffle of the corpus."""
+    grams = ngram_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+    bench = benchmark_gram_set(benchmark, n=n, text_col=text_col)
+    return (
+        grams.join(F.broadcast(bench), "gram_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def flag_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs + a boolean ``contaminated`` column (audit mode)."""
+    bad = contaminated_ids(
+        docs, benchmark, n=n, id_col=id_col, text_col=text_col
+    ).withColumn("contaminated", F.lit(True))
+    return docs.join(F.broadcast(bad), id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs with every benchmark-overlapping document removed.
+
+    The contaminated id set (tiny) is broadcast for the anti-join, so
+    the corpus again moves through a single map-side pass."""
+    bad = contaminated_ids(
+        docs, benchmark, n=n, id_col=id_col, text_col=text_col
+    )
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -1,0 +1,90 @@
+"""CDC merge / upsert: apply a changelog to a keyed snapshot.
+
+The reference's write path is an idempotent primary-key upsert
+(Cassandra INSERT == upsert, CassandraEventStore.cs:118-125); this
+module is the batch/analytics generalization: given a base snapshot and
+a stream of keyed change rows (upserts and deletes with a monotonically
+increasing sequence), produce the next snapshot — the MERGE INTO shape
+every lakehouse needs.
+
+Spark-first formulation: one ``unionByName`` + one window over the key
+(latest-wins by (seq, source-priority)) — a SINGLE shuffle on the key,
+no join at all. A join-based MERGE shuffles both sides AND re-shuffles
+for the output; the union-window form moves each row exactly once and
+AQE handles skewed keys.
+
+At 100 TB the base snapshot is the big side: if it is stored bucketed
+by the key (``sources/bucketed.py``) the window reuses the bucket
+partitioning and only the (small) changelog shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Changelog operation markers.
+OP_UPSERT = "U"
+OP_DELETE = "D"
+
+
+def merge_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Next snapshot = base ⊕ changes (latest change per key wins;
+    a trailing delete drops the key; keys never seen pass through).
+
+    ``changes`` carries ``keys``, every base column, ``seq_col``
+    (monotone version — ties broken in favor of the changelog) and
+    ``op_col`` ('U' upsert / 'D' delete). The base rows enter the
+    window at seq = -∞ so any change beats them.
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    base_tagged = base.select(
+        *keys,
+        *value_cols,
+        F.lit(None).cast("long").alias("_seq"),
+        F.lit(OP_UPSERT).alias("_op"),
+        F.lit(0).alias("_pri"),
+    )
+    changes_tagged = changes.select(
+        *keys,
+        *value_cols,
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(op_col).alias("_op"),
+        F.lit(1).alias("_pri"),
+    )
+    merged = base_tagged.unionByName(changes_tagged)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_seq").desc_nulls_last(), F.col("_pri").desc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_op") != OP_DELETE))
+        .drop("_seq", "_op", "_pri", "_rn")
+    )
+
+
+def latest_by_key(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Compact a changelog to its latest row per key (tombstones kept —
+    feed the result to ``merge_changelog`` or filter ``op`` yourself).
+
+    This is the map-side-combinable 'compact before merge' step: run it
+    per micro-batch/partition to shrink a hot changelog before the
+    full-snapshot merge."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

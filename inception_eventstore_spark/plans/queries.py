@@ -231,18 +231,30 @@ GROUP BY lang ORDER BY lang
 
 
 def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` kept as raw int64 ns — time predicates on this
-    column push down to parquet row-group stats, which the µs-converted
-    column cannot (the filter would sit on a derived expression).
-
-    Equivalence with the converted column (truncating ns → µs):
-      ts_µs >= K  ⟺  ts_ns >= K·1000          (floor-division algebra)
-      ts_µs <= K  ⟺  ts_ns <= (K+1)·1000 - 1
-    so whole-second bounds map exactly to raw-ns bounds.
-    """
+    """events with ``ts`` kept exactly as stored — time predicates on
+    the raw column push down to parquet row-group stats, which a
+    converted/cast column cannot (the filter would sit on a derived
+    expression)."""
     import os as _os
 
     return spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+
+
+def _raw_ts_bound(events: DataFrame, ts_str: str, *, upper: bool = False):
+    """A literal comparable to the raw ``ts`` column, matching the
+    stored dtype so the predicate prunes row groups.
+
+    - ``bigint`` (TIMESTAMP(NANOS) read under nanosAsLong): whole-second
+      bounds map exactly onto raw-ns bounds by floor-division algebra —
+      ts_µs >= K ⟺ ts_ns >= K·1000, ts_µs <= K ⟺ ts_ns <= (K+1)·1000-1,
+      hence the +999 on an inclusive upper bound.
+    - ``timestamp``/``timestamp_ntz`` (µs data): a plain typed literal.
+    """
+    dtype = dict(events.dtypes)["ts"]
+    if dtype == "bigint":
+        ns = _ns(ts_str)
+        return F.lit(ns + 999 if upper else ns)
+    return F.lit(ts_str).cast(dtype)
 
 
 # ----------------------------------------------------------------------
@@ -280,8 +292,8 @@ def q_r9_time_scan(spark, sf_dir):
     parquet row groups (the reference applies it client-side after a
     full scan — CassandraEventStore.cs:440)."""
     e = _events_raw(spark, sf_dir)
-    lo = _ns("2024-01-01 00:00:00")
-    hi = _ns("2024-06-30 00:00:00") + 999  # inclusive after ns→µs truncation
+    lo = _raw_ts_bound(e, "2024-01-01 00:00:00")
+    hi = _raw_ts_bound(e, "2024-06-30 00:00:00", upper=True)
     return e.where((F.col("ts") >= lo) & (F.col("ts") <= hi)).select(
         "event_id", "user_id", "event_type"
     )
@@ -307,7 +319,7 @@ def q_r11_replay_by_type(spark, sf_dir):
     e = _events_raw(spark, sf_dir)
     return e.where(
         (F.col("event_type") == "click")
-        & (F.col("ts") >= _ns("2024-01-01 00:00:00"))
+        & (F.col("ts") >= _raw_ts_bound(e, "2024-01-01 00:00:00"))
     ).select("event_id", "user_id", "value")
 
 

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CHECKS = {
     "r9_time_scan": [
         ("time window reaches parquet pushdown", r"PushedFilters: \[.*GreaterThanOrEqual\(ts"),
-        ("column pruning (3-col read)", r"ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint"),
+        ("column pruning (3-col read)", r"ReadSchema: struct<event_id:bigint,ts:(bigint|timestamp(_ntz)?),user_id:bigint"),
     ],
     "r11_replay_by_type": [
         ("type + time predicates pushed", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
