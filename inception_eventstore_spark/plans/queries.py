@@ -1448,6 +1448,66 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", TX.content_digest("text").alias("fp"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: benchmark = every 53rd document;
+    corpus = documents ∪ planted paraphrases (each embeds 7 benchmark
+    tokens inside fresh text, so contamination crosses doc boundaries
+    instead of only flagging the benchmark members themselves). Output:
+    the full audit flag per corpus doc.
+
+    Hash membership (Spark) vs string membership (DuckDB oracle) agree
+    because identical gram strings hash identically."""
+    from inception_eventstore_spark.operators import decontaminate as DC
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 53 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zzz"),
+            F.concat_ws(" ", F.slice(tokens("text"), 3, 7)),
+            F.lit("qqq"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return (
+        DC.flag_contamination(corpus, bench, n=5)
+        .select(
+            "doc_id", F.col("contaminated").cast("bigint").alias("contaminated")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_merge_changelog(spark, sf_dir):
+    """CDC merge: account-balance snapshot (customer) ⊕ changelog
+    derived from orders (aggregated upsert per customer, delete for
+    every 10th key, seq = latest order date). One shuffle total."""
+    from inception_eventstore_spark.operators import merge as MG
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("bal"),
+            F.unix_micros(F.max("o_orderdate")).alias("seq"),
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("k") % 10 == 0, F.lit(MG.OP_DELETE)).otherwise(
+                F.lit(MG.OP_UPSERT)
+            ),
+        )
+    )
+    return MG.merge_changelog(base, changes, ["k"]).orderBy("k")
+
+
 # ----------------------------------------------------------------------
 # Registry
 # ----------------------------------------------------------------------
@@ -1816,6 +1876,40 @@ QUERIES: dict[str, QueryDef] = {
         # because RE2's \s lacks \x0b
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
         "'[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp FROM documents",
+    ),
+    "decontaminate": QueryDef(
+        q_decontaminate,
+        # DuckDB list slices are 1-based inclusive: tk[i:i+4] is the
+        # 5-gram at i, tk[3:9] the 7 planted tokens (= Spark slice(_,3,7))
+        "WITH toks AS (SELECT doc_id, "
+        f"{_DUCK_TOKENS} AS tk FROM documents), "
+        "corpus AS (SELECT doc_id, tk FROM toks "
+        "UNION ALL SELECT doc_id + 200000, "
+        "list_concat(list_concat(['zzz'], tk[3:9]), ['qqq']) FROM toks "
+        "WHERE doc_id % 53 = 0), "
+        "grams AS (SELECT doc_id, unnest(list_transform("
+        "range(1, len(tk) - 5 + 2), i -> array_to_string(tk[i:i+4], ' ')"
+        ")) AS gram FROM corpus WHERE len(tk) >= 5), "
+        "bench AS (SELECT DISTINCT gram FROM grams "
+        "WHERE doc_id % 53 = 0 AND doc_id < 200000), "
+        "bad AS (SELECT DISTINCT g.doc_id FROM grams g "
+        "JOIN bench b USING (gram)) "
+        "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
+        "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
+        "ORDER BY doc_id",
+    ),
+    "merge_changelog": QueryDef(
+        q_merge_changelog,
+        "WITH base AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS bal, "
+        "CAST(NULL AS BIGINT) AS seq, 'U' AS op, 0 AS pri FROM customer), "
+        "ch AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS bal, "
+        "CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS seq, "
+        "CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS pri "
+        "FROM orders GROUP BY o_custkey), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM ch), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k "
+        "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
+        "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
 }
 
