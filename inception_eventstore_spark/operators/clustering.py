@@ -1,0 +1,229 @@
+"""Embedding-space clustering for corpus curation.
+
+Training-data pipelines cluster document embeddings to diversify,
+balance, and prune a corpus (SemDeDup, DSIR, cluster-balanced mixes).
+This module supplies the Spark-first pieces:
+
+- ``kmeans_fit``: DISTRIBUTED Lloyd's — unlike the bounded driver-side
+  training used for the IVF quantizer (``similarity.build_ivf_index``,
+  which deliberately trains on a sample because quantizer quality
+  saturates), this iterates over the FULL table for workloads whose
+  cluster means must reflect every row. Per iteration: one Arrow-batched
+  assignment pass (broadcast centroid matrix, one matmul per batch) and
+  one map-side-combinable centroid update (posexplode → partial
+  sum/count per (cell, dim) → k·dim tiny rows to the driver). No
+  caching requirement, no full-table shuffle: the wide shuffle payload
+  is k·dim·partitions partial aggregates, independent of table size.
+- ``assign_clusters``: the same Arrow assignment as a standalone op.
+- ``assign_clusters_exact``: a join-based JVM-expression assignment
+  (no Python) used by the oracle-paired declared query — distance is a
+  deterministic index-order left fold, ties broken by centroid id, so
+  any engine reproduces it bit-for-bit.
+- ``cluster_sizes`` / ``inertia``: the fit diagnostics.
+- ``balanced_sample``: deterministic per-cluster top-n by a portable
+  md5 order — the cluster-balancing step, growth-stable like
+  ``sampling.hash_split`` (adding rows never flips which earlier rows
+  are kept, given distinct ids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.similarity import (
+    _cell_assign_udf,
+    _lloyd_kmeans,
+)
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment (Arrow batch matmul, hot path)."""
+    from inception_eventstore_spark.functions.spread import spread
+
+    return spread(embeddings).withColumn(
+        out_col, _cell_assign_udf(centroids)(F.col(vec_col))
+    )
+
+
+def _fold_sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i-b_i)² as an index-order left fold from 0.0 — the addition
+    order is pinned, so any engine that folds left reproduces the exact
+    IEEE double (the declared-query oracle does)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters_exact(
+    embeddings: DataFrame,
+    centroid_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Join-based assignment: broadcast the centroid rows, score every
+    (row, centroid) pair with the deterministic fold distance, keep the
+    argmin per row (ties → smallest centroid id).
+
+    All-JVM expressions — slower per row than the Arrow matmul (the
+    fold is interpreted) but bit-for-bit portable; use for small k and
+    correctness surfaces, ``assign_clusters`` for the hot path.
+    Returns (id, cluster, dist2)."""
+    pairs = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).crossJoin(
+        F.broadcast(
+            centroid_df.select(
+                F.col(cid_col).alias("_cid"), F.col(cvec_col).alias("_cv")
+            )
+        )
+    )
+    scored = pairs.select(
+        id_col,
+        F.col("_cid"),
+        _fold_sq_dist(F.col("_v"), F.col("_cv")).alias("dist2"),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "_cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, F.col("_cid").alias("cluster"), "dist2")
+    )
+
+
+def _update_centroids(
+    assigned: DataFrame,
+    k: int,
+    prev: np.ndarray,
+    vec_col: str,
+    cluster_col: str,
+) -> np.ndarray:
+    """One centroid update: posexplode the vectors, partial-aggregate
+    (sum, count) per (cluster, dim) — map-side combine shrinks the
+    shuffle to k·dim rows per input partition — and finish on the
+    driver. Empty clusters keep their previous centroid."""
+    sums = (
+        assigned.select(
+            F.col(cluster_col).alias("_c"),
+            F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+        )
+        .groupBy("_c", "_d")
+        .agg(
+            F.sum(F.col("_x").cast("double")).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .collect()
+    )
+    C = prev.copy()
+    counts = np.zeros(k, dtype=np.int64)
+    for r in sums:
+        C[r._c, r._d] = r._s
+        counts[r._c] = r._n
+    for c in range(k):
+        if counts[c] > 0:
+            C[c] /= counts[c]
+        # else: keep previous centroid (empty-cluster carry-over)
+    return C
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_sample: int = 16_384,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Full-data Lloyd's over the cluster. Initialization is the
+    deterministic hash-ordered driver sample (k-means++ on ≤
+    ``init_sample`` points); every subsequent assign/update pass runs
+    distributed over the whole table. Returns the k×dim centroid list.
+
+    Per-iteration cost at 100 TB: one table scan (Arrow assignment) +
+    one partial aggregation whose shuffle volume is k·dim per input
+    partition — the table itself is never shuffled or cached."""
+    init_rows = (
+        embeddings.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(init_sample)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("cannot fit k-means on an empty DataFrame")
+    X = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+    C = _lloyd_kmeans(X, k, seed, max_iter=3)
+    k = C.shape[0]
+    for _ in range(max_iter):
+        assigned = assign_clusters(
+            embeddings, [list(map(float, c)) for c in C], vec_col=vec_col
+        )
+        newC = _update_centroids(assigned, k, C, vec_col, "cluster")
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift <= tol:
+            break
+    return [list(map(float, c)) for c in C]
+
+
+def cluster_sizes(assigned: DataFrame,
+                  cluster_col: str = "cluster") -> DataFrame:
+    return assigned.groupBy(cluster_col).agg(F.count("*").alias("n"))
+
+
+def inertia(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> float:
+    """Σ min-centroid squared distance (the k-means objective)."""
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    d2 = _fold_sq_dist(
+        F.col(vec_col), F.element_at(cent, F.col(cluster_col) + 1)
+    )
+    return assigned.select(F.sum(d2).alias("s")).collect()[0]["s"]
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic n-per-cluster sample: rank by the portable
+    md5(group ∥ id) order inside each cluster, keep the first n.
+
+    One window shuffle on the cluster key; the md5 rank makes the
+    choice seed-free and reproducible in any engine (unlike
+    ``sampleBy``, whose picks depend on Spark's RNG stream and
+    therefore on partitioning)."""
+    key = F.md5(
+        F.concat_ws("|", F.col(group_col).cast("string"),
+                    F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

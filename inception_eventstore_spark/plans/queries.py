@@ -1481,6 +1481,43 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment + per-cluster stats with four seed
+    vectors as centroids — the JVM-expression `assign_clusters_exact`
+    path whose fold distance and (dist2, cid) tie-break any engine
+    reproduces bit-for-bit. The Arrow-matmul hot path
+    (`assign_clusters`) is pinned against this one in pytest."""
+    from inception_eventstore_spark.operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.where(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = CL.assign_clusters_exact(emb, cent)
+    return (
+        assigned.groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling: 20 per label by the portable md5
+    order (the embeddings `label` column stands in for a fitted
+    cluster id — the sampler itself is cluster-source-agnostic)."""
+    from inception_eventstore_spark.operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        CL.balanced_sample(emb, "label", 20, "vec_id")
+        .select("vec_id", F.col("label").cast("bigint").alias("label"))
+        .orderBy("vec_id")
+    )
+
+
 def q_merge_changelog(spark, sf_dir):
     """CDC merge: account-balance snapshot (customer) ⊕ changelog
     derived from orders (aggregated upsert per customer, delete for
@@ -1897,6 +1934,33 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
+    ),
+    "kmeans_assign": QueryDef(
+        q_kmeans_assign,
+        # left-fold from 0.0 in index order = Spark's F.aggregate —
+        # list_reduce folds left, list_prepend supplies the 0.0 init
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e "
+        "WHERE vec_id IN (0,1,2,3)), "
+        "d AS (SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, len(e.v)+1), "
+        "i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), "
+        "(acc,x) -> acc+x) AS dist2 FROM e CROSS JOIN c), "
+        "a AS (SELECT vec_id, cid, dist2, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d) "
+        "SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n, "
+        "round(avg(dist2), 6) AS avg_dist2 "
+        "FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid",
+    ),
+    "cluster_balanced_sample": QueryDef(
+        q_cluster_balanced_sample,
+        "WITH r AS (SELECT vec_id, label, row_number() OVER "
+        "(PARTITION BY label ORDER BY "
+        "md5(CAST(label AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)), "
+        "vec_id) AS rn FROM embeddings) "
+        "SELECT vec_id, CAST(label AS BIGINT) AS label FROM r "
+        "WHERE rn <= 20 ORDER BY vec_id",
     ),
     "merge_changelog": QueryDef(
         q_merge_changelog,
