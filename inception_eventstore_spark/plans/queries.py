@@ -1481,6 +1481,43 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing over the oracled whitespace
+    tokenizer (budget 128). shard_size=100 forces the two-phase global
+    cumsum through several shards even at sf0.01, so the oracle also
+    certifies the shard-offset stitching."""
+    from inception_eventstore_spark.operators import packing as PK
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tok")
+    )
+    return (
+        PK.pack_chunked(d, budget=128, shard_size=100)
+        .select(
+            "doc_id",
+            "n_tok",
+            "tok_start",
+            "seq_id",
+            "seq_offset",
+            F.col("spans_cut").cast("bigint").alias("spans_cut"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_greedy_stats(spark, sf_dir):
+    """First-fit packing efficiency (greedy recurrence runs per shard
+    in pandas — deterministic, pinned by pytest; the sequential
+    dependence has no tractable SQL twin, so rows-only here)."""
+    from inception_eventstore_spark.operators import packing as PK
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tok")
+    )
+    packed = PK.pack_greedy(d, budget=128, shard_size=100)
+    return PK.packing_stats(packed, budget=128)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Nearest-centroid assignment + per-cluster stats with four seed
     vectors as centroids — the JVM-expression `assign_clusters_exact`
@@ -1935,6 +1972,21 @@ QUERIES: dict[str, QueryDef] = {
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
     ),
+    "pack_sequences": QueryDef(
+        q_pack_sequences,
+        # all offsets non-negative, so // matches Spark's div
+        "WITH t AS (SELECT doc_id, "
+        f"CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok FROM documents), "
+        "o AS (SELECT doc_id, n_tok, sum(n_tok) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS tok_start "
+        "FROM t) "
+        "SELECT doc_id, n_tok, tok_start, tok_start // 128 AS seq_id, "
+        "tok_start % 128 AS seq_offset, "
+        "CAST(((tok_start + greatest(n_tok - 1, 0)) // 128) <> "
+        "tok_start // 128 AS BIGINT) AS spans_cut "
+        "FROM o ORDER BY doc_id",
+    ),
+    "pack_greedy_stats": QueryDef(q_pack_greedy_stats, None),
     "kmeans_assign": QueryDef(
         q_kmeans_assign,
         # left-fold from 0.0 in index order = Spark's F.aggregate —
