@@ -161,6 +161,39 @@ FROM f ORDER BY doc_id
 """
 
 
+def _quality_quantile_oracle() -> str:
+    """Per-language top-30% filter over the same (certified) composite
+    score arithmetic as ``_quality_scores_oracle``, UNROUNDED for the
+    threshold comparison — DuckDB ``quantile_cont`` and Spark's exact
+    ``percentile`` share the linear-interpolation definition."""
+    hits = " + ".join(_duck_stopword_hits(l) for l in TX.STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk,
+    length(text) AS nc,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, len(tk) AS n_tok,
+    CASE WHEN len(tk) > 0 THEN CAST({hits} AS DOUBLE) / len(tk) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS uniq_ratio
+  FROM t),
+q AS (
+  SELECT doc_id, lang,
+    least(n_tok / 20.0, 1.0) * 0.3
+      + least(stop_ratio * 4, 1.0) * 0.2
+      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+      + uniq_ratio * 0.3 AS qs
+  FROM f),
+thr AS (SELECT lang, quantile_cont(qs, 0.7) AS thr FROM q GROUP BY lang)
+SELECT q.lang, count(*) AS kept, round(min(qs), 6) AS min_kept_score,
+  round(avg(qs), 6) AS avg_kept_score
+FROM q JOIN thr ON q.lang = thr.lang WHERE qs >= thr
+GROUP BY q.lang ORDER BY q.lang
+"""
+
+
 def _lang_id_oracle() -> str:
     """Twin of text.lang_id: argmax over stopword hits with the same
     tie-break (struct-lexicographic max → alphabetically-last language
@@ -1481,6 +1514,25 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_quality_quantile_filter(spark, sf_dir):
+    """Top-30%-per-language quality filter: exact per-group percentile
+    (linear interpolation — the engine-portable definition) broadcast
+    back over the corpus; summary per language."""
+    from inception_eventstore_spark.operators import filtering as FL
+
+    d = TX.quality_features(_t(spark, sf_dir, "documents"))
+    kept = FL.quantile_threshold_filter(d, "quality_score", "lang", 0.7)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("kept"),
+            F.round(F.min("quality_score"), 6).alias("min_kept_score"),
+            F.round(F.avg("quality_score"), 6).alias("avg_kept_score"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing over the oracled whitespace
     tokenizer (budget 128). shard_size=100 forces the two-phase global
@@ -1971,6 +2023,9 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
+    ),
+    "quality_quantile_filter": QueryDef(
+        q_quality_quantile_filter, _quality_quantile_oracle()
     ),
     "pack_sequences": QueryDef(
         q_pack_sequences,
