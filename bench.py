@@ -63,6 +63,12 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "dedup_corpus_lines",
     "stratified_sample",
+    "decontaminate",
+    "merge_changelog",
+    "kmeans_assign",
+    "cluster_balanced_sample",
+    "pack_sequences",
+    "quality_quantile_filter",
 ]
 
 

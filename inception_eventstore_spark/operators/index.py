@@ -33,10 +33,9 @@ class IndexByEventTypeStore:
         self.layout = layout
 
     def _exists(self) -> bool:
-        path = self.layout.index_path
-        return os.path.isdir(path) and any(
-            not f.startswith((".", "_")) for f in os.listdir(path)
-        )
+        from inception_eventstore_spark.sources import fsutil
+
+        return fsutil.has_data(self.spark, self.layout.index_path)
 
     def index_df(self) -> DataFrame:
         if not self._exists():
@@ -143,8 +142,12 @@ class IndexByEventTypeStore:
                rev: int, pos: int) -> bool:
         """X4: full-key delete (reference: IndexByEventTypeStore.cs:63-83).
         Rewrites only the single (et, pid) day directory — bounded I/O."""
-        part = os.path.join(self.layout.index_path, f"et={et}", f"pid={pid}")
-        if not os.path.isdir(part):
+        from inception_eventstore_spark.sources import fsutil
+
+        part = "/".join(
+            (self.layout.index_path, f"et={et}", f"pid={pid}")
+        )
+        if not fsutil.path_exists(self.spark, part):
             return False
         df = self.spark.read.parquet(part)
         kept = df.where(
@@ -157,10 +160,9 @@ class IndexByEventTypeStore:
         )
         tmp = part + ".tmp"
         kept.write.mode("overwrite").parquet(tmp)
-        import shutil
+        from inception_eventstore_spark.sources import fsutil
 
-        shutil.rmtree(part)
-        os.replace(tmp, part)
+        fsutil.replace_dir(self.spark, tmp, part)
         return True
 
     def min_ts(self) -> int | None:

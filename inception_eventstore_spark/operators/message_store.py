@@ -42,10 +42,9 @@ class MessageStore:
         self.layout = layout
 
     def _exists(self) -> bool:
-        p = self.layout.message_store_path
-        return os.path.isdir(p) and any(
-            not f.startswith((".", "_")) for f in os.listdir(p)
-        )
+        from inception_eventstore_spark.sources import fsutil
+
+        return fsutil.has_data(self.spark, self.layout.message_store_path)
 
     def append(self, data: bytes, publish_ts: int | None = None) -> None:
         """M1: archive one message; ``ts`` = publish-timestamp header if

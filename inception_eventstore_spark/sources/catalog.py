@@ -21,13 +21,20 @@ class EventStoreCatalog:
     """Tenant registry over one warehouse root."""
 
     def __init__(self, warehouse: str, base_keyspace: str = "eventstore",
-                 bounded_context: str | None = None):
+                 bounded_context: str | None = None, spark=None):
         self.warehouse = warehouse
         self.base_keyspace = base_keyspace
         self.bounded_context = bounded_context
+        self.spark = spark
 
     def keyspaces(self) -> list[str]:
-        """Existing keyspace directories under the warehouse."""
+        """Existing keyspace directories under the warehouse (Hadoop FS
+        when the catalog holds a session — works on hdfs:/s3a: URIs;
+        plain os walk as the sparkless local fallback)."""
+        if self.spark is not None:
+            from inception_eventstore_spark.sources import fsutil
+
+            return fsutil.list_dirs(self.spark, self.warehouse)
         if not os.path.isdir(self.warehouse):
             return []
         return sorted(

@@ -104,3 +104,28 @@ def read_text(spark: SparkSession, path_str: str) -> str | None:
         return bytes(sink.toByteArray()).decode("utf-8")
     finally:
         stream.close()
+
+
+def has_data(spark: SparkSession, dir_str: str) -> bool:
+    """True iff any non-hidden data file exists under ``dir_str`` —
+    short-circuits on the first hit (no full listing)."""
+    fs, path = _fs_and_path(spark, dir_str)
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith((".", "_")):
+            return True
+    return False
+
+
+def list_dirs(spark: SparkSession, dir_str: str) -> list[str]:
+    """Names of non-hidden subdirectories (not full paths)."""
+    fs, path = _fs_and_path(spark, dir_str)
+    if not fs.exists(path):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.isDirectory() and not st.getPath().getName().startswith(".")
+    )
