@@ -1,0 +1,119 @@
+"""Data-selection importance scoring (DSIR-style).
+
+Data Selection with Importance Resampling (Xie et al., 2023) scores
+every candidate document by the log-likelihood ratio of a TARGET
+distribution (the domain you want more of) against a SOURCE
+distribution (the general pool), both modeled as smoothed unigram (or
+hashed n-gram) models; the corpus is then resampled toward high-ratio
+documents. Spark-first shapes:
+
+- Model fitting is one explode→groupBy count per side — partial
+  aggregation shrinks the shuffle to distinct-token cardinality, and
+  the two models join on the token key into a single weight table
+  ``token → logratio``.
+- Scoring is one more explode over the candidates joined against the
+  weight table. The weight table is unigram-vocabulary-sized (bounded
+  in practice; Zipf caps useful vocab) → broadcast it and the scoring
+  pass is map-side; for an unbounded hashed-feature space fall back to
+  a shuffle join by passing ``broadcast_weights=False``.
+- Smoothing is add-k over the UNION vocabulary, so out-of-model tokens
+  get a finite, symmetric penalty instead of -inf.
+
+Determinism: token weights are pure arithmetic over counts (exact
+longs); per-doc sums add doubles in token order within each doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.dedup import tokens
+
+
+def _token_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def token_logratios(
+    target: DataFrame,
+    source: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """token → log(p_target(token) / p_source(token)) under add-k
+    smoothing over the union vocabulary."""
+    t = _token_counts(target, text_col).withColumnRenamed("cnt", "t_cnt")
+    s = _token_counts(source, text_col).withColumnRenamed("cnt", "s_cnt")
+    joined = t.join(s, "token", "full_outer").fillna(
+        0, subset=["t_cnt", "s_cnt"]
+    )
+    stats = joined.agg(
+        F.sum("t_cnt").alias("t_tot"),
+        F.sum("s_cnt").alias("s_tot"),
+        F.count("*").alias("vocab"),
+    ).collect()[0]
+    a = float(smoothing)
+    t_denom = float(stats.t_tot) + a * float(stats.vocab)
+    s_denom = float(stats.s_tot) + a * float(stats.vocab)
+    return joined.select(
+        "token",
+        (
+            F.log((F.col("t_cnt") + F.lit(a)) / F.lit(t_denom))
+            - F.log((F.col("s_cnt") + F.lit(a)) / F.lit(s_denom))
+        ).alias("logratio"),
+    )
+
+
+def importance_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """(id, n_scored, score): Σ logratio over the doc's tokens (token
+    multiplicity counts, per DSIR). Tokens outside the model vocabulary
+    contribute 0 — with union-vocab smoothing that only happens for
+    tokens unseen by BOTH models, where the ratio is genuinely 1.
+
+    Keeps docs with no scorable tokens (score 0), so the output is a
+    total function of the input ids."""
+    w = F.broadcast(weights) if broadcast_weights else weights
+    exploded = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("token")
+    )
+    scored = exploded.join(w, "token", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("logratio").alias("n_scored"),
+        F.coalesce(F.sum("logratio"), F.lit(0.0)).alias("score"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    keep_fraction: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """End-to-end DSIR selection: fit target-vs-docs models, score every
+    doc, keep the top ``keep_fraction`` by score (ties → smaller id).
+    The cutoff is an exact percentile aggregate (single tiny row), not a
+    global sort."""
+    w = token_logratios(target, docs, text_col=text_col,
+                        smoothing=smoothing)
+    scored = importance_scores(docs, w, id_col=id_col, text_col=text_col)
+    cut = scored.agg(
+        F.percentile("score", F.lit(1.0 - keep_fraction)).alias("cut")
+    )
+    return (
+        scored.join(F.broadcast(cut))
+        .where(F.col("score") >= F.col("cut"))
+        .drop("cut")
+    )

@@ -1514,6 +1514,26 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance scores for every document against target =
+    English docs, source = the whole pool. Engine parity: the ratio
+    arithmetic is exact over counts; only ln() differs by ulps, far
+    inside the 6dp round."""
+    from inception_eventstore_spark.operators import importance as IM
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = IM.token_logratios(d.where(F.col("lang") == "en"), d)
+    return (
+        IM.importance_scores(d, w)
+        .select(
+            "doc_id",
+            F.col("n_scored").cast("bigint").alias("n_scored"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_quantile_filter(spark, sf_dir):
     """Top-30%-per-language quality filter: exact per-group percentile
     (linear interpolation — the engine-portable definition) broadcast
@@ -2023,6 +2043,31 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
+    ),
+    "dsir_importance": QueryDef(
+        q_dsir_importance,
+        "WITH tk AS (SELECT doc_id, lang, "
+        f"{_DUCK_TOKENS} AS tk FROM documents), "
+        "tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM tk), "
+        "tcnt AS (SELECT token, count(*) AS t_cnt FROM tok "
+        "WHERE lang = 'en' GROUP BY token), "
+        "scnt AS (SELECT token, count(*) AS s_cnt FROM tok GROUP BY token), "
+        "j AS (SELECT token, coalesce(t_cnt, 0) AS t_cnt, "
+        "coalesce(s_cnt, 0) AS s_cnt "
+        "FROM tcnt FULL OUTER JOIN scnt USING (token)), "
+        "st AS (SELECT CAST(sum(t_cnt) AS DOUBLE) AS t_tot, "
+        "CAST(sum(s_cnt) AS DOUBLE) AS s_tot, "
+        "CAST(count(*) AS DOUBLE) AS vocab FROM j), "
+        "w AS (SELECT token, "
+        "ln((t_cnt + 0.5) / (t_tot + 0.5 * vocab)) - "
+        "ln((s_cnt + 0.5) / (s_tot + 0.5 * vocab)) AS logratio "
+        "FROM j, st), "
+        "sc AS (SELECT t.doc_id, count(w.logratio) AS n_scored, "
+        "coalesce(sum(w.logratio), 0.0) AS score "
+        "FROM tok t LEFT JOIN w USING (token) GROUP BY t.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(sc.n_scored, 0) AS BIGINT) "
+        "AS n_scored, round(coalesce(sc.score, 0.0), 6) AS score "
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id",
     ),
     "quality_quantile_filter": QueryDef(
         q_quality_quantile_filter, _quality_quantile_oracle()
