@@ -69,6 +69,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "pack_sequences",
     "quality_quantile_filter",
+    "dsir_importance",
 ]
 
 

@@ -1492,8 +1492,9 @@ def q_decontaminate(spark, sf_dir):
     because identical gram strings hash identically."""
     from inception_eventstore_spark.operators import decontaminate as DC
     from inception_eventstore_spark.operators.dedup import tokens
+    from inception_eventstore_spark.functions.spread import spread
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     bench = d.where(F.col("doc_id") % 53 == 0)
     planted = bench.select(
         (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
@@ -1520,8 +1521,9 @@ def q_dsir_importance(spark, sf_dir):
     arithmetic is exact over counts; only ln() differs by ulps, far
     inside the 6dp round."""
     from inception_eventstore_spark.operators import importance as IM
+    from inception_eventstore_spark.functions.spread import spread
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
     w = IM.token_logratios(d.where(F.col("lang") == "en"), d)
     return (
         IM.importance_scores(d, w)
@@ -1539,8 +1541,9 @@ def q_quality_quantile_filter(spark, sf_dir):
     (linear interpolation — the engine-portable definition) broadcast
     back over the corpus; summary per language."""
     from inception_eventstore_spark.operators import filtering as FL
+    from inception_eventstore_spark.functions.spread import spread
 
-    d = TX.quality_features(_t(spark, sf_dir, "documents"))
+    d = TX.quality_features(spread(_t(spark, sf_dir, "documents")))
     kept = FL.quantile_threshold_filter(d, "quality_score", "lang", 0.7)
     return (
         kept.groupBy("lang")

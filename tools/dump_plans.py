@@ -143,9 +143,134 @@ def _split_projection(spark, sf_dir: str):
     return hash_split(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def _decontaminate_pass(spark, sf_dir: str):
+    """Corpus-side decontamination pass: the benchmark gram set must be
+    broadcast (semi-join), so the corpus is never shuffled."""
+    from inception_eventstore_spark.operators.decontaminate import decontaminate
+    from inception_eventstore_spark.plans.queries import _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import functions as F
+
+    return decontaminate(d, d.where(F.col("doc_id") % 53 == 0), n=5)
+
+
+def _merge_plan(spark, sf_dir: str):
+    """CDC merge: union + window — no join operator at all."""
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.operators.merge import merge_changelog
+    from inception_eventstore_spark.plans.queries import _t
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    ch = base.limit(10).select(
+        "k", (F.col("bal") + 1).alias("bal"), F.lit(5).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return merge_changelog(base, ch, ["k"])
+
+
+def _pack_offsets_plan(spark, sf_dir: str):
+    """Two-phase token offsets: per-shard window only — the plan must
+    NOT contain a single-partition global sort/window exchange."""
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.operators.packing import pack_chunked
+    from inception_eventstore_spark.plans.queries import _t
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_tok")
+    )
+    return pack_chunked(d, budget=128, shard_size=100)
+
+
+def _quantile_filter_plan(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.operators.filtering import (
+        quantile_threshold_filter,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("v")
+    )
+    return quantile_threshold_filter(d, "v", "lang", 0.7)
+
+
+def _dsir_score_plan(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.operators.importance import (
+        importance_scores,
+        token_logratios,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = token_logratios(d.where(F.col("lang") == "en"), d)
+    return importance_scores(d, w)
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "decontaminate_pass",
+        _decontaminate_pass,
+        [
+            ("benchmark gram set broadcast into a semi-join",
+             r"BroadcastHashJoin [^\n]*LeftSemi"),
+            ("contaminated-id set broadcast into the anti-join",
+             r"BroadcastHashJoin [^\n]*LeftAnti"),
+            # the only Exchanges are the tiny contaminated-id distinct;
+            # the corpus text column reaches both joins scan-side, so a
+            # shuffle of full documents would surface as a sort-merge
+            # join — assert none exists
+            ("no shuffle join anywhere", "!SortMergeJoin|ShuffledHashJoin"),
+        ],
+    ),
+    (
+        "merge_changelog_plan",
+        _merge_plan,
+        [
+            ("merge is union + window, no join operator",
+             "!SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("latest-wins window on the key",
+             r"Exchange hashpartitioning\(k"),
+        ],
+    ),
+    (
+        "pack_token_offsets",
+        _pack_offsets_plan,
+        [
+            ("no single-partition global window",
+             "!Exchange SinglePartition"),
+            ("per-shard cumsum window", r"Window \[sum"),
+            ("shard offsets broadcast back", r"BroadcastHashJoin"),
+        ],
+    ),
+    (
+        "quantile_filter_plan",
+        _quantile_filter_plan,
+        [
+            ("thresholds broadcast; corpus pass map-side",
+             r"BroadcastHashJoin"),
+            ("corpus rows never exchange", "!Exchange hashpartitioning\\(doc_id"),
+        ],
+    ),
+    (
+        "dsir_score_plan",
+        _dsir_score_plan,
+        [
+            ("weight table broadcast into the scoring pass",
+             r"BroadcastHashJoin [^\n]*token"),
+            ("model counts partial-aggregated",
+             r"HashAggregate.*partial|partial_count"),
+        ],
+    ),
     (
         "hash_split_projection",
         _split_projection,
