@@ -23,8 +23,11 @@ from inception_eventstore_spark.plans.queries import (  # noqa: E402
 
 
 def _ensure_nanos_config(spark: SparkSession) -> None:
-    """The testdata parquet carries TIMESTAMP(NANOS); sessions built
-    outside our factory need the legacy read config set."""
+    """Sessions built outside our factory need the UTC timezone pinned
+    (timestamp-ntz normalization depends on it) and, for the legacy
+    TIMESTAMP(NANOS) testdata generation, the nanos-as-long read config
+    — harmless no-op on µs-encoded data (loaders normalize by observed
+    dtype, sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

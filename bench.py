@@ -70,6 +70,7 @@ HEADLINE = [
     "pack_sequences",
     "quality_quantile_filter",
     "dsir_importance",
+    "domain_stats",
 ]
 
 

@@ -1,0 +1,101 @@
+"""URL/domain curation for web-scraped corpora.
+
+Web-pipeline staples (C4, RefinedWeb, Dolma): extract the URLs a
+document references, reduce them to registrable hosts, aggregate
+per-domain corpus statistics, and drop documents touching blocklisted
+domains. All JVM regex/array expressions (the URL pattern is the PII
+module's, constrained to the Java-regex ∩ RE2 dialect so the DuckDB
+oracle shares it) — no Python in the path, whole-stage codegen applies.
+
+Scale shapes: extraction is a map-side projection; domain stats shuffle
+only (domain, 1) pairs with map-side combine; the blocklist filter
+broadcasts the (tiny) blocklist into a semi-join against exploded
+hosts, then anti-joins the matching ids back out — the corpus text
+moves through map-side passes only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Shared with PII_PATTERNS ("url") — one dialect, one oracle story.
+URL_PATTERN = r"https?://[^ \t\n]+"
+
+#: host = the authority between the scheme and the first /?#, lowered,
+#: with any :port and leading www. stripped.
+_HOST_PATTERN = r"https?://([^/?#\s]+)"
+
+
+def extract_urls(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def host_of(url: Column) -> Column:
+    """Normalized host of one URL: lowercase, :port and www. removed."""
+    host = F.lower(F.regexp_extract(url, _HOST_PATTERN, 1))
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def doc_domains(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, domain) — one row per DISTINCT referenced domain per doc."""
+    urls = docs.select(
+        F.col(id_col), extract_urls(text_col).alias("_urls")
+    )
+    return (
+        urls.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.transform(F.col("_urls"), host_of))
+            ).alias("domain"),
+        )
+        .where(F.col("domain") != "")
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain corpus stats: referencing docs + total mentions."""
+    urls = docs.select(
+        F.col(id_col), extract_urls(text_col).alias("_urls")
+    ).where(F.size("_urls") > 0)
+    mentions = urls.select(
+        F.col(id_col),
+        F.explode(F.transform(F.col("_urls"), host_of)).alias("domain"),
+    ).where(F.col("domain") != "")
+    return mentions.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("docs"),
+        F.count("*").alias("mentions"),
+    )
+
+
+def domain_blocklist_filter(
+    docs: DataFrame,
+    blocked_domains: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Remove documents referencing ANY blocklisted domain. The
+    blocklist (one ``domain`` column) is broadcast twice — semi-join to
+    find offending ids, anti-join to drop them — so the corpus is never
+    shuffled. Documents with no URLs always survive."""
+    blocked = blocked_domains.select(
+        F.lower(F.col(domain_col)).alias("domain")
+    )
+    bad_ids = (
+        doc_domains(docs, id_col=id_col, text_col=text_col)
+        .join(F.broadcast(blocked), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(bad_ids), id_col, "left_anti")

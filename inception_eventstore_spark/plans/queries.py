@@ -1515,6 +1515,36 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus stats over deterministically planted URLs (the
+    fixtures carry none — same planting idiom as pii_redaction):
+    mixed-case hosts, :port and www. prefixes exercise normalization."""
+    from inception_eventstore_spark.operators import domains as DM
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    nothing = F.lit("")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, F.concat(
+                F.lit(" see https://Site"), (did % 20).cast("string"),
+                F.lit(".Example.com/p/"), did.cast("string"))
+            ).otherwise(nothing),
+            F.when(did % 6 == 0, F.concat(
+                F.lit(" m http://www.mirror"), (did % 7).cast("string"),
+                F.lit(".org:8080/x"))).otherwise(nothing),
+        ).alias("text"),
+    )
+    return (
+        DM.domain_stats(planted)
+        .select("domain", F.col("docs").cast("bigint").alias("docs"),
+                "mentions")
+        .orderBy("domain")
+    )
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR importance scores for every document against target =
     English docs, source = the whole pool. Engine parity: the ratio
@@ -2046,6 +2076,24 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
+    ),
+    "domain_stats": QueryDef(
+        q_domain_stats,
+        r"WITH planted AS (SELECT doc_id, text || "
+        r"CASE WHEN doc_id % 4 = 0 THEN ' see https://Site' || "
+        r"CAST(doc_id % 20 AS VARCHAR) || '.Example.com/p/' || "
+        r"CAST(doc_id AS VARCHAR) ELSE '' END || "
+        r"CASE WHEN doc_id % 6 = 0 THEN ' m http://www.mirror' || "
+        r"CAST(doc_id % 7 AS VARCHAR) || '.org:8080/x' ELSE '' END "
+        r"AS text FROM documents), "
+        "urls AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+        r"'https?://[^ \t\n]+')) AS url FROM planted), "
+        "hosts AS (SELECT doc_id, regexp_replace(regexp_replace(lower("
+        r"regexp_extract(url, 'https?://([^/?#\s]+)', 1)), "
+        r"':[0-9]+$', ''), '^www\.', '') AS domain FROM urls) "
+        "SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs, "
+        "count(*) AS mentions FROM hosts WHERE domain <> '' "
+        "GROUP BY domain ORDER BY domain",
     ),
     "dsir_importance": QueryDef(
         q_dsir_importance,

@@ -243,3 +243,37 @@ def read_event_stream(spark: SparkSession, source_path: str) -> DataFrame:
     return (
         spark.readStream.schema(schemas.EVENTS_SCHEMA).parquet(source_path)
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("id", "rev", "pos"),
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+    filetime: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup on the envelope key via the built-in
+    ``dropDuplicatesWithinWatermark`` stateful operator.
+
+    Complements the anti-join idempotence in ``stream_ingest``: the
+    anti-join guards against re-appending rows already ON DISK (exact,
+    unbounded lookback, needs the store); this operator drops duplicate
+    deliveries IN FLIGHT — e.g. a Kafka producer retry — with state
+    bounded by the watermark horizon, before they ever reach a sink.
+    The reference gets both behaviors for free from Cassandra's PK
+    upsert; Structured Streaming splits them by retention scope.
+
+    Works on a batch DataFrame too (plain ``dropDuplicates`` — the
+    watermark bound is meaningless when the whole input is present).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    with_time = events.withColumn(
+        "_dedup_ts",
+        filetime_to_timestamp_col(time_col) if filetime else F.col(time_col),
+    )
+    return (
+        with_time.withWatermark("_dedup_ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .drop("_dedup_ts")
+    )

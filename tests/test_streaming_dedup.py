@@ -163,3 +163,70 @@ class TestStreamCurationPipeline:
             q2.stop()
         kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
         assert kept == {10}
+
+
+class TestDedupWithinWatermark:
+    def test_streaming_drops_redelivered_keys(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.streaming.ingest import (
+            dedup_within_watermark,
+            read_event_stream,
+        )
+
+        source = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        ts = datetime_to_filetime(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+        rows = [
+            (b"agg-1", 1, 0, ts, bytearray(b"p1")),
+            (b"agg-1", 1, 0, ts, bytearray(b"p1")),  # duplicate delivery
+            (b"agg-1", 1, 1, ts + 10, bytearray(b"p2")),
+        ]
+        from inception_eventstore_spark import schemas
+
+        spark.createDataFrame(rows, schemas.EVENTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(source)
+
+        deduped = dedup_within_watermark(read_event_stream(spark, source))
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(out).select("id", "rev", "pos").collect()
+        assert sorted((bytes(r.id), r.rev, r.pos) for r in got) == [
+            (b"agg-1", 1, 0),
+            (b"agg-1", 1, 1),
+        ]
+
+    def test_batch_fallback(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark import schemas
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.streaming.ingest import (
+            dedup_within_watermark,
+        )
+
+        ts = datetime_to_filetime(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+        df = spark.createDataFrame(
+            [(b"a", 1, 0, ts, bytearray(b"x"))] * 3, schemas.EVENTS_SCHEMA
+        )
+        assert dedup_within_watermark(df).count() == 1
