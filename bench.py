@@ -34,9 +34,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "topk_per_group",
     "rollup_orders",
+    "cube_orders",
     "time_bucket_rollup",
     "pivot_status_priority",
     "scalar_funcs",
+    "window_funcs",
+    "value_histogram",
     "json_props_extract",
     "exists_semi_join",
     "distinct_users",

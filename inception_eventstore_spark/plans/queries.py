@@ -567,6 +567,62 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping sets in one
+    pass — the full-lattice complement to the ROLLUP query."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_window_funcs(spark, sf_dir):
+    """Window-function breadth on one pass: lag/lead deltas, ntile
+    quartiles, percent_rank and a sliding 3-row average, all over the
+    same (user, ts) window — a single shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("value") - F.lag("value", 1).over(w), F.lit(0.0))
+        .alias("delta_prev"),
+        F.coalesce(F.lead("value", 1).over(w) - F.col("value"), F.lit(0.0))
+        .alias("delta_next"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.avg("value").over(wr), 6).alias("avg3"),
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event values via width_bucket — 20
+    buckets over [0, 100); one partial-aggregated pass."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_scalar_funcs(spark, sf_dir):
     """String/date/math scalar-function coverage on one projection."""
     e = _t(spark, sf_dir, "events")
@@ -2076,6 +2132,38 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
+    ),
+    "cube_orders": QueryDef(
+        q_cube_orders,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "round(avg(o_totalprice), 2) AS avg_price FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    ),
+    "window_funcs": QueryDef(
+        q_window_funcs,
+        "SELECT event_id, user_id, "
+        "coalesce(value - lag(value, 1) OVER w, 0.0) AS delta_prev, "
+        "coalesce(lead(value, 1) OVER w - value, 0.0) AS delta_next, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+        "round(percent_rank() OVER w, 6) AS prank, "
+        "round(avg(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
+        "AS avg3 FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY event_id",
+    ),
+    "value_histogram": QueryDef(
+        q_value_histogram,
+        # DuckDB has no width_bucket; the CASE reproduces its ANSI
+        # semantics for lo=0, hi=100, n=20 (width 5): 0 below range,
+        # n+1 at/above hi, else floor(v/w)+1
+        "SELECT CAST(CASE WHEN value < 0.0 THEN 0 "
+        "WHEN value >= 100.0 THEN 21 "
+        "ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS BIGINT) "
+        "AS bucket, count(*) AS n, round(min(value), 2) AS lo, "
+        "round(max(value), 2) AS hi FROM events "
+        "GROUP BY bucket ORDER BY bucket",
     ),
     "domain_stats": QueryDef(
         q_domain_stats,
