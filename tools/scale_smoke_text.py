@@ -133,6 +133,29 @@ def main() -> int:
         corpus.where(F.col("doc_id") % 2 == 0),
     ))
 
+    # round-2 additions: decontamination / DSIR / packing — broadcast
+    # and two-phase-cumsum shapes must also stay near-linear
+    from inception_eventstore_spark.operators.decontaminate import (
+        contaminated_ids,
+    )
+    from inception_eventstore_spark.operators.importance import (
+        importance_scores,
+        token_logratios,
+    )
+    from inception_eventstore_spark.operators.packing import pack_chunked
+    from inception_eventstore_spark.operators.text import token_count
+
+    bench_docs = corpus.where(F.col("doc_id") % 997 == 0)
+    run("decontaminate_flags", lambda: contaminated_ids(
+        corpus, bench_docs, n=5))
+    run("dsir_scores", lambda: importance_scores(
+        corpus, token_logratios(bench_docs, corpus)))
+    with_tok = corpus.select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    run("pack_chunked", lambda: pack_chunked(
+        with_tok, budget=2048, shard_size=1_000_000))
+
     # cluster closure over the real near-dup pair graph
     from inception_eventstore_spark.operators.components import (
         connected_components,
