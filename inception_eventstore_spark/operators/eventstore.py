@@ -300,6 +300,52 @@ class EventStore:
             df = df.join(F.broadcast(tombs), ["id", "rev", "pos"], "left_anti")
         return df
 
+    # ------------------------------------------------------------------
+    # Snapshots (time travel)
+    # ------------------------------------------------------------------
+    def _snapshot_log(self):
+        from inception_eventstore_spark.sources.snapshots import SnapshotLog
+
+        return SnapshotLog(self.spark, self.layout.events_path)
+
+    def create_snapshot(self) -> int:
+        """Freeze the store's CURRENT logical content as a version:
+        the events-table data files plus the tombstone files at this
+        moment (deletes are merge-on-read, so the tombstone set is part
+        of a version's logical state). Replay (R9-R12) against
+        ``events_snapshot(v)`` then scans a consistent, immutable file
+        set while ingest keeps appending. NB: ``compact`` physically
+        rewrites files, retiring what older manifests point at — prune
+        snapshots you no longer need before compacting."""
+        from inception_eventstore_spark.sources import fsutil
+
+        tomb_dir = os.path.join(self.layout.root, "tombstones")
+        tombs = sorted(fsutil.list_data_files(self.spark, tomb_dir))
+        return self._snapshot_log().create(extra={"tombstones": tombs})
+
+    def snapshot_versions(self) -> list[int]:
+        return self._snapshot_log().versions()
+
+    def events_snapshot(self, version: int) -> DataFrame:
+        """``events_df`` as of ``version`` — the manifest's event files
+        anti-joined with the manifest's (not the current) tombstones."""
+        log = self._snapshot_log()
+        manifest = log.manifest(version)
+        schema = T.StructType(
+            list(schemas.EVENTS_SCHEMA.fields)
+            + [T.StructField("bucket", T.IntegerType(), True)]
+        )
+        df = log.read(version, schema=schema).drop("bucket")
+        tomb_files = manifest.get("tombstones") or []
+        if tomb_files:
+            tombs = self.spark.read.schema(_TOMBSTONE_SCHEMA).parquet(
+                *tomb_files
+            )
+            df = df.join(
+                F.broadcast(tombs), ["id", "rev", "pos"], "left_anti"
+            )
+        return df
+
     def _aggregate_scan(self, aid: bytes) -> DataFrame:
         """Single-partition scan: bucket dir pruning + id file pruning.
 

@@ -567,6 +567,24 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_regression_trend(spark, sf_dir):
+    """Linear-regression aggregates per event type: OLS slope /
+    intercept / R² of value against time (scaled to ~O(1) so the
+    normal-equation sums stay well-conditioned in doubles)."""
+    e = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(1e12)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("icpt"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            F.regr_count(F.col("value"), x).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_cube_orders(spark, sf_dir):
     """CUBE over (status, priority): all four grouping sets in one
     pass — the full-lattice complement to the ROLLUP query."""
@@ -2132,6 +2150,15 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "
         "AS contaminated FROM corpus c LEFT JOIN bad b USING (doc_id) "
         "ORDER BY doc_id",
+    ),
+    "regression_trend": QueryDef(
+        q_regression_trend,
+        "SELECT event_type, "
+        "round(regr_slope(value, epoch_us(ts) / 1e12), 6) AS slope, "
+        "round(regr_intercept(value, epoch_us(ts) / 1e12), 6) AS icpt, "
+        "round(regr_r2(value, epoch_us(ts) / 1e12), 6) AS r2, "
+        "CAST(regr_count(value, epoch_us(ts) / 1e12) AS BIGINT) AS n "
+        "FROM events GROUP BY event_type ORDER BY event_type",
     ),
     "cube_orders": QueryDef(
         q_cube_orders,

@@ -30,20 +30,29 @@ def mkdirs(spark: SparkSession, path_str: str) -> None:
     fs.mkdirs(path)
 
 
+def _is_hidden_below(base: str, full: str) -> bool:
+    """True iff any path component BELOW ``base`` starts with '.'/'_'
+    — Spark's convention hides such files AND directories (e.g.
+    ``_snapshots/``), so data-file listings must skip both."""
+    rel = full[len(base):].lstrip("/")
+    return any(part.startswith((".", "_")) for part in rel.split("/"))
+
+
 def list_data_files(spark: SparkSession, dir_str: str,
                     recursive: bool = False) -> list[str]:
-    """Data-file paths under ``dir_str`` (skips ``_SUCCESS``/hidden files).
-    Returns [] if the directory doesn't exist."""
+    """Data-file paths under ``dir_str`` (skips ``_SUCCESS``/hidden
+    files and anything inside hidden/underscore directories, matching
+    Spark's own discovery). Returns [] if the directory doesn't exist."""
     fs, path = _fs_and_path(spark, dir_str)
     if not fs.exists(path):
         return []
+    base = path.toString()
     out: list[str] = []
     if recursive:
         it = fs.listFiles(path, True)
         while it.hasNext():
             st = it.next()
-            name = st.getPath().getName()
-            if not name.startswith((".", "_")):
+            if not _is_hidden_below(base, st.getPath().toString()):
                 out.append(st.getPath().toString())
     else:
         for st in fs.listStatus(path):
@@ -112,9 +121,10 @@ def has_data(spark: SparkSession, dir_str: str) -> bool:
     fs, path = _fs_and_path(spark, dir_str)
     if not fs.exists(path):
         return False
+    base = path.toString()
     it = fs.listFiles(path, True)
     while it.hasNext():
-        if not it.next().getPath().getName().startswith((".", "_")):
+        if not _is_hidden_below(base, it.next().getPath().toString()):
             return True
     return False
 
