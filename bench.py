@@ -40,6 +40,7 @@ HEADLINE = [
     "scalar_funcs",
     "window_funcs",
     "value_histogram",
+    "regression_trend",
     "json_props_extract",
     "exists_semi_join",
     "distinct_users",
@@ -73,6 +74,7 @@ HEADLINE = [
     "pack_sequences",
     "quality_quantile_filter",
     "dsir_importance",
+    "bow_embedding_buckets",
     "domain_stats",
 ]
 

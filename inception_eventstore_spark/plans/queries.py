@@ -1589,6 +1589,29 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_bow_embedding_buckets(spark, sf_dir):
+    """Hashed bag-of-words featurization, verified bucket-for-bucket:
+    the raw (doc, bucket, count) triples of the unnormalized vector.
+    The md5 bucket arithmetic runs verbatim in DuckDB, so the entire
+    feature hashing is value-oracled; L2 normalization (pure arithmetic
+    over these counts) is pinned by pytest."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators import embeddings as EB
+
+    d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    emb = EB.hashed_bow_embedding(d, dim=64, normalize=False)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "cnt"))
+        .where(F.col("cnt") > 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain corpus stats over deterministically planted URLs (the
     fixtures carry none — same planting idiom as pii_redaction):
@@ -2191,6 +2214,16 @@ QUERIES: dict[str, QueryDef] = {
         "AS bucket, count(*) AS n, round(min(value), 2) AS lo, "
         "round(max(value), 2) AS hi FROM events "
         "GROUP BY bucket ORDER BY bucket",
+    ),
+    "bow_embedding_buckets": QueryDef(
+        q_bow_embedding_buckets,
+        "WITH t AS (SELECT doc_id, "
+        f"{_DUCK_TOKENS} AS tk FROM documents), "
+        "bk AS (SELECT doc_id, unnest(list_transform(tk, tok -> "
+        "CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT) "
+        "% 64)) AS bucket FROM t) "
+        "SELECT doc_id, bucket, count(*) AS cnt FROM bk "
+        "GROUP BY doc_id, bucket ORDER BY doc_id, bucket",
     ),
     "domain_stats": QueryDef(
         q_domain_stats,

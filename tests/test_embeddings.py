@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from inception_eventstore_spark.operators import embeddings as EB
+from inception_eventstore_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+class TestHashedBow:
+    def test_counts_and_norm(self, spark):
+        d = _docs(spark, ["a a b", ""])
+        out = {r.doc_id: r.embedding
+               for r in EB.hashed_bow_embedding(d, dim=8).collect()}
+        v = out[0]
+        assert len(v) == 8
+        nz = sorted(x for x in v if x > 0)
+        # counts 2 and 1 (or a single 3 on bucket collision), normalized
+        assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-12
+        assert len(nz) in (1, 2)
+        assert out[1] == [0.0] * 8  # empty doc → zero vector, not NaN
+
+    def test_deterministic_and_case_normalized(self, spark):
+        a = EB.hashed_bow_embedding(_docs(spark, ["Cat DOG"]), dim=16)
+        b = EB.hashed_bow_embedding(_docs(spark, ["cat dog"]), dim=16)
+        assert a.first().embedding == b.first().embedding
+
+    def test_unnormalized_counts_are_integers(self, spark):
+        d = _docs(spark, ["x y x z x"])
+        v = EB.hashed_bow_embedding(d, dim=4, normalize=False).first().embedding
+        assert sorted(v, reverse=True)[0] >= 1.0
+        assert math.fsum(v) == 5.0
+
+    def test_feeds_similarity_family(self, spark):
+        """The produced vectors slot straight into brute_force_topk."""
+        d = _docs(
+            spark,
+            ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"],
+        )
+        emb = EB.hashed_bow_embedding(d, dim=16).select(
+            "doc_id", "embedding"
+        )
+        q = emb.where("doc_id = 0").first().embedding
+        top = brute_force_topk(emb, list(q), k=2, id_col="doc_id",
+                               vec_col="embedding").collect()
+        assert {r.doc_id for r in top} == {0, 1}  # the duplicate wins
+
+    def test_no_shuffle_plan(self, spark):
+        d = _docs(spark, ["a b c"])
+        plan = (
+            EB.hashed_bow_embedding(d, dim=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
