@@ -42,3 +42,37 @@ from inception_eventstore_spark.operators.sampling import (  # noqa: F401
 from inception_eventstore_spark.operators.text_index import (  # noqa: F401
     MinHashTextIndex,
 )
+from inception_eventstore_spark.operators.decontaminate import (  # noqa: F401
+    contaminated_ids,
+    decontaminate,
+    flag_contamination,
+)
+from inception_eventstore_spark.operators.merge import (  # noqa: F401
+    latest_by_key,
+    merge_changelog,
+)
+from inception_eventstore_spark.operators.clustering import (  # noqa: F401
+    assign_clusters,
+    balanced_sample,
+    kmeans_fit,
+)
+from inception_eventstore_spark.operators.packing import (  # noqa: F401
+    pack_chunked,
+    pack_greedy,
+    token_offsets,
+)
+from inception_eventstore_spark.operators.filtering import (  # noqa: F401
+    quantile_threshold_filter,
+)
+from inception_eventstore_spark.operators.importance import (  # noqa: F401
+    dsir_select,
+    importance_scores,
+    token_logratios,
+)
+from inception_eventstore_spark.operators.domains import (  # noqa: F401
+    domain_blocklist_filter,
+    domain_stats,
+)
+from inception_eventstore_spark.operators.embeddings import (  # noqa: F401
+    hashed_bow_embedding,
+)

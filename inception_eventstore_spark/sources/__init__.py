@@ -12,3 +12,4 @@ from inception_eventstore_spark.sources.layout import (  # noqa: F401
     table_per_bounded_context,
     EventStoreLayout,
 )
+from inception_eventstore_spark.sources.snapshots import SnapshotLog  # noqa: F401
