@@ -12,16 +12,22 @@ ONLY:
   query has a full value oracle, unlike xxhash-based features);
 - v[b] = count of tokens hashing to b, optionally L2-normalized.
 
-Scale shape: ZERO shuffle — the vector materializes per row from a
-staged token-bucket array (O(n_tok · dim) comparisons inside
-whole-stage codegen; dim is small by construction for the hashing
-trick). An explode→groupBy→pivot formulation would shuffle the whole
-corpus twice for the same result.
+Execution shape: explode → (id, bucket) groupBy count → per-doc map →
+dense array. The naive "stay within the row" formulation (a filter
+lambda per bucket over a staged bucket array) looks shuffle-free but is
+a trap: Catalyst's CollapseProject inlines the staged array into every
+one of the ``dim`` lambdas — cse stops at lambda scope — so every token
+is md5-hashed dim times (measured 64× ≈ 32 s where this shape runs in
+~2 s). The explode pays one narrow shuffle of 16-byte (id, bucket)
+pairs with map-side combine — the CLAUDE-invariant shape — and each
+token is hashed exactly once. Densification is a ≤ dim-entry map
+lookup per slot AFTER the aggregation boundary (post-agg columns are
+materialized, so nothing re-evaluates).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from inception_eventstore_spark.operators.dedup import tokens
@@ -40,33 +46,59 @@ def hashed_bow_embedding(
     """docs + ``out_col``: array<double> of length ``dim`` (token-count
     per md5 bucket, L2-normalized unless ``normalize=False``; all-zero
     for empty docs — the zero vector is preserved, not NaN)."""
-    staged = docs.withColumn(
-        "_bkt",
-        F.transform(
-            tokens(text_col), lambda t: hash_bucket(t, seed=seed,
-                                                    buckets=dim)
-        ),
+    buckets = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).select(
+        id_col, hash_bucket("_tok", seed=seed, buckets=dim).alias("_b")
     )
-    counts = F.transform(
+    counts = buckets.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+    maps = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias("_m")
+    )
+    dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(F.filter(F.col("_bkt"), lambda b: b == i))
-        .cast("double"),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0)
+        ).cast("double"),
     )
-    staged = staged.withColumn("_cnt", counts)
-    if not normalize:
-        return staged.withColumn(out_col, F.col("_cnt")).drop("_bkt", "_cnt")
-    # stage the norm as a COLUMN before the division lambda — an outer
-    # expression referenced inside a lambda re-evaluates per element
-    staged = staged.withColumn(
-        "_norm",
-        F.sqrt(
-            F.aggregate(
-                F.col("_cnt"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ),
+    out = docs.join(maps, id_col, "left").withColumn("_cnt", dense)
+    if normalize:
+        # stage the norm as a COLUMN before the division lambda — an
+        # outer expression referenced inside a lambda re-evaluates per
+        # element ("_cnt" itself is safe: one transform over it)
+        out = out.withColumn(
+            "_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("_cnt"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        )
+        vec = F.when(
+            F.col("_norm") > 0,
+            F.transform(F.col("_cnt"), lambda x: x / F.col("_norm")),
+        ).otherwise(F.col("_cnt"))
+        return out.withColumn(out_col, vec).drop("_m", "_cnt", "_norm")
+    return out.withColumn(out_col, F.col("_cnt")).drop("_m", "_cnt")
+
+
+def bow_bucket_counts(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "bow-v1",
+) -> DataFrame:
+    """The sparse form: (id, bucket, cnt) triples, cnt > 0 — the raw
+    output of the hashing trick before densification (and the exact
+    rows the declared query value-oracles against DuckDB)."""
+    buckets = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).select(
+        id_col, hash_bucket("_tok", seed=seed, buckets=dim).alias("bucket")
     )
-    vec = F.when(
-        F.col("_norm") > 0,
-        F.transform(F.col("_cnt"), lambda x: x / F.col("_norm")),
-    ).otherwise(F.col("_cnt"))
-    return staged.withColumn(out_col, vec).drop("_bkt", "_cnt", "_norm")
+    return buckets.groupBy(id_col, "bucket").agg(
+        F.count("*").alias("cnt")
+    )

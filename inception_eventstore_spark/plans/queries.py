@@ -1599,10 +1599,8 @@ def q_bow_embedding_buckets(spark, sf_dir):
     from inception_eventstore_spark.operators import embeddings as EB
 
     d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
-    emb = EB.hashed_bow_embedding(d, dim=64, normalize=False)
     return (
-        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "cnt"))
-        .where(F.col("cnt") > 0)
+        EB.bow_bucket_counts(d, dim=64)
         .select(
             "doc_id",
             F.col("bucket").cast("bigint").alias("bucket"),

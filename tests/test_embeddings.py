@@ -55,12 +55,29 @@ class TestHashedBow:
                                vec_col="embedding").collect()
         assert {r.doc_id for r in top} == {0, 1}  # the duplicate wins
 
-    def test_no_shuffle_plan(self, spark):
+    def test_sparse_and_dense_agree(self, spark):
+        d = _docs(spark, ["a a b c", "b b"])
+        dense = {
+            r.doc_id: r.embedding
+            for r in EB.hashed_bow_embedding(
+                d, dim=8, normalize=False
+            ).collect()
+        }
+        sparse = EB.bow_bucket_counts(d, dim=8).collect()
+        rebuilt = {k: [0.0] * 8 for k in dense}
+        for r in sparse:
+            rebuilt[r.doc_id][r.bucket] = float(r.cnt)
+        assert rebuilt == dense
+
+    def test_partial_aggregation_plan(self, spark):
+        """Each token hashed once; the (id, bucket) count partial-
+        aggregates map-side (the per-bucket-lambda formulation re-hashes
+        every token dim× — see module docstring)."""
         d = _docs(spark, ["a b c"])
         plan = (
-            EB.hashed_bow_embedding(d, dim=8)
+            EB.bow_bucket_counts(d, dim=8)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert "Exchange" not in plan
+        assert "partial_count" in plan or "partial" in plan
