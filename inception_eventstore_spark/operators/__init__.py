@@ -43,9 +43,14 @@ from inception_eventstore_spark.operators.text_index import (  # noqa: F401
     MinHashTextIndex,
 )
 from inception_eventstore_spark.operators.decontaminate import (  # noqa: F401
+    # NB: the bare `decontaminate` function is NOT re-exported here —
+    # it would shadow the `operators.decontaminate` SUBMODULE on the
+    # package namespace and break `from ... import decontaminate as DC`
     contaminated_ids,
-    decontaminate,
     flag_contamination,
+)
+from inception_eventstore_spark.operators.decontaminate import (  # noqa: F401
+    decontaminate as decontaminate_corpus,
 )
 from inception_eventstore_spark.operators.merge import (  # noqa: F401
     latest_by_key,

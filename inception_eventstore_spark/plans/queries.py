@@ -1528,6 +1528,26 @@ def q_multimodal_features(spark, sf_dir):
     ).orderBy("asset_id")
 
 
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (multimodal.frame_sample_plan): pure
+    column math over the deterministic synthetic assets, so — unlike
+    the decode-kernel features — the planning surface has a full value
+    oracle (DuckDB regenerates the same asset metadata from the same
+    arithmetic)."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = MM.synthetic_assets(spark, n=256)
+    return (
+        MM.frame_sample_plan(assets, every_ms=1000)
+        .select(
+            "asset_id",
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            F.col("offset_ms").cast("bigint").alias("offset_ms"),
+        )
+        .orderBy("asset_id", "frame_idx")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from inception_eventstore_spark.functions.spread import spread
 
@@ -2212,6 +2232,19 @@ QUERIES: dict[str, QueryDef] = {
         "AS bucket, count(*) AS n, round(min(value), 2) AS lo, "
         "round(max(value), 2) AS hi FROM events "
         "GROUP BY bucket ORDER BY bucket",
+    ),
+    "multimodal_frame_plan": QueryDef(
+        q_multimodal_frame_plan,
+        # regenerate the synthetic video assets' metadata from the same
+        # arithmetic (modality = i%3 → video at i%3==2, duration =
+        # 5000+i·100), then the same sequence math as frame_sample_plan
+        "WITH a AS (SELECT i AS asset_id, 5000 + i * 100 AS duration_ms "
+        "FROM range(0, 256) t(i) WHERE i % 3 = 2), "
+        "f AS (SELECT asset_id, unnest(range(0, greatest(CAST("
+        "floor(duration_ms / 1000.0) AS BIGINT), 1))) AS frame_idx FROM a) "
+        "SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "CAST(frame_idx * 1000 AS BIGINT) AS offset_ms "
+        "FROM f ORDER BY asset_id, frame_idx",
     ),
     "bow_embedding_buckets": QueryDef(
         q_bow_embedding_buckets,
