@@ -59,6 +59,7 @@ HEADLINE = [
     "sim_topk_lsh",
     "sim_cosine_near_dup",
     "multimodal_features",
+    "multimodal_frame_plan",
     "curation_gopher",
     "curation_top_bigram",
     "dedup_bloom_membership",
@@ -75,6 +76,7 @@ HEADLINE = [
     "quality_quantile_filter",
     "dsir_importance",
     "bow_embedding_buckets",
+    "tfidf_weights",
     "domain_stats",
 ]
 

@@ -102,3 +102,39 @@ def bow_bucket_counts(
     return buckets.groupBy(id_col, "bucket").agg(
         F.count("*").alias("cnt")
     )
+
+
+def tfidf_bucket_weights(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "bow-v1",
+) -> DataFrame:
+    """TF-IDF over the hashed buckets: (id, bucket, w) with
+    w = cnt · ln((N + 1) / (df + 1)), df = docs containing the bucket,
+    N = corpus size (smoothed so universal buckets get small positive
+    weight instead of 0/−∞).
+
+    Shape: the sparse counts (one narrow shuffle) + a per-bucket df
+    aggregate (≤ dim rows — broadcast back) + one scalar N. The idf
+    table being bucket-indexed (not vocabulary-indexed) keeps it O(dim)
+    regardless of corpus size — the hashing trick applied to the
+    statistics as well as the features."""
+    counts = bow_bucket_counts(docs, dim=dim, id_col=id_col,
+                               text_col=text_col, seed=seed)
+    n_docs = docs.select(id_col).distinct().count()
+    df_per_bucket = counts.groupBy("bucket").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    return (
+        counts.join(F.broadcast(df_per_bucket), "bucket")
+        .select(
+            id_col,
+            "bucket",
+            (
+                F.col("cnt")
+                * F.log(F.lit(float(n_docs + 1)) / (F.col("_df") + F.lit(1.0)))
+            ).alias("w"),
+        )
+    )

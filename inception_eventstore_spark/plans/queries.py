@@ -1630,6 +1630,25 @@ def q_bow_embedding_buckets(spark, sf_dir):
     )
 
 
+def q_tfidf_weights(spark, sf_dir):
+    """TF-IDF over the hashed buckets — tf and df both value-exact
+    (integer counts + md5 buckets); only ln() ulps sit inside the 6dp
+    round."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators import embeddings as EB
+
+    d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return (
+        EB.tfidf_bucket_weights(d, dim=64)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.round("w", 6).alias("w"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain corpus stats over deterministically planted URLs (the
     fixtures carry none — same planting idiom as pii_redaction):
@@ -2245,6 +2264,22 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
         "CAST(frame_idx * 1000 AS BIGINT) AS offset_ms "
         "FROM f ORDER BY asset_id, frame_idx",
+    ),
+    "tfidf_weights": QueryDef(
+        q_tfidf_weights,
+        "WITH t AS (SELECT doc_id, "
+        f"{_DUCK_TOKENS} AS tk FROM documents), "
+        "bk AS (SELECT doc_id, unnest(list_transform(tk, tok -> "
+        "CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT) "
+        "% 64)) AS bucket FROM t), "
+        "c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk "
+        "GROUP BY doc_id, bucket), "
+        "n AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS nd FROM documents), "
+        "dfb AS (SELECT bucket, count(DISTINCT doc_id) AS dfc FROM c "
+        "GROUP BY bucket) "
+        "SELECT c.doc_id, c.bucket, "
+        "round(c.cnt * ln(nd / (dfc + 1.0)), 6) AS w "
+        "FROM c JOIN dfb USING (bucket), n ORDER BY c.doc_id, c.bucket",
     ),
     "bow_embedding_buckets": QueryDef(
         q_bow_embedding_buckets,

@@ -81,3 +81,31 @@ class TestHashedBow:
             .toString()
         )
         assert "partial_count" in plan or "partial" in plan
+
+
+class TestTfidf:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        d = _docs(spark, ["a a b", "a c", "c c"])
+        out = EB.tfidf_bucket_weights(d, dim=512)
+        # recover bucket->token mapping via the sparse counts
+        cnts = EB.bow_bucket_counts(d, dim=512).collect()
+        # df per bucket from the counts themselves
+        df = {}
+        for r in cnts:
+            df[r.bucket] = df.get(r.bucket, 0) + 1
+        want = {
+            (r.doc_id, r.bucket): r.cnt * math.log(4.0 / (df[r.bucket] + 1))
+            for r in cnts
+        }
+        got = {(r.doc_id, r.bucket): r.w for r in out.collect()}
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
+
+    def test_rare_tokens_outweigh_common(self, spark):
+        d = _docs(spark, ["common rare1", "common x", "common y"])
+        out = EB.tfidf_bucket_weights(d, dim=512).collect()
+        ws = sorted(r.w for r in out)
+        # the bucket shared by all three docs gets the smallest weight
+        assert ws[0] < ws[-1]
