@@ -43,13 +43,22 @@ def _gram_hashes(toks: Column, n: int) -> Column:
 
     ``transform(sequence(...))`` indexes the SAME array column n times
     per gram — cheap — instead of re-tokenizing, and hashing the
-    space-joined gram keeps the downstream join payload at 8 bytes."""
+    space-joined gram keeps the downstream join payload at 8 bytes.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` DESCENDS
+    ([1, 0]) instead of being empty, so docs with < n tokens must
+    yield an explicit empty array (both public callers also filter
+    them out up front)."""
     length = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
+    starts = F.sequence(F.lit(1), length - F.lit(n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
     )
-    return F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
+    grams = F.array_distinct(
+        F.transform(starts, lambda i: F.xxhash64(gram(i)))
+    )
+    empty = F.array().cast("array<bigint>")
+    return F.when(length >= n, grams).otherwise(empty)
 
 
 def ngram_hashes(
