@@ -77,6 +77,7 @@ HEADLINE = [
     "dsir_importance",
     "bow_embedding_buckets",
     "tfidf_weights",
+    "embedding_dim_stats",
     "domain_stats",
 ]
 

@@ -138,3 +138,57 @@ def tfidf_bucket_weights(
             ).alias("w"),
         )
     )
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, mean, std, lo, hi) per vector dimension — one posexplode +
+    one partial-aggregated groupBy (shuffle payload: n_dims rows per
+    input partition). std is population std (σ, the standardization
+    convention)."""
+    ex = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "_x")
+    ).select("dim", F.col("_x").cast("double").alias("_x"))
+    return ex.groupBy("dim").agg(
+        F.avg("_x").alias("mean"),
+        F.stddev_pop("_x").alias("std"),
+        F.min("_x").alias("lo"),
+        F.max("_x").alias("hi"),
+    )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_std",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-dimension z-score: (x - μ_d) / max(σ_d, eps) — the
+    preprocessing step before k-means / ANN when dimensions carry
+    heterogeneous scales. The per-dim stats are a tiny driver-side
+    collect (n_dims rows) baked back in as literal arrays, so the
+    normalization pass is map-side with zero shuffle; constant
+    dimensions map to 0, not NaN."""
+    stats = sorted(
+        embedding_dim_stats(embeddings, vec_col=vec_col).collect(),
+        key=lambda r: r.dim,
+    )
+    if not stats:
+        raise ValueError("cannot standardize an empty embeddings DataFrame")
+    means = F.array(*[F.lit(float(r.mean)) for r in stats])
+    stds = F.array(
+        *[F.lit(max(float(r.std or 0.0), eps)) for r in stats]
+    )
+    staged = embeddings.withColumn("_mu", means).withColumn("_sd", stds)
+    vec = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("_mu"),
+        lambda x, m: x - m,
+    )
+    staged = staged.withColumn("_ctr", vec)
+    out = F.zip_with(
+        F.col("_ctr"), F.col("_sd"), lambda x, s: x / s
+    )
+    return staged.withColumn(out_col, out).drop("_mu", "_sd", "_ctr")

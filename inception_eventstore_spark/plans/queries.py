@@ -1630,6 +1630,26 @@ def q_bow_embedding_buckets(spark, sf_dir):
     )
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension distribution stats of the embeddings table — the
+    fit half of standardize_embeddings (the transform is literal
+    arithmetic over these values, pinned by pytest)."""
+    from inception_eventstore_spark.operators import embeddings as EB
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        EB.embedding_dim_stats(emb)
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+        )
+        .orderBy("dim")
+    )
+
+
 def q_tfidf_weights(spark, sf_dir):
     """TF-IDF over the hashed buckets — tf and df both value-exact
     (integer counts + md5 buckets); only ln() ulps sit inside the 6dp
@@ -2264,6 +2284,17 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
         "CAST(frame_idx * 1000 AS BIGINT) AS offset_ms "
         "FROM f ORDER BY asset_id, frame_idx",
+    ),
+    "embedding_dim_stats": QueryDef(
+        q_embedding_dim_stats,
+        # generate_subscripts gives the 1-based index alongside unnest;
+        # Spark posexplode is 0-based
+        "WITH e AS (SELECT unnest(list_transform(embedding, "
+        "v -> CAST(v AS DOUBLE))) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings) "
+        "SELECT CAST(dim AS BIGINT) AS dim, round(avg(x), 6) AS mean, "
+        "round(stddev_pop(x), 6) AS std, round(min(x), 6) AS lo, "
+        "round(max(x), 6) AS hi FROM e GROUP BY dim ORDER BY dim",
     ),
     "tfidf_weights": QueryDef(
         q_tfidf_weights,

@@ -109,3 +109,31 @@ class TestTfidf:
         ws = sorted(r.w for r in out)
         # the bucket shared by all three docs gets the smallest weight
         assert ws[0] < ws[-1]
+
+
+class TestStandardize:
+    def test_zero_mean_unit_std(self, spark):
+        import numpy as np
+        from pyspark.sql import Row as R
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(loc=3.0, scale=2.5, size=(50, 4))
+        df = spark.createDataFrame(
+            [R(vec_id=i, embedding=[float(x) for x in X[i]])
+             for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = EB.standardize_embeddings(df).collect()
+        Z = np.array([r.embedding_std for r in sorted(out, key=lambda r: r.vec_id)])
+        want = (X - X.mean(axis=0)) / X.std(axis=0)
+        assert np.allclose(Z, want, atol=1e-9)
+
+    def test_constant_dim_maps_to_zero(self, spark):
+        from pyspark.sql import Row as R
+
+        df = spark.createDataFrame(
+            [R(vec_id=i, embedding=[7.0, float(i)]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        out = EB.standardize_embeddings(df).collect()
+        assert all(r.embedding_std[0] == 0.0 for r in out)
