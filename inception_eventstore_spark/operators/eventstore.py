@@ -590,6 +590,22 @@ class EventStore:
             )
             return
 
+        # Per-partition summaries travel back on an accumulator (merged
+        # into task-completion updates) rather than a job-wide collect of
+        # task results, so the R12 path stays O(#partitions) driver memory
+        # and never materializes rows driver-side at any scale.
+        from pyspark.accumulators import AccumulatorParam
+
+        class _SummaryAccum(AccumulatorParam):
+            def zero(self, value):
+                return []
+
+            def addInPlace(self, a, b):
+                a.extend(b)
+                return a
+
+        acc = self.spark.sparkContext.accumulator([], _SummaryAccum())
+
         def run(pid: int, it):
             n = 0
             last_id, last_rev = None, None
@@ -597,10 +613,11 @@ class EventStore:
                 fn(r)
                 n += 1
                 last_id, last_rev = r["id"], r["rev"]
-            yield (pid, n, last_id, last_rev)
+            acc.add([(pid, n, last_id, last_rev)])
+            return iter(())
 
-        summaries = grouped.rdd.mapPartitionsWithIndex(run).collect()
-        for pid, n, last_id, last_rev in summaries:
+        grouped.rdd.mapPartitionsWithIndex(run).count()
+        for pid, n, last_id, last_rev in sorted(acc.value):
             token = PagingToken(
                 keys={
                     "partition": pid,
@@ -620,6 +637,7 @@ class EventStore:
         options: PlayerOptions | None = None,
         on_progress: Callable[[str], None] | None = None,
         resume_token: str | None = None,
+        chunk_rows: int = 10_000,
     ):
         """R9+R12 enumeration form: yield replay rows bucket-by-bucket
         with a resumable progress token after each chunk.
@@ -631,7 +649,14 @@ class EventStore:
         and the token (last completed bucket) makes the whole replay
         resumable after a crash: pass it back as ``resume_token`` and
         completed buckets are never re-read. Callback exceptions are
-        swallowed, mirroring HandlePaginationStateChangesAsync."""
+        swallowed, mirroring HandlePaginationStateChangesAsync.
+
+        Driver memory is bounded by ``chunk_rows`` (plus one in-flight
+        executor partition): each bucket streams through
+        ``toLocalIterator(prefetchPartitions=False)`` — never a
+        full-bucket ``collect`` — matching the reference's page-wise
+        ``IAsyncEnumerable`` contract (CassandraEventStore.cs:416-460)
+        where a page, not a partition, is the unit held in memory."""
         from inception_eventstore_spark.functions.paging import decode_token
 
         options = options or PlayerOptions()
@@ -648,12 +673,20 @@ class EventStore:
                 df = df.where(F.col("ts") >= options.after)
             if options.before is not None:
                 df = df.where(F.col("ts") <= options.before)
-            rows = df.collect()
-            if rows:
-                yield rows
+            n_rows = 0
+            chunk: list = []
+            for r in df.toLocalIterator(prefetchPartitions=False):
+                chunk.append(r)
+                if len(chunk) >= chunk_rows:
+                    n_rows += len(chunk)
+                    yield chunk
+                    chunk = []
+            if chunk:
+                n_rows += len(chunk)
+                yield chunk
             if on_progress is not None:
                 token = PagingToken(
-                    keys={"bucket": bucket, "rows": len(rows)},
+                    keys={"bucket": bucket, "rows": n_rows},
                     has_more=bucket < self.layout.n_buckets - 1,
                 )
                 try:

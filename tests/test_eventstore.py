@@ -409,6 +409,25 @@ class TestProgressNotifications:
         )
         assert len(resumed) == len(rows) - first_two
 
+    def test_replay_chunked_bounds_driver_chunks(self, spark, tmp_path):
+        """Chunks never exceed chunk_rows even when a bucket holds many
+        partitions/rows (VERDICT r2 #1: no full-bucket collect), and the
+        streamed row set is identical to the plain replay."""
+        from inception_eventstore_spark.operators.eventstore import PlayerOptions
+
+        store, _ = self._store(spark, tmp_path, n_buckets=2)
+        chunks = list(store.replay_chunked(PlayerOptions(), chunk_rows=5))
+        assert all(len(c) <= 5 for c in chunks)
+        assert len(chunks) > store.layout.n_buckets  # buckets split up
+        streamed = sorted(
+            (bytes(r["id"]), r["rev"], r["pos"]) for c in chunks for r in c
+        )
+        direct = sorted(
+            (bytes(r["id"]), r["rev"], r["pos"])
+            for r in store.replay(PlayerOptions()).collect()
+        )
+        assert streamed == direct
+
     def test_progress_callback_errors_are_swallowed(self, spark, tmp_path):
         from inception_eventstore_spark.operators.eventstore import PlayerOptions
 
