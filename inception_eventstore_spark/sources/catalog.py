@@ -9,10 +9,9 @@ reference's lock is unnecessary (SURVEY §2 S4).
 
 from __future__ import annotations
 
-import os
-
 from inception_eventstore_spark.sources.layout import (
     EventStoreLayout,
+    _fs_session,
     for_tenant,
 )
 
@@ -28,21 +27,12 @@ class EventStoreCatalog:
         self.spark = spark
 
     def keyspaces(self) -> list[str]:
-        """Existing keyspace directories under the warehouse (Hadoop FS
-        when the catalog holds a session — works on hdfs:/s3a: URIs;
-        plain os walk as the sparkless local fallback)."""
-        if self.spark is not None:
-            from inception_eventstore_spark.sources import fsutil
+        """Existing keyspace directories under the warehouse — always the
+        Hadoop FileSystem API (file:/, hdfs:/, s3a:/ all behave the
+        same), via the catalog's session or the active one."""
+        from inception_eventstore_spark.sources import fsutil
 
-            return fsutil.list_dirs(self.spark, self.warehouse)
-        if not os.path.isdir(self.warehouse):
-            return []
-        return sorted(
-            d
-            for d in os.listdir(self.warehouse)
-            if os.path.isdir(os.path.join(self.warehouse, d))
-            and not d.startswith(".")
-        )
+        return fsutil.list_dirs(_fs_session(self.spark), self.warehouse)
 
     def tenants(self) -> list[str]:
         """Tenant names recovered from ``{tenant}_{base}`` keyspaces."""

@@ -130,12 +130,15 @@ def has_data(spark: SparkSession, dir_str: str) -> bool:
 
 
 def list_dirs(spark: SparkSession, dir_str: str) -> list[str]:
-    """Names of non-hidden subdirectories (not full paths)."""
+    """Names of non-hidden subdirectories (not full paths). Hidden means
+    a '.' or '_' prefix — the same Spark convention ``_is_hidden_below``
+    applies to files, so a stray ``_snapshots/`` never surfaces as a
+    keyspace."""
     fs, path = _fs_and_path(spark, dir_str)
     if not fs.exists(path):
         return []
     return sorted(
         st.getPath().getName()
         for st in fs.listStatus(path)
-        if st.isDirectory() and not st.getPath().getName().startswith(".")
+        if st.isDirectory() and not st.getPath().getName().startswith((".", "_"))
     )
