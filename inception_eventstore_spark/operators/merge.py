@@ -36,6 +36,7 @@ def merge_changelog(
     keys: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    tie_break: Sequence[str] | None = None,
 ) -> DataFrame:
     """Next snapshot = base ⊕ changes (latest change per key wins;
     a trailing delete drops the key; keys never seen pass through).
@@ -44,7 +45,14 @@ def merge_changelog(
     (monotone version — ties broken in favor of the changelog) and
     ``op_col`` ('U' upsert / 'D' delete). The base rows enter the
     window at seq = -∞ so any change beats them.
-    """
+
+    Determinism contract: ``(keys, seq)`` must be UNIQUE within
+    ``changes`` — two changelog rows tying on the same key and seq have
+    no defined winner. If the source can emit such ties (e.g. multiple
+    producers sharing a coarse sequence), pass ``tie_break``: extra
+    changelog column names (a source ordinal, an offset) appended
+    descending to the window order so the winner is total-ordered."""
+    tie_break = list(tie_break or [])
     value_cols = [c for c in base.columns if c not in keys]
     base_tagged = base.select(
         *keys,
@@ -52,6 +60,7 @@ def merge_changelog(
         F.lit(None).cast("long").alias("_seq"),
         F.lit(OP_UPSERT).alias("_op"),
         F.lit(0).alias("_pri"),
+        *[F.lit(None).cast("long").alias(f"_tb_{c}") for c in tie_break],
     )
     changes_tagged = changes.select(
         *keys,
@@ -59,15 +68,19 @@ def merge_changelog(
         F.col(seq_col).cast("long").alias("_seq"),
         F.col(op_col).alias("_op"),
         F.lit(1).alias("_pri"),
+        *[F.col(c).cast("long").alias(f"_tb_{c}") for c in tie_break],
     )
     merged = base_tagged.unionByName(changes_tagged)
     w = Window.partitionBy(*keys).orderBy(
-        F.col("_seq").desc_nulls_last(), F.col("_pri").desc()
+        F.col("_seq").desc_nulls_last(),
+        F.col("_pri").desc(),
+        *[F.col(f"_tb_{c}").desc_nulls_last() for c in tie_break],
     )
     return (
         merged.withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") == 1) & (F.col("_op") != OP_DELETE))
-        .drop("_seq", "_op", "_pri", "_rn")
+        .drop("_seq", "_op", "_pri", "_rn",
+              *[f"_tb_{c}" for c in tie_break])
     )
 
 
@@ -75,14 +88,19 @@ def latest_by_key(
     changes: DataFrame,
     keys: Sequence[str],
     seq_col: str = "seq",
+    tie_break: Sequence[str] | None = None,
 ) -> DataFrame:
     """Compact a changelog to its latest row per key (tombstones kept —
     feed the result to ``merge_changelog`` or filter ``op`` yourself).
 
     This is the map-side-combinable 'compact before merge' step: run it
     per micro-batch/partition to shrink a hot changelog before the
-    full-snapshot merge."""
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    full-snapshot merge. Same determinism contract as
+    ``merge_changelog``: (keys, seq) unique, or pass ``tie_break``."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in (tie_break or [])],
+    )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

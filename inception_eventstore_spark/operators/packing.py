@@ -35,6 +35,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _shard_expr(docs: DataFrame, id_col: str, shard_size: int) -> F.Column:
+    """Deterministic order-preserving shard key with a BOUNDED shard
+    count (≈ rows / shard_size) for ANY id distribution — dense, sparse
+    or hashed. ``id div shard_size`` degenerates when ids are sparse
+    (xxhash64 ids → one shard per row → the driver-side prefix sum
+    scales with row count); instead the shard width adapts to the
+    observed [min, max] so the prefix structures stay O(#shards).
+    Shards are contiguous id ranges (``id div width`` is monotone), so
+    ascending-id order across shard boundaries is preserved. One tiny
+    min/max/count agg job derives the width; the result is a pure
+    function of the data, not of partitioning."""
+    row = docs.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        return F.lit(0).cast("long")
+    lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
+    n_shards = max(1, (n + shard_size - 1) // shard_size)
+    width = max(1, (hi - lo) // n_shards + 1)
+    return F.expr(f"`{id_col}` div {width}").cast("long")
+
+
 def token_offsets(
     docs: DataFrame,
     n_tok_col: str = "n_tok",
@@ -43,9 +67,12 @@ def token_offsets(
 ) -> DataFrame:
     """docs + ``tok_start``: the exclusive running sum of ``n_tok_col``
     in ascending ``id_col`` order, computed scale-safely (see module
-    docstring). Ids may be sparse; order is what matters."""
-    shard = F.floor(F.col(id_col) / F.lit(shard_size)).alias("_shard")
-    sharded = docs.withColumn("_shard", shard)
+    docstring). Ids may be sparse or hashed — the shard key adapts to
+    the id range (``_shard_expr``), and the result is shard-invariant:
+    tok_start is the same global prefix sum whatever the sharding."""
+    sharded = docs.withColumn(
+        "_shard", _shard_expr(docs, id_col, shard_size)
+    )
 
     totals = (
         sharded.groupBy("_shard")
@@ -146,9 +173,12 @@ def pack_greedy(
 
     The recurrence runs in pandas per shard — shards are independent,
     so parallelism = number of shards, and the result is a pure
-    function of (id order, token counts), not of partitioning."""
+    function of (id order, token counts), not of partitioning. Shards
+    come from ``_shard_expr`` (≈ shard_size rows each for any id
+    distribution), so sparse/hashed ids never degenerate to
+    one-doc-per-shard packing."""
     sharded = docs.withColumn(
-        "shard", F.floor(F.col(id_col) / F.lit(shard_size)).cast("long")
+        "shard", _shard_expr(docs, id_col, shard_size)
     )
     out_schema = ", ".join(
         f"{name} {dtype}" for name, dtype in sharded.dtypes

@@ -1527,11 +1527,12 @@ def q_sim_cosine_near_dup(spark, sf_dir):
 
     The synthetic embeddings have no true near-dups (max pairwise cosine
     ≈ 0.45), so the query plants them: each vec_id < 50 gets a slightly
-    perturbed copy at vec_id + 1_000_000. The operator must recover
-    exactly those 50 pairs."""
+    perturbed copy at vec_id + 10^10 (far above any real vec_id at any
+    generated scale factor, so planted and real ids never collide).
+    The operator must recover exactly those 50 pairs."""
     emb = _t(spark, sf_dir, "embeddings")
     planted = emb.where(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        (F.col("vec_id") + F.lit(10_000_000_000)).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x + F.lit(0.001).cast("float")
         ).alias("embedding"),
@@ -1629,8 +1630,12 @@ def q_decontaminate(spark, sf_dir):
 
     d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     bench = d.where(F.col("doc_id") % 53 == 0)
+    # Planted-paraphrase ids sit at +10^10 — far above any real doc_id at
+    # every generated scale factor (sf1000 ≈ 5×10^8 docs), so planted
+    # and real ids can never collide (ADVICE r2). The oracle SQL pins
+    # the same constant.
     planted = bench.select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"),
         F.concat_ws(
             " ",
             F.lit("zzz"),
@@ -2225,7 +2230,7 @@ QUERIES: dict[str, QueryDef] = {
     "sim_cosine_near_dup": QueryDef(
         q_sim_cosine_near_dup,
         "WITH planted AS ("
-        "  SELECT vec_id + 1000000 AS vec_id, "
+        "  SELECT vec_id + 10000000000 AS vec_id, "
         "    list_transform(embedding, x -> x + CAST(0.001 AS FLOAT)) AS embedding "
         "  FROM embeddings WHERE vec_id < 50), "
         "allv AS ("
@@ -2256,14 +2261,14 @@ QUERIES: dict[str, QueryDef] = {
         "WITH toks AS (SELECT doc_id, "
         f"{_DUCK_TOKENS} AS tk FROM documents), "
         "corpus AS (SELECT doc_id, tk FROM toks "
-        "UNION ALL SELECT doc_id + 200000, "
+        "UNION ALL SELECT doc_id + 10000000000, "
         "list_concat(list_concat(['zzz'], tk[3:9]), ['qqq']) FROM toks "
         "WHERE doc_id % 53 = 0), "
         "grams AS (SELECT doc_id, unnest(list_transform("
         "range(1, len(tk) - 5 + 2), i -> array_to_string(tk[i:i+4], ' ')"
         ")) AS gram FROM corpus WHERE len(tk) >= 5), "
         "bench AS (SELECT DISTINCT gram FROM grams "
-        "WHERE doc_id % 53 = 0 AND doc_id < 200000), "
+        "WHERE doc_id % 53 = 0 AND doc_id < 10000000000), "
         "bad AS (SELECT DISTINCT g.doc_id FROM grams g "
         "JOIN bench b USING (gram)) "
         "SELECT c.doc_id, CAST(b.doc_id IS NOT NULL AS BIGINT) "

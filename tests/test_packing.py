@@ -121,11 +121,31 @@ class TestPackGreedy:
         d = _docs(spark, [9, 9], start_id=0).unionByName(
             _docs(spark, [9, 9], start_id=1_000_000)
         )
-        out = PK.pack_greedy(d, budget=10, shard_size=1_000_000).collect()
+        # shard_size = 2 rows → two range shards; each packs on its own
+        out = PK.pack_greedy(d, budget=10, shard_size=2).collect()
         per_shard = {}
         for r in out:
             per_shard.setdefault(r.shard, []).append(r.bin_in_shard)
+        assert len(per_shard) == 2
         assert all(sorted(v) == [0, 1] for v in per_shard.values())
+
+    def test_sparse_ids_keep_shard_count_bounded(self, spark):
+        """Hashed-style sparse ids: the old ``id div shard_size`` shard
+        key degenerated to one shard per doc (ADVICE r2) — the adaptive
+        range shard keeps #shards ≈ rows/shard_size and packing dense."""
+        import random
+
+        from pyspark.sql import Row
+
+        rnd = random.Random(7)
+        ids = sorted(rnd.sample(range(10**12), 40))
+        d = spark.createDataFrame(
+            [Row(doc_id=i, n_tok=5) for i in ids], "doc_id long, n_tok long"
+        )
+        out = PK.pack_greedy(d, budget=10, shard_size=10)
+        assert out.select("shard").distinct().count() <= 8
+        stats = PK.packing_stats(out, budget=10).collect()[0]
+        assert stats.avg_docs_per_seq >= 1.8  # two 5-tok docs per bin
 
     def test_stats(self, spark):
         stats = PK.packing_stats(
