@@ -298,11 +298,22 @@ _SWAR_MASK = 0x0000_0001_0000_0001
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_source: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document → (_id, _sh).
 
-    Per token t: h = xxhash64(t); bit b contributes +1 if set else -1;
+    Per token t: h = hash(t); bit b contributes +1 if set else -1;
     the fingerprint sets bit b iff the summed contribution > 0.
+
+    ``hash_source``: ``"xxhash64"`` (default — one JVM hash call) or
+    ``"md5"`` — the portable 60-bit md5-prefix arithmetic shared with
+    operators/sampling.py, identical in any engine with md5 (bits
+    60..63 stay zero, so the signature is effectively 60-bit). The md5
+    source is what makes ``dedup_simhash`` value-oracle-able against
+    DuckDB; measured at sf0.1 (100k docs, repeated noop-sink runs) the
+    two sources are within noise of each other (xxhash64 2.8-3.3 s,
+    md5 2.4-4.5 s end-to-end) — the signature aggregation, not the
+    token hash, dominates.
 
     Shape chosen for scale: explode tokens (narrow), hash once per
     token, then ONE vectorized hash aggregation — partial aggregation
@@ -316,9 +327,17 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """
     from inception_eventstore_spark.functions.spread import spread
 
+    if hash_source == "md5":
+        token_hash = F.conv(
+            F.substring(F.md5(F.encode(F.col("_t"), "UTF-8")), 1, 15), 16, 10
+        ).cast("bigint")
+    elif hash_source == "xxhash64":
+        token_hash = F.xxhash64("_t")
+    else:
+        raise ValueError(f"unknown hash_source {hash_source!r}")
     ex = spread(docs).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    ).select("_id", token_hash.alias("_h"))
     # branch-free: sum the raw bit (0/1) per lane; the ±1 contribution
     # sum is 2·bitsum - n, positive iff 2·bitsum > n.
     aggs = [F.count("*").alias("_n")] + [
@@ -345,6 +364,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    hash_source: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -352,12 +372,15 @@ def simhash_near_duplicates(
     fingerprint into ``n_blocks`` 16-bit blocks; any pair within hamming
     ≤ n_blocks-1 shares at least one exact block → bucket-join on
     (block_idx, block_value), verify with bit_count(xor). Returns
-    (id_a, id_b, hamming).
+    (id_a, id_b, hamming). With max_hamming ≤ n_blocks - 1 the
+    bucketing is lossless (pigeonhole), so the result is EXACTLY the
+    hamming-ball pair set — which is what lets the md5 ``hash_source``
+    variant hash-match a DuckDB all-pairs oracle.
     """
     # base feeds BOTH sides of the self-join: without a persist the whole
     # token→signature aggregation executes (and compiles) twice.
     # 16 bytes/doc — negligible even at 100 TB doc counts.
-    base = simhash_signatures(docs, id_col, text_col).persist()
+    base = simhash_signatures(docs, id_col, text_col, hash_source).persist()
     base.count()  # materialize BEFORE the concurrent self-join stages
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1

@@ -1385,8 +1385,45 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs over the portable md5 bit-source, so the
+    pair set hash-matches a DuckDB all-pairs oracle (with max_hamming 3
+    < n_blocks 4 the block bucketing is lossless — the result IS the
+    exact hamming ball). The xxhash64 source stays the operator default
+    for ingest pipelines; measured at sf0.1 the two are within noise
+    of each other (the signature aggregation dominates)."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+    return (
+        D.simhash_near_duplicates(d, max_hamming=3, hash_source="md5")
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _duck_simhash_oracle() -> str:
+    """DuckDB twin of q_dedup_simhash: same md5 60-bit token hash, same
+    majority-bit fingerprint, exact all-pairs hamming ≤ 3 (feasible at
+    the sf0.01 gate scale; the Spark side buckets instead of
+    cross-joining but returns the identical pair set)."""
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
+    sig = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t "
+        "FROM documents), "
+        "h AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks), "
+        f"bits AS (SELECT doc_id, count(*) AS n, {sums} "
+        "FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig} AS sh FROM bits) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY id_a, id_b"
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -2217,7 +2254,7 @@ QUERIES: dict[str, QueryDef] = {
     "text_quality_scores": QueryDef(q_quality_scores, _quality_scores_oracle()),
     # oracle = the exact-Jaccard ground truth (see q_dedup_minhash doc)
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash, _ngram_jaccard_oracle()),
-    "dedup_simhash": QueryDef(q_dedup_simhash, None),
+    "dedup_simhash": QueryDef(q_dedup_simhash, _duck_simhash_oracle()),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
     "sim_topk_ivfpq": QueryDef(q_sim_topk_ivfpq, None),
