@@ -83,6 +83,11 @@ HEADLINE = [
     "tfidf_weights",
     "embedding_dim_stats",
     "domain_stats",
+    "chunk_docs",
+    "vocab_top100",
+    "lm_bigram_score",
+    "dedup_survivors",
+    "mixture_temperature",
 ]
 
 

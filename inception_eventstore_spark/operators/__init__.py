@@ -33,11 +33,21 @@ from inception_eventstore_spark.operators.pipeline import (  # noqa: F401
 from inception_eventstore_spark.operators.components import (  # noqa: F401
     connected_components,
     dedup_by_components,
+    dedup_survivors,
 )
 from inception_eventstore_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,
     mix_corpora,
+    temperature_mixture,
+)
+from inception_eventstore_spark.operators.chunking import (  # noqa: F401
+    chunk_stats,
+    chunk_text,
+)
+from inception_eventstore_spark.operators.lm import (  # noqa: F401
+    bigram_counts,
+    bigram_lm_score,
 )
 from inception_eventstore_spark.operators.text_index import (  # noqa: F401
     MinHashTextIndex,

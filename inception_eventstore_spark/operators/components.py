@@ -133,3 +133,42 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: keep the HIGHEST-``quality_col``
+    member of each near-dup component (ties → smallest id) instead of
+    ``dedup_by_components``'s blind smallest-id rule — the survivor
+    selection step every production dedup pipeline runs after
+    clustering (drop the boilerplate copy, keep the canonical one).
+
+    Scale shape: the component labeling covers only documents that
+    appear in a pair (a small fraction of the corpus); those rows are
+    semi-joined out, windowed per component (one shuffle of the
+    clustered subset only), and unioned back with the untouched
+    remainder — the bulk of the corpus is never exchanged."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst).select(
+        F.col("node").alias(id_col), "component"
+    )
+    clustered = docs.join(comp, id_col, "inner")
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )
+    untouched = docs.join(
+        comp.select(id_col), id_col, "left_anti"
+    )
+    return untouched.unionByName(winners)

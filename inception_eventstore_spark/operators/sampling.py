@@ -117,6 +117,49 @@ def stratified_hash_sample(
     return df.where(hash_bucket(id_col, seed) < thr)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str = "lang",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Temperature-flattened domain mixture (the multilingual-LM
+    re-balancing rule, e.g. mBERT/XLM-R exponent sampling): resample
+    each domain d with weight w_d ∝ p_d^alpha where p_d is its corpus
+    share — alpha < 1 up-weights rare domains, alpha = 1 keeps the
+    natural distribution. Expected output size stays ≈ |df| (a domain's
+    keep fraction min(1, w_d·N/n_d) caps at 1, so over-asked rare
+    domains keep everything rather than duplicating rows).
+
+    Same deterministic hash-threshold mechanics as the other samplers:
+    the per-domain fractions come from one tiny count aggregate (rows =
+    #domains, collected driver-side), baked into a single codegen'd
+    CASE projection — the corpus itself is never shuffled, and the
+    sample is reproducible across engines and corpus growth."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(F.col(domain_col).cast("string").alias("_d")).agg(
+        F.count("*").alias("_n")
+    ).collect()
+    if not counts:
+        return df
+    total = sum(r["_n"] for r in counts)
+    weights = {r["_d"]: (r["_n"] / total) ** alpha for r in counts}
+    wsum = sum(weights.values())
+    fractions = {
+        d: min(1.0, (w / wsum) * total / next(
+            r["_n"] for r in counts if r["_d"] == d
+        ))
+        for d, w in weights.items()
+    }
+    c = F.col(domain_col).cast("string")
+    thr: Column = F.lit(0)
+    for d, frac in fractions.items():
+        thr = F.when(c == d, F.lit(int(round(frac * BUCKETS)))).otherwise(thr)
+    return df.where(hash_bucket(id_col, seed) < thr)
+
+
 def mix_corpora(
     sources: list[tuple[DataFrame, float]],
     id_col: str = "doc_id",

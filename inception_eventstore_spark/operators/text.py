@@ -141,6 +141,36 @@ def content_digest(col: Column | str) -> Column:
     return F.md5(F.encode(normalize_text(col), "UTF-8"))
 
 
+def vocabulary(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary: (token, tf, df) by descending term
+    frequency (ties broken by token), where ``tf`` is total occurrences
+    and ``df`` the number of distinct documents containing the token.
+
+    One explode + one partial-agg groupBy; the top-k is a TakeOrdered
+    (per-partition heap + driver merge), never a full sort — at 100 TB
+    the shuffle carries one row per distinct token, not per
+    occurrence."""
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    ex = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def text_stats_by_lang(docs: DataFrame) -> DataFrame:
     """The declared text-analysis rollup: docs + chars per language."""
     return (

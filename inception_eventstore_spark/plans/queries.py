@@ -1401,6 +1401,90 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def _duck_lm_bigram_oracle() -> str:
+    """Twin of bigram_lm_score self-scoring: same bigram/left-token
+    counts, same vocabulary size, same add-one ln-probability."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pairs AS (
+  SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+    SELECT doc_id,
+      unnest([struct_pack(a := tk[i], b := tk[i+1])
+              for i in generate_series(1, len(tk)-1)]) AS g
+    FROM toks WHERE len(tk) >= 2)),
+c2 AS (SELECT a, b, count(*) AS c2 FROM pairs GROUP BY a, b),
+c1 AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+v AS (SELECT count(DISTINCT t) AS vocab FROM (
+  SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)),
+s AS (
+  SELECT p.doc_id,
+    ln((c2.c2 + 1) / (CAST(c1.c1 AS DOUBLE) + v.vocab)) AS lp
+  FROM pairs p JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _duck_survivors_oracle() -> str:
+    """Twin of dedup_survivors: the _cc_clusters_oracle closure over
+    the same exact-Jaccard pairs, winners by (n_chars desc, doc_id)."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i, least(i+2, len(tk))), ' ')
+                   for i in generate_series(1, greatest(len(tk)-2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) >= 0.8),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pr
+  UNION SELECT id_b AS u, id_a AS v FROM pr),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u WHERE n.v <> r.u),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component
+  FROM reach GROUP BY u),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN comp c USING (doc_id))
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+UNION ALL
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def _duck_mixture_oracle() -> str:
+    """Twin of temperature_mixture(lang, alpha=0.5): same share^alpha
+    weights, same min(1, quota/size) fractions, same md5 bucket test
+    as operators/sampling.py."""
+    return """
+WITH n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+t AS (SELECT sum(nd) AS total FROM n),
+w AS (SELECT lang, nd, total, pow(CAST(nd AS DOUBLE) / total, 0.5) AS wd
+      FROM n CROSS JOIN t),
+ws AS (SELECT sum(wd) AS wsum FROM w),
+f AS (SELECT lang, least(1.0, (wd / wsum) * total / nd) AS frac
+      FROM w CROSS JOIN ws)
+SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+WHERE CAST(concat('0x', substr(md5('v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000
+      < CAST(round(frac * 1000000) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
 def _duck_simhash_oracle() -> str:
     """DuckDB twin of q_dedup_simhash: same md5 60-bit token hash, same
     majority-bit fingerprint, exact all-pairs hamming ≤ 3 (feasible at
@@ -1473,6 +1557,72 @@ def q_dedup_cc_clusters(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.8)
     comp = connected_components(pairs)
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking (operators/chunking.py): 200-char
+    windows with 50-char overlap — narrow explode, no shuffle; the
+    oracle replays the identical integer chunk arithmetic."""
+    from inception_eventstore_spark.operators.chunking import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_text(d, chunk_chars=200, overlap_chars=50).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_vocab_top100(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by term frequency with
+    document frequency (TakeOrdered, no full sort)."""
+    from inception_eventstore_spark.operators.text import vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary(d, k=100)
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """Add-one bigram LM self-scoring (operators/lm.py): mean ln
+    P(w_i | w_{i-1}) per document under counts from the corpus itself —
+    the CCNet-style LM-fluency curation signal, as pure DataFrame
+    algebra."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.lm import bigram_lm_score
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bigram_lm_score(d).orderBy("doc_id")
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Quality-aware survivor selection after near-dup clustering:
+    highest n_chars per component wins (ties → smallest id), untouched
+    docs pass through. The oracle closes the same exact-Jaccard pair
+    graph with a recursive CTE and picks winners with a window."""
+    from inception_eventstore_spark.operators.components import (
+        dedup_survivors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return (
+        dedup_survivors(d, pairs, quality_col="n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-flattened language mixture (alpha = 0.5): rare
+    languages keep everything, the dominant one is down-sampled to its
+    flattened share — the exact selected id set is verified (the
+    oracle replays the weight arithmetic and the md5 bucket test)."""
+    from inception_eventstore_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture(d, domain_col="lang", alpha=0.5).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
 
 
 def q_sim_topk_lsh(spark, sf_dir):
@@ -2504,6 +2654,30 @@ QUERIES: dict[str, QueryDef] = {
         "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
+    "chunk_docs": QueryDef(
+        q_chunk_docs,
+        # stride 150 = 200-char chunks with 50-char overlap; identical
+        # integer chunk-count arithmetic on both engines
+        "WITH c AS (SELECT doc_id, text FROM documents WHERE len(text) > 0), "
+        "x AS (SELECT doc_id, text, "
+        "unnest(range(0, (greatest(len(text) - 50, 1) + 149) // 150)) "
+        "AS chunk_idx FROM c) "
+        "SELECT doc_id, chunk_idx, chunk_idx * 150 AS chunk_start, "
+        "substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text "
+        "FROM x ORDER BY doc_id, chunk_idx",
+    ),
+    "vocab_top100": QueryDef(
+        q_vocab_top100,
+        f"WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token "
+        "FROM documents) "
+        "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
+        "FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100",
+    ),
+    "lm_bigram_score": QueryDef(q_lm_bigram_score, _duck_lm_bigram_oracle()),
+    "dedup_survivors": QueryDef(q_dedup_survivors, _duck_survivors_oracle()),
+    "mixture_temperature": QueryDef(
+        q_mixture_temperature, _duck_mixture_oracle()
+    ),
 }
 
 # The driver's correctness sampler reads a PREFIX of this registry in
@@ -2513,6 +2687,8 @@ QUERIES: dict[str, QueryDef] = {
 # lack a driver correctness row to the front so the sampled window always
 # covers the newest operators; the 50 already-evidenced queries follow.
 _SAMPLE_FIRST = [
+    "chunk_docs", "vocab_top100", "lm_bigram_score", "dedup_survivors",
+    "mixture_temperature",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",
