@@ -88,6 +88,9 @@ HEADLINE = [
     "lm_bigram_score",
     "dedup_survivors",
     "mixture_temperature",
+    "funnel_conversion",
+    "cohort_retention",
+    "value_percentiles",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Event-sequence analytics over the event log: funnels and cohorts.
+
+The reference's replay surface (R9-R11) exists to feed projections that
+answer exactly these questions — "who did A then B?", "how many of the
+users acquired in week W were still active k weeks later?" — but the
+reference can only hand the events to client code
+(CassandraEventStore.cs:336-391). Here the projections are the engine's
+own DataFrame algebra:
+
+- ``funnel_steps``: ordered k-step conversion. Each step reduces to a
+  per-user MIN-timestamp aggregate joined to the next step's events —
+  k-1 equi-joins on the user key where one side is one row per
+  surviving user (broadcast-able), never a self-join of the raw log.
+- ``cohort_retention``: weekly cohort × week-offset active-user matrix:
+  one window-free pass — per-user first-event week (partial-agg
+  groupBy), joined back, then one distinct-count aggregate.
+
+Both stay JVM-side end to end; the event log is scanned once per step
+with the event-type filter pushed to parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: (step_idx, step, users) where ``users`` counts
+    users who performed every step so far IN ORDER (each step at or
+    after their earliest qualifying time for the previous step).
+
+    The per-step survivor set is (user, earliest qualifying ts) — one
+    row per user, so each chained join is a small-side hash join and
+    the raw log never self-joins."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out: DataFrame | None = None
+    cur: DataFrame | None = None
+    for i, step in enumerate(steps):
+        hits = events.where(F.col(type_col) == step)
+        if cur is None:
+            cur = hits.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                hits.join(F.broadcast(cur), user_col)
+                .where(F.col(ts_col) >= F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        # one (user, ts) row per survivor — persisted so the unioned
+        # per-step count rows don't re-scan the log once per later step
+        # (union branches share no subexpressions without it: O(k²)
+        # scans becomes O(k))
+        cur = cur.persist()
+        row = cur.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, users): distinct active users per
+    weekly acquisition cohort and week-since-acquisition. Cohort = the
+    Monday-truncated week of a user's first event; offset = whole weeks
+    between that week and the event's week."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("_cw")
+    )
+    return (
+        events.join(first, user_col)
+        .select(
+            F.col("_cw").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("_cw"),
+                )
+                / 7
+            ).cast("long").alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("users"))
+    )

@@ -1559,6 +1559,46 @@ def q_dedup_cc_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (signup → click → purchase) over the event
+    log — the projection shape the reference's replay callbacks exist
+    to feed, as engine-native chained min-ts joins
+    (operators/funnel.py)."""
+    from inception_eventstore_spark.operators.funnel import funnel_steps
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_steps(e, ["signup", "click", "purchase"]).orderBy(
+        "step_idx"
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort × week-offset retention matrix (distinct active
+    users), one groupBy + one join + one distinct-count — no window."""
+    from inception_eventstore_spark.operators.funnel import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e).orderBy("cohort_week", "week_offset")
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentile bands per event type (built-in
+    ``percentile`` — sort-based exact, not the sketch)."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("_p"))
+        .select(
+            "event_type",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window chunking (operators/chunking.py): 200-char
     windows with 50-char overlap — narrow explode, no shuffle; the
@@ -2654,6 +2694,43 @@ QUERIES: dict[str, QueryDef] = {
         "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
+    "funnel_conversion": QueryDef(
+        q_funnel_conversion,
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE event_type = 'signup' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+        "AND e.ts >= s1.t GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+        "AND e.ts >= s2.t GROUP BY e.user_id) "
+        "SELECT * FROM ("
+        "SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, "
+        "CAST((SELECT count(*) FROM s1) AS BIGINT) AS users "
+        "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
+        ") ORDER BY step_idx",
+    ),
+    "cohort_retention": QueryDef(
+        q_cohort_retention,
+        "WITH f AS (SELECT user_id, "
+        "CAST(date_trunc('week', min(ts)) AS DATE) AS cw "
+        "FROM events GROUP BY user_id) "
+        "SELECT cw AS cohort_week, "
+        "CAST(date_diff('day', cw, CAST(date_trunc('week', e.ts) AS DATE)) "
+        "// 7 AS BIGINT) AS week_offset, "
+        "count(DISTINCT e.user_id) AS users "
+        "FROM events e JOIN f USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+    ),
+    "value_percentiles": QueryDef(
+        q_value_percentiles,
+        "SELECT event_type, "
+        "round(quantile_cont(value, 0.5), 6) AS p50, "
+        "round(quantile_cont(value, 0.9), 6) AS p90, "
+        "round(quantile_cont(value, 0.99), 6) AS p99 "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+    ),
     "chunk_docs": QueryDef(
         q_chunk_docs,
         # stride 150 = 200-char chunks with 50-char overlap; identical
@@ -2688,7 +2765,8 @@ QUERIES: dict[str, QueryDef] = {
 # covers the newest operators; the 50 already-evidenced queries follow.
 _SAMPLE_FIRST = [
     "chunk_docs", "vocab_top100", "lm_bigram_score", "dedup_survivors",
-    "mixture_temperature",
+    "mixture_temperature", "funnel_conversion", "cohort_retention",
+    "value_percentiles",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",

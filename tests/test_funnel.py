@@ -1,0 +1,67 @@
+"""Tests for funnel / cohort-retention analytics (operators/funnel.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from inception_eventstore_spark.operators.funnel import (
+    cohort_retention,
+    funnel_steps,
+)
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, day_offset)"""
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    return spark.createDataFrame(
+        [
+            (u, t, base + dt.timedelta(days=d))
+            for u, t, d in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+class TestFunnelSteps:
+    def test_order_matters(self, spark):
+        e = _events(spark, [
+            (1, "signup", 0), (1, "click", 1), (1, "purchase", 2),
+            (2, "signup", 0), (2, "purchase", 1), (2, "click", 2),  # buys early
+            (3, "click", 0), (3, "purchase", 1),                    # no signup
+        ])
+        out = {
+            r.step: r.users
+            for r in funnel_steps(e, ["signup", "click", "purchase"]).collect()
+        }
+        # user 2 clicked after signup but never purchased after that click
+        assert out == {"signup": 2, "click": 2, "purchase": 1}
+
+    def test_same_timestamp_counts(self, spark):
+        e = _events(spark, [(1, "signup", 0), (1, "click", 0)])
+        out = {r.step: r.users for r in funnel_steps(e, ["signup", "click"]).collect()}
+        assert out == {"signup": 1, "click": 1}  # >= is inclusive
+
+    def test_empty_steps_rejected(self, spark):
+        with pytest.raises(ValueError):
+            funnel_steps(_events(spark, []), [])
+
+
+class TestCohortRetention:
+    def test_matrix(self, spark):
+        e = _events(spark, [
+            (1, "view", 0), (1, "view", 8),    # cohort W0, active W0+W1
+            (2, "view", 7), (2, "view", 21),   # cohort W1, active W1+W3→offset 0,2
+            (3, "view", 0),                    # cohort W0, only W0
+        ])
+        got = {
+            (r.cohort_week.isoformat(), r.week_offset): r.users
+            for r in cohort_retention(e).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,  # users 1, 3
+            ("2024-01-01", 1): 1,  # user 1
+            ("2024-01-08", 0): 1,  # user 2
+            ("2024-01-08", 2): 1,  # user 2 three weeks in
+        }
