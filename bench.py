@@ -91,6 +91,8 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "value_percentiles",
+    "embedding_covariance",
+    "pca_project",
 ]
 
 

@@ -1559,6 +1559,37 @@ def q_dedup_cc_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle sample covariance of the embedding table via the
+    one-pass Gram accumulation (operators/pca.py) — the moment math is
+    verified entry-for-entry against DuckDB's covar_samp over exploded
+    coordinate pairs."""
+    from inception_eventstore_spark.operators.pca import (
+        embedding_covariance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb).orderBy("i", "j")
+
+
+def q_pca_project(spark, sf_dir):
+    """Top-8 principal coordinates per vector (rows-only: eigenvectors
+    have no SQL twin; the moments feeding them are value-oracled by
+    embedding_covariance, and tests pin the projection against direct
+    numpy PCA). Output is a JSON digest of the rounded coordinates —
+    raw float arrays are unhashable in the gate's canonicalizer."""
+    from inception_eventstore_spark.operators.pca import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, k=8)
+    return out.select(
+        "vec_id",
+        F.to_json(
+            F.transform("pca", lambda x: F.round(x, 4))
+        ).alias("pca_json"),
+    ).orderBy("vec_id")
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Ordered 3-step funnel (signup → click → purchase) over the event
     log — the projection shape the reference's replay callbacks exist
@@ -2694,6 +2725,18 @@ QUERIES: dict[str, QueryDef] = {
         "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
+    "embedding_covariance": QueryDef(
+        q_embedding_covariance,
+        # two unnests in one SELECT zip positionally in DuckDB; 1-based
+        # subscripts shifted to the Spark side's 0-based indices
+        "WITH x AS (SELECT vec_id, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+        "SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j, "
+        "round(covar_samp(a.v, b.v), 6) + 0.0 AS cov "
+        "FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+    ),
+    "pca_project": QueryDef(q_pca_project, None),
     "funnel_conversion": QueryDef(
         q_funnel_conversion,
         "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
@@ -2766,7 +2809,7 @@ QUERIES: dict[str, QueryDef] = {
 _SAMPLE_FIRST = [
     "chunk_docs", "vocab_top100", "lm_bigram_score", "dedup_survivors",
     "mixture_temperature", "funnel_conversion", "cohort_retention",
-    "value_percentiles",
+    "value_percentiles", "embedding_covariance", "pca_project",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",
