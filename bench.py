@@ -93,6 +93,7 @@ HEADLINE = [
     "value_percentiles",
     "embedding_covariance",
     "pca_project",
+    "event_transitions",
 ]
 
 

