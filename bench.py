@@ -94,6 +94,7 @@ HEADLINE = [
     "embedding_covariance",
     "pca_project",
     "event_transitions",
+    "multimodal_real_decode",
 ]
 
 

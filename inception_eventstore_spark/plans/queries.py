@@ -1842,6 +1842,33 @@ def q_multimodal_features(spark, sf_dir):
     ).orderBy("asset_id")
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL byte-level decode of the codec-free formats: the synthetic
+    image/audio payloads are genuine binary PPM / PCM-16 WAV files,
+    parsed in pure numpy (header walk + frombuffer) and reduced to 16
+    signal features (channel stats, luminance grid, gradients; RMS,
+    zero-crossings, log-spectral bands). Rows-only: the decoders are
+    pinned by round-trip and hand-computed-feature tests
+    (tests/test_text_multimodal.py::TestCodecs, TestRealDecode); video
+    (ffmpeg-bound) stays the one declared stub."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = (
+        MM.synthetic_assets(spark, n=256)
+        .where(F.col("modality") != "video")
+        .coalesce(4)
+    )
+    feats = MM.extract_features(assets, decode="real")
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.to_json(
+            F.transform("features", lambda x: F.round(x.cast("double"), 5))
+        ).alias("features_json"),
+    )
+
+
 def q_multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan (multimodal.frame_sample_plan): pure
     column math over the deterministic synthetic assets, so — unlike
@@ -2520,6 +2547,7 @@ QUERIES: dict[str, QueryDef] = {
         "WHERE c >= 0.99 ORDER BY id_a, id_b",
     ),
     "multimodal_features": QueryDef(q_multimodal_features, None),
+    "multimodal_real_decode": QueryDef(q_multimodal_real_decode, None),
     "text_fingerprints": QueryDef(
         q_fingerprints,
         # md5 of the same normalized content normalize_text() produces
@@ -2833,7 +2861,7 @@ _SAMPLE_FIRST = [
     "chunk_docs", "vocab_top100", "lm_bigram_score", "dedup_survivors",
     "mixture_temperature", "funnel_conversion", "cohort_retention",
     "value_percentiles", "embedding_covariance", "pca_project",
-    "event_transitions",
+    "event_transitions", "multimodal_real_decode",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",
