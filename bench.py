@@ -95,6 +95,7 @@ HEADLINE = [
     "pca_project",
     "event_transitions",
     "multimodal_real_decode",
+    "sim_multi_topk",
 ]
 
 

@@ -187,6 +187,69 @@ def lsh_topk(
     )
 
 
+def multi_query_topk(
+    corpus: DataFrame,
+    queries: list[tuple],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT batch top-k — the serving shape: many query vectors
+    answered in ONE corpus scan, instead of one scan per query.
+
+    ``queries`` is a list of (query_id, vector). Stage 1 computes the
+    full distance matrix per Arrow batch with one numpy matmul (the
+    query matrix rides into the closure, broadcast by value) and emits
+    only each batch's LOCAL top-k per query — so the shuffle carries
+    ≤ batches·|Q|·k tiny rows, never |corpus|·|Q| pairs. Stage 2 is a
+    window top-k over that reduced set. Returns (query_id, rank,
+    vec_id, dist) — exact, ties broken by id, verified against a
+    DuckDB cross-join oracle."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qids = [int(q) for q, _ in queries]
+    Q = np.asarray([v for _, v in queries], dtype=np.float64)
+    Qn = (Q**2).sum(axis=1)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            # ||x-q||² per (row, query); sqrt deferred to the reduce
+            D = (M**2).sum(1)[:, None] - 2.0 * (M @ Q.T) + Qn[None, :]
+            kk = min(k, len(ids))
+            out_q, out_id, out_d = [], [], []
+            for j, qid in enumerate(qids):
+                top = np.argpartition(D[:, j], kk - 1)[:kk]
+                out_q.extend([qid] * kk)
+                out_id.extend(ids[top])
+                out_d.extend(D[top, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "_d2": out_d}
+            )
+
+    reduced = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, f"query_id long, {id_col} long, _d2 double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            id_col,
+            F.sqrt(F.greatest("_d2", F.lit(0.0))).alias("dist"),
+        )
+    )
+
+
 def _lloyd_kmeans(
     X: "np.ndarray", n_cells: int, seed: int, max_iter: int
 ) -> "np.ndarray":

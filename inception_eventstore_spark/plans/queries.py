@@ -1712,6 +1712,26 @@ def q_mixture_temperature(spark, sf_dir):
     )
 
 
+def q_sim_multi_topk(spark, sf_dir):
+    """Batch exact top-5 for 5 query vectors in ONE corpus scan
+    (similarity.multi_query_topk): per-Arrow-batch numpy distance
+    matrix + local top-k, tiny window reduce. Both engines compute the
+    identical expanded form ||x||² − 2x·q + ||q||², so distances agree
+    to well below the 6dp rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    corpus = emb.where(F.col("vec_id") >= 5)
+    res = S.multi_query_topk(corpus, queries, k=5)
+    return res.select(
+        "query_id", "rank", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
 def q_sim_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -2522,6 +2542,24 @@ QUERIES: dict[str, QueryDef] = {
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
     "sim_topk_ivfpq": QueryDef(q_sim_topk_ivfpq, None),
+    "sim_multi_topk": QueryDef(
+        q_sim_multi_topk,
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "c AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv "
+        "FROM embeddings WHERE vec_id >= 5), "
+        "d AS (SELECT q.query_id, c.vec_id, "
+        "sqrt(greatest(list_inner_product(cv, cv) "
+        "- 2 * list_inner_product(cv, qv) "
+        "+ list_inner_product(qv, qv), 0)) AS dist FROM q CROSS JOIN c), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY dist, vec_id) AS rank FROM d) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, "
+        "round(dist, 6) AS dist FROM r WHERE rank <= 5 "
+        "ORDER BY query_id, rank",
+    ),
     # oracle = exact all-pairs cosine ground truth: the LSH-bucketed
     # operator must recover every planted pair (cosine ≈ 0.9999, the
     # base corpus tops out at ~0.45, so the 0.99 threshold has huge
@@ -2861,7 +2899,7 @@ _SAMPLE_FIRST = [
     "chunk_docs", "vocab_top100", "lm_bigram_score", "dedup_survivors",
     "mixture_temperature", "funnel_conversion", "cohort_retention",
     "value_percentiles", "embedding_covariance", "pca_project",
-    "event_transitions", "multimodal_real_decode",
+    "event_transitions", "multimodal_real_decode", "sim_multi_topk",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",

@@ -186,6 +186,32 @@ class TestSimilarity:
         pairs = S.cosine_near_duplicates(vectors, threshold=0.999).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 500)}
 
+    def test_multi_query_topk_matches_single_query(self, vectors):
+        rows = vectors.collect()
+        queries = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in rows
+            if r["vec_id"] in (0, 1, 2)
+        ]
+        corpus = vectors.where(F.col("vec_id") > 2).repartition(4)
+        batch = S.multi_query_topk(corpus, queries, k=5).collect()
+        by_q: dict[int, list] = {}
+        for r in sorted(batch, key=lambda r: (r["query_id"], r["rank"])):
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for qid, qvec in queries:
+            single = S.brute_force_topk(corpus, qvec, k=5, metric="l2").collect()
+            assert [r["vec_id"] for r in by_q[qid]] == [
+                s["vec_id"] for s in single
+            ]
+            for r, s in zip(by_q[qid], single):
+                assert r["dist"] == pytest.approx(s["dist"], abs=1e-9)
+        assert [r["rank"] for r in by_q[0]] == [1, 2, 3, 4, 5]
+
+    def test_multi_query_topk_rejects_empty(self, vectors):
+        with pytest.raises(ValueError):
+            S.multi_query_topk(vectors, [], k=3)
+
     def test_ivf_topk_recall(self, vectors):
         """IVF with 4 cells / probe 2 must recover the planted neighbor
         and ≥ half of the true top-10."""
