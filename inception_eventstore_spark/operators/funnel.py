@@ -33,10 +33,14 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered funnel: (step_idx, step, users) where ``users`` counts
     users who performed every step so far IN ORDER (each step at or
     after their earliest qualifying time for the previous step).
+    ``within`` (an INTERVAL string, e.g. ``"7 days"``) additionally
+    requires each step inside that horizon of the previous one — the
+    conversion-window variant every funnel dashboard offers.
 
     The per-step survivor set is (user, earliest qualifying ts) — one
     row per user, so each chained join is a small-side hash join and
@@ -50,9 +54,14 @@ def funnel_steps(
         if cur is None:
             cur = hits.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
         else:
+            window_ok = F.col(ts_col) >= F.col("_t")
+            if within is not None:
+                window_ok = window_ok & (
+                    F.col(ts_col) <= F.col("_t") + F.expr(f"INTERVAL {within}")
+                )
             cur = (
                 hits.join(F.broadcast(cur), user_col)
-                .where(F.col(ts_col) >= F.col("_t"))
+                .where(window_ok)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("_t"))
             )

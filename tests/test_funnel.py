@@ -47,6 +47,19 @@ class TestFunnelSteps:
         with pytest.raises(ValueError):
             funnel_steps(_events(spark, []), [])
 
+    def test_conversion_horizon(self, spark):
+        e = _events(spark, [
+            (1, "signup", 0), (1, "click", 2),    # converts within 3 days
+            (2, "signup", 0), (2, "click", 10),   # too late for horizon
+        ])
+        tight = {r.step: r.users
+                 for r in funnel_steps(e, ["signup", "click"],
+                                       within="3 days").collect()}
+        loose = {r.step: r.users
+                 for r in funnel_steps(e, ["signup", "click"]).collect()}
+        assert tight == {"signup": 2, "click": 1}
+        assert loose == {"signup": 2, "click": 2}
+
 
 class TestCohortRetention:
     def test_matrix(self, spark):

@@ -156,12 +156,48 @@ def main() -> int:
     run("pack_chunked", lambda: pack_chunked(
         with_tok, budget=2048, shard_size=1_000_000))
 
-    # cluster closure over the real near-dup pair graph
+    # round-3 additions: chunking / vocabulary / bigram LM / mixture /
+    # batch ANN — narrow explodes, TakeOrdered, count-table joins and a
+    # single-scan distance matmul; all must stay near-linear in docs
+    from inception_eventstore_spark.operators.chunking import chunk_text
+    from inception_eventstore_spark.operators.lm import bigram_lm_score
+    from inception_eventstore_spark.operators.sampling import (
+        temperature_mixture,
+    )
+    from inception_eventstore_spark.operators.text import vocabulary
+
+    run("chunk_text", chunk_text(corpus, chunk_chars=512, overlap_chars=64))
+    run("vocab_top1000", vocabulary(corpus, k=1000))
+    run("lm_bigram_score", lambda: bigram_lm_score(corpus))
+    with_domain = corpus.withColumn(
+        "lang", (F.col("doc_id") % 5).cast("string")
+    )
+    run("temperature_mixture", lambda: temperature_mixture(
+        with_domain, domain_col="lang", alpha=0.5))
+
+    from inception_eventstore_spark.operators.similarity import (
+        multi_query_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 16).collect()
+    run("sim_multi_topk_16q", lambda: multi_query_topk(
+        emb.where(F.col("vec_id") >= 16),
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        k=10,
+    ))
+
+    # cluster closure over the real near-dup pair graph + quality-aware
+    # survivor pick (round-3: only the clustered subset is windowed)
     from inception_eventstore_spark.operators.components import (
         connected_components,
+        dedup_survivors,
     )
 
     run("cc_over_minhash_pairs", lambda: connected_components(mh_pairs))
+    run("dedup_survivors", lambda: dedup_survivors(
+        corpus.withColumn("quality", F.length("text").cast("long")),
+        mh_pairs, quality_col="quality"))
     mh_pairs.unpersist()
     # worst-case diameter stress: a 100k-node path would take 100k
     # rounds of naive label propagation; the alternating-star algorithm
