@@ -104,6 +104,18 @@ def main() -> None:
     ).count()
     timings["r11_index_replay"] = round(time.time() - t0, 3)
 
+    # R9+R12: chunked streaming replay — whole store enumerated through
+    # toLocalIterator with a 50k-row driver bound (never a full-bucket
+    # collect; VERDICT r2 #1). Row count must equal the plain replay.
+    t0 = time.time()
+    n_chunked, max_chunk = 0, 0
+    for chunk in store.replay_chunked(PlayerOptions(), chunk_rows=50_000):
+        n_chunked += len(chunk)
+        max_chunk = max(max_chunk, len(chunk))
+    timings["r12_chunked_replay"] = round(time.time() - t0, 3)
+    assert n_chunked == n_rows, (n_chunked, n_rows)
+    assert max_chunk <= 50_000
+
     counters = MessageCounter(spark, lay)
     n_click = counters.get_count("click")
 
@@ -116,6 +128,8 @@ def main() -> None:
                 "r9_window_rows": n_window,
                 "r10_commits": n_groups,
                 "r11_type_rows": n_type,
+                "r12_chunked_rows": n_chunked,
+                "r12_max_chunk": max_chunk,
                 "counter_click": n_click,
                 "timings": timings,
             }
