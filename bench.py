@@ -96,6 +96,7 @@ HEADLINE = [
     "event_transitions",
     "multimodal_real_decode",
     "sim_multi_topk",
+    "nearest_join",
 ]
 
 

@@ -95,6 +95,85 @@ def asof_join(
     return out
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None = None,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row of the same key whose
+    time is CLOSEST in either direction (the bidirectional sibling of
+    ``asof_join``; ties prefer the earlier right row). Time columns
+    must be numeric (e.g. epoch micros / FileTime longs) so distance
+    is well-defined; ``max_distance`` nulls out matches farther than
+    the bound. Same uniqueness contract as asof_join: the right side
+    should be unique per (key, time).
+
+    Shape: the same union as asof_join with TWO carry windows —
+    backward (last right at-or-before) and forward (first right
+    at-or-after). Both windows share the one hash partitioning on the
+    key, so the whole join still costs a single shuffle (plus the two
+    within-partition sorts), never a per-row range probe."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_time)]
+    lcols = left.columns
+
+    r_struct_t = right.select(
+        F.struct(F.col(right_time).alias("_rt"), *value_cols).alias("s")
+    ).schema["s"].dataType
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).cast("long").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).cast("long").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(F.col(right_time).alias("_rt"), *value_cols).alias("_r"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    # rights sort before lefts at equal time in BOTH directions, so a
+    # same-timestamp right is visible to each carry (distance 0)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "_back", F.last("_r", ignorenulls=True).over(w_back)
+    ).withColumn("_fwd", F.last("_r", ignorenulls=True).over(w_fwd))
+
+    d_back = F.col("_t") - F.col("_back")["_rt"].cast("long")
+    d_fwd = F.col("_fwd")["_rt"].cast("long") - F.col("_t")
+    pick_back = F.when(
+        F.col("_back").isNull(), F.lit(False)
+    ).when(F.col("_fwd").isNull(), F.lit(True)).otherwise(d_back <= d_fwd)
+    match = F.when(pick_back, F.col("_back")).otherwise(F.col("_fwd"))
+    if max_distance is not None:
+        dist = F.when(pick_back, d_back).otherwise(d_fwd)
+        match = F.when(dist <= F.lit(max_distance), match)
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        match["_rt"].alias("nearest_ts"),
+        *[match[c].alias(c) for c in value_cols],
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -805,6 +805,29 @@ def q_asof_join(spark, sf_dir):
     return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id")
 
 
+def q_nearest_join(spark, sf_dir):
+    """Bidirectional nearest-event join (operators/joins.py): for each
+    purchase, the user's click closest in time in EITHER direction —
+    one shuffle via the double-carry union window, vs the oracle's
+    brute-force pair ranking."""
+    from inception_eventstore_spark.operators.joins import nearest_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = nearest_join(
+        purchases, clicks, on="user_id", left_time="t",
+        right_time="ts_us", value_cols=["click_id"],
+    )
+    return joined.select("event_id", "user_id", "t", "nearest_ts", "click_id")
+
+
 def q_session_windows(spark, sf_dir):
     """Session-level rows from the streaming-capable ``session_window``
     operator, run in batch mode over the events table: (user, session
@@ -2807,6 +2830,19 @@ QUERIES: dict[str, QueryDef] = {
         "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
+    "nearest_join": QueryDef(
+        q_nearest_join,
+        "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t "
+        "FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id "
+        "FROM events WHERE event_type = 'click'), "
+        "j AS (SELECT p.event_id, p.user_id, p.t, c.ts_us, c.click_id, "
+        "abs(p.t - c.ts_us) AS d FROM p JOIN c USING (user_id)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_id "
+        "ORDER BY d, ts_us) AS rn FROM j) "
+        "SELECT event_id, user_id, t, ts_us AS nearest_ts, click_id "
+        "FROM r WHERE rn = 1 ORDER BY event_id",
+    ),
     "event_transitions": QueryDef(
         q_event_transitions,
         "WITH t AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
@@ -2900,6 +2936,7 @@ _SAMPLE_FIRST = [
     "mixture_temperature", "funnel_conversion", "cohort_retention",
     "value_percentiles", "embedding_covariance", "pca_project",
     "event_transitions", "multimodal_real_decode", "sim_multi_topk",
+    "nearest_join",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",

@@ -64,6 +64,60 @@ class TestAsofJoin:
         assert set(left.columns) <= set(out.columns)
 
 
+class TestNearestJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u1", 100), (2, "u1", 26), (3, "u2", 5), (4, "u1", 20)],
+            "event_id long, user_id string, t long",
+        )
+        right = spark.createDataFrame(
+            [("u1", 10, 100), ("u1", 30, 101), ("u1", 90, 102)],
+            "user_id string, rt long, click_id long",
+        )
+        return left, right
+
+    def test_picks_closest_either_direction(self, spark):
+        from inception_eventstore_spark.operators.joins import nearest_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["event_id"]: (r["click_id"], r["nearest_ts"])
+            for r in nearest_join(
+                left, right, "user_id", "t", "rt", ["click_id"]
+            ).collect()
+        }
+        # 1@100 → 90 (back, d=10) ; 2@26 → 30 (fwd, d=4 beats back d=16)
+        # 3: u2 no rights → null ; 4@20 → tie d=10 both ways → earlier (10)
+        assert got == {
+            1: (102, 90), 2: (101, 30), 3: (None, None), 4: (100, 10)
+        }
+
+    def test_max_distance_bounds_matches(self, spark):
+        from inception_eventstore_spark.operators.joins import nearest_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["event_id"]: r["click_id"]
+            for r in nearest_join(
+                left, right, "user_id", "t", "rt", ["click_id"],
+                max_distance=5,
+            ).collect()
+        }
+        assert got == {1: None, 2: 101, 3: None, 4: None}
+
+    def test_equal_timestamp_is_distance_zero(self, spark):
+        from inception_eventstore_spark.operators.joins import nearest_join
+
+        left = spark.createDataFrame(
+            [(1, "u1", 30)], "event_id long, user_id string, t long"
+        )
+        _, right = self._frames(spark)
+        out = nearest_join(
+            left, right, "user_id", "t", "rt", ["click_id"]
+        ).collect()[0]
+        assert (out["click_id"], out["nearest_ts"]) == (101, 30)
+
+
 class TestAsofJoinProperty:
     def test_matches_pandas_merge_asof(self, spark):
         """Randomized agreement with pandas.merge_asof (backward,
