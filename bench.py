@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_real_decode",
     "sim_multi_topk",
     "nearest_join",
+    "profile_events",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Table profiling: per-column quality statistics in one scan.
+
+The first thing any pipeline does with an unfamiliar table — null
+rates, cardinalities, ranges, string lengths — expressed as a single
+aggregation pass so the corpus is scanned exactly once:
+
+- every column contributes its stat expressions to ONE ``agg`` (a
+  single partial-aggregated job; no per-column scans);
+- exact distinct counts use Spark's multi-distinct Expand, which
+  multiplies the scan rows by the number of distinct aggregates — the
+  honest cost of exact profiling. At 100 TB pass ``approx=True`` to
+  swap in ``approx_count_distinct`` (HLL, one pass, no Expand); the
+  exact mode is the DuckDB-oracle surface;
+- numeric (and timestamp, via epoch micros) ranges surface as rounded
+  doubles; strings report average length instead — cross-engine float
+  formatting of extreme values makes stringified min/max unverifiable,
+  rounded doubles are not.
+
+Output: one row per column — (col_name, n_nulls, n_distinct, num_min,
+num_max, avg_len).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+    """One-pass per-column profile (see module docstring)."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("_n")]
+    for f in df.schema.fields:
+        c, safe = f.name, f.name.replace(".", "_")
+        col = F.col(f"`{c}`")
+        aggs.append((total - F.count(col)).alias(f"_nulls_{safe}"))
+        distinct = (
+            F.approx_count_distinct(col) if approx else F.countDistinct(col)
+        )
+        aggs.append(distinct.alias(f"_dist_{safe}"))
+        if isinstance(f.dataType, _NUMERIC):
+            num = col.cast("double")
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            num = F.unix_micros(col).cast("double")
+        elif isinstance(f.dataType, T.DateType):
+            num = F.datediff(col, F.lit("1970-01-01")).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.round(F.min(num), 6).alias(f"_min_{safe}"))
+        aggs.append(F.round(F.max(num), 6).alias(f"_max_{safe}"))
+        length = (
+            F.length(col).cast("double")
+            if isinstance(f.dataType, T.StringType)
+            else F.lit(None).cast("double")
+        )
+        aggs.append(F.round(F.avg(length), 6).alias(f"_len_{safe}"))
+    row = df.agg(*aggs).collect()[0]
+
+    out = []
+    for f in df.schema.fields:
+        safe = f.name.replace(".", "_")
+        out.append(
+            (
+                f.name,
+                int(row[f"_nulls_{safe}"]),
+                int(row[f"_dist_{safe}"]),
+                row[f"_min_{safe}"],
+                row[f"_max_{safe}"],
+                row[f"_len_{safe}"],
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "col_name string, n_nulls bigint, n_distinct bigint, "
+        "num_min double, num_max double, avg_len double",
+    )

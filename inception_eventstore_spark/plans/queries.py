@@ -805,6 +805,46 @@ def q_asof_join(spark, sf_dir):
     return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id")
 
 
+def q_profile_events(spark, sf_dir):
+    """One-pass per-column profile of the events table
+    (operators/profile.py) — null counts, exact cardinalities, numeric
+    ranges (timestamps via epoch micros), string mean lengths; the
+    oracle recomputes each column's stats independently."""
+    from inception_eventstore_spark.operators.profile import profile_table
+
+    e = _t(spark, sf_dir, "events")
+    return profile_table(e).orderBy("col_name")
+
+
+def _duck_profile_oracle() -> str:
+    numeric = {"event_id": "event_id", "user_id": "user_id",
+               "value": "value", "ts": "epoch_us(ts)"}
+    strings = ("event_type", "props")
+    parts = []
+    for col in ("event_id", "ts", "user_id", "event_type", "value", "props"):
+        num = numeric.get(col)
+        num_min = (
+            f"round(CAST(min({num}) AS DOUBLE), 6)" if num
+            else "CAST(NULL AS DOUBLE)"
+        )
+        num_max = (
+            f"round(CAST(max({num}) AS DOUBLE), 6)" if num
+            else "CAST(NULL AS DOUBLE)"
+        )
+        avg_len = (
+            f"round(avg(CAST(length({col}) AS DOUBLE)), 6)"
+            if col in strings else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(
+            f"SELECT '{col}' AS col_name, "
+            f"count(*) - count({col}) AS n_nulls, "
+            f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+            f"{num_min} AS num_min, {num_max} AS num_max, "
+            f"{avg_len} AS avg_len FROM events"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 def q_nearest_join(spark, sf_dir):
     """Bidirectional nearest-event join (operators/joins.py): for each
     purchase, the user's click closest in time in EITHER direction —
@@ -2830,6 +2870,7 @@ QUERIES: dict[str, QueryDef] = {
         "ORDER BY seq DESC NULLS LAST, pri DESC) AS rn FROM u) "
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
+    "profile_events": QueryDef(q_profile_events, _duck_profile_oracle()),
     "nearest_join": QueryDef(
         q_nearest_join,
         "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t "
@@ -2936,7 +2977,7 @@ _SAMPLE_FIRST = [
     "mixture_temperature", "funnel_conversion", "cohort_retention",
     "value_percentiles", "embedding_covariance", "pca_project",
     "event_transitions", "multimodal_real_decode", "sim_multi_topk",
-    "nearest_join",
+    "nearest_join", "profile_events",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",

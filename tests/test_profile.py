@@ -1,0 +1,51 @@
+"""Tests for the one-pass table profiler (operators/profile.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from inception_eventstore_spark.operators.profile import profile_table
+
+
+class TestProfileTable:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(k=1, s="ab", v=2.5, t=dt.datetime(2024, 1, 1)),
+                Row(k=2, s=None, v=-1.5, t=dt.datetime(2024, 6, 1)),
+                Row(k=2, s="abcd", v=None, t=None),
+            ],
+            "k long, s string, v double, t timestamp",
+        )
+
+    def test_exact_profile(self, spark):
+        got = {r.col_name: r for r in profile_table(self._df(spark)).collect()}
+        assert set(got) == {"k", "s", "v", "t"}
+        k = got["k"]
+        assert (k.n_nulls, k.n_distinct, k.num_min, k.num_max) == (0, 2, 1.0, 2.0)
+        assert k.avg_len is None
+        s = got["s"]
+        assert (s.n_nulls, s.n_distinct) == (1, 2)
+        assert s.num_min is None and s.avg_len == pytest.approx(3.0)
+        v = got["v"]
+        assert (v.n_nulls, v.num_min, v.num_max) == (1, -1.5, 2.5)
+        t = got["t"]
+        assert t.n_nulls == 1
+        micros = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        assert t.num_min == pytest.approx(float(micros))
+
+    def test_approx_mode_runs(self, spark):
+        got = {r.col_name: r
+               for r in profile_table(self._df(spark), approx=True).collect()}
+        # HLL at this cardinality is exact in practice; ranges unchanged
+        assert got["k"].n_distinct == 2
+        assert got["v"].num_max == 2.5
+
+    def test_empty_table(self, spark):
+        empty = spark.createDataFrame([], "a long, b string")
+        got = {r.col_name: r for r in profile_table(empty).collect()}
+        assert got["a"].n_nulls == 0 and got["a"].n_distinct == 0
+        assert got["a"].num_min is None and got["b"].avg_len is None
