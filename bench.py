@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_multi_topk",
     "nearest_join",
     "profile_events",
+    "expectations",
 ]
 
 

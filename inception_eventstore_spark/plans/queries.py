@@ -805,6 +805,28 @@ def q_asof_join(spark, sf_dir):
     return joined.select("event_id", "user_id", "ts", "asof_ts", "click_id")
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality expectations (operators/expectations):
+    row-local rules fold into one scan of events; uniqueness and the
+    TPC-H referential check (lineitem → orders) run as bounded set
+    jobs. The oracle recomputes every rule as an independent count."""
+    from inception_eventstore_spark.operators import expectations as X
+
+    e = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    ev_rules = X.check(e, [
+        X.not_null("event_id"),
+        X.accepted_values("event_type",
+                          ["click", "view", "purchase", "signup"]),
+        X.in_range("value", 0, 500),
+        X.matches("props", "^\\{.*\\}$"),
+        X.unique(["event_id"]),
+    ])
+    fk = X.check(li, [X.references(["l_orderkey"], ords, ["o_orderkey"])])
+    return ev_rules.unionByName(fk).orderBy("rule")
+
+
 def q_profile_events(spark, sf_dir):
     """One-pass per-column profile of the events table
     (operators/profile.py) — null counts, exact cardinalities, numeric
@@ -2871,6 +2893,30 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT k, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k",
     ),
     "profile_events": QueryDef(q_profile_events, _duck_profile_oracle()),
+    "expectations": QueryDef(
+        q_expectations,
+        "SELECT 'not_null(event_id)' AS rule, CAST((SELECT count(*) "
+        "FROM events WHERE event_id IS NULL) AS BIGINT) AS n_violations "
+        "UNION ALL SELECT "
+        "'accepted_values(event_type,[click,view,purchase,signup])', "
+        "(SELECT count(*) FROM events WHERE event_type IS NOT NULL AND "
+        "event_type NOT IN ('click','view','purchase','signup')) "
+        "UNION ALL SELECT 'in_range(value,0,500)', "
+        "(SELECT count(*) FROM events WHERE value IS NOT NULL AND "
+        "(value < 0 OR value > 500)) "
+        "UNION ALL SELECT 'matches(props,^\\{.*\\}$)', "
+        "(SELECT count(*) FROM events WHERE props IS NOT NULL AND "
+        "NOT regexp_matches(props, '^\\{.*\\}$')) "
+        "UNION ALL SELECT 'unique(event_id)', "
+        "(SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM "
+        "(SELECT count(*) AS n FROM events GROUP BY event_id "
+        "HAVING count(*) > 1)) "
+        "UNION ALL SELECT 'references(l_orderkey)', "
+        "(SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey)) "
+        "ORDER BY rule",
+    ),
     "nearest_join": QueryDef(
         q_nearest_join,
         "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t "
@@ -2977,7 +3023,7 @@ _SAMPLE_FIRST = [
     "mixture_temperature", "funnel_conversion", "cohort_retention",
     "value_percentiles", "embedding_covariance", "pca_project",
     "event_transitions", "multimodal_real_decode", "sim_multi_topk",
-    "nearest_join", "profile_events",
+    "nearest_join", "profile_events", "expectations",
     "text_quality_scores", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_cosine_near_dup", "multimodal_features", "text_fingerprints",
