@@ -59,8 +59,12 @@ def funnel_steps(
                 window_ok = window_ok & (
                     F.col(ts_col) <= F.col("_t") + F.expr(f"INTERVAL {within}")
                 )
+            # no broadcast hint: the survivor set is one row per user —
+            # small for most funnels (AQE broadcasts it), but a
+            # billion-user log must be allowed to fall back to a
+            # shuffle join rather than OOM the driver
             cur = (
-                hits.join(F.broadcast(cur), user_col)
+                hits.join(cur, user_col)
                 .where(window_ok)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("_t"))

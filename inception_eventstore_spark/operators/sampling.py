@@ -154,10 +154,28 @@ def temperature_mixture(
         for d, w in weights.items()
     }
     c = F.col(domain_col).cast("string")
-    thr: Column = F.lit(0)
-    for d, frac in fractions.items():
-        thr = F.when(c == d, F.lit(int(round(frac * BUCKETS)))).otherwise(thr)
-    return df.where(hash_bucket(id_col, seed) < thr)
+    if len(fractions) <= 64:
+        # few domains: bake thresholds into one codegen'd CASE chain —
+        # zero joins, zero shuffles
+        thr: Column = F.lit(0)
+        for d, frac in fractions.items():
+            thr = F.when(
+                c == d, F.lit(int(round(frac * BUCKETS)))
+            ).otherwise(thr)
+        return df.where(hash_bucket(id_col, seed) < thr)
+    # many domains (e.g. per-site sampling): a 10k-branch CASE blows up
+    # plan compilation — broadcast a threshold table instead; the
+    # corpus side still never shuffles
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(d, int(round(frac * BUCKETS))) for d, frac in fractions.items()],
+        "_d string, _thr long",
+    )
+    return (
+        df.join(F.broadcast(thr_df), c == F.col("_d"), "inner")
+        .where(hash_bucket(id_col, seed) < F.col("_thr"))
+        .drop("_d", "_thr")
+    )
 
 
 def mix_corpora(

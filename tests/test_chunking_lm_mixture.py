@@ -182,3 +182,30 @@ class TestTemperatureMixture:
     def test_alpha_validation(self, spark):
         with pytest.raises(ValueError):
             temperature_mixture(self._domains(spark), alpha=-0.1)
+
+    def test_many_domains_join_path_matches_case_path(self, spark):
+        """> 64 domains switches to the broadcast threshold table — the
+        selected id set must be identical to the CASE-chain arithmetic."""
+        rows = [(i, f"d{i % 100}") for i in range(2000)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = temperature_mixture(d, alpha=0.5)
+        kept = {r.doc_id for r in out.collect()}
+        # replicate the fraction arithmetic + md5 bucket test in python
+        import hashlib
+
+        counts: dict[str, int] = {}
+        for _, dom in rows:
+            counts[dom] = counts.get(dom, 0) + 1
+        total = len(rows)
+        weights = {k: (v / total) ** 0.5 for k, v in counts.items()}
+        wsum = sum(weights.values())
+        fracs = {
+            k: min(1.0, (w / wsum) * total / counts[k])
+            for k, w in weights.items()
+        }
+        expect = set()
+        for i, dom in rows:
+            h = int(hashlib.md5(f"v1:{i}".encode()).hexdigest()[:15], 16)
+            if h % 1_000_000 < int(round(fracs[dom] * 1_000_000)):
+                expect.add(i)
+        assert kept == expect
