@@ -86,9 +86,12 @@ def domain_blocklist_filter(
     domain_col: str = "domain",
 ) -> DataFrame:
     """Remove documents referencing ANY blocklisted domain. The
-    blocklist (one ``domain`` column) is broadcast twice — semi-join to
-    find offending ids, anti-join to drop them — so the corpus is never
-    shuffled. Documents with no URLs always survive."""
+    blocklist (one ``domain`` column) is broadcast into the semi-join,
+    so the corpus is never shuffled to FIND offenders; the offending-id
+    anti-join is left to the planner — a blocklist that matches a large
+    corpus fraction produces a bad_ids set too big to force-broadcast
+    (AQE still broadcasts it when small). Documents with no URLs always
+    survive."""
     blocked = blocked_domains.select(
         F.lower(F.col(domain_col)).alias("domain")
     )
@@ -98,4 +101,4 @@ def domain_blocklist_filter(
         .select(id_col)
         .distinct()
     )
-    return docs.join(F.broadcast(bad_ids), id_col, "left_anti")
+    return docs.join(bad_ids, id_col, "left_anti")

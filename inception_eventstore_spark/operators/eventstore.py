@@ -568,7 +568,9 @@ class EventStore:
         semi-join then R10 grouping (SURVEY §2 R11)."""
         sel = index.records(options.event_type_id, options.after, options.before)
         hit_ids = sel.select(F.col("aid").alias("id")).distinct()
-        rows = self.events_df().join(F.broadcast(hit_ids), ["id"], "left_semi")
+        # no broadcast hint: a broad type+time selection can hit most
+        # aggregates — AQE broadcasts the id set only when it is small
+        rows = self.events_df().join(hit_ids, ["id"], "left_semi")
         return group_commits(rows).orderBy("id", "rev")
 
     def for_each_aggregate(self, options: PlayerOptions,

@@ -53,13 +53,17 @@ class TestDomains:
         )
         assert kept == [2, 3]
 
-    def test_blocklist_plan_has_no_shuffle_join(self, spark):
+    def test_blocklist_plan_broadcasts_when_small(self, spark):
+        """The blocklist side is hint-broadcast; the bad-id anti-join
+        has no hint (an aggressive blocklist can match most of the
+        corpus) — AQE still picks broadcast for a small id set, so the
+        FINALIZED plan shows no shuffle join here."""
         d = _docs(spark, [(1, "https://a.com/x")])
         blocked = spark.createDataFrame([Row(domain="a.com")], "domain string")
-        plan = (
-            DM.domain_blocklist_filter(d, blocked)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        out = DM.domain_blocklist_filter(d, blocked)
+        out.collect()  # finalize AQE so runtime join selection applies
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends the pre-adaptive plan after this marker
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
