@@ -56,6 +56,10 @@ def _shard_expr(docs: DataFrame, id_col: str, shard_size: int) -> F.Column:
     lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
     n_shards = max(1, (n + shard_size - 1) // shard_size)
     width = max(1, (hi - lo) // n_shards + 1)
+    if n_shards == 1 or width > (1 << 62):
+        # single shard (or a width literal that would overflow the
+        # int64 SQL literal for full-range hashed ids) — constant key
+        return F.lit(0).cast("long")
     return F.expr(f"`{id_col}` div {width}").cast("long")
 
 
