@@ -328,9 +328,11 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     from inception_eventstore_spark.functions.spread import spread
 
     if hash_source == "md5":
-        token_hash = F.conv(
-            F.substring(F.md5(F.encode(F.col("_t"), "UTF-8")), 1, 15), 16, 10
-        ).cast("bigint")
+        from inception_eventstore_spark.operators.sampling import (
+            md5_prefix60,
+        )
+
+        token_hash = md5_prefix60(F.col("_t"))
     elif hash_source == "xxhash64":
         token_hash = F.xxhash64("_t")
     else:

@@ -619,7 +619,16 @@ class EventStore:
             return iter(())
 
         grouped.rdd.mapPartitionsWithIndex(run).count()
-        for pid, n, last_id, last_rev in sorted(acc.value):
+        # Accumulator updates inside a TRANSFORMATION are at-least-once
+        # (a retried/speculated task re-adds its summary); dedupe by
+        # partition id — a partition's summary is deterministic, so the
+        # first occurrence is authoritative.
+        unique: dict[int, tuple] = {}
+        for summary in acc.value:
+            unique.setdefault(summary[0], summary)
+        for pid, n, last_id, last_rev in (
+            unique[p] for p in sorted(unique)
+        ):
             token = PagingToken(
                 keys={
                     "partition": pid,

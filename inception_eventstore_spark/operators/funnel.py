@@ -42,19 +42,33 @@ def funnel_steps(
     requires each step inside that horizon of the previous one — the
     conversion-window variant every funnel dashboard offers.
 
+    A repeated consecutive step (["click", "click"]) requires a
+    STRICTLY later event — the same event can't satisfy both
+    occurrences (distinct steps keep the inclusive >=, so a
+    simultaneous signup+click still converts).
+
     The per-step survivor set is (user, earliest qualifying ts) — one
     row per user, so each chained join is a small-side hash join and
-    the raw log never self-joins."""
+    the raw log never self-joins. Each step's count is materialized
+    eagerly (survivor sets persist only while the next step needs
+    them, then unpersist), so the call leaves no cached state behind
+    and the log is scanned exactly once per step."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    out: DataFrame | None = None
+    spark = events.sparkSession
+    counts: list[tuple[int, str, int]] = []
     cur: DataFrame | None = None
     for i, step in enumerate(steps):
         hits = events.where(F.col(type_col) == step)
         if cur is None:
-            cur = hits.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+            nxt = hits.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
         else:
-            window_ok = F.col(ts_col) >= F.col("_t")
+            same_step = step == steps[i - 1]
+            window_ok = (
+                F.col(ts_col) > F.col("_t")
+                if same_step
+                else F.col(ts_col) >= F.col("_t")
+            )
             if within is not None:
                 window_ok = window_ok & (
                     F.col(ts_col) <= F.col("_t") + F.expr(f"INTERVAL {within}")
@@ -63,24 +77,22 @@ def funnel_steps(
             # small for most funnels (AQE broadcasts it), but a
             # billion-user log must be allowed to fall back to a
             # shuffle join rather than OOM the driver
-            cur = (
+            nxt = (
                 hits.join(cur, user_col)
                 .where(window_ok)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("_t"))
             )
-        # one (user, ts) row per survivor — persisted so the unioned
-        # per-step count rows don't re-scan the log once per later step
-        # (union branches share no subexpressions without it: O(k²)
-        # scans becomes O(k))
-        cur = cur.persist()
-        row = cur.agg(F.count("*").cast("long").alias("users")).select(
-            F.lit(i + 1).cast("long").alias("step_idx"),
-            F.lit(step).alias("step"),
-            "users",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        nxt = nxt.persist()
+        counts.append((i + 1, step, nxt.count()))
+        if cur is not None:
+            cur.unpersist()
+        cur = nxt
+    if cur is not None:
+        cur.unpersist()
+    return spark.createDataFrame(
+        counts, "step_idx long, step string, users long"
+    )
 
 
 def cohort_retention(

@@ -53,6 +53,11 @@ def _shard_expr(docs: DataFrame, id_col: str, shard_size: int) -> F.Column:
     ).collect()[0]
     if not row["n"]:
         return F.lit(0).cast("long")
+    if row["lo"] is None:
+        raise ValueError(
+            f"{id_col!r} is NULL for every row — packing needs a "
+            "non-null numeric id to define the canonical order"
+        )
     lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
     n_shards = max(1, (n + shard_size - 1) // shard_size)
     width = max(1, (hi - lo) // n_shards + 1)

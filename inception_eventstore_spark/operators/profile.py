@@ -36,8 +36,10 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """One-pass per-column profile (see module docstring)."""
     total = F.count(F.lit(1))
     aggs = [total.alias("_n")]
-    for f in df.schema.fields:
-        c, safe = f.name, f.name.replace(".", "_")
+    # positional alias keys: name-derived keys can collide ('a.b' vs
+    # 'a_b') and silently cross-wire the stats
+    for i, f in enumerate(df.schema.fields):
+        c, safe = f.name, str(i)
         col = F.col(f"`{c}`")
         aggs.append((total - F.count(col)).alias(f"_nulls_{safe}"))
         distinct = (
@@ -63,8 +65,8 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     row = df.agg(*aggs).collect()[0]
 
     out = []
-    for f in df.schema.fields:
-        safe = f.name.replace(".", "_")
+    for i, f in enumerate(df.schema.fields):
+        safe = str(i)
         out.append(
             (
                 f.name,

@@ -28,18 +28,25 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
+def md5_prefix60(col: Column) -> Column:
+    """Portable 60-bit content hash: the first 15 hex digits of
+    md5(UTF-8 bytes) as a BIGINT — identical in any engine with md5
+    (DuckDB twin: ``CAST(concat('0x', substr(md5(x), 1, 15)) AS
+    BIGINT)``). The single definition all portable-hash surfaces share
+    (bucket sampling here, the SimHash md5 bit-source in
+    operators/dedup.py) so the cross-engine arithmetic can never
+    drift between them."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def hash_bucket(col: Column | str, seed: str = "v1",
                 buckets: int = BUCKETS) -> Column:
     """Portable uniform bucket in [0, buckets): md5 of ``seed:value``,
     60-bit prefix as BIGINT, mod buckets."""
     c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(
-        F.substring(
-            F.md5(F.encode(F.concat(F.lit(seed + ":"), c.cast("string")), "UTF-8")),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("bigint")
+    h = md5_prefix60(F.concat(F.lit(seed + ":"), c.cast("string")))
     return F.pmod(h, F.lit(buckets))
 
 
@@ -139,21 +146,22 @@ def temperature_mixture(
     sample is reproducible across engines and corpus growth."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    counts = df.groupBy(F.col(domain_col).cast("string").alias("_d")).agg(
-        F.count("*").alias("_n")
-    ).collect()
+    # NULL domains form their own domain (sentinel key) — they are
+    # sampled like any other instead of silently dropped by the CASE /
+    # join mismatch on NULL
+    _NULL = "\x00__null_domain__"
+    c = F.coalesce(F.col(domain_col).cast("string"), F.lit(_NULL))
+    counts = df.groupBy(c.alias("_d")).agg(F.count("*").alias("_n")).collect()
     if not counts:
         return df
-    total = sum(r["_n"] for r in counts)
-    weights = {r["_d"]: (r["_n"] / total) ** alpha for r in counts}
+    by_domain = {r["_d"]: int(r["_n"]) for r in counts}
+    total = sum(by_domain.values())
+    weights = {d: (n / total) ** alpha for d, n in by_domain.items()}
     wsum = sum(weights.values())
     fractions = {
-        d: min(1.0, (w / wsum) * total / next(
-            r["_n"] for r in counts if r["_d"] == d
-        ))
+        d: min(1.0, (w / wsum) * total / by_domain[d])
         for d, w in weights.items()
     }
-    c = F.col(domain_col).cast("string")
     if len(fractions) <= 64:
         # few domains: bake thresholds into one codegen'd CASE chain —
         # zero joins, zero shuffles

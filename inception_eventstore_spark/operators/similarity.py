@@ -222,7 +222,11 @@ def multi_query_topk(
             kk = min(k, len(ids))
             out_q, out_id, out_d = [], [], []
             for j, qid in enumerate(qids):
-                top = np.argpartition(D[:, j], kk - 1)[:kk]
+                # lexsort: distance then id — the local cut keeps the
+                # SAME rows the global (dist, id) order would, so
+                # equal-distance ties at the k boundary are lossless
+                # (argpartition alone cuts ties arbitrarily)
+                top = np.lexsort((ids, D[:, j]))[:kk]
                 out_q.extend([qid] * kk)
                 out_id.extend(ids[top])
                 out_d.extend(D[top, j])

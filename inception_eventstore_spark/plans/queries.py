@@ -878,10 +878,13 @@ def q_nearest_join(spark, sf_dir):
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_micros("ts").alias("t")
     )
-    clicks = e.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("event_id").alias("click_id"),
+    # dedupe to one click per (user, µs) — nearest_join requires the
+    # right side unique per (key, time), and a same-microsecond click
+    # pair would otherwise make both engines' tie pick arbitrary
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.min("event_id").alias("click_id"))
     )
     joined = nearest_join(
         purchases, clicks, on="user_id", left_time="t",
@@ -2921,8 +2924,9 @@ QUERIES: dict[str, QueryDef] = {
         q_nearest_join,
         "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t "
         "FROM events WHERE event_type = 'purchase'), "
-        "c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id "
-        "FROM events WHERE event_type = 'click'), "
+        "c AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+        "min(event_id) AS click_id FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)), "
         "j AS (SELECT p.event_id, p.user_id, p.t, c.ts_us, c.click_id, "
         "abs(p.t - c.ts_us) AS d FROM p JOIN c USING (user_id)), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY event_id "

@@ -183,6 +183,15 @@ class TestTemperatureMixture:
         with pytest.raises(ValueError):
             temperature_mixture(self._domains(spark), alpha=-0.1)
 
+    def test_null_domains_are_sampled_not_dropped(self, spark):
+        rows = [(i, None if i % 2 else "en") for i in range(400)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = temperature_mixture(d, alpha=1.0)
+        # alpha=1 keeps the natural distribution: every row survives,
+        # including the 200 null-domain ones
+        assert out.count() == 400
+        assert out.where(out.lang.isNull()).count() == 200
+
     def test_many_domains_join_path_matches_case_path(self, spark):
         """> 64 domains switches to the broadcast threshold table — the
         selected id set must be identical to the CASE-chain arithmetic."""

@@ -47,6 +47,25 @@ class TestFunnelSteps:
         with pytest.raises(ValueError):
             funnel_steps(_events(spark, []), [])
 
+    def test_repeated_step_needs_a_later_event(self, spark):
+        e = _events(spark, [
+            (1, "click", 0),                    # one click only
+            (2, "click", 0), (2, "click", 3),   # two distinct clicks
+        ])
+        out = {(r.step_idx, r.users)
+               for r in funnel_steps(e, ["click", "click"]).collect()}
+        # user 1's single click must NOT satisfy both occurrences
+        assert out == {(1, 2), (2, 1)}
+
+    def test_no_cached_state_left_behind(self, spark):
+        def n_cached() -> int:
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        e = _events(spark, [(1, "signup", 0), (1, "click", 1)])
+        before = n_cached()
+        funnel_steps(e, ["signup", "click"]).collect()
+        assert n_cached() == before
+
     def test_conversion_horizon(self, spark):
         e = _events(spark, [
             (1, "signup", 0), (1, "click", 2),    # converts within 3 days
