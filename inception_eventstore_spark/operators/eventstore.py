@@ -496,8 +496,49 @@ class EventStore:
         a file per bucket; replay throughput degrades once buckets hold
         hundreds of small files — periodic optimize restores one sorted
         run per bucket, which also restores tight (id, rev, pos) min/max
-        stats for point-lookup pruning."""
+        stats for point-lookup pruning. At 100 TB prefer
+        ``optimize_buckets`` — a full-table rewrite is rarely
+        affordable, and appends only fragment the buckets they touch."""
         self._rewrite(self.events_df())
+
+    def optimize_buckets(
+        self,
+        max_files_per_bucket: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> list[int]:
+        """Selective small-file compaction: rewrite ONLY buckets whose
+        data-file count exceeds ``max_files_per_bucket``, each into
+        ceil(bytes / target_file_bytes) sorted files. Hot buckets (the
+        ones appends fragment) are found from a driver-side metadata
+        listing — cold buckets are never read or written, so the cost
+        scales with the fragmented fraction, not the table. Rows are
+        rewritten verbatim (tombstones keep filtering at read time;
+        ``compact()`` folds them), so the pass is purely a layout
+        change. Returns the bucket ids rewritten."""
+        from inception_eventstore_spark.sources import fsutil
+
+        compacted: list[int] = []
+        for b in range(self.layout.n_buckets):
+            bpath = os.path.join(self.layout.events_path, f"bucket={b}")
+            n_files = fsutil.data_file_count(self.spark, bpath)
+            if n_files <= max_files_per_bucket:
+                continue
+            n_out = max(
+                1,
+                -(-fsutil.dir_data_bytes(self.spark, bpath)
+                  // target_file_bytes),
+            )
+            rows = self.spark.read.schema(schemas.EVENTS_SCHEMA).parquet(bpath)
+            tmp = bpath + ".compact"
+            (
+                rows.coalesce(int(n_out))
+                .sortWithinPartitions("id", "rev", "pos")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            fsutil.replace_dir(self.spark, tmp, bpath)
+            compacted.append(b)
+        return compacted
 
     def compact(self) -> None:
         """Fold tombstones into the base files (one rewrite job)."""

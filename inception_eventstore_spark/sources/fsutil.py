@@ -66,6 +66,22 @@ def data_file_count(spark: SparkSession, dir_str: str) -> int:
     return len(list_data_files(spark, dir_str, recursive=True))
 
 
+def dir_data_bytes(spark: SparkSession, dir_str: str) -> int:
+    """Total bytes of non-hidden data files under ``dir_str`` (0 if the
+    directory doesn't exist) — drives size-aware compaction targets."""
+    fs, path = _fs_and_path(spark, dir_str)
+    if not fs.exists(path):
+        return 0
+    base = path.toString()
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        if not _is_hidden_below(base, st.getPath().toString()):
+            total += int(st.getLen())
+    return total
+
+
 def delete_path(spark: SparkSession, path_str: str) -> bool:
     """Recursive delete; False if the path didn't exist."""
     fs, path = _fs_and_path(spark, path_str)

@@ -335,6 +335,81 @@ class TestTombstoneFolding:
         assert store.events_df().count() == 8
 
 
+class TestOptimizeBuckets:
+    def test_selective_compaction(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.sources import fsutil
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.EventStoreLayout(
+            warehouse=str(tmp_path / "wh"), keyspace="opt_es", n_buckets=2
+        )
+        lay.ensure_storage()
+        store = EventStore(spark, lay)
+        t0 = datetime_to_filetime(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+        # 12 separate appends → 12 files in whichever buckets they hit
+        for r in range(1, 13):
+            store.append_commits(
+                [AggregateCommit(b"frag", r, t0 + r, events=[b"e"])],
+                maintain_index=False,
+            )
+        before = {
+            r["id"]: (r["rev"], r["pos"])
+            for r in store.events_df().collect()
+        }
+        import os
+
+        bpath = None
+        for b in range(lay.n_buckets):
+            p = os.path.join(lay.events_path, f"bucket={b}")
+            if fsutil.data_file_count(spark, p) > 4:
+                bpath = p
+        assert bpath is not None
+        done = store.optimize_buckets(max_files_per_bucket=4)
+        assert done  # the fragmented bucket was rewritten
+        assert fsutil.data_file_count(spark, bpath) == 1
+        after = {
+            r["id"]: (r["rev"], r["pos"])
+            for r in store.events_df().collect()
+        }
+        assert store.events_df().count() == 12
+        assert before.keys() == after.keys()
+        # idempotent: nothing left above the threshold
+        assert store.optimize_buckets(max_files_per_bucket=4) == []
+
+    def test_tombstones_still_filter_after_compaction(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.EventStoreLayout(
+            warehouse=str(tmp_path / "wh"), keyspace="opt2_es", n_buckets=2
+        )
+        lay.ensure_storage()
+        store = EventStore(spark, lay)
+        t0 = datetime_to_filetime(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+        for r in range(1, 9):
+            store.append_commits(
+                [AggregateCommit(b"frag", r, t0 + r, events=[b"e"])],
+                maintain_index=False,
+            )
+        store.delete(b"frag", 3, 0)
+        store.optimize_buckets(max_files_per_bucket=1)
+        revs = sorted(r["rev"] for r in store.events_df().collect())
+        assert revs == [1, 2, 4, 5, 6, 7, 8]
+
+
 class TestProgressNotifications:
     """R12 progress hooks (reference: NotifyProgressAsync per page,
     CassandraEventStore.cs:462-472; count asserted like
