@@ -566,6 +566,40 @@ class EventStore:
             self.spark, os.path.join(self.layout.root, "tombstones")
         )
 
+    def stats(self) -> dict:
+        """Layout observability: per-store file counts and bytes plus
+        the live tombstone count — the numbers an operator watches to
+        decide when to run ``optimize_buckets``/``compact``. Pure
+        driver-side metadata listing (no table scan)."""
+        from inception_eventstore_spark.sources import fsutil
+
+        tomb_path = os.path.join(self.layout.root, "tombstones")
+        out = {
+            "events_files": fsutil.data_file_count(
+                self.spark, self.layout.events_path
+            ),
+            "events_bytes": fsutil.dir_data_bytes(
+                self.spark, self.layout.events_path
+            ),
+            "tombstone_files": fsutil.data_file_count(self.spark, tomb_path),
+            "index_files": fsutil.data_file_count(
+                self.spark, self.layout.index_path
+            ),
+            "counter_files": fsutil.data_file_count(
+                self.spark, self.layout.counter_path
+            ),
+        }
+        out["fragmented_buckets"] = sum(
+            1
+            for b in range(self.layout.n_buckets)
+            if fsutil.data_file_count(
+                self.spark,
+                os.path.join(self.layout.events_path, f"bucket={b}"),
+            )
+            > 8
+        )
+        return out
+
     # ------------------------------------------------------------------
     # Replay surface
     # ------------------------------------------------------------------

@@ -383,6 +383,32 @@ class TestOptimizeBuckets:
         # idempotent: nothing left above the threshold
         assert store.optimize_buckets(max_files_per_bucket=4) == []
 
+    def test_stats_reflect_layout(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.functions.filetime import (
+            datetime_to_filetime,
+        )
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.EventStoreLayout(
+            warehouse=str(tmp_path / "wh"), keyspace="stats_es", n_buckets=2
+        )
+        lay.ensure_storage()
+        store = EventStore(spark, lay)
+        t0 = datetime_to_filetime(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+        store.append_commits(
+            [AggregateCommit(b"s", 1, t0, events=[b"e"])],
+            maintain_index=False,
+        )
+        store.delete(b"s", 1, 0)
+        s = store.stats()
+        assert s["events_files"] >= 1 and s["events_bytes"] > 0
+        assert s["tombstone_files"] == 1
+        assert s["fragmented_buckets"] == 0
+
     def test_tombstones_still_filter_after_compaction(self, spark, tmp_path):
         import datetime as dt
 
