@@ -487,3 +487,82 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal spans of text duplicated EXACTLY somewhere else in the
+    corpus (the ExactSubstr objective of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — the memorization-
+    prone substrings a training pipeline clips before tokenization.
+
+    Instead of a distributed suffix array, the same result comes from
+    fixed-length gram marking: a character position is *duplicated* iff
+    the ``min_len``-char gram starting there occurs ≥ 2 times
+    corpus-wide; maximal runs of duplicated positions are exactly the
+    (≥ min_len)-char repeated spans. Dataflow:
+
+    1. one scan explodes each doc into its ``n - L + 1`` gram start
+       positions; the gram is hashed immediately (`xxhash64`) so the
+       shuffle carries (hash, doc_id, pos) — 8-byte keys, never strings;
+    2. a count window partitioned by the hash marks duplicated
+       positions (AQE's skew split handles pathological hot grams —
+       at 100 TB a groupBy-partials + join-back variant trades one
+       extra shuffle for map-side combine on such grams);
+    3. per-doc gaps-and-islands (``pos − row_number``) merges
+       consecutive duplicated positions into maximal spans.
+
+    Returns ``(doc_id, span_start, span_end, span_len)`` with 1-based
+    inclusive char offsets. Overlapping occurrences within one doc
+    merge into one span (runs are maximal), matching the clip-once
+    semantics a pipeline wants.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    c = F.col(text_col)
+    pos = (
+        docs.where(F.length(c) >= L)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            c.alias("_text"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(c) - F.lit(L - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.col("_text").substr(F.col("pos"), F.lit(L))).alias(
+                "_gh"
+            ),
+        )
+    )
+    dup = (
+        pos.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("_gh"))
+        )
+        .where(F.col("_n") >= 2)
+        .select("doc_id", "pos")
+    )
+    island = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        dup.withColumn("_isl", island)
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

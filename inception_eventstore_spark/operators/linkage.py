@@ -1,0 +1,108 @@
+"""Fuzzy record linkage: blocked join + exact edit-distance verify.
+
+Entity resolution for pipeline metadata (author names, domain labels,
+benchmark titles): find all (left, right) pairs within Levenshtein
+distance ≤ 1 WITHOUT the all-pairs cross join.
+
+Candidate generation uses the FastSS / SymSpell *deletion
+neighborhood*: each string emits itself plus every single-character
+deletion as blocking keys. Two strings at edit distance ≤ 1 always
+share at least one key —
+
+- substitution at i: deleting position i from both sides yields the
+  same string;
+- insertion/deletion: the shorter string IS a deletion variant of the
+  longer (and its own identity key).
+
+so the blocked join is **lossless** for distance ≤ 1 (this is why the
+declared query can hash-match a brute-force oracle), while the join is
+a plain equi-join on short string keys: |rows|·(len+1) key rows, never
+|L|·|R| pairs. The exact `levenshtein` verify (JVM built-in) then
+removes the neighborhood's false positives (distance-2 pairs sharing a
+key, e.g. swap-adjacent). At 100 TB both sides shuffle by an ~O(len)
+fanout of 8-to-30-byte keys — the standard similarity-join layout — and
+the verify is a codegen expression, no UDF anywhere.
+
+For larger radii compose with `ngram_jaccard_pairs` (PPJoin) or raise
+`max_deletes`; the neighborhood blowup is C(len, d) so radius ≤ 2 is
+the practical ceiling, exactly as in SymSpell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deletion_keys", "fuzzy_join"]
+
+
+def deletion_keys(col, max_len: int = 64):
+    """Array of blocking keys: the string itself + each 1-char deletion.
+
+    ``transform(sequence(...))`` builds the deletion variants JVM-side;
+    strings longer than ``max_len`` keep only the identity key (their
+    neighborhoods would be huge AND a single edit is a tiny relative
+    change — callers should block long text with MinHash instead).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            c.substr(F.lit(1), i - 1), c.substr(i + 1, F.length(c))
+        ),
+    )
+    return F.when(
+        (F.length(c) > 0) & (F.length(c) <= max_len),
+        F.array_union(F.array(c), dels),
+    ).otherwise(F.array(c))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    left_id: str | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein ≤ max_dist`` (≤ 1).
+
+    Returns distinct ``(left_id?, left_col, right_id?, right_col,
+    dist)`` rows. Lossless for ``max_dist ≤ 1`` by the deletion-
+    neighborhood argument above; raises for larger radii rather than
+    silently losing pairs.
+    """
+    if max_dist > 1:
+        raise ValueError(
+            "deletion-neighborhood blocking is lossless only for "
+            "max_dist <= 1; compose PPJoin/MinHash blocking for larger radii"
+        )
+    lcols = [F.col(left_col).alias("left_val")] + (
+        [F.col(left_id).alias("left_id")] if left_id else []
+    )
+    rcols = [F.col(right_col).alias("right_val")] + (
+        [F.col(right_id).alias("right_id")] if right_id else []
+    )
+    L = left.select(*lcols).withColumn(
+        "_k", F.explode(deletion_keys("left_val"))
+    )
+    R = right.select(*rcols).withColumn(
+        "_k", F.explode(deletion_keys("right_val"))
+    )
+    out_cols = (
+        ([F.col("left_id")] if left_id else [])
+        + [F.col("left_val")]
+        + ([F.col("right_id")] if right_id else [])
+        + [F.col("right_val")]
+    )
+    pairs = (
+        L.join(R, "_k")
+        .drop("_k")
+        .distinct()  # a pair may share several deletion keys
+        .withColumn(
+            "dist", F.levenshtein(F.col("left_val"), F.col("right_val"))
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+    return pairs.select(*out_cols, F.col("dist").cast("bigint").alias("dist"))

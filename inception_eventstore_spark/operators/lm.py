@@ -98,3 +98,127 @@ def bigram_lm_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("lm_score"),
     ).select(F.col("_id").alias(id_col), "n_bigrams", "lm_score")
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """One iteration of BPE tokenizer training: weighted adjacent-symbol
+    pair counts over the corpus (Sennrich et al. 2016 — the merge step
+    picks the argmax row of this table).
+
+    Classic formulation: dataflow is word-frequency-first — the corpus
+    collapses to its (word, freq) vocabulary BEFORE any per-character
+    work, so the expensive explode runs over |vocab| rows, not |corpus
+    tokens| (the whole reason BPE training is tractable on big corpora).
+    Symbols here are single characters of the initial alphabet plus the
+    end-of-word marker '</w>' appended to each word, exactly as in the
+    original algorithm. Returns (sym_a, sym_b, pair_count) — feed the
+    max row back in as a merge and re-run for subsequent iterations.
+
+    Scale: explode(word→positions) is O(chars of the vocab); both
+    groupBys are partial-aggregated; no UDF, no driver state. top_n
+    uses TakeOrdered (per-partition top-k + driver merge), no full sort.
+    """
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # symbol sequence of a word = its characters + trailing '</w>'
+    pairs = (
+        vocab.withColumn("_n", F.length("w"))
+        .select(
+            "freq",
+            "w",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("i"),
+        )
+        .select(
+            "freq",
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("sym_a"),
+            F.when(
+                F.col("i") < F.col("_n"),
+                F.col("w").substr(F.col("i") + 1, F.lit(1)),
+            )
+            .otherwise(F.lit("</w>"))
+            .alias("sym_b"),
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    if top_n is not None:
+        pairs = pairs.orderBy(
+            F.col("pair_count").desc(), "sym_a", "sym_b"
+        ).limit(int(top_n))
+    return pairs
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    classic collocation / multi-word-expression signal (Church & Hanks
+    1990), used by pipelines to decide tokenizer merges and to spot
+    boilerplate n-grams.
+
+        pmi(a,b) = ln( c(a,b) · T / (c(a)·c(b)) )
+
+    with T the total number of adjacent pairs in the corpus. Unigram
+    counts come from the SAME pair table (left occurrences + per-doc
+    tail correction is deliberately avoided: c(a) counts a's
+    occurrences as a left element, the standard bigram-margin
+    convention, so the three tables share one explode).
+
+    Shape: one bigram explode → pair groupBy; margins are two tiny
+    re-aggregations of the pair table; both join back broadcast (the
+    pair table after min_pair_count is the big side, margins are
+    |vocab|-sized). pmi rounded to 6 dp for cross-engine determinism.
+    """
+    pairs = (
+        _bigrams(docs, id_col, text_col)
+        .groupBy(F.col("_a").alias("tok_a"), F.col("_b").alias("tok_b"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+    total = pairs.agg(F.sum("pair_count").alias("t")).first()["t"]
+    if not total:
+        raise ValueError("corpus has no adjacent token pairs")
+    left = pairs.groupBy(F.col("tok_a").alias("_a")).agg(
+        F.sum("pair_count").alias("c_a")
+    )
+    right = pairs.groupBy(F.col("tok_b").alias("_b")).agg(
+        F.sum("pair_count").alias("c_b")
+    )
+    out = (
+        pairs.where(F.col("pair_count") >= int(min_pair_count))
+        .join(F.broadcast(left), F.col("tok_a") == F.col("_a"))
+        .join(F.broadcast(right), F.col("tok_b") == F.col("_b"))
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_count",
+            F.round(
+                F.log(
+                    F.col("pair_count").cast("double")
+                    * F.lit(float(total))
+                    / (
+                        F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), "tok_a", "tok_b"
+        ).limit(int(top_n))
+    return out

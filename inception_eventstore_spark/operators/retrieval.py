@@ -1,0 +1,177 @@
+"""Keyword retrieval over the document corpus: inverted index + BM25.
+
+The serving half of a training-data pipeline: given a handful of query
+terms, rank documents by BM25 (Robertson/Sparck-Jones, the Lucene
+`k1`/`b` formulation with the +1 idf floor). Everything is expressed so
+the corpus is scanned ONCE and only rows mentioning a query term ever
+reach a shuffle:
+
+- tokenization / per-(doc, term) tf happens map-side (explode + partial
+  aggregation);
+- the query-term filter is an `isin` literal applied BEFORE the
+  aggregation, so the shuffle carries at most |matching docs| · |terms|
+  8-byte-keyed rows, never the whole postings list;
+- document lengths come from the same scan (`size(tokens)` is a column
+  expression, no second pass);
+- corpus stats (N, avgdl) are one scalar aggregate baked back as
+  literals; per-term df is an aggregate of the tiny tf table; the idf
+  table is |terms| rows, joined back broadcast.
+
+At 100 TB the same plan holds: one corpus scan, a broadcast of a few
+query terms, a shuffle proportional to the matching postings only, and
+a TakeOrdered top-k (no global sort).
+
+Reference analog: the reference's only "search" is the index-by-type
+lookup (`IndexByEventTypeStore.cs:125-170`); text relevance ranking is
+part of the mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.dedup import tokens
+
+__all__ = ["build_inverted_index", "bm25_topk", "BM25_K1", "BM25_B"]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Postings list ``(token, doc_id, tf, dl)`` for the whole corpus.
+
+    One explode + one partial-aggregated groupBy; ``dl`` (doc length in
+    tokens) rides along via ``first`` so index probes never re-read the
+    text. Persist with ``.write.partitionBy()`` bucketed by token for
+    pruned probes, or feed straight into :func:`bm25_topk`.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    ).withColumn("_toks", tokens(F.col("_text")))
+    return (
+        toks.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` by BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene
+    formulation (always positive, so stopword-ish terms cannot flip
+    rankings negative).
+
+    Returns ``(doc_id, score)`` ordered by (score desc, doc_id), score
+    rounded to 6 dp BEFORE the ordering so the k-cut is deterministic
+    across engines and partitionings.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    # N and avgdl: ONE scalar aggregate over the corpus; exact integer
+    # sum/count so both engines derive the identical double avgdl.
+    stats = toks.select(
+        F.count("*").alias("n_docs"), F.sum(F.size("_toks")).alias("sum_dl")
+    ).first()
+    n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = sum_dl / n_docs
+
+    # (doc, term) tf for QUERY terms only — the isin filter runs before
+    # the aggregation, so the shuffle carries matching postings only.
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+    # df per term → idf table: |terms| rows, broadcast back.
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def bm25_score_py(
+    corpus: dict[int, list[str]],
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> dict[int, float]:
+    """Driver-side reference implementation for tests (same math)."""
+    terms = sorted({t.lower() for t in query_terms})
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {
+        t: sum(1 for toks in corpus.values() if t in toks) for t in terms
+    }
+    out: dict[int, float] = {}
+    for doc, toks in corpus.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        if s > 0:
+            out[doc] = round(s, 6)
+    return out

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -477,4 +477,94 @@ def cosine_near_duplicates(
         .withColumn("cosine", _cosine_pair_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over the whole table — every
+    vector's k closest others by L2, as ``(src, rank, dst, dist)``
+    edges (SemDeDup / dataset-cartography style neighborhood input).
+
+    Fully distributed block-pair dataflow — no driver-side query list:
+
+    1. each row gets a block id ``pmod(xxhash64(id), B)``;
+    2. the "query" side is replicated B× (explode over target blocks) —
+       shuffle carries n·B rows, so B trades replication against task
+       granularity (B² cogroups each ≈ (n/B)² distance work, bounded
+       executor memory);
+    3. one ``applyInPandas`` per (query_block, corpus_block) cogroup
+       computes the (n/B)×(n/B) distance matrix with ONE numpy matmul
+       and emits only each query's LOCAL (dist, id)-lexsorted top-k;
+    4. a window reduce keeps the global top-k per source.
+
+    Exact brute force is O(n²) work by definition — this shape spreads
+    it over B² independent tasks; for sublinear scaling, bucket with
+    `LshVectorIndex`/`IvfVectorIndex` first and run the same verify
+    within buckets. Self-pairs excluded; ties broken by dst id; `dist`
+    left unrounded (round at the query surface).
+    """
+    B = int(n_blocks)
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    # every (query-block, corpus-block) pair becomes one cogroup key:
+    # queries replicate across corpus blocks, corpus rows across query
+    # blocks — n·B rows each side, B² tasks of (n/B)×(n/B) work
+    src = emb.select(
+        F.col(id_col).alias("src"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        blk.alias("_qb"),
+        rep.alias("_cb"),
+    )
+    dst = emb.select(
+        F.col(id_col).alias("dst"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        blk.alias("_cb"),
+        rep.alias("_qb"),
+    )
+    kk = int(k)
+
+    def block_topk(qs: pd.DataFrame, cs: pd.DataFrame) -> pd.DataFrame:
+        if not len(qs) or not len(cs):
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": "int64", "dst": "int64", "dist": "float64"}
+            )
+        Q = np.vstack(qs["_qv"].to_numpy()).astype(np.float64)
+        M = np.vstack(cs["_cv"].to_numpy()).astype(np.float64)
+        qid = qs["src"].to_numpy()
+        cid = cs["dst"].to_numpy()
+        D = (Q**2).sum(1)[:, None] - 2.0 * (Q @ M.T) + (M**2).sum(1)[None, :]
+        out_s, out_d, out_x = [], [], []
+        for i in range(len(qid)):
+            row = D[i]
+            mask = cid == qid[i]
+            row[mask] = np.inf  # exclude self
+            top = np.lexsort((cid, row))[: min(kk, len(cid) - int(mask.sum()))]
+            out_s.extend([qid[i]] * len(top))
+            out_d.extend(cid[top].tolist())
+            out_x.extend(np.sqrt(np.maximum(row[top], 0.0)).tolist())
+        return pd.DataFrame({"src": out_s, "dst": out_d, "dist": out_x})
+
+    # cogroup, NOT a join: each (block) task receives the replicated
+    # query rows and that block's corpus rows as two frames — the n²
+    # pair matrix exists only transiently inside numpy, never in a
+    # shuffle (a join on _cb would materialize |n|·|n/B| rows per block)
+    local = (
+        src.groupBy("_qb", "_cb")
+        .cogroup(dst.groupBy("_qb", "_cb"))
+        .applyInPandas(
+            lambda qs, cs: block_topk(qs, cs),
+            schema="src long, dst long, dist double",
+        )
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("src", F.col("rank").cast("bigint").alias("rank"), "dst", "dist")
     )

@@ -1,0 +1,309 @@
+"""Round-3 additions: BM25 retrieval, fuzzy linkage, exact-substring
+spans, KNN graph, BPE pair counts, PMI collocations, PageRank."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import graph as G
+from inception_eventstore_spark.operators import linkage as LK
+from inception_eventstore_spark.operators import lm as LM
+from inception_eventstore_spark.operators import retrieval as RT
+from inception_eventstore_spark.operators import similarity as S
+from inception_eventstore_spark.operators.dedup import (
+    duplicate_substring_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffles data across the cluster"),
+        (1, "spark caches data in memory for reuse"),
+        (2, "the optimizer prunes parquet partitions"),
+        (3, "data skew breaks the shuffle stage"),
+        (4, "completely unrelated text about gardening roses"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBm25:
+    def test_matches_python_reference(self, corpus):
+        terms = ["spark", "data"]
+        got = {
+            r["doc_id"]: r["score"]
+            for r in RT.bm25_topk(corpus, terms, k=10).collect()
+        }
+        toks = {
+            r["doc_id"]: r["text"].split()
+            for r in corpus.collect()
+        }
+        want = RT.bm25_score_py(toks, terms)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=2e-6)
+
+    def test_ranking_sane(self, corpus):
+        # docs containing both terms outrank docs with one; gardening
+        # doc matches nothing
+        res = RT.bm25_topk(corpus, ["spark", "data"], k=10).collect()
+        ids = [r["doc_id"] for r in res]
+        assert 4 not in ids
+        assert set(ids[:2]) == {0, 1}  # both terms
+        assert res[0]["score"] >= res[-1]["score"]
+
+    def test_k_cut(self, corpus):
+        assert RT.bm25_topk(corpus, ["data"], k=2).count() == 2
+
+    def test_empty_query_raises(self, corpus):
+        with pytest.raises(ValueError):
+            RT.bm25_topk(corpus, [])
+
+    def test_inverted_index_postings(self, corpus):
+        idx = RT.build_inverted_index(corpus)
+        row = idx.where(
+            (F.col("token") == "spark") & (F.col("doc_id") == 0)
+        ).first()
+        assert row["tf"] == 1 and row["dl"] == 6
+        # every posting's dl equals that doc's token count
+        assert idx.where(F.col("doc_id") == 3).first()["dl"] == 6
+
+
+class TestFuzzyJoin:
+    def _df(self, spark, vals, name="v"):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], f"id long, {name} string"
+        )
+
+    def test_finds_all_distance1_pairs(self, spark):
+        left = self._df(spark, ["martha", "jonathan", "zoe", "xyzzy"])
+        right = self._df(
+            spark,
+            ["marta",      # deletion
+             "jonathon",   # substitution
+             "zoey",       # insertion
+             "completely"],
+        )
+        got = {
+            (r["left_val"], r["right_val"], r["dist"])
+            for r in LK.fuzzy_join(
+                left, right, "v", "v", left_id="id", right_id="id"
+            ).collect()
+        }
+        assert ("martha", "marta", 1) in got
+        assert ("jonathan", "jonathon", 1) in got
+        assert ("zoe", "zoey", 1) in got
+        assert all(p[1] != "completely" for p in got)
+
+    def test_equals_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(7)
+        base = ["".join(rng.choice("ab") for _ in range(5)) for _ in range(40)]
+        left = self._df(spark, base)
+        right = self._df(spark, base[::-1])
+        got = {
+            (r["left_val"], r["right_val"])
+            for r in LK.fuzzy_join(left, right, "v", "v").collect()
+        }
+        brute = {
+            (a, b)
+            for a in base
+            for b in base
+            if _lev(a, b) <= 1
+        }
+        assert got == brute
+
+    def test_exact_match_distance0(self, spark):
+        left = self._df(spark, ["same"])
+        right = self._df(spark, ["same"])
+        rows = LK.fuzzy_join(left, right, "v", "v").collect()
+        assert len(rows) == 1 and rows[0]["dist"] == 0
+
+    def test_radius2_rejected(self, spark):
+        df = self._df(spark, ["a"])
+        with pytest.raises(ValueError):
+            LK.fuzzy_join(df, df, "v", "v", max_dist=2)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+class TestDuplicateSubstringSpans:
+    def test_planted_span(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog again"
+        docs = spark.createDataFrame(
+            [
+                (0, "AAAA " + shared + " BBBB"),
+                (1, "CCCCCC " + shared + " DDDD"),
+                (2, "nothing in common here at all with anything else"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = duplicate_substring_spans(docs, min_len=20).collect()
+        by_doc = {r["doc_id"]: r for r in spans}
+        assert set(by_doc) == {0, 1}
+        # the duplicated region includes the spaces AROUND the planted
+        # text (both docs have them): " "+shared+" ", doc 0 from char 5
+        assert by_doc[0]["span_start"] == 5
+        assert by_doc[0]["span_len"] == len(shared) + 2
+        assert by_doc[1]["span_start"] == 7
+        assert by_doc[1]["span_len"] == len(shared) + 2
+
+    def test_within_doc_repeat(self, spark):
+        block = "x" * 30
+        docs = spark.createDataFrame(
+            [(0, block + "-middle-" + block)], "doc_id long, text string"
+        )
+        spans = duplicate_substring_spans(docs, min_len=10).collect()
+        # both copies of the block are duplicated grams; the runs are
+        # disjoint (the middle breaks them), so two spans
+        assert len(spans) == 2
+
+    def test_short_docs_skipped(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "tiny"), (1, "tiny")], "doc_id long, text string"
+        )
+        assert duplicate_substring_spans(docs, min_len=10).count() == 0
+
+
+class TestKnnGraph:
+    def test_matches_bruteforce(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        got = S.knn_graph(df, k=3, n_blocks=4).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+        assert set(by_src) == set(range(40))
+        D = ((vecs[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(D, np.inf)
+        for s in range(40):
+            want = list(np.argsort(D[s], kind="stable")[:3])
+            gotlist = [d for _, d in sorted(by_src[s])]
+            assert gotlist == want, f"src {s}"
+
+    def test_dist_values(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [6.0, 8.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in S.knn_graph(df, k=1, n_blocks=2).collect()
+        }
+        assert rows[(0, 1)] == pytest.approx(5.0)
+        assert rows[(2, 1)] == pytest.approx(5.0)
+
+
+class TestBpePairCounts:
+    def test_hand_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "low low lower")], "doc_id long, text string"
+        )
+        got = {
+            (r["sym_a"], r["sym_b"]): r["pair_count"]
+            for r in LM.bpe_pair_counts(docs).collect()
+        }
+        # 'low' freq 2 → (l,o)=2, (o,w)=2, (w,</w>)=2
+        # 'lower' freq 1 → (l,o)+1, (o,w)+1, (w,e), (e,r), (r,</w>)
+        assert got[("l", "o")] == 3
+        assert got[("o", "w")] == 3
+        assert got[("w", "</w>")] == 2
+        assert got[("e", "r")] == 1
+        assert got[("r", "</w>")] == 1
+
+    def test_top_n(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "aa ab aa")], "doc_id long, text string"
+        )
+        top = LM.bpe_pair_counts(docs, top_n=1).collect()
+        assert len(top) == 1 and top[0]["sym_a"] == "a"
+
+
+class TestPmi:
+    def test_hand_pmi(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b a b c d")], "doc_id long, text string"
+        )
+        got = {
+            (r["tok_a"], r["tok_b"]): (r["pair_count"], r["pmi"])
+            for r in LM.pmi_collocations(docs, min_pair_count=1).collect()
+        }
+        # pairs: (a,b)×2 (b,a) (b,c) (c,d); T=5
+        # margins (left): a:2 b:2 c:1 ; (right): b:2 a:1 c:1 d:1
+        n, pmi = got[("a", "b")]
+        assert n == 2
+        assert pmi == pytest.approx(round(math.log(2 * 5 / (2 * 2)), 6))
+        n, pmi = got[("c", "d")]
+        assert pmi == pytest.approx(round(math.log(1 * 5 / (1 * 1)), 6))
+
+    def test_min_count_filters(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b a b c d")], "doc_id long, text string"
+        )
+        got = LM.pmi_collocations(docs, min_pair_count=2).collect()
+        assert {(r["tok_a"], r["tok_b"]) for r in got} == {("a", "b")}
+
+
+class TestPageRank:
+    def _pr_py(self, edges, iters, d=0.85):
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            acc = {v: 0.0 for v in nodes}
+            for s, t in edges:
+                acc[t] += r[s] / out[s]
+            r = {v: (1 - d) / n + d * acc[v] for v in nodes}
+        return r
+
+    def test_matches_python(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(df, iterations=4).collect()
+        }
+        want = self._pr_py(edges, 4)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+    def test_parallel_edges_weighted(self, spark):
+        # duplicate edge doubles the contribution share routing
+        e1 = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(e1, iterations=1).collect()
+        }
+        want = self._pr_py([(1, 2), (1, 2), (1, 3)], 1)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+        assert got[2] > got[3]
+
+    def test_empty_raises(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        with pytest.raises(ValueError):
+            G.pagerank(df)
