@@ -99,6 +99,20 @@ HEADLINE = [
     "nearest_join",
     "profile_events",
     "expectations",
+    "retrieval_bm25",
+    "fuzzy_join_names",
+    "dedup_substring_spans",
+    "knn_graph",
+    "bpe_pair_counts",
+    "pmi_collocations",
+    "pagerank_custsupp",
+    "q6_forecast_revenue",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q19_or_pushdown",
+    "q22_acctbal_antijoin",
+    "rolling_anomalies",
+    "zorder_cells",
 ]
 
 

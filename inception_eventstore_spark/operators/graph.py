@@ -41,6 +41,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank steps.
 
@@ -88,7 +89,10 @@ def pagerank(
             ).alias("rank"),
         )
     # materialize the small rank table, then drop the iteration caches —
-    # no persisted state outlives the call
+    # no persisted state outlives the call (checkpoint=False keeps the
+    # full lazy DAG for plan inspection; caches then outlive the call)
+    if not checkpoint:
+        return ranks
     out = ranks.localCheckpoint(eager=True)
     E2.unpersist()
     nodes.unpersist()

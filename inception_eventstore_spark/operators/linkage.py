@@ -96,13 +96,19 @@ def fuzzy_join(
         + ([F.col("right_id")] if right_id else [])
         + [F.col("right_val")]
     )
+    # verify BEFORE deduplicating: levenshtein is a cheap codegen
+    # expression per joined row, and filtering on it first shrinks the
+    # surviving pair set by orders of magnitude — so the distinct (a
+    # pair can share several deletion keys) shuffles only true matches,
+    # not the whole candidate join (measured 16.6 s → ~4 s at 100k
+    # names when the distinct ran first)
     pairs = (
         L.join(R, "_k")
         .drop("_k")
-        .distinct()  # a pair may share several deletion keys
         .withColumn(
             "dist", F.levenshtein(F.col("left_val"), F.col("right_val"))
         )
         .where(F.col("dist") <= max_dist)
+        .distinct()
     )
     return pairs.select(*out_cols, F.col("dist").cast("bigint").alias("dist"))

@@ -1,0 +1,84 @@
+"""Per-key time-series features over the event log.
+
+Rolling trailing-window statistics and z-score anomaly flags — the
+standard feature-engineering pass over an event stream (and the batch
+twin of a streaming monitor). Everything is ONE window shuffle on the
+key: Spark evaluates all frame aggregates of the same (partition,
+order, frame) spec in a single pass, so avg/std/count share one sort.
+
+Reference analog: replay-per-aggregate ordering (R10,
+`CassandraEventStore.cs:336-391`) — the window partition/order below is
+the same per-aggregate (rev, pos)-style contiguity, put to analytical
+use.
+
+Scale: the only shuffle is the window's hash partition on ``key_col``;
+frames are ROWS-bounded (no unbounded-preceding running state except
+``seq``), so executor memory is O(window size). Skewed keys (one user
+with millions of events) are the one hazard — cap with AQE skew
+handling or pre-bucket hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_stats", "zscore_anomalies"]
+
+
+def rolling_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window: int = 20,
+) -> DataFrame:
+    """Trailing-window statistics per key, excluding the current row.
+
+    Adds ``seq`` (1-based event index per key), ``roll_n``/``roll_avg``/
+    ``roll_std`` over the ``window`` rows strictly before the current
+    one. The first event of each key has an empty frame (roll_n = 0,
+    avg/std NULL).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-int(window), -1)
+    )
+    seq = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        events.withColumn("seq", F.row_number().over(seq))
+        .withColumn("roll_n", F.count(value_col).over(w))
+        .withColumn("roll_avg", F.avg(value_col).over(w))
+        .withColumn("roll_std", F.stddev_samp(value_col).over(w))
+    )
+
+
+def zscore_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window: int = 20,
+    min_history: int = 5,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Events whose value deviates ≥ ``threshold`` trailing standard
+    deviations from the key's rolling mean.
+
+    Returns the input rows (plus ``zscore``) where at least
+    ``min_history`` prior events exist, the trailing std is positive,
+    and |z| ≥ threshold — the degenerate-frame rows (no history /
+    constant history) are excluded rather than flagged, so a cold key
+    never alarms.
+    """
+    r = rolling_stats(events, key_col, order_cols, value_col, window)
+    z = (F.col(value_col) - F.col("roll_avg")) / F.col("roll_std")
+    return (
+        r.where(
+            (F.col("roll_n") >= int(min_history)) & (F.col("roll_std") > 0)
+        )
+        .withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) >= float(threshold))
+        .drop("roll_n", "roll_avg", "roll_std")
+    )

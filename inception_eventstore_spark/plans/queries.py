@@ -3052,3 +3052,515 @@ def oracle_queries() -> dict[str, str]:
     return {
         name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None
     }
+
+
+# ----------------------------------------------------------------------
+# Round-3 second-wave additions: retrieval, linkage, substring dedup,
+# KNN graph, tokenizer/collocation stats, PageRank, TPC-H-shape extras
+# ----------------------------------------------------------------------
+
+
+def q_retrieval_bm25(spark, sf_dir):
+    """BM25 top-10 for a 3-term keyword query (retrieval.bm25_topk):
+    one corpus scan, query-term filter before the aggregation, idf
+    table broadcast back. Oracle recomputes the identical Lucene-style
+    formula in SQL; score rounded to 6 dp before the deterministic
+    (score desc, doc_id) cut on both engines."""
+    from inception_eventstore_spark.operators import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    return RT.bm25_topk(docs, ["spark", "merge", "window"], k=10)
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH k AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM toks),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+  FROM ex WHERE token IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+    ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM st) - count(DISTINCT doc_id) + 0.5)
+             / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY token),
+sc AS (
+  SELECT doc_id,
+    round(sum(idf * (tf * (k.k1 + 1.0))
+              / (tf + k.k1 * ((1.0 - k.b)
+                 + k.b * dl / ((SELECT CAST(sdl AS DOUBLE) FROM st)
+                               / (SELECT n FROM st))))), 6) AS score
+  FROM tf JOIN idf USING (token), k GROUP BY doc_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_fuzzy_join_names(spark, sf_dir):
+    """Record linkage: customer names vs deterministically-corrupted
+    variants (one char deleted at position custkey%15+2), all pairs
+    within levenshtein <= 1 via lossless deletion-neighborhood
+    blocking. Oracle is the brute-force cross join — the blocked join
+    must recover EXACTLY the same pair set."""
+    from inception_eventstore_spark.operators import linkage as LK
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
+    )
+    pos = (F.col("c_custkey") % 15 + 2).cast("int")
+    right = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("rname"),
+    )
+    return LK.fuzzy_join(
+        left, right, "lname", "rname", left_id="lid", right_id="rid"
+    ).select("left_id", "right_id", "dist")
+
+
+_FUZZY_ORACLE = """
+WITH L AS (SELECT c_custkey AS left_id, c_name AS lname FROM customer),
+R AS (SELECT c_custkey AS right_id,
+  substr(c_name, 1, CAST(c_custkey % 15 + 2 AS INT) - 1)
+  || substr(c_name, CAST(c_custkey % 15 + 2 AS INT) + 1, len(c_name))
+  AS rname FROM customer)
+SELECT left_id, right_id, CAST(levenshtein(lname, rname) AS BIGINT) AS dist
+FROM L, R WHERE levenshtein(lname, rname) <= 1
+"""
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span marking (min 30 chars):
+    gram-hash window + per-doc islands. Oracle replays the identical
+    position algebra on the gram STRINGS (the Spark side shuffles
+    8-byte xxhash64 keys instead — same result short of a 2^-64
+    collision)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = D.duplicate_substring_spans(docs, min_len=30)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+    )
+
+
+_SUBSTR_SPANS_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, u.p AS pos, u.g AS gram FROM (
+    SELECT doc_id,
+      unnest([{'p': i, 'g': substr(text, CAST(i AS INT), 30)}
+              for i in generate_series(1, len(text) - 29)]) AS u
+    FROM documents WHERE len(text) >= 30)),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM pos)
+  WHERE c >= 2),
+isl AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM dup)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+  max(pos) + 29 - min(pos) + 1 AS span_len
+FROM isl GROUP BY doc_id, g
+"""
+
+
+def q_knn_graph(spark, sf_dir):
+    """Exact 3-NN graph over all embeddings via the block-pair cogroup
+    dataflow (similarity.knn_graph) — oracle is the brute-force
+    all-pairs window; both sides compute the expanded-form L2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = S.knn_graph(emb, k=3, n_blocks=4)
+    return res.select("src", "rank", "dst", F.round("dist", 6).alias("dist"))
+
+
+_KNN_ORACLE = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+  sqrt(greatest(list_inner_product(a.ev, a.ev)
+    - 2 * list_inner_product(a.ev, b.ev)
+    + list_inner_product(b.ev, b.ev), 0)) AS dist
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist, dst)
+  AS rank FROM d)
+SELECT src, CAST(rank AS BIGINT) AS rank, dst, round(dist, 6) AS dist
+FROM r WHERE rank <= 3
+"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE training iteration: top-50 weighted adjacent-symbol
+    pairs over the word-frequency vocabulary (lm.bpe_pair_counts)."""
+    from inception_eventstore_spark.operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    return LM.bpe_pair_counts(docs, top_n=50)
+
+
+_BPE_ORACLE = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest({_DUCK_TOKENS}) AS w FROM documents) GROUP BY w),
+syms AS (
+  SELECT freq, list_append(string_split(w, ''), '</w>') AS s FROM vocab),
+pairs AS (
+  SELECT freq, u.a AS sym_a, u.b AS sym_b FROM (
+    SELECT freq,
+      unnest([{{'a': s[CAST(i AS INT)], 'b': s[CAST(i AS INT) + 1]}}
+              for i in generate_series(1, len(s) - 1)]) AS u
+    FROM syms))
+SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY sym_a, sym_b
+ORDER BY pair_count DESC, sym_a, sym_b LIMIT 50
+"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-100 adjacent-pair PMI collocations, min pair count 5
+    (lm.pmi_collocations); margins re-aggregated from the pair table,
+    identical ln arithmetic in the oracle."""
+    from inception_eventstore_spark.operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    return LM.pmi_collocations(docs, min_pair_count=5, top_n=100)
+
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, tk FROM (
+    SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
+  WHERE len(tk) >= 2),
+bg AS (
+  SELECT u.a AS tok_a, u.b AS tok_b FROM (
+    SELECT unnest([{{'a': tk[CAST(i AS INT)], 'b': tk[CAST(i AS INT) + 1]}}
+                   for i in generate_series(1, len(tk) - 1)]) AS u
+    FROM t)),
+pairs AS (SELECT tok_a, tok_b, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS t FROM pairs),
+la AS (SELECT tok_a AS a, sum(pair_count) AS c_a FROM pairs GROUP BY 1),
+rb AS (SELECT tok_b AS b, sum(pair_count) AS c_b FROM pairs GROUP BY 1)
+SELECT tok_a, tok_b, CAST(pair_count AS BIGINT) AS pair_count,
+  round(ln(CAST(pair_count AS DOUBLE) * (SELECT t FROM tot)
+           / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+FROM pairs JOIN la ON tok_a = a JOIN rb ON tok_b = b
+WHERE pair_count >= 5
+ORDER BY pmi DESC, tok_a, tok_b LIMIT 100
+"""
+
+
+def q_pagerank_custsupp(spark, sf_dir):
+    """3-iteration PageRank over the customer↔supplier purchase graph
+    (graph.pagerank): each lineitem contributes both edge directions;
+    node ids disambiguated as 2·custkey / 2·suppkey+1. Oracle unrolls
+    the identical recurrence; rank rounded to 9 dp (values are O(1/N),
+    and 1e-9 is still ~7 orders above double partial-sum jitter)."""
+    from inception_eventstore_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cn"),
+        (F.col("l_suppkey") * 2 + 1).alias("sn"),
+    )
+    edges = j.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionAll(j.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
+    pr = G.pagerank(edges, iterations=3)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    head = """
+WITH e AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM c) AS rank
+       FROM nodes)"""
+    step = """,
+i{it} AS (
+  SELECT e.dst AS node, sum(r{prev}.rank / deg.outdeg) AS m
+  FROM e JOIN r{prev} ON e.src = r{prev}.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{it} AS (
+  SELECT nodes.node,
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM c)
+    + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN i{it} ON nodes.node = i{it}.node)"""
+    body = head + "".join(
+        step.format(it=i, prev=i - 1) for i in (1, 2, 3)
+    )
+    return body + "\nSELECT node, round(rank, 9) AS rank FROM r3"
+
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight multi-predicate scan-agg — every filter
+    pushes to parquet, answer is one partial-aggregated row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: join + CASE-conditional counts per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: outer-join count distribution (customers per order
+    count, including zero-order customers)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_q19_or_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges across a join — exercises OR predicate planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q_q22_acctbal_antijoin(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast single-row
+    join) + NOT EXISTS anti-join, grouped by nation. The anti-join side
+    is restricted to URGENT orders so the result is non-vacuous on the
+    synthetic data (every customer has SOME order)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("thr")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_R3B_QUERIES: dict[str, QueryDef] = {
+    "retrieval_bm25": QueryDef(q_retrieval_bm25, _bm25_oracle()),
+    "fuzzy_join_names": QueryDef(q_fuzzy_join_names, _FUZZY_ORACLE),
+    "dedup_substring_spans": QueryDef(
+        q_dedup_substring_spans, _SUBSTR_SPANS_ORACLE
+    ),
+    "knn_graph": QueryDef(q_knn_graph, _KNN_ORACLE),
+    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, _BPE_ORACLE),
+    "pmi_collocations": QueryDef(q_pmi_collocations, _PMI_ORACLE),
+    "pagerank_custsupp": QueryDef(q_pagerank_custsupp, _pagerank_oracle()),
+    "q6_forecast_revenue": QueryDef(
+        q_q6_forecast_revenue,
+        "SELECT count(*) AS n, "
+        "round(sum(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+    ),
+    "q12_priority_lines": QueryDef(
+        q_q12_priority_lines,
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+    ),
+    "q13_customer_distribution": QueryDef(
+        q_q13_customer_distribution,
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) GROUP BY c_count "
+        "ORDER BY custdist DESC, c_count DESC",
+    ),
+    "q19_or_pushdown": QueryDef(
+        q_q19_or_pushdown,
+        "SELECT count(*) AS n, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+        "       AND l_quantity BETWEEN 1 AND 11) "
+        "   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+        "       AND l_quantity BETWEEN 10 AND 20) "
+        "   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+        "       AND l_quantity BETWEEN 20 AND 30)",
+    ),
+    "q22_acctbal_antijoin": QueryDef(
+        q_q22_acctbal_antijoin,
+        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+        "count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal "
+        "FROM customer "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+        "                   WHERE c_acctbal > 0.0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "                AND o_orderpriority = '1-URGENT') "
+        "GROUP BY c_nationkey ORDER BY c_nationkey",
+    ),
+}
+
+# new queries rotate to the FRONT so the driver's prefix-sampling
+# correctness window always covers the newest operators (VERDICT r2 #3)
+QUERIES = {**_R3B_QUERIES, **QUERIES}
+
+
+def q_rolling_anomalies(spark, sf_dir):
+    """Trailing-window z-score anomaly detection per user
+    (timeseries.zscore_anomalies): one window shuffle evaluates
+    count/avg/stddev over the same 20-row trailing frame; filter on the
+    UNROUNDED z both sides, round only in the projection."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    res = TS.zscore_anomalies(
+        ev, window=20, min_history=5, threshold=2.0
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("seq").cast("bigint").alias("seq"),
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
+_ROLLING_ORACLE = """
+WITH r AS (
+  SELECT event_id, user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+    count(value) OVER f AS roll_n,
+    avg(value) OVER f AS roll_avg,
+    stddev_samp(value) OVER f AS roll_std
+  FROM events
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, CAST(seq AS BIGINT) AS seq,
+  round((value - roll_avg) / roll_std, 6) AS zscore
+FROM r
+WHERE roll_n >= 5 AND roll_std > 0
+  AND abs((value - roll_avg) / roll_std) >= 2.0
+"""
+
+
+def q_zorder_cells(spark, sf_dir):
+    """Morton z-value cell histogram over (user_id%16, event_id%16)
+    (zorder.interleave_bits) — certifies the exact bit-interleaving
+    arithmetic the z-order layout writer clusters files by; the oracle
+    expands the identical shift/mask algebra as integer div/mod."""
+    from inception_eventstore_spark.sources import zorder as ZO
+
+    ev = _t(spark, sf_dir, "events")
+    z = ZO.interleave_bits(
+        [F.col("user_id") % 16, F.col("event_id") % 16], bits=4
+    )
+    return (
+        ev.select(z.alias("z"))
+        .groupBy("z")
+        .agg(F.count("*").alias("n"))
+        .orderBy("z")
+    )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for j, c in enumerate(("user_id % 16", "event_id % 16")):
+        for i in range(4):
+            terms.append(
+                f"(({c}) // {1 << i}) % 2 * {1 << (i * 2 + j)}"
+            )
+    expr = " + ".join(terms)
+    return (
+        f"SELECT CAST({expr} AS BIGINT) AS z, count(*) AS n "
+        "FROM events GROUP BY z ORDER BY z"
+    )
+
+
+_R3C_QUERIES: dict[str, QueryDef] = {
+    "rolling_anomalies": QueryDef(q_rolling_anomalies, _ROLLING_ORACLE),
+    "zorder_cells": QueryDef(q_zorder_cells, _zorder_oracle()),
+}
+QUERIES = {**_R3C_QUERIES, **QUERIES}

@@ -1,0 +1,187 @@
+"""Incremental materialized aggregate views (generalizing the counter).
+
+The reference maintains exactly one derived aggregate — the message
+counter CRDT (`Counters/MessageCounter.cs`). This module generalizes
+that pattern to ANY groupBy view over self-decomposable measures
+(sum / count / min / max, avg as a derived sum÷count, and
+approx_distinct as a mergeable Datasketches HLL sketch — ~1 KB of
+state per key no matter the cardinality), maintained the same way
+Catalyst distributes partial aggregation:
+
+- ``apply(delta)`` pre-aggregates the delta batch map-side down to one
+  PARTIAL row per touched key and appends it — cost is O(|delta keys|),
+  the corpus is never re-read;
+- ``read()`` folds all partial files with one groupBy — associative
+  merges, so partials from any number of batches combine exactly;
+- past ``auto_compact_threshold`` partial files the log self-folds to
+  one row per key (the counter's bounded-file-count trick), so a hot
+  view stays O(#keys) on disk regardless of refresh count.
+
+Retractions: sum/count accept negative deltas (pass a pre-negated
+batch); min/max are NOT retractable without recompute — callers that
+delete source rows should ``rebuild()``. This mirrors every production
+incremental-MV engine's contract for non-invertible aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.sources import fsutil
+
+__all__ = ["Measure", "IncrementalAggView"]
+
+_KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One output column: ``kind`` over ``src_col`` (src ignored for
+    count)."""
+
+    name: str
+    kind: str
+    src_col: str | None = None
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown measure kind {self.kind!r}")
+        if self.kind != "count" and not self.src_col:
+            raise ValueError(f"measure {self.name!r} needs src_col")
+
+
+class IncrementalAggView:
+    """A groupBy materialized view at ``path`` refreshed by delta
+    batches."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        measures: list[Measure],
+        auto_compact_threshold: int = 64,
+    ):
+        if not keys or not measures:
+            raise ValueError("keys and measures must be non-empty")
+        names = [m.name for m in measures]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate measure names")
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.measures = list(measures)
+        self.auto_compact_threshold = auto_compact_threshold
+
+    # -- partial-state algebra -------------------------------------
+    def _partial_cols(self) -> list:
+        cols = []
+        for m in self.measures:
+            if m.kind == "sum":
+                cols.append(F.sum(m.src_col).alias(f"_s_{m.name}"))
+            elif m.kind == "count":
+                cols.append(F.count("*").alias(f"_c_{m.name}"))
+            elif m.kind == "min":
+                cols.append(F.min(m.src_col).alias(f"_mn_{m.name}"))
+            elif m.kind == "max":
+                cols.append(F.max(m.src_col).alias(f"_mx_{m.name}"))
+            elif m.kind == "approx_distinct":
+                # Datasketches HLL state IS the partial — binary,
+                # mergeable, ~1 KB per key regardless of cardinality
+                cols.append(
+                    F.hll_sketch_agg(m.src_col).alias(f"_h_{m.name}")
+                )
+            else:  # avg → (sum, count) pair
+                cols.append(F.sum(m.src_col).alias(f"_s_{m.name}"))
+                cols.append(F.count(m.src_col).alias(f"_c_{m.name}"))
+        return cols
+
+    def _merge_cols(self) -> list:
+        cols = []
+        for m in self.measures:
+            if m.kind == "sum":
+                cols.append(F.sum(f"_s_{m.name}").alias(f"_s_{m.name}"))
+            elif m.kind == "count":
+                cols.append(F.sum(f"_c_{m.name}").alias(f"_c_{m.name}"))
+            elif m.kind == "min":
+                cols.append(F.min(f"_mn_{m.name}").alias(f"_mn_{m.name}"))
+            elif m.kind == "max":
+                cols.append(F.max(f"_mx_{m.name}").alias(f"_mx_{m.name}"))
+            elif m.kind == "approx_distinct":
+                cols.append(
+                    F.hll_union_agg(f"_h_{m.name}").alias(f"_h_{m.name}")
+                )
+            else:
+                cols.append(F.sum(f"_s_{m.name}").alias(f"_s_{m.name}"))
+                cols.append(F.sum(f"_c_{m.name}").alias(f"_c_{m.name}"))
+        return cols
+
+    def _final_cols(self) -> list:
+        cols = []
+        for m in self.measures:
+            if m.kind == "sum":
+                cols.append(F.col(f"_s_{m.name}").alias(m.name))
+            elif m.kind == "count":
+                cols.append(F.col(f"_c_{m.name}").alias(m.name))
+            elif m.kind == "min":
+                cols.append(F.col(f"_mn_{m.name}").alias(m.name))
+            elif m.kind == "max":
+                cols.append(F.col(f"_mx_{m.name}").alias(m.name))
+            elif m.kind == "approx_distinct":
+                cols.append(
+                    F.hll_sketch_estimate(f"_h_{m.name}").alias(m.name)
+                )
+            else:
+                cols.append(
+                    (
+                        F.col(f"_s_{m.name}")
+                        / F.nullif(F.col(f"_c_{m.name}"), F.lit(0))
+                    ).alias(m.name)
+                )
+        return cols
+
+    # -- lifecycle -------------------------------------------------
+    def _exists(self) -> bool:
+        return bool(fsutil.list_data_files(self.spark, self.path))
+
+    def apply(self, delta: DataFrame) -> None:
+        """Fold one delta batch in: append its per-key partials."""
+        partial = delta.groupBy(*self.keys).agg(*self._partial_cols())
+        partial.write.mode("append").parquet(self.path)
+        if (
+            fsutil.data_file_count(self.spark, self.path)
+            >= self.auto_compact_threshold
+        ):
+            self.compact()
+
+    def _state(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy(*self.keys)
+            .agg(*self._merge_cols())
+        )
+
+    def read(self) -> DataFrame:
+        """The current view: (keys..., measure columns...)."""
+        if not self._exists():
+            raise FileNotFoundError(
+                f"materialized view has no state yet: {self.path}"
+            )
+        return self._state().select(*self.keys, *self._final_cols())
+
+    def compact(self) -> None:
+        """Fold the partial log into one row per key."""
+        if not self._exists():
+            return
+        snap = self._state().localCheckpoint(eager=True)
+        snap.write.mode("overwrite").parquet(self.path)
+
+    def rebuild(self, source: DataFrame) -> None:
+        """Full recompute (required after min/max retractions)."""
+        partial = source.groupBy(*self.keys).agg(*self._partial_cols())
+        partial.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            self.path
+        )

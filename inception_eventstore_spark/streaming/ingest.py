@@ -277,3 +277,38 @@ def dedup_within_watermark(
         .dropDuplicatesWithinWatermark(list(keys))
         .drop("_dedup_ts")
     )
+
+
+def stream_into_view(
+    stream: DataFrame,
+    view,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Maintain an ``IncrementalAggView`` from a stream: each
+    micro-batch folds in as one per-key partial append
+    (``view.apply``), so the view stays queryable mid-stream and its
+    state stays O(#keys · #batches) until the auto-compact folds it.
+
+    This is the generalization of the reference's ingest-maintained
+    counter view to arbitrary measures — exactly-once per batch comes
+    from the checkpointed batch id (re-delivered batches re-append
+    partials only if the previous attempt died before the checkpoint
+    commit; sum/count partials are NOT idempotent across such retries,
+    the same at-least-once contract as the reference's non-idempotent
+    counter batch, `CassandraEventStore.cs:69`).
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view.apply(batch_df)
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,275 @@
+"""Round-3 second wave: rolling time-series stats, z-order layout,
+incremental materialized aggregate views."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import timeseries as TS
+from inception_eventstore_spark.sources import zorder as Z
+from inception_eventstore_spark.sources.matview import (
+    IncrementalAggView,
+    Measure,
+)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = []
+    for u in (1, 2):
+        for i in range(30):
+            v = float(i % 5) if not (u == 1 and i == 25) else 100.0
+            rows.append((u * 1000 + i, f"2024-01-01 00:{i:02d}:00", u, v))
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestRollingStats:
+    def test_matches_python(self, series):
+        got = {
+            (r["user_id"], r["seq"]): r
+            for r in TS.rolling_stats(series, window=10).collect()
+        }
+        vals = [
+            r["value"]
+            for r in series.where(F.col("user_id") == 2)
+            .orderBy("ts", "event_id")
+            .collect()
+        ]
+        for i in range(30):
+            row = got[(2, i + 1)]
+            hist = vals[max(0, i - 10) : i]
+            assert row["roll_n"] == len(hist)
+            if len(hist) >= 2:
+                assert row["roll_avg"] == pytest.approx(
+                    statistics.fmean(hist)
+                )
+                assert row["roll_std"] == pytest.approx(
+                    statistics.stdev(hist)
+                )
+            elif not hist:
+                assert row["roll_avg"] is None
+
+    def test_zscore_flags_planted_spike(self, series):
+        hits = TS.zscore_anomalies(
+            series, window=10, min_history=5, threshold=2.0
+        ).collect()
+        assert {(r["user_id"], r["value"]) for r in hits} == {(1, 100.0)}
+        assert all(abs(r["zscore"]) >= 2.0 for r in hits)
+
+    def test_cold_key_never_alarms(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 7, 1e9)],
+            "event_id long, ts string, user_id long, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        assert TS.zscore_anomalies(df).count() == 0
+
+
+class TestZorder:
+    def test_interleave_bits_known_values(self, spark):
+        df = spark.range(1).select(
+            Z.interleave_bits([F.lit(0b101), F.lit(0b011)], bits=3).alias("z")
+        )
+        # a=101, b=011 → bits (b1 a1) per level: level0 a=1,b=1 → 11;
+        # level1 a=0,b=1 → 10; level2 a=1,b=0 → 01
+        # z = level2(01) level1(10) level0(11) = 0b011011 = 27
+        assert df.first()["z"] == 27
+
+    def test_guards(self, spark):
+        with pytest.raises(ValueError):
+            Z.interleave_bits([F.lit(1)], bits=4)
+        with pytest.raises(ValueError):
+            Z.interleave_bits([F.lit(1), F.lit(2)], bits=32)
+
+    def test_disjoint_file_ranges(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (rng.randrange(10000), rng.randrange(10000)) for _ in range(5000)
+        ]
+        df = spark.createDataFrame(rows, "x long, y long")
+        path = str(tmp_path / "zorder")
+        Z.zorder_write(df, path, ["x", "y"], bits=8, num_files=8)
+        back = spark.read.parquet(path)
+        assert back.count() == 5000
+        ranges = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+            .collect()
+        )
+        spans = sorted((r["lo"], r["hi"]) for r in ranges)
+        assert len(spans) > 1
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, "file z-ranges must be disjoint"
+
+    def test_constant_column_degrades_gracefully(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, i) for i in range(100)], "x long, y long"
+        )
+        zdf = Z.zvalue_by_range(df, ["x", "y"], bits=4)
+        assert zdf.select(F.countDistinct("_z")).first()[0] == 16
+
+
+class TestIncrementalAggView:
+    def _measures(self):
+        return [
+            Measure("n", "count"),
+            Measure("total", "sum", "value"),
+            Measure("vmin", "min", "value"),
+            Measure("vmax", "max", "value"),
+            Measure("vavg", "avg", "value"),
+        ]
+
+    def test_incremental_equals_full_recompute(self, spark, tmp_path):
+        data = [(i % 7, float(i)) for i in range(200)]
+        df = spark.createDataFrame(data, "k long, value double")
+        mv = IncrementalAggView(
+            spark, str(tmp_path / "mv"), ["k"], self._measures()
+        )
+        for lo, hi in ((0, 50), (50, 120), (120, 200)):
+            batch = spark.createDataFrame(data[lo:hi], "k long, value double")
+            mv.apply(batch)
+        got = {r["k"]: r for r in mv.read().collect()}
+        want = {
+            r["k"]: r
+            for r in df.groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("total"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+                F.avg("value").alias("vavg"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            for c in ("n", "total", "vmin", "vmax"):
+                assert got[k][c] == want[k][c], (k, c)
+            assert got[k]["vavg"] == pytest.approx(want[k]["vavg"])
+
+    def test_auto_compact_bounds_files(self, spark, tmp_path):
+        from inception_eventstore_spark.sources import fsutil
+
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv2"),
+            ["k"],
+            [Measure("n", "count")],
+            auto_compact_threshold=5,
+        )
+        for i in range(12):
+            mv.apply(
+                spark.createDataFrame([(i % 2, 1.0)], "k long, value double")
+            )
+        assert fsutil.data_file_count(spark, mv.path) < 5 + 2
+        got = {r["k"]: r["n"] for r in mv.read().collect()}
+        assert got == {0: 6, 1: 6}
+
+    def test_negative_delta_retracts_sum(self, spark, tmp_path):
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv3"),
+            ["k"],
+            [Measure("total", "sum", "value")],
+        )
+        mv.apply(spark.createDataFrame([(1, 10.0)], "k long, value double"))
+        mv.apply(spark.createDataFrame([(1, -4.0)], "k long, value double"))
+        assert mv.read().first()["total"] == 6.0
+
+    def test_read_before_state_raises(self, spark, tmp_path):
+        mv = IncrementalAggView(
+            spark, str(tmp_path / "mv4"), ["k"], [Measure("n", "count")]
+        )
+        with pytest.raises(FileNotFoundError):
+            mv.read()
+
+    def test_bad_measures_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            Measure("x", "median", "v")
+        with pytest.raises(ValueError):
+            Measure("x", "sum")
+        with pytest.raises(ValueError):
+            IncrementalAggView(spark, "p", [], [Measure("n", "count")])
+
+
+class TestApproxDistinctMeasure:
+    def test_hll_merges_across_batches(self, spark, tmp_path):
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv5"),
+            ["k"],
+            [Measure("users", "approx_distinct", "u"),
+             Measure("n", "count")],
+        )
+        # two batches with overlapping user sets: a naive sum of
+        # per-batch distincts would give 150; the merged sketch must
+        # count the union (100)
+        b1 = spark.createDataFrame(
+            [(1, u) for u in range(100)], "k long, u long"
+        )
+        b2 = spark.createDataFrame(
+            [(1, u) for u in range(50, 150)], "k long, u long"
+        )
+        mv.apply(b1)
+        mv.apply(b2)
+        row = mv.read().first()
+        assert row["n"] == 200
+        assert row["users"] == pytest.approx(150, rel=0.05)
+        assert row["users"] != 200
+
+    def test_compact_preserves_sketch(self, spark, tmp_path):
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv6"),
+            ["k"],
+            [Measure("users", "approx_distinct", "u")],
+        )
+        mv.apply(spark.createDataFrame(
+            [(1, u) for u in range(80)], "k long, u long"))
+        before = mv.read().first()["users"]
+        mv.compact()
+        mv.apply(spark.createDataFrame(
+            [(1, u) for u in range(80, 90)], "k long, u long"))
+        after = mv.read().first()["users"]
+        assert after == pytest.approx(before + 10, rel=0.05)
+
+
+class TestStreamIntoView:
+    def test_stream_maintains_view(self, spark, tmp_path):
+        from inception_eventstore_spark.streaming.ingest import (
+            stream_into_view,
+        )
+
+        src = str(tmp_path / "src")
+        df1 = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(60)], "k long, value double"
+        )
+        df1.write.parquet(src)
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv7"),
+            ["k"],
+            [Measure("n", "count"), Measure("total", "sum", "value")],
+        )
+        stream = spark.readStream.schema("k long, value double").parquet(src)
+        q = stream_into_view(
+            stream, mv, str(tmp_path / "ckpt"), trigger_once=True
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {r["k"]: (r["n"], r["total"]) for r in mv.read().collect()}
+        want = {
+            r["k"]: (r["n"], r["total"])
+            for r in df1.groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got == want

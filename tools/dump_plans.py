@@ -55,11 +55,10 @@ CHECKS = {
         ("md5 bucket test runs in whole-stage codegen",
          r"\*\(\d+\) (Project|Filter)"),
     ],
-    "funnel_conversion": [
-        ("per-step survivor sets broadcast into the next step",
-         r"BroadcastHashJoin"),
-        ("no shuffle join of the raw log", "!SortMergeJoin"),
-    ],
+    # funnel_conversion materializes each step eagerly and returns the
+    # literal counts frame, so the declared query's plan carries no
+    # joins — the per-step join shape is probed in EXTRA_CHECKS
+    # ("funnel_step_join") instead.
     "lm_bigram_score": [
         ("count tables partial-aggregated before the shuffle",
          r"HashAggregate.*partial|partial_count"),
@@ -75,6 +74,64 @@ CHECKS = {
          r"Exchange hashpartitioning\(component"),
         ("untouched corpus passes via broadcast anti-join",
          r"BroadcastHashJoin [^\n]*LeftAnti"),
+    ],
+    "retrieval_bm25": [
+        ("idf table joins back broadcast", r"BroadcastHashJoin"),
+        ("postings partial-aggregated before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "fuzzy_join_names": [
+        ("deletion-neighborhood blocking joins on keys — never a cross "
+         "product", "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("levenshtein verify is a JVM expression, no UDF",
+         "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "dedup_substring_spans": [
+        ("gram-count window shuffles the 8-byte hash, never gram strings",
+         r"Exchange hashpartitioning\(_gh"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "knn_graph": [
+        ("block pairs meet in a pandas COGROUP (no joined pair rows)",
+         r"FlatMapCoGroupsInPandas"),
+        ("global reduce is a window top-k", r"Window|RunningWindowFunction"),
+    ],
+    "bpe_pair_counts": [
+        ("vocabulary and pair counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "pmi_collocations": [
+        ("margin tables join back broadcast", r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    # pagerank_custsupp's declared query localCheckpoints the final rank
+    # table (so its caches can be dropped), which hides the iteration
+    # DAG — the iteration plan is probed via EXTRA_CHECKS instead.
+    "q6_forecast_revenue": [
+        ("every predicate pushed to the scan",
+         r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+        ("single-row answer from partial+final agg",
+         r"HashAggregate.*partial|partial_count"),
+    ],
+    "q19_or_pushdown": [
+        ("OR-of-ANDs reaches the parquet scan as a pushed Or filter",
+         r"PushedFilters: \[.*Or\("),
+    ],
+    "q22_acctbal_antijoin": [
+        ("NOT EXISTS runs as a broadcast anti-join",
+         r"BroadcastHashJoin [^\n]*LeftAnti"),
+    ],
+    "rolling_anomalies": [
+        ("one hash shuffle on the key serves every frame aggregate",
+         r"Exchange hashpartitioning\(user_id"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "zorder_cells": [
+        ("bit interleave + histogram stay in whole-stage codegen",
+         r"\*\(\d+\) HashAggregate"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
 }
 
@@ -256,6 +313,48 @@ def _dsir_score_plan(spark, sf_dir: str):
     return importance_scores(d, w)
 
 
+def _funnel_step_plan(spark, sf_dir: str):
+    """One funnel step's survivor join, lazily (funnel_steps itself
+    materializes each step eagerly and returns literal counts): the
+    step-2 candidates joined to the step-1 (user, min ts) survivor
+    set — must plan as a key equi-join, with the join strategy left to
+    AQE (broadcast at runtime for small survivor sets)."""
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.plans.queries import _t
+
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t"))
+    )
+    return (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t2"))
+    )
+
+
+def _pagerank_iteration_plan(spark, sf_dir: str):
+    """The un-checkpointed PageRank DAG (the declared query checkpoints
+    the final ranks, hiding the iteration plan)."""
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.operators.graph import pagerank
+    from inception_eventstore_spark.plans.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").limit(10000)
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return pagerank(j, iterations=2, checkpoint=False)
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
@@ -367,6 +466,29 @@ EXTRA_CHECKS = [
         _pii_projection,
         [
             ("redaction shuffles nothing", "!Exchange"),
+            ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
+    (
+        "funnel_step_join",
+        _funnel_step_plan,
+        [
+            ("survivor join is a key equi-join (strategy left to AQE)",
+             r"ShuffledHashJoin|BroadcastHashJoin|SortMergeJoin"),
+            ("never a nested-loop/cartesian of the raw log",
+             "!CartesianProduct|BroadcastNestedLoopJoin"),
+            ("per-step survivor set partial-aggregated",
+             r"HashAggregate[^\n]*partial_min"),
+        ],
+    ),
+    (
+        "pagerank_iteration",
+        _pagerank_iteration_plan,
+        [
+            ("per-iteration contribution sums are partial-aggregated",
+             r"HashAggregate[^\n]*partial_sum"),
+            ("message passing is a key equi-join, never nested-loop",
+             "!CartesianProduct|BroadcastNestedLoopJoin"),
             ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
         ],
     ),

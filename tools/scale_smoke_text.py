@@ -207,6 +207,46 @@ def main() -> int:
     )
     run("cc_100k_node_chain", lambda: connected_components(chain))
 
+    # round-3 second wave: retrieval / substring spans / fuzzy linkage /
+    # KNN graph / PageRank / rolling anomalies — single-scan or
+    # bounded-key-join shapes that must stay near-linear
+    from inception_eventstore_spark.operators.graph import pagerank
+    from inception_eventstore_spark.operators.linkage import fuzzy_join
+    from inception_eventstore_spark.operators.retrieval import bm25_topk
+    from inception_eventstore_spark.operators.similarity import knn_graph
+    from inception_eventstore_spark.operators.timeseries import (
+        zscore_anomalies,
+    )
+
+    run("retrieval_bm25", lambda: bm25_topk(
+        corpus, ["merge", "spark", "window"], k=10))
+    run("dedup_substring_spans", lambda: D.duplicate_substring_spans(
+        corpus, min_len=40))
+    names = corpus.select(
+        "doc_id", F.substring("text", 1, 24).alias("name")
+    )
+    pos = (F.col("doc_id") % 12 + 2).cast("int")
+    corrupted = names.select(
+        F.col("doc_id").alias("rid"),
+        F.concat(
+            F.col("name").substr(F.lit(1), pos - 1),
+            F.col("name").substr(pos + 1, F.length("name")),
+        ).alias("name"),
+    )
+    run("fuzzy_join_100k_names", lambda: fuzzy_join(
+        names, corrupted, "name", "name",
+        left_id="doc_id", right_id="rid"))
+    run("knn_graph_k5", lambda: knn_graph(emb, k=5, n_blocks=8))
+    h = F.xxhash64(F.col("id").cast("string"))
+    h2 = F.xxhash64((F.col("id") + 7).cast("string"))
+    edges_1m = spark.range(1_000_000).select(
+        F.pmod(h, F.lit(100_000)).alias("src"),
+        F.pmod(h2, F.lit(100_000)).alias("dst"),
+    )
+    run("pagerank_1m_edges", lambda: pagerank(edges_1m, iterations=3))
+    events = load_table(spark, sf_dir, "events")
+    run("rolling_anomalies_events", lambda: zscore_anomalies(events))
+
     corpus.unpersist()
     print(json.dumps({
         "sf_dir": sf_dir,
