@@ -513,8 +513,10 @@ def duplicate_substring_spans(
        positions (AQE's skew split handles pathological hot grams —
        at 100 TB a groupBy-partials + join-back variant trades one
        extra shuffle for map-side combine on such grams);
-    3. per-doc gaps-and-islands (``pos − row_number``) merges
-       consecutive duplicated positions into maximal spans.
+    3. per-doc gaps-and-islands merges duplicated positions whose char
+       spans overlap or touch (start gap ≤ L−1) into maximal DISJOINT
+       spans — a caller can clip every returned span without
+       double-clipping a character.
 
     Returns ``(doc_id, span_start, span_end, span_len)`` with 1-based
     inclusive char offsets. Overlapping occurrences within one doc
@@ -549,8 +551,17 @@ def duplicate_substring_spans(
         .where(F.col("_n") >= 2)
         .select("doc_id", "pos")
     )
-    island = F.col("pos") - F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("pos")
+    # a new island starts when the previous duplicated gram's span
+    # [prev, prev+L-1] no longer reaches this start (gap > L-1) — NOT
+    # merely when starts aren't consecutive: grams starting L-1 apart
+    # produce overlapping char spans, and emitting them separately
+    # would hand the caller overlapping clip regions
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = F.when(
+        F.col("pos") - F.lag("pos").over(w_ord) > F.lit(L - 1), 1
+    ).otherwise(0)
+    island = F.sum(new_run).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         dup.withColumn("_isl", island)

@@ -65,19 +65,38 @@ def fuzzy_join(
     max_dist: int = 1,
     left_id: str | None = None,
     right_id: str | None = None,
+    max_len: int = 64,
+    allow_long: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein ≤ max_dist`` (≤ 1).
 
     Returns distinct ``(left_id?, left_col, right_id?, right_col,
     dist)`` rows. Lossless for ``max_dist ≤ 1`` by the deletion-
-    neighborhood argument above; raises for larger radii rather than
-    silently losing pairs.
+    neighborhood argument above — and it RAISES rather than silently
+    losing pairs: for larger radii, and for values longer than
+    ``max_len`` (whose deletion neighborhoods are suppressed, so their
+    distance-1 pairs would be missed). Long values need a different
+    blocker anyway (MinHash / `ngram_jaccard_pairs` — a single edit in
+    a 10k-char string is better found by near-dup similarity); pass
+    ``allow_long=True`` to accept identity-key-only blocking for them
+    (exact-equality recall only, documented loss).
     """
     if max_dist > 1:
         raise ValueError(
             "deletion-neighborhood blocking is lossless only for "
             "max_dist <= 1; compose PPJoin/MinHash blocking for larger radii"
         )
+    if not allow_long:
+        n_long = (
+            left.where(F.length(left_col) > max_len).limit(1).count()
+            + right.where(F.length(right_col) > max_len).limit(1).count()
+        )
+        if n_long:
+            raise ValueError(
+                f"values longer than max_len={max_len} present — their "
+                "distance-1 pairs would be silently lost; raise max_len, "
+                "block long text with MinHash, or pass allow_long=True"
+            )
     lcols = [F.col(left_col).alias("left_val")] + (
         [F.col(left_id).alias("left_id")] if left_id else []
     )
@@ -85,10 +104,10 @@ def fuzzy_join(
         [F.col(right_id).alias("right_id")] if right_id else []
     )
     L = left.select(*lcols).withColumn(
-        "_k", F.explode(deletion_keys("left_val"))
+        "_k", F.explode(deletion_keys("left_val", max_len=max_len))
     )
     R = right.select(*rcols).withColumn(
-        "_k", F.explode(deletion_keys("right_val"))
+        "_k", F.explode(deletion_keys("right_val", max_len=max_len))
     )
     out_cols = (
         ([F.col("left_id")] if left_id else [])

@@ -177,16 +177,23 @@ def pmi_collocations(
     occurrences as a left element, the standard bigram-margin
     convention, so the three tables share one explode).
 
-    Shape: one bigram explode → pair groupBy; margins are two tiny
-    re-aggregations of the pair table; both join back broadcast (the
-    pair table after min_pair_count is the big side, margins are
-    |vocab|-sized). pmi rounded to 6 dp for cross-engine determinism.
+    Shape: ONE bigram explode → pair groupBy, materialized once
+    (localCheckpoint) so the total, both margins and the final join all
+    read the reduced pair table instead of re-exploding the corpus;
+    margins are |vocab|-sized and join back broadcast. pmi rounded to
+    6 dp for cross-engine determinism.
     """
     pairs = (
         _bigrams(docs, id_col, text_col)
         .groupBy(F.col("_a").alias("tok_a"), F.col("_b").alias("tok_b"))
         .agg(F.count("*").alias("pair_count"))
     )
+    # the pair table feeds FOUR consumers (total, two margins, the
+    # final join) — materialize it once (it is |distinct bigrams| rows,
+    # orders of magnitude smaller than the corpus) instead of
+    # re-running the corpus explode per consumer; localCheckpoint
+    # leaves no persisted cache behind
+    pairs = pairs.localCheckpoint(eager=True)
     total = pairs.agg(F.sum("pair_count").alias("t")).first()["t"]
     if not total:
         raise ValueError("corpus has no adjacent token pairs")

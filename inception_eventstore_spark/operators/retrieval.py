@@ -3,8 +3,9 @@
 The serving half of a training-data pipeline: given a handful of query
 terms, rank documents by BM25 (Robertson/Sparck-Jones, the Lucene
 `k1`/`b` formulation with the +1 idf floor). Everything is expressed so
-the corpus is scanned ONCE and only rows mentioning a query term ever
-reach a shuffle:
+a query is ONE tokenizing pass over the corpus (plus one extra narrow
+stats pass in the ad-hoc case where index-time ``corpus_stats`` aren't
+supplied) and only rows mentioning a query term ever reach a shuffle:
 
 - tokenization / per-(doc, term) tf happens map-side (explode + partial
   aggregation);
@@ -74,6 +75,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` by BM25.
 
@@ -81,6 +83,12 @@ def bm25_topk(
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene
     formulation (always positive, so stopword-ish terms cannot flip
     rankings negative).
+
+    ``corpus_stats = (n_docs, sum_dl)`` are index-time constants — a
+    serving deployment computes them once alongside
+    :func:`build_inverted_index` and passes them in, making a query ONE
+    tokenizing pass over the corpus. When omitted they are derived here
+    with an extra narrow pass (count + Σ dl), the ad-hoc-query path.
 
     Returns ``(doc_id, score)`` ordered by (score desc, doc_id), score
     rounded to 6 dp BEFORE the ordering so the k-cut is deterministic
@@ -93,12 +101,15 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
-    # N and avgdl: ONE scalar aggregate over the corpus; exact integer
-    # sum/count so both engines derive the identical double avgdl.
-    stats = toks.select(
-        F.count("*").alias("n_docs"), F.sum(F.size("_toks")).alias("sum_dl")
-    ).first()
-    n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+    if corpus_stats is None:
+        # exact integer sum/count so both engines derive the identical
+        # double avgdl
+        stats = toks.select(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("_toks")).alias("sum_dl"),
+        ).first()
+        corpus_stats = (int(stats["n_docs"]), int(stats["sum_dl"] or 0))
+    n_docs, sum_dl = corpus_stats
     if n_docs == 0:
         raise ValueError("empty corpus")
     avgdl = sum_dl / n_docs

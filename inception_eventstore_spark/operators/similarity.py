@@ -531,8 +531,14 @@ def knn_graph(
 
     def block_topk(qs: pd.DataFrame, cs: pd.DataFrame) -> pd.DataFrame:
         if not len(qs) or not len(cs):
-            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
-                {"src": "int64", "dst": "int64", "dist": "float64"}
+            # dtype-neutral empty frame: ids keep whatever type the
+            # input column has (declared in the applyInPandas schema)
+            return pd.DataFrame(
+                {
+                    "src": qs["src"][:0],
+                    "dst": cs["dst"][:0],
+                    "dist": pd.Series([], dtype="float64"),
+                }
             )
         Q = np.vstack(qs["_qv"].to_numpy()).astype(np.float64)
         M = np.vstack(cs["_cv"].to_numpy()).astype(np.float64)
@@ -554,12 +560,15 @@ def knn_graph(
     # query rows and that block's corpus rows as two frames — the n²
     # pair matrix exists only transiently inside numpy, never in a
     # shuffle (a join on _cb would materialize |n|·|n/B| rows per block)
+    # emit ids in their INPUT type (string/long/... — the kernel never
+    # arithmetics them), so non-integral id columns round-trip intact
+    id_type = dict(emb.dtypes)[id_col]
     local = (
         src.groupBy("_qb", "_cb")
         .cogroup(dst.groupBy("_qb", "_cb"))
         .applyInPandas(
             lambda qs, cs: block_topk(qs, cs),
-            schema="src long, dst long, dist double",
+            schema=f"src {id_type}, dst {id_type}, dist double",
         )
     )
     w = Window.partitionBy("src").orderBy("dist", "dst")

@@ -3161,10 +3161,16 @@ dup AS (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM pos)
   WHERE c >= 2),
+flags AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos)
+      OVER (PARTITION BY doc_id ORDER BY pos) > 29 THEN 1 ELSE 0 END AS f
+  FROM dup),
 isl AS (
   SELECT doc_id, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-  FROM dup)
+    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM flags)
 SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
   max(pos) + 29 - min(pos) + 1 AS span_len
 FROM isl GROUP BY doc_id, g

@@ -17,9 +17,11 @@ Catalyst distributes partial aggregation:
   one row per key (the counter's bounded-file-count trick), so a hot
   view stays O(#keys) on disk regardless of refresh count.
 
-Retractions: sum/count accept negative deltas (pass a pre-negated
-batch); min/max are NOT retractable without recompute — callers that
-delete source rows should ``rebuild()``. This mirrors every production
+Retractions: ``apply(batch, retract=True)`` negates the batch's sum,
+count and avg partials before appending, removing those rows' effect
+exactly. min/max (and HLL sketches) are NOT invertible — a retracting
+apply raises if the view carries one; callers that delete source rows
+from such views ``rebuild()``. This mirrors every production
 incremental-MV engine's contract for non-invertible aggregates.
 """
 
@@ -147,9 +149,35 @@ class IncrementalAggView:
     def _exists(self) -> bool:
         return bool(fsutil.list_data_files(self.spark, self.path))
 
-    def apply(self, delta: DataFrame) -> None:
-        """Fold one delta batch in: append its per-key partials."""
+    def apply(self, delta: DataFrame, retract: bool = False) -> None:
+        """Fold one delta batch in: append its per-key partials.
+
+        ``retract=True`` appends NEGATED sum/count/avg partials —
+        applying the same batch once forward and once retracting is a
+        no-op. Raises for non-invertible measures (min/max/
+        approx_distinct): use ``rebuild()`` after deletes there.
+        """
+        if retract:
+            bad = [
+                m.name
+                for m in self.measures
+                if m.kind in ("min", "max", "approx_distinct")
+            ]
+            if bad:
+                raise ValueError(
+                    f"measures {bad} are not invertible — rebuild() "
+                    "after deleting source rows"
+                )
         partial = delta.groupBy(*self.keys).agg(*self._partial_cols())
+        if retract:
+            partial = partial.select(
+                *self.keys,
+                *[
+                    (-F.col(c)).alias(c)
+                    for c in partial.columns
+                    if c not in self.keys
+                ],
+            )
         partial.write.mode("append").parquet(self.path)
         if (
             fsutil.data_file_count(self.spark, self.path)

@@ -90,11 +90,23 @@ def zorder_write(
     """Rewrite ``df`` at ``path`` z-ordered on ``cols``: disjoint
     per-file ``_z`` ranges (and therefore tight per-file min/max stats
     on every interleaved dimension). ``_z`` is persisted so maintenance
-    can verify/re-cluster without recomputing bucket bounds."""
+    can verify/re-cluster without recomputing bucket bounds.
+
+    Safe when ``df`` READS from ``path`` (the re-cluster-in-place
+    maintenance case): the clustered data is staged to a sibling
+    ``<path>._zorder_tmp`` directory first, then atomically swapped in
+    via the Hadoop FileSystem rename — a direct ``mode("overwrite")``
+    of a path the plan also scans is rejected by Spark, and staging
+    additionally survives a mid-write crash (the original directory is
+    untouched until the swap)."""
+    from inception_eventstore_spark.sources import fsutil
+
     zdf = zvalue_by_range(df, cols, bits)
+    tmp = path.rstrip("/") + "._zorder_tmp"
     (
         zdf.repartitionByRange(int(num_files), F.col("_z"))
         .sortWithinPartitions("_z")
         .write.mode("overwrite")
-        .parquet(path)
+        .parquet(tmp)
     )
+    fsutil.replace_dir(df.sparkSession, tmp, path)

@@ -302,8 +302,10 @@ def stream_into_view(
     """
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: that would evaluate the micro-batch
+        # source twice (once for the probe, once for the fold); an
+        # empty batch just appends a 0-row partial file, which the
+        # merge ignores and auto-compact eventually folds away
         view.apply(batch_df)
 
     writer = stream.writeStream.foreachBatch(fold).option(

@@ -307,3 +307,57 @@ class TestPageRank:
         df = spark.createDataFrame([], "src long, dst long")
         with pytest.raises(ValueError):
             G.pagerank(df)
+
+
+class TestReviewFixes:
+    def test_fuzzy_join_rejects_overlong_values(self, spark):
+        long = spark.createDataFrame([(0, "x" * 65)], "id long, v string")
+        short = spark.createDataFrame([(0, "x" * 64)], "id long, v string")
+        with pytest.raises(ValueError, match="max_len"):
+            LK.fuzzy_join(long, short, "v", "v")
+        # raising max_len restores losslessness for the same pair
+        rows = LK.fuzzy_join(
+            long, short, "v", "v", max_len=80
+        ).collect()
+        assert len(rows) == 1 and rows[0]["dist"] == 1
+        # explicit opt-in keeps identity-only recall without raising
+        assert (
+            LK.fuzzy_join(long, short, "v", "v", allow_long=True).count()
+            == 0
+        )
+
+    def test_substring_spans_never_overlap(self, spark):
+        # grams 'abc' (pos 1) and 'cde' (pos 3) both duplicated, 'bcd'
+        # not: the two char spans [1,3] and [3,5] overlap at char 3 and
+        # must merge into ONE span [1,5]
+        docs = spark.createDataFrame(
+            [(0, "abcde"), (1, "abcZZ"), (2, "ZZcde")],
+            "doc_id long, text string",
+        )
+        spans = duplicate_substring_spans(docs, min_len=3).collect()
+        d0 = sorted(
+            (r["span_start"], r["span_end"])
+            for r in spans
+            if r["doc_id"] == 0
+        )
+        assert d0 == [(1, 5)]
+        for doc in {r["doc_id"] for r in spans}:
+            ivs = sorted(
+                (r["span_start"], r["span_end"])
+                for r in spans
+                if r["doc_id"] == doc
+            )
+            for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+                assert e1 < s2, "spans must be disjoint"
+
+    def test_knn_graph_string_ids(self, spark):
+        df = spark.createDataFrame(
+            [("a", [0.0, 0.0]), ("b", [3.0, 4.0]), ("c", [6.0, 8.0])],
+            "vec_id string, embedding array<double>",
+        )
+        rows = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in S.knn_graph(df, k=1, n_blocks=2).collect()
+        }
+        assert rows[("a", "b")] == pytest.approx(5.0)
+        assert rows[("c", "b")] == pytest.approx(5.0)

@@ -273,3 +273,47 @@ class TestStreamIntoView:
             .collect()
         }
         assert got == want
+
+
+class TestReviewFixes:
+    def test_retracting_apply_roundtrip(self, spark, tmp_path):
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mvr"),
+            ["k"],
+            [Measure("n", "count"), Measure("vavg", "avg", "value")],
+        )
+        b1 = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0)], "k long, value double"
+        )
+        b2 = spark.createDataFrame([(1, 90.0)], "k long, value double")
+        mv.apply(b1)
+        mv.apply(b2)
+        mv.apply(b2, retract=True)
+        row = mv.read().first()
+        assert row["n"] == 2
+        assert row["vavg"] == pytest.approx(15.0)
+
+    def test_retract_raises_for_min_max(self, spark, tmp_path):
+        mv = IncrementalAggView(
+            spark,
+            str(tmp_path / "mvr2"),
+            ["k"],
+            [Measure("vmin", "min", "value")],
+        )
+        b = spark.createDataFrame([(1, 1.0)], "k long, value double")
+        mv.apply(b)
+        with pytest.raises(ValueError, match="not invertible"):
+            mv.apply(b, retract=True)
+
+    def test_zorder_rewrite_in_place(self, spark, tmp_path):
+        path = str(tmp_path / "inplace")
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 100) for i in range(500)], "x long, y long"
+        )
+        df.write.parquet(path)
+        # re-cluster the SAME path the input reads from
+        Z.zorder_write(spark.read.parquet(path), path, ["x", "y"], bits=6)
+        back = spark.read.parquet(path)
+        assert back.count() == 500
+        assert "_z" in back.columns
