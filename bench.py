@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from inception_eventstore_spark.plans.queries import (  # noqa: E402
     prebuild_ann_indexes,
+    prebuild_prop_index,
     spark_queries,
 )
 from inception_eventstore_spark.session import get_spark  # noqa: E402
@@ -113,6 +114,7 @@ HEADLINE = [
     "q22_acctbal_antijoin",
     "rolling_anomalies",
     "zorder_cells",
+    "props_index_lookup",
 ]
 
 
@@ -131,6 +133,7 @@ def main() -> None:
     # sim_topk_ivf/ivfpq measure the probe — a partition-pruned scan —
     # not k-means training + full encode + index write.
     ann_build = prebuild_ann_indexes(spark, sf_dir)
+    ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -91,3 +91,19 @@ from inception_eventstore_spark.operators.domains import (  # noqa: F401
 from inception_eventstore_spark.operators.embeddings import (  # noqa: F401
     hashed_bow_embedding,
 )
+from inception_eventstore_spark.operators.retrieval import (  # noqa: F401
+    bm25_topk,
+    build_inverted_index,
+)
+from inception_eventstore_spark.operators.linkage import (  # noqa: F401
+    fuzzy_join,
+)
+# NB: the bare `pagerank` function would shadow nothing (module is
+# `graph`), safe to re-export
+from inception_eventstore_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)
+from inception_eventstore_spark.operators.timeseries import (  # noqa: F401
+    rolling_stats,
+    zscore_anomalies,
+)

@@ -56,9 +56,11 @@ def pagerank(
     E = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).repartition("src")
+    # one scan, not a union of two: explode each edge into its endpoints
     nodes = (
-        E.select(F.col("src").alias("node"))
-        .union(E.select(F.col("dst").alias("node")))
+        E.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .distinct()
         .cache()
     )

@@ -3275,9 +3275,16 @@ def q_pagerank_custsupp(spark, sf_dir):
         (F.col("o_custkey") * 2).alias("cn"),
         (F.col("l_suppkey") * 2 + 1).alias("sn"),
     )
+    # both directions from ONE join scan (a unionAll of two selects
+    # over j would execute the lineitem⋈orders join twice)
     edges = j.select(
-        F.col("cn").alias("src"), F.col("sn").alias("dst")
-    ).unionAll(j.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("cn").alias("src"), F.col("sn").alias("dst")),
+                F.struct(F.col("sn").alias("src"), F.col("cn").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = G.pagerank(edges, iterations=3)
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
@@ -3570,3 +3577,57 @@ _R3C_QUERIES: dict[str, QueryDef] = {
     "zorder_cells": QueryDef(q_zorder_cells, _zorder_oracle()),
 }
 QUERIES = {**_R3C_QUERIES, **QUERIES}
+
+
+# Property-index lookups: built once per (sf_dir, process) like the ANN
+# indexes; bench.py prebuilds and reports the build separately.
+_PROP_INDEX_DIRS: dict[str, str] = {}
+
+
+def prebuild_prop_index(spark, sf_dir) -> float:
+    """Build + persist the props.k index for ``sf_dir`` (idempotent per
+    process). Returns build seconds (0.0 when already built)."""
+    import tempfile
+    import time as _time
+
+    from inception_eventstore_spark.operators.prop_index import PropertyIndex
+
+    if sf_dir in _PROP_INDEX_DIRS:
+        return 0.0
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="propidx_")
+    t0 = _time.time()
+    PropertyIndex.build(
+        spark,
+        ev,
+        F.get_json_object("props", "$.k").cast("long"),
+        ["event_id"],
+        d,
+    )
+    _PROP_INDEX_DIRS[sf_dir] = d
+    return round(_time.time() - t0, 3)
+
+
+def q_props_index_lookup(spark, sf_dir):
+    """Point query on a PAYLOAD property via the generalized secondary
+    index (operators/prop_index.py): bucket-pruned index scan → semi-
+    join of the log — the reference's index-record → point-lookup loop
+    (IndexByEventTypeStore.cs:125-170) over an arbitrary JSON field.
+    The oracle answers the same question with a direct scan, so the
+    hash match proves index path ≡ scan path."""
+    from inception_eventstore_spark.operators.prop_index import PropertyIndex
+
+    ev = _t(spark, sf_dir, "events")
+    prebuild_prop_index(spark, sf_dir)
+    idx = PropertyIndex(spark, _PROP_INDEX_DIRS[sf_dir], ["event_id"])
+    return idx.probe(ev, 69).select("event_id", "user_id", "event_type")
+
+
+_R3D_QUERIES: dict[str, QueryDef] = {
+    "props_index_lookup": QueryDef(
+        q_props_index_lookup,
+        "SELECT event_id, user_id, event_type FROM events "
+        "WHERE CAST(props->>'$.k' AS BIGINT) = 69",
+    ),
+}
+QUERIES = {**_R3D_QUERIES, **QUERIES}

@@ -13,3 +13,11 @@ from inception_eventstore_spark.sources.layout import (  # noqa: F401
     EventStoreLayout,
 )
 from inception_eventstore_spark.sources.snapshots import SnapshotLog  # noqa: F401
+from inception_eventstore_spark.sources.matview import (  # noqa: F401
+    IncrementalAggView,
+    Measure,
+)
+from inception_eventstore_spark.sources.zorder import (  # noqa: F401
+    zorder_write,
+    zvalue_by_range,
+)

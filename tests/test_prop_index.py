@@ -1,0 +1,97 @@
+"""PropertyIndex: generalized secondary index on payload properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.prop_index import PropertyIndex
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (i, i % 7, f'{{"k": {i % 13}}}') for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, props string"
+    )
+
+
+def _kcol():
+    return F.get_json_object("props", "$.k").cast("long")
+
+
+class TestPropertyIndex:
+    def test_probe_equals_scan(self, spark, events, tmp_path):
+        idx = PropertyIndex.build(
+            spark, events, _kcol(), ["event_id"], str(tmp_path / "ix")
+        )
+        got = sorted(
+            r["event_id"] for r in idx.probe(events, 5).collect()
+        )
+        want = sorted(
+            r["event_id"]
+            for r in events.where(_kcol() == 5).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_lookup_misses_return_empty(self, spark, events, tmp_path):
+        idx = PropertyIndex.build(
+            spark, events, _kcol(), ["event_id"], str(tmp_path / "ix2")
+        )
+        assert idx.lookup(9999).count() == 0
+
+    def test_append_visibility(self, spark, events, tmp_path):
+        idx = PropertyIndex.build(
+            spark, events, _kcol(), ["event_id"], str(tmp_path / "ix3")
+        )
+        delta = spark.createDataFrame(
+            [(1000, 1, '{"k": 5}')],
+            "event_id long, user_id long, props string",
+        )
+        idx.append(delta, _kcol())
+        assert 1000 in {
+            r["event_id"] for r in idx.lookup(5).collect()
+        }
+
+    def test_lookup_is_bucket_pruned(self, spark, events, tmp_path):
+        idx = PropertyIndex.build(
+            spark, events, _kcol(), ["event_id"], str(tmp_path / "ix4"),
+            n_buckets=16,
+        )
+        # the lookup reads exactly one _vb directory
+        files = idx.lookup(5).inputFiles()
+        assert files
+        b = idx._bucket_of(5)
+        assert all(f"_vb={b}/" in f for f in files)
+
+    def test_driver_bucket_matches_jvm(self, spark, tmp_path):
+        # the driver-side XXH64 twin must land every value in the same
+        # bucket the JVM expression writes it to (else lookups go blind)
+        vals = spark.createDataFrame(
+            [(v,) for v in ("5", "hello", "café", "-12")], "v string"
+        ).select(
+            "v",
+            F.pmod(
+                F.xxhash64(F.encode(F.col("v"), "UTF-8")), F.lit(256)
+            ).alias("jvm_b"),
+        )
+        idx = PropertyIndex(spark, str(tmp_path / "x"), ["v"], 256)
+        for r in vals.collect():
+            assert idx._bucket_of(r["v"]) == r["jvm_b"], r["v"]
+
+    def test_null_values_not_indexed(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, '{"k": 3}'), (2, "{}")],
+            "event_id long, props string",
+        )
+        idx = PropertyIndex.build(
+            spark, df, _kcol(), ["event_id"], str(tmp_path / "ix5")
+        )
+        rows = spark.read.parquet(str(tmp_path / "ix5"))
+        assert rows.count() == 1
+
+    def test_empty_keys_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            PropertyIndex(spark, str(tmp_path), [])

@@ -129,6 +129,13 @@ CHECKS = {
         ("NOT EXISTS runs as a broadcast anti-join",
          r"BroadcastHashJoin [^\n]*LeftAnti"),
     ],
+    "props_index_lookup": [
+        ("index side reads ONE hash-bucket directory (driver-planned), "
+         "not the whole index",
+         r"PartitionFilters: \[[^\n]*_vb|_vb=\d+"),
+        ("log joined via semi-join on the clustered key",
+         r"LeftSemi"),
+    ],
     "rolling_anomalies": [
         ("one hash shuffle on the key serves every frame aggregate",
          r"Exchange hashpartitioning\(user_id"),
