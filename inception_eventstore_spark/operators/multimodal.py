@@ -4,15 +4,16 @@ steps (SURVEY §2 F extensions).
 
 Decode kernels, three tiers:
 
-- ``decode="real"`` REALLY decodes the self-describing formats that
-  need no external codec library: PPM (P6) images and PCM-16 WAV audio
-  are parsed in pure numpy (header walk + ``frombuffer``) and reduced
-  to 16 deterministic signal features (channel stats / luminance grid /
-  gradients for images; RMS / zero-crossings / log-spectral bands via
-  rfft for audio). The encode half (``encode_ppm``/``encode_wav``) lets
-  fixtures round-trip bit-exactly.
-- formats that genuinely need a codec library (PNG/JPEG via PIL, MP4
-  via ffmpeg — not in this container) raise NotImplementedError at the
+- ``decode="real"`` REALLY decodes the formats that need no external
+  codec library: PPM (P6) and PNG (8-bit gray/RGB/RGBA, all five
+  scanline filters — stdlib zlib inflate + numpy unfiltering) images,
+  and PCM-16 WAV audio; each reduced to 16 deterministic signal
+  features (channel stats / luminance grid / gradients for images;
+  RMS / zero-crossings / log-spectral bands via rfft for audio). The
+  encode halves (``encode_ppm``/``encode_png``/``encode_wav``) let
+  fixtures round-trip — PPM/WAV bit-exactly, PNG pixel-exactly.
+- formats that genuinely need a codec library (JPEG via PIL, MP4 via
+  ffmpeg — not in this container) raise NotImplementedError at the
   exact call point; swapping in the library changes only the per-batch
   pandas function, nothing in the plan.
 - ``decode="fake"`` keeps the original deterministic byte-histogram
@@ -101,6 +102,115 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG (8-bit RGB, non-interlaced, filter 0 per
+    scanline). Pure stdlib: chunk framing + CRC32 + zlib deflate."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = np.ascontiguousarray(pixels, dtype=np.uint8)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 — pure python/zlib/numpy, no codec
+    library. Supports the mainline raster subset: 8-bit depth, color
+    types 0 (gray), 2 (RGB) and 6 (RGBA, alpha dropped),
+    non-interlaced; all five scanline filters are unfiltered (Sub via
+    per-channel cumsum, Up vectorized, Average/Paeth per-pixel — the
+    spec recurrences). Palette/16-bit/interlaced raise."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = b""
+    ihdr = None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise NotImplementedError(
+            "codec-free PNG decode covers 8-bit gray/RGB/RGBA "
+            f"non-interlaced; got depth={depth} color={ctype_} "
+            f"interlace={interlace}"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: prefix sum per channel column
+            cur = np.cumsum(line.reshape(w, channels), axis=0).reshape(-1)
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: per-pixel recurrence
+            cur = np.zeros(stride, dtype=np.int64)
+            pv = prev.astype(np.int64)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = pv[i]
+                if ftype == 3:
+                    cur[i] = line[i] + (a + b) // 2
+                else:
+                    c = pv[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[i] = line[i] + pred
+                cur[i] &= 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """int16 mono samples → RIFF/WAVE with one PCM-16 data chunk."""
     pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
@@ -139,9 +249,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _image_features_real(payload: bytes) -> np.ndarray:
-    """16 deterministic image features from a decoded PPM: dims,
-    per-channel mean/std, luminance quadrant means, gradients."""
-    img = decode_ppm(payload).astype(np.float64) / 255.0
+    """16 deterministic image features from decoded pixels: dims,
+    per-channel mean/std, luminance quadrant means, gradients. The
+    same pixel content yields the same features whichever container
+    (PPM or PNG) carried it — pinned by tests."""
+    img = _decode_image(payload).astype(np.float64) / 255.0
     h, w = img.shape[:2]
     lum = img.mean(axis=2)
     qh, qw = max(1, h // 2), max(1, w // 2)
@@ -183,10 +295,20 @@ def _audio_features_real(payload: bytes) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Container sniff: PPM (P6) or PNG → (h, w, 3) uint8."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unrecognized image container (not P6 PPM or PNG)")
+
+
 #: mime → codec-free real-decode kernel. Anything else needs an
 #: external library and raises at the call point.
 _REAL_KERNELS = {
     "image/x-portable-pixmap": _image_features_real,
+    "image/png": _image_features_real,
     "audio/wav": _audio_features_real,
 }
 
@@ -297,7 +419,12 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
-        if modality == "image":
+        png = modality == "image" and (i // 3) % 2 == 1
+        if png:
+            # every other image ships as a REAL PNG of the same pixel
+            # content family, exercising the inflate+unfilter path
+            payload = encode_png(decode_ppm(_synthetic_image(i)))
+        elif modality == "image":
             payload = _synthetic_image(i)
         elif modality == "audio":
             payload = _synthetic_audio(i)
@@ -307,7 +434,7 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             {
                 "asset_id": i,
                 "modality": modality,
-                "mime": {
+                "mime": "image/png" if png else {
                     "image": "image/x-portable-pixmap",
                     "audio": "audio/wav",
                     "video": "video/mp4",

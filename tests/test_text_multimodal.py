@@ -261,3 +261,113 @@ class TestCorpusCuration:
         )
         only_fr = curate_corpus(docs, min_quality=0.1, langs=["fr"])
         assert [r["doc_id"] for r in only_fr.collect()] == [2]
+
+
+class TestPngCodec:
+    def _filtered_png(self, pixels, ftypes):
+        """Forward-filter `pixels` with the given per-row filter types
+        (spec equations), frame as a PNG — the decoder must invert."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = pixels.shape
+        assert ch == 3
+        raw = b""
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y, ft in zip(range(h), ftypes):
+            cur = pixels[y].reshape(-1).astype(np.int64)
+            out = np.zeros_like(cur)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[i] = (cur[i] - pred) % 256
+            raw += bytes([ft]) + out.astype(np.uint8).tobytes()
+            prev = cur
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_round_trip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        assert np.array_equal(M.decode_png(M.encode_png(px)), px)
+
+    def test_all_five_filters_invert(self):
+        import numpy as np
+
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+        payload = self._filtered_png(px, [0, 1, 2, 3, 4, 1, 2, 3, 4, 0])
+        assert np.array_equal(M.decode_png(payload), px)
+
+    def test_png_and_ppm_same_features(self):
+        import numpy as np
+
+        px = M.decode_ppm(M._synthetic_image(5))
+        f_ppm = M._image_features_real(M.encode_ppm(px))
+        f_png = M._image_features_real(M.encode_png(px))
+        assert np.allclose(f_ppm, f_png)
+
+    def test_unsupported_subset_raises(self):
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            M.decode_png(payload)
+
+    def test_not_png_raises(self):
+        with pytest.raises(ValueError):
+            M.decode_png(b"GIF89a....")
+
+    def test_synthetic_assets_mix_containers(self, spark):
+        df = M.synthetic_assets(spark, n=24)
+        mimes = {
+            r["mime"]
+            for r in df.where(F.col("modality") == "image").collect()
+        }
+        assert mimes == {"image/x-portable-pixmap", "image/png"}
+        feats = M.extract_features(
+            df.where(F.col("modality") == "image"), decode="real"
+        )
+        assert feats.count() == 8
