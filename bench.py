@@ -115,6 +115,7 @@ HEADLINE = [
     "rolling_anomalies",
     "zorder_cells",
     "props_index_lookup",
+    "basket_lift",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Market-basket co-occurrence: support / confidence / lift.
+
+The classic distributed association-mining first stage (the frequent-
+pair half of Apriori / the item-similarity input of co-purchase
+recommenders), over any (basket, item) relation — orders×parts here,
+(document, domain) or (session, event_type) equally.
+
+Shape: pair generation is a SELF-EQUI-JOIN on the basket key — the
+quadratic blowup is per-basket C(k, 2), bounded by ``max_basket_items``
+(huge baskets are degenerate for association mining anyway: a crawler
+session touching 10k pages contributes 50M pairs of noise); counts are
+partial-aggregated groupBys; the margin (per-item) table joins back on
+the item keys. Nothing touches the driver.
+
+At 100 TB the same plan holds because every stage keys on basket or
+item ids: the join co-partitions by basket, the counts combine
+map-side, and skewed mega-baskets are excluded by the cap rather than
+salted (they are filtered, not computed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["item_pair_counts", "association_rules"]
+
+
+def item_pair_counts(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """(item_a, item_b, pair_count): baskets containing both items,
+    unordered (item_a < item_b). Duplicate (basket, item) rows count
+    once; baskets with more than ``max_basket_items`` distinct items
+    are excluded entirely (cap disabled with ``None``)."""
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).dropDuplicates(["_bk", "_it"])
+    if max_basket_items is not None:
+        sizes = b.groupBy("_bk").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= int(max_basket_items)).select("_bk")
+        b = b.join(keep, "_bk", "left_semi")
+    left = b.select("_bk", F.col("_it").alias("item_a"))
+    right = b.select("_bk", F.col("_it").alias("item_b"))
+    return (
+        left.join(right, "_bk")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    min_pair_count: int = 2,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """Undirected pair metrics: (item_a, item_b, pair_count, support,
+    lift) plus the directed confidences (conf_a_to_b, conf_b_to_a).
+
+        support = c_ab / N          lift = c_ab·N / (c_a·c_b)
+        conf(a→b) = c_ab / c_a
+
+    with N the number of qualifying baskets and c_x the number of
+    baskets containing x. Ratios rounded to 6 dp (deterministic across
+    engines); filter/order upstream of the rounding is integer-only.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).dropDuplicates(["_bk", "_it"])
+    if max_basket_items is not None:
+        sizes = b.groupBy("_bk").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= int(max_basket_items)).select("_bk")
+        b = b.join(keep, "_bk", "left_semi")
+    n_baskets = b.select("_bk").distinct().count()
+    if n_baskets == 0:
+        raise ValueError("no qualifying baskets")
+    item_counts = b.groupBy(F.col("_it")).agg(
+        F.count("*").alias("_c")
+    )
+    pairs = (
+        b.select("_bk", F.col("_it").alias("item_a"))
+        .join(b.select("_bk", F.col("_it").alias("item_b")), "_bk")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_pair_count))
+    )
+    ca = item_counts.select(
+        F.col("_it").alias("item_a"), F.col("_c").alias("_ca")
+    )
+    cb = item_counts.select(
+        F.col("_it").alias("item_b"), F.col("_c").alias("_cb")
+    )
+    N = float(n_baskets)
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(F.col("pair_count") / F.lit(N), 6).alias("support"),
+            F.round(
+                F.col("pair_count")
+                * F.lit(N)
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("pair_count") / F.col("_ca").cast("double"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("pair_count") / F.col("_cb").cast("double"), 6
+            ).alias("conf_b_to_a"),
+        )
+    )

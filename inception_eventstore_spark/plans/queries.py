@@ -3631,3 +3631,44 @@ _R3D_QUERIES: dict[str, QueryDef] = {
     ),
 }
 QUERIES = {**_R3D_QUERIES, **QUERIES}
+
+
+def q_basket_lift(spark, sf_dir):
+    """Top-100 co-purchased part pairs by lift (operators/basket.py):
+    basket self-join + margin joins, integer-only filtering before the
+    6 dp rounding, (lift desc, items) deterministic cut."""
+    from inception_eventstore_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(100)
+
+
+_BASKET_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+bb AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)),
+nn AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM bb),
+ic AS (SELECT it, count(*) AS c FROM bb GROUP BY it),
+p AS (
+  SELECT a.it AS item_a, b2.it AS item_b, count(*) AS pc
+  FROM bb a JOIN bb b2 ON a.bk = b2.bk AND a.it < b2.it
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, CAST(pc AS BIGINT) AS pair_count,
+  round(pc / (SELECT n FROM nn), 6) AS support,
+  round(CAST(pc AS DOUBLE) * (SELECT n FROM nn)
+        / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift,
+  round(pc / CAST(ca.c AS DOUBLE), 6) AS conf_a_to_b,
+  round(pc / CAST(cb.c AS DOUBLE), 6) AS conf_b_to_a
+FROM p JOIN ic ca ON item_a = ca.it JOIN ic cb ON item_b = cb.it
+ORDER BY lift DESC, item_a, item_b LIMIT 100
+"""
+
+_R3E_QUERIES: dict[str, QueryDef] = {
+    "basket_lift": QueryDef(q_basket_lift, _BASKET_ORACLE),
+}
+QUERIES = {**_R3E_QUERIES, **QUERIES}

@@ -138,3 +138,91 @@ def streaming_sessionize(
             F.col("n_events"),
         )
     )
+
+
+def streaming_zscore_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 20,
+    min_history: int = 5,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.zscore_anomalies``: a
+    per-key trailing window of the last ``window`` values carried
+    ACROSS micro-batches in group state, each arriving event scored
+    against the history that preceded it.
+
+    Semantics match the batch operator given in-order delivery per key
+    (a monitor's normal case): ≥ ``min_history`` prior values, positive
+    trailing std (ddof=1), |z| ≥ threshold; cold keys never alarm.
+    Events inside one micro-batch are processed in (ts, value) order;
+    cross-batch reordering scores against the state as-delivered (the
+    at-least-once monitoring contract — the batch operator is the
+    exact-replay auditor).
+
+    Scale: state per key is a float array capped at ``window`` values —
+    sharded by key across executors and checkpointed; no global state,
+    no rescan of history.
+    """
+    from pyspark.sql import types as T
+
+    key_type = events.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type, True),
+            T.StructField(ts_col, events.schema[ts_col].dataType, True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("zscore", T.DoubleType(), True),
+        ]
+    )
+    state_schema = "hist array<double>"
+    w = int(window)
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        hist: list[float] = (
+            [float(x) for x in state.get[0]] if state.exists else []
+        )
+        out_ts, out_v, out_z = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col])
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = float(v)
+                tail = hist[-w:]
+                n = len(tail)
+                if n >= min_history:
+                    mean = sum(tail) / n
+                    var = sum((x - mean) ** 2 for x in tail) / (n - 1)
+                    std = math.sqrt(var)
+                    if std > 0:
+                        z = (v - mean) / std
+                        if abs(z) >= threshold:
+                            out_ts.append(ts)
+                            out_v.append(v)
+                            out_z.append(z)
+                hist.append(v)
+        state.update(([float(x) for x in hist[-w:]],))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_ts),
+                    ts_col: out_ts,
+                    "value": out_v,
+                    "zscore": out_z,
+                }
+            )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -361,3 +361,67 @@ class TestReviewFixes:
         }
         assert rows[("a", "b")] == pytest.approx(5.0)
         assert rows[("c", "b")] == pytest.approx(5.0)
+
+
+class TestBasket:
+    def _baskets(self, spark):
+        rows = [
+            (1, "bread"), (1, "butter"), (1, "milk"),
+            (2, "bread"), (2, "butter"),
+            (3, "bread"), (3, "beer"),
+            (4, "beer"), (4, "chips"),
+            (5, "bread"), (5, "butter"), (5, "beer"),
+            (5, "bread"),  # duplicate (basket,item) must count once
+        ]
+        return spark.createDataFrame(rows, "basket_id long, item_id string")
+
+    def test_pair_counts_hand_checked(self, spark):
+        from inception_eventstore_spark.operators.basket import (
+            item_pair_counts,
+        )
+
+        got = {
+            (r["item_a"], r["item_b"]): r["pair_count"]
+            for r in item_pair_counts(self._baskets(spark)).collect()
+        }
+        assert got[("bread", "butter")] == 3
+        assert got[("beer", "bread")] == 2
+        assert got[("beer", "chips")] == 1
+        assert ("butter", "milk") in got
+
+    def test_rules_metrics(self, spark):
+        from inception_eventstore_spark.operators.basket import (
+            association_rules,
+        )
+
+        got = {
+            (r["item_a"], r["item_b"]): r
+            for r in association_rules(
+                self._baskets(spark), min_pair_count=1
+            ).collect()
+        }
+        # N=5, c(bread)=4, c(butter)=3, c_ab=3
+        r = got[("bread", "butter")]
+        assert r["support"] == pytest.approx(3 / 5)
+        assert r["lift"] == pytest.approx(round(3 * 5 / (4 * 3), 6))
+        assert r["conf_a_to_b"] == pytest.approx(0.75)
+        assert r["conf_b_to_a"] == pytest.approx(1.0)
+
+    def test_mega_basket_excluded(self, spark):
+        from inception_eventstore_spark.operators.basket import (
+            item_pair_counts,
+        )
+
+        rows = [(1, f"i{j}") for j in range(50)] + [(2, "i0"), (2, "i1")]
+        df = spark.createDataFrame(rows, "basket_id long, item_id string")
+        got = item_pair_counts(df, max_basket_items=10).collect()
+        assert {(r["item_a"], r["item_b"]) for r in got} == {("i0", "i1")}
+
+    def test_empty_raises(self, spark):
+        from inception_eventstore_spark.operators.basket import (
+            association_rules,
+        )
+
+        df = spark.createDataFrame([], "basket_id long, item_id string")
+        with pytest.raises(ValueError):
+            association_rules(df)

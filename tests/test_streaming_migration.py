@@ -408,3 +408,94 @@ class TestIndexRetrySafety:
         assert store.events_df().count() == 3
         assert idx.count("type-s") == 2
         assert counter.get_count("type-s") == 2
+
+
+class TestStreamingZscore:
+    def test_state_spans_batches_and_matches_batch_twin(
+        self, spark, tmp_path
+    ):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            zscore_anomalies,
+        )
+        from inception_eventstore_spark.streaming.state import (
+            streaming_zscore_anomalies,
+        )
+
+        source = str(tmp_path / "zs_in")
+        ckpt = str(tmp_path / "zs_ckpt")
+        base = dt.datetime(2024, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+
+        def rows(lo, hi):
+            out = []
+            for i in range(lo, hi):
+                v = 100.0 if i == 25 else float(i % 5)
+                out.append((i, base + dt.timedelta(minutes=i), 7, v))
+            return out
+
+        # batch 1: 20 in-order normal events (builds history, no alarm)
+        spark.createDataFrame(rows(0, 20), schema).write.mode(
+            "append"
+        ).parquet(source)
+        stream = spark.readStream.schema(schema).parquet(source)
+        out = streaming_zscore_anomalies(stream, window=10)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("zs_sink")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM zs_sink").count() == 0
+
+            # batch 2: the spike at i=25 must alarm using state built
+            # in batch 1 (history crossed the batch boundary)
+            spark.createDataFrame(rows(20, 30), schema).write.mode(
+                "append"
+            ).parquet(source)
+            q.processAllAvailable()
+            hits = spark.sql("SELECT * FROM zs_sink").collect()
+            assert [h["value"] for h in hits] == [100.0]
+            assert abs(hits[0]["zscore"]) >= 2.0
+
+            # the batch twin over the full in-order log agrees
+            batch_hits = zscore_anomalies(
+                spark.createDataFrame(rows(0, 30), schema), window=10
+            ).collect()
+            assert {(h["user_id"], h["value"]) for h in batch_hits} == {
+                (7, 100.0)
+            }
+        finally:
+            q.stop()
+
+    def test_cold_key_never_alarms_streaming(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.streaming.state import (
+            streaming_zscore_anomalies,
+        )
+
+        source = str(tmp_path / "zs2_in")
+        base = dt.datetime(2024, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        spark.createDataFrame(
+            [(1, base, 9, 1e9)], schema
+        ).write.mode("append").parquet(source)
+        stream = spark.readStream.schema(schema).parquet(source)
+        q = (
+            streaming_zscore_anomalies(stream)
+            .writeStream.format("memory")
+            .queryName("zs2_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "zs2_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM zs2_sink").count() == 0
+        finally:
+            q.stop()
