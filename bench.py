@@ -116,6 +116,10 @@ HEADLINE = [
     "zorder_cells",
     "props_index_lookup",
     "basket_lift",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
 ]
 
 

@@ -3672,3 +3672,154 @@ _R3E_QUERIES: dict[str, QueryDef] = {
     "basket_lift": QueryDef(q_basket_lift, _BASKET_ORACLE),
 }
 QUERIES = {**_R3E_QUERIES, **QUERIES}
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp-free analog): per-part minimum offered
+    price and the supplier(s) achieving it — correlated-min
+    decorrelated into an aggregate + self-join back. All comparisons
+    are on RAW stored doubles (min is order-independent), so the cut
+    is engine-exact without rounding tricks."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    offer = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = offer.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    return (
+        offer.join(best, "l_partkey")
+        .where(F.col("cost") == F.col("best_cost"))
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .where(F.col("p_size") == 15)
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("best_cost", 2).alias("best_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose inventory value exceeds a fraction
+    of the TOTAL value (scalar-subquery threshold). Sums run in
+    DECIMAL(18,2) so the > comparison is EXACT on both engines — a
+    double sum's partial-order jitter could flip boundary parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(dec).alias("value"))
+    total = per_part.agg(
+        (F.sum("value") * F.lit(0.0007).cast("decimal(10,6)")).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value") > F.col("thr"))
+        .select(
+            "l_partkey", F.col("value").cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of selected
+    parts — the correlated avg decorrelated into a per-part aggregate
+    joined back. Quantities are integer-valued, so avg = exact_sum /
+    count is engine-identical and the 0.2·avg comparison is stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sel = li.join(
+        p.where(F.col("p_brand") == "Brand#23").select("p_partkey"),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        sel.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 (HAVING
+    over a join), with the customer attached. Quantity sums are
+    integer-valued doubles — exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_R3F_QUERIES: dict[str, QueryDef] = {
+    "q2_min_cost_supplier": QueryDef(
+        q_q2_min_cost_supplier,
+        "WITH offer AS (SELECT l_partkey, l_suppkey, "
+        "min(l_extendedprice) AS cost FROM lineitem GROUP BY 1, 2), "
+        "best AS (SELECT l_partkey, min(cost) AS best_cost FROM offer "
+        "GROUP BY 1) "
+        "SELECT p_partkey, p_name, s_name, round(best_cost, 2) AS best_cost "
+        "FROM offer JOIN best USING (l_partkey) "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE cost = best_cost AND p_size = 15 "
+        "ORDER BY p_partkey, s_name",
+    ),
+    "q11_important_parts": QueryDef(
+        q_q11_important_parts,
+        "WITH pp AS (SELECT l_partkey, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value "
+        "FROM lineitem GROUP BY 1), "
+        "t AS (SELECT sum(value) * CAST(0.0007 AS DECIMAL(10,6)) AS thr "
+        "FROM pp) "
+        "SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM pp, t "
+        "WHERE value > thr ORDER BY value DESC, l_partkey",
+    ),
+    "q17_small_qty_revenue": QueryDef(
+        q_q17_small_qty_revenue,
+        "SELECT count(*) AS n, "
+        "round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem l JOIN part ON l.l_partkey = p_partkey "
+        "JOIN (SELECT l_partkey AS _pk, avg(l_quantity) AS avg_qty "
+        "      FROM lineitem GROUP BY 1) a ON l.l_partkey = a._pk "
+        "WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty",
+    ),
+    "q18_large_orders": QueryDef(
+        q_q18_large_orders,
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+        "round(o_totalprice, 2) AS o_totalprice, "
+        "round(total_qty, 2) AS total_qty "
+        "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+        "      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) b "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    ),
+}
+QUERIES = {**_R3F_QUERIES, **QUERIES}
