@@ -96,6 +96,66 @@ def main() -> int:
     stored = store.events_df().count()
     expected = waves * n_avail  # every redelivered row deduped
 
+    # streaming stateful z-score over the raw event stream (state must
+    # persist across every micro-batch of the run) + foreachBatch
+    # materialized-view maintenance — the two round-3 streaming adds
+    from inception_eventstore_spark.sources.matview import (
+        IncrementalAggView,
+        Measure,
+    )
+    from inception_eventstore_spark.streaming.ingest import stream_into_view
+    from inception_eventstore_spark.streaming.state import (
+        streaming_zscore_anomalies,
+    )
+
+    t0 = time.time()
+    # stream the RAW fixture parquet (its stored ts dtype, not the
+    # loader-normalized one — readStream schemas must match the files);
+    # file streaming sources need a DIRECTORY, the fixture is one file
+    import shutil as _sh
+
+    ev_src = os.path.join(root, "evsrc")
+    os.makedirs(ev_src, exist_ok=True)
+    _sh.copy(sf_dir + "/events.parquet", ev_src)
+    raw_schema = spark.read.parquet(ev_src).schema
+    ev_stream = spark.readStream.schema(raw_schema).parquet(ev_src)
+    zq = (
+        streaming_zscore_anomalies(ev_stream, window=20)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "zckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        zq.processAllAvailable()
+    finally:
+        zq.stop()
+    zscore_sec = round(time.time() - t0, 2)
+
+    mv = IncrementalAggView(
+        spark,
+        os.path.join(root, "mv"),
+        ["event_type"],
+        [
+            Measure("n", "count"),
+            Measure("total", "sum", "value"),
+            Measure("users", "approx_distinct", "user_id"),
+        ],
+    )
+    t0 = time.time()
+    vq = stream_into_view(
+        spark.readStream.schema(raw_schema).parquet(ev_src),
+        mv,
+        os.path.join(root, "vckpt"),
+        trigger_once=True,
+    )
+    try:
+        vq.awaitTermination(600)
+    finally:
+        vq.stop()
+    mv_rows = mv.read().count()
+    mv_sec = round(time.time() - t0, 2)
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
@@ -110,6 +170,9 @@ def main() -> int:
         "gen_sec": gen_sec,
         "ingest_sec": ingest_sec,
         "rows_per_sec": round(total_rows / ingest_sec, 1),
+        "zscore_stream_sec": zscore_sec,
+        "matview_stream_sec": mv_sec,
+        "matview_groups": mv_rows,
     }))
     return 0 if stored == expected else 1
 
