@@ -221,31 +221,52 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM-16 mono → (float64 samples in [-1, 1), rate).
-    Walks the chunk list, so extra chunks (LIST, fact…) are fine."""
+    """RIFF/WAVE → (float64 mono samples in [-1, 1], rate). Walks the
+    chunk list, so extra chunks (LIST, fact…) are fine.
+
+    Codec-free coverage: PCM-8 (unsigned, offset-128), PCM-16, PCM-32
+    and IEEE float32/float64 (fmt 3), any channel count (channels are
+    averaged to mono — the standard feature-extraction downmix).
+    PCM-24 and compressed formats (µ-law, ADPCM, MP3-in-WAV) raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, samples = 12, None, None
+    pos, fmt, raw_data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt ":
-            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", payload, pos + 8
-            )
-            if (audio_fmt, channels, bits) != (1, 1, 16):
-                raise NotImplementedError(
-                    "only PCM-16 mono WAV is decoded codec-free; "
-                    f"got fmt={audio_fmt} ch={channels} bits={bits}"
-                )
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif cid == b"data":
-            samples = np.frombuffer(
-                payload, dtype="<i2", count=size // 2, offset=pos + 8
-            )
+            raw_data = (pos + 8, size)
         pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if fmt is None or raw_data is None:
         raise ValueError("missing fmt/data chunk")
-    return samples.astype(np.float64) / 32768.0, rate
+    audio_fmt, channels, rate, _, _, bits = fmt
+    off, size = raw_data
+    dtypes = {
+        (1, 8): ("u1", 128.0, 128.0),    # offset-binary
+        (1, 16): ("<i2", 0.0, 32768.0),
+        (1, 32): ("<i4", 0.0, 2147483648.0),
+        (3, 32): ("<f4", 0.0, 1.0),
+        (3, 64): ("<f8", 0.0, 1.0),
+    }
+    spec = dtypes.get((audio_fmt, bits))
+    if spec is None or channels < 1:
+        raise NotImplementedError(
+            "codec-free WAV decode covers PCM 8/16/32 and IEEE float "
+            f"32/64; got fmt={audio_fmt} ch={channels} bits={bits}"
+        )
+    dt, center, scale = spec
+    width = bits // 8
+    n = size // width
+    x = np.frombuffer(payload, dtype=dt, count=n, offset=off).astype(
+        np.float64
+    )
+    x = (x - center) / scale
+    if channels > 1:
+        frames = len(x) // channels
+        x = x[: frames * channels].reshape(frames, channels).mean(axis=1)
+    return x, rate
 
 
 def _image_features_real(payload: bytes) -> np.ndarray:

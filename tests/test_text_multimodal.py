@@ -190,10 +190,19 @@ class TestCodecs:
         assert rate == 8000
         assert np.array_equal((decoded * 32768.0).astype(np.int16), x)
 
-    def test_wav_rejects_non_pcm16(self):
+    def test_wav_stereo_now_downmixes(self):
+        # stereo was rejected through r3 first wave; it now decodes by
+        # channel-averaging (see TestWavVariants for the value checks)
+        x = np.array([100, 200, 300, 400], dtype=np.int16)
+        payload = bytearray(M.encode_wav(x, 8000))
+        payload[22] = 2  # claim channels = 2 → frames of (L, R)
+        dec, _ = M.decode_wav(bytes(payload))
+        assert np.allclose(dec * 32768.0, [150.0, 350.0])
+
+    def test_wav_rejects_compressed_formats(self):
         x = np.zeros(4, dtype=np.int16)
         payload = bytearray(M.encode_wav(x, 8000))
-        payload[22] = 2  # channels = 2
+        payload[20] = 2  # fmt = ADPCM
         with pytest.raises(NotImplementedError):
             M.decode_wav(bytes(payload))
 
@@ -371,3 +380,47 @@ class TestPngCodec:
             df.where(F.col("modality") == "image"), decode="real"
         )
         assert feats.count() == 8
+
+
+class TestWavVariants:
+    def _wav(self, fmt, channels, rate, bits, body):
+        import struct
+
+        f = struct.pack(
+            "<HHIIHH", fmt, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        w = b"WAVE" + b"fmt " + struct.pack("<I", len(f)) + f
+        w += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", len(w)) + w
+
+    def test_pcm16_mono_matches_legacy(self):
+        x = (np.sin(np.arange(64) / 5.0) * 20000).astype(np.int16)
+        dec, rate = M.decode_wav(M.encode_wav(x, 8000))
+        assert rate == 8000
+        assert np.allclose(dec, x.astype(np.float64) / 32768.0)
+
+    def test_pcm8_offset_binary(self):
+        body = bytes([0, 128, 255])
+        dec, _ = M.decode_wav(self._wav(1, 1, 8000, 8, body))
+        assert np.allclose(dec, [(0 - 128) / 128, 0.0, (255 - 128) / 128])
+
+    def test_float32(self):
+        vals = np.array([-0.5, 0.25, 1.0], dtype="<f4")
+        dec, _ = M.decode_wav(self._wav(3, 1, 16000, 32, vals.tobytes()))
+        assert np.allclose(dec, vals.astype(np.float64))
+
+    def test_stereo_downmix(self):
+        import struct as _s
+
+        frames = [(-10000, 10000), (20000, 0), (300, 500)]
+        body = b"".join(_s.pack("<hh", a, b) for a, b in frames)
+        dec, _ = M.decode_wav(self._wav(1, 2, 44100, 16, body))
+        want = [(a + b) / 2 / 32768.0 for a, b in frames]
+        assert np.allclose(dec, want)
+
+    def test_unsupported_still_raises(self):
+        with pytest.raises(NotImplementedError):
+            M.decode_wav(self._wav(1, 1, 8000, 24, b"\x00" * 12))
+        with pytest.raises(NotImplementedError):
+            M.decode_wav(self._wav(7, 1, 8000, 8, b"\x00" * 4))  # µ-law
