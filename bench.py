@@ -120,6 +120,8 @@ HEADLINE = [
     "q11_important_parts",
     "q17_small_qty_revenue",
     "q18_large_orders",
+    "matview_orders",
+    "q15_top_supplier",
 ]
 
 

@@ -3823,3 +3823,107 @@ _R3F_QUERIES: dict[str, QueryDef] = {
     ),
 }
 QUERIES = {**_R3F_QUERIES, **QUERIES}
+
+
+_MATVIEW_DIRS: dict[str, str] = {}
+
+
+def q_matview_orders(spark, sf_dir):
+    """Incremental materialized view certified against the one-shot
+    aggregate: orders fold in as THREE delta batches (split by
+    o_orderkey % 3 — sources/matview.py partial-state algebra), the
+    oracle recomputes the same view directly; sums run in
+    DECIMAL(18,2) so partial folding is bit-exact."""
+    import tempfile
+
+    from inception_eventstore_spark.sources.matview import (
+        IncrementalAggView,
+        Measure,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    measures = [
+        Measure("n", "count"),
+        Measure("total", "sum", "_price"),
+        Measure("pmin", "min", "_price"),
+        Measure("pmax", "max", "_price"),
+    ]
+    if sf_dir not in _MATVIEW_DIRS:
+        d = tempfile.mkdtemp(prefix="mv_orders_")
+        mv = IncrementalAggView(spark, d, ["o_orderstatus"], measures)
+        for i in range(3):
+            mv.apply(o.where(F.col("o_orderkey") % 3 == i))
+        _MATVIEW_DIRS[sf_dir] = d
+    mv = IncrementalAggView(
+        spark, _MATVIEW_DIRS[sf_dir], ["o_orderstatus"], measures
+    )
+    return mv.read().select(
+        "o_orderstatus",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        F.col("pmin").cast("double").alias("pmin"),
+        F.col("pmax").cast("double").alias("pmax"),
+    ).orderBy("o_orderstatus")
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the MAX period revenue —
+    the revenue view is a DECIMAL(18,2) aggregate so the max-equality
+    cut is exact on both engines (a double sum's partial order could
+    break the tie set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .withColumn(
+            "_r",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,2)"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_r").alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best"))
+    return (
+        rev.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("best"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_R3G_QUERIES: dict[str, QueryDef] = {
+    "matview_orders": QueryDef(
+        q_matview_orders,
+        "SELECT o_orderstatus, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, "
+        "CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS pmin, "
+        "CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS pmax "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ),
+    "q15_top_supplier": QueryDef(
+        q_q15_top_supplier,
+        "WITH rev AS (SELECT l_suppkey, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) "
+        "AS total_revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, "
+        "CAST(total_revenue AS DOUBLE) AS total_revenue "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+        "ORDER BY s_suppkey",
+    ),
+}
+QUERIES = {**_R3G_QUERIES, **QUERIES}
