@@ -26,6 +26,35 @@ from pyspark.sql import functions as F
 __all__ = ["item_pair_counts", "association_rules"]
 
 
+def _prep(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_items: int | None,
+) -> DataFrame:
+    """The deduped, size-capped (basket, item) relation both public
+    entry points derive from — ONE definition of the cap/dedup
+    semantics."""
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).dropDuplicates(["_bk", "_it"])
+    if max_basket_items is not None:
+        sizes = b.groupBy("_bk").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= int(max_basket_items)).select("_bk")
+        b = b.join(keep, "_bk", "left_semi")
+    return b
+
+
+def _pairs(b: DataFrame) -> DataFrame:
+    return (
+        b.select("_bk", F.col("_it").alias("item_a"))
+        .join(b.select("_bk", F.col("_it").alias("item_b")), "_bk")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
 def item_pair_counts(
     baskets: DataFrame,
     basket_col: str = "basket_id",
@@ -36,21 +65,7 @@ def item_pair_counts(
     unordered (item_a < item_b). Duplicate (basket, item) rows count
     once; baskets with more than ``max_basket_items`` distinct items
     are excluded entirely (cap disabled with ``None``)."""
-    b = baskets.select(
-        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
-    ).dropDuplicates(["_bk", "_it"])
-    if max_basket_items is not None:
-        sizes = b.groupBy("_bk").agg(F.count("*").alias("_n"))
-        keep = sizes.where(F.col("_n") <= int(max_basket_items)).select("_bk")
-        b = b.join(keep, "_bk", "left_semi")
-    left = b.select("_bk", F.col("_it").alias("item_a"))
-    right = b.select("_bk", F.col("_it").alias("item_b"))
-    return (
-        left.join(right, "_bk")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").alias("pair_count"))
-    )
+    return _pairs(_prep(baskets, basket_col, item_col, max_basket_items))
 
 
 def association_rules(
@@ -70,27 +85,20 @@ def association_rules(
     baskets containing x. Ratios rounded to 6 dp (deterministic across
     engines); filter/order upstream of the rounding is integer-only.
     """
-    b = baskets.select(
-        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
-    ).dropDuplicates(["_bk", "_it"])
-    if max_basket_items is not None:
-        sizes = b.groupBy("_bk").agg(F.count("*").alias("_n"))
-        keep = sizes.where(F.col("_n") <= int(max_basket_items)).select("_bk")
-        b = b.join(keep, "_bk", "left_semi")
+    # the deduped/capped relation feeds FOUR consumers (basket count,
+    # item margins, both self-join sides) — materialize it once;
+    # localCheckpoint leaves no persisted cache behind. (At 100 TB
+    # stage it to a table instead — the relation is |distinct
+    # (basket, item)| rows.)
+    b = _prep(baskets, basket_col, item_col, max_basket_items)
+    b = b.localCheckpoint(eager=True)
     n_baskets = b.select("_bk").distinct().count()
     if n_baskets == 0:
         raise ValueError("no qualifying baskets")
     item_counts = b.groupBy(F.col("_it")).agg(
         F.count("*").alias("_c")
     )
-    pairs = (
-        b.select("_bk", F.col("_it").alias("item_a"))
-        .join(b.select("_bk", F.col("_it").alias("item_b")), "_bk")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").alias("pair_count"))
-        .where(F.col("pair_count") >= int(min_pair_count))
-    )
+    pairs = _pairs(b).where(F.col("pair_count") >= int(min_pair_count))
     ca = item_counts.select(
         F.col("_it").alias("item_a"), F.col("_c").alias("_ca")
     )

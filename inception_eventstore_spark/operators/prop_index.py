@@ -86,18 +86,46 @@ class PropertyIndex:
         ).parquet(self.path)
 
     # -- read side -------------------------------------------------
+    @staticmethod
+    def _render(value) -> str:
+        """The lookup value as the string Spark's CAST-to-string wrote
+        it with. Only str and int are accepted: their python rendering
+        is guaranteed identical to Spark's (utf-8 text / decimal
+        digits). bool/float/timestamp values render DIFFERENTLY
+        ('True' vs 'true', '1e+20' vs '1.0E20', …) — a driver-side
+        guess would hash to the wrong bucket and silently miss, so
+        callers must pass the Spark-rendered string themselves (or
+        index a canonically-typed column in the first place)."""
+        if isinstance(value, bool) or not isinstance(value, (str, int)):
+            raise TypeError(
+                f"lookup values must be str or int, got {type(value).__name__}"
+                " — pass the Spark CAST-to-string rendering explicitly for"
+                " other types"
+            )
+        return str(value)
+
     def _bucket_of(self, value) -> int:
-        return xxhash64(str(value).encode("utf-8")) % self.n_buckets
+        return xxhash64(self._render(value).encode("utf-8")) % self.n_buckets
 
     def lookup(self, value) -> DataFrame:
         """Key rows whose indexed property equals ``value`` — a scan of
         ONE bucket directory (partition filter planned driver-side),
-        then the exact value equality inside it."""
+        then the exact value equality inside it. Raises
+        FileNotFoundError for an index with no data at all (never
+        built, or built from rows whose property was always null);
+        a merely-missing bucket returns an empty keyed result."""
         from inception_eventstore_spark.sources import fsutil
 
+        rendered = self._render(value)
         b = self._bucket_of(value)
         bucket_dir = f"{self.path}/_vb={b}"
         if not fsutil.path_exists(self.spark, bucket_dir):
+            if not fsutil.list_data_files(
+                self.spark, self.path, recursive=True
+            ):
+                raise FileNotFoundError(
+                    f"property index has no data: {self.path}"
+                )
             # no event ever carried a value hashing to this bucket —
             # an empty result with the key schema, no Spark job
             first = self.spark.read.parquet(self.path).select(
@@ -107,7 +135,7 @@ class PropertyIndex:
         return (
             self.spark.read.option("basePath", self.path)
             .parquet(bucket_dir)
-            .where(F.col("_val").cast("string") == str(value))
+            .where(F.col("_val").cast("string") == rendered)
             .select(*self.key_cols)
         )
 

@@ -30,12 +30,19 @@ def mkdirs(spark: SparkSession, path_str: str) -> None:
     fs.mkdirs(path)
 
 
+def _hidden_name(name: str) -> bool:
+    """Spark's actual discovery rule (InMemoryFileIndex): a '.'/'_'
+    prefix hides a path — EXCEPT names containing '=', which are
+    partition directories (an underscore-named partition column like
+    ``_vb=7`` is data, not metadata)."""
+    return name.startswith((".", "_")) and "=" not in name
+
+
 def _is_hidden_below(base: str, full: str) -> bool:
-    """True iff any path component BELOW ``base`` starts with '.'/'_'
-    — Spark's convention hides such files AND directories (e.g.
-    ``_snapshots/``), so data-file listings must skip both."""
+    """True iff any path component BELOW ``base`` is hidden by Spark's
+    convention (e.g. ``_snapshots/``), so data-file listings skip it."""
     rel = full[len(base):].lstrip("/")
-    return any(part.startswith((".", "_")) for part in rel.split("/"))
+    return any(_hidden_name(part) for part in rel.split("/"))
 
 
 def list_data_files(spark: SparkSession, dir_str: str,
@@ -57,7 +64,7 @@ def list_data_files(spark: SparkSession, dir_str: str,
     else:
         for st in fs.listStatus(path):
             name = st.getPath().getName()
-            if st.isFile() and not name.startswith((".", "_")):
+            if st.isFile() and not _hidden_name(name):
                 out.append(st.getPath().toString())
     return out
 

@@ -148,6 +148,7 @@ def streaming_zscore_anomalies(
     window: int = 20,
     min_history: int = 5,
     threshold: float = 2.0,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Streaming twin of ``operators.timeseries.zscore_anomalies``: a
     per-key trailing window of the last ``window`` values carried
@@ -157,10 +158,15 @@ def streaming_zscore_anomalies(
     Semantics match the batch operator given in-order delivery per key
     (a monitor's normal case): ≥ ``min_history`` prior values, positive
     trailing std (ddof=1), |z| ≥ threshold; cold keys never alarm.
-    Events inside one micro-batch are processed in (ts, value) order;
-    cross-batch reordering scores against the state as-delivered (the
-    at-least-once monitoring contract — the batch operator is the
-    exact-replay auditor).
+    Events inside one micro-batch are processed in (ts, tiebreak_col)
+    order — pass the SAME tie-break column the batch operator orders by
+    (default ``event_id``; ``None`` falls back to ts-only, leaving
+    equal-ts ordering to the delivery order). Cross-batch reordering
+    scores against the state as-delivered (the at-least-once monitoring
+    contract — the batch operator is the exact-replay auditor). Null
+    values are skipped entirely: they neither score nor enter the
+    trailing window, matching the batch frame aggregates' null
+    handling.
 
     Scale: state per key is a float array capped at ``window`` values —
     sharded by key across executors and checkpointed; no global state,
@@ -180,6 +186,15 @@ def streaming_zscore_anomalies(
     state_schema = "hist array<double>"
     w = int(window)
 
+    if tiebreak_col and tiebreak_col not in events.columns:
+        if tiebreak_col == "event_id":  # schema without the default
+            tiebreak_col = None
+        else:
+            raise ValueError(
+                f"tiebreak_col {tiebreak_col!r} not in input columns"
+            )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -191,10 +206,20 @@ def streaming_zscore_anomalies(
             [float(x) for x in state.get[0]] if state.exists else []
         )
         out_ts, out_v, out_z = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, value_col])
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+        # ONE concat+sort of the whole micro-batch group: the runtime
+        # delivers a key's rows as multiple arbitrary-order Arrow
+        # chunks, and sorting each chunk separately would interleave
+        # later-ts rows into the history before earlier ones
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            ).sort_values(sort_cols, kind="stable")
+            for ts, v in zip(whole[ts_col], whole[value_col]):
                 v = float(v)
+                if v != v:  # NaN/null value: not scoreable, and it
+                    continue  # must not poison the trailing window
+                    # (the batch twin's count/avg/stddev skip nulls)
                 tail = hist[-w:]
                 n = len(tail)
                 if n >= min_history:

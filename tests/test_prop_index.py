@@ -95,3 +95,24 @@ class TestPropertyIndex:
     def test_empty_keys_rejected(self, spark, tmp_path):
         with pytest.raises(ValueError):
             PropertyIndex(spark, str(tmp_path), [])
+
+
+class TestLookupContract:
+    def test_non_canonical_types_rejected(self, spark, tmp_path):
+        idx = PropertyIndex(spark, str(tmp_path / "x"), ["event_id"])
+        for bad in (True, 1.5, None):
+            with pytest.raises(TypeError):
+                idx._render(bad)
+        assert idx._render(42) == "42"
+        assert idx._render("x") == "x"
+
+    def test_dataless_index_raises_clearly(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "{}")], "event_id long, props string"
+        )
+        # every extracted value is null → no data files written
+        idx = PropertyIndex.build(
+            spark, df, _kcol(), ["event_id"], str(tmp_path / "ix9")
+        )
+        with pytest.raises(FileNotFoundError):
+            idx.lookup(5)

@@ -499,3 +499,40 @@ class TestStreamingZscore:
             assert spark.sql("SELECT * FROM zs2_sink").count() == 0
         finally:
             q.stop()
+
+
+class TestStreamingZscoreNulls:
+    def test_null_value_does_not_poison_history(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.streaming.state import (
+            streaming_zscore_anomalies,
+        )
+
+        source = str(tmp_path / "zsn_in")
+        base = dt.datetime(2024, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        rows = []
+        for i in range(20):
+            rows.append((i, base + dt.timedelta(minutes=i), 3,
+                         float(i % 5)))
+        rows.append((20, base + dt.timedelta(minutes=20), 3, None))
+        rows.append((21, base + dt.timedelta(minutes=21), 3, 100.0))
+        spark.createDataFrame(rows, schema).write.parquet(source)
+        q = (
+            streaming_zscore_anomalies(
+                spark.readStream.schema(schema).parquet(source), window=10
+            )
+            .writeStream.format("memory")
+            .queryName("zsn_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "zsn_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            hits = spark.sql("SELECT * FROM zsn_sink").collect()
+            # the spike right AFTER the null must still alarm
+            assert [h["value"] for h in hits] == [100.0]
+        finally:
+            q.stop()

@@ -150,10 +150,10 @@ def main() -> int:
         trigger_once=True,
     )
     try:
-        vq.awaitTermination(600)
+        mv_done = vq.awaitTermination(600)
     finally:
         vq.stop()
-    mv_rows = mv.read().count()
+    mv_rows = mv.read().count() if mv_done else None
     mv_sec = round(time.time() - t0, 2)
 
     import shutil
@@ -172,9 +172,10 @@ def main() -> int:
         "rows_per_sec": round(total_rows / ingest_sec, 1),
         "zscore_stream_sec": zscore_sec,
         "matview_stream_sec": mv_sec,
+        "matview_completed": bool(mv_done),
         "matview_groups": mv_rows,
     }))
-    return 0 if stored == expected else 1
+    return 0 if (stored == expected and mv_done) else 1
 
 
 if __name__ == "__main__":
