@@ -122,6 +122,8 @@ HEADLINE = [
     "q18_large_orders",
     "matview_orders",
     "q15_top_supplier",
+    "epoch_shuffle",
+    "length_batches",
 ]
 
 

@@ -21,7 +21,7 @@ in a BIGINT (and in DuckDB's ``CAST('0x…' AS BIGINT)`` for the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Bucket space for split assignment — 1e6 gives weight resolution 1e-6.
@@ -209,3 +209,113 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def epoch_shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order: adds ``shuffle_rank`` —
+    the row's 1-based position in the epoch's pseudo-random permutation
+    (portable md5 order keyed by (seed, epoch, id), the same arithmetic
+    every sampling surface here uses, so any engine reproduces the
+    exact epoch order).
+
+    Every epoch is a DIFFERENT permutation (the epoch number is part of
+    the hash key) yet each is fully reproducible — the property a
+    resumable training loop needs: re-running epoch 3 after a crash
+    yields byte-identical batch order with no stored permutation state.
+
+    Scale: the rank is one global row_number over the hash — a range
+    sort, the honest cost of a total order. For writing shuffled
+    SHARDS, skip the rank and ``repartitionByRange(_k).sortWithin
+    Partitions(_k)`` directly: same layout, no global window.
+    """
+    k = md5_prefix60(
+        F.concat(
+            F.lit(f"{seed}:{int(epoch)}:"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.orderBy(F.col("_k"), F.col(id_col))
+    return (
+        df.withColumn("_k", k)
+        .withColumn("shuffle_rank", F.row_number().over(w).cast("bigint"))
+        .drop("_k")
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    length_col: str,
+    batch_size: int,
+    id_col: str = "doc_id",
+    bucket_edges: tuple = (64, 128, 256, 512, 1024, 2048),
+    epoch: int = 0,
+    seed: str = "lenbatch",
+) -> DataFrame:
+    """Batch assignment for padding-efficient training: rows are
+    length-bucketed (≤ each edge, else overflow), pseudo-randomly
+    ordered WITHIN their bucket (md5, epoch-keyed), and numbered into
+    batches of ``batch_size`` — so a batch mixes only similar lengths
+    and padding waste is bounded by its bucket's spread, while order
+    stays reproducible per epoch.
+
+    Returns the input plus ``len_bucket``, ``batch_idx`` (global,
+    bucket-major) and ``pos_in_batch``. One window shuffle partitioned
+    by bucket; the bucket-major batch numbering folds the per-bucket
+    batch counts in from a #buckets-row aggregate (no second pass over
+    the data).
+    """
+    edges = sorted(set(int(e) for e in bucket_edges))
+    b = F.lit(len(edges))
+    for i, e in enumerate(reversed(edges)):
+        b = F.when(
+            F.col(length_col) <= F.lit(e), F.lit(len(edges) - 1 - i)
+        ).otherwise(b)
+    k = md5_prefix60(
+        F.concat(
+            F.lit(f"{seed}:{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy("len_bucket").orderBy("_k", id_col)
+    rows = (
+        df.withColumn("len_bucket", b.cast("int"))
+        .withColumn("_k", k)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .drop("_k")
+    )
+    # per-bucket batch counts → exclusive prefix over bucket ids gives
+    # each bucket's global batch offset (|buckets| rows on the driver)
+    counts = (
+        rows.groupBy("len_bucket")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    n_batches = {
+        r["len_bucket"]: (int(r["_n"]) + batch_size - 1) // batch_size
+        for r in counts
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(n_batches):
+        offsets[bk] = acc
+        acc += n_batches[bk]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(bk), int(o)) for bk, o in offsets.items()],
+        "len_bucket int, _off long",
+    )
+    return (
+        rows.join(F.broadcast(off_df), "len_bucket")
+        .withColumn(
+            "batch_idx",
+            (F.col("_off") + (F.col("_rn") / batch_size).cast("long")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "pos_in_batch", (F.col("_rn") % batch_size).cast("bigint")
+        )
+        .drop("_rn", "_off")
+    )

@@ -3927,3 +3927,86 @@ _R3G_QUERIES: dict[str, QueryDef] = {
     ),
 }
 QUERIES = {**_R3G_QUERIES, **QUERIES}
+
+
+_DUCK_MD5_60 = (
+    "CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+)
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 training permutation of the corpus
+    (sampling.epoch_shuffle_rank): global row_number over the portable
+    md5 order — the oracle reproduces the identical permutation, so
+    resumable-training order is verified rank-for-rank."""
+    from inception_eventstore_spark.operators.sampling import (
+        epoch_shuffle_rank,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle_rank(d, epoch=1).select("doc_id", "shuffle_rank")
+
+
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (sampling.length_bucketed_
+    batches) over document char lengths: bucket membership, epoch-keyed
+    within-bucket order, dense bucket-major batch numbering — all
+    integer/md5 arithmetic with an exact SQL twin."""
+    from inception_eventstore_spark.operators.sampling import (
+        length_bucketed_batches,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = length_bucketed_batches(
+        d, "n_chars", batch_size=32, bucket_edges=(120, 160, 200),
+        epoch=2, seed="lenbatch",
+    )
+    return out.select(
+        "doc_id",
+        F.col("len_bucket").cast("bigint").alias("len_bucket"),
+        "batch_idx",
+        "pos_in_batch",
+    )
+
+
+def _epoch_shuffle_oracle() -> str:
+    h = _DUCK_MD5_60.format(expr="'shuffle:1:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH k AS (SELECT doc_id, {h} AS hk FROM documents) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY hk, doc_id) "
+        "AS BIGINT) AS shuffle_rank FROM k"
+    )
+
+
+def _length_batches_oracle() -> str:
+    h = _DUCK_MD5_60.format(expr="'lenbatch:2:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+    CASE WHEN n_chars <= 120 THEN 0 WHEN n_chars <= 160 THEN 1
+         WHEN n_chars <= 200 THEN 2 ELSE 3 END AS len_bucket,
+    {h} AS hk
+  FROM documents),
+rn AS (
+  SELECT doc_id, len_bucket,
+    row_number() OVER (PARTITION BY len_bucket ORDER BY hk, doc_id) - 1
+      AS _rn
+  FROM r),
+cnt AS (SELECT len_bucket, count(*) AS n FROM rn GROUP BY 1),
+off AS (
+  SELECT len_bucket,
+    coalesce(sum((n + 31) // 32) OVER (ORDER BY len_bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _off
+  FROM cnt)
+SELECT rn.doc_id, CAST(rn.len_bucket AS BIGINT) AS len_bucket,
+  CAST(_off + _rn // 32 AS BIGINT) AS batch_idx,
+  CAST(_rn % 32 AS BIGINT) AS pos_in_batch
+FROM rn JOIN off USING (len_bucket)
+"""
+
+
+_R3H_QUERIES: dict[str, QueryDef] = {
+    "epoch_shuffle": QueryDef(q_epoch_shuffle, _epoch_shuffle_oracle()),
+    "length_batches": QueryDef(q_length_batches, _length_batches_oracle()),
+}
+QUERIES = {**_R3H_QUERIES, **QUERIES}

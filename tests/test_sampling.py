@@ -142,3 +142,74 @@ class TestMixCorpora:
         a = {r["doc_id"] for r in mix_corpora([(docs, 0.3)]).collect()}
         b = {r["doc_id"] for r in mix_corpora([(docs, 0.6)]).collect()}
         assert a <= b
+
+
+class TestEpochShuffle:
+    def test_reproducible_and_epoch_varying(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            epoch_shuffle_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(100)], "doc_id long"
+        )
+        e0a = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in epoch_shuffle_rank(df, epoch=0).collect()
+        }
+        e0b = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in epoch_shuffle_rank(df, epoch=0).collect()
+        }
+        e1 = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in epoch_shuffle_rank(df, epoch=1).collect()
+        }
+        assert e0a == e0b  # resumable: identical re-run
+        assert e0a != e1   # different epoch → different permutation
+        assert sorted(e0a.values()) == list(range(1, 101))
+        # actually shuffled, not identity order
+        assert [e0a[i] for i in range(100)] != list(range(1, 101))
+
+
+class TestLengthBucketedBatches:
+    def test_batches_are_homogeneous_and_full(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            length_bucketed_batches,
+        )
+
+        rows = [(i, 30 + (i % 3) * 300) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        out = length_bucketed_batches(
+            df, "n_tok", batch_size=8, bucket_edges=(64, 256, 512)
+        ).collect()
+        by_batch: dict = {}
+        for r in out:
+            by_batch.setdefault(r["batch_idx"], []).append(r)
+        # every batch holds rows of ONE length bucket
+        for rows_ in by_batch.values():
+            assert len({r["len_bucket"] for r in rows_}) == 1
+            assert len(rows_) <= 8
+            assert sorted(r["pos_in_batch"] for r in rows_) == list(
+                range(len(rows_))
+            )
+        # batch ids are globally dense 0..n-1
+        assert sorted(by_batch) == list(range(len(by_batch)))
+        # 3 buckets × 30 rows → 3 × ceil(30/8)=4 batches
+        assert len(by_batch) == 12
+
+    def test_overflow_bucket(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            length_bucketed_batches,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 50), (2, 5000)], "doc_id long, n_tok long"
+        )
+        got = {
+            r["doc_id"]: r["len_bucket"]
+            for r in length_bucketed_batches(
+                df, "n_tok", 4, bucket_edges=(64, 128)
+            ).collect()
+        }
+        assert got[1] == 0 and got[2] == 2  # beyond last edge → overflow
