@@ -124,6 +124,7 @@ HEADLINE = [
     "q15_top_supplier",
     "epoch_shuffle",
     "length_batches",
+    "knn_graph_lsh",
 ]
 
 

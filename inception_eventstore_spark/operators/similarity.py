@@ -577,3 +577,119 @@ def knn_graph(
         .where(F.col("rank") <= kk)
         .select("src", F.col("rank").cast("bigint").alias("rank"), "dst", "dist")
     )
+
+
+def lsh_knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 10,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """APPROXIMATE k-NN graph — the sublinear companion to
+    :func:`knn_graph`: instead of all B² block pairs, each vector is
+    compared only against vectors sharing a hyperplane-LSH bucket
+    within hamming distance ``probe_radius`` of its own signature.
+
+    Dataflow mirrors knn_graph's cogroup shape, keyed by BUCKET:
+
+    - corpus side: one row per vector under its exact signature;
+    - query side: each vector replicated to its multiprobe buckets
+      (Σ C(n_planes, r ≤ radius) replicas — the recall/cost dial);
+    - one numpy matmul per bucket cogroup emits local (dist, id)-
+      lexsorted top-k; a window keeps the global top-k per source.
+
+    Work is Σ_buckets |queries_b|·|corpus_b| — for roughly uniform
+    buckets that is n²·(probe volume / 2^n_planes), a tunable fraction
+    of brute force, and NO pair of vectors in distant buckets is ever
+    scored (that is the approximation: recall < 100% by design,
+    pytest-pinned against the exact graph). Self-pairs excluded; ties
+    by dst id; ``dist`` unrounded.
+    """
+    if dim is None:
+        first = emb.select(vec_col).first()
+        if first is None:
+            raise ValueError("empty embedding table")
+        dim = len(first[0])
+    sig_udf = _signature_udf(n_planes, dim, seed)
+    from inception_eventstore_spark.functions.spread import spread
+
+    sigged = spread(emb).select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    )
+    if probe_radius > 1:
+        raise NotImplementedError(
+            "multiprobe radius > 1: raise n_planes instead — the probe "
+            "array is built JVM-side and radius 1 (own bucket + every "
+            "1-bit flip) is the standard recall/cost point"
+        )
+    # probe buckets as a literal-XOR array — pure JVM, no per-row UDF
+    probe_arr = F.array(
+        F.col("_sig"),
+        *(
+            [
+                F.col("_sig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ]
+            if probe_radius >= 1
+            else []
+        ),
+    )
+    qside = sigged.select(
+        F.col("_id").alias("src"),
+        F.col("_v").alias("_qv"),
+        F.explode(probe_arr).alias("_b"),
+    )
+    cside = sigged.select(
+        F.col("_id").alias("dst"),
+        F.col("_v").alias("_cv"),
+        F.col("_sig").alias("_b"),
+    )
+    kk = int(k)
+
+    def bucket_topk(qs: pd.DataFrame, cs: pd.DataFrame) -> pd.DataFrame:
+        if not len(qs) or not len(cs):
+            return pd.DataFrame(
+                {
+                    "src": qs["src"][:0],
+                    "dst": cs["dst"][:0],
+                    "dist": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = np.vstack(qs["_qv"].to_numpy()).astype(np.float64)
+        M = np.vstack(cs["_cv"].to_numpy()).astype(np.float64)
+        qid = qs["src"].to_numpy()
+        cid = cs["dst"].to_numpy()
+        D = (Q**2).sum(1)[:, None] - 2.0 * (Q @ M.T) + (M**2).sum(1)[None, :]
+        out_s, out_d, out_x = [], [], []
+        for i in range(len(qid)):
+            row = D[i]
+            mask = cid == qid[i]
+            row[mask] = np.inf
+            top = np.lexsort((cid, row))[: min(kk, len(cid) - int(mask.sum()))]
+            out_s.extend([qid[i]] * len(top))
+            out_d.extend(cid[top].tolist())
+            out_x.extend(np.sqrt(np.maximum(row[top], 0.0)).tolist())
+        return pd.DataFrame({"src": out_s, "dst": out_d, "dist": out_x})
+
+    id_type = dict(emb.dtypes)[id_col]
+    local = (
+        qside.groupBy("_b")
+        .cogroup(cside.groupBy("_b"))
+        .applyInPandas(
+            lambda qs, cs: bucket_topk(qs, cs),
+            schema=f"src {id_type}, dst {id_type}, dist double",
+        )
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        local.dropDuplicates(["src", "dst"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("src", F.col("rank").cast("bigint").alias("rank"), "dst", "dist")
+    )

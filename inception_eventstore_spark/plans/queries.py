@@ -4010,3 +4010,21 @@ _R3H_QUERIES: dict[str, QueryDef] = {
     "length_batches": QueryDef(q_length_batches, _length_batches_oracle()),
 }
 QUERIES = {**_R3H_QUERIES, **QUERIES}
+
+
+def q_knn_graph_lsh(spark, sf_dir):
+    """Approximate (LSH-bucketed) 3-NN graph — the sublinear scale
+    path of knn_graph: bucket-cogrouped numpy top-k within hamming-1
+    multiprobe buckets. Rows-only by design (recall < 100%; the
+    pytest recall floor and the exact knn_graph oracle pin quality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = S.lsh_knn_graph(emb, k=3, n_planes=8, dim=64)
+    return res.select(
+        "src", "rank", "dst", F.round("dist", 6).alias("dist")
+    )
+
+
+_R3I_QUERIES: dict[str, QueryDef] = {
+    "knn_graph_lsh": QueryDef(q_knn_graph_lsh, None),
+}
+QUERIES = {**_R3I_QUERIES, **QUERIES}
