@@ -97,6 +97,47 @@ class EventStore:
         #: Both None disables derived-view maintenance.
         self.event_type_of = event_type_of
         self.event_type_expr = event_type_expr
+        #: name → (PropertyIndex, value_expr fn) maintained at ingest —
+        #: the reference's dual-write, generalized past event type
+        #: (register_property_index)
+        self._prop_indexes: dict = {}
+
+    def register_property_index(
+        self,
+        name: str,
+        value_expr: Callable[..., "F.Column"],
+        n_buckets: int = 256,
+    ):
+        """Register a secondary index on a payload property, maintained
+        by every subsequent append in the SAME ingest job (the
+        reference's index dual-write, `IndexByEventTypeStore.cs:44-61`,
+        generalized to any extractable expression — value_expr maps the
+        ``data`` column to the indexed value, staying JVM-side).
+
+        The index lives under ``<keyspace>/prop_index_<name>`` keyed by
+        the envelope PK (id, rev, pos); query it via the returned
+        :class:`~...prop_index.PropertyIndex` (``lookup`` / ``probe``).
+        Registering over an existing store backfills from the current
+        events (one scan); re-registering the same name reuses the
+        persisted state without a rebuild.
+        """
+        import os as _os
+
+        from inception_eventstore_spark.operators.prop_index import (
+            PropertyIndex,
+        )
+        from inception_eventstore_spark.sources import fsutil
+
+        path = _os.path.join(self.layout.root, f"prop_index_{name}")
+        idx = PropertyIndex(
+            self.spark, path, ["id", "rev", "pos"], n_buckets
+        )
+        if not fsutil.list_data_files(self.spark, path, recursive=True):
+            existing = self.events_df()
+            if existing.take(1):
+                idx.append(existing, value_expr(F.col("data")))
+        self._prop_indexes[name] = (idx, value_expr)
+        return idx
 
     # ------------------------------------------------------------------
     # Write path
@@ -144,6 +185,7 @@ class EventStore:
             self._write_events(rows)
             if maintain:
                 self._append_index(rows)
+            self._append_prop_indexes(rows)
             return
         # Streaming retry path. The batch (post-dedup) feeds the stats
         # job, the anti-join, the events write AND the index derivation —
@@ -160,8 +202,16 @@ class EventStore:
             self._write_events(new_events)
             if maintain:
                 self._append_index(rows, anti_join_existing=True)
+            # property indexes are keyed by the envelope PK, and probe()
+            # dedups on it — re-indexing a redelivered row is harmless,
+            # so the NEW events (post anti-join) suffice
+            self._append_prop_indexes(new_events)
         finally:
             rows.unpersist()
+
+    def _append_prop_indexes(self, rows: DataFrame) -> None:
+        for idx, value_expr in self._prop_indexes.values():
+            idx.append(rows, value_expr(F.col("data")))
 
     def _write_events(self, rows: DataFrame) -> None:
         (

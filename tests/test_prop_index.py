@@ -116,3 +116,61 @@ class TestLookupContract:
         )
         with pytest.raises(FileNotFoundError):
             idx.lookup(5)
+
+
+class TestIngestMaintainedPropIndex:
+    def _store(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.eventstore import (
+            AggregateCommit,
+            EventStore,
+        )
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.for_tenant(
+            str(tmp_path), tenant="t1", base_keyspace="eventstore"
+        )
+        return EventStore(spark, lay), AggregateCommit
+
+    def _payload(self, color):
+        return f'{{"color": "{color}"}}'.encode()
+
+    def _vexpr(self, data_col):
+        return F.get_json_object(data_col.cast("string"), "$.color")
+
+    def test_backfill_and_ingest_maintenance(self, spark, tmp_path):
+        store, AC = self._store(spark, tmp_path)
+        store.append_commits(
+            [AC(b"a1", 1, 1000, [self._payload("red")], [])]
+        )
+        # registration over the existing store backfills
+        idx = store.register_property_index("color", self._vexpr)
+        assert {bytes(r["id"]) for r in idx.lookup("red").collect()} == {
+            b"a1"
+        }
+        # subsequent appends maintain the index in the same ingest
+        store.append_commits(
+            [
+                AC(b"a2", 1, 2000, [self._payload("red")], []),
+                AC(b"a3", 1, 3000, [self._payload("blue")], []),
+            ]
+        )
+        assert {bytes(r["id"]) for r in idx.lookup("red").collect()} == {
+            b"a1",
+            b"a2",
+        }
+        assert {bytes(r["id"]) for r in idx.lookup("blue").collect()} == {
+            b"a3"
+        }
+        # probe joins back to full event rows
+        hits = idx.probe(store.events_df(), "red").collect()
+        assert {bytes(r["id"]) for r in hits} == {b"a1", b"a2"}
+
+    def test_reregistration_reuses_state(self, spark, tmp_path):
+        store, AC = self._store(spark, tmp_path)
+        store.append_commits(
+            [AC(b"z1", 1, 1000, [self._payload("green")], [])]
+        )
+        store.register_property_index("color", self._vexpr)
+        store2, _ = self._store(spark, tmp_path)
+        idx2 = store2.register_property_index("color", self._vexpr)
+        assert idx2.lookup("green").count() == 1
