@@ -119,6 +119,23 @@ def main() -> None:
     counters = MessageCounter(spark, lay)
     n_click = counters.get_count("click")
 
+    # property index over the 1M-row store: registration backfills
+    # (one scan), then a point lookup is a single-bucket pruned scan +
+    # semi-join — the generalized-index scale path
+    t0 = time.time()
+    pidx = store.register_property_index(
+        "k",
+        # the envelope payload nests the original props as a JSON
+        # string field — two-level extraction
+        lambda d: F.get_json_object(
+            F.get_json_object(d.cast("string"), "$.props"), "$.k"
+        ),
+    )
+    timings["prop_index_backfill"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_prop = pidx.probe(store.events_df(), 69).count()
+    timings["prop_index_probe"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -131,6 +148,7 @@ def main() -> None:
                 "r12_chunked_rows": n_chunked,
                 "r12_max_chunk": max_chunk,
                 "counter_click": n_click,
+                "prop_index_hits": n_prop,
                 "timings": timings,
             }
         )
