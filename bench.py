@@ -125,6 +125,8 @@ HEADLINE = [
     "epoch_shuffle",
     "length_batches",
     "knn_graph_lsh",
+    "q3_shipping_priority",
+    "q10_returned_items",
 ]
 
 

@@ -107,3 +107,10 @@ from inception_eventstore_spark.operators.timeseries import (  # noqa: F401
     rolling_stats,
     zscore_anomalies,
 )
+from inception_eventstore_spark.operators.prop_index import (  # noqa: F401
+    PropertyIndex,
+)
+from inception_eventstore_spark.operators.basket import (  # noqa: F401
+    association_rules,
+    item_pair_counts,
+)

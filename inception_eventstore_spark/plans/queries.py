@@ -3869,10 +3869,11 @@ def q_matview_orders(spark, sf_dir):
 
 
 def q_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: supplier(s) achieving the MAX period revenue —
-    the revenue view is a DECIMAL(18,2) aggregate so the max-equality
-    cut is exact on both engines (a double sum's partial order could
-    break the tie set)."""
+    """TPC-H Q15 shape: supplier(s) achieving the MAX period revenue.
+    Revenue = round(sum(double), 2): each engine compares its own
+    internally-consistent rounded totals, and per-row DECIMAL casts of
+    double products are NOT cross-engine-portable (divergent rounding
+    modes at half-cent products — see Q3)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -3880,25 +3881,20 @@ def q_q15_top_supplier(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
         )
-        .withColumn(
-            "_r",
-            (
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).cast("decimal(18,2)"),
-        )
         .groupBy("l_suppkey")
-        .agg(F.sum("_r").alias("total_revenue"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("total_revenue")
+        )
     )
     best = rev.agg(F.max("total_revenue").alias("best"))
     return (
         rev.join(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("best"))
         .join(s, F.col("l_suppkey") == s["s_suppkey"])
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
 
@@ -3915,12 +3911,11 @@ _R3G_QUERIES: dict[str, QueryDef] = {
     "q15_top_supplier": QueryDef(
         q_q15_top_supplier,
         "WITH rev AS (SELECT l_suppkey, "
-        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) "
         "AS total_revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
-        "SELECT s_suppkey, s_name, "
-        "CAST(total_revenue AS DOUBLE) AS total_revenue "
+        "SELECT s_suppkey, s_name, total_revenue "
         "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
         "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
         "ORDER BY s_suppkey",
@@ -4028,3 +4023,99 @@ _R3I_QUERIES: dict[str, QueryDef] = {
     "knn_graph_lsh": QueryDef(q_knn_graph_lsh, None),
 }
 QUERIES = {**_R3I_QUERIES, **QUERIES}
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter → join → per-order revenue →
+    top-10. Revenue = round(sum(double), 2) — per-order gaps are
+    dollars, far above double-sum jitter, and per-row DECIMAL casts of
+    double PRODUCTS are NOT portable (Spark HALF_UP vs DuckDB
+    round-half-even diverge by a cent at half-cent products; raw
+    2-dp column casts are safe, products are not)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    rev = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: per-customer lost revenue from returned items
+    in one quarter, top-20 — revenue rounded at the sum (see Q3 note:
+    DECIMAL casts of double products are not cross-engine-portable)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+_R3J_QUERIES: dict[str, QueryDef] = {
+    "q3_shipping_priority": QueryDef(
+        q_q3_shipping_priority,
+        "WITH rev AS (SELECT l_orderkey, o_orderdate, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND l_shipdate > TIMESTAMP '1997-01-01' "
+        "GROUP BY l_orderkey, o_orderdate) "
+        "SELECT l_orderkey, revenue, o_orderdate FROM rev "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    ),
+    "q10_returned_items": QueryDef(
+        q_q10_returned_items,
+        "WITH rev AS (SELECT c_custkey, c_name, n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01' "
+        "GROUP BY c_custkey, c_name, n_name) "
+        "SELECT c_custkey, c_name, n_name, revenue FROM rev "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    ),
+}
+QUERIES = {**_R3J_QUERIES, **QUERIES}
