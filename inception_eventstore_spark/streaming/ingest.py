@@ -314,3 +314,55 @@ def stream_into_view(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_token_counts(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Streaming trending-token feed: (window, token, n) counts over
+    tumbling (or sliding) event-time windows with watermark-bounded
+    state — the corpus-monitoring twin of `vocabulary`.
+
+    Works on a batch frame too (same plan minus the watermark). Top-k
+    ranking is NOT applied here: ranking an aggregated stream needs a
+    window function Structured Streaming disallows mid-plan — rank in
+    the sink per micro-batch with :func:`topk_tokens_per_window`
+    (foreachBatch), the standard shape for leaderboards.
+    """
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    src = docs
+    if docs.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.select(win.alias("window"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("window", "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def topk_tokens_per_window(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Sink-side ranking for :func:`windowed_token_counts` output (a
+    BATCH frame — each micro-batch inside foreachBatch, or the final
+    complete-mode table): top-k tokens per window, ties by token."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "window", F.col("rank").cast("bigint").alias("rank"),
+            "token", "n",
+        )
+    )

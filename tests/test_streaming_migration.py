@@ -536,3 +536,71 @@ class TestStreamingZscoreNulls:
             assert [h["value"] for h in hits] == [100.0]
         finally:
             q.stop()
+
+
+class TestTrendingTokens:
+    def test_stream_counts_and_sink_ranking(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.streaming.ingest import (
+            topk_tokens_per_window,
+            windowed_token_counts,
+        )
+
+        source = str(tmp_path / "tt_in")
+        base = dt.datetime(2024, 1, 1)
+        schema = "doc_id long, ts timestamp, text string"
+        rows = []
+        for i in range(20):
+            # window 1: 'alpha' dominates; window 2: 'beta'
+            w = 0 if i < 10 else 30
+            word = "alpha" if i < 10 else "beta"
+            rows.append(
+                (i, base + dt.timedelta(minutes=w + i % 5),
+                 f"{word} common filler{i}")
+            )
+        spark.createDataFrame(rows, schema).write.parquet(source)
+        stream = spark.readStream.schema(schema).parquet(source)
+        counts = windowed_token_counts(
+            stream, window="10 minutes", watermark="1 hour"
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("tt_sink")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            final = spark.sql("SELECT * FROM tt_sink")
+            top = topk_tokens_per_window(final, k=2).collect()
+        finally:
+            q.stop()
+        by_win = {}
+        for r in top:
+            by_win.setdefault(r["window"]["start"], []).append(
+                (r["rank"], r["token"], r["n"])
+            )
+        wins = sorted(by_win)
+        assert len(wins) == 2
+        assert by_win[wins[0]][0] == (1, "alpha", 10)
+        assert by_win[wins[1]][0] == (1, "beta", 10)
+        # 'common' is runner-up in both windows
+        assert by_win[wins[0]][1][1] == "common"
+
+    def test_batch_frame_same_plan(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.streaming.ingest import (
+            windowed_token_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "x y x")],
+            "doc_id long, ts timestamp, text string",
+        )
+        got = {
+            r["token"]: r["n"]
+            for r in windowed_token_counts(df).collect()
+        }
+        assert got == {"x": 2, "y": 1}

@@ -317,3 +317,69 @@ class TestReviewFixes:
         back = spark.read.parquet(path)
         assert back.count() == 500
         assert "_z" in back.columns
+
+
+class TestTrainingExport:
+    def _df(self, spark, n=300):
+        return spark.range(n).selectExpr(
+            "id AS doc_id", "id * 3 AS n_tok", "concat('doc ', id) AS text"
+        )
+
+    def test_export_manifest_and_verify(self, spark, tmp_path):
+        from inception_eventstore_spark.sources.training_export import (
+            export_shards,
+            read_manifest,
+            verify_shards,
+        )
+
+        path = str(tmp_path / "shards")
+        m = export_shards(
+            self._df(spark), path, n_shards=6, token_col="n_tok"
+        )
+        assert m["total_rows"] == 300
+        assert m["total_tokens"] == sum(i * 3 for i in range(300))
+        assert len(m["shards"]) == 6
+        assert read_manifest(spark, path)["total_rows"] == 300
+        assert verify_shards(spark, path)
+        # every row present exactly once across shards
+        back = spark.read.option("basePath", path).parquet(path)
+        assert back.select("doc_id").distinct().count() == 300
+
+    def test_one_file_per_shard(self, spark, tmp_path):
+        import glob
+
+        from inception_eventstore_spark.sources.training_export import (
+            export_shards,
+        )
+
+        path = str(tmp_path / "shards2")
+        export_shards(self._df(spark, 100), path, n_shards=4)
+        for s in range(4):
+            files = glob.glob(f"{path}/shard={s}/*.parquet")
+            assert len(files) == 1, (s, files)
+
+    def test_tamper_detected(self, spark, tmp_path):
+        import glob
+        import os
+
+        from inception_eventstore_spark.sources.training_export import (
+            export_shards,
+            verify_shards,
+        )
+
+        path = str(tmp_path / "shards3")
+        export_shards(self._df(spark, 100), path, n_shards=4)
+        # drop one shard's data file behind the manifest's back
+        victim = glob.glob(f"{path}/shard=2/*.parquet")[0]
+        os.remove(victim)
+        assert not verify_shards(spark, path)
+
+    def test_deterministic_assignment(self, spark, tmp_path):
+        from inception_eventstore_spark.sources.training_export import (
+            export_shards,
+        )
+
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        m1 = export_shards(self._df(spark), p1, n_shards=5)
+        m2 = export_shards(self._df(spark), p2, n_shards=5)
+        assert m1["shards"] == m2["shards"]
