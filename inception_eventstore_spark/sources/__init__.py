@@ -21,3 +21,8 @@ from inception_eventstore_spark.sources.zorder import (  # noqa: F401
     zorder_write,
     zvalue_by_range,
 )
+from inception_eventstore_spark.sources.training_export import (  # noqa: F401
+    export_shards,
+    read_manifest,
+    verify_shards,
+)
