@@ -127,6 +127,8 @@ HEADLINE = [
     "knn_graph_lsh",
     "q3_shipping_priority",
     "q10_returned_items",
+    "retrieval_bm25_multi",
+    "lm_stupid_backoff",
 ]
 
 

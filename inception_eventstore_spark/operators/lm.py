@@ -229,3 +229,119 @@ def pmi_collocations(
             F.col("pmi").desc(), "tok_a", "tok_b"
         ).limit(int(top_n))
     return out
+
+
+def _trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b, c) — consecutive token triples, arrays staged."""
+    staged = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_tk")
+    ).where(F.size("_tk") >= 3)
+    return staged.select(
+        "_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_tk"), 1, F.size("_tk") - 2),
+                F.zip_with(
+                    F.slice(F.col("_tk"), 2, F.size("_tk") - 2),
+                    F.slice(F.col("_tk"), 3, F.size("_tk") - 2),
+                    lambda b, c: F.struct(b.alias("b"), c.alias("c")),
+                ),
+                lambda a, bc: F.struct(
+                    a.alias("a"), bc["b"].alias("b"), bc["c"].alias("c")
+                ),
+            )
+        ).alias("_tg"),
+    ).select(
+        "_id",
+        F.col("_tg.a").alias("_a"),
+        F.col("_tg.b").alias("_b"),
+        F.col("_tg.c").alias("_c"),
+    )
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Document fluency under a trigram STUPID BACKOFF model (Brants et
+    al. 2007 — the web-scale LM that deliberately skips normalization):
+
+        S(c | a, b) = c3(a,b,c) / c2(a,b)          if the trigram is seen
+                    = α · c2(b,c) / c1(b)          else if the bigram is
+                    = α² · (c1(c) + 1) / (T + V)   else (add-one floor —
+                                                   pure stupid backoff
+                                                   assumes seen unigrams;
+                                                   the floor keeps ln
+                                                   finite for novel
+                                                   tokens)
+
+    ``ref`` (default: the corpus itself) supplies the counts; a doc's
+    score is the MEAN ln S over its trigram positions; docs with < 3
+    tokens are dropped. Returns (<id_col>, n_trigrams, sb_score).
+
+    Scale: three count tables (trigram/bigram/unigram) are aggregates
+    of one explode each over the reference — materialized once per
+    reference snapshot in production; scoring is three equi-joins on
+    token-string keys + one per-doc aggregation, no UDF anywhere.
+    """
+    ref = docs if ref is None else ref
+    tg_ref = _trigrams(ref, id_col, text_col)
+    c3 = tg_ref.groupBy("_a", "_b", "_c").agg(F.count("*").alias("_c3"))
+    bg_ref = _bigrams(ref, id_col, text_col)
+    c2 = bg_ref.groupBy("_a", "_b").agg(F.count("*").alias("_c2"))
+    uni = ref.select(F.explode(tokens(text_col)).alias("_t")).groupBy(
+        "_t"
+    ).agg(F.count("*").alias("_c1"))
+    totals = uni.agg(
+        F.sum("_c1").alias("t"), F.count("*").alias("v")
+    ).first()
+    T, V = int(totals["t"] or 0), int(totals["v"] or 0)
+    if T == 0:
+        raise ValueError("reference corpus has no tokens")
+
+    tg = _trigrams(docs, id_col, text_col)
+    j = (
+        tg.join(c3, ["_a", "_b", "_c"], "left")
+        .join(c2, ["_a", "_b"], "left")
+        .join(
+            c2.select(
+                F.col("_a").alias("_b"),
+                F.col("_b").alias("_c"),
+                F.col("_c2").alias("_c2r"),
+            ),
+            ["_b", "_c"],
+            "left",
+        )
+        .join(uni.select(F.col("_t").alias("_b"), F.col("_c1").alias("_c1b")),
+              ["_b"], "left")
+        .join(uni.select(F.col("_t").alias("_c"), F.col("_c1").alias("_c1c")),
+              ["_c"], "left")
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("_c3").isNotNull(),
+            F.col("_c3").cast("double") / F.col("_c2"),
+        )
+        .when(
+            F.col("_c2r").isNotNull(),
+            a * F.col("_c2r").cast("double") / F.col("_c1b"),
+        )
+        .otherwise(
+            a
+            * a
+            * (F.coalesce(F.col("_c1c"), F.lit(0)).cast("double") + F.lit(1.0))
+            / F.lit(float(T + V))
+        )
+    )
+    return (
+        j.withColumn("_lp", F.log(score))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg("_lp"), 6).alias("sb_score"),
+        )
+    )

@@ -186,3 +186,104 @@ def bm25_score_py(
         if s > 0:
             out[doc] = round(s, 6)
     return out
+
+
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for EVERY query in a query TABLE — the batch
+    serving shape (mirrors ``similarity.multi_query_topk``): one corpus
+    scan answers the whole workload.
+
+    ``queries``: (query_id, terms array<string>). Dataflow:
+
+    - the distinct term universe of ALL queries is the postings filter
+      (broadcast semi-join replaces the single-query ``isin`` literal —
+      the corpus still shuffles matching postings only);
+    - df/idf is computed per term once, shared across queries;
+    - scoring joins the (query, term) pairs onto the tf table by term
+      (both sides term-keyed; queries are small → broadcast), then one
+      (query, doc) aggregation and a per-query window top-k — no
+      per-query corpus pass anywhere.
+
+    Output: (query_id, rank, doc_id, score), score rounded to 6 dp
+    BEFORE the (score desc, doc_id) cut.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("token"),
+    ).withColumn("token", F.lower("token")).dropDuplicates(
+        ["query_id", "token"]
+    )
+    term_universe = q.select("token").distinct()
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    stats = toks.select(
+        F.count("*").alias("n_docs"), F.sum(F.size("_toks")).alias("sum_dl")
+    ).first()
+    n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = sum_dl / n_docs
+
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .join(F.broadcast(term_universe), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(F.broadcast(q), "token")
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"),
+            "doc_id", "score",
+        )
+    )

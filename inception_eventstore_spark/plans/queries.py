@@ -4119,3 +4119,121 @@ _R3J_QUERIES: dict[str, QueryDef] = {
     ),
 }
 QUERIES = {**_R3J_QUERIES, **QUERIES}
+
+
+def q_retrieval_bm25_multi(spark, sf_dir):
+    """Batch BM25: top-5 docs for each of three keyword queries in ONE
+    corpus scan (retrieval.bm25_multi_topk — the serving shape; term
+    universe broadcast, shared idf, per-query window cut)."""
+    from inception_eventstore_spark.operators import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "merge"]),
+            (2, ["window", "key"]),
+            (3, ["batch"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return RT.bm25_multi_topk(docs, qdf, k=5)
+
+
+def _bm25_multi_oracle() -> str:
+    return f"""
+WITH k AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+qs AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'merge'),
+                             (2, 'window'), (2, 'key'),
+                             (3, 'batch')) AS t(query_id, token)),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM toks),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+  FROM ex WHERE token IN (SELECT token FROM qs)
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+    ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM st) - count(DISTINCT doc_id) + 0.5)
+             / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY token),
+sc AS (
+  SELECT query_id, doc_id,
+    round(sum(idf * (tf * (k.k1 + 1.0))
+              / (tf + k.k1 * ((1.0 - k.b)
+                 + k.b * dl / ((SELECT CAST(sdl AS DOUBLE) FROM st)
+                               / (SELECT n FROM st))))), 6) AS score
+  FROM tf JOIN idf USING (token) JOIN qs USING (token), k
+  GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rank FROM sc)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rank <= 5
+"""
+
+
+_R3K_QUERIES: dict[str, QueryDef] = {
+    "retrieval_bm25_multi": QueryDef(
+        q_retrieval_bm25_multi, _bm25_multi_oracle()
+    ),
+}
+QUERIES = {**_R3K_QUERIES, **QUERIES}
+
+
+def q_lm_stupid_backoff(spark, sf_dir):
+    """Trigram stupid-backoff fluency per document (lm.stupid_backoff_
+    score, self-scored corpus): the full count + CASE-backoff model has
+    an exact SQL twin — every branch's arithmetic mirrored."""
+    from inception_eventstore_spark.operators.lm import stupid_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_score(docs)
+
+
+def _stupid_backoff_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+tg AS (
+  SELECT doc_id, u.a AS a, u.b AS b, u.c AS c FROM (
+    SELECT doc_id,
+      unnest([{{'a': tk[CAST(i AS INT)], 'b': tk[CAST(i AS INT) + 1],
+                'c': tk[CAST(i AS INT) + 2]}}
+              for i in generate_series(1, len(tk) - 2)]) AS u
+    FROM toks WHERE len(tk) >= 3)),
+bg AS (
+  SELECT u.a AS a, u.b AS b FROM (
+    SELECT unnest([{{'a': tk[CAST(i AS INT)], 'b': tk[CAST(i AS INT) + 1]}}
+                   for i in generate_series(1, len(tk) - 1)]) AS u
+    FROM toks WHERE len(tk) >= 2)),
+c3 AS (SELECT a, b, c, count(*) AS n3 FROM tg GROUP BY 1, 2, 3),
+c2 AS (SELECT a, b, count(*) AS n2 FROM bg GROUP BY 1, 2),
+uni AS (SELECT t, count(*) AS n1 FROM (
+  SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+tot AS (SELECT CAST(sum(n1) + count(*) AS DOUBLE) AS tv FROM uni),
+sc AS (
+  SELECT tg.doc_id,
+    CASE
+      WHEN c3.n3 IS NOT NULL THEN CAST(c3.n3 AS DOUBLE) / ctx.n2
+      WHEN rb.n2 IS NOT NULL THEN
+        CAST(0.4 AS DOUBLE) * CAST(rb.n2 AS DOUBLE) / ub.n1
+      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+           * (CAST(coalesce(uc.n1, 0) AS DOUBLE) + 1.0)
+           / (SELECT tv FROM tot)
+    END AS s
+  FROM tg
+  LEFT JOIN c3 ON tg.a = c3.a AND tg.b = c3.b AND tg.c = c3.c
+  LEFT JOIN c2 ctx ON tg.a = ctx.a AND tg.b = ctx.b
+  LEFT JOIN c2 rb ON tg.b = rb.a AND tg.c = rb.b
+  LEFT JOIN uni ub ON tg.b = ub.t
+  LEFT JOIN uni uc ON tg.c = uc.t)
+SELECT doc_id, count(*) AS n_trigrams, round(avg(ln(s)), 6) AS sb_score
+FROM sc GROUP BY doc_id
+"""
+
+
+_R3L_QUERIES: dict[str, QueryDef] = {
+    "lm_stupid_backoff": QueryDef(
+        q_lm_stupid_backoff, _stupid_backoff_oracle()
+    ),
+}
+QUERIES = {**_R3L_QUERIES, **QUERIES}

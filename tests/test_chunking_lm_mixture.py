@@ -218,3 +218,72 @@ class TestTemperatureMixture:
             if h % 1_000_000 < int(round(fracs[dom] * 1_000_000)):
                 expect.add(i)
         assert kept == expect
+
+
+class TestStupidBackoff:
+    def _py_model(self, docs, alpha=0.4):
+        import math
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in docs.items()}
+        c3, c2, c1 = Counter(), Counter(), Counter()
+        for t in toks.values():
+            c1.update(t)
+            c2.update(zip(t, t[1:]))
+            c3.update(zip(t, t[1:], t[2:]))
+        T, V = sum(c1.values()), len(c1)
+        out = {}
+        for i, t in toks.items():
+            lps = []
+            for a, b, c in zip(t, t[1:], t[2:]):
+                if c3[(a, b, c)]:
+                    s = c3[(a, b, c)] / c2[(a, b)]
+                elif c2[(b, c)]:
+                    s = alpha * c2[(b, c)] / c1[b]
+                else:
+                    s = alpha * alpha * (c1[c] + 1) / (T + V)
+                lps.append(math.log(s))
+            if lps:
+                out[i] = (len(lps), round(sum(lps) / len(lps), 6))
+        return out
+
+    def test_matches_python_model(self, spark):
+        from inception_eventstore_spark.operators.lm import (
+            stupid_backoff_score,
+        )
+
+        docs = {
+            0: "the cat sat on the mat",
+            1: "the cat sat on the hat",
+            2: "a dog ran over the mat",
+            3: "completely novel words entirely",
+            4: "hi",  # < 3 tokens → dropped
+        }
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["sb_score"])
+            for r in stupid_backoff_score(df).collect()
+        }
+        want = self._py_model(docs)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0]
+            assert got[d][1] == pytest.approx(want[d][1], abs=2e-6), d
+
+    def test_fluent_beats_shuffled(self, spark):
+        from inception_eventstore_spark.operators.lm import (
+            stupid_backoff_score,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog"
+        ref_rows = [(i, base) for i in range(10)]
+        probe = [(100, base), (101, "dog the over quick lazy fox the brown jumps")]
+        ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+        df = spark.createDataFrame(probe, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["sb_score"]
+            for r in stupid_backoff_score(df, ref=ref).collect()
+        }
+        assert got[100] > got[101]

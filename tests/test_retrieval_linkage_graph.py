@@ -481,3 +481,33 @@ class TestLshKnnGraph:
         )
         with pytest.raises(NotImplementedError):
             S.lsh_knn_graph(df, probe_radius=2, dim=2)
+
+
+class TestBm25Multi:
+    def test_matches_single_query_path(self, spark, corpus):
+        qdf = spark.createDataFrame(
+            [
+                (1, ["spark", "data"]),
+                (2, ["optimizer"]),
+                (3, ["gardening", "roses"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        multi = RT.bm25_multi_topk(corpus, qdf, k=10).collect()
+        by_q = {}
+        for r in multi:
+            by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+        for qid, terms in ((1, ["spark", "data"]), (2, ["optimizer"]),
+                           (3, ["gardening", "roses"])):
+            single = {
+                r["doc_id"]: r["score"]
+                for r in RT.bm25_topk(corpus, terms, k=10).collect()
+            }
+            assert by_q.get(qid, {}) == pytest.approx(single), qid
+
+    def test_ranks_dense_per_query(self, spark, corpus):
+        qdf = spark.createDataFrame(
+            [(1, ["data"])], "query_id long, terms array<string>"
+        )
+        rows = RT.bm25_multi_topk(corpus, qdf, k=2).collect()
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
