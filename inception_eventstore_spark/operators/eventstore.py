@@ -117,9 +117,12 @@ class EventStore:
         The index lives under ``<keyspace>/prop_index_<name>`` keyed by
         the envelope PK (id, rev, pos); query it via the returned
         :class:`~...prop_index.PropertyIndex` (``lookup`` / ``probe``).
-        Registering over an existing store backfills from the current
-        events (one scan); re-registering the same name reuses the
-        persisted state without a rebuild.
+        Registration always CATCHES UP: events appended while the index
+        was unregistered (a prior session, a migration writing into
+        this store) are found by anti-joining the events table against
+        the already-indexed PKs and indexed now — so re-registering is
+        cheap when nothing is missing (the anti-join finds zero rows)
+        and heals silent holes when something is.
         """
         import os as _os
 
@@ -132,10 +135,18 @@ class EventStore:
         idx = PropertyIndex(
             self.spark, path, ["id", "rev", "pos"], n_buckets
         )
-        if not fsutil.list_data_files(self.spark, path, recursive=True):
-            existing = self.events_df()
-            if existing.take(1):
-                idx.append(existing, value_expr(F.col("data")))
+        existing = self.events_df()
+        if fsutil.list_data_files(self.spark, path, recursive=True):
+            indexed = self.spark.read.parquet(path).select(
+                "id", "rev", "pos"
+            )
+            missing = existing.join(
+                indexed, ["id", "rev", "pos"], "left_anti"
+            )
+        else:
+            missing = existing
+        if missing.take(1):
+            idx.append(missing, value_expr(F.col("data")))
         self._prop_indexes[name] = (idx, value_expr)
         return idx
 
@@ -202,10 +213,13 @@ class EventStore:
             self._write_events(new_events)
             if maintain:
                 self._append_index(rows, anti_join_existing=True)
-            # property indexes are keyed by the envelope PK, and probe()
-            # dedups on it — re-indexing a redelivered row is harmless,
-            # so the NEW events (post anti-join) suffice
-            self._append_prop_indexes(new_events)
+            # index the FULL redelivered batch, not the anti-join
+            # survivors — if a prior attempt crashed between the events
+            # write and this append, the retried rows are already in
+            # events (survivors = none) yet still missing from the
+            # index (same invariant as _append_index above). The PK
+            # keying + probe()'s dedup make re-indexing harmless.
+            self._append_prop_indexes(rows)
         finally:
             rows.unpersist()
 

@@ -67,6 +67,67 @@ def build_inverted_index(
     )
 
 
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+
+
+def _derive_stats(toks: DataFrame) -> tuple[int, int]:
+    """(n_docs, Σ dl) — exact integers so both engines derive the
+    identical double avgdl."""
+    stats = toks.select(
+        F.count("*").alias("n_docs"), F.sum(F.size("_toks")).alias("sum_dl")
+    ).first()
+    return int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+
+
+def _tf_table(toks: DataFrame, term_filter) -> DataFrame:
+    """(doc_id, token, tf, dl) for query terms only — ``term_filter``
+    narrows the exploded tokens BEFORE the aggregation, so the shuffle
+    carries matching postings only."""
+    exploded = toks.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("token"),
+    )
+    return (
+        term_filter(exploded)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def _idf_table(tf: DataFrame, n_docs: int) -> DataFrame:
+    """Lucene idf per term: ln(1 + (N − df + 0.5)/(df + 0.5))."""
+    return (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+
+
+def _bm25_term_score(k1: float, b: float, avgdl: float):
+    """The per-(doc, term) BM25 contribution over (idf, tf, dl) cols —
+    ONE definition shared by the single- and multi-query paths."""
+    return (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -98,61 +159,19 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
-    )
+    toks = _tokenized(docs, id_col, text_col)
     if corpus_stats is None:
-        # exact integer sum/count so both engines derive the identical
-        # double avgdl
-        stats = toks.select(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("_toks")).alias("sum_dl"),
-        ).first()
-        corpus_stats = (int(stats["n_docs"]), int(stats["sum_dl"] or 0))
+        corpus_stats = _derive_stats(toks)
     n_docs, sum_dl = corpus_stats
     if n_docs == 0:
         raise ValueError("empty corpus")
     avgdl = sum_dl / n_docs
 
-    # (doc, term) tf for QUERY terms only — the isin filter runs before
-    # the aggregation, so the shuffle carries matching postings only.
-    tf = (
-        toks.select(
-            "doc_id",
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("token"),
-        )
-        .where(F.col("token").isin(terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-    )
-
-    # df per term → idf table: |terms| rows, broadcast back.
-    idf = (
-        tf.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .select(
-            "token",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ).alias("idf"),
-        )
-    )
-
+    tf = _tf_table(toks, lambda df: df.where(F.col("token").isin(terms)))
+    idf = _idf_table(tf, n_docs)
     scored = (
         tf.join(F.broadcast(idf), "token")
-        .withColumn(
-            "_s",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-            ),
-        )
+        .withColumn("_s", _bm25_term_score(k1, b, avgdl))
         .groupBy("doc_id")
         .agg(F.round(F.sum("_s"), 6).alias("score"))
     )
@@ -198,10 +217,12 @@ def bm25_multi_topk(
     terms_col: str = "terms",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for EVERY query in a query TABLE — the batch
     serving shape (mirrors ``similarity.multi_query_topk``): one corpus
-    scan answers the whole workload.
+    scan answers the whole workload (supply index-time ``corpus_stats``
+    like :func:`bm25_topk` to drop the ad-hoc stats pass).
 
     ``queries``: (query_id, terms array<string>). Dataflow:
 
@@ -227,52 +248,23 @@ def bm25_multi_topk(
     )
     term_universe = q.select("token").distinct()
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
-    )
-    stats = toks.select(
-        F.count("*").alias("n_docs"), F.sum(F.size("_toks")).alias("sum_dl")
-    ).first()
-    n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+    toks = _tokenized(docs, id_col, text_col)
+    if corpus_stats is None:
+        corpus_stats = _derive_stats(toks)
+    n_docs, sum_dl = corpus_stats
     if n_docs == 0:
         raise ValueError("empty corpus")
     avgdl = sum_dl / n_docs
 
-    tf = (
-        toks.select(
-            "doc_id",
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("token"),
-        )
-        .join(F.broadcast(term_universe), "token", "left_semi")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    tf = _tf_table(
+        toks,
+        lambda df: df.join(F.broadcast(term_universe), "token", "left_semi"),
     )
-    idf = (
-        tf.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .select(
-            "token",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ).alias("idf"),
-        )
-    )
+    idf = _idf_table(tf, n_docs)
     scored = (
         tf.join(F.broadcast(idf), "token")
         .join(F.broadcast(q), "token")
-        .withColumn(
-            "_s",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-            ),
-        )
+        .withColumn("_s", _bm25_term_score(k1, b, avgdl))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("_s"), 6).alias("score"))
     )

@@ -622,6 +622,11 @@ def lsh_knn_graph(
         _as_double(F.col(vec_col)).alias("_v"),
         sig_udf(F.col(vec_col)).alias("_sig"),
     )
+    # BOTH cogroup sides read sigged — materialize it once (lazy local
+    # checkpoint: computed on first use, reused by the second side), or
+    # the Arrow signature kernel runs twice over the corpus. Production
+    # persists `_sig` at ingest instead (LshVectorIndex) and skips this.
+    sigged = sigged.localCheckpoint(eager=False)
     if probe_radius > 1:
         raise NotImplementedError(
             "multiprobe radius > 1: raise n_planes instead — the probe "

@@ -64,6 +64,22 @@ def export_shards(
         out = out.repartition(int(n_shards), "shard")
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
 
+    if not fsutil.list_data_files(df.sparkSession, path, recursive=True):
+        # every row was filtered upstream: an empty-shard-set manifest
+        # (a valid, verifiable state) beats the obscure parquet
+        # schema-inference crash a blind re-read would raise
+        manifest = {
+            "n_shards": int(n_shards),
+            "total_rows": 0,
+            **({"total_tokens": 0} if token_col is not None else {}),
+            "columns": [c for c in df.columns],
+            "shards": {},
+        }
+        fsutil.write_text(
+            df.sparkSession, f"{path}/{_MANIFEST}", json.dumps(manifest)
+        )
+        return manifest
+
     # manifest from the WRITTEN data — certifies the on-disk state
     written = df.sparkSession.read.option("basePath", path).parquet(path)
     digest_cols = [c for c in written.columns if c != "shard"]
@@ -130,6 +146,9 @@ def verify_shards(spark: SparkSession, path: str) -> bool:
     and compare with the manifest. Returns True iff everything matches
     (raises on a missing manifest)."""
     m = read_manifest(spark, path)
+    if not fsutil.list_data_files(spark, path, recursive=True):
+        # no data on disk: matches only an empty-shard-set manifest
+        return not m["shards"]
     written = spark.read.option("basePath", path).parquet(path)
     row_hash = F.xxhash64(*m["columns"])
     got = {

@@ -174,3 +174,75 @@ class TestIngestMaintainedPropIndex:
         store2, _ = self._store(spark, tmp_path)
         idx2 = store2.register_property_index("color", self._vexpr)
         assert idx2.lookup("green").count() == 1
+
+
+class TestThirdReviewFixes:
+    def test_registration_catches_up_missed_events(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.eventstore import (
+            AggregateCommit,
+            EventStore,
+        )
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.for_tenant(
+            str(tmp_path), tenant="t2", base_keyspace="eventstore"
+        )
+        vexpr = lambda d: F.get_json_object(  # noqa: E731
+            d.cast("string"), "$.color"
+        )
+        s1 = EventStore(spark, lay)
+        s1.append_commits(
+            [AggregateCommit(b"a1", 1, 1000, [b'{"color": "red"}'], [])]
+        )
+        s1.register_property_index("color", vexpr)
+        # a FRESH store (index unregistered) appends more events...
+        s2 = EventStore(spark, lay)
+        s2.append_commits(
+            [AggregateCommit(b"a2", 1, 2000, [b'{"color": "red"}'], [])]
+        )
+        # ...and late registration must heal the hole
+        idx = s2.register_property_index("color", vexpr)
+        assert {bytes(r["id"]) for r in idx.lookup("red").collect()} == {
+            b"a1",
+            b"a2",
+        }
+
+    def test_probe_dedups_redelivered_rows(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.eventstore import (
+            AggregateCommit,
+            EventStore,
+        )
+        from inception_eventstore_spark.sources import layout as L
+
+        lay = L.for_tenant(
+            str(tmp_path), tenant="t3", base_keyspace="eventstore"
+        )
+        vexpr = lambda d: F.get_json_object(  # noqa: E731
+            d.cast("string"), "$.color"
+        )
+        store = EventStore(spark, lay)
+        store.append_commits(
+            [AggregateCommit(b"b1", 1, 1000, [b'{"color": "red"}'], [])]
+        )
+        idx = store.register_property_index("color", vexpr)
+        # simulate the streaming retry: the SAME envelope redelivered
+        # through the anti-join path — events dedup to one copy, the
+        # prop index may hold duplicates, probe() must still dedup
+        rows = store.events_df()
+        store._append_rows(rows, maintain_index=False,
+                           anti_join_existing=True)
+        assert store.events_df().count() == 1
+        hits = idx.probe(store.events_df(), "red").collect()
+        assert len(hits) == 1
+
+    def test_empty_export_and_verify(self, spark, tmp_path):
+        from inception_eventstore_spark.sources.training_export import (
+            export_shards,
+            verify_shards,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        path = str(tmp_path / "empty_shards")
+        m = export_shards(empty, path, n_shards=4)
+        assert m["total_rows"] == 0 and m["shards"] == {}
+        assert verify_shards(spark, path)
