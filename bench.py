@@ -129,6 +129,9 @@ HEADLINE = [
     "q10_returned_items",
     "retrieval_bm25_multi",
     "lm_stupid_backoff",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q16_supplier_counts",
 ]
 
 

@@ -4237,3 +4237,128 @@ _R3L_QUERIES: dict[str, QueryDef] = {
     ),
 }
 QUERIES = {**_R3L_QUERIES, **QUERIES}
+
+
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between supplier-nation /
+    customer-nation pairs by ship year — two independent dimension
+    joins onto the fact. Revenue rounds to 6 dp, NOT 2: discount
+    products are exact 1e-4 multiples, so their sums constantly sit at
+    half-cent boundaries where 2-dp rounding flips on 1-ulp partial-sum
+    jitter (11 of 2090 groups here); at 6 dp every true value is 5e-7
+    from the nearest boundary — far beyond the jitter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n1, s["s_nationkey"] == F.col("_snk"))
+        .join(n2, c["c_nationkey"] == F.col("_cnk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate
+    ratio; the ratio of two same-scan sums is rounded at 6 dp (jitter
+    ~1e-13 relative, far under the rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+def q_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers able to furnish each
+    (brand, type, size) combination — COUNT DISTINCT over a join,
+    with an exclusion list."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_R3M_QUERIES: dict[str, QueryDef] = {
+    "q7_nation_volume": QueryDef(
+        q_q7_nation_volume,
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name < n2.n_name "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year",
+    ),
+    "q14_promo_share": QueryDef(
+        q_q14_promo_share,
+        "SELECT round(100.0 * "
+        "sum(CASE WHEN p_type = 'PROMO' "
+        "    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01'",
+    ),
+    "q16_supplier_counts": QueryDef(
+        q_q16_supplier_counts,
+        "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+    ),
+}
+QUERIES = {**_R3M_QUERIES, **QUERIES}
