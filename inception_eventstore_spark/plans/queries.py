@@ -471,7 +471,7 @@ def q_join_revenue_by_nation(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("rev"),
         )
         .orderBy("n_name")
@@ -496,7 +496,7 @@ def q_supplier_margin(spark, sf_dir):
         .agg(
             F.count("*").alias("n_items"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("amount"),
         )
         .orderBy("nation", "region")
@@ -513,7 +513,7 @@ def q_q1_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -2376,7 +2376,7 @@ QUERIES: dict[str, QueryDef] = {
     "join_revenue_by_nation": QueryDef(
         q_join_revenue_by_nation,
         "SELECT n.n_name, count(*) AS n, "
-        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS rev "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
@@ -2386,7 +2386,7 @@ QUERIES: dict[str, QueryDef] = {
         q_supplier_margin,
         "SELECT n.n_name AS nation, r.r_name AS region, "
         "CAST(count(*) AS BIGINT) AS n_items, "
-        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS amount "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS amount "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
         "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
@@ -2399,7 +2399,7 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "
         "round(sum(l_extendedprice), 2) AS sum_base_price, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, "
         "round(avg(l_quantity), 6) AS avg_qty, "
         "round(avg(l_discount), 6) AS avg_disc, "
         "count(*) AS count_order "
@@ -3334,7 +3334,7 @@ def q_q6_forecast_revenue(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
             ).alias("revenue"),
         )
     )
@@ -3403,7 +3403,7 @@ def q_q19_or_pushdown(spark, sf_dir):
     return j.where(cond).agg(
         F.count("*").alias("n"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
         ).alias("revenue"),
     )
 
@@ -3446,7 +3446,7 @@ _R3B_QUERIES: dict[str, QueryDef] = {
     "q6_forecast_revenue": QueryDef(
         q_q6_forecast_revenue,
         "SELECT count(*) AS n, "
-        "round(sum(l_extendedprice * l_discount), 2) AS revenue "
+        "round(sum(l_extendedprice * l_discount), 6) AS revenue "
         "FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-01-01' "
@@ -3475,7 +3475,7 @@ _R3B_QUERIES: dict[str, QueryDef] = {
     "q19_or_pushdown": QueryDef(
         q_q19_or_pushdown,
         "SELECT count(*) AS n, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
         "       AND l_quantity BETWEEN 1 AND 11) "
@@ -3885,7 +3885,7 @@ def q_q15_top_supplier(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
+                6,
             ).alias("total_revenue")
         )
     )
@@ -3911,7 +3911,7 @@ _R3G_QUERIES: dict[str, QueryDef] = {
     "q15_top_supplier": QueryDef(
         q_q15_top_supplier,
         "WITH rev AS (SELECT l_suppkey, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) "
         "AS total_revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
@@ -4046,7 +4046,7 @@ def q_q3_shipping_priority(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
+                6,
             ).alias("revenue")
         )
     )
@@ -4078,7 +4078,7 @@ def q_q10_returned_items(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
+                6,
             ).alias("revenue")
         )
     )
@@ -4093,7 +4093,7 @@ _R3J_QUERIES: dict[str, QueryDef] = {
     "q3_shipping_priority": QueryDef(
         q_q3_shipping_priority,
         "WITH rev AS (SELECT l_orderkey, o_orderdate, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON o_orderkey = l_orderkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -4106,7 +4106,7 @@ _R3J_QUERIES: dict[str, QueryDef] = {
     "q10_returned_items": QueryDef(
         q_q10_returned_items,
         "WITH rev AS (SELECT c_custkey, c_name, n_name, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
