@@ -434,9 +434,12 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     REAL binary PPMs and audio payloads REAL PCM-16 WAVs, so the
     codec-free ``decode="real"`` path exercises genuine byte-level
     decoding; video keeps an opaque stand-in payload (MP4 decode is
-    ffmpeg-bound). Built as a pandas frame so createDataFrame takes the
-    Arrow path — one batch transfer instead of per-row pickling (~2×
-    faster even at n=256)."""
+    ffmpeg-bound). Built from plain-Python rows, NOT a pandas frame: a
+    pandas frame coerces int+None columns to float64, and the non-Arrow
+    ``createDataFrame`` fallback then rejects ``64.0`` for IntegerType
+    (the one red driver row in CORRECTNESS_r03). Python int/None
+    survive both the Arrow and non-Arrow paths, and at fixture sizes
+    (n≤256) the Arrow batch-transfer advantage is noise."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -452,18 +455,18 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
         else:
             payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
         rows.append(
-            {
-                "asset_id": i,
-                "modality": modality,
-                "mime": "image/png" if png else {
+            (
+                i,
+                modality,
+                "image/png" if png else {
                     "image": "image/x-portable-pixmap",
                     "audio": "audio/wav",
                     "video": "video/mp4",
                 }[modality],
-                "width": 64 if modality == "image" else None,
-                "height": 48 if modality == "image" else None,
-                "duration_ms": 5000 + i * 100 if modality != "image" else None,
-                "payload": payload,
-            }
+                64 if modality == "image" else None,
+                48 if modality == "image" else None,
+                5000 + i * 100 if modality != "image" else None,
+                payload,
+            )
         )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=ASSET_SCHEMA)
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)

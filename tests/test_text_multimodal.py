@@ -369,6 +369,26 @@ class TestPngCodec:
         with pytest.raises(ValueError):
             M.decode_png(b"GIF89a....")
 
+    def test_synthetic_assets_survives_non_arrow_path(self, spark):
+        # CORRECTNESS_r03's one red row: the driver's session falls back
+        # to the non-Arrow createDataFrame path, whose row verifier
+        # rejects float64-coerced ints for IntegerType. The fixture must
+        # build cleanly with Arrow off AND with the Arrow fallback on.
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(key, "true")
+        try:
+            spark.conf.set(key, "false")
+            df = M.synthetic_assets(spark, n=12)
+            rows = {r["asset_id"]: r for r in df.collect()}
+            assert len(rows) == 12
+            assert rows[0]["width"] == 64 and isinstance(
+                rows[0]["width"], int
+            )
+            assert rows[1]["width"] is None
+            assert rows[1]["duration_ms"] == 5100
+        finally:
+            spark.conf.set(key, prev)
+
     def test_synthetic_assets_mix_containers(self, spark):
         df = M.synthetic_assets(spark, n=24)
         mimes = {
