@@ -160,18 +160,31 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ann_build_sec": ann_build,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "ann_build_sec": ann_build,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r*.json records only a 2000-char tail of stdout,
+    # which truncates the per-query map (VERDICT r3 "missing" #3) — also
+    # persist the full payload so round-over-round timing diffs are
+    # auditable from the repo itself. $SPARK_GRAFT_BENCH_OUT overrides the
+    # default committed path.
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_latest.json"),
     )
+    try:
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -236,6 +236,52 @@ class TestBpePairCounts:
         top = LM.bpe_pair_counts(docs, top_n=1).collect()
         assert len(top) == 1 and top[0]["sym_a"] == "a"
 
+    def test_merges_second_iteration(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "low low lower")], "doc_id long, text string"
+        )
+        # after merging (l,o): 'low'→[lo,w,</w>] ×2, 'lower'→[lo,w,e,r,</w>]
+        got = {
+            (r["sym_a"], r["sym_b"]): r["pair_count"]
+            for r in LM.bpe_pair_counts(docs, merges=[("l", "o")]).collect()
+        }
+        assert got[("lo", "w")] == 3
+        assert got[("w", "</w>")] == 2
+        assert got[("w", "e")] == 1
+        assert ("l", "o") not in got
+
+    def test_merges_chain(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "low lowest")], "doc_id long, text string"
+        )
+        got = {
+            (r["sym_a"], r["sym_b"]): r["pair_count"]
+            for r in LM.bpe_pair_counts(
+                docs, merges=[("l", "o"), ("lo", "w")]
+            ).collect()
+        }
+        # 'low'→[low,</w>], 'lowest'→[low,e,s,t,</w>]
+        assert got[("low", "</w>")] == 1
+        assert got[("low", "e")] == 1
+        assert got[("s", "t")] == 1
+
+    def test_merges_greedy_runs(self, spark):
+        # back-to-back occurrences must ALL merge left-to-right:
+        # 'aaaa' under (a,a) → [aa, aa, </w>], never [aa, a, a, </w>]
+        docs = spark.createDataFrame(
+            [(0, "aaaa aaa")], "doc_id long, text string"
+        )
+        got = {
+            (r["sym_a"], r["sym_b"]): r["pair_count"]
+            for r in LM.bpe_pair_counts(docs, merges=[("a", "a")]).collect()
+        }
+        # aaaa → aa aa </w>; aaa → aa a </w>
+        assert got[("aa", "aa")] == 1
+        assert got[("aa", "a")] == 1
+        assert got[("a", "</w>")] == 1
+        assert got[("aa", "</w>")] == 1
+        assert ("a", "a") not in got
+
 
 class TestPmi:
     def test_hand_pmi(self, spark):
