@@ -149,14 +149,20 @@ class IncrementalAggView:
     def _exists(self) -> bool:
         return bool(fsutil.list_data_files(self.spark, self.path))
 
-    def apply(self, delta: DataFrame, retract: bool = False) -> None:
-        """Fold one delta batch in: append its per-key partials.
+    @property
+    def _ledger_path(self) -> str:
+        # '.'-prefixed → hidden to both Spark's parquet discovery and
+        # fsutil listings (CLAUDE.md hidden-path rule)
+        return self.path.rstrip("/") + "/.applied_batches"
 
-        ``retract=True`` appends NEGATED sum/count/avg partials —
-        applying the same batch once forward and once retracting is a
-        no-op. Raises for non-invertible measures (min/max/
-        approx_distinct): use ``rebuild()`` after deletes there.
-        """
+    def applied_tokens(self) -> set[str]:
+        """Batch tokens already folded in via ``apply_committed``."""
+        txt = fsutil.read_text(self.spark, self._ledger_path)
+        return set(txt.split()) if txt else set()
+
+    def _partial_frame(
+        self, delta: DataFrame, retract: bool
+    ) -> DataFrame:
         if retract:
             bad = [
                 m.name
@@ -178,12 +184,83 @@ class IncrementalAggView:
                     if c not in self.keys
                 ],
             )
-        partial.write.mode("append").parquet(self.path)
+        return partial
+
+    def apply(self, delta: DataFrame, retract: bool = False) -> None:
+        """Fold one delta batch in: append its per-key partials.
+
+        ``retract=True`` appends NEGATED sum/count/avg partials —
+        applying the same batch once forward and once retracting is a
+        no-op. Raises for non-invertible measures (min/max/
+        approx_distinct): use ``rebuild()`` after deletes there.
+
+        NOT idempotent: applying the same delta twice double-counts.
+        Redelivery-prone callers (streaming foreachBatch) use
+        ``apply_committed`` with a stable batch token instead.
+        """
+        self._partial_frame(delta, retract).write.mode("append").parquet(
+            self.path
+        )
         if (
             fsutil.data_file_count(self.spark, self.path)
             >= self.auto_compact_threshold
         ):
             self.compact()
+
+    def apply_committed(
+        self, delta: DataFrame, token: str, retract: bool = False
+    ) -> bool:
+        """Idempotent ``apply``: exactly-once under redelivery of the
+        same ``token`` (Structured Streaming re-runs the last
+        uncommitted batch_id on restart — this is the sink-side dedup
+        that turns foreachBatch's at-least-once into exactly-once).
+
+        Protocol: skip if the token is in the ledger; otherwise delete
+        any half-committed files from a crashed prior attempt (their
+        names carry the token), stage the batch's partials under a
+        hidden dir, rename them into the view with token-prefixed
+        names, and ledger the token last. Every crash window replays
+        to the same final state:
+
+        - before any rename: staged files are hidden → invisible;
+        - mid-rename / pre-ledger: redelivery deletes the token's
+          files and redoes the commit (no double count);
+        - post-ledger: redelivery is a no-op.
+
+        Returns True if the batch was applied, False if skipped.
+        """
+        token = str(token)
+        if any(ch.isspace() or ch == "/" for ch in token):
+            raise ValueError(f"batch token must be path-safe: {token!r}")
+        ledger = fsutil.read_text(self.spark, self._ledger_path) or ""
+        if token in set(ledger.split()):
+            return False
+        prefix = f"b{token}-"
+        for f in fsutil.list_data_files(self.spark, self.path):
+            if f.rsplit("/", 1)[-1].startswith(prefix):
+                fsutil.delete_path(self.spark, f)
+        staged = self.path.rstrip("/") + f"/_staged/{token}"
+        self._partial_frame(delta, retract).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        for i, f in enumerate(
+            sorted(fsutil.list_data_files(self.spark, staged))
+        ):
+            fsutil.rename_path(
+                self.spark,
+                f,
+                self.path.rstrip("/") + f"/{prefix}{i}.parquet",
+            )
+        fsutil.delete_path(self.spark, staged)
+        fsutil.write_text(
+            self.spark, self._ledger_path, ledger + token + "\n"
+        )
+        if (
+            fsutil.data_file_count(self.spark, self.path)
+            >= self.auto_compact_threshold
+        ):
+            self.compact()
+        return True
 
     def _state(self) -> DataFrame:
         return (
@@ -201,15 +278,25 @@ class IncrementalAggView:
         return self._state().select(*self.keys, *self._final_cols())
 
     def compact(self) -> None:
-        """Fold the partial log into one row per key."""
+        """Fold the partial log into one row per key. The applied-token
+        ledger survives the rewrite (mode-overwrite deletes the whole
+        dir) so late redeliveries of compacted batches stay no-ops."""
         if not self._exists():
             return
+        ledger = fsutil.read_text(self.spark, self._ledger_path)
         snap = self._state().localCheckpoint(eager=True)
         snap.write.mode("overwrite").parquet(self.path)
+        if ledger:
+            fsutil.write_text(self.spark, self._ledger_path, ledger)
 
     def rebuild(self, source: DataFrame) -> None:
-        """Full recompute (required after min/max retractions)."""
+        """Full recompute (required after min/max retractions). Keeps
+        the ledger: already-applied batches live in ``source``'s rows,
+        so their redelivery must remain a no-op."""
+        ledger = fsutil.read_text(self.spark, self._ledger_path)
         partial = source.groupBy(*self.keys).agg(*self._partial_cols())
         partial.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             self.path
         )
+        if ledger:
+            fsutil.write_text(self.spark, self._ledger_path, ledger)

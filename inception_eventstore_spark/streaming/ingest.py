@@ -284,6 +284,7 @@ def stream_into_view(
     view,
     checkpoint_dir: str,
     trigger_once: bool = False,
+    token_prefix: str = "sq-",
 ):
     """Maintain an ``IncrementalAggView`` from a stream: each
     micro-batch folds in as one per-key partial append
@@ -291,12 +292,15 @@ def stream_into_view(
     state stays O(#keys · #batches) until the auto-compact folds it.
 
     This is the generalization of the reference's ingest-maintained
-    counter view to arbitrary measures — exactly-once per batch comes
-    from the checkpointed batch id (re-delivered batches re-append
-    partials only if the previous attempt died before the checkpoint
-    commit; sum/count partials are NOT idempotent across such retries,
-    the same at-least-once contract as the reference's non-idempotent
-    counter batch, `CassandraEventStore.cs:69`).
+    counter view to arbitrary measures — and, unlike the reference's
+    non-idempotent counter batch (`CassandraEventStore.cs:69`),
+    EXACTLY-ONCE per batch: the fold routes through
+    ``view.apply_committed`` keyed by the engine's batch_id, whose
+    token ledger + token-named-file cleanup makes redelivered batches
+    (Structured Streaming re-runs the last uncommitted batch on
+    restart) a no-op instead of a double count. If several distinct
+    streams feed ONE view, give each its own ``token_prefix`` —
+    batch_ids are only unique per checkpoint.
 
     Returns the started StreamingQuery; caller awaits/stops it.
     """
@@ -306,7 +310,7 @@ def stream_into_view(
         # source twice (once for the probe, once for the fold); an
         # empty batch just appends a 0-row partial file, which the
         # merge ignores and auto-compact eventually folds away
-        view.apply(batch_df)
+        view.apply_committed(batch_df, f"{token_prefix}{batch_id}")
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir

@@ -164,9 +164,12 @@ def streaming_zscore_anomalies(
     equal-ts ordering to the delivery order). Cross-batch reordering
     scores against the state as-delivered (the at-least-once monitoring
     contract — the batch operator is the exact-replay auditor). Null
-    values are skipped entirely: they neither score nor enter the
-    trailing window, matching the batch frame aggregates' null
-    handling.
+    values never score, but they DO occupy a trailing-window slot
+    (stored as a NaN placeholder; the non-null count is tracked
+    separately) — mirroring the batch twin's ROWS-based frame, where a
+    null row shrinks roll_n rather than letting the window reach
+    further back. NaN input values are treated as null (pandas cannot
+    distinguish them after the Arrow transfer).
 
     Scale: state per key is a float array capped at ``window`` values —
     sharded by key across executors and checkpointed; no global state,
@@ -217,12 +220,14 @@ def streaming_zscore_anomalies(
             ).sort_values(sort_cols, kind="stable")
             for ts, v in zip(whole[ts_col], whole[value_col]):
                 v = float(v)
-                if v != v:  # NaN/null value: not scoreable, and it
-                    continue  # must not poison the trailing window
-                    # (the batch twin's count/avg/stddev skip nulls)
-                tail = hist[-w:]
+                if v != v:  # NaN/null: not scoreable, but it OCCUPIES
+                    # a frame slot like the batch twin's ROWS window
+                    # (count/avg/stddev skip it via the placeholder)
+                    hist.append(float("nan"))
+                    continue
+                tail = [x for x in hist[-w:] if x == x]
                 n = len(tail)
-                if n >= min_history:
+                if n >= min_history and n >= 2:
                     mean = sum(tail) / n
                     var = sum((x - mean) ** 2 for x in tail) / (n - 1)
                     std = math.sqrt(var)

@@ -98,13 +98,86 @@ class TestPropertyIndex:
 
 
 class TestLookupContract:
-    def test_non_canonical_types_rejected(self, spark, tmp_path):
+    def test_renderings(self, spark, tmp_path):
+        from decimal import Decimal
+
         idx = PropertyIndex(spark, str(tmp_path / "x"), ["event_id"])
-        for bad in (True, 1.5, None):
-            with pytest.raises(TypeError):
-                idx._render(bad)
+        with pytest.raises(TypeError):
+            idx._render(None)
+        with pytest.raises(TypeError):
+            idx._render([1])
         assert idx._render(42) == "42"
         assert idx._render("x") == "x"
+        assert idx._render(True) == "true"
+        assert idx._render(False) == "false"
+        assert idx._render(2.0) == "4611686018427387904"
+        assert idx._render(float("nan")) == "9221120237041090560"
+        assert idx._render(Decimal("1.50")) == "1.50"
+        with pytest.raises(ValueError):
+            idx._render(Decimal("1.5E+25"))
+
+
+class TestTypedValues:
+    """probe ≡ scan bucket-parity for bool / float / decimal columns
+    (VERDICT r3 next-round #7) — proves the driver-side canonical
+    rendering hashes to the same bucket the JVM wrote."""
+
+    def _check(self, spark, tmp_path, name, schema_val, rows, col,
+               lookups):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rows)],
+            f"event_id long, v {schema_val}",
+        )
+        idx = PropertyIndex.build(
+            spark, df, F.col(col), ["event_id"],
+            str(tmp_path / name), n_buckets=8,
+        )
+        for val in lookups:
+            got = sorted(
+                r["event_id"] for r in idx.probe(df, val).collect()
+            )
+            want = sorted(
+                r["event_id"]
+                for r in df.where(F.col(col).eqNullSafe(F.lit(val))).collect()
+            )
+            assert got == want, (val, got, want)
+            assert len(got) > 0, val
+
+    def test_bool_column(self, spark, tmp_path):
+        self._check(
+            spark, tmp_path, "ixb", "boolean",
+            [i % 3 == 0 for i in range(40)], "v", [True, False],
+        )
+
+    def test_double_column(self, spark, tmp_path):
+        vals = [0.1, 2.0, -0.0, 1e300, 2.0, 0.1, -7.25]
+        self._check(
+            spark, tmp_path, "ixd", "double", vals, "v",
+            [0.1, 2.0, 1e300, -7.25],
+        )
+        # -0.0 keys its own bucket (distinct bits from 0.0) but still
+        # probes exactly
+        self._check(
+            spark, tmp_path, "ixdz", "double", [-0.0, 1.0], "v", [-0.0]
+        )
+
+    def test_float_column_widens(self, spark, tmp_path):
+        # FloatType values widen to exact doubles on both sides
+        self._check(
+            spark, tmp_path, "ixf", "float",
+            [1.5, -2.25, 1.5, 8.0], "v", [1.5, -2.25, 8.0],
+        )
+
+    def test_decimal_column(self, spark, tmp_path):
+        from decimal import Decimal
+
+        self._check(
+            spark, tmp_path, "ixdec", "decimal(10,2)",
+            [Decimal("1.50"), Decimal("-3.07"), Decimal("1.50"),
+             Decimal("0.00")],
+            "v",
+            [Decimal("1.50"), Decimal("-3.07"), Decimal("0.00")],
+        )
 
     def test_dataless_index_raises_clearly(self, spark, tmp_path):
         df = spark.createDataFrame(

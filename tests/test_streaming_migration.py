@@ -537,6 +537,66 @@ class TestStreamingZscoreNulls:
         finally:
             q.stop()
 
+    def test_null_rows_occupy_frame_slots_like_batch_twin(
+        self, spark, tmp_path
+    ):
+        """ADVICE r3: with nulls present, the streaming history must
+        not reach further back than the batch twin's ROWS frame — null
+        rows consume window slots on both sides, so the z-scores match
+        exactly."""
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            zscore_anomalies,
+        )
+        from inception_eventstore_spark.streaming.state import (
+            streaming_zscore_anomalies,
+        )
+
+        source = str(tmp_path / "zsp_in")
+        base = dt.datetime(2024, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        # values chosen so the frame CONTENT matters: early values are
+        # large, recent ones small; nulls push the early values out of
+        # a slot-counting window but keep them in a value-counting one
+        vals = [50.0, 60.0, 55.0, 1.0, 2.0, 1.5, 2.5, 1.0, None, None,
+                None, None, 2.0, 1.0, 1.5, 9.0]
+        rows = [
+            (i, base + dt.timedelta(minutes=i), 5, v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        df.write.parquet(source)
+        q = (
+            streaming_zscore_anomalies(
+                spark.readStream.schema(schema).parquet(source),
+                window=10, min_history=3, threshold=2.0,
+            )
+            .writeStream.format("memory")
+            .queryName("zsp_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "zsp_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # the streaming schema carries (key, ts, value, zscore) —
+            # match on ts
+            stream_by_ts = {
+                (h["ts"], round(h["zscore"], 9))
+                for h in spark.sql("SELECT * FROM zsp_sink").collect()
+            }
+        finally:
+            q.stop()
+        batch_by_ts = {
+            (h["ts"], round(h["zscore"], 9))
+            for h in zscore_anomalies(
+                df, window=10, min_history=3, threshold=2.0
+            ).collect()
+        }
+        assert len(batch_by_ts) > 0
+        assert stream_by_ts == batch_by_ts
+
 
 class TestTrendingTokens:
     def test_stream_counts_and_sink_ranking(self, spark, tmp_path):

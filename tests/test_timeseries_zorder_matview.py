@@ -275,6 +275,72 @@ class TestStreamIntoView:
         assert got == want
 
 
+class TestApplyCommitted:
+    def _mv(self, spark, tmp_path, name="mvc"):
+        return IncrementalAggView(
+            spark,
+            str(tmp_path / name),
+            ["k"],
+            [Measure("n", "count"), Measure("total", "sum", "value")],
+        )
+
+    def test_redelivery_is_noop(self, spark, tmp_path):
+        mv = self._mv(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(0, 1.0), (0, 2.0), (1, 5.0)], "k long, value double"
+        )
+        assert mv.apply_committed(batch, "sq-0") is True
+        assert mv.apply_committed(batch, "sq-0") is False  # redelivery
+        assert mv.apply_committed(batch, "sq-1") is True   # new batch
+        got = {r["k"]: (r["n"], r["total"]) for r in mv.read().collect()}
+        assert got == {0: (4, 6.0), 1: (2, 10.0)}
+        assert mv.applied_tokens() == {"sq-0", "sq-1"}
+
+    def test_half_committed_files_cleaned_on_retry(self, spark, tmp_path):
+        from inception_eventstore_spark.sources import fsutil
+
+        mv = self._mv(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(0, 1.0)], "k long, value double"
+        )
+        mv.apply_committed(batch, "sq-0")
+        # simulate a crash mid-commit of sq-1: token-named files landed
+        # but the ledger write never happened
+        mv._partial_frame(batch, False).write.parquet(
+            str(tmp_path / "stray")
+        )
+        for i, f in enumerate(
+            fsutil.list_data_files(spark, str(tmp_path / "stray"))
+        ):
+            fsutil.rename_path(spark, f, mv.path + f"/bsq-1-{i}.parquet")
+        # redelivery must replace (not add to) the orphaned files
+        assert mv.apply_committed(batch, "sq-1") is True
+        got = {r["k"]: (r["n"], r["total"]) for r in mv.read().collect()}
+        assert got == {0: (2, 2.0)}
+
+    def test_compact_and_rebuild_preserve_ledger(self, spark, tmp_path):
+        mv = self._mv(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(0, 3.0)], "k long, value double"
+        )
+        mv.apply_committed(batch, "sq-0")
+        mv.compact()
+        assert mv.applied_tokens() == {"sq-0"}
+        assert mv.apply_committed(batch, "sq-0") is False
+        mv.rebuild(batch)
+        assert mv.applied_tokens() == {"sq-0"}
+        got = {r["k"]: (r["n"], r["total"]) for r in mv.read().collect()}
+        assert got == {0: (1, 3.0)}
+
+    def test_bad_token_rejected(self, spark, tmp_path):
+        mv = self._mv(spark, tmp_path)
+        batch = spark.createDataFrame([(0, 1.0)], "k long, value double")
+        with pytest.raises(ValueError):
+            mv.apply_committed(batch, "a b")
+        with pytest.raises(ValueError):
+            mv.apply_committed(batch, "a/b")
+
+
 class TestReviewFixes:
     def test_retracting_apply_roundtrip(self, spark, tmp_path):
         mv = IncrementalAggView(
