@@ -4,18 +4,21 @@ steps (SURVEY §2 F extensions).
 
 Decode kernels, three tiers:
 
-- ``decode="real"`` REALLY decodes the formats that need no external
-  codec library: PPM (P6) and PNG (8-bit gray/RGB/RGBA, all five
-  scanline filters — stdlib zlib inflate + numpy unfiltering) images,
-  and PCM-16 WAV audio; each reduced to 16 deterministic signal
+- ``decode="real"`` REALLY decodes the formats implementable without
+  an external codec library: PPM (P6), PNG (8-bit gray/RGB/RGBA, all
+  five scanline filters — stdlib zlib inflate + numpy unfiltering) and
+  baseline-sequential JPEG (full Huffman + dequant + IDCT pipeline in
+  ``operators/jpeg.py`` — 4:4:4/4:2:2/4:2:0, restart markers) images,
+  and PCM/float WAV audio; each reduced to 16 deterministic signal
   features (channel stats / luminance grid / gradients for images;
   RMS / zero-crossings / log-spectral bands via rfft for audio). The
-  encode halves (``encode_ppm``/``encode_png``/``encode_wav``) let
-  fixtures round-trip — PPM/WAV bit-exactly, PNG pixel-exactly.
-- formats that genuinely need a codec library (JPEG via PIL, MP4 via
-  ffmpeg — not in this container) raise NotImplementedError at the
-  exact call point; swapping in the library changes only the per-batch
-  pandas function, nothing in the plan.
+  encode halves (``encode_ppm``/``encode_png``/``encode_wav``/
+  ``encode_jpeg``) let fixtures round-trip — PPM/WAV bit-exactly, PNG
+  pixel-exactly, JPEG within quantization error (PSNR-pinned).
+- formats that genuinely need a codec library (MP4/video via ffmpeg —
+  not in this container) raise NotImplementedError at the exact call
+  point; swapping in the library changes only the per-batch pandas
+  function, nothing in the plan.
 - ``decode="fake"`` keeps the original deterministic byte-histogram
   stand-in for plumbing tests that want modality-independent output.
 """
@@ -317,12 +320,19 @@ def _audio_features_real(payload: bytes) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Container sniff: PPM (P6) or PNG → (h, w, 3) uint8."""
+    """Container sniff: PPM (P6), PNG or baseline JPEG → (h, w, 3)
+    uint8."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
-    raise ValueError("unrecognized image container (not P6 PPM or PNG)")
+    if payload[:2] == b"\xff\xd8":
+        from inception_eventstore_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unrecognized image container (not P6 PPM, PNG or JPEG)"
+    )
 
 
 #: mime → codec-free real-decode kernel. Anything else needs an
@@ -330,6 +340,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
 _REAL_KERNELS = {
     "image/x-portable-pixmap": _image_features_real,
     "image/png": _image_features_real,
+    "image/jpeg": _image_features_real,
     "audio/wav": _audio_features_real,
 }
 
@@ -355,8 +366,8 @@ def extract_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
                     if real is None:
                         raise NotImplementedError(
                             f"decoding {mime!r} needs an external codec "
-                            "library (PIL/librosa/ffmpeg — not in this "
-                            "container); codec-free formats: "
+                            "library (ffmpeg for video — not in this "
+                            "container); library-free formats: "
                             f"{sorted(_REAL_KERNELS)}"
                         )
                     feats.append(real(p).tolist())
@@ -443,26 +454,40 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
-        png = modality == "image" and (i // 3) % 2 == 1
-        if png:
-            # every other image ships as a REAL PNG of the same pixel
-            # content family, exercising the inflate+unfilter path
-            payload = encode_png(decode_ppm(_synthetic_image(i)))
-        elif modality == "image":
-            payload = _synthetic_image(i)
+        if modality == "image":
+            # images rotate through all three real containers: raw PPM,
+            # PNG (inflate+unfilter path) and baseline JPEG (Huffman+
+            # dequant+IDCT path) of the same pixel content family
+            container = ("ppm", "png", "jpeg")[(i // 3) % 3]
+            if container == "ppm":
+                payload = _synthetic_image(i)
+            elif container == "png":
+                payload = encode_png(decode_ppm(_synthetic_image(i)))
+            else:
+                from inception_eventstore_spark.operators.jpeg import (
+                    encode_jpeg,
+                )
+
+                payload = encode_jpeg(
+                    decode_ppm(_synthetic_image(i)), quality=92,
+                    subsample=i % 2 == 1,
+                )
+            mime = {
+                "ppm": "image/x-portable-pixmap",
+                "png": "image/png",
+                "jpeg": "image/jpeg",
+            }[container]
         elif modality == "audio":
             payload = _synthetic_audio(i)
+            mime = "audio/wav"
         else:
             payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
+            mime = "video/mp4"
         rows.append(
             (
                 i,
                 modality,
-                "image/png" if png else {
-                    "image": "image/x-portable-pixmap",
-                    "audio": "audio/wav",
-                    "video": "video/mp4",
-                }[modality],
+                mime,
                 64 if modality == "image" else None,
                 48 if modality == "image" else None,
                 5000 + i * 100 if modality != "image" else None,

@@ -390,16 +390,18 @@ class TestPngCodec:
             spark.conf.set(key, prev)
 
     def test_synthetic_assets_mix_containers(self, spark):
-        df = M.synthetic_assets(spark, n=24)
+        df = M.synthetic_assets(spark, n=27)
         mimes = {
             r["mime"]
             for r in df.where(F.col("modality") == "image").collect()
         }
-        assert mimes == {"image/x-portable-pixmap", "image/png"}
+        assert mimes == {
+            "image/x-portable-pixmap", "image/png", "image/jpeg"
+        }
         feats = M.extract_features(
             df.where(F.col("modality") == "image"), decode="real"
         )
-        assert feats.count() == 8
+        assert feats.count() == 9
 
 
 class TestWavVariants:
