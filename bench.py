@@ -132,6 +132,12 @@ HEADLINE = [
     "q7_nation_volume",
     "q14_promo_share",
     "q16_supplier_counts",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 

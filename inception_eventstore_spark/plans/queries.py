@@ -4384,3 +4384,364 @@ QUERIES = {
     **{n: QUERIES[n] for n in _R4_SAMPLE_FIRST},
     **{n: qd for n, qd in QUERIES.items() if n not in _R4_SAMPLE_FIRST},
 }
+
+
+# ----------------------------------------------------------------------
+# Round-4 additions: the six TPC-H query shapes still missing (Q4, Q5,
+# Q8, Q9, Q20, Q21), completing all 22. The generated testdata carries
+# no partsupp table and no commit/receipt dates, so Q9/Q20/Q21 keep the
+# reference join SHAPE with the available columns: "supplycost" stands
+# in as p_retailprice·quantity·0.1 and "late" as shipping > N days
+# after the order date. Money sums round at 6 dp (CLAUDE.md many-group
+# rule: discount/price products are exact 1e-6-grid multiples, so true
+# sums sit ON the grid and 6 dp rounding is jitter-immune).
+# ----------------------------------------------------------------------
+
+
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts of 1996 orders having at least
+    one LATE lineitem (shipped > 60 days after the order date) — the
+    EXISTS realized as one left-semi join with a compound condition;
+    both the date-window filter and the count partial-aggregate stay
+    ahead of any wide exchange."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    win = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    late = win.join(
+        li,
+        (win["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > win["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation where customer AND supplier
+    sit in the same ASIA nation — the classic 6-table star join;
+    region/nation/supplier/customer all broadcast, lineitem⋈orders is
+    the only shuffle join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        n["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(
+            o.where(
+                (F.col("o_orderdate")
+                 >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold to
+    ASIA customers, by order year — conditional aggregation over the
+    same star join as Q5 plus the part filter; the share is a ratio of
+    two partial-aggregated sums, rounded at 6 dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    asia = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        n["n_regionkey"] == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("_cn"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_nat = s.join(
+        n.select("n_nationkey", F.col("n_name").alias("_sname")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "_sname")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(asia), c["c_nationkey"] == F.col("_cn"))
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("_sname") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (supplier nation, order year) over
+    name-matched parts. No partsupp table in the testdata, so the
+    supplycost term stands in as p_retailprice·l_quantity·0.1 — the
+    5-table join tree and the double-subtraction aggregate are the
+    shape under test. Both product terms live on the 1e-6 money grid,
+    so the 6 dp rounding is exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    supp_nat = s.join(
+        n.select("n_nationkey", F.col("n_name").alias("nation")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_name").like("%red%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 6).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than 40 units of
+    some 'small%' part during 1996 — the nested part-name semi-join
+    feeding a per-(part, supplier) aggregate, whose qualifying
+    suppliers semi-join back to the supplier dim (nation joined for the
+    output, as Q20's s_name/s_address projection). Quantities are
+    integers: the > threshold is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate")
+             >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(
+                p.where(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(shipped, s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: NATION_2 suppliers who were the ONLY late
+    shipper on a finished multi-supplier order (late = shipped > 90
+    days after the order date; the testdata has no receipt/commit
+    dates). The correlated EXISTS / NOT-EXISTS pair is decorrelated
+    into one per-order aggregate — distinct suppliers vs distinct LATE
+    suppliers — computed once and joined back, the formulation both
+    engines run identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lo = li.join(
+        o.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_nsupp"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_nlate"),
+    )
+    culprit = (
+        lo.where(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("_nsupp") >= 2) & (F.col("_nlate") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        culprit.join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n.where(F.col("n_name") == "NATION_2")),
+                    s["s_nationkey"] == F.col("n_nationkey"),
+                    "left_semi",
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+_R4A_QUERIES = {
+    "q4_order_priority": QueryDef(
+        q_q4_order_priority,
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_cnt "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "  AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ),
+    "q5_local_supplier_volume": QueryDef(
+        q_q5_local_supplier_volume,
+        "SELECT n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "  AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name",
+    ),
+    "q8_market_share": QueryDef(
+        q_q8_market_share,
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "round(sum(CASE WHEN sn.n_name = 'NATION_3' "
+        "  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+        "  / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA' "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "GROUP BY 1 ORDER BY 1",
+    ),
+    "q9_product_profit": QueryDef(
+        q_q9_product_profit,
+        "SELECT sn.n_name AS nation, "
+        "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "round(sum(l_extendedprice * (1 - l_discount) "
+        "  - p_retailprice * l_quantity * 0.1), 6) AS sum_profit "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%' "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "GROUP BY 1, 2 ORDER BY nation, o_year DESC",
+    ),
+    "q20_excess_shippers": QueryDef(
+        q_q20_excess_shippers,
+        "SELECT s_name, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE s_suppkey IN ("
+        "  SELECT l_suppkey FROM lineitem "
+        "  WHERE l_partkey IN (SELECT p_partkey FROM part "
+        "                      WHERE p_name LIKE 'small%') "
+        "  AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "  AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "  GROUP BY l_partkey, l_suppkey HAVING sum(l_quantity) > 40) "
+        "ORDER BY s_name",
+    ),
+    "q21_waiting_suppliers": QueryDef(
+        q_q21_waiting_suppliers,
+        "WITH lo AS ("
+        "  SELECT l_orderkey, l_suppkey, "
+        "    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "  WHERE o_orderstatus = 'F'), "
+        "po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp, "
+        "  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate "
+        "  FROM lo GROUP BY l_orderkey), "
+        "culprit AS (SELECT DISTINCT lo.l_orderkey, l_suppkey FROM lo "
+        "  JOIN po ON lo.l_orderkey = po.l_orderkey "
+        "  WHERE late AND nsupp >= 2 AND nlate = 1) "
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM culprit "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2' "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
+    ),
+}
+QUERIES = {**_R4A_QUERIES, **QUERIES}
