@@ -138,6 +138,7 @@ HEADLINE = [
     "q9_product_profit",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "text_entropy",
 ]
 
 

@@ -627,23 +627,30 @@ def lsh_knn_graph(
     # the Arrow signature kernel runs twice over the corpus. Production
     # persists `_sig` at ingest instead (LshVectorIndex) and skips this.
     sigged = sigged.localCheckpoint(eager=False)
-    if probe_radius > 1:
+    if probe_radius > 2:
         raise NotImplementedError(
-            "multiprobe radius > 1: raise n_planes instead — the probe "
-            "array is built JVM-side and radius 1 (own bucket + every "
-            "1-bit flip) is the standard recall/cost point"
+            "multiprobe radius > 2: probe volume grows as "
+            "C(n_planes, r) — raise n_planes or drop to brute force "
+            "instead (radius 1-2 are the standard recall/cost points)"
         )
-    # probe buckets as a literal-XOR array — pure JVM, no per-row UDF
+    # probe buckets as a literal-XOR array — pure JVM, no per-row UDF:
+    # own bucket + every 1-bit flip (radius 1) + every 2-bit flip
+    # (radius 2, C(n_planes, 2) more probes)
+    flips: list = []
+    if probe_radius >= 1:
+        flips += [1 << p for p in range(n_planes)]
+    if probe_radius >= 2:
+        flips += [
+            (1 << p) | (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
     probe_arr = F.array(
         F.col("_sig"),
-        *(
-            [
-                F.col("_sig").bitwiseXOR(F.lit(1 << p).cast("long"))
-                for p in range(n_planes)
-            ]
-            if probe_radius >= 1
-            else []
-        ),
+        *[
+            F.col("_sig").bitwiseXOR(F.lit(m).cast("long"))
+            for m in flips
+        ],
     )
     qside = sigged.select(
         F.col("_id").alias("src"),

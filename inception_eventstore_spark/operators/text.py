@@ -181,3 +181,57 @@ def text_stats_by_lang(docs: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the CHARACTER
+    distribution plus control/replacement-character fractions — the
+    standard mojibake / binary-garbage / low-diversity quality signal
+    (encoding corruption collapses entropy toward the replacement char;
+    base64 blobs and key-mash spam push it toward ln(alphabet)).
+
+    H = ln(n) − (Σ_c k_c·ln k_c)/n from one character explode and two
+    partial-aggregated groupBys (per (doc, char) counts are the only
+    wide exchange; distinct chars per doc is bounded by the alphabet,
+    so the second agg is tiny). The control/replacement fractions are
+    pure length arithmetic on the raw string — no explode. Returns
+    (id, n_chars, char_entropy, ctrl_frac, repl_frac); empty docs are
+    dropped (entropy of nothing is undefined).
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).where(F.length("_t") > 0)
+    counts = (
+        d.select("_id", F.explode(F.split("_t", "")).alias("_c"))
+        .groupBy("_id", "_c")
+        .agg(F.count("*").alias("_k"))
+    )
+    ent = counts.groupBy("_id").agg(
+        F.sum("_k").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log(F.sum("_k").cast("double"))
+            - F.sum(F.col("_k") * F.log("_k")) / F.sum("_k"),
+            6,
+        ).alias("char_entropy"),
+    )
+    # control chars except \t\n\r; U+FFFD replacement char
+    ctrl = F.length("_t") - F.length(
+        F.regexp_replace("_t", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    repl = F.length("_t") - F.length(
+        F.regexp_replace("_t", "�", "")
+    )
+    fracs = d.select(
+        "_id",
+        F.round(ctrl / F.length("_t"), 6).alias("ctrl_frac"),
+        F.round(repl / F.length("_t"), 6).alias("repl_frac"),
+    )
+    return ent.join(fracs, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_chars",
+        "char_entropy",
+        "ctrl_frac",
+        "repl_frac",
+    )

@@ -4745,3 +4745,40 @@ _R4A_QUERIES = {
     ),
 }
 QUERIES = {**_R4A_QUERIES, **QUERIES}
+
+
+def q_text_entropy(spark, sf_dir):
+    """Character-entropy quality signal (text.char_entropy): Shannon
+    entropy of the per-doc character distribution + control/replacement
+    char fractions — the mojibake/binary-garbage detector. One char
+    explode + two partial aggs; fractions are pure length arithmetic.
+    Oracle recomputes H = ln(n) − Σk·ln(k)/n from the identical
+    formula."""
+    from inception_eventstore_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
+_R4B_QUERIES = {
+    "text_entropy": QueryDef(
+        q_text_entropy,
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0), "
+        "cc AS (SELECT doc_id, c, count(*) AS k FROM ("
+        "  SELECT doc_id, unnest(string_split(text, '')) AS c FROM d) "
+        "  GROUP BY doc_id, c), "
+        "ent AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars, "
+        "  round(ln(sum(k)) - sum(k * ln(k)) / sum(k), 6) AS char_entropy "
+        "  FROM cc GROUP BY doc_id), "
+        "fr AS (SELECT doc_id, "
+        "  round((len(text) - len(regexp_replace(text, "
+        "    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) "
+        "    / CAST(len(text) AS DOUBLE), 6) AS ctrl_frac, "
+        "  round((len(text) - len(replace(text, chr(65533), ''))) "
+        "    / CAST(len(text) AS DOUBLE), 6) AS repl_frac FROM d) "
+        "SELECT ent.doc_id, n_chars, char_entropy, ctrl_frac, repl_frac "
+        "FROM ent JOIN fr ON ent.doc_id = fr.doc_id "
+        "ORDER BY ent.doc_id",
+    ),
+}
+QUERIES = {**_R4B_QUERIES, **QUERIES}

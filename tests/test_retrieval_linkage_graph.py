@@ -521,12 +521,39 @@ class TestLshKnnGraph:
         # fabricated neighbors beyond the bucket union)
         assert all(s != d for s, d in approx)
 
-    def test_radius2_rejected(self, spark):
+    def test_radius2_improves_recall(self, spark):
+        rng = np.random.default_rng(10)
+        vecs = rng.normal(size=(80, 16))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+            "vec_id long, embedding array<double>",
+        )
+        exact = {
+            (r["src"], r["dst"])
+            for r in S.knn_graph(df, k=3, n_blocks=4).collect()
+        }
+
+        def recall(radius):
+            approx = {
+                (r["src"], r["dst"])
+                for r in S.lsh_knn_graph(
+                    df, k=3, n_planes=4, dim=16, probe_radius=radius
+                ).collect()
+            }
+            return len(exact & approx) / len(exact)
+
+        r1, r2 = recall(1), recall(2)
+        # radius 2 probes a strict superset of buckets → recall can
+        # only rise; at 4 planes it reaches the full bucket union
+        assert r2 >= r1
+        assert r2 >= 0.8
+
+    def test_radius3_rejected(self, spark):
         df = spark.createDataFrame(
             [(0, [0.0, 1.0])], "vec_id long, embedding array<double>"
         )
         with pytest.raises(NotImplementedError):
-            S.lsh_knn_graph(df, probe_radius=2, dim=2)
+            S.lsh_knn_graph(df, probe_radius=3, dim=2)
 
 
 class TestBm25Multi:

@@ -404,6 +404,53 @@ class TestPngCodec:
         assert feats.count() == 9
 
 
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [
+                (0, "aaaa"),          # zero entropy
+                (1, "ab"),            # ln 2
+                (2, "aab"),           # ln3 - (2 ln2)/3
+                (3, ""),              # dropped
+                (4, "x\x01y\x01"),    # 2/4 control chars
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+        assert set(rows) == {0, 1, 2, 4}
+        assert rows[0]["char_entropy"] == 0.0
+        assert rows[1]["char_entropy"] == round(math.log(2), 6)
+        assert rows[2]["char_entropy"] == round(
+            math.log(3) - 2 * math.log(2) / 3, 6
+        )
+        assert rows[0]["n_chars"] == 4
+        assert rows[4]["ctrl_frac"] == 0.5
+        assert rows[0]["repl_frac"] == 0.0
+
+    def test_replacement_char_fraction(self, spark):
+        from inception_eventstore_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "ab��")], "doc_id long, text string"
+        )
+        r = char_entropy(docs).collect()[0]
+        assert r["repl_frac"] == 0.5
+        assert r["ctrl_frac"] == 0.0
+
+    def test_tab_newline_not_control(self, spark):
+        # \t \n \r are legitimate text, excluded from ctrl_frac
+        from inception_eventstore_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "a\tb\nc\rd")], "doc_id long, text string"
+        )
+        assert char_entropy(docs).collect()[0]["ctrl_frac"] == 0.0
+
+
 class TestWavVariants:
     def _wav(self, fmt, channels, rate, bits, body):
         import struct
