@@ -139,6 +139,12 @@ HEADLINE = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "text_entropy",
+    "graph_lpa_knn",
+    "graph_triangles_knn",
+    "graph_adamic_adar_knn",
+    "ewma_events",
+    "weighted_sample_docs",
+    "skipgram_ppmi",
 ]
 
 

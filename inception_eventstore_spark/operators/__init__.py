@@ -101,9 +101,13 @@ from inception_eventstore_spark.operators.linkage import (  # noqa: F401
 # NB: the bare `pagerank` function would shadow nothing (module is
 # `graph`), safe to re-export
 from inception_eventstore_spark.operators.graph import (  # noqa: F401
+    adamic_adar,
+    label_propagation,
     pagerank,
+    triangle_counts,
 )
 from inception_eventstore_spark.operators.timeseries import (  # noqa: F401
+    ewma_smooth,
     rolling_stats,
     zscore_anomalies,
 )

@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = [
+    "pagerank",
+    "undirected_edges",
+    "label_propagation",
+    "triangle_counts",
+    "adamic_adar",
+]
 
 
 def pagerank(
@@ -99,3 +105,229 @@ def pagerank(
     E2.unpersist()
     nodes.unpersist()
     return out
+
+
+def undirected_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set (x < y, distinct, self-loops
+    dropped) from any directed edge list — the shared normalization the
+    undirected operators below start from. One groupBy on the 2-column
+    canonical key."""
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+
+
+def _neighbors(und: DataFrame) -> DataFrame:
+    """(node, nbr) adjacency relation — each canonical edge in both
+    directions."""
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("node"), F.col("y").alias("nbr")),
+                F.struct(F.col("y").alias("node"), F.col("x").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, label) after ``iterations`` synchronous label-propagation
+    steps (Raghavan et al. 2007) over the undirected graph — the
+    classic near-linear community detector (cluster web domains or
+    near-dup doc graphs before sampling).
+
+    Deterministic spec both engines implement exactly: labels start as
+    the node's own id; each step every node adopts the most frequent
+    label among its NEIGHBORS (its own label does not vote), ties
+    broken by the smallest label. Synchronous update (all nodes step
+    from the previous generation), so a fixed iteration count is a
+    deterministic DAG — same reasoning as `pagerank`.
+
+    Shape per iteration: one equi-join (neighbors ⋈ labels on nbr) and
+    two partial-aggregated groupBys — the mode is computed as
+    ``min(struct(-cnt, label))``, a plain aggregate rather than a
+    ranking window, so each step's shuffle carries one row per (node,
+    candidate label), never a sorted per-node window. Labels are one
+    row per node; the adjacency is re-partitioned by nbr ONCE and
+    cached so every step reuses the same partitioning.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    und = undirected_edges(edges, src_col, dst_col)
+    nbrs = _neighbors(und).repartition("nbr").cache()
+    labels = nbrs.select(F.col("node"), F.col("node").alias("label")).distinct()
+    for _ in range(int(iterations)):
+        votes = (
+            nbrs.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lbl").alias("label"))
+        )
+    if not checkpoint:
+        return labels
+    out = labels.localCheckpoint(eager=True)
+    nbrs.unpersist()
+    return out
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, triangles) — exact per-node triangle participation counts
+    over the undirected graph (the local clustering-coefficient
+    numerator; spam/boilerplate link farms show up as triangle-dense
+    neighborhoods).
+
+    Degree-ordered orientation (Cohen 2009 / Suri-Vassilvitskii
+    "Counting triangles and the curse of the last reducer"): each
+    undirected edge is oriented from its (degree, id)-smaller endpoint
+    to the larger, so every wedge join fans out from the LOW-degree
+    vertex — the join volume is O(Σ min-deg per edge) = O(m^1.5) worst
+    case instead of O(Σ deg²), which is what makes a power-law hub
+    survivable at 100 TB. Each triangle is discovered exactly once (at
+    its orientation apex), then exploded to its three corners; nodes in
+    no triangle are restored with count 0 via a left join on the node
+    set. Three equi-join shuffles total, all partial-aggregated.
+    """
+    und = undirected_edges(edges, src_col, dst_col).localCheckpoint(
+        eager=False
+    )
+    deg = _neighbors(und).groupBy("node").agg(F.count("*").alias("deg"))
+    # orient by the total order (deg, id): apex = smaller endpoint
+    ed = (
+        und.join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(
+                    F.col("x").alias("lo"), F.col("y").alias("hi"),
+                    F.col("dx").alias("dlo"), F.col("dy").alias("dhi"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("y").alias("lo"), F.col("x").alias("hi"),
+                    F.col("dy").alias("dlo"), F.col("dx").alias("dhi"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.lo", "o.hi", "o.dhi")
+        .localCheckpoint(eager=False)
+    )
+    e1 = ed.select(F.col("lo").alias("apex"), F.col("hi").alias("v"),
+                   F.col("dhi").alias("dv"))
+    e2 = ed.select(F.col("lo").alias("apex"), F.col("hi").alias("w"),
+                   F.col("dhi").alias("dw"))
+    wedges = e1.join(e2, "apex").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = ed.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "leftsemi")
+    per_node = (
+        tris.select(
+            F.explode(
+                F.array(F.col("apex"), F.col("v"), F.col("w"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    nodes = _neighbors(und).select("node").distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias(
+            "triangles"
+        ),
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """(u, v, common_neighbors, adamic_adar) — link-prediction scores
+    for NON-adjacent node pairs sharing at least ``min_common``
+    neighbors:  AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))
+    (Adamic & Adar 2003) — high-score pairs are near-certain implicit
+    edges (e.g. candidate duplicate clusters the kNN graph missed).
+
+    Shape: wedge self-join of the adjacency on the shared middle
+    vertex w (u < v cuts each pair once), degree table joined on w
+    BEFORE grouping so the 1/ln(deg) term rides the wedge row, one
+    partial-aggregated groupBy(u, v), then an anti-join against the
+    canonical edge set to keep only non-adjacent pairs. A common
+    neighbor has degree ≥ 2 by construction, so ln(deg) is never 0.
+    The wedge volume is Σ deg(w)² — at 100 TB cap hub degrees first
+    (drop or sample super-nodes), the standard mitigation; hubs
+    contribute ~0 to AA anyway (1/ln(deg) → 0).
+    """
+    und = undirected_edges(edges, src_col, dst_col).localCheckpoint(
+        eager=False
+    )
+    nbrs = _neighbors(und)
+    deg = nbrs.groupBy("node").agg(F.count("*").alias("deg"))
+    n1 = nbrs.select(F.col("node").alias("w"), F.col("nbr").alias("u"))
+    n2 = nbrs.select(F.col("node").alias("w"), F.col("nbr").alias("v"))
+    wedges = (
+        n1.join(n2, "w")
+        .where(F.col("u") < F.col("v"))
+        .join(
+            F.broadcast(deg.withColumnRenamed("node", "w")), "w"
+        )
+    )
+    scored = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("deg").cast("double"))).alias("_aa"),
+        )
+        .where(F.col("common_neighbors") >= int(min_common))
+        .join(
+            und.select(F.col("x").alias("u"), F.col("y").alias("v")),
+            ["u", "v"],
+            "leftanti",
+        )
+        .select(
+            "u", "v",
+            F.col("common_neighbors").cast("bigint").alias(
+                "common_neighbors"
+            ),
+            F.round("_aa", 6).alias("adamic_adar"),
+        )
+    )
+    if top_n is not None:
+        scored = scored.orderBy(
+            F.col("adamic_adar").desc(), "u", "v"
+        ).limit(int(top_n))
+    return scored

@@ -441,3 +441,109 @@ def stupid_backoff_score(
             F.round(F.avg("_lp"), 6).alias("sb_score"),
         )
     )
+
+
+def _skipgram_pairs(
+    docs: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(_x, _y) — canonical unordered token pairs at distance 1..window
+    within a document. One union branch per distance; each branch
+    stages the token array in its own projection and references it from
+    a SINGLE zip_with lambda (the CLAUDE.md staging rule), so the work
+    is `window` linear corpus scans — no O(n²) re-tokenization, no
+    corpus-sized checkpoint."""
+    parts = []
+    for d in range(1, int(window) + 1):
+        tk = _tokenized(docs, id_col, text_col).where(
+            F.size("_tk") >= d + 1
+        )
+        parts.append(
+            tk.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("_tk"), 1, F.size("_tk") - d),
+                        F.slice(F.col("_tk"), 1 + d, F.size("_tk") - d),
+                        lambda a, b: F.struct(
+                            F.least(a, b).alias("x"),
+                            F.greatest(a, b).alias("y"),
+                        ),
+                    )
+                ).alias("_p")
+            ).select(F.col("_p.x").alias("_x"), F.col("_p.y").alias("_y"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.where(F.col("_x") != F.col("_y"))
+
+
+def skipgram_ppmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_pair_count: int = 5,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Positive PMI over unordered skip-gram co-occurrences — the
+    count statistic behind SGNS/word2vec-style embeddings (Levy &
+    Goldberg 2014: SGNS factorizes the shifted PPMI matrix):
+
+        ppmi(x,y) = max(0, ln( c(x,y) · T / (m(x) · m(y)) ))
+
+    for token pairs within ``window`` positions of each other (pairs at
+    distance 1..window all count once; same-token pairs are dropped).
+    Margins m(t) count t's appearances across the PAIR table (both
+    sides), the symmetric-window convention, so total/margins/scores
+    all derive from one materialized pair aggregate — identical shape
+    to `pmi_collocations`, which covers the adjacency-only (ordered)
+    statistic. Scale: `window` linear explodes → one groupBy on the
+    pair key; margins are |vocab| rows, broadcast back.
+    """
+    pairs = (
+        _skipgram_pairs(docs, id_col, text_col, window)
+        .groupBy(F.col("_x").alias("tok_x"), F.col("_y").alias("tok_y"))
+        .agg(F.count("*").alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
+    total = pairs.agg(F.sum("pair_count").alias("t")).first()["t"]
+    if not total:
+        raise ValueError("corpus has no in-window token pairs")
+    margins = (
+        pairs.select(
+            F.explode(F.array("tok_x", "tok_y")).alias("_t"), "pair_count"
+        )
+        .groupBy("_t")
+        .agg(F.sum("pair_count").alias("_m"))
+    )
+    mx = margins.select(F.col("_t").alias("_tx"), F.col("_m").alias("m_x"))
+    my = margins.select(F.col("_t").alias("_ty"), F.col("_m").alias("m_y"))
+    out = (
+        pairs.where(F.col("pair_count") >= int(min_pair_count))
+        .join(F.broadcast(mx), F.col("tok_x") == F.col("_tx"))
+        .join(F.broadcast(my), F.col("tok_y") == F.col("_ty"))
+        .select(
+            "tok_x",
+            "tok_y",
+            "pair_count",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("pair_count").cast("double")
+                        * F.lit(float(total))
+                        / (
+                            F.col("m_x").cast("double")
+                            * F.col("m_y").cast("double")
+                        )
+                    ),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("ppmi").desc(), "tok_x", "tok_y"
+        ).limit(int(top_n))
+    return out

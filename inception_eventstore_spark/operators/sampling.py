@@ -319,3 +319,45 @@ def length_bucketed_batches(
         )
         .drop("_rn", "_off")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``k`` rows drawn with inclusion probability proportional to
+    ``weight_col`` (Efraimidis & Spirakis 2006, algorithm A-ES):
+
+        key(row) = ln(u) / w,   u = portable md5-uniform in (0, 1)
+
+    and the sample is the k LARGEST keys (ln u < 0, so a big weight
+    divides the penalty toward 0). One projection + a global top-k
+    (TakeOrdered — per-partition heaps of k rows, never a full sort),
+    no shuffle of the table body; re-running with the same seed returns
+    the identical sample on any engine with md5 — the same
+    growth-stable portability contract as `hash_split` /
+    `stratified_hash_sample`, which cover the UNweighted cases.
+    Non-positive / NULL weights are excluded (they have probability 0).
+
+    Adds ``sample_key`` (6 dp) for auditability; ordering ties beyond
+    the rounded key are cut by ``id_col``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        md5_prefix60(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", F.round(key, 6))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_stats", "zscore_anomalies"]
+__all__ = ["rolling_stats", "zscore_anomalies", "ewma_smooth"]
 
 
 def rolling_stats(
@@ -81,4 +81,46 @@ def zscore_anomalies(
         .withColumn("zscore", z)
         .where(F.abs(F.col("zscore")) >= float(threshold))
         .drop("roll_n", "roll_avg", "roll_std")
+    )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha: float = 0.3,
+    depth: int = 8,
+) -> DataFrame:
+    """Adds ``ewma`` — a ``depth``-term truncated exponentially-weighted
+    moving average of ``value_col`` per key, including the current row:
+
+        ewma_t = Σ_{j=0..depth-1} (1−α)^j · x_{t−j}  /  Σ_j (1−α)^j
+
+    with the sums taken over the terms that EXIST (early rows normalize
+    over their shorter history; NULL values drop both their weight and
+    their term, so a null never poisons the average). Truncation at
+    ``depth`` makes the recurrence a fixed lag chain instead of a
+    sequential scan: all ``depth`` lags share ONE window spec, so Spark
+    computes them in a single sort/shuffle on the key and the whole
+    expression stays in codegen — no UDF, no per-key iteration, and the
+    exact same chain is expressible in any SQL engine (the oracle). The
+    dropped tail carries weight (1−α)^depth (< 6 % of the mass at the
+    defaults), the standard windowed-EWMA tradeoff at scale.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(int(depth)):
+        coef = float((1.0 - alpha) ** j)
+        xj = F.lag(F.col(value_col), j).over(w) if j else F.col(value_col)
+        num = num + F.coalesce(xj * F.lit(coef), F.lit(0.0))
+        den = den + F.when(xj.isNotNull(), F.lit(coef)).otherwise(F.lit(0.0))
+    return events.withColumn(
+        "ewma",
+        F.when(den > 0, F.round(num / den, 6)),
     )

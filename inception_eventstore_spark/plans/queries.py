@@ -4782,3 +4782,239 @@ _R4B_QUERIES = {
     ),
 }
 QUERIES = {**_R4B_QUERIES, **QUERIES}
+
+
+# --- r4 second wave: graph analytics / EWMA / weighted sampling / PPMI ---
+
+#: Shared oracle prefix — the exact 3-NN edge set over embeddings
+#: (identical all-pairs ranking to _KNN_ORACLE) normalized to the
+#: canonical undirected edge list `und(x, y)` and adjacency `nb(node,
+#: nbr)` the graph-operator oracles read.
+_KNN_EDGE_CTE = """
+v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+dd AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+  sqrt(greatest(list_inner_product(a.ev, a.ev)
+    - 2 * list_inner_product(a.ev, b.ev)
+    + list_inner_product(b.ev, b.ev), 0)) AS dist
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+rr AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist, dst)
+  AS rank FROM dd),
+e0 AS (SELECT src, dst FROM rr WHERE rank <= 3),
+und AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+nb AS (SELECT x AS node, y AS nbr FROM und
+  UNION ALL SELECT y AS node, x AS nbr FROM und)
+"""
+
+
+def _knn_edges(spark, sf_dir):
+    """Spark twin of _KNN_EDGE_CTE's e0: exact 3-NN directed edges via
+    the block-pair cogroup kernel (similarity.knn_graph)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=3, n_blocks=4).select("src", "dst")
+
+
+def q_graph_lpa(spark, sf_dir):
+    """3-iteration synchronous label propagation (graph.
+    label_propagation) over the exact 3-NN embedding graph — community
+    detection for semantic cluster dedup. Oracle unrolls the identical
+    deterministic recurrence (most-frequent neighbor label, ties →
+    smallest) three times over the same edge set."""
+    from inception_eventstore_spark.operators import graph as G
+
+    lbl = G.label_propagation(_knn_edges(spark, sf_dir), iterations=3)
+    return lbl.orderBy("node")
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    prev = "l0"
+    for i in (1, 2, 3):
+        steps.append(
+            f"v{i} AS (SELECT nb.node, {prev}.label, count(*) AS cnt "
+            f"FROM nb JOIN {prev} ON nb.nbr = {prev}.node GROUP BY 1, 2), "
+            f"l{i} AS (SELECT node, label FROM v{i} QUALIFY row_number() "
+            f"OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1)"
+        )
+        prev = f"l{i}"
+    body = ", ".join(steps)
+    return (
+        f"WITH {_KNN_EDGE_CTE.strip()}, "
+        "l0 AS (SELECT DISTINCT node, node AS label FROM nb), "
+        f"{body} "
+        "SELECT node, label FROM l3 ORDER BY node"
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact per-node triangle counts (graph.triangle_counts,
+    degree-ordered orientation) over the 3-NN embedding graph; oracle
+    enumerates each a<b<c triangle once from the canonical edge set —
+    orientation-independent, so the id-ordered SQL and the
+    degree-ordered Spark plan must agree row-for-row."""
+    from inception_eventstore_spark.operators import graph as G
+
+    return G.triangle_counts(_knn_edges(spark, sf_dir)).orderBy("node")
+
+
+_TRIANGLES_ORACLE = f"""
+WITH {_KNN_EDGE_CTE.strip()},
+tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM und e1 JOIN und e2 ON e2.x = e1.y
+  JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y),
+pn AS (SELECT unnest([a, b, c]) AS node FROM tri),
+cnts AS (SELECT node, count(*) AS t FROM pn GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM nb)
+SELECT nodes.node, CAST(coalesce(t, 0) AS BIGINT) AS triangles
+FROM nodes LEFT JOIN cnts ON nodes.node = cnts.node
+ORDER BY nodes.node
+"""
+
+
+def q_graph_adamic_adar(spark, sf_dir):
+    """Top-100 Adamic-Adar link-prediction scores for non-adjacent
+    pairs of the 3-NN embedding graph (graph.adamic_adar) — candidate
+    'missing edges' for cluster repair. Oracle recomputes the wedge
+    join + Σ 1/ln(deg) with the same 6 dp rounding; the LIMIT cut is
+    deterministic via (rounded score DESC, u, v)."""
+    from inception_eventstore_spark.operators import graph as G
+
+    return G.adamic_adar(_knn_edges(spark, sf_dir), top_n=100)
+
+
+_ADAMIC_ADAR_ORACLE = f"""
+WITH {_KNN_EDGE_CTE.strip()},
+deg AS (SELECT node, count(*) AS d FROM nb GROUP BY 1),
+wed AS (SELECT a.nbr AS u, b.nbr AS v, a.node AS w
+  FROM nb a JOIN nb b ON a.node = b.node AND a.nbr < b.nbr),
+sc AS (SELECT u, v, count(*) AS cn, sum(1.0 / ln(d)) AS aa
+  FROM wed JOIN deg ON wed.w = deg.node GROUP BY u, v),
+nonadj AS (SELECT sc.u, sc.v, sc.cn, sc.aa FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.x = sc.u AND und.y = sc.v))
+SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
+  round(aa, 6) AS adamic_adar
+FROM nonadj
+ORDER BY round(aa, 6) DESC, u, v LIMIT 100
+"""
+
+
+def q_ewma_events(spark, sf_dir):
+    """Per-user 8-term truncated EWMA (α = 0.3) of event values
+    (timeseries.ewma_smooth) — one window shuffle, all lags in one
+    sort. The oracle writes the identical left-associated lag chain
+    with the same python-repr coefficient literals, so the doubles
+    agree bit-for-bit before the 6 dp round."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.ewma_smooth(
+        ev, key_col="user_id", order_cols=("ts", "event_id"),
+        value_col="value", alpha=0.3, depth=8,
+    )
+    return out.select("event_id", "user_id", "ewma").orderBy("event_id")
+
+
+def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
+    num, den = ["0.0"], ["0.0"]
+    for j in range(depth):
+        coef = repr(float((1.0 - alpha) ** j))
+        x = f"lag(value, {j}) OVER w" if j else "value"
+        num.append(f"coalesce(({x}) * {coef}, 0.0)")
+        den.append(f"CASE WHEN ({x}) IS NOT NULL THEN {coef} ELSE 0.0 END")
+    return (
+        "SELECT event_id, user_id, "
+        f"CASE WHEN ({' + '.join(den)}) > 0 THEN "
+        f"round(({' + '.join(num)}) / ({' + '.join(den)}), 6) END AS ewma "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY event_id"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample without replacement: 100 documents
+    drawn ∝ n_chars via Efraimidis-Spirakis md5-keys
+    (sampling.weighted_sample); the oracle re-derives every key from
+    the same md5 arithmetic, so the selected set is identical."""
+    from inception_eventstore_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SA.weighted_sample(docs, "n_chars", k=100, id_col="doc_id")
+    return out.select("doc_id", "n_chars", "sample_key")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    round(ln((CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) * 1.0 + 0.5)
+             / 1152921504606846976.0)
+          / CAST(n_chars AS DOUBLE), 6) AS sample_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars, sample_key FROM keyed
+ORDER BY sample_key DESC, doc_id LIMIT 100
+"""
+
+
+def q_skipgram_ppmi(spark, sf_dir):
+    """Top-100 positive-PMI skip-gram co-occurrences, window ±2, min
+    pair count 5 (lm.skipgram_ppmi) — the SGNS/word2vec count
+    statistic. Margins derive from the pair table on both sides."""
+    from inception_eventstore_spark.operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    return LM.skipgram_ppmi(
+        docs, window=2, min_pair_count=5, top_n=100
+    )
+
+
+_SKIPGRAM_PPMI_ORACLE = f"""
+WITH t AS (
+  SELECT {_DUCK_TOKENS} AS tk FROM documents),
+p1 AS (
+  SELECT u.x AS x, u.y AS y FROM (
+    SELECT unnest([{{'x': least(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]),
+                     'y': greatest(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1])}}
+                   for i in generate_series(1, len(tk) - 1)]) AS u
+    FROM t WHERE len(tk) >= 2)),
+p2 AS (
+  SELECT u.x AS x, u.y AS y FROM (
+    SELECT unnest([{{'x': least(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 2]),
+                     'y': greatest(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 2])}}
+                   for i in generate_series(1, len(tk) - 2)]) AS u
+    FROM t WHERE len(tk) >= 3)),
+allp AS (SELECT x, y FROM p1 UNION ALL SELECT x, y FROM p2),
+pairs AS (SELECT x AS tok_x, y AS tok_y, count(*) AS pair_count
+  FROM allp WHERE x <> y GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS t FROM pairs),
+marg AS (SELECT tok, sum(pair_count) AS m FROM (
+    SELECT tok_x AS tok, pair_count FROM pairs
+    UNION ALL SELECT tok_y AS tok, pair_count FROM pairs)
+  GROUP BY tok)
+SELECT tok_x, tok_y, CAST(pair_count AS BIGINT) AS pair_count,
+  round(greatest(0.0,
+    ln(CAST(pair_count AS DOUBLE) * (SELECT t FROM tot)
+       / (CAST(mx.m AS DOUBLE) * CAST(my.m AS DOUBLE)))), 6) AS ppmi
+FROM pairs
+JOIN marg mx ON tok_x = mx.tok
+JOIN marg my ON tok_y = my.tok
+WHERE pair_count >= 5
+ORDER BY ppmi DESC, tok_x, tok_y LIMIT 100
+"""
+
+
+_R4C_QUERIES = {
+    "graph_lpa_knn": QueryDef(q_graph_lpa, _lpa_oracle()),
+    "graph_triangles_knn": QueryDef(q_graph_triangles, _TRIANGLES_ORACLE),
+    "graph_adamic_adar_knn": QueryDef(
+        q_graph_adamic_adar, _ADAMIC_ADAR_ORACLE
+    ),
+    "ewma_events": QueryDef(q_ewma_events, _ewma_oracle()),
+    "weighted_sample_docs": QueryDef(
+        q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE
+    ),
+    "skipgram_ppmi": QueryDef(q_skipgram_ppmi, _SKIPGRAM_PPMI_ORACLE),
+}
+QUERIES = {**_R4C_QUERIES, **QUERIES}
