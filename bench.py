@@ -145,6 +145,7 @@ HEADLINE = [
     "ewma_events",
     "weighted_sample_docs",
     "skipgram_ppmi",
+    "multimodal_sample_frames",
 ]
 
 

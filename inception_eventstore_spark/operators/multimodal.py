@@ -9,13 +9,16 @@ Decode kernels, three tiers:
   five scanline filters — stdlib zlib inflate + numpy unfiltering) and
   baseline-sequential JPEG (full Huffman + dequant + IDCT pipeline in
   ``operators/jpeg.py`` — 4:4:4/4:2:2/4:2:0, restart markers) images,
-  and PCM/float WAV audio; each reduced to 16 deterministic signal
-  features (channel stats / luminance grid / gradients for images;
-  RMS / zero-crossings / log-spectral bands via rfft for audio). The
-  encode halves (``encode_ppm``/``encode_png``/``encode_wav``/
-  ``encode_jpeg``) let fixtures round-trip — PPM/WAV bit-exactly, PNG
-  pixel-exactly, JPEG within quantization error (PSNR-pinned).
-- formats that genuinely need a codec library (MP4/video via ffmpeg —
+  PCM/float WAV audio, and AVI/MJPEG video (``operators/avi.py`` RIFF
+  walk + per-frame JPEG decode — frame EXTRACTION is chunk slicing,
+  pixels decode only where consumed); each reduced to 16 deterministic
+  signal features (channel stats / luminance grid / gradients for
+  images; RMS / zero-crossings / log-spectral bands via rfft for
+  audio; temporal luma / motion energy for video). The encode halves
+  (``encode_ppm``/``encode_png``/``encode_wav``/``encode_jpeg``/
+  ``encode_avi_mjpeg``) let fixtures round-trip — PPM/WAV bit-exactly,
+  PNG pixel-exactly, JPEG/AVI within quantization error (PSNR-pinned).
+- formats that genuinely need a codec library (MP4/H.264 via ffmpeg —
   not in this container) raise NotImplementedError at the exact call
   point; swapping in the library changes only the per-batch pandas
   function, nothing in the plan.
@@ -335,6 +338,58 @@ def _decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def _video_features_real(payload: bytes) -> np.ndarray:
+    """16 deterministic video features from a decoded AVI/MJPEG clip:
+    stream shape (frames/fps/dims), temporal luminance statistics,
+    motion energy (mean |frame-to-frame luma diff|), first/mid/last
+    frame luma, middle-frame gradients, mean compressed frame size.
+    At most 32 frames are pixel-decoded (evenly spaced — frame
+    EXTRACTION is chunk slicing, so skipped frames cost nothing)."""
+    from inception_eventstore_spark.operators.avi import (
+        avi_info,
+        extract_mjpeg_frames,
+    )
+    from inception_eventstore_spark.operators.jpeg import decode_jpeg
+
+    info = avi_info(payload)
+    jpegs = extract_mjpeg_frames(payload)
+    if not jpegs:
+        return np.zeros(_FEATURE_DIM, dtype=np.float32)
+    idx = np.unique(np.linspace(0, len(jpegs) - 1, 32).astype(int))
+    lums = [
+        decode_jpeg(jpegs[i]).astype(np.float64).mean(axis=2) / 255.0
+        for i in idx
+    ]
+    means = np.array([l.mean() for l in lums])
+    motion = (
+        float(np.mean([np.abs(a - b).mean() for a, b in zip(lums, lums[1:])]))
+        if len(lums) > 1
+        else 0.0
+    )
+    mid = lums[len(lums) // 2]
+    gx = np.abs(np.diff(mid, axis=1)).mean() if mid.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(mid, axis=0)).mean() if mid.shape[0] > 1 else 0.0
+    feats = [
+        np.log1p(len(jpegs)),
+        np.log1p(info.get("fps") or 0.0),
+        np.log1p(info["height"]),
+        np.log1p(info["width"]),
+        float(means.mean()),
+        float(means.std()),
+        motion,
+        float(means[0]),
+        float(means[len(means) // 2]),
+        float(means[-1]),
+        float(gx),
+        float(gy),
+        float(means.min()),
+        float(means.max()),
+        np.log1p(float(np.mean([len(j) for j in jpegs]))),
+        0.0,
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
 #: mime → codec-free real-decode kernel. Anything else needs an
 #: external library and raises at the call point.
 _REAL_KERNELS = {
@@ -342,6 +397,7 @@ _REAL_KERNELS = {
     "image/png": _image_features_real,
     "image/jpeg": _image_features_real,
     "audio/wav": _audio_features_real,
+    "video/x-msvideo": _video_features_real,
 }
 
 
@@ -415,6 +471,62 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset_ms", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: one row per sampled frame with the
+    frame's own JPEG payload — the video→image-table step a multimodal
+    training pipeline runs before image embedding (the output feeds
+    `extract_features(decode="real")` directly, mime image/jpeg).
+
+    MJPEG frames are independent JPEG streams, so extraction is RIFF
+    chunk slicing — NO pixel decode happens here; the IDCT cost lands
+    only on frames downstream kernels consume. mapInPandas keeps it
+    one Arrow-batched python worker per partition; non-AVI video
+    payloads raise at the call point (MP4 needs an external codec),
+    matching the `extract_features` contract."""
+    from inception_eventstore_spark.operators.avi import (
+        avi_info,
+        extract_mjpeg_frames,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("asset_id", "frame_idx", "offset_ms", "mime", "payload")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                jpegs = extract_mjpeg_frames(bytes(payload))
+                fps = avi_info(bytes(payload)).get("fps") or 0.0
+                if not jpegs or fps <= 0:
+                    continue
+                duration_ms = len(jpegs) / fps * 1000.0
+                t = 0.0
+                while t < duration_ms:
+                    i = int(t * fps / 1000.0)
+                    if i >= len(jpegs):
+                        break
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["offset_ms"].append(int(t))
+                    out["mime"].append("image/jpeg")
+                    out["payload"].append(jpegs[i])
+                    t += every_ms
+            yield pd.DataFrame(out)
+
+    return assets.where(F.col("modality") == "video").mapInPandas(
+        kernel, schema=_FRAME_SCHEMA
+    )
+
+
 def _synthetic_image(i: int, w: int = 64, h: int = 48) -> bytes:
     """Deterministic PPM: per-channel gradients phase-shifted by id."""
     xs = np.arange(w)[None, :]
@@ -439,18 +551,34 @@ def _synthetic_audio(i: int, rate: int = 8000, ms: int = 100) -> bytes:
     return encode_wav((x * 32767).astype(np.int16), rate)
 
 
+def _synthetic_video(i: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic AVI/MJPEG clip: 3-6 frames of the id-keyed
+    gradient family with a per-frame phase shift (visible motion)."""
+    from inception_eventstore_spark.operators.avi import encode_avi_mjpeg
+
+    n_frames = 3 + i % 4
+    frames = [
+        decode_ppm(_synthetic_image(i * 31 + f * 5, w=w, h=h))
+        for f in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, fps=4, quality=85)
+
+
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture: n assets across modalities with payloads
     derived from the id (no external data needed). Image payloads are
-    REAL binary PPMs and audio payloads REAL PCM-16 WAVs, so the
-    codec-free ``decode="real"`` path exercises genuine byte-level
-    decoding; video keeps an opaque stand-in payload (MP4 decode is
-    ffmpeg-bound). Built from plain-Python rows, NOT a pandas frame: a
-    pandas frame coerces int+None columns to float64, and the non-Arrow
-    ``createDataFrame`` fallback then rejects ``64.0`` for IntegerType
-    (the one red driver row in CORRECTNESS_r03). Python int/None
-    survive both the Arrow and non-Arrow paths, and at fixture sizes
-    (n≤256) the Arrow batch-transfer advantage is noise."""
+    REAL binary PPMs/PNGs/JPEGs, audio payloads REAL PCM-16 WAVs, and
+    two of every three video payloads REAL AVI/MJPEG clips (the
+    in-repo RIFF + JPEG codecs), so the codec-free ``decode="real"``
+    path exercises genuine byte-level decoding across all THREE
+    modalities; every third video keeps an opaque MP4 stand-in (ffmpeg
+    -bound) so the raises-at-call-point contract stays tested. Built
+    from plain-Python rows, NOT a pandas frame: a pandas frame coerces
+    int+None columns to float64, and the non-Arrow ``createDataFrame``
+    fallback then rejects ``64.0`` for IntegerType (the one red driver
+    row in CORRECTNESS_r03). Python int/None survive both the Arrow
+    and non-Arrow paths, and at fixture sizes (n≤256) the Arrow
+    batch-transfer advantage is noise."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -481,17 +609,20 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             payload = _synthetic_audio(i)
             mime = "audio/wav"
         else:
-            payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
-            mime = "video/mp4"
-        rows.append(
-            (
-                i,
-                modality,
-                mime,
-                64 if modality == "image" else None,
-                48 if modality == "image" else None,
-                5000 + i * 100 if modality != "image" else None,
-                payload,
-            )
-        )
+            if (i // 3) % 3 == 2:  # every third video: codec-bound MP4
+                payload = bytes((i * 7 + j) % 256 for j in range(128 + i))
+                mime = "video/mp4"
+            else:
+                payload = _synthetic_video(i)
+                mime = "video/x-msvideo"
+        if modality == "image":
+            w, h, dur = 64, 48, None
+        elif modality == "audio":
+            w, h, dur = None, None, 5000 + i * 100
+        elif mime == "video/x-msvideo":
+            # real clip: metadata reflects the actual stream
+            w, h, dur = 24, 16, (3 + i % 4) * 1000 // 4
+        else:
+            w, h, dur = None, None, 5000 + i * 100
+        rows.append((i, modality, mime, w, h, dur, payload))
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)

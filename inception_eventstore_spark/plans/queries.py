@@ -1951,19 +1951,20 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_multimodal_real_decode(spark, sf_dir):
-    """REAL byte-level decode of the codec-free formats: the synthetic
-    image/audio payloads are genuine binary PPM / PCM-16 WAV files,
-    parsed in pure numpy (header walk + frombuffer) and reduced to 16
-    signal features (channel stats, luminance grid, gradients; RMS,
-    zero-crossings, log-spectral bands). Rows-only: the decoders are
-    pinned by round-trip and hand-computed-feature tests
-    (tests/test_text_multimodal.py::TestCodecs, TestRealDecode); video
-    (ffmpeg-bound) stays the one declared stub."""
+    """REAL byte-level decode across all three modalities: the
+    synthetic payloads are genuine PPM/PNG/JPEG images, PCM-16 WAV
+    audio, and AVI/MJPEG video (RIFF walk + per-frame JPEG decode),
+    parsed in pure numpy and reduced to 16 signal features (channel
+    stats / luminance grid / gradients; RMS / zero-crossings /
+    log-spectral bands; temporal luma / motion energy). Rows-only: the
+    decoders are pinned by round-trip and hand-computed-feature tests
+    (tests/test_text_multimodal.py::TestCodecs, TestRealDecode,
+    TestAviCodec); only MP4/H.264 (ffmpeg-bound) stays excluded."""
     from inception_eventstore_spark.operators import multimodal as MM
 
     assets = (
         MM.synthetic_assets(spark, n=256)
-        .where(F.col("modality") != "video")
+        .where(F.col("mime") != "video/mp4")
         .coalesce(4)
     )
     feats = MM.extract_features(assets, decode="real")
@@ -2747,9 +2748,13 @@ QUERIES: dict[str, QueryDef] = {
     "multimodal_frame_plan": QueryDef(
         q_multimodal_frame_plan,
         # regenerate the synthetic video assets' metadata from the same
-        # arithmetic (modality = i%3 → video at i%3==2, duration =
-        # 5000+i·100), then the same sequence math as frame_sample_plan
-        "WITH a AS (SELECT i AS asset_id, 5000 + i * 100 AS duration_ms "
+        # arithmetic (modality = i%3 → video at i%3==2; every third
+        # video is an opaque MP4 with duration 5000+i·100, the rest
+        # are real AVI clips whose duration = (3+i%4)·1000/4), then
+        # the same sequence math as frame_sample_plan
+        "WITH a AS (SELECT i AS asset_id, "
+        "CASE WHEN (i // 3) % 3 = 2 THEN 5000 + i * 100 "
+        "ELSE (3 + i % 4) * 1000 // 4 END AS duration_ms "
         "FROM range(0, 256) t(i) WHERE i % 3 = 2), "
         "f AS (SELECT asset_id, unnest(range(0, greatest(CAST("
         "floor(duration_ms / 1000.0) AS BIGINT), 1))) AS frame_idx FROM a) "
@@ -5018,3 +5023,45 @@ _R4C_QUERIES = {
     "skipgram_ppmi": QueryDef(q_skipgram_ppmi, _SKIPGRAM_PPMI_ORACLE),
 }
 QUERIES = {**_R4C_QUERIES, **QUERIES}
+
+
+def q_multimodal_sample_frames(spark, sf_dir):
+    """REAL video frame extraction (multimodal.sample_frames): RIFF
+    chunk slicing of the fixture AVI/MJPEG clips at 250 ms (= every
+    stored frame at 4 fps). The payload bytes are kernel output
+    (pinned by TestAviCodec), but the SCHEDULE — which frames exist,
+    at which offsets — is fully value-oracled: the SQL regenerates the
+    per-clip frame count (3 + i%4) from the fixture arithmetic, so a
+    hash match proves the extractor walked every movi chunk of every
+    clip."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = MM.synthetic_assets(spark, n=256).where(
+        F.col("mime") == "video/x-msvideo"
+    )
+    return MM.sample_frames(assets, every_ms=250).select(
+        "asset_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("offset_ms").cast("bigint").alias("offset_ms"),
+        "mime",
+    )
+
+
+_SAMPLE_FRAMES_ORACLE = """
+WITH a AS (SELECT i AS asset_id, 3 + i % 4 AS nf
+  FROM range(0, 256) t(i)
+  WHERE i % 3 = 2 AND (i // 3) % 3 <> 2),
+f AS (SELECT asset_id, unnest(range(0, nf)) AS frame_idx FROM a)
+SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(frame_idx * 250 AS BIGINT) AS offset_ms,
+  'image/jpeg' AS mime
+FROM f ORDER BY asset_id, frame_idx
+"""
+
+
+_R4D_QUERIES = {
+    "multimodal_sample_frames": QueryDef(
+        q_multimodal_sample_frames, _SAMPLE_FRAMES_ORACLE
+    ),
+}
+QUERIES = {**_R4D_QUERIES, **QUERIES}

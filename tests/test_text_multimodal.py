@@ -150,15 +150,22 @@ class TestMultimodal:
 
     def test_real_decode_stubbed_only_for_codec_bound_formats(self, spark):
         """MP4 (ffmpeg-bound) still raises; the codec-free formats in
-        the same fixture decode for real (see TestRealDecode)."""
-        assets = M.synthetic_assets(spark, n=4)  # includes one video
-        from py4j.protocol import Py4JJavaError  # noqa: F401
+        the same fixture — now including AVI/MJPEG video — decode for
+        real (see TestRealDecode, TestAviCodec)."""
+        assets = M.synthetic_assets(spark, n=16)  # asset 8 is an MP4
+        from pyspark.sql import functions as F
 
+        mp4 = assets.where(F.col("mime") == "video/mp4")
+        assert mp4.count() == 1
         with pytest.raises(Exception) as exc:
-            M.extract_features(assets, decode="real").collect()
+            M.extract_features(mp4, decode="real").collect()
         assert "NotImplementedError" in str(exc.value) or isinstance(
             exc.value, NotImplementedError
         )
+        # the AVI videos in the same fixture decode for real
+        avi = assets.where(F.col("mime") == "video/x-msvideo")
+        rows = M.extract_features(avi, decode="real").collect()
+        assert rows and all(len(r["features"]) == 16 for r in rows)
 
     def test_real_decode_of_ppm_and_wav(self, spark):
         from pyspark.sql import functions as F
@@ -225,6 +232,111 @@ class TestCodecs:
             assert idxs == list(range(len(idxs)))
             for i, off in frames:
                 assert off == i * 1000
+
+
+class TestAviCodec:
+    def _frames(self, n=5, w=24, h=16, key=7):
+        return [
+            M.decode_ppm(M._synthetic_image(key + i * 11, w=w, h=h))
+            for i in range(n)
+        ]
+
+    def test_round_trip_psnr(self):
+        from inception_eventstore_spark.operators import avi as A
+
+        frames = self._frames()
+        payload = A.encode_avi_mjpeg(frames, fps=4, quality=85)
+        decoded, fps = A.decode_avi_mjpeg(payload)
+        assert fps == 4.0 and len(decoded) == len(frames)
+        for a, b in zip(frames, decoded):
+            assert b.shape == a.shape
+            mse = float(((a.astype(float) - b.astype(float)) ** 2).mean())
+            psnr = 10 * np.log10(255**2 / mse) if mse > 0 else 99.0
+            assert psnr > 35.0
+
+    def test_info_header_fields(self):
+        from inception_eventstore_spark.operators import avi as A
+
+        payload = A.encode_avi_mjpeg(self._frames(n=7), fps=10)
+        info = A.avi_info(payload)
+        assert info == {
+            "n_frames": 7, "width": 24, "height": 16,
+            "handler": "MJPG", "fps": 10.0,
+        }
+
+    def test_extraction_is_chunk_slicing(self):
+        # extracted frame payloads are the exact JPEG byte strings the
+        # encoder wrote — no transcode, no pixel work
+        from inception_eventstore_spark.operators import avi as A
+        from inception_eventstore_spark.operators.jpeg import encode_jpeg
+
+        frames = self._frames(n=3)
+        jpegs = [encode_jpeg(f, quality=90) for f in frames]
+        payload = A.encode_avi_mjpeg(frames, fps=4, quality=90)
+        assert A.extract_mjpeg_frames(payload) == jpegs
+
+    def test_rejects_non_avi(self):
+        from inception_eventstore_spark.operators import avi as A
+
+        for bad in (b"\x00" * 16, b"RIFF\x08\x00\x00\x00WAVEdata"):
+            with pytest.raises(ValueError):
+                A.avi_info(bad)
+        with pytest.raises(ValueError):
+            A.encode_avi_mjpeg([], fps=4)
+
+    def test_video_features_match_driver_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        assets = M.synthetic_assets(spark, n=9).where(
+            F.col("mime") == "video/x-msvideo"
+        )
+        rows = {r["asset_id"]: r["features"]
+                for r in M.extract_features(assets, decode="real").collect()}
+        assert rows  # ids 2 and 5
+        for aid, feats in rows.items():
+            expect = M._video_features_real(M._synthetic_video(aid))
+            assert feats == pytest.approx(list(expect), abs=1e-6)
+
+    def test_sample_frames_feed_image_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        assets = M.synthetic_assets(spark, n=8)  # videos 2 and 5: both AVI
+        frames = M.sample_frames(assets, every_ms=250)
+        rows = frames.collect()
+        assert rows, "AVI videos must yield frame rows"
+        # 4 fps, every 250 ms → one row per stored frame, exact offsets
+        by_asset = {}
+        for r in rows:
+            assert r["mime"] == "image/jpeg"
+            by_asset.setdefault(r["asset_id"], []).append(r)
+        for aid, rs in by_asset.items():
+            n_frames = 3 + aid % 4
+            assert sorted(r["frame_idx"] for r in rs) == list(range(n_frames))
+            for r in rs:
+                assert r["offset_ms"] == r["frame_idx"] * 250
+        # the frame table IS an image-asset table: decode end-to-end
+        img_assets = frames.select(
+            (F.col("asset_id") * 1000 + F.col("frame_idx")).alias("asset_id"),
+            F.lit("image").alias("modality"),
+            "mime",
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            "payload",
+        )
+        feats = M.extract_features(img_assets, decode="real").collect()
+        assert len(feats) == len(rows)
+        assert all(len(f["features"]) == 16 for f in feats)
+
+    def test_mp4_videos_skipped_by_sample_frames_raise(self, spark):
+        from pyspark.sql import functions as F
+
+        mp4 = M.synthetic_assets(spark, n=16).where(
+            F.col("mime") == "video/mp4"
+        )
+        with pytest.raises(Exception) as exc:
+            M.sample_frames(mp4).collect()
+        assert "not a RIFF/AVI" in str(exc.value)
 
 
 class TestCorpusCuration:
