@@ -146,6 +146,40 @@ CHECKS = {
          r"\*\(\d+\) HashAggregate"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    # (the edge set is localCheckpointed, so the upstream knn COGROUP
+    # kernel is evidenced under knn_graph, not here)
+    "graph_triangles_knn": [
+        ("wedge/degree counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("closing-edge membership is a semi-join", r"LeftSemi"),
+        ("wedge join is a key equi-join, never nested-loop",
+         "!CartesianProduct|BroadcastNestedLoopJoin"),
+    ],
+    "graph_adamic_adar_knn": [
+        ("degree table joins onto wedges broadcast",
+         r"BroadcastHashJoin"),
+        ("adjacent pairs removed by anti-join, not a filter scan",
+         r"LeftAnti"),
+    ],
+    "ewma_events": [
+        ("one hash shuffle on the key serves the whole lag chain",
+         r"Exchange hashpartitioning\(user_id"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "weighted_sample_docs": [
+        ("global top-k runs as TakeOrdered (per-partition heaps), "
+         "never a full sort", r"TakeOrderedAndProject"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "skipgram_ppmi": [
+        ("margin tables join back broadcast", r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "multimodal_sample_frames": [
+        ("frame extraction is one Arrow-batched python kernel",
+         r"MapInPandas"),
+        ("no shuffle anywhere — chunk slicing is map-side", "!Exchange"),
+    ],
 }
 
 
@@ -368,9 +402,38 @@ def _pagerank_iteration_plan(spark, sf_dir: str):
     return pagerank(j, iterations=2, checkpoint=False)
 
 
+def _lpa_iteration_plan(spark, sf_dir: str):
+    """The un-checkpointed label-propagation DAG (the declared query
+    checkpoints the final labels, hiding the iteration plan)."""
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.operators.graph import label_propagation
+    from inception_eventstore_spark.plans.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").limit(10000)
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return label_propagation(j, iterations=2, checkpoint=False)
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "lpa_iteration",
+        _lpa_iteration_plan,
+        [
+            ("vote mode computed as a plain aggregate — NO ranking "
+             "window anywhere in the iteration", "!Window"),
+            ("per-step vote counts partial-aggregated",
+             r"HashAggregate.*partial|partial_count"),
+            ("no python UDF in the path",
+             "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
     (
         "decontaminate_pass",
         _decontaminate_pass,
