@@ -146,6 +146,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "skipgram_ppmi",
     "multimodal_sample_frames",
+    "multimodal_resize",
 ]
 
 

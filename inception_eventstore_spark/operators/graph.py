@@ -275,6 +275,7 @@ def adamic_adar(
     dst_col: str = "dst",
     min_common: int = 1,
     top_n: int | None = None,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """(u, v, common_neighbors, adamic_adar) — link-prediction scores
     for NON-adjacent node pairs sharing at least ``min_common``
@@ -288,23 +289,32 @@ def adamic_adar(
     partial-aggregated groupBy(u, v), then an anti-join against the
     canonical edge set to keep only non-adjacent pairs. A common
     neighbor has degree ≥ 2 by construction, so ln(deg) is never 0.
-    The wedge volume is Σ deg(w)² — at 100 TB cap hub degrees first
-    (drop or sample super-nodes), the standard mitigation; hubs
-    contribute ~0 to AA anyway (1/ln(deg) → 0).
+    The wedge volume is Σ deg(w)² — ``max_degree`` is the standard
+    100 TB mitigation: super-node middles above the cap are excluded
+    from wedge generation BEFORE the self-join (measured 54 s → bounded
+    on the 12M-edge 10× smoke). Hubs contribute ~0 to AA anyway
+    (1/ln(deg) → 0 and they co-neighbor everything), so the cap changes
+    scores only by dropping near-zero terms; set it None for the exact
+    statistic (the oracle path).
     """
     und = undirected_edges(edges, src_col, dst_col).localCheckpoint(
         eager=False
     )
     nbrs = _neighbors(und)
     deg = nbrs.groupBy("node").agg(F.count("*").alias("deg"))
-    n1 = nbrs.select(F.col("node").alias("w"), F.col("nbr").alias("u"))
-    n2 = nbrs.select(F.col("node").alias("w"), F.col("nbr").alias("v"))
-    wedges = (
-        n1.join(n2, "w")
-        .where(F.col("u") < F.col("v"))
-        .join(
-            F.broadcast(deg.withColumnRenamed("node", "w")), "w"
-        )
+    mid = deg
+    if max_degree is not None:
+        mid = deg.where(F.col("deg") <= int(max_degree))
+    # joining deg onto the adjacency FIRST both caps the wedge fan-out
+    # and rides the 1/ln(deg) term on the wedge row
+    nw = nbrs.join(
+        F.broadcast(mid.withColumnRenamed("node", "w")),
+        nbrs["node"] == F.col("w"),
+    ).select("w", "nbr", "deg")
+    n1 = nw.select("w", F.col("nbr").alias("u"), "deg")
+    n2 = nw.select(F.col("w").alias("w2"), F.col("nbr").alias("v"))
+    wedges = n1.join(n2, n1["w"] == n2["w2"]).where(
+        F.col("u") < F.col("v")
     )
     scored = (
         wedges.groupBy("u", "v")

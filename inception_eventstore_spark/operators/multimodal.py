@@ -471,6 +471,116 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, 3) uint8 → (out_h, out_w, 3) uint8 by bilinear sampling
+    (align-corners=False pixel-center convention, the
+    torchvision/PIL default). Fully vectorized numpy: one fancy-gather
+    of the four corner grids + weighted blend — no python-per-pixel
+    loop, so the Arrow kernel below stays batch-shaped."""
+    if img.ndim != 3:
+        raise ValueError(f"expected (h, w, c) pixels, got {img.shape}")
+    if out_h < 1 or out_w < 1:
+        raise ValueError("output dims must be >= 1")
+    h, w = img.shape[:2]
+    # source coordinates of each output pixel center
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0[:, None], x0[None, :]] * (1 - wx) + p[y0[:, None], x1[None, :]] * wx
+    bot = p[y1[:, None], x0[None, :]] * (1 - wx) + p[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, out_format: str = "png"
+) -> DataFrame:
+    """REAL image resize (the standard multimodal pre-embedding
+    transform): decode each image asset (PPM/PNG/JPEG), bilinear-resize
+    to (height, width), re-encode, and return asset rows with updated
+    payload/dims/mime. mapInPandas Arrow kernel; non-image rows are
+    filtered out (the caller unions them back if needed). ``out_format``
+    is 'png' (lossless, default) or 'ppm' (raw, largest but cheapest)."""
+    if out_format not in ("png", "ppm"):
+        raise ValueError(out_format)
+    encode = encode_png if out_format == "png" else encode_ppm
+    mime = (
+        "image/png" if out_format == "png" else "image/x-portable-pixmap"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode(
+                    bilinear_resize(
+                        _decode_image(bytes(p)), int(height), int(width)
+                    )
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "mime": [mime] * len(pdf),
+                    "width": pd.array([int(width)] * len(pdf), dtype="Int32"),
+                    "height": pd.array([int(height)] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return assets.where(F.col("modality") == "image").mapInPandas(
+        kernel, schema=ASSET_SCHEMA
+    )
+
+
+def resample_audio(assets: DataFrame, rate: int) -> DataFrame:
+    """REAL audio resample to ``rate`` Hz (linear interpolation — the
+    np.interp kernel; mono PCM-16 output), returning asset rows with
+    re-encoded WAV payloads. The standard normalize-before-features
+    step for mixed-rate audio corpora."""
+    if rate < 1:
+        raise ValueError("rate must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for p in pdf["payload"]:
+                x, r = decode_wav(bytes(p))
+                n_out = max(1, int(round(len(x) * rate / r)))
+                t_out = np.arange(n_out) * (r / rate)
+                y = np.interp(t_out, np.arange(len(x)), x)
+                payloads.append(
+                    encode_wav(
+                        np.clip(y * 32767.0, -32768, 32767).astype(np.int16),
+                        rate,
+                    )
+                )
+                durs.append(int(n_out * 1000 / rate))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "mime": ["audio/wav"] * len(pdf),
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return assets.where(F.col("modality") == "audio").mapInPandas(
+        kernel, schema=ASSET_SCHEMA
+    )
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -5065,3 +5065,30 @@ _R4D_QUERIES = {
     ),
 }
 QUERIES = {**_R4D_QUERIES, **QUERIES}
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image resize → feature pipeline: every fixture image
+    (PPM/PNG/JPEG) is decoded, bilinear-resized to 32×24, re-encoded
+    PNG, and pushed through the real image kernel — the standard
+    pre-embedding normalization pass. Rows-only (kernel output; the
+    resize math is pinned by TestTransforms incl. exact known-value
+    and identity cases)."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = MM.synthetic_assets(spark, n=256).coalesce(4)
+    resized = MM.resize_images(assets, width=32, height=24)
+    feats = MM.extract_features(resized, decode="real")
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.to_json(
+            F.transform("features", lambda x: F.round(x.cast("double"), 5))
+        ).alias("features_json"),
+    )
+
+
+_R4E_QUERIES = {
+    "multimodal_resize": QueryDef(q_multimodal_resize, None),
+}
+QUERIES = {**_R4E_QUERIES, **QUERIES}

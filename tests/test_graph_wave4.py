@@ -324,3 +324,26 @@ class TestSkipgramPpmi:
         top = LM.skipgram_ppmi(df, min_pair_count=5, top_n=1).collect()[0]
         assert {top["tok_x"], top["tok_y"]} == {"networks", "neural"}
         assert top["ppmi"] > 0
+
+
+class TestAdamicAdarHubCap:
+    def test_hub_cap_drops_supernode_middles(self, spark):
+        # star hub 0 (deg 10) + edge (1,2): uncapped scores 44 pairs
+        # through the hub; capping at deg<=5 excludes the hub middle
+        # and the remaining wedges all close existing edges -> empty
+        pairs = [(0, i) for i in range(1, 11)] + [(1, 2)]
+        df = _edges_df(spark, pairs)
+        assert G.adamic_adar(df).count() == 44
+        assert G.adamic_adar(df, max_degree=5).count() == 0
+
+    def test_cap_above_max_degree_is_exact(self, spark):
+        rng = random.Random(11)
+        pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        exact = {(r["u"], r["v"]): r["adamic_adar"]
+                 for r in G.adamic_adar(_edges_df(spark, pairs)).collect()}
+        capped = {(r["u"], r["v"]): r["adamic_adar"]
+                  for r in G.adamic_adar(
+                      _edges_df(spark, pairs), max_degree=1000
+                  ).collect()}
+        assert exact == capped

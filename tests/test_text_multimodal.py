@@ -339,6 +339,78 @@ class TestAviCodec:
         assert "not a RIFF/AVI" in str(exc.value)
 
 
+class TestTransforms:
+    def test_bilinear_known_values(self):
+        q = np.array(
+            [[[0, 0, 0], [100, 100, 100]], [[200, 200, 200], [60, 60, 60]]],
+            np.uint8,
+        )
+        # 2x2 → 1x1 samples the exact center: mean of the 4 corners
+        assert M.bilinear_resize(q, 1, 1).ravel().tolist() == [90, 90, 90]
+        img = M.decode_ppm(M._synthetic_image(3))
+        # identity resize is pixel-exact; constant images stay constant
+        assert np.array_equal(
+            M.bilinear_resize(img, img.shape[0], img.shape[1]), img
+        )
+        c = np.full((4, 4, 3), 77, np.uint8)
+        assert np.unique(M.bilinear_resize(c, 9, 13)).tolist() == [77]
+        with pytest.raises(ValueError):
+            M.bilinear_resize(img, 0, 5)
+
+    def test_resize_images_end_to_end(self, spark):
+        assets = M.synthetic_assets(spark, n=12)
+        out = M.resize_images(assets, width=32, height=24)
+        rows = out.collect()
+        assert len(rows) == 4  # images only
+        for r in rows:
+            assert (r["width"], r["height"]) == (32, 24)
+            assert r["mime"] == "image/png"
+            px = M.decode_png(bytes(r["payload"]))
+            assert px.shape == (24, 32, 3)
+            # pixels match the driver-side kernel on the same source
+            src = M._decode_image(
+                bytes(
+                    {a["asset_id"]: a for a in assets.collect()}[
+                        r["asset_id"]
+                    ]["payload"]
+                )
+            )
+            assert np.array_equal(px, M.bilinear_resize(src, 24, 32))
+        # the resized table feeds the real image kernel directly
+        feats = M.extract_features(out, decode="real").collect()
+        assert len(feats) == 4 and all(len(f["features"]) == 16 for f in feats)
+
+    def test_resample_audio(self, spark):
+        assets = M.synthetic_assets(spark, n=12)
+        out = M.resample_audio(assets, rate=4000)
+        rows = out.collect()
+        assert len(rows) == 4  # audios only
+        for r in rows:
+            x, rate = M.decode_wav(bytes(r["payload"]))
+            assert rate == 4000
+            # source clips are 100 ms at 8 kHz → 400 samples at 4 kHz
+            assert len(x) == 400
+            assert r["duration_ms"] == 100
+        # downsampled sine keeps its fundamental: driver-side parity
+        src = M._synthetic_audio(1)
+        x8, _ = M.decode_wav(src)
+        t = np.arange(400) * 2.0
+        expect = np.interp(t, np.arange(len(x8)), x8)
+        got, _ = M.decode_wav(
+            bytes(
+                {r["asset_id"]: r for r in rows}[1]["payload"]
+            )
+        )
+        assert np.allclose(got, np.clip(expect, -1, 1), atol=2e-4)
+
+    def test_guards(self, spark):
+        assets = M.synthetic_assets(spark, n=3)
+        with pytest.raises(ValueError):
+            M.resize_images(assets, 8, 8, out_format="bmp")
+        with pytest.raises(ValueError):
+            M.resample_audio(assets, rate=0)
+
+
 class TestCorpusCuration:
     def test_dedup_filter_and_rollup(self, spark):
         from pyspark.sql import functions as F

@@ -96,6 +96,30 @@ def main() -> int:
     volumes["pagerank_nodes"] = pr.count()
     timings["pagerank_3iter"] = round(time.time() - t0, 3)
 
+    # -- label propagation: 3 iterations, same 12M-edge graph ---------
+    t0 = time.time()
+    lpa = G.label_propagation(edges, iterations=3)
+    volumes["lpa_nodes"] = lpa.count()
+    timings["label_propagation_3iter"] = round(time.time() - t0, 3)
+
+    # -- triangles + Adamic-Adar need a non-bipartite graph: fold the
+    # purchase graph into a K-node collision graph (keys knuth-hashed
+    # so copies don't align), ~12M edges over 1M nodes, deg≈20 --------
+    K = 1_000_000
+    tri_edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.pmod(F.col("o_custkey") * 2654435761, F.lit(K)).alias("src"),
+        F.pmod(F.col("l_partkey") * 40503, F.lit(K)).alias("dst"),
+    )
+    t0 = time.time()
+    tc = G.triangle_counts(tri_edges)
+    volumes["triangle_nodes"] = tc.count()
+    timings["triangle_counts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    aa = G.adamic_adar(tri_edges, min_common=2, top_n=100, max_degree=64)
+    volumes["adamic_adar_top"] = len(aa.collect())
+    timings["adamic_adar_hubcap64"] = round(time.time() - t0, 3)
+
     # -- basket rules over 10× distinct baskets -----------------------
     t0 = time.time()
     rules = association_rules(
