@@ -147,6 +147,7 @@ HEADLINE = [
     "skipgram_ppmi",
     "multimodal_sample_frames",
     "multimodal_resize",
+    "text_normalize",
 ]
 
 

@@ -235,3 +235,50 @@ def char_entropy(
         "ctrl_frac",
         "repl_frac",
     )
+
+
+def nfc(col: Column | str) -> Column:
+    """Unicode NFC (canonical composition) of a string column, as an
+    Arrow-batched pandas UDF — Spark has no JVM NFC builtin, so this is
+    the one justified python seam in the text family (same policy as
+    the multimodal codec kernels); the DuckDB oracle twin is
+    ``nfc_normalize``, making the seam cross-engine-checked rather
+    than merely test-pinned."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def unicode_clean(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, text_clean) — the standard ingest-side text canonicalizer:
+
+    1. strip control characters (except \\t \\n \\r) and U+FFFD
+       replacement chars — the mojibake/binary-garbage residue
+       `char_entropy` scores,
+    2. Unicode NFC composition (é as ONE codepoint, Å for the
+       angstrom sign, …) so downstream hashing/dedup never splits on
+       representation,
+    3. collapse whitespace runs to single spaces and trim.
+
+    Steps 1 and 3 are JVM regexp_replace (codegen); step 2 is the
+    `nfc` Arrow seam. Exactly this pipeline — same operation ORDER —
+    is declared as the oracle SQL, so the whole composition is
+    hash-verified against DuckDB, not just the pieces. Case is
+    preserved (unlike `dedup.normalize_text`, the lossy dedup KEY —
+    this produces the text you keep)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    c = F.regexp_replace(c, "�", "")
+    c = nfc(c)
+    c = F.trim(F.regexp_replace(c, "[ \\t\\n\\x0b\\f\\r]+", " "))
+    return docs.select(F.col(id_col), c.alias("text_clean"))

@@ -5092,3 +5092,55 @@ _R4E_QUERIES = {
     "multimodal_resize": QueryDef(q_multimodal_resize, None),
 }
 QUERIES = {**_R4E_QUERIES, **QUERIES}
+
+
+def q_text_normalize(spark, sf_dir):
+    """Ingest-side unicode canonicalization (text.unicode_clean):
+    control/U+FFFD strip → NFC composition (the Arrow seam — Spark has
+    no JVM NFC) → whitespace collapse. The fixture text is ASCII, so
+    each document is planted with a decomposed suffix (combining
+    acute/diaeresis, the angstrom sign U+212B → Å, a BEL control):
+    the oracle builds the identical codepoints with chr() and runs
+    DuckDB's independent nfc_normalize — two unrelated NFC
+    implementations must produce byte-identical md5s."""
+    from inception_eventstore_spark.operators import text as TXX
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" café Ångström uni\x07code"),
+        ).alias("text"),
+    )
+    out = TXX.unicode_clean(d)
+    return out.select(
+        "doc_id",
+        F.length("text_clean").cast("bigint").alias("n_chars"),
+        F.md5(F.encode("text_clean", "UTF-8")).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+_TEXT_NORMALIZE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+    text || ' cafe' || chr(769) || ' ' || chr(8491) || 'ngstro'
+         || chr(776) || 'm uni' || chr(7) || 'code' AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      nfc_normalize(
+        regexp_replace(
+          regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+          chr(65533), '', 'g')),
+      '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS tc
+  FROM p)
+SELECT doc_id, CAST(length(tc) AS BIGINT) AS n_chars, md5(tc) AS clean_fp
+FROM c ORDER BY doc_id
+"""
+
+
+_R4F_QUERIES = {
+    "text_normalize": QueryDef(q_text_normalize, _TEXT_NORMALIZE_ORACLE),
+}
+QUERIES = {**_R4F_QUERIES, **QUERIES}

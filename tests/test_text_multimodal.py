@@ -677,3 +677,51 @@ class TestWavVariants:
             M.decode_wav(self._wav(1, 1, 8000, 24, b"\x00" * 12))
         with pytest.raises(NotImplementedError):
             M.decode_wav(self._wav(7, 1, 8000, 8, b"\x00" * 4))  # µ-law
+
+
+class TestUnicodeClean:
+    def _clean(self, spark, texts):
+        from inception_eventstore_spark.operators.text import unicode_clean
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        return [
+            r["text_clean"]
+            for r in unicode_clean(df).orderBy("doc_id").collect()
+        ]
+
+    def test_nfc_composes_and_python_parity(self, spark):
+        import unicodedata
+
+        decomposed = "café Ångström"
+        got = self._clean(spark, [decomposed])[0]
+        assert got == unicodedata.normalize("NFC", decomposed)
+        assert "́" not in got and "é" not in got.encode(
+            "ascii", "ignore"
+        ).decode()
+        assert "café" in got
+
+    def test_compatibility_chars_preserved(self, spark):
+        # NFC is canonical-only: the ﬁ ligature and ² stay (NFKC would
+        # fold them) — pins that the seam is NFC, not NFKC
+        s = "ﬁle x²"
+        assert self._clean(spark, [s])[0] == s
+
+    def test_controls_replacement_whitespace(self, spark):
+        got = self._clean(
+            spark, ["a\x07b �  c\t\td\r\n e", "  lead trail  "]
+        )
+        assert got[0] == "ab c d e"
+        assert got[1] == "lead trail"
+
+    def test_idempotent_and_null_safe(self, spark):
+        from inception_eventstore_spark.operators.text import unicode_clean
+
+        once = self._clean(spark, ["café  x"])
+        twice = self._clean(spark, once)
+        assert once == twice
+        df = spark.createDataFrame(
+            [(0, None)], "doc_id long, text string"
+        )
+        assert unicode_clean(df).collect()[0]["text_clean"] is None

@@ -116,9 +116,9 @@ def main() -> int:
     timings["triangle_counts"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    aa = G.adamic_adar(tri_edges, min_common=2, top_n=100, max_degree=64)
+    aa = G.adamic_adar(tri_edges, min_common=2, top_n=100, max_degree=32)
     volumes["adamic_adar_top"] = len(aa.collect())
-    timings["adamic_adar_hubcap64"] = round(time.time() - t0, 3)
+    timings["adamic_adar_hubcap32"] = round(time.time() - t0, 3)
 
     # -- basket rules over 10× distinct baskets -----------------------
     t0 = time.time()
