@@ -148,6 +148,8 @@ HEADLINE = [
     "multimodal_sample_frames",
     "multimodal_resize",
     "text_normalize",
+    "random_projection",
+    "bpe_encode_words",
 ]
 
 

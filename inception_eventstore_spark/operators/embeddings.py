@@ -27,6 +27,8 @@ materialized, so nothing re-evaluates).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -192,3 +194,54 @@ def standardize_embeddings(
         F.col("_ctr"), F.col("_sd"), lambda x, s: x / s
     )
     return staged.withColumn(out_col, out).drop("_mu", "_sd", "_ctr")
+
+
+def projection_matrix(d: int, out_dim: int, seed: str = "v1"):
+    """Deterministic (d, out_dim) Gaussian random-projection matrix,
+    scaled 1/√out_dim (Johnson-Lindenstrauss: pairwise distances are
+    preserved within 1±ε for out_dim = O(ln n / ε²)). Seeded through
+    SeedSequence on the UTF-8 seed string, so the same seed rebuilds
+    the identical matrix on any machine — the matrix IS the model, and
+    callers persist only the seed."""
+    ss = np.random.SeedSequence(
+        list(seed.encode("utf-8")) + [d, out_dim]
+    )
+    rng = np.random.default_rng(ss)
+    return rng.standard_normal((d, out_dim)) / np.sqrt(out_dim)
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: str = "v1",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """emb + ``out_col``: array<double> — the JL random projection xᵀR.
+
+    The cheap distance-preserving dimension cut for ANN/clustering
+    pre-passes where PCA's data-dependent fit (`pca.pca_components`)
+    is overkill: no training pass, no shuffle, reproducible from the
+    seed alone. The matrix is built driver-side (d·out_dim floats) and
+    broadcast BY VALUE into one Arrow matmul kernel — the projection
+    itself is a zero-shuffle map pass, same shape as `pca_project`.
+    With ``round_dp`` the coordinates are rounded for cross-engine
+    comparison (the declared oracle re-derives every coordinate from
+    the SAME matrix embedded as SQL literals)."""
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding table")
+    R = projection_matrix(int(first["d"]), int(out_dim), seed)
+
+    @F.pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        Y = M @ R
+        if round_dp is not None:
+            Y = np.round(Y, round_dp)
+        return pd.Series(list(Y))
+
+    return emb.withColumn(out_col, proj(F.col(vec_col)))

@@ -172,16 +172,8 @@ def bpe_pair_counts(
     )
     if merges:
         # " c h a r s </w> " — spaces delimit symbols; sentinels keep
-        # the lookarounds valid at both ends
-        sym = F.concat(
-            F.lit(" "),
-            F.regexp_replace("w", "(.)", "$1 "),
-            F.lit("</w> "),
-        )
-        for a, b in merges:
-            pat = "(?<= )" + re.escape(a) + " " + re.escape(b) + "(?= )"
-            rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
-            sym = F.regexp_replace(sym, pat, rep)
+        # the lookarounds valid at both ends (shared with bpe_encode)
+        sym = _merged_symbol_string(F.col("w"), merges)
         staged = vocab.select(
             "freq", F.split(F.trim(sym), " ").alias("_syms")
         )
@@ -547,3 +539,105 @@ def skipgram_ppmi(
             F.col("ppmi").desc(), "tok_x", "tok_y"
         ).limit(int(top_n))
     return out
+
+
+def _merged_symbol_string(col, merges: list[tuple[str, str]]):
+    """' s1 s2 … </w> ' — the space-joined symbol string of a word
+    after applying ``merges`` in order. JVM-only: per merge one
+    regexp_replace with non-consuming space lookarounds (see
+    bpe_pair_counts for why lookarounds, not consumed spaces)."""
+    sym = F.concat(
+        F.lit(" "),
+        F.regexp_replace(col, "(.)", "$1 "),
+        F.lit("</w> "),
+    )
+    for a, b in merges or []:
+        pat = "(?<= )" + re.escape(a) + " " + re.escape(b) + "(?= )"
+        rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+        sym = F.regexp_replace(sym, pat, rep)
+    return sym
+
+
+def bpe_encode_words(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, freq, pieces, n_pieces) — the corpus vocabulary encoded
+    under a learned BPE merge list (tokenizer APPLICATION, completing
+    the train half in `bpe_pair_counts`/`bpe_train`).
+
+    Vocabulary-first dataflow: every distinct word is encoded exactly
+    ONCE however often it occurs — the merge chain runs over |vocab|
+    rows, and per-token results come from an equi-join on the word
+    (`bpe_token_counts`), the same collapse that makes training
+    tractable. Encoding itself is the JVM regex chain (no UDF); the
+    declared oracle replays the identical greedy left-to-right merge
+    semantics with a DuckDB list_reduce per merge, so the whole
+    encoder is value-checked cross-engine."""
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pieces = F.split(F.trim(_merged_symbol_string(F.col("w"), merges)), " ")
+    return vocab.select(
+        "w",
+        "freq",
+        pieces.alias("pieces"),
+        F.size(pieces).alias("n_pieces"),
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_pieces) — per-document BPE token counts under
+    ``merges``: corpus tokens equi-join the once-encoded vocabulary
+    (broadcast when small), then one partial-aggregated groupBy. The
+    budget signal sequence packing and context-window planning read."""
+    enc = bpe_encode_words(docs, merges, id_col, text_col).select(
+        "w", "n_pieces"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("w")
+    )
+    return (
+        toks.join(enc, "w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(F.col("_id").alias(id_col), "n_words", "n_pieces")
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """The full Sennrich training loop: ``n_merges`` rounds of
+    argmax(bpe_pair_counts) with the accumulated merges applied each
+    round (ties → lexicographic, the top_n ordering). Driver state is
+    the merge list alone (n_merges tuples); each round is one
+    vocabulary-scale Spark job. Note the round-k job re-applies k−1
+    regex merges over the vocabulary — O(n²) vocab-row regex passes
+    total, the standard cost of exact BPE; for large n_merges
+    checkpoint the symbolized vocabulary periodically instead."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        top = bpe_pair_counts(
+            docs, id_col, text_col, top_n=1, merges=merges
+        ).collect()
+        if not top or top[0]["pair_count"] < int(min_pair_count):
+            break
+        merges.append((top[0]["sym_a"], top[0]["sym_b"]))
+    return merges

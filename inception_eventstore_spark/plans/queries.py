@@ -5144,3 +5144,107 @@ _R4F_QUERIES = {
     "text_normalize": QueryDef(q_text_normalize, _TEXT_NORMALIZE_ORACLE),
 }
 QUERIES = {**_R4F_QUERIES, **QUERIES}
+
+
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection to 8 dims
+    (embeddings.random_projection) — the train-free distance-preserving
+    dimension cut. The seed-derived matrix is embedded in the oracle as
+    SQL literals, so every coordinate is value-checked: DuckDB's
+    sequential list_inner_product must agree with the Arrow matmul to
+    6 dp."""
+    from inception_eventstore_spark.operators import embeddings as EM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = EM.random_projection(emb, out_dim=8, seed="v1")
+    return out.select("vec_id", "proj").orderBy("vec_id")
+
+
+def _random_projection_oracle(out_dim: int = 8, d: int = 64) -> str:
+    from inception_eventstore_spark.operators.embeddings import (
+        projection_matrix,
+    )
+
+    R = projection_matrix(d, out_dim, "v1")
+    cols = []
+    for k in range(out_dim):
+        lits = ", ".join(repr(float(x)) for x in R[:, k])
+        cols.append(f"round(list_inner_product(ev, [{lits}]), 6)")
+    arr = ", ".join(cols)
+    return (
+        "WITH v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS ev FROM embeddings) "
+        f"SELECT vec_id, [{arr}] AS proj FROM v ORDER BY vec_id"
+    )
+
+
+_R4G_QUERIES = {
+    "random_projection": QueryDef(
+        q_random_projection, _random_projection_oracle()
+    ),
+}
+QUERIES = {**_R4G_QUERIES, **QUERIES}
+
+
+#: Fixed merge list for the encode query — oracle strings are static
+#: per scale factor, so the merges must be literals, not trained at
+#: query time (bpe_train's loop is exercised in pytest).
+_BPE_QUERY_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"),
+    ("a", "n"), ("the</w>", "the</w>"),
+]
+
+
+def q_bpe_encode_words(spark, sf_dir):
+    """BPE tokenizer APPLICATION (lm.bpe_encode_words): the corpus
+    vocabulary encoded under a fixed 6-merge list via the JVM
+    lookaround-regex chain. The oracle replays the identical greedy
+    left-to-right merge semantics with one DuckDB list_reduce pass per
+    merge (sequential scan, immediate merge — provably the same
+    normal form), so every piece sequence is value-checked. The last
+    merge is a deliberate no-op pair (no word contains 'the</w>the</w>')
+    pinning that impossible merges change nothing."""
+    from inception_eventstore_spark.operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = LM.bpe_encode_words(docs, _BPE_QUERY_MERGES)
+    return out.select(
+        "w",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.array_join("pieces", " ").alias("pieces_str"),
+        F.col("n_pieces").cast("bigint").alias("n_pieces"),
+    ).orderBy("w")
+
+
+def _bpe_encode_oracle() -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "list_append(string_split(w, ''), '</w>')"
+    for a, b in _BPE_QUERY_MERGES:
+        drop = len(a) + 2  # trailing ' {a} ' to cut before appending ab
+        step = (
+            "CASE WHEN acc = chr(1) THEN ' ' || z || ' ' "
+            f"WHEN z = '{esc(b)}' AND ends_with(acc, ' {esc(a)} ') "
+            f"THEN left(acc, length(acc) - {drop}) || ' {esc(a + b)} ' "
+            "ELSE acc || z || ' ' END"
+        )
+        expr = (
+            "string_split(trim(list_reduce(list_prepend(chr(1), "
+            f"{expr}), (acc, z) -> {step})), ' ')"
+        )
+    return (
+        "WITH vocab AS (SELECT w, count(*) AS freq FROM ("
+        f"SELECT unnest({_DUCK_TOKENS}) AS w FROM documents) GROUP BY w), "
+        f"enc AS (SELECT w, freq, {expr} AS pieces FROM vocab) "
+        "SELECT w, CAST(freq AS BIGINT) AS freq, "
+        "array_to_string(pieces, ' ') AS pieces_str, "
+        "CAST(len(pieces) AS BIGINT) AS n_pieces "
+        "FROM enc ORDER BY w"
+    )
+
+
+_R4H_QUERIES = {
+    "bpe_encode_words": QueryDef(q_bpe_encode_words, _bpe_encode_oracle()),
+}
+QUERIES = {**_R4H_QUERIES, **QUERIES}

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import Row
 
 from inception_eventstore_spark.operators import embeddings as EB
@@ -137,3 +138,73 @@ class TestStandardize:
         )
         out = EB.standardize_embeddings(df).collect()
         assert all(r.embedding_std[0] == 0.0 for r in out)
+
+
+class TestRandomProjection:
+    def test_numpy_parity_and_determinism(self, spark):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.embeddings import (
+            projection_matrix,
+            random_projection,
+        )
+        from inception_eventstore_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+        rows = random_projection(emb, out_dim=8, seed="v1").orderBy(
+            "vec_id"
+        ).collect()
+        R = projection_matrix(64, 8, "v1")
+        src = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in emb.collect()}
+        for r in rows:
+            expect = np.round(src[r["vec_id"]] @ R, 6)
+            assert r["proj"] == pytest.approx(expect.tolist(), abs=1e-9)
+        again = random_projection(emb, out_dim=8, seed="v1").orderBy(
+            "vec_id"
+        ).collect()
+        assert [r["proj"] for r in again] == [r["proj"] for r in rows]
+        # a different seed gives a different projection
+        other = random_projection(emb, out_dim=8, seed="v2").orderBy(
+            "vec_id"
+        ).collect()
+        assert [r["proj"] for r in other] != [r["proj"] for r in rows]
+
+    def test_distances_roughly_preserved(self, spark):
+        # JL with out_dim 32 over d=64: relative distance distortion of
+        # far-apart planted points stays bounded
+        import numpy as np
+
+        from inception_eventstore_spark.operators.embeddings import (
+            random_projection,
+        )
+
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((40, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = random_projection(
+            df, out_dim=32, seed="v1", round_dp=None
+        ).orderBy("vec_id").collect()
+        Y = np.array([r["proj"] for r in rows])
+        Xf = np.array([r["embedding"] for r in
+                       df.orderBy("vec_id").collect()], dtype=np.float64)
+        for _ in range(30):
+            i, j = rng.integers(0, 40, 2)
+            if i == j:
+                continue
+            dx = np.linalg.norm(Xf[i] - Xf[j])
+            dy = np.linalg.norm(Y[i] - Y[j])
+            assert 0.4 < dy / dx < 1.9  # loose JL band at out_dim 32
+
+    def test_guard(self, spark):
+        from inception_eventstore_spark.operators.embeddings import (
+            random_projection,
+        )
+        from inception_eventstore_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError):
+            random_projection(emb, out_dim=0)

@@ -584,3 +584,100 @@ class TestBm25Multi:
         )
         rows = RT.bm25_multi_topk(corpus, qdf, k=2).collect()
         assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+
+
+class TestBpeEncodeTrain:
+    @staticmethod
+    def _py_encode(word: str, merges):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_encode_python_parity(self, spark):
+        texts = ["the theme then there", "aaaa aab the an and",
+                 "hat that math she the"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        merges = [("t", "h"), ("th", "e"), ("a", "a"), ("e", "</w>")]
+        got = {
+            r["w"]: (r["pieces"], r["n_pieces"])
+            for r in LM.bpe_encode_words(df, merges).collect()
+        }
+        words = set(" ".join(texts).split())
+        assert set(got) == words
+        for w in words:
+            expect = self._py_encode(w, merges)
+            assert got[w] == (expect, len(expect)), w
+
+    def test_encode_runs_merge_greedily(self, spark):
+        # 'aaaa' → [aa, aa, </w>]: left-to-right non-overlapping
+        df = spark.createDataFrame([(0, "aaaa aaa")], ["doc_id", "text"])
+        got = {r["w"]: r["pieces"]
+               for r in LM.bpe_encode_words(df, [("a", "a")]).collect()}
+        assert got["aaaa"] == ["aa", "aa", "</w>"]
+        assert got["aaa"] == ["aa", "a", "</w>"]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the the cat"), (1, "cat")], ["doc_id", "text"]
+        )
+        merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"])
+            for r in LM.bpe_token_counts(df, merges).collect()
+        }
+        # 'the' → ['the</w>'] = 1 piece; 'cat' → c a t </w> = 4
+        assert got == {0: (3, 1 + 1 + 4), 1: (1, 4)}
+
+    def test_train_loop_matches_python(self, spark):
+        texts = ["the the the thorn then", "the this that"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        merges = LM.bpe_train(df, n_merges=3, min_pair_count=2)
+        # python reference: same greedy argmax with (count desc, pair asc)
+        from collections import Counter
+
+        words = Counter(" ".join(texts).split())
+        py_merges = []
+        for _ in range(3):
+            pc = Counter()
+            for w, f in words.items():
+                syms = self._py_encode(w, py_merges)[: None]
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            py_merges.append(best[0])
+        assert merges == py_merges
+
+    def test_train_then_encode_compresses(self, spark):
+        from inception_eventstore_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        merges = LM.bpe_train(docs, n_merges=8)
+        assert len(merges) == 8
+        base = LM.bpe_encode_words(docs, []).agg(
+            F.sum(F.col("freq") * F.col("n_pieces"))
+        ).first()[0]
+        enc = LM.bpe_encode_words(docs, merges).agg(
+            F.sum(F.col("freq") * F.col("n_pieces"))
+        ).first()[0]
+        assert enc < base  # 8 merges strictly shrink the piece count
