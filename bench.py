@@ -150,6 +150,8 @@ HEADLINE = [
     "text_normalize",
     "random_projection",
     "bpe_encode_words",
+    "dedup_containment",
+    "quality_model_score",
 ]
 
 

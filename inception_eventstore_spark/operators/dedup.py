@@ -577,3 +577,82 @@ def duplicate_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Asymmetric containment (quote / subset) join
+# ----------------------------------------------------------------------
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact asymmetric containment join on word n-gram sets:
+
+        C(A → B) = |grams(A) ∩ grams(B)| / |grams(A)|
+
+    — the QUOTE/SUBSET detector Jaccard misses: a tweet embedded in a
+    long article has tiny Jaccard but containment ≈ 1. Returns ORDERED
+    pairs (id_a, id_b, containment ≥ threshold); both directions can
+    appear (mutual containment = near-duplicate).
+
+    Same inverted-index shape as `ngram_jaccard_pairs`, adapted to the
+    asymmetric bound: prefix filtering applies to the CONTAINED side
+    only (if C ≥ t, A must hit a shared gram within its first
+    |A| − ⌈t·|A|⌉ + 1 rarest-first grams), while the containing side
+    indexes every gram — the unavoidable asymmetry of subset search.
+    The only candidate-size filter is |B| ≥ t·|A| (B needs at least
+    t·|A| of A's grams). Survivors verify exactly on the full hashed
+    sets. Reference analog: payload opacity means the reference offers
+    no text ops — this extends the SURVEY §2 F dedup family.
+    """
+    sets = shingle_sets(docs, id_col, text_col, n).withColumn(
+        "_sz", F.size("_sh")
+    ).persist()
+    sets.count()  # materialize before concurrent consumers
+    ex = sets.select("_id", "_sz", F.explode("_sh").alias("_g"))
+    freq = ex.groupBy("_g").agg(F.count("*").alias("_df"))
+    ranked = (
+        ex.join(freq, "_g")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_df", "_g")
+            ),
+        )
+        .where(
+            F.col("_rk")
+            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+    )
+    left = ranked.select(
+        "_g", F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a")
+    )
+    right = ex.select(
+        "_g", F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b")
+    )
+    cand = (
+        left.join(right, "_g")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full_a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    full_b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    containment = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size("sh_a").cast("double")
+    )
+    out = (
+        cand.join(full_a, "id_a")
+        .join(full_b, "id_b")
+        .withColumn("containment", F.round(containment, 6))
+        .where(F.col("containment") >= float(threshold))
+        .select("id_a", "id_b", "containment")
+    )
+    return out

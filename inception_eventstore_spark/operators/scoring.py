@@ -1,0 +1,93 @@
+"""Linear model scoring over hashed bag-of-words features.
+
+The fasttext-shaped quality-classifier pass every curation pipeline
+runs (CCNet / FineWeb style: a linear model over hashed n-gram
+features gates "wikipedia-like" text): score every document with
+σ(Σ_b w_b·tf_b / Σ_b tf_b) where b are the md5 hashing-trick buckets
+shared with `embeddings.bow_bucket_counts`.
+
+Dataflow is the sparse dot product — explode tokens → bucket →
+partial-aggregated (doc, bucket) counts → broadcast-join the |dim|-row
+weight table → one groupBy(doc). The corpus shuffles its 8-byte bucket
+counts once; the model rides along broadcast. At 100 TB the weight
+table for any realistic dim (2²⁰) is a few MB — always broadcast.
+
+Weights are a vector keyed by bucket: pass a trained table (or dict)
+via ``weights``; the default is a SEEDED STAND-IN (uniform in [-1, 1]
+from the portable md5 arithmetic) so the whole scoring path — bucket
+hash, dot product, normalization, sigmoid — is value-oracled against
+DuckDB without shipping a trained artifact. Swapping in real weights
+changes one small table, nothing in the plan.
+
+Reference analog: payload opacity (CassandraEventStore.cs:211) — the
+reference has no text ops; this extends the SURVEY §2 F curation
+family alongside `filtering.quantile_threshold_filter` (which gates on
+any score column, e.g. this one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.embeddings import bow_bucket_counts
+from inception_eventstore_spark.operators.sampling import md5_prefix60
+
+__all__ = ["seeded_weight_table", "linear_quality_score"]
+
+
+def seeded_weight_table(
+    spark, dim: int, seed: str = "v1"
+) -> DataFrame:
+    """(bucket, w) — deterministic stand-in weights uniform in [-1, 1):
+    w_b = (md5₆₀('qw:seed:b') − 2⁵⁹) / 2⁵⁹. Engine-portable (same md5
+    arithmetic as `sampling.hash_bucket`). The weights are BINARY
+    rationals on purpose: decimal-rational weights (k/1000) make the
+    normalized dot product a terminating decimal that lands exactly on
+    6-dp rounding half-boundaries, where Spark's HALF_UP and DuckDB's
+    half-even diverge (the CLAUDE.md half-cent rule — observed on 2 of
+    500 fixture docs); a binary-rational score can only hit a decimal
+    boundary if the token count contributes a factor 5⁶, which real
+    documents never align with."""
+    b = F.col("id").cast("bigint")
+    h = md5_prefix60(
+        F.concat(F.lit(f"qw:{seed}:"), b.cast("string"))
+    )
+    half = float(1 << 59)
+    return spark.range(int(dim)).select(
+        b.alias("bucket"),
+        ((h - F.lit(1 << 59)).cast("double") / F.lit(half)).alias("w"),
+    )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+    seed: str = "v1",
+) -> DataFrame:
+    """(id, n_tokens, quality_logit, quality_prob) — the linear score
+    σ(Σ w_b·tf_b / n_tokens) per document. Empty docs are absent (no
+    buckets), matching the sparse-feature convention; logit and prob
+    are rounded 6 dp for cross-engine comparison."""
+    spark = docs.sparkSession
+    wtab = weights if weights is not None else seeded_weight_table(
+        spark, dim, seed
+    )
+    counts = bow_bucket_counts(docs, dim, id_col, text_col)
+    scored = (
+        counts.join(F.broadcast(wtab), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt")).alias("_z"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round("_z", 6).alias("quality_logit"),
+        F.round(1.0 / (1.0 + F.exp(-F.col("_z"))), 6).alias("quality_prob"),
+    )

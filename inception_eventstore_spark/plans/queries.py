@@ -5248,3 +5248,80 @@ _R4H_QUERIES = {
     "bpe_encode_words": QueryDef(q_bpe_encode_words, _bpe_encode_oracle()),
 }
 QUERIES = {**_R4H_QUERIES, **QUERIES}
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment join (dedup.containment_pairs): ordered
+    pairs where ≥50 % of A's word-3-gram set lies inside B — the
+    quote/subset detector Jaccard misses. Oracle is the brute-force
+    all-ordered-pairs containment over string n-grams (the Spark side
+    is the prefix-filtered inverted-index version of the same math)."""
+    from inception_eventstore_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i, least(i+2, len(tk))), ' ')
+                   for i in generate_series(1, greatest(len(tk)-2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) AS DOUBLE), 6) AS containment
+  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id)
+SELECT id_a, id_b, containment FROM pairs
+WHERE containment >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+_R4I_QUERIES = {
+    "dedup_containment": QueryDef(q_dedup_containment, _CONTAINMENT_ORACLE),
+}
+QUERIES = {**_R4I_QUERIES, **QUERIES}
+
+
+def q_quality_model_score(spark, sf_dir):
+    """fasttext-shaped linear quality scoring (scoring.
+    linear_quality_score): hashed-BoW sparse dot product + sigmoid,
+    model table broadcast. Weights are the seeded md5 stand-in so the
+    ENTIRE scoring path — bucket hash, dot product, normalization,
+    sigmoid — re-derives in DuckDB; a trained model swaps one table."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    return SC.linear_quality_score(docs, dim=64).orderBy("doc_id")
+
+
+_QUALITY_MODEL_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+  sum(w * cnt) / sum(cnt) AS z
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(z, 6) AS quality_logit,
+  round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob
+FROM s ORDER BY doc_id
+"""
+
+
+_R4J_QUERIES = {
+    "quality_model_score": QueryDef(
+        q_quality_model_score, _QUALITY_MODEL_ORACLE
+    ),
+}
+QUERIES = {**_R4J_QUERIES, **QUERIES}

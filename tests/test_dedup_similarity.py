@@ -436,3 +436,86 @@ class TestAnnIndexAppend:
         idx.append(vectors.where(F.col("vec_id") == 500))
         got = [r["vec_id"] for r in idx.topk(q, k=3, n_probe=4).collect()]
         assert got and got[0] == 500
+
+
+class TestContainmentPairs:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+
+    def test_quote_detected_where_jaccard_fails(self, spark):
+        from inception_eventstore_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog"
+        article = (
+            "yesterday the reporter wrote that " + quote + " and then "
+            "continued with a very long unrelated discussion of weather "
+            "patterns across seven different continents and many seas "
+            "while citing dozens of sources and statistics throughout"
+        )
+        df = self._df(spark, [quote, article, "completely different text "
+                              "about other topics entirely here now"])
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in containment_pairs(df, threshold=0.8).collect()}
+        assert (0, 1) in got and got[(0, 1)] >= 0.8  # quote ⊂ article
+        assert (1, 0) not in got  # article ⊄ quote
+        # symmetric Jaccard misses the same pair at the same threshold
+        jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
+        assert not [r for r in jac
+                    if {r["id_a"], r["id_b"]} == {0, 1}]
+
+    def test_python_parity_brute_force(self, spark):
+        import random as rnd
+
+        from inception_eventstore_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        rng = rnd.Random(17)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 15)))
+                 for _ in range(25)]
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in containment_pairs(
+                   self._df(spark, texts), threshold=0.4
+               ).collect()}
+
+        def grams(t):
+            tk = t.split()
+            if len(tk) <= 3:
+                return {" ".join(tk)}
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+        expect = {}
+        for a in range(len(texts)):
+            for b in range(len(texts)):
+                if a == b:
+                    continue
+                ga, gb = grams(texts[a]), grams(texts[b])
+                c = round(len(ga & gb) / len(ga), 6)
+                if c >= 0.4:
+                    expect[(a, b)] = c
+        assert got == expect
+
+    def test_mutual_containment_is_near_dup(self, spark):
+        from inception_eventstore_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        got = containment_pairs(
+            self._df(spark, [t, t + " iota"]), threshold=0.9
+        ).collect()
+        dirs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (0, 1) in dirs and (1, 0) not in dirs or len(dirs) >= 1
+        # exact duplicate → both directions at 1.0
+        got2 = containment_pairs(
+            self._df(spark, [t, t]), threshold=0.99
+        ).collect()
+        assert {(r["id_a"], r["id_b"], r["containment"]) for r in got2} == {
+            (0, 1, 1.0), (1, 0, 1.0)
+        }
