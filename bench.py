@@ -152,6 +152,7 @@ HEADLINE = [
     "bpe_encode_words",
     "dedup_containment",
     "quality_model_score",
+    "sliding_active_users",
 ]
 
 

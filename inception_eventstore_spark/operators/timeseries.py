@@ -124,3 +124,46 @@ def ewma_smooth(
         "ewma",
         F.when(den > 0, F.round(num / den, 6)),
     )
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(day, active_users) — EXACT trailing-N-day distinct-user counts
+    per day (the DAU/WAU/MAU family). SQL window frames cannot express
+    COUNT(DISTINCT) over a RANGE frame, so the classic contribution
+    explode is used instead: each (user, day) first collapses to one
+    row (dropDuplicates on 8-byte keys — map-side combined), then
+    contributes to the ``window_days`` days it keeps the user active
+    in, and one partial-aggregated count-distinct per day finishes. The
+    shuffle volume is window_days × |distinct user-days| — independent
+    of raw event multiplicity, the property that matters at 100 TB.
+    Days with no active users in range are absent (join a calendar for
+    gap fill). Reported days are those with ≥1 event (trailing windows
+    of pure silence don't appear)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    user_days = events.select(
+        F.to_date(ts_col).alias("_d"), F.col(user_col).alias("_u")
+    ).dropDuplicates(["_d", "_u"])
+    contrib = user_days.select(
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), int(window_days) - 1),
+            )
+        ).alias("day"),
+        "_u",
+    )
+    out = contrib.groupBy("day").agg(
+        F.countDistinct("_u").alias("active_users")
+    )
+    # trailing windows extend past the last observed day — keep only
+    # days that themselves saw at least one event, the usual convention
+    observed = user_days.select(F.col("_d").alias("day")).distinct()
+    return out.join(observed, "day").select(
+        "day", F.col("active_users").cast("bigint").alias("active_users")
+    )

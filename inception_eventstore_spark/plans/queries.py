@@ -5325,3 +5325,41 @@ _R4J_QUERIES = {
     ),
 }
 QUERIES = {**_R4J_QUERIES, **QUERIES}
+
+
+def q_sliding_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day
+    (timeseries.sliding_distinct_users) — the WAU curve, computed
+    exactly via the contribution explode (COUNT DISTINCT over a RANGE
+    frame is inexpressible in window SQL on any engine; the oracle
+    uses the identical explode)."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    return TS.sliding_distinct_users(ev, window_days=7).orderBy("day")
+
+
+_SLIDING_USERS_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+contrib AS (
+  SELECT unnest([d + to_days(CAST(i AS INT))
+                 for i in generate_series(0, 6)]) AS day, user_id
+  FROM ud),
+counts AS (
+  SELECT day, count(DISTINCT user_id) AS active_users
+  FROM contrib GROUP BY day)
+SELECT CAST(counts.day AS DATE) AS day,
+  CAST(active_users AS BIGINT) AS active_users
+FROM counts JOIN (SELECT DISTINCT d AS day FROM ud) obs
+  ON counts.day = obs.day
+ORDER BY counts.day
+"""
+
+
+_R4K_QUERIES = {
+    "sliding_active_users": QueryDef(
+        q_sliding_active_users, _SLIDING_USERS_ORACLE
+    ),
+}
+QUERIES = {**_R4K_QUERIES, **QUERIES}

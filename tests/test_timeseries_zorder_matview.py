@@ -449,3 +449,51 @@ class TestTrainingExport:
         m1 = export_shards(self._df(spark), p1, n_shards=5)
         m2 = export_shards(self._df(spark), p2, n_shards=5)
         assert m1["shards"] == m2["shards"]
+
+
+class TestSlidingDistinctUsers:
+    def test_hand_computed_wau(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            sliding_distinct_users,
+        )
+
+        def t(day, user):
+            return (dt.datetime(2024, 1, day, 12, 0), user)
+
+        rows = [t(1, 1), t(1, 2), t(2, 1), t(5, 3), t(9, 1)]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        got = {str(r["day"]): r["active_users"]
+               for r in sliding_distinct_users(df, window_days=3).collect()}
+        # day1: users{1,2}; day2: day1∪day2 = {1,2}; day5: {3} (days 3-5);
+        # day9: {1}. Days 3,4,6,7 absent (no events those days).
+        assert got == {
+            "2024-01-01": 2, "2024-01-02": 2, "2024-01-05": 1,
+            "2024-01-09": 1,
+        }
+
+    def test_multiplicity_independent(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            sliding_distinct_users,
+        )
+
+        base = [(dt.datetime(2024, 2, 1, h), 7) for h in range(10)]
+        df = spark.createDataFrame(base, "ts timestamp, user_id long")
+        got = sliding_distinct_users(df, window_days=7).collect()
+        assert len(got) == 1 and got[0]["active_users"] == 1
+
+    def test_guard(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            sliding_distinct_users,
+        )
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1)], "ts timestamp, user_id long"
+        )
+        with pytest.raises(ValueError):
+            sliding_distinct_users(df, window_days=0)
