@@ -180,6 +180,35 @@ CHECKS = {
          r"MapInPandas"),
         ("no shuffle anywhere — chunk slicing is map-side", "!Exchange"),
     ],
+    "quality_model_score": [
+        ("model table joins broadcast — the corpus never shuffles to "
+         "meet the weights", r"BroadcastHashJoin"),
+        ("bucket counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "dedup_containment": [
+        ("candidate generation is a key equi-join, never a cross "
+         "product", "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "sliding_active_users": [
+        ("contribution explode runs in Generate", r"Generate explode"),
+        ("per-day distinct partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no ranking window anywhere", "!Window"),
+    ],
+    "text_normalize": [
+        ("NFC is the one Arrow seam", r"ArrowEvalPython"),
+        ("no shuffle — cleaning is a map pass",
+         "!Exchange hashpartitioning"),
+    ],
+    "bpe_encode_words": [
+        ("vocabulary counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("merge chain is JVM regex — no python UDF",
+         "!BatchEvalPython|ArrowEvalPython"),
+    ],
 }
 
 

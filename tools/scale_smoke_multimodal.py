@@ -1,0 +1,94 @@
+"""Multimodal kernel scale smoke: Arrow decode/resize/frame-extract
+throughput on a few thousand REAL binary assets (PPM/PNG/JPEG images,
+PCM WAVs, AVI/MJPEG clips — the in-repo pure-numpy codecs).
+
+The fixture is built driver-side once (numpy encodes), written to
+parquet, and every kernel pass reads the on-disk table — so the
+timings measure the mapInPandas pipelines, not fixture construction.
+
+Usage: python tools/scale_smoke_multimodal.py [n_assets] [out_dir]
+Prints one JSON line with per-kernel asset throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="mm_smoke_")
+    )
+
+    from inception_eventstore_spark.operators import multimodal as MM
+    from inception_eventstore_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-smoke-multimodal",
+        extra_configs={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    volumes: dict[str, int] = {}
+
+    t0 = time.time()
+    path = os.path.join(out_dir, "assets")
+    MM.synthetic_assets(spark, n=n).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    timings["fixture_build_write"] = round(time.time() - t0, 3)
+    assets = spark.read.parquet(path)
+    volumes["assets"] = assets.count()
+
+    decodable = assets.where(F.col("mime") != "video/mp4")
+    t0 = time.time()
+    volumes["real_features"] = MM.extract_features(
+        decodable, decode="real"
+    ).count()
+    timings["extract_features_real"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["resized"] = MM.resize_images(assets, 32, 24).count()
+    timings["resize_images_32x24"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["resampled"] = MM.resample_audio(assets, 4000).count()
+    timings["resample_audio_4k"] = round(time.time() - t0, 3)
+
+    avi = assets.where(F.col("mime") == "video/x-msvideo")
+    t0 = time.time()
+    frames = MM.sample_frames(avi, every_ms=250)
+    volumes["sampled_frames"] = frames.count()
+    timings["sample_frames"] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "n_assets": n,
+                "volumes": volumes,
+                "timings": timings,
+                "assets_per_sec_real_decode": round(
+                    volumes["real_features"]
+                    / max(timings["extract_features_real"], 1e-9),
+                    1,
+                ),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
