@@ -370,3 +370,35 @@ def topk_tokens_per_window(counts: DataFrame, k: int = 10) -> DataFrame:
             "token", "n",
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Watermarked per-window EXACT distinct-user counts — the
+    streaming DAU feed (batch trailing-window twin:
+    `timeseries.sliding_distinct_users`).
+
+    Structured Streaming cannot run COUNT(DISTINCT) incrementally, so
+    the dedup happens as its own stateful stage first:
+    `dropDuplicates` on (user, window) carries one state row per
+    user-window bounded by the watermark, and the count that follows
+    is a plain incremental count — the same
+    dedup-then-count decomposition the batch operator uses, expressed
+    as streaming state. Works unchanged on a batch frame (the
+    batch/streaming same-plan property the other feeds here pin)."""
+    with_w = events.withWatermark(time_col, watermark).select(
+        F.col(user_col).alias("_u"),
+        F.window(time_col, window).alias("window"),
+    )
+    deduped = with_w.dropDuplicates(["_u", "window"])
+    return deduped.groupBy("window").agg(
+        F.count("*").alias("active_users")
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+    )

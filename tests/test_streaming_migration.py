@@ -664,3 +664,51 @@ class TestTrendingTokens:
             for r in windowed_token_counts(df).collect()
         }
         assert got == {"x": 2, "y": 1}
+
+
+class TestWindowedDistinctUsers:
+    def test_stream_exact_distinct_and_batch_twin(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.streaming.ingest import (
+            windowed_distinct_users,
+        )
+
+        source = str(tmp_path / "du_in")
+        base = dt.datetime(2024, 3, 1)
+        schema = "event_id long, ts timestamp, user_id long"
+        rows = []
+        # day 1: users 1,2,3 (user 1 appears 5×); day 2: users 1,9
+        for i in range(5):
+            rows.append((i, base + dt.timedelta(hours=i), 1))
+        rows += [(10, base + dt.timedelta(hours=6), 2),
+                 (11, base + dt.timedelta(hours=7), 3),
+                 (20, base + dt.timedelta(days=1, hours=1), 1),
+                 (21, base + dt.timedelta(days=1, hours=2), 9)]
+        spark.createDataFrame(rows, schema).write.parquet(source)
+        stream = spark.readStream.schema(schema).parquet(source)
+        counts = windowed_distinct_users(
+            stream, window="1 day", watermark="1 day"
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("du_sink")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["window_start"].day: r["active_users"]
+                for r in spark.sql("SELECT * FROM du_sink").collect()
+            }
+        finally:
+            q.stop()
+        assert got == {1: 3, 2: 2}
+        # same function on the batch frame gives the identical answer
+        batch = spark.createDataFrame(rows, schema)
+        got_b = {
+            r["window_start"].day: r["active_users"]
+            for r in windowed_distinct_users(batch).collect()
+        }
+        assert got_b == got
