@@ -153,6 +153,8 @@ HEADLINE = [
     "dedup_containment",
     "quality_model_score",
     "sliding_active_users",
+    "resample_ffill",
+    "session_concurrency",
 ]
 
 

@@ -167,3 +167,112 @@ def sliding_distinct_users(
     return out.join(observed, "day").select(
         "day", F.col("active_users").cast("bigint").alias("active_users")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    every_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, grid_ts, value) — per-key regular time grid at
+    ``every_seconds`` with FORWARD-FILLED values (each grid point
+    carries the last observation at-or-before it; grid points before
+    the first observation are NULL). The asfreq/ffill resample every
+    feature pipeline needs before joining series of different
+    cadences.
+
+    Shape: per-key (min, max) bounds → one Generate explode of
+    epoch-aligned grid points → union with the observations → ONE
+    window pass with ``last(value, ignorenulls=True)`` ordered by
+    (epoch, is_grid) — a same-instant observation sorts BEFORE its
+    grid point and is therefore included. One shuffle on the key; no
+    UDF; the grid arithmetic is exact integer µs so any engine builds
+    the identical grid."""
+    if every_seconds < 1:
+        raise ValueError("every_seconds must be >= 1")
+    step = int(every_seconds) * 1_000_000
+    ep = F.unix_micros(F.col(ts_col))
+    obs = events.select(
+        F.col(key_col).alias("_k"),
+        ep.alias("_ep"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(0).alias("_g"),
+    )
+    bounds = obs.groupBy("_k").agg(
+        F.min("_ep").alias("_lo"), F.max("_ep").alias("_hi")
+    )
+    grid = bounds.select(
+        "_k",
+        F.explode(
+            F.sequence(
+                (F.col("_lo") - F.pmod(F.col("_lo"), F.lit(step))),
+                (F.col("_hi") - F.pmod(F.col("_hi"), F.lit(step))),
+                F.lit(step),
+            )
+        ).alias("_ep"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_g"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ep", "_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionAll(grid).withColumn(
+        "_ff", F.last("_v", ignorenulls=True).over(w)
+    )
+    return filled.where(F.col("_g") == 1).select(
+        F.col("_k").alias(key_col),
+        F.timestamp_micros(F.col("_ep")).alias("grid_ts"),
+        F.round("_ff", 6).alias(value_col),
+    )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency over an interval table: at every
+    boundary instant, how many intervals are open (half-open [s, e) —
+    an interval ending exactly when another starts does not overlap
+    it). Returns one row per boundary (partition?, ts, concurrent) —
+    aggregate for peaks (max concurrent sessions = capacity planning
+    on the sessionized log).
+
+    Each interval explodes to (+1 at start, −1 at end); ONE running
+    sum ordered by (ts, delta) — ends sort before starts at the same
+    instant, enforcing half-open semantics — gives the open count.
+    The running sum is a genuine prefix scan: pass ``partition_col``
+    (e.g. the interval's date) to keep the window partitioned at
+    scale; without it the sweep is a single-partition sort, correct
+    but serial (the token_offsets two-phase trick applies if a global
+    unpartitioned sweep at 100 TB is ever needed)."""
+    parts = [partition_col] if partition_col else []
+    ev = intervals.select(
+        *parts,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col(end_col).alias("ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("_e"),
+    ).select(*parts, "_e.ts", "_e.delta")
+    w = (
+        Window.partitionBy(*parts)
+        if parts
+        else Window.partitionBy(F.lit(1))
+    )
+    w = w.orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.withColumn(
+        "concurrent", F.sum("delta").over(w).cast("bigint")
+    )

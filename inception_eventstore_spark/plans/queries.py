@@ -5363,3 +5363,99 @@ _R4K_QUERIES = {
     ),
 }
 QUERIES = {**_R4K_QUERIES, **QUERIES}
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Per-user weekly forward-fill resample (timeseries.
+    resample_ffill): epoch-aligned 7-day grid, each point carrying the
+    last observation at-or-before it. One union + one window pass; the
+    oracle builds the identical integer-µs grid and uses DuckDB's own
+    IGNORE NULLS last_value."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.resample_ffill(ev, every_seconds=604800)
+    return out.orderBy("user_id", "grid_ts")
+
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS k, epoch_us(ts) AS ep, value AS v, 0 AS g
+  FROM events),
+b AS (SELECT k, min(ep) AS lo, max(ep) AS hi FROM obs GROUP BY k),
+grid AS (
+  SELECT k, unnest(generate_series(lo - lo % 604800000000,
+                                   hi - hi % 604800000000,
+                                   604800000000)) AS ep,
+         CAST(NULL AS DOUBLE) AS v, 1 AS g
+  FROM b),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+f AS (SELECT k, ep, g,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ep, g
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+  FROM u)
+SELECT k AS user_id, make_timestamp(ep) AS grid_ts,
+  round(ff, 6) AS value
+FROM f WHERE g = 1 ORDER BY user_id, grid_ts
+"""
+
+
+def q_session_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day: 30-minute-gap sessionization
+    → (user, session) intervals padded 1 minute past their last event
+    → sweep-line running sum partitioned by the session's start day
+    (timeseries.interval_concurrency). Oracle replays the identical
+    lag-cumsum sessionization and sweep in SQL."""
+    from inception_eventstore_spark.operators import sessions as SS
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    s = SS.sessionize(ev, gap="30 minutes")
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 minute")).alias("session_end"),
+    ).withColumn("day", F.to_date("session_start"))
+    sweep = TS.interval_concurrency(
+        iv, "session_start", "session_end", partition_col="day"
+    )
+    return sweep.groupBy("day").agg(
+        F.max("concurrent").cast("bigint").alias("peak_concurrent"),
+        F.count("*").cast("bigint").alias("n_boundaries"),
+    ).orderBy("day")
+
+
+_SESSION_CONCURRENCY_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts,
+    SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_ts FROM events) t),
+iv AS (
+  SELECT user_id, session_id, min(ts) AS s0,
+         max(ts) + INTERVAL 1 MINUTE AS e0,
+         CAST(min(ts) AS DATE) AS day
+  FROM s GROUP BY user_id, session_id),
+ev AS (
+  SELECT day, s0 AS ts, 1 AS delta FROM iv
+  UNION ALL SELECT day, e0, -1 FROM iv),
+sw AS (
+  SELECT day, ts, delta,
+    sum(delta) OVER (PARTITION BY day ORDER BY ts, delta
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM ev)
+SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrent,
+  CAST(count(*) AS BIGINT) AS n_boundaries
+FROM sw GROUP BY day ORDER BY day
+"""
+
+
+_R4L_QUERIES = {
+    "resample_ffill": QueryDef(q_resample_ffill, _RESAMPLE_ORACLE),
+    "session_concurrency": QueryDef(
+        q_session_concurrency, _SESSION_CONCURRENCY_ORACLE
+    ),
+}
+QUERIES = {**_R4L_QUERIES, **QUERIES}

@@ -497,3 +497,92 @@ class TestSlidingDistinctUsers:
         )
         with pytest.raises(ValueError):
             sliding_distinct_users(df, window_days=0)
+
+
+class TestResampleFfill:
+    def test_grid_and_fill_semantics(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            resample_ffill,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 30)
+        rows = [(1, base, 10.0),
+                (1, base + dt.timedelta(seconds=150), 20.0),
+                (2, base + dt.timedelta(seconds=10), 5.0)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = [(r["user_id"], str(r["grid_ts"]), r["value"])
+               for r in resample_ffill(df, every_seconds=60)
+               .orderBy("user_id", "grid_ts").collect()]
+        # user 1: grid 00:00, 01:00, 02:00, 03:00 (epoch-aligned);
+        # 00:00 precedes the first obs -> NULL; 03:00 carries 20.0
+        assert got == [
+            (1, "2024-01-01 00:00:00", None),
+            (1, "2024-01-01 00:01:00", 10.0),
+            (1, "2024-01-01 00:02:00", 10.0),
+            (1, "2024-01-01 00:03:00", 20.0),
+            (2, "2024-01-01 00:00:00", None),
+        ]
+
+    def test_same_instant_observation_included(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            resample_ffill,
+        )
+
+        exact = dt.datetime(2024, 1, 1)  # epoch-aligned minute
+        df = spark.createDataFrame(
+            [(1, exact, 7.0)], "user_id long, ts timestamp, value double"
+        )
+        got = resample_ffill(df, every_seconds=60).collect()
+        assert len(got) == 1 and got[0]["value"] == 7.0
+
+    def test_guard(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            resample_ffill,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        with pytest.raises(ValueError):
+            resample_ffill(df, every_seconds=0)
+
+
+class TestIntervalConcurrency:
+    def test_sweep_half_open(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            interval_concurrency,
+        )
+
+        iv = spark.createDataFrame(
+            [(0, 10), (5, 15), (7, 12), (15, 20)], ["s", "e"]
+        )
+        sweep = interval_concurrency(iv, "s", "e").orderBy("ts", "delta")
+        rows = [(r["ts"], r["delta"], r["concurrent"])
+                for r in sweep.collect()]
+        # peak 3 inside [7,10); interval starting at 15 does NOT
+        # overlap the one ending at 15 (half-open)
+        assert max(c for _, _, c in rows) == 3
+        at15 = [c for t, d, c in rows if t == 15]
+        assert at15 == [0, 1]  # end processed first, then the new start
+        assert rows[-1][2] == 0  # sweep closes at zero
+
+    def test_partitioned_sweep(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            interval_concurrency,
+        )
+
+        iv = spark.createDataFrame(
+            [("a", 0, 10), ("a", 5, 15), ("b", 0, 100)], ["p", "s", "e"]
+        )
+        got = interval_concurrency(iv, "s", "e", partition_col="p")
+        peak = {r["p"]: r["concurrent"] for r in
+                got.groupBy("p").agg(
+                    F.max("concurrent").alias("concurrent")).collect()}
+        assert peak == {"a": 2, "b": 1}
