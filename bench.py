@@ -155,6 +155,8 @@ HEADLINE = [
     "sliding_active_users",
     "resample_ffill",
     "session_concurrency",
+    "sq8_codes",
+    "sq8_recall",
 ]
 
 

@@ -260,3 +260,94 @@ class IvfPqVectorIndex:
             .orderBy(F.col("dist").asc(), F.col(self.id_col).asc())
             .limit(k)
         )
+
+
+# ---------------------------------------------------------------------
+# SQ8 scalar quantization (complementing the PQ codes above)
+# ---------------------------------------------------------------------
+def sq8_bounds(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim, lo, hi) — per-dimension min/max for SQ8 scalar
+    quantization. One posexplode + partial-aggregated groupBy; d rows
+    out, broadcast back by the encoder."""
+    ex = emb.select(
+        F.posexplode(vec_col).alias("dim", "_x")
+    ).select("dim", F.col("_x").cast("double").alias("_x"))
+    return ex.groupBy("dim").agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    bounds: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> in 0..255) — int8 scalar quantization of
+    each embedding: 4× smaller than float32 (32× smaller than the
+    float64 math), the standard memory cut before brute-force or IVF
+    search when PQ's codebook training is overkill.
+
+        code = clamp(floor((x − lo) / (hi − lo) · 256), 0, 255)
+
+    FLOOR binning on purpose: a round() here is not engine-portable
+    (Spark HALF_UP vs DuckDB half-even diverge whenever the scaled
+    value lands on .5 — same class as the CLAUDE.md money rule), while
+    floor of an identically-computed double is exact on both engines;
+    x = hi maps to 256 and clamps to 255. Constant dimensions encode
+    as 0. Shape: posexplode + broadcast bounds join + re-collect via
+    groupBy(id) sort-by-dim — shuffles d small ints per vector;
+    ``bounds`` defaults to `sq8_bounds` of the same table (pass a
+    reference snapshot's bounds to encode new batches consistently)."""
+    b = bounds if bounds is not None else sq8_bounds(emb, vec_col)
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("dim", "_x"),
+    ).select(id_col, "dim", F.col("_x").cast("double").alias("_x"))
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256.0
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    coded = ex.join(F.broadcast(b), "dim").select(
+        id_col, "dim", code.alias("_c")
+    )
+    return (
+        coded.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "_c"))
+            ).alias("_s")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("_s"), lambda s: s["_c"]).alias("codes"),
+        )
+    )
+
+
+def sq8_dequantize(codes_col, bounds_lo, bounds_hi):
+    """codes array → array<double> of bin centers:
+    x̂ = lo + (code + 0.5)·(hi − lo)/256, with lo/hi passed as literal
+    arrays (zero-shuffle map pass, same broadcast-by-value shape as
+    pca_project)."""
+    return F.zip_with(
+        codes_col,
+        F.zip_with(
+            bounds_lo, bounds_hi,
+            lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+        ),
+        lambda c, b: b["lo"]
+        + (c.cast("double") + 0.5) * (b["hi"] - b["lo"]) / 256.0,
+    )

@@ -705,3 +705,49 @@ def lsh_knn_graph(
         .where(F.col("rank") <= kk)
         .select("src", F.col("rank").cast("bigint").alias("rank"), "dst", "dist")
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+    query_col: str | None = None,
+) -> DataFrame:
+    """(query?, n_exact, n_hit, recall) — the standard ANN evaluation
+    statistic recall@k = |approx ∩ exact| / |exact| per query, as an
+    ENGINE operator so index quality is measured where the data lives
+    instead of in a driver script. ``approx`` and ``exact`` are any
+    two result tables carrying ``id_col`` (and ``query_col`` for
+    batched evaluation; omit it for single-query results). Shape: one
+    semi-join on the (query, id) key + two partial-aggregated counts —
+    at 100 TB both inputs are k·|queries| rows, trivially small; it is
+    the PRODUCTION of them that scales."""
+    qcols = [query_col] if query_col else []
+    a = approx.select(*qcols, F.col(id_col))
+    e = exact.select(*qcols, F.col(id_col))
+    hits = a.join(e, [*qcols, id_col], "leftsemi")
+    n_hit = (
+        hits.groupBy(*qcols).agg(F.count("*").alias("n_hit"))
+        if qcols
+        else hits.agg(F.count("*").alias("n_hit"))
+    )
+    n_exact = (
+        e.groupBy(*qcols).agg(F.count("*").alias("n_exact"))
+        if qcols
+        else e.agg(F.count("*").alias("n_exact"))
+    )
+    joined = (
+        n_exact.join(n_hit, qcols, "left")
+        if qcols
+        else n_exact.crossJoin(n_hit)
+    )
+    return joined.select(
+        *qcols,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )

@@ -5459,3 +5459,117 @@ _R4L_QUERIES = {
     ),
 }
 QUERIES = {**_R4L_QUERIES, **QUERIES}
+
+
+def q_sq8_codes(spark, sf_dir):
+    """SQ8 scalar quantization of every embedding (pq.sq8_encode):
+    per-dim data bounds + floor binning to 0..255 — floor, not round,
+    because round() half-cases are not engine-portable (HALF_UP vs
+    half-even). The full code table is value-oracled."""
+    from inception_eventstore_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return PQ.sq8_encode(emb).orderBy("vec_id")
+
+
+_SQ8_CODES_ORACLE = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(ev, 1) - 1 AS dim,
+  unnest(ev) AS x FROM v),
+b AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+c AS (SELECT vec_id, ex.dim,
+  CASE WHEN hi > lo THEN least(255, greatest(0,
+    CAST(floor((x - lo) / (hi - lo) * 256.0) AS INT)))
+  ELSE 0 END AS code
+  FROM ex JOIN b ON ex.dim = b.dim)
+SELECT vec_id, list(code ORDER BY dim) AS codes
+FROM c GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def q_sq8_recall(spark, sf_dir):
+    """recall@10 of asymmetric SQ8 search (raw query vs dequantized
+    bin-center corpus) against exact L2 top-10, evaluated by the
+    engine operator similarity.topk_recall — quantization, dequant,
+    both searches AND the recall arithmetic all re-derived in SQL, so
+    the measured recall itself is the value under oracle."""
+    from inception_eventstore_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    b = {
+        int(r["dim"]): (r["lo"], r["hi"])
+        for r in PQ.sq8_bounds(emb).collect()
+    }
+    lo = F.array(*[F.lit(b[i][0]) for i in sorted(b)])
+    hi = F.array(*[F.lit(b[i][1]) for i in sorted(b)])
+    dq = PQ.sq8_encode(emb).select(
+        "vec_id", PQ.sq8_dequantize(F.col("codes"), lo, hi).alias("dv")
+    )
+    approx = (
+        dq.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(S.l2_distance(F.col("dv"), q), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+    exact = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(S.l2_distance(F.col("embedding"), q), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+    return S.topk_recall(approx, exact)
+
+
+_SQ8_RECALL_ORACLE = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+qv AS (SELECT ev AS q FROM v WHERE vec_id = 0),
+ex AS (SELECT vec_id, generate_subscripts(ev, 1) - 1 AS dim,
+  unnest(ev) AS x FROM v),
+b AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+dqe AS (SELECT vec_id, ex.dim,
+  lo + (CASE WHEN hi > lo THEN least(255, greatest(0,
+          CAST(floor((x - lo) / (hi - lo) * 256.0) AS INT)))
+        ELSE 0 END + 0.5) * (hi - lo) / 256.0 AS xd
+  FROM ex JOIN b ON ex.dim = b.dim),
+dq AS (SELECT vec_id, list(xd ORDER BY dim) AS dv FROM dqe
+  GROUP BY vec_id),
+ap AS (SELECT vec_id FROM (
+  SELECT dq.vec_id,
+    round(sqrt(greatest(list_inner_product(dv, dv)
+      - 2 * list_inner_product(dv, (SELECT q FROM qv))
+      + list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)), 0)),
+      6) AS dist
+  FROM dq WHERE vec_id <> 0
+  ORDER BY dist, vec_id LIMIT 10)),
+exact AS (SELECT vec_id FROM (
+  SELECT v.vec_id,
+    round(sqrt(greatest(list_inner_product(ev, ev)
+      - 2 * list_inner_product(ev, (SELECT q FROM qv))
+      + list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)), 0)),
+      6) AS dist
+  FROM v WHERE vec_id <> 0
+  ORDER BY dist, vec_id LIMIT 10))
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM ap WHERE vec_id IN
+        (SELECT vec_id FROM exact)) AS BIGINT) AS n_hit,
+  round((SELECT count(*) FROM ap WHERE vec_id IN
+         (SELECT vec_id FROM exact)) * 1.0
+        / (SELECT count(*) FROM exact), 6) AS recall
+"""
+
+
+_R4M_QUERIES = {
+    "sq8_codes": QueryDef(q_sq8_codes, _SQ8_CODES_ORACLE),
+    "sq8_recall": QueryDef(q_sq8_recall, _SQ8_RECALL_ORACLE),
+}
+QUERIES = {**_R4M_QUERIES, **QUERIES}

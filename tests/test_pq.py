@@ -121,3 +121,60 @@ class TestIvfPqIndex:
         a = [(r["vec_id"], round(r["dist"], 9)) for r in built.topk(q, k=5).collect()]
         b = [(r["vec_id"], round(r["dist"], 9)) for r in loaded.topk(q, k=5).collect()]
         assert a == b
+
+
+class TestSq8:
+    def test_code_semantics(self, spark):
+        from inception_eventstore_spark.operators import pq as PQ
+
+        rows = [(0, [0.0, 5.0]), (1, [10.0, 5.0]), (2, [2.5, 5.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["codes"]
+               for r in PQ.sq8_encode(df).collect()}
+        # dim 0 spans [0,10]: 0→0, 10→floor(256)→clamp 255, 2.5→64
+        assert got[0][0] == 0 and got[1][0] == 255 and got[2][0] == 64
+        # constant dim encodes 0 for every vector
+        assert [got[i][1] for i in range(3)] == [0, 0, 0]
+
+    def test_dequant_error_bound(self, spark):
+        import numpy as np
+
+        from inception_eventstore_spark.operators import pq as PQ
+        from inception_eventstore_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+        b = {int(r["dim"]): (r["lo"], r["hi"])
+             for r in PQ.sq8_bounds(emb).collect()}
+        lo = F.array(*[F.lit(b[i][0]) for i in sorted(b)])
+        hi = F.array(*[F.lit(b[i][1]) for i in sorted(b)])
+        dq = PQ.sq8_encode(emb).select(
+            "vec_id", PQ.sq8_dequantize(F.col("codes"), lo, hi).alias("dv")
+        )
+        src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+               for r in emb.collect()}
+        widths = np.array([b[i][1] - b[i][0] for i in sorted(b)])
+        for r in dq.collect():
+            err = np.abs(np.array(r["dv"]) - src[r["vec_id"]])
+            assert np.all(err <= widths / 512.0 + 1e-12)
+
+    def test_topk_recall_single_and_batched(self, spark):
+        from inception_eventstore_spark.operators import similarity as S2
+
+        exact = spark.createDataFrame(
+            [(i,) for i in range(10)], ["vec_id"]
+        )
+        approx = spark.createDataFrame(
+            [(i,) for i in range(7)] + [(99,), (98,), (97,)], ["vec_id"]
+        )
+        r = S2.topk_recall(approx, exact).collect()[0]
+        assert (r["n_exact"], r["n_hit"], r["recall"]) == (10, 7, 0.7)
+        # batched: query b has zero hits and still reports a row
+        ex2 = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], ["q", "vec_id"]
+        )
+        ap2 = spark.createDataFrame(
+            [("a", 1), ("a", 9), ("b", 9)], ["q", "vec_id"]
+        )
+        got = {r["q"]: (r["n_exact"], r["n_hit"], r["recall"])
+               for r in S2.topk_recall(ap2, ex2, query_col="q").collect()}
+        assert got == {"a": (2, 1, 0.5), "b": (1, 0, 0.0)}
