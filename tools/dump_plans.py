@@ -209,6 +209,29 @@ CHECKS = {
         ("merge chain is JVM regex — no python UDF",
          "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "resample_ffill": [
+        ("grid points explode in Generate", r"Generate explode"),
+        ("one hash shuffle on the key serves the fill window",
+         r"Exchange hashpartitioning\(_k"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "session_concurrency": [
+        ("per-day sweep window partitioned by day — no single-"
+         "partition global sort", "!Exchange SinglePartition"),
+        ("per-day peaks partial-aggregated",
+         r"HashAggregate.*partial|partial_max"),
+    ],
+    "sq8_codes": [
+        ("per-dim bounds join back broadcast", r"BroadcastHashJoin"),
+        ("bounds and code groupBys partial-aggregated",
+         r"HashAggregate.*partial|partial_min"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "sq8_recall": [
+        ("both top-10 cuts run as TakeOrdered, never a full sort",
+         r"TakeOrderedAndProject"),
+        ("hit check is a semi-join", r"LeftSemi"),
+    ],
 }
 
 
