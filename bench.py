@@ -157,6 +157,8 @@ HEADLINE = [
     "session_concurrency",
     "sq8_codes",
     "sq8_recall",
+    "abandoned_after",
+    "weighted_sample_by_lang",
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -122,4 +122,54 @@ def cohort_retention(
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct(user_col).alias("users"))
+    )
+
+
+def abandoned_after(
+    events: DataFrame,
+    first: str,
+    then: str,
+    within: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """The ABSENCE funnel `funnel_steps` cannot ask: occurrences of
+    ``first`` with NO ``then`` event by the same key within
+    ``within`` afterwards (cart abandonment, un-acknowledged errors,
+    churn triggers). Returns the abandoned ``first`` rows plus
+    ``next_then_ts`` (NULL = never followed up at all).
+
+    Temporal anti-joins explode quadratically as range joins; instead
+    both event types union into ONE per-key window ordered by time,
+    and each ``first`` row reads the MIN ``then`` timestamp over the
+    at-or-after frame (ties at the same instant count as followed up
+    — ``min`` over CURRENT ROW..UNBOUNDED FOLLOWING skips the NULLs
+    non-``then`` rows carry). One shuffle on the key, no join at all —
+    the same union+window shape as `joins.asof_join`, pointed
+    forward."""
+    sub = events.where(
+        F.col(type_col).isin([first, then])
+    ).select(
+        key_col,
+        ts_col,
+        order_tiebreak,
+        F.col(type_col).alias("_et"),
+        F.when(F.col(type_col) == then, F.col(ts_col)).alias("_then_ts"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = sub.withColumn("next_then_ts", F.min("_then_ts").over(w))
+    gap = F.expr(f"INTERVAL {within}")
+    return (
+        marked.where(F.col("_et") == first)
+        .where(
+            F.col("next_then_ts").isNull()
+            | (F.col("next_then_ts") > F.col(ts_col) + gap)
+        )
+        .select(key_col, order_tiebreak, ts_col, "next_then_ts")
     )

@@ -361,3 +361,39 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """`weighted_sample`, stratified: k rows PER GROUP drawn ∝ weight
+    (per-language / per-domain balanced corpora with quality-weighted
+    inclusion). Same A-ES key arithmetic; the global TakeOrdered
+    becomes one rank window partitioned by the group — a single
+    shuffle on the group key, no per-group driver loops."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        md5_prefix60(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

@@ -5573,3 +5573,77 @@ _R4M_QUERIES = {
     "sq8_recall": QueryDef(q_sq8_recall, _SQ8_RECALL_ORACLE),
 }
 QUERIES = {**_R4M_QUERIES, **QUERIES}
+
+
+def q_abandoned_after(spark, sf_dir):
+    """Absence detection (funnel.abandoned_after): 'view' events with
+    no 'purchase' by the same user within 1 hour — the anti-funnel a
+    range anti-join would answer quadratically; here ONE per-user
+    union window (min next-purchase ts over the at-or-after frame).
+    Oracle runs the identical forward-frame min in SQL."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    out = FU.abandoned_after(ev, first="view", then="purchase",
+                             within="1 hour")
+    return out.orderBy("user_id", "event_id")
+
+
+_ABANDONED_ORACLE = """
+WITH sub AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN event_type = 'purchase' THEN ts END AS then_ts
+  FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+    min(then_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_then_ts
+  FROM sub)
+SELECT user_id, event_id, ts, next_then_ts
+FROM m
+WHERE event_type = 'view'
+  AND (next_then_ts IS NULL OR next_then_ts > ts + INTERVAL 1 HOUR)
+ORDER BY user_id, event_id
+"""
+
+
+def q_weighted_sample_by_lang(spark, sf_dir):
+    """Per-language weighted sampling without replacement: 20 docs per
+    lang drawn ∝ n_chars (sampling.weighted_sample_per_group) — the
+    balanced-corpus construction step. Oracle re-derives every A-ES
+    key and rank cut."""
+    from inception_eventstore_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SA.weighted_sample_per_group(
+        docs, "n_chars", k=20, group_col="lang"
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_key").orderBy(
+        "lang", "doc_id"
+    )
+
+
+_WEIGHTED_GROUP_ORACLE = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+    round(ln((CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) * 1.0 + 0.5)
+             / 1152921504606846976.0)
+          / CAST(n_chars AS DOUBLE), 6) AS sample_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+    ORDER BY sample_key DESC, doc_id) AS rk
+  FROM keyed)
+SELECT lang, doc_id, n_chars, sample_key FROM r WHERE rk <= 20
+ORDER BY lang, doc_id
+"""
+
+
+_R4N_QUERIES = {
+    "abandoned_after": QueryDef(q_abandoned_after, _ABANDONED_ORACLE),
+    "weighted_sample_by_lang": QueryDef(
+        q_weighted_sample_by_lang, _WEIGHTED_GROUP_ORACLE
+    ),
+}
+QUERIES = {**_R4N_QUERIES, **QUERIES}

@@ -97,3 +97,50 @@ class TestCohortRetention:
             ("2024-01-08", 0): 1,  # user 2
             ("2024-01-08", 2): 1,  # user 2 three weeks in
         }
+
+
+class TestAbandonedAfter:
+    def test_absence_semantics(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            abandoned_after,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def r(eid, minutes, user, et):
+            return (eid, t0 + dt.timedelta(minutes=minutes), user, et)
+
+        rows = [
+            r(1, 0, 1, "view"),      # purchased at +30 → converted
+            r(2, 30, 1, "purchase"),
+            r(3, 100, 1, "view"),    # next purchase +300 > 1h → abandoned
+            r(4, 300, 1, "purchase"),
+            r(5, 0, 2, "view"),      # user 2 never purchases → abandoned
+            r(6, 10, 3, "purchase"), # purchase BEFORE the view must not count
+            r(7, 20, 3, "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        got = {(r["user_id"], r["event_id"]): r["next_then_ts"]
+               for r in abandoned_after(df, "view", "purchase",
+                                        within="1 hour").collect()}
+        assert set(got) == {(1, 3), (2, 5), (3, 7)}
+        assert got[(2, 5)] is None          # never followed up
+        assert got[(1, 3)] is not None      # followed up, too late
+
+    def test_same_instant_counts_as_followed(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            abandoned_after,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 1, "view"), (2, t0, 1, "purchase")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        assert abandoned_after(df, "view", "purchase").count() == 0

@@ -213,3 +213,43 @@ class TestLengthBucketedBatches:
             ).collect()
         }
         assert got[1] == 0 and got[2] == 2  # beyond last edge → overflow
+
+
+class TestWeightedSamplePerGroup:
+    def test_k_per_group_and_flat_consistency(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.sampling import (
+            weighted_sample,
+            weighted_sample_per_group,
+        )
+
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+            (F.col("id") % 5 + 1).alias("w"),
+        )
+        out = weighted_sample_per_group(df, "w", k=10, group_col="grp")
+        counts = {r["grp"]: r["n"] for r in
+                  out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"0": 10, "1": 10, "2": 10}
+        # a group's sample equals the flat sample of that group alone
+        only0 = df.where(F.col("grp") == "0")
+        flat = {r["doc_id"] for r in
+                weighted_sample(only0, "w", k=10, id_col="doc_id").collect()}
+        grp0 = {r["doc_id"] for r in out.where(F.col("grp") == "0").collect()}
+        assert grp0 == flat
+
+    def test_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.sampling import (
+            weighted_sample_per_group,
+        )
+
+        df = spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("g"),
+            F.lit(1).alias("w")
+        )
+        with pytest.raises(ValueError):
+            weighted_sample_per_group(df, "w", k=0, group_col="g")
