@@ -159,6 +159,7 @@ HEADLINE = [
     "sq8_recall",
     "abandoned_after",
     "weighted_sample_by_lang",
+    "negative_samples",
 ]
 
 

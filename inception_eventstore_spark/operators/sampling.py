@@ -397,3 +397,88 @@ def weighted_sample_per_group(
         .where(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def negative_sampling_intervals(
+    docs: DataFrame,
+    power: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, cnt, t_lo, t_hi) — the unigram^power inverse-CDF table
+    behind word2vec negative sampling (Mikolov et al. 2013: p_i ∝
+    cnt_i^0.75), with cumulative thresholds as EXACT integers in
+    [0, 2⁶⁰): token i owns u ∈ [t_lo, t_hi). The running sum is one
+    vocabulary-sized window (tokens ordered count-desc then lexical —
+    deterministic on any engine); the last interval is pinned to
+    exactly 2⁶⁰ so no uniform can fall off the end of the
+    floor-rounded CDF."""
+    from pyspark.sql import Window as _W
+
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = vocab.select(
+        F.sum(F.pow(F.col("cnt").cast("double"), float(power))).alias("_t")
+    ).first()["_t"]
+    if not total:
+        raise ValueError("corpus has no tokens")
+    w = _W.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), "token")
+    cum = F.sum(
+        F.pow(F.col("cnt").cast("double"), float(power))
+    ).over(w.rowsBetween(_W.unboundedPreceding, _W.currentRow))
+    n_tok = F.count("*").over(_W.partitionBy(F.lit(1)))
+    rn = F.row_number().over(w)
+    hi = F.when(rn == n_tok, F.lit(1 << 60)).otherwise(
+        F.floor(cum / F.lit(float(total)) * F.lit(float(1 << 60))).cast(
+            "bigint"
+        )
+    )
+    out = vocab.select("token", "cnt", hi.alias("t_hi"))
+    return out.withColumn(
+        "t_lo",
+        F.coalesce(
+            F.lag("t_hi").over(
+                _W.partitionBy(F.lit(1)).orderBy(
+                    F.col("cnt").desc(), "token"
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("token", "cnt", "t_lo", "t_hi")
+
+
+def sample_negatives(
+    docs: DataFrame,
+    n: int,
+    power: float = 0.75,
+    seed: str = "v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(sample_id, token) — ``n`` deterministic negative samples drawn
+    from the unigram^power distribution: md5-uniform 60-bit keys
+    matched into the inverse-CDF intervals via the in-repo bucketized
+    `range_join` (hash join on bucket ids — NO nested-loop, the whole
+    point of that operator). Reproducible from the seed; the declared
+    oracle re-derives every sample."""
+    from inception_eventstore_spark.operators.joins import range_join
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    iv = negative_sampling_intervals(docs, power, id_col, text_col)
+    samples = docs.sparkSession.range(int(n)).select(
+        F.col("id").alias("sample_id"),
+        md5_prefix60(
+            F.concat(F.lit(f"neg:{seed}:"), F.col("id").cast("string"))
+        ).alias("u"),
+    )
+    joined = range_join(
+        samples, iv, point_col="u", lo_col="t_lo", hi_col="t_hi",
+        bucket_width=1 << 48, bounds="[)",
+    )
+    return joined.select("sample_id", "token").orderBy("sample_id")

@@ -5647,3 +5647,57 @@ _R4N_QUERIES = {
     ),
 }
 QUERIES = {**_R4N_QUERIES, **QUERIES}
+
+
+def q_negative_samples(spark, sf_dir):
+    """1000 word2vec negative samples from the unigram^0.75 table
+    (sampling.sample_negatives): exact-integer inverse CDF + md5
+    uniforms matched through the bucketized range_join. Every sample
+    re-derived in SQL (same running sum, floor thresholds, uniforms,
+    interval test)."""
+    from inception_eventstore_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.sample_negatives(docs, n=1000)
+
+
+_NEGATIVE_SAMPLES_ORACLE = f"""
+WITH vocab AS (
+  SELECT w AS token, count(*) AS cnt FROM (
+    SELECT unnest({_DUCK_TOKENS}) AS w FROM documents) GROUP BY w),
+tot AS (SELECT sum(pow(cnt * 1.0, 0.75)) AS t FROM vocab),
+cdf AS (
+  SELECT token, cnt,
+    sum(pow(cnt * 1.0, 0.75)) OVER (ORDER BY cnt DESC, token
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+    count(*) OVER () AS n_tok
+  FROM vocab),
+iv AS (
+  SELECT token,
+    CASE WHEN rn = n_tok THEN 1152921504606846976
+    ELSE CAST(floor(cum / (SELECT t FROM tot)
+                    * 1152921504606846976.0) AS BIGINT) END AS t_hi,
+    rn
+  FROM cdf),
+iv2 AS (
+  SELECT token,
+    coalesce(lag(t_hi) OVER (ORDER BY rn), 0) AS t_lo, t_hi
+  FROM iv),
+s AS (
+  SELECT i AS sample_id,
+    CAST(('0x' || substring(md5('neg:v1:' || CAST(i AS VARCHAR)), 1, 15))
+         AS BIGINT) AS u
+  FROM range(0, 1000) t(i))
+SELECT sample_id, token
+FROM s JOIN iv2 ON u >= t_lo AND u < t_hi
+ORDER BY sample_id
+"""
+
+
+_R4O_QUERIES = {
+    "negative_samples": QueryDef(
+        q_negative_samples, _NEGATIVE_SAMPLES_ORACLE
+    ),
+}
+QUERIES = {**_R4O_QUERIES, **QUERIES}

@@ -253,3 +253,54 @@ class TestWeightedSamplePerGroup:
         )
         with pytest.raises(ValueError):
             weighted_sample_per_group(df, "w", k=0, group_col="g")
+
+
+class TestNegativeSampling:
+    def test_distribution_and_determinism(self, spark):
+        from collections import Counter
+
+        from inception_eventstore_spark.operators.sampling import (
+            negative_sampling_intervals,
+            sample_negatives,
+        )
+
+        # 'common' 80x, 'rare' 20x → p ∝ 80^.75 : 20^.75 ≈ 2.83 : 1
+        texts = [("common " * 4 + "rare").strip() for _ in range(20)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        iv = {r["token"]: (r["t_lo"], r["t_hi"])
+              for r in negative_sampling_intervals(df).collect()}
+        assert set(iv) == {"common", "rare"}
+        # intervals tile [0, 2^60) exactly
+        spans = sorted(iv.values())
+        assert spans[0][0] == 0 and spans[-1][1] == 1 << 60
+        assert spans[0][1] == spans[1][0]
+        got = [r["token"] for r in sample_negatives(df, n=2000).collect()]
+        c = Counter(got)
+        assert len(got) == 2000
+        ratio = c["common"] / c["rare"]
+        assert 2.2 < ratio < 3.6  # ≈ (80/20)^0.75 = 2.83
+        again = [r["token"] for r in sample_negatives(df, n=2000).collect()]
+        assert got == again
+
+    def test_every_sample_matched_once(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            sample_negatives,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g")], ["doc_id", "text"]
+        )
+        rows = sample_negatives(df, n=500).collect()
+        ids = [r["sample_id"] for r in rows]
+        assert sorted(ids) == list(range(500))  # exactly one token each
+
+    def test_guard(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            sample_negatives,
+        )
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            sample_negatives(df, n=0)
