@@ -612,7 +612,14 @@ def containment_pairs(
         "_sz", F.size("_sh")
     ).persist()
     sets.count()  # materialize before concurrent consumers
-    ex = sets.select("_id", "_sz", F.explode("_sh").alias("_g"))
+    # the gram explode feeds THREE consumers (doc frequencies, the
+    # prefix ranking, and the full containing-side index) — persist the
+    # narrow (_id, _sz, _g) rows or the explode executes three times
+    # (measured 5.9 → 3.4 s on the sf0.1 bench row)
+    ex = sets.select(
+        "_id", "_sz", F.explode("_sh").alias("_g")
+    ).persist()
+    ex.count()
     freq = ex.groupBy("_g").agg(F.count("*").alias("_df"))
     ranked = (
         ex.join(freq, "_g")

@@ -674,6 +674,9 @@ def _synthetic_video(i: int, w: int = 24, h: int = 16) -> bytes:
     return encode_avi_mjpeg(frames, fps=4, quality=85)
 
 
+_ASSET_ROW_CACHE: dict[int, list] = {}
+
+
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture: n assets across modalities with payloads
     derived from the id (no external data needed). Image payloads are
@@ -689,6 +692,9 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     row in CORRECTNESS_r03). Python int/None survive both the Arrow
     and non-Arrow paths, and at fixture sizes (n≤256) the Arrow
     batch-transfer advantage is noise."""
+    cached = _ASSET_ROW_CACHE.get(n)
+    if cached is not None:
+        return spark.createDataFrame(cached, schema=ASSET_SCHEMA)
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -735,4 +741,8 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
         else:
             w, h, dur = None, None, 5000 + i * 100
         rows.append((i, modality, mime, w, h, dur, payload))
+    # payload construction (python JPEG/AVI ENCODE) dominates fixture
+    # cost and is a pure function of n — cache the rows per process so
+    # the five multimodal queries in one bench run pay it once
+    _ASSET_ROW_CACHE[n] = rows
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
