@@ -160,6 +160,7 @@ HEADLINE = [
     "abandoned_after",
     "weighted_sample_by_lang",
     "negative_samples",
+    "psi_drift",
 ]
 
 

@@ -22,7 +22,7 @@ num_max, avg_len).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,3 +82,76 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
         "col_name string, n_nulls bigint, n_distinct bigint, "
         "num_min double, num_max double, avg_len double",
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(bin, ref_share, cur_share, psi_term) — Population Stability
+    Index terms between a reference and a current sample of
+    ``value_col`` (the standard drift monitor: PSI = Σ terms; < 0.1
+    stable, > 0.25 action):
+
+        psi_term_i = (p_i − q_i) · ln(p_i / q_i)
+
+    over ``bins`` reference-quantile buckets. Bin edges are the ref
+    sample's exact interpolated percentiles ROUNDED to 6 dp — the
+    rounding is load-bearing for cross-engine determinism: raw
+    interpolated edges differ in the last ulp between engines, and a
+    data point exactly on an edge would then flip buckets; 6-dp edges
+    are engine-identical (proven by the value_percentiles oracle) and
+    almost surely unequal to any continuous data value. Edges are two
+    scalar aggregates baked back as literals — the binning passes are
+    map-side, one partial-aggregated count each; ``smoothing`` is the
+    add-α keeping empty buckets finite. Bin membership: value v falls
+    in bucket |{edges e : v > e}| (strict)."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    probs = [i / bins for i in range(1, bins)]
+    edges = [
+        round(float(e), 6)
+        for e in ref.select(
+            F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+        ).first()[0]
+    ]
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    r = bucketed(ref).withColumnRenamed("n", "n_ref")
+    c = bucketed(cur).withColumnRenamed("n", "n_cur")
+    allbins = ref.sparkSession.range(int(bins)).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        allbins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tr = F.sum("n_ref").over(Window.partitionBy(F.lit(1)))
+    tc = F.sum("n_cur").over(Window.partitionBy(F.lit(1)))
+    a = float(smoothing)
+    p = (F.col("n_ref") + a) / (tr + a * bins)
+    q = (F.col("n_cur") + a) / (tc + a * bins)
+    return joined.select(
+        "bin",
+        F.round(p, 6).alias("ref_share"),
+        F.round(q, 6).alias("cur_share"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    ).orderBy("bin")

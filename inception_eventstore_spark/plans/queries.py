@@ -5701,3 +5701,63 @@ _R4O_QUERIES = {
     ),
 }
 QUERIES = {**_R4O_QUERIES, **QUERIES}
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI drift terms between the first and second calendar halves of
+    the event log's value distribution (profile.population_stability):
+    reference-decile buckets with 6-dp edges (the rounding IS the
+    cross-engine contract — see the operator docstring), add-0.5
+    smoothing. The fixture generator is stationary, so the expected
+    PSI ≈ 0 — the oracle certifies the arithmetic, not a planted
+    drift."""
+    from inception_eventstore_spark.operators import profile as PR
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.avg(F.unix_micros("ts")).cast("bigint")
+        ).alias("m")
+    ).first()["m"]
+    ref = ev.where(F.col("ts") < F.lit(mid))
+    cur = ev.where(F.col("ts") >= F.lit(mid))
+    return PR.population_stability(ref, cur, "value", bins=10)
+
+
+_PSI_ORACLE = """
+WITH m AS (SELECT make_timestamp(CAST(avg(epoch_us(ts)) AS BIGINT)) AS mid
+  FROM events),
+ref AS (SELECT value FROM events WHERE ts < (SELECT mid FROM m)),
+cur AS (SELECT value FROM events WHERE ts >= (SELECT mid FROM m)),
+edges AS (
+  SELECT round(unnest(q), 6) AS e FROM (
+    SELECT quantile_cont(value,
+      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM ref)),
+rb AS (SELECT (SELECT count(*) FROM edges WHERE value > e) AS bin
+  FROM ref),
+cb AS (SELECT (SELECT count(*) FROM edges WHERE value > e) AS bin
+  FROM cur),
+rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+bl AS (SELECT i AS bin FROM range(0, 10) t(i)),
+j AS (SELECT bl.bin, coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+  FROM bl LEFT JOIN rc ON bl.bin = rc.bin
+  LEFT JOIN cc ON bl.bin = cc.bin),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+SELECT CAST(bin AS INT) AS bin,
+  round((n_ref + 0.5) / ((SELECT tr FROM t) + 5.0), 6) AS ref_share,
+  round((n_cur + 0.5) / ((SELECT tc FROM t) + 5.0), 6) AS cur_share,
+  round(((n_ref + 0.5) / ((SELECT tr FROM t) + 5.0)
+         - (n_cur + 0.5) / ((SELECT tc FROM t) + 5.0))
+        * ln(((n_ref + 0.5) / ((SELECT tr FROM t) + 5.0))
+             / ((n_cur + 0.5) / ((SELECT tc FROM t) + 5.0))), 6)
+    AS psi_term
+FROM j ORDER BY bin
+"""
+
+
+_R4P_QUERIES = {
+    "psi_drift": QueryDef(q_psi_drift, _PSI_ORACLE),
+}
+QUERIES = {**_R4P_QUERIES, **QUERIES}

@@ -402,3 +402,41 @@ def windowed_distinct_users(
         F.col("window.start").alias("window_start"),
         F.col("active_users").cast("bigint").alias("active_users"),
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right events matched to left
+    events of the same key occurring at-or-after them within
+    ``within`` (view→purchase attribution as a continuous feed — the
+    streaming twin of the batch `funnel.abandoned_after` complement).
+
+    Both sides carry watermarks and the join condition bounds
+    right_ts ∈ [left_ts, left_ts + within], which is exactly what
+    Structured Streaming needs to expire join state: left rows are
+    dropped once the right watermark passes left_ts + within, right
+    rows once the left watermark passes right_ts — bounded state, no
+    unbounded buffer. Works unchanged on batch frames (the condition
+    is just a range predicate there). Right-side columns are suffixed
+    ``_r``."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rnamed = rw
+    for c in rw.columns:
+        rnamed = rnamed.withColumnRenamed(c, c + "_r")
+    cond = (
+        (F.col(key_col) == F.col(key_col + "_r"))
+        & (F.col(right_ts + "_r") >= F.col(left_ts))
+        & (
+            F.col(right_ts + "_r")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rnamed, cond, "inner")

@@ -49,3 +49,68 @@ class TestProfileTable:
         got = {r.col_name: r for r in profile_table(empty).collect()}
         assert got["a"].n_nulls == 0 and got["a"].n_distinct == 0
         assert got["a"].num_min is None and got["b"].avg_len is None
+
+
+class TestPopulationStability:
+    def test_identical_distributions_near_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.profile import (
+            population_stability,
+        )
+
+        df = spark.range(2000).select(
+            (F.col("id") % 97 * 0.37).alias("value")
+        )
+        out = population_stability(df, df, "value", bins=10)
+        rows = out.collect()
+        assert len(rows) == 10
+        psi = sum(r["psi_term"] for r in rows)
+        assert abs(psi) < 1e-9  # same sample → exactly stable
+        assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-4
+
+    def test_shifted_distribution_flags(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.profile import (
+            population_stability,
+        )
+
+        rng = random.Random(3)
+        ref = spark.createDataFrame(
+            [(rng.gauss(0, 1),) for _ in range(3000)], ["value"]
+        )
+        cur = spark.createDataFrame(
+            [(rng.gauss(1.0, 1),) for _ in range(3000)], ["value"]
+        )
+        psi = sum(
+            r["psi_term"]
+            for r in population_stability(ref, cur, "value").collect()
+        )
+        assert psi > 0.25  # a full-σ mean shift is actionable drift
+
+    def test_empty_bucket_smoothed(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            population_stability,
+        )
+
+        ref = spark.createDataFrame([(float(i),) for i in range(100)],
+                                    ["value"])
+        cur = spark.createDataFrame([(0.5,)] * 50, ["value"])
+        rows = population_stability(ref, cur, "value", bins=5).collect()
+        # all cur mass in bucket 0; other buckets stay finite
+        assert all(abs(r["psi_term"]) < 1e9 for r in rows)
+        assert rows[0]["cur_share"] > 0.9
+
+    def test_guard(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            population_stability,
+        )
+
+        df = spark.createDataFrame([(1.0,)], ["value"])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            population_stability(df, df, "value", bins=1)

@@ -712,3 +712,50 @@ class TestWindowedDistinctUsers:
             for r in windowed_distinct_users(batch).collect()
         }
         assert got_b == got
+
+
+class TestStreamIntervalJoin:
+    def test_stream_stream_attribution(self, spark, tmp_path):
+        import datetime as dt
+
+        from inception_eventstore_spark.streaming.ingest import (
+            stream_interval_join,
+        )
+
+        t0 = dt.datetime(2024, 5, 1)
+        schema = "event_id long, ts timestamp, user_id long"
+        views = [(1, t0, 1), (2, t0 + dt.timedelta(minutes=90), 1),
+                 (3, t0, 2)]
+        buys = [(10, t0 + dt.timedelta(minutes=30), 1),   # matches view 1
+                (11, t0 + dt.timedelta(minutes=200), 1),  # matches nothing
+                (12, t0 - dt.timedelta(minutes=5), 2)]    # before the view
+        vdir, bdir = str(tmp_path / "v"), str(tmp_path / "b")
+        spark.createDataFrame(views, schema).write.parquet(vdir)
+        spark.createDataFrame(buys, schema).write.parquet(bdir)
+        vs = spark.readStream.schema(schema).parquet(vdir)
+        bs = spark.readStream.schema(schema).parquet(bdir)
+        joined = stream_interval_join(
+            vs, bs, key_col="user_id", within="1 hour",
+            watermark="10 minutes",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("sij_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {(r["event_id"], r["event_id_r"])
+                   for r in spark.sql("SELECT * FROM sij_sink").collect()}
+        finally:
+            q.stop()
+        assert got == {(1, 10)}
+        # batch frames through the same function give the same answer
+        bv = spark.createDataFrame(views, schema)
+        bb = spark.createDataFrame(buys, schema)
+        batch = stream_interval_join(
+            bv, bb, key_col="user_id", within="1 hour"
+        )
+        assert {(r["event_id"], r["event_id_r"])
+                for r in batch.collect()} == got
