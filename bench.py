@@ -161,6 +161,7 @@ HEADLINE = [
     "weighted_sample_by_lang",
     "negative_samples",
     "psi_drift",
+    "canonical_urls",
 ]
 
 

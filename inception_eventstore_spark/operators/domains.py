@@ -102,3 +102,67 @@ def domain_blocklist_filter(
         .distinct()
     )
     return docs.join(bad_ids, id_col, "left_anti")
+
+
+#: Query parameters that never change content identity — the standard
+#: crawl-dedup strip list (shared with the oracle verbatim).
+TRACKING_PARAMS = ("utm_[^=&]*", "gclid", "fbclid", "ref", "mc_eid")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of one URL column — the crawl-frontier dedup key
+    (the same page arrives with tracking params, fragments, www,
+    default ports and shuffled query orders; canonicalization collapses
+    them before any hash dedup):
+
+    - scheme + host lowercased; ``www.`` and default ``:80``/``:443``
+      ports dropped;
+    - fragment dropped;
+    - tracking params (TRACKING_PARAMS) dropped, remaining query
+      params SORTED (order never matters server-side);
+    - trailing ``/`` on the path dropped (empty path ≡ "/").
+
+    Pure JVM column algebra (regexp in the shared Java∩RE2 dialect of
+    this module, array_sort/array_join for the params) — no UDF, and
+    every step re-derives identically in the DuckDB oracle."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    tracking = "|".join(TRACKING_PARAMS)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(f"^({tracking})="),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def canonical_doc_urls(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(canonical_url, n_raw, n_docs) — every URL mentioned in the
+    corpus collapsed to its canonical form with raw-mention and
+    distinct-doc counts: the frontier-dedup statistic. One explode +
+    one partial-aggregated groupBy on the canonical string."""
+    urls = docs.select(
+        F.col(id_col), F.explode(extract_urls(text_col)).alias("_u")
+    ).select(id_col, canonical_url(F.col("_u")).alias("canonical_url"))
+    return urls.groupBy("canonical_url").agg(
+        F.count("*").alias("n_raw"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )

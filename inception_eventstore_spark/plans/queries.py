@@ -5761,3 +5761,92 @@ _R4P_QUERIES = {
     "psi_drift": QueryDef(q_psi_drift, _PSI_ORACLE),
 }
 QUERIES = {**_R4P_QUERIES, **QUERIES}
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (domains.canonical_url): the same page
+    planted in two disguises per doc — tracking params + shuffled
+    query order + fragment + WWW/case/default-port vs the clean form —
+    must collapse to ONE canonical key; a third plant pins trailing-
+    slash handling. Oracle replays every normalization step."""
+    from inception_eventstore_spark.operators import domains as DM
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://WWW.Shop.Example.com:443/item/"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("/?utm_source=x&b=2&a=1#frag"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" https://shop.example.com/item/"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("?a=1&b=2&gclid=zz"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" http://news.example.org/"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = DM.canonical_doc_urls(d)
+    return out.select(
+        "canonical_url",
+        F.col("n_raw").cast("bigint").alias("n_raw"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    ).orderBy("canonical_url")
+
+
+_CANONICAL_URL_ORACLE = r"""
+WITH planted AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' https://WWW.Shop.Example.com:443/item/'
+    || CAST(doc_id % 10 AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+  ELSE '' END ||
+  CASE WHEN doc_id % 3 = 1 THEN ' https://shop.example.com/item/'
+    || CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2&gclid=zz'
+  ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' http://news.example.org/'
+  ELSE '' END AS text FROM documents),
+urls AS (SELECT doc_id, unnest(regexp_extract_all(text,
+  'https?://[^ \t\n]+')) AS url FROM planted),
+c AS (SELECT doc_id,
+  regexp_replace(url, '#.*$', '') AS u FROM urls),
+parts AS (SELECT doc_id, u,
+  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM c),
+np AS (SELECT doc_id, scheme, u,
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(rest, '^([^/?]+)', 1)),
+    '^www\.', ''), ':(80|443)$', '') AS host,
+  regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/$', '')
+    AS path,
+  regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM parts),
+qn AS (SELECT doc_id, scheme, host, path,
+  array_to_string(list_sort(list_filter(string_split(query, '&'),
+    p -> p <> '' AND NOT regexp_matches(p,
+      '^(utm_[^=&]*|gclid|fbclid|ref|mc_eid)='))), '&') AS qs
+  FROM np),
+canon AS (SELECT doc_id,
+  scheme || '://' || host || path ||
+  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM qn)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+_R4Q_QUERIES = {
+    "canonical_urls": QueryDef(q_canonical_urls, _CANONICAL_URL_ORACLE),
+}
+QUERIES = {**_R4Q_QUERIES, **QUERIES}

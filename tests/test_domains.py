@@ -67,3 +67,54 @@ class TestDomains:
         plan = plan.split("== Initial Plan ==")[0]
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+class TestCanonicalUrl:
+    def _canon(self, spark, urls):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.domains import (
+            canonical_url,
+        )
+
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   ["i", "u"])
+        return [r["c"] for r in
+                df.select(canonical_url(F.col("u")).alias("c"))
+                .orderBy("i").collect()]
+
+    def test_variants_collapse(self, spark):
+        variants = [
+            "https://WWW.Shop.Example.com:443/item/3/?utm_source=x&b=2&a=1#f",
+            "https://shop.example.com/item/3?a=1&b=2&gclid=zz",
+            "HTTPS://shop.example.com/item/3?b=2&a=1",
+        ]
+        got = self._canon(spark, variants)
+        assert got == ["https://shop.example.com/item/3?a=1&b=2"] * 3
+
+    def test_individual_rules(self, spark):
+        cases = {
+            "http://a.com:80/x": "http://a.com/x",
+            "http://a.com:8080/x": "http://a.com:8080/x",  # non-default kept
+            "http://a.com/": "http://a.com",
+            "http://a.com/p?utm_campaign=c": "http://a.com/p",
+            "http://a.com/p?ref=h&z=1": "http://a.com/p?z=1",
+            "http://a.com/CasePath": "http://a.com/CasePath",  # path case kept
+        }
+        got = self._canon(spark, list(cases))
+        assert got == list(cases.values())
+
+    def test_corpus_collapse_counts(self, spark):
+        from inception_eventstore_spark.operators.domains import (
+            canonical_doc_urls,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "see https://x.com/a?b=1&a=2 and https://X.com/a?a=2&b=1"),
+             (1, "ref https://www.x.com/a/?a=2&b=1#top")],
+            ["doc_id", "text"],
+        )
+        rows = canonical_doc_urls(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["canonical_url"] == "https://x.com/a?a=2&b=1"
+        assert (rows[0]["n_raw"], rows[0]["n_docs"]) == (3, 2)
