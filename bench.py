@@ -162,6 +162,8 @@ HEADLINE = [
     "negative_samples",
     "psi_drift",
     "canonical_urls",
+    "state_runs",
+    "string_indexer",
 ]
 
 

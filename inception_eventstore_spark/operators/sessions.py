@@ -56,3 +56,35 @@ def session_stats(
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def state_runs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    state_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(key, state, run_id, n_events, run_start, run_end) — consecutive
+    identical states per key collapsed to runs (gaps-and-islands):
+    the state-change compression that turns an event log into a
+    status-interval table (uptime/downtime spans, mode timelines).
+    One window shuffle: lag marks change points, a running sum numbers
+    the islands, one groupBy collapses them — the same
+    change-point + cumsum shape `sessionize` uses for time gaps,
+    applied to VALUE changes."""
+    w = Window.partitionBy(key_col).orderBy(time_col, order_tiebreak)
+    chg = (
+        F.lag(state_col).over(w).isNull()
+        | (F.col(state_col) != F.lag(state_col).over(w))
+    ).cast("long")
+    runs = events.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy(key_col, "run_id").agg(
+        F.first(state_col).alias("state"),
+        F.count("*").alias("n_events"),
+        F.min(time_col).alias("run_start"),
+        F.max(time_col).alias("run_end"),
+    )

@@ -282,3 +282,38 @@ def unicode_clean(docs: DataFrame, id_col: str = "doc_id",
     c = nfc(c)
     c = F.trim(F.regexp_replace(c, "[ \\t\\n\\x0b\\f\\r]+", " "))
     return docs.select(F.col(id_col), c.alias("text_clean"))
+
+
+def string_indexer(
+    docs: DataFrame,
+    col: str = "text",
+    tokenize: bool = True,
+) -> DataFrame:
+    """(token|value, freq, idx) — dense contiguous ids 0..V−1 assigned
+    frequency-first (ties lexical): the embedding-table index map every
+    training pipeline builds (id 0 = most frequent, so frequency-
+    bucketed embedding shards stay hot-first). ``tokenize=True``
+    indexes the distinct TOKENS of a text column; False indexes the
+    column's distinct raw values.
+
+    The ranking is one row_number window over the DISTINCT-value table
+    — |V| rows, orders of magnitude smaller than the corpus; at
+    vocabularies too large for one partition, the two-phase shard
+    rank `packing.token_offsets` uses applies verbatim. The id
+    assignment is fully deterministic, so re-runs (and other engines)
+    reproduce the identical map."""
+    from pyspark.sql import Window as _W
+
+    if tokenize:
+        vals = docs.select(F.explode(tokens(col)).alias("value"))
+    else:
+        vals = docs.select(F.col(col).alias("value")).where(
+            F.col("value").isNotNull()
+        )
+    freq = vals.groupBy("value").agg(F.count("*").alias("freq"))
+    w = _W.partitionBy(F.lit(1)).orderBy(F.col("freq").desc(), "value")
+    return freq.select(
+        "value",
+        "freq",
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+    )

@@ -5850,3 +5850,63 @@ _R4Q_QUERIES = {
     "canonical_urls": QueryDef(q_canonical_urls, _CANONICAL_URL_ORACLE),
 }
 QUERIES = {**_R4Q_QUERIES, **QUERIES}
+
+
+def q_state_runs(spark, sf_dir):
+    """Event-type run compression per user (sessions.state_runs):
+    gaps-and-islands over VALUE changes — the status-interval table.
+    Oracle replays the identical lag + cumsum island numbering."""
+    from inception_eventstore_spark.operators import sessions as SS
+
+    ev = _t(spark, sf_dir, "events")
+    out = SS.state_runs(ev)
+    return out.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("run_id"),
+        "state",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "run_start",
+        "run_end",
+    ).orderBy("user_id", "run_id")
+
+
+_STATE_RUNS_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+  FROM (SELECT user_id, ts, event_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev FROM events) t)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+  min(event_type) AS state, CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS run_start, max(ts) AS run_end
+FROM r GROUP BY user_id, run_id ORDER BY user_id, run_id
+"""
+
+
+def q_string_indexer(spark, sf_dir):
+    """Frequency-first dense vocabulary ids (text.string_indexer):
+    idx 0 = most frequent token, ties lexical — the embedding-table
+    index map; fully deterministic so both engines reproduce it."""
+    from inception_eventstore_spark.operators.text import string_indexer
+
+    docs = _t(spark, sf_dir, "documents")
+    return string_indexer(docs).orderBy("idx")
+
+
+_STRING_INDEXER_ORACLE = f"""
+WITH vals AS (SELECT unnest({_DUCK_TOKENS}) AS value FROM documents),
+freq AS (SELECT value, count(*) AS freq FROM vals GROUP BY value)
+SELECT value, CAST(freq AS BIGINT) AS freq,
+  CAST(row_number() OVER (ORDER BY freq DESC, value) - 1 AS BIGINT)
+    AS idx
+FROM freq ORDER BY idx
+"""
+
+
+_R4R_QUERIES = {
+    "state_runs": QueryDef(q_state_runs, _STATE_RUNS_ORACLE),
+    "string_indexer": QueryDef(q_string_indexer, _STRING_INDEXER_ORACLE),
+}
+QUERIES = {**_R4R_QUERIES, **QUERIES}

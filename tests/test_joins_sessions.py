@@ -264,3 +264,44 @@ class TestRangeJoin:
             range_join(df, iv, "v", "lo", "hi", 10, bounds="()")
         with _pytest.raises(ValueError):
             range_join(df, iv, "v", "lo", "hi", 0)
+
+
+class TestStateRuns:
+    def test_island_compression(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.sessions import state_runs
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "up"), (2, t0 + dt.timedelta(minutes=1), 1, "up"),
+            (3, t0 + dt.timedelta(minutes=2), 1, "down"),
+            (4, t0 + dt.timedelta(minutes=3), 1, "up"),
+            (5, t0, 2, "up"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        got = [
+            (r["user_id"], r["run_id"], r["state"], r["n_events"])
+            for r in state_runs(df).orderBy("user_id", "run_id").collect()
+        ]
+        # user 1: up×2 → down×1 → up×1 (state recurring later = NEW run)
+        assert got == [
+            (1, 1, "up", 2), (1, 2, "down", 1), (1, 3, "up", 1),
+            (2, 1, "up", 1),
+        ]
+
+    def test_run_bounds(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.sessions import state_runs
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=i), 1, "a") for i in range(3)],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        r = state_runs(df).collect()[0]
+        assert r["run_start"] == t0
+        assert r["run_end"] == t0 + dt.timedelta(minutes=2)

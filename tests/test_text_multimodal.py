@@ -725,3 +725,26 @@ class TestUnicodeClean:
             [(0, None)], "doc_id long, text string"
         )
         assert unicode_clean(df).collect()[0]["text_clean"] is None
+
+
+class TestStringIndexer:
+    def test_frequency_first_dense_ids(self, spark):
+        from inception_eventstore_spark.operators.text import string_indexer
+
+        df = spark.createDataFrame(
+            [(0, "b b b a a c"), (1, "a b")], ["doc_id", "text"]
+        )
+        got = {r["value"]: (r["freq"], r["idx"])
+               for r in string_indexer(df).collect()}
+        # b:4 > a:3 > c:1 → dense 0,1,2
+        assert got == {"b": (4, 0), "a": (3, 1), "c": (1, 2)}
+
+    def test_raw_value_mode_and_ties(self, spark):
+        from inception_eventstore_spark.operators.text import string_indexer
+
+        df = spark.createDataFrame(
+            [("y",), ("x",), ("x",), ("y",), (None,)], ["v"]
+        )
+        got = {r["value"]: r["idx"]
+               for r in string_indexer(df, col="v", tokenize=False).collect()}
+        assert got == {"x": 0, "y": 1}  # tie (2,2) → lexical
