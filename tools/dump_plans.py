@@ -232,6 +232,37 @@ CHECKS = {
          r"TakeOrderedAndProject"),
         ("hit check is a semi-join", r"LeftSemi"),
     ],
+    "negative_samples": [
+        ("uniforms meet the CDF through the bucketized range join — "
+         "never a nested loop", "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("bucket ids join hash-side", r"Join [^\n]*_rb|HashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "canonical_urls": [
+        ("URL explode runs in Generate", r"Generate"),
+        ("canonical counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "abandoned_after": [
+        ("absence check is union + window — NO join operator anywhere",
+         "!SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct"),
+        ("one hash shuffle on the key",
+         r"Exchange hashpartitioning\(user_id"),
+    ],
+    "state_runs": [
+        ("island numbering shuffles on the key",
+         r"Exchange hashpartitioning\(user_id"),
+        ("run collapse partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "psi_drift": [
+        ("binning is a map-side CASE chain — no UDF",
+         "!BatchEvalPython|ArrowEvalPython"),
+        ("bucket counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+    ],
 }
 
 

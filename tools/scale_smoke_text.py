@@ -247,6 +247,29 @@ def main() -> int:
     events = load_table(spark, sf_dir, "events")
     run("rolling_anomalies_events", lambda: zscore_anomalies(events))
 
+    # r4 second wave: tokenizer application, collocations, URL
+    # canonicalization and model scoring at the same 100k-doc volume
+    from inception_eventstore_spark.operators.domains import (
+        canonical_doc_urls,
+    )
+    from inception_eventstore_spark.operators.lm import (
+        bpe_encode_words,
+        skipgram_ppmi,
+    )
+    from inception_eventstore_spark.operators.scoring import (
+        linear_quality_score,
+    )
+    from inception_eventstore_spark.operators.text import string_indexer
+
+    run("bpe_encode_words", lambda: bpe_encode_words(
+        corpus, [("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>")]))
+    run("skipgram_ppmi", lambda: skipgram_ppmi(
+        corpus, window=2, min_pair_count=5))
+    run("quality_model_score", lambda: linear_quality_score(
+        corpus, dim=256))
+    run("canonical_doc_urls", lambda: canonical_doc_urls(corpus))
+    run("string_indexer", lambda: string_indexer(corpus))
+
     corpus.unpersist()
     print(json.dumps({
         "sf_dir": sf_dir,
