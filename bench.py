@@ -164,6 +164,7 @@ HEADLINE = [
     "canonical_urls",
     "state_runs",
     "string_indexer",
+    "ks_drift",
 ]
 
 

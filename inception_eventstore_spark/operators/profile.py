@@ -155,3 +155,51 @@ def population_stability(
         F.round(q, 6).alias("cur_share"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """(n_ref, n_cur, ks) — the exact two-sample Kolmogorov-Smirnov
+    statistic sup_x |F_ref(x) − F_cur(x)|, completing the drift family
+    next to `population_stability` (PSI sees bucket mass move; KS sees
+    any distributional difference, bucket-free).
+
+    Both samples union into one relation; running peer-inclusive
+    counts under the default RANGE window frame ARE the two ECDFs
+    evaluated at every jump point (RANGE-until-current includes ties'
+    peers identically on every engine, which settles the at-tie ECDF
+    convention without any tie-break column); one max aggregate
+    finishes. The value-ordered window is a GLOBAL sort — fine for the
+    samples a drift monitor compares (columns of two snapshots); for
+    planet-scale inputs pre-aggregate to (value, count) first (the
+    relation then has one row per distinct value, which this
+    implementation does anyway via the groupBy below)."""
+    r = ref.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v")
+    ).groupBy("v").agg(F.count("*").alias("c1")).withColumn("c2", F.lit(0))
+    c = cur.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v")
+    ).groupBy("v").agg(F.count("*").alias("c2")).withColumn("c1", F.lit(0))
+    u = r.select("v", "c1", "c2").unionAll(c.select("v", "c1", "c2"))
+    w = Window.partitionBy(F.lit(1)).orderBy("v")
+    cum1 = F.sum("c1").over(w)
+    cum2 = F.sum("c2").over(w)
+    n1 = F.sum("c1").over(Window.partitionBy(F.lit(1)))
+    n2 = F.sum("c2").over(Window.partitionBy(F.lit(1)))
+    stepped = u.select(
+        n1.alias("n_ref"),
+        n2.alias("n_cur"),
+        F.abs(
+            cum1.cast("double") / n1 - cum2.cast("double") / n2
+        ).alias("_d"),
+    )
+    return stepped.groupBy("n_ref", "n_cur").agg(
+        F.round(F.max("_d"), 6).alias("ks")
+    ).select(
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        "ks",
+    )

@@ -5910,3 +5910,48 @@ _R4R_QUERIES = {
     "string_indexer": QueryDef(q_string_indexer, _STRING_INDEXER_ORACLE),
 }
 QUERIES = {**_R4R_QUERIES, **QUERIES}
+
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic between the first and second
+    calendar halves of the event values (profile.ks_statistic) — the
+    bucket-free companion of psi_drift. Peer-inclusive RANGE running
+    counts are the ECDFs; oracle uses the identical default frame."""
+    from inception_eventstore_spark.operators import profile as PR
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.avg(F.unix_micros("ts")).cast("bigint")
+        ).alias("m")
+    ).first()["m"]
+    return PR.ks_statistic(
+        ev.where(F.col("ts") < F.lit(mid)),
+        ev.where(F.col("ts") >= F.lit(mid)),
+        "value",
+    )
+
+
+_KS_ORACLE = """
+WITH m AS (SELECT make_timestamp(CAST(avg(epoch_us(ts)) AS BIGINT)) AS mid
+  FROM events),
+r AS (SELECT value AS v, count(*) AS c1, 0 AS c2 FROM events
+  WHERE ts < (SELECT mid FROM m) AND value IS NOT NULL GROUP BY value),
+c AS (SELECT value AS v, 0 AS c1, count(*) AS c2 FROM events
+  WHERE ts >= (SELECT mid FROM m) AND value IS NOT NULL GROUP BY value),
+u AS (SELECT * FROM r UNION ALL SELECT * FROM c),
+s AS (SELECT
+  sum(c1) OVER (ORDER BY v) AS cum1,
+  sum(c2) OVER (ORDER BY v) AS cum2,
+  sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM u)
+SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+  round(max(abs(cum1 * 1.0 / n1 - cum2 * 1.0 / n2)), 6) AS ks
+FROM s GROUP BY n1, n2
+"""
+
+
+_R4S_QUERIES = {
+    "ks_drift": QueryDef(q_ks_drift, _KS_ORACLE),
+}
+QUERIES = {**_R4S_QUERIES, **QUERIES}

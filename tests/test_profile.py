@@ -114,3 +114,48 @@ class TestPopulationStability:
 
         with _pt.raises(ValueError):
             population_stability(df, df, "value", bins=1)
+
+
+class TestKsStatistic:
+    def test_scipy_free_reference(self, spark):
+        import random
+
+        from inception_eventstore_spark.operators.profile import ks_statistic
+
+        rng = random.Random(7)
+        a = [rng.gauss(0, 1) for _ in range(400)]
+        b = [rng.gauss(0.5, 1) for _ in range(300)]
+        ra = spark.createDataFrame([(x,) for x in a], ["value"])
+        rb = spark.createDataFrame([(x,) for x in b], ["value"])
+        got = ks_statistic(ra, rb).collect()[0]
+
+        # plain-python exact KS over jump points
+        import bisect
+
+        sa, sb = sorted(a), sorted(b)
+        d = 0.0
+        for x in sorted(set(a) | set(b)):
+            fa = bisect.bisect_right(sa, x) / len(sa)
+            fb = bisect.bisect_right(sb, x) / len(sb)
+            d = max(d, abs(fa - fb))
+        assert (got["n_ref"], got["n_cur"]) == (400, 300)
+        assert got["ks"] == round(d, 6)
+        assert got["ks"] > 0.15  # half-σ shift is clearly visible
+
+    def test_identical_samples_zero(self, spark):
+        from inception_eventstore_spark.operators.profile import ks_statistic
+
+        df = spark.createDataFrame([(float(i % 13),) for i in range(100)],
+                                   ["value"])
+        assert ks_statistic(df, df).collect()[0]["ks"] == 0.0
+
+    def test_ties_across_samples(self, spark):
+        from inception_eventstore_spark.operators.profile import ks_statistic
+
+        # identical tied values on both sides → KS exactly 0 even
+        # though every value is a tie (peer-inclusive frame)
+        a = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], ["value"])
+        assert ks_statistic(a, a).collect()[0]["ks"] == 0.0
+        # disjoint point masses → KS = 1
+        b = spark.createDataFrame([(9.0,), (9.0,)], ["value"])
+        assert ks_statistic(a, b).collect()[0]["ks"] == 1.0
