@@ -165,6 +165,7 @@ HEADLINE = [
     "state_runs",
     "string_indexer",
     "ks_drift",
+    "latest_property_state",
 ]
 
 

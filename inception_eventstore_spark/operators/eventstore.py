@@ -866,3 +866,41 @@ class EventStore:
 # Imported at the bottom to avoid a cycle: index.py imports nothing from
 # this module, but type annotation above references it by name only.
 from inception_eventstore_spark.operators.index import IndexByEventTypeStore  # noqa: E402,F401
+
+
+def latest_property_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    props_col: str = "props",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(key, prop_key, latest_value, n_set, last_set_ts) — the
+    event-sourcing PROJECTION rebuild as a declarative table: for every
+    aggregate, the last-written value of each payload property (the
+    state an event-sourced handler folds to, computed set-wise instead
+    of per-aggregate replay — the reference rebuilds this imperatively
+    via LoadEventWithRebuildProjectionAsync + handler dispatch,
+    CassandraEventStore.cs:163-175).
+
+    Payloads parse as a JSON string→string map; one explode + ONE
+    partial-aggregated groupBy with ``max_by`` over the (ts, tiebreak)
+    struct — no window, no per-aggregate sort, so the shuffle carries
+    one row per (aggregate, property) candidate. Latest-wins ties
+    resolve by the tiebreak column, the same contract as
+    `merge.merge_changelog` (which covers full-row upserts; this is
+    the per-PROPERTY fold)."""
+    m = F.from_json(F.col(props_col), "map<string,string>")
+    ex = events.where(F.col(props_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.explode(m).alias("prop_key", "_v"),
+    )
+    return ex.groupBy(key_col, "prop_key").agg(
+        F.max_by(
+            "_v", F.struct(F.col(ts_col), F.col(tiebreak_col))
+        ).alias("latest_value"),
+        F.count("*").alias("n_set"),
+        F.max(ts_col).alias("last_set_ts"),
+    )

@@ -5955,3 +5955,52 @@ _R4S_QUERIES = {
     "ks_drift": QueryDef(q_ks_drift, _KS_ORACLE),
 }
 QUERIES = {**_R4S_QUERIES, **QUERIES}
+
+
+def q_latest_property_state(spark, sf_dir):
+    """Event-sourcing projection rebuild (eventstore.
+    latest_property_state): last-written payload property value per
+    user — one max_by aggregate, no per-aggregate replay. Oracle
+    resolves the same latest-wins (ts, event_id) contract with a
+    ranking window over DuckDB's JSON map."""
+    from inception_eventstore_spark.operators.eventstore import (
+        latest_property_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = latest_property_state(ev)
+    return out.select(
+        "user_id",
+        "prop_key",
+        "latest_value",
+        F.col("n_set").cast("bigint").alias("n_set"),
+        "last_set_ts",
+    ).orderBy("user_id", "prop_key")
+
+
+_LATEST_PROP_ORACLE = """
+WITH ex AS (
+  SELECT user_id, ts, event_id, k AS prop_key,
+    json_extract_string(props, '$.' || k) AS v
+  FROM (SELECT user_id, ts, event_id, props,
+          unnest(json_keys(props)) AS k
+        FROM events WHERE props IS NOT NULL)),
+r AS (
+  SELECT user_id, prop_key, v, ts, event_id,
+    row_number() OVER (PARTITION BY user_id, prop_key
+      ORDER BY ts DESC, event_id DESC) AS rn,
+    count(*) OVER (PARTITION BY user_id, prop_key) AS n_set,
+    max(ts) OVER (PARTITION BY user_id, prop_key) AS last_set_ts
+  FROM ex)
+SELECT user_id, prop_key, CAST(v AS VARCHAR) AS latest_value,
+  CAST(n_set AS BIGINT) AS n_set, last_set_ts
+FROM r WHERE rn = 1 ORDER BY user_id, prop_key
+"""
+
+
+_R4T_QUERIES = {
+    "latest_property_state": QueryDef(
+        q_latest_property_state, _LATEST_PROP_ORACLE
+    ),
+}
+QUERIES = {**_R4T_QUERIES, **QUERIES}

@@ -616,3 +616,47 @@ class TestLayoutHadoopFs:
         props = lay.properties(spark=spark)
         assert props["replication"]["replication_factor"] == 2
         assert props["keyspace"] == "fsuri_es"
+
+
+class TestLatestPropertyState:
+    def test_latest_wins_per_property(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.eventstore import (
+            latest_property_state,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, '{"color": "red", "size": "M"}'),
+            (2, t0 + dt.timedelta(minutes=1), 1, '{"color": "blue"}'),
+            (3, t0 + dt.timedelta(minutes=2), 2, '{"size": "XL"}'),
+            (4, t0 + dt.timedelta(minutes=3), 1, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, props string"
+        )
+        got = {
+            (r["user_id"], r["prop_key"]): (r["latest_value"], r["n_set"])
+            for r in latest_property_state(df).collect()
+        }
+        assert got == {
+            (1, "color"): ("blue", 2),  # later write wins
+            (1, "size"): ("M", 1),      # untouched property kept
+            (2, "size"): ("XL", 1),
+        }
+
+    def test_same_instant_ties_break_by_event_id(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.eventstore import (
+            latest_property_state,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 1, '{"x": "a"}'), (2, t0, 1, '{"x": "b"}')],
+            "event_id long, ts timestamp, user_id long, props string",
+        )
+        got = latest_property_state(df).collect()[0]
+        assert got["latest_value"] == "b"  # higher event_id wins the tie
