@@ -166,6 +166,7 @@ HEADLINE = [
     "string_indexer",
     "ks_drift",
     "latest_property_state",
+    "weighted_median",
 ]
 
 

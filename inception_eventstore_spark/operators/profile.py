@@ -203,3 +203,45 @@ def ks_statistic(
         F.col("n_cur").cast("bigint").alias("n_cur"),
         "ks",
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """(group?, total_weight, weighted_median) — the exact lower
+    weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total (the robust center duplicate
+    -weighted corpora need, where plain median over-counts repeated
+    documents; weight = dup_count or quality mass).
+
+    One peer-inclusive RANGE running sum over the per-group value
+    ordering gives cumulative weights; the answer is the MIN value at
+    cum ≥ total/2 — an aggregate, not a row_number cut, so tied values
+    and equal-weight plateaus resolve identically on every engine.
+    Non-positive/NULL weights are excluded."""
+    gcols = [group_col] if group_col else []
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        & F.col(value_col).isNotNull()
+    ).select(*gcols, F.col(value_col).alias("_v"),
+             F.col(weight_col).cast("double").alias("_w"))
+    w = (
+        Window.partitionBy(*gcols) if gcols
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = F.sum("_w").over(w.orderBy("_v"))
+    tot = F.sum("_w").over(w)
+    marked = base.select(
+        *gcols, "_v",
+        cum.alias("_cum"), tot.alias("_tot"),
+    )
+    agg = marked.where(F.col("_cum") * 2 >= F.col("_tot")).groupBy(
+        *gcols
+    ).agg(
+        F.round(F.max("_tot"), 6).alias("total_weight"),
+        F.min("_v").alias("weighted_median"),
+    )
+    return agg

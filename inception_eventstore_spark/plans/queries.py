@@ -6004,3 +6004,41 @@ _R4T_QUERIES = {
     ),
 }
 QUERIES = {**_R4T_QUERIES, **QUERIES}
+
+
+def q_weighted_median(spark, sf_dir):
+    """Exact lower weighted median of event values per type, weighted
+    by a deterministic synthetic mass (profile.weighted_median) —
+    cumulative-weight threshold as an aggregate, no ranking cut.
+    Oracle replays the identical peer-inclusive running sum."""
+    from inception_eventstore_spark.operators import profile as PR
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round("value", 6).alias("value"),
+        (F.col("event_id") % 7 + 1).alias("w"),
+    )
+    out = PR.weighted_median(ev, "value", "w", group_col="event_type")
+    return out.orderBy("event_type")
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH b AS (
+  SELECT event_type, round(value, 6) AS v,
+    CAST(event_id % 7 + 1 AS DOUBLE) AS w
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, v,
+    sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+    sum(w) OVER (PARTITION BY event_type) AS tot
+  FROM b)
+SELECT event_type, round(max(tot), 6) AS total_weight,
+  min(v) AS weighted_median
+FROM m WHERE cum * 2 >= tot GROUP BY event_type ORDER BY event_type
+"""
+
+
+_R4U_QUERIES = {
+    "weighted_median": QueryDef(q_weighted_median, _WEIGHTED_MEDIAN_ORACLE),
+}
+QUERIES = {**_R4U_QUERIES, **QUERIES}

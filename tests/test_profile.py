@@ -159,3 +159,30 @@ class TestKsStatistic:
         # disjoint point masses → KS = 1
         b = spark.createDataFrame([(9.0,), (9.0,)], ["value"])
         assert ks_statistic(a, b).collect()[0]["ks"] == 1.0
+
+
+class TestWeightedMedian:
+    def test_hand_computed(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            weighted_median,
+        )
+
+        rows = [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 10),
+                ("b", 5.0, 2), ("b", 7.0, 1), ("b", -1.0, None),
+                ("b", 9.0, 0)]
+        df = spark.createDataFrame(rows, "g string, v double, w int")
+        got = {r["g"]: (r["total_weight"], r["weighted_median"])
+               for r in weighted_median(df, "v", "w", "g").collect()}
+        # a: weight mass 12, half=6 → first v with cum≥6 is 3.0
+        # b: only positive weights count (5.0:2, 7.0:1) → median 5.0
+        assert got == {"a": (12.0, 3.0), "b": (3.0, 5.0)}
+
+    def test_equal_weights_match_lower_median(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            weighted_median,
+        )
+
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+        df = spark.createDataFrame([(v, 1) for v in vals], "v double, w int")
+        got = weighted_median(df, "v", "w").collect()[0]
+        assert got["weighted_median"] == sorted(vals)[len(vals) // 2 - 1]
