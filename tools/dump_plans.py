@@ -263,6 +263,23 @@ CHECKS = {
         ("bucket counts partial-aggregated",
          r"HashAggregate.*partial|partial_count"),
     ],
+    "ks_drift": [
+        ("per-side distinct-value counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "latest_property_state": [
+        ("latest-wins is a max_by AGGREGATE — no ranking window",
+         "!Window"),
+        ("property explode runs in Generate", r"Generate"),
+        ("state fold partial-aggregated",
+         r"HashAggregate.*partial|partial_max"),
+    ],
+    "weighted_median": [
+        ("one hash shuffle on the group serves both running sums",
+         r"Exchange hashpartitioning\(event_type"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
 }
 
 
