@@ -167,6 +167,7 @@ HEADLINE = [
     "ks_drift",
     "latest_property_state",
     "weighted_median",
+    "ngram_uniqueness",
 ]
 
 

@@ -301,3 +301,47 @@ def top_ngram_fraction(
             F.max("_n").cast("double") / F.sum("_n").cast("double"), 6
         ).alias("top_ngram_frac")
     )
+
+
+def ngram_uniqueness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, unique_grams, uniqueness) — the fraction of a
+    document's distinct word n-grams that appear in NO other document:
+    high = distinctive original content, low = boilerplate/template
+    text (the inverse of `top_ngram_fraction`'s within-doc repetition
+    — this one measures ACROSS-corpus repetition per doc).
+
+    One shingle explode over hashed grams (8-byte keys), a
+    document-frequency table from the same explode, and a
+    partial-aggregated fold back to one row per doc — no self-join of
+    documents, the df table is |distinct grams| rows."""
+    from inception_eventstore_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(docs, id_col, text_col, k=n)
+    ex = sets.select(
+        F.col("_id"), F.explode("_sh").alias("_g")
+    ).persist()
+    ex.count()  # two consumers below — materialize the explode once
+    df_tab = ex.groupBy("_g").agg(F.countDistinct("_id").alias("_df"))
+    per_doc = (
+        ex.join(df_tab, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
+                "unique_grams"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("unique_grams").cast("bigint").alias("unique_grams"),
+        F.round(
+            F.col("unique_grams").cast("double") / F.col("n_grams"), 6
+        ).alias("uniqueness"),
+    )

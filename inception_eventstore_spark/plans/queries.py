@@ -6042,3 +6042,46 @@ _R4U_QUERIES = {
     "weighted_median": QueryDef(q_weighted_median, _WEIGHTED_MEDIAN_ORACLE),
 }
 QUERIES = {**_R4U_QUERIES, **QUERIES}
+
+
+def q_ngram_uniqueness(spark, sf_dir):
+    """Across-corpus distinctiveness per doc (curation.
+    ngram_uniqueness): the fraction of a doc's distinct word-3-grams
+    found in no other document — low = boilerplate/near-dup residue.
+    Oracle recomputes the same df==1 fraction over STRING grams (the
+    Spark side hashes grams to 8-byte keys; hash collisions would
+    surface as a mismatch, so the hash-match also certifies
+    collision-freeness at this scale)."""
+    from inception_eventstore_spark.operators import curation as CU
+
+    docs = _t(spark, sf_dir, "documents")
+    return CU.ngram_uniqueness(docs, n=3).orderBy("doc_id")
+
+
+_NGRAM_UNIQUENESS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i, least(i+2, len(tk))), ' ')
+                   for i in generate_series(1, greatest(len(tk)-2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sets),
+dfreq AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY g),
+per AS (
+  SELECT ex.doc_id, count(*) AS n_grams,
+    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS unique_grams
+  FROM ex JOIN dfreq ON ex.g = dfreq.g GROUP BY ex.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(unique_grams AS BIGINT) AS unique_grams,
+  round(unique_grams * 1.0 / n_grams, 6) AS uniqueness
+FROM per ORDER BY doc_id
+"""
+
+
+_R4V_QUERIES = {
+    "ngram_uniqueness": QueryDef(
+        q_ngram_uniqueness, _NGRAM_UNIQUENESS_ORACLE
+    ),
+}
+QUERIES = {**_R4V_QUERIES, **QUERIES}

@@ -195,3 +195,39 @@ class TestTopNgramFraction:
         )
         # trigrams: abc bca cab abc bca cab -> top (abc) 2/6
         assert df.first()["top_ngram_frac"] == pytest.approx(round(2 / 6, 6))
+
+
+class TestNgramUniqueness:
+    def test_hand_computed_fractions(self, spark):
+        from inception_eventstore_spark.operators.curation import (
+            ngram_uniqueness,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d"),        # grams: abc, bcd
+                (1, "a b c e"),        # grams: abc, bce
+                (2, "x y z w v"),      # grams: xyz, yzw, zwv (all unique)
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: (r["n_grams"], r["unique_grams"],
+                             r["uniqueness"])
+               for r in ngram_uniqueness(docs).collect()}
+        # 'a b c' is shared between docs 0 and 1 → df 2
+        assert got == {
+            0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (3, 3, 1.0),
+        }
+
+    def test_exact_duplicates_score_zero(self, spark):
+        from inception_eventstore_spark.operators.curation import (
+            ngram_uniqueness,
+        )
+
+        t = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [(0, t), (1, t)], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r["uniqueness"]
+               for r in ngram_uniqueness(docs).collect()}
+        assert got == {0: 0.0, 1: 0.0}
