@@ -2850,9 +2850,12 @@ QUERIES: dict[str, QueryDef] = {
         # all offsets non-negative, so // matches Spark's div
         "WITH t AS (SELECT doc_id, "
         f"CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok FROM documents), "
-        "o AS (SELECT doc_id, n_tok, sum(n_tok) OVER "
-        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS tok_start "
-        "FROM t) "
+        # CAST: DuckDB types window sums over BIGINT as HUGEINT, which the
+        # driver's pandas canonicalizer renders as float64 and the hash
+        # diverges from Spark's int64 (VERDICT r4 #1).
+        "o AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) "
+        "AS tok_start FROM t) "
         "SELECT doc_id, n_tok, tok_start, tok_start // 128 AS seq_id, "
         "tok_start % 128 AS seq_offset, "
         "CAST(((tok_start + greatest(n_tok - 1, 0)) // 128) <> "
@@ -5152,12 +5155,21 @@ def q_random_projection(spark, sf_dir):
     dimension cut. The seed-derived matrix is embedded in the oracle as
     SQL literals, so every coordinate is value-checked: DuckDB's
     sequential list_inner_product must agree with the Arrow matmul to
-    6 dp."""
+    6 dp. Exploded to (vec_id, dim, proj) rows: array-typed output
+    columns crash the external canonicalizer's pandas sort
+    (CORRECTNESS_r04 harness err), and double->string formatting is
+    not engine-portable, so scalar rows are the only safe shape."""
     from inception_eventstore_spark.operators import embeddings as EM
 
     emb = _t(spark, sf_dir, "embeddings")
     out = EM.random_projection(emb, out_dim=8, seed="v1")
-    return out.select("vec_id", "proj").orderBy("vec_id")
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("dim", "proj")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        "proj",
+    ).orderBy("vec_id", "dim")
 
 
 def _random_projection_oracle(out_dim: int = 8, d: int = 64) -> str:
@@ -5173,8 +5185,10 @@ def _random_projection_oracle(out_dim: int = 8, d: int = 64) -> str:
     arr = ", ".join(cols)
     return (
         "WITH v AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(x AS DOUBLE)) AS ev FROM embeddings) "
-        f"SELECT vec_id, [{arr}] AS proj FROM v ORDER BY vec_id"
+        "x -> CAST(x AS DOUBLE)) AS ev FROM embeddings), "
+        f"p AS (SELECT vec_id, [{arr}] AS proj FROM v) "
+        "SELECT vec_id, CAST(generate_subscripts(proj, 1) - 1 AS BIGINT) "
+        "AS dim, unnest(proj) AS proj FROM p ORDER BY vec_id, dim"
     )
 
 
@@ -5465,11 +5479,21 @@ def q_sq8_codes(spark, sf_dir):
     """SQ8 scalar quantization of every embedding (pq.sq8_encode):
     per-dim data bounds + floor binning to 0..255 — floor, not round,
     because round() half-cases are not engine-portable (HALF_UP vs
-    half-even). The full code table is value-oracled."""
+    half-even). The full code table is value-oracled as a CSV string
+    per vector: array-typed output columns crash the external
+    canonicalizer's pandas sort (CORRECTNESS_r04 harness err), and
+    uint8 codes are integers, so ','-joined text is byte-identical
+    across engines."""
     from inception_eventstore_spark.operators import pq as PQ
 
     emb = _t(spark, sf_dir, "embeddings")
-    return PQ.sq8_encode(emb).orderBy("vec_id")
+    return (
+        PQ.sq8_encode(emb)
+        .select(
+            "vec_id", F.array_join("codes", ",").alias("codes_csv")
+        )
+        .orderBy("vec_id")
+    )
 
 
 _SQ8_CODES_ORACLE = """
@@ -5483,7 +5507,7 @@ c AS (SELECT vec_id, ex.dim,
     CAST(floor((x - lo) / (hi - lo) * 256.0) AS INT)))
   ELSE 0 END AS code
   FROM ex JOIN b ON ex.dim = b.dim)
-SELECT vec_id, list(code ORDER BY dim) AS codes
+SELECT vec_id, array_to_string(list(code ORDER BY dim), ',') AS codes_csv
 FROM c GROUP BY vec_id ORDER BY vec_id
 """
 
