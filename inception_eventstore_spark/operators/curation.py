@@ -337,7 +337,7 @@ def ngram_uniqueness(
             ),
         )
     )
-    return per_doc.select(
+    out = per_doc.select(
         F.col("_id").alias(id_col),
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.col("unique_grams").cast("bigint").alias("unique_grams"),
@@ -345,3 +345,9 @@ def ngram_uniqueness(
             F.col("unique_grams").cast("double") / F.col("n_grams"), 6
         ).alias("uniqueness"),
     )
+    # one row per doc — cheap to checkpoint eagerly, and releasing the
+    # persisted explode here keeps repeated calls from accumulating
+    # executor storage in a long-lived session
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out

@@ -662,4 +662,11 @@ def containment_pairs(
         .where(F.col("containment") >= float(threshold))
         .select("id_a", "id_b", "containment")
     )
+    # sever the lineage before releasing the two persisted inputs —
+    # without this, every call in a long-lived session leaks executor
+    # storage (same persist/unpersist discipline as graph.pagerank);
+    # the survivors table is tiny, so the eager checkpoint is cheap
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    sets.unpersist()
     return out

@@ -310,8 +310,14 @@ class EventStore:
         if self.event_type_expr is not None:
             et_col = self.event_type_expr(F.col("data"))
         else:
-            et_udf = F.udf(self.event_type_of, T.StringType())
-            et_col = et_udf("data")
+            # Arrow-batched, never row-at-a-time F.udf: this runs on
+            # the ingest hot path for every appended event (reference
+            # seam: ISerializer, CassandraEventStore.cs:211)
+            from inception_eventstore_spark.functions.serde import (
+                apply_scalar,
+            )
+
+            et_col = apply_scalar(F.col("data"), self.event_type_of)
         index_rows = rows.select(
             et_col.alias("et"),
             pid_col_from_filetime("ts").alias("pid"),

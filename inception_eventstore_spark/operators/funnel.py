@@ -144,11 +144,14 @@ def abandoned_after(
     Temporal anti-joins explode quadratically as range joins; instead
     both event types union into ONE per-key window ordered by time,
     and each ``first`` row reads the MIN ``then`` timestamp over the
-    at-or-after frame (ties at the same instant count as followed up
-    — ``min`` over CURRENT ROW..UNBOUNDED FOLLOWING skips the NULLs
-    non-``then`` rows carry). One shuffle on the key, no join at all —
-    the same union+window shape as `joins.asof_join`, pointed
-    forward."""
+    at-or-after frame (``min`` over CURRENT ROW..UNBOUNDED FOLLOWING
+    skips the NULLs non-``then`` rows carry). Ties at the same instant
+    count as followed up: the sort is (ts, first-before-then,
+    tiebreak) — ``first`` rows order ahead of equal-ts ``then`` rows,
+    so a same-instant ``then`` stays INSIDE the ROWS frame regardless
+    of how the raw tiebreak would interleave them. One shuffle on the
+    key, no join at all — the same union+window shape as
+    `joins.asof_join`, pointed forward."""
     sub = events.where(
         F.col(type_col).isin([first, then])
     ).select(
@@ -157,10 +160,13 @@ def abandoned_after(
         order_tiebreak,
         F.col(type_col).alias("_et"),
         F.when(F.col(type_col) == then, F.col(ts_col)).alias("_then_ts"),
+        F.when(F.col(type_col) == then, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ord"),
     )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, order_tiebreak)
+        .orderBy(ts_col, "_ord", order_tiebreak)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     marked = sub.withColumn("next_then_ts", F.min("_then_ts").over(w))

@@ -93,8 +93,12 @@ class MessageStore:
         a UDF when provided."""
         df = self.messages_df().select("data")
         if decode is not None:
-            from pyspark.sql import types as T
+            # Arrow-batched scan-path decode (reference seam:
+            # ISerializer, CassandraMessageStore.cs:60) — columnar
+            # transfer, not per-row pickle
+            from inception_eventstore_spark.functions.serde import (
+                apply_scalar,
+            )
 
-            decode_udf = F.udf(decode, T.StringType())
-            df = df.withColumn("decoded", decode_udf("data"))
+            df = df.withColumn("decoded", apply_scalar(F.col("data"), decode))
         return df

@@ -216,6 +216,7 @@ def epoch_shuffle_rank(
     id_col: str = "doc_id",
     epoch: int = 0,
     seed: str = "shuffle",
+    shard_size: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic global training-order: adds ``shuffle_rank`` —
     the row's 1-based position in the epoch's pseudo-random permutation
@@ -228,10 +229,18 @@ def epoch_shuffle_rank(
     resumable training loop needs: re-running epoch 3 after a crash
     yields byte-identical batch order with no stored permutation state.
 
-    Scale: the rank is one global row_number over the hash — a range
-    sort, the honest cost of a total order. For writing shuffled
-    SHARDS, skip the rank and ``repartitionByRange(_k).sortWithin
-    Partitions(_k)`` directly: same layout, no global window.
+    Scale: two-phase shard rank, NOT one global row_number (an
+    unpartitioned Window funnels the whole corpus through a single
+    task — the anti-pattern packing.token_offsets exists to avoid).
+    The md5 key is uniform on [0, 2^60), so fixed-width key ranges
+    ARE balanced shards with no boundary sampling: rank = the shard's
+    exclusive row-count prefix (a #shards-row driver fold, broadcast
+    back) + row_number within the shard. Equal keys share a shard by
+    construction, so (shard, _k, id) order IS the global (_k, id)
+    order and the ranks are identical to the single-window form —
+    the oracle pins that rank-for-rank. For writing shuffled SHARDS,
+    skip the rank and ``repartitionByRange(_k).sortWithinPartitions
+    (_k)`` directly: same layout, no rank columns at all.
     """
     k = md5_prefix60(
         F.concat(
@@ -239,11 +248,32 @@ def epoch_shuffle_rank(
             F.col(id_col).cast("string"),
         )
     )
-    w = Window.orderBy(F.col("_k"), F.col(id_col))
+    keyed = df.withColumn("_k", k)
+    n = keyed.count()
+    n_shards = max(1, min(1 << 16, (n + shard_size - 1) // shard_size))
+    width = (1 << 60) // n_shards + 1
+    sharded = keyed.withColumn(
+        "_shard", F.expr(f"_k div {width}").cast("long")
+    )
+    counts = (
+        sharded.groupBy("_shard").agg(F.count("*").alias("_n")).collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_shard"]):
+        offsets[row["_shard"]] = acc
+        acc += int(row["_n"])
+    off_df = df.sparkSession.createDataFrame(
+        [(int(s), int(o)) for s, o in offsets.items()],
+        "_shard long, _shard_off long",
+    )
+    w = Window.partitionBy("_shard").orderBy(F.col("_k"), F.col(id_col))
     return (
-        df.withColumn("_k", k)
-        .withColumn("shuffle_rank", F.row_number().over(w).cast("bigint"))
-        .drop("_k")
+        sharded.join(F.broadcast(off_df), "_shard")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("_shard_off") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_k", "_shard", "_shard_off")
     )
 
 
@@ -343,8 +373,13 @@ def weighted_sample(
     `stratified_hash_sample`, which cover the UNweighted cases.
     Non-positive / NULL weights are excluded (they have probability 0).
 
-    Adds ``sample_key`` (6 dp) for auditability; ordering ties beyond
-    the rounded key are cut by ``id_col``.
+    The RANK key is the A-ES key rounded at 12 dp — enough to absorb
+    cross-engine ln() ulp jitter (these keys' ulp is ~1e-19) without
+    destroying the statistic: at 6 dp, keys for large weights compress
+    toward 0 (w≈2000 puts ~0.1% of rows inside one rounding bucket of
+    0) and the cut degenerates into id-ordered ties, so inclusion is
+    no longer ∝ weight. ``sample_key`` (6 dp) stays as the audit
+    column only; residual ties beyond 12 dp are cut by ``id_col``.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -357,9 +392,11 @@ def weighted_sample(
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rank_key", F.round(key, 12))
         .withColumn("sample_key", F.round(key, 6))
-        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .orderBy(F.col("_rank_key").desc(), F.col(id_col))
         .limit(int(k))
+        .drop("_rank_key")
     )
 
 
@@ -373,7 +410,9 @@ def weighted_sample_per_group(
 ) -> DataFrame:
     """`weighted_sample`, stratified: k rows PER GROUP drawn ∝ weight
     (per-language / per-domain balanced corpora with quality-weighted
-    inclusion). Same A-ES key arithmetic; the global TakeOrdered
+    inclusion). Same A-ES key arithmetic — including the 12-dp RANK
+    key / 6-dp audit ``sample_key`` split (see `weighted_sample` for
+    why 6 dp degenerates under large weights); the global TakeOrdered
     becomes one rank window partitioned by the group — a single
     shuffle on the group key, no per-group driver loops."""
     if k < 1:
@@ -384,18 +423,19 @@ def weighted_sample_per_group(
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(1 << 60))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    key = F.log(u) / F.col(weight_col).cast("double")
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy(group_col).orderBy(
-        F.col("sample_key").desc(), F.col(id_col)
+        F.col("_rank_key").desc(), F.col(id_col)
     )
     return (
         df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("sample_key", key)
+        .withColumn("_rank_key", F.round(key, 12))
+        .withColumn("sample_key", F.round(key, 6))
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= int(k))
-        .drop("_rk")
+        .drop("_rk", "_rank_key")
     )
 
 

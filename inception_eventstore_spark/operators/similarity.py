@@ -64,21 +64,34 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (id, dist) ascending for l2, descending cosine → the
     output column is always ``dist`` ordered best-first, ties broken by
-    id. The query vector is a literal array (broadcast by value)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    id.
+
+    The L2 path routes through `multi_query_topk`'s vectorized Arrow
+    kernel with |Q| = 1 — one numpy matmul per batch, local top-k per
+    partition, a k-row window reduce — instead of the interpreted
+    ``F.aggregate`` fold (~30x slower per CLAUDE.md's own invariant;
+    the fold stays in `dot`/`l2_distance` as the engine-portable
+    oracle twin used by `assign_clusters_exact` and the declared
+    queries). Cosine keeps the fold: no declared query or smoke runs
+    it over bulk data."""
     if metric == "l2":
-        d = l2_distance(F.col(vec_col), q)
-        order = [F.col("dist").asc(), F.col(id_col).asc()]
-    elif metric == "cosine":
+        out = multi_query_topk(
+            embeddings,
+            [(0, [float(x) for x in query_vector])],
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return out.orderBy("rank").select(id_col, "dist")
+    if metric == "cosine":
+        q = F.array(*[F.lit(float(x)) for x in query_vector])
         d = -cosine_similarity(F.col(vec_col), q)
-        order = [F.col("dist").asc(), F.col(id_col).asc()]
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
-    return (
-        embeddings.select(F.col(id_col), d.alias("dist"))
-        .orderBy(*order)
-        .limit(k)
-    )
+        return (
+            embeddings.select(F.col(id_col), d.alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 def _plane_signs(n_planes: int, dim: int, seed: int) -> list[list[float]]:

@@ -4956,13 +4956,13 @@ def q_weighted_sample(spark, sf_dir):
 _WEIGHTED_SAMPLE_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, n_chars,
-    round(ln((CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
-                    1, 15)) AS BIGINT) * 1.0 + 0.5)
-             / 1152921504606846976.0)
-          / CAST(n_chars AS DOUBLE), 6) AS sample_key
+    ln((CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
+              1, 15)) AS BIGINT) * 1.0 + 0.5)
+       / 1152921504606846976.0)
+    / CAST(n_chars AS DOUBLE) AS raw_key
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-SELECT doc_id, n_chars, sample_key FROM keyed
-ORDER BY sample_key DESC, doc_id LIMIT 100
+SELECT doc_id, n_chars, round(raw_key, 6) AS sample_key FROM keyed
+ORDER BY round(raw_key, 12) DESC, doc_id LIMIT 100
 """
 
 
@@ -5616,11 +5616,12 @@ def q_abandoned_after(spark, sf_dir):
 _ABANDONED_ORACLE = """
 WITH sub AS (
   SELECT user_id, ts, event_id, event_type,
-    CASE WHEN event_type = 'purchase' THEN ts END AS then_ts
+    CASE WHEN event_type = 'purchase' THEN ts END AS then_ts,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ord
   FROM events WHERE event_type IN ('view', 'purchase')),
 m AS (
   SELECT user_id, ts, event_id, event_type,
-    min(then_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    min(then_ts) OVER (PARTITION BY user_id ORDER BY ts, ord, event_id
       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_then_ts
   FROM sub)
 SELECT user_id, event_id, ts, next_then_ts
@@ -5650,16 +5651,17 @@ def q_weighted_sample_by_lang(spark, sf_dir):
 _WEIGHTED_GROUP_ORACLE = """
 WITH keyed AS (
   SELECT lang, doc_id, n_chars,
-    round(ln((CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
-                    1, 15)) AS BIGINT) * 1.0 + 0.5)
-             / 1152921504606846976.0)
-          / CAST(n_chars AS DOUBLE), 6) AS sample_key
+    ln((CAST(('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
+              1, 15)) AS BIGINT) * 1.0 + 0.5)
+       / 1152921504606846976.0)
+    / CAST(n_chars AS DOUBLE) AS raw_key
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY lang
-    ORDER BY sample_key DESC, doc_id) AS rk
+    ORDER BY round(raw_key, 12) DESC, doc_id) AS rk
   FROM keyed)
-SELECT lang, doc_id, n_chars, sample_key FROM r WHERE rk <= 20
+SELECT lang, doc_id, n_chars, round(raw_key, 6) AS sample_key
+FROM r WHERE rk <= 20
 ORDER BY lang, doc_id
 """
 
@@ -5738,9 +5740,12 @@ def q_psi_drift(spark, sf_dir):
     from inception_eventstore_spark.operators import profile as PR
 
     ev = _t(spark, sf_dir, "events")
+    # floor() on BOTH sides: bare cast-to-bigint truncates in Spark but
+    # CAST(avg(...) AS BIGINT) rounds-to-nearest in DuckDB; a 1-us mid
+    # skew flips any event on that exact microsecond across halves.
     mid = ev.agg(
         F.timestamp_micros(
-            F.avg(F.unix_micros("ts")).cast("bigint")
+            F.floor(F.avg(F.unix_micros("ts"))).cast("bigint")
         ).alias("m")
     ).first()["m"]
     ref = ev.where(F.col("ts") < F.lit(mid))
@@ -5749,7 +5754,7 @@ def q_psi_drift(spark, sf_dir):
 
 
 _PSI_ORACLE = """
-WITH m AS (SELECT make_timestamp(CAST(avg(epoch_us(ts)) AS BIGINT)) AS mid
+WITH m AS (SELECT make_timestamp(CAST(floor(avg(epoch_us(ts))) AS BIGINT)) AS mid
   FROM events),
 ref AS (SELECT value FROM events WHERE ts < (SELECT mid FROM m)),
 cur AS (SELECT value FROM events WHERE ts >= (SELECT mid FROM m)),
@@ -5944,9 +5949,12 @@ def q_ks_drift(spark, sf_dir):
     from inception_eventstore_spark.operators import profile as PR
 
     ev = _t(spark, sf_dir, "events")
+    # floor() on BOTH sides: bare cast-to-bigint truncates in Spark but
+    # CAST(avg(...) AS BIGINT) rounds-to-nearest in DuckDB; a 1-us mid
+    # skew flips any event on that exact microsecond across halves.
     mid = ev.agg(
         F.timestamp_micros(
-            F.avg(F.unix_micros("ts")).cast("bigint")
+            F.floor(F.avg(F.unix_micros("ts"))).cast("bigint")
         ).alias("m")
     ).first()["m"]
     return PR.ks_statistic(
@@ -5957,7 +5965,7 @@ def q_ks_drift(spark, sf_dir):
 
 
 _KS_ORACLE = """
-WITH m AS (SELECT make_timestamp(CAST(avg(epoch_us(ts)) AS BIGINT)) AS mid
+WITH m AS (SELECT make_timestamp(CAST(floor(avg(epoch_us(ts))) AS BIGINT)) AS mid
   FROM events),
 r AS (SELECT value AS v, count(*) AS c1, 0 AS c2 FROM events
   WHERE ts < (SELECT mid FROM m) AND value IS NOT NULL GROUP BY value),

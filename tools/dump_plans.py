@@ -171,6 +171,14 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "epoch_shuffle": [
+        ("rank is two-phase shard prefix + within-shard row_number — "
+         "no single-partition Exchange anywhere",
+         "!Exchange SinglePartition"),
+        ("within-shard window shuffles on the shard key",
+         r"Exchange hashpartitioning\(_shard"),
+        ("shard offsets join back broadcast", r"BroadcastHashJoin"),
+    ],
     "skipgram_ppmi": [
         ("margin tables join back broadcast", r"BroadcastHashJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
