@@ -273,14 +273,41 @@ class IvfVectorIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         max_iter: int = 10,
+        centroids: list | None = None,
     ) -> "IvfVectorIndex":
+        """``centroids`` (optional) supplies a pre-trained coarse
+        quantizer (the FAISS pattern of passing an external quantizer):
+        k-means training is skipped and vectors are assigned to the
+        given cells with the exact JVM fold expression `append` uses —
+        deterministic (dist, cell) tie-break, engine-portable, so a
+        pinned-quantizer index is fully value-oracle-able."""
         from inception_eventstore_spark.operators.similarity import build_ivf_index
 
         spark = embeddings.sparkSession
-        assigned, centroids = build_ivf_index(
-            embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
-            seed=seed, max_iter=max_iter,
-        )
+        if centroids is not None:
+            from inception_eventstore_spark.operators.similarity import (
+                l2_distance,
+            )
+
+            centroids = [[float(x) for x in c] for c in centroids]
+            cells = [
+                F.struct(
+                    l2_distance(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                    ).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+            assigned = embeddings.withColumn(
+                "_cell", F.array_min(F.array(*cells))["c"]
+            )
+        else:
+            assigned, centroids = build_ivf_index(
+                embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+                seed=seed, max_iter=max_iter,
+            )
         (
             assigned.repartition("_cell")
             .write.mode("overwrite")

@@ -692,9 +692,16 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     row in CORRECTNESS_r03). Python int/None survive both the Arrow
     and non-Arrow paths, and at fixture sizes (n≤256) the Arrow
     batch-transfer advantage is noise."""
+    return spark.createDataFrame(synthetic_asset_rows(n), schema=ASSET_SCHEMA)
+
+
+def synthetic_asset_rows(n: int = 64) -> list:
+    """The plain-Python rows behind `synthetic_assets` — exposed so
+    driver-side consumers (oracle builders, tests) can reach the exact
+    fixture payloads without a SparkSession."""
     cached = _ASSET_ROW_CACHE.get(n)
     if cached is not None:
-        return spark.createDataFrame(cached, schema=ASSET_SCHEMA)
+        return cached
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -745,4 +752,4 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     # cost and is a pure function of n — cache the rows per process so
     # the five multimodal queries in one bench run pay it once
     _ASSET_ROW_CACHE[n] = rows
-    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    return rows

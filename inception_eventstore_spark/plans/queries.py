@@ -1821,12 +1821,55 @@ def q_sim_multi_topk(spark, sf_dir):
 
 
 def q_sim_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-10: the hyperplane family is
+    seed-deterministic, so the oracle embeds the SAME ±1 plane vectors
+    as literals, recomputes every signature and the query's
+    hamming-≤2 probe ball in SQL, and replays the exact in-bucket
+    re-rank — the full approximate RESULT is value-checked, not just
+    recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     res = S.lsh_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6)
     return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
         "dist", "vec_id"
     )
+
+
+def _sim_topk_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 7,
+                         radius: int = 2) -> str:
+    """Replays lsh_topk in SQL: signature bit p = [v . r_p > 0] with
+    the literal plane vectors, probe = hamming ball via
+    bit_count(xor(sig, qsig)) <= radius, exact fold-L2 re-rank inside
+    the probed buckets (raw-distance cutoff, like the operator)."""
+    from inception_eventstore_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim, seed)
+
+    def sig_expr(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({col}, "
+            f"[{', '.join(repr(float(s)) for s in signs[p])}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+qv AS (SELECT ev AS q, {sig_expr('ev')} AS qsig FROM v WHERE vec_id = 0),
+s AS (SELECT vec_id, ev, {sig_expr('ev')} AS sig FROM v WHERE vec_id <> 0),
+cand AS (SELECT s.vec_id, s.ev, qv.q FROM s CROSS JOIN qv
+  WHERE bit_count(xor(CAST(s.sig AS BIGINT), CAST(qv.qsig AS BIGINT)))
+        <= {radius})
+SELECT vec_id, round(dist, 6) AS dist FROM (
+  SELECT vec_id,
+    sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(ev) + 1),
+        i -> (ev[i] - q[i]) * (ev[i] - q[i]))),
+      (acc, x) -> acc + x)) AS dist
+  FROM cand ORDER BY dist, vec_id LIMIT 10)
+ORDER BY dist, vec_id
+"""
 
 
 # Persisted-ANN-index cache: one build per (kind, sf_dir) per process.
@@ -1858,6 +1901,19 @@ def prebuild_ann_indexes(spark, sf_dir,
         t0 = _time.time()
         if kind == "ivf":
             IvfVectorIndex.build(emb, path, n_cells=8)
+        elif kind == "ivf_pinned":
+            # pre-trained coarse quantizer: the embeddings of
+            # vec_id 1..16 (collected driver-side, 16 rows) — makes
+            # the whole probe value-oracle-able because the oracle can
+            # name the same centroids as table rows instead of
+            # replaying k-means
+            cents = [
+                [float(x) for x in r["embedding"]]
+                for r in emb.where(F.col("vec_id").between(1, 16))
+                .orderBy("vec_id")
+                .collect()
+            ]
+            IvfVectorIndex.build(emb, path, centroids=cents)
         elif kind == "ivfpq":
             IvfPqVectorIndex.build(
                 emb, path, n_cells=8, m_subspaces=8, n_codes=64
@@ -1870,20 +1926,72 @@ def prebuild_ann_indexes(spark, sf_dir,
 
 
 def q_sim_topk_ivf(spark, sf_dir):
-    """IVF (k-means cells) approximate top-10 — probe of the persisted
+    """IVF approximate top-10 — probe of a persisted
     ``_cell``-partitioned index (built once per process, see
-    prebuild_ann_indexes); recall vs the exact baseline is asserted in
-    tests. The probe scans only the n_probe nearest cell directories."""
+    prebuild_ann_indexes) whose coarse quantizer is PINNED to the
+    embeddings of vec_id 1..16 rather than k-means-trained: with the
+    quantizer named as table rows, cell assignment, the 3-cell probe
+    selection AND the in-cell exact re-rank are all replayed by the
+    DuckDB oracle, so the full approximate RESULT is value-checked —
+    not just its recall (the k-means-trained variant stays covered by
+    tests/test_dedup_similarity.py recall pins and the ivfpq probe).
+    The probe scans only the n_probe nearest cell directories; the
+    cutoff is taken on the ROUNDED distance like sim_topk_l2."""
     from inception_eventstore_spark.operators.ann_index import IvfVectorIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    prebuild_ann_indexes(spark, sf_dir, kinds=("ivf",))
-    idx = IvfVectorIndex.load(spark, _ANN_INDEX_DIRS[("ivf", sf_dir)])
-    res = idx.topk(list(qvec), k=10, n_probe=3)
-    return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
-        "dist", "vec_id"
+    prebuild_ann_indexes(spark, sf_dir, kinds=("ivf_pinned",))
+    idx = IvfVectorIndex.load(spark, _ANN_INDEX_DIRS[("ivf_pinned", sf_dir)])
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = idx.candidates(list(qvec), n_probe=3)
+    return (
+        cand.select(
+            "vec_id",
+            F.round(S.l2_distance(F.col("embedding"), q), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
     )
+
+
+# The oracle replays the pinned-quantizer IVF probe end-to-end: fold
+# distances in index order (list_reduce from 0.0 = the JVM F.aggregate
+# fold), assignment tie-break (dist, cell), driver probe ranking
+# (dist-to-centroid, cell), rounded-distance cutoff.
+_SIM_TOPK_IVF_ORACLE = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+qv AS (SELECT ev AS q FROM v WHERE vec_id = 0),
+c AS (SELECT vec_id - 1 AS cell, ev AS cv FROM v
+  WHERE vec_id BETWEEN 1 AND 16),
+d AS (SELECT v.vec_id, c.cell,
+    sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(v.ev) + 1),
+        i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))),
+      (acc, x) -> acc + x)) AS dc
+  FROM v CROSS JOIN c WHERE v.vec_id <> 0),
+a AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, row_number() OVER (
+    PARTITION BY vec_id ORDER BY dc, cell) AS rn FROM d) WHERE rn = 1),
+pc AS (SELECT cell FROM (
+  SELECT c.cell,
+    sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(c.cv) + 1),
+        i -> (c.cv[i] - qv.q[i]) * (c.cv[i] - qv.q[i]))),
+      (acc, x) -> acc + x)) AS dq
+  FROM c CROSS JOIN qv ORDER BY dq, cell LIMIT 3))
+SELECT vec_id, dist FROM (
+  SELECT v.vec_id,
+    round(sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(v.ev) + 1),
+        i -> (v.ev[i] - qv.q[i]) * (v.ev[i] - qv.q[i]))),
+      (acc, x) -> acc + x)), 6) AS dist
+  FROM v JOIN a USING (vec_id) CROSS JOIN qv
+  WHERE a.cell IN (SELECT cell FROM pc)
+  ORDER BY dist, vec_id LIMIT 10)
+ORDER BY dist, vec_id
+"""
 
 
 def q_sim_topk_ivfpq(spark, sf_dir):
@@ -1937,17 +2045,66 @@ def q_multimodal_features(spark, sf_dir):
     # python workers for ~8 rows each
     assets = MM.synthetic_assets(spark, n=256).coalesce(4)
     feats = MM.extract_features(assets, decode="fake")
-    # The raw array<float> column is unhashable in the driver's pandas
-    # canonicalizer (the one red row in CORRECTNESS_r01) — emit a
-    # deterministic JSON digest of the rounded vector instead.
+    # scalar rows, raw doubles: float32->double widening is exact and
+    # the literal oracle carries the same doubles (see
+    # _multimodal_features_oracle); arrays/JSON are not driver-portable
+    return _explode_features(feats)
+
+
+def _explode_features(feats):
     return feats.select(
         "asset_id",
         "modality",
         "n_bytes",
-        F.to_json(
-            F.transform("features", lambda x: F.round(x.cast("double"), 6))
-        ).alias("features_json"),
-    ).orderBy("asset_id")
+        F.posexplode("features").alias("dim", "feat"),
+    ).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("feat").cast("double").alias("feat"),
+    )
+
+
+_MULTIMODAL_FEATURES_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _multimodal_features_oracle(decode: str, n: int = 256) -> str:
+    """Literal expected feature rows, computed driver-side from the
+    fixture payloads with the same pure-numpy kernels the Arrow path
+    calls — certifies the Spark plumbing end-to-end (same doubles,
+    exact repr round-trip through DuckDB)."""
+    cached = _MULTIMODAL_FEATURES_ORACLE_CACHE.get(decode)
+    if cached is not None:
+        return cached
+    from inception_eventstore_spark.operators.multimodal import (
+        _fake_features,
+        _REAL_KERNELS,
+        synthetic_asset_rows,
+    )
+
+    values = []
+    for row in synthetic_asset_rows(n):
+        asset_id, modality, mime, payload = row[0], row[1], row[2], row[6]
+        if decode == "real":
+            if mime == "video/mp4":
+                continue
+            feats = _REAL_KERNELS[mime](bytes(payload))
+        else:
+            feats = _fake_features(bytes(payload))
+        for dim, f in enumerate(feats):
+            values.append(
+                f"({asset_id}, '{modality}', {len(payload)}, {dim}, "
+                f"{float(f)!r})"
+            )
+    sql = (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, c1 AS modality, "
+        "CAST(c2 AS BIGINT) AS n_bytes, CAST(c3 AS BIGINT) AS dim, "
+        "CAST(c4 AS DOUBLE) AS feat "
+        f"FROM (VALUES {', '.join(values)}) t(c0, c1, c2, c3, c4)"
+    )
+    _MULTIMODAL_FEATURES_ORACLE_CACHE[decode] = sql
+    return sql
 
 
 def q_multimodal_real_decode(spark, sf_dir):
@@ -1956,9 +2113,11 @@ def q_multimodal_real_decode(spark, sf_dir):
     audio, and AVI/MJPEG video (RIFF walk + per-frame JPEG decode),
     parsed in pure numpy and reduced to 16 signal features (channel
     stats / luminance grid / gradients; RMS / zero-crossings /
-    log-spectral bands; temporal luma / motion energy). Rows-only: the
-    decoders are pinned by round-trip and hand-computed-feature tests
-    (tests/test_text_multimodal.py::TestCodecs, TestRealDecode,
+    log-spectral bands; temporal luma / motion energy). Value-oracled
+    against literal expectations computed driver-side from the same
+    pure-numpy decoders over the same fixtures (the decoders are also
+    pinned by round-trip and hand-computed-feature tests,
+    tests/test_text_multimodal.py::TestCodecs, TestRealDecode,
     TestAviCodec); only MP4/H.264 (ffmpeg-bound) stays excluded."""
     from inception_eventstore_spark.operators import multimodal as MM
 
@@ -1968,14 +2127,7 @@ def q_multimodal_real_decode(spark, sf_dir):
         .coalesce(4)
     )
     feats = MM.extract_features(assets, decode="real")
-    return feats.select(
-        "asset_id",
-        "modality",
-        "n_bytes",
-        F.to_json(
-            F.transform("features", lambda x: F.round(x.cast("double"), 5))
-        ).alias("features_json"),
-    )
+    return _explode_features(feats)
 
 
 def q_multimodal_frame_plan(spark, sf_dir):
@@ -2220,8 +2372,12 @@ def q_pack_sequences(spark, sf_dir):
 
 def q_pack_greedy_stats(spark, sf_dir):
     """First-fit packing efficiency (greedy recurrence runs per shard
-    in pandas — deterministic, pinned by pytest; the sequential
-    dependence has no tractable SQL twin, so rows-only here)."""
+    in pandas). The sequential fold IS SQL-expressible: the oracle
+    replays first-fit per shard with a DuckDB list_reduce whose
+    accumulator packs (bin, fill) into one BIGINT (bin*1000 + fill —
+    fill <= budget 128 < 1000), sliced per prefix to recover every
+    doc's bin — the same sentinel-init replay pattern as the
+    bpe_encode_words oracle, so integer-exact on both engines."""
     from inception_eventstore_spark.operators import packing as PK
 
     d = _t(spark, sf_dir, "documents").select(
@@ -2229,6 +2385,36 @@ def q_pack_greedy_stats(spark, sf_dir):
     )
     packed = PK.pack_greedy(d, budget=128, shard_size=100)
     return PK.packing_stats(packed, budget=128)
+
+
+_PACK_GREEDY_STATS_ORACLE = f"""
+WITH d AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents),
+st AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi, count(*) AS n FROM d),
+pr AS (SELECT greatest(1, (n + 99) // 100) AS n_shards,
+  greatest(1, (hi - lo) // greatest(1, (n + 99) // 100) + 1) AS width
+  FROM st),
+sh AS (SELECT doc_id, n_tok,
+  CASE WHEN (SELECT n_shards FROM pr) = 1 THEN 0
+       ELSE doc_id // (SELECT width FROM pr) END AS shard FROM d),
+arrs AS (SELECT shard, list(n_tok ORDER BY doc_id) AS arr FROM sh
+  GROUP BY shard),
+idx AS (SELECT shard, arr, unnest(generate_series(1, len(arr))) AS i
+  FROM arrs),
+packed AS (SELECT shard, i, least(arr[i], 128) AS tok,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), arr[1:i]),
+    (acc, x) -> CASE
+      WHEN acc % 1000 > 0 AND acc % 1000 + least(x, 128) > 128
+      THEN (acc // 1000 + 1) * 1000 + least(x, 128)
+      ELSE acc + least(x, 128) END) // 1000 AS bin
+  FROM idx),
+per_seq AS (SELECT shard, bin, count(*) AS docs, sum(tok) AS tokens
+  FROM packed GROUP BY shard, bin)
+SELECT CAST(count(*) AS BIGINT) AS sequences,
+  round(avg(docs), 6) AS avg_docs_per_seq,
+  round(avg(tokens / 128.0), 6) AS avg_fill
+FROM per_seq
+"""
 
 
 def q_kmeans_assign(spark, sf_dir):
@@ -2628,8 +2814,8 @@ QUERIES: dict[str, QueryDef] = {
     # oracle = the exact-Jaccard ground truth (see q_dedup_minhash doc)
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash, _ngram_jaccard_oracle()),
     "dedup_simhash": QueryDef(q_dedup_simhash, _duck_simhash_oracle()),
-    "sim_topk_lsh": QueryDef(q_sim_topk_lsh, None),
-    "sim_topk_ivf": QueryDef(q_sim_topk_ivf, None),
+    "sim_topk_lsh": QueryDef(q_sim_topk_lsh, _sim_topk_lsh_oracle()),
+    "sim_topk_ivf": QueryDef(q_sim_topk_ivf, _SIM_TOPK_IVF_ORACLE),
     "sim_topk_ivfpq": QueryDef(q_sim_topk_ivfpq, None),
     "sim_multi_topk": QueryDef(
         q_sim_multi_topk,
@@ -2673,8 +2859,12 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs "
         "WHERE c >= 0.99 ORDER BY id_a, id_b",
     ),
-    "multimodal_features": QueryDef(q_multimodal_features, None),
-    "multimodal_real_decode": QueryDef(q_multimodal_real_decode, None),
+    "multimodal_features": QueryDef(
+        q_multimodal_features, _multimodal_features_oracle("fake")
+    ),
+    "multimodal_real_decode": QueryDef(
+        q_multimodal_real_decode, _multimodal_features_oracle("real")
+    ),
     "text_fingerprints": QueryDef(
         q_fingerprints,
         # md5 of the same normalized content normalize_text() produces
@@ -2862,7 +3052,9 @@ QUERIES: dict[str, QueryDef] = {
         "tok_start // 128 AS BIGINT) AS spans_cut "
         "FROM o ORDER BY doc_id",
     ),
-    "pack_greedy_stats": QueryDef(q_pack_greedy_stats, None),
+    "pack_greedy_stats": QueryDef(
+        q_pack_greedy_stats, _PACK_GREEDY_STATS_ORACLE
+    ),
     "kmeans_assign": QueryDef(
         q_kmeans_assign,
         # left-fold from 0.0 in index order = Spark's F.aggregate —
@@ -4018,8 +4210,12 @@ QUERIES = {**_R3H_QUERIES, **QUERIES}
 def q_knn_graph_lsh(spark, sf_dir):
     """Approximate (LSH-bucketed) 3-NN graph — the sublinear scale
     path of knn_graph: bucket-cogrouped numpy top-k within hamming-1
-    multiprobe buckets. Rows-only by design (recall < 100%; the
-    pytest recall floor and the exact knn_graph oracle pin quality)."""
+    multiprobe buckets. Value-oracled: the hyperplane family is
+    seed-deterministic, so the oracle recomputes every signature from
+    literal planes, regenerates the hamming-1 candidate pairs with the
+    same probe equi-join shape, and replays the exact re-rank — the
+    full approximate GRAPH is hash-checked, not just its recall (the
+    pytest recall floor still pins quality vs the exact graph)."""
     emb = _t(spark, sf_dir, "embeddings")
     res = S.lsh_knn_graph(emb, k=3, n_planes=8, dim=64)
     return res.select(
@@ -4027,8 +4223,43 @@ def q_knn_graph_lsh(spark, sf_dir):
     )
 
 
+def _knn_graph_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 7,
+                          k: int = 3) -> str:
+    from inception_eventstore_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_planes, dim, seed)
+    sig = " + ".join(
+        f"(CASE WHEN list_inner_product(ev, "
+        f"[{', '.join(repr(float(s)) for s in signs[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    flips = "[0, " + ", ".join(str(1 << p) for p in range(n_planes)) + "]"
+    return f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+s AS (SELECT vec_id, ev, CAST({sig} AS BIGINT) AS sig FROM v),
+p AS (SELECT vec_id AS src,
+    unnest(list_transform({flips}, f -> xor(sig, CAST(f AS BIGINT)))) AS b
+  FROM s),
+cand AS (SELECT DISTINCT p.src, c.vec_id AS dst
+  FROM p JOIN s c ON p.b = c.sig WHERE p.src <> c.vec_id),
+d AS (SELECT cand.src, cand.dst,
+    sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(a.ev) + 1),
+        i -> (a.ev[i] - b2.ev[i]) * (a.ev[i] - b2.ev[i]))),
+      (acc, x) -> acc + x)) AS dist
+  FROM cand JOIN s a ON cand.src = a.vec_id
+  JOIN s b2 ON cand.dst = b2.vec_id),
+r AS (SELECT src, dst, dist, row_number() OVER (
+  PARTITION BY src ORDER BY dist, dst) AS rank FROM d)
+SELECT src, CAST(rank AS BIGINT) AS rank, dst, round(dist, 6) AS dist
+FROM r WHERE rank <= {k}
+"""
+
+
 _R3I_QUERIES: dict[str, QueryDef] = {
-    "knn_graph_lsh": QueryDef(q_knn_graph_lsh, None),
+    "knn_graph_lsh": QueryDef(q_knn_graph_lsh, _knn_graph_lsh_oracle()),
 }
 QUERIES = {**_R3I_QUERIES, **QUERIES}
 
@@ -5074,25 +5305,71 @@ def q_multimodal_resize(spark, sf_dir):
     """REAL image resize → feature pipeline: every fixture image
     (PPM/PNG/JPEG) is decoded, bilinear-resized to 32×24, re-encoded
     PNG, and pushed through the real image kernel — the standard
-    pre-embedding normalization pass. Rows-only (kernel output; the
-    resize math is pinned by TestTransforms incl. exact known-value
-    and identity cases)."""
+    pre-embedding normalization pass. Value-oracled against literal
+    expectations computed driver-side from the same pure-numpy codecs
+    over the same deterministic fixtures (no Spark in the loop), so a
+    hash match certifies the Arrow plumbing delivers byte-identical
+    kernel results; exploded to scalar rows because float32→double
+    widening is exact and repr round-trips, while array columns and
+    JSON double formatting are not driver-portable."""
     from inception_eventstore_spark.operators import multimodal as MM
 
     assets = MM.synthetic_assets(spark, n=256).coalesce(4)
     resized = MM.resize_images(assets, width=32, height=24)
     feats = MM.extract_features(resized, decode="real")
     return feats.select(
+        "asset_id", "n_bytes", F.posexplode("features").alias("dim", "feat")
+    ).select(
         "asset_id",
         "n_bytes",
-        F.to_json(
-            F.transform("features", lambda x: F.round(x.cast("double"), 5))
-        ).alias("features_json"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("feat").cast("double").alias("feat"),
     )
 
 
+_MULTIMODAL_RESIZE_ORACLE_CACHE: list[str] = []
+
+
+def _multimodal_resize_oracle(n: int = 256) -> str:
+    """Literal expected rows: decode → bilinear 32×24 → PNG → image
+    features, run on the fixture payloads with the SAME library
+    functions the Spark kernels call, entirely driver-side."""
+    if _MULTIMODAL_RESIZE_ORACLE_CACHE:
+        return _MULTIMODAL_RESIZE_ORACLE_CACHE[0]
+    from inception_eventstore_spark.operators.multimodal import (
+        _decode_image,
+        _image_features_real,
+        bilinear_resize,
+        encode_png,
+        synthetic_asset_rows,
+    )
+
+    values = []
+    for row in synthetic_asset_rows(n):
+        asset_id, modality, payload = row[0], row[1], row[6]
+        if modality != "image":
+            continue
+        resized = encode_png(
+            bilinear_resize(_decode_image(bytes(payload)), 24, 32)
+        )
+        feats = _image_features_real(resized)
+        for dim, f in enumerate(feats):
+            values.append(
+                f"({asset_id}, {len(resized)}, {dim}, {float(f)!r})"
+            )
+    sql = (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, CAST(c1 AS BIGINT) "
+        "AS n_bytes, CAST(c2 AS BIGINT) AS dim, CAST(c3 AS DOUBLE) AS feat "
+        f"FROM (VALUES {', '.join(values)}) t(c0, c1, c2, c3)"
+    )
+    _MULTIMODAL_RESIZE_ORACLE_CACHE.append(sql)
+    return sql
+
+
 _R4E_QUERIES = {
-    "multimodal_resize": QueryDef(q_multimodal_resize, None),
+    "multimodal_resize": QueryDef(
+        q_multimodal_resize, _multimodal_resize_oracle()
+    ),
 }
 QUERIES = {**_R4E_QUERIES, **QUERIES}
 
