@@ -168,6 +168,8 @@ HEADLINE = [
     "latest_property_state",
     "weighted_median",
     "ngram_uniqueness",
+    "ppl_buckets",
+    "domain_reweight",
 ]
 
 
@@ -184,8 +186,12 @@ def main() -> None:
     # ANN indexes are ingest-time state: build them once here (reported
     # separately under "ann_build_sec") so the headline rows for
     # sim_topk_ivf/ivfpq measure the probe — a partition-pruned scan —
-    # not k-means training + full encode + index write.
-    ann_build = prebuild_ann_indexes(spark, sf_dir)
+    # not k-means training + full encode + index write. sim_topk_ivf
+    # probes the pinned-quantizer index (oracle-able); ivfpq still
+    # trains its own k-means cells.
+    ann_build = prebuild_ann_indexes(
+        spark, sf_dir, kinds=("ivf_pinned", "ivfpq")
+    )
     ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
 
     timings: dict[str, float] = {}

@@ -351,3 +351,49 @@ def ngram_uniqueness(
     out = out.localCheckpoint(eager=True)
     ex.unpersist()
     return out
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, n_bigrams, lm_score, bucket): CCNet-style perplexity
+    bucketing (Wenzek et al. 2020, §4.3) — documents split per language
+    into head / middle / tail thirds by LM fluency, the standard
+    pre-training data-quality stratification (head = most fluent).
+
+    The fluency signal is the add-one bigram LM self-score
+    (`lm.bigram_lm_score`, the same oracled arithmetic as
+    lm_bigram_score). Cuts are RANK-based, not quantile-interpolated:
+    rank r of n docs (score desc, id tiebreak) → head iff 3r <= n,
+    middle iff 3r <= 2n, else tail — integer arithmetic on both
+    engines, no interpolation to disagree about. Ranking uses the
+    6-dp-rounded score, which the cross-engine hash match of
+    lm_bigram_score certifies identical, so bucket membership is
+    deterministic. Documents with no bigrams (< 2 tokens) are
+    unscoreable and absent, as in CCNet.
+
+    Scale: one LM-count pass + one window per language partition —
+    no global sort, no driver state.
+    """
+    from inception_eventstore_spark.operators.lm import bigram_lm_score
+
+    sc = bigram_lm_score(docs, id_col=id_col, text_col=text_col)
+    joined = docs.select(id_col, lang_col).join(sc, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("lm_score").desc(), F.col(id_col)
+    )
+    nw = Window.partitionBy(lang_col)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(nw))
+        .withColumn(
+            "bucket",
+            F.when(3 * F.col("_rn") <= F.col("_n"), F.lit("head"))
+            .when(3 * F.col("_rn") <= 2 * F.col("_n"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_rn", "_n")
+    )

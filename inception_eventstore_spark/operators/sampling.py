@@ -522,3 +522,65 @@ def sample_negatives(
         bucket_width=1 << 48, bounds="[)",
     )
     return joined.select("sample_id", "token").orderBy("sample_id")
+
+
+def quality_domain_weights(
+    docs: DataFrame,
+    score: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "lm_score",
+    eta: float = 0.5,
+) -> DataFrame:
+    """(domain, n_docs, mean_score, weight): quality-driven domain
+    mixture reweighting — the exponentiated-gradient update family of
+    DoReMi (Xie et al. 2023): each domain's share is multiplied by
+    exp(eta * (its mean quality - the global doc-weighted mean)) and
+    renormalized,
+
+        w_d  ∝  (n_d / N) * exp(eta * (q̄_d - q̄)),
+
+    so above-average-quality domains gain mass smoothly (eta = 0 gives
+    natural proportions; large eta approaches winner-take-most). The
+    complement of `temperature_mixture`, which reweights by SIZE alone.
+
+    ``score`` is any (id, score) table — the CCNet-style
+    `lm.bigram_lm_score` fluency signal by default; docs missing from
+    it (unscoreable) are excluded, as in the bucketing pipeline.
+    ``eta`` should be a BINARY rational (0.5, 0.25, …): exact in both
+    engines, so exp() arguments agree to the ulp (repo rounding
+    invariant). Output weights round at 6 dp.
+
+    Scale: one broadcast-sized groupBy per domain (|domains| rows),
+    driver-free — the weights come out as a DataFrame ready to
+    broadcast-join onto a sampler.
+    """
+    joined = docs.select(id_col, domain_col).join(
+        score.select(id_col, F.col(score_col).alias("_q")), id_col
+    )
+    per = joined.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"), F.avg("_q").alias("_mq")
+    )
+    tot = joined.agg(
+        F.count("*").alias("_n"), F.avg("_q").alias("_gq")
+    )
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        "_mq",
+        (
+            (F.col("n_docs") / F.col("_n"))
+            * F.exp(F.lit(float(eta)) * (F.col("_mq") - F.col("_gq")))
+        ).alias("_w"),
+    )
+    z = raw.agg(F.sum("_w").alias("_z"))
+    return (
+        raw.crossJoin(F.broadcast(z))
+        .select(
+            domain_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("_mq", 6).alias("mean_score"),
+            F.round(F.col("_w") / F.col("_z"), 6).alias("weight"),
+        )
+        .orderBy(domain_col)
+    )

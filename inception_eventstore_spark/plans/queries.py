@@ -6394,3 +6394,99 @@ _R4V_QUERIES = {
     ),
 }
 QUERIES = {**_R4V_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# Round 5: quality-stratification additions
+# ----------------------------------------------------------------------
+_DUCK_LM_SCORE_CTES = f"""
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pairs AS (
+  SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+    SELECT doc_id,
+      unnest([struct_pack(a := tk[i], b := tk[i+1])
+              for i in generate_series(1, len(tk)-1)]) AS g
+    FROM toks WHERE len(tk) >= 2)),
+c2 AS (SELECT a, b, count(*) AS c2 FROM pairs GROUP BY a, b),
+c1 AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+v AS (SELECT count(DISTINCT t) AS vocab FROM (
+  SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)),
+lp AS (
+  SELECT p.doc_id,
+    ln((c2.c2 + 1) / (CAST(c1.c1 AS DOUBLE) + v.vocab)) AS lp
+  FROM pairs p JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v),
+sc AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+  FROM lp GROUP BY doc_id)
+"""
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (curation.ppl_buckets): per
+    language, documents split head / middle / tail thirds by the
+    add-one bigram LM fluency score — the standard quality
+    stratification before mixture weighting (Wenzek et al. 2020).
+    Rank-based integer cuts, so bucket membership has an exact SQL
+    twin; ranking on the 6-dp score the lm_bigram_score hash match
+    already certifies identical."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.curation import ppl_buckets
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return ppl_buckets(d).orderBy("doc_id")
+
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH {_DUCK_LM_SCORE_CTES},
+j AS (SELECT d.doc_id, d.lang, sc.n_bigrams, sc.lm_score
+  FROM documents d JOIN sc USING (doc_id)),
+r AS (SELECT *,
+    row_number() OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id)
+      AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM j)
+SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams, lm_score,
+  CASE WHEN 3 * rn <= n THEN 'head'
+       WHEN 3 * rn <= 2 * n THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM r ORDER BY doc_id
+"""
+
+
+def q_domain_reweight(spark, sf_dir):
+    """Quality-driven domain mixture reweighting
+    (sampling.quality_domain_weights): each language's natural share
+    multiplied by exp(eta * (its mean LM fluency - the global mean))
+    and renormalized — the exponentiated-gradient step of the DoReMi
+    family (Xie et al. 2023) with the CCNet fluency signal. eta = 0.5
+    (a binary rational, exact in both engines)."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.lm import bigram_lm_score
+    from inception_eventstore_spark.operators.sampling import (
+        quality_domain_weights,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return quality_domain_weights(d, bigram_lm_score(d), eta=0.5)
+
+
+_DOMAIN_REWEIGHT_ORACLE = f"""
+WITH {_DUCK_LM_SCORE_CTES},
+j AS (SELECT d.lang, sc.lm_score FROM documents d JOIN sc USING (doc_id)),
+per AS (SELECT lang, count(*) AS n_docs, avg(lm_score) AS mq
+  FROM j GROUP BY lang),
+tot AS (SELECT count(*) AS n, avg(lm_score) AS gq FROM j),
+raw AS (SELECT lang, n_docs, mq,
+    (n_docs * 1.0 / tot.n) * exp(0.5 * (mq - tot.gq)) AS w
+  FROM per CROSS JOIN tot),
+z AS (SELECT sum(w) AS z FROM raw)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+  round(mq, 6) AS mean_score, round(w / z.z, 6) AS weight
+FROM raw CROSS JOIN z ORDER BY lang
+"""
+
+
+_R5A_QUERIES = {
+    "ppl_buckets": QueryDef(q_ppl_buckets, _PPL_BUCKETS_ORACLE),
+    "domain_reweight": QueryDef(q_domain_reweight, _DOMAIN_REWEIGHT_ORACLE),
+}
+QUERIES = {**_R5A_QUERIES, **QUERIES}

@@ -231,3 +231,52 @@ class TestNgramUniqueness:
         got = {r["doc_id"]: r["uniqueness"]
                for r in ngram_uniqueness(docs).collect()}
         assert got == {0: 0.0, 1: 0.0}
+
+
+class TestPplBuckets:
+    def test_thirds_per_lang_and_order(self, spark):
+        # 6 docs in one lang with clearly ordered fluency: repeated
+        # common bigrams score high, unique-word docs score low
+        rows = [
+            (0, "en", "a b a b a b a b"),
+            (1, "en", "a b a b a b"),
+            (2, "en", "a b a b"),
+            (3, "en", "a b c d"),
+            (4, "en", "c d e f"),
+            (5, "en", "g h i j"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        out = C.ppl_buckets(docs).collect()
+        got = {r["doc_id"]: r["bucket"] for r in out}
+        assert len(got) == 6
+        # exactly two docs per bucket
+        from collections import Counter
+
+        assert Counter(got.values()) == {"head": 2, "middle": 2, "tail": 2}
+        # buckets must follow the score order: every head score >= every
+        # middle score >= every tail score (ties broken by id upstream)
+        by_bucket = {"head": [], "middle": [], "tail": []}
+        for r in out:
+            by_bucket[r["bucket"]].append(r["lm_score"])
+        assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+        assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+        # the all-unique-words doc is least fluent under self-scoring
+        assert got[5] == "tail"
+
+    def test_unscoreable_docs_absent(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "en", "a b c"), (1, "en", "solo"), (2, "en", "")],
+            ["doc_id", "lang", "text"],
+        )
+        ids = {r["doc_id"] for r in C.ppl_buckets(docs).collect()}
+        assert ids == {0}  # <2 tokens → no bigrams → absent (CCNet)
+
+    def test_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de", f"w{i} w{i+1} w{i+2}")
+             for i in range(12)],
+            ["doc_id", "lang", "text"],
+        )
+        a = sorted(map(tuple, C.ppl_buckets(docs).collect()))
+        b = sorted(map(tuple, C.ppl_buckets(docs).collect()))
+        assert a == b

@@ -304,3 +304,61 @@ class TestNegativeSampling:
         df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             sample_negatives(df, n=0)
+
+
+class TestQualityDomainWeights:
+    def _docs_scores(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "good" if i < 4 else "bad") for i in range(10)],
+            "doc_id long, lang string",
+        )
+        scores = spark.createDataFrame(
+            [(i, -1.0 if i < 4 else -5.0) for i in range(10)],
+            "doc_id long, lm_score double",
+        )
+        return docs, scores
+
+    def test_weights_normalize_and_favor_quality(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            quality_domain_weights,
+        )
+
+        docs, scores = self._docs_scores(spark)
+        rows = {r["lang"]: r for r in quality_domain_weights(
+            docs, scores, eta=0.5).collect()}
+        assert set(rows) == {"good", "bad"}
+        total = rows["good"]["weight"] + rows["bad"]["weight"]
+        assert total == pytest.approx(1.0, abs=2e-6)
+        # natural shares are 0.4 / 0.6; quality tilt must push the
+        # higher-scoring domain ABOVE its natural share
+        assert rows["good"]["weight"] > 0.4
+        assert rows["bad"]["weight"] < 0.6
+        assert rows["good"]["n_docs"] == 4
+        assert rows["good"]["mean_score"] == pytest.approx(-1.0)
+
+    def test_eta_zero_gives_natural_shares(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            quality_domain_weights,
+        )
+
+        docs, scores = self._docs_scores(spark)
+        rows = {r["lang"]: r["weight"] for r in quality_domain_weights(
+            docs, scores, eta=0.0).collect()}
+        assert rows["good"] == pytest.approx(0.4, abs=1e-6)
+        assert rows["bad"] == pytest.approx(0.6, abs=1e-6)
+
+    def test_unscored_docs_excluded(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            quality_domain_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "en"), (1, "en"), (2, "de")], "doc_id long, lang string"
+        )
+        scores = spark.createDataFrame(
+            [(0, -2.0), (1, -3.0)], "doc_id long, lm_score double"
+        )
+        rows = {r["lang"]: r for r in quality_domain_weights(
+            docs, scores).collect()}
+        assert set(rows) == {"en"}  # de has no scored docs
+        assert rows["en"]["weight"] == pytest.approx(1.0)

@@ -171,6 +171,20 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "ppl_buckets": [
+        ("LM count tables join back without reshuffling the corpus "
+         "body per metric", r"HashAggregate.*partial|partial_count"),
+        ("rank window shuffles on the language key, not a global sort",
+         r"Exchange hashpartitioning\(lang"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "domain_reweight": [
+        ("per-domain stats aggregate partial-first",
+         r"HashAggregate.*partial|partial_count"),
+        ("global totals join back broadcast — the corpus never "
+         "shuffles to meet them", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "epoch_shuffle": [
         ("rank is two-phase shard prefix + within-shard row_number — "
          "no single-partition Exchange anywhere",

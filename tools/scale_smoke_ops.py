@@ -158,6 +158,39 @@ def main() -> int:
     volumes["bm25_multi_rows"] = RT.bm25_multi_topk(docs, qdf, k=5).count()
     timings["retrieval_bm25_multi"] = round(time.time() - t0, 3)
 
+    # -- epoch shuffle: two-phase shard rank over the replicated corpus —
+    # the permutation must be total (max rank == count) with NO
+    # single-partition Exchange (the r4 scale-killer this replaced)
+    from inception_eventstore_spark.operators.sampling import (
+        epoch_shuffle_rank,
+        weighted_sample,
+    )
+
+    t0 = time.time()
+    ranked = epoch_shuffle_rank(docs.select("doc_id"), epoch=1)
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.max("shuffle_rank").alias("mx"),
+        F.countDistinct("shuffle_rank").alias("dr"),
+    ).first()
+    timings["epoch_shuffle_50k"] = round(time.time() - t0, 3)
+    assert int(agg["n"]) == int(agg["mx"]) == int(agg["dr"]), (
+        "epoch shuffle rank is not a total permutation: "
+        f"n={agg['n']} max={agg['mx']} distinct={agg['dr']}"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, (
+        "epoch_shuffle_rank funnels through a single partition"
+    )
+
+    t0 = time.time()
+    ws = weighted_sample(
+        docs.select("doc_id", F.length("text").alias("w")), "w", k=1000,
+        id_col="doc_id",
+    )
+    volumes["weighted_sample_rows"] = ws.count()
+    timings["weighted_sample_50k"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
