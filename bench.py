@@ -170,6 +170,8 @@ HEADLINE = [
     "ngram_uniqueness",
     "ppl_buckets",
     "domain_reweight",
+    "winnow_fingerprints",
+    "winnow_matches",
 ]
 
 

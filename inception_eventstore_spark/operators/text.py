@@ -317,3 +317,109 @@ def string_indexer(
         "freq",
         (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, fp): winnowing document fingerprints — the MOSS
+    local-fingerprinting algorithm (Schleimer, Wilkerson, Aiken 2003):
+    hash every character k-gram of the normalized text, slide a window
+    of ``w`` consecutive hashes, and select each window's MINIMUM hash
+    (rightmost on ties). Guarantees: any shared substring of length
+    >= k + w - 1 yields at least one shared fingerprint, and selection
+    density is ~2/(w+1) — position-local, unlike MinHash's global
+    sketch, so matches LOCALIZE (which passage was copied), the
+    property plagiarism/provenance detection needs.
+
+    All JVM expressions: normalization + k-gram hashing in one
+    projection, selection as ONE running window per document —
+    rightmost-min-of-window computed order-free by packing
+    (hash, position) into a single BIGINT key, hash * 2^20 + (2^20-1-pos)
+    (40-bit md5 prefix * 2^20 stays inside int64; min of the packed key
+    IS the lexicographic (min hash, max pos)). Docs shorter than one
+    full window keep the minimum of what they have — the standard
+    degenerate case. Positions are 1-based gram starts in the
+    normalized text; output is the DISTINCT selected set.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    from pyspark.sql import Window as _W
+
+    m = 1 << 20
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    staged = docs.select(F.col(id_col), norm.alias("_norm")).where(
+        F.length("_norm") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("_norm") - k + 1),
+        lambda i: F.col("_norm").substr(i, F.lit(k)),
+    )
+    g = staged.select(
+        id_col, F.posexplode(grams).alias("_p0", "_g")
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_pos"),
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 10),
+            16, 10,
+        ).cast("bigint").alias("_h"),
+    )
+    packed = (F.col("_h") * m + (F.lit(m - 1) - F.col("_pos")))
+    win = (
+        _W.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(-(w - 1), _W.currentRow)
+    )
+    sel = (
+        g.withColumn("_k", packed)
+        .withColumn("_sel", F.min("_k").over(win))
+        .withColumn("_n", F.count("*").over(_W.partitionBy(id_col)))
+        # only FULL windows select (pos >= w); a doc with fewer than w
+        # grams has one clipped window at its last gram = global min
+        .where(
+            (F.col("_pos") >= w)
+            | ((F.col("_n") < w) & (F.col("_pos") == F.col("_n")))
+        )
+        .select(
+            id_col,
+            (F.lit(m - 1) - F.pmod("_sel", F.lit(m))).alias("pos"),
+            F.expr(f"_sel div {m}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_matches(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): ordered document pairs sharing >=
+    ``min_shared`` winnowing fingerprints — the MOSS match report.
+    Inverted-index join on the fingerprint value (never an all-pairs
+    document join): pairs form only where a fingerprint collides, so
+    cost tracks actual overlap. A fingerprint shared by many documents
+    contributes |docs|² pairs — the honest cost of genuinely common
+    text; upstream boilerplate removal is the mitigation, exactly as
+    in MOSS deployments."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col).select(
+        F.col(id_col).alias("_id"), "fp"
+    ).distinct()
+    a = fp.select(F.col("_id").alias("id_a"), "fp")
+    b = fp.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )

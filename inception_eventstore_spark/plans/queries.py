@@ -6490,3 +6490,94 @@ _R5A_QUERIES = {
     "domain_reweight": QueryDef(q_domain_reweight, _DOMAIN_REWEIGHT_ORACLE),
 }
 QUERIES = {**_R5A_QUERIES, **QUERIES}
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (text.winnow_fingerprints, Schleimer
+    et al. 2003): every selected (position, 40-bit k-gram hash) pair of
+    every document — the position-local fingerprint family MinHash
+    lacks. Pure integer/md5 arithmetic, so the full selected set is
+    value-checked against the identical window replay in SQL."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.text import winnow_fingerprints
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    out = winnow_fingerprints(d, k=5, w=4)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("fp").cast("bigint").alias("fp"),
+    ).orderBy("doc_id", "pos")
+
+
+_WINNOW_FP_ORACLE = """
+WITH nrm AS (SELECT doc_id,
+  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm FROM documents),
+s AS (SELECT doc_id, nm FROM nrm WHERE len(nm) >= 5),
+e AS (SELECT doc_id, nm,
+  unnest(generate_series(1, len(nm) - 4)) AS gpos FROM s),
+g AS (SELECT doc_id, gpos,
+  CAST(('0x' || substr(md5(substr(nm, gpos, 5)), 1, 10)) AS BIGINT) AS h
+  FROM e),
+p AS (SELECT doc_id, gpos,
+  min(h * 1048576 + (1048575 - gpos)) OVER (PARTITION BY doc_id
+    ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+  count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g)
+SELECT DISTINCT doc_id,
+  CAST(1048575 - (sel % 1048576) AS BIGINT) AS pos,
+  CAST(sel // 1048576 AS BIGINT) AS fp
+FROM p WHERE gpos >= 4 OR (ng < 4 AND gpos = ng)
+ORDER BY doc_id, pos
+"""
+
+
+def q_winnow_matches(spark, sf_dir):
+    """MOSS match report (text.winnow_matches): ordered document pairs
+    sharing >= 40 winnowing fingerprints via the inverted-index join —
+    localized-overlap detection, never an all-pairs document join.
+    The fixture corpus has a ~31-word vocabulary, so low thresholds
+    match nearly every pair; 40 shared fingerprints isolates the
+    genuinely heavy-overlap pairs (32 at sf0.01) the way a real MOSS
+    report would."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.text import winnow_matches
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return winnow_matches(d, k=5, w=4, min_shared=40).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_WINNOW_MATCHES_ORACLE = """
+WITH nrm AS (SELECT doc_id,
+  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm FROM documents),
+s AS (SELECT doc_id, nm FROM nrm WHERE len(nm) >= 5),
+e AS (SELECT doc_id, nm,
+  unnest(generate_series(1, len(nm) - 4)) AS gpos FROM s),
+g AS (SELECT doc_id, gpos,
+  CAST(('0x' || substr(md5(substr(nm, gpos, 5)), 1, 10)) AS BIGINT) AS h
+  FROM e),
+p AS (SELECT doc_id, gpos,
+  min(h * 1048576 + (1048575 - gpos)) OVER (PARTITION BY doc_id
+    ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+  count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g),
+fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+  FROM p WHERE gpos >= 4 OR (ng < 4 AND gpos = ng))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 40
+ORDER BY id_a, id_b
+"""
+
+
+_R5B_QUERIES = {
+    "winnow_fingerprints": QueryDef(
+        q_winnow_fingerprints, _WINNOW_FP_ORACLE
+    ),
+    "winnow_matches": QueryDef(q_winnow_matches, _WINNOW_MATCHES_ORACLE),
+}
+QUERIES = {**_R5B_QUERIES, **QUERIES}

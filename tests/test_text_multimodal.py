@@ -748,3 +748,78 @@ class TestStringIndexer:
         got = {r["value"]: r["idx"]
                for r in string_indexer(df, col="v", tokenize=False).collect()}
         assert got == {"x": 0, "y": 1}  # tie (2,2) → lexical
+
+
+class TestWinnowing:
+    @staticmethod
+    def _reference(text: str, k: int, w: int) -> set:
+        """Brute-force winnowing: rightmost min of every full window."""
+        import hashlib
+        import re
+
+        nm = re.sub(r"[^a-z0-9]", "", text.lower())
+        if len(nm) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(nm[i:i + k].encode()).hexdigest()[:10], 16)
+            for i in range(len(nm) - k + 1)
+        ]
+        sel = set()
+        if len(hs) < w:
+            m = min(hs)
+            pos = max(i for i, h in enumerate(hs) if h == m)
+            return {(pos + 1, m)}
+        for e in range(w - 1, len(hs)):
+            window = hs[e - w + 1:e + 1]
+            m = min(window)
+            off = max(i for i, h in enumerate(window) if h == m)
+            sel.add((e - w + 1 + off + 1, m))
+        return sel
+
+    def test_matches_reference(self, spark):
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs"),
+            (2, "aaaaaaaaaaaa"),          # degenerate: all grams equal
+            (3, "ab"),                    # shorter than k -> absent
+            (4, "abcdef"),                # fewer grams than w
+        ]
+        docs = spark.createDataFrame(texts, ["doc_id", "text"])
+        got: dict[int, set] = {}
+        for r in TX.winnow_fingerprints(docs, k=5, w=4).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        for i, t in texts:
+            want = self._reference(t, 5, 4)
+            assert got.get(i, set()) == want, f"doc {i}"
+
+    def test_shared_substring_guarantee(self, spark):
+        # any shared substring of length >= k + w - 1 = 8 must yield at
+        # least one shared fingerprint (the winnowing theorem)
+        shared = "commonpassagehere"
+        docs = spark.createDataFrame(
+            [
+                (0, f"left padding {shared} and more"),
+                (1, f"totally other prefix {shared} suffix body"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps: dict[int, set] = {0: set(), 1: set()}
+        for r in TX.winnow_fingerprints(docs, k=5, w=4).collect():
+            fps[r["doc_id"]].add(r["fp"])
+        assert fps[0] & fps[1]
+
+    def test_matches_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon eta"),
+                (2, "completely unrelated words qqq www zzz"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in TX.winnow_matches(docs, k=5, w=4, min_shared=2).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+        assert all(2 not in p for p in pairs)

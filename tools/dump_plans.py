@@ -171,6 +171,18 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "winnow_fingerprints": [
+        ("selection is one running window per document — no self-join, "
+         "no global sort", r"Exchange hashpartitioning\(doc_id"),
+        ("k-gram explode runs in Generate", r"Generate posexplode"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "winnow_matches": [
+        ("pairs form on the fingerprint equi-join, never a document "
+         "cross join", "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("shared counts partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+    ],
     "ppl_buckets": [
         ("LM count tables join back without reshuffling the corpus "
          "body per metric", r"HashAggregate.*partial|partial_count"),
