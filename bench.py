@@ -172,6 +172,7 @@ HEADLINE = [
     "domain_reweight",
     "winnow_fingerprints",
     "winnow_matches",
+    "semdedup",
 ]
 
 

@@ -227,3 +227,101 @@ def balanced_sample(
         .where(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def semantic_dedup_flags(
+    embeddings: DataFrame,
+    centroid_df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """(id, cluster, is_dup): SemDeDup (Abbas et al. 2023) — semantic
+    near-duplicate removal bucketed by embedding CLUSTER instead of an
+    LSH family: assign every vector to its nearest centroid, compare
+    pairs only WITHIN a cluster, and among each pair with cosine >=
+    ``threshold`` keep the member LESS similar to its cluster centroid
+    (the paper's keep-the-outlier rule — it preserves diversity),
+    deterministic tiebreak by id. ``is_dup`` = 1 marks the member a
+    curation pass drops.
+
+    Scale: the within-cluster comparison is all-pairs BY DESIGN — the
+    cluster count is the dial that keeps cells small (SemDeDup uses
+    50k clusters for LAION); cost is Σ|cell|², never corpus². One
+    shuffle on the cluster key; pair cosines run in the Arrow kernel;
+    the keep-rule ranks on the 6-dp-rounded centroid cosine, so the
+    drop set is engine-portable wherever pair cosines sit away from
+    the threshold boundary."""
+    from inception_eventstore_spark.operators.similarity import (
+        _cosine_pair_udf,
+        cosine_similarity,
+    )
+
+    a = assign_clusters_exact(
+        embeddings, centroid_df, id_col, vec_col, cid_col, cvec_col
+    )
+    m = (
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .join(a.select(id_col, "cluster"), id_col)
+        .join(
+            F.broadcast(
+                centroid_df.select(
+                    F.col(cid_col).alias("cluster"),
+                    F.col(cvec_col).alias("_cv"),
+                )
+            ),
+            "cluster",
+        )
+        .withColumn(
+            "_cc", F.round(cosine_similarity(F.col("_v"), F.col("_cv")), 6)
+        )
+        .drop("_cv")
+    )
+    # m feeds BOTH pair sides and the final flag join — materialize the
+    # assignment + centroid-cosine pass once (lazy local checkpoint,
+    # computed on first use) instead of three times
+    m = m.localCheckpoint(eager=False)
+    left = m.select(
+        "cluster",
+        F.col(id_col).alias("_ia"),
+        F.col("_v").alias("_va"),
+        F.col("_cc").alias("_ca"),
+    )
+    right = m.select(
+        "cluster",
+        F.col(id_col).alias("_ib"),
+        F.col("_v").alias("_vb"),
+        F.col("_cc").alias("_cb"),
+    )
+    # pair (a drops) iff some same-cluster b has cos >= t and b ranks
+    # LOWER on (centroid-cosine, id) — b is the kept outlier
+    dup = (
+        left.join(right, "cluster")
+        .where(
+            (F.col("_ia") != F.col("_ib"))
+            & (
+                (F.col("_cb") < F.col("_ca"))
+                | ((F.col("_cb") == F.col("_ca"))
+                   & (F.col("_ib") < F.col("_ia")))
+            )
+        )
+        .where(
+            _cosine_pair_udf()(F.col("_va"), F.col("_vb"))
+            >= float(threshold)
+        )
+        .select(F.col("_ia").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        m.join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint").alias(
+                "is_dup"
+            ),
+        )
+    )

@@ -6581,3 +6581,71 @@ _R5B_QUERIES = {
     "winnow_matches": QueryDef(q_winnow_matches, _WINNOW_MATCHES_ORACLE),
 }
 QUERIES = {**_R5B_QUERIES, **QUERIES}
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (clustering.semantic_dedup_flags, Abbas et al. 2023):
+    cluster-bucketed semantic near-dup flags over the corpus plus 50
+    planted perturbed copies (the fixture embeddings have no natural
+    near-dups — max pairwise cosine ~0.45), centroids pinned to the
+    vectors of vec_id 0..3 so assignment, the keep-the-outlier rule
+    and the drop set all replay exactly in SQL."""
+    from inception_eventstore_spark.operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(10_000_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.001).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    cent = emb.where(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return CL.semantic_dedup_flags(both, cent, threshold=0.99).orderBy(
+        "vec_id"
+    )
+
+
+def _semdedup_oracle() -> str:
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "range(1, len({a}) + 1), i -> {expr})), (acc, x) -> acc + x)"
+    )
+    d2 = fold.format(a="allv.ev", expr="(allv.ev[i]-c.cv[i])*(allv.ev[i]-c.cv[i])")
+    dotvc = fold.format(a="allv.ev", expr="allv.ev[i]*c.cv[i]")
+    dotvv = fold.format(a="allv.ev", expr="allv.ev[i]*allv.ev[i]")
+    dotcc = fold.format(a="c.cv", expr="c.cv[i]*c.cv[i]")
+    return f"""
+WITH planted AS (SELECT vec_id + 10000000000 AS vec_id,
+  list_transform(embedding, x -> x + CAST(0.001 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 50),
+uni AS (SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM planted),
+allv AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM uni),
+c AS (SELECT vec_id AS cid,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+d AS (SELECT allv.vec_id, c.cid, {d2} AS d2 FROM allv CROSS JOIN c),
+a AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid, row_number() OVER (
+    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster, allv.ev,
+  round({dotvc} / (sqrt({dotvv}) * sqrt({dotcc})), 6) AS cc
+  FROM a JOIN allv USING (vec_id) JOIN c ON a.cluster = c.cid),
+p AS (SELECT DISTINCT x.vec_id FROM m x JOIN m y ON x.cluster = y.cluster
+  AND x.vec_id <> y.vec_id
+  AND (y.cc < x.cc OR (y.cc = x.cc AND y.vec_id < x.vec_id))
+  WHERE list_cosine_similarity(x.ev, y.ev) >= 0.99)
+SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+  CAST(p.vec_id IS NOT NULL AS BIGINT) AS is_dup
+FROM m LEFT JOIN p ON m.vec_id = p.vec_id ORDER BY m.vec_id
+"""
+
+
+_R5C_QUERIES = {
+    "semdedup": QueryDef(q_semdedup, _semdedup_oracle()),
+}
+QUERIES = {**_R5C_QUERIES, **QUERIES}

@@ -114,3 +114,63 @@ class TestBalancedSample:
         again = pick(emb.where(F.col("vec_id") % 7 != 3))
         kept_both = again & first
         assert kept_both <= first
+
+
+class TestSemanticDedup:
+    def test_planted_pairs_flag_exactly_one_member(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.clustering import (
+            semantic_dedup_flags,
+        )
+
+        # period-101 pattern: no two base vectors coincide (i*37 mod
+        # 101 distinct for i < 40), unlike small moduli that create
+        # genuine duplicates and break the no-twin assertion below
+        base = [
+            (i, [float((i * 37 + j * j * 11) % 101) - 50.0
+                 for j in range(8)])
+            for i in range(40)
+        ]
+        emb = spark.createDataFrame(base, ["vec_id", "embedding"])
+        planted = emb.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(1e-4)).alias(
+                "embedding"
+            ),
+        )
+        both = emb.unionByName(planted)
+        cent = emb.where(F.col("vec_id").isin(0, 1)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        out = semantic_dedup_flags(both, cent, threshold=0.9999)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert len(rows) == 45
+        # each planted pair has exactly one dropped member, same cluster
+        for i in range(5):
+            a, b = rows[i], rows[i + 1000]
+            assert a["cluster"] == b["cluster"]
+            assert a["is_dup"] + b["is_dup"] == 1
+        # vectors with no near-twin are never flagged
+        assert all(rows[i]["is_dup"] == 0 for i in range(5, 40))
+
+    def test_keep_the_outlier_rule(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.clustering import (
+            semantic_dedup_flags,
+        )
+
+        # centroid c; v1 = c (cosine 1 to centroid), v2 = near-copy of
+        # v1 but slightly rotated away from c → v2 is the outlier and
+        # must be KEPT, v1 dropped
+        c = [1.0, 0.0, 0.0, 0.0]
+        v1 = [1.0, 0.0, 0.0, 0.0]
+        v2 = [1.0, 0.02, 0.0, 0.0]
+        emb = spark.createDataFrame(
+            [(10, v1), (20, v2)], ["vec_id", "embedding"]
+        )
+        cent = spark.createDataFrame([(0, c)], ["cid", "cvec"])
+        rows = {r["vec_id"]: r["is_dup"] for r in semantic_dedup_flags(
+            emb, cent, threshold=0.99).collect()}
+        assert rows == {10: 1, 20: 0}

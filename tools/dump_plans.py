@@ -171,6 +171,12 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "semdedup": [
+        ("pair comparison is a cluster-key equi-join, never a corpus "
+         "cross join on the pair side",
+         r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"),
+        ("pair cosines run in the Arrow kernel", r"ArrowEvalPython"),
+    ],
     "winnow_fingerprints": [
         ("selection is one running window per document — no self-join, "
          "no global sort", r"Exchange hashpartitioning\(doc_id"),
