@@ -173,6 +173,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_matches",
     "semdedup",
+    "soft_dedup_weights",
+    "contamination_fraction",
 ]
 
 

@@ -172,3 +172,47 @@ def dedup_survivors(
         comp.select(id_col), id_col, "left_anti"
     )
     return untouched.unionByName(winners)
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id, component, cluster_size, weight): SOFT deduplication —
+    instead of dropping near-duplicates, every member of a near-dup
+    cluster gets sampling weight 1/|cluster| (SoftDeDup-style
+    frequency reweighting): the cluster's total mass in the training
+    mixture equals one document's, so common text is down-weighted
+    smoothly rather than deleted — the option that preserves rare
+    in-cluster variation hard dedup throws away. Documents in no pair
+    keep weight 1.0.
+
+    One components run over the pair graph (O(log² n) alternating-star
+    rounds), a |components|-row size aggregate, and a left join back —
+    the corpus body shuffles once on the id."""
+    comp = connected_components(pairs, src, dst)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("_s")
+    )
+    labeled = comp.join(sizes, "component").select(
+        F.col("node").alias(id_col), "component", "_s"
+    )
+    return (
+        docs.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).cast("bigint").alias(
+                "component"
+            ),
+            F.coalesce("_s", F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            F.round(
+                F.lit(1.0) / F.coalesce("_s", F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+        )
+    )

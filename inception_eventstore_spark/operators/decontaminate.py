@@ -148,3 +148,45 @@ def decontaminate(
         docs, benchmark, n=n, id_col=id_col, text_col=text_col
     )
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def contamination_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, n_contaminated, overlap_frac): GRADED
+    contamination — the fraction of each document's distinct word
+    n-grams that appear in the benchmark, not just the binary flag.
+    A doc quoting one benchmark sentence scores ~0.02; a wholesale
+    copy scores ~1.0 — the number a curation pipeline thresholds when
+    binary decontamination would over-delete (the standard practice
+    behind published "13-gram overlap > X%" contamination reports).
+
+    Same dataflow as `contaminated_ids`: the benchmark gram set is
+    broadcast, the corpus makes one map-side pass + one partial-
+    aggregated fold to a row per doc — no corpus shuffle on gram
+    strings (8-byte hashes only). Docs shorter than ``n`` tokens have
+    no full n-gram and are absent, matching `ngram_hashes`."""
+    grams = ngram_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+    bench = benchmark_gram_set(benchmark, n=n, text_col=text_col)
+    hit = F.broadcast(bench.withColumn("_hit", F.lit(1)))
+    return (
+        grams.join(hit, "gram_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"),
+                6,
+            ),
+        )
+    )

@@ -6649,3 +6649,113 @@ _R5C_QUERIES = {
     "semdedup": QueryDef(q_semdedup, _semdedup_oracle()),
 }
 QUERIES = {**_R5C_QUERIES, **QUERIES}
+
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft deduplication (components.soft_dedup_weights): every
+    member of an exact-Jaccard near-dup cluster weighted 1/|cluster|
+    so common text is down-weighted smoothly instead of deleted;
+    untouched docs keep weight 1.0. The oracle closes the same pair
+    graph with a recursive CTE and re-derives every size and weight."""
+    from inception_eventstore_spark.operators.components import (
+        soft_dedup_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return soft_dedup_weights(d, pairs).orderBy("doc_id")
+
+
+def _soft_dedup_oracle() -> str:
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i, least(i+2, len(tk))), ' ')
+                   for i in generate_series(1, greatest(len(tk)-2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) >= 0.8),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pr
+  UNION SELECT id_b AS u, id_a AS v FROM pr),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u WHERE n.v <> r.u),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component
+  FROM reach GROUP BY u),
+sz AS (SELECT component, count(*) AS s FROM comp GROUP BY component)
+SELECT d.doc_id,
+  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+  CAST(coalesce(sz.s, 1) AS BIGINT) AS cluster_size,
+  round(1.0 / coalesce(sz.s, 1), 6) AS weight
+FROM documents d
+LEFT JOIN comp c USING (doc_id)
+LEFT JOIN sz ON c.component = sz.component
+ORDER BY d.doc_id
+"""
+
+
+def q_contamination_fraction(spark, sf_dir):
+    """Graded benchmark contamination (decontaminate.
+    contamination_fraction): per corpus doc, the FRACTION of its
+    distinct word 5-grams found in the benchmark set — the number
+    behind published "n-gram overlap > X%" reports, where the binary
+    flag would over-delete. Same planted-paraphrase construction as
+    `decontaminate` so partial overlap genuinely occurs."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators import decontaminate as DC
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    d = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 53 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zzz"),
+            F.concat_ws(" ", F.slice(tokens("text"), 3, 7)),
+            F.lit("qqq"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return DC.contamination_fraction(corpus, bench, n=5).orderBy("doc_id")
+
+
+_CONTAMINATION_FRACTION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+corpus AS (SELECT doc_id, tk FROM toks
+  UNION ALL SELECT doc_id + 10000000000,
+    list_concat(list_concat(['zzz'], tk[3:9]), ['qqq']) FROM toks
+  WHERE doc_id % 53 = 0),
+grams AS (SELECT doc_id, gram FROM (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(tk) - 5 + 2),
+    i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+  FROM corpus WHERE len(tk) >= 5)),
+bench AS (SELECT DISTINCT gram FROM grams
+  WHERE doc_id % 53 = 0 AND doc_id < 10000000000)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        / count(*), 6) AS overlap_frac
+FROM grams g LEFT JOIN bench b USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+_R5D_QUERIES = {
+    "soft_dedup_weights": QueryDef(q_soft_dedup_weights, _soft_dedup_oracle()),
+    "contamination_fraction": QueryDef(
+        q_contamination_fraction, _CONTAMINATION_FRACTION_ORACLE
+    ),
+}
+QUERIES = {**_R5D_QUERIES, **QUERIES}

@@ -91,3 +91,33 @@ class TestDedupByComponents:
         )
         # clusters {1,2,5} -> keep 1, {6,7} -> keep 6; 0,3,4 untouched
         assert kept == [0, 1, 3, 4, 6]
+
+
+class TestSoftDedupWeights:
+    def test_cluster_mass_sums_to_one_doc(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.components import (
+            soft_dedup_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(7)], ["doc_id"]
+        )
+        # clusters: {0,1,2} (chained), {3,4}; 5 and 6 untouched
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+        )
+        rows = {r["doc_id"]: r for r in soft_dedup_weights(
+            docs, pairs).collect()}
+        assert len(rows) == 7
+        assert [rows[i]["component"] for i in range(5)] == [0, 0, 0, 3, 3]
+        assert [rows[i]["cluster_size"] for i in range(7)] == [
+            3, 3, 3, 2, 2, 1, 1
+        ]
+        assert rows[0]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[3]["weight"] == 0.5
+        assert rows[5]["weight"] == 1.0
+        # each cluster's total mass equals exactly one document
+        total = sum(r["weight"] for r in rows.values())
+        assert total == pytest.approx(4.0, abs=1e-5)  # 2 clusters + 2 singles

@@ -126,3 +126,35 @@ class TestMergeChangelog:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestContaminationFraction:
+    def test_graded_overlap(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.decontaminate import (
+            contamination_fraction,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "a b c d e f g h")], ["doc_id", "text"]
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e x y z w q"),   # shares gram 'a b c d e' only
+                (1, "a b c d e f g h"),        # full copy
+                (2, "p q r s t u v w"),        # disjoint
+                (3, "a b c"),                  # < n tokens -> absent
+            ],
+            ["doc_id", "text"],
+        )
+        import pytest
+
+        rows = {r["doc_id"]: r for r in contamination_fraction(
+            docs, bench, n=5).collect()}
+        assert set(rows) == {0, 1, 2}
+        # doc 0: 6 distinct 5-grams, 1 contaminated
+        assert rows[0]["n_grams"] == 6 and rows[0]["n_contaminated"] == 1
+        assert rows[0]["overlap_frac"] == pytest.approx(1 / 6, abs=1e-6)
+        assert rows[1]["overlap_frac"] == 1.0
+        assert rows[2]["overlap_frac"] == 0.0

@@ -171,6 +171,18 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "soft_dedup_weights": [
+        ("size table joins back without reshuffling the corpus body "
+         "more than once", r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "contamination_fraction": [
+        ("benchmark gram set joins broadcast — the corpus never "
+         "shuffles to meet it", r"BroadcastHashJoin"),
+        ("per-doc fold partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "semdedup": [
         ("pair comparison is a cluster-key equi-join, never a corpus "
          "cross join on the pair side",
