@@ -181,7 +181,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # local-mode default driver heap is 1g for the WHOLE JVM (driver +
+    # all 32 executor threads) — the wide-row joins (semdedup pair
+    # verify, CC rounds) need real executor memory, same setting the
+    # scale smokes use
+    spark = get_spark(
+        "bench", extra_configs={"spark.driver.memory": "16g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 

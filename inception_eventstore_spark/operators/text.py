@@ -402,18 +402,32 @@ def winnow_matches(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared): ordered document pairs sharing >=
     ``min_shared`` winnowing fingerprints — the MOSS match report.
     Inverted-index join on the fingerprint value (never an all-pairs
     document join): pairs form only where a fingerprint collides, so
-    cost tracks actual overlap. A fingerprint shared by many documents
-    contributes |docs|² pairs — the honest cost of genuinely common
-    text; upstream boilerplate removal is the mitigation, exactly as
-    in MOSS deployments."""
+    cost tracks actual overlap.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE the pair join — MOSS's own common-code rule
+    (boilerplate shared by everyone signals nothing and contributes
+    cnt² pairs each); with it the join fan-out is bounded by
+    Σ min(df, max_df)² instead of Σ df², the difference between a
+    corpus-quadratic and an overlap-linear report on boilerplate-heavy
+    corpora."""
     fp = winnow_fingerprints(docs, k, w, id_col, text_col).select(
         F.col(id_col).alias("_id"), "fp"
     ).distinct()
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_df))
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp", "left_semi")
     a = fp.select(F.col("_id").alias("id_a"), "fp")
     b = fp.select(F.col("_id").alias("id_b"), "fp")
     return (

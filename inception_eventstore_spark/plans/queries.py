@@ -6534,19 +6534,21 @@ ORDER BY doc_id, pos
 
 def q_winnow_matches(spark, sf_dir):
     """MOSS match report (text.winnow_matches): ordered document pairs
-    sharing >= 40 winnowing fingerprints via the inverted-index join —
-    localized-overlap detection, never an all-pairs document join.
-    The fixture corpus has a ~31-word vocabulary, so low thresholds
-    match nearly every pair; 40 shared fingerprints isolates the
-    genuinely heavy-overlap pairs (32 at sf0.01) the way a real MOSS
-    report would."""
+    sharing >= 5 winnowing fingerprints via the inverted-index join,
+    with MOSS's common-code rule applied (max_df=20: fingerprints in
+    more than 20 documents are ignored — they signal boilerplate and
+    cost df² pairs each). The fixture corpus has a ~31-word
+    vocabulary, so without both dials nearly every pair matches; with
+    them the report isolates genuinely heavy localized overlap and the
+    join fan-out is bounded by #fingerprints * max_df² regardless of
+    corpus size."""
     from inception_eventstore_spark.functions.spread import spread
     from inception_eventstore_spark.operators.text import winnow_matches
 
     d = spread(_t(spark, sf_dir, "documents"))
-    return winnow_matches(d, k=5, w=4, min_shared=40).orderBy(
-        "id_a", "id_b"
-    )
+    return winnow_matches(
+        d, k=5, w=4, min_shared=5, max_df=20
+    ).orderBy("id_a", "id_b")
 
 
 _WINNOW_MATCHES_ORACLE = """
@@ -6563,13 +6565,15 @@ p AS (SELECT doc_id, gpos,
     ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
   count(*) OVER (PARTITION BY doc_id) AS ng
   FROM g),
-fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
-  FROM p WHERE gpos >= 4 OR (ng < 4 AND gpos = ng))
+fp0 AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+  FROM p WHERE gpos >= 4 OR (ng < 4 AND gpos = ng)),
+dfc AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 20),
+fp AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN dfc USING (fp))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(count(*) AS BIGINT) AS n_shared
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-HAVING count(*) >= 40
+HAVING count(*) >= 5
 ORDER BY id_a, id_b
 """
 
@@ -6588,8 +6592,12 @@ def q_semdedup(spark, sf_dir):
     cluster-bucketed semantic near-dup flags over the corpus plus 50
     planted perturbed copies (the fixture embeddings have no natural
     near-dups — max pairwise cosine ~0.45), centroids pinned to the
-    vectors of vec_id 0..3 so assignment, the keep-the-outlier rule
-    and the drop set all replay exactly in SQL."""
+    vectors of vec_id 0..15 so assignment, the keep-the-outlier rule
+    and the drop set all replay exactly in SQL. 16 cells, not 4:
+    within-cell comparison is quadratic and the cluster count is
+    SemDeDup's scaling dial — 4 cells at sf0.1 meant ~1.6M wide pair
+    rows per cell and blew the 1g bench heap; 16 keeps cells
+    ~|corpus|/16."""
     from inception_eventstore_spark.operators import clustering as CL
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -6600,7 +6608,7 @@ def q_semdedup(spark, sf_dir):
         ).alias("embedding"),
     )
     both = emb.unionByName(planted)
-    cent = emb.where(F.col("vec_id").isin(0, 1, 2, 3)).select(
+    cent = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     return CL.semantic_dedup_flags(both, cent, threshold=0.99).orderBy(
@@ -6627,7 +6635,7 @@ allv AS (SELECT vec_id,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM uni),
 c AS (SELECT vec_id AS cid,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+  FROM embeddings WHERE vec_id < 16),
 d AS (SELECT allv.vec_id, c.cid, {d2} AS d2 FROM allv CROSS JOIN c),
 a AS (SELECT vec_id, cid AS cluster FROM (
   SELECT vec_id, cid, row_number() OVER (
