@@ -29,6 +29,9 @@ This module supplies the Spark-first pieces:
 from __future__ import annotations
 
 import numpy as np
+# module-scope pandas: pandas_udf resolves stringized type hints
+# ('pd.Series' under future-annotations) via module globals
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -250,34 +253,56 @@ def semantic_dedup_flags(
     Scale: the within-cluster comparison is all-pairs BY DESIGN — the
     cluster count is the dial that keeps cells small (SemDeDup uses
     50k clusters for LAION); cost is Σ|cell|², never corpus². One
-    shuffle on the cluster key; pair cosines run in the Arrow kernel;
-    the keep-rule ranks on the 6-dp-rounded centroid cosine, so the
-    drop set is engine-portable wherever pair cosines sit away from
-    the threshold boundary."""
+    shuffle on the cluster key; assignment + centroid cosine run in
+    ONE Arrow kernel per batch (a k-cell fold expression re-evaluates
+    k·dim interpreted lambdas per row — at 16 cells that dominated the
+    whole operator), pair cosines in another; the keep-rule ranks on
+    the 6-dp-rounded centroid cosine, so the drop set is
+    engine-portable wherever pair cosines and assignment margins sit
+    away from their boundaries (same expansion-vs-fold ulp contract as
+    `assign_clusters` vs `assign_clusters_exact`, pinned in pytest).
+    Centroids are collected driver-side — they are bounded driver
+    state by construction, exactly as in `build_ivf_index`."""
+    from inception_eventstore_spark.functions.spread import spread
     from inception_eventstore_spark.operators.similarity import (
         _cosine_pair_udf,
-        cosine_similarity,
     )
 
-    a = assign_clusters_exact(
-        embeddings, centroid_df, id_col, vec_col, cid_col, cvec_col
+    crows = centroid_df.select(cid_col, cvec_col).orderBy(cid_col).collect()
+    if not crows:
+        raise ValueError("centroid_df is empty")
+    cids = [int(r[0]) for r in crows]
+    C = np.asarray(
+        [[float(x) for x in r[1]] for r in crows], dtype=np.float64
     )
+    Cn = (C**2).sum(axis=1)
+    Cnorm = np.sqrt(Cn)
+
+    @F.pandas_udf("ci int, cc double")
+    def assign_cc(v: pd.Series) -> pd.DataFrame:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        D = (M**2).sum(1)[:, None] - 2.0 * (M @ C.T) + Cn[None, :]
+        ci = D.argmin(axis=1)  # first min = lowest cid (sorted above)
+        dots = (M * C[ci]).sum(axis=1)
+        cc = dots / (np.linalg.norm(M, axis=1) * Cnorm[ci])
+        return pd.DataFrame(
+            {"ci": ci.astype("int32"), "cc": np.round(cc, 6)}
+        )
+
+    cid_arr = F.array(*[F.lit(c).cast("long") for c in cids])
     m = (
-        embeddings.select(F.col(id_col), F.col(vec_col).alias("_v"))
-        .join(a.select(id_col, "cluster"), id_col)
-        .join(
-            F.broadcast(
-                centroid_df.select(
-                    F.col(cid_col).alias("cluster"),
-                    F.col(cvec_col).alias("_cv"),
-                )
-            ),
-            "cluster",
+        spread(embeddings)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            assign_cc(F.col(vec_col)).alias("_s"),
         )
-        .withColumn(
-            "_cc", F.round(cosine_similarity(F.col("_v"), F.col("_cv")), 6)
+        .select(
+            id_col,
+            "_v",
+            F.element_at(cid_arr, F.col("_s.ci") + 1).alias("cluster"),
+            F.col("_s.cc").alias("_cc"),
         )
-        .drop("_cv")
     )
     # m feeds BOTH pair sides and the final flag join — materialize the
     # assignment + centroid-cosine pass once (lazy local checkpoint,
