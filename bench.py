@@ -175,6 +175,7 @@ HEADLINE = [
     "semdedup",
     "soft_dedup_weights",
     "contamination_fraction",
+    "token_allocation",
 ]
 
 

@@ -584,3 +584,58 @@ def quality_domain_weights(
         )
         .orderBy(domain_col)
     )
+
+
+def token_budget_allocation(
+    docs: DataFrame,
+    weights: DataFrame,
+    budget: int,
+    domain_col: str = "lang",
+    tok_col: str = "n_tok",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(domain, n_docs, tot_tok, target_tok, alloc_tok, sample_rate):
+    turn a domain mixture (any (domain, weight) table — DoReMi output,
+    temperature weights, hand-set) plus a TOKEN budget into the
+    concrete per-domain sampling plan a corpus job executes:
+
+        target_tok = floor(weight * budget)
+        alloc_tok  = min(tot_tok, target_tok)   -- integer-exact
+        sample_rate = min(1, target_tok / tot_tok), 6 dp
+
+    ``alloc_tok < target_tok`` exposes UNDERSUPPLIED domains (the
+    mixture wants more of them than the corpus has) — the report a
+    pipeline inspects before re-normalizing or relaxing weights;
+    the min keeps every number an exact integer on any engine
+    (no floor-of-double-product boundary to disagree about, repo
+    rounding invariant). Two |domains|-row aggregates + one broadcast
+    join; the corpus shuffles once on the domain key."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    per = docs.groupBy(domain_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col(tok_col).cast("long")).alias("tot_tok"),
+    )
+    w = weights.select(domain_col, F.col(weight_col).alias("_w"))
+    target = F.floor(F.col("_w") * F.lit(float(budget))).cast("bigint")
+    return (
+        per.join(F.broadcast(w), domain_col)
+        .withColumn("target_tok", target)
+        .select(
+            domain_col,
+            "n_docs",
+            F.col("tot_tok").cast("bigint").alias("tot_tok"),
+            "target_tok",
+            F.least("tot_tok", "target_tok").cast("bigint").alias(
+                "alloc_tok"
+            ),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_tok").cast("double") / F.col("tot_tok"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy(domain_col)
+    )

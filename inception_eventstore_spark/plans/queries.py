@@ -6767,3 +6767,56 @@ _R5D_QUERIES = {
     ),
 }
 QUERIES = {**_R5D_QUERIES, **QUERIES}
+
+
+def q_token_allocation(spark, sf_dir):
+    """Mixture → sampling plan (sampling.token_budget_allocation): the
+    DoReMi-style domain weights from `domain_reweight` turned into
+    per-language token targets, integer-exact allocations, and 6-dp
+    sample rates against a 100k-token budget — the step that makes a
+    mixture executable. Undersupplied domains surface as
+    alloc_tok < target_tok."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.lm import bigram_lm_score
+    from inception_eventstore_spark.operators.sampling import (
+        quality_domain_weights,
+        token_budget_allocation,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    w = quality_domain_weights(d, bigram_lm_score(d), eta=0.5)
+    toks = d.select(
+        "doc_id", "lang", TX.token_count("text").cast("long").alias("n_tok")
+    )
+    return token_budget_allocation(toks, w, budget=100_000)
+
+
+_TOKEN_ALLOCATION_ORACLE = f"""
+WITH {_DUCK_LM_SCORE_CTES},
+j AS (SELECT d.lang, sc.lm_score FROM documents d JOIN sc USING (doc_id)),
+per0 AS (SELECT lang, count(*) AS n_docs, avg(lm_score) AS mq
+  FROM j GROUP BY lang),
+tot AS (SELECT count(*) AS n, avg(lm_score) AS gq FROM j),
+raw AS (SELECT lang, n_docs, mq,
+    (n_docs * 1.0 / tot.n) * exp(0.5 * (mq - tot.gq)) AS w
+  FROM per0 CROSS JOIN tot),
+z AS (SELECT sum(w) AS z FROM raw),
+wt AS (SELECT lang, round(w / z.z, 6) AS weight FROM raw CROSS JOIN z),
+corp AS (SELECT lang, count(*) AS n_docs,
+    sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) AS tot_tok
+  FROM documents GROUP BY lang)
+SELECT corp.lang, CAST(corp.n_docs AS BIGINT) AS n_docs,
+  CAST(corp.tot_tok AS BIGINT) AS tot_tok,
+  CAST(floor(wt.weight * 100000.0) AS BIGINT) AS target_tok,
+  CAST(least(corp.tot_tok, CAST(floor(wt.weight * 100000.0) AS BIGINT))
+       AS BIGINT) AS alloc_tok,
+  round(least(1.0, CAST(floor(wt.weight * 100000.0) AS BIGINT) * 1.0
+              / corp.tot_tok), 6) AS sample_rate
+FROM corp JOIN wt USING (lang) ORDER BY corp.lang
+"""
+
+
+_R5E_QUERIES = {
+    "token_allocation": QueryDef(q_token_allocation, _TOKEN_ALLOCATION_ORACLE),
+}
+QUERIES = {**_R5E_QUERIES, **QUERIES}

@@ -362,3 +362,41 @@ class TestQualityDomainWeights:
             docs, scores).collect()}
         assert set(rows) == {"en"}  # de has no scored docs
         assert rows["en"]["weight"] == pytest.approx(1.0)
+
+
+class TestTokenBudgetAllocation:
+    def test_allocation_arithmetic(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            token_budget_allocation,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "en", 100), (1, "en", 200), (2, "de", 50)],
+            "doc_id long, lang string, n_tok long",
+        )
+        weights = spark.createDataFrame(
+            [("en", 0.25), ("de", 0.75)], "lang string, weight double"
+        )
+        rows = {r["lang"]: r for r in token_budget_allocation(
+            docs, weights, budget=100).collect()}
+        # en: tot 300, target floor(0.25*100)=25 -> alloc 25, rate 25/300
+        assert rows["en"]["tot_tok"] == 300
+        assert rows["en"]["target_tok"] == 25
+        assert rows["en"]["alloc_tok"] == 25
+        assert rows["en"]["sample_rate"] == pytest.approx(25 / 300, abs=1e-6)
+        # de: tot 50, target 75 -> UNDERSUPPLIED, alloc caps at 50, rate 1
+        assert rows["de"]["target_tok"] == 75
+        assert rows["de"]["alloc_tok"] == 50
+        assert rows["de"]["sample_rate"] == 1.0
+
+    def test_rejects_negative_budget(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            token_budget_allocation,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "en", 1)], "doc_id long, lang string, n_tok long"
+        )
+        w = spark.createDataFrame([("en", 1.0)], "lang string, weight double")
+        with pytest.raises(ValueError):
+            token_budget_allocation(docs, w, budget=-1)

@@ -171,6 +171,12 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "token_allocation": [
+        ("weight table joins broadcast", r"BroadcastHashJoin"),
+        ("domain aggregates partial-first",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "soft_dedup_weights": [
         ("size table joins back without reshuffling the corpus body "
          "more than once", r"HashAggregate.*partial|partial_count"),
