@@ -270,6 +270,43 @@ def main() -> int:
     run("canonical_doc_urls", lambda: canonical_doc_urls(corpus))
     run("string_indexer", lambda: string_indexer(corpus))
 
+    # r5 wave: winnowing fingerprints + MOSS matches (max_df bounds the
+    # pair fan-out at 100k docs), CCNet perplexity buckets, soft dedup
+    # weights over the minhash pair graph, graded contamination
+    from inception_eventstore_spark.operators.components import (
+        soft_dedup_weights,
+    )
+    from inception_eventstore_spark.operators.curation import ppl_buckets
+    from inception_eventstore_spark.operators.decontaminate import (
+        contamination_fraction,
+    )
+    from inception_eventstore_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    run("winnow_fingerprints", lambda: winnow_fingerprints(corpus))
+    # max_df=30: the 20-copy replication gives every cross-copy-shared
+    # fingerprint df ~21, so a tighter cap (correctly) drops them all;
+    # 30 keeps them and the planted twins surface as matches
+    run(
+        "winnow_matches_maxdf30",
+        lambda: winnow_matches(corpus, min_shared=5, max_df=30),
+    )
+    run("ppl_buckets", lambda: ppl_buckets(corpus.withColumn(
+        "lang", (F.col("doc_id") % 5).cast("string"))))
+    run(
+        "soft_dedup_weights",
+        lambda: soft_dedup_weights(
+            corpus, D.minhash_lsh_pairs(corpus, threshold=0.8)
+        ),
+    )
+    bench_docs = corpus.where(F.col("doc_id") % 101 == 0)
+    run(
+        "contamination_fraction",
+        lambda: contamination_fraction(corpus, bench_docs, n=5),
+    )
+
     corpus.unpersist()
     print(json.dumps({
         "sf_dir": sf_dir,
