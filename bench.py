@@ -176,6 +176,7 @@ HEADLINE = [
     "soft_dedup_weights",
     "contamination_fraction",
     "token_allocation",
+    "quality_correlations",
 ]
 
 

@@ -397,3 +397,47 @@ def ppl_buckets(
         )
         .drop("_rn", "_n")
     )
+
+
+def quality_signal_correlations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(signal_a, signal_b, corr, n): Pearson correlation between the
+    curation signals (word_count, mean_word_len, LM fluency) over the
+    corpus — the diagnostic that tells a pipeline which quality
+    filters are REDUNDANT (highly correlated signals gate the same
+    documents twice) before it spends a full pass applying all of
+    them. Docs without an LM score (< 2 tokens) are excluded so every
+    pair is computed over the same row set.
+
+    One metrics projection + one LM pass + a single partial-aggregated
+    correlation fold — no shuffle of the corpus body beyond the LM
+    count tables."""
+    from inception_eventstore_spark.operators.lm import bigram_lm_score
+
+    feats = curation_features(
+        docs.select(id_col, text_col), text_col
+    ).select(id_col, "word_count", "mean_word_len")
+    sc = bigram_lm_score(docs, id_col=id_col, text_col=text_col)
+    j = feats.join(sc.select(id_col, "lm_score"), id_col)
+    pairs = [
+        ("word_count", "mean_word_len"),
+        ("word_count", "lm_score"),
+        ("mean_word_len", "lm_score"),
+    ]
+    aggs = [F.count("*").alias("_n")]
+    for a, b in pairs:
+        aggs.append(F.corr(F.col(a).cast("double"), F.col(b)).alias(f"_c_{a}_{b}"))
+    row = j.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        part = row.select(
+            F.lit(a).alias("signal_a"),
+            F.lit(b).alias("signal_b"),
+            F.round(F.col(f"_c_{a}_{b}"), 6).alias("corr"),
+            F.col("_n").cast("bigint").alias("n"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -6820,3 +6820,57 @@ _R5E_QUERIES = {
     "token_allocation": QueryDef(q_token_allocation, _TOKEN_ALLOCATION_ORACLE),
 }
 QUERIES = {**_R5E_QUERIES, **QUERIES}
+
+
+def q_quality_correlations(spark, sf_dir):
+    """Curation-signal redundancy diagnostic
+    (curation.quality_signal_correlations): Pearson correlations
+    between word_count, mean_word_len and the bigram-LM fluency score
+    — highly-correlated signals gate the same documents twice. The
+    oracle recomputes each correlation with DuckDB's corr() over the
+    identical joined row set; both engines' one-pass co-moment
+    estimators agree far inside the 6-dp rounding."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.curation import (
+        quality_signal_correlations,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return quality_signal_correlations(d).orderBy("signal_a", "signal_b")
+
+
+_QUALITY_CORR_ORACLE = f"""
+WITH {_DUCK_LM_SCORE_CTES},
+t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+f AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS word_count,
+  -- round to 6 dp exactly like curation_features' mean_word_len:
+  -- the corr INPUTS must be the identical doubles, not just close
+  round(CASE WHEN len(tk) > 0 THEN
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(tk, x -> CAST(len(x) AS BIGINT))),
+      (acc, x) -> acc + x) * 1.0 / len(tk)
+  ELSE 0.0 END, 6) AS mean_word_len
+  FROM t),
+j AS (SELECT f.word_count, f.mean_word_len, sc.lm_score
+  FROM f JOIN sc USING (doc_id)),
+c AS (SELECT count(*) AS n,
+  corr(word_count, mean_word_len) AS c1,
+  corr(word_count, lm_score) AS c2,
+  corr(mean_word_len, lm_score) AS c3
+  FROM j)
+SELECT 'word_count' AS signal_a, 'mean_word_len' AS signal_b,
+  round(c1, 6) AS corr, CAST(n AS BIGINT) AS n FROM c
+UNION ALL
+SELECT 'word_count', 'lm_score', round(c2, 6), CAST(n AS BIGINT) FROM c
+UNION ALL
+SELECT 'mean_word_len', 'lm_score', round(c3, 6), CAST(n AS BIGINT) FROM c
+ORDER BY signal_a, signal_b
+"""
+
+
+_R5F_QUERIES = {
+    "quality_correlations": QueryDef(
+        q_quality_correlations, _QUALITY_CORR_ORACLE
+    ),
+}
+QUERIES = {**_R5F_QUERIES, **QUERIES}

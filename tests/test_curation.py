@@ -280,3 +280,24 @@ class TestPplBuckets:
         a = sorted(map(tuple, C.ppl_buckets(docs).collect()))
         b = sorted(map(tuple, C.ppl_buckets(docs).collect()))
         assert a == b
+
+
+class TestQualityCorrelations:
+    def test_known_correlation_signs(self, spark):
+        # construct docs where word_count and mean_word_len are
+        # perfectly anti-correlated by design
+        rows = [
+            (0, "a a a a a a a a"),            # many short words
+            (1, "bb bb bb bb"),
+            (2, "cccc cccc"),
+            (3, "dddddddd"),                   # one long word
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {(r["signal_a"], r["signal_b"]): r
+               for r in C.quality_signal_correlations(docs).collect()}
+        key = ("word_count", "mean_word_len")
+        assert key in out
+        # doc 3 has <2 tokens -> no bigram -> excluded; n = 3
+        assert out[key]["n"] == 3
+        assert out[key]["corr"] < 0  # more words <=> shorter words here
+        assert len(out) == 3

@@ -171,6 +171,11 @@ CHECKS = {
          "never a full sort", r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "quality_correlations": [
+        ("one partial-aggregated correlation fold",
+         r"HashAggregate.*partial|partial_corr|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "token_allocation": [
         ("weight table joins broadcast", r"BroadcastHashJoin"),
         ("domain aggregates partial-first",
