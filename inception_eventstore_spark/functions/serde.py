@@ -27,11 +27,23 @@ def arrow_scalar_udf(fn: Callable, ret_type: str = "string") -> Callable:
     Arrow-batched pandas UDF. The callable still runs per element
     inside the batch (it is arbitrary user code), but rows reach the
     python worker as Arrow columns instead of pickled singletons, and
-    nulls short-circuit without calling ``fn``."""
+    nulls short-circuit without calling ``fn``.
+
+    Value-type contract: BinaryType columns reach ``fn`` as immutable
+    ``bytes`` (Arrow's decoding), NOT the ``bytearray`` the legacy
+    row-at-a-time ``F.udf`` path passed — the normalization below
+    makes that explicit so callables that ``isinstance(v, bytes)``
+    or hash the payload behave identically on both engines' defaults;
+    callables that MUTATED the buffer in place must copy first (they
+    were relying on pickle giving them a private bytearray)."""
 
     @F.pandas_udf(ret_type)
     def _batched(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: None if v is None else fn(v))
+        return s.map(
+            lambda v: None
+            if v is None
+            else fn(bytes(v) if isinstance(v, (bytearray, memoryview)) else v)
+        )
 
     return _batched
 

@@ -347,7 +347,10 @@ def ngram_uniqueness(
     )
     # one row per doc — cheap to checkpoint eagerly, and releasing the
     # persisted explode here keeps repeated calls from accumulating
-    # executor storage in a long-lived session
+    # executor storage in a long-lived session. SIDE EFFECT: the
+    # operator executes at call time (eager=False would unpersist the
+    # explode before it is ever reused); compose further filters on
+    # the per-doc RESULT, not into this plan
     out = out.localCheckpoint(eager=True)
     ex.unpersist()
     return out
@@ -375,27 +378,39 @@ def ppl_buckets(
     deterministic. Documents with no bigrams (< 2 tokens) are
     unscoreable and absent, as in CCNet.
 
-    Scale: one LM-count pass + one window per language partition —
-    no global sort, no driver state.
+    Scale: one LM-count pass + a TWO-PHASE shard rank per language
+    (`functions/ranking.grouped_row_number`) — a plain
+    ``Window.partitionBy(lang)`` would funnel each language through a
+    single task, and on exactly the corpus shape this operator exists
+    to stratify (web-scale, English ≈ half the data) that is ~50 TB
+    through one executor thread. Range shards bound every task at
+    ~|data|/shards regardless of language skew; ranks (and therefore
+    buckets) are identical to the single-window form, which the
+    unchanged oracle hash-match certifies.
     """
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
     from inception_eventstore_spark.operators.lm import bigram_lm_score
 
     sc = bigram_lm_score(docs, id_col=id_col, text_col=text_col)
     joined = docs.select(id_col, lang_col).join(sc, id_col)
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("lm_score").desc(), F.col(id_col)
+    ranked = grouped_row_number(
+        joined,
+        order_cols=[F.col("lm_score").desc(), F.col(id_col)],
+        group_cols=[lang_col],
+        rank_col="_rn",
+        with_group_count="_n",
     )
-    nw = Window.partitionBy(lang_col)
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count("*").over(nw))
-        .withColumn(
-            "bucket",
-            F.when(3 * F.col("_rn") <= F.col("_n"), F.lit("head"))
-            .when(3 * F.col("_rn") <= 2 * F.col("_n"), F.lit("middle"))
-            .otherwise(F.lit("tail")),
-        )
-        .drop("_rn", "_n")
+    return ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_bigrams"),
+        F.col("lm_score"),
+        F.when(3 * F.col("_rn") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("_rn") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

@@ -665,7 +665,13 @@ def containment_pairs(
     # sever the lineage before releasing the two persisted inputs —
     # without this, every call in a long-lived session leaks executor
     # storage (same persist/unpersist discipline as graph.pagerank);
-    # the survivors table is tiny, so the eager checkpoint is cheap
+    # the survivors table is tiny, so the eager checkpoint is cheap.
+    # SIDE EFFECT (documented contract): the whole operator EXECUTES at
+    # call time — eager=False would let the unpersist land before the
+    # first action and the recompute would then rebuild `sets` three
+    # times uncached, which is strictly worse. Callers composing
+    # further filters should filter the RESULT (it is pair-sized, not
+    # corpus-sized), not expect pushdown into this plan.
     out = out.localCheckpoint(eager=True)
     ex.unpersist()
     sets.unpersist()

@@ -249,6 +249,13 @@ def epoch_shuffle_rank(
         )
     )
     keyed = df.withColumn("_k", k)
+    # pin the lineage before the multi-job rank: the count, the shard
+    # offsets and the final ranked plan must all see the SAME rows —
+    # if df's lineage were non-deterministic (sample(), shuffle
+    # repartition) the offsets of job 2 could disagree with the rows
+    # ranked in job 3, yielding duplicate/gapped ranks. eager=False:
+    # the count() below is the first action and materializes it once.
+    keyed = keyed.localCheckpoint(eager=False)
     n = keyed.count()
     n_shards = max(1, min(1 << 16, (n + shard_size - 1) // shard_size))
     width = (1 << 60) // n_shards + 1

@@ -296,13 +296,17 @@ def string_indexer(
     indexes the distinct TOKENS of a text column; False indexes the
     column's distinct raw values.
 
-    The ranking is one row_number window over the DISTINCT-value table
-    — |V| rows, orders of magnitude smaller than the corpus; at
-    vocabularies too large for one partition, the two-phase shard
-    rank `packing.token_offsets` uses applies verbatim. The id
-    assignment is fully deterministic, so re-runs (and other engines)
-    reproduce the identical map."""
-    from pyspark.sql import Window as _W
+    The ranking runs over the DISTINCT-value table — |V| rows, orders
+    of magnitude smaller than the corpus — via the two-phase shard
+    rank (`functions/ranking.grouped_row_number`), never a
+    ``partitionBy(lit(1))`` window: a single-partition window caps the
+    vocabulary at one task's memory, and web-scale corpora carry
+    billion-value vocabularies (URLs, user ids). The id assignment is
+    fully deterministic, so re-runs (and other engines) reproduce the
+    identical map."""
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
 
     if tokenize:
         vals = docs.select(F.explode(tokens(col)).alias("value"))
@@ -311,11 +315,15 @@ def string_indexer(
             F.col("value").isNotNull()
         )
     freq = vals.groupBy("value").agg(F.count("*").alias("freq"))
-    w = _W.partitionBy(F.lit(1)).orderBy(F.col("freq").desc(), "value")
-    return freq.select(
+    ranked = grouped_row_number(
+        freq,
+        order_cols=[F.col("freq").desc(), F.col("value")],
+        rank_col="_rn",
+    )
+    return ranked.select(
         "value",
         "freq",
-        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        (F.col("_rn") - 1).cast("bigint").alias("idx"),
     )
 
 
@@ -339,21 +347,43 @@ def winnow_fingerprints(
     All JVM expressions: normalization + k-gram hashing in one
     projection, selection as ONE running window per document —
     rightmost-min-of-window computed order-free by packing
-    (hash, position) into a single BIGINT key, hash * 2^20 + (2^20-1-pos)
-    (40-bit md5 prefix * 2^20 stays inside int64; min of the packed key
-    IS the lexicographic (min hash, max pos)). Docs shorter than one
-    full window keep the minimum of what they have — the standard
-    degenerate case. Positions are 1-based gram starts in the
+    (hash, position) into a single BIGINT key, hash * 2^23 + (2^23-1-pos)
+    (40-bit md5 prefix * 2^23 tops out at exactly 2^63-1; min of the
+    packed key IS the lexicographic (min hash, max pos)). The position
+    field caps a document at 2^23-1 (~8.4M) k-grams — ~8 MB of
+    normalized text; beyond that the offset term would borrow from the
+    hash bits and silently corrupt both fields, so the operator RAISES
+    on oversized documents (filter them upstream — a single 8 MB+
+    blob is extraction junk in any curation pipeline, and its per-doc
+    running window would be a straggler task anyway). Docs shorter
+    than one full window keep the minimum of what they have — the
+    standard degenerate case. Positions are 1-based gram starts in the
     normalized text; output is the DISTINCT selected set.
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     from pyspark.sql import Window as _W
 
-    m = 1 << 20
+    m = 1 << 23
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     staged = docs.select(F.col(id_col), norm.alias("_norm")).where(
         F.length("_norm") >= k
+    )
+    n_grams = F.length("_norm") - k + 1
+    staged = staged.withColumn(
+        "_norm",
+        F.when(n_grams <= m - 1, F.col("_norm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnow_fingerprints: document has more than "
+                        f"{m - 1} k-grams (position field is 23 bits); "
+                        "filter oversized documents first: "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        ),
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.length("_norm") - k + 1),
@@ -402,7 +432,7 @@ def winnow_matches(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None | str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, n_shared): ordered document pairs sharing >=
     ``min_shared`` winnowing fingerprints — the MOSS match report.
@@ -416,7 +446,14 @@ def winnow_matches(
     cnt² pairs each); with it the join fan-out is bounded by
     Σ min(df, max_df)² instead of Σ df², the difference between a
     corpus-quadratic and an overlap-linear report on boilerplate-heavy
-    corpora."""
+    corpora. The DEFAULT is ``"auto"`` = max(10, 0.1% of the corpus)
+    — the frequency dial must be ON unless the caller explicitly opts
+    out with ``None``, because an uncapped run degenerates quadratic
+    on exactly the boilerplate-heavy corpora the report targets (the
+    auto cap costs one count job over the id column)."""
+    if max_df == "auto":
+        n_docs = docs.select(id_col).count()
+        max_df = max(10, n_docs // 1000)
     fp = winnow_fingerprints(docs, k, w, id_col, text_col).select(
         F.col(id_col).alias("_id"), "fp"
     ).distinct()

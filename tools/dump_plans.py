@@ -213,11 +213,24 @@ CHECKS = {
          r"HashAggregate.*partial|partial_count"),
     ],
     "ppl_buckets": [
-        ("LM count tables join back without reshuffling the corpus "
-         "body per metric", r"HashAggregate.*partial|partial_count"),
-        ("rank window shuffles on the language key, not a global sort",
-         r"Exchange hashpartitioning\(lang"),
+        # the rank is the two-phase shard rank: the final plan reads
+        # the range-partitioned checkpoint and windows WITHIN each
+        # (shard, lang) — a plain per-language window would be a
+        # single task holding ~half a web corpus (English)
+        ("rank window is per (range-shard, language) — never a "
+         "per-language single task",
+         r"Exchange hashpartitioning\(_gr_pid"),
+        ("shard offsets join back broadcast", r"BroadcastHashJoin"),
+        ("no per-language (or global) single-task window",
+         "!Exchange SinglePartition"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "string_indexer": [
+        ("vocabulary rank is the two-phase shard rank — no "
+         "partitionBy(lit(1)) single-task window",
+         "!Exchange SinglePartition"),
+        ("within-shard window shuffles on the shard id",
+         r"Exchange hashpartitioning\(_gr_pid"),
     ],
     "domain_reweight": [
         ("per-domain stats aggregate partial-first",
@@ -734,6 +747,30 @@ EXTRA_CHECKS = [
 ]
 
 
+#: Queries allowed to window over a single partition, with the reason
+#: (must be a documented cardinality bound, never "it was fast at sf0.1").
+_SINGLE_TASK_WINDOW_ALLOWED: dict[str, str] = {}
+
+
+def window_over_single_partition(plan: str) -> bool:
+    """True if any Window node in the physical-plan tree sits on a
+    single-partition Exchange (directly or through Sort / AQE shuffle
+    stages) — the rank-skew bug class that hit epoch_shuffle (r4),
+    ppl_buckets and string_indexer (r5): the whole input of the window
+    funnels through ONE task. A global scalar aggregate over
+    SinglePartition is fine (tiny partials); a WINDOW over one is a
+    full-data straggler."""
+    lines = plan.split("\n")
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln):
+            for nxt in lines[i + 1:i + 6]:
+                if "Window" in nxt or "HashAggregate" in nxt:
+                    break
+                if "SinglePartition" in nxt:
+                    return True
+    return False
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from inception_eventstore_spark.plans.queries import spark_queries
@@ -754,6 +791,7 @@ def main() -> int:
         "",
     ]
     ok = True
+    skew_offenders = []
     targets = [(n, (lambda s, d, _n=n: qs[_n](s, d)), c) for n, c in CHECKS.items()]
     targets += EXTRA_CHECKS
     for name, build, checks in targets:
@@ -783,7 +821,28 @@ def main() -> int:
                 )
                 frag = frag_line[:240]
                 lines.append(f"  - `{frag}`")
+        if (
+            window_over_single_partition(plan)
+            and name not in _SINGLE_TASK_WINDOW_ALLOWED
+        ):
+            skew_offenders.append(name)
+            ok = False
+            lines.append(
+                "- **✗ SKEW LINT** Window over a single-partition "
+                "Exchange — full input through one task; use the "
+                "two-phase shard rank (functions/ranking.py)"
+            )
         lines.append("")
+
+    lines.append("## Global skew lint")
+    lines.append("")
+    lines.append(
+        "Every probed plan is checked for a Window fed by an "
+        "`Exchange SinglePartition` — the single-task rank bug class "
+        "(epoch_shuffle r4, ppl_buckets/string_indexer r5). "
+        f"Offenders: {skew_offenders or 'none'}."
+    )
+    lines.append("")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "PLANS.md")
