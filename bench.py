@@ -199,11 +199,11 @@ def main() -> None:
     # ANN indexes are ingest-time state: build them once here (reported
     # separately under "ann_build_sec") so the headline rows for
     # sim_topk_ivf/ivfpq measure the probe — a partition-pruned scan —
-    # not k-means training + full encode + index write. sim_topk_ivf
-    # probes the pinned-quantizer index (oracle-able); ivfpq still
-    # trains its own k-means cells.
+    # not quantizer training + full encode + index write. Both probes
+    # use the pinned-quantizer variants (value-oracle-able); k-means-
+    # trained builds stay covered by tests/test_pq.py.
     ann_build = prebuild_ann_indexes(
-        spark, sf_dir, kinds=("ivf_pinned", "ivfpq")
+        spark, sf_dir, kinds=("ivf_pinned", "ivfpq_pinned")
     )
     ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
 

@@ -144,23 +144,38 @@ class IvfPqVectorIndex:
         seed: int = 7,
         max_iter: int = 10,
         train_sample: int = 65_536,
+        centroids: list | None = None,
+        codebooks: list | None = None,
     ) -> "IvfPqVectorIndex":
+        """``centroids`` / ``codebooks`` pin a pre-trained quantizer
+        (lists shaped n_cells×D and M×K×dsub) and skip the sample +
+        k-means pass entirely — the same pinning seam
+        ``IvfVectorIndex.build(centroids=...)`` grew for the
+        value-oracle replay: with both quantizers named as data (table
+        rows / their residual sub-vectors), assignment, encode, the
+        ADC scan and the re-rank are all exact SQL arithmetic."""
         spark = embeddings.sparkSession
-        sample = (
-            embeddings.select(F.col(vec_col).alias("_v"))
-            .orderBy(F.xxhash64(F.col(id_col)))
-            .limit(train_sample)
-            .collect()
-        )
-        if not sample:
-            raise ValueError("cannot build IVF-PQ over an empty DataFrame")
-        X = np.array([r["_v"] for r in sample], dtype=np.float64)
-        C = _lloyd_kmeans(X, n_cells, seed, max_iter)
-        # residuals of the training sample w.r.t. their nearest cell
-        D = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
-        R = X - C[D.argmin(axis=1)]
-        pq = PqQuantizer.train(R, m_subspaces, min(n_codes, len(X)),
-                               seed, max_iter)
+        if (centroids is None) != (codebooks is None):
+            raise ValueError("pin centroids and codebooks together")
+        if centroids is not None:
+            C = np.asarray(centroids, dtype=np.float64)
+            pq = PqQuantizer(np.asarray(codebooks, dtype=np.float64))
+        else:
+            sample = (
+                embeddings.select(F.col(vec_col).alias("_v"))
+                .orderBy(F.xxhash64(F.col(id_col)))
+                .limit(train_sample)
+                .collect()
+            )
+            if not sample:
+                raise ValueError("cannot build IVF-PQ over an empty DataFrame")
+            X = np.array([r["_v"] for r in sample], dtype=np.float64)
+            C = _lloyd_kmeans(X, n_cells, seed, max_iter)
+            # residuals of the training sample w.r.t. their nearest cell
+            D = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+            R = X - C[D.argmin(axis=1)]
+            pq = PqQuantizer.train(R, m_subspaces, min(n_codes, len(X)),
+                                   seed, max_iter)
 
         centroids = C
         books = pq.codebooks

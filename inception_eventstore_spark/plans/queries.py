@@ -1918,6 +1918,41 @@ def prebuild_ann_indexes(spark, sf_dir,
             IvfPqVectorIndex.build(
                 emb, path, n_cells=8, m_subspaces=8, n_codes=64
             )
+        elif kind == "ivfpq_pinned":
+            # fully pinned IVF-PQ quantizer, the r5 ivf_pinned pattern
+            # taken one level deeper: coarse centroids = embeddings of
+            # vec_id 1..16; PQ codebook entry (s, j) = subspace s of
+            # the RESIDUAL of vec_id 17+j w.r.t. its assigned pinned
+            # cell (m=4 subspaces × 16 codes). Every number the probe
+            # touches is derivable from table rows by exact float64
+            # arithmetic, so assignment, encode, the ADC scan and the
+            # re-rank all replay in the DuckDB oracle — the driver row
+            # flips from rows-only to a full value oracle. K-means-
+            # trained cells/codebooks stay covered by the "ivfpq" kind
+            # (tests/test_pq.py recall pins).
+            import numpy as _np
+
+            rows = (
+                emb.where(F.col("vec_id").between(1, 32))
+                .orderBy("vec_id")
+                .collect()
+            )
+            V = _np.array(
+                [[float(x) for x in r["embedding"]] for r in rows],
+                dtype=_np.float64,
+            )
+            C, S_ = V[:16], V[16:]
+            d2 = ((S_[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            R = S_ - C[d2.argmin(axis=1)]
+            dsub = C.shape[1] // 4
+            books = _np.stack(
+                [R[:, s * dsub:(s + 1) * dsub] for s in range(4)]
+            )
+            IvfPqVectorIndex.build(
+                emb, path,
+                centroids=[list(map(float, c)) for c in C],
+                codebooks=[[list(map(float, e)) for e in b] for b in books],
+            )
         else:
             raise ValueError(f"unknown ANN index kind {kind!r}")
         timings[kind] = round(_time.time() - t0, 3)
@@ -1995,21 +2030,105 @@ ORDER BY dist, vec_id
 
 
 def q_sim_topk_ivfpq(spark, sf_dir):
-    """IVF-PQ approximate top-10 (operators/pq.py): 32× compressed
-    codes scanned via ADC lookup tables, exact re-rank of the best
-    40 candidates; probes the persisted index (one build per process).
-    Rows-only (approximate by construction); recall and exactness of
-    the re-rank are pinned in tests/test_pq.py."""
+    """IVF-PQ approximate top-10 (operators/pq.py): 32×-class
+    compressed codes scanned via ADC lookup tables, exact re-rank of
+    the best 40 candidates — probing the PINNED-quantizer index
+    (prebuild "ivfpq_pinned": centroids = vec 1..16, codebook entry
+    (s, j) = subspace s of vec 17+j's residual), so the ENTIRE probe
+    — assignment, encode, LUT build, ADC candidate cut, exact re-rank
+    — replays in the DuckDB oracle as float64 arithmetic over table
+    rows and the result is value-checked, not rows-only. The
+    k-means-trained variant stays covered by tests/test_pq.py recall
+    pins."""
     from inception_eventstore_spark.operators.pq import IvfPqVectorIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    prebuild_ann_indexes(spark, sf_dir, kinds=("ivfpq",))
-    idx = IvfPqVectorIndex.load(spark, _ANN_INDEX_DIRS[("ivfpq", sf_dir)])
+    prebuild_ann_indexes(spark, sf_dir, kinds=("ivfpq_pinned",))
+    idx = IvfPqVectorIndex.load(
+        spark, _ANN_INDEX_DIRS[("ivfpq_pinned", sf_dir)]
+    )
     res = idx.topk(list(qvec), k=10, n_probe=3, rerank=4)
     return res.select("vec_id", F.round("dist", 6).alias("dist")).orderBy(
         "dist", "vec_id"
     )
+
+
+# Replays the pinned IVF-PQ probe end-to-end in SQL: assignment and
+# probe selection exactly like _SIM_TOPK_IVF_ORACLE; codebook entries
+# as residual sub-vector slices of vec 17..32; encode = per-(vector,
+# subspace) argmin over the 16 entries; ADC = per-(probe-cell, s, j)
+# LUT joined back by code. Every adist is a list_reduce fold in fixed
+# s order, and LUT values are computed ONCE per (cell, s, j) — so
+# identical code tuples tie EXACTLY within each engine and the
+# (adist, vec_id) candidate cut is deterministic on both sides.
+_SIM_TOPK_IVFPQ_ORACLE = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+qv AS (SELECT ev AS q FROM v WHERE vec_id = 0),
+c AS (SELECT vec_id - 1 AS cell, ev AS cv FROM v
+  WHERE vec_id BETWEEN 1 AND 16),
+d AS (SELECT v.vec_id, c.cell, c.cv,
+    list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(v.ev) + 1),
+        i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))),
+      (acc, x) -> acc + x) AS dc
+  FROM v CROSS JOIN c WHERE v.vec_id <> 0),
+a AS (SELECT vec_id, cell, cv FROM (
+  SELECT vec_id, cell, cv, row_number() OVER (
+    PARTITION BY vec_id ORDER BY dc, cell) AS rn FROM d) WHERE rn = 1),
+r AS (SELECT v.vec_id, a.cell,
+    list_transform(range(1, len(v.ev) + 1), i -> v.ev[i] - a.cv[i]) AS rv
+  FROM v JOIN a USING (vec_id)),
+cb AS (SELECT sp.s, r.vec_id - 17 AS j,
+    list_transform(range(1, 17), i -> r.rv[sp.s * 16 + i]) AS e
+  FROM r CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sp
+  WHERE r.vec_id BETWEEN 17 AND 32),
+pc AS (SELECT cell, cv FROM (
+  SELECT c.cell, c.cv,
+    list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(c.cv) + 1),
+        i -> (c.cv[i] - qv.q[i]) * (c.cv[i] - qv.q[i]))),
+      (acc, x) -> acc + x) AS dq
+  FROM c CROSS JOIN qv ORDER BY dq, cell LIMIT 3)),
+pr AS (SELECT r.vec_id, r.cell, r.rv FROM r
+  JOIN pc ON r.cell = pc.cell),
+enc AS (SELECT vec_id, s, j FROM (
+  SELECT pr.vec_id, cb.s, cb.j, row_number() OVER (
+    PARTITION BY pr.vec_id, cb.s ORDER BY
+      list_reduce(list_prepend(0.0,
+        list_transform(range(1, 17),
+          i -> (pr.rv[cb.s * 16 + i] - cb.e[i])
+             * (pr.rv[cb.s * 16 + i] - cb.e[i]))),
+        (acc, x) -> acc + x), cb.j) AS rn
+  FROM pr CROSS JOIN cb) WHERE rn = 1),
+qr AS (SELECT pc.cell,
+    list_transform(range(1, len(qv.q) + 1), i -> qv.q[i] - pc.cv[i]) AS qrv
+  FROM pc CROSS JOIN qv),
+lut AS (SELECT qr.cell, cb.s, cb.j,
+    list_reduce(list_prepend(0.0,
+      list_transform(range(1, 17),
+        i -> (cb.e[i] - qr.qrv[cb.s * 16 + i])
+           * (cb.e[i] - qr.qrv[cb.s * 16 + i]))),
+      (acc, x) -> acc + x) AS lv
+  FROM qr CROSS JOIN cb),
+ad AS (SELECT e.vec_id,
+    list_reduce(list_prepend(0.0, list(l.lv ORDER BY l.s)),
+      (acc, x) -> acc + x) AS adist
+  FROM enc e JOIN pr ON e.vec_id = pr.vec_id
+  JOIN lut l ON l.cell = pr.cell AND l.s = e.s AND l.j = e.j
+  GROUP BY e.vec_id),
+cand AS (SELECT vec_id FROM ad ORDER BY adist, vec_id LIMIT 40)
+SELECT vec_id, dist FROM (
+  SELECT v.vec_id,
+    round(sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(v.ev) + 1),
+        i -> (v.ev[i] - qv.q[i]) * (v.ev[i] - qv.q[i]))),
+      (acc, x) -> acc + x)), 6) AS dist
+  FROM v JOIN cand USING (vec_id) CROSS JOIN qv
+  ORDER BY dist, vec_id LIMIT 10)
+ORDER BY dist, vec_id
+"""
 
 
 def q_sim_cosine_near_dup(spark, sf_dir):
@@ -2816,7 +2935,7 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(q_dedup_simhash, _duck_simhash_oracle()),
     "sim_topk_lsh": QueryDef(q_sim_topk_lsh, _sim_topk_lsh_oracle()),
     "sim_topk_ivf": QueryDef(q_sim_topk_ivf, _SIM_TOPK_IVF_ORACLE),
-    "sim_topk_ivfpq": QueryDef(q_sim_topk_ivfpq, None),
+    "sim_topk_ivfpq": QueryDef(q_sim_topk_ivfpq, _SIM_TOPK_IVFPQ_ORACLE),
     "sim_multi_topk": QueryDef(
         q_sim_multi_topk,
         "WITH q AS (SELECT vec_id AS query_id, "
@@ -6520,13 +6639,13 @@ g AS (SELECT doc_id, gpos,
   CAST(('0x' || substr(md5(substr(nm, gpos, 5)), 1, 10)) AS BIGINT) AS h
   FROM e),
 p AS (SELECT doc_id, gpos,
-  min(h * 1048576 + (1048575 - gpos)) OVER (PARTITION BY doc_id
+  min(h * 8388608 + (8388607 - gpos)) OVER (PARTITION BY doc_id
     ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
   count(*) OVER (PARTITION BY doc_id) AS ng
   FROM g)
 SELECT DISTINCT doc_id,
-  CAST(1048575 - (sel % 1048576) AS BIGINT) AS pos,
-  CAST(sel // 1048576 AS BIGINT) AS fp
+  CAST(8388607 - (sel % 8388608) AS BIGINT) AS pos,
+  CAST(sel // 8388608 AS BIGINT) AS fp
 FROM p WHERE gpos >= 4 OR (ng < 4 AND gpos = ng)
 ORDER BY doc_id, pos
 """
@@ -6561,11 +6680,11 @@ g AS (SELECT doc_id, gpos,
   CAST(('0x' || substr(md5(substr(nm, gpos, 5)), 1, 10)) AS BIGINT) AS h
   FROM e),
 p AS (SELECT doc_id, gpos,
-  min(h * 1048576 + (1048575 - gpos)) OVER (PARTITION BY doc_id
+  min(h * 8388608 + (8388607 - gpos)) OVER (PARTITION BY doc_id
     ORDER BY gpos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
   count(*) OVER (PARTITION BY doc_id) AS ng
   FROM g),
-fp0 AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+fp0 AS (SELECT DISTINCT doc_id, sel // 8388608 AS fp
   FROM p WHERE gpos >= 4 OR (ng < 4 AND gpos = ng)),
 dfc AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 20),
 fp AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN dfc USING (fp))
