@@ -177,6 +177,8 @@ HEADLINE = [
     "contamination_fraction",
     "token_allocation",
     "quality_correlations",
+    "image_phash",
+    "phash_near_dup",
 ]
 
 
@@ -207,28 +209,55 @@ def main() -> None:
     )
     ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
 
+    # Several operators pin intermediates with localCheckpoint; the
+    # blocks are reaped by the ContextCleaner only after a JVM GC
+    # notices the dropped RDD references — which a 16g heap may not
+    # run for the whole bench, so storage accumulated pass-over-pass
+    # (r5: warm_total > cold_total). Nudge a GC periodically, OUTSIDE
+    # the timed sections, so each query runs against a clean executor
+    # storage pool like it would in a fresh job.
+    _gc_every = 15
+    _since_gc = 0
+
+    def _maybe_gc(force: bool = False) -> None:
+        nonlocal _since_gc
+        _since_gc += 1
+        if force or _since_gc >= _gc_every:
+            spark.sparkContext._jvm.System.gc()
+            _since_gc = 0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        del df
+        _maybe_gc()
 
     # Warm re-runs: cold numbers on iterative/JIT-heavy plans run 2-3x
     # their steady-state (pagerank 12 s cold vs 3.5 s warm), which made
     # round-over-round "regressions" unreadable — report a warm median
     # next to cold so timing diffs separate plan drift from JIT noise.
     # "queries" stays the COLD pass for comparability with prior rounds.
-    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "2"))
+    # 3 runs: the median of 2 is a mean, so one GC/JIT straggler made
+    # individual queries read warm-slower-than-cold (r5 anomaly; the
+    # systemic part was unreclaimed checkpoint blocks, fixed by the
+    # _maybe_gc nudges above — the residue is per-run jitter a median
+    # of 3 absorbs)
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
     warm_median: dict[str, float] = {}
     if warm_runs > 0:
         samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
         for _ in range(warm_runs):
+            _maybe_gc(force=True)
             for name in HEADLINE:
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples[name].append(time.time() - t0)
+                del df
+                _maybe_gc()
         for name, xs in samples.items():
             xs = sorted(xs)
             mid = len(xs) // 2

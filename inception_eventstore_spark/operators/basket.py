@@ -86,14 +86,20 @@ def association_rules(
     engines); filter/order upstream of the rounding is integer-only.
     """
     # the deduped/capped relation feeds FOUR consumers (basket count,
-    # item margins, both self-join sides) — materialize it once;
-    # localCheckpoint leaves no persisted cache behind. (At 100 TB
-    # stage it to a table instead — the relation is |distinct
-    # (basket, item)| rows.)
+    # item margins, both self-join sides) — materialize it once with
+    # persist so it can be RELEASED before returning: a localCheckpoint
+    # here leaked its blocks until a JVM GC happened to run (r5 bench:
+    # +50 MB of executor storage per call, the warm-slower-than-cold
+    # anomaly), because checkpoint blocks are only reaped when the
+    # RDD object is garbage-collected. The pair result below is
+    # eager-checkpointed instead — it is min(df, cap)²-bounded, far
+    # smaller than the basket relation. (At 100 TB stage the relation
+    # to a table instead — it is |distinct (basket, item)| rows.)
     b = _prep(baskets, basket_col, item_col, max_basket_items)
-    b = b.localCheckpoint(eager=True)
+    b = b.persist()
     n_baskets = b.select("_bk").distinct().count()
     if n_baskets == 0:
+        b.unpersist()
         raise ValueError("no qualifying baskets")
     item_counts = b.groupBy(F.col("_it")).agg(
         F.count("*").alias("_c")
@@ -106,7 +112,7 @@ def association_rules(
         F.col("_it").alias("item_b"), F.col("_c").alias("_cb")
     )
     N = float(n_baskets)
-    return (
+    out = (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
         .select(
@@ -128,3 +134,7 @@ def association_rules(
             ).alias("conf_b_to_a"),
         )
     )
+    # sever lineage, then release the 4-consumer basket relation
+    out = out.localCheckpoint(eager=True)
+    b.unpersist()
+    return out

@@ -6993,3 +6993,93 @@ _R5F_QUERIES = {
     ),
 }
 QUERIES = {**_R5F_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# Round 6: perceptual image dedup (operators/phash.py)
+# ----------------------------------------------------------------------
+def _phash_fixture_rows(n_imgs: int = 32):
+    """Originals + JPEG-85 re-encoded near-dup plants (id + 1000), as
+    plain rows. Payloads and the oracle's literal hashes come from the
+    SAME driver-side functions, so the oracle checks the full Spark
+    plumbing (Arrow kernel, banded join, bit_count verify) against an
+    independently-computed hash table."""
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.jpeg import encode_jpeg
+    from inception_eventstore_spark.operators.multimodal import _decode_image
+
+    rows = []
+    for i, p in PH.textured_test_images(n_imgs):
+        rows.append((i, bytearray(p)))
+        rows.append(
+            (i + 1000, bytearray(encode_jpeg(_decode_image(p), quality=85)))
+        )
+    return rows
+
+
+def q_image_phash(spark, sf_dir):
+    """63-bit DCT perceptual hashes (phash.image_phashes) of the
+    textured fixture images + their JPEG-85 re-encodes — image-level
+    dedup signal the byte/token dedup family can't see. One Arrow
+    kernel (decode → 32×32 bilinear → 2-D DCT → median-threshold the
+    63 AC coefficients); the literal oracle re-derives every hash
+    driver-side from the same payload bytes."""
+    from inception_eventstore_spark.operators import phash as PH
+
+    assets = spark.createDataFrame(
+        _phash_fixture_rows(), "asset_id long, payload binary"
+    ).coalesce(2)
+    return PH.image_phashes(assets).orderBy("asset_id")
+
+
+def _image_phash_oracle() -> str:
+    from inception_eventstore_spark.operators import phash as PH
+
+    vals = ",\n".join(
+        f"({i}, {PH.phash63(bytes(p))})" for i, p in _phash_fixture_rows()
+    )
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(ph AS BIGINT) AS phash
+FROM (VALUES {vals}) AS t(asset_id, ph) ORDER BY asset_id
+"""
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs (phash.phash_near_duplicates):
+    hamming(pHash) ≤ 6 via the 7×9-bit block pigeonhole join — finds
+    each JPEG re-encode of its PNG original (planted at id + 1000)
+    without an all-pairs image join. The banded join is lossless at
+    t ≤ 6, so the oracle replays the exact hamming ball over the same
+    literal hash table with bit_count(xor)."""
+    from inception_eventstore_spark.operators import phash as PH
+
+    assets = spark.createDataFrame(
+        _phash_fixture_rows(), "asset_id long, payload binary"
+    ).coalesce(2)
+    return PH.phash_near_duplicates(assets, max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _phash_near_dup_oracle() -> str:
+    from inception_eventstore_spark.operators import phash as PH
+
+    vals = ",\n".join(
+        f"({i}, {PH.phash63(bytes(p))})" for i, p in _phash_fixture_rows()
+    )
+    return f"""
+WITH h AS (SELECT CAST(id AS BIGINT) AS id, CAST(ph AS BIGINT) AS ph
+  FROM (VALUES {vals}) AS t(id, ph))
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.id < b.id
+WHERE bit_count(xor(a.ph, b.ph)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+_R6A_QUERIES = {
+    "image_phash": QueryDef(q_image_phash, _image_phash_oracle()),
+    "phash_near_dup": QueryDef(q_phash_near_dup, _phash_near_dup_oracle()),
+}
+QUERIES = {**_R6A_QUERIES, **QUERIES}

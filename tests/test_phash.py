@@ -1,0 +1,95 @@
+"""pHash image near-dup: hash determinism, container invariance,
+pigeonhole losslessness of the banded join, guard."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from inception_eventstore_spark.operators import multimodal as MM
+from inception_eventstore_spark.operators import phash as PH
+
+
+def _ham(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class TestPhash63:
+    def test_deterministic_and_63_bit(self):
+        imgs = PH.textured_test_images(8)
+        hs = [PH.phash63(p) for _, p in imgs]
+        assert hs == [PH.phash63(p) for _, p in imgs]
+        for h in hs:
+            assert 0 <= h < 1 << 63
+            # median split: exactly 31 of 63 bits set
+            assert bin(h).count("1") == 31
+
+    def test_container_invariance_jpeg(self):
+        from inception_eventstore_spark.operators.jpeg import encode_jpeg
+
+        for i, p in PH.textured_test_images(8):
+            px = MM._decode_image(p)
+            hj = PH.phash63(encode_jpeg(px, quality=85))
+            assert _ham(PH.phash63(p), hj) <= 6, f"img {i}"
+
+    def test_unrelated_images_far(self):
+        hs = [PH.phash63(p) for _, p in PH.textured_test_images(16)]
+        dists = [_ham(a, b) for a, b in itertools.combinations(hs, 2)]
+        assert min(dists) > 6
+
+    def test_noise_robust(self):
+        rng = np.random.default_rng(7)
+        for i, p in PH.textured_test_images(6):
+            px = MM._decode_image(p).astype(np.int16)
+            pert = np.clip(
+                px + rng.integers(-2, 3, size=px.shape), 0, 255
+            ).astype(np.uint8)
+            assert _ham(PH.phash63(p), PH.phash63(MM.encode_png(pert))) <= 6
+
+
+class TestPhashPairs:
+    def _assets(self, spark, n=12):
+        from inception_eventstore_spark.operators.jpeg import encode_jpeg
+
+        rows = []
+        for i, p in PH.textured_test_images(n):
+            rows.append((i, bytearray(p)))
+            # planted near-dup: JPEG-85 re-encode at id + 1000
+            px = MM._decode_image(p)
+            rows.append((i + 1000, bytearray(encode_jpeg(px, quality=85))))
+        return spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    def test_recovers_planted_pairs_exactly(self, spark):
+        assets = self._assets(spark).coalesce(2)
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in PH.phash_near_duplicates(assets, max_hamming=6).collect()
+        }
+        assert set(got) == {(i, i + 1000) for i in range(12)}
+        assert all(h <= 6 for h in got.values())
+
+    def test_banded_join_is_lossless(self, spark):
+        # the bucket join must return EXACTLY the hamming ball that a
+        # brute-force over the same hashes yields (pigeonhole, t <= 6)
+        assets = self._assets(spark, n=8).coalesce(2)
+        hashes = {
+            r["asset_id"]: r["phash"]
+            for r in PH.image_phashes(assets).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(hashes), 2)
+            if _ham(hashes[a], hashes[b]) <= 6
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in PH.phash_near_duplicates(assets, max_hamming=6).collect()
+        }
+        assert got == want
+
+    def test_max_hamming_guard(self, spark):
+        assets = self._assets(spark, n=2)
+        with pytest.raises(ValueError):
+            PH.phash_near_duplicates(assets, max_hamming=7)

@@ -823,3 +823,31 @@ class TestWinnowing:
         }
         assert (0, 1) in pairs and pairs[(0, 1)] >= 2
         assert all(2 not in p for p in pairs)
+
+
+class TestWinnowGuards:
+    def test_oversized_doc_raises(self, spark):
+        # > 2^23 - 1 k-grams would overflow the 23-bit position field
+        # of the packed (hash, pos) key — must raise, never corrupt
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        big = "a" * ((1 << 23) + 10)
+        docs = spark.createDataFrame([(0, big)], ["doc_id", "text"])
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            TX.winnow_fingerprints(docs, k=5, w=4).collect()
+
+    def test_max_df_defaults_on(self, spark):
+        # 12 docs sharing one passage: auto cap = max(10, N//1000) = 10
+        # < 12, so the boilerplate fingerprints are dropped and no pair
+        # reaches min_shared; explicit None restores the uncapped report
+        shared = "identical boilerplate passage repeated everywhere ok"
+        docs = spark.createDataFrame(
+            [(i, f"{shared}") for i in range(12)], ["doc_id", "text"]
+        )
+        capped = TX.winnow_matches(docs, k=5, w=4, min_shared=1).count()
+        uncapped = TX.winnow_matches(
+            docs, k=5, w=4, min_shared=1, max_df=None
+        ).count()
+        assert capped == 0
+        assert uncapped == 12 * 11 // 2
