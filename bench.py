@@ -179,6 +179,8 @@ HEADLINE = [
     "quality_correlations",
     "image_phash",
     "phash_near_dup",
+    "audio_fingerprint",
+    "audio_near_dup",
 ]
 
 

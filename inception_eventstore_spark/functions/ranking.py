@@ -42,6 +42,77 @@ _PID = "_gr_pid"
 _OFF = "_gr_off"
 
 
+def sharded_running_sums(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_cols: list[str],
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Global running (prefix-inclusive, ROWS frame) sums of INTEGER
+    columns ordered by ``order_cols`` — the two-phase form of
+    ``Window.partitionBy(lit(1)).orderBy(...)`` running sums, which
+    funnel the whole relation through one task. Adds ``<c>_cum`` per
+    sum column.
+
+    Integer-only on purpose: integer addition is associative, so
+    shard-offset + within-shard running sum is BIT-IDENTICAL to the
+    sequential window for any sharding — the property that keeps
+    DuckDB-oracle replays (which run the plain sequential window)
+    hash-matching. A double version would round differently per
+    shard split; quantize to integers first (see
+    negative_sampling_intervals' 2^20 micro-weights).
+
+    ``order_cols`` must be a TOTAL order (unique key) — with ties,
+    rows of one tie group could straddle a shard boundary and the
+    ROWS-frame prefix would depend on the split; pre-aggregate ties
+    into one row first (the callers here groupBy the order key
+    anyway). Same checkpoint-pinning rationale as grouped_row_number.
+    """
+    from pyspark.sql import types as T
+
+    for c in sum_cols:
+        if not isinstance(df.schema[c].dataType, T.IntegralType):
+            raise TypeError(
+                f"sharded_running_sums needs integer columns; {c} is "
+                f"{df.schema[c].dataType.simpleString()} — quantize first"
+            )
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(num_shards, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    rows = (
+        parts.groupBy(_PID)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    acc = {c: 0 for c in sum_cols}
+    out_rows = []
+    for r in sorted(rows, key=lambda r: r[_PID]):
+        out_rows.append((int(r[_PID]), *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += int(r[c] or 0)
+    off_names = [f"_off_{c}" for c in sum_cols]
+    off_df = spark.createDataFrame(
+        out_rows, f"{_PID} int, " + ", ".join(f"{n} long" for n in off_names)
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parts.join(F.broadcast(off_df), _PID)
+    for c, off in zip(sum_cols, off_names):
+        out = out.withColumn(
+            f"{c}_cum",
+            (F.col(off) + F.sum(c).over(w)).cast("bigint"),
+        )
+    return out.drop(_PID, *off_names)
+
+
 def grouped_row_number(
     df: DataFrame,
     order_cols: list[Column],

@@ -121,6 +121,7 @@ def phash_near_duplicates(
     id_col: str = "asset_id",
     payload_col: str = "payload",
     max_hamming: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, hamming): image pairs with hamming(pHash) ≤
     ``max_hamming`` — visually near-duplicate candidates. Lossless for
@@ -129,56 +130,13 @@ def phash_near_duplicates(
     query hash-match a DuckDB all-pairs replay of the same literal
     hashes. Bucket join + bit_count verify, mirroring
     simhash_near_duplicates."""
-    if max_hamming > _N_BLOCKS - 1:
-        raise ValueError(
-            f"max_hamming {max_hamming} > {_N_BLOCKS - 1} breaks the "
-            "pigeonhole guarantee; raise _N_BLOCKS instead"
-        )
-    base = image_phashes(assets, id_col, payload_col).select(
-        F.col(id_col).alias("_id"), "phash"
+    from inception_eventstore_spark.operators.audiofp import hamming63_pairs
+
+    fp = image_phashes(assets, id_col, payload_col)
+    return hamming63_pairs(
+        fp, id_col, "phash", max_hamming,
+        n_blocks=_N_BLOCKS, block_bits=_BLOCK_BITS, materialize=materialize,
     )
-    # 16 bytes/image — persist both self-join sides once
-    base = base.persist()
-    base.count()
-    mask = (1 << _BLOCK_BITS) - 1
-    blocks = base.select(
-        "_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("phash"), b * _BLOCK_BITS)
-                    .bitwiseAND(F.lit(mask))
-                    for b in range(_N_BLOCKS)
-                ]
-            )
-        ).alias("_blk", "_bv"),
-    )
-    left = blocks.select(
-        "_blk", "_bv", F.col("_id").alias("id_a"),
-        F.col("phash").alias("_ha"),
-    )
-    right = blocks.select(
-        "_blk", "_bv", F.col("_id").alias("id_b"),
-        F.col("phash").alias("_hb"),
-    )
-    pairs = (
-        left.join(right, ["_blk", "_bv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("_ha").bitwiseXOR(F.col("_hb"))
-            ).cast("bigint"),
-        )
-        .where(F.col("hamming") <= int(max_hamming))
-        .select("id_a", "id_b", "hamming")
-    )
-    out = pairs.localCheckpoint(eager=True)
-    base.unpersist()
-    return out
 
 
 # ---------------------------------------------------------------------

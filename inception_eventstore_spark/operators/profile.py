@@ -144,12 +144,17 @@ def population_stability(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    tr = F.sum("n_ref").over(Window.partitionBy(F.lit(1)))
-    tc = F.sum("n_cur").over(Window.partitionBy(F.lit(1)))
+    # totals join back from one scalar aggregate (broadcast) — the
+    # relation is |bins| rows so a lit(1) window was harmless here,
+    # but the plan-lint bans window-over-SinglePartition wholesale:
+    # cheaper to not need the exemption
+    tot = joined.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
     a = float(smoothing)
-    p = (F.col("n_ref") + a) / (tr + a * bins)
-    q = (F.col("n_cur") + a) / (tc + a * bins)
-    return joined.select(
+    p = (F.col("n_ref") + a) / (F.col("_tr") + a * bins)
+    q = (F.col("n_cur") + a) / (F.col("_tc") + a * bins)
+    return joined.crossJoin(F.broadcast(tot)).select(
         "bin",
         F.round(p, 6).alias("ref_share"),
         F.round(q, 6).alias("cur_share"),
@@ -167,41 +172,59 @@ def ks_statistic(
     next to `population_stability` (PSI sees bucket mass move; KS sees
     any distributional difference, bucket-free).
 
-    Both samples union into one relation; running peer-inclusive
-    counts under the default RANGE window frame ARE the two ECDFs
-    evaluated at every jump point (RANGE-until-current includes ties'
-    peers identically on every engine, which settles the at-tie ECDF
-    convention without any tie-break column); one max aggregate
-    finishes. The value-ordered window is a GLOBAL sort — fine for the
-    samples a drift monitor compares (columns of two snapshots); for
-    planet-scale inputs pre-aggregate to (value, count) first (the
-    relation then has one row per distinct value, which this
-    implementation does anyway via the groupBy below)."""
+    Both samples aggregate to one row per DISTINCT value (counts per
+    side), so the running prefix counts over the value order ARE the
+    two ECDFs evaluated at every jump point — one row per distinct
+    value settles the at-tie ECDF convention with a plain ROWS frame.
+    The prefix counts run as the TWO-PHASE shard cumsum
+    (`functions/ranking.sharded_running_sums`), never a
+    ``partitionBy(lit(1))`` window: a global value-ordered window is a
+    single task holding every distinct value, which for continuous
+    columns is the whole relation. Counts are integers, so the
+    sharded sum is bit-identical to the sequential window and the
+    SQL-window oracle keeps hash-matching; totals join back from one
+    scalar aggregate."""
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+
     r = ref.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("v")
-    ).groupBy("v").agg(F.count("*").alias("c1")).withColumn("c2", F.lit(0))
+    ).groupBy("v").agg(F.count("*").alias("c1")).withColumn(
+        "c2", F.lit(0).cast("long")
+    )
     c = cur.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("v")
-    ).groupBy("v").agg(F.count("*").alias("c2")).withColumn("c1", F.lit(0))
-    u = r.select("v", "c1", "c2").unionAll(c.select("v", "c1", "c2"))
-    w = Window.partitionBy(F.lit(1)).orderBy("v")
-    cum1 = F.sum("c1").over(w)
-    cum2 = F.sum("c2").over(w)
-    n1 = F.sum("c1").over(Window.partitionBy(F.lit(1)))
-    n2 = F.sum("c2").over(Window.partitionBy(F.lit(1)))
-    stepped = u.select(
-        n1.alias("n_ref"),
-        n2.alias("n_cur"),
-        F.abs(
-            cum1.cast("double") / n1 - cum2.cast("double") / n2
-        ).alias("_d"),
+    ).groupBy("v").agg(F.count("*").alias("c2")).withColumn(
+        "c1", F.lit(0).cast("long")
     )
-    return stepped.groupBy("n_ref", "n_cur").agg(
-        F.round(F.max("_d"), 6).alias("ks")
-    ).select(
-        F.col("n_ref").cast("bigint").alias("n_ref"),
-        F.col("n_cur").cast("bigint").alias("n_cur"),
-        "ks",
+    u = (
+        r.select("v", "c1", "c2")
+        .unionAll(c.select("v", "c1", "c2"))
+        .groupBy("v")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    stepped = sharded_running_sums(u, [F.col("v")], ["c1", "c2"])
+    tot = stepped.agg(
+        F.sum("c1").alias("_n1"), F.sum("c2").alias("_n2")
+    )
+    return (
+        stepped.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_n1").alias("n_ref"),
+            F.col("_n2").alias("n_cur"),
+            F.abs(
+                F.col("c1_cum").cast("double") / F.col("_n1")
+                - F.col("c2_cum").cast("double") / F.col("_n2")
+            ).alias("_d"),
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(F.round(F.max("_d"), 6).alias("ks"))
+        .select(
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "ks",
+        )
     )
 
 

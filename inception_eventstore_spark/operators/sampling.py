@@ -455,48 +455,56 @@ def negative_sampling_intervals(
     """(token, cnt, t_lo, t_hi) — the unigram^power inverse-CDF table
     behind word2vec negative sampling (Mikolov et al. 2013: p_i ∝
     cnt_i^0.75), with cumulative thresholds as EXACT integers in
-    [0, 2⁶⁰): token i owns u ∈ [t_lo, t_hi). The running sum is one
-    vocabulary-sized window (tokens ordered count-desc then lexical —
-    deterministic on any engine); the last interval is pinned to
-    exactly 2⁶⁰ so no uniform can fall off the end of the
-    floor-rounded CDF."""
-    from pyspark.sql import Window as _W
+    [0, 2⁶⁰]: token i owns u ∈ [t_lo, t_hi).
 
+    Weights are QUANTIZED to integer micro-units — w_i =
+    floor(cnt^power · 2²⁰) — for two reasons: (a) integer running
+    sums are associative, so the vocabulary-sized prefix runs as the
+    TWO-PHASE shard cumsum (`functions/ranking.sharded_running_sums`)
+    instead of a ``partitionBy(lit(1))`` window that caps the
+    vocabulary at one task (web vocabularies are billions of values),
+    bit-identical to the sequential window the SQL oracle replays;
+    (b) exact integer cums make the interval algebra closed: t_lo =
+    floor((cum−w)/total · 2⁶⁰) IS the previous row's t_hi (no lag
+    window), and the last t_hi = floor(total/total · 2⁶⁰) = 2⁶⁰
+    exactly (no row-count pin). The 2⁻²⁰ relative quantization of the
+    sampling distribution is far below the ±cnt^-0.5 estimation noise
+    of the counts themselves."""
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
     from inception_eventstore_spark.operators.dedup import tokens
 
     vocab = (
         docs.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
-    )
-    total = vocab.select(
-        F.sum(F.pow(F.col("cnt").cast("double"), float(power))).alias("_t")
-    ).first()["_t"]
-    if not total:
-        raise ValueError("corpus has no tokens")
-    w = _W.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), "token")
-    cum = F.sum(
-        F.pow(F.col("cnt").cast("double"), float(power))
-    ).over(w.rowsBetween(_W.unboundedPreceding, _W.currentRow))
-    n_tok = F.count("*").over(_W.partitionBy(F.lit(1)))
-    rn = F.row_number().over(w)
-    hi = F.when(rn == n_tok, F.lit(1 << 60)).otherwise(
-        F.floor(cum / F.lit(float(total)) * F.lit(float(1 << 60))).cast(
-            "bigint"
+        .withColumn(
+            "_w",
+            F.floor(
+                F.pow(F.col("cnt").cast("double"), float(power))
+                * F.lit(float(1 << 20))
+            ).cast("long"),
         )
     )
-    out = vocab.select("token", "cnt", hi.alias("t_hi"))
-    return out.withColumn(
-        "t_lo",
-        F.coalesce(
-            F.lag("t_hi").over(
-                _W.partitionBy(F.lit(1)).orderBy(
-                    F.col("cnt").desc(), "token"
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("token", "cnt", "t_lo", "t_hi")
+    cum = sharded_running_sums(
+        vocab, [F.col("cnt").desc(), F.col("token")], ["_w"]
+    )
+    row = cum.agg(F.sum("_w").alias("_t")).first()
+    total = int(row["_t"] or 0)
+    if not total:
+        raise ValueError("corpus has no tokens")
+    scale = F.lit(float(1 << 60))
+    tot = F.lit(float(total))
+    return cum.select(
+        "token",
+        "cnt",
+        F.floor(
+            (F.col("_w_cum") - F.col("_w")).cast("double") / tot * scale
+        ).cast("bigint").alias("t_lo"),
+        F.floor(F.col("_w_cum").cast("double") / tot * scale)
+        .cast("bigint").alias("t_hi"),
+    )
 
 
 def sample_negatives(

@@ -6087,25 +6087,24 @@ _NEGATIVE_SAMPLES_ORACLE = f"""
 WITH vocab AS (
   SELECT w AS token, count(*) AS cnt FROM (
     SELECT unnest({_DUCK_TOKENS}) AS w FROM documents) GROUP BY w),
-tot AS (SELECT sum(pow(cnt * 1.0, 0.75)) AS t FROM vocab),
-cdf AS (
-  SELECT token, cnt,
-    sum(pow(cnt * 1.0, 0.75)) OVER (ORDER BY cnt DESC, token
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-    row_number() OVER (ORDER BY cnt DESC, token) AS rn,
-    count(*) OVER () AS n_tok
+-- integer micro-weights (floor(cnt^0.75 * 2^20)): associative cums,
+-- mirroring the two-phase shard cumsum the Spark side runs
+wv AS (SELECT token, cnt,
+  CAST(floor(pow(cnt * 1.0, 0.75) * 1048576.0) AS BIGINT) AS w
   FROM vocab),
-iv AS (
-  SELECT token,
-    CASE WHEN rn = n_tok THEN 1152921504606846976
-    ELSE CAST(floor(cum / (SELECT t FROM tot)
-                    * 1152921504606846976.0) AS BIGINT) END AS t_hi,
-    rn
-  FROM cdf),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM wv),
+cdf AS (
+  SELECT token, cnt, w,
+    CAST(sum(w) OVER (ORDER BY cnt DESC, token
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM wv),
 iv2 AS (
   SELECT token,
-    coalesce(lag(t_hi) OVER (ORDER BY rn), 0) AS t_lo, t_hi
-  FROM iv),
+    CAST(floor((cum - w) * 1.0 / tot.t
+               * 1152921504606846976.0) AS BIGINT) AS t_lo,
+    CAST(floor(cum * 1.0 / tot.t
+               * 1152921504606846976.0) AS BIGINT) AS t_hi
+  FROM cdf CROSS JOIN tot),
 s AS (
   SELECT i AS sample_id,
     CAST(('0x' || substring(md5('neg:v1:' || CAST(i AS VARCHAR)), 1, 15))
@@ -7083,3 +7082,117 @@ _R6A_QUERIES = {
     "phash_near_dup": QueryDef(q_phash_near_dup, _phash_near_dup_oracle()),
 }
 QUERIES = {**_R6A_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# Round 6: audio fingerprint dedup (operators/audiofp.py)
+# ----------------------------------------------------------------------
+def _audiofp_fixture_rows(n_clips: int = 24):
+    """Originals + two planted perturbed copies each (×0.5 volume at
+    id + 1000, ×2 upsample at id + 2000) — the measured robustness
+    envelope of the spectral fingerprint."""
+    import numpy as _np
+
+    from inception_eventstore_spark.operators import audiofp as AFP
+    from inception_eventstore_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rows = []
+    for i, p in AFP.textured_test_audio(n_clips):
+        rows.append((i, bytearray(p)))
+        x, rate = decode_wav(p)
+        half = encode_wav(
+            (_np.clip(_np.asarray(x) * 0.5, -1, 1) * 32767).astype(
+                _np.int16
+            ),
+            rate,
+        )
+        rows.append((i + 1000, bytearray(half)))
+        n2 = len(x) * 2
+        up = _np.interp(
+            _np.arange(n2) / (rate * 2),
+            _np.arange(len(x)) / rate,
+            _np.asarray(x),
+        )
+        rows.append(
+            (
+                i + 2000,
+                bytearray(
+                    encode_wav(
+                        (_np.clip(up, -1, 1) * 32767).astype(_np.int16),
+                        rate * 2,
+                    )
+                ),
+            )
+        )
+    return rows
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """63-bit spectral audio fingerprints (audiofp.audio_fingerprints,
+    Haitsma-Kalker band-delta bits over absolute-Hz bands) of the
+    textured clips + their re-leveled / upsampled copies. One Arrow
+    kernel; the literal oracle re-derives every fingerprint
+    driver-side from the same payload bytes."""
+    from inception_eventstore_spark.operators import audiofp as AFP
+
+    assets = spark.createDataFrame(
+        _audiofp_fixture_rows(), "asset_id long, payload binary"
+    ).coalesce(2)
+    return AFP.audio_fingerprints(assets).orderBy("asset_id")
+
+
+def _audio_fingerprint_oracle() -> str:
+    from inception_eventstore_spark.operators import audiofp as AFP
+
+    vals = ",\n".join(
+        f"({i}, {AFP.audio_fingerprint63(bytes(p))})"
+        for i, p in _audiofp_fixture_rows()
+    )
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(fp AS BIGINT) AS afp
+FROM (VALUES {vals}) AS t(asset_id, fp) ORDER BY asset_id
+"""
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs (audiofp.audio_near_duplicates):
+    hamming ≤ 8 via the 9×7-bit block pigeonhole join — each original
+    pairs with BOTH its planted copies (and the two copies with each
+    other); the oracle replays the exact hamming ball over the same
+    literal fingerprint table with bit_count(xor)."""
+    from inception_eventstore_spark.operators import audiofp as AFP
+
+    assets = spark.createDataFrame(
+        _audiofp_fixture_rows(), "asset_id long, payload binary"
+    ).coalesce(2)
+    return AFP.audio_near_duplicates(assets).orderBy("id_a", "id_b")
+
+
+def _audio_near_dup_oracle() -> str:
+    from inception_eventstore_spark.operators import audiofp as AFP
+
+    vals = ",\n".join(
+        f"({i}, {AFP.audio_fingerprint63(bytes(p))})"
+        for i, p in _audiofp_fixture_rows()
+    )
+    return f"""
+WITH h AS (SELECT CAST(id AS BIGINT) AS id, CAST(fp AS BIGINT) AS fp
+  FROM (VALUES {vals}) AS t(id, fp))
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+_R6B_QUERIES = {
+    "audio_fingerprint": QueryDef(
+        q_audio_fingerprint, _audio_fingerprint_oracle()
+    ),
+    "audio_near_dup": QueryDef(q_audio_near_dup, _audio_near_dup_oracle()),
+}
+QUERIES = {**_R6B_QUERIES, **QUERIES}

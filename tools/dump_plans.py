@@ -595,9 +595,35 @@ def _lpa_iteration_plan(spark, sf_dir: str):
     return label_propagation(j, iterations=2, checkpoint=False)
 
 
+def _phash_pair_plan(spark, sf_dir):
+    from inception_eventstore_spark.operators.phash import (
+        phash_near_duplicates,
+    )
+    from inception_eventstore_spark.plans.queries import _phash_fixture_rows
+
+    assets = spark.createDataFrame(
+        _phash_fixture_rows(8), "asset_id long, payload binary"
+    ).coalesce(2)
+    return phash_near_duplicates(assets, max_hamming=6, materialize=False)
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "phash_pair_join",
+        _phash_pair_plan,
+        [
+            ("pairs form on the (block, value) equi-join — never an "
+             "all-pairs image join",
+             "!CartesianProduct|BroadcastNestedLoopJoin"),
+            ("bucket join is a hash/merge join on the block key",
+             r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+            ("hamming verify is JVM bit_count on the BIGINT hash — "
+             "python only decodes pixels",
+             r"bit_count"),
+        ],
+    ),
     (
         "lpa_iteration",
         _lpa_iteration_plan,
