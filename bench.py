@@ -181,6 +181,8 @@ HEADLINE = [
     "phash_near_dup",
     "audio_fingerprint",
     "audio_near_dup",
+    "video_near_dup",
+    "hard_negatives",
 ]
 
 

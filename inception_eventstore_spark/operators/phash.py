@@ -182,3 +182,158 @@ def textured_test_images(n: int, h: int = 48, w: int = 64) -> list:
         out.append((i, encode_png(px)))
     _TEXTURED_CACHE[(n, h, w)] = out
     return out
+
+
+# ---------------------------------------------------------------------
+# Video near-dup via frame pHashes
+# ---------------------------------------------------------------------
+def video_frame_phashes(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, frame_idx, phash): pHash of every frame of every AVI/MJPEG
+    video — frame EXTRACTION is RIFF chunk slicing (no pixel work);
+    the decode cost is per extracted frame inside the same Arrow
+    kernel. Non-AVI payloads raise (MP4 needs an external codec),
+    matching the extract_features contract."""
+    from inception_eventstore_spark.operators.avi import (
+        extract_mjpeg_frames,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"_id": [], "frame_idx": [], "phash": []}
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, jpeg in enumerate(
+                    extract_mjpeg_frames(bytes(payload))
+                ):
+                    out["_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["phash"].append(phash63(jpeg))
+            yield pd.DataFrame(out)
+
+    id_type = assets.schema[id_col].dataType.simpleString()
+    out = assets.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"_id {id_type}, frame_idx int, phash long"
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "phash",
+    )
+
+
+def video_near_duplicates(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    min_coverage: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, n_matched_a, n_matched_b, coverage): video pairs
+    where ≥ ``min_coverage`` of BOTH videos' frames visually match a
+    frame of the other (frame pHashes within ``max_hamming``) — the
+    video leg of multimodal dedup: re-encoded (e.g. different JPEG
+    quality) copies match frame-for-frame (measured ≤ 2 bits at
+    q85→q70) while unrelated textured frames sit ≥ 20 apart.
+
+    Frame matching is the SAME banded pigeonhole join as the image
+    path (7 × 9-bit blocks, lossless to hamming 6) over (video,
+    frame) rows — never an all-pairs frame join; per-video frame
+    counts are a tiny aggregate joined back. coverage = round(min
+    coverage of the two sides, 6): frame counts are small integers,
+    so the ratio never terminates at a 6-dp half boundary."""
+    fp = video_frame_phashes(assets, id_col, payload_col).select(
+        F.col(id_col).alias("_vid"), "frame_idx", "phash"
+    )
+    fp = fp.persist()
+    nframes = fp.groupBy("_vid").agg(F.count("*").alias("_nf"))
+    mask = (1 << _BLOCK_BITS) - 1
+    blocks = fp.select(
+        "_vid",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * _BLOCK_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(_N_BLOCKS)
+                ]
+            )
+        ).alias("_blk", "_bv"),
+    )
+    left = blocks.select(
+        "_blk", "_bv", F.col("_vid").alias("id_a"),
+        F.col("frame_idx").alias("_fa"), F.col("phash").alias("_ha"),
+    )
+    right = blocks.select(
+        "_blk", "_bv", F.col("_vid").alias("id_b"),
+        F.col("frame_idx").alias("_fb"), F.col("phash").alias("_hb"),
+    )
+    fpairs = (
+        left.join(right, ["_blk", "_bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "_fa", "_ha", "id_b", "_fb", "_hb")
+        .dropDuplicates(["id_a", "_fa", "id_b", "_fb"])
+        .where(
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            <= int(max_hamming)
+        )
+    )
+    agg = fpairs.groupBy("id_a", "id_b").agg(
+        F.countDistinct("_fa").alias("n_matched_a"),
+        F.countDistinct("_fb").alias("n_matched_b"),
+    )
+    na = nframes.select(
+        F.col("_vid").alias("id_a"), F.col("_nf").alias("_na")
+    )
+    nb = nframes.select(
+        F.col("_vid").alias("id_b"), F.col("_nf").alias("_nb")
+    )
+    cov = F.least(
+        F.col("n_matched_a").cast("double") / F.col("_na"),
+        F.col("n_matched_b").cast("double") / F.col("_nb"),
+    )
+    pairs = (
+        agg.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("coverage", F.round(cov, 6))
+        .where(F.col("coverage") >= float(min_coverage))
+        .select(
+            "id_a", "id_b",
+            F.col("n_matched_a").cast("bigint").alias("n_matched_a"),
+            F.col("n_matched_b").cast("bigint").alias("n_matched_b"),
+            "coverage",
+        )
+    )
+    if not materialize:
+        return pairs
+    out = pairs.localCheckpoint(eager=True)
+    fp.unpersist()
+    return out
+
+
+def textured_test_videos(
+    n: int, n_frames: int = 4, quality: int = 85
+) -> list:
+    """n deterministic textured AVI/MJPEG clips as (video_id,
+    avi_bytes); clip v's frames are textured images n_frames·v ..
+    n_frames·v+n_frames−1, so frames are distinct across and within
+    clips (cross-frame pHash min 20 measured)."""
+    from inception_eventstore_spark.operators.avi import encode_avi_mjpeg
+    from inception_eventstore_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    imgs = textured_test_images(n * n_frames)
+    out = []
+    for v in range(n):
+        frames = [
+            _decode_image(imgs[v * n_frames + f][1])
+            for f in range(n_frames)
+        ]
+        out.append((v, encode_avi_mjpeg(frames, fps=4, quality=quality)))
+    return out

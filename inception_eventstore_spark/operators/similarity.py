@@ -764,3 +764,74 @@ def topk_recall(
             6,
         ).alias("recall"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: list[tuple],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor_id, rank, vec_id, cosine): for every anchor, the k most
+    COSINE-similar corpus vectors with a DIFFERENT label — hard
+    negative mining, the batch-construction step of contrastive
+    embedding training (high-similarity wrong-label examples carry the
+    gradient signal; random negatives are trivially separable).
+
+    ``anchors`` is [(anchor_id, vector, label)]. Same execution shape
+    as `multi_query_topk` (the serving-scan pattern): the anchor
+    matrix rides into one Arrow kernel broadcast by value, each batch
+    computes a normalized matmul and emits only its LOCAL per-anchor
+    top-k among label-mismatched rows (same-label entries masked below
+    the cosine floor), so the shuffle carries ≤ batches·|A|·k rows —
+    never the |corpus|·|A| score matrix. The final window ranks
+    ≤ batches·k rows per anchor. Ties break on (cosine desc, id)."""
+    if not anchors:
+        raise ValueError("anchors must be non-empty")
+    aids = [int(a) for a, _, _ in anchors]
+    A = np.asarray([v for _, v, _ in anchors], dtype=np.float64)
+    An = A / np.sqrt((A**2).sum(axis=1))[:, None]
+    alab = np.asarray([l for _, _, l in anchors])
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            Mn = M / np.sqrt((M**2).sum(axis=1))[:, None]
+            S = Mn @ An.T  # batch × anchors
+            S[labs[:, None] == alab[None, :]] = -2.0  # mask same-label
+            kk = min(k, len(ids))
+            out_a, out_id, out_s = [], [], []
+            for j, aid in enumerate(aids):
+                top = np.lexsort((ids, -S[:, j]))[:kk]
+                keep = top[S[top, j] > -2.0]
+                out_a.extend([aid] * len(keep))
+                out_id.extend(ids[keep])
+                out_s.extend(S[keep, j])
+            yield pd.DataFrame(
+                {"anchor_id": out_a, id_col: out_id, "_s": out_s}
+            )
+
+    reduced = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        local_topk, f"anchor_id long, {id_col} long, _s double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("rank").cast("long").alias("rank"),
+            id_col,
+            F.round(F.col("_s"), 6).alias("cosine"),
+        )
+    )

@@ -7196,3 +7196,119 @@ _R6B_QUERIES = {
     "audio_near_dup": QueryDef(q_audio_near_dup, _audio_near_dup_oracle()),
 }
 QUERIES = {**_R6B_QUERIES, **QUERIES}
+
+
+def _video_fixture_rows(n_clips: int = 10):
+    """Textured AVI clips + a quality-70 re-encode of each (id+1000):
+    generation-lossy copies whose frames still pHash-match within 6
+    bits (measured ≤ 2)."""
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rows = []
+    for v, avi in PH.textured_test_videos(n_clips):
+        rows.append((v, bytearray(avi)))
+        frames, _ = decode_avi_mjpeg(avi)
+        rows.append(
+            (v + 1000, bytearray(encode_avi_mjpeg(frames, fps=4, quality=70)))
+        )
+    return rows
+
+
+def q_video_near_dup(spark, sf_dir):
+    """Video near-duplicate pairs (phash.video_near_duplicates):
+    frame-pHash pigeonhole matching — each clip pairs with its
+    quality-70 re-encode at coverage 1.0; the oracle replays frame
+    extraction + hashing driver-side into a literal (video, frame,
+    hash) table and re-derives the pair report in SQL."""
+    from inception_eventstore_spark.operators import phash as PH
+
+    assets = spark.createDataFrame(
+        _video_fixture_rows(), "asset_id long, payload binary"
+    ).coalesce(2)
+    return PH.video_near_duplicates(assets, min_coverage=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _video_near_dup_oracle() -> str:
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.avi import extract_mjpeg_frames
+
+    vals = []
+    for vid, avi in _video_fixture_rows():
+        for f, jpeg in enumerate(extract_mjpeg_frames(bytes(avi))):
+            vals.append(f"({vid}, {f}, {PH.phash63(jpeg)})")
+    body = ",\n".join(vals)
+    return f"""
+WITH fh AS (SELECT CAST(vid AS BIGINT) AS vid, CAST(f AS BIGINT) AS f,
+    CAST(h AS BIGINT) AS h
+  FROM (VALUES {body}) AS t(vid, f, h)),
+nf AS (SELECT vid, count(*) AS n FROM fh GROUP BY vid),
+fp AS (SELECT a.vid AS va, a.f AS fa, b.vid AS vb, b.f AS fb
+  FROM fh a JOIN fh b
+  ON a.vid < b.vid AND bit_count(xor(a.h, b.h)) <= 6),
+ag AS (SELECT va, vb, count(DISTINCT fa) AS ma, count(DISTINCT fb) AS mb
+  FROM fp GROUP BY va, vb),
+cov AS (SELECT va AS id_a, vb AS id_b,
+    CAST(ma AS BIGINT) AS n_matched_a, CAST(mb AS BIGINT) AS n_matched_b,
+    round(least(ma * 1.0 / na.n, mb * 1.0 / nb.n), 6) AS coverage
+  FROM ag JOIN nf na ON na.vid = ag.va JOIN nf nb ON nb.vid = ag.vb)
+SELECT * FROM cov WHERE coverage >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+_R6C_QUERIES = {
+    "video_near_dup": QueryDef(q_video_near_dup, _video_near_dup_oracle()),
+}
+QUERIES = {**_R6C_QUERIES, **QUERIES}
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    for the first 8 labeled vectors, the 5 most cosine-similar
+    DIFFERENT-label vectors — one corpus scan for all anchors (the
+    multi_query_topk serving shape with a label mask). Anchors are
+    table rows, so the oracle re-derives the full report relationally:
+    normalized-dot cosine, same-label anti-filter, (cos desc, id)
+    rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        (int(r["vec_id"]), list(r["embedding"]), int(r["label"]))
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return S.hard_negatives(emb, anchors, k=5).orderBy("anchor_id", "rank")
+
+
+_HARD_NEGATIVES_ORACLE = """
+WITH v AS (SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+n AS (SELECT vec_id, label, ev,
+    sqrt(list_reduce(list_prepend(0.0,
+      list_transform(ev, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM v),
+a AS (SELECT vec_id AS anchor_id, label AS albl, ev AS av, nrm AS anrm
+  FROM n WHERE vec_id < 8),
+s AS (SELECT a.anchor_id, n.vec_id,
+    list_reduce(list_prepend(0.0,
+      list_transform(range(1, len(n.ev) + 1),
+        i -> (n.ev[i] / n.nrm) * (a.av[i] / a.anrm))),
+      (acc, x) -> acc + x) AS cos
+  FROM n JOIN a ON n.label <> a.albl),
+r AS (SELECT anchor_id, vec_id, cos, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s)
+SELECT anchor_id, CAST(rank AS BIGINT) AS rank, vec_id,
+  round(cos, 6) AS cosine
+FROM r WHERE rank <= 5 ORDER BY anchor_id, rank
+"""
+
+
+_R6D_QUERIES = {
+    "hard_negatives": QueryDef(q_hard_negatives, _HARD_NEGATIVES_ORACLE),
+}
+QUERIES = {**_R6D_QUERIES, **QUERIES}

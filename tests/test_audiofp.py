@@ -96,3 +96,44 @@ class TestAudioPairs:
         with pytest.raises(ValueError):
             AF.hamming63_pairs(fp, "asset_id", "afp", 3, n_blocks=4,
                                block_bits=9)
+
+
+class TestHardNegatives:
+    def test_masks_same_label_and_ranks(self, spark):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(40):
+            v = rng.normal(size=8)
+            rows.append((i, [float(x) for x in v], i % 4))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        anchors = [(0, rows[0][1], 0), (1, rows[1][1], 1)]
+        got = hard_negatives(emb, anchors, k=3).collect()
+        by_anchor = {}
+        for r in got:
+            by_anchor.setdefault(r["anchor_id"], []).append(r)
+        lab = {i: i % 4 for i in range(40)}
+        for aid, rs in by_anchor.items():
+            assert len(rs) == 3
+            assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3]
+            for r in rs:
+                assert lab[r["vec_id"]] != lab[aid]
+        # brute-force agreement for anchor 0 (float32 storage: compare
+        # against the same float32-rounded vectors the kernel reads)
+        stored = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                  for r in emb.collect()}
+        a = stored[0] / np.linalg.norm(stored[0])
+        sims = sorted(
+            ((float(stored[i] @ a / np.linalg.norm(stored[i])), i)
+             for i in range(40) if lab[i] != 0),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got0 = [r["vec_id"] for r in sorted(by_anchor[0], key=lambda r: r["rank"])]
+        assert got0 == [i for _, i in sims]

@@ -93,3 +93,59 @@ class TestPhashPairs:
         assets = self._assets(spark, n=2)
         with pytest.raises(ValueError):
             PH.phash_near_duplicates(assets, max_hamming=7)
+
+
+class TestVideoNearDup:
+    def _assets(self, spark, n=4):
+        from inception_eventstore_spark.operators.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        rows = []
+        for v, avi in PH.textured_test_videos(n):
+            rows.append((v, bytearray(avi)))
+            frames, fps = decode_avi_mjpeg(avi)
+            rows.append(
+                (v + 1000,
+                 bytearray(encode_avi_mjpeg(frames, fps=4, quality=70)))
+            )
+        return spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    def test_recovers_reencoded_clips(self, spark):
+        assets = self._assets(spark).coalesce(2)
+        got = {
+            (r["id_a"], r["id_b"]): r["coverage"]
+            for r in PH.video_near_duplicates(assets).collect()
+        }
+        assert set(got) == {(v, v + 1000) for v in range(4)}
+        assert all(c == 1.0 for c in got.values())
+
+    def test_frame_hashes_shape(self, spark):
+        assets = self._assets(spark, n=2).coalesce(1)
+        rows = PH.video_frame_phashes(assets).collect()
+        per_vid = {}
+        for r in rows:
+            per_vid.setdefault(r["asset_id"], []).append(r["frame_idx"])
+        assert all(sorted(v) == list(range(4)) for v in per_vid.values())
+
+    def test_coverage_threshold(self, spark):
+        from inception_eventstore_spark.operators.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        # clip 0 and a HALF-overlapping clip (2 shared, 2 new frames)
+        (v0, avi0), (v1, avi1) = PH.textured_test_videos(2)
+        f0, _ = decode_avi_mjpeg(avi0)
+        f1, _ = decode_avi_mjpeg(avi1)
+        mixed = encode_avi_mjpeg(f0[2:] + f1[:2], fps=4, quality=85)
+        assets = spark.createDataFrame(
+            [(0, bytearray(avi0)), (5, bytearray(mixed))],
+            "asset_id long, payload binary",
+        )
+        half = PH.video_near_duplicates(assets, min_coverage=0.5).collect()
+        assert len(half) == 1 and half[0]["coverage"] == 0.5
+        assert not PH.video_near_duplicates(
+            assets, min_coverage=0.6
+        ).collect()
