@@ -183,6 +183,8 @@ HEADLINE = [
     "audio_near_dup",
     "video_near_dup",
     "hard_negatives",
+    "token_fertility",
+    "matryoshka_overlap",
 ]
 
 

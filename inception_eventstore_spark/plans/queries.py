@@ -7312,3 +7312,106 @@ _R6D_QUERIES = {
     "hard_negatives": QueryDef(q_hard_negatives, _HARD_NEGATIVES_ORACLE),
 }
 QUERIES = {**_R6D_QUERIES, **QUERIES}
+
+
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (tokenstats.token_fertility):
+    subwords/word, bytes/subword, subwords/doc — the table that
+    converts a TOKEN budget into a DOCUMENT plan per language before
+    mixture weighting (tokenizer cost varies by script). One
+    partial-aggregated scan; |languages| output rows."""
+    from inception_eventstore_spark.functions.spread import spread
+    from inception_eventstore_spark.operators.tokenstats import (
+        token_fertility,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return token_fertility(d).orderBy("lang")
+
+
+_TOKEN_FERTILITY_ORACLE = f"""
+WITH p AS (SELECT lang,
+    len({_DUCK_TOKENS}) AS w,
+    coalesce(list_sum(list_transform(
+      list_filter(string_split_regex(lower(text), '[^\\pL\\pN]+'),
+        x -> x <> ''),
+      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS s,
+    octet_length(encode(text)) AS b
+  FROM documents),
+a AS (SELECT lang, count(*) AS n_docs, sum(w) AS n_words,
+    sum(s) AS n_subwords, sum(b) AS n_bytes
+  FROM p GROUP BY lang)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_subwords AS BIGINT) AS n_subwords,
+  CAST(n_bytes AS BIGINT) AS n_bytes,
+  round(n_subwords * 1.0 / n_words, 6) AS subwords_per_word,
+  round(n_bytes * 1.0 / n_subwords, 6) AS bytes_per_subword,
+  round(n_subwords * 1.0 / n_docs, 6) AS subwords_per_doc
+FROM a ORDER BY lang
+"""
+
+
+_R6E_QUERIES = {
+    "token_fertility": QueryDef(q_token_fertility, _TOKEN_FERTILITY_ORACLE),
+}
+QUERIES = {**_R6E_QUERIES, **QUERIES}
+
+
+def q_matryoshka_overlap(spark, sf_dir):
+    """Matryoshka truncation diagnostic (matryoshka.prefix_topk_overlap):
+    recall of prefix-dimension L2 top-10 vs the full-dimension top-10
+    for the vec_id=0 query — the measurement before committing a
+    corpus to cheap low-dim prefix retrieval. Rounded-6 distance
+    cutoffs make every truncated scan engine-portable."""
+    from inception_eventstore_spark.operators.matryoshka import (
+        prefix_topk_overlap,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    cand = emb.where(F.col("vec_id") != 0)
+    return prefix_topk_overlap(cand, qvec, dims=(8, 16, 32), k=10).orderBy(
+        "dims"
+    )
+
+
+def _matryoshka_oracle() -> str:
+    def topk(d: int, name: str) -> str:
+        return f"""
+{name} AS (SELECT vec_id FROM (
+  SELECT e.vec_id,
+    round(sqrt(list_reduce(list_prepend(0.0,
+      list_transform(range(1, {d} + 1),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+           * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)))),
+      (acc, x) -> acc + x)), 6) AS dist
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY dist, vec_id LIMIT 10))"""
+
+    parts = ",".join(
+        [topk(64, "fullk")] + [topk(d, f"p{d}") for d in (8, 16, 32)]
+    )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dims,
+  CAST((SELECT count(*) FROM p{d} JOIN fullk USING (vec_id)) AS BIGINT)
+    AS n_common,
+  round((SELECT count(*) FROM p{d} JOIN fullk USING (vec_id)) / 10.0, 6)
+    AS overlap"""
+        for d in (8, 16, 32)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+{parts}
+SELECT * FROM ({unions}) ORDER BY dims
+"""
+
+
+_R6F_QUERIES = {
+    "matryoshka_overlap": QueryDef(q_matryoshka_overlap, _matryoshka_oracle()),
+}
+QUERIES = {**_R6F_QUERIES, **QUERIES}

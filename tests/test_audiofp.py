@@ -137,3 +137,52 @@ class TestHardNegatives:
         )[:3]
         got0 = [r["vec_id"] for r in sorted(by_anchor[0], key=lambda r: r["rank"])]
         assert got0 == [i for _, i in sims]
+
+
+class TestTokenFertilityMatryoshka:
+    def test_fertility_values(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import (
+            token_fertility,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "hello world"),          # 2 words, 2 subwords
+                (2, "en", "internationalization"),  # 1 word, 5 subwords
+                (3, "de", "abc def"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {r["lang"]: r for r in token_fertility(docs).collect()}
+        en = out["en"]
+        assert en["n_docs"] == 2 and en["n_words"] == 3
+        # ceil(5/4)+ceil(5/4) = 4 for "hello world", ceil(20/4) = 5
+        assert en["n_subwords"] == 4 + 5
+        assert en["n_bytes"] == len(b"hello world") + len(
+            b"internationalization"
+        )
+        assert abs(en["subwords_per_word"] - round(9 / 3, 6)) < 1e-9
+
+    def test_matryoshka_monotone_and_full(self, spark):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.matryoshka import (
+            prefix_topk_overlap,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=16)]) for i in range(200)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = rows[0][1]
+        out = {
+            r["dims"]: r["overlap"]
+            for r in prefix_topk_overlap(
+                emb.where("vec_id != 0"), q, dims=(4, 16), k=10
+            ).collect()
+        }
+        assert out[16] == 1.0  # full prefix == full scan
+        assert 0.0 <= out[4] <= 1.0
+        with pytest.raises(ValueError):
+            prefix_topk_overlap(emb, q, dims=(32,))

@@ -607,6 +607,32 @@ def _phash_pair_plan(spark, sf_dir):
     return phash_near_duplicates(assets, max_hamming=6, materialize=False)
 
 
+def _video_pair_plan(spark, sf_dir):
+    from inception_eventstore_spark.operators.phash import (
+        video_near_duplicates,
+    )
+    from inception_eventstore_spark.plans.queries import _video_fixture_rows
+
+    assets = spark.createDataFrame(
+        _video_fixture_rows(4), "asset_id long, payload binary"
+    ).coalesce(2)
+    return video_near_duplicates(assets, materialize=False)
+
+
+def _hard_negatives_plan(spark, sf_dir):
+    from inception_eventstore_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        (int(r["vec_id"]), list(r["embedding"]), int(r["label"]))
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+    return hard_negatives(emb, anchors, k=5)
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
@@ -622,6 +648,32 @@ EXTRA_CHECKS = [
             ("hamming verify is JVM bit_count on the BIGINT hash — "
              "python only decodes pixels",
              r"bit_count"),
+        ],
+    ),
+    (
+        "video_pair_join",
+        _video_pair_plan,
+        [
+            ("frame pairs form on the (block, value) equi-join — "
+             "never an all-pairs frame join",
+             "!CartesianProduct|BroadcastNestedLoopJoin"),
+            ("per-video frame counts join back broadcast",
+             r"BroadcastHashJoin"),
+            ("match counts partial-aggregated before the shuffle",
+             r"HashAggregate.*partial|partial_count"),
+        ],
+    ),
+    (
+        "hard_negatives_scan",
+        _hard_negatives_plan,
+        [
+            ("one corpus scan for all anchors — no join at all "
+             "(anchor matrix broadcast by value into the kernel)",
+             "!SortMergeJoin|ShuffledHashJoin|CartesianProduct"),
+            ("local per-batch top-k runs in the Arrow kernel",
+             r"MapInPandas|ArrowEvalPython"),
+            ("final rank window shuffles on the anchor key",
+             r"Exchange hashpartitioning\(anchor_id"),
         ],
     ),
     (

@@ -72,6 +72,28 @@ def main() -> int:
     volumes["sampled_frames"] = frames.count()
     timings["sample_frames"] = round(time.time() - t0, 3)
 
+    # r6 perceptual dedup kernels over the same on-disk assets
+    from inception_eventstore_spark.operators import audiofp as AFP
+    from inception_eventstore_spark.operators import phash as PH
+
+    images = assets.where(F.col("modality") == "image")
+    t0 = time.time()
+    volumes["image_phashes"] = PH.image_phashes(images).count()
+    timings["image_phashes"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["phash_pairs"] = PH.phash_near_duplicates(images).count()
+    timings["phash_near_duplicates"] = round(time.time() - t0, 3)
+
+    audio = assets.where(F.col("modality") == "audio")
+    t0 = time.time()
+    volumes["audio_fps"] = AFP.audio_fingerprints(audio).count()
+    timings["audio_fingerprints"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["video_pairs"] = PH.video_near_duplicates(avi).count()
+    timings["video_near_duplicates"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
