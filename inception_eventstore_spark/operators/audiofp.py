@@ -114,8 +114,21 @@ def hamming63_pairs(
     (id_a, id_b, hamming ≤ max_hamming). Lossless iff max_hamming ≤
     n_blocks − 1 (pigeonhole: a pair within the ball agrees on at
     least one block); enforced. n_blocks · block_bits must cover the
-    63-bit domain. Bucket equi-join on (block_idx, block_value) +
-    JVM ``bit_count(xor)`` verify — never an all-pairs join."""
+    63-bit domain.
+
+    The quadratic step runs over DISTINCT hash values, not ids: at
+    corpus scale the hot buckets are floods of byte-identical content
+    (empty pages, flat/black images, silence) whose members all share
+    ONE hash — deduping first collapses a df² bucket blow-up to df
+    before the banded equi-join + ``bit_count(xor)`` verify, and the
+    id-level report is recovered by two hash-equality joins:
+    same-hash pairs (hamming 0) from a plain equi self-join,
+    cross-hash pairs by expanding each verified hash pair. (The
+    expansion is output-sized — the pair CONTRACT is quadratic within
+    a true duplicate flood; for web-scale floods prefer
+    exact-group dedup (`dedup.exact_duplicate_groups` on the hash)
+    and feed only group representatives here.) Never an all-pairs
+    join on either level."""
     if max_hamming > n_blocks - 1:
         raise ValueError(
             f"max_hamming {max_hamming} > {n_blocks - 1} breaks the "
@@ -128,8 +141,8 @@ def hamming63_pairs(
     ).persist()
     base.count()
     mask = (1 << block_bits) - 1
-    blocks = base.select(
-        "_id",
+    hd = base.select("_h").distinct()
+    blocks = hd.select(
         "_h",
         F.posexplode(
             F.array(
@@ -141,17 +154,13 @@ def hamming63_pairs(
             )
         ).alias("_blk", "_bv"),
     )
-    left = blocks.select(
-        "_blk", "_bv", F.col("_id").alias("id_a"), F.col("_h").alias("_ha")
-    )
-    right = blocks.select(
-        "_blk", "_bv", F.col("_id").alias("id_b"), F.col("_h").alias("_hb")
-    )
-    pairs = (
+    left = blocks.select("_blk", "_bv", F.col("_h").alias("_ha"))
+    right = blocks.select("_blk", "_bv", F.col("_h").alias("_hb"))
+    hash_pairs = (
         left.join(right, ["_blk", "_bv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("_ha") < F.col("_hb"))
+        .select("_ha", "_hb")
+        .dropDuplicates(["_ha", "_hb"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast(
@@ -159,8 +168,27 @@ def hamming63_pairs(
             ),
         )
         .where(F.col("hamming") <= int(max_hamming))
-        .select("id_a", "id_b", "hamming")
     )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"))
+    cross = (
+        hash_pairs.join(a, "_ha")
+        .join(b, "_hb")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        a.join(
+            b,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+    pairs = cross.unionByName(same)
     if not materialize:
         return pairs  # lineage-open plan for dump_plans probes
     out = pairs.localCheckpoint(eager=True)

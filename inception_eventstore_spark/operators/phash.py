@@ -328,6 +328,9 @@ def textured_test_videos(
         _decode_image,
     )
 
+    cached = _TEXTURED_CACHE.get(("video", n, n_frames, quality))
+    if cached is not None:
+        return cached
     imgs = textured_test_images(n * n_frames)
     out = []
     for v in range(n):
@@ -336,4 +339,5 @@ def textured_test_videos(
             for f in range(n_frames)
         ]
         out.append((v, encode_avi_mjpeg(frames, fps=4, quality=quality)))
+    _TEXTURED_CACHE[("video", n, n_frames, quality)] = out
     return out

@@ -6997,12 +6997,20 @@ QUERIES = {**_R5F_QUERIES, **QUERIES}
 # ----------------------------------------------------------------------
 # Round 6: perceptual image dedup (operators/phash.py)
 # ----------------------------------------------------------------------
+_MEDIA_FIXTURE_CACHE: dict = {}
+
+
 def _phash_fixture_rows(n_imgs: int = 32):
     """Originals + JPEG-85 re-encoded near-dup plants (id + 1000), as
     plain rows. Payloads and the oracle's literal hashes come from the
     SAME driver-side functions, so the oracle checks the full Spark
     plumbing (Arrow kernel, banded join, bit_count verify) against an
-    independently-computed hash table."""
+    independently-computed hash table. Memoized — the JPEG re-encode
+    pass costs ~2 s and the query + oracle + bench all need the same
+    rows."""
+    cached = _MEDIA_FIXTURE_CACHE.get(("phash", n_imgs))
+    if cached is not None:
+        return cached
     from inception_eventstore_spark.operators import phash as PH
     from inception_eventstore_spark.operators.jpeg import encode_jpeg
     from inception_eventstore_spark.operators.multimodal import _decode_image
@@ -7013,6 +7021,7 @@ def _phash_fixture_rows(n_imgs: int = 32):
         rows.append(
             (i + 1000, bytearray(encode_jpeg(_decode_image(p), quality=85)))
         )
+    _MEDIA_FIXTURE_CACHE[("phash", n_imgs)] = rows
     return rows
 
 
@@ -7099,6 +7108,9 @@ def _audiofp_fixture_rows(n_clips: int = 24):
         encode_wav,
     )
 
+    cached = _MEDIA_FIXTURE_CACHE.get(("audio", n_clips))
+    if cached is not None:
+        return cached
     rows = []
     for i, p in AFP.textured_test_audio(n_clips):
         rows.append((i, bytearray(p)))
@@ -7127,6 +7139,7 @@ def _audiofp_fixture_rows(n_clips: int = 24):
                 ),
             )
         )
+    _MEDIA_FIXTURE_CACHE[("audio", n_clips)] = rows
     return rows
 
 
@@ -7208,6 +7221,9 @@ def _video_fixture_rows(n_clips: int = 10):
         encode_avi_mjpeg,
     )
 
+    cached = _MEDIA_FIXTURE_CACHE.get(("video", n_clips))
+    if cached is not None:
+        return cached
     rows = []
     for v, avi in PH.textured_test_videos(n_clips):
         rows.append((v, bytearray(avi)))
@@ -7215,6 +7231,7 @@ def _video_fixture_rows(n_clips: int = 10):
         rows.append(
             (v + 1000, bytearray(encode_avi_mjpeg(frames, fps=4, quality=70)))
         )
+    _MEDIA_FIXTURE_CACHE[("video", n_clips)] = rows
     return rows
 
 

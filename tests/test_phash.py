@@ -149,3 +149,27 @@ class TestVideoNearDup:
         assert not PH.video_near_duplicates(
             assets, min_coverage=0.6
         ).collect()
+
+
+class TestDuplicateFlood:
+    def test_identical_hash_flood(self, spark):
+        # 20 byte-identical copies + 2 distinct images: the banded join
+        # runs over DISTINCT hashes (3 rows), same-hash pairs come from
+        # the equi expansion — exact pair report either way
+        imgs = PH.textured_test_images(3)
+        rows = [(100 + j, bytearray(imgs[0][1])) for j in range(20)]
+        rows += [(1, bytearray(imgs[1][1])), (2, bytearray(imgs[2][1]))]
+        assets = spark.createDataFrame(
+            rows, "asset_id long, payload binary"
+        ).coalesce(2)
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in PH.phash_near_duplicates(assets, max_hamming=6).collect()
+        }
+        want = {
+            (100 + i, 100 + j)
+            for i in range(20)
+            for j in range(i + 1, 20)
+        }
+        assert set(got) == want
+        assert all(h == 0 for h in got.values())
