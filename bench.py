@@ -185,6 +185,7 @@ HEADLINE = [
     "hard_negatives",
     "token_fertility",
     "matryoshka_overlap",
+    "phash_index_probe",
 ]
 
 

@@ -7432,3 +7432,86 @@ _R6F_QUERIES = {
     "matryoshka_overlap": QueryDef(q_matryoshka_overlap, _matryoshka_oracle()),
 }
 QUERIES = {**_R6F_QUERIES, **QUERIES}
+
+
+_PHASH_INDEX_DIRS: dict[str, str] = {}
+
+
+def q_phash_index_probe(spark, sf_dir):
+    """Ingest-maintained pHash index probe (phash_index.PhashImageIndex
+    — the MinHashTextIndex / IvfVectorIndex pattern applied to visual
+    dedup): JPEG re-encodes of 8 corpus images probed against the
+    PERSISTED bucket table; per-probe cost is |batch|·7 bucket rows
+    joined on 8-byte keys, the corpus is never re-decoded. Built once
+    per process (ingest-time state); the oracle replays the hamming
+    ball over literal corpus + probe hash tables."""
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.phash_index import (
+        PhashImageIndex,
+    )
+
+    if "idx" not in _PHASH_INDEX_DIRS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="phash_ix_")
+        corpus = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in PH.textured_test_images(32)],
+            "asset_id long, payload binary",
+        ).coalesce(2)
+        PhashImageIndex.build(corpus, path)
+        _PHASH_INDEX_DIRS["idx"] = path
+    idx = PhashImageIndex.load(spark, _PHASH_INDEX_DIRS["idx"])
+    probe = spark.createDataFrame(
+        [(i + 1000, p) for i, p in _phash_probe_payloads()],
+        "asset_id long, payload binary",
+    ).coalesce(1)
+    return idx.query(probe, max_hamming=6).orderBy("query_id", "match_id")
+
+
+def _phash_probe_payloads():
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.jpeg import encode_jpeg
+    from inception_eventstore_spark.operators.multimodal import _decode_image
+
+    cached = _MEDIA_FIXTURE_CACHE.get(("phash_probe", 8))
+    if cached is not None:
+        return cached
+    imgs = PH.textured_test_images(32)
+    rows = [
+        (i, bytearray(encode_jpeg(_decode_image(imgs[i][1]), quality=85)))
+        for i in range(8)
+    ]
+    _MEDIA_FIXTURE_CACHE[("phash_probe", 8)] = rows
+    return rows
+
+
+def _phash_index_probe_oracle() -> str:
+    from inception_eventstore_spark.operators import phash as PH
+
+    corpus = ",\n".join(
+        f"({i}, {PH.phash63(bytes(p))})"
+        for i, p in PH.textured_test_images(32)
+    )
+    probe = ",\n".join(
+        f"({i + 1000}, {PH.phash63(bytes(p))})"
+        for i, p in _phash_probe_payloads()
+    )
+    return f"""
+WITH c AS (SELECT CAST(id AS BIGINT) AS match_id, CAST(h AS BIGINT) AS hm
+  FROM (VALUES {corpus}) AS t(id, h)),
+p AS (SELECT CAST(id AS BIGINT) AS query_id, CAST(h AS BIGINT) AS hq
+  FROM (VALUES {probe}) AS t(id, h))
+SELECT query_id, match_id,
+  CAST(bit_count(xor(hq, hm)) AS BIGINT) AS hamming
+FROM p CROSS JOIN c
+WHERE bit_count(xor(hq, hm)) <= 6
+ORDER BY query_id, match_id
+"""
+
+
+_R6G_QUERIES = {
+    "phash_index_probe": QueryDef(
+        q_phash_index_probe, _phash_index_probe_oracle()
+    ),
+}
+QUERIES = {**_R6G_QUERIES, **QUERIES}
