@@ -440,3 +440,41 @@ def stream_interval_join(
         )
     )
     return lw.join(rnamed, cond, "inner")
+
+
+def stream_image_dedup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    index,
+    corpus_path: str,
+    checkpoint_path: str,
+    max_hamming: int = 6,
+    schema: str = "asset_id long, payload binary",
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Streaming VISUAL dedup-at-ingest: image files dropped under
+    ``source_path`` are probed per micro-batch against a persisted
+    ``PhashImageIndex`` (banded pHash bucket join — the corpus is
+    never re-decoded); only visually-new images are indexed and
+    appended to ``corpus_path``. The image twin of
+    ``stream_dedup_ingest``, with the same idempotence story: rows
+    indexed by a partially-failed epoch match THEMSELVES (hamming 0)
+    on retry and are skipped, and the index is updated BEFORE the
+    corpus write so a crash between the two can only under-write the
+    corpus, never double-ingest a duplicate."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = index.append_unique(batch_df, max_hamming)
+        kept.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )

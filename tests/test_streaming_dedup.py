@@ -230,3 +230,56 @@ class TestDedupWithinWatermark:
             [(b"a", 1, 0, ts, bytearray(b"x"))] * 3, schemas.EVENTS_SCHEMA
         )
         assert dedup_within_watermark(df).count() == 1
+
+
+class TestStreamingImageDedupIngest:
+    def test_visual_dups_skipped_across_batches(self, spark, tmp_path):
+        from inception_eventstore_spark.operators import multimodal as MM
+        from inception_eventstore_spark.operators import phash as PH
+        from inception_eventstore_spark.operators.jpeg import encode_jpeg
+        from inception_eventstore_spark.operators.phash_index import (
+            PhashImageIndex,
+        )
+        from inception_eventstore_spark.streaming.ingest import (
+            stream_image_dedup_ingest,
+        )
+
+        source = str(tmp_path / "incoming")
+        corpus = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        imgs = PH.textured_test_images(6)
+        seed = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in imgs[:3]],
+            "asset_id long, payload binary",
+        )
+        idx = PhashImageIndex.build(seed, str(tmp_path / "pix"))
+
+        # batch 1: a JPEG re-encode of seeded image 1 (visual dup) + a
+        # genuinely new image
+        reenc = encode_jpeg(MM._decode_image(imgs[1][1]), quality=85)
+        spark.createDataFrame(
+            [(10, bytearray(reenc)), (11, bytearray(imgs[3][1]))],
+            "asset_id long, payload binary",
+        ).write.mode("append").parquet(source)
+        q = stream_image_dedup_ingest(spark, source, idx, corpus, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = {r["asset_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {11}
+
+        # batch 2: a re-encode of the image ingested in batch 1 (now
+        # probe-visible) + fresh
+        reenc3 = encode_jpeg(MM._decode_image(imgs[3][1]), quality=70)
+        spark.createDataFrame(
+            [(20, bytearray(reenc3)), (21, bytearray(imgs[4][1]))],
+            "asset_id long, payload binary",
+        ).write.mode("append").parquet(source)
+        q = stream_image_dedup_ingest(spark, source, idx, corpus, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = {r["asset_id"] for r in spark.read.parquet(corpus).collect()}
+        assert kept == {11, 21}
