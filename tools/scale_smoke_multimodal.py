@@ -94,6 +94,21 @@ def main() -> int:
     volumes["video_pairs"] = PH.video_near_duplicates(avi).count()
     timings["video_near_duplicates"] = round(time.time() - t0, 3)
 
+    # ingest-time visual dedup: build the persisted index over the
+    # image corpus, then probe the SAME images (every probe row should
+    # match at least itself at hamming 0) — probe cost is the bucket
+    # join, no corpus re-decode
+    from inception_eventstore_spark.operators.phash_index import (
+        PhashImageIndex,
+    )
+
+    t0 = time.time()
+    pix = PhashImageIndex.build(images, os.path.join(out_dir, "pix"))
+    timings["phash_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    volumes["index_probe_hits"] = pix.query(images).count()
+    timings["phash_index_probe"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
