@@ -620,6 +620,8 @@ def _video_pair_plan(spark, sf_dir):
 
 
 def _hard_negatives_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from inception_eventstore_spark.operators.similarity import (
         hard_negatives,
     )
