@@ -186,6 +186,7 @@ HEADLINE = [
     "token_fertility",
     "matryoshka_overlap",
     "phash_index_probe",
+    "phash_clusters",
 ]
 
 

@@ -7515,3 +7515,85 @@ _R6G_QUERIES = {
     ),
 }
 QUERIES = {**_R6G_QUERIES, **QUERIES}
+
+
+def _phash_chain_fixture_rows(n_imgs: int = 24):
+    """Three generations per image: PNG original (i), JPEG-85
+    re-encode (i+1000), and a JPEG-70 re-encode OF THE JPEG (i+2000).
+    (Measured: the hash is robust enough that generation 2 still pairs
+    with the original directly on these fixtures — the closure is
+    exercised structurally by the 3-node components either way, and
+    the CC labeling is what downstream survivor selection consumes.)"""
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from inception_eventstore_spark.operators.multimodal import _decode_image
+
+    cached = _MEDIA_FIXTURE_CACHE.get(("phash_chain", n_imgs))
+    if cached is not None:
+        return cached
+    rows = []
+    for i, p in PH.textured_test_images(n_imgs):
+        rows.append((i, bytearray(p)))
+        g1 = encode_jpeg(_decode_image(p), quality=85)
+        rows.append((i + 1000, bytearray(g1)))
+        g2 = encode_jpeg(decode_jpeg(g1), quality=70)
+        rows.append((i + 2000, bytearray(g2)))
+    _MEDIA_FIXTURE_CACHE[("phash_chain", n_imgs)] = rows
+    return rows
+
+
+def q_phash_clusters(spark, sf_dir):
+    """Visual duplicate CLUSTERS: connected components
+    (alternating large-star/small-star) over the pHash near-dup pair
+    graph — each original + its two re-encode generations collapse to
+    one component labeled by the smallest asset id — the closure a
+    pair list alone cannot express (A~B, B~C => one survivor among
+    {A,B,C}). The oracle replays pairs from literal hashes and closes
+    them with a recursive CTE."""
+    from inception_eventstore_spark.operators import phash as PH
+    from inception_eventstore_spark.operators.components import (
+        connected_components,
+    )
+
+    assets = spark.createDataFrame(
+        _phash_chain_fixture_rows(), "asset_id long, payload binary"
+    ).coalesce(2)
+    pairs = PH.phash_near_duplicates(assets, max_hamming=6)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("asset_id"), "component"
+    ).orderBy("asset_id")
+
+
+def _phash_clusters_oracle() -> str:
+    from inception_eventstore_spark.operators import phash as PH
+
+    vals = ",\n".join(
+        f"({i}, {PH.phash63(bytes(p))})"
+        for i, p in _phash_chain_fixture_rows()
+    )
+    return f"""
+WITH RECURSIVE h AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(ph AS BIGINT) AS ph
+  FROM (VALUES {vals}) AS t(id, ph)),
+pr AS (SELECT a.id AS id_a, b.id AS id_b
+  FROM h a JOIN h b ON a.id < b.id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 6),
+und AS (SELECT id_a AS u, id_b AS v FROM pr
+  UNION SELECT id_b AS u, id_a AS v FROM pr),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u WHERE n.v <> r.u)
+SELECT u AS asset_id, least(u, min(v)) AS component
+FROM reach GROUP BY u ORDER BY asset_id
+"""
+
+
+_R6H_QUERIES = {
+    "phash_clusters": QueryDef(q_phash_clusters, _phash_clusters_oracle()),
+}
+QUERIES = {**_R6H_QUERIES, **QUERIES}
