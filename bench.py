@@ -187,6 +187,8 @@ HEADLINE = [
     "matryoshka_overlap",
     "phash_index_probe",
     "phash_clusters",
+    "k_anonymity",
+    "suppress_to_k",
 ]
 
 

@@ -61,3 +61,55 @@ def redact_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return pii_counts(docs, text_col).withColumn(
         "redacted", redact_pii(text_col)
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One-row privacy audit over a quasi-identifier combination:
+    (k_anonymity, n_groups, n_violating_groups, rows_at_risk, n_rows).
+
+    k-anonymity (Sweeney 2002) of a relation w.r.t. quasi-identifier
+    columns = the smallest equivalence-class size: every row is
+    indistinguishable from at least k−1 others on those columns.
+    Training-data releases audit this before publishing per-group
+    statistics or joining external data. ``rows_at_risk`` counts rows
+    in classes smaller than ``k`` — the rows `suppress_to_k` would
+    drop. One partial-aggregated groupBy + a tiny second aggregate;
+    NULL quasi values form their own class (standard treatment —
+    NULL-grouped rows are still linkable as 'the rows with missing
+    X')."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("_gs"))
+    return groups.agg(
+        F.min("_gs").cast("bigint").alias("k_anonymity"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_gs") < int(k), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("_gs") < int(k), F.col("_gs")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum("_gs").cast("bigint").alias("n_rows"),
+    )
+
+
+def suppress_to_k(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Enforce k-anonymity by SUPPRESSION: drop every row whose
+    quasi-identifier equivalence class has fewer than ``k`` members —
+    the conservative release transform (generalization hierarchies are
+    domain-specific; suppression is universal). Broadcast-joins the
+    violating-class keys when small; Spark's AQE picks the join side.
+    Deterministic: the surviving set depends only on class sizes."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    ok = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("_gs"))
+        .where(F.col("_gs") >= int(k))
+        .select(*quasi_cols)
+    )
+    return df.join(ok, quasi_cols, "left_semi")

@@ -7597,3 +7597,74 @@ _R6H_QUERIES = {
     "phash_clusters": QueryDef(q_phash_clusters, _phash_clusters_oracle()),
 }
 QUERIES = {**_R6H_QUERIES, **QUERIES}
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity privacy audit (pii.k_anonymity_report) of the
+    customer table w.r.t. the (nation, market segment, account-balance
+    sign) quasi-identifier — the release check before publishing
+    per-group statistics. One partial-aggregated groupBy + a scalar
+    fold."""
+    from inception_eventstore_spark.operators.pii import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("bal_pos"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_pos"], k=5
+    )
+
+
+_K_ANONYMITY_ORACLE = """
+WITH g AS (SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bal_pos,
+    count(*) AS gs
+  FROM customer GROUP BY 1, 2, 3)
+SELECT CAST(min(gs) AS BIGINT) AS k_anonymity,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_groups,
+  CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  CAST(sum(gs) AS BIGINT) AS n_rows
+FROM g
+"""
+
+
+def q_suppress_to_k(spark, sf_dir):
+    """k-anonymity enforcement by suppression (pii.suppress_to_k):
+    the surviving row set after dropping every quasi-identifier class
+    smaller than k=5 — returned as per-class counts so the output is
+    stable and scalar-typed."""
+    from inception_eventstore_spark.operators.pii import suppress_to_k
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("bal_pos"),
+    )
+    kept = suppress_to_k(c, ["c_nationkey", "c_mktsegment", "bal_pos"], k=5)
+    return (
+        kept.groupBy("c_nationkey", "c_mktsegment", "bal_pos")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_pos")
+    )
+
+
+_SUPPRESS_TO_K_ORACLE = """
+WITH g AS (SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bal_pos,
+    count(*) AS gs
+  FROM customer GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment, bal_pos, CAST(gs AS BIGINT) AS n
+FROM g WHERE gs >= 5
+ORDER BY c_nationkey, c_mktsegment, bal_pos
+"""
+
+
+_R6I_QUERIES = {
+    "k_anonymity": QueryDef(q_k_anonymity, _K_ANONYMITY_ORACLE),
+    "suppress_to_k": QueryDef(q_suppress_to_k, _SUPPRESS_TO_K_ORACLE),
+}
+QUERIES = {**_R6I_QUERIES, **QUERIES}

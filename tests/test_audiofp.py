@@ -186,3 +186,31 @@ class TestTokenFertilityMatryoshka:
         assert 0.0 <= out[4] <= 1.0
         with pytest.raises(ValueError):
             prefix_topk_overlap(emb, q, dims=(32,))
+
+
+class TestKAnonymity:
+    def _df(self, spark):
+        rows = [(i, "A", "x") for i in range(6)]       # class of 6: safe
+        rows += [(10 + i, "B", "x") for i in range(3)]  # class of 3: risk
+        rows += [(20, "C", None)]                       # null class of 1
+        return spark.createDataFrame(rows, "id long, q1 string, q2 string")
+
+    def test_report(self, spark):
+        from inception_eventstore_spark.operators.pii import (
+            k_anonymity_report,
+        )
+
+        r = k_anonymity_report(self._df(spark), ["q1", "q2"], k=5).first()
+        assert r["k_anonymity"] == 1
+        assert r["n_groups"] == 3
+        assert r["n_violating_groups"] == 2
+        assert r["rows_at_risk"] == 4
+        assert r["n_rows"] == 10
+
+    def test_suppress(self, spark):
+        from inception_eventstore_spark.operators.pii import suppress_to_k
+
+        kept = suppress_to_k(self._df(spark), ["q1", "q2"], k=5)
+        assert sorted(r["id"] for r in kept.collect()) == list(range(6))
+        with pytest.raises(ValueError):
+            suppress_to_k(self._df(spark), [], k=5)
