@@ -48,7 +48,16 @@ class PhashIndexMeta:
 
 
 class PhashImageIndex:
-    """Pigeonhole block buckets over 63-bit image pHashes, persisted."""
+    """Pigeonhole block buckets over 63-bit image pHashes, persisted.
+
+    Subclass seam: ``N_BLOCKS`` / ``BLOCK_BITS`` set the pigeonhole
+    geometry and ``_hashes`` maps an asset batch to (id, hash) rows —
+    `AudioFingerprintIndex` below swaps in the spectral fingerprint
+    with its 9×7-bit geometry; everything else (layout, probe,
+    append_unique) is hash-agnostic."""
+
+    N_BLOCKS = _N_BLOCKS
+    BLOCK_BITS = _BLOCK_BITS
 
     def __init__(self, spark: SparkSession, path: str, meta: PhashIndexMeta):
         self.spark = spark
@@ -61,17 +70,24 @@ class PhashImageIndex:
     def _meta_path(self) -> str:
         return self.path + "/meta"
 
+    def _hashes(self, assets: DataFrame) -> DataFrame:
+        """(id, hash) rows for a batch — the hash-family hook."""
+        m = self.meta
+        return image_phashes(assets, m.id_col, m.payload_col).select(
+            F.col(m.id_col), F.col("phash").alias("_h63")
+        )
+
     def _derive(self, assets: DataFrame) -> DataFrame:
         m = self.meta
         mask = (1 << m.block_bits) - 1
-        hashes = image_phashes(assets, m.id_col, m.payload_col)
+        hashes = self._hashes(assets)
         return hashes.select(
             F.col(m.id_col).alias("_id"),
-            F.col("phash").alias("_h"),
+            F.col("_h63").alias("_h"),
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftright(F.col("phash"), b * m.block_bits)
+                        F.shiftright(F.col("_h63"), b * m.block_bits)
                         .bitwiseAND(F.lit(mask))
                         for b in range(m.n_blocks)
                     ]
@@ -87,7 +103,7 @@ class PhashImageIndex:
         id_col: str = "asset_id",
         payload_col: str = "payload",
     ) -> "PhashImageIndex":
-        meta = PhashIndexMeta(_N_BLOCKS, _BLOCK_BITS, id_col, payload_col)
+        meta = PhashIndexMeta(cls.N_BLOCKS, cls.BLOCK_BITS, id_col, payload_col)
         idx = cls(assets.sparkSession, path, meta)
         idx._derive(assets).write.mode("overwrite").parquet(
             idx._buckets_path()
@@ -168,3 +184,24 @@ class PhashImageIndex:
         unique = assets.join(dup_ids, m.id_col, "left_anti")
         self.append(unique)
         return unique
+
+
+class AudioFingerprintIndex(PhashImageIndex):
+    """Audio twin of the visual index: spectral fingerprints
+    (`audiofp.audio_fingerprint63`) with the 9×7-bit pigeonhole
+    geometry (lossless to hamming 8 — the measured robustness envelope
+    of the fingerprint: PCM re-encode / ×0.5 volume / ×2 upsample).
+    Probe with ``max_hamming=8``."""
+
+    N_BLOCKS = 9
+    BLOCK_BITS = 7
+
+    def _hashes(self, assets: DataFrame) -> DataFrame:
+        from inception_eventstore_spark.operators.audiofp import (
+            audio_fingerprints,
+        )
+
+        m = self.meta
+        return audio_fingerprints(assets, m.id_col, m.payload_col).select(
+            F.col(m.id_col), F.col("afp").alias("_h63")
+        )

@@ -68,3 +68,42 @@ class TestPhashImageIndex:
         idx = PhashImageIndex.build(_corpus(spark, 2), str(tmp_path / "ix"))
         with pytest.raises(ValueError):
             idx.query(_corpus(spark, 2), max_hamming=7)
+
+
+class TestAudioFingerprintIndex:
+    def test_probe_and_append_unique(self, spark, tmp_path):
+        import numpy as np
+
+        from inception_eventstore_spark.operators import audiofp as AF
+        from inception_eventstore_spark.operators.phash_index import (
+            AudioFingerprintIndex,
+        )
+
+        clips = AF.textured_test_audio(8)
+        corpus = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in clips[:6]],
+            "asset_id long, payload binary",
+        )
+        idx = AudioFingerprintIndex.build(corpus, str(tmp_path / "aix"))
+
+        def relevel(p, s=0.5):
+            x, rate = MM.decode_wav(p)
+            return bytearray(MM.encode_wav(
+                (np.clip(np.asarray(x) * s, -1, 1) * 32767).astype(np.int16),
+                rate,
+            ))
+
+        probe = spark.createDataFrame(
+            [(1002, relevel(clips[2][1])), (1007, bytearray(clips[7][1]))],
+            "asset_id long, payload binary",
+        )
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in idx.query(probe, max_hamming=8).collect()
+        }
+        assert got == {(1002, 2)}
+        kept = idx.append_unique(probe, max_hamming=8)
+        assert [r["asset_id"] for r in kept.collect()] == [1007]
+        # geometry round-trips through the meta sidecar
+        re = AudioFingerprintIndex.load(spark, str(tmp_path / "aix"))
+        assert re.meta.n_blocks == 9 and re.meta.block_bits == 7
