@@ -189,6 +189,7 @@ HEADLINE = [
     "phash_clusters",
     "k_anonymity",
     "suppress_to_k",
+    "psi_timeline",
 ]
 
 

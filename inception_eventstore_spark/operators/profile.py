@@ -268,3 +268,88 @@ def weighted_median(
         F.min("_v").alias("weighted_median"),
     )
     return agg
+
+
+def psi_timeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 10,
+    smoothing: float = 0.5,
+    period_fmt: str = "yyyy-MM-dd",
+) -> DataFrame:
+    """(period, n_ref, n_cur, psi): periodic drift MONITORING — total
+    PSI of every calendar period's value distribution (default daily;
+    ``period_fmt`` is a Spark date_format pattern) against the FIRST
+    period as baseline, the dashboard query behind
+    `population_stability` (which compares two fixed snapshots). A
+    rising psi series is the standard trigger for re-weighting or
+    re-training.
+
+    Single-pass design: baseline edges are one percentile aggregate
+    (6-dp rounded — the cross-engine contract population_stability
+    documents), then ONE scan buckets every row into (period, bin)
+    counts; baseline counts join back broadcast and per-period terms
+    sum map-side. |periods|·|bins| intermediate rows — NOT a
+    pass-per-period loop."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    per = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.date_format(ts_col, period_fmt).alias("period"),
+        F.col(value_col).alias("_v"),
+    )
+    base_period = per.agg(F.min("period")).first()[0]
+    if base_period is None:
+        raise ValueError("no rows with a timestamp and value")
+    probs = [i / bins for i in range(1, bins)]
+    edges = [
+        round(float(e), 6)
+        for e in per.where(F.col("period") == base_period)
+        .select(
+            F.percentile(F.col("_v"), F.array(*[F.lit(p) for p in probs]))
+        )
+        .first()[0]
+    ]
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col("_v") > F.lit(e), 1).otherwise(0)
+    counts = (
+        per.select("period", b.alias("bin"))
+        .groupBy("period", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    allbins = df.sparkSession.range(int(bins)).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    periods = counts.select("period").distinct()
+    grid = periods.crossJoin(F.broadcast(allbins))
+    full = grid.join(counts, ["period", "bin"], "left").select(
+        "period", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    ref = full.where(F.col("period") == base_period).select(
+        "bin", F.col("n").alias("n_ref")
+    )
+    a = float(smoothing)
+    tr = full.where(F.col("period") == base_period).agg(
+        F.sum("n").alias("_tr")
+    )
+    joined = (
+        full.join(F.broadcast(ref), "bin")
+        .crossJoin(F.broadcast(tr))
+    )
+    p = (F.col("n_ref") + a) / (F.col("_tr") + a * bins)
+    q = (F.col("n") + a) / (F.col("_tc") + a * bins)
+    tc = Window.partitionBy("period")
+    joined = joined.withColumn("_tc", F.sum("n").over(tc))
+    return (
+        joined.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy("period")
+        .agg(
+            F.max("_tr").cast("bigint").alias("n_ref"),
+            F.max("_tc").cast("bigint").alias("n_cur"),
+            F.round(F.sum("_term"), 6).alias("psi"),
+        )
+        .orderBy("period")
+    )

@@ -7668,3 +7668,55 @@ _R6I_QUERIES = {
     "suppress_to_k": QueryDef(q_suppress_to_k, _SUPPRESS_TO_K_ORACLE),
 }
 QUERIES = {**_R6I_QUERIES, **QUERIES}
+
+
+def q_psi_timeline(spark, sf_dir):
+    """Daily drift monitoring (profile.psi_timeline): total PSI of
+    every calendar day's value distribution vs the first day — the
+    dashboard series behind the two-snapshot psi_drift check. Single
+    pass: baseline decile edges (6-dp, the cross-engine contract),
+    one (day, bin) count scan, broadcast baseline join. The
+    stationary fixture keeps psi ≈ 0 everywhere; the oracle certifies
+    the arithmetic per day."""
+    from inception_eventstore_spark.operators import profile as PR
+
+    ev = _t(spark, sf_dir, "events")
+    return PR.psi_timeline(ev, "ts", "value", bins=10)
+
+
+_PSI_TIMELINE_ORACLE = """
+WITH per AS (SELECT strftime(ts, '%Y-%m-%d') AS period, value AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+bp AS (SELECT min(period) AS p0 FROM per),
+edges AS (SELECT round(unnest(q), 6) AS e FROM (
+  SELECT quantile_cont(v,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM per, bp WHERE period = bp.p0)),
+binned AS (SELECT period,
+    (SELECT count(*) FROM edges WHERE v > e) AS bin FROM per),
+counts AS (SELECT period, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+periods AS (SELECT DISTINCT period FROM counts),
+grid AS (SELECT p.period, b.i AS bin
+  FROM periods p CROSS JOIN range(0, 10) b(i)),
+fl AS (SELECT g.period, g.bin, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c
+  ON g.period = c.period AND g.bin = c.bin),
+rf AS (SELECT bin, n AS n_ref FROM fl, bp WHERE period = bp.p0),
+trt AS (SELECT sum(n_ref) AS tr FROM rf),
+tct AS (SELECT period, sum(n) AS tc FROM fl GROUP BY period),
+j AS (SELECT f.period, f.bin, f.n, r.n_ref, tct.tc, trt.tr
+  FROM fl f JOIN rf r USING (bin)
+  JOIN tct ON tct.period = f.period CROSS JOIN trt)
+SELECT period, CAST(max(tr) AS BIGINT) AS n_ref,
+  CAST(max(tc) AS BIGINT) AS n_cur,
+  round(sum(((n_ref + 0.5) / (tr + 5.0) - (n + 0.5) / (tc + 5.0))
+            * ln(((n_ref + 0.5) / (tr + 5.0))
+                 / ((n + 0.5) / (tc + 5.0)))), 6) AS psi
+FROM j GROUP BY period ORDER BY period
+"""
+
+
+_R6J_QUERIES = {
+    "psi_timeline": QueryDef(q_psi_timeline, _PSI_TIMELINE_ORACLE),
+}
+QUERIES = {**_R6J_QUERIES, **QUERIES}

@@ -186,3 +186,35 @@ class TestWeightedMedian:
         df = spark.createDataFrame([(v, 1) for v in vals], "v double, w int")
         got = weighted_median(df, "v", "w").collect()[0]
         assert got["weighted_median"] == sorted(vals)[len(vals) // 2 - 1]
+
+
+class TestPsiTimeline:
+    def test_baseline_zero_and_drift_detected(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import psi_timeline
+
+        rows = []
+        # day 1 baseline: values 0..999; day 2 same distribution;
+        # day 3 shifted by +500 (real drift)
+        for i in range(1000):
+            rows.append((dt.datetime(2024, 1, 1, 12, 0, i % 60, i), float(i)))
+            rows.append((dt.datetime(2024, 1, 2, 12, 0, i % 60, i), float(i)))
+            rows.append(
+                (dt.datetime(2024, 1, 3, 12, 0, i % 60, i), float(i) + 500.0)
+            )
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = {r["period"]: r for r in psi_timeline(df).collect()}
+        assert out["2024-01-01"]["psi"] == 0.0
+        assert abs(out["2024-01-02"]["psi"]) < 0.01
+        assert out["2024-01-03"]["psi"] > 0.25  # action threshold
+        assert all(r["n_ref"] == 1000 for r in out.values())
+
+    def test_empty_raises(self, spark):
+        from inception_eventstore_spark.operators.profile import psi_timeline
+
+        df = spark.createDataFrame([], "ts timestamp, value double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            psi_timeline(df)
