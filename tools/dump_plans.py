@@ -232,6 +232,30 @@ CHECKS = {
         ("within-shard window shuffles on the shard id",
          r"Exchange hashpartitioning\(_gr_pid"),
     ],
+    "token_fertility": [
+        ("one partial-aggregated scan per language",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "k_anonymity": [
+        ("class sizes partial-aggregated before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "suppress_to_k": [
+        ("survivors via a semi-join on the class keys — no row-level "
+         "anti cross join",
+         r"LeftSemi"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "psi_timeline": [
+        ("period-bin counts partial-aggregated (one scan, not a "
+         "pass per period)",
+         r"HashAggregate.*partial|partial_count"),
+        ("baseline counts and totals join back broadcast",
+         r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "domain_reweight": [
         ("per-domain stats aggregate partial-first",
          r"HashAggregate.*partial|partial_count"),
