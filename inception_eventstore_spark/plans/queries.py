@@ -163,9 +163,14 @@ FROM f ORDER BY doc_id
 
 def _quality_quantile_oracle() -> str:
     """Per-language top-30% filter over the same (certified) composite
-    score arithmetic as ``_quality_scores_oracle``, UNROUNDED for the
-    threshold comparison — DuckDB ``quantile_cont`` and Spark's exact
-    ``percentile`` share the linear-interpolation definition."""
+    score arithmetic as ``_quality_scores_oracle``. The per-doc score is
+    rounded at 6 dp on BOTH engines (the Spark side filters/aggregates
+    the rounded ``quality_score``, so the oracle must too — unrounded
+    scores drift up to 5e-7 per doc and flipped the 6th decimal of the
+    group mean at sf0.001). DuckDB ``quantile_cont`` and Spark's exact
+    ``percentile`` share the linear-interpolation definition; the mean
+    is reported in integer micro-units (floor division) to dodge 6-dp
+    half-boundaries entirely."""
     hits = " + ".join(_duck_stopword_hits(l) for l in TX.STOPWORDS)
     return f"""
 WITH t AS (
@@ -181,14 +186,15 @@ f AS (
   FROM t),
 q AS (
   SELECT doc_id, lang,
-    least(n_tok / 20.0, 1.0) * 0.3
+    round(least(n_tok / 20.0, 1.0) * 0.3
       + least(stop_ratio * 4, 1.0) * 0.2
       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
-      + uniq_ratio * 0.3 AS qs
+      + uniq_ratio * 0.3, 6) AS qs
   FROM f),
 thr AS (SELECT lang, quantile_cont(qs, 0.7) AS thr FROM q GROUP BY lang)
 SELECT q.lang, count(*) AS kept, round(min(qs), 6) AS min_kept_score,
-  round(avg(qs), 6) AS avg_kept_score
+  CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+    AS avg_kept_micro
 FROM q JOIN thr ON q.lang = thr.lang WHERE qs >= thr
 GROUP BY q.lang ORDER BY q.lang
 """
@@ -2454,12 +2460,20 @@ def q_quality_quantile_filter(spark, sf_dir):
 
     d = TX.quality_features(spread(_t(spark, sf_dir, "documents")))
     kept = FL.quantile_threshold_filter(d, "quality_score", "lang", 0.7)
+    # quality_score is an exact 6-dp multiple, so a group AVERAGE is a
+    # rational of 1e-6 multiples and routinely terminates at 6-dp half
+    # boundaries (Spark HALF_UP vs DuckDB half-even — the sf0.001 'de'
+    # group bit this). Quantize to integer micro-units and report the
+    # floor-divided mean: integer arithmetic, bit-identical both sides.
+    q6 = F.round(F.col("quality_score") * 1e6, 0).cast("long")
     return (
-        kept.groupBy("lang")
+        kept.withColumn("_q6", q6)
+        .groupBy("lang")
         .agg(
             F.count("*").alias("kept"),
             F.round(F.min("quality_score"), 6).alias("min_kept_score"),
-            F.round(F.avg("quality_score"), 6).alias("avg_kept_score"),
+            F.expr("sum(_q6) div count(*)").cast("bigint")
+            .alias("avg_kept_micro"),
         )
         .orderBy("lang")
     )
