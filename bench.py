@@ -190,6 +190,8 @@ HEADLINE = [
     "k_anonymity",
     "suppress_to_k",
     "psi_timeline",
+    "hll_distinct",
+    "heavy_hitters_cms",
 ]
 
 

@@ -1,0 +1,287 @@
+"""Portable cardinality / frequency sketches (HyperLogLog, Count-Min).
+
+Spark ships ``approx_count_distinct`` (HLL++) and DuckDB ships
+``approx_count_distinct`` (its own HLL), but their register layouts and
+hash functions differ, so the estimates are engine-specific — the
+repo's ``approx_stats`` query is rows-only for exactly that reason.
+These operators instead build the sketches from the PORTABLE 60-bit md5
+hash (`sampling.md5_prefix60`) with pure integer register arithmetic,
+so the full sketch state replays bit-for-bit in any engine with ``md5``
+— the estimate becomes a value-oracled query instead of a trust-me
+number.
+
+Scale story (100 TB): both sketches are classic one-pass, map-side
+combinable aggregations. HLL shuffles at most ``groups x m`` register
+rows (m = 2^p, default 512) regardless of input size; Count-Min
+shuffles ``d x w`` counters. Neither ever materializes the distinct
+set. The only driver-side state is the final per-group estimate row.
+
+Register encoding (HLL, p register bits over the 60-bit hash):
+    idx = h mod 2^p              (low p bits)
+    w   = h div 2^p              (the remaining 60-p bits)
+    rho = (60 - p + 1) - bitlen(w)   [w = 0 -> 60 - p + 1]
+where ``bitlen`` is ``length(bin(w))`` — both Spark and DuckDB print
+minimal binary digits, so the leading-zero count is exact integer
+arithmetic, never a floating log2. The harmonic denominator is kept as
+the exact BIGINT ``sum(2^(Q - M_j))`` with Q = 60 - p + 1 <= 52 (p >=
+9), so register state hash-compares exactly across engines; only the
+final alpha * m^2 * 2^Q / denom estimate touches doubles.
+
+References: Flajolet et al. 2007 (HyperLogLog), Heule et al. 2013
+(HLL++ small-range linear counting), Cormode & Muthukrishnan 2005
+(Count-Min). Reference parity: the event-store reference exposes only
+exact COUNT counters (MessageCounter.cs) — these sketches are the
+100-TB-scale generalization the driver's pipeline mandate asks for.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.sampling import md5_prefix60
+
+__all__ = [
+    "hll_alpha",
+    "hll_registers",
+    "hll_distinct",
+    "cms_sketch",
+    "cms_estimate",
+]
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_raw_constant(m: int, q: int) -> float:
+    """alpha_m * m^2 * 2^Q as one python float — the shared numerator."""
+    return hll_alpha(m) * m * m * float(1 << q)
+
+
+def _hll_rho(value: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rho) for one value under the portable hash."""
+    q = 60 - p  # bits left in w
+    h = md5_prefix60(F.concat(F.lit("hll:"), value.cast("string")))
+    idx = F.pmod(h, F.lit(1 << p))
+    w = (h / F.lit(1 << p)).cast("bigint")  # h >= 0: div == shiftright
+    rho = F.when(w > 0, F.lit(q + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(q + 1)
+    )
+    return idx, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    p: int = 9,
+) -> DataFrame:
+    """Per-(group, register) max-rho table — the whole sketch state.
+
+    One map-side-combinable aggregation; output is at most
+    ``|groups| * 2^p`` rows no matter how large the input.
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    groups = group_cols or []
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    idx, rho = _hll_rho(value, p)
+    return (
+        df.select(*groups, idx.alias("reg_idx"), rho.alias("rho"))
+        .groupBy(*groups, "reg_idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    p: int = 9,
+) -> DataFrame:
+    """HLL distinct-count estimate per group from the portable sketch.
+
+    Output per group: ``hll_denom`` (exact BIGINT register certificate
+    ``sum 2^(Q - M_j)`` incl. ``2^Q`` per empty register), ``hll_zeros``
+    (empty-register count), ``hll_est`` (double; linear counting when
+    the raw estimate is <= 2.5 m and zeros remain — Flajolet's
+    small-range correction).
+    """
+    groups = group_cols or []
+    m = 1 << p
+    q = 60 - p + 1  # max rho; 2^(q - rho) <= 2^(q-1), empty reg = 2^q
+    regs = hll_registers(df, value_col, groups, p)
+    agg = regs.groupBy(*groups).agg(
+        F.sum(F.expr(f"shiftleft(1L, {q} - m_j)"))
+        .cast("bigint")
+        .alias("_present_denom"),
+        F.count("*").cast("bigint").alias("_n_regs"),
+    )
+    zeros = F.lit(m) - F.col("_n_regs")
+    denom = (
+        F.col("_present_denom")
+        + zeros * F.shiftleft(F.lit(1).cast("bigint"), q)
+    ).cast("bigint")
+    # Pre-multiplied in Python and injected as ONE literal on both
+    # engines (hll_oracle_sql repr's the same float), so the raw
+    # estimate is the identical double division C / denom everywhere.
+    raw = F.lit(_hll_raw_constant(m, q)) / F.col("hll_denom")
+    est = F.when(
+        (F.col("hll_zeros") > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("hll_zeros")),
+    ).otherwise(raw)
+    return (
+        agg.withColumn("hll_denom", denom)
+        .withColumn("hll_zeros", zeros.cast("bigint"))
+        .withColumn("hll_est", est)
+        .drop("_present_denom", "_n_regs")
+    )
+
+
+def hll_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    group_cols: list[str] | None = None,
+    p: int = 9,
+) -> str:
+    """DuckDB twin of ``hll_distinct`` over ``source_sql`` (a relation
+    exposing ``value_expr`` and the group columns). Same integer
+    register arithmetic; kept next to the operator so the two can never
+    drift."""
+    groups = group_cols or []
+    m = 1 << p
+    q = 60 - p + 1
+    c = _hll_raw_constant(m, q)
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    gby_reg = "GROUP BY " + ", ".join([*groups, "reg_idx"])
+    return f"""
+WITH src AS ({source_sql}),
+h AS (SELECT {gsel}
+  CAST(concat('0x', substr(md5(concat('hll:', CAST({value_expr} AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM src),
+r AS (SELECT {gsel} h % {m} AS reg_idx,
+  CASE WHEN h // {m} > 0 THEN {q} - length(bin(h // {m}))
+       ELSE {q} END AS rho
+  FROM h),
+regs AS (SELECT {gsel} reg_idx, max(rho) AS m_j FROM r {gby_reg}),
+agg AS (SELECT {gsel}
+  CAST(sum(1::BIGINT << ({q} - m_j)) AS BIGINT) AS present_denom,
+  CAST(count(*) AS BIGINT) AS n_regs FROM regs {gby}),
+fin AS (SELECT {gsel}
+  CAST(present_denom + ({m} - n_regs) * (1::BIGINT << {q}) AS BIGINT) AS hll_denom,
+  CAST({m} - n_regs AS BIGINT) AS hll_zeros FROM agg)
+SELECT {gsel} hll_denom, hll_zeros,
+  CASE WHEN hll_zeros > 0 AND {c!r} / hll_denom <= {2.5 * m!r}
+       THEN {float(m)!r} * ln({float(m)!r} / hll_zeros)
+       ELSE {c!r} / hll_denom
+  END AS hll_est
+FROM fin
+"""
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-Min sketch: ``depth`` independent md5-salted hash rows of
+    ``width`` counters. One explode + one aggregation; the sketch is
+    ``depth * width`` rows regardless of input size."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"),
+                F.pmod(
+                    md5_prefix60(
+                        F.concat(F.lit(f"cms{r}:"), value.cast("string"))
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row_id").alias("row_id"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point estimates for ``keys[key_col]``: min over the sketch rows
+    of the key's bucket counter. The sketch is tiny — broadcast it and
+    keep the key side map-side."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        F.pmod(
+                            md5_prefix60(
+                                F.concat(F.lit(f"cms{r}:"), key.cast("string"))
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.row_id", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .fillna({"n": 0})
+        .groupBy(key_col)
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+    )
+
+
+def cms_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    keys_sql: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """DuckDB twin of ``cms_sketch`` + ``cms_estimate``."""
+    def bucket(expr: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('cms', r.r, ':', "
+            f"CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT) % {width}"
+        )
+
+    return f"""
+WITH src AS ({source_sql}),
+rows_ AS (SELECT range AS r FROM range(0, {depth})),
+sk AS (SELECT r.r AS row_id, {bucket(value_expr)} AS bucket,
+  CAST(count(*) AS BIGINT) AS n
+  FROM src, rows_ r GROUP BY 1, 2),
+keys_ AS ({keys_sql}),
+probes AS (SELECT k.{key_col}, r.r AS row_id, {bucket(f'k.{key_col}')} AS bucket
+  FROM keys_ k, rows_ r)
+SELECT p.{key_col},
+  CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS cms_est
+FROM probes p LEFT JOIN sk ON p.row_id = sk.row_id AND p.bucket = sk.bucket
+GROUP BY p.{key_col}
+"""

@@ -7734,3 +7734,111 @@ _R6J_QUERIES = {
     "psi_timeline": QueryDef(q_psi_timeline, _PSI_TIMELINE_ORACLE),
 }
 QUERIES = {**_R6J_QUERIES, **QUERIES}
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog distinct-users per event type
+    (sketches.hll_distinct, p=9 → 512 registers) joined against the
+    exact count. Unlike approx_stats (engine-specific HLL++ internals,
+    rows-only), the md5-based register state is pure integer arithmetic
+    — hll_denom is the exact BIGINT harmonic certificate, so the whole
+    sketch hash-matches DuckDB. Scale: one map-side-combinable pass;
+    the shuffle is ≤ |types|·512 register rows regardless of input."""
+    from inception_eventstore_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events")
+    h = SK.hll_distinct(e, "user_id", ["event_type"], p=9)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        h.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_denom",
+            "hll_zeros",
+            F.round("hll_est", 4).alias("hll_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_distinct_oracle() -> str:
+    from inception_eventstore_spark.operators.sketches import hll_oracle_sql
+
+    inner = hll_oracle_sql(
+        "SELECT event_type, user_id FROM events", "user_id", ["event_type"]
+    )
+    return f"""
+WITH hll AS ({inner}),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+  AS exact_users FROM events GROUP BY 1)
+SELECT hll.event_type, ex.exact_users, hll.hll_denom, hll.hll_zeros,
+  round(hll.hll_est, 4) AS hll_est
+FROM hll JOIN ex ON hll.event_type = ex.event_type
+ORDER BY hll.event_type
+"""
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min heavy hitters: a 4×64 md5-salted sketch over event
+    user_ids, probed for the exact top-10 users. width=64 is the
+    collision dial — small enough that buckets actually collide at
+    test scale, so `overcount = est − exact ≥ 0` is exercised, not
+    vacuous. Integer-exact on both engines. Scale: the sketch is 256
+    counters however large the stream; the probe side broadcasts it."""
+    from inception_eventstore_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events")
+    exact = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    top = exact.orderBy(F.desc("exact_n"), "user_id").limit(10)
+    sk = SK.cms_sketch(e, "user_id", depth=4, width=64)
+    est = SK.cms_estimate(sk, top.select("user_id"), "user_id",
+                          depth=4, width=64)
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+def _heavy_hitters_cms_oracle() -> str:
+    from inception_eventstore_spark.operators.sketches import cms_oracle_sql
+
+    inner = cms_oracle_sql(
+        "SELECT user_id FROM events",
+        "user_id",
+        "SELECT user_id FROM (SELECT user_id, count(*) AS c FROM events "
+        "GROUP BY 1 ORDER BY c DESC, user_id LIMIT 10)",
+        "user_id",
+        depth=4,
+        width=64,
+    )
+    return f"""
+WITH est AS ({inner}),
+ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1)
+SELECT est.user_id, ex.exact_n, est.cms_est,
+  CAST(est.cms_est - ex.exact_n AS BIGINT) AS overcount
+FROM est JOIN ex ON est.user_id = ex.user_id
+ORDER BY ex.exact_n DESC, est.user_id
+"""
+
+
+_R6K_QUERIES = {
+    "hll_distinct": QueryDef(q_hll_distinct, _hll_distinct_oracle()),
+    "heavy_hitters_cms": QueryDef(
+        q_heavy_hitters_cms, _heavy_hitters_cms_oracle()
+    ),
+}
+QUERIES = {**_R6K_QUERIES, **QUERIES}

@@ -1,0 +1,136 @@
+"""Tests for the portable HLL / Count-Min sketches (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators import sketches as SK
+
+
+class TestHLL:
+    def test_raw_branch_accuracy_100k(self, spark):
+        """100k distinct keys with m=512 registers leaves zero empty
+        registers, so the RAW alpha*m^2/denom branch (not linear
+        counting) produces the estimate. Theoretical RSD is
+        1.04/sqrt(512) ~= 4.6%; the md5 hash is fixed, so the observed
+        error is a constant — pin a 2-sigma envelope."""
+        n = 100_000
+        df = spark.range(n).select(F.col("id").alias("k"))
+        row = SK.hll_distinct(df, "k", p=9).first()
+        assert row["hll_zeros"] == 0  # raw branch, not linear counting
+        assert 0.90 * n < row["hll_est"] < 1.10 * n
+
+    def test_linear_counting_small(self, spark):
+        """15 distinct keys in 512 registers: the small-range branch
+        (m * ln(m / zeros)) engages and lands near the exact count."""
+        df = spark.range(15).select(F.col("id").alias("k"))
+        row = SK.hll_distinct(df, "k", p=9).first()
+        assert row["hll_zeros"] == 512 - 15  # no register collisions here
+        assert 13.0 < row["hll_est"] < 17.0
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        """The sketch depends only on the distinct set: 10 copies of
+        each key give byte-identical register state."""
+        once = spark.range(1000).select(F.col("id").alias("k"))
+        many = once.crossJoin(spark.range(10)).select("k")
+        r1 = SK.hll_distinct(once, "k").first()
+        r2 = SK.hll_distinct(many, "k").first()
+        assert r1["hll_denom"] == r2["hll_denom"]
+        assert r1["hll_est"] == r2["hll_est"]
+
+    def test_oracle_parity_grouped(self, spark):
+        """The DuckDB twin reproduces the register certificate and the
+        estimate bit-for-bit on a grouped input."""
+        rows = [(f"g{i % 3}", i % 37) for i in range(500)]
+        df = spark.createDataFrame(rows, ["g", "k"])
+        got = {
+            r["g"]: (r["hll_denom"], r["hll_zeros"], r["hll_est"])
+            for r in SK.hll_distinct(df, "k", ["g"]).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"('g{i % 3}', {i % 37})" for i in range(500))
+            + ") v(g, k)"
+        )
+        sql = SK.hll_oracle_sql("SELECT g, k FROM t", "k", ["g"])
+        want = {g: (d, z, e) for g, d, z, e in con.sql(sql).fetchall()}
+        assert got == want
+
+    def test_p_bounds(self, spark):
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError):
+            SK.hll_registers(df, "k", p=3)
+        with pytest.raises(ValueError):
+            SK.hll_registers(df, "k", p=13)
+
+
+class TestCMS:
+    def test_never_undercounts(self, spark):
+        """CMS point estimates are >= the true count for EVERY key —
+        the sketch's defining guarantee. A tiny 4x16 sketch over 200
+        keys forces heavy collisions, so the property is non-vacuous."""
+        df = spark.range(2000).select((F.col("id") % 200).alias("k"))
+        exact = df.groupBy("k").agg(F.count("*").alias("n"))
+        sk = SK.cms_sketch(df, "k", depth=4, width=16)
+        est = SK.cms_estimate(sk, exact.select("k"), "k", depth=4, width=16)
+        bad = (
+            exact.join(est, "k")
+            .where(F.col("cms_est") < F.col("n"))
+            .count()
+        )
+        assert bad == 0
+        # and with heavy collisions at least one key IS overcounted
+        over = (
+            exact.join(est, "k")
+            .where(F.col("cms_est") > F.col("n"))
+            .count()
+        )
+        assert over > 0
+
+    def test_isolated_key_exact(self, spark):
+        """With width >> keys, no collisions: estimates equal counts."""
+        df = spark.range(300).select((F.col("id") % 3).alias("k"))
+        sk = SK.cms_sketch(df, "k", depth=4, width=512)
+        est = SK.cms_estimate(
+            sk, df.select("k").distinct(), "k", depth=4, width=512
+        )
+        assert {r["cms_est"] for r in est.collect()} == {100}
+
+    def test_absent_key_estimates_from_collisions_only(self, spark):
+        """A key never inserted gets min-over-rows of whatever collided
+        into its buckets — with a wide sketch that is 0."""
+        df = spark.range(100).select(F.col("id").alias("k"))
+        sk = SK.cms_sketch(df, "k", depth=4, width=4096)
+        keys = spark.createDataFrame([(10_000_000,)], ["k"])
+        est = SK.cms_estimate(sk, keys, "k", depth=4, width=4096)
+        assert est.first()["cms_est"] == 0
+
+    def test_oracle_parity(self, spark):
+        df = spark.range(1000).select((F.col("id") % 50).alias("k"))
+        sk = SK.cms_sketch(df, "k", depth=4, width=32)
+        keys = df.select("k").distinct()
+        got = {
+            r["k"]: r["cms_est"]
+            for r in SK.cms_estimate(sk, keys, "k", depth=4, width=32)
+            .collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT range % 50 AS k FROM range(0, 1000)"
+        )
+        sql = SK.cms_oracle_sql(
+            "SELECT k FROM t", "k", "SELECT DISTINCT k FROM t", "k",
+            depth=4, width=32,
+        )
+        want = dict(con.sql(sql).fetchall())
+        assert got == want
+
+    def test_param_bounds(self, spark):
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError):
+            SK.cms_sketch(df, "k", depth=0)
+        with pytest.raises(ValueError):
+            SK.cms_sketch(df, "k", width=1)

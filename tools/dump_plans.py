@@ -248,6 +248,20 @@ CHECKS = {
          r"LeftSemi"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "hll_distinct": [
+        ("register max is map-side combinable (partial_max before the "
+         "shuffle — the input never moves, only ≤ groups·512 registers)",
+         r"partial_max|HashAggregate.*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no single-partition exchange", "!Exchange SinglePartition"),
+    ],
+    "heavy_hitters_cms": [
+        ("top-10 candidates via per-partition TakeOrdered merge, not a "
+         "global sort", r"TakeOrderedAndProject"),
+        ("the 256-counter sketch broadcasts to the probe side",
+         r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "psi_timeline": [
         ("period-bin counts partial-aggregated (one scan, not a "
          "pass per period)",
