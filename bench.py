@@ -192,6 +192,7 @@ HEADLINE = [
     "psi_timeline",
     "hll_distinct",
     "heavy_hitters_cms",
+    "graph_bfs_hops",
 ]
 
 

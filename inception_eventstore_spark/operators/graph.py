@@ -38,6 +38,7 @@ __all__ = [
     "label_propagation",
     "triangle_counts",
     "adamic_adar",
+    "bfs_hops",
 ]
 
 
@@ -341,3 +342,54 @@ def adamic_adar(
             F.col("adamic_adar").desc(), "u", "v"
         ).limit(int(top_n))
     return scored
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimal hop distance from a seed set: (node, hop), hop ∈ [0,
+    ``max_hops``], one row per REACHED node.
+
+    Standard distributed frontier BFS (Pregel's simplest instance):
+    each level is one frontier⋈edges equi-join on the cached src
+    partitioning, a distinct, and an anti-join against the visited set
+    — so level k shuffles only the frontier and its out-edges, never
+    the whole graph. The visited set grows monotonically and is
+    re-checkpointed per level to keep lineage flat. A fixed hop bound
+    keeps the computation a deterministic DAG (at 100 TB you bound
+    search depth anyway); the per-level early-exit count is a scalar.
+
+    ``sources`` must expose a ``node`` column. Oracle twin: a recursive
+    CTE bounded by hop with min(hop) per node — see the declared
+    ``graph_bfs_hops`` query.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    E = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    visited = sources.select(
+        F.col("node").cast("bigint").alias("node"), F.lit(0).alias("hop")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(E, frontier["node"] == E["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    E.unpersist()
+    return visited

@@ -7842,3 +7842,64 @@ _R6K_QUERIES = {
     ),
 }
 QUERIES = {**_R6K_QUERIES, **QUERIES}
+
+
+def q_graph_bfs_hops(spark, sf_dir):
+    """BFS shortest hop distance (graph.bfs_hops) from the smallest
+    active customer over the sparsified customer↔supplier purchase
+    graph (lineitems with l_quantity > 45 — dense enough to connect,
+    sparse enough that hop layers are non-trivial at every SF). The
+    oracle replays the search as a hop-bounded recursive CTE with
+    min(hop) per node — BFS first-visit level == minimal hop, so the
+    two formulations agree exactly. Node ids: 2·custkey / 2·suppkey+1
+    (the pagerank_custsupp convention)."""
+    from inception_eventstore_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_quantity") > 45)
+        .select(
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
+        )
+    )
+    edges = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cn").alias("src"), F.col("sn").alias("dst")),
+                F.struct(F.col("sn").alias("src"), F.col("cn").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    seeds = j.agg(F.min("cn").alias("node"))
+    res = G.bfs_hops(edges, seeds, max_hops=3)
+    return res.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("hop").cast("bigint").alias("hop"),
+    ).orderBy("node")
+
+
+_GRAPH_BFS_ORACLE = """
+WITH RECURSIVE j AS (
+  SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity > 45),
+e AS (SELECT cn AS src, sn AS dst FROM j
+      UNION ALL SELECT sn AS src, cn AS dst FROM j),
+seeds AS (SELECT min(cn) AS node FROM j),
+walk(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON w.node = e.src
+  WHERE w.hop < 3)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+_R6L_QUERIES = {
+    "graph_bfs_hops": QueryDef(q_graph_bfs_hops, _GRAPH_BFS_ORACLE),
+}
+QUERIES = {**_R6L_QUERIES, **QUERIES}

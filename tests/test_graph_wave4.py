@@ -347,3 +347,58 @@ class TestAdamicAdarHubCap:
                       _edges_df(spark, pairs), max_degree=1000
                   ).collect()}
         assert exact == capped
+
+
+def _seed_df(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], ["node"])
+
+
+class TestBfsHops:
+    def test_chain_levels(self, spark):
+        # directed chain 1 -> 2 -> 3 -> 4 -> 5, hop bound 3
+        edges = _edges_df(spark, [(i, i + 1) for i in range(1, 5)])
+        got = {
+            r["node"]: r["hop"]
+            for r in G.bfs_hops(edges, _seed_df(spark, [1]), 3).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond the bound
+
+    def test_min_hop_wins_on_multiple_paths(self, spark):
+        # 1->2->4 and 1->4: node 4 must report hop 1, not 2
+        edges = _edges_df(spark, [(1, 2), (2, 4), (1, 4)])
+        got = {
+            r["node"]: r["hop"]
+            for r in G.bfs_hops(edges, _seed_df(spark, [1]), 3).collect()
+        }
+        assert got[4] == 1
+
+    def test_cycle_terminates_and_keeps_first_visit(self, spark):
+        edges = _edges_df(spark, [(1, 2), (2, 3), (3, 1)])
+        got = {
+            r["node"]: r["hop"]
+            for r in G.bfs_hops(edges, _seed_df(spark, [1]), 3).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_multi_seed_and_unreachable(self, spark):
+        edges = _edges_df(spark, [(1, 2), (10, 11), (20, 21)])
+        got = {
+            r["node"]: r["hop"]
+            for r in G.bfs_hops(edges, _seed_df(spark, [1, 10]), 2).collect()
+        }
+        assert got == {1: 0, 10: 0, 2: 1, 11: 1}  # 20/21 unreached
+
+    def test_early_exit_when_frontier_drains(self, spark):
+        # component exhausted at hop 1; max_hops 5 must not loop on
+        edges = _edges_df(spark, [(1, 2)])
+        res = G.bfs_hops(edges, _seed_df(spark, [1]), 5)
+        assert {(r["node"], r["hop"]) for r in res.collect()} == {
+            (1, 0), (2, 1)
+        }
+
+    def test_hop_zero_and_guard(self, spark):
+        edges = _edges_df(spark, [(1, 2)])
+        res = G.bfs_hops(edges, _seed_df(spark, [1]), 0)
+        assert res.collect()[0]["hop"] == 0 and res.count() == 1
+        with pytest.raises(ValueError):
+            G.bfs_hops(edges, _seed_df(spark, [1]), -1)

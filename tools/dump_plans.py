@@ -673,9 +673,53 @@ def _hard_negatives_plan(spark, sf_dir):
     return hard_negatives(emb, anchors, k=5)
 
 
+def _bfs_level_plan(spark, sf_dir):
+    """One un-checkpointed BFS level (the declared graph_bfs_hops query
+    eager-checkpoints each visited set, hiding the per-level plan):
+    frontier⋈edges on src, distinct, anti-join against visited."""
+    from pyspark.sql import functions as F
+
+    from inception_eventstore_spark.plans.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_quantity") > 45)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    edges = j.repartition("src")
+    visited = j.select(F.col("src").alias("node")).limit(5)
+    frontier = visited
+    return (
+        frontier.join(edges, frontier["node"] == edges["src"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(visited, "node", "left_anti")
+    )
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "bfs_level",
+        _bfs_level_plan,
+        [
+            ("level expansion is an equi-join on src — never a "
+             "cartesian frontier×graph product",
+             "!CartesianProduct"),
+            ("visited-set exclusion is a hash anti-join",
+             r"LeftAnti"),
+            ("frontier dedup is a keyed hash aggregate (function-less "
+             "distinct — runs map-side then post-shuffle)",
+             r"HashAggregate\(keys=\[node"),
+            ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
     (
         "phash_pair_join",
         _phash_pair_plan,
