@@ -193,6 +193,7 @@ HEADLINE = [
     "hll_distinct",
     "heavy_hitters_cms",
     "graph_bfs_hops",
+    "l_diversity",
 ]
 
 

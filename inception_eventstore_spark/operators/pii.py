@@ -113,3 +113,41 @@ def suppress_to_k(
         .select(*quasi_cols)
     )
     return df.join(ok, quasi_cols, "left_semi")
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """One-row l-diversity audit: k-anonymity's companion check
+    (Machanavajjhala 2007). A release is l-diverse w.r.t. a sensitive
+    attribute when every quasi-identifier equivalence class contains at
+    least ``l`` DISTINCT sensitive values — k-anonymity alone permits a
+    class of 50 rows that all share one diagnosis, and membership then
+    leaks the secret. Output: (l_diversity = min distinct sensitive per
+    class, n_groups, n_violating_groups, rows_at_risk, n_rows).
+
+    One exact two-measure aggregation per class (count + distinct
+    count, partial-aggregated) and a scalar fold — the class table is
+    the only shuffle, same scale shape as `k_anonymity_report`."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count("*").alias("_gs"),
+        F.countDistinct(sensitive_col).alias("_dv"),
+    )
+    return groups.agg(
+        F.min("_dv").cast("bigint").alias("l_diversity"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_dv") < int(l), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("_dv") < int(l), F.col("_gs")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum("_gs").cast("bigint").alias("n_rows"),
+    )

@@ -7903,3 +7903,40 @@ _R6L_QUERIES = {
     "graph_bfs_hops": QueryDef(q_graph_bfs_hops, _GRAPH_BFS_ORACLE),
 }
 QUERIES = {**_R6L_QUERIES, **QUERIES}
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (pii.l_diversity_report): does any
+    (event_type, calendar day) class pin its rows to fewer than 3
+    distinct users? k-anonymity's companion check — a large class
+    whose rows all belong to one user still leaks membership. One
+    two-measure class aggregate + a scalar fold."""
+    from inception_eventstore_spark.operators.pii import l_diversity_report
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    return l_diversity_report(e, ["event_type", "day"], "user_id", l=3)
+
+
+_L_DIVERSITY_ORACLE = """
+WITH g AS (SELECT event_type, date_trunc('day', ts) AS day,
+    count(*) AS gs, count(DISTINCT user_id) AS dv
+  FROM events GROUP BY 1, 2)
+SELECT CAST(min(dv) AS BIGINT) AS l_diversity,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN dv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_groups,
+  CAST(sum(CASE WHEN dv < 3 THEN gs ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  CAST(sum(gs) AS BIGINT) AS n_rows
+FROM g
+"""
+
+
+_R6M_QUERIES = {
+    "l_diversity": QueryDef(q_l_diversity, _L_DIVERSITY_ORACLE),
+}
+QUERIES = {**_R6M_QUERIES, **QUERIES}

@@ -62,3 +62,57 @@ class TestRedactionOrder:
         assert r["redacted"] == (
             "[EMAIL] then [URL] then [IP] then [PHONE]"
         )
+
+
+class TestLDiversity:
+    def _df(self, spark):
+        # class A: 4 rows, 1 distinct secret (violates l=3, 4 at risk)
+        # class B: 3 rows, 3 distinct (ok)  class C: 2 rows, 2 (violates)
+        rows = (
+            [("A", f"r{i}", "s1") for i in range(4)]
+            + [("B", f"r{i}", f"s{i}") for i in range(3)]
+            + [("C", "r0", "s1"), ("C", "r1", "s2")]
+        )
+        return spark.createDataFrame(rows, ["qi", "pad", "secret"])
+
+    def test_report(self, spark):
+        from inception_eventstore_spark.operators.pii import (
+            l_diversity_report,
+        )
+
+        r = l_diversity_report(self._df(spark), ["qi"], "secret", l=3).first()
+        assert r["l_diversity"] == 1
+        assert r["n_groups"] == 3
+        assert r["n_violating_groups"] == 2
+        assert r["rows_at_risk"] == 6  # A(4) + C(2)
+        assert r["n_rows"] == 9
+
+    def test_k_anonymous_but_not_diverse(self, spark):
+        """The case the check exists for: class A is 4-anonymous yet
+        1-diverse — k alone would pass it at k=4."""
+        from inception_eventstore_spark.operators.pii import (
+            k_anonymity_report,
+            l_diversity_report,
+        )
+
+        df = self._df(spark).where(F.col("qi") == "A")
+        assert k_anonymity_report(df, ["qi"], k=4).first()["k_anonymity"] == 4
+        assert (
+            l_diversity_report(df, ["qi"], "secret", l=2).first()[
+                "n_violating_groups"
+            ]
+            == 1
+        )
+
+    def test_guards(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.pii import (
+            l_diversity_report,
+        )
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            l_diversity_report(df, [], "secret")
+        with pytest.raises(ValueError):
+            l_diversity_report(df, ["qi"], "secret", l=0)

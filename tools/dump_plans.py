@@ -242,6 +242,11 @@ CHECKS = {
          r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "l_diversity": [
+        ("class sizes + distinct secrets partial-aggregated before "
+         "the shuffle", r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "suppress_to_k": [
         ("survivors via a semi-join on the class keys — no row-level "
          "anti cross join",
