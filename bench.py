@@ -194,6 +194,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "graph_bfs_hops",
     "l_diversity",
+    "embedding_outliers",
 ]
 
 

@@ -245,3 +245,73 @@ def random_projection(
         return pd.Series(list(Y))
 
     return emb.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def mahalanobis_outliers(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_n: int = 20,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Top-``top_n`` embedding outliers by diagonal-covariance
+    Mahalanobis distance: score = Σ_d ((x_d − μ_d)/σ_d)² — the standard
+    cheap anomaly filter before clustering / dedup (full-covariance
+    Mahalanobis needs a d×d inverse; the diagonal form is the
+    embedding-pipeline convention and is exactly per-dim z-scores).
+
+    Engine-portable by construction: μ/σ are the 6-dp-rounded dim stats
+    (the same cross-engine contract `embedding_dim_stats` certifies),
+    baked back as literal arrays so the scoring pass adds NO join; each
+    per-dim z² is quantized to integer micro-units (floor(z²·2^20) —
+    floor of an identically-computed double, the sq8_encode rule) and
+    summed as BIGINT, so the score is associative integer addition:
+    partial aggregation order can never move it. Shuffle: one
+    partial-aggregated groupBy(id) over the exploded (id, z²_u) pairs;
+    top-n via per-partition TakeOrdered."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    stats = sorted(
+        embedding_dim_stats(embeddings, vec_col=vec_col)
+        .select(
+            "dim",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+        )
+        .collect(),
+        key=lambda r: r.dim,
+    )
+    if not stats:
+        raise ValueError("empty embeddings DataFrame")
+    mu = F.array(*[F.lit(float(r.mean)) for r in stats])
+    sd = F.array(*[F.lit(max(float(r.std or 0.0), eps)) for r in stats])
+    staged = (
+        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_x"))
+        .withColumn("_mu", mu)
+        .withColumn("_sd", sd)
+        # stage z BEFORE the quantizing lambda (single-lambda reference
+        # is safe; re-deriving z inside would re-zip per element)
+        .withColumn(
+            "_z",
+            F.zip_with(
+                F.zip_with(F.col("_x"), F.col("_mu"), lambda x, m: x - m),
+                F.col("_sd"),
+                lambda c, s: c / s,
+            ),
+        )
+        .withColumn(
+            "_zu",
+            F.transform(
+                F.col("_z"),
+                lambda t: F.floor(t * t * F.lit(float(1 << 20))).cast(
+                    "bigint"
+                ),
+            ),
+        )
+    )
+    scores = (
+        staged.select(id_col, F.explode("_zu").alias("_u"))
+        .groupBy(id_col)
+        .agg(F.sum("_u").cast("bigint").alias("maha2_u"))
+    )
+    return scores.orderBy(F.desc("maha2_u"), id_col).limit(int(top_n))

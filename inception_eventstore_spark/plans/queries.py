@@ -7940,3 +7940,46 @@ _R6M_QUERIES = {
     "l_diversity": QueryDef(q_l_diversity, _L_DIVERSITY_ORACLE),
 }
 QUERIES = {**_R6M_QUERIES, **QUERIES}
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Diagonal-Mahalanobis embedding outliers
+    (embeddings.mahalanobis_outliers): top-20 vectors by Σ z_d² in
+    integer micro-units. μ/σ are the 6-dp dim stats (the
+    embedding_dim_stats contract); floor-quantized z² summed as BIGINT
+    makes the score bit-exact on both engines regardless of
+    aggregation order."""
+    from inception_eventstore_spark.operators import embeddings as EB
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return EB.mahalanobis_outliers(emb, top_n=20).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("maha2_u").cast("bigint").alias("maha2_u"),
+    )
+
+
+_EMBEDDING_OUTLIERS_ORACLE = """
+WITH ex AS (SELECT vec_id,
+    generate_subscripts(embedding, 1) - 1 AS dim,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+st AS (SELECT dim, round(avg(x), 6) AS mu,
+    greatest(round(stddev_pop(x), 6), 1e-12) AS sd
+  FROM ex GROUP BY dim),
+z AS (SELECT e.vec_id,
+    ((e.x - st.mu) / st.sd) * ((e.x - st.mu) / st.sd) AS z2
+  FROM ex e JOIN st ON e.dim = st.dim),
+s AS (SELECT vec_id,
+    CAST(sum(CAST(floor(z2 * 1048576.0) AS BIGINT)) AS BIGINT) AS maha2_u
+  FROM z GROUP BY vec_id)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, maha2_u
+FROM s ORDER BY maha2_u DESC, vec_id LIMIT 20
+"""
+
+
+_R6N_QUERIES = {
+    "embedding_outliers": QueryDef(
+        q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE
+    ),
+}
+QUERIES = {**_R6N_QUERIES, **QUERIES}

@@ -208,3 +208,56 @@ class TestRandomProjection:
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
         with pytest.raises(ValueError):
             random_projection(emb, out_dim=0)
+
+
+class TestMahalanobisOutliers:
+    def test_planted_outlier_ranks_first(self, spark):
+        import random
+
+        from inception_eventstore_spark.operators.embeddings import (
+            mahalanobis_outliers,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(200)
+        ]
+        rows.append((999, [25.0] * 8))  # 25-sigma-ish on every dim
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        top = mahalanobis_outliers(df, top_n=3).collect()
+        assert top[0]["vec_id"] == 999
+        assert top[0]["maha2_u"] > top[1]["maha2_u"]
+
+    def test_score_is_integer_micro_units(self, spark):
+        from inception_eventstore_spark.operators.embeddings import (
+            mahalanobis_outliers,
+        )
+
+        # two dims, three vectors: stats are exact, score checkable by
+        # hand. mean = 0 on both dims, std_pop = sqrt(2/3) ~ 0.816497
+        vecs = [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 0.0])]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        got = {
+            r["vec_id"]: r["maha2_u"]
+            for r in mahalanobis_outliers(df, top_n=3).collect()
+        }
+        import math
+
+        sd = round(math.sqrt(2.0 / 3.0), 6)
+        z2 = (1.0 / sd) ** 2
+        expect = math.floor(z2 * (1 << 20))  # + floor(0) for dim 2
+        assert got[1] == expect and got[2] == expect and got[3] == 0
+
+    def test_guards(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.embeddings import (
+            mahalanobis_outliers,
+        )
+
+        df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError):
+            mahalanobis_outliers(df, top_n=0)
+        empty = df.where("vec_id < 0")
+        with pytest.raises(ValueError):
+            mahalanobis_outliers(empty)

@@ -253,6 +253,15 @@ CHECKS = {
          r"LeftSemi"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "embedding_outliers": [
+        ("scoring pass is literal-array arithmetic — no stats join",
+         "!SortMergeJoin|ShuffledHashJoin"),
+        ("z² micro-unit sum partial-aggregates before the id shuffle",
+         r"partial_sum|HashAggregate.*partial"),
+        ("top-20 via per-partition TakeOrdered merge, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "hll_distinct": [
         ("register max is map-side combinable (partial_max before the "
          "shuffle — the input never moves, only ≤ groups·512 registers)",
