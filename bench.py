@@ -195,6 +195,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "l_diversity",
     "embedding_outliers",
+    "rrf_fusion",
 ]
 
 

@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from inception_eventstore_spark.operators.dedup import tokens
 
-__all__ = ["build_inverted_index", "bm25_topk", "BM25_K1", "BM25_B"]
+__all__ = [
+    "build_inverted_index",
+    "bm25_topk",
+    "bm25_multi_topk",
+    "rrf_fuse",
+    "BM25_K1",
+    "BM25_B",
+]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -279,3 +286,53 @@ def bm25_multi_topk(
             "doc_id", "score",
         )
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    rrf_k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
+    standard hybrid-search combiner: fused(d) = Σ_lists 1/(k + rank).
+    Each input exposes (query_id, item_id, rank); an item missing from
+    a list simply contributes nothing (no outer-join NULL juggling —
+    the union+groupBy shape IS the sum over lists it appears in).
+
+    Contributions are integer parts-per-billion (``1e9 div (k +
+    rank)``), so the fused score is associative BIGINT addition —
+    bit-exact on any engine and immune to float-sum ordering; at
+    rank ≤ 10⁴ adjacent reciprocal values differ by ≥ ~9 ppb, far
+    above the floor-quantization, so fused ORDER matches the real-value
+    RRF. Output: (query_id, item_id, rrf_ppb, n_lists, fused_rank).
+
+    Scale: the union carries Σ|lists| (bounded k·|queries| rows — the
+    retrievers already cut to top-k), one partial-aggregated groupBy,
+    and a per-query window over ≤ Σk rows — skew-free by construction.
+    """
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(
+        DataFrame.unionByName,
+        [l.select("query_id", "item_id", "rank") for l in ranked_lists],
+    )
+    contrib = F.expr(f"1000000000 div ({int(rrf_k)} + rank)")
+    scores = u.groupBy("query_id", "item_id").agg(
+        F.sum(contrib).cast("bigint").alias("rrf_ppb"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppb"), F.asc("item_id")
+    )
+    out = scores.withColumn(
+        "fused_rank", F.row_number().over(w).cast("bigint")
+    )
+    if top_n is not None:
+        out = out.where(F.col("fused_rank") <= int(top_n))
+    return out

@@ -7983,3 +7983,111 @@ _R6N_QUERIES = {
     ),
 }
 QUERIES = {**_R6N_QUERIES, **QUERIES}
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
+    a BM25 keyword ranking and an exact embedding top-k for the same
+    three queries — the canonical hybrid-search combiner. Both input
+    rankings are themselves value-oracled operators
+    (retrieval_bm25_multi, sim_multi_topk), and the fusion sums
+    integer ppb contributions (1e9 div (60+rank)), so the fused table
+    is bit-exact across engines. vec_id aligns with doc_id in the
+    testdata, giving each query a lexical and a semantic view of the
+    same items."""
+    from inception_eventstore_spark.operators import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "merge"]),
+            (2, ["window", "key"]),
+            (3, ["batch"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    lexical = RT.bm25_multi_topk(docs, qdf, k=10).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    qrows = (
+        emb.where(F.col("vec_id").isin(1, 2, 3))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    semantic = S.multi_query_topk(
+        emb.where(F.col("vec_id") >= 5), queries, k=10
+    ).select("query_id", F.col("vec_id").alias("item_id"), "rank")
+    return (
+        RT.rrf_fuse([lexical, semantic], rrf_k=60, top_n=10)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _rrf_fusion_oracle() -> str:
+    return f"""
+WITH k AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+qs AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'merge'),
+                             (2, 'window'), (2, 'key'),
+                             (3, 'batch')) AS t(query_id, token)),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk
+  FROM documents),
+st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM toks),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+  FROM ex WHERE token IN (SELECT token FROM qs)
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+    ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM st) - count(DISTINCT doc_id) + 0.5)
+             / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY token),
+sc AS (
+  SELECT query_id, doc_id,
+    round(sum(idf * (tf * (k.k1 + 1.0))
+              / (tf + k.k1 * ((1.0 - k.b)
+                 + k.b * dl / ((SELECT CAST(sdl AS DOUBLE) FROM st)
+                               / (SELECT n FROM st))))), 6) AS score
+  FROM tf JOIN idf USING (token) JOIN qs USING (token), k
+  GROUP BY query_id, doc_id),
+lex AS (SELECT query_id, doc_id AS item_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS rank FROM sc
+  QUALIFY rank <= 10),
+qv AS (SELECT vec_id AS query_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+cv AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= 5),
+d AS (SELECT qv.query_id, cv.vec_id,
+    sqrt(greatest(list_inner_product(cv, cv)
+      - 2 * list_inner_product(cv, qv)
+      + list_inner_product(qv, qv), 0)) AS dist
+  FROM qv CROSS JOIN cv),
+sem AS (SELECT query_id, vec_id AS item_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY dist, vec_id) AS rank FROM d
+  QUALIFY rank <= 10),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+f AS (SELECT query_id, item_id,
+    CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb,
+    CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY query_id, item_id)
+SELECT query_id, item_id, rrf_ppb, n_lists,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_ppb DESC, item_id) AS BIGINT) AS fused_rank
+FROM f
+QUALIFY fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
+_R6O_QUERIES = {
+    "rrf_fusion": QueryDef(q_rrf_fusion, _rrf_fusion_oracle()),
+}
+QUERIES = {**_R6O_QUERIES, **QUERIES}

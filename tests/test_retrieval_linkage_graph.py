@@ -681,3 +681,51 @@ class TestBpeEncodeTrain:
             F.sum(F.col("freq") * F.col("n_pieces"))
         ).first()[0]
         assert enc < base  # 8 merges strictly shrink the piece count
+
+
+class TestRrfFuse:
+    def _lists(self, spark):
+        from inception_eventstore_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            ["query_id", "item_id", "rank"],
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2)], ["query_id", "item_id", "rank"]
+        )
+        return rrf_fuse, a, b
+
+    def test_scores_and_order(self, spark):
+        rrf_fuse, a, b = self._lists(spark)
+        rows = {r["item_id"]: r for r in rrf_fuse([a, b]).collect()}
+        ppb = lambda r: 1_000_000_000 // (60 + r)
+        # item 11 appears in both lists: rank 2 + rank 1
+        assert rows[11]["rrf_ppb"] == ppb(2) + ppb(1)
+        assert rows[11]["n_lists"] == 2
+        assert rows[10]["rrf_ppb"] == ppb(1) and rows[10]["n_lists"] == 1
+        order = [
+            r["item_id"]
+            for r in sorted(rows.values(), key=lambda r: r["fused_rank"])
+        ]
+        assert order[0] == 11  # two contributions beat any single one
+
+    def test_item_id_tie_break(self, spark):
+        from inception_eventstore_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 20, 1), (1, 5, 1)], ["query_id", "item_id", "rank"]
+        )
+        b = a.where("item_id < 0")  # empty second list
+        out = rrf_fuse([a]).orderBy("fused_rank").collect()
+        assert [r["item_id"] for r in out] == [5, 20]  # equal score -> id
+
+    def test_top_n_cut_and_guards(self, spark):
+        import pytest
+
+        rrf_fuse, a, b = self._lists(spark)
+        assert rrf_fuse([a, b], top_n=2).count() == 2
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        with pytest.raises(ValueError):
+            rrf_fuse([a], rrf_k=0)

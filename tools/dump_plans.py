@@ -253,6 +253,14 @@ CHECKS = {
          r"LeftSemi"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "rrf_fusion": [
+        ("fusion groupBy partial-aggregates the union of top-k lists",
+         r"HashAggregate.*partial|partial_sum"),
+        ("fused rank window shuffles on the query key, never a single "
+         "partition", "!Exchange SinglePartition"),
+        ("semantic side stays the Arrow batch kernel",
+         r"MapInPandas|ArrowEvalPython"),
+    ],
     "embedding_outliers": [
         ("scoring pass is literal-array arithmetic — no stats join",
          "!SortMergeJoin|ShuffledHashJoin"),
