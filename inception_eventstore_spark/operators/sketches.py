@@ -36,8 +36,6 @@ exact COUNT counters (MessageCounter.cs) — these sketches are the
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,8 +45,11 @@ __all__ = [
     "hll_alpha",
     "hll_registers",
     "hll_distinct",
+    "hll_merge",
+    "hll_estimate_from_registers",
     "cms_sketch",
     "cms_estimate",
+    "cms_merge",
 ]
 
 
@@ -112,34 +113,8 @@ def hll_distinct(
     small-range correction).
     """
     groups = group_cols or []
-    m = 1 << p
-    q = 60 - p + 1  # max rho; 2^(q - rho) <= 2^(q-1), empty reg = 2^q
     regs = hll_registers(df, value_col, groups, p)
-    agg = regs.groupBy(*groups).agg(
-        F.sum(F.expr(f"shiftleft(1L, {q} - m_j)"))
-        .cast("bigint")
-        .alias("_present_denom"),
-        F.count("*").cast("bigint").alias("_n_regs"),
-    )
-    zeros = F.lit(m) - F.col("_n_regs")
-    denom = (
-        F.col("_present_denom")
-        + zeros * F.shiftleft(F.lit(1).cast("bigint"), q)
-    ).cast("bigint")
-    # Pre-multiplied in Python and injected as ONE literal on both
-    # engines (hll_oracle_sql repr's the same float), so the raw
-    # estimate is the identical double division C / denom everywhere.
-    raw = F.lit(_hll_raw_constant(m, q)) / F.col("hll_denom")
-    est = F.when(
-        (F.col("hll_zeros") > 0) & (raw <= F.lit(2.5 * m)),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("hll_zeros")),
-    ).otherwise(raw)
-    return (
-        agg.withColumn("hll_denom", denom)
-        .withColumn("hll_zeros", zeros.cast("bigint"))
-        .withColumn("hll_est", est)
-        .drop("_present_denom", "_n_regs")
-    )
+    return hll_estimate_from_registers(regs, p=p, group_cols=groups)
 
 
 def hll_oracle_sql(
@@ -285,3 +260,71 @@ SELECT p.{key_col},
 FROM probes p LEFT JOIN sk ON p.row_id = sk.row_id AND p.bucket = sk.bucket
 GROUP BY p.{key_col}
 """
+
+
+def hll_merge(
+    register_tables: list[DataFrame],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge HLL sketches: register-wise MAX over any number of
+    ``hll_registers`` outputs — the property that makes HLL a
+    maintainable materialized aggregate (per-day/per-partition register
+    tables merge in ≤ groups·m rows of work, no raw-data re-scan;
+    union-distinct cardinality for free). Exact: max is associative,
+    commutative and idempotent, so merged state == the sketch built
+    from the concatenated raw inputs, bit-for-bit."""
+    if not register_tables:
+        raise ValueError("register_tables must be non-empty")
+    from functools import reduce
+
+    groups = group_cols or []
+    u = reduce(DataFrame.unionByName, register_tables)
+    return u.groupBy(*groups, "reg_idx").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = 9,
+                                group_cols: list[str] | None = None,
+                                ) -> DataFrame:
+    """Estimate from a (merged) register table — the read half of
+    ``hll_distinct``, split out so materialized register state can be
+    queried without rebuilding."""
+    groups = group_cols or []
+    m = 1 << p
+    q = 60 - p + 1
+    agg = regs.groupBy(*groups).agg(
+        F.sum(F.expr(f"shiftleft(1L, {q} - m_j)"))
+        .cast("bigint")
+        .alias("_present_denom"),
+        F.count("*").cast("bigint").alias("_n_regs"),
+    )
+    zeros = F.lit(m) - F.col("_n_regs")
+    denom = (
+        F.col("_present_denom")
+        + zeros * F.shiftleft(F.lit(1).cast("bigint"), q)
+    ).cast("bigint")
+    raw = F.lit(_hll_raw_constant(m, q)) / F.col("hll_denom")
+    est = F.when(
+        (F.col("hll_zeros") > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("hll_zeros")),
+    ).otherwise(raw)
+    return (
+        agg.withColumn("hll_denom", denom)
+        .withColumn("hll_zeros", zeros.cast("bigint"))
+        .withColumn("hll_est", est)
+        .drop("_present_denom", "_n_regs")
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME depth/width/salts:
+    counter-wise SUM — linear, so merged == rebuilt exactly, and
+    per-partition sketches fold into a stream-long frequency table
+    without re-reading history."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, sketches)
+    return u.groupBy("row_id", "bucket").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )

@@ -134,3 +134,49 @@ class TestCMS:
             SK.cms_sketch(df, "k", depth=0)
         with pytest.raises(ValueError):
             SK.cms_sketch(df, "k", width=1)
+
+
+class TestSketchMerge:
+    def test_hll_merge_equals_rebuild(self, spark):
+        """Register-wise max over per-partition sketches == the sketch
+        of the concatenated input, bit-for-bit — the matview property."""
+        a = spark.range(0, 3000).select(F.col("id").alias("k"))
+        b = spark.range(2000, 5000).select(F.col("id").alias("k"))  # overlap
+        ra = SK.hll_registers(a, "k")
+        rb = SK.hll_registers(b, "k")
+        merged = SK.hll_estimate_from_registers(
+            SK.hll_merge([ra, rb])
+        ).first()
+        rebuilt = SK.hll_distinct(a.union(b), "k").first()
+        assert merged["hll_denom"] == rebuilt["hll_denom"]
+        assert merged["hll_est"] == rebuilt["hll_est"]
+
+    def test_hll_merge_idempotent(self, spark):
+        df = spark.range(100).select(F.col("id").alias("k"))
+        r = SK.hll_registers(df, "k")
+        twice = SK.hll_estimate_from_registers(SK.hll_merge([r, r])).first()
+        once = SK.hll_distinct(df, "k").first()
+        assert twice["hll_denom"] == once["hll_denom"]
+
+    def test_cms_merge_equals_rebuild(self, spark):
+        a = spark.range(0, 500).select((F.col("id") % 40).alias("k"))
+        b = spark.range(0, 700).select((F.col("id") % 55).alias("k"))
+        merged = SK.cms_merge(
+            [SK.cms_sketch(a, "k", width=32), SK.cms_sketch(b, "k", width=32)]
+        )
+        rebuilt = SK.cms_sketch(a.union(b), "k", width=32)
+        got = {
+            (r["row_id"], r["bucket"]): r["n"] for r in merged.collect()
+        }
+        want = {
+            (r["row_id"], r["bucket"]): r["n"] for r in rebuilt.collect()
+        }
+        assert got == want
+
+    def test_merge_guards(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            SK.hll_merge([])
+        with pytest.raises(ValueError):
+            SK.cms_merge([])
