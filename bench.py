@@ -196,6 +196,7 @@ HEADLINE = [
     "l_diversity",
     "embedding_outliers",
     "rrf_fusion",
+    "seasonal_naive",
 ]
 
 

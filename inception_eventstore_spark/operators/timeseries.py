@@ -276,3 +276,60 @@ def interval_concurrency(
     return ev.withColumn(
         "concurrent", F.sum("delta").over(w).cast("bigint")
     )
+
+
+def seasonal_naive_eval(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    season_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's total with
+    the total from ``season_days`` earlier, and report per-key error
+    metrics — the baseline every real forecaster must beat (and the
+    sanity monitor for pipeline volume drift).
+
+    Two-step shape that stays skew-free at any scale: the raw stream
+    collapses FIRST into a (key, day) rollup (one partial-aggregated
+    shuffle; the rollup is |keys|·|days| rows no matter the input), and
+    the season lag is a self-equi-join of that tiny rollup on (key,
+    day − season_days) — no per-key ordered window, so a key holding
+    half the corpus never funnels through one task. Output per key:
+    n_days evaluated, mae_u / total_abs_err_u in integer micro-units
+    (floor(|err|·2^20) summed as BIGINT — associative, engine-exact).
+    """
+    if season_days < 1:
+        raise ValueError("season_days must be >= 1")
+    daily = (
+        events.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.sum(value_col).alias("total"))
+    )
+    lagged = daily.select(
+        "key",
+        (F.col("day") + F.expr(f"INTERVAL {int(season_days)} DAYS")).alias(
+            "day"
+        ),
+        F.col("total").alias("forecast"),
+    )
+    joined = daily.join(lagged, ["key", "day"])
+    # |err| in integer micro-units; totals are sums of raw values whose
+    # partial-sum order differs across engines by ulps — round the
+    # DIFFERENCE at 6 dp first (the cross-engine contract used by every
+    # money aggregate), then quantize.
+    err_u = F.floor(
+        F.abs(F.round(F.col("total") - F.col("forecast"), 6))
+        * F.lit(float(1 << 20))
+    ).cast("bigint")
+    per = joined.select("key", err_u.alias("_eu"))
+    return per.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("_eu").cast("bigint").alias("total_abs_err_u"),
+        # integer floor division (div), NOT a double divide + cast:
+        # Spark's cast truncates but DuckDB's CAST rounds
+        F.expr("sum(_eu) div count(*)").cast("bigint").alias("mae_u"),
+    )

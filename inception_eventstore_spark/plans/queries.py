@@ -8091,3 +8091,39 @@ _R6O_QUERIES = {
     "rrf_fusion": QueryDef(q_rrf_fusion, _rrf_fusion_oracle()),
 }
 QUERIES = {**_R6O_QUERIES, **QUERIES}
+
+
+def q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest (timeseries.seasonal_naive_eval,
+    7-day season): daily per-type totals predicted by the same weekday's
+    total a week earlier; per-type MAE in integer micro-units. The
+    stream collapses to a (type, day) rollup before any lag logic, and
+    the season lag is a self-equi-join of that rollup — no per-key
+    ordered window, so the skew lint has nothing to flag."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    e = _t(spark, sf_dir, "events")
+    return TS.seasonal_naive_eval(e, season_days=7).orderBy("key")
+
+
+_SEASONAL_NAIVE_ORACLE = """
+WITH daily AS (SELECT event_type AS key, date_trunc('day', ts) AS day,
+    sum(value) AS total
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+j AS (SELECT d.key,
+    CAST(floor(abs(round(d.total - f.total, 6)) * 1048576.0) AS BIGINT)
+      AS eu
+  FROM daily d JOIN daily f
+    ON d.key = f.key AND f.day + INTERVAL 7 DAY = d.day)
+SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(eu) AS BIGINT) AS total_abs_err_u,
+  CAST(sum(eu) // count(*) AS BIGINT) AS mae_u
+FROM j GROUP BY key ORDER BY key
+"""
+
+
+_R6P_QUERIES = {
+    "seasonal_naive": QueryDef(q_seasonal_naive, _SEASONAL_NAIVE_ORACLE),
+}
+QUERIES = {**_R6P_QUERIES, **QUERIES}

@@ -586,3 +586,57 @@ class TestIntervalConcurrency:
                 got.groupBy("p").agg(
                     F.max("concurrent").alias("concurrent")).collect()}
         assert peak == {"a": 2, "b": 1}
+
+
+class TestSeasonalNaiveEval:
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        data = [
+            (k, dt.datetime(2024, 1, d, 12, 0, 0), float(v))
+            for k, d, v in rows
+        ]
+        return spark.createDataFrame(data, ["event_type", "ts", "value"])
+
+    def test_perfect_weekly_season_has_zero_error(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            seasonal_naive_eval,
+        )
+
+        # identical totals on day d and d+7 for two weeks of Mondays
+        rows = [("a", 1, 10.0), ("a", 8, 10.0), ("a", 15, 10.0)]
+        out = seasonal_naive_eval(self._events(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_days"] == 2  # days 8 and 15 have a forecast
+        assert r["total_abs_err_u"] == 0 and r["mae_u"] == 0
+
+    def test_error_in_micro_units(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            seasonal_naive_eval,
+        )
+
+        # day 8 total 12.5 vs forecast 10.0 -> |err| 2.5 -> 2.5 * 2^20
+        rows = [("a", 1, 10.0), ("a", 8, 12.5)]
+        r = seasonal_naive_eval(self._events(spark, rows)).first()
+        assert r["total_abs_err_u"] == int(2.5 * (1 << 20))
+        assert r["mae_u"] == int(2.5 * (1 << 20))
+
+    def test_days_without_lag_are_skipped(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            seasonal_naive_eval,
+        )
+
+        # gap: day 1 and day 9 — 9-7=2 has no data, nothing evaluable
+        rows = [("a", 1, 5.0), ("a", 9, 7.0)]
+        assert seasonal_naive_eval(self._events(spark, rows)).count() == 0
+
+    def test_season_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.timeseries import (
+            seasonal_naive_eval,
+        )
+
+        with pytest.raises(ValueError):
+            seasonal_naive_eval(self._events(spark, [("a", 1, 1.0)]), season_days=0)

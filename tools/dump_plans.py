@@ -253,6 +253,14 @@ CHECKS = {
          r"LeftSemi"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "seasonal_naive": [
+        ("stream collapses to the (key, day) rollup partial-first",
+         r"HashAggregate.*partial|partial_sum"),
+        ("season lag is a self-equi-join of the rollup — no per-key "
+         "ordered window anywhere", "!Window"),
+        ("no single-partition exchange", "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "rrf_fusion": [
         ("fusion groupBy partial-aggregates the union of top-k lists",
          r"HashAggregate.*partial|partial_sum"),
