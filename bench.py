@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from inception_eventstore_spark.plans.queries import (  # noqa: E402
     prebuild_ann_indexes,
+    prebuild_phash_index,
     prebuild_prop_index,
     spark_queries,
 )
@@ -226,6 +227,7 @@ def main() -> None:
         spark, sf_dir, kinds=("ivf_pinned", "ivfpq_pinned")
     )
     ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
+    ann_build["phash_index"] = prebuild_phash_index(spark, sf_dir)
 
     # Several operators pin intermediates with localCheckpoint; the
     # blocks are reaped by the ContextCleaner only after a JVM GC
