@@ -198,6 +198,7 @@ HEADLINE = [
     "embedding_outliers",
     "rrf_fusion",
     "seasonal_naive",
+    "mutual_information",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Information-theoretic profiling over categorical columns.
+
+Mutual information answers the curation question "does this metadata
+column actually carry signal about that one?" — e.g. how much knowing
+the source domain tells you about language (leakage/stratification
+checks before splitting), or whether a quality label is independent of
+the shard key. Everything reduces to the (x, y) contingency table:
+
+    I(X;Y) = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+    H(X)   = −Σ_x p(x) ln p(x)
+
+Scale shape: ONE partial-aggregated groupBy builds the contingency
+table (|X|·|Y| rows regardless of input size); the marginals are
+window-free sums over that tiny table re-joined broadcast; the final
+fold is a scalar aggregate. Nothing but the first groupBy ever touches
+the full relation.
+
+Cross-engine: all probabilities are exact integer-count ratios; only
+ln() differs by ulps (far inside the 6-dp round the declared query
+applies) — the same contract psi_drift / dsir_importance certify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["contingency_table", "mutual_information"]
+
+
+def contingency_table(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """(x, y, n_xy, n_x, n_y, n) — the joint counts with both marginals
+    and the grand total attached. NULLs form their own category
+    (consistent with the k-anonymity treatment of missing values)."""
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count("*").alias("n_xy"))
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str, checkpoint: bool = True
+) -> DataFrame:
+    """One row: (n, n_x_values, n_y_values, h_x, h_y, h_xy, mi) in
+    nats, unrounded (callers round — the declared query uses 6 dp).
+
+    Identities used: H(X) and H(Y) fold over the same contingency table
+    (Σ n_xy per marginal bucket), and I = H(X) + H(Y) − H(X,Y) is NOT
+    assumed — I is computed directly from its own sum so floating error
+    does not cascade through three entropies; the identity instead
+    makes a good property test."""
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count("*").alias("n_xy"))
+    joint = joint.persist()
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("bigint").alias("n"))
+
+    nd = F.col("n").cast("double")
+
+    def _h(marg: DataFrame, cnt_col: str, out: str) -> DataFrame:
+        c = F.col(cnt_col)
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.sum((c / nd) * F.log(nd / c)).alias(out),
+            F.count("*").cast("bigint").alias(f"_k_{out}"),
+        )
+
+    hx = _h(mx, "n_x", "h_x")
+    hy = _h(my, "n_y", "h_y")
+    joint_stats = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.sum((F.col("n_xy") / nd) * F.log(nd / F.col("n_xy")))
+            .alias("h_xy"),
+            F.sum(
+                (F.col("n_xy") / nd)
+                * F.log(
+                    (F.col("n_xy") * nd)
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                )
+            ).alias("mi"),
+        )
+    )
+    out = (
+        joint_stats.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            F.col("_k_h_x").alias("n_x_values"),
+            F.col("_k_h_y").alias("n_y_values"),
+            "h_x",
+            "h_y",
+            "h_xy",
+            "mi",
+        )
+    )
+    # eager-checkpoint the 1-row result, then release the cached
+    # contingency table — no state outlives the call (checkpoint=False
+    # keeps the lazy DAG for plan inspection; the cache then outlives
+    # the call, dump_plans-only)
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)
+    joint.unpersist()
+    return out

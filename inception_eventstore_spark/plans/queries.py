@@ -8143,3 +8143,61 @@ def prebuild_phash_index(spark, sf_dir) -> float:
     PhashImageIndex.build(corpus, path)
     _PHASH_INDEX_DIRS["idx"] = path
     return _time.perf_counter() - t0
+
+
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between document language and source domain
+    (infotheory.mutual_information) — the leakage/stratification check
+    before splitting a corpus on either column. One contingency-table
+    groupBy (|langs|·|sources| rows), broadcast marginals, scalar
+    folds; all probabilities are exact count ratios, only ln() ulps
+    sit inside the 6-dp round."""
+    from inception_eventstore_spark.operators.infotheory import (
+        mutual_information,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    r = mutual_information(d, "lang", "source")
+    return r.select(
+        "n",
+        "n_x_values",
+        "n_y_values",
+        F.round("h_x", 6).alias("h_x"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("h_xy", 6).alias("h_xy"),
+        F.round("mi", 6).alias("mi"),
+    )
+
+
+_MUTUAL_INFORMATION_ORACLE = """
+WITH j AS (SELECT lang AS x, source AS y, count(*) AS n_xy
+  FROM documents GROUP BY 1, 2),
+mx AS (SELECT x, sum(n_xy) AS n_x FROM j GROUP BY x),
+my AS (SELECT y, sum(n_xy) AS n_y FROM j GROUP BY y),
+t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j),
+hx AS (SELECT sum((n_x / CAST(n AS DOUBLE))
+                  * ln(CAST(n AS DOUBLE) / n_x)) AS h_x,
+  CAST(count(*) AS BIGINT) AS n_x_values FROM mx, t),
+hy AS (SELECT sum((n_y / CAST(n AS DOUBLE))
+                  * ln(CAST(n AS DOUBLE) / n_y)) AS h_y,
+  CAST(count(*) AS BIGINT) AS n_y_values FROM my, t),
+js AS (SELECT CAST(max(n) AS BIGINT) AS n,
+  sum((n_xy / CAST(n AS DOUBLE))
+      * ln(CAST(n AS DOUBLE) / n_xy)) AS h_xy,
+  sum((n_xy / CAST(n AS DOUBLE))
+      * ln((n_xy * CAST(n AS DOUBLE))
+           / (CAST(n_x AS DOUBLE) * n_y))) AS mi
+  FROM j JOIN mx USING (x) JOIN my USING (y), t)
+SELECT js.n, hx.n_x_values, hy.n_y_values,
+  round(hx.h_x, 6) AS h_x, round(hy.h_y, 6) AS h_y,
+  round(js.h_xy, 6) AS h_xy, round(js.mi, 6) AS mi
+FROM js, hx, hy
+"""
+
+
+_R6Q_QUERIES = {
+    "mutual_information": QueryDef(
+        q_mutual_information, _MUTUAL_INFORMATION_ORACLE
+    ),
+}
+QUERIES = {**_R6Q_QUERIES, **QUERIES}

@@ -1,0 +1,63 @@
+"""Tests for mutual information / entropies (operators/infotheory.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.infotheory import (
+    contingency_table,
+    mutual_information,
+)
+
+
+def _mi(spark, rows):
+    df = spark.createDataFrame(rows, ["x", "y"])
+    return mutual_information(df, "x", "y").first()
+
+
+class TestMutualInformation:
+    def test_independent_is_zero(self, spark):
+        rows = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+        r = _mi(spark, rows)
+        assert abs(r["mi"]) < 1e-12
+        assert abs(r["h_x"] - math.log(2)) < 1e-12
+        assert abs(r["h_xy"] - math.log(4)) < 1e-12
+
+    def test_deterministic_dependence_equals_entropy(self, spark):
+        rows = [("a", "c")] * 50 + [("b", "d")] * 50
+        r = _mi(spark, rows)
+        assert abs(r["mi"] - math.log(2)) < 1e-12
+        assert abs(r["h_xy"] - r["h_x"]) < 1e-12  # Y determined by X
+
+    def test_identity_h_sum(self, spark):
+        """I(X;Y) = H(X) + H(Y) − H(X,Y) — not assumed by the
+        implementation (mi has its own direct sum), so it's a real
+        cross-check of all four aggregates."""
+        rows = (
+            [("a", "c")] * 30
+            + [("a", "d")] * 10
+            + [("b", "c")] * 5
+            + [("b", "d")] * 55
+        )
+        r = _mi(spark, rows)
+        assert abs(r["mi"] - (r["h_x"] + r["h_y"] - r["h_xy"])) < 1e-12
+        assert r["mi"] > 0
+
+    def test_nulls_form_their_own_category(self, spark):
+        rows = [("a", "c"), ("a", None), (None, "c"), (None, None)]
+        r = _mi(spark, rows)
+        assert r["n"] == 4 and r["n_x_values"] == 2 and r["n_y_values"] == 2
+
+    def test_contingency_marginals(self, spark):
+        df = spark.createDataFrame(
+            [("a", "c"), ("a", "d"), ("b", "c")], ["x", "y"]
+        )
+        rows = {
+            (r["x"], r["y"]): (r["n_xy"], r["n_x"], r["n_y"], r["n"])
+            for r in contingency_table(df, "x", "y").collect()
+        }
+        assert rows[("a", "c")] == (1, 2, 2, 3)
+        assert rows[("b", "c")] == (1, 1, 2, 3)

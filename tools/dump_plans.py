@@ -732,9 +732,34 @@ def _bfs_level_plan(spark, sf_dir):
     )
 
 
+def _mutual_information_plan(spark, sf_dir):
+    """The un-checkpointed MI DAG (the declared query eager-checkpoints
+    the 1-row result, hiding the aggregation plan)."""
+    from inception_eventstore_spark.operators.infotheory import (
+        mutual_information,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source", checkpoint=False)
+
+
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "mutual_information_dag",
+        _mutual_information_plan,
+        [
+            ("contingency table partial-aggregates before the shuffle",
+             r"HashAggregate.*partial|partial_count"),
+            ("marginals join back broadcast — the table never "
+             "reshuffles to meet them",
+             r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+            ("no python UDF in the path",
+             "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
     (
         "bfs_level",
         _bfs_level_plan,
