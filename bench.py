@@ -199,6 +199,7 @@ HEADLINE = [
     "rrf_fusion",
     "seasonal_naive",
     "mutual_information",
+    "vocab_growth",
 ]
 
 

@@ -65,3 +65,95 @@ def token_fertility(
             F.col("n_subwords").cast("double") / F.col("n_docs"), 6
         ).alias("subwords_per_doc"),
     )
+
+
+def vocab_growth_buckets(
+    docs: DataFrame,
+    lo: int,
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The distributed half of :func:`vocab_growth`: per-bucket (docs,
+    tokens, new_types) with first-occurrence attribution. Split out so
+    the plan gate can inspect the aggregation DAG (the public function
+    collects these ≤ n_buckets rows for the driver-side cumsum)."""
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    bucket_of = lambda c: ((c - F.lit(lo)) / F.lit(width)).cast(  # noqa: E731
+        "bigint"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("_id").alias("_first"))
+    new_types = first.groupBy(bucket_of(F.col("_first")).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    volumes = docs.groupBy(bucket_of(F.col(id_col)).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum(F.size(tokens(text_col))).cast("bigint").alias("tokens"),
+    )
+    return volumes.join(new_types, "bucket", "left").fillna(
+        {"new_types": 0}
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: how many NEW token types each
+    successive corpus slice contributes — the diagnostic for "is more
+    data still buying new vocabulary?" (sub-linear growth is healthy;
+    a late slice spiking new types signals a domain shift or encoding
+    corruption in that shard).
+
+    Each distinct token enters the vocabulary at its FIRST document
+    (min doc id), so the curve needs no running window over the corpus:
+    one explode → min-aggregate per token (partial-aggregated, |vocab|
+    rows), bucket the first-doc ids into ``n_buckets`` fixed id-range
+    slices, and take the cumulative sum over the ≤ n_buckets rows —
+    driver-scale arithmetic, skew-free at any corpus size. Token
+    totals per bucket ride the same scan. Output per bucket:
+    (bucket, docs, tokens, new_types, cum_tokens, cum_types,
+    ttr_u = cum_types·2^20 div cum_tokens — integer type-token ratio).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    ids = docs.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if ids["lo"] is None:
+        raise ValueError("empty corpus")
+    lo, hi = int(ids["lo"]), int(ids["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    per = vocab_growth_buckets(
+        docs, lo, width, id_col=id_col, text_col=text_col
+    )
+    rows = sorted(per.collect(), key=lambda r: r["bucket"])
+    cum_t = cum_v = 0
+    out = []
+    for r in rows:
+        cum_t += int(r["tokens"])
+        cum_v += int(r["new_types"])
+        out.append(
+            (
+                int(r["bucket"]),
+                int(r["docs"]),
+                int(r["tokens"]),
+                int(r["new_types"]),
+                cum_t,
+                cum_v,
+                (cum_v * (1 << 20)) // max(cum_t, 1),
+            )
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out,
+        "bucket long, docs long, tokens long, new_types long, "
+        "cum_tokens long, cum_types long, ttr_u long",
+    )

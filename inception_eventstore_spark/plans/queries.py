@@ -8201,3 +8201,50 @@ _R6Q_QUERIES = {
     ),
 }
 QUERIES = {**_R6Q_QUERIES, **QUERIES}
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (tokenstats.vocab_growth, 10 corpus
+    slices): new token types per slice + cumulative type/token curve.
+    First-occurrence semantics (min doc id per token) replace any
+    corpus-wide running window; the cumsum runs over 10 bucket rows
+    driver-side. ttr_u is the integer type-token ratio (·2^20)."""
+    from inception_eventstore_spark.operators import tokenstats as TK
+
+    d = _t(spark, sf_dir, "documents")
+    return TK.vocab_growth(d, n_buckets=10).orderBy("bucket")
+
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+pr AS (SELECT lo, greatest(1, (hi - lo) // 10 + 1) AS width FROM st),
+toks AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+first AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+nt AS (SELECT (fd - pr.lo) // pr.width AS bucket,
+    CAST(count(*) AS BIGINT) AS new_types
+  FROM first, pr GROUP BY 1),
+vol AS (SELECT (doc_id - pr.lo) // pr.width AS bucket,
+    CAST(count(*) AS BIGINT) AS docs,
+    CAST(sum(len(tk)) AS BIGINT) AS tokens
+  FROM d, pr GROUP BY 1),
+per AS (SELECT vol.bucket, vol.docs, vol.tokens,
+    coalesce(nt.new_types, 0) AS new_types
+  FROM vol LEFT JOIN nt ON vol.bucket = nt.bucket),
+c AS (SELECT bucket, docs, tokens, new_types,
+    CAST(sum(tokens) OVER (ORDER BY bucket
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+    CAST(sum(new_types) OVER (ORDER BY bucket
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+  FROM per)
+SELECT bucket, docs, tokens, new_types, cum_tokens, cum_types,
+  CAST((cum_types * 1048576) // greatest(cum_tokens, 1) AS BIGINT)
+    AS ttr_u
+FROM c ORDER BY bucket
+"""
+
+
+_R6R_QUERIES = {
+    "vocab_growth": QueryDef(q_vocab_growth, _VOCAB_GROWTH_ORACLE),
+}
+QUERIES = {**_R6R_QUERIES, **QUERIES}

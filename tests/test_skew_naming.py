@@ -169,3 +169,46 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
             spark.sql("DROP TABLE IF EXISTS b_facts")
             spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+class TestVocabGrowth:
+    def test_first_occurrence_attribution(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import (
+            vocab_growth,
+        )
+
+        # ids 0..3, 2 buckets of width 2: "a" first at 0, "b" at 1,
+        # "c" at 2; bucket 1 re-uses a/b so contributes only c
+        docs = spark.createDataFrame(
+            [(0, "a a"), (1, "a b"), (2, "b c"), (3, "a c")],
+            ["doc_id", "text"],
+        )
+        rows = {r["bucket"]: r for r in vocab_growth(docs, 2).collect()}
+        assert rows[0]["new_types"] == 2 and rows[1]["new_types"] == 1
+        assert rows[0]["tokens"] == 4 and rows[1]["tokens"] == 4
+        assert rows[1]["cum_types"] == 3 and rows[1]["cum_tokens"] == 8
+        assert rows[1]["ttr_u"] == (3 * (1 << 20)) // 8
+
+    def test_single_bucket_is_vocabulary_total(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import (
+            vocab_growth,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, "x y z x")], ["doc_id", "text"]
+        )
+        r = vocab_growth(docs, 1).first()
+        assert r["new_types"] == 3 and r["tokens"] == 4
+
+    def test_empty_and_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.tokenstats import (
+            vocab_growth,
+        )
+
+        docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            vocab_growth(docs, 0)
+        with pytest.raises(ValueError):
+            vocab_growth(docs.where("doc_id < 0"))

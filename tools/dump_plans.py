@@ -732,6 +732,18 @@ def _bfs_level_plan(spark, sf_dir):
     )
 
 
+def _vocab_growth_plan(spark, sf_dir):
+    """The distributed half of vocab_growth (the public function
+    collects the ≤ n_buckets rows for a driver-side cumsum, leaving a
+    LocalTableScan as the declared plan)."""
+    from inception_eventstore_spark.operators.tokenstats import (
+        vocab_growth_buckets,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    return vocab_growth_buckets(_t(spark, sf_dir, "documents"), 0, 50)
+
+
 def _mutual_information_plan(spark, sf_dir):
     """The un-checkpointed MI DAG (the declared query eager-checkpoints
     the 1-row result, hiding the aggregation plan)."""
@@ -747,6 +759,19 @@ def _mutual_information_plan(spark, sf_dir):
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "vocab_growth_buckets",
+        _vocab_growth_plan,
+        [
+            ("first-occurrence min per token partial-aggregates "
+             "before the shuffle — no corpus-wide running window",
+             r"partial_min|HashAggregate.*partial"),
+            ("no window operator anywhere (cumsum is ≤ n_buckets "
+             "driver rows)", "!Window"),
+            ("no python UDF in the path",
+             "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
     (
         "mutual_information_dag",
         _mutual_information_plan,
