@@ -691,8 +691,17 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     fallback then rejects ``64.0`` for IntegerType (the one red driver
     row in CORRECTNESS_r03). Python int/None survive both the Arrow
     and non-Arrow paths, and at fixture sizes (n≤256) the Arrow
-    batch-transfer advantage is noise."""
-    return spark.createDataFrame(synthetic_asset_rows(n), schema=ASSET_SCHEMA)
+    batch-transfer advantage is noise. Parallelized with an explicit
+    slice count: the list-overload shards the fixture into
+    defaultParallelism pickled slices and any downstream task that
+    reads several (a coalesce, a single shuffle reader) pays one
+    python deserializer round-trip PER SLICE — measured ~4 s of pure
+    overhead on an 8-row batch before this pin."""
+    slices = max(1, min(4, n // 16))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(synthetic_asset_rows(n), slices),
+        schema=ASSET_SCHEMA,
+    )
 
 
 def synthetic_asset_rows(n: int = 64) -> list:

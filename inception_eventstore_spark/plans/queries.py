@@ -51,6 +51,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _local_df(spark: SparkSession, rows, schema: str, slices: int = 1):
+    """Local fixture DataFrame with an EXPLICIT slice count.
+
+    ``spark.createDataFrame(list, ...)`` shards a tiny fixture list
+    into defaultParallelism (32) pickled partitions; every downstream
+    task that reads several of them (coalesce(1), a single shuffle
+    reader) pays one python-deserializer round-trip PER SLICE — ~0.13 s
+    × 32 ≈ 4 s of pure overhead for an 8-row probe batch (measured on
+    phash_index_probe; the hashing itself is 0.08 s). Parallelizing
+    with a pinned slice count keeps fixture scans at ``slices`` worker
+    rounds, so media-query timings measure the operator, not driver
+    serialization."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), slices), schema
+    )
+
+
 def _ns(ts: str) -> int:
     """UTC timestamp string → int64 nanoseconds since epoch."""
     import datetime as _dt
@@ -4500,7 +4517,8 @@ def q_retrieval_bm25_multi(spark, sf_dir):
     from inception_eventstore_spark.operators import retrieval as RT
 
     docs = _t(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(
+    qdf = _local_df(
+        spark,
         [
             (1, ["spark", "merge"]),
             (2, ["window", "key"]),
@@ -7048,9 +7066,10 @@ def q_image_phash(spark, sf_dir):
     driver-side from the same payload bytes."""
     from inception_eventstore_spark.operators import phash as PH
 
-    assets = spark.createDataFrame(
-        _phash_fixture_rows(), "asset_id long, payload binary"
-    ).coalesce(2)
+    assets = _local_df(
+        spark, _phash_fixture_rows(), "asset_id long, payload binary",
+        slices=2,
+    )
     return PH.image_phashes(assets).orderBy("asset_id")
 
 
@@ -7075,9 +7094,10 @@ def q_phash_near_dup(spark, sf_dir):
     literal hash table with bit_count(xor)."""
     from inception_eventstore_spark.operators import phash as PH
 
-    assets = spark.createDataFrame(
-        _phash_fixture_rows(), "asset_id long, payload binary"
-    ).coalesce(2)
+    assets = _local_df(
+        spark, _phash_fixture_rows(), "asset_id long, payload binary",
+        slices=2,
+    )
     return PH.phash_near_duplicates(assets, max_hamming=6).orderBy(
         "id_a", "id_b"
     )
@@ -7165,9 +7185,10 @@ def q_audio_fingerprint(spark, sf_dir):
     driver-side from the same payload bytes."""
     from inception_eventstore_spark.operators import audiofp as AFP
 
-    assets = spark.createDataFrame(
-        _audiofp_fixture_rows(), "asset_id long, payload binary"
-    ).coalesce(2)
+    assets = _local_df(
+        spark, _audiofp_fixture_rows(), "asset_id long, payload binary",
+        slices=2,
+    )
     return AFP.audio_fingerprints(assets).orderBy("asset_id")
 
 
@@ -7192,9 +7213,10 @@ def q_audio_near_dup(spark, sf_dir):
     literal fingerprint table with bit_count(xor)."""
     from inception_eventstore_spark.operators import audiofp as AFP
 
-    assets = spark.createDataFrame(
-        _audiofp_fixture_rows(), "asset_id long, payload binary"
-    ).coalesce(2)
+    assets = _local_df(
+        spark, _audiofp_fixture_rows(), "asset_id long, payload binary",
+        slices=2,
+    )
     return AFP.audio_near_duplicates(assets).orderBy("id_a", "id_b")
 
 
@@ -7257,9 +7279,10 @@ def q_video_near_dup(spark, sf_dir):
     hash) table and re-derives the pair report in SQL."""
     from inception_eventstore_spark.operators import phash as PH
 
-    assets = spark.createDataFrame(
-        _video_fixture_rows(), "asset_id long, payload binary"
-    ).coalesce(2)
+    assets = _local_df(
+        spark, _video_fixture_rows(), "asset_id long, payload binary",
+        slices=2,
+    )
     return PH.video_near_duplicates(assets, min_coverage=0.5).orderBy(
         "id_a", "id_b"
     )
@@ -7465,10 +7488,11 @@ def q_phash_index_probe(spark, sf_dir):
 
     prebuild_phash_index(spark, sf_dir)
     idx = PhashImageIndex.load(spark, _PHASH_INDEX_DIRS["idx"])
-    probe = spark.createDataFrame(
+    probe = _local_df(
+        spark,
         [(i + 1000, p) for i, p in _phash_probe_payloads()],
         "asset_id long, payload binary",
-    ).coalesce(1)
+    )
     return idx.query(probe, max_hamming=6).orderBy("query_id", "match_id")
 
 
@@ -7562,9 +7586,10 @@ def q_phash_clusters(spark, sf_dir):
         connected_components,
     )
 
-    assets = spark.createDataFrame(
-        _phash_chain_fixture_rows(), "asset_id long, payload binary"
-    ).coalesce(2)
+    assets = _local_df(
+        spark, _phash_chain_fixture_rows(), "asset_id long, payload binary",
+        slices=2,
+    )
     pairs = PH.phash_near_duplicates(assets, max_hamming=6)
     comp = connected_components(pairs)
     return comp.select(
@@ -7989,7 +8014,8 @@ def q_rrf_fusion(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qdf = spark.createDataFrame(
+    qdf = _local_df(
+        spark,
         [
             (1, ["spark", "merge"]),
             (2, ["window", "key"]),
@@ -8136,10 +8162,12 @@ def prebuild_phash_index(spark, sf_dir) -> float:
         return 0.0
     t0 = _time.perf_counter()
     path = tempfile.mkdtemp(prefix="phash_ix_")
-    corpus = spark.createDataFrame(
+    corpus = _local_df(
+        spark,
         [(i, bytearray(p)) for i, p in PH.textured_test_images(32)],
         "asset_id long, payload binary",
-    ).coalesce(2)
+        slices=2,
+    )
     PhashImageIndex.build(corpus, path)
     _PHASH_INDEX_DIRS["idx"] = path
     return _time.perf_counter() - t0
