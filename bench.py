@@ -200,6 +200,7 @@ HEADLINE = [
     "seasonal_naive",
     "mutual_information",
     "vocab_growth",
+    "approx_quantiles_binned",
 ]
 
 

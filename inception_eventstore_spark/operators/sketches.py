@@ -50,6 +50,8 @@ __all__ = [
     "cms_sketch",
     "cms_estimate",
     "cms_merge",
+    "binned_histogram",
+    "quantiles_from_histogram",
 ]
 
 
@@ -327,4 +329,97 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     u = reduce(DataFrame.unionByName, sketches)
     return u.groupBy("row_id", "bucket").agg(
         F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def binned_histogram(
+    df: DataFrame,
+    value_col: str | Column,
+    lo: float,
+    hi: float,
+    bins: int = 4096,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: (group..., bin, n) with bin =
+    floor((x − lo)/(hi − lo)·bins), clamped to [0, bins−1]. The
+    quantile-sketch companion to the HLL/CMS pair: one map-side-
+    combinable pass, ≤ groups·bins counter rows however large the
+    input, MERGEABLE by counter addition (``cms_merge`` shape), and —
+    because bin assignment is floor() of an identically-computed
+    double (the sq8_encode rule) — bit-identical on any engine given
+    the same (lo, hi) contract. Callers obtain lo/hi from a scalar
+    min/max aggregate and ROUND THEM AT 6 DP before passing (the
+    cross-engine edge contract used by psi/profile)."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    groups = group_cols or []
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    raw = F.floor(
+        (value.cast("double") - F.lit(float(lo)))
+        / F.lit(float(hi) - float(lo))
+        * F.lit(float(bins))
+    ).cast("bigint")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.where(value.isNotNull())
+        .select(*groups, b.alias("bin"))
+        .groupBy(*groups, "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (merged) `binned_histogram`: for each
+    requested q, the value at the left edge of the first bin whose
+    cumulative count reaches ceil(q·N), linearly interpolated inside
+    the bin — error ≤ one bin width (the fixed-grid analog of t-digest
+    accuracy, with none of its merge nondeterminism).
+
+    Engine-portable by construction: the target rank is exact integer
+    arithmetic, the cumulative scan runs over ≤ bins rows per group
+    (collected driver-side — bounded sketch state, same class as the
+    HLL register collect), and the interpolation is a deterministic
+    double expression of integers and the (lo, hi) contract."""
+    groups = group_cols or []
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    width = (float(hi) - float(lo)) / bins
+    rows = hist.select(*groups, "bin", "n").collect()
+    from collections import defaultdict
+
+    per: dict = defaultdict(dict)
+    for r in rows:
+        key = tuple(r[g] for g in groups)
+        per[key][int(r["bin"])] = int(r["n"])
+    out = []
+    for key, cnts in sorted(per.items()):
+        total = sum(cnts.values())
+        for q in qs:
+            target = max(1, -(-int(q * total * 1_000_000) // 1_000_000))
+            cum = 0
+            est = float(hi)
+            for b in sorted(cnts):
+                nxt = cum + cnts[b]
+                if nxt >= target:
+                    frac = (target - cum) / cnts[b]
+                    est = float(lo) + (b + frac) * width
+                    break
+                cum = nxt
+            out.append((*key, float(q), est, total))
+    spark = hist.sparkSession
+    gschema = "".join(f"{g} string, " for g in groups)
+    return spark.createDataFrame(
+        out, f"{gschema}q double, est double, n bigint"
     )

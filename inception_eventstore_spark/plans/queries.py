@@ -8276,3 +8276,75 @@ _R6R_QUERIES = {
     "vocab_growth": QueryDef(q_vocab_growth, _VOCAB_GROWTH_ORACLE),
 }
 QUERIES = {**_R6R_QUERIES, **QUERIES}
+
+
+def q_approx_quantiles_binned(spark, sf_dir):
+    """Mergeable fixed-grid quantile sketch (sketches.binned_histogram
+    + quantiles_from_histogram, 512 bins): per-event-type p50/p90/p99
+    of `value` with error ≤ one bin width. Completes the portable
+    sketch family (cardinality=HLL, frequency=CMS, quantile=histogram)
+    — unlike percentile_approx/approx_quantile (engine-specific KLL /
+    t-digest internals, rows-only in approx_stats), every arithmetic
+    step replays in SQL: integer bin counts, integer ceil-rank, and an
+    interpolation that is the same double expression of integers and
+    the 6-dp (lo, hi) contract on both engines."""
+    from inception_eventstore_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events")
+    b = e.where(F.col("value").isNotNull()).agg(
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    ).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    hist = SK.binned_histogram(
+        e, "value", lo, hi, bins=512, group_cols=["event_type"]
+    )
+    res = SK.quantiles_from_histogram(
+        hist, lo, hi, 512, [0.5, 0.9, 0.99], group_cols=["event_type"]
+    )
+    return res.select(
+        "event_type",
+        "q",
+        F.round("est", 6).alias("est"),
+        "n",
+    ).orderBy("event_type", "q")
+
+
+_APPROX_QUANTILES_ORACLE = """
+WITH st AS (SELECT round(min(value), 6) AS lo, round(max(value), 6) AS hi
+  FROM events WHERE value IS NOT NULL),
+h AS (SELECT event_type,
+    least(greatest(CAST(floor((value - st.lo) / (st.hi - st.lo) * 512.0)
+      AS BIGINT), 0), 511) AS bin,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT event_type, bin, n,
+    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM h),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY 1),
+qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+tr AS (SELECT event_type, q,
+    greatest(1, (CAST(floor(q * total * 1000000) AS BIGINT) + 999999)
+      // 1000000) AS target
+  FROM t, qv),
+sel AS (SELECT tr.event_type, tr.q, tr.target, min(c.bin) AS bin
+  FROM tr JOIN c ON c.event_type = tr.event_type AND c.cum >= tr.target
+  GROUP BY 1, 2, 3),
+fin AS (SELECT s.event_type, s.q,
+    st.lo + (s.bin + (s.target - (c.cum - c.n)) / CAST(c.n AS DOUBLE))
+      * ((st.hi - st.lo) / 512) AS est,
+    t.total AS n
+  FROM sel s JOIN c ON c.event_type = s.event_type AND c.bin = s.bin
+  JOIN t ON t.event_type = s.event_type, st)
+SELECT event_type, q, round(est, 6) AS est, n
+FROM fin ORDER BY event_type, q
+"""
+
+
+_R6S_QUERIES = {
+    "approx_quantiles_binned": QueryDef(
+        q_approx_quantiles_binned, _APPROX_QUANTILES_ORACLE
+    ),
+}
+QUERIES = {**_R6S_QUERIES, **QUERIES}

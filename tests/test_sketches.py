@@ -180,3 +180,68 @@ class TestSketchMerge:
             SK.hll_merge([])
         with pytest.raises(ValueError):
             SK.cms_merge([])
+
+
+class TestBinnedQuantiles:
+    def test_within_one_bin_width(self, spark):
+        """Estimates land within one bin width of the exact quantile
+        on a uniform grid."""
+        n, bins = 10_000, 512
+        df = spark.range(n).select((F.col("id") / 10.0).alias("v"))
+        lo, hi = 0.0, (n - 1) / 10.0
+        hist = SK.binned_histogram(df, "v", lo, hi, bins=bins)
+        est = {
+            r["q"]: r["est"]
+            for r in SK.quantiles_from_histogram(
+                hist, lo, hi, bins, [0.5, 0.9, 0.99]
+            ).collect()
+        }
+        width = (hi - lo) / bins
+        for q, e in est.items():
+            exact = q * (n - 1) / 10.0
+            assert abs(e - exact) <= width + 1e-9, (q, e, exact)
+
+    def test_histograms_merge_by_counter_sum(self, spark):
+        a = spark.range(0, 500).select((F.col("id") % 97).alias("v"))
+        b = spark.range(0, 700).select((F.col("id") % 89).alias("v"))
+        ha = SK.binned_histogram(a, "v", 0.0, 100.0, bins=64)
+        hb = SK.binned_histogram(b, "v", 0.0, 100.0, bins=64)
+        merged = (
+            ha.unionByName(hb)
+            .groupBy("bin")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        rebuilt = SK.binned_histogram(a.union(b), "v", 0.0, 100.0, bins=64)
+        got = {r["bin"]: r["n"] for r in merged.collect()}
+        want = {r["bin"]: r["n"] for r in rebuilt.collect()}
+        assert got == want
+
+    def test_out_of_range_values_clamp(self, spark):
+        df = spark.createDataFrame(
+            [(-5.0,), (0.5,), (99.0,)], ["v"]
+        )
+        rows = {
+            r["bin"]: r["n"]
+            for r in SK.binned_histogram(df, "v", 0.0, 10.0, bins=10)
+            .collect()
+        }
+        assert rows[0] == 2 and rows[9] == 1  # -5 clamps low, 99 high
+
+    def test_grouped_and_guards(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 9.0), ("b", 5.0)], ["g", "v"]
+        )
+        hist = SK.binned_histogram(
+            df, "v", 0.0, 10.0, bins=10, group_cols=["g"]
+        )
+        out = SK.quantiles_from_histogram(
+            hist, 0.0, 10.0, 10, [1.0], group_cols=["g"]
+        )
+        got = {(r["g"], r["q"]): r["n"] for r in out.collect()}
+        assert got == {("a", 1.0): 2, ("b", 1.0): 1}
+        with pytest.raises(ValueError):
+            SK.binned_histogram(df, "v", 5.0, 5.0)
+        with pytest.raises(ValueError):
+            SK.quantiles_from_histogram(hist, 0, 10, 10, [])
+        with pytest.raises(ValueError):
+            SK.quantiles_from_histogram(hist, 0, 10, 10, [1.5])

@@ -732,6 +732,21 @@ def _bfs_level_plan(spark, sf_dir):
     )
 
 
+def _binned_histogram_plan(spark, sf_dir):
+    """The distributed half of approx_quantiles_binned (the quantile
+    read collects the ≤ groups·bins sketch rows, leaving a
+    LocalTableScan as the declared plan)."""
+    from inception_eventstore_spark.operators.sketches import (
+        binned_histogram,
+    )
+    from inception_eventstore_spark.plans.queries import _t
+
+    e = _t(spark, sf_dir, "events")
+    return binned_histogram(
+        e, "value", 0.0, 200.0, bins=512, group_cols=["event_type"]
+    )
+
+
 def _vocab_growth_plan(spark, sf_dir):
     """The distributed half of vocab_growth (the public function
     collects the ≤ n_buckets rows for a driver-side cumsum, leaving a
@@ -759,6 +774,17 @@ def _mutual_information_plan(spark, sf_dir):
 #: Non-declared plan probes: (section name, df builder, checks).
 #: A pattern starting with "!" asserts the pattern does NOT occur.
 EXTRA_CHECKS = [
+    (
+        "binned_histogram_sketch",
+        _binned_histogram_plan,
+        [
+            ("bin counts partial-aggregated before the shuffle — the "
+             "sketch is ≤ groups·512 counters however large the input",
+             r"HashAggregate.*partial|partial_count"),
+            ("bin assignment is JVM floor arithmetic",
+             "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
     (
         "vocab_growth_buckets",
         _vocab_growth_plan,
