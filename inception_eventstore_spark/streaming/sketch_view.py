@@ -37,7 +37,14 @@ from inception_eventstore_spark.sources.matview import (
     Measure,
 )
 
-__all__ = ["HllRegisterView", "hll_project", "stream_hll_into_view"]
+__all__ = [
+    "HllRegisterView",
+    "hll_project",
+    "stream_hll_into_view",
+    "CmsCounterView",
+    "cms_project",
+    "stream_cms_into_view",
+]
 
 
 def hll_project(
@@ -123,6 +130,106 @@ def stream_hll_into_view(
     return stream_into_view(
         hview.project(stream),
         hview.view,
+        checkpoint_dir,
+        trigger_once=trigger_once,
+        token_prefix=token_prefix,
+    )
+
+
+def cms_project(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Per-ROW Count-Min projection: each input row becomes ``depth``
+    (row_id, bucket) rows under the SAME ``cms{r}:`` md5 salts as
+    `operators.sketches.cms_sketch` (drift is pinned by
+    test_sketch_view's project-vs-sketch equality test). The
+    pre-aggregation half, streaming-safe."""
+    from inception_eventstore_spark.operators.sampling import md5_prefix60
+
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    value = F.col(value_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"),
+                F.pmod(
+                    md5_prefix60(
+                        F.concat(F.lit(f"cms{r}:"), value.cast("string"))
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return df.select(F.explode(rows).alias("rb")).select(
+        "rb.row_id", "rb.bucket"
+    )
+
+
+class CmsCounterView:
+    """Count-Min sketch state as an incrementally-maintained
+    materialized view: counters are SUM partials keyed by (row_id,
+    bucket), so the linear merge is exactly the view's fold algebra.
+    Unlike the HLL view, replay here is NOT idempotent (sums double-
+    count) — exactly-once comes from the token ledger alone; use
+    ``fold_committed`` / `stream_cms_into_view` for redelivery-prone
+    sources."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        value_col: str,
+        depth: int = 4,
+        width: int = 512,
+        auto_compact_threshold: int = 64,
+    ):
+        self.value_col = value_col
+        self.depth = int(depth)
+        self.width = int(width)
+        self.view = IncrementalAggView(
+            spark,
+            path,
+            keys=["row_id", "bucket"],
+            measures=[Measure("n", "count")],
+            auto_compact_threshold=auto_compact_threshold,
+        )
+
+    def project(self, delta: DataFrame) -> DataFrame:
+        return cms_project(delta, self.value_col, self.depth, self.width)
+
+    def fold(self, delta: DataFrame) -> None:
+        self.view.apply(self.project(delta))
+
+    def fold_committed(self, delta: DataFrame, token: str) -> bool:
+        return self.view.apply_committed(self.project(delta), str(token))
+
+    def sketch(self) -> DataFrame:
+        """Merged (row_id, bucket, n) — feed to
+        `operators.sketches.cms_estimate`."""
+        return self.view.read()
+
+
+def stream_cms_into_view(
+    stream: DataFrame,
+    cview: CmsCounterView,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+    token_prefix: str = "cms-",
+):
+    """Maintain a ``CmsCounterView`` from a Structured Streaming
+    source; exactly-once per micro-batch via the view's token ledger
+    (required here — counter sums are not replay-idempotent)."""
+    from inception_eventstore_spark.streaming.ingest import stream_into_view
+
+    return stream_into_view(
+        cview.project(stream),
+        cview.view,
         checkpoint_dir,
         trigger_once=trigger_once,
         token_prefix=token_prefix,

@@ -88,3 +88,93 @@ class TestStreamHll:
         want = SK.hll_distinct(df, "k").first()
         assert got["hll_denom"] == want["hll_denom"]
         assert got["hll_est"] == want["hll_est"]
+
+
+class TestCmsCounterView:
+    def test_project_matches_sketch(self, spark):
+        """cms_project → count-groupBy must equal cms_sketch exactly —
+        the salt-drift guard between the two modules."""
+        from inception_eventstore_spark.streaming.sketch_view import (
+            cms_project,
+        )
+
+        df = spark.range(500).select((F.col("id") % 60).alias("k"))
+        via_project = {
+            (r["row_id"], r["bucket"]): r["n"]
+            for r in cms_project(df, "k", depth=4, width=32)
+            .groupBy("row_id", "bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        via_sketch = {
+            (r["row_id"], r["bucket"]): r["n"]
+            for r in SK.cms_sketch(df, "k", depth=4, width=32).collect()
+        }
+        assert via_project == via_sketch
+
+    def test_folds_equal_rebuild_and_estimates_serve(self, spark, tmp_path):
+        from inception_eventstore_spark.streaming.sketch_view import (
+            CmsCounterView,
+        )
+
+        v = CmsCounterView(spark, str(tmp_path / "cv"), "k", width=32)
+        a = spark.range(0, 400).select((F.col("id") % 37).alias("k"))
+        b = spark.range(0, 300).select((F.col("id") % 23).alias("k"))
+        v.fold(a)
+        v.fold(b)
+        got = {
+            (r["row_id"], r["bucket"]): r["n"] for r in v.sketch().collect()
+        }
+        want = {
+            (r["row_id"], r["bucket"]): r["n"]
+            for r in SK.cms_sketch(a.union(b), "k", width=32).collect()
+        }
+        assert got == want
+        # the served sketch feeds the standard estimator: never under
+        exact = a.union(b).groupBy("k").agg(F.count("*").alias("x"))
+        est = SK.cms_estimate(
+            v.sketch(), exact.select("k"), "k", width=32
+        )
+        bad = (
+            exact.join(est, "k").where(F.col("cms_est") < F.col("x")).count()
+        )
+        assert bad == 0
+
+    def test_token_ledger_prevents_double_count(self, spark, tmp_path):
+        from inception_eventstore_spark.streaming.sketch_view import (
+            CmsCounterView,
+        )
+
+        v = CmsCounterView(spark, str(tmp_path / "cv2"), "k", width=32)
+        b = spark.range(100).select(F.col("id").alias("k"))
+        assert v.fold_committed(b, "e0") is True
+        n1 = v.sketch().agg(F.sum("n")).first()[0]
+        assert v.fold_committed(b, "e0") is False
+        assert v.sketch().agg(F.sum("n")).first()[0] == n1
+
+    def test_stream_maintains_counter_view(self, spark, tmp_path):
+        from inception_eventstore_spark.streaming.sketch_view import (
+            CmsCounterView,
+            stream_cms_into_view,
+        )
+
+        src = str(tmp_path / "csrc")
+        df = spark.range(0, 900).select((F.col("id") % 50).alias("k"))
+        df.write.parquet(src)
+        v = CmsCounterView(spark, str(tmp_path / "scv"), "k", width=32)
+        stream = spark.readStream.schema("k long").parquet(src)
+        q = stream_cms_into_view(
+            stream, v, str(tmp_path / "cckpt"), trigger_once=True
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            (r["row_id"], r["bucket"]): r["n"] for r in v.sketch().collect()
+        }
+        want = {
+            (r["row_id"], r["bucket"]): r["n"]
+            for r in SK.cms_sketch(df, "k", width=32).collect()
+        }
+        assert got == want
