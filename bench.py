@@ -201,6 +201,7 @@ HEADLINE = [
     "mutual_information",
     "vocab_growth",
     "approx_quantiles_binned",
+    "langid_confusion",
 ]
 
 

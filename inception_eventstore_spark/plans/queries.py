@@ -8348,3 +8348,56 @@ _R6S_QUERIES = {
     ),
 }
 QUERIES = {**_R6S_QUERIES, **QUERIES}
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the heuristic
+    classifier (text.lang_id) against the labeled `lang` column, plus
+    per-truth-class recall in integer micro-units — the quality gate
+    you run before trusting the classifier to stratify a corpus. One
+    scan + one (truth, pred) groupBy; recall = class_hits·2^20 div
+    class_total (integer, engine-exact)."""
+    d = _t(spark, sf_dir, "documents")
+    cm = (
+        d.select(
+            F.col("lang").alias("truth"),
+            TX.lang_id("text").alias("pred"),
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = cm.groupBy("truth").agg(F.sum("n").alias("_tot"))
+    return (
+        cm.join(F.broadcast(totals), "truth")
+        .select(
+            "truth",
+            "pred",
+            "n",
+            F.expr("n * 1048576 div _tot").cast("bigint").alias("rate_u"),
+        )
+        .orderBy("truth", "pred")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    inner = _lang_id_oracle()
+    return f"""
+WITH pred AS ({inner}),
+cm AS (SELECT d.lang AS truth, p.lang_pred AS pred,
+    CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2),
+tot AS (SELECT truth, sum(n) AS tot FROM cm GROUP BY truth)
+SELECT cm.truth, cm.pred, cm.n,
+  CAST(cm.n * 1048576 // tot.tot AS BIGINT) AS rate_u
+FROM cm JOIN tot ON cm.truth = tot.truth
+ORDER BY cm.truth, cm.pred
+"""
+
+
+_R6T_QUERIES = {
+    "langid_confusion": QueryDef(
+        q_langid_confusion, _langid_confusion_oracle()
+    ),
+}
+QUERIES = {**_R6T_QUERIES, **QUERIES}

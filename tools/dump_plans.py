@@ -278,6 +278,12 @@ CHECKS = {
          r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "langid_confusion": [
+        ("(truth, pred) cells partial-aggregated before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("class totals join back broadcast", r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "hll_distinct": [
         ("register max is map-side combinable (partial_max before the "
          "shuffle — the input never moves, only ≤ groups·512 registers)",
