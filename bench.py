@@ -202,6 +202,7 @@ HEADLINE = [
     "vocab_growth",
     "approx_quantiles_binned",
     "langid_confusion",
+    "tfidf_cosine_topk",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "build_inverted_index",
     "bm25_topk",
     "bm25_multi_topk",
+    "tfidf_cosine_multi_topk",
     "rrf_fuse",
     "BM25_K1",
     "BM25_B",
@@ -336,3 +337,105 @@ def rrf_fuse(
     if top_n is not None:
         out = out.where(F.col("fused_rank") <= int(top_n))
     return out
+
+
+def tfidf_cosine_multi_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batch TF-IDF cosine retrieval — the classic vector-space
+    ranking (sklearn's smooth idf: ln((1+N)/(1+df)) + 1), the lexical
+    companion BM25 replaces in modern stacks and the second natural
+    input to `rrf_fuse`. Cosine differs from BM25 in both directions:
+    long documents are penalized by their FULL L2 norm (over every
+    term, not just query terms), and repeated query terms re-weight.
+
+    Dataflow (one corpus tokenizing scan; every shuffle is 8-byte
+    term/doc keyed):
+
+    - full (doc, term, tf) table → per-term df → idf (|vocab| rows);
+    - document norms ||d|| = sqrt(Σ (tf·idf)²) — the tf table joins
+      idf on the term key (AQE picks broadcast when the vocab is
+      small; at web scale this is the standard term-keyed shuffle)
+      and re-aggregates per doc;
+    - scoring restricts the tf table to query terms (broadcast),
+      sums tf·idf·idf_q per (query, doc), divides by ||d||·||q||;
+    - score rounds to 6 dp BEFORE the (score desc, doc_id) rank cut,
+      so rank order is engine-exact (the bm25_multi_topk contract).
+
+    Output: (query_id, rank, doc_id, score).
+    """
+    from pyspark.sql import Window
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("token"),
+        )
+        .withColumn("token", F.lower("token"))
+        .groupBy("query_id", "token")
+        .agg(F.count("*").alias("qtf"))
+    )
+
+    toks = _tokenized(docs, id_col, text_col)
+    n_docs = toks.count()
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+
+    tf_all = (
+        toks.select("doc_id", F.explode("_toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf_all.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).select(
+        "token",
+        (
+            F.log(
+                F.lit(float(1 + n_docs)) / (F.col("df") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    weighted = tf_all.join(idf, "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+
+    qw = q.join(idf, "token").select(
+        "query_id", "token", (F.col("qtf") * F.col("idf")).alias("qw")
+    )
+    qnorms = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm")
+    )
+
+    scores = (
+        weighted.join(F.broadcast(qw), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .join(norms, "doc_id")
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "rank", "doc_id", "score")
+    )

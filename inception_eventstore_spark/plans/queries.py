@@ -8401,3 +8401,66 @@ _R6T_QUERIES = {
     ),
 }
 QUERIES = {**_R6T_QUERIES, **QUERIES}
+
+
+def q_tfidf_cosine_topk(spark, sf_dir):
+    """Batch TF-IDF cosine retrieval (retrieval.tfidf_cosine_multi_topk,
+    sklearn smooth idf): top-5 docs for the three keyword queries in
+    one tokenizing scan, full-document L2 norms — the vector-space
+    companion to retrieval_bm25_multi (different length penalty,
+    different idf), and the second lexical input rrf_fuse can take."""
+    from inception_eventstore_spark.operators import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = _local_df(
+        spark,
+        [
+            (1, ["spark", "merge"]),
+            (2, ["window", "key"]),
+            (3, ["batch"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return RT.tfidf_cosine_multi_topk(docs, qdf, k=5)
+
+
+def _tfidf_cosine_oracle() -> str:
+    return f"""
+WITH qs AS (SELECT query_id, token, CAST(count(*) AS BIGINT) AS qtf
+  FROM (VALUES (1, 'spark'), (1, 'merge'),
+               (2, 'window'), (2, 'key'),
+               (3, 'batch')) AS t(query_id, token)
+  GROUP BY 1, 2),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+nn AS (SELECT count(*) AS n FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1, 2),
+idf AS (SELECT token,
+    ln(CAST((SELECT 1 + n FROM nn) AS DOUBLE) / (df + 1.0)) + 1.0 AS idf
+  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)),
+w AS (SELECT doc_id, token, tf * idf AS w FROM tf JOIN idf USING (token)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM w GROUP BY 1),
+qw AS (SELECT query_id, qs.token, qtf * idf AS qw
+  FROM qs JOIN idf ON qs.token = idf.token),
+qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qnorm FROM qw GROUP BY 1),
+sc AS (SELECT qw.query_id, w.doc_id,
+    round(sum(w.w * qw.qw)
+          / (any_value(norms.dnorm) * any_value(qn.qnorm)), 6) AS score
+  FROM w JOIN qw ON w.token = qw.token
+  JOIN norms ON norms.doc_id = w.doc_id
+  JOIN qn ON qn.query_id = qw.query_id
+  GROUP BY 1, 2)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id, score
+FROM sc
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+_R6U_QUERIES = {
+    "tfidf_cosine_topk": QueryDef(
+        q_tfidf_cosine_topk, _tfidf_cosine_oracle()
+    ),
+}
+QUERIES = {**_R6U_QUERIES, **QUERIES}

@@ -729,3 +729,97 @@ class TestRrfFuse:
             rrf_fuse([])
         with pytest.raises(ValueError):
             rrf_fuse([a], rrf_k=0)
+
+
+class TestTfidfCosine:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark engine spark spark"),
+                (2, "spark engine"),
+                (3, "engine room with many extra words diluting the norm"),
+                (4, "unrelated text entirely"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def _q(self, spark, terms):
+        return spark.createDataFrame(
+            [(1, terms)], "query_id long, terms array<string>"
+        )
+
+    def test_ranking_and_reference_math(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.retrieval import (
+            tfidf_cosine_multi_topk,
+        )
+
+        out = tfidf_cosine_multi_topk(
+            self._docs(spark), self._q(spark, ["spark"]), k=4
+        ).collect()
+        got = {r["doc_id"]: (r["rank"], r["score"]) for r in out}
+        # docs without any query term produce no (query, doc) row
+        assert set(got) == {1, 2}
+        # reference: doc 2 is the purest 'spark' doc by cosine
+        corpus = {
+            1: "spark engine spark spark".split(),
+            2: "spark engine".split(),
+            3: "engine room with many extra words diluting the norm".split(),
+            4: "unrelated text entirely".split(),
+        }
+        n = len(corpus)
+        df = {
+            t: sum(1 for d in corpus.values() if t in d)
+            for t in {w for d in corpus.values() for w in d}
+        }
+        idf = {t: math.log((1 + n) / (f + 1)) + 1.0 for t, f in df.items()}
+
+        def cos(doc, terms):
+            w = {
+                t: doc.count(t) * idf[t] for t in set(doc)
+            }
+            dn = math.sqrt(sum(x * x for x in w.values()))
+            qw = {t: idf[t] for t in terms if t in idf}
+            qn = math.sqrt(sum(x * x for x in qw.values()))
+            dot = sum(w.get(t, 0.0) * qw[t] for t in qw)
+            return round(dot / (dn * qn), 6)
+
+        for d in (1, 2):
+            assert abs(got[d][1] - cos(corpus[d], ["spark"])) < 2e-6
+        order = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        want_top = max(
+            (cos(corpus[d], ["spark"]), -d) for d in (1, 2)
+        )
+        assert order[0] == -want_top[1]
+
+    def test_repeated_query_terms_reweight(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            tfidf_cosine_multi_topk,
+        )
+
+        single = tfidf_cosine_multi_topk(
+            self._docs(spark), self._q(spark, ["spark", "engine"]), k=4
+        ).collect()
+        doubled = tfidf_cosine_multi_topk(
+            self._docs(spark),
+            self._q(spark, ["spark", "spark", "engine"]),
+            k=4,
+        ).collect()
+        s1 = {r["doc_id"]: r["score"] for r in single}
+        s2 = {r["doc_id"]: r["score"] for r in doubled}
+        # doubling 'spark' in the query pulls the spark-heavy doc up
+        assert s2[1] > s1[1]
+
+    def test_empty_corpus_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.retrieval import (
+            tfidf_cosine_multi_topk,
+        )
+
+        with pytest.raises(ValueError):
+            tfidf_cosine_multi_topk(
+                self._docs(spark).where("doc_id < 0"),
+                self._q(spark, ["x"]),
+            )

@@ -278,6 +278,15 @@ CHECKS = {
          r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "tfidf_cosine_topk": [
+        ("tf / norm aggregations partial-first",
+         r"HashAggregate.*partial|partial_count"),
+        ("query weights broadcast to the postings side",
+         r"BroadcastHashJoin"),
+        ("rank window shuffles on the query key, never one partition",
+         "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "langid_confusion": [
         ("(truth, pred) cells partial-aggregated before the shuffle",
          r"HashAggregate.*partial|partial_count"),
