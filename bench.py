@@ -203,6 +203,7 @@ HEADLINE = [
     "approx_quantiles_binned",
     "langid_confusion",
     "tfidf_cosine_topk",
+    "rfm_segments",
 ]
 
 

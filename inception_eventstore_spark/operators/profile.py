@@ -353,3 +353,103 @@ def psi_timeline(
         )
         .orderBy("period")
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic engagement stratification (Hughes 1994), and the
+    event-store analog of quality bucketing: score each user 1-5 on
+    how recently, how often and how much, by quintile against the
+    user population.
+
+    Shape: the stream collapses FIRST to one row per user (recency =
+    days since the user's last event relative to the corpus max,
+    frequency = event count, monetary = 6-dp-rounded value sum — the
+    rounding is the cross-engine contract for the threshold
+    comparisons). Quintile edges are ONE exact-percentile scalar
+    aggregate over that user table (6-dp, the psi edge contract),
+    cross-joined back as literals; scoring is a map-side CASE. No
+    windows anywhere — a power user with millions of events costs one
+    partial-aggregated group, and the user table is |users| rows.
+
+    Scores: F and M count edges BELOW the value (more is better);
+    R is inverted (fewer days since last event is better). Output:
+    (user_id, recency_days, frequency, monetary, r_score, f_score,
+    m_score, rfm) with integer scores and the concatenated label.
+    """
+    per_user = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum(F.coalesce(value_col, F.lit(0.0))), 6).alias(
+                "monetary"
+            ),
+        )
+    )
+    anchor = events.agg(F.max(ts_col).alias("_anchor"))
+    per_user = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("_anchor"), F.col("_last"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+    qs = [0.2, 0.4, 0.6, 0.8]
+    edges = per_user.agg(
+        *[
+            F.round(F.expr(f"percentile(recency_days, {q})"), 6).alias(
+                f"_r{i}"
+            )
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.round(F.expr(f"percentile(frequency, {q})"), 6).alias(
+                f"_f{i}"
+            )
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.round(F.expr(f"percentile(monetary, {q})"), 6).alias(
+                f"_m{i}"
+            )
+            for i, q in enumerate(qs)
+        ],
+    )
+
+    def score_above(col: str, prefix: str):
+        s = F.lit(1)
+        for i in range(len(qs)):
+            s = s + F.when(
+                F.col(col) > F.col(f"_{prefix}{i}"), 1
+            ).otherwise(0)
+        return s.cast("bigint")
+
+    scored = per_user.crossJoin(F.broadcast(edges)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6) - score_above("recency_days", "r"))
+        .cast("bigint")
+        .alias("r_score"),
+        score_above("frequency", "f").alias("f_score"),
+        score_above("monetary", "m").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -8464,3 +8464,66 @@ _R6U_QUERIES = {
     ),
 }
 QUERIES = {**_R6U_QUERIES, **QUERIES}
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM user segmentation (profile.rfm_segments): quintile scores
+    for recency / frequency / monetary per user — no windows, one
+    per-user rollup + one exact-percentile scalar aggregate broadcast
+    back, map-side CASE scoring."""
+    from inception_eventstore_spark.operators.profile import rfm_segments
+
+    e = _t(spark, sf_dir, "events")
+    return rfm_segments(e).orderBy("user_id")
+
+
+def _rfm_oracle() -> str:
+    qs = [0.2, 0.4, 0.6, 0.8]
+    r_edges = ", ".join(
+        f"round(quantile_cont(recency_days, {q}), 6) AS r{i}"
+        for i, q in enumerate(qs)
+    )
+    f_edges = ", ".join(
+        f"round(quantile_cont(frequency, {q}), 6) AS f{i}"
+        for i, q in enumerate(qs)
+    )
+    m_edges = ", ".join(
+        f"round(quantile_cont(monetary, {q}), 6) AS m{i}"
+        for i, q in enumerate(qs)
+    )
+
+    def above(col, prefix):
+        terms = " + ".join(
+            f"(CASE WHEN {col} > ed.{prefix}{i} THEN 1 ELSE 0 END)"
+            for i in range(len(qs))
+        )
+        return f"(1 + {terms})"
+
+    return f"""
+WITH pu AS (SELECT user_id, max(ts) AS last_ts,
+    CAST(count(*) AS BIGINT) AS frequency,
+    round(sum(coalesce(value, 0.0)), 6) AS monetary
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+an AS (SELECT max(ts) AS anchor FROM events),
+pu2 AS (SELECT user_id,
+    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(anchor AS DATE))
+      AS BIGINT) AS recency_days,
+    frequency, monetary FROM pu, an),
+ed AS (SELECT {r_edges}, {f_edges}, {m_edges} FROM pu2),
+sc AS (SELECT user_id, recency_days, frequency, monetary,
+    CAST(6 - {above('recency_days', 'r')} AS BIGINT) AS r_score,
+    CAST({above('frequency', 'f')} AS BIGINT) AS f_score,
+    CAST({above('monetary', 'm')} AS BIGINT) AS m_score
+  FROM pu2, ed)
+SELECT user_id, recency_days, frequency, monetary,
+  r_score, f_score, m_score,
+  concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+         CAST(m_score AS VARCHAR)) AS rfm
+FROM sc ORDER BY user_id
+"""
+
+
+_R6V_QUERIES = {
+    "rfm_segments": QueryDef(q_rfm_segments, _rfm_oracle()),
+}
+QUERIES = {**_R6V_QUERIES, **QUERIES}

@@ -218,3 +218,52 @@ class TestPsiTimeline:
 
         with _pytest.raises(ValueError):
             psi_timeline(df)
+
+
+class TestRfmSegments:
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        data = [
+            (u, dt.datetime(2024, 1, d, 12, 0, 0), float(v))
+            for u, d, v in rows
+        ]
+        return spark.createDataFrame(data, ["user_id", "ts", "value"])
+
+    def test_scores_and_label(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            rfm_segments,
+        )
+
+        # five users with strictly increasing activity on every axis:
+        # user i has i events on day i with value 10*i each
+        rows = []
+        for u in range(1, 6):
+            rows += [(u, u, 10.0 * u)] * u
+        out = {
+            r["user_id"]: r
+            for r in rfm_segments(self._events(spark, rows)).collect()
+        }
+        # user 5: most recent (day 5 == anchor), most frequent, top spend
+        assert out[5]["r_score"] == 5
+        assert out[5]["f_score"] == 5 and out[5]["m_score"] == 5
+        assert out[5]["rfm"] == "555"
+        # user 1: oldest, least frequent, least spend
+        assert out[1]["r_score"] == 1
+        assert out[1]["f_score"] == 1 and out[1]["m_score"] == 1
+        assert out[1]["recency_days"] == 4
+        # monotone scores along the construction
+        for axis in ("f_score", "m_score"):
+            vals = [out[u][axis] for u in range(1, 6)]
+            assert vals == sorted(vals)
+
+    def test_single_user_all_mid(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            rfm_segments,
+        )
+
+        r = rfm_segments(self._events(spark, [(7, 3, 5.0)])).first()
+        # one user: every metric equals every edge -> never above ->
+        # F/M floor at 1, R mirrors to 5 (most recent by definition)
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (5, 1, 1)
+        assert r["recency_days"] == 0

@@ -278,6 +278,13 @@ CHECKS = {
          r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "rfm_segments": [
+        ("per-user rollup partial-aggregates before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("quintile edges broadcast back — scoring is a map-side CASE, "
+         "no window anywhere", "!Window"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "tfidf_cosine_topk": [
         ("tf / norm aggregations partial-first",
          r"HashAggregate.*partial|partial_count"),
