@@ -195,6 +195,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "graph_bfs_hops",
     "l_diversity",
+    "t_closeness",
     "embedding_outliers",
     "rrf_fusion",
     "seasonal_naive",
@@ -202,6 +203,8 @@ HEADLINE = [
     "vocab_growth",
     "approx_quantiles_binned",
     "langid_confusion",
+    "langid_kappa",
+    "quality_auc",
     "tfidf_cosine_topk",
     "rfm_segments",
 ]

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["contingency_table", "mutual_information"]
+__all__ = ["contingency_table", "mutual_information", "cohens_kappa"]
 
 
 def contingency_table(
@@ -116,3 +116,74 @@ def mutual_information(
     out = out.localCheckpoint(eager=True)
     joint.unpersist()
     return out
+
+
+def cohens_kappa(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """One-row chance-corrected agreement between two categorical
+    columns (Cohen 1960): κ = (p_o − p_e)/(1 − p_e), the standard
+    gate on a heuristic classifier (lang-ID, quality labels) before
+    trusting it to stratify a corpus — raw accuracy rewards majority
+    guessing; κ subtracts the agreement a marginal-preserving random
+    assignment would get.
+
+    Exact-integer numerators (the cross-engine contract):
+    ``po_num = Σ_{k} n_kk`` (diagonal) and ``pe_num = Σ_k n_x(k)·n_y(k)``
+    over labels present in BOTH marginals (absent labels contribute 0
+    products). p_o = po_num/n and p_e = pe_num/n² are quotients of
+    exactly-representable integers, so the 6-dp rounds cannot straddle
+    a decimal half-boundary (binary-rational rule). Requires n < 2^26.5
+    … n² < 2^53 for exactness — i.e. n ≤ ~9·10^7 rows; sample first
+    beyond that (agreement estimates converge long before).
+
+    Shape: ONE partial-aggregated (truth, pred) groupBy — |labels|²
+    rows regardless of input size — then label-keyed folds over that
+    tiny table. NULL categories group as themselves, matching
+    `contingency_table`.
+
+    Output: (n, observed_agreement, expected_agreement, kappa), the
+    rates 6-dp doubles; kappa NULL when p_e = 1 (degenerate one-label
+    marginals — undefined by construction).
+    """
+    joint = df.groupBy(
+        F.col(truth_col).alias("x"), F.col(pred_col).alias("y")
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    stats = joint.agg(
+        F.sum("n_xy").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("x").eqNullSafe(F.col("y")), F.col("n_xy"))
+              .otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("po_num"),
+    )
+    pe = (
+        mx.join(my, F.col("x").eqNullSafe(F.col("y")))
+        .agg(
+            F.coalesce(F.sum(F.col("n_x") * F.col("n_y")), F.lit(0))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    out = stats.crossJoin(F.broadcast(pe)).select(
+        "n",
+        (F.col("po_num").cast("double") / F.col("n").cast("double"))
+        .alias("_po"),
+        (
+            F.col("pe_num").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("_pe"),
+    )
+    return out.select(
+        "n",
+        F.round("_po", 6).alias("observed_agreement"),
+        F.round("_pe", 6).alias("expected_agreement"),
+        F.round(
+            F.when(
+                F.col("_pe") < 1.0,
+                (F.col("_po") - F.col("_pe")) / (F.lit(1.0) - F.col("_pe")),
+            ),
+            6,
+        ).alias("kappa"),
+    )

@@ -151,3 +151,108 @@ def l_diversity_report(
         .alias("rows_at_risk"),
         F.sum("_gs").cast("bigint").alias("n_rows"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int = 3,
+    t_den: int = 10,
+) -> DataFrame:
+    """One-row t-closeness audit — the third leg of the release-audit
+    trio (Li 2007, after `k_anonymity_report` / `l_diversity_report`).
+    A class of 50 rows with 5 distinct diagnoses still leaks if 48 of
+    them share one: l-diversity counts values, t-closeness bounds the
+    DISTANCE between the class's sensitive-value distribution and the
+    global one. For categorical attributes the distance is total
+    variation, TVD = ½ Σ_v |c_v/n − g_v/N|.
+
+    Exact-integer form (the cross-engine contract): per class,
+    ``tvd_num = Σ_v |c_v·N − g_v·n|`` with absent values contributing
+    ``g_v·n``, so only the PRESENT (class, value) cells are ever
+    materialized: tvd_num = Σ_present (|c·N − g·n| − g·n) + n·N.
+    TVD = tvd_num / (2·n·N). The threshold test cross-multiplies —
+    ``t_den·tvd_num > 2·t_num·n·N`` — so violation counts are
+    integer-exact on both engines. Overflow bound: requires
+    ``t_den·max(n)·N < 2^63`` (ANSI mode raises, never wraps); beyond
+    ~10^9-row strata run the audit per stratum, which is how release
+    audits shard anyway.
+
+    Shape: one (quasi × sensitive) cell aggregate (partial-first), the
+    |sensitive-domain|-row global table broadcast back, one class
+    aggregate, one scalar fold. No windows, no all-pairs — the only
+    corpus-sized shuffle is the cell groupBy.
+
+    Output: (max_tvd 6-dp, n_groups, n_violating_groups, rows_at_risk,
+    n_rows). ``max_tvd`` is the max over per-class quotients of exact
+    integers (deterministic scalar division, so the 6-dp round cannot
+    straddle a decimal half-boundary — quotient doubles are binary
+    rationals).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if t_num <= 0 or t_den <= 0:
+        raise ValueError("t must be a positive rational t_num/t_den")
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count("*").cast("bigint").alias("_c"))
+    gv = df.groupBy(F.col(sensitive_col).alias("_sv")).agg(
+        F.count("*").cast("bigint").alias("_g")
+    )
+    total = df.agg(F.count("*").cast("bigint").alias("_tot"))
+    # the cell-term sum needs n (the class total) per term, so two
+    # passes over the CELL table (already tiny relative to df): class
+    # sizes first, then the term sum with n joined back in.
+    sizes = cells.groupBy(*quasi_cols).agg(
+        F.sum("_c").alias("_n")
+    )
+    terms = (
+        cells.join(F.broadcast(gv), "_sv")
+        .join(sizes, quasi_cols)
+        .crossJoin(F.broadcast(total))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.first("_n").alias("_n"),
+            F.first("_tot").alias("_tot"),
+            F.sum(
+                F.abs(F.col("_c") * F.col("_tot") - F.col("_g") * F.col("_n"))
+                - F.col("_g") * F.col("_n")
+            ).alias("_part"),
+        )
+        .select(
+            *quasi_cols,
+            "_n",
+            "_tot",
+            (F.col("_part") + F.col("_n") * F.col("_tot")).alias("_num"),
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.max(
+                F.col("_num").cast("double")
+                / (F.lit(2.0) * F.col("_n") * F.col("_tot"))
+            ),
+            6,
+        ).alias("max_tvd"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(
+            F.when(
+                F.lit(int(t_den)) * F.col("_num")
+                > F.lit(2 * int(t_num)) * F.col("_n") * F.col("_tot"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(
+            F.when(
+                F.lit(int(t_den)) * F.col("_num")
+                > F.lit(2 * int(t_num)) * F.col("_n") * F.col("_tot"),
+                F.col("_n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+    )

@@ -22,7 +22,7 @@ num_max, avg_len).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -452,4 +452,76 @@ def rfm_segments(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def auc_report(
+    df: DataFrame,
+    score_col: str,
+    positive: Column,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """One-row ROC-AUC of a score at separating a binary condition —
+    the rank-based Mann-Whitney form with exact tie handling, the
+    standard check that a quality/importance score actually orders the
+    classes before it is trusted to filter a corpus. AUC = P(score⁺ >
+    score⁻) + ½·P(tie).
+
+    Exact-integer form: collapse to the per-distinct-score table
+    (pos_g, neg_g) first, then U·2 = Σ_g pos_g·(2·neg_below + neg_g)
+    — twice the tie-aware U statistic, an associative BIGINT sum.
+    ``neg_below`` is a global running sum over the score-ordered group
+    table, computed with the two-phase `sharded_running_sums` (integer
+    addition is associative, so shard offsets match the sequential
+    window bit-for-bit) — NO single-task window even when every score
+    is distinct. AUC = U2/(2·n_pos·n_neg): a quotient of exactly-
+    representable integers (requires U2 < 2^53, i.e. ≲ 10^8 rows —
+    sample beyond that), so the 6-dp round is binary-rational-safe.
+
+    Output: (n_pos, n_neg, auc); auc NULL when either class is empty.
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+
+    groups = (
+        df.select(
+            F.col(score_col).alias("_s"),
+            F.when(positive, 1).otherwise(0).alias("_p"),
+        )
+        .where(F.col("_s").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum("_p").cast("long").alias("_pos"),
+            (F.count("*") - F.sum("_p")).cast("long").alias("_neg"),
+        )
+    )
+    r = sharded_running_sums(
+        groups, [F.col("_s")], ["_neg"], num_shards=num_shards
+    )
+    agg = r.agg(
+        F.sum(
+            F.col("_pos")
+            * (2 * (F.col("_neg_cum") - F.col("_neg")) + F.col("_neg"))
+        )
+        .cast("long")
+        .alias("_u2"),
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        F.sum("_neg").cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_u2").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+            ),
+            6,
+        ).alias("auc"),
     )

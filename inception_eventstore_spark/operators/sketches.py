@@ -423,3 +423,119 @@ def quantiles_from_histogram(
     return spark.createDataFrame(
         out, f"{gschema}q double, est double, n bigint"
     )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str | Column,
+    p: int = 9,
+) -> DataFrame:
+    """Set-overlap estimates between two relations from HLL register
+    state alone — the sketch-algebra payoff: |A∪B| comes from the
+    register-wise MAX merge (exact sketch union), and |A∩B| by
+    inclusion-exclusion, so two 100 TB sides compare in ≤ 2^p register
+    rows each with no join of the raw values. The standard audit for
+    'how much does this crawl snapshot overlap the last one' before
+    paying for a real dedup pass.
+
+    Both registers tables are eagerly checkpointed (≤ 2^p rows each) so
+    each raw side is scanned ONCE, feeding both its own estimate and
+    the union merge. Error: ±~1.04/√m per estimate; the intersection
+    inherits the sum of errors (clamped at 0) — small-overlap readings
+    are noise-dominated, which is inherent to HLL inclusion-exclusion
+    (Flajolet 2007); use MinHash when you need calibrated small
+    Jaccards.
+
+    Output one row: (denom_a, denom_b, denom_union — exact BIGINT
+    certificates; est_a, est_b, est_union, est_intersection, jaccard —
+    4-dp doubles, jaccard NULL on an empty union).
+    """
+    ra = hll_registers(df_a, value_col, None, p).localCheckpoint(
+        eager=True
+    )
+    rb = hll_registers(df_b, value_col, None, p).localCheckpoint(
+        eager=True
+    )
+    ru = hll_merge([ra, rb])
+
+    def _est(regs: DataFrame, tag: str) -> DataFrame:
+        return hll_estimate_from_registers(regs, p=p).select(
+            F.col("hll_denom").alias(f"denom_{tag}"),
+            F.col("hll_est").alias(f"_e_{tag}"),
+        )
+
+    one = (
+        _est(ra, "a")
+        .crossJoin(F.broadcast(_est(rb, "b")))
+        .crossJoin(F.broadcast(_est(ru, "union")))
+    )
+    inter = F.greatest(
+        F.col("_e_a") + F.col("_e_b") - F.col("_e_union"), F.lit(0.0)
+    )
+    return one.select(
+        "denom_a",
+        "denom_b",
+        F.col("denom_union"),
+        F.round("_e_a", 4).alias("est_a"),
+        F.round("_e_b", 4).alias("est_b"),
+        F.round("_e_union", 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(
+            F.when(F.col("_e_union") > 0.0, inter / F.col("_e_union")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def hll_overlap_oracle_sql(
+    source_a: str, source_b: str, value_expr: str, p: int = 9
+) -> str:
+    """DuckDB twin of ``hll_overlap`` — registers for each side, MAX
+    merge for the union, identical integer certificates and estimate
+    arithmetic. Kept beside the operator so they cannot drift."""
+    m = 1 << p
+    q = 60 - p + 1
+    c = _hll_raw_constant(m, q)
+
+    def regs(src: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT h % {m} AS reg_idx,
+    max(CASE WHEN h // {m} > 0 THEN {q} - length(bin(h // {m}))
+        ELSE {q} END) AS m_j
+  FROM (SELECT CAST(concat('0x', substr(md5(concat('hll:',
+      CAST({value_expr} AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM ({src}) s_{name})
+  GROUP BY 1)"""
+
+    def est(regs_name: str, tag: str) -> str:
+        return f"""e_{tag} AS (
+  SELECT denom, zeros,
+    CASE WHEN zeros > 0 AND {c!r} / denom <= {2.5 * m!r}
+         THEN {float(m)!r} * ln({float(m)!r} / zeros)
+         ELSE {c!r} / denom END AS est
+  FROM (SELECT
+    CAST(CAST(sum(1::BIGINT << ({q} - m_j)) AS BIGINT)
+      + ({m} - count(*)) * (1::BIGINT << {q}) AS BIGINT) AS denom,
+    CAST({m} - count(*) AS BIGINT) AS zeros
+    FROM {regs_name}))"""
+
+    return f"""
+WITH {regs(source_a, 'ra')},
+{regs(source_b, 'rb')},
+ru AS (SELECT reg_idx, max(m_j) AS m_j
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+{est('ra', 'a')},
+{est('rb', 'b')},
+{est('ru', 'u')}
+SELECT e_a.denom AS denom_a, e_b.denom AS denom_b,
+  e_u.denom AS denom_union,
+  round(e_a.est, 4) AS est_a, round(e_b.est, 4) AS est_b,
+  round(e_u.est, 4) AS est_union,
+  round(greatest(e_a.est + e_b.est - e_u.est, 0.0), 4)
+    AS est_intersection,
+  round(CASE WHEN e_u.est > 0.0
+    THEN greatest(e_a.est + e_b.est - e_u.est, 0.0) / e_u.est END, 4)
+    AS jaccard
+FROM e_a, e_b, e_u
+"""

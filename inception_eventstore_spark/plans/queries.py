@@ -8527,3 +8527,197 @@ _R6V_QUERIES = {
     "rfm_segments": QueryDef(q_rfm_segments, _rfm_oracle()),
 }
 QUERIES = {**_R6V_QUERIES, **QUERIES}
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (pii.t_closeness_report): does any
+    (event_type, calendar day) class skew its USER distribution more
+    than t=0.3 total-variation away from the corpus-wide mix? The
+    third release-audit leg after k-anonymity / l-diversity — exact
+    integer TVD numerators, one cell aggregate + broadcast globals."""
+    from inception_eventstore_spark.operators.pii import t_closeness_report
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    return t_closeness_report(e, ["event_type", "day"], "user_id", 3, 10)
+
+
+_T_CLOSENESS_ORACLE = """
+WITH cells AS (SELECT event_type, date_trunc('day', ts) AS day,
+    user_id AS sv, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3),
+gv AS (SELECT user_id AS sv, CAST(count(*) AS BIGINT) AS g
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events),
+sizes AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2),
+terms AS (SELECT c.event_type, c.day,
+    any_value(s.n) AS n, any_value(t.nn) AS nn,
+    CAST(sum(abs(c.c * t.nn - g.g * s.n) - g.g * s.n) AS BIGINT)
+      + any_value(s.n) * any_value(t.nn) AS num
+  FROM cells c
+  JOIN gv g USING (sv)
+  JOIN sizes s ON c.event_type = s.event_type AND c.day = s.day
+  CROSS JOIN tot t
+  GROUP BY 1, 2)
+SELECT round(max(CAST(num AS DOUBLE) / (2.0 * n * nn)), 6) AS max_tvd,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN 10 * num > 6 * n * nn THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_violating_groups,
+  CAST(sum(CASE WHEN 10 * num > 6 * n * nn THEN n ELSE 0 END)
+    AS BIGINT) AS rows_at_risk,
+  CAST(sum(n) AS BIGINT) AS n_rows
+FROM terms
+"""
+
+
+_R6W_QUERIES = {
+    "t_closeness": QueryDef(q_t_closeness, _T_CLOSENESS_ORACLE),
+}
+QUERIES = {**_R6W_QUERIES, **QUERIES}
+
+
+def q_langid_kappa(spark, sf_dir):
+    """Chance-corrected lang-ID agreement (infotheory.cohens_kappa):
+    κ of the heuristic classifier against the labeled lang column —
+    the one-number companion to `langid_confusion` (accuracy rewards
+    majority guessing; κ subtracts marginal chance). One (truth,
+    pred) groupBy, label-keyed folds over the tiny joint table."""
+    from inception_eventstore_spark.operators.infotheory import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("truth"),
+        TX.lang_id("text").alias("pred"),
+    )
+    return cohens_kappa(d, "truth", "pred")
+
+
+def _langid_kappa_oracle() -> str:
+    inner = _lang_id_oracle()
+    return f"""
+WITH pred AS ({inner}),
+pair AS (SELECT d.lang AS x, p.lang_pred AS y
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+joint AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM pair GROUP BY 1, 2),
+mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+st AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN x IS NOT DISTINCT FROM y THEN n_xy ELSE 0 END)
+      AS BIGINT) AS po_num
+  FROM joint),
+pe AS (SELECT CAST(coalesce(sum(n_x * n_y), 0) AS BIGINT) AS pe_num
+  FROM mx JOIN my ON x IS NOT DISTINCT FROM y),
+o AS (SELECT n,
+    CAST(po_num AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+    CAST(pe_num AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM st, pe)
+SELECT n, round(po, 6) AS observed_agreement,
+  round(pe, 6) AS expected_agreement,
+  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+FROM o
+"""
+
+
+_R6X_QUERIES = {
+    "langid_kappa": QueryDef(q_langid_kappa, _langid_kappa_oracle()),
+}
+QUERIES = {**_R6X_QUERIES, **QUERIES}
+
+
+def q_quality_auc(spark, sf_dir):
+    """ROC-AUC of the (seeded) quality model at separating English
+    docs from the rest (profile.auc_report) — the rank-based check
+    that a score actually orders classes before it filters a corpus.
+    Tie-aware Mann-Whitney over the distinct-score table, neg-below
+    running sum via the two-phase shard rank (no single-task window).
+    """
+    from inception_eventstore_spark.operators import scoring as SC
+    from inception_eventstore_spark.operators.profile import auc_report
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return auc_report(scored, "quality_logit", F.col("lang") == "en")
+
+
+def _quality_auc_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(sum(w * cnt) / sum(cnt), 6) AS sc
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT s.sc,
+    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.sc IS NOT NULL),
+g AS (SELECT sc, CAST(sum(p) AS BIGINT) AS pos,
+    CAST(count(*) - sum(p) AS BIGINT) AS neg
+  FROM lab GROUP BY sc),
+r AS (SELECT pos, neg, CAST(sum(neg) OVER (ORDER BY sc
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS neg_cum FROM g),
+a AS (SELECT CAST(sum(pos * (2 * (neg_cum - neg) + neg)) AS BIGINT)
+    AS u2, CAST(sum(pos) AS BIGINT) AS np,
+    CAST(sum(neg) AS BIGINT) AS nn FROM r)
+SELECT np AS n_pos, nn AS n_neg,
+  round(CASE WHEN np > 0 AND nn > 0 THEN CAST(u2 AS DOUBLE)
+    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) END, 6) AS auc
+FROM a
+"""
+
+
+_R6Y_QUERIES = {
+    "quality_auc": QueryDef(q_quality_auc, _quality_auc_oracle()),
+}
+QUERIES = {**_R6Y_QUERIES, **QUERIES}
+
+
+def q_hll_overlap(spark, sf_dir):
+    """Sketch-algebra set overlap (sketches.hll_overlap): how much do
+    the user-day activity sets of 'click' and 'view' events overlap?
+    |A∪B| from the register-wise MAX merge, |A∩B| by inclusion-
+    exclusion — each raw side scanned once into ≤ 512 register rows,
+    no join of the raw values."""
+    from inception_eventstore_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events")
+    ud = F.concat_ws(
+        ":", F.col("user_id"), F.col("ts").cast("date").cast("string")
+    )
+    a = e.where(F.col("event_type") == "click").select(ud.alias("v"))
+    b = e.where(F.col("event_type") == "view").select(ud.alias("v"))
+    return SK.hll_overlap(a, b, "v", p=9)
+
+
+def _hll_overlap_oracle() -> str:
+    from inception_eventstore_spark.operators.sketches import (
+        hll_overlap_oracle_sql,
+    )
+
+    src = (
+        "SELECT concat(CAST(user_id AS VARCHAR), ':', "
+        "CAST(CAST(ts AS DATE) AS VARCHAR)) AS v FROM events "
+        "WHERE event_type = '{t}'"
+    )
+    return hll_overlap_oracle_sql(
+        src.format(t="click"), src.format(t="view"), "v", p=9
+    )
+
+
+_R6Z_QUERIES = {
+    "hll_user_overlap": QueryDef(q_hll_overlap, _hll_overlap_oracle()),
+}
+QUERIES = {**_R6Z_QUERIES, **QUERIES}

@@ -61,3 +61,63 @@ class TestMutualInformation:
         }
         assert rows[("a", "c")] == (1, 2, 2, 3)
         assert rows[("b", "c")] == (1, 1, 2, 3)
+
+
+class TestCohensKappa:
+    def test_textbook_2x2(self, spark):
+        from inception_eventstore_spark.operators.infotheory import (
+            cohens_kappa,
+        )
+
+        # [[20, 5], [10, 15]]: po = 0.7, pe = 0.5, kappa = 0.4
+        rows = (
+            [("a", "a")] * 20 + [("a", "b")] * 5
+            + [("b", "a")] * 10 + [("b", "b")] * 15
+        )
+        df = spark.createDataFrame(rows, ["truth", "pred"])
+        r = cohens_kappa(df, "truth", "pred").first()
+        assert r["n"] == 50
+        assert r["observed_agreement"] == 0.7
+        assert r["expected_agreement"] == 0.5
+        assert r["kappa"] == 0.4
+
+    def test_perfect_and_degenerate(self, spark):
+        from inception_eventstore_spark.operators.infotheory import (
+            cohens_kappa,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("c", "c")], ["t", "p"]
+        )
+        r = cohens_kappa(df, "t", "p").first()
+        assert r["observed_agreement"] == 1.0 and r["kappa"] == 1.0
+        # one label on both sides: pe = 1 -> kappa undefined (NULL)
+        d2 = spark.createDataFrame([("a", "a")] * 4, ["t", "p"])
+        r2 = cohens_kappa(d2, "t", "p").first()
+        assert r2["expected_agreement"] == 1.0 and r2["kappa"] is None
+
+    def test_disjoint_labels_zero_pe(self, spark):
+        from inception_eventstore_spark.operators.infotheory import (
+            cohens_kappa,
+        )
+
+        # prediction never emits a truth label: pe = 0, kappa = po = 0
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "y")], ["t", "p"]
+        )
+        r = cohens_kappa(df, "t", "p").first()
+        assert r["expected_agreement"] == 0.0
+        assert r["kappa"] == 0.0
+
+    def test_null_category_agreement(self, spark):
+        from inception_eventstore_spark.operators.infotheory import (
+            cohens_kappa,
+        )
+
+        df = spark.createDataFrame(
+            [(None, None), ("a", "a"), ("a", None), (None, "a")],
+            ["t", "p"],
+        )
+        r = cohens_kappa(df, "t", "p").first()
+        # NULL == NULL counts as agreement (eqNullSafe), po = 2/4
+        assert r["observed_agreement"] == 0.5

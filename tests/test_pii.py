@@ -116,3 +116,55 @@ class TestLDiversity:
             l_diversity_report(df, [], "secret")
         with pytest.raises(ValueError):
             l_diversity_report(df, ["qi"], "secret", l=0)
+
+
+class TestTCloseness:
+    def _df(self, spark):
+        # secrets domain {s1, s2}; global: s1=6, s2=2, N=8
+        # A=[s1,s1,s1] TVD=1/4;  B=[s1,s2,s2] TVD=5/12;  C=[s1,s1] TVD=1/4
+        rows = (
+            [("A", "s1")] * 3
+            + [("B", "s1"), ("B", "s2"), ("B", "s2")]
+            + [("C", "s1")] * 2
+        )
+        return spark.createDataFrame(rows, ["qi", "secret"])
+
+    def test_report_exact_tvd(self, spark):
+        r = P.t_closeness_report(
+            self._df(spark), ["qi"], "secret", t_num=3, t_den=10
+        ).first()
+        assert r["max_tvd"] == 0.416667  # 5/12 at 6 dp
+        assert r["n_groups"] == 3
+        assert r["n_violating_groups"] == 1  # only B > 0.3
+        assert r["rows_at_risk"] == 3
+        assert r["n_rows"] == 8
+
+    def test_threshold_is_strict(self, spark):
+        # t = 1/4: A and C sit EXACTLY at 1/4 -> not violations
+        r = P.t_closeness_report(
+            self._df(spark), ["qi"], "secret", t_num=1, t_den=4
+        ).first()
+        assert r["n_violating_groups"] == 1
+        assert r["rows_at_risk"] == 3
+        # t just below 1/4: the boundary classes flip in
+        r2 = P.t_closeness_report(
+            self._df(spark), ["qi"], "secret", t_num=249, t_den=1000
+        ).first()
+        assert r2["n_violating_groups"] == 3
+        assert r2["rows_at_risk"] == 8
+
+    def test_single_class_matches_global(self, spark):
+        # one class == the corpus -> TVD 0, nothing violates
+        df = self._df(spark).withColumn("qi", F.lit("all"))
+        r = P.t_closeness_report(df, ["qi"], "secret", 1, 100).first()
+        assert r["max_tvd"] == 0.0
+        assert r["n_violating_groups"] == 0
+
+    def test_guards(self, spark):
+        import pytest
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            P.t_closeness_report(df, [], "secret")
+        with pytest.raises(ValueError):
+            P.t_closeness_report(df, ["qi"], "secret", t_num=0)

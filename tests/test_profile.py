@@ -6,6 +6,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from inception_eventstore_spark.operators.profile import profile_table
 
@@ -267,3 +268,69 @@ class TestRfmSegments:
         # F/M floor at 1, R mirrors to 5 (most recent by definition)
         assert (r["r_score"], r["f_score"], r["m_score"]) == (5, 1, 1)
         assert r["recency_days"] == 0
+
+
+class TestAucReport:
+    def _df(self, spark, scored):
+        # scored: list of (score, is_pos)
+        return spark.createDataFrame(
+            [(float(s), bool(p)) for s, p in scored], ["score", "pos"]
+        )
+
+    def test_perfect_separation(self, spark):
+        from inception_eventstore_spark.operators.profile import auc_report
+
+        df = self._df(
+            spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+        )
+        r = auc_report(df, "score", F.col("pos")).first()
+        assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+
+    def test_hand_computed_with_ties(self, spark):
+        from inception_eventstore_spark.operators.profile import auc_report
+
+        # pos scores [3, 2], neg scores [2, 1]:
+        # pairs: (3,2)win (3,1)win (2,2)tie (2,1)win -> U = 3.5, AUC = 0.875
+        df = self._df(spark, [(3, 1), (2, 1), (2, 0), (1, 0)])
+        r = auc_report(df, "score", F.col("pos")).first()
+        assert r["auc"] == 0.875
+
+    def test_reversed_score_is_complement(self, spark):
+        from inception_eventstore_spark.operators.profile import auc_report
+
+        scored = [(3, 1), (2, 1), (2, 0), (1, 0)]
+        df = self._df(spark, scored).withColumn(
+            "neg_score", -F.col("score")
+        )
+        r = auc_report(df, "neg_score", F.col("pos")).first()
+        assert r["auc"] == 0.125  # 1 - 0.875
+
+    def test_empty_class_null(self, spark):
+        from inception_eventstore_spark.operators.profile import auc_report
+
+        df = self._df(spark, [(1.0, 1), (2.0, 1)])
+        r = auc_report(df, "score", F.col("pos")).first()
+        assert r["n_neg"] == 0 and r["auc"] is None
+
+    def test_random_matches_naive(self, spark):
+        import random
+
+        from inception_eventstore_spark.operators.profile import auc_report
+
+        rng = random.Random(7)
+        scored = [
+            (round(rng.random(), 2), rng.random() < 0.4)
+            for _ in range(200)
+        ]
+        pos = [s for s, p in scored if p]
+        neg = [s for s, p in scored if not p]
+        u = sum(
+            1.0 if a > b else (0.5 if a == b else 0.0)
+            for a in pos
+            for b in neg
+        )
+        expected = round(u / (len(pos) * len(neg)), 6)
+        r = auc_report(
+            self._df(spark, scored), "score", F.col("pos"), num_shards=7
+        ).first()
+        assert r["auc"] == expected

@@ -245,3 +245,67 @@ class TestBinnedQuantiles:
             SK.quantiles_from_histogram(hist, 0, 10, 10, [])
         with pytest.raises(ValueError):
             SK.quantiles_from_histogram(hist, 0, 10, 10, [1.5])
+
+
+class TestHllOverlap:
+    def _sets(self, spark, a_vals, b_vals):
+        a = spark.createDataFrame([(v,) for v in a_vals], ["v"])
+        b = spark.createDataFrame([(v,) for v in b_vals], ["v"])
+        return a, b
+
+    def test_identical_sides(self, spark):
+        from inception_eventstore_spark.operators import sketches as SK
+
+        vals = [f"x{i}" for i in range(300)]
+        a, b = self._sets(spark, vals, vals)
+        r = SK.hll_overlap(a, b, "v", p=9).first()
+        # union of identical registers IS each side's register table
+        assert r["denom_union"] == r["denom_a"] == r["denom_b"]
+        assert r["est_union"] == r["est_a"]
+        assert r["est_intersection"] == r["est_a"]
+        assert r["jaccard"] == 1.0
+
+    def test_disjoint_and_half_overlap(self, spark):
+        from inception_eventstore_spark.operators import sketches as SK
+
+        a_vals = [f"a{i}" for i in range(400)]
+        b_half = [f"a{i}" for i in range(200)] + [
+            f"b{i}" for i in range(200)
+        ]
+        a, b = self._sets(spark, a_vals, b_half)
+        r = SK.hll_overlap(a, b, "v", p=9).first()
+        # true: |A|=400 |B|=400 |A∩B|=200 |A∪B|=600, J=1/3
+        assert abs(r["est_intersection"] - 200) < 60
+        assert abs(r["jaccard"] - 1 / 3) < 0.1
+        d1, d2 = self._sets(
+            spark, [f"l{i}" for i in range(250)],
+            [f"r{i}" for i in range(250)],
+        )
+        r2 = SK.hll_overlap(d1, d2, "v", p=9).first()
+        # disjoint: intersection estimate is noise, clamped at >= 0
+        assert r2["est_intersection"] >= 0.0
+        assert r2["est_intersection"] < 80
+        assert abs(r2["est_union"] - 500) < 60
+
+    def test_oracle_twin_matches(self, spark, tmp_path):
+        import duckdb
+
+        from inception_eventstore_spark.operators import sketches as SK
+
+        a_vals = [f"u{i}" for i in range(150)]
+        b_vals = [f"u{i}" for i in range(100, 260)]
+        a, b = self._sets(spark, a_vals, b_vals)
+        got = SK.hll_overlap(a, b, "v", p=8).first().asDict()
+        sql = SK.hll_overlap_oracle_sql(
+            "SELECT unnest(range(0, 150)) AS i",
+            "SELECT unnest(range(100, 260)) AS i",
+            "concat('u', CAST(i AS VARCHAR))",
+            p=8,
+        )
+        want = duckdb.connect().execute(sql).fetchone()
+        cols = [
+            "denom_a", "denom_b", "denom_union", "est_a", "est_b",
+            "est_union", "est_intersection", "jaccard",
+        ]
+        for c, w in zip(cols, want):
+            assert got[c] == w, (c, got[c], w)

@@ -247,6 +247,28 @@ CHECKS = {
          "the shuffle", r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "quality_auc": [
+        ("distinct-score group table partial-aggregated",
+         r"HashAggregate.*partial|partial_count"),
+        ("neg-below running sum is the two-phase shard form — no "
+         "single-partition Exchange under any Window",
+         "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "langid_kappa": [
+        ("joint (truth, pred) table partial-aggregated before the "
+         "shuffle", r"HashAggregate.*partial|partial_count"),
+        ("no window anywhere — label-keyed folds only", "!Window"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "t_closeness": [
+        ("cell counts partial-aggregated before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("global value distribution broadcast back, not shuffled",
+         r"BroadcastExchange|BroadcastHashJoin"),
+        ("no window anywhere — scalar folds only", "!Window"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "suppress_to_k": [
         ("survivors via a semi-join on the class keys — no row-level "
          "anti cross join",
