@@ -8721,3 +8721,80 @@ _R6Z_QUERIES = {
     "hll_user_overlap": QueryDef(q_hll_overlap, _hll_overlap_oracle()),
 }
 QUERIES = {**_R6Z_QUERIES, **QUERIES}
+
+
+_BQ_QUERY_IDS = [3, 7, 11, 19, 23, 31, 42, 57]
+_BQ_RADIUS = 26
+
+
+def q_bq_hamming_topk(spark, sf_dir):
+    """Binary-quantized retrieval (similarity.bq_hamming_topk):
+    sign-bit codes packed 32 dims per BIGINT word, broadcast hamming-
+    radius scan (bit_count(xor) on 2 words per vector — 32x less IO
+    than the float arrays), exact cosine re-rank of the survivors
+    only. The compressed-serving complement to sim_topk_ivf/ivfpq:
+    zero training, zero index build, one map-side pass."""
+    from inception_eventstore_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_hamming_topk(
+        emb, _BQ_QUERY_IDS, k=5, radius=_BQ_RADIUS
+    ).orderBy("query_id", "rank")
+
+
+def _bq_oracle() -> str:
+    qids = ", ".join(str(q) for q in _BQ_QUERY_IDS)
+    words = []
+    for w in range(2):
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{w * 32 + j + 1}] > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+            for j in range(32)
+        )
+        words.append(f"({terms}) AS code_w{w}")
+    fold = (
+        "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+    )
+    dot = fold.format(
+        terms="list_transform(range(1, 65), i -> c.ev[i] * q.qv[i])"
+    )
+    nv = fold.format(
+        terms="list_transform(range(1, 65), i -> c.ev[i] * c.ev[i])"
+    )
+    nq = fold.format(
+        terms="list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])"
+    )
+    return f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+codes AS (SELECT vec_id, {words[0]}, {words[1]} FROM embeddings),
+qc AS (SELECT vec_id AS query_id, code_w0 AS q_w0, code_w1 AS q_w1
+  FROM codes WHERE vec_id IN ({qids})),
+cand AS (SELECT * FROM (
+    SELECT qc.query_id, c.vec_id,
+      bit_count(xor(c.code_w0, qc.q_w0))
+        + bit_count(xor(c.code_w1, qc.q_w1)) AS ham
+    FROM codes c CROSS JOIN qc
+    WHERE c.vec_id <> qc.query_id)
+  WHERE ham <= {_BQ_RADIUS}),
+qv AS (SELECT vec_id AS query_id, ev AS qv FROM v
+  WHERE vec_id IN ({qids})),
+sc AS (SELECT cand.query_id, c.vec_id,
+    round({dot} / (sqrt({nv}) * sqrt({nq})), 6) AS cosine
+  FROM cand JOIN v c ON cand.vec_id = c.vec_id
+  JOIN qv q ON cand.query_id = q.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM sc)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+_R6ZA_QUERIES = {
+    "bq_hamming_topk": QueryDef(q_bq_hamming_topk, _bq_oracle()),
+}
+QUERIES = {**_R6ZA_QUERIES, **QUERIES}

@@ -519,3 +519,78 @@ class TestContainmentPairs:
         assert {(r["id_a"], r["id_b"], r["containment"]) for r in got2} == {
             (0, 1, 1.0), (1, 0, 1.0)
         }
+
+
+@pytest.fixture(scope="module")
+def vectors64(spark):
+    """40 random 64-dim vectors + a planted near-neighbor of vec 0."""
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    rows.append((900, [x + 0.01 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestBinaryQuantization:
+    def test_sign_bit_codes_match_python_packing(self, vectors64):
+        got = {
+            r["vec_id"]: (r["code_w0"], r["code_w1"])
+            for r in S.sign_bit_codes(vectors64, dim=64).collect()
+        }
+        for r in vectors64.collect():
+            v = r["embedding"]
+            want = []
+            for w in range(2):
+                acc = 0
+                for j in range(32):
+                    if v[w * 32 + j] > 0:
+                        acc |= 1 << j
+                want.append(acc)
+            assert got[r["vec_id"]] == tuple(want)
+
+    def test_bq_topk_finds_planted_neighbor(self, vectors64):
+        out = S.bq_hamming_topk(
+            vectors64, [0], k=3, radius=20, dim=64
+        ).collect()
+        # the planted copy shares every sign bit -> hamming 0, and its
+        # exact cosine ~1.0 puts it at rank 1
+        assert out and out[0]["rank"] == 1 and out[0]["vec_id"] == 900
+        assert out[0]["cosine"] > 0.999
+
+    def test_bq_topk_matches_bruteforce_within_radius(self, vectors64):
+        rows = {r["vec_id"]: r["embedding"] for r in vectors64.collect()}
+        q = rows[0]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        def code(v):
+            return [
+                sum(1 << j for j in range(32) if v[w * 32 + j] > 0)
+                for w in range(2)
+            ]
+
+        qc = code(q)
+        cands = []
+        for vid, v in rows.items():
+            if vid == 0:
+                continue
+            c = code(v)
+            ham = bin(c[0] ^ qc[0]).count("1") + bin(c[1] ^ qc[1]).count("1")
+            if ham <= 28:
+                cands.append((round(cos(v, q), 6), vid))
+        want = sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
+        got = (
+            S.bq_hamming_topk(vectors64, [0], k=5, radius=28, dim=64)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [(r["cosine"], r["vec_id"]) for r in got] == [
+            (pytest.approx(c, abs=1e-6), v) for c, v in want
+        ]
+
+    def test_dim_must_be_multiple_of_32(self, vectors64):
+        with pytest.raises(ValueError):
+            S.sign_bit_codes(vectors64, dim=48)

@@ -468,6 +468,14 @@ CHECKS = {
          r"Exchange hashpartitioning\(event_type"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "bq_hamming_topk": [
+        ("query codes broadcast — the hamming scan never shuffles the "
+         "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("rerank window partitions by query_id over radius survivors, "
+         "never one partition", "!Exchange SinglePartition"),
+        ("no python UDF anywhere — codes, hamming, and the cosine fold "
+         "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
+    ],
 }
 
 
