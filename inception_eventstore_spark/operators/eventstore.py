@@ -910,3 +910,58 @@ def latest_property_state(
         F.count("*").alias("n_set"),
         F.max(ts_col).alias("last_set_ts"),
     )
+
+
+def property_scd2(
+    events: DataFrame,
+    key_col: str = "user_id",
+    props_col: str = "props",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(key, prop_key, value, valid_from, valid_to, version,
+    is_current) — the SCD Type-2 history table of every payload
+    property: one row per VALUE INTERVAL, consecutive re-writes of the
+    same value collapsed, ``valid_to`` = the next change's timestamp
+    (NULL while current), ``version`` = 1-based change ordinal. The
+    warehouse-standard "slowly changing dimension" build, derived
+    set-wise from the event log instead of per-aggregate replay —
+    `latest_property_state` is exactly this table filtered to
+    ``is_current = 1``.
+
+    Scale: one JSON explode, then lag/lead windows partitioned by
+    (aggregate, property) — millions of small partitions, no
+    skew-prone key (a single aggregate's write count is bounded by
+    its own history, the same per-partition contract Cassandra's
+    clustering imposes in the reference, CassandraEventStore.cs:163).
+    Writes at the same (ts, tiebreak) order deterministically by the
+    tiebreak, so versions are reproducible on any engine."""
+    m = F.from_json(F.col(props_col), "map<string,string>")
+    ex = events.where(F.col(props_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.explode(m).alias("prop_key", "_v"),
+    )
+    w = Window.partitionBy(key_col, "prop_key").orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    # collapse consecutive same-value writes: keep only CHANGE rows
+    changed = ex.withColumn("_prev", F.lag("_v").over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("_v"))
+    )
+    wc = Window.partitionBy(key_col, "prop_key").orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    return changed.select(
+        F.col(key_col),
+        F.col("prop_key"),
+        F.col("_v").alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wc).alias("valid_to"),
+        F.row_number().over(wc).cast("bigint").alias("version"),
+        F.when(F.lead(ts_col).over(wc).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+    )

@@ -8798,3 +8798,50 @@ _R6ZA_QUERIES = {
     "bq_hamming_topk": QueryDef(q_bq_hamming_topk, _bq_oracle()),
 }
 QUERIES = {**_R6ZA_QUERIES, **QUERIES}
+
+
+def q_property_scd2(spark, sf_dir):
+    """SCD Type-2 property history (eventstore.property_scd2): one row
+    per value INTERVAL of each (user, payload-property) — consecutive
+    same-value writes collapsed, valid_from/valid_to bounds, 1-based
+    version — the warehouse dimension-history build derived set-wise
+    from the event log. `latest_property_state` is this table at
+    is_current = 1."""
+    from inception_eventstore_spark.operators.eventstore import (
+        property_scd2,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return property_scd2(ev).orderBy("user_id", "prop_key", "version")
+
+
+_PROPERTY_SCD2_ORACLE = """
+WITH ex AS (
+  SELECT user_id, ts, event_id, k AS prop_key,
+    json_extract_string(props, '$.' || k) AS v
+  FROM (SELECT user_id, ts, event_id, props,
+          unnest(json_keys(props)) AS k
+        FROM events WHERE props IS NOT NULL)),
+ch AS (
+  SELECT user_id, prop_key, v, ts, event_id,
+    lag(v) OVER (PARTITION BY user_id, prop_key
+      ORDER BY ts, event_id) AS prev
+  FROM ex),
+iv AS (
+  SELECT user_id, prop_key, v AS value, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id, prop_key
+      ORDER BY ts, event_id) AS valid_to,
+    CAST(row_number() OVER (PARTITION BY user_id, prop_key
+      ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM ch WHERE prev IS NULL OR prev <> v)
+SELECT user_id, prop_key, value, valid_from, valid_to, version,
+  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS is_current
+FROM iv ORDER BY user_id, prop_key, version
+"""
+
+
+_R6ZB_QUERIES = {
+    "property_scd2": QueryDef(q_property_scd2, _PROPERTY_SCD2_ORACLE),
+}
+QUERIES = {**_R6ZB_QUERIES, **QUERIES}

@@ -660,3 +660,64 @@ class TestLatestPropertyState:
         )
         got = latest_property_state(df).collect()[0]
         assert got["latest_value"] == "b"  # higher event_id wins the tie
+
+
+class TestPropertyScd2:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, props string"
+        )
+
+    def test_intervals_collapse_and_chain(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.eventstore import (
+            property_scd2,
+        )
+
+        t = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i) for i in range(5)]
+        rows = [
+            (1, t[0], 1, '{"color": "red"}'),
+            (2, t[1], 1, '{"color": "red"}'),   # same value — collapsed
+            (3, t[2], 1, '{"color": "blue"}'),  # change -> version 2
+            (4, t[3], 1, '{"color": "red"}'),   # back again -> version 3
+            (5, t[4], 2, '{"color": "green"}'),
+        ]
+        out = sorted(
+            property_scd2(self._df(spark, rows)).collect(),
+            key=lambda r: (r["user_id"], r["version"]),
+        )
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert [(r["value"], r["version"], r["is_current"]) for r in u1] == [
+            ("red", 1, 0), ("blue", 2, 0), ("red", 3, 1)
+        ]
+        # intervals chain exactly: valid_to of v = valid_from of v+1
+        assert u1[0]["valid_from"] == t[0] and u1[0]["valid_to"] == t[2]
+        assert u1[1]["valid_to"] == t[3] and u1[2]["valid_to"] is None
+        u2 = [r for r in out if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["is_current"] == 1
+
+    def test_current_rows_equal_latest_property_state(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.eventstore import (
+            latest_property_state,
+            property_scd2,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=i), i % 3,
+             '{"k": "%d", "m": "%d"}' % (i % 4, i % 2))
+            for i in range(40)
+        ]
+        df = self._df(spark, rows)
+        cur = {
+            (r["user_id"], r["prop_key"]): r["value"]
+            for r in property_scd2(df).where("is_current = 1").collect()
+        }
+        latest = {
+            (r["user_id"], r["prop_key"]): r["latest_value"]
+            for r in latest_property_state(df).collect()
+        }
+        assert cur == latest

@@ -468,6 +468,13 @@ CHECKS = {
          r"Exchange hashpartitioning\(event_type"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "property_scd2": [
+        ("lag/lead/version share ONE (aggregate, property) sort — a "
+         "single hash exchange, no single-partition window",
+         r"Exchange hashpartitioning\(user_id"),
+        ("no single-partition exchange", "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
