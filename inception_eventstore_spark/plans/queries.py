@@ -8845,3 +8845,60 @@ _R6ZB_QUERIES = {
     "property_scd2": QueryDef(q_property_scd2, _PROPERTY_SCD2_ORACLE),
 }
 QUERIES = {**_R6ZB_QUERIES, **QUERIES}
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption planning (augment.span_corruption_plan):
+    content-keyed ~15% token masking with maximal-run span stats —
+    the denoising-objective prep pass, reproducible across engines,
+    partitionings, and epochs by construction."""
+    from inception_eventstore_spark.operators.augment import (
+        span_corruption_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return span_corruption_plan(d).orderBy("doc_id")
+
+
+def _span_corruption_oracle() -> str:
+    thr = ((1 << 60) * 150) // 1000
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+pos AS (SELECT doc_id, unnest(range(0, len(tk))) AS idx
+  FROM t WHERE len(tk) > 0),
+mk AS (SELECT doc_id, idx,
+    CASE WHEN CAST(('0x' || substring(md5(
+      'span-v1:' || CAST(doc_id AS VARCHAR) || ':'
+        || CAST(idx AS VARCHAR)), 1, 15)) AS BIGINT) < {thr}
+    THEN 1 ELSE 0 END AS m
+  FROM pos),
+fl AS (SELECT doc_id, idx, m,
+    CASE WHEN m = 1 AND coalesce(lag(m) OVER (
+      PARTITION BY doc_id ORDER BY idx), 0) = 0
+    THEN 1 ELSE 0 END AS s
+  FROM mk),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(m) AS BIGINT) AS n_masked,
+    CAST(sum(s) AS BIGINT) AS n_spans
+  FROM fl GROUP BY doc_id),
+runs AS (SELECT doc_id, CAST(max(ln) AS BIGINT) AS max_span_len FROM (
+    SELECT doc_id, grp, count(*) AS ln FROM (
+      SELECT doc_id, idx - row_number() OVER (
+        PARTITION BY doc_id ORDER BY idx) AS grp
+      FROM fl WHERE m = 1)
+    GROUP BY doc_id, grp)
+  GROUP BY doc_id)
+SELECT pd.doc_id, n_tokens, n_masked, n_spans,
+  CAST(coalesce(max_span_len, 0) AS BIGINT) AS max_span_len,
+  round(CAST(n_masked AS DOUBLE) / n_tokens, 6) AS mask_rate
+FROM pd LEFT JOIN runs ON pd.doc_id = runs.doc_id
+ORDER BY pd.doc_id
+"""
+
+
+_R6ZC_QUERIES = {
+    "span_corruption": QueryDef(
+        q_span_corruption, _span_corruption_oracle()
+    ),
+}
+QUERIES = {**_R6ZC_QUERIES, **QUERIES}

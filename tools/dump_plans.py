@@ -475,6 +475,16 @@ CHECKS = {
         ("no single-partition exchange", "!Exchange SinglePartition"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "span_corruption": [
+        ("token TEXT never shuffles — only (doc_id, position) pairs "
+         "explode (Generate over sequence, no token column downstream)",
+         r"Generate explode"),
+        ("mask/span windows partition by doc_id, never one partition",
+         "!Exchange SinglePartition"),
+        ("per-doc aggregates partial-first",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
