@@ -525,3 +525,59 @@ def auc_report(
             6,
         ).alias("auc"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 5,
+) -> DataFrame:
+    """(rank, key, cnt, share_ppm, skew_ppm, n_keys, total) — the
+    shuffle-skew diagnostic every join/groupBy on ``key_col`` should
+    be sized against: the ``top`` heaviest keys with their corpus
+    share and their load relative to a uniform key (``skew_ppm`` =
+    cnt/avg in parts-per-million; 1_000_000 = perfectly uniform,
+    50_000_000 = this key's shuffle partition does 50x the average
+    work and wants salting or an AQE skew split).
+
+    All ratios are exact integer arithmetic (ppm via BIGINT div), so
+    the report is bit-identical on any engine. One partial-aggregated
+    groupBy (the input never moves — only one row per distinct key
+    shuffles), a 2-scalar global fold broadcast back, and a
+    TakeOrdered top-k; the rank over the ``top`` survivors uses the
+    two-phase shard rank, so no single-partition window exists even
+    here."""
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    head = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(int(top))
+        .crossJoin(F.broadcast(tot))
+    )
+    ranked = grouped_row_number(
+        head,
+        order_cols=[F.col("cnt").desc(), F.col("key")],
+        rank_col="rank",
+    )
+    return ranked.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "key",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr("CAST((cnt * 1000000) div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "CAST((cnt * n_keys * 1000000) div total AS BIGINT)"
+        ).alias("skew_ppm"),
+        "n_keys",
+        "total",
+    )

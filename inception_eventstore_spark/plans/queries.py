@@ -8902,3 +8902,40 @@ _R6ZC_QUERIES = {
     ),
 }
 QUERIES = {**_R6ZC_QUERIES, **QUERIES}
+
+
+def q_skew_profile(spark, sf_dir):
+    """Shuffle-skew diagnostic (profile.key_skew_profile): the 5
+    heaviest documents.lang keys with exact-integer ppm share and
+    load-vs-uniform — the report that says which groupBy/join keys
+    need salting or an AQE skew split BEFORE a 100 TB shuffle hangs
+    on one partition."""
+    from inception_eventstore_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return key_skew_profile(d, "lang", top=5).orderBy("rank")
+
+
+_SKEW_PROFILE_ORACLE = """
+WITH counts AS (SELECT CAST(lang AS VARCHAR) AS key,
+    count(*) AS cnt FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+head AS (SELECT key, cnt FROM counts
+  ORDER BY cnt DESC, key LIMIT 5)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+    AS rank,
+  key, CAST(cnt AS BIGINT) AS cnt,
+  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+  CAST((cnt * n_keys * 1000000) // total AS BIGINT) AS skew_ppm,
+  n_keys, total
+FROM head CROSS JOIN tot ORDER BY rank
+"""
+
+
+_R6ZD_QUERIES = {
+    "skew_profile": QueryDef(q_skew_profile, _SKEW_PROFILE_ORACLE),
+}
+QUERIES = {**_R6ZD_QUERIES, **QUERIES}

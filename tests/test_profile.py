@@ -334,3 +334,39 @@ class TestAucReport:
             self._df(spark, scored), "score", F.col("pos"), num_shards=7
         ).first()
         assert r["auc"] == expected
+
+
+class TestKeySkewProfile:
+    def test_exact_ppm_arithmetic(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            key_skew_profile,
+        )
+
+        # 4 keys: a=60, b=20, c=15, d=5 (total 100, avg 25)
+        rows = (
+            [("a",)] * 60 + [("b",)] * 20 + [("c",)] * 15 + [("d",)] * 5
+        )
+        df = spark.createDataFrame(rows, ["k"])
+        out = {
+            r["rank"]: r
+            for r in key_skew_profile(df, "k", top=3).collect()
+        }
+        assert [out[i]["key"] for i in (1, 2, 3)] == ["a", "b", "c"]
+        a = out[1]
+        assert a["cnt"] == 60 and a["n_keys"] == 4 and a["total"] == 100
+        assert a["share_ppm"] == 600_000
+        # 60 / (100/4) = 2.4x the uniform load
+        assert a["skew_ppm"] == 2_400_000
+        assert out[2]["skew_ppm"] == 800_000
+
+    def test_tie_breaks_lexically(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            key_skew_profile,
+        )
+
+        df = spark.createDataFrame(
+            [("z",), ("z",), ("a",), ("a",)], ["k"]
+        )
+        out = key_skew_profile(df, "k", top=2).orderBy("rank").collect()
+        assert [r["key"] for r in out] == ["a", "z"]
+        assert all(r["skew_ppm"] == 1_000_000 for r in out)

@@ -485,6 +485,14 @@ CHECKS = {
          r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "skew_profile": [
+        ("per-key counts partial-aggregate — the input never shuffles, "
+         "only one row per distinct key",
+         r"HashAggregate.*partial|partial_count"),
+        ("top-k via TakeOrdered merge, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
