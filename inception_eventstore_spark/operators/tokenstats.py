@@ -157,3 +157,70 @@ def vocab_growth(
         "bucket long, docs long, tokens long, new_types long, "
         "cum_tokens long, cum_types long, ttr_u long",
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """(n_points, total_tf, slope, intercept, r2) — the OLS fit of
+    ln(term frequency) on ln(frequency rank) over the ``top`` most
+    frequent tokens: Zipf's law says slope ≈ −1 for natural language,
+    and the deviation is a cheap corpus-health signal (templated /
+    machine-generated text flattens the head, |slope| << 1; a
+    truncated or deduplicated-to-death corpus steepens it). The
+    power-law companion to the Heaps-law `vocab_growth` curve.
+
+    One explode + one partial-aggregated vocab count (one row per
+    distinct token shuffles, never per occurrence), ranks via the
+    two-phase shard rank over the FULL vocab (billion-token
+    vocabularies never sit in one task), then a 5-sum scalar fold
+    over the ``top`` head rows. Float sums are over ≤ ``top`` values
+    spanning a few orders of magnitude; 6-dp rounding sits ~10⁶ ulps
+    above any cross-engine accumulation-order jitter."""
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked = grouped_row_number(
+        tf,
+        order_cols=[F.col("tf").desc(), F.col("token")],
+        rank_col="_r",
+    ).where(F.col("_r") <= int(top))
+    pts = ranked.select(
+        F.log(F.col("_r").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+        F.col("tf"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_points").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        "n_points",
+        "total_tf",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)), 6
+        ).alias("r2"),
+    )

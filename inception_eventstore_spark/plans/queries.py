@@ -8939,3 +8939,46 @@ _R6ZD_QUERIES = {
     "skew_profile": QueryDef(q_skew_profile, _SKEW_PROFILE_ORACLE),
 }
 QUERIES = {**_R6ZD_QUERIES, **QUERIES}
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf power-law fit (tokenstats.zipf_fit): OLS of ln(tf) on
+    ln(rank) over the top-500 vocabulary — slope ~ -1 for natural
+    language; flattening flags templated/synthetic text. The power-law
+    companion to the Heaps-law vocab_growth curve."""
+    from inception_eventstore_spark.operators.tokenstats import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, top=500)
+
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (SELECT tok AS token, count(*) AS tf FROM (
+    SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  GROUP BY 1),
+rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS r
+  FROM tf),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y,
+    tf FROM rk WHERE r <= 500),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+    CAST(sum(tf) AS BIGINT) AS total_tf,
+    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+    sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts)
+SELECT n_points, total_tf,
+  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+    AS slope,
+  round((sy - (n_points * sxy - sx * sy)
+      / (n_points * sxx - sx * sx) * sx) / n_points, 6) AS intercept,
+  round(CASE WHEN (n_points * syy - sy * sy) > 0 THEN
+      (n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)
+      / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy))
+    END, 6) AS r2
+FROM s
+"""
+
+
+_R6ZE_QUERIES = {
+    "zipf_slope": QueryDef(q_zipf_slope, _ZIPF_ORACLE),
+}
+QUERIES = {**_R6ZE_QUERIES, **QUERIES}

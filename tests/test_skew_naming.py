@@ -212,3 +212,61 @@ class TestVocabGrowth:
             vocab_growth(docs, 0)
         with pytest.raises(ValueError):
             vocab_growth(docs.where("doc_id < 0"))
+
+
+class TestZipfFit:
+    def test_exact_power_law_recovers_slope(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.tokenstats import zipf_fit
+
+        # corpus where token w_r appears round(1000 / r) times -> ln tf
+        # vs ln rank is (almost) exactly slope -1
+        words = []
+        for r in range(1, 41):
+            words += [f"w{r:02d}"] * round(1000 / r)
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], ["doc_id", "text"]
+        )
+        row = zipf_fit(docs, top=40).first()
+        assert row["n_points"] == 40
+        assert row["total_tf"] == sum(round(1000 / r) for r in range(1, 41))
+        assert -1.02 < row["slope"] < -0.98
+        assert row["r2"] > 0.999
+        # intercept ~ ln(1000)
+        assert abs(row["intercept"] - math.log(1000)) < 0.05
+
+    def test_matches_python_ols(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.tokenstats import zipf_fit
+
+        freqs = [50, 30, 30, 7, 2]
+        words = []
+        for i, f in enumerate(freqs):
+            words += [f"t{i}"] * f
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], ["doc_id", "text"]
+        )
+        # ranks break (tf desc, token) ties lexically: t1 before t2
+        ordered = sorted(zip(freqs, [f"t{i}" for i in range(5)]),
+                         key=lambda p: (-p[0], p[1]))
+        xs = [math.log(r + 1) for r in range(5)]
+        ys = [math.log(f) for f, _ in ordered]
+        n = 5.0
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        row = zipf_fit(docs, top=10).first()
+        assert row["slope"] == pytest.approx(want, abs=1e-6)
+
+    def test_flat_corpus_has_null_r2(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import zipf_fit
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d " * 5)], ["doc_id", "text"]
+        )
+        row = zipf_fit(docs, top=10).first()
+        # all tf equal -> vary = 0 -> r2 NULL, slope exactly 0
+        assert row["slope"] == 0.0 and row["r2"] is None

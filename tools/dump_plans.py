@@ -493,6 +493,14 @@ CHECKS = {
          r"TakeOrderedAndProject"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "zipf_slope": [
+        ("vocab counts partial-aggregate — one row per distinct token "
+         "shuffles, never per occurrence",
+         r"HashAggregate.*partial|partial_count"),
+        ("head rank via the two-phase shard rank, no single-partition "
+         "window", "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
