@@ -654,3 +654,70 @@ def token_budget_allocation(
         )
         .orderBy(domain_col)
     )
+
+
+def grouped_kfold(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "user_id",
+    seed: str = "v1",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Add ``fold_col`` in [0, k): group-aware k-fold assignment — every
+    row of a GROUP lands in the same fold (fold = portable hash of the
+    group value, not the row id), the split discipline that prevents
+    train/test leakage through entity overlap (a user's events, a
+    domain's documents, a near-dup cluster's survivors must never
+    straddle folds). Same content-keyed md5 mechanics as `hash_split`:
+    deterministic under any partitioning, any engine, any retry; no
+    shuffle — the assignment is a map-side expression."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        fold_col,
+        F.pmod(
+            md5_prefix60(
+                F.concat(
+                    F.lit(f"kfold-{seed}:"),
+                    F.col(group_col).cast("string"),
+                )
+            ),
+            F.lit(int(k)),
+        ).cast("int"),
+    )
+
+
+def kfold_leakage_report(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "user_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """(fold, n_rows, n_groups, leaked_groups) — per-fold sizes of a
+    `grouped_kfold` assignment plus the invariant that makes it
+    group-aware: ``leaked_groups`` (groups appearing in more than one
+    fold) is 0 BY CONSTRUCTION, and this report proves it from the
+    data rather than the code. One partial-aggregated (group, fold)
+    rollup — |groups| rows shuffle, never the input."""
+    folded = grouped_kfold(df, k, group_col, seed)
+    per_group = folded.groupBy(group_col).agg(
+        F.count("*").alias("_rows"),
+        F.min("fold").alias("fold"),
+        F.countDistinct("fold").alias("_nf"),
+    )
+    return (
+        per_group.groupBy("fold")
+        .agg(
+            F.sum("_rows").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("_nf") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_groups"),
+        )
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_rows",
+            "n_groups",
+            "leaked_groups",
+        )
+    )

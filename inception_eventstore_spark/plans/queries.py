@@ -8982,3 +8982,42 @@ _R6ZE_QUERIES = {
     "zipf_slope": QueryDef(q_zipf_slope, _ZIPF_ORACLE),
 }
 QUERIES = {**_R6ZE_QUERIES, **QUERIES}
+
+
+def q_kfold_leakage(spark, sf_dir):
+    """Group-aware k-fold split (sampling.grouped_kfold +
+    kfold_leakage_report): every event of a user lands in one fold
+    (fold = portable md5 of the GROUP, not the row), and the report
+    proves zero cross-fold leakage from the data itself — the split
+    discipline that keeps entity overlap out of train/test."""
+    from inception_eventstore_spark.operators.sampling import (
+        kfold_leakage_report,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return kfold_leakage_report(e, k=5, group_col="user_id").orderBy(
+        "fold"
+    )
+
+
+_KFOLD_ORACLE = """
+WITH folded AS (SELECT user_id,
+    CAST(('0x' || substring(md5('kfold-v1:'
+      || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+  FROM events),
+pg AS (SELECT user_id, count(*) AS n, min(fold) AS fold,
+    count(DISTINCT fold) AS nf
+  FROM folded GROUP BY user_id)
+SELECT CAST(fold AS INTEGER) AS fold,
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS leaked_groups
+FROM pg GROUP BY fold ORDER BY fold
+"""
+
+
+_R6ZF_QUERIES = {
+    "kfold_leakage": QueryDef(q_kfold_leakage, _KFOLD_ORACLE),
+}
+QUERIES = {**_R6ZF_QUERIES, **QUERIES}

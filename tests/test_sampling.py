@@ -400,3 +400,53 @@ class TestTokenBudgetAllocation:
         w = spark.createDataFrame([("en", 1.0)], "lang string, weight double")
         with pytest.raises(ValueError):
             token_budget_allocation(docs, w, budget=-1)
+
+
+class TestGroupedKfold:
+    def test_group_never_straddles_folds(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            grouped_kfold,
+        )
+
+        rows = [(i, i % 17) for i in range(500)]
+        df = spark.createDataFrame(rows, ["row_id", "grp"])
+        out = grouped_kfold(df, k=4, group_col="grp").collect()
+        folds_per_group = {}
+        for r in out:
+            folds_per_group.setdefault(r["grp"], set()).add(r["fold"])
+        assert all(len(s) == 1 for s in folds_per_group.values())
+        assert {r["fold"] for r in out} <= {0, 1, 2, 3}
+
+    def test_assignment_is_partitioning_independent(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            grouped_kfold,
+        )
+
+        rows = [(i, f"g{i % 23}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["row_id", "grp"])
+        a = {r["row_id"]: r["fold"]
+             for r in grouped_kfold(df, 5, "grp").collect()}
+        b = {r["row_id"]: r["fold"]
+             for r in grouped_kfold(df.repartition(7), 5, "grp").collect()}
+        assert a == b
+
+    def test_leakage_report_totals(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            kfold_leakage_report,
+        )
+
+        rows = [(i, i % 29) for i in range(300)]
+        df = spark.createDataFrame(rows, ["row_id", "grp"])
+        rep = kfold_leakage_report(df, k=3, group_col="grp").collect()
+        assert sum(r["n_rows"] for r in rep) == 300
+        assert sum(r["n_groups"] for r in rep) == 29
+        assert all(r["leaked_groups"] == 0 for r in rep)
+
+    def test_k_guard(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            grouped_kfold,
+        )
+
+        df = spark.createDataFrame([(1, 1)], ["row_id", "grp"])
+        with pytest.raises(ValueError):
+            grouped_kfold(df, k=1, group_col="grp")

@@ -501,6 +501,13 @@ CHECKS = {
          "window", "!Exchange SinglePartition"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "kfold_leakage": [
+        ("fold assignment is a map-side hash expression — the only "
+         "shuffles carry one row per group, then one per fold",
+         r"HashAggregate.*partial|partial_count"),
+        ("no single-partition exchange", "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
