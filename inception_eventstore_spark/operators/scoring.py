@@ -91,3 +91,46 @@ def linear_quality_score(
         F.round("_z", 6).alias("quality_logit"),
         F.round(1.0 / (1.0 + F.exp(-F.col("_z"))), 6).alias("quality_prob"),
     )
+
+
+def score_percentiles(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """(id, score, below_ppm, cdf_ppm) — every row's exact corpus
+    percentile of ``score_col``: ``below_ppm`` = fraction of rows
+    strictly below (parts-per-million), ``cdf_ppm`` = fraction at or
+    below. The calibration step that turns a raw quality score into a
+    corpus-relative threshold ("drop the bottom 20%") that is stable
+    across corpora with different score distributions.
+
+    Exact, not sketched, yet never single-task: ties collapse into the
+    DISTINCT-score table first (one partial-aggregated groupBy), the
+    prefix counts come from the two-phase `sharded_running_sums`
+    (integer, so shard splits are bit-identical to a sequential
+    window), and rows re-join their percentile on the score key. ppm
+    values are BIGINT div — bit-exact on any engine."""
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+
+    rows = scored.where(F.col(score_col).isNotNull())
+    g = rows.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    r = sharded_running_sums(
+        g, [F.col("_s")], ["_n"], num_shards=num_shards
+    )
+    tot = r.agg(F.sum("_n").cast("bigint").alias("_tot"))
+    pct = r.crossJoin(F.broadcast(tot)).select(
+        "_s",
+        F.expr("CAST(((_n_cum - _n) * 1000000) div _tot AS BIGINT)")
+        .alias("below_ppm"),
+        F.expr("CAST((_n_cum * 1000000) div _tot AS BIGINT)")
+        .alias("cdf_ppm"),
+    )
+    return rows.select(id_col, F.col(score_col).alias("score")).join(
+        pct, F.col("score") == F.col("_s")
+    ).select(id_col, "score", "below_ppm", "cdf_ppm")

@@ -9021,3 +9021,55 @@ _R6ZF_QUERIES = {
     "kfold_leakage": QueryDef(q_kfold_leakage, _KFOLD_ORACLE),
 }
 QUERIES = {**_R6ZF_QUERIES, **QUERIES}
+
+
+def q_score_percentiles(spark, sf_dir):
+    """Score→percentile calibration (scoring.score_percentiles): each
+    document's exact corpus percentile of the quality logit in
+    integer ppm — the step that turns a raw score into a corpus-
+    relative filter threshold. Distinct-score prefix counts via the
+    two-phase sharded running sum; never a single-task window."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64)
+    return SC.score_percentiles(scored, "quality_logit").orderBy(
+        "doc_id"
+    )
+
+
+def _score_percentiles_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(sum(w * cnt) / sum(cnt), 6) AS sc
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n FROM s
+  WHERE sc IS NOT NULL GROUP BY sc),
+r AS (SELECT sc, n, CAST(sum(n) OVER (ORDER BY sc
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_cum FROM g),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g),
+pct AS (SELECT sc,
+    CAST(((n_cum - n) * 1000000) // t AS BIGINT) AS below_ppm,
+    CAST((n_cum * 1000000) // t AS BIGINT) AS cdf_ppm
+  FROM r CROSS JOIN tot)
+SELECT s.doc_id, s.sc AS score, pct.below_ppm, pct.cdf_ppm
+FROM s JOIN pct ON s.sc = pct.sc
+ORDER BY s.doc_id
+"""
+
+
+_R6ZG_QUERIES = {
+    "score_percentiles": QueryDef(
+        q_score_percentiles, _score_percentiles_oracle()
+    ),
+}
+QUERIES = {**_R6ZG_QUERIES, **QUERIES}

@@ -370,3 +370,57 @@ class TestKeySkewProfile:
         out = key_skew_profile(df, "k", top=2).orderBy("rank").collect()
         assert [r["key"] for r in out] == ["a", "z"]
         assert all(r["skew_ppm"] == 1_000_000 for r in out)
+
+
+class TestScorePercentiles:
+    def test_exact_percentiles_with_ties(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            score_percentiles,
+        )
+
+        # scores: 1.0 x2, 2.0 x3, 5.0 x5  (total 10)
+        rows = (
+            [(i, 1.0) for i in range(2)]
+            + [(10 + i, 2.0) for i in range(3)]
+            + [(20 + i, 5.0) for i in range(5)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "s"])
+        out = {r["doc_id"]: r for r in
+               score_percentiles(df, "s").collect()}
+        assert (out[0]["below_ppm"], out[0]["cdf_ppm"]) == (0, 200_000)
+        assert (out[11]["below_ppm"], out[11]["cdf_ppm"]) == (
+            200_000, 500_000)
+        assert (out[24]["below_ppm"], out[24]["cdf_ppm"]) == (
+            500_000, 1_000_000)
+
+    def test_nulls_excluded_and_rows_preserved(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            score_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 3.0), (2, None), (3, 4.0)], ["doc_id", "s"]
+        )
+        out = score_percentiles(df, "s").collect()
+        assert {r["doc_id"] for r in out} == {1, 3}
+        assert all(r["cdf_ppm"] <= 1_000_000 for r in out)
+
+    def test_matches_sequential_window(self, spark):
+        import random
+
+        from inception_eventstore_spark.operators.scoring import (
+            score_percentiles,
+        )
+
+        rng = random.Random(3)
+        rows = [(i, float(rng.randint(0, 50))) for i in range(400)]
+        df = spark.createDataFrame(rows, ["doc_id", "s"])
+        got = {r["doc_id"]: (r["below_ppm"], r["cdf_ppm"])
+               for r in score_percentiles(df, "s", num_shards=7).collect()}
+        svals = sorted(v for _, v in rows)
+        for i, v in rows:
+            below = sum(1 for x in svals if x < v)
+            at_or_below = sum(1 for x in svals if x <= v)
+            assert got[i] == (
+                below * 1_000_000 // 400, at_or_below * 1_000_000 // 400
+            )
