@@ -224,3 +224,63 @@ def zipf_fit(
             F.when(vary > 0, cov * cov / (varx * vary)), 6
         ).alias("r2"),
     )
+
+
+def vocab_oov_rates(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_tokens, oov_tokens, oov_types, oov_ppm) — per-language
+    out-of-vocabulary rate against the corpus's own top-``vocab_size``
+    token vocabulary: the coverage check run before pinning a
+    tokenizer vocab, because OOV mass is NEVER uniform across
+    languages (a vocab trained on an English-heavy mix can cover 99%
+    of English occurrences and 60% of Chinese) and the languages that
+    overflow into <unk>/byte-fallback pay the fertility cost.
+
+    The vocab is a TakeOrdered head (ties break lexically, so the
+    boundary is deterministic cross-engine) broadcast to the exploded
+    token stream — the corpus shuffles only for the per-language
+    aggregate (one partial-aggregated groupBy). ``oov_ppm`` is BIGINT
+    div — bit-exact on any engine."""
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    ex = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("_tf"))
+        .orderBy(F.col("_tf").desc(), F.col("token"))
+        .limit(int(vocab_size))
+        .select("token")
+    )
+    flagged = ex.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.countDistinct(
+                F.when(F.col("_in").isNull(), F.col("token"))
+            )
+            .cast("bigint")
+            .alias("oov_types"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "oov_tokens",
+            "oov_types",
+            F.expr(
+                "CAST((oov_tokens * 1000000) div n_tokens AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+    )

@@ -9073,3 +9073,40 @@ _R6ZG_QUERIES = {
     ),
 }
 QUERIES = {**_R6ZG_QUERIES, **QUERIES}
+
+
+def q_oov_rates(spark, sf_dir):
+    """Tokenizer-vocab coverage (tokenstats.vocab_oov_rates): per-
+    language OOV occurrence/type rates against the corpus's own top-16
+    token vocabulary — the coverage audit before pinning a tokenizer
+    vocab (OOV mass is never uniform across languages)."""
+    from inception_eventstore_spark.operators.tokenstats import (
+        vocab_oov_rates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_oov_rates(d, vocab_size=16).orderBy("lang")
+
+
+_OOV_ORACLE = f"""
+WITH ex AS (SELECT lang, unnest({_DUCK_TOKENS}) AS token
+  FROM documents),
+vocab AS (SELECT token FROM (
+    SELECT token, count(*) AS tf FROM ex GROUP BY 1)
+  ORDER BY tf DESC, token LIMIT 16),
+fl AS (SELECT ex.lang, ex.token,
+    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM ex LEFT JOIN vocab v ON ex.token = v.token)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+  CAST(count(DISTINCT CASE WHEN oov = 1 THEN token END) AS BIGINT)
+    AS oov_types,
+  CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+FROM fl GROUP BY lang ORDER BY lang
+"""
+
+
+_R6ZH_QUERIES = {
+    "oov_rates": QueryDef(q_oov_rates, _OOV_ORACLE),
+}
+QUERIES = {**_R6ZH_QUERIES, **QUERIES}

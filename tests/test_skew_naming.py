@@ -270,3 +270,50 @@ class TestZipfFit:
         row = zipf_fit(docs, top=10).first()
         # all tf equal -> vary = 0 -> r2 NULL, slope exactly 0
         assert row["slope"] == 0.0 and row["r2"] is None
+
+
+class TestVocabOovRates:
+    def test_hand_computed_rates(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import (
+            vocab_oov_rates,
+        )
+
+        # vocab_size=2 -> vocab = {a (5x), b (3x)}; c,d are OOV
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "a a a b b"),
+                (2, "en", "a b c"),
+                (3, "de", "a c d d"),
+            ],
+            ["doc_id", "lang", "text"],
+        )
+        out = {r["lang"]: r for r in
+               vocab_oov_rates(docs, vocab_size=2).collect()}
+        en, de = out["en"], out["de"]
+        assert (en["n_tokens"], en["oov_tokens"], en["oov_types"]) == (8, 1, 1)
+        assert en["oov_ppm"] == 1_000_000 // 8
+        assert (de["n_tokens"], de["oov_tokens"], de["oov_types"]) == (4, 3, 2)
+        assert de["oov_ppm"] == 750_000
+
+    def test_full_vocab_means_zero_oov(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import (
+            vocab_oov_rates,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "en", "x y z x")], ["doc_id", "lang", "text"]
+        )
+        row = vocab_oov_rates(docs, vocab_size=10).first()
+        assert row["oov_tokens"] == 0 and row["oov_ppm"] == 0
+
+    def test_boundary_tie_breaks_lexically(self, spark):
+        from inception_eventstore_spark.operators.tokenstats import (
+            vocab_oov_rates,
+        )
+
+        # a and b both tf=2; vocab_size=1 keeps 'a' (lexical tie)
+        docs = spark.createDataFrame(
+            [(1, "en", "a b a b")], ["doc_id", "lang", "text"]
+        )
+        row = vocab_oov_rates(docs, vocab_size=1).first()
+        assert row["oov_tokens"] == 2 and row["oov_types"] == 1

@@ -529,6 +529,15 @@ CHECKS = {
          r"(normalizenanandzero\()?(score|_s)"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "oov_rates": [
+        ("vocab head is a TakeOrdered merge, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("vocab joins onto the token stream broadcast",
+         r"BroadcastHashJoin"),
+        ("per-language aggregate partial-first",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
