@@ -109,6 +109,30 @@ def population_stability(
     map-side, one partial-aggregated count each; ``smoothing`` is the
     add-α keeping empty buckets finite. Bin membership: value v falls
     in bucket |{edges e : v > e}| (strict)."""
+    joined, p, q = _ref_quantile_shares(
+        ref, cur, value_col, bins, smoothing
+    )
+    return joined.select(
+        "bin",
+        F.round(p, 6).alias("ref_share"),
+        F.round(q, 6).alias("cur_share"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    ).orderBy("bin")
+
+
+def _ref_quantile_shares(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int,
+    smoothing: float,
+):
+    """Shared bucket machinery of the binned drift monitors
+    (`population_stability`, `jensen_shannon_drift`): reference-
+    quantile 6-dp edges baked back as literals (map-side binning, one
+    partial-aggregated count per side), smoothed shares p/q joined
+    with the totals via a 1-row broadcast. Returns (joined_df, p, q)
+    column expressions over columns bin/n_ref/n_cur/_tr/_tc."""
     if bins < 2:
         raise ValueError("bins must be >= 2")
     probs = [i / bins for i in range(1, bins)]
@@ -154,11 +178,41 @@ def population_stability(
     a = float(smoothing)
     p = (F.col("n_ref") + a) / (F.col("_tr") + a * bins)
     q = (F.col("n_cur") + a) / (F.col("_tc") + a * bins)
-    return joined.crossJoin(F.broadcast(tot)).select(
+    return joined.crossJoin(F.broadcast(tot)), p, q
+
+
+def jensen_shannon_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(bin, ref_share, cur_share, js_term) — per-bin Jensen-Shannon
+    divergence terms between a reference and a current sample over
+    the same reference-quantile buckets as `population_stability`:
+
+        js_term_i = ½·p_i·ln(p_i/m_i) + ½·q_i·ln(q_i/m_i),
+        m_i = (p_i + q_i)/2
+
+    JSD = Σ terms ∈ [0, ln 2] — the BOUNDED, symmetric companion the
+    drift family needs when a brand-new bucket would send a KL-based
+    monitor (PSI) toward infinity: JS saturates instead, so paging
+    thresholds stay meaningful under catastrophic drift. Same
+    execution shape as PSI: literal 6-dp edges, two map-side binning
+    passes, |bins|-row algebra."""
+    joined, p, q = _ref_quantile_shares(
+        ref, cur, value_col, bins, smoothing
+    )
+    m = (p + q) / 2
+    return joined.select(
         "bin",
         F.round(p, 6).alias("ref_share"),
         F.round(q, 6).alias("cur_share"),
-        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        F.round(
+            F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m),
+            6,
+        ).alias("js_term"),
     ).orderBy("bin")
 
 

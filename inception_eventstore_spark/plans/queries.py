@@ -9110,3 +9110,62 @@ _R6ZH_QUERIES = {
     "oov_rates": QueryDef(q_oov_rates, _OOV_ORACLE),
 }
 QUERIES = {**_R6ZH_QUERIES, **QUERIES}
+
+
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon drift terms between the event log's calendar
+    halves (profile.jensen_shannon_drift) — the bounded/symmetric
+    companion to psi_drift: a brand-new bucket saturates JS at ln 2
+    instead of sending a KL-based monitor to infinity. Same mid-split
+    and decile buckets as psi_drift."""
+    from inception_eventstore_spark.operators import profile as PR
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.floor(F.avg(F.unix_micros("ts"))).cast("bigint")
+        ).alias("m")
+    ).first()["m"]
+    ref = ev.where(F.col("ts") < F.lit(mid))
+    cur = ev.where(F.col("ts") >= F.lit(mid))
+    return PR.jensen_shannon_drift(ref, cur, "value", bins=10)
+
+
+_JS_ORACLE = """
+WITH m AS (SELECT make_timestamp(CAST(floor(avg(epoch_us(ts))) AS BIGINT)) AS mid
+  FROM events),
+ref AS (SELECT value FROM events WHERE ts < (SELECT mid FROM m)),
+cur AS (SELECT value FROM events WHERE ts >= (SELECT mid FROM m)),
+edges AS (
+  SELECT round(unnest(q), 6) AS e FROM (
+    SELECT quantile_cont(value,
+      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM ref)),
+rb AS (SELECT (SELECT count(*) FROM edges WHERE value > e) AS bin
+  FROM ref),
+cb AS (SELECT (SELECT count(*) FROM edges WHERE value > e) AS bin
+  FROM cur),
+rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+bl AS (SELECT i AS bin FROM range(0, 10) t(i)),
+j AS (SELECT bl.bin, coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+  FROM bl LEFT JOIN rc ON bl.bin = rc.bin
+  LEFT JOIN cc ON bl.bin = cc.bin),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+pq AS (SELECT bin,
+    (n_ref + 0.5) / ((SELECT tr FROM t) + 5.0) AS p,
+    (n_cur + 0.5) / ((SELECT tc FROM t) + 5.0) AS q
+  FROM j)
+SELECT CAST(bin AS INT) AS bin,
+  round(p, 6) AS ref_share,
+  round(q, 6) AS cur_share,
+  round(0.5 * p * ln(p / ((p + q) / 2))
+      + 0.5 * q * ln(q / ((p + q) / 2)), 6) AS js_term
+FROM pq ORDER BY bin
+"""
+
+
+_R6ZI_QUERIES = {
+    "js_drift": QueryDef(q_js_drift, _JS_ORACLE),
+}
+QUERIES = {**_R6ZI_QUERIES, **QUERIES}

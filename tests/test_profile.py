@@ -424,3 +424,65 @@ class TestScorePercentiles:
             assert got[i] == (
                 below * 1_000_000 // 400, at_or_below * 1_000_000 // 400
             )
+
+
+class TestJensenShannonDrift:
+    def test_identical_distributions_zero(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            jensen_shannon_drift,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i % 100),) for i in range(1000)], ["value"]
+        )
+        out = jensen_shannon_drift(df, df, "value", bins=5).collect()
+        assert len(out) == 5
+        assert all(abs(r["js_term"]) < 1e-9 for r in out)
+
+    def test_total_bounded_by_ln2_under_disjoint_supports(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.profile import (
+            jensen_shannon_drift,
+        )
+
+        ref = spark.createDataFrame(
+            [(float(i % 10),) for i in range(500)], ["value"]
+        )
+        cur = spark.createDataFrame(
+            [(1000.0 + i % 10,) for i in range(500)], ["value"]
+        )
+        total = sum(
+            r["js_term"]
+            for r in jensen_shannon_drift(ref, cur, "value").collect()
+        )
+        # catastrophic drift saturates near ln 2 but never exceeds it
+        assert 0.5 < total <= math.log(2) + 1e-9
+
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.profile import (
+            jensen_shannon_drift,
+        )
+
+        # 2 bins: ref all below the median edge, cur 50/50
+        ref = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,)], ["value"]
+        )
+        cur = spark.createDataFrame(
+            [(1.0,), (2.0,), (9.0,), (9.0,)], ["value"]
+        )
+        out = {r["bin"]: r for r in
+               jensen_shannon_drift(ref, cur, "value", bins=2).collect()}
+        # ref edge = median 2.5 -> ref bins (2,2), cur bins (2,2)... compute
+        # shares with alpha=.5: p=(n+.5)/(tot+1)
+        for b in (0, 1):
+            p = (2 + 0.5) / (4 + 1.0)
+            q = (out[b]["cur_share"])
+            m = (out[b]["ref_share"] + q) / 2
+            want = 0.5 * out[b]["ref_share"] * math.log(
+                out[b]["ref_share"] / m
+            ) + 0.5 * q * math.log(q / m)
+            assert out[b]["ref_share"] == pytest.approx(p, abs=1e-6)
+            assert out[b]["js_term"] == pytest.approx(want, abs=1e-6)

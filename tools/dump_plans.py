@@ -538,6 +538,11 @@ CHECKS = {
          r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "js_drift": [
+        ("binning is map-side against literal edges — counts "
+         "partial-aggregate", r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
