@@ -333,3 +333,59 @@ def seasonal_naive_eval(
         # Spark's cast truncates but DuckDB's CAST rounds
         F.expr("sum(_eu) div count(*)").cast("bigint").alias("mae_u"),
     )
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """(key, n_gaps, mean_gap_s, cv, burstiness) — the Goh–Barabási
+    burstiness index B = (σ−µ)/(σ+µ) of each key's inter-event gaps:
+    B → −1 for a metronome (σ≈0), ≈ 0 for a Poisson process (σ≈µ),
+    → +1 for extreme burst-and-silence behaviour. The one-number
+    activity-shape signal bot/anomaly triage uses before reading raw
+    sessions (schedulers and scrapers are near-periodic, humans are
+    bursty).
+
+    One lag window per key (high-cardinality partitioning, bounded by
+    each key's own history) then a partial-aggregated 3-sum moment
+    fold; σ uses the population form √(Σd²/n − µ²). Gap moments are
+    DOUBLE sums of integer microsecond deltas — cross-engine
+    accumulation-order jitter is ~1 ulp, ~10⁹ below the 6-dp round.
+    Keys with fewer than ``min_gaps`` gaps are excluded (B is
+    undefined on a single gap: σ=0 degenerates to −1 regardless of
+    behaviour)."""
+    w = Window.partitionBy(key_col).orderBy(F.col("_us"))
+    gaps = (
+        events.select(
+            F.col(key_col), F.unix_micros(F.col(ts_col)).alias("_us")
+        )
+        .withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+        .where(F.col("_gap").isNotNull())
+        .select(key_col, F.col("_gap").cast("double").alias("d"))
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("d").alias("_s1"),
+        F.sum(F.col("d") * F.col("d")).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_s1") / n
+    var = F.col("_s2") / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        agg.where(F.col("n_gaps") >= int(min_gaps))
+        .select(
+            F.col(key_col),
+            "n_gaps",
+            F.round(mu / 1e6, 6).alias("mean_gap_s"),
+            F.round(
+                F.when(mu > 0, sigma / mu), 6
+            ).alias("cv"),
+            F.round(
+                F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)), 6
+            ).alias("burstiness"),
+        )
+    )

@@ -9169,3 +9169,45 @@ _R6ZI_QUERIES = {
     "js_drift": QueryDef(q_js_drift, _JS_ORACLE),
 }
 QUERIES = {**_R6ZI_QUERIES, **QUERIES}
+
+
+def q_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user (timeseries.
+    interarrival_burstiness): Goh–Barabási B = (σ−µ)/(σ+µ) over each
+    user's event gaps — near-periodic automation vs bursty human
+    activity in one number. Lag window per user + a 3-sum moment
+    fold."""
+    from inception_eventstore_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_burstiness(ev).orderBy("user_id")
+
+
+_BURSTINESS_ORACLE = """
+WITH g AS (SELECT user_id,
+    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS d
+  FROM events),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+    sum(d) AS s1, sum(d * d) AS s2
+  FROM g WHERE d IS NOT NULL GROUP BY user_id),
+m AS (SELECT user_id, n_gaps,
+    s1 / n_gaps AS mu,
+    sqrt(greatest(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps), 0.0))
+      AS sigma
+  FROM a WHERE n_gaps >= 2)
+SELECT user_id, n_gaps,
+  round(mu / 1e6, 6) AS mean_gap_s,
+  round(CASE WHEN mu > 0 THEN sigma / mu END, 6) AS cv,
+  round(CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu) END,
+    6) AS burstiness
+FROM m ORDER BY user_id
+"""
+
+
+_R6ZJ_QUERIES = {
+    "burstiness": QueryDef(q_burstiness, _BURSTINESS_ORACLE),
+}
+QUERIES = {**_R6ZJ_QUERIES, **QUERIES}

@@ -486,3 +486,77 @@ class TestJensenShannonDrift:
             ) + 0.5 * q * math.log(q / m)
             assert out[b]["ref_share"] == pytest.approx(p, abs=1e-6)
             assert out[b]["js_term"] == pytest.approx(want, abs=1e-6)
+
+
+class TestInterarrivalBurstiness:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [
+            (u, t0 + dt.timedelta(seconds=s)) for u, s in rows
+        ]
+        return spark.createDataFrame(data, "user_id long, ts timestamp")
+
+    def test_metronome_is_minus_one(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            interarrival_burstiness,
+        )
+
+        ev = self._ev(spark, [(1, 10 * i) for i in range(6)])
+        row = interarrival_burstiness(ev).first()
+        assert row["n_gaps"] == 5
+        assert row["mean_gap_s"] == 10.0
+        assert row["cv"] == 0.0 and row["burstiness"] == -1.0
+
+    def test_bursty_pattern_positive(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            interarrival_burstiness,
+        )
+
+        # gaps: 1,1,1,1,10000 -> sigma >> mu; with n gaps one extreme
+        # outlier caps B at (sqrt(n-1)-1)/(sqrt(n-1)+1) = 1/3 for n=5,
+        # so the pattern should sit essentially AT that cap
+        secs, t = [0], 0
+        for g in [1, 1, 1, 1, 10000]:
+            t += g
+            secs.append(t)
+        ev = self._ev(spark, [(1, s) for s in secs])
+        row = interarrival_burstiness(ev).first()
+        assert row["burstiness"] == pytest.approx(1 / 3, abs=2e-3)
+
+    def test_min_gaps_excludes_short_histories(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            interarrival_burstiness,
+        )
+
+        ev = self._ev(spark, [(1, 0), (1, 5), (2, 0), (2, 1), (2, 9)])
+        out = {r["user_id"] for r in
+               interarrival_burstiness(ev, min_gaps=2).collect()}
+        assert out == {2}
+
+    def test_moments_match_python(self, spark):
+        import math
+        import random
+
+        from inception_eventstore_spark.operators.timeseries import (
+            interarrival_burstiness,
+        )
+
+        rng = random.Random(5)
+        secs, t = [0], 0
+        gaps = []
+        for _ in range(30):
+            g = rng.randint(1, 500)
+            gaps.append(g * 1e6)
+            t += g
+            secs.append(t)
+        ev = self._ev(spark, [(1, s) for s in secs])
+        row = interarrival_burstiness(ev).first()
+        mu = sum(gaps) / len(gaps)
+        var = sum(g * g for g in gaps) / len(gaps) - mu * mu
+        sig = math.sqrt(max(var, 0.0))
+        assert row["burstiness"] == pytest.approx(
+            (sig - mu) / (sig + mu), abs=1e-6
+        )
+        assert row["cv"] == pytest.approx(sig / mu, abs=1e-6)

@@ -543,6 +543,13 @@ CHECKS = {
          "partial-aggregate", r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "burstiness": [
+        ("one hash shuffle on the key serves the lag window",
+         r"Exchange hashpartitioning\(user_id"),
+        ("moment fold aggregates on the window's existing key "
+         "partitioning — no second shuffle", r"HashAggregate"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
