@@ -315,3 +315,57 @@ def mahalanobis_outliers(
         .agg(F.sum("_u").cast("bigint").alias("maha2_u"))
     )
     return scores.orderBy(F.desc("maha2_u"), id_col).limit(int(top_n))
+
+
+def embedding_isotropy(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(n, mean_norm, anisotropy) — the one-row embedding-geometry
+    health report: ``anisotropy`` = ‖mean unit vector‖², the expected
+    pairwise cosine between random embeddings (Ethayarajh 2019's
+    anisotropy measure via the centroid identity: E[cos(x,y)] over
+    independent draws = ‖E[x/‖x‖]‖²). ≈ 0 for an isotropic
+    (directionally uniform) space; → 1 when all vectors crowd a cone —
+    the degeneracy that makes cosine retrieval scores uninformative
+    and is the first thing to check before trusting ANN recall.
+
+    One pass: per-row norm (JVM fold), posexplode to (dim, component)
+    with the normalized component, one ``dim``-group partial
+    aggregate, then a ``dim``-row scalar fold — the corpus never
+    shuffles, only dim·partitions partial rows. Cross-engine float
+    sums land ~10⁹ below the 6-dp round."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    rows = emb.select(
+        norm.alias("_nrm"), F.posexplode(v).alias("_d", "_x")
+    ).where(F.col("_nrm") > 0)
+    per_dim = rows.groupBy("_d").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_nrm").alias("_sn"),
+        F.sum(F.col("_x") / F.col("_nrm")).alias("_su"),
+    )
+    # every dim sees the same N rows (and the same Σ norms — each row
+    # contributes its norm once per dim), so N/mean_norm fall out of
+    # any one dim; anisotropy needs the per-dim mean SQUARED before
+    # the cross-dim sum
+    m = per_dim.select(
+        "_n",
+        "_sn",
+        (
+            (F.col("_su") / F.col("_n"))
+            * (F.col("_su") / F.col("_n"))
+        ).alias("_m2"),
+    )
+    return m.agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.round(F.max("_sn") / F.max("_n"), 6).alias("mean_norm"),
+        F.round(F.sum("_m2"), 6).alias("anisotropy"),
+    )

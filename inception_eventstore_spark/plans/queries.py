@@ -9211,3 +9211,44 @@ _R6ZJ_QUERIES = {
     "burstiness": QueryDef(q_burstiness, _BURSTINESS_ORACLE),
 }
 QUERIES = {**_R6ZJ_QUERIES, **QUERIES}
+
+
+def q_embedding_isotropy(spark, sf_dir):
+    """Embedding-space anisotropy (embeddings.embedding_isotropy):
+    ‖mean unit vector‖² = the expected pairwise cosine of the space
+    (Ethayarajh 2019, via the centroid identity) — near 0 when the
+    space is directionally uniform, toward 1 when vectors crowd a
+    cone and cosine retrieval stops discriminating. One posexplode +
+    a dim-group partial aggregate; the corpus never shuffles."""
+    from inception_eventstore_spark.operators import embeddings as EB
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return EB.embedding_isotropy(emb, dim=64)
+
+
+_ISOTROPY_ORACLE = """
+WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+    AS ev FROM embeddings),
+nv AS (SELECT ev, sqrt(list_reduce(list_prepend(0.0,
+      list_transform(ev, x -> x * x)), (a, x) -> a + x)) AS nrm
+  FROM v),
+r AS (SELECT nrm, unnest(ev) AS x,
+    generate_subscripts(ev, 1) - 1 AS d
+  FROM nv WHERE nrm > 0),
+pd AS (SELECT d, CAST(count(*) AS BIGINT) AS nn, sum(nrm) AS sn,
+    sum(x / nrm) AS su
+  FROM r GROUP BY d),
+m AS (SELECT nn, sn, (su / nn) * (su / nn) AS m2 FROM pd)
+SELECT CAST(max(nn) AS BIGINT) AS n,
+  round(max(sn) / max(nn), 6) AS mean_norm,
+  round(sum(m2), 6) AS anisotropy
+FROM m
+"""
+
+
+_R6ZK_QUERIES = {
+    "embedding_isotropy": QueryDef(
+        q_embedding_isotropy, _ISOTROPY_ORACLE
+    ),
+}
+QUERIES = {**_R6ZK_QUERIES, **QUERIES}

@@ -261,3 +261,60 @@ class TestMahalanobisOutliers:
         empty = df.where("vec_id < 0")
         with pytest.raises(ValueError):
             mahalanobis_outliers(empty)
+
+
+class TestEmbeddingIsotropy:
+    def test_single_direction_is_one(self, spark):
+        from inception_eventstore_spark.operators.embeddings import (
+            embedding_isotropy,
+        )
+
+        # all vectors along +e0 (different magnitudes): unit vectors
+        # identical -> anisotropy exactly 1
+        rows = [(i, [float(i + 1)] + [0.0] * 63) for i in range(10)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        r = embedding_isotropy(df, dim=64).first()
+        assert r["n"] == 10 and r["anisotropy"] == 1.0
+
+    def test_symmetric_pair_is_zero(self, spark):
+        from inception_eventstore_spark.operators.embeddings import (
+            embedding_isotropy,
+        )
+
+        v = [1.0] * 64
+        rows = [(1, v), (2, [-x for x in v])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        r = embedding_isotropy(df, dim=64).first()
+        assert r["anisotropy"] == 0.0
+        assert r["mean_norm"] == pytest.approx(8.0, abs=1e-6)
+
+    def test_matches_numpy_centroid_identity(self, spark):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.embeddings import (
+            embedding_isotropy,
+        )
+
+        rng = np.random.default_rng(9)
+        M = rng.normal(size=(200, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(200)],
+            ["vec_id", "embedding"],
+        )
+        U = M / np.linalg.norm(M, axis=1, keepdims=True)
+        want = float((U.mean(axis=0) ** 2).sum())
+        r = embedding_isotropy(df, dim=64).first()
+        assert r["anisotropy"] == pytest.approx(want, abs=1e-6)
+        assert r["mean_norm"] == pytest.approx(
+            float(np.linalg.norm(M, axis=1).mean()), abs=1e-6
+        )
+
+    def test_zero_vectors_excluded(self, spark):
+        from inception_eventstore_spark.operators.embeddings import (
+            embedding_isotropy,
+        )
+
+        rows = [(1, [1.0] * 64), (2, [0.0] * 64)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        r = embedding_isotropy(df, dim=64).first()
+        assert r["n"] == 1

@@ -550,6 +550,13 @@ CHECKS = {
          "partitioning — no second shuffle", r"HashAggregate"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "embedding_isotropy": [
+        ("dim-group aggregate partial-first — the corpus never "
+         "shuffles, only dim·partitions partial rows",
+         r"HashAggregate.*partial|partial_count"),
+        ("components explode in Generate", r"Generate posexplode"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
