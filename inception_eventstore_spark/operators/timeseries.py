@@ -389,3 +389,62 @@ def interarrival_burstiness(
             ).alias("burstiness"),
         )
     )
+
+
+def out_of_order_report(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """(key, n_events, n_late, late_ppm, max_lateness_s) — per-key
+    out-of-order arrival accounting: an event is LATE when its event
+    time precedes the running maximum event time among its key's
+    earlier arrivals (``arrival_col`` = the append/ingest order). This
+    is the measurement that sizes a Structured-Streaming WATERMARK:
+    max_lateness bounds the delay a correct window must tolerate, and
+    late_ppm says what fraction of data a tighter watermark would
+    silently drop.
+
+    One lag-free pass per key: a running-max window over the arrival
+    order (high-cardinality key partitioning), then a partial-
+    aggregated rollup on the same partitioning. late_ppm is exact
+    BIGINT arithmetic; lateness rounds at 6 dp of seconds."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_arr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = events.select(
+        F.col(key_col),
+        F.col(arrival_col).alias("_arr"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    ).withColumn("_hwm", F.max("_us").over(w))
+    return (
+        rows.groupBy(key_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("_us") < F.col("_hwm"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+            F.max(
+                F.when(
+                    F.col("_us") < F.col("_hwm"),
+                    F.col("_hwm") - F.col("_us"),
+                ).otherwise(F.lit(0))
+            ).alias("_maxlate_us"),
+        )
+        .select(
+            F.col(key_col),
+            "n_events",
+            "n_late",
+            F.expr(
+                "CAST((n_late * 1000000) div n_events AS BIGINT)"
+            ).alias("late_ppm"),
+            F.round(F.col("_maxlate_us") / 1e6, 6).alias(
+                "max_lateness_s"
+            ),
+        )
+    )

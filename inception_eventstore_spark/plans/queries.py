@@ -9252,3 +9252,40 @@ _R6ZK_QUERIES = {
     ),
 }
 QUERIES = {**_R6ZK_QUERIES, **QUERIES}
+
+
+def q_ooo_arrivals(spark, sf_dir):
+    """Watermark sizing report (timeseries.out_of_order_report): per
+    user, the fraction of events arriving with event time behind the
+    key's running high-water mark (arrival order = event_id) and the
+    worst lateness — the two numbers that choose a Structured-
+    Streaming watermark delay before late data gets dropped."""
+    from inception_eventstore_spark.operators.timeseries import (
+        out_of_order_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return out_of_order_report(ev).orderBy("user_id")
+
+
+_OOO_ORACLE = """
+WITH r AS (SELECT user_id, epoch_us(ts) AS us,
+    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CASE WHEN us < hwm THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_late,
+    max(CASE WHEN us < hwm THEN hwm - us ELSE 0 END) AS maxlate_us
+  FROM r GROUP BY user_id)
+SELECT user_id, n_events, n_late,
+  CAST((n_late * 1000000) // n_events AS BIGINT) AS late_ppm,
+  round(maxlate_us / 1e6, 6) AS max_lateness_s
+FROM a ORDER BY user_id
+"""
+
+
+_R6ZL_QUERIES = {
+    "ooo_arrivals": QueryDef(q_ooo_arrivals, _OOO_ORACLE),
+}
+QUERIES = {**_R6ZL_QUERIES, **QUERIES}

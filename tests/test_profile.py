@@ -560,3 +560,48 @@ class TestInterarrivalBurstiness:
             (sig - mu) / (sig + mu), abs=1e-6
         )
         assert row["cv"] == pytest.approx(sig / mu, abs=1e-6)
+
+
+class TestOutOfOrderReport:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(e, u, t0 + dt.timedelta(seconds=s)) for e, u, s in rows],
+            "event_id long, user_id long, ts timestamp",
+        )
+
+    def test_counts_and_max_lateness(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            out_of_order_report,
+        )
+
+        # arrival order 1..5; event times 0,100,40,200,190
+        rows = [(1, 7, 0), (2, 7, 100), (3, 7, 40), (4, 7, 200),
+                (5, 7, 190)]
+        r = out_of_order_report(self._ev(spark, rows)).first()
+        assert r["n_events"] == 5 and r["n_late"] == 2
+        assert r["late_ppm"] == 2 * 1_000_000 // 5
+        assert r["max_lateness_s"] == 60.0  # hwm 100 vs event 40
+
+    def test_monotone_stream_has_zero_late(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            out_of_order_report,
+        )
+
+        rows = [(i, 1, 10 * i) for i in range(1, 8)]
+        r = out_of_order_report(self._ev(spark, rows)).first()
+        assert r["n_late"] == 0 and r["max_lateness_s"] == 0.0
+
+    def test_keys_independent(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            out_of_order_report,
+        )
+
+        # user 1 in order; user 2's 2nd arrival is 5s behind
+        rows = [(1, 1, 0), (2, 2, 50), (3, 1, 10), (4, 2, 45)]
+        out = {r["user_id"]: r for r in
+               out_of_order_report(self._ev(spark, rows)).collect()}
+        assert out[1]["n_late"] == 0
+        assert out[2]["n_late"] == 1 and out[2]["max_lateness_s"] == 5.0

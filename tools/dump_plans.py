@@ -557,6 +557,13 @@ CHECKS = {
         ("components explode in Generate", r"Generate posexplode"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "ooo_arrivals": [
+        ("one hash shuffle on the key serves the running-max window "
+         "and the rollup", r"Exchange hashpartitioning\(user_id"),
+        ("rollup aggregates on the window's partitioning",
+         r"HashAggregate"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
