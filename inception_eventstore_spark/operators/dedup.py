@@ -676,3 +676,127 @@ def containment_pairs(
     ex.unpersist()
     sets.unpersist()
     return out
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    mask_bits: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_start, chunk_len, chunk_fp) — content-defined
+    chunking (the LBFS/Rabin boundary rule behind storage dedup and
+    rsync-style delta transfer): a chunk boundary closes after every
+    position whose k-gram hash satisfies ``hash % 2^mask_bits == 0``,
+    giving ~2^mask_bits expected chunk length. Because boundaries are
+    functions of LOCAL content only, an insertion early in a document
+    shifts every fixed-size block but leaves all later CDC chunks —
+    and therefore their fingerprints — identical: the property that
+    makes cross-version/cross-doc chunk dedup work where fixed
+    chunking fails.
+
+    Deviation from production CDC, documented: no min/max chunk-length
+    clamps — the clamps make boundary validity depend on the PREVIOUS
+    boundary (a sequential scan), while the pure content rule keeps
+    every boundary decision independent, i.e. one embarrassingly
+    parallel projection. The tail of each document always closes its
+    final chunk.
+
+    Shape: one gram posexplode + a boundary filter (the stream carries
+    only ~1/2^mask_bits of positions), one per-doc lag window over the
+    surviving boundaries (bounded by doc length), and one join back to
+    slice chunk text for the md5 fingerprint. All JVM expressions —
+    the 40-bit md5-prefix gram hash is the same portable arithmetic as
+    `winnow_fingerprints`."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= mask_bits <= 30:
+        raise ValueError("mask_bits must be in [1, 30]")
+    mask = 1 << mask_bits
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    ).where(F.length("_t") >= 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("_t") - k + 1, F.lit(1))),
+        lambda i: F.col("_t").substr(i, F.lit(k)),
+    )
+    g = base.select(
+        id_col,
+        F.length("_t").alias("_n"),
+        F.posexplode(grams).alias("_p0", "_g"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 10), 16, 10
+    ).cast("bigint")
+    # boundary closes AFTER the matching gram; never past the doc end
+    bounds = g.where(F.pmod(h, F.lit(mask)) == 0).select(
+        id_col,
+        F.least(F.col("_p0") + F.lit(k), F.col("_n")).alias("_e"),
+    )
+    ends = bounds.unionByName(
+        base.select(id_col, F.length("_t").alias("_e"))
+    ).dropDuplicates([id_col, "_e"])
+    w = Window.partitionBy(id_col).orderBy("_e")
+    spans = ends.withColumn(
+        "_s", F.coalesce(F.lag("_e").over(w) + 1, F.lit(1))
+    )
+    return (
+        spans.join(base, id_col)
+        .select(
+            F.col(id_col),
+            F.col("_s").cast("bigint").alias("chunk_start"),
+            (F.col("_e") - F.col("_s") + 1)
+            .cast("bigint")
+            .alias("chunk_len"),
+            F.md5(
+                F.encode(
+                    F.col("_t").substr(
+                        F.col("_s"), F.col("_e") - F.col("_s") + 1
+                    ),
+                    "UTF-8",
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+
+
+def cdc_dedup_report(
+    docs: DataFrame,
+    k: int = 8,
+    mask_bits: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_chunks, mean_chunk_len, dup_chunks, dup_ppm) — per-doc
+    chunk-level dedup accounting over `cdc_chunks`: a chunk is DUP
+    when its fingerprint occurs in at least one OTHER document — the
+    byte-savings estimate of content-addressed storage, and a
+    span-localized near-dup signal (which parts of a doc are shared)
+    that MinHash's global sketch cannot give. The fingerprint join
+    shuffles one row per chunk, keyed by the 32-hex fp."""
+    ch = cdc_chunks(docs, k, mask_bits, id_col, text_col)
+    fp_docs = (
+        ch.groupBy("chunk_fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+    )
+    flagged = ch.join(fp_docs, "chunk_fp")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.round(F.avg("chunk_len"), 6).alias("mean_chunk_len"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chunks"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "mean_chunk_len",
+            "dup_chunks",
+            F.expr(
+                "CAST((dup_chunks * 1000000) div n_chunks AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -9289,3 +9289,54 @@ _R6ZL_QUERIES = {
     "ooo_arrivals": QueryDef(q_ooo_arrivals, _OOO_ORACLE),
 }
 QUERIES = {**_R6ZL_QUERIES, **QUERIES}
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunk dedup accounting (dedup.cdc_dedup_report):
+    LBFS/Rabin-style boundaries (40-bit md5 gram hash % 32 == 0), then
+    per-doc duplicate-chunk rates via a global fingerprint join — the
+    content-addressed-storage savings estimate and a span-localized
+    shared-content signal."""
+    from inception_eventstore_spark.operators.dedup import (
+        cdc_dedup_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_dedup_report(d, k=8, mask_bits=5).orderBy("doc_id")
+
+
+_CDC_ORACLE = """
+WITH base AS (SELECT doc_id, text AS t, length(text) AS n
+  FROM documents WHERE length(text) >= 1),
+g AS (SELECT doc_id, n, t,
+    unnest(range(1, greatest(n - 8 + 1, 1) + 1)) AS i
+  FROM base),
+b AS (SELECT doc_id, least(i + 8 - 1, n) AS e FROM g
+  WHERE CAST(('0x' || substring(md5(substring(t, CAST(i AS INTEGER), 8)),
+    1, 10)) AS BIGINT) % 32 = 0),
+ends AS (SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, e FROM b
+    UNION ALL SELECT doc_id, n AS e FROM base)),
+spans AS (SELECT doc_id, e,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e) + 1, 1) AS s
+  FROM ends),
+ch AS (SELECT spans.doc_id, e - s + 1 AS chunk_len,
+    md5(substring(base.t, CAST(s AS INTEGER),
+      CAST(e - s + 1 AS INTEGER))) AS fp
+  FROM spans JOIN base ON spans.doc_id = base.doc_id),
+fd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  round(avg(chunk_len), 6) AS mean_chunk_len,
+  CAST(sum(CASE WHEN fd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS dup_chunks,
+  CAST((sum(CASE WHEN fd.nd > 1 THEN 1 ELSE 0 END) * 1000000)
+    // count(*) AS BIGINT) AS dup_ppm
+FROM ch JOIN fd ON ch.fp = fd.fp
+GROUP BY ch.doc_id ORDER BY ch.doc_id
+"""
+
+
+_R6ZM_QUERIES = {
+    "cdc_dedup": QueryDef(q_cdc_dedup, _CDC_ORACLE),
+}
+QUERIES = {**_R6ZM_QUERIES, **QUERIES}

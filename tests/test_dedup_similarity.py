@@ -594,3 +594,55 @@ class TestBinaryQuantization:
     def test_dim_must_be_multiple_of_32(self, vectors64):
         with pytest.raises(ValueError):
             S.sign_bit_codes(vectors64, dim=48)
+
+
+class TestCdcChunks:
+    def test_chunks_tile_the_document(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 8)],
+            ["doc_id", "text"],
+        )
+        rows = sorted(
+            D.cdc_chunks(docs).collect(),
+            key=lambda r: r["chunk_start"],
+        )
+        # spans tile [1, n] exactly: each starts where the previous ended
+        pos = 1
+        for r in rows:
+            assert r["chunk_start"] == pos
+            pos += r["chunk_len"]
+        assert pos - 1 == len(docs.first()["text"])
+
+    def test_boundaries_survive_prefix_insertion(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        docs = spark.createDataFrame(
+            [(1, base), (2, "INSERTED-PREFIX-123 " + base)],
+            ["doc_id", "text"],
+        )
+        fps = {1: set(), 2: set()}
+        for r in D.cdc_chunks(docs).collect():
+            fps[r["doc_id"]].add(r["chunk_fp"])
+        shared = fps[1] & fps[2]
+        # content-defined boundaries re-synchronize after the insertion:
+        # most of doc 1's chunks reappear verbatim in doc 2 (fixed-size
+        # chunking would share none)
+        assert len(shared) >= len(fps[1]) // 2
+
+    def test_dedup_report_flags_cross_doc_chunks(self, spark):
+        a = "shared content block one two three four five six " * 5
+        docs = spark.createDataFrame(
+            [(1, a), (2, a), (3, "completely different words entirely")],
+            ["doc_id", "text"],
+        )
+        rep = {r["doc_id"]: r for r in D.cdc_dedup_report(docs).collect()}
+        assert rep[1]["dup_ppm"] == 1_000_000  # identical twin doc
+        assert rep[2]["dup_ppm"] == 1_000_000
+        assert rep[3]["dup_chunks"] == 0
+        assert rep[1]["n_chunks"] >= 2
+
+    def test_guards(self, spark):
+        docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            D.cdc_chunks(docs, k=0)
+        with pytest.raises(ValueError):
+            D.cdc_chunks(docs, mask_bits=0)

@@ -564,6 +564,14 @@ CHECKS = {
          r"HashAggregate"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "cdc_dedup": [
+        ("boundary stream explodes in Generate and filters to "
+         "~1/2^mask_bits of positions before any shuffle",
+         r"Generate posexplode"),
+        ("fingerprint dedup shuffles one row per CHUNK keyed by fp, "
+         "partial-aggregated", r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
