@@ -641,3 +641,50 @@ def bpe_train(
             break
         merges.append((top[0]["sym_a"], top[0]["sym_b"]))
     return merges
+
+
+def heldout_perplexity(
+    docs: DataFrame,
+    k_folds: int = 5,
+    test_fold: int = 0,
+    seed: str = "v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(n_test_docs, n_bigrams, cross_entropy, perplexity) — held-out
+    evaluation of the add-one bigram LM: counts train on every fold
+    but ``test_fold`` (folds assigned by the content-keyed
+    `sampling.grouped_kfold`, so the split is engine/partitioning/
+    retry-identical), the held-out fold is scored against those
+    counts, and the corpus-level cross-entropy weights each document
+    by its bigram count. The eval loop every data-curation change
+    should re-run: perplexity moving on a FIXED held-out fold is the
+    signal, and an unseen-bigram test set exercises the smoothing
+    floor self-scoring never touches.
+
+    Execution is `bigram_lm_score` with an explicit train reference
+    (broadcastable count tables, one tokenization per side) + a 4-sum
+    scalar fold; the only additions to the scorer's plan are two
+    map-side hash filters."""
+    from inception_eventstore_spark.operators.sampling import (
+        grouped_kfold,
+    )
+
+    if not 0 <= test_fold < k_folds:
+        raise ValueError("test_fold must be in [0, k_folds)")
+    folded = grouped_kfold(
+        docs, k=k_folds, group_col=id_col, seed=seed
+    )
+    train = folded.where(F.col("fold") != int(test_fold)).drop("fold")
+    test = folded.where(F.col("fold") == int(test_fold)).drop("fold")
+    sc = bigram_lm_score(test, ref=train, id_col=id_col,
+                         text_col=text_col)
+    xent = -F.sum(F.col("n_bigrams") * F.col("lm_score")) / F.sum(
+        "n_bigrams"
+    )
+    return sc.agg(
+        F.count("*").cast("bigint").alias("n_test_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(xent, 6).alias("cross_entropy"),
+        F.round(F.exp(xent), 6).alias("perplexity"),
+    )

@@ -9340,3 +9340,65 @@ _R6ZM_QUERIES = {
     "cdc_dedup": QueryDef(q_cdc_dedup, _CDC_ORACLE),
 }
 QUERIES = {**_R6ZM_QUERIES, **QUERIES}
+
+
+def q_heldout_ppl(spark, sf_dir):
+    """Held-out bigram-LM perplexity (lm.heldout_perplexity): train
+    the add-one bigram counts on folds 1-4 of the content-keyed
+    k-fold split, score fold 0, report bigram-weighted cross-entropy
+    and perplexity — the fixed-eval-fold signal a curation change is
+    judged by, exercising the unseen-bigram smoothing floor that
+    self-scoring never hits."""
+    from inception_eventstore_spark.operators.lm import (
+        heldout_perplexity,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return heldout_perplexity(d, k_folds=5, test_fold=0)
+
+
+def _heldout_ppl_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk,
+    CAST(('0x' || substring(md5('kfold-v1:'
+      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+  FROM documents),
+tr AS (SELECT doc_id, tk FROM toks WHERE fold <> 0),
+te AS (SELECT doc_id, tk FROM toks WHERE fold = 0),
+ptr AS (
+  SELECT g['a'] AS a, g['b'] AS b FROM (
+    SELECT unnest([struct_pack(a := tk[i], b := tk[i+1])
+            for i in generate_series(1, len(tk)-1)]) AS g
+    FROM tr WHERE len(tk) >= 2)),
+c2 AS (SELECT a, b, count(*) AS c2 FROM ptr GROUP BY a, b),
+c1 AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+v AS (SELECT count(DISTINCT t) AS vocab FROM (
+  SELECT unnest(tk) AS t FROM tr)),
+pte AS (
+  SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+    SELECT doc_id,
+      unnest([struct_pack(a := tk[i], b := tk[i+1])
+              for i in generate_series(1, len(tk)-1)]) AS g
+    FROM te WHERE len(tk) >= 2)),
+s AS (
+  SELECT p.doc_id,
+    ln((coalesce(c2.c2, 0) + 1)
+       / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + v.vocab)) AS lp
+  FROM pte p LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
+  CROSS JOIN v),
+pd AS (SELECT doc_id, count(*) AS nb, round(avg(lp), 6) AS sc
+  FROM s GROUP BY doc_id),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_test_docs,
+    CAST(sum(nb) AS BIGINT) AS n_bigrams,
+    -sum(nb * sc) / sum(nb) AS xe
+  FROM pd)
+SELECT n_test_docs, n_bigrams, round(xe, 6) AS cross_entropy,
+  round(exp(xe), 6) AS perplexity
+FROM f
+"""
+
+
+_R6ZN_QUERIES = {
+    "heldout_ppl": QueryDef(q_heldout_ppl, _heldout_ppl_oracle()),
+}
+QUERIES = {**_R6ZN_QUERIES, **QUERIES}

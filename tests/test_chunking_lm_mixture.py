@@ -287,3 +287,73 @@ class TestStupidBackoff:
             for r in stupid_backoff_score(df, ref=ref).collect()
         }
         assert got[100] > got[101]
+
+
+class TestHeldoutPerplexity:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        from inception_eventstore_spark.operators.lm import (
+            heldout_perplexity,
+        )
+
+        docs = [(i, " ".join(
+            ["alpha", "beta", "gamma", "delta"][j % 4]
+            for j in range(i % 7 + 2)
+        )) for i in range(40)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        def fold(d):
+            h = hashlib.md5(f"kfold-v1:{d}".encode()).hexdigest()
+            return int(h[:15], 16) % 5
+
+        train = [t for d, t in docs if fold(d) != 0]
+        test = [(d, t) for d, t in docs if fold(d) == 0]
+        c2, c1, vocab = {}, {}, set()
+        for t in train:
+            tk = t.split()
+            vocab.update(tk)
+            for a, b in zip(tk, tk[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+        per_doc = []
+        for d, t in test:
+            tk = t.split()
+            lps = [
+                math.log((c2.get((a, b), 0) + 1)
+                         / (c1.get(a, 0) + len(vocab)))
+                for a, b in zip(tk, tk[1:])
+            ]
+            if lps:
+                per_doc.append((len(lps), round(sum(lps) / len(lps), 6)))
+        nb = sum(n for n, _ in per_doc)
+        xe = -sum(n * s for n, s in per_doc) / nb
+        row = heldout_perplexity(df, k_folds=5, test_fold=0).first()
+        assert row["n_test_docs"] == len(per_doc)
+        assert row["n_bigrams"] == nb
+        assert row["cross_entropy"] == pytest.approx(xe, abs=1e-6)
+        assert row["perplexity"] == pytest.approx(math.exp(xe), abs=1e-4)
+
+    def test_unseen_bigrams_hit_smoothing_floor(self, spark):
+        from inception_eventstore_spark.operators.lm import (
+            heldout_perplexity,
+        )
+
+        # ppl on a real split must exceed the self-scored corpus (the
+        # held-out fold contains bigrams the train counts never saw)
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i + 1} w{i + 2} shared tail") for i in range(30)],
+            ["doc_id", "text"],
+        )
+        row = heldout_perplexity(docs).first()
+        assert row["perplexity"] > 1.0 and row["cross_entropy"] > 0
+
+    def test_fold_guard(self, spark):
+        from inception_eventstore_spark.operators.lm import (
+            heldout_perplexity,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            heldout_perplexity(df, k_folds=5, test_fold=5)

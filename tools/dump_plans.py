@@ -572,6 +572,13 @@ CHECKS = {
          "partial-aggregated", r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "heldout_ppl": [
+        ("count tables partial-aggregated before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("fold split is a map-side hash filter — no extra shuffle "
+         "beyond the scorer's count joins", r"\*\(\d+\) Filter"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
