@@ -635,3 +635,68 @@ def key_skew_profile(
         "n_keys",
         "total",
     )
+
+
+def trimmed_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    trim_ppm: int = 50_000,
+) -> DataFrame:
+    """(group, n, n_trimmed, trimmed_mean, trimmed_std) — robust
+    per-group statistics with the top and bottom ``trim_ppm``
+    (default 5%) of rows REMOVED before the moments: the outlier-
+    immune mean/std a monitoring threshold should be built on when
+    heavy tails would otherwise let a few extreme rows move the
+    alarm line.
+
+    EXACT and engine-identical: values quantize to integer cents
+    (the fixtures are 2-dp money-style doubles — ×100 lands within
+    1e-10 of an integer, never at a rounding boundary), the trim
+    cut is a RANK filter (rank ⌊n·trim⌋ strict at both ends, ties
+    broken by ``id_col`` so the kept SET is deterministic, not just
+    the kept count), ranks come from the two-phase shard rank (a
+    skewed group never funnels one task), and the moments are
+    associative BIGINT sums of cents and cents²."""
+    if not 0 <= trim_ppm < 500_000:
+        raise ValueError("trim_ppm must be in [0, 500000)")
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = events.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        cents.alias("_c"),
+        F.col(id_col).alias("_tb"),
+    )
+    ranked = grouped_row_number(
+        base,
+        order_cols=[F.col("_c"), F.col("_tb")],
+        group_cols=["grp"],
+        rank_col="_r",
+        with_group_count="_n",
+    )
+    cut = F.expr(f"CAST((_n * {int(trim_ppm)}) div 1000000 AS BIGINT)")
+    kept = ranked.where(
+        (F.col("_r") > cut) & (F.col("_r") <= F.col("_n") - cut)
+    )
+    m = kept.groupBy("grp").agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_trimmed"),
+        F.sum("_c").cast("bigint").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_s2"),
+    )
+    nt = F.col("n_trimmed").cast("double")
+    mu = F.col("_s1") / nt
+    var = F.col("_s2") / nt - mu * mu
+    return m.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_trimmed",
+        F.round(mu / 100.0, 6).alias("trimmed_mean"),
+        F.round(
+            F.sqrt(F.greatest(var, F.lit(0.0))) / 100.0, 6
+        ).alias("trimmed_std"),
+    )

@@ -9402,3 +9402,49 @@ _R6ZN_QUERIES = {
     "heldout_ppl": QueryDef(q_heldout_ppl, _heldout_ppl_oracle()),
 }
 QUERIES = {**_R6ZN_QUERIES, **QUERIES}
+
+
+def q_trimmed_stats(spark, sf_dir):
+    """Robust per-type value statistics (profile.trimmed_stats): 5%
+    two-sided trimmed mean/std in exact integer-cent arithmetic —
+    the outlier-immune baseline a monitoring threshold should use
+    under heavy tails. Rank cut via the two-phase shard rank,
+    moments as associative BIGINT sums."""
+    from inception_eventstore_spark.operators.profile import (
+        trimmed_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_stats(ev).orderBy("event_type")
+
+
+_TRIMMED_ORACLE = """
+WITH base AS (SELECT event_type AS grp,
+    CAST(round(value * 100) AS BIGINT) AS c, event_id AS tb
+  FROM events WHERE value IS NOT NULL),
+rk AS (SELECT grp, c,
+    row_number() OVER (PARTITION BY grp ORDER BY c, tb) AS r,
+    count(*) OVER (PARTITION BY grp) AS n
+  FROM base),
+kept AS (SELECT grp, c, n FROM rk
+  WHERE r > (n * 50000) // 1000000
+    AND r <= n - (n * 50000) // 1000000),
+m AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_trimmed,
+    CAST(sum(c) AS BIGINT) AS s1,
+    CAST(sum(c * c) AS BIGINT) AS s2
+  FROM kept GROUP BY grp)
+SELECT grp AS event_type, n, n_trimmed,
+  round((CAST(s1 AS DOUBLE) / n_trimmed) / 100.0, 6) AS trimmed_mean,
+  round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_trimmed
+      - (CAST(s1 AS DOUBLE) / n_trimmed)
+        * (CAST(s1 AS DOUBLE) / n_trimmed), 0.0)) / 100.0, 6)
+    AS trimmed_std
+FROM m ORDER BY event_type
+"""
+
+
+_R6ZO_QUERIES = {
+    "trimmed_stats": QueryDef(q_trimmed_stats, _TRIMMED_ORACLE),
+}
+QUERIES = {**_R6ZO_QUERIES, **QUERIES}

@@ -605,3 +605,71 @@ class TestOutOfOrderReport:
                out_of_order_report(self._ev(spark, rows)).collect()}
         assert out[1]["n_late"] == 0
         assert out[2]["n_late"] == 1 and out[2]["max_lateness_s"] == 5.0
+
+
+class TestTrimmedStats:
+    def test_outlier_removed_exactly(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            trimmed_stats,
+        )
+
+        # 20 rows: 18 at 10.00, one 0.01, one 9999.99; 5% two-sided
+        # trim cuts exactly the min and max row
+        rows = [(i, "a", 10.0) for i in range(18)]
+        rows += [(100, "a", 0.01), (101, "a", 9999.99)]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        r = trimmed_stats(df).first()
+        assert (r["n"], r["n_trimmed"]) == (20, 18)
+        assert r["trimmed_mean"] == 10.0 and r["trimmed_std"] == 0.0
+
+    def test_matches_python_on_random_values(self, spark):
+        import math
+        import random
+
+        from inception_eventstore_spark.operators.profile import (
+            trimmed_stats,
+        )
+
+        rng = random.Random(11)
+        vals = [round(rng.uniform(0, 50), 2) for _ in range(200)]
+        df = spark.createDataFrame(
+            [(i, "t", v) for i, v in enumerate(vals)],
+            "event_id long, event_type string, value double",
+        )
+        cents = sorted(round(v * 100) for v in vals)
+        cut = 200 * 50_000 // 1_000_000
+        kept = cents[cut:200 - cut]
+        mu = sum(kept) / len(kept)
+        var = sum(c * c for c in kept) / len(kept) - mu * mu
+        r = trimmed_stats(df).first()
+        assert r["n_trimmed"] == len(kept)
+        assert r["trimmed_mean"] == pytest.approx(mu / 100, abs=1e-6)
+        assert r["trimmed_std"] == pytest.approx(
+            math.sqrt(max(var, 0)) / 100, abs=1e-6
+        )
+
+    def test_zero_trim_keeps_everything(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            trimmed_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 3.0)],
+            "event_id long, event_type string, value double",
+        )
+        r = trimmed_stats(df, trim_ppm=0).first()
+        assert r["n_trimmed"] == 2 and r["trimmed_mean"] == 2.0
+
+    def test_trim_guard(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            trimmed_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0)],
+            "event_id long, event_type string, value double",
+        )
+        with pytest.raises(ValueError):
+            trimmed_stats(df, trim_ppm=500_000)

@@ -579,6 +579,13 @@ CHECKS = {
          "beyond the scorer's count joins", r"\*\(\d+\) Filter"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "trimmed_stats": [
+        ("rank cut is the two-phase shard rank — window keys on the "
+         "range-shard pid, a skewed group never funnels one task",
+         r"hashpartitioning\(_gr_pid|Window.*_gr_pid"),
+        ("moment sums partial-aggregate", r"HashAggregate"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
