@@ -965,3 +965,57 @@ def property_scd2(
         .cast("int")
         .alias("is_current"),
     )
+
+
+def latest_property_state_incremental(
+    events: DataFrame,
+    snapshot_ts,
+    key_col: str = "user_id",
+    props_col: str = "props",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """`latest_property_state`, computed INCREMENTALLY: fold events
+    strictly before ``snapshot_ts`` into a snapshot table, fold the
+    delta separately, and MERGE — the event-sourcing snapshot
+    optimization that turns projection maintenance from a full-log
+    replay into (cheap snapshot scan) + (delta fold). The result is
+    row-identical to the batch fold over the whole log, which the
+    declared query certifies against the full-replay oracle.
+
+    Merge correctness rests on the split being strict on the
+    timestamp: every delta write is strictly newer than every
+    snapshot write of the same (aggregate, property), so
+    latest-wins = delta-if-present; counts add; last-write
+    timestamps max. One full-outer join on the (aggregate, property)
+    key — both sides are already one row per key."""
+    old = events.where(F.col(ts_col) < F.lit(snapshot_ts))
+    new = events.where(F.col(ts_col) >= F.lit(snapshot_ts))
+    snap = latest_property_state(
+        old, key_col, props_col, ts_col, tiebreak_col
+    )
+    delta = latest_property_state(
+        new, key_col, props_col, ts_col, tiebreak_col
+    )
+    s = snap.select(
+        key_col, "prop_key",
+        F.col("latest_value").alias("_sv"),
+        F.col("n_set").alias("_sn"),
+        F.col("last_set_ts").alias("_st"),
+    )
+    d = delta.select(
+        key_col, "prop_key",
+        F.col("latest_value").alias("_dv"),
+        F.col("n_set").alias("_dn"),
+        F.col("last_set_ts").alias("_dt"),
+    )
+    return s.join(d, [key_col, "prop_key"], "full_outer").select(
+        F.col(key_col),
+        "prop_key",
+        F.coalesce(F.col("_dv"), F.col("_sv")).alias("latest_value"),
+        (
+            F.coalesce(F.col("_sn"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_set"),
+        F.greatest(F.col("_dt"), F.col("_st")).alias("last_set_ts"),
+    )

@@ -9448,3 +9448,39 @@ _R6ZO_QUERIES = {
     "trimmed_stats": QueryDef(q_trimmed_stats, _TRIMMED_ORACLE),
 }
 QUERIES = {**_R6ZO_QUERIES, **QUERIES}
+
+
+def q_incremental_projection(spark, sf_dir):
+    """Snapshot + delta projection rebuild (eventstore.
+    latest_property_state_incremental): fold events before the log's
+    mid-timestamp into a snapshot, fold the delta, merge — and match
+    the FULL-replay oracle row-for-row. Certifies the event-sourcing
+    snapshot optimization (maintenance cost ∝ delta, not log) is
+    lossless, including same-instant tiebreaks inside each side."""
+    from inception_eventstore_spark.operators.eventstore import (
+        latest_property_state_incremental,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.floor(F.avg(F.unix_micros("ts"))).cast("bigint")
+        ).alias("m")
+    ).first()["m"]
+    out = latest_property_state_incremental(ev, mid)
+    return out.select(
+        "user_id",
+        "prop_key",
+        "latest_value",
+        F.col("n_set").cast("bigint").alias("n_set"),
+        "last_set_ts",
+    ).orderBy("user_id", "prop_key")
+
+
+_R6ZP_QUERIES = {
+    # the oracle IS the full-replay fold — the whole point
+    "incremental_projection": QueryDef(
+        q_incremental_projection, _LATEST_PROP_ORACLE
+    ),
+}
+QUERIES = {**_R6ZP_QUERIES, **QUERIES}

@@ -721,3 +721,60 @@ class TestPropertyScd2:
             for r in latest_property_state(df).collect()
         }
         assert cur == latest
+
+
+class TestIncrementalProjection:
+    def test_snapshot_plus_delta_equals_full_fold(self, spark):
+        import datetime as dt
+        import random
+
+        from inception_eventstore_spark.operators.eventstore import (
+            latest_property_state,
+            latest_property_state_incremental,
+        )
+
+        rng = random.Random(13)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=rng.randint(0, 5000)),
+             rng.randint(0, 9),
+             '{"k": "%d", "m": "%d"}' % (rng.randint(0, 5), i % 3))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, props string"
+        )
+        mid = t0 + dt.timedelta(seconds=2500)
+        inc = {
+            (r["user_id"], r["prop_key"]):
+            (r["latest_value"], r["n_set"], r["last_set_ts"])
+            for r in latest_property_state_incremental(df, mid).collect()
+        }
+        full = {
+            (r["user_id"], r["prop_key"]):
+            (r["latest_value"], r["n_set"], r["last_set_ts"])
+            for r in latest_property_state(df).collect()
+        }
+        assert inc == full
+
+    def test_empty_delta_and_empty_snapshot(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.eventstore import (
+            latest_property_state,
+            latest_property_state_incremental,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 1, '{"x": "a"}'), (2, t0, 1, '{"x": "b"}')],
+            "event_id long, ts timestamp, user_id long, props string",
+        )
+        full = {(r["user_id"], r["prop_key"]): r["latest_value"]
+                for r in latest_property_state(df).collect()}
+        for cut in (t0 - dt.timedelta(days=1), t0 + dt.timedelta(days=1)):
+            inc = {
+                (r["user_id"], r["prop_key"]): r["latest_value"]
+                for r in latest_property_state_incremental(df, cut).collect()
+            }
+            assert inc == full

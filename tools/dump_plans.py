@@ -586,6 +586,15 @@ CHECKS = {
         ("moment sums partial-aggregate", r"HashAggregate"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "incremental_projection": [
+        ("both sides fold with max_by AGGREGATES — no ranking window",
+         "!Window"),
+        ("folds partial-aggregate before the key shuffle",
+         r"HashAggregate.*partial|partial_max"),
+        ("merge is one key equi-join, never nested-loop",
+         "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
