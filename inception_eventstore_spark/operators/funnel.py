@@ -179,3 +179,92 @@ def abandoned_after(
         )
         .select(key_col, order_tiebreak, ts_col, "next_then_ts")
     )
+
+
+def funnel_latency_percentiles(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_idx, step, n_users, p50_s, p90_s) — EXACT conversion-
+    latency percentiles for each consecutive funnel-step pair: per
+    converting user, the delta between their earliest qualifying
+    times of step i-1 and step i (the same chained min-ts contract
+    as `funnel_steps`), then percentile_disc(0.5/0.9) over those
+    integer-microsecond latencies. The "how long does conversion
+    take" half of funnel analysis — counts alone can't distinguish a
+    funnel that converts in seconds from one that takes a week.
+
+    Exact and engine-identical: latencies are integer µs; the
+    percentile is the rank-⌈p·n⌉ ORDER STATISTIC (ties broken by
+    user id), ranked with the two-phase shard rank so a popular step
+    pair never funnels one task; the final pivot is a |pairs|-row
+    aggregate."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps")
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    lats = None
+    cur: DataFrame | None = None
+    for i, step in enumerate(steps):
+        hits = events.where(F.col(type_col) == step)
+        if cur is None:
+            cur = hits.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+            continue
+        same_step = step == steps[i - 1]
+        prev = cur.withColumnRenamed("_t", "_tp")
+        window_ok = (
+            F.col(ts_col) > F.col("_tp")
+            if same_step
+            else F.col(ts_col) >= F.col("_tp")
+        )
+        nxt = (
+            hits.join(prev, user_col)
+            .where(window_ok)
+            .groupBy(user_col, "_tp")
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        pair = nxt.select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(user_col).alias("_u"),
+            (
+                F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_tp"))
+            ).alias("_lat"),
+        )
+        lats = pair if lats is None else lats.unionByName(pair)
+        cur = nxt.select(user_col, "_t")
+    ranked = grouped_row_number(
+        lats,
+        order_cols=[F.col("_lat"), F.col("_u")],
+        group_cols=["step_idx", "step"],
+        rank_col="_r",
+        with_group_count="_n",
+    )
+    p50 = F.expr("CAST((_n + 1) div 2 AS BIGINT)")
+    p90 = F.expr("CAST((9 * _n + 9) div 10 AS BIGINT)")
+    return (
+        ranked.groupBy("step_idx", "step")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_users"),
+            F.round(
+                F.max(F.when(F.col("_r") == p50, F.col("_lat"))) / 1e6,
+                6,
+            ).alias("p50_s"),
+            F.round(
+                F.max(F.when(F.col("_r") == p90, F.col("_lat"))) / 1e6,
+                6,
+            ).alias("p90_s"),
+        )
+        .select(
+            F.col("step_idx").cast("bigint").alias("step_idx"),
+            "step",
+            "n_users",
+            "p50_s",
+            "p90_s",
+        )
+    )

@@ -9484,3 +9484,55 @@ _R6ZP_QUERIES = {
     ),
 }
 QUERIES = {**_R6ZP_QUERIES, **QUERIES}
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Exact conversion-latency percentiles per funnel step pair
+    (funnel.funnel_latency_percentiles): signup → click → purchase,
+    p50/p90 as rank-⌈p·n⌉ order statistics over integer-µs latencies
+    — the time half of funnel analysis, engine-identical by
+    construction."""
+    from inception_eventstore_spark.operators.funnel import (
+        funnel_latency_percentiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_latency_percentiles(
+        e, ["signup", "click", "purchase"]
+    ).orderBy("step_idx")
+
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, s1.t AS tp, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t
+  GROUP BY e.user_id, s1.t),
+s3 AS (SELECT e.user_id, s2.t AS tp, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+  GROUP BY e.user_id, s2.t),
+lat AS (
+  SELECT 2 AS step_idx, 'click' AS step, user_id AS u,
+    epoch_us(t) - epoch_us(tp) AS l FROM s2
+  UNION ALL
+  SELECT 3 AS step_idx, 'purchase' AS step, user_id AS u,
+    epoch_us(t) - epoch_us(tp) AS l FROM s3),
+rk AS (SELECT step_idx, step, l,
+    row_number() OVER (PARTITION BY step_idx ORDER BY l, u) AS r,
+    count(*) OVER (PARTITION BY step_idx) AS n
+  FROM lat)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+  CAST(max(n) AS BIGINT) AS n_users,
+  round(max(CASE WHEN r = (n + 1) // 2 THEN l END) / 1e6, 6) AS p50_s,
+  round(max(CASE WHEN r = (9 * n + 9) // 10 THEN l END) / 1e6, 6)
+    AS p90_s
+FROM rk GROUP BY step_idx, step ORDER BY step_idx
+"""
+
+
+_R6ZQ_QUERIES = {
+    "funnel_latency": QueryDef(q_funnel_latency, _FUNNEL_LATENCY_ORACLE),
+}
+QUERIES = {**_R6ZQ_QUERIES, **QUERIES}

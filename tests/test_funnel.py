@@ -144,3 +144,70 @@ class TestAbandonedAfter:
             "event_id long, ts timestamp, user_id long, event_type string",
         )
         assert abandoned_after(df, "view", "purchase").count() == 0
+
+
+class TestFunnelLatencyPercentiles:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(i, u, t, t0 + dt.timedelta(seconds=s))
+             for i, (u, t, s) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+
+    def test_hand_computed_percentiles(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            funnel_latency_percentiles,
+        )
+
+        rows = []
+        # 10 users: signup at 0, click at u+1 seconds (latencies 1..10)
+        for u in range(10):
+            rows.append((u, "a", 0))
+            rows.append((u, "b", u + 1))
+        out = funnel_latency_percentiles(
+            self._ev(spark, rows), ["a", "b"]
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # p50 = 5th order statistic (rank ceil(10/2)=5) -> 5s;
+        # p90 = rank 9 -> 9s
+        assert r["n_users"] == 10
+        assert r["p50_s"] == 5.0 and r["p90_s"] == 9.0
+
+    def test_earliest_qualifying_times_used(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            funnel_latency_percentiles,
+        )
+
+        # user converts via the EARLIEST signup (t=0) and the earliest
+        # click at-or-after it (t=2), not the later signup at t=5
+        rows = [(1, "a", 0), (1, "a", 5), (1, "b", 2), (1, "b", 9)]
+        r = funnel_latency_percentiles(
+            self._ev(spark, rows), ["a", "b"]
+        ).first()
+        assert r["n_users"] == 1 and r["p50_s"] == 2.0
+
+    def test_non_converters_absent(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            funnel_latency_percentiles,
+        )
+
+        # user 2 clicks BEFORE signing up -> no conversion row
+        rows = [(1, "a", 0), (1, "b", 3), (2, "b", 0), (2, "a", 4)]
+        out = funnel_latency_percentiles(
+            self._ev(spark, rows), ["a", "b"]
+        ).collect()
+        assert out[0]["n_users"] == 1
+
+    def test_step_guard(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            funnel_latency_percentiles,
+        )
+
+        with pytest.raises(ValueError):
+            funnel_latency_percentiles(
+                self._ev(spark, [(1, "a", 0)]), ["a"]
+            )

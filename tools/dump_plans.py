@@ -595,6 +595,14 @@ CHECKS = {
          "!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "funnel_latency": [
+        ("percentile ranks are the two-phase shard rank — a popular "
+         "step pair never funnels one task",
+         r"hashpartitioning\(_gr_pid|Window.*_gr_pid"),
+        ("chained step joins are key equi-joins, never nested-loop",
+         "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
