@@ -134,3 +134,50 @@ def score_percentiles(
     return rows.select(id_col, F.col(score_col).alias("score")).join(
         pct, F.col("score") == F.col("_s")
     ).select(id_col, "score", "below_ppm", "cdf_ppm")
+
+
+def calibration_curve(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """(bin, n, n_pos, mean_prob, pos_rate, gap) — the reliability
+    diagram of a probabilistic classifier: rows bucket by predicted
+    probability (bin = ⌊p·bins⌋, top edge closed), and each bucket
+    compares its MEAN PREDICTION against the EMPIRICAL positive rate.
+    |gap| summed with bin weights is ECE; a well-calibrated scorer
+    hugs the diagonal, and an over-confident quality model silently
+    mis-prices every threshold cut built on it.
+
+    One partial-aggregated groupBy on the bin id; counts are exact
+    integers, rates are exact BIGINT-div ppm scaled back to 6-dp
+    doubles, mean_prob averages already-6-dp-rounded probabilities."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(p * bins).cast("int"), F.lit(int(bins) - 1)
+    )
+    g = (
+        scored.where(p.isNotNull())
+        .select(b.alias("bin"), p.alias("_p"), y.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+            F.round(F.avg("_p"), 6).alias("mean_prob"),
+        )
+    )
+    pos_rate = F.expr(
+        "CAST((n_pos * 1000000) div n AS BIGINT)"
+    ).cast("double") / 1e6
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_prob",
+        pos_rate.alias("pos_rate"),
+        F.round(F.col("mean_prob") - pos_rate, 6).alias("gap"),
+    ).orderBy("bin")

@@ -9536,3 +9536,62 @@ _R6ZQ_QUERIES = {
     "funnel_latency": QueryDef(q_funnel_latency, _FUNNEL_LATENCY_ORACLE),
 }
 QUERIES = {**_R6ZQ_QUERIES, **QUERIES}
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability diagram of the quality model at predicting English
+    (scoring.calibration_curve): per probability bucket, mean
+    prediction vs empirical positive rate — the calibration audit
+    that decides whether a probability threshold means what it says
+    before it gates a corpus."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.calibration_curve(
+        scored.withColumn("is_en", F.col("lang") == "en"),
+        "quality_prob",
+        "is_en",
+        bins=10,
+    )
+
+
+_CALIBRATION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) AS p
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT s.p,
+    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+    least(CAST(floor(s.p * 10) AS INTEGER), 9) AS bin
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.p IS NOT NULL),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    round(avg(p), 6) AS mean_prob
+  FROM lab GROUP BY bin)
+SELECT bin, n, n_pos, mean_prob,
+  CAST(CAST((n_pos * 1000000) // n AS BIGINT) AS DOUBLE) / 1e6
+    AS pos_rate,
+  round(mean_prob - CAST(CAST((n_pos * 1000000) // n AS BIGINT)
+    AS DOUBLE) / 1e6, 6) AS gap
+FROM g ORDER BY bin
+"""
+
+
+_R6ZR_QUERIES = {
+    "calibration_curve": QueryDef(
+        q_calibration_curve, _CALIBRATION_ORACLE
+    ),
+}
+QUERIES = {**_R6ZR_QUERIES, **QUERIES}

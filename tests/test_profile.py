@@ -673,3 +673,56 @@ class TestTrimmedStats:
         )
         with pytest.raises(ValueError):
             trimmed_stats(df, trim_ppm=500_000)
+
+
+class TestCalibrationCurve:
+    def test_perfectly_calibrated_bins(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            calibration_curve,
+        )
+
+        rows = []
+        # bin 2 (p=0.25): 4 rows, 1 positive; bin 7 (p=0.75): 4 rows,
+        # 3 positive — gaps exactly 0
+        for i in range(4):
+            rows.append((i, 0.25, 1 if i == 0 else 0))
+            rows.append((10 + i, 0.75, 0 if i == 0 else 1))
+        df = spark.createDataFrame(rows, ["id", "p", "y"])
+        out = {r["bin"]: r for r in
+               calibration_curve(df, "p", "y", bins=10).collect()}
+        assert set(out) == {2, 7}
+        assert out[2]["pos_rate"] == 0.25 and out[2]["gap"] == 0.0
+        assert out[7]["n_pos"] == 3 and out[7]["gap"] == 0.0
+
+    def test_top_edge_closed(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            calibration_curve,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 1), (2, 0.999999, 1)], ["id", "p", "y"]
+        )
+        out = calibration_curve(df, "p", "y", bins=10).collect()
+        assert len(out) == 1 and out[0]["bin"] == 9 and out[0]["n"] == 2
+
+    def test_overconfidence_shows_positive_gap(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            calibration_curve,
+        )
+
+        # model says 0.9 but only 1 of 4 is positive
+        df = spark.createDataFrame(
+            [(i, 0.9, 1 if i == 0 else 0) for i in range(4)],
+            ["id", "p", "y"],
+        )
+        r = calibration_curve(df, "p", "y").first()
+        assert r["gap"] == pytest.approx(0.9 - 0.25, abs=1e-6)
+
+    def test_bins_guard(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            calibration_curve,
+        )
+
+        df = spark.createDataFrame([(1, 0.5, 1)], ["id", "p", "y"])
+        with pytest.raises(ValueError):
+            calibration_curve(df, "p", "y", bins=1)

@@ -603,6 +603,12 @@ CHECKS = {
          "!CartesianProduct|BroadcastNestedLoopJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "calibration_curve": [
+        ("bin rollup partial-aggregates before the shuffle",
+         r"HashAggregate.*partial|partial_count"),
+        ("model weights join broadcast", r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
