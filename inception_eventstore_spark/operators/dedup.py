@@ -800,3 +800,84 @@ def cdc_dedup_report(
             ).alias("dup_ppm"),
         )
     )
+
+
+def simhash_jaccard_calibration(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(hamming, n_pairs, mean_jaccard, min_jaccard, max_jaccard) —
+    the sketch-calibration table that answers "what does SimHash
+    hamming distance d MEAN in exact token-Jaccard terms on THIS
+    corpus": every pair within ``max_hamming`` (lossless via the
+    block-permutation pigeonhole when max_hamming ≤ n_blocks − 1,
+    md5 hash source so any engine reproduces the signatures),
+    verified against exact token-set Jaccard, grouped by distance.
+    This is how a dedup threshold gets CHOSEN — run once per corpus,
+    read off the distance whose jaccard floor matches the dedup
+    policy, then run `simhash_near_duplicates` at that threshold.
+
+    The candidate set is the banded bucket join (never all pairs);
+    the exact-Jaccard verify joins tokens only for candidate pairs —
+    fan-out bounded by Σ|candidate-pair token sets|."""
+    pairs = simhash_near_duplicates(
+        docs, id_col, text_col, max_hamming, n_blocks,
+        hash_source="md5",
+    )
+    tk = docs.select(
+        F.col(id_col).alias("_d"), F.explode(tokens(text_col)).alias("_t")
+    ).distinct()
+    sz = tk.groupBy("_d").agg(F.count("*").alias("_sz"))
+    a = tk.select(F.col("_d").alias("id_a"), "_t")
+    b = tk.select(F.col("_d").alias("id_b"), F.col("_t").alias("_tb"))
+    # (pair, token-of-A) left-joined to B's tokens on (id_b, token):
+    # matched rows count toward |A∩B|; pairs with zero overlap keep
+    # their rows (all unmatched) and fold to _inter = 0
+    inter = (
+        pairs.join(a, "id_a")
+        .join(
+            b,
+            (pairs["id_b"] == b["id_b"]) & (F.col("_t") == F.col("_tb")),
+            "left",
+        )
+        .drop(b["id_b"])
+        .groupBy("id_a", "id_b", "hamming")
+        .agg(
+            F.sum(
+                F.when(F.col("_tb").isNotNull(), 1).otherwise(0)
+            ).alias("_inter")
+        )
+    )
+    j = (
+        inter.join(sz.withColumnRenamed("_d", "id_a")
+                   .withColumnRenamed("_sz", "_sa"), "id_a")
+        .join(sz.withColumnRenamed("_d", "id_b")
+              .withColumnRenamed("_sz", "_sb"), "id_b")
+        .select(
+            "hamming",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+                6,
+            ).alias("_j"),
+        )
+    )
+    return (
+        j.groupBy("hamming")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("_j"), 6).alias("mean_jaccard"),
+            F.min("_j").alias("min_jaccard"),
+            F.max("_j").alias("max_jaccard"),
+        )
+        .select(
+            F.col("hamming").cast("bigint").alias("hamming"),
+            "n_pairs",
+            "mean_jaccard",
+            "min_jaccard",
+            "max_jaccard",
+        )
+    )

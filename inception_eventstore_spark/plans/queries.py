@@ -9595,3 +9595,60 @@ _R6ZR_QUERIES = {
     ),
 }
 QUERIES = {**_R6ZR_QUERIES, **QUERIES}
+
+
+def q_simhash_calibration(spark, sf_dir):
+    """SimHash→Jaccard calibration table (dedup.
+    simhash_jaccard_calibration): for every pair within hamming 6
+    (lossless 8-block banding, portable md5 signatures), the exact
+    token-Jaccard distribution per distance — the table a dedup
+    threshold is read off of before trusting hamming as a similarity
+    proxy on a new corpus."""
+    from inception_eventstore_spark.operators.dedup import (
+        simhash_jaccard_calibration,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_jaccard_calibration(
+        d, max_hamming=6, n_blocks=8
+    ).orderBy("hamming")
+
+
+def _simhash_calibration_oracle() -> str:
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
+    sig = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t
+  FROM documents),
+h AS (SELECT doc_id,
+  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+bits AS (SELECT doc_id, count(*) AS n, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS sh FROM bits),
+prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+sets AS (SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS s
+  FROM documents),
+j AS (SELECT prs.hamming,
+    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s)
+         - len(list_intersect(sa.s, sb.s))), 6) AS jj
+  FROM prs JOIN sets sa ON prs.id_a = sa.doc_id
+  JOIN sets sb ON prs.id_b = sb.doc_id)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+  round(avg(jj), 6) AS mean_jaccard,
+  min(jj) AS min_jaccard, max(jj) AS max_jaccard
+FROM j GROUP BY hamming ORDER BY hamming
+"""
+
+
+_R6ZS_QUERIES = {
+    "simhash_calibration": QueryDef(
+        q_simhash_calibration, _simhash_calibration_oracle()
+    ),
+}
+QUERIES = {**_R6ZS_QUERIES, **QUERIES}

@@ -646,3 +646,60 @@ class TestCdcChunks:
             D.cdc_chunks(docs, k=0)
         with pytest.raises(ValueError):
             D.cdc_chunks(docs, mask_bits=0)
+
+
+class TestSimhashJaccardCalibration:
+    def test_identical_docs_at_hamming_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "totally different words here entirely now")],
+            ["doc_id", "text"],
+        )
+        out = {r["hamming"]: r
+               for r in D.simhash_jaccard_calibration(docs).collect()}
+        assert 0 in out
+        assert out[0]["n_pairs"] >= 1
+        assert out[0]["mean_jaccard"] == 1.0
+
+    def test_matches_bruteforce_reference(self, spark, corpus):
+        import hashlib
+
+        rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+
+        def sig(text):
+            toks = text.lower().split()
+            counts = [0] * 60
+            n = 0
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                n += 1
+                for b in range(60):
+                    counts[b] += (h >> b) & 1
+            return sum(
+                (1 << b) for b in range(60) if 2 * counts[b] > n
+            )
+
+        sigs = {d: sig(t) for d, t in rows}
+        sets = {d: set(t.lower().split()) for d, t in rows}
+        want = {}
+        ids = sorted(sigs)
+        for i, da in enumerate(ids):
+            for db in ids[i + 1:]:
+                ham = bin(sigs[da] ^ sigs[db]).count("1")
+                if ham <= 6:
+                    inter = len(sets[da] & sets[db])
+                    jj = round(
+                        inter / (len(sets[da]) + len(sets[db]) - inter), 6
+                    )
+                    want.setdefault(ham, []).append(jj)
+        got = {r["hamming"]: r
+               for r in D.simhash_jaccard_calibration(corpus).collect()}
+        assert set(got) == set(want)
+        for ham, js in want.items():
+            assert got[ham]["n_pairs"] == len(js)
+            assert got[ham]["mean_jaccard"] == pytest.approx(
+                sum(js) / len(js), abs=1e-5
+            )
+            assert got[ham]["min_jaccard"] == pytest.approx(
+                min(js), abs=1e-6
+            )

@@ -609,6 +609,13 @@ CHECKS = {
         ("model weights join broadcast", r"BroadcastHashJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "simhash_calibration": [
+        ("candidates come from the banded bucket join — never an "
+         "all-pairs product", "!CartesianProduct|BroadcastNestedLoopJoin"),
+        ("signature aggregation partial-first",
+         r"HashAggregate.*partial|partial_sum"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
