@@ -700,3 +700,68 @@ def trimmed_stats(
             F.sqrt(F.greatest(var, F.lit(0.0))) / 100.0, 6
         ).alias("trimmed_std"),
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+) -> DataFrame:
+    """(n_left, n_right, keys_left, keys_right, keys_common,
+    join_rows, max_key_product) — the pre-join sizing report: the
+    EXACT row count an inner equi-join would produce
+    (Σ_k cntL(k)·cntR(k)) and the worst single key's contribution,
+    computed from the two per-key count tables WITHOUT executing the
+    join. This is the diagnostic that catches a fan-out blowup (a
+    many-to-many key nobody expected) or a skew bomb
+    (max_key_product ≈ join_rows) before a 100 TB shuffle runs —
+    the per-key count tables are orders of magnitude smaller than
+    the join they predict.
+
+    One partial-aggregated groupBy per side, one equi-join of the
+    count tables (one row per key each), exact BIGINT arithmetic."""
+    rk = right_key or left_key
+    lc = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("_k"))
+        .agg(F.count("*").alias("_nl"))
+    )
+    rc = (
+        right.where(F.col(rk).isNotNull())
+        .groupBy(F.col(rk).alias("_k"))
+        .agg(F.count("*").alias("_nr"))
+    )
+    j = lc.join(rc, "_k")
+    common = j.agg(
+        F.count("*").cast("bigint").alias("keys_common"),
+        F.sum(F.col("_nl") * F.col("_nr")).cast("bigint").alias(
+            "join_rows"
+        ),
+        F.max(F.col("_nl") * F.col("_nr")).cast("bigint").alias(
+            "max_key_product"
+        ),
+    )
+    lt = lc.agg(
+        F.sum("_nl").cast("bigint").alias("n_left"),
+        F.count("*").cast("bigint").alias("keys_left"),
+    )
+    rt = rc.agg(
+        F.sum("_nr").cast("bigint").alias("n_right"),
+        F.count("*").cast("bigint").alias("keys_right"),
+    )
+    return (
+        lt.crossJoin(rt)
+        .crossJoin(common)
+        .select(
+            "n_left",
+            "n_right",
+            "keys_left",
+            "keys_right",
+            F.coalesce("keys_common", F.lit(0)).alias("keys_common"),
+            F.coalesce("join_rows", F.lit(0)).alias("join_rows"),
+            F.coalesce("max_key_product", F.lit(0)).alias(
+                "max_key_product"
+            ),
+        )
+    )

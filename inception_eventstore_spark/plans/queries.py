@@ -9652,3 +9652,43 @@ _R6ZS_QUERIES = {
     ),
 }
 QUERIES = {**_R6ZS_QUERIES, **QUERIES}
+
+
+def q_join_cardinality(spark, sf_dir):
+    """Pre-join sizing report (profile.join_cardinality): the exact
+    inner-join row count and worst-key fan-out of orders ⋈ lineitem
+    on orderkey, predicted from the two per-key count tables without
+    executing the join — the blowup/skew diagnostic that runs before
+    a 100 TB shuffle, at the cost of two key-count aggregates."""
+    from inception_eventstore_spark.operators.profile import (
+        join_cardinality,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_cardinality(o, li, "o_orderkey", "l_orderkey")
+
+
+_JOIN_CARD_ORACLE = """
+WITH lc AS (SELECT o_orderkey AS k, count(*) AS nl FROM orders
+  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, count(*) AS nr FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+j AS (SELECT CAST(count(*) AS BIGINT) AS keys_common,
+    CAST(coalesce(sum(nl * nr), 0) AS BIGINT) AS join_rows,
+    CAST(coalesce(max(nl * nr), 0) AS BIGINT) AS max_key_product
+  FROM lc JOIN rc USING (k)),
+lt AS (SELECT CAST(sum(nl) AS BIGINT) AS n_left,
+    CAST(count(*) AS BIGINT) AS keys_left FROM lc),
+rt AS (SELECT CAST(sum(nr) AS BIGINT) AS n_right,
+    CAST(count(*) AS BIGINT) AS keys_right FROM rc)
+SELECT n_left, n_right, keys_left, keys_right, keys_common,
+  join_rows, max_key_product
+FROM lt CROSS JOIN rt CROSS JOIN j
+"""
+
+
+_R6ZT_QUERIES = {
+    "join_cardinality": QueryDef(q_join_cardinality, _JOIN_CARD_ORACLE),
+}
+QUERIES = {**_R6ZT_QUERIES, **QUERIES}

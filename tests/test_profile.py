@@ -726,3 +726,36 @@ class TestCalibrationCurve:
         df = spark.createDataFrame([(1, 0.5, 1)], ["id", "p", "y"])
         with pytest.raises(ValueError):
             calibration_curve(df, "p", "y", bins=1)
+
+
+class TestJoinCardinality:
+    def test_exact_fanout_arithmetic(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            join_cardinality,
+        )
+
+        left = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,), (None,)], ["k"]
+        )
+        right = spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (9,)], ["k"]
+        )
+        r = join_cardinality(left, right, "k").first()
+        assert (r["n_left"], r["n_right"]) == (4, 5)
+        assert (r["keys_left"], r["keys_right"]) == (3, 3)
+        assert r["keys_common"] == 2
+        # key 1: 2*3=6, key 2: 1*1=1
+        assert r["join_rows"] == 7 and r["max_key_product"] == 6
+        # prediction equals the executed join
+        assert left.join(right, "k").count() == 7
+
+    def test_disjoint_keys(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            join_cardinality,
+        )
+
+        a = spark.createDataFrame([(1,)], ["k"])
+        b = spark.createDataFrame([(2,)], ["k"])
+        r = join_cardinality(a, b, "k").first()
+        assert r["join_rows"] == 0 and r["keys_common"] == 0
+        assert r["max_key_product"] == 0

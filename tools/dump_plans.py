@@ -616,6 +616,14 @@ CHECKS = {
          r"HashAggregate.*partial|partial_sum"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "join_cardinality": [
+        ("per-key counts partial-aggregate — the prediction never "
+         "executes the predicted join",
+         r"HashAggregate.*partial|partial_count"),
+        ("count tables meet in one key equi-join",
+         r"BroadcastHashJoin|SortMergeJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
