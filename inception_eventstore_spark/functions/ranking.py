@@ -113,6 +113,80 @@ def sharded_running_sums(
     return out.drop(_PID, *off_names)
 
 
+def sharded_running_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    max_col: str,
+    out_col: str,
+    num_shards: int | None = None,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Global running MAX of an INTEGER column ordered by
+    ``order_cols`` — the two-phase form of a
+    ``Window.partitionBy(lit(1)).orderBy(...)`` running max. With
+    ``exclusive=True`` (the default) the frame is
+    ``rowsBetween(unboundedPreceding, -1)``: each row sees the max of
+    STRICTLY-preceding rows, NULL for the global first row (callers
+    coalesce to their identity).
+
+    max is associative and idempotent, so shard-prefix max + within-
+    shard running max is identical to the sequential window for ANY
+    shard split — ties in ``order_cols`` are harmless here (unlike
+    running sums), because a tie group straddling a boundary changes
+    which rows contribute via the offset vs the frame, never the max
+    itself for exclusive frames over rows with equal keys ONLY when
+    the order is total. Callers that need exact strict-prefix
+    semantics (the skyline operator) pre-aggregate to distinct order
+    keys first, making the order total by construction.
+
+    Integer-only for the same cross-engine reason as
+    sharded_running_sums: comparisons are exact, so the DuckDB oracle
+    (a plain sequential window) stays bit-identical. Cost: one scan +
+    one range shuffle + a #shards-row collect (checkpoint-pinned —
+    see module docstring).
+    """
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[max_col].dataType, T.IntegralType):
+        raise TypeError(
+            f"sharded_running_max needs an integer column; {max_col} is "
+            f"{df.schema[max_col].dataType.simpleString()} — quantize first"
+        )
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(num_shards, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    rows = parts.groupBy(_PID).agg(F.max(max_col).alias("_m")).collect()
+    # exclusive prefix max over shards in shard (=range) order
+    acc: int | None = None
+    out_rows = []
+    for r in sorted(rows, key=lambda r: r[_PID]):
+        out_rows.append((int(r[_PID]), acc))
+        if r["_m"] is not None and (acc is None or int(r["_m"]) > acc):
+            acc = int(r["_m"])
+    off_df = spark.createDataFrame(out_rows, f"{_PID} int, {_OFF} long")
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    # greatest() ignores NULLs: NULL only when both the shard offset
+    # and the within-shard frame are empty (the global first row).
+    return (
+        parts.join(F.broadcast(off_df), _PID)
+        .withColumn(
+            out_col,
+            F.greatest(F.col(_OFF), F.max(max_col).over(w)).cast("bigint"),
+        )
+        .drop(_PID, _OFF)
+    )
+
+
 def grouped_row_number(
     df: DataFrame,
     order_cols: list[Column],

@@ -9692,3 +9692,45 @@ _R6ZT_QUERIES = {
     "join_cardinality": QueryDef(q_join_cardinality, _JOIN_CARD_ORACLE),
 }
 QUERIES = {**_R6ZT_QUERIES, **QUERIES}
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """Skyline of users on (event volume, best value): points = one
+    row per user with n_events and floor(max(value)·2^20); frontier =
+    users no other user beats on both axes (skyline.pareto_frontier —
+    per-x max table + sharded strict-prefix running max + broadcast of
+    the frontier-x set; never an O(n²) dominance join). Both axes are
+    exact integers, so dominance is bit-identical cross-engine: count
+    is integral and floor() of the identically-computed double
+    max(value)·2^20 matches DuckDB (selection then one multiply — no
+    rounding-order jitter)."""
+    from inception_eventstore_spark.operators.skyline import (
+        pareto_frontier,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.floor(F.max("value") * F.lit(1048576.0))
+        .cast("bigint")
+        .alias("vmax_micro"),
+    )
+    return pareto_frontier(pts, "n_events", "vmax_micro")
+
+
+_PARETO_ORACLE = """
+WITH pts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(floor(max(value) * 1048576.0) AS BIGINT) AS vmax_micro
+  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_events, vmax_micro FROM pts q
+WHERE NOT EXISTS (SELECT 1 FROM pts p
+  WHERE (p.n_events > q.n_events AND p.vmax_micro >= q.vmax_micro)
+     OR (p.n_events >= q.n_events AND p.vmax_micro > q.vmax_micro))
+"""
+
+
+_R6ZU_QUERIES = {
+    "pareto_frontier": QueryDef(q_pareto_frontier, _PARETO_ORACLE),
+}
+QUERIES = {**_R6ZU_QUERIES, **QUERIES}

@@ -93,3 +93,66 @@ class TestGroupedRowNumber:
     def test_empty_input(self, spark):
         df = _fixture(spark).where(F.lit(False))
         assert grouped_row_number(df, order_cols=[F.col("doc_id")]).count() == 0
+
+
+class TestShardedRunningMax:
+    def test_equals_sequential_window(self, spark):
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.functions.ranking import (
+            sharded_running_max,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(0, 1000)) for i in range(500)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["m"]
+            for r in sharded_running_max(
+                df, [F.col("k").desc()], "v", "m", num_shards=8
+            ).collect()
+        }
+        w = (
+            Window.orderBy(F.col("k").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = {
+            r["k"]: r["m"]
+            for r in df.withColumn("m", F.max("v").over(w)).collect()
+        }
+        assert got == want
+        assert got[499] is None  # global first row: empty prefix
+
+    def test_inclusive_frame(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.functions.ranking import (
+            sharded_running_max,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 3), (3, 9)], "k long, v long"
+        )
+        got = {
+            r["k"]: r["m"]
+            for r in sharded_running_max(
+                df, [F.col("k")], "v", "m", num_shards=2,
+                exclusive=False,
+            ).collect()
+        }
+        assert got == {1: 5, 2: 5, 3: 9}
+
+    def test_integer_guard(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.functions.ranking import (
+            sharded_running_max,
+        )
+
+        df = spark.createDataFrame([(1, 1.5)], "k long, v double")
+        with pytest.raises(TypeError):
+            sharded_running_max(df, [F.col("k")], "v", "m")

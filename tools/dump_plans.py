@@ -624,6 +624,16 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "pareto_frontier": [
+        ("per-user points partial-aggregate before any frontier work",
+         r"HashAggregate.*partial|partial_count"),
+        ("running max fans across range shards — window keyed by shard "
+         "pid, never a single-task global window",
+         r"hashpartitioning\(_gr_pid"),
+        ("frontier-x set broadcast back to the points",
+         r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "bq_hamming_topk": [
         ("query codes broadcast — the hamming scan never shuffles the "
          "corpus codes", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
