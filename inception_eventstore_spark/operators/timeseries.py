@@ -23,7 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_stats", "zscore_anomalies", "ewma_smooth"]
+__all__ = [
+    "rolling_stats",
+    "zscore_anomalies",
+    "ewma_smooth",
+    "sliding_distinct_users",
+    "resample_ffill",
+    "interval_concurrency",
+    "seasonal_naive_eval",
+    "interarrival_burstiness",
+    "out_of_order_report",
+    "decayed_counts",
+]
 
 
 def rolling_stats(
@@ -447,4 +458,71 @@ def out_of_order_report(
                 "max_lateness_s"
             ),
         )
+    )
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    halflife_days: int = 7,
+    bits: int = 30,
+) -> DataFrame:
+    """Exponentially-decayed event counts per key — the "what is hot
+    NOW" ranking, where an event h half-lives old counts half as much
+    as one from today. Returns one row per key: ``decayed_units`` (the
+    decayed count in units of 2^-bits), ``n_total``, ``newest_age_d``.
+
+    Exactness trick: the half-life weight 2^(-age/halflife) is
+    quantized to the integer ``1 << (bits - min(age_units, bits))``
+    with ``age_units = floor(age_days / halflife_days)`` — every
+    per-event weight is a power of two, the sum is BIGINT integer
+    arithmetic (associative → partial aggregation order can't leak
+    into the result, and a sequential SQL oracle is bit-identical).
+    Events older than ``bits`` half-lives contribute one unit
+    (≈ 2^-bits of a fresh event — the quantization floor). The
+    decayed count itself is ``decayed_units / 2^bits``; it is
+    returned as the exact integer numerator because that ratio is a
+    binary rational that CAN terminate on decimal rounding
+    half-boundaries (e.g. 2^-7 = 0.0078125) where engine rounding
+    modes diverge — CLAUDE.md's half-boundary rule.
+
+    Overflow headroom under ANSI mode: sum ≤ n_events(key) · 2^bits;
+    bits=30 leaves room for 8 billion events per key in a BIGINT.
+
+    Scale: one scalar max (broadcast back — no driver collect), one
+    partial-aggregated groupBy on the key. The reference time is the
+    corpus max event date, so the report is reproducible for a fixed
+    snapshot (no wall-clock dependence).
+
+    Reference analog: counter reads (C3, `CassandraCounters.cs`) with
+    a recency weighting the native engine cannot express server-side.
+    """
+    if not (1 <= bits <= 62):
+        raise ValueError("bits must be in [1, 62]")
+    if halflife_days < 1:
+        raise ValueError("halflife_days must be >= 1")
+    ref = events.agg(
+        F.max(F.to_date(F.col(ts_col))).alias("_ref_day")
+    )
+    j = events.crossJoin(F.broadcast(ref)).withColumn(
+        "_age_u",
+        F.floor(
+            F.datediff(F.col("_ref_day"), F.to_date(F.col(ts_col)))
+            / F.lit(float(halflife_days))
+        ).cast("int"),
+    )
+    # the python F.shiftleft only takes a literal bit count — the SQL
+    # form shifts by a column
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {bits} - least(_age_u, {bits}))"
+    )
+    return j.groupBy(key_col).agg(
+        F.sum(weight).cast("bigint").alias("decayed_units"),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.min(
+            F.datediff(F.col("_ref_day"), F.to_date(F.col(ts_col)))
+        )
+        .cast("bigint")
+        .alias("newest_age_d"),
     )

@@ -9734,3 +9734,44 @@ _R6ZU_QUERIES = {
     "pareto_frontier": QueryDef(q_pareto_frontier, _PARETO_ORACLE),
 }
 QUERIES = {**_R6ZU_QUERIES, **QUERIES}
+
+
+def q_decayed_topk(spark, sf_dir):
+    """Hottest 5 event types by exponentially-decayed count (half-life
+    one week, timeseries.decayed_counts): per-event weights are the
+    integer 2^(30-min(age_weeks,30)), so the decayed score is an exact
+    BIGINT sum — associative partial aggregation, bit-identical to the
+    sequential DuckDB replay, no floating decay anywhere. Reference
+    time = corpus max event date (broadcast scalar, no wall clock)."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.decayed_counts(
+        ev, key_col="event_type", halflife_days=7, bits=30
+    )
+    return out.orderBy(
+        F.col("decayed_units").desc(), "event_type"
+    ).limit(5)
+
+
+_DECAYED_TOPK_ORACLE = """
+WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+w AS (
+  SELECT event_type,
+    (1::BIGINT << CAST(30 - least(
+        floor(datediff('day', CAST(ts AS DATE), r) / 7.0), 30) AS INT)
+    ) AS wt,
+    datediff('day', CAST(ts AS DATE), r) AS age_d
+  FROM events CROSS JOIN ref)
+SELECT event_type, CAST(sum(wt) AS BIGINT) AS decayed_units,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(min(age_d) AS BIGINT) AS newest_age_d
+FROM w GROUP BY event_type
+ORDER BY decayed_units DESC, event_type LIMIT 5
+"""
+
+
+_R6ZV_QUERIES = {
+    "decayed_topk": QueryDef(q_decayed_topk, _DECAYED_TOPK_ORACLE),
+}
+QUERIES = {**_R6ZV_QUERIES, **QUERIES}

@@ -759,3 +759,85 @@ class TestJoinCardinality:
         r = join_cardinality(a, b, "k").first()
         assert r["join_rows"] == 0 and r["keys_common"] == 0
         assert r["max_key_product"] == 0
+
+
+class TestDecayedCounts:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+
+    def test_halflife_weights_exact(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            decayed_counts,
+        )
+
+        d = dt.datetime
+        # ref day = 2024-01-29; ages 0, 7, 14 days → 0, 1, 2 half-lives
+        df = self._df(
+            spark,
+            [
+                (1, d(2024, 1, 29), "a"),
+                (2, d(2024, 1, 22), "a"),
+                (3, d(2024, 1, 15), "a"),
+                (4, d(2024, 1, 29), "b"),
+            ],
+        )
+        out = {
+            r["event_type"]: r
+            for r in decayed_counts(
+                df, halflife_days=7, bits=30
+            ).collect()
+        }
+        assert out["a"]["decayed_units"] == (1 << 30) + (1 << 29) + (1 << 28)
+        assert out["a"]["n_total"] == 3
+        assert out["a"]["newest_age_d"] == 0
+        assert out["b"]["decayed_units"] == 1 << 30
+        assert out["b"]["newest_age_d"] == 0
+
+    def test_age_floor_one_unit(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            decayed_counts,
+        )
+
+        d = dt.datetime
+        # 400 days = 57 weeks > bits=4 cap → weight floors at 1 unit
+        df = self._df(
+            spark, [(1, d(2024, 2, 4), "a"), (2, d(2023, 1, 1), "a")]
+        )
+        (r,) = decayed_counts(df, halflife_days=7, bits=4).collect()
+        assert r["decayed_units"] == (1 << 4) + 1
+
+    def test_partial_ages_floor_within_halflife(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            decayed_counts,
+        )
+
+        d = dt.datetime
+        # 3 days old = 0 full half-lives → full weight
+        df = self._df(
+            spark, [(1, d(2024, 1, 29), "a"), (2, d(2024, 1, 26), "a")]
+        )
+        (r,) = decayed_counts(df, halflife_days=7, bits=10).collect()
+        assert r["decayed_units"] == 2 * (1 << 10)
+
+    def test_guards(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from inception_eventstore_spark.operators.timeseries import (
+            decayed_counts,
+        )
+
+        df = self._df(spark, [(1, dt.datetime(2024, 1, 1), "a")])
+        with pytest.raises(ValueError):
+            decayed_counts(df, bits=63)
+        with pytest.raises(ValueError):
+            decayed_counts(df, halflife_days=0)

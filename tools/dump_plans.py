@@ -624,6 +624,16 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "decayed_topk": [
+        ("reference day broadcast to the scan — the event log never "
+         "shuffles for the scalar",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("decayed BIGINT sum partial-aggregates map-side",
+         r"HashAggregate.*partial|partial_sum"),
+        ("top-k via TakeOrderedAndProject, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "pareto_frontier": [
         ("per-user points partial-aggregate before any frontier work",
          r"HashAggregate.*partial|partial_count"),
