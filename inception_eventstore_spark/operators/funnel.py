@@ -268,3 +268,92 @@ def funnel_latency_percentiles(
             "p90_s",
         )
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str,
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution: per channel (touch event type), how
+    much conversion credit it earned under the three standard models —
+    first-touch, last-touch and linear — over the touches each
+    conversion saw in its lookback window. Returns one row per channel:
+    ``first_touch``/``last_touch`` (conversions credited wholly),
+    ``linear_credit_ppm`` (Σ over conversions of this channel's share
+    of 1,000,000), ``n_touches`` (pair count).
+
+    Exactness: linear shares are INTEGER ppm — each conversion splits
+    1,000,000 micro-credits as ``1000000 div n`` per touch with the
+    remainder assigned to the FIRST touch (deterministic by
+    (ts, event_id)), so channel totals are exact BIGINT sums and every
+    conversion's credit sums to exactly 1,000,000 — no floating 1/n.
+
+    Scale: the touch⋈conversion pair join is a per-user equi-join with
+    the time predicate (strictly before the conversion, within the
+    lookback) applied in the join — fan-out is touches·conversions
+    WITHIN the window per user, dialed by ``lookback_days`` (the
+    basket-style frequency cap: a hot user's pairs grow linearly with
+    the window, never with corpus size). Per-conversion n / first /
+    last come from one partial-aggregated groupBy on the conversion id
+    (bounded groups — a conversion sees at most its window's touches),
+    joined back to the pairs; no windows, no self-join of the raw log.
+
+    Reference analog: R10/R11 replay feeding a client-side projection
+    (CassandraEventStore.cs:336-391) — here the projection is engine
+    algebra."""
+    if lookback_days < 1:
+        raise ValueError("lookback_days must be >= 1")
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+    )
+    touch = events.where(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+    )
+    pairs = touch.join(
+        conv,
+        (touch["_u"] == conv["_u"])
+        & (F.col("_tts") < F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {lookback_days} DAYS")
+        ),
+    ).select("channel", "_tts", "_tid", "_cid")
+    # one row per conversion: touch count + first/last touch identity
+    # ((ts, id) packed lexicographically via a struct min/max)
+    per_conv = pairs.groupBy("_cid").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.min(F.struct("_tts", "_tid")).alias("_first"),
+        F.max(F.struct("_tts", "_tid")).alias("_last"),
+    )
+    credited = pairs.join(per_conv, "_cid").select(
+        "channel",
+        (F.col("_tid") == F.col("_first._tid")).alias("_is_first"),
+        (F.col("_tid") == F.col("_last._tid")).alias("_is_last"),
+        (
+            F.expr("CAST(1000000 AS BIGINT) div _n")
+            + F.when(
+                F.col("_tid") == F.col("_first._tid"),
+                F.lit(1000000).cast("bigint") % F.col("_n"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("_ppm"),
+    )
+    return credited.groupBy("channel").agg(
+        F.sum(F.col("_is_first").cast("bigint"))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum(F.col("_is_last").cast("bigint"))
+        .cast("bigint")
+        .alias("last_touch"),
+        F.sum("_ppm").cast("bigint").alias("linear_credit_ppm"),
+        F.count("*").cast("bigint").alias("n_touches"),
+    )

@@ -9775,3 +9775,58 @@ _R6ZV_QUERIES = {
     "decayed_topk": QueryDef(q_decayed_topk, _DECAYED_TOPK_ORACLE),
 }
 QUERIES = {**_R6ZV_QUERIES, **QUERIES}
+
+
+def q_attribution(spark, sf_dir):
+    """Multi-touch attribution of purchases across the four touch
+    channels, 7-day lookback (funnel.attribution_credit): first/last
+    touch counts + exact integer-ppm linear credit (each conversion
+    splits 1,000,000 micro-credits, remainder to the first touch — no
+    floating 1/n anywhere, so channel totals are associative BIGINT
+    sums). The pair join is per-user with the window predicate in the
+    join; per-conversion stats come from one bounded-group agg."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return FU.attribution_credit(
+        ev, conversion_type="purchase", lookback_days=7
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, event_id AS cid FROM events
+  WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS u, event_type AS channel, ts AS tts,
+    event_id AS tid
+  FROM events WHERE event_type <> 'purchase'),
+pairs AS (
+  SELECT channel, tts, tid, cid
+  FROM touch JOIN conv USING (u)
+  WHERE tts < cts AND tts >= cts - to_days(7)),
+pc AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+    min({'t': tts, 'i': tid}) AS f, max({'t': tts, 'i': tid}) AS l
+  FROM pairs GROUP BY cid),
+credited AS (
+  SELECT channel,
+    (tid = f.i) AS is_first, (tid = l.i) AS is_last,
+    (1000000 // n) + CASE WHEN tid = f.i THEN 1000000 % n ELSE 0 END
+      AS ppm
+  FROM pairs JOIN pc USING (cid))
+SELECT channel,
+  CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+    AS first_touch,
+  CAST(sum(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT)
+    AS last_touch,
+  CAST(sum(ppm) AS BIGINT) AS linear_credit_ppm,
+  CAST(count(*) AS BIGINT) AS n_touches
+FROM credited GROUP BY channel
+"""
+
+
+_R6ZW_QUERIES = {
+    "attribution_credit": QueryDef(q_attribution, _ATTRIBUTION_ORACLE),
+}
+QUERIES = {**_R6ZW_QUERIES, **QUERIES}

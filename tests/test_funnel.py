@@ -211,3 +211,122 @@ class TestFunnelLatencyPercentiles:
             funnel_latency_percentiles(
                 self._ev(spark, [(1, "a", 0)]), ["a"]
             )
+
+
+class TestAttributionCredit:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+
+    def test_linear_split_with_remainder_to_first(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            attribution_credit,
+        )
+
+        d = dt.datetime
+        # user 1: view, click, view then purchase → n=3 touches
+        ev = self._events(
+            spark,
+            [
+                (1, d(2024, 1, 1, 10), 1, "view"),
+                (2, d(2024, 1, 1, 11), 1, "click"),
+                (3, d(2024, 1, 1, 12), 1, "view"),
+                (4, d(2024, 1, 1, 13), 1, "purchase"),
+            ],
+        )
+        out = {
+            r["channel"]: r
+            for r in attribution_credit(ev, "purchase").collect()
+        }
+        # 1000000 div 3 = 333333, remainder 1 → first touch (a view)
+        assert out["view"]["linear_credit_ppm"] == 333333 * 2 + 1
+        assert out["click"]["linear_credit_ppm"] == 333333
+        assert out["view"]["first_touch"] == 1
+        assert out["view"]["last_touch"] == 1
+        assert out["click"]["first_touch"] == 0
+        total = sum(r["linear_credit_ppm"] for r in out.values())
+        assert total == 1000000
+
+    def test_lookback_excludes_old_touches(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            attribution_credit,
+        )
+
+        d = dt.datetime
+        ev = self._events(
+            spark,
+            [
+                (1, d(2024, 1, 1), 1, "view"),      # 9 days before
+                (2, d(2024, 1, 9), 1, "click"),     # 1 day before
+                (3, d(2024, 1, 10), 1, "purchase"),
+            ],
+        )
+        out = {
+            r["channel"]: r
+            for r in attribution_credit(
+                ev, "purchase", lookback_days=7
+            ).collect()
+        }
+        assert "view" not in out
+        assert out["click"]["linear_credit_ppm"] == 1000000
+
+    def test_touch_at_conversion_instant_excluded(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            attribution_credit,
+        )
+
+        d = dt.datetime
+        ev = self._events(
+            spark,
+            [
+                (1, d(2024, 1, 1, 12), 1, "view"),
+                (2, d(2024, 1, 1, 12), 1, "purchase"),
+            ],
+        )
+        assert attribution_credit(ev, "purchase").count() == 0
+
+    def test_two_conversions_credit_independently(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            attribution_credit,
+        )
+
+        d = dt.datetime
+        ev = self._events(
+            spark,
+            [
+                (1, d(2024, 1, 1, 9), 1, "view"),
+                (2, d(2024, 1, 1, 10), 1, "purchase"),
+                (3, d(2024, 1, 1, 11), 1, "click"),
+                (4, d(2024, 1, 1, 12), 1, "purchase"),
+            ],
+        )
+        out = {
+            r["channel"]: r
+            for r in attribution_credit(ev, "purchase").collect()
+        }
+        # conv 2 sees [view]; conv 4 sees [view, click]
+        assert out["view"]["linear_credit_ppm"] == 1000000 + 500000
+        assert out["click"]["linear_credit_ppm"] == 500000
+        assert out["view"]["first_touch"] == 2
+        assert out["click"]["last_touch"] == 1
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.funnel import (
+            attribution_credit,
+        )
+
+        ev = self._events(spark, [])
+        with pytest.raises(ValueError):
+            attribution_credit(ev, "purchase", lookback_days=0)

@@ -624,6 +624,15 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "attribution_credit": [
+        ("touch-conversion pairing is a per-user equi-join (hash or "
+         "sort-merge on the user key), never a cartesian",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("per-conversion stats partial-aggregate before the join back",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no cartesian product anywhere", "!CartesianProduct"),
+    ],
     "decayed_topk": [
         ("reference day broadcast to the scan — the event log never "
          "shuffles for the scalar",
