@@ -357,3 +357,104 @@ def attribution_credit(
         F.sum("_ppm").cast("bigint").alias("linear_credit_ppm"),
         F.count("*").cast("bigint").alias("n_touches"),
     )
+
+
+def km_survival(
+    events: DataFrame,
+    start_type: str,
+    event_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival over the event log: time-to-event from
+    each user's first ``start_type`` to their first subsequent
+    ``event_type``, right-censored at the user's last event when the
+    event never happens. Returns one row per distinct event day:
+    ``t_days``, ``n_risk`` (at-risk just before t), ``n_events``
+    (events at t), ``survival_ppb`` (the KM product-limit estimate in
+    integer parts-per-billion).
+
+    Exactness: the product-limit estimate Π(1 − d_i/n_i) is a product
+    of rationals that CAN terminate on decimal rounding
+    half-boundaries, and exp(Σ ln(·)) replays are at the mercy of each
+    engine's libm — so the estimate is computed as the INTEGER
+    recurrence ``S_i = (S_{i-1} · (n_i − d_i)) div n_i`` from
+    S_0 = 10^9: exact, engine-independent, error ≤ one ppb per step.
+    Headroom: S ≤ 10^9, so n_risk up to ~9·10^9 fits the BIGINT
+    product under ANSI mode.
+
+    KM tie convention: users censored at day t are still at risk AT t
+    (deaths before censorings), so censor-only days never emit a row
+    but do shrink later risk sets.
+
+    Scale: the heavy work — per-user first/last timestamps and the
+    per-day event/censor counts — is two partial-aggregated groupBys
+    over the full log. What crosses to the driver is the per-DAY count
+    table (bounded by the observation span in days, like the k-means
+    centroid and sketch-register folds), where the inherently
+    sequential recurrence runs; the result returns as a
+    single-partition local DataFrame. No windows, no python UDF.
+
+    Reference analog: R10 replay feeding a lifecycle projection
+    (CassandraEventStore.cs:336-391); estimator: Kaplan & Meier 1958
+    (public literature).
+    """
+    starts = (
+        events.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    lasts = events.groupBy(user_col).agg(F.max(ts_col).alias("_tmax"))
+    evs = events.where(F.col(type_col) == event_type).select(
+        F.col(user_col).alias("_eu"), F.col(ts_col).alias("_ets")
+    )
+    first_event = (
+        starts.join(evs, starts[user_col] == F.col("_eu"))
+        .where(F.col("_ets") >= F.col("_t0"))
+        .groupBy(user_col)
+        .agg(F.min("_ets").alias("_te"))
+    )
+    per_user = (
+        starts.join(lasts, user_col)
+        .join(first_event, user_col, "left")
+        .select(
+            F.when(
+                F.col("_te").isNotNull(),
+                F.datediff(F.to_date("_te"), F.to_date("_t0")),
+            )
+            .otherwise(
+                F.datediff(F.to_date("_tmax"), F.to_date("_t0"))
+            )
+            .cast("bigint")
+            .alias("_d"),
+            F.col("_te").isNotNull().cast("int").alias("_obs"),
+        )
+    )
+    per_day = (
+        per_user.groupBy("_d")
+        .agg(
+            F.sum("_obs").cast("bigint").alias("_de"),
+            F.sum(1 - F.col("_obs")).cast("bigint").alias("_ce"),
+        )
+        .collect()
+    )
+    # driver recurrence over the tiny day axis
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    n_risk = sum(int(r["_de"]) + int(r["_ce"]) for r in rows)
+    s = 10**9
+    out = []
+    for r in rows:
+        de = int(r["_de"])
+        if de > 0:
+            s = (s * (n_risk - de)) // n_risk
+            out.append((int(r["_d"]), n_risk, de, s))
+        n_risk -= de + int(r["_ce"])
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "t_days bigint, n_risk bigint, n_events bigint, "
+        "survival_ppb bigint",
+    )

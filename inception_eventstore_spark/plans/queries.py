@@ -9830,3 +9830,72 @@ _R6ZW_QUERIES = {
     "attribution_credit": QueryDef(q_attribution, _ATTRIBUTION_ORACLE),
 }
 QUERIES = {**_R6ZW_QUERIES, **QUERIES}
+
+
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-purchase from first signup, right-censored
+    at the user's last event (funnel.km_survival): per event day the
+    at-risk count, event count and the product-limit survival estimate
+    as the EXACT integer recurrence S_i = (S_{i-1}·(n_i−d_i)) div n_i
+    in parts-per-billion — a product of rationals replayed identically
+    by the DuckDB recursive CTE, no libm, no decimal-boundary rounding.
+    Heavy lifting (per-user firsts/lasts, per-day counts) is
+    distributed; only the bounded day axis crosses to the driver."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return FU.km_survival(ev, start_type="signup", event_type="purchase")
+
+
+_KM_ORACLE = """
+WITH starts AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+lasts AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+fe AS (
+  SELECT e.user_id, min(e.ts) AS te
+  FROM events e JOIN starts s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY e.user_id),
+per_user AS (
+  SELECT CASE WHEN fe.te IS NOT NULL
+      THEN datediff('day', CAST(s.t0 AS DATE), CAST(fe.te AS DATE))
+      ELSE datediff('day', CAST(s.t0 AS DATE), CAST(l.tmax AS DATE))
+    END AS d,
+    CASE WHEN fe.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM starts s JOIN lasts l ON s.user_id = l.user_id
+  LEFT JOIN fe ON s.user_id = fe.user_id),
+per_day AS (
+  SELECT d, CAST(sum(obs) AS BIGINT) AS de,
+    CAST(sum(1 - obs) AS BIGINT) AS ce
+  FROM per_user GROUP BY d),
+risk AS (
+  SELECT d, de, ce,
+    (SELECT count(*) FROM per_user)
+      - coalesce(sum(de + ce) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_risk
+  FROM per_day),
+ev_days AS (
+  SELECT d, de, n_risk,
+    row_number() OVER (ORDER BY d) AS rn
+  FROM risk WHERE de > 0),
+km AS (
+  SELECT rn, d, de, n_risk,
+    CAST(1000000000 AS BIGINT) AS s
+  FROM ev_days WHERE rn = 1
+  UNION ALL
+  SELECT e.rn, e.d, e.de, e.n_risk,
+    (km.s * (km.n_risk - km.de)) // km.n_risk AS s
+  FROM km JOIN ev_days e ON e.rn = km.rn + 1)
+SELECT d AS t_days, n_risk,
+  de AS n_events,
+  (s * (n_risk - de)) // n_risk AS survival_ppb
+FROM km
+"""
+
+
+_R6ZX_QUERIES = {
+    "km_survival": QueryDef(q_km_survival, "WITH RECURSIVE " + _KM_ORACLE.lstrip().removeprefix("WITH ")),
+}
+QUERIES = {**_R6ZX_QUERIES, **QUERIES}

@@ -330,3 +330,89 @@ class TestAttributionCredit:
         ev = self._events(spark, [])
         with pytest.raises(ValueError):
             attribution_credit(ev, "purchase", lookback_days=0)
+
+
+class TestKmSurvival:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+
+    def test_textbook_km_with_censoring(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            km_survival,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+
+        def day(n, h=0):
+            return d0 + dt.timedelta(days=n, hours=h)
+
+        rows = []
+        for u in range(1, 6):
+            rows.append((u * 10, day(0), u, "signup"))
+        rows += [
+            (101, day(1), 1, "purchase"),
+            (102, day(2), 2, "purchase"),
+            (103, day(2), 3, "click"),      # u3 censored at day 2
+            (104, day(4), 4, "purchase"),
+            (105, day(5), 5, "click"),      # u5 censored at day 5
+        ]
+        out = km_survival(
+            self._events(spark, rows), "signup", "purchase"
+        ).collect()
+        got = [
+            (r["t_days"], r["n_risk"], r["n_events"], r["survival_ppb"])
+            for r in sorted(out, key=lambda r: r["t_days"])
+        ]
+        # day 1: 5 at risk, 1 event → 4/5; day 2: 4 at risk (censored
+        # u3 still at risk AT its censor day), 1 event → ×3/4; day 4:
+        # 2 at risk, 1 event → ×1/2. Censor-only day 5 emits no row.
+        assert got == [
+            (1, 5, 1, 800000000),
+            (2, 4, 1, 600000000),
+            (4, 2, 1, 300000000),
+        ]
+
+    def test_event_before_signup_ignored(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            km_survival,
+        )
+
+        d = dt.datetime
+        ev = self._events(
+            spark,
+            [
+                (1, d(2024, 1, 5), 1, "signup"),
+                (2, d(2024, 1, 2), 1, "purchase"),  # before signup
+                (3, d(2024, 1, 8), 1, "click"),
+            ],
+        )
+        out = km_survival(ev, "signup", "purchase").collect()
+        assert out == []  # censored at day 3, no event day rows
+
+    def test_user_without_start_excluded(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            km_survival,
+        )
+
+        d = dt.datetime
+        ev = self._events(
+            spark,
+            [
+                (1, d(2024, 1, 1), 1, "signup"),
+                (2, d(2024, 1, 2), 1, "purchase"),
+                (3, d(2024, 1, 1), 2, "purchase"),  # no signup: out
+            ],
+        )
+        out = km_survival(ev, "signup", "purchase").collect()
+        assert [(r["t_days"], r["n_risk"], r["survival_ppb"]) for r in out] == [
+            (1, 1, 0)
+        ]

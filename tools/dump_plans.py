@@ -624,6 +624,16 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "km_survival": [
+        # the distributed per-user/per-day aggregation executes at
+        # call time (the bounded day axis crosses to the driver for
+        # the inherently sequential product-limit recurrence); the
+        # probed plan is the returned local day table
+        ("returned relation is the driver-computed day table (local "
+         "scan, no lingering distributed stages)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "attribution_credit": [
         ("touch-conversion pairing is a per-user equi-join (hash or "
          "sort-merge on the user key), never a cartesian",
