@@ -962,3 +962,107 @@ def bq_hamming_topk(
             F.col("_cos").alias("cosine"),
         )
     )
+
+
+def mmr_diverse_topk(
+    corpus: DataFrame,
+    queries: list[tuple],
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998, public literature): per query, greedily select k results
+    maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    redundancy-penalized retrieval every RAG pipeline wants when the
+    plain top-k is five near-duplicates of the same document. Returns
+    (query_id, sel_rank, vec_id, mmr_score_e7).
+
+    Two stages with very different scales, deliberately split:
+
+    1. POOL (distributed, the 100 TB part): exact top-``pool``
+       candidates per query via `multi_query_topk`'s one-scan Arrow
+       kernel — the corpus is touched exactly once, shuffling only
+       batches·|Q|·pool tiny rows.
+    2. GREEDY (dial-bounded): MMR is inherently sequential (each pick
+       changes every remaining score), and its working set is
+       |Q|·pool vectors + |Q|·pool² pair sims — bounded by DIALS, not
+       data. That is centroid-class driver state (cf. k-means,
+       codebooks), so the greedy runs driver-side in numpy and
+       returns a local DataFrame.
+
+    Determinism: relevance and pair cosines are quantized to integer
+    micro-units (floor(cos·10⁶)) BEFORE the greedy, λ is the exact
+    rational lam_num/lam_den — so every score is an integer,
+    argmax ties break on the smaller id, and a SQL replay of the same
+    quantized greedy is bit-identical (the only cross-engine surface
+    is the 6-dp cosine agreement every declared cosine query already
+    relies on). mmr_score_e7 = lam_num·rel_micro − (lam_den−lam_num)·
+    maxsim_micro, i.e. the MMR objective in 10⁻⁷ units scaled by
+    lam_den.
+    """
+    if not 0 <= lam_num <= lam_den:
+        raise ValueError("need 0 <= lam_num <= lam_den")
+    if not 1 <= k <= pool:
+        raise ValueError("need 1 <= k <= pool")
+    cands = multi_query_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    rows = (
+        cands.select("query_id", id_col)
+        .join(corpus.select(id_col, vec_col), id_col)
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64))
+        )
+    qmap = {
+        int(qid): np.asarray(v, dtype=np.float64) for qid, v in queries
+    }
+    mu = lam_den - lam_num
+    out = []
+    for qid in sorted(by_q):
+        items = sorted(by_q[qid], key=lambda t: t[0])
+        qv = qmap[qid]
+        qn = np.sqrt(qv @ qv)
+        rel = {
+            i: int(np.floor((v @ qv) / (np.sqrt(v @ v) * qn) * 1e6))
+            for i, v in items
+        }
+        sim = {}
+        for i, vi in items:
+            ni = np.sqrt(vi @ vi)
+            for j, vj in items:
+                if i != j:
+                    sim[(i, j)] = int(
+                        np.floor(
+                            (vi @ vj) / (ni * np.sqrt(vj @ vj)) * 1e6
+                        )
+                    )
+        selected: list[int] = []
+        remaining = [i for i, _ in items]
+        for rank in range(1, min(k, len(items)) + 1):
+            best = None
+            for c in remaining:
+                ms = max((sim[(c, s)] for s in selected), default=0)
+                score = lam_num * rel[c] - mu * ms
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            _, pick, score = best
+            out.append((qid, rank, pick, score))
+            selected.append(pick)
+            remaining.remove(pick)
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        corpus.sparkSession,
+        out,
+        "query_id bigint, sel_rank bigint, "
+        f"{id_col} bigint, mmr_score_e7 bigint",
+    )

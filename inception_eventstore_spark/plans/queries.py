@@ -9899,3 +9899,104 @@ _R6ZX_QUERIES = {
     "km_survival": QueryDef(q_km_survival, "WITH RECURSIVE " + _KM_ORACLE.lstrip().removeprefix("WITH ")),
 }
 QUERIES = {**_R6ZX_QUERIES, **QUERIES}
+
+
+def q_mmr_diverse(spark, sf_dir):
+    """MMR diverse top-5 (λ = 0.7) for 4 query vectors over a 20-deep
+    exact candidate pool (similarity.mmr_diverse_topk): the
+    redundancy-penalized retrieval ranking. Pool stage is the one-scan
+    multi_query_topk Arrow kernel; the greedy runs on integer
+    micro-unit cosines (floor(cos·10⁶)) so the DuckDB replay — the
+    same greedy unrolled as five chained CTE stages — is
+    bit-identical."""
+    from inception_eventstore_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qrows
+    ]
+    corpus = emb.where(F.col("vec_id") >= 4)
+    return mmr_diverse_topk(corpus, queries, k=5, pool=20)
+
+
+def _mmr_oracle(nq=4, k=5, pool=20, lam_num=7, lam_den=10):
+    """The mmr_diverse_topk greedy unrolled as k chained CTE stages:
+    stage j computes every remaining candidate's integer MMR score
+    against the j-1 picks carried as columns, then arg-maxes via a
+    struct min — pure BIGINT arithmetic after the floor(cos·1e6)
+    quantization, so it replays the numpy greedy exactly."""
+    mu = lam_den - lam_num
+    ctes = [f"""q AS (SELECT vec_id AS qid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {nq}),
+c AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= {nq}),
+d AS (SELECT q.qid, c.vec_id,
+    sqrt(greatest(list_inner_product(cv, cv)
+      - 2 * list_inner_product(cv, qv)
+      + list_inner_product(qv, qv), 0)) AS dist
+  FROM q CROSS JOIN c),
+pool AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM d)
+  WHERE rn <= {pool}),
+rels AS (SELECT p.qid, p.vec_id,
+    CAST(floor(list_cosine_similarity(q.qv, c.cv) * 1000000)
+      AS BIGINT) AS rel
+  FROM pool p JOIN q ON p.qid = q.qid JOIN c ON p.vec_id = c.vec_id),
+ps AS (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+    CAST(floor(list_cosine_similarity(ca.cv, cb.cv) * 1000000)
+      AS BIGINT) AS s
+  FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+  JOIN c ca ON a.vec_id = ca.vec_id
+  JOIN c cb ON b.vec_id = cb.vec_id),
+pk1 AS (SELECT qid, m.b AS v1, -m.a AS sc1 FROM (
+    SELECT qid, min({{'a': -({lam_num} * rel), 'b': vec_id}}) AS m
+    FROM rels GROUP BY qid) GROUP BY ALL)"""]
+    for j in range(2, k + 1):
+        prev = j - 1
+        simjoins = "\n  ".join(
+            f"JOIN ps s{i} ON s{i}.qid = r.qid AND s{i}.va = r.vec_id "
+            f"AND s{i}.vb = p.v{i}"
+            for i in range(1, j)
+        )
+        maxsim = (
+            f"greatest({', '.join(f's{i}.s' for i in range(1, j))})"
+            if prev > 1
+            else "s1.s"
+        )
+        notin = ", ".join(f"p.v{i}" for i in range(1, j))
+        carried = ", ".join(
+            f"p.v{i}, p.sc{i}" for i in range(1, j)
+        )
+        ctes.append(f"""cand{j} AS (
+  SELECT r.qid, r.vec_id,
+    {lam_num} * r.rel - {mu} * {maxsim} AS score
+  FROM rels r JOIN pk{prev} p ON r.qid = p.qid
+  {simjoins}
+  WHERE r.vec_id NOT IN ({notin})),
+pk{j} AS (SELECT p.qid, {carried}, x.m.b AS v{j}, -x.m.a AS sc{j}
+  FROM pk{prev} p JOIN (
+    SELECT qid, min({{'a': -score, 'b': vec_id}}) AS m
+    FROM cand{j} GROUP BY qid) x ON p.qid = x.qid)""")
+    branches = "\nUNION ALL\n".join(
+        f"SELECT qid AS query_id, CAST({j} AS BIGINT) AS sel_rank, "
+        f"v{j} AS vec_id, sc{j} AS mmr_score_e7 FROM pk{k}"
+        for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + branches
+
+
+_R6ZY_QUERIES = {
+    "mmr_diverse_topk": QueryDef(q_mmr_diverse, _mmr_oracle()),
+}
+QUERIES = {**_R6ZY_QUERIES, **QUERIES}

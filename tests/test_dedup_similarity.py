@@ -703,3 +703,103 @@ class TestSimhashJaccardCalibration:
             assert got[ham]["min_jaccard"] == pytest.approx(
                 min(js), abs=1e-6
             )
+
+
+class TestMmrDiverseTopk:
+    def _corpus(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_diversity_beats_redundancy(self, spark):
+        from inception_eventstore_spark.operators.similarity import (
+            mmr_diverse_topk,
+        )
+
+        # q = [1,0]; 10 and 11 are near-duplicates; 12 mirrors 10 on
+        # the other side of q (equal relevance, low mutual cosine).
+        # Plain top-2 picks the twins; MMR(λ=0.7) penalizes the
+        # second twin's ~1.0 similarity to the first pick and takes
+        # the equally-relevant mirror instead.
+        corpus = self._corpus(
+            spark,
+            [
+                (10, [0.9, 0.44]),
+                (11, [0.9, 0.45]),
+                (12, [0.9, -0.44]),
+            ],
+        )
+        out = mmr_diverse_topk(
+            corpus, [(0, [1.0, 0.0])], k=2, pool=3
+        ).collect()
+        picks = [
+            r["vec_id"]
+            for r in sorted(out, key=lambda r: r["sel_rank"])
+        ]
+        assert picks == [10, 12]
+
+    def test_first_pick_is_pure_relevance(self, spark):
+        from inception_eventstore_spark.operators.similarity import (
+            mmr_diverse_topk,
+        )
+
+        corpus = self._corpus(
+            spark, [(10, [0.9, 0.1]), (11, [1.0, 0.0]), (12, [0.0, 1.0])]
+        )
+        out = mmr_diverse_topk(
+            corpus, [(0, [1.0, 0.0])], k=1, pool=3
+        ).collect()
+        assert [r["vec_id"] for r in out] == [11]
+        # score of rank 1 = 7 * floor(cos * 1e6) = 7_000_000
+        assert out[0]["mmr_score_e7"] == 7 * 1000000
+
+    def test_lambda_one_is_plain_topk(self, spark):
+        from inception_eventstore_spark.operators.similarity import (
+            mmr_diverse_topk,
+            multi_query_topk,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(10, 40)
+        ]
+        corpus = self._corpus(spark, vecs)
+        q = [(0, [1.0] + [0.0] * 7)]
+        out = mmr_diverse_topk(
+            corpus, q, k=4, pool=30, lam_num=10, lam_den=10
+        ).collect()
+        got = [
+            r["vec_id"]
+            for r in sorted(out, key=lambda r: r["sel_rank"])
+        ]
+        # λ=1 → pure relevance order = cosine top-k order
+        from inception_eventstore_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        want = [
+            r["vec_id"]
+            for r in brute_force_topk(
+                corpus, q[0][1], k=4, metric="cosine"
+            ).collect()
+        ]
+        assert got == want
+
+    def test_guards(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.similarity import (
+            mmr_diverse_topk,
+        )
+
+        corpus = self._corpus(spark, [(10, [1.0, 0.0])])
+        with pytest.raises(ValueError):
+            mmr_diverse_topk(corpus, [(0, [1.0, 0.0])], k=5, pool=3)
+        with pytest.raises(ValueError):
+            mmr_diverse_topk(
+                corpus, [(0, [1.0, 0.0])], lam_num=11, lam_den=10
+            )

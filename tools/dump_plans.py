@@ -624,6 +624,16 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "mmr_diverse_topk": [
+        # the pool stage (one-scan Arrow kernel + bounded window
+        # reduce) executes at call time; the greedy over the
+        # dial-bounded |Q|·pool² working set is centroid-class driver
+        # state, so the probed plan is the returned local selection
+        ("returned relation is the driver-computed selection (local "
+         "scan)", r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the returned plan",
+         "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "km_survival": [
         # the distributed per-user/per-day aggregation executes at
         # call time (the bounded day axis crosses to the driver for
