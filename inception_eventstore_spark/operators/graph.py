@@ -393,3 +393,90 @@ def bfs_hops(
         frontier = nxt.select("node")
     E.unpersist()
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 30,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly drop
+    every node whose degree in the SURVIVING subgraph is < k, until a
+    fixpoint (or ``max_rounds``). Returns (node, core_degree) for the
+    k-core members — the dense backbone of a similarity/co-occurrence
+    graph (hub extraction, spam-ring mining, the "stable cluster"
+    filter before community detection).
+
+    Rounds are SYNCHRONOUS — each round recomputes degrees against the
+    previous round's full survivor set — so the result after r rounds
+    is a deterministic function of (edges, k, r): a fixpoint reached
+    early is identical to running all ``max_rounds`` rounds, which is
+    exactly what the iteration-stamped recursive-CTE oracle replays
+    (the declared query's cap is high enough that the gate fixture
+    converges; the cap exists so the job is a bounded DAG either way).
+
+    Scale: the edge list is symmetrized once and cached on the src
+    partitioning; each round is one semi-join + one partial-aggregated
+    degree count over surviving edges + a scalar count for the
+    early-exit — the classic Pregel peel, shuffling only survivor
+    keys, never materializing anything quadratic. Survivor sets are
+    eager-checkpointed per round to keep lineage flat (the bfs_hops
+    idiom).
+
+    Reference parity: no native analog (client-side projections only,
+    CassandraEventStore.cs:336-391); algorithm: Seidman 1983 k-cores
+    (public literature).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    und = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+    ).where(F.col("x") != F.col("y")).distinct()
+    sym = (
+        und.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(und.select(F.col("y").alias("a"), F.col("x").alias("b")))
+        .repartition("a")
+        .persist()
+    )
+    surv = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_prev = surv.count()
+    deg = None
+    for _ in range(int(max_rounds)):
+        deg = (
+            sym.join(surv, sym["a"] == surv["node"])
+            .drop("node")
+            .join(
+                surv.select(F.col("node").alias("_bn")),
+                F.col("b") == F.col("_bn"),
+            )
+            .groupBy("a")
+            .agg(F.count("*").cast("bigint").alias("core_degree"))
+        )
+        nxt = (
+            deg.where(F.col("core_degree") >= k)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        surv = nxt
+        if n == n_prev:
+            break
+        n_prev = n
+    out = (
+        sym.join(surv, sym["a"] == surv["node"])
+        .join(
+            surv.select(F.col("node").alias("_bn")),
+            F.col("b") == F.col("_bn"),
+        )
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    ).localCheckpoint(eager=True)
+    sym.unpersist()
+    return out

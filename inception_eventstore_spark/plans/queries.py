@@ -10000,3 +10000,44 @@ _R6ZY_QUERIES = {
     "mmr_diverse_topk": QueryDef(q_mmr_diverse, _mmr_oracle()),
 }
 QUERIES = {**_R6ZY_QUERIES, **QUERIES}
+
+
+def q_graph_kcore(spark, sf_dir):
+    """2-core of the exact 3-NN embedding graph (graph.kcore):
+    synchronous peeling to the fixpoint (round cap 30 on BOTH
+    engines, so even a non-converged cap is the same deterministic
+    function). Output = surviving nodes with their degree inside the
+    core-induced subgraph. Oracle = iteration-stamped recursive CTE
+    replaying the identical synchronous rounds."""
+    from inception_eventstore_spark.operators import graph as G
+
+    return G.kcore(
+        _knn_edges(spark, sf_dir), k=2, max_rounds=30
+    ).orderBy("node")
+
+
+_KCORE_ORACLE = f"""
+WITH RECURSIVE {_KNN_EDGE_CTE.strip()},
+surv(it, node) AS (
+  SELECT 0, node FROM (SELECT DISTINCT node FROM nb)
+  UNION ALL
+  SELECT s.it + 1, s.node
+  FROM surv s
+  WHERE s.it < 30 AND s.node IN (
+    SELECT nb2.node FROM nb nb2
+    JOIN surv s2 ON s2.node = nb2.nbr AND s2.it = s.it
+    GROUP BY nb2.node HAVING count(*) >= 2))
+SELECT f.node, CAST(count(*) AS BIGINT) AS core_degree
+FROM surv f
+JOIN nb ON nb.node = f.node
+JOIN surv s2 ON s2.node = nb.nbr AND s2.it = 30
+WHERE f.it = 30
+GROUP BY f.node
+ORDER BY f.node
+"""
+
+
+_R6ZZ_QUERIES = {
+    "graph_kcore": QueryDef(q_graph_kcore, _KCORE_ORACLE),
+}
+QUERIES = {**_R6ZZ_QUERIES, **QUERIES}

@@ -402,3 +402,57 @@ class TestBfsHops:
         assert res.collect()[0]["hop"] == 0 and res.count() == 1
         with pytest.raises(ValueError):
             G.bfs_hops(edges, _seed_df(spark, [1]), -1)
+
+
+class TestKcore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def _run(self, spark, pairs, k):
+        from inception_eventstore_spark.operators.graph import kcore
+
+        out = kcore(self._edges(spark, pairs), k=k).collect()
+        return {r["node"]: r["core_degree"] for r in out}
+
+    def test_chain_has_no_2core(self, spark):
+        assert self._run(spark, [(1, 2), (2, 3), (3, 4)], 2) == {}
+
+    def test_triangle_with_tail(self, spark):
+        # triangle 1-2-3 plus tail 3-4: 2-core is exactly the triangle
+        got = self._run(spark, [(1, 2), (2, 3), (3, 1), (3, 4)], 2)
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_multi_round_cascade(self, spark):
+        # pentagon chain hanging off a triangle: peeling the chain
+        # takes multiple synchronous rounds before the fixpoint
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 7)]
+        got = self._run(spark, edges, 2)
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_k3_on_k4_minus_edge_cascades_empty(self, spark):
+        # K4 minus one edge: two nodes have degree 2 < 3 → peel →
+        # remaining degrees collapse → empty 3-core
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        assert self._run(spark, edges, 3) == {}
+
+    def test_k3_on_k4_survives(self, spark):
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        got = self._run(spark, edges, 3)
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        # dup + reversed edges must not inflate degrees
+        edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
+        got = self._run(spark, edges, 2)
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_guards(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.graph import kcore
+
+        e = self._edges(spark, [(1, 2)])
+        with pytest.raises(ValueError):
+            kcore(e, k=0)
+        with pytest.raises(ValueError):
+            kcore(e, k=2, max_rounds=0)

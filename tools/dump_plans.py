@@ -624,6 +624,14 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "graph_kcore": [
+        # peel rounds execute at call time (eager checkpoints, the
+        # bfs_hops idiom); the probed plan is the final survivor-degree
+        # aggregate read from the last checkpoint
+        ("final core-degree relation reads the checkpointed survivor "
+         "fold", r"Scan ExistingRDD"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "mmr_diverse_topk": [
         # the pool stage (one-scan Arrow kernel + bounded window
         # reduce) executes at call time; the greedy over the
