@@ -765,3 +765,76 @@ def join_cardinality(
             ),
         )
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive money/measure
+    column — the classic fabricated-data screen (synthetic generators
+    and fat-finger entries rarely reproduce the logarithmic leading-
+    digit law). One row per digit 1-9: ``observed``, ``obs_ppm``
+    (observed·10⁶ div n) and ``benford_ppm`` (floor(log10(1+1/d)·10⁶)
+    — computed once in python and injected as literals, so neither
+    engine evaluates a log).
+
+    Digit extraction avoids both string-formatting of doubles (not
+    engine-portable) and log10 (floor(log10(10^k)) can land on k−1 in
+    a ulp-short libm): the value is quantized to integer cents via
+    floor(x·scale + 0.5) — identical doubles in, identical arithmetic
+    — and the leading digit is ``c div 10^(len(str(c))−1)``, integer-
+    to-string being exact everywhere. Non-positive and NULL values are
+    excluded (Benford is defined on positive magnitudes).
+
+    Scale: one partial-aggregated 9-group rollup + a broadcast join
+    against the literal digit frame. Zero-observation digits still
+    report (observed 0)."""
+    import math
+
+    if cents_scale < 1:
+        raise ValueError("cents_scale must be >= 1")
+    spark = df.sparkSession
+    c = F.floor(F.col(value_col) * F.lit(float(cents_scale)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    rows = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(c.alias("_c"))
+        .where(F.col("_c") > 0)
+        .select(
+            F.expr(
+                "_c div CAST(pow(10, length(CAST(_c AS STRING)) - 1)"
+                " AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    obs = rows.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    total = rows.agg(F.count("*").cast("bigint").alias("_n"))
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    bppm = F.array(
+        *[
+            F.lit(int(math.floor(math.log10(1.0 + 1.0 / d) * 1e6)))
+            for d in range(1, 10)
+        ]
+    )
+    return (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias(
+                "observed"
+            ),
+            F.expr(
+                "CAST(coalesce(observed, 0) * 1000000 div"
+                " greatest(_n, 1) AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.element_at(bppm, F.col("digit").cast("int"))
+            .cast("bigint")
+            .alias("benford_ppm"),
+        )
+    )

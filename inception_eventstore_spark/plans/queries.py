@@ -10041,3 +10041,51 @@ _R6ZZ_QUERIES = {
     "graph_kcore": QueryDef(q_graph_kcore, _KCORE_ORACLE),
 }
 QUERIES = {**_R6ZZ_QUERIES, **QUERIES}
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals
+    (profile.benford_audit): observed counts + ppm share vs the
+    injected-literal Benford expectation. Leading digits come from
+    integer-cents arithmetic (floor(x·100+0.5), digit = c div
+    10^(len−1)) — no double formatting, no log10, engine-exact."""
+    from inception_eventstore_spark.operators.profile import (
+        benford_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")
+
+
+def _benford_oracle() -> str:
+    import math
+
+    lits = ", ".join(
+        f"({d}, {int(math.floor(math.log10(1.0 + 1.0 / d) * 1e6))})"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+d AS (
+  SELECT c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+    AS digit
+  FROM c WHERE c > 0),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+  FROM d GROUP BY digit),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+ref(digit, benford_ppm) AS (VALUES {lits})
+SELECT CAST(ref.digit AS BIGINT) AS digit,
+  CAST(coalesce(observed, 0) AS BIGINT) AS observed,
+  CAST(coalesce(observed, 0) * 1000000 // greatest(n, 1) AS BIGINT)
+    AS obs_ppm,
+  CAST(benford_ppm AS BIGINT) AS benford_ppm
+FROM ref LEFT JOIN obs ON ref.digit = obs.digit CROSS JOIN tot
+"""
+
+
+_R6AA_QUERIES = {
+    "benford_audit": QueryDef(q_benford, _benford_oracle()),
+}
+QUERIES = {**_R6AA_QUERIES, **QUERIES}

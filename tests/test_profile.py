@@ -841,3 +841,60 @@ class TestDecayedCounts:
             decayed_counts(df, bits=63)
         with pytest.raises(ValueError):
             decayed_counts(df, halflife_days=0)
+
+
+class TestBenfordAudit:
+    def test_known_digit_counts(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            benford_audit,
+        )
+
+        vals = [1.00, 1.50, 19.99, 2.00, 23.45, 3.00, 0.94, 900.0]
+        # cents: 100,150,1999,200,2345,300,94,90000 →
+        # digits: 1,1,1,2,2,3,9,9
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+        assert len(out) == 9
+        assert out[1]["observed"] == 3
+        assert out[2]["observed"] == 2
+        assert out[3]["observed"] == 1
+        assert out[9]["observed"] == 2
+        assert out[4]["observed"] == 0
+        assert out[1]["obs_ppm"] == 3 * 1000000 // 8
+        assert out[1]["benford_ppm"] == 301029
+        assert out[9]["benford_ppm"] == 45757
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            benford_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (None,), (7.0,)], "v double"
+        )
+        out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+        assert out[7]["observed"] == 1
+        assert sum(r["observed"] for r in out.values()) == 1
+
+    def test_power_of_ten_boundary_digit(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            benford_audit,
+        )
+
+        # exactly 10.00 → cents 1000 → digit 1 (the log10 trap case)
+        df = spark.createDataFrame(
+            [(10.0,), (100.0,), (1000.0,)], "v double"
+        )
+        out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+        assert out[1]["observed"] == 3
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.profile import (
+            benford_audit,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            benford_audit(df, "v", cents_scale=0)

@@ -624,6 +624,13 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "benford_audit": [
+        ("digit rollup partial-aggregates map-side",
+         r"HashAggregate.*partial|partial_count"),
+        ("digit frame and total broadcast — the scan never reshuffles",
+         r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "graph_kcore": [
         # peel rounds execute at call time (eager checkpoints, the
         # bfs_hops idiom); the probed plan is the final survivor-degree
