@@ -526,3 +526,90 @@ def decayed_counts(
         .cast("bigint")
         .alias("newest_age_d"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    h_mult: int = 5,
+    slack_mult: int = 1,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection over each key's daily
+    event counts (Page 1954, public literature): per day,
+    ``cusum_pos = max(0, prev + (x − m − s))`` and
+    ``cusum_neg = max(0, prev + (m − x − s))``, flagged when either
+    exceeds ``h`` — the monitoring primitive that catches a sustained
+    rate shift a z-score-per-day test misses.
+
+    Everything is INTEGER arithmetic: the target m is the exact lower
+    median of the key's daily counts (order statistic at (n+1) div 2),
+    the slack s = slack_mult·MAD and threshold h = h_mult·MAD with MAD
+    the exact lower median of |x − m| — no floating mean/stddev, so
+    the sequential recurrence replays bit-for-bit in a recursive-CTE
+    oracle. Days with no events count 0 (the whole point of a
+    level-shift monitor); the grid spans the GLOBAL min..max event
+    day, so every key walks the same axis.
+
+    Scale: the distributed work is the per-(key, day) count — one
+    partial-aggregated groupBy over the full log. The recurrence is
+    inherently sequential but runs over the bounded key×day table
+    (centroid-class driver state, the km_survival pattern); results
+    return as a local DataFrame with one row per (key, day):
+    (key, day, x, cusum_pos, cusum_neg, flag)."""
+    if h_mult < 1 or slack_mult < 0:
+        raise ValueError("need h_mult >= 1 and slack_mult >= 0")
+    per_day = (
+        events.groupBy(
+            F.col(key_col).alias("_k"),
+            F.to_date(F.col(ts_col)).alias("_day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("_x"))
+        .collect()
+    )
+    import datetime as _dt
+
+    by_k: dict = {}
+    days_all = [r["_day"] for r in per_day]
+    if not days_all:
+        from inception_eventstore_spark.plans.queries import _local_df
+
+        return _local_df(
+            events.sparkSession,
+            [],
+            f"{key_col} string, day date, x bigint, cusum_pos bigint,"
+            " cusum_neg bigint, flag bigint",
+        )
+    d0, d1 = min(days_all), max(days_all)
+    for r in per_day:
+        by_k.setdefault(r["_k"], {})[r["_day"]] = int(r["_x"])
+    grid = [
+        d0 + _dt.timedelta(days=i) for i in range((d1 - d0).days + 1)
+    ]
+
+    def lower_median(vals: list[int]) -> int:
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    out = []
+    for k in sorted(by_k):
+        xs = [by_k[k].get(d, 0) for d in grid]
+        m = lower_median(xs)
+        mad = lower_median([abs(x - m) for x in xs])
+        s_, h = slack_mult * mad, h_mult * mad
+        sp = sn = 0
+        for d, x in zip(grid, xs):
+            sp = max(0, sp + (x - m - s_))
+            sn = max(0, sn + (m - x - s_))
+            out.append(
+                (k, d, x, sp, sn, 1 if (sp > h or sn > h) else 0)
+            )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        f"{key_col} string, day date, x bigint, cusum_pos bigint,"
+        " cusum_neg bigint, flag bigint",
+        slices=4,
+    )

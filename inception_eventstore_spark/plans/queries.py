@@ -10089,3 +10089,76 @@ _R6AA_QUERIES = {
     "benford_audit": QueryDef(q_benford, _benford_oracle()),
 }
 QUERIES = {**_R6AA_QUERIES, **QUERIES}
+
+
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM level-shift monitor over daily event counts per
+    type (timeseries.cusum_changepoints): target = exact lower-median
+    daily count, slack = 1·MAD, threshold = 5·MAD — all integers, so
+    the sequential max(0, ·) recurrence replays bit-for-bit in the
+    recursive-CTE oracle. Zero-filled global day grid; distributed
+    per-(type, day) counting, bounded-axis driver recurrence."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    return TS.cusum_changepoints(ev, h_mult=5, slack_mult=1)
+
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+cnts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2),
+x AS (
+  SELECT t.event_type, d.day, CAST(coalesce(c.x, 0) AS BIGINT) AS x,
+    row_number() OVER (PARTITION BY t.event_type ORDER BY d.day)
+      AS rn
+  FROM types t CROSS JOIN days d
+  LEFT JOIN cnts c
+    ON c.event_type = t.event_type AND c.day = d.day),
+n AS (SELECT event_type, count(*) AS n FROM x GROUP BY 1),
+med AS (
+  SELECT q.event_type, q.x AS m FROM (
+    SELECT event_type, x, row_number() OVER (
+      PARTITION BY event_type ORDER BY x, day) AS r FROM x) q
+  JOIN n USING (event_type) WHERE q.r = (n.n + 1) // 2),
+mad AS (
+  SELECT q.event_type, q.ad AS mad FROM (
+    SELECT x.event_type, abs(x.x - med.m) AS ad,
+      row_number() OVER (PARTITION BY x.event_type
+        ORDER BY abs(x.x - med.m), x.day) AS r
+    FROM x JOIN med USING (event_type)) q
+  JOIN n USING (event_type) WHERE q.r = (n.n + 1) // 2),
+p AS (
+  SELECT x.event_type, x.day, x.x, x.rn, med.m, mad.mad
+  FROM x JOIN med USING (event_type) JOIN mad USING (event_type)),
+walk(event_type, rn, day, x, sp, sn) AS (
+  SELECT event_type, rn, day, x,
+    greatest(0, x - m - mad), greatest(0, m - x - mad)
+  FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.event_type, p.rn, p.day, p.x,
+    greatest(0, w.sp + (p.x - p.m - p.mad)),
+    greatest(0, w.sn + (p.m - p.x - p.mad))
+  FROM walk w JOIN p
+    ON p.event_type = w.event_type AND p.rn = w.rn + 1)
+SELECT w.event_type, w.day, w.x,
+  CAST(w.sp AS BIGINT) AS cusum_pos,
+  CAST(w.sn AS BIGINT) AS cusum_neg,
+  CAST(CASE WHEN w.sp > 5 * p.mad OR w.sn > 5 * p.mad
+    THEN 1 ELSE 0 END AS BIGINT) AS flag
+FROM walk w JOIN p ON p.event_type = w.event_type AND p.rn = w.rn
+"""
+
+
+_R6AB_QUERIES = {
+    "cusum_changepoints": QueryDef(q_cusum, _CUSUM_ORACLE),
+}
+QUERIES = {**_R6AB_QUERIES, **QUERIES}

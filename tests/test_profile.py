@@ -898,3 +898,95 @@ class TestBenfordAudit:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             benford_audit(df, "v", cents_scale=0)
+
+
+class TestCusumChangepoints:
+    def _events(self, spark, day_counts, et="a"):
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        d0 = dt.datetime(2024, 3, 1)
+        for i, n in enumerate(day_counts):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, d0 + dt.timedelta(days=i), et))
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+
+    def test_level_shift_flags(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        # 8 quiet days at 2/day then 4 days at 10/day:
+        # median m = 2, MAD = 0 → slack 0, h 0: any sp > 0 flags
+        counts = [2] * 8 + [10] * 4
+        out = sorted(
+            cusum_changepoints(self._events(spark, counts)).collect(),
+            key=lambda r: r["day"],
+        )
+        assert [r["x"] for r in out] == counts
+        assert [r["flag"] for r in out[:8]] == [0] * 8
+        assert [r["flag"] for r in out[8:]] == [1] * 4
+        # sp accumulates (10-2) per shifted day
+        assert [r["cusum_pos"] for r in out[8:]] == [8, 16, 24, 32]
+
+    def test_mad_slack_absorbs_noise(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        # alternating 4/6: median 4 (lower), MAD = ... devs |4-4|=0 x3,
+        # |6-4|=2 x3 → sorted [0,0,0,2,2,2], lower median (n=6 → r=3)
+        # = 0 → slack 0, h 0; sp grows on every 6-day: flags appear
+        counts = [4, 6, 4, 6, 4, 6]
+        out = sorted(
+            cusum_changepoints(self._events(spark, counts)).collect(),
+            key=lambda r: r["day"],
+        )
+        assert out[1]["cusum_pos"] == 2 and out[1]["flag"] == 1
+
+    def test_zero_fill_missing_days(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        # two types; type b only has events on the first and last day:
+        # its middle days must exist with x=0
+        d0 = dt.datetime(2024, 3, 1)
+        rows = [(1, d0, "a"), (2, d0 + dt.timedelta(days=4), "a")]
+        rows += [(3, d0, "b"), (4, d0 + dt.timedelta(days=4), "b")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        out = cusum_changepoints(df).collect()
+        b_days = [r for r in out if r["event_type"] == "b"]
+        assert len(b_days) == 5
+        assert sorted(r["x"] for r in b_days) == [0, 0, 0, 1, 1]
+
+    def test_empty_input(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, event_type string"
+        )
+        assert cusum_changepoints(df).count() == 0
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, event_type string"
+        )
+        with pytest.raises(ValueError):
+            cusum_changepoints(df, h_mult=0)

@@ -624,6 +624,14 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "cusum_changepoints": [
+        # per-(type, day) counting executes at call time; the bounded
+        # key×day axis crosses to the driver for the inherently
+        # sequential max(0, ·) recurrence (km_survival pattern)
+        ("returned relation is the driver-computed day walk (local "
+         "scan)", r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "benford_audit": [
         ("digit rollup partial-aggregates map-side",
          r"HashAggregate.*partial|partial_count"),
