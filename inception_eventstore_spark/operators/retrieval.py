@@ -439,3 +439,122 @@ def tfidf_cosine_multi_topk(
         .where(F.col("rank") <= int(k))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def retrieval_ndcg(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """nDCG@k of the BM25 ranking against the term-coverage relevance
+    proxy — the retrieval-quality scorecard: per query,
+    ``dcg``/``idcg``/``ndcg`` (all 6 dp) where graded relevance of a
+    doc is the count of DISTINCT query terms it contains (an integer
+    both engines derive identically), gain = 2^rel − 1, and the rank
+    discounts 1/log2(rank+1) are python-computed literals injected
+    into BOTH the plan and the SQL oracle (the ewma coefficient
+    pattern) — neither engine evaluates a log.
+
+    The ideal DCG never ranks documents: relevance grades are bounded
+    by the query's term count m, so the per-(query, grade) COUNT table
+    (|Q|·m rows) fills the k slots arithmetically — slot ranges per
+    grade via an exclusive running count (a window over ≤ m rows per
+    query, cardinality-bounded by construction) and a prefix-sum
+    literal table of the discounts. No per-doc window, no top-k over
+    the corpus beyond the BM25 ranking itself (`bm25_multi_topk`'s
+    one-scan dataflow).
+
+    Scale: rel table = distinct (doc, token) ⋈ broadcast query terms →
+    partial-agg count; everything after operates on |Q|·k or |Q|·m
+    rows. Queries with no matching document drop out (idcg undefined).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    wpre = [0.0]
+    for x in w:
+        wpre.append(wpre[-1] + x)
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    wparr = F.array(*[F.lit(float(x)) for x in wpre])
+
+    ranked = bm25_multi_topk(
+        docs,
+        queries,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        terms_col=terms_col,
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("token"),
+        )
+        .withColumn("token", F.lower("token"))
+        .dropDuplicates(["query_id", "token"])
+    )
+    doc_terms = (
+        _tokenized(docs, id_col, text_col)
+        .select("doc_id", F.explode("_toks").alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
+    rel = (
+        doc_terms.join(F.broadcast(q), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("int").alias("rel"))
+    )
+    gain = F.expr(
+        "CAST(shiftleft(1, coalesce(rel, 0)) - 1 AS BIGINT)"
+    )
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            (gain.cast("double") * F.element_at(warr, F.col("rank").cast("int")))
+            .alias("_t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("_t").alias("_dcg"))
+    )
+    rc = rel.groupBy("query_id", "rel").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    from pyspark.sql import Window
+
+    # ≤ m rows per query (m = the query's term count) — bounded groups
+    wspec = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rel").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rc2 = rc.withColumn(
+        "_cum", F.coalesce(F.sum("_c").over(wspec), F.lit(0))
+    )
+    lo = F.least(F.col("_cum"), F.lit(k)).cast("int")
+    hi = F.least(F.col("_cum") + F.col("_c"), F.lit(k)).cast("int")
+    contrib = (
+        F.expr("CAST(shiftleft(1, rel) - 1 AS BIGINT)").cast("double")
+        * (F.element_at(wparr, hi + 1) - F.element_at(wparr, lo + 1))
+    )
+    idcg = (
+        rc2.select("query_id", contrib.alias("_t"))
+        .groupBy("query_id")
+        .agg(F.sum("_t").alias("_idcg"))
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .where(F.col("_idcg") > 0)
+        .select(
+            "query_id",
+            F.round("_dcg", 6).alias("dcg"),
+            F.round("_idcg", 6).alias("idcg"),
+            F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
+        )
+    )

@@ -10162,3 +10162,105 @@ _R6AB_QUERIES = {
     "cusum_changepoints": QueryDef(q_cusum, _CUSUM_ORACLE),
 }
 QUERIES = {**_R6AB_QUERIES, **QUERIES}
+
+
+def q_retrieval_ndcg(spark, sf_dir):
+    """Retrieval scorecard: nDCG@10 of the BM25 ranking per query
+    (retrieval.retrieval_ndcg), graded relevance = distinct query
+    terms present (integer, engine-exact), rank discounts injected as
+    python literals — the eval loop a retrieval pipeline runs after
+    every index change. Ideal DCG fills k slots from the bounded
+    (query, grade) count table — never ranks documents."""
+    from inception_eventstore_spark.operators import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = _local_df(
+        spark,
+        [
+            (1, ["spark", "merge", "key"]),
+            (2, ["window", "batch"]),
+            (3, ["key", "batch", "merge"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return RT.retrieval_ndcg(docs, qdf, k=10)
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    wpre = [0.0]
+    for x in w:
+        wpre.append(wpre[-1] + x)
+    wt = ", ".join(f"({i}, {w[i - 1]!r})" for i in range(1, k + 1))
+    wp = ", ".join(f"({j}, {wpre[j]!r})" for j in range(0, k + 1))
+    return f"""
+WITH kb AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+qs AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'merge'), (1, 'key'),
+                             (2, 'window'), (2, 'batch'),
+                             (3, 'key'), (3, 'batch'), (3, 'merge'))
+       AS t(query_id, token)),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM toks),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+  FROM ex WHERE token IN (SELECT token FROM qs)
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+    ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM st)
+              - count(DISTINCT doc_id) + 0.5)
+             / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY token),
+sc AS (
+  SELECT query_id, doc_id,
+    round(sum(idf * (tf * (kb.k1 + 1.0))
+              / (tf + kb.k1 * ((1.0 - kb.b)
+                 + kb.b * dl / ((SELECT CAST(sdl AS DOUBLE) FROM st)
+                               / (SELECT n FROM st))))), 6) AS score
+  FROM tf JOIN idf USING (token) JOIN qs USING (token), kb
+  GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rank FROM sc),
+dt AS (SELECT DISTINCT doc_id, token FROM
+  (SELECT doc_id, unnest(tk) AS token FROM toks)),
+rel AS (SELECT qs.query_id, dt.doc_id, count(*) AS rel
+  FROM dt JOIN qs USING (token) GROUP BY 1, 2),
+wt(rank, w) AS (VALUES {wt}),
+wp(idx, wp) AS (VALUES {wp}),
+dcg AS (
+  SELECT r.query_id,
+    sum(CAST((1::BIGINT << coalesce(rel.rel, 0)) - 1 AS DOUBLE) * wt.w)
+      AS dcg
+  FROM r LEFT JOIN rel
+    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  JOIN wt ON wt.rank = r.rank
+  WHERE r.rank <= {k} GROUP BY 1),
+rc AS (SELECT query_id, rel, CAST(count(*) AS BIGINT) AS c
+  FROM rel GROUP BY 1, 2),
+rc2 AS (SELECT query_id, rel, c,
+    coalesce(sum(c) OVER (PARTITION BY query_id ORDER BY rel DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM rc),
+idcg AS (
+  SELECT query_id,
+    sum(CAST((1::BIGINT << rel) - 1 AS DOUBLE) * (hi.wp - lo.wp))
+      AS idcg
+  FROM rc2
+  JOIN wp lo ON lo.idx = least(cum, {k})
+  JOIN wp hi ON hi.idx = least(cum + c, {k})
+  GROUP BY 1)
+SELECT dcg.query_id, round(dcg.dcg, 6) AS dcg,
+  round(idcg.idcg, 6) AS idcg,
+  round(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM dcg JOIN idcg USING (query_id)
+WHERE idcg.idcg > 0
+"""
+
+
+_R6AC_QUERIES = {
+    "retrieval_ndcg": QueryDef(q_retrieval_ndcg, _ndcg_oracle()),
+}
+QUERIES = {**_R6AC_QUERIES, **QUERIES}

@@ -823,3 +823,82 @@ class TestTfidfCosine:
                 self._docs(spark).where("doc_id < 0"),
                 self._q(spark, ["x"]),
             )
+
+
+class TestRetrievalNdcg:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def _queries(self, spark, qs):
+        return spark.createDataFrame(
+            qs, "query_id long, terms array<string>"
+        )
+
+    def test_ideal_ranking_scores_one(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            retrieval_ndcg,
+        )
+
+        # single term, tf differs: BM25 order (higher tf first) is
+        # rel-ideal (both rel=1) → ndcg exactly 1
+        docs = self._docs(spark, ["apple apple", "apple pear"])
+        out = retrieval_ndcg(
+            docs, self._queries(spark, [(1, ["apple"])]), k=2
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["ndcg"] == 1.0
+        assert out[0]["dcg"] == out[0]["idcg"]
+
+    def test_tf_inflation_misranks_and_ndcg_drops(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.retrieval import (
+            retrieval_ndcg,
+        )
+
+        # d1 = x-spam (rel 1) outscores d2 = "x y" (rel 2) on BM25
+        # because y's idf is crushed by the y-only filler docs →
+        # ranking is inverted vs relevance → ndcg < 1
+        docs = self._docs(
+            spark, ["x x x x x x", "x y", "y", "y", "y", "y"]
+        )
+        out = retrieval_ndcg(
+            docs, self._queries(spark, [(1, ["x", "y"])]), k=2
+        ).collect()
+        (r,) = out
+        w2 = 1.0 / math.log2(3)
+        dcg = 1.0 + 3.0 * w2
+        idcg = 3.0 + 1.0 * w2
+        assert abs(r["dcg"] - round(dcg, 6)) < 2e-6
+        assert abs(r["idcg"] - round(idcg, 6)) < 2e-6
+        assert abs(r["ndcg"] - round(dcg / idcg, 6)) < 2e-6
+        assert r["ndcg"] < 1.0
+
+    def test_no_match_query_dropped(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            retrieval_ndcg,
+        )
+
+        docs = self._docs(spark, ["apple", "pear"])
+        out = retrieval_ndcg(
+            docs,
+            self._queries(spark, [(1, ["apple"]), (2, ["zebra"])]),
+            k=3,
+        ).collect()
+        assert [r["query_id"] for r in out] == [1]
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.retrieval import (
+            retrieval_ndcg,
+        )
+
+        docs = self._docs(spark, ["apple"])
+        with pytest.raises(ValueError):
+            retrieval_ndcg(
+                docs, self._queries(spark, [(1, ["apple"])]), k=0
+            )

@@ -624,6 +624,13 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "retrieval_ndcg": [
+        ("query terms broadcast into the postings filter — the corpus "
+         "shuffles matching postings only", r"BroadcastHashJoin"),
+        ("relevance and slot tables partial-aggregate",
+         r"HashAggregate.*partial|partial_count"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "cusum_changepoints": [
         # per-(type, day) counting executes at call time; the bounded
         # key×day axis crosses to the driver for the inherently
