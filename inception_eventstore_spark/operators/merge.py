@@ -106,3 +106,98 @@ def latest_by_key(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed snapshot reconciliation — the data-diff every migration,
+    backfill and CDC pipeline runs before switching reads: one summary
+    row per metric, ``(metric, n)``, with metrics ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` plus a
+    ``col_changed:<name>`` row per compared column (how many common
+    keys differ in THAT column — the drill-down that tells you a diff
+    is one bad column, not a corrupted table).
+
+    Comparison is null-safe (NULL == NULL is unchanged, NULL vs value
+    is a change); ``compare_cols`` defaults to every shared non-key
+    column. Keys present on both sides with every compared column
+    null-safe-equal count as ``unchanged``.
+
+    Scale: ONE full outer join on the key (the unavoidable shuffle —
+    co-located for free when both snapshots are bucketed on the key,
+    `sources/bucketed.py`), then a single partial-aggregated pass
+    computes every metric; the unpivot to rows is over the tiny
+    aggregate. No per-column passes, no collect.
+
+    Reference analog: the dual-table consistency checks around
+    migration (S5, `operators/migration.py`; reference
+    CassandraMigrator dataflow) promoted to a first-class operator."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(1).alias("_op"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(1).alias("_np"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}") == F.col(f"_nk_{c}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    col_diff = {
+        c: (
+            F.col("_op").isNotNull()
+            & F.col("_np").isNotNull()
+            & ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        ).cast("bigint")
+        for c in compare_cols
+    }
+    any_diff = (
+        F.greatest(*col_diff.values(), F.lit(0), F.lit(0))
+        if col_diff
+        else F.lit(0)
+    )
+    aggs = [
+        F.sum(F.col("_op").isNull().cast("bigint")).alias("added"),
+        F.sum(F.col("_np").isNull().cast("bigint")).alias("removed"),
+        F.sum(
+            (
+                F.col("_op").isNotNull()
+                & F.col("_np").isNotNull()
+                & (any_diff == 1)
+            ).cast("bigint")
+        ).alias("changed"),
+        F.sum(
+            (
+                F.col("_op").isNotNull()
+                & F.col("_np").isNotNull()
+                & (any_diff == 0)
+            ).cast("bigint")
+        ).alias("unchanged"),
+        *[
+            F.sum(col_diff[c]).alias(f"col_changed:{c}")
+            for c in compare_cols
+        ],
+    ]
+    wide = j.agg(*aggs)
+    metrics = ["added", "removed", "changed", "unchanged"] + [
+        f"col_changed:{c}" for c in compare_cols
+    ]
+    stack = ", ".join(f"'{m}', coalesce(`{m}`, 0)" for m in metrics)
+    return wide.select(
+        F.expr(
+            f"stack({len(metrics)}, {stack}) AS (metric, n)"
+        )
+    ).select("metric", F.col("n").cast("bigint").alias("n"))

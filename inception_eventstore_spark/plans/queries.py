@@ -10264,3 +10264,101 @@ _R6AC_QUERIES = {
     "retrieval_ndcg": QueryDef(q_retrieval_ndcg, _ndcg_oracle()),
 }
 QUERIES = {**_R6AC_QUERIES, **QUERIES}
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Keyed data-diff of orders vs a deterministically perturbed next
+    snapshot (merge.snapshot_diff): %7 keys removed, %5 totals bumped,
+    %11 statuses flipped, %13 keys re-added under new ids — the
+    reconciliation report (added/removed/changed/unchanged + per-column
+    drill-down) every migration runs before switching reads. One full
+    outer join + one partial-aggregated metric pass."""
+    from inception_eventstore_spark.operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = o.where(key % 7 != 0)
+    mod = base.withColumn(
+        "o_totalprice",
+        F.when(
+            key % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(key % 11 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    added = o.where(key % 13 == 0).withColumn(
+        "o_orderkey", key + F.lit(1000000000)
+    )
+    new = mod.unionByName(added)
+    return snapshot_diff(o, new, ["o_orderkey"])
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+mod AS (SELECT o_orderkey, o_custkey,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+      AS o_orderstatus,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      ELSE o_totalprice END AS o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM base),
+neu AS (SELECT * FROM mod
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+    o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0),
+j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+    CAST(o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+      AS BIGINT) AS d_cust,
+    CAST(o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+      AS BIGINT) AS d_status,
+    CAST(o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+      AS BIGINT) AS d_price,
+    CAST(o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND NOT (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate)
+      AS BIGINT) AS d_date,
+    CAST(o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+      AS BIGINT) AS d_prio
+  FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey),
+w AS (
+  SELECT
+    CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS added,
+    CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS removed,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+      AND greatest(d_cust, d_status, d_price, d_date, d_prio) = 1
+      THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+      AND greatest(d_cust, d_status, d_price, d_date, d_prio) = 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+    CAST(sum(d_cust) AS BIGINT) AS c_cust,
+    CAST(sum(d_status) AS BIGINT) AS c_status,
+    CAST(sum(d_price) AS BIGINT) AS c_price,
+    CAST(sum(d_date) AS BIGINT) AS c_date,
+    CAST(sum(d_prio) AS BIGINT) AS c_prio
+  FROM j)
+SELECT 'added' AS metric, added AS n FROM w
+UNION ALL SELECT 'removed', removed FROM w
+UNION ALL SELECT 'changed', changed FROM w
+UNION ALL SELECT 'unchanged', unchanged FROM w
+UNION ALL SELECT 'col_changed:o_custkey', c_cust FROM w
+UNION ALL SELECT 'col_changed:o_orderstatus', c_status FROM w
+UNION ALL SELECT 'col_changed:o_totalprice', c_price FROM w
+UNION ALL SELECT 'col_changed:o_orderdate', c_date FROM w
+UNION ALL SELECT 'col_changed:o_orderpriority', c_prio FROM w
+"""
+
+
+_R6AD_QUERIES = {
+    "snapshot_diff": QueryDef(q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
+}
+QUERIES = {**_R6AD_QUERIES, **QUERIES}

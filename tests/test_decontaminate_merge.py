@@ -158,3 +158,89 @@ class TestContaminationFraction:
         assert rows[0]["overlap_frac"] == pytest.approx(1 / 6, abs=1e-6)
         assert rows[1]["overlap_frac"] == 1.0
         assert rows[2]["overlap_frac"] == 0.0
+
+
+class TestSnapshotDiff:
+    def _pair(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "a", 10.0),
+                (2, "b", 20.0),
+                (3, "c", None),
+                (4, "d", 40.0),
+            ],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "a", 10.0),      # unchanged
+                (2, "B", 21.0),      # both cols changed
+                (3, "c", None),      # unchanged (NULL == NULL)
+                (5, "e", 50.0),      # added (4 removed)
+            ],
+            "k long, s string, v double",
+        )
+        return old, new
+
+    def test_metric_counts(self, spark):
+        from inception_eventstore_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old, new = self._pair(spark)
+        got = {
+            r["metric"]: r["n"]
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {
+            "added": 1,
+            "removed": 1,
+            "changed": 1,
+            "unchanged": 2,
+            "col_changed:s": 1,
+            "col_changed:v": 1,
+        }
+
+    def test_null_vs_value_is_change(self, spark):
+        from inception_eventstore_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame([(1, None)], "k long, v double")
+        new = spark.createDataFrame([(1, 7.0)], "k long, v double")
+        got = {
+            r["metric"]: r["n"]
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got["changed"] == 1 and got["col_changed:v"] == 1
+
+    def test_explicit_compare_cols_ignore_rest(self, spark):
+        from inception_eventstore_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "x", 1.0)], "k long, s string, v double"
+        )
+        new = spark.createDataFrame(
+            [(1, "x", 2.0)], "k long, s string, v double"
+        )
+        got = {
+            r["metric"]: r["n"]
+            for r in snapshot_diff(
+                old, new, ["k"], compare_cols=["s"]
+            ).collect()
+        }
+        assert got["unchanged"] == 1 and got["changed"] == 0
+        assert "col_changed:v" not in got
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            snapshot_diff(df, df, [])

@@ -624,6 +624,14 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "snapshot_diff": [
+        ("one key-equi full outer join — the only shuffle",
+         r"SortMergeJoin FullOuter|ShuffledHashJoin.*FullOuter"),
+        ("all metrics from ONE partial-aggregated pass",
+         r"HashAggregate.*partial|partial_sum"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no cartesian product anywhere", "!CartesianProduct"),
+    ],
     "retrieval_ndcg": [
         ("query terms broadcast into the postings filter — the corpus "
          "shuffles matching postings only", r"BroadcastHashJoin"),
