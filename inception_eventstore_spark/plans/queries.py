@@ -10362,3 +10362,57 @@ _R6AD_QUERIES = {
     "snapshot_diff": QueryDef(q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
 }
 QUERIES = {**_R6AD_QUERIES, **QUERIES}
+
+
+def q_conversion_ci(spark, sf_dir):
+    """Signup→purchase conversion per hash bucket (user_id % 3) with
+    Wilson 95 % intervals (funnel.conversion_wilson_ci): the A/B
+    readout. Bounds are one closed-form double expression of the two
+    integers (n, c) and the literal z — no data-dependent float
+    summation, so 6 dp rounding is engine-stable."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return FU.conversion_wilson_ci(
+        ev, start_type="signup", convert_type="purchase", n_buckets=3
+    )
+
+
+_CONV_CI_ORACLE = """
+WITH starts AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT DISTINCT s.user_id FROM starts s
+  JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0),
+pb AS (
+  SELECT s.user_id % 3 AS bucket,
+    CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_converted
+  FROM starts s LEFT JOIN conv c ON s.user_id = c.user_id
+  GROUP BY 1),
+w AS (
+  SELECT *,
+    CAST(n_users AS DOUBLE) AS n, CAST(n_converted AS DOUBLE) AS c,
+    CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+    1.959963984540054 * 1.959963984540054 AS zz,
+    1.959963984540054 AS zl
+  FROM pb)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_users, n_converted,
+  CAST(n_converted * 1000000 // n_users AS BIGINT) AS rate_ppm,
+  round(((p + zz / (2.0 * n))
+    - zl * sqrt((p * (1.0 - p) + zz / (4.0 * n)) / n))
+    / (1.0 + zz / n), 6) AS wilson_lo,
+  round(((p + zz / (2.0 * n))
+    + zl * sqrt((p * (1.0 - p) + zz / (4.0 * n)) / n))
+    / (1.0 + zz / n), 6) AS wilson_hi
+FROM w
+"""
+
+
+_R6AE_QUERIES = {
+    "conversion_ci": QueryDef(q_conversion_ci, _CONV_CI_ORACLE),
+}
+QUERIES = {**_R6AE_QUERIES, **QUERIES}

@@ -416,3 +416,103 @@ class TestKmSurvival:
         assert [(r["t_days"], r["n_risk"], r["survival_ppb"]) for r in out] == [
             (1, 1, 0)
         ]
+
+
+class TestConversionWilsonCi:
+    def test_known_interval(self, spark):
+        import datetime as dt
+        import math
+
+        from inception_eventstore_spark.operators.funnel import (
+            conversion_wilson_ci,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # bucket 0 (single bucket): 4 users sign up, 1 converts
+        for u in range(1, 5):
+            eid += 1
+            rows.append((eid, d0, u, "signup"))
+        rows.append((99, d0 + dt.timedelta(hours=1), 1, "purchase"))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        (r,) = conversion_wilson_ci(
+            ev, "signup", "purchase", n_buckets=1
+        ).collect()
+        assert (r["n_users"], r["n_converted"]) == (4, 1)
+        assert r["rate_ppm"] == 250000
+        z = 1.959963984540054
+        n, p, zz = 4.0, 0.25, z * z
+        center = p + zz / (2 * n)
+        margin = z * math.sqrt((p * (1 - p) + zz / (4 * n)) / n)
+        denom = 1 + zz / n
+        assert abs(r["wilson_lo"] - round((center - margin) / denom, 6)) < 1e-9
+        assert abs(r["wilson_hi"] - round((center + margin) / denom, 6)) < 1e-9
+        assert 0.0 <= r["wilson_lo"] <= 0.25 <= r["wilson_hi"] <= 1.0
+
+    def test_zero_and_full_conversion_stay_in_bounds(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            conversion_wilson_ci,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        # bucket 0: user 2 (no conversion); bucket 1: user 1 converts
+        rows = [
+            (1, d0, 1, "signup"),
+            (2, d0, 2, "signup"),
+            (3, d0 + dt.timedelta(hours=1), 1, "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        out = {
+            r["bucket"]: r
+            for r in conversion_wilson_ci(
+                ev, "signup", "purchase", n_buckets=2
+            ).collect()
+        }
+        assert out[0]["n_converted"] == 0
+        assert out[0]["wilson_lo"] == 0.0 and out[0]["wilson_hi"] < 1.0
+        assert out[1]["n_converted"] == 1
+        assert out[1]["wilson_lo"] > 0.0 and out[1]["wilson_hi"] == 1.0
+
+    def test_purchase_before_signup_not_converted(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            conversion_wilson_ci,
+        )
+
+        d0 = dt.datetime(2024, 1, 5)
+        rows = [
+            (1, d0, 1, "signup"),
+            (2, d0 - dt.timedelta(days=1), 1, "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        (r,) = conversion_wilson_ci(
+            ev, "signup", "purchase", n_buckets=1
+        ).collect()
+        assert r["n_converted"] == 0
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.funnel import (
+            conversion_wilson_ci,
+        )
+
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        with pytest.raises(ValueError):
+            conversion_wilson_ci(ev, "a", "b", n_buckets=0)

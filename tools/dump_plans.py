@@ -624,6 +624,12 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "conversion_ci": [
+        ("per-user firsts partial-aggregate before any join",
+         r"HashAggregate.*partial|partial_min"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no cartesian product anywhere", "!CartesianProduct"),
+    ],
     "snapshot_diff": [
         ("one key-equi full outer join — the only shuffle",
          r"SortMergeJoin FullOuter|ShuffledHashJoin.*FullOuter"),
