@@ -538,3 +538,51 @@ def conversion_wilson_ci(
         F.round((center - margin) / denom, 6).alias("wilson_lo"),
         F.round((center + margin) / denom, 6).alias("wilson_hi"),
     )
+
+
+def frequent_paths(
+    events: DataFrame,
+    length: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-N most frequent ``length``-step event-type paths — funnel
+    DISCOVERY: instead of asking "how many users did A→B→C?"
+    (funnel_steps), ask "which A→B→C actually happens?". A path is
+    ``length`` CONSECUTIVE events of one user in (ts, tiebreak) order,
+    sliding by one. Returns (path, n) with ``path`` the '>'-joined
+    type names, ordered by (n desc, path) — a total order, so the
+    LIMIT cut is deterministic.
+
+    One window shuffle on the user key computes all ``length−1`` leads
+    in a single sort (shared frame spec), then a partial-aggregated
+    count. Per-user partitions are bounded by that user's event count
+    — the rolling_stats skew caveat applies to pathological single
+    users (pre-split hyperactive keys or cap with AQE skew handling).
+
+    Reference analog: R10 replay-per-aggregate ordering put to
+    sequence-mining use (CassandraEventStore.cs:336-391)."""
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, j).over(w) for j in range(1, int(length))
+    ]
+    nn = steps[0].isNotNull()
+    for s in steps[1:]:
+        nn = nn & s.isNotNull()
+    return (
+        events.select(
+            F.concat_ws(">", *steps).alias("path"), nn.alias("_ok")
+        )
+        .where(F.col("_ok"))
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(int(top_n))
+    )

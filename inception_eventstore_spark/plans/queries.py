@@ -10416,3 +10416,34 @@ _R6AE_QUERIES = {
     "conversion_ci": QueryDef(q_conversion_ci, _CONV_CI_ORACLE),
 }
 QUERIES = {**_R6AE_QUERIES, **QUERIES}
+
+
+def q_frequent_paths(spark, sf_dir):
+    """Top-20 3-step event-type paths (funnel.frequent_paths): funnel
+    discovery over per-user (ts, event_id)-ordered sequences. One
+    window shuffle for all leads, partial-aggregated counts, total
+    (n desc, path) order before the cut."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return FU.frequent_paths(ev, length=3, top_n=20)
+
+
+_FREQ_PATHS_ORACLE = """
+WITH s AS (
+  SELECT event_type AS t0,
+    lead(event_type, 1) OVER w AS t1,
+    lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t0 || '>' || t1 || '>' || t2 AS path,
+  CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
+_R6AF_QUERIES = {
+    "frequent_paths": QueryDef(q_frequent_paths, _FREQ_PATHS_ORACLE),
+}
+QUERIES = {**_R6AF_QUERIES, **QUERIES}

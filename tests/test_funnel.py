@@ -516,3 +516,86 @@ class TestConversionWilsonCi:
         )
         with pytest.raises(ValueError):
             conversion_wilson_ci(ev, "a", "b", n_buckets=0)
+
+
+class TestFrequentPaths:
+    def test_sliding_paths_counted(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            frequent_paths,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+
+        def ev(i, u, t):
+            return (i, d0 + dt.timedelta(minutes=i), u, t)
+
+        rows = [
+            ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "c"), ev(4, 1, "b"),
+            ev(5, 2, "a"), ev(6, 2, "b"), ev(7, 2, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        got = {
+            r["path"]: r["n"]
+            for r in frequent_paths(df, length=3, top_n=10).collect()
+        }
+        # user 1: a>b>c, b>c>b; user 2: a>b>c
+        assert got == {"a>b>c": 2, "b>c>b": 1}
+
+    def test_paths_never_cross_users(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            frequent_paths,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, d0, 1, "a"),
+            (2, d0 + dt.timedelta(minutes=1), 2, "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        assert frequent_paths(df, length=2).count() == 0
+
+    def test_tie_order_and_limit(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            frequent_paths,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, d0, 1, "b"), (2, d0 + dt.timedelta(minutes=1), 1, "a"),
+            (3, d0 + dt.timedelta(minutes=2), 1, "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        out = frequent_paths(df, length=2, top_n=1).collect()
+        # a>b and b>a both count 1 → path asc picks a>b
+        assert [(r["path"], r["n"]) for r in out] == [("a>b", 1)]
+
+    def test_guards(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.funnel import (
+            frequent_paths,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        with pytest.raises(ValueError):
+            frequent_paths(df, length=1)
+        with pytest.raises(ValueError):
+            frequent_paths(df, top_n=0)

@@ -624,6 +624,15 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "frequent_paths": [
+        ("all leads share one user-keyed window sort",
+         r"hashpartitioning\(user_id"),
+        ("path counts partial-aggregate map-side",
+         r"HashAggregate.*partial|partial_count"),
+        ("top-N via TakeOrderedAndProject, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "conversion_ci": [
         ("per-user firsts partial-aggregate before any join",
          r"HashAggregate.*partial|partial_min"),
