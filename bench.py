@@ -207,6 +207,40 @@ HEADLINE = [
     "quality_auc",
     "tfidf_cosine_topk",
     "rfm_segments",
+    # r6 additions
+    "bq_hamming_topk",
+    "property_scd2",
+    "span_corruption",
+    "skew_profile",
+    "zipf_slope",
+    "kfold_leakage",
+    "score_percentiles",
+    "oov_rates",
+    "js_drift",
+    "burstiness",
+    "cdc_dedup",
+    "heldout_ppl",
+    "embedding_isotropy",
+    "ooo_arrivals",
+    "incremental_projection",
+    "trimmed_stats",
+    "funnel_latency",
+    "calibration_curve",
+    "simhash_calibration",
+    "join_cardinality",
+    "pareto_frontier",
+    "decayed_topk",
+    "attribution_credit",
+    "km_survival",
+    "mmr_diverse_topk",
+    "graph_kcore",
+    "benford_audit",
+    "cusum_changepoints",
+    "retrieval_ndcg",
+    "snapshot_diff",
+    "conversion_ci",
+    "frequent_paths",
+    "acf_daily",
 ]
 
 

@@ -613,3 +613,90 @@ def cusum_changepoints(
         " cusum_neg bigint, flag bigint",
         slices=4,
     )
+
+
+def acf_daily(
+    events: DataFrame,
+    max_lag: int = 14,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Autocorrelation function of each key's daily event counts at
+    lags 1..``max_lag`` — the seasonality detector (a weekly cycle
+    shows as a spike at lag 7). Returns (key, lag, acf) with the
+    standard biased estimator r_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)²
+    over the zero-filled GLOBAL day grid (silent days are real zeros —
+    exactly what seasonality math needs), rounded to 6 dp.
+
+    Determinism: daily counts and the grid are exact integers; x̄ is
+    the one division S/n both engines compute identically, so per-row
+    deviations are identical doubles; the remaining cross-engine
+    surface is summation order in the final Σ — 1-ulp-class jitter
+    under a 6 dp round (the adamic_adar/ewma acceptance).
+
+    Scale: the heavy pass is the per-(key, day) count (partial-agg
+    over the full log). Everything after runs on the key×day grid:
+    all ``max_lag`` leads share ONE window sort per key (groups
+    bounded by the day span — cardinality-bounded by construction,
+    not a skew hazard), then one (key, lag) aggregation."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    spark = events.sparkSession
+    cnts = events.groupBy(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_d")
+    )
+    keys = events.select(
+        F.col(key_col).alias("_k")
+    ).distinct()
+    grid = keys.crossJoin(F.broadcast(days)).join(
+        cnts, ["_k", "_d"], "left"
+    ).select(
+        "_k", "_d", F.coalesce("_x", F.lit(0)).alias("_x")
+    )
+    stats = grid.groupBy("_k").agg(
+        (F.sum("_x").cast("double") / F.count("*")).alias("_mean"),
+    )
+    dev = grid.join(F.broadcast(stats), "_k").select(
+        "_k", "_d", (F.col("_x").cast("double") - F.col("_mean")).alias("_dev")
+    )
+    w = Window.partitionBy("_k").orderBy("_d")
+    led = dev.select(
+        "_k",
+        "_dev",
+        *[
+            F.lead("_dev", l).over(w).alias(f"_dl{l}")
+            for l in range(1, int(max_lag) + 1)
+        ],
+    )
+    den = led.groupBy("_k").agg(
+        F.sum(F.col("_dev") * F.col("_dev")).alias("_den")
+    )
+    nums = led.groupBy("_k").agg(
+        *[
+            F.sum(F.col("_dev") * F.col(f"_dl{l}")).alias(f"_num{l}")
+            for l in range(1, int(max_lag) + 1)
+        ]
+    )
+    stacked = ", ".join(
+        f"{l}L, _num{l}" for l in range(1, int(max_lag) + 1)
+    )
+    unpivoted = nums.select(
+        "_k",
+        F.expr(f"stack({max_lag}, {stacked}) AS (lag, _num)"),
+    ).select("_k", "lag", "_num")
+    return (
+        unpivoted.join(den, "_k")
+        .where(F.col("_den") > 0)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("lag").cast("bigint").alias("lag"),
+            F.round(F.col("_num") / F.col("_den"), 6).alias("acf"),
+        )
+    )

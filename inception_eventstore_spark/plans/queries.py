@@ -10447,3 +10447,67 @@ _R6AF_QUERIES = {
     "frequent_paths": QueryDef(q_frequent_paths, _FREQ_PATHS_ORACLE),
 }
 QUERIES = {**_R6AF_QUERIES, **QUERIES}
+
+
+def q_acf_daily(spark, sf_dir):
+    """Daily-count autocorrelation per event type, lags 1..14
+    (timeseries.acf_daily) — the weekly-seasonality detector. Counts
+    and the zero-filled grid are exact integers; x̄ is one identical
+    division; the only cross-engine surface is final-sum order under
+    a 6 dp round."""
+    from inception_eventstore_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    return TS.acf_daily(ev, max_lag=14)
+
+
+def _acf_oracle(max_lag: int = 14) -> str:
+    leads = ",\n    ".join(
+        f"lead(dev, {l}) OVER w AS dl{l}"
+        for l in range(1, max_lag + 1)
+    )
+    sums = ",\n    ".join(
+        f"sum(dev * dl{l}) AS num{l}" for l in range(1, max_lag + 1)
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT k AS event_type, CAST({l} AS BIGINT) AS lag, "
+        f"round(num{l} / den, 6) AS acf FROM agg WHERE den > 0"
+        for l in range(1, max_lag + 1)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+    AS d FROM bounds),
+keys AS (SELECT DISTINCT event_type AS k FROM events),
+cnts AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT keys.k, days.d,
+    CAST(coalesce(cnts.x, 0) AS BIGINT) AS x
+  FROM keys CROSS JOIN days
+  LEFT JOIN cnts ON cnts.k = keys.k AND cnts.d = days.d),
+st AS (SELECT k, CAST(sum(x) AS DOUBLE) / count(*) AS m
+  FROM grid GROUP BY k),
+dv AS (SELECT grid.k, grid.d,
+    CAST(grid.x AS DOUBLE) - st.m AS dev
+  FROM grid JOIN st USING (k)),
+led AS (
+  SELECT k, dev,
+    {leads}
+  FROM dv
+  WINDOW w AS (PARTITION BY k ORDER BY d)),
+agg AS (
+  SELECT k, sum(dev * dev) AS den,
+    {sums}
+  FROM led GROUP BY k)
+{branches}
+"""
+
+
+_R6AG_QUERIES = {
+    "acf_daily": QueryDef(q_acf_daily, _acf_oracle()),
+}
+QUERIES = {**_R6AG_QUERIES, **QUERIES}

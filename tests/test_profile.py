@@ -990,3 +990,68 @@ class TestCusumChangepoints:
         )
         with pytest.raises(ValueError):
             cusum_changepoints(df, h_mult=0)
+
+
+class TestAcfDaily:
+    def _events(self, spark, day_counts, et="a"):
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        d0 = dt.datetime(2024, 3, 1)
+        for i, n in enumerate(day_counts):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, d0 + dt.timedelta(days=i), et))
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+
+    def test_alternating_series_acf(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            acf_daily,
+        )
+
+        # [1,3]*4: mean 2, dev ±1 → acf(1) = -7/8, acf(2) = 6/8
+        out = {
+            r["lag"]: r["acf"]
+            for r in acf_daily(
+                self._events(spark, [1, 3] * 4), max_lag=2
+            ).collect()
+        }
+        assert out == {1: -0.875, 2: 0.75}
+
+    def test_constant_series_dropped(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            acf_daily,
+        )
+
+        out = acf_daily(
+            self._events(spark, [2, 2, 2, 2]), max_lag=2
+        ).collect()
+        assert out == []
+
+    def test_weekly_cycle_peaks_at_seven(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            acf_daily,
+        )
+
+        week = [9, 1, 1, 1, 1, 1, 1]
+        out = {
+            r["lag"]: r["acf"]
+            for r in acf_daily(
+                self._events(spark, week * 5), max_lag=8
+            ).collect()
+        }
+        assert out[7] == max(out.values())
+        assert out[7] >= 0.8 and out[1] < 0.2
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.timeseries import (
+            acf_daily,
+        )
+
+        with pytest.raises(ValueError):
+            acf_daily(self._events(spark, [1]), max_lag=0)

@@ -624,6 +624,13 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "acf_daily": [
+        ("per-(key, day) counting partial-aggregates over the log",
+         r"HashAggregate.*partial|partial_count"),
+        ("all lags share one key-partitioned window sort over the "
+         "bounded grid", r"hashpartitioning\(_k"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "frequent_paths": [
         ("all leads share one user-keyed window sort",
          r"hashpartitioning\(user_id"),
