@@ -241,6 +241,7 @@ HEADLINE = [
     "conversion_ci",
     "frequent_paths",
     "acf_daily",
+    "gini_concentration",
 ]
 
 

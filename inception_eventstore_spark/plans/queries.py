@@ -10511,3 +10511,69 @@ _R6AG_QUERIES = {
     "acf_daily": QueryDef(q_acf_daily, _acf_oracle()),
 }
 QUERIES = {**_R6AG_QUERIES, **QUERIES}
+
+
+def q_gini(spark, sf_dir):
+    """Revenue concentration per nation (profile.gini_concentration):
+    Gini of per-customer spend, cents quantized per ORDER (exact) then
+    BIGINT-summed, ranked by the two-phase shard rank — never a
+    per-nation single-task window. The only float surface is the final
+    division of identically-rounded doubles."""
+    from inception_eventstore_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    spend = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("_cents"),
+    ).groupBy("o_custkey").agg(
+        F.sum("_cents").cast("bigint").alias("spend_cents")
+    )
+    j = (
+        spend.join(c, spend["o_custkey"] == c["c_custkey"])
+        .join(nat, c["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"), "c_custkey", "spend_cents"
+        )
+    )
+    return gini_concentration(
+        j, "spend_cents", "c_custkey", ["nation"]
+    )
+
+
+_GINI_ORACLE = """
+WITH sp AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT n_name AS nation, c_custkey, cents
+  FROM sp JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+r AS (
+  SELECT nation, cents, row_number() OVER (
+    PARTITION BY nation ORDER BY cents, c_custkey) AS rk
+  FROM j),
+a AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS total,
+    CAST(sum(rk * cents) AS BIGINT) AS s1
+  FROM r GROUP BY 1)
+SELECT nation, n, total,
+  round(2.0 * CAST(s1 AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM a WHERE total > 0
+"""
+
+
+_R6AH_QUERIES = {
+    "gini_concentration": QueryDef(q_gini, _GINI_ORACLE),
+}
+QUERIES = {**_R6AH_QUERIES, **QUERIES}

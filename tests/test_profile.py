@@ -1055,3 +1055,66 @@ class TestAcfDaily:
 
         with pytest.raises(ValueError):
             acf_daily(self._events(spark, [1]), max_lag=0)
+
+
+class TestGiniConcentration:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, id long, v long"
+        )
+
+    def test_even_distribution_is_zero(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            gini_concentration,
+        )
+
+        df = self._df(spark, [("a", i, 10) for i in range(1, 6)])
+        (r,) = gini_concentration(df, "v", "id", ["g"]).collect()
+        assert r["gini"] == 0.0
+        assert (r["n"], r["total"]) == (5, 50)
+
+    def test_single_holder_approaches_one(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            gini_concentration,
+        )
+
+        # one id holds everything among n=10 → G = (n-1)/n = 0.9
+        rows = [("a", i, 0) for i in range(1, 10)] + [("a", 10, 100)]
+        (r,) = gini_concentration(
+            self._df(spark, rows), "v", "id", ["g"]
+        ).collect()
+        assert r["gini"] == 0.9
+
+    def test_hand_computed_mixed(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            gini_concentration,
+        )
+
+        # values 1,2,3,4 ascending: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+        rows = [("a", i, i) for i in range(1, 5)]
+        (r,) = gini_concentration(
+            self._df(spark, rows), "v", "id", ["g"]
+        ).collect()
+        assert r["gini"] == 0.25
+
+    def test_groups_independent_and_zero_total_dropped(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            gini_concentration,
+        )
+
+        rows = [("a", 1, 5), ("a", 2, 5), ("b", 3, 0), ("b", 4, 0)]
+        out = gini_concentration(
+            self._df(spark, rows), "v", "id", ["g"]
+        ).collect()
+        assert [(r["g"], r["gini"]) for r in out] == [("a", 0.0)]
+
+    def test_integer_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.profile import (
+            gini_concentration,
+        )
+
+        df = spark.createDataFrame([("a", 1, 1.5)], "g string, id long, v double")
+        with pytest.raises(TypeError):
+            gini_concentration(df, "v", "id", ["g"])

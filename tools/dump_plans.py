@@ -624,6 +624,14 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "gini_concentration": [
+        ("rank fans across range shards — window keyed by shard pid "
+         "(two-phase rank), never one task per nation",
+         r"hashpartitioning\(_gr_pid"),
+        ("concentration sums partial-aggregate",
+         r"HashAggregate.*partial|partial_sum"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "acf_daily": [
         ("per-(key, day) counting partial-aggregates over the log",
          r"HashAggregate.*partial|partial_count"),
