@@ -242,6 +242,8 @@ HEADLINE = [
     "frequent_paths",
     "acf_daily",
     "gini_concentration",
+    "sim_topk_filtered",
+    "markov_stationary",
 ]
 
 

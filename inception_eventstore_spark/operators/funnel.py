@@ -586,3 +586,82 @@ def frequent_paths(
         .orderBy(F.col("n").desc(), "path")
         .limit(int(top_n))
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    iterations: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution and per-state entropy of the event-type
+    Markov chain: where does user behavior SETTLE, and how predictable
+    is each state's next step. Returns one row per state with outgoing
+    transitions: (state, stationary_p, row_entropy_nats), both 6 dp.
+
+    The chain is the per-user consecutive-transition count matrix (the
+    event_transitions projection); rows normalize to P, and π is the
+    FIXED-ITERATION power method from uniform — π ← normalize(πP),
+    ``iterations`` times — a deterministic function of (counts, iters)
+    that a SQL oracle replays by unrolling the same iterations (the
+    LPA/k-core stamping idiom; renormalization each step keeps mass 1
+    even if some target state has no outgoing row). Row entropy is
+    −Σⱼ pᵢⱼ ln pᵢⱼ.
+
+    Scale split: the transition counts are the distributed work (one
+    user-keyed window lag + partial-agg count over the full log); the
+    matrix itself is |states|² — event-TYPE vocabulary, not data — so
+    the iteration is centroid-class driver state (km_survival
+    pattern). Cross-engine floats: pᵢⱼ are identical count divisions;
+    iteration sums run over ≤|states| terms, 1-ulp-class jitter under
+    the 6 dp round."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    t = events.select(
+        F.lag(type_col).over(w).alias("_prev"),
+        F.col(type_col).alias("_next"),
+    )
+    counts = (
+        t.where(F.col("_prev").isNotNull())
+        .groupBy("_prev", "_next")
+        .agg(F.count("*").cast("bigint").alias("_n"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    row_tot: dict = defaultdict(int)
+    for r in counts:
+        row_tot[r["_prev"]] += int(r["_n"])
+    states = sorted(row_tot)
+    P = {
+        (r["_prev"], r["_next"]): int(r["_n"]) / row_tot[r["_prev"]]
+        for r in counts
+    }
+    pi = {s: 1.0 / len(states) for s in states} if states else {}
+    for _ in range(int(iterations)):
+        nxt = {s: 0.0 for s in states}
+        for (a, b), p in sorted(P.items()):
+            if b in nxt:
+                nxt[b] += pi[a] * p
+        z = sum(nxt[s] for s in states)
+        pi = {s: nxt[s] / z for s in states}
+    import math
+
+    out = []
+    for s in states:
+        h = -sum(
+            p * math.log(p)
+            for (a, _b), p in sorted(P.items())
+            if a == s and p > 0
+        )
+        out.append((s, round(pi[s], 6), round(h, 6)))
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "state string, stationary_p double, row_entropy_nats double",
+    )

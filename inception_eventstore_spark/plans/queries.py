@@ -10577,3 +10577,108 @@ _R6AH_QUERIES = {
     "gini_concentration": QueryDef(q_gini, _GINI_ORACLE),
 }
 QUERIES = {**_R6AH_QUERIES, **QUERIES}
+
+
+def q_sim_topk_filtered(spark, sf_dir):
+    """Metadata-filtered vector search: exact top-10 L2 neighbors of 3
+    query vectors among embeddings with label = 1 ONLY — the
+    filtered-ANN shape every RAG store needs (predicate applied
+    BEFORE the distance kernel, pushed to the parquet scan, so the
+    kernel touches the filtered slice, not the corpus). Same one-scan
+    multi_query_topk Arrow kernel as sim_multi_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qrows
+    ]
+    corpus = emb.where((F.col("vec_id") >= 3) & (F.col("label") == 1))
+    return S.multi_query_topk(corpus, queries, k=10).select(
+        "query_id", "rank", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_SIM_FILTERED_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= 3 AND label = 1),
+d AS (SELECT q.query_id, c.vec_id,
+    sqrt(greatest(list_inner_product(cv, cv)
+      - 2 * list_inner_product(cv, qv)
+      + list_inner_product(qv, qv), 0)) AS dist
+  FROM q CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dist, vec_id) AS rank FROM d)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+  round(dist, 6) AS dist
+FROM r WHERE rank <= 10
+"""
+
+
+_R6AI_QUERIES = {
+    "sim_topk_filtered": QueryDef(q_sim_topk_filtered, _SIM_FILTERED_ORACLE),
+}
+QUERIES = {**_R6AI_QUERIES, **QUERIES}
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution + per-state entropy of the event-type
+    Markov chain (funnel.markov_stationary): 20 renormalized power
+    iterations from uniform — a deterministic function of the
+    transition counts that the oracle replays by unrolling the same
+    iterations. Distributed lag-window counts; |states|² driver
+    iteration (event-TYPE vocabulary, not data)."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return FU.markov_stationary(ev, iterations=20)
+
+
+def _markov_oracle(iterations: int = 20) -> str:
+    ctes = ["""t AS (
+  SELECT lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+    event_type AS next
+  FROM events),
+c AS MATERIALIZED (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1),
+P AS MATERIALIZED (SELECT c.prev, c.next,
+    CAST(c.n AS DOUBLE) / CAST(rt.tot AS DOUBLE) AS p
+  FROM c JOIN rt USING (prev)),
+states AS MATERIALIZED (SELECT prev AS s FROM rt),
+pi0 AS (SELECT s, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM states)
+    AS p
+  FROM states)"""]
+    prev = "pi0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT P.next AS s, sum({prev}.p * P.p) AS p
+  FROM {prev} JOIN P ON P.prev = {prev}.s
+  JOIN states st ON st.s = P.next GROUP BY 1),
+pi{i} AS MATERIALIZED (
+  SELECT s, p / (SELECT sum(p) FROM r{i}) AS p FROM r{i})""")
+        prev = f"pi{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+h AS (SELECT prev AS s, -sum(p * ln(p)) AS h FROM P GROUP BY 1)
+SELECT st.s AS state, round(coalesce({prev}.p, 0.0), 6)
+    AS stationary_p,
+  round(h.h, 6) AS row_entropy_nats
+FROM states st LEFT JOIN {prev} ON {prev}.s = st.s
+JOIN h ON h.s = st.s
+"""
+    )
+
+
+_R6AJ_QUERIES = {
+    "markov_stationary": QueryDef(q_markov_stationary, _markov_oracle()),
+}
+QUERIES = {**_R6AJ_QUERIES, **QUERIES}

@@ -599,3 +599,82 @@ class TestFrequentPaths:
             frequent_paths(df, length=1)
         with pytest.raises(ValueError):
             frequent_paths(df, top_n=0)
+
+
+class TestMarkovStationary:
+    def _events(self, spark, seq_per_user):
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        d0 = dt.datetime(2024, 1, 1)
+        for u, seq in seq_per_user.items():
+            for i, t in enumerate(seq):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(minutes=i), u, t)
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+
+    def test_two_state_symmetric_chain(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            markov_stationary,
+        )
+
+        # a→b→a→b…: P = [[0,1],[1,0]]; uniform start stays (0.5, 0.5);
+        # deterministic rows → row entropy 0
+        ev = self._events(spark, {1: ["a", "b"] * 6})
+        out = {
+            r["state"]: r
+            for r in markov_stationary(ev, iterations=10).collect()
+        }
+        assert out["a"]["stationary_p"] == 0.5
+        assert out["b"]["stationary_p"] == 0.5
+        assert out["a"]["row_entropy_nats"] == 0.0
+
+    def test_absorbing_state_takes_all_mass(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            markov_stationary,
+        )
+
+        # a→a…→b, b→b…: b absorbs; after 20 iters π(b) ≈ 1
+        ev = self._events(
+            spark, {1: ["a"] * 3 + ["b"] * 20}
+        )
+        out = {
+            r["state"]: r
+            for r in markov_stationary(ev, iterations=20).collect()
+        }
+        assert out["b"]["stationary_p"] > 0.99
+        assert out["a"]["stationary_p"] < 0.01
+
+    def test_uniform_row_entropy(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.funnel import (
+            markov_stationary,
+        )
+
+        # from a: equally to b or c (each twice) → H(a) = ln 2
+        ev = self._events(
+            spark, {1: ["a", "b", "a", "c"], 2: ["a", "b", "a", "c"]}
+        )
+        out = {
+            r["state"]: r
+            for r in markov_stationary(ev, iterations=5).collect()
+        }
+        assert out["a"]["row_entropy_nats"] == round(math.log(2), 6)
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.funnel import (
+            markov_stationary,
+        )
+
+        ev = self._events(spark, {})
+        with pytest.raises(ValueError):
+            markov_stationary(ev, iterations=0)

@@ -624,6 +624,23 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "markov_stationary": [
+        # transition counting (user-keyed lag window + partial agg)
+        # executes at call time; the |states|² matrix iterates on the
+        # driver (km_survival pattern)
+        ("returned relation is the driver-computed state table (local "
+         "scan)", r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "sim_topk_filtered": [
+        ("label predicate pushed to the parquet scan — the distance "
+         "kernel sees the filtered slice only",
+         r"PushedFilters: \[[^\]]*label"),
+        ("one Arrow kernel pass (mapInPandas), not per-row python",
+         r"MapInPandas|ArrowEvalPython"),
+        ("reduce stage is a bounded per-query window, no global sort",
+         r"hashpartitioning\(query_id"),
+    ],
     "gini_concentration": [
         ("rank fans across range shards — window keyed by shard pid "
          "(two-phase rank), never one task per nation",
