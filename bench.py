@@ -244,6 +244,9 @@ HEADLINE = [
     "gini_concentration",
     "sim_topk_filtered",
     "markov_stationary",
+    "session_flow",
+    "woe_iv",
+    "did_estimate",
 ]
 
 

@@ -908,3 +908,131 @@ def gini_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def did_estimate(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 2,
+    treat_bucket: int = 1,
+) -> DataFrame:
+    """Difference-in-differences readout: users hash-split into
+    treatment (``user_id % n_buckets == treat_bucket``) and control,
+    time split at the midpoint of the observed day range, outcome =
+    mean event value per cell. Returns one row: the four cell counts
+    and means plus ``did`` = (T_post − T_pre) − (C_post − C_pre) —
+    the parallel-trends causal estimate every experiment-on-a-rollout
+    readout wants.
+
+    Determinism: values are quantized per ROW to integer micro-units
+    (floor(v·2^20) — exact on identical doubles), so cell sums are
+    exact BIGINTs and every mean is one division of identical
+    numbers; the final subtraction chain is fixed-order. No
+    data-dependent float summation anywhere. The split day is
+    ``min_day + (max_day − min_day) div 2``, derived from two scalar
+    aggregates broadcast back — no wall clock.
+
+    Scale: one scalar-bounds pass + one partial-aggregated 4-cell
+    rollup over the log."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if not 0 <= treat_bucket < n_buckets:
+        raise ValueError("treat_bucket out of range")
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    ).select(
+        F.expr(
+            "date_add(_d0, CAST(datediff(_d1, _d0) div 2 AS INT))"
+        ).alias("_split")
+    )
+    cells = (
+        events.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col(user_col) % n_buckets == treat_bucket)
+            .cast("int")
+            .alias("_treat"),
+            (F.to_date(F.col(ts_col)) > F.col("_split"))
+            .cast("int")
+            .alias("_post"),
+            F.floor(F.col(value_col) * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("_vq"),
+        )
+        .groupBy("_treat", "_post")
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_vq").cast("bigint").alias("_s"),
+        )
+    )
+    mean = (
+        F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+        / F.lit(1048576.0)
+    )
+    # conditional rollup over the 4-cell frame (exactly one row per
+    # (treat, post), so each SUM(CASE …) selects that cell's value)
+    flat = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("_treat") == t) & (F.col("_post") == p),
+                    F.col("_n"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"n_{'t' if t else 'c'}_{'post' if p else 'pre'}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("_treat") == t) & (F.col("_post") == p),
+                        mean,
+                    )
+                ),
+                6,
+            ).alias(
+                f"mean_{'t' if t else 'c'}_{'post' if p else 'pre'}"
+            )
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        F.round(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("_treat") == 1) & (F.col("_post") == 1),
+                        mean,
+                    )
+                )
+                - F.sum(
+                    F.when(
+                        (F.col("_treat") == 1) & (F.col("_post") == 0),
+                        mean,
+                    )
+                )
+            )
+            - (
+                F.sum(
+                    F.when(
+                        (F.col("_treat") == 0) & (F.col("_post") == 1),
+                        mean,
+                    )
+                )
+                - F.sum(
+                    F.when(
+                        (F.col("_treat") == 0) & (F.col("_post") == 0),
+                        mean,
+                    )
+                )
+            ),
+            6,
+        ).alias("did"),
+    )
+    return flat

@@ -88,3 +88,62 @@ def state_runs(
         F.min(time_col).alias("run_start"),
         F.max(time_col).alias("run_end"),
     )
+
+
+def session_flow(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    gap: str = "1 hour",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Entry→exit session flow matrix — the landing/exit report: per
+    (entry_type, exit_type), how many sessions started with one and
+    ended with the other, plus how many of those were single-event
+    bounces. Returns (entry_type, exit_type, n_sessions, bounces,
+    bounce_ppm) — a bounce necessarily has entry == exit, so bounce
+    rows off the diagonal are zero by construction.
+
+    Built on `sessionize` (gap-based session ids): one user-keyed
+    window pass assigns sessions, one partial-aggregated groupBy per
+    (user, session) picks the first/last event via struct min/max on
+    the total (ts, tiebreak) order, one |types|²-row rollup finishes.
+    All integers; bounce_ppm = bounces·10⁶ div n_sessions."""
+    s = sessionize(
+        events,
+        key_col=key_col,
+        time_col=time_col,
+        gap=gap,
+        order_tiebreak=order_tiebreak,
+    )
+    per_session = s.groupBy(key_col, "session_id").agg(
+        F.min(
+            F.struct(time_col, order_tiebreak, type_col)
+        ).alias("_first"),
+        F.max(
+            F.struct(time_col, order_tiebreak, type_col)
+        ).alias("_last"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    return (
+        per_session.groupBy(
+            F.col(f"_first.{type_col}").alias("entry_type"),
+            F.col(f"_last.{type_col}").alias("exit_type"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum((F.col("_n") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("bounces"),
+        )
+        .select(
+            "entry_type",
+            "exit_type",
+            "n_sessions",
+            "bounces",
+            F.expr(
+                "CAST(bounces * 1000000 div n_sessions AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+    )

@@ -10682,3 +10682,174 @@ _R6AJ_QUERIES = {
     "markov_stationary": QueryDef(q_markov_stationary, _markov_oracle()),
 }
 QUERIES = {**_R6AJ_QUERIES, **QUERIES}
+
+
+def q_session_flow(spark, sf_dir):
+    """Entry→exit session flow with bounce rates, 1-hour gap sessions
+    (sessions.session_flow): which event types open and close
+    sessions, and which entries bounce. One window pass + two
+    partial-aggregated rollups, all integers."""
+    from inception_eventstore_spark.operators.sessions import (
+        session_flow,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return session_flow(ev, gap="1 hour")
+
+
+_SESSION_FLOW_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN prev IS NULL
+      OR ts > prev + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM (
+    SELECT *, lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events)),
+ps AS (
+  SELECT user_id, session_id,
+    min({'t': ts, 'i': event_id, 'e': event_type}) AS f,
+    max({'t': ts, 'i': event_id, 'e': event_type}) AS l,
+    count(*) AS n
+  FROM s GROUP BY 1, 2)
+SELECT f.e AS entry_type, l.e AS exit_type,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+    AS BIGINT) AS bounce_ppm
+FROM ps GROUP BY 1, 2
+"""
+
+
+_R6AK_QUERIES = {
+    "session_flow": QueryDef(q_session_flow, _SESSION_FLOW_ORACLE),
+}
+QUERIES = {**_R6AK_QUERIES, **QUERIES}
+
+
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value table of the quality
+    model at separating English (scoring.woe_iv) — how much signal
+    each score decile carries; the separation complement of
+    calibration_curve on the same bin axis. All values are closed-form
+    expressions of four integers per row."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.woe_iv(
+        scored.withColumn("is_en", F.col("lang") == "en"),
+        "quality_prob",
+        "is_en",
+        bins=10,
+    )
+
+
+_WOE_IV_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) AS p
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT least(CAST(floor(s.p * 10) AS INTEGER), 9) AS bin,
+    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.p IS NOT NULL),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos
+  FROM lab GROUP BY bin),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS pt,
+    CAST(sum(1 - y) AS BIGINT) AS nt FROM lab)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+  CAST(n - n_pos AS BIGINT) AS n_neg,
+  round(ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE))
+    / ((CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(nt AS DOUBLE))), 6)
+    AS woe,
+  round((((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE))
+    - ((CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(nt AS DOUBLE)))
+    * ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE))
+    / ((CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(nt AS DOUBLE))), 6)
+    AS iv_term
+FROM g CROSS JOIN tot
+WHERE pt > 0 AND nt > 0
+"""
+
+
+_R6AL_QUERIES = {
+    "woe_iv": QueryDef(q_woe_iv, _WOE_IV_ORACLE),
+}
+QUERIES = {**_R6AL_QUERIES, **QUERIES}
+
+
+def q_did(spark, sf_dir):
+    """Difference-in-differences over event values (profile.
+    did_estimate): treatment = user_id % 2, time split at the midpoint
+    of the observed range — the rollout-experiment readout. Values
+    quantized per row to integer micro-units, so cell sums are exact
+    BIGINTs and the estimate is a fixed-order expression of exact
+    numbers."""
+    from inception_eventstore_spark.operators.profile import (
+        did_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return did_estimate(ev)
+
+
+_DID_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+s AS (SELECT d0 + CAST(datediff('day', d0, d1) // 2 AS INT) AS split
+  FROM b),
+cells AS (
+  SELECT CAST(user_id % 2 = 1 AS INT) AS t,
+    CAST(CAST(ts AS DATE) > (SELECT split FROM s) AS INT) AS p,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT)
+      AS sq
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT t, p, n,
+    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mean
+  FROM cells)
+SELECT
+  CAST(sum(CASE WHEN t = 0 AND p = 0 THEN n END) AS BIGINT)
+    AS n_c_pre,
+  CAST(sum(CASE WHEN t = 0 AND p = 1 THEN n END) AS BIGINT)
+    AS n_c_post,
+  CAST(sum(CASE WHEN t = 1 AND p = 0 THEN n END) AS BIGINT)
+    AS n_t_pre,
+  CAST(sum(CASE WHEN t = 1 AND p = 1 THEN n END) AS BIGINT)
+    AS n_t_post,
+  round(sum(CASE WHEN t = 0 AND p = 0 THEN mean END), 6)
+    AS mean_c_pre,
+  round(sum(CASE WHEN t = 0 AND p = 1 THEN mean END), 6)
+    AS mean_c_post,
+  round(sum(CASE WHEN t = 1 AND p = 0 THEN mean END), 6)
+    AS mean_t_pre,
+  round(sum(CASE WHEN t = 1 AND p = 1 THEN mean END), 6)
+    AS mean_t_post,
+  round((sum(CASE WHEN t = 1 AND p = 1 THEN mean END)
+    - sum(CASE WHEN t = 1 AND p = 0 THEN mean END))
+    - (sum(CASE WHEN t = 0 AND p = 1 THEN mean END)
+    - sum(CASE WHEN t = 0 AND p = 0 THEN mean END)), 6) AS did
+FROM m
+"""
+
+
+_R6AM_QUERIES = {
+    "did_estimate": QueryDef(q_did, _DID_ORACLE),
+}
+QUERIES = {**_R6AM_QUERIES, **QUERIES}

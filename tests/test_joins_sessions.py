@@ -305,3 +305,60 @@ class TestStateRuns:
         r = state_runs(df).collect()[0]
         assert r["run_start"] == t0
         assert r["run_end"] == t0 + dt.timedelta(minutes=2)
+
+
+class TestSessionFlow:
+    def test_entry_exit_and_bounces(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.sessions import (
+            session_flow,
+        )
+
+        d0 = dt.datetime(2024, 1, 1, 9)
+        m = dt.timedelta(minutes=1)
+        h = dt.timedelta(hours=3)
+        rows = [
+            # user 1 session 1: view → click → purchase
+            (1, d0, 1, "view"),
+            (2, d0 + m, 1, "click"),
+            (3, d0 + 2 * m, 1, "purchase"),
+            # user 1 session 2 (3h later): single view → bounce
+            (4, d0 + h, 1, "view"),
+            # user 2 session 1: view → view
+            (5, d0, 2, "view"),
+            (6, d0 + m, 2, "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        got = {
+            (r["entry_type"], r["exit_type"]): r
+            for r in session_flow(df, gap="1 hour").collect()
+        }
+        assert got[("view", "purchase")]["n_sessions"] == 1
+        assert got[("view", "purchase")]["bounces"] == 0
+        assert got[("view", "view")]["n_sessions"] == 2
+        assert got[("view", "view")]["bounces"] == 1
+        assert got[("view", "view")]["bounce_ppm"] == 500000
+
+    def test_same_instant_ties_use_event_id(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.sessions import (
+            session_flow,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (2, d0, 1, "b"),
+            (1, d0, 1, "a"),  # same ts: event_id 1 is the entry
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        (r,) = session_flow(df).collect()
+        assert (r["entry_type"], r["exit_type"]) == ("a", "b")
+        assert r["bounces"] == 0

@@ -1118,3 +1118,127 @@ class TestGiniConcentration:
         df = spark.createDataFrame([("a", 1, 1.5)], "g string, id long, v double")
         with pytest.raises(TypeError):
             gini_concentration(df, "v", "id", ["g"])
+
+
+class TestWoeIv:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, p double, y int")
+
+    def test_hand_computed_two_bins(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.scoring import woe_iv
+
+        # bin 0 (p<0.5): 1 pos, 3 neg; bin 1: 3 pos, 1 neg; P=N=4
+        rows = (
+            [(i, 0.2, 0) for i in range(3)]
+            + [(3, 0.2, 1)]
+            + [(i, 0.8, 1) for i in range(4, 7)]
+            + [(7, 0.8, 0)]
+        )
+        out = {
+            r["bin"]: r
+            for r in woe_iv(
+                self._df(spark, rows), "p", "y", bins=2
+            ).collect()
+        }
+        gs0, bs0 = 1.5 / 4, 3.5 / 4
+        assert out[0]["woe"] == round(math.log(gs0 / bs0), 6)
+        assert out[0]["iv_term"] == round(
+            (gs0 - bs0) * math.log(gs0 / bs0), 6
+        )
+        assert (out[0]["n"], out[0]["n_pos"], out[0]["n_neg"]) == (4, 1, 3)
+        # symmetric bins → equal-magnitude opposite woe
+        assert out[1]["woe"] == -out[0]["woe"]
+        # iv terms are always non-negative
+        assert out[0]["iv_term"] > 0 and out[1]["iv_term"] > 0
+
+    def test_empty_side_smoothed_finite(self, spark):
+        from inception_eventstore_spark.operators.scoring import woe_iv
+
+        rows = [(1, 0.9, 1), (2, 0.95, 1), (3, 0.1, 0)]
+        out = woe_iv(self._df(spark, rows), "p", "y", bins=2).collect()
+        assert all(abs(r["woe"]) < 100 for r in out)
+
+    def test_guard(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.scoring import woe_iv
+
+        with pytest.raises(ValueError):
+            woe_iv(self._df(spark, [(1, 0.5, 1)]), "p", "y", bins=1)
+
+
+class TestDidEstimate:
+    def test_hand_computed_effect(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            did_estimate,
+        )
+
+        # 10-day span: split = day 5; pre = days 0-5, post = days 6-10.
+        # control (even users): 10.0 pre, 11.0 post (+1 trend)
+        # treated (odd users): 20.0 pre, 24.0 post (+4) → DiD = 3.0
+        d0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day, post in [(0, False), (10, True)]:
+            for u, v in [(2, 10.0), (1, 20.0)]:
+                vv = v + (1.0 if post and u == 2 else 0.0) + (
+                    4.0 if post and u == 1 else 0.0
+                )
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), u, "e", vv)
+                )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        (r,) = did_estimate(df).collect()
+        assert (r["mean_c_pre"], r["mean_c_post"]) == (10.0, 11.0)
+        assert (r["mean_t_pre"], r["mean_t_post"]) == (20.0, 24.0)
+        assert r["did"] == 3.0
+        assert r["n_c_pre"] == 1 and r["n_t_post"] == 1
+
+    def test_parallel_trends_give_zero(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            did_estimate,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day in (0, 8):
+            bump = 2.0 if day > 4 else 0.0
+            for u in (1, 2, 3, 4):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), u, "e",
+                     5.0 + u + bump)
+                )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        (r,) = did_estimate(df).collect()
+        assert r["did"] == 0.0
+
+    def test_guards(self, spark):
+        import pytest
+
+        from inception_eventstore_spark.operators.profile import (
+            did_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        with pytest.raises(ValueError):
+            did_estimate(df, n_buckets=1)
+        with pytest.raises(ValueError):
+            did_estimate(df, treat_bucket=5)

@@ -624,6 +624,28 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "did_estimate": [
+        ("split day broadcast to the scan — the log never shuffles "
+         "for the scalar",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("4-cell rollup partial-aggregates map-side",
+         r"HashAggregate.*partial|partial_sum"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "woe_iv": [
+        ("bin rollup partial-aggregates map-side",
+         r"HashAggregate.*partial|partial_count"),
+        ("class totals broadcast — one row crossed in",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "session_flow": [
+        ("session assignment is one user-keyed window pass",
+         r"hashpartitioning\(user_id"),
+        ("per-session firsts/lasts partial-aggregate",
+         r"HashAggregate.*partial|partial_min"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "markov_stationary": [
         # transition counting (user-keyed lag window + partial agg)
         # executes at call time; the |states|² matrix iterates on the
