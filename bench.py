@@ -247,6 +247,7 @@ HEADLINE = [
     "session_flow",
     "woe_iv",
     "did_estimate",
+    "label_noise",
 ]
 
 

@@ -244,3 +244,69 @@ def woe_iv(
             F.round((gs - bs) * woe, 6).alias("iv_term"),
         )
     )
+
+
+def label_noise_counts(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Confident-learning label-noise estimate for a binary task
+    (Northcutt et al. 2021, public literature): rows whose predicted
+    probability clears the OTHER class's confidence threshold are
+    counted as suspected flips. Thresholds are the per-class mean
+    predicted probability (t₁ = mean p among y=1, t₀ analogously on
+    1−p); the joint count matrix C[given][suggested] and the flip
+    rate estimate follow. Returns 4 rows: (given, suggested, n,
+    share_ppm) — off-diagonal mass is the estimated label-noise rate,
+    the audit run before trusting a labeled corpus.
+
+    Exactness: ``prob_col`` is expected 6-dp-rounded (the repo's
+    score convention), so p·10⁶ is an exact integer; the threshold
+    comparison ``p > t_j`` is evaluated as the INTEGER cross-product
+    ``p_micro · n_j > Σ p_micro(j)`` — no float mean ever
+    materializes, so boundary rows (p exactly at the class mean)
+    resolve identically in both engines. Two passes: one 2-row class
+    aggregate (broadcast back), one partial-aggregated 4-cell count.
+    """
+    lab = scored.where(F.col(prob_col).isNotNull()).select(
+        F.round(F.col(prob_col) * 1000000).cast("bigint").alias("_pm"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    cls = lab.groupBy("_y").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_pm").cast("bigint").alias("_sp"),
+    )
+    # class-1 threshold on p; class-0 threshold on (1-p) ⇔ compare
+    # (1e6 - p_micro)·n₀ > Σ(1e6 - p_micro | y=0) = 1e6·n₀ - Σp₀
+    t1 = cls.where(F.col("_y") == 1).select(
+        F.col("_n").alias("_n1"), F.col("_sp").alias("_sp1")
+    )
+    t0 = cls.where(F.col("_y") == 0).select(
+        F.col("_n").alias("_n0"), F.col("_sp").alias("_sp0")
+    )
+    j = lab.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t0))
+    sug = (
+        F.when(
+            F.col("_pm") * F.col("_n1") > F.col("_sp1"), F.lit(1)
+        )
+        .when(
+            (F.lit(1000000) - F.col("_pm")) * F.col("_n0")
+            > F.lit(1000000) * F.col("_n0") - F.col("_sp0"),
+            F.lit(0),
+        )
+        .otherwise(F.col("_y"))
+    )
+    cells = j.groupBy(
+        F.col("_y").cast("bigint").alias("given"),
+        sug.cast("bigint").alias("suggested"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = lab.agg(F.count("*").cast("bigint").alias("_t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "given",
+        "suggested",
+        "n",
+        F.expr("CAST(n * 1000000 div _t AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -10853,3 +10853,67 @@ _R6AM_QUERIES = {
     "did_estimate": QueryDef(q_did, _DID_ORACLE),
 }
 QUERIES = {**_R6AM_QUERIES, **QUERIES}
+
+
+def q_label_noise(spark, sf_dir):
+    """Confident-learning label-noise matrix for is-English vs the
+    quality model (scoring.label_noise_counts): off-diagonal mass =
+    suspected flipped labels. Threshold comparisons run as exact
+    integer cross-products of 6-dp score micros — no float class mean
+    ever materializes."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.label_noise_counts(
+        scored.withColumn("is_en", F.col("lang") == "en"),
+        "quality_prob",
+        "is_en",
+    )
+
+
+_LABEL_NOISE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) AS p
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT CAST(round(s.p * 1000000) AS BIGINT) AS pm,
+    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.p IS NOT NULL),
+cls AS (SELECT y, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(pm) AS BIGINT) AS sp
+  FROM lab GROUP BY y),
+t1 AS (SELECT n AS n1, sp AS sp1 FROM cls WHERE y = 1),
+t0 AS (SELECT n AS n0, sp AS sp0 FROM cls WHERE y = 0),
+sug AS (
+  SELECT y AS given,
+    CASE WHEN pm * n1 > sp1 THEN 1
+         WHEN (1000000 - pm) * n0 > 1000000 * n0 - sp0 THEN 0
+         ELSE y END AS suggested
+  FROM lab CROSS JOIN t1 CROSS JOIN t0),
+cells AS (SELECT CAST(given AS BIGINT) AS given,
+    CAST(suggested AS BIGINT) AS suggested,
+    CAST(count(*) AS BIGINT) AS n
+  FROM sug GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lab)
+SELECT given, suggested, n,
+  CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+"""
+
+
+_R6AN_QUERIES = {
+    "label_noise": QueryDef(q_label_noise, _LABEL_NOISE_ORACLE),
+}
+QUERIES = {**_R6AN_QUERIES, **QUERIES}

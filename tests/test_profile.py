@@ -1242,3 +1242,52 @@ class TestDidEstimate:
             did_estimate(df, n_buckets=1)
         with pytest.raises(ValueError):
             did_estimate(df, treat_bucket=5)
+
+
+class TestLabelNoiseCounts:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, p double, y int")
+
+    def test_planted_flip_detected(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            label_noise_counts,
+        )
+
+        # class 1: p ≈ 0.9 (t1 mean = 0.85); class 0: p ≈ 0.1
+        # (t0 on 1-p: mean 0.85). One y=0 row with p=0.95 clears t1
+        # → suggested 1.
+        rows = [
+            (1, 0.9, 1), (2, 0.8, 1),
+            (3, 0.1, 0), (4, 0.2, 0), (5, 0.95, 0),
+        ]
+        got = {
+            (r["given"], r["suggested"]): r
+            for r in label_noise_counts(
+                self._df(spark, rows), "p", "y"
+            ).collect()
+        }
+        assert got[(0, 1)]["n"] == 1
+        assert got[(0, 1)]["share_ppm"] == 1000000 // 5
+        # clean rows stay on the diagonal
+        assert got[(0, 0)]["n"] == 2
+        # (1,1): p=0.9 > t1-mean only for 0.9 (0.9·2 > 1.7 true) —
+        # confidently 1, stays 1; 0.8 falls back to its given label
+        assert got[(1, 1)]["n"] == 2
+
+    def test_boundary_at_exact_mean_not_flipped(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            label_noise_counts,
+        )
+
+        # y=0 row with p exactly equal to t1 (strict >) stays 0
+        rows = [(1, 0.6, 1), (2, 0.6, 0), (3, 0.1, 0)]
+        got = {
+            (r["given"], r["suggested"]): r["n"]
+            for r in label_noise_counts(
+                self._df(spark, rows), "p", "y"
+            ).collect()
+        }
+        # t1 = 0.6; p=0.6 does NOT clear it (strict); t0 mean of 1-p
+        # over y=0 = (0.4+0.9)/2 = 0.65; row 2's 1-p = 0.4 ≤ 0.65 →
+        # keeps label 0
+        assert got.get((0, 1), 0) == 0

@@ -624,6 +624,12 @@ CHECKS = {
          r"BroadcastHashJoin|SortMergeJoin"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "label_noise": [
+        ("class thresholds broadcast — the scored corpus never "
+         "reshuffles", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("cell counts partial-aggregate map-side",
+         r"HashAggregate.*partial|partial_count"),
+    ],
     "did_estimate": [
         ("split day broadcast to the scan — the log never shuffles "
          "for the scalar",
