@@ -9888,9 +9888,9 @@ km AS (
   SELECT e.rn, e.d, e.de, e.n_risk,
     (km.s * (km.n_risk - km.de)) // km.n_risk AS s
   FROM km JOIN ev_days e ON e.rn = km.rn + 1)
-SELECT d AS t_days, n_risk,
+SELECT d AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
   de AS n_events,
-  (s * (n_risk - de)) // n_risk AS survival_ppb
+  CAST((s * (n_risk - de)) // n_risk AS BIGINT) AS survival_ppb
 FROM km
 """
 
