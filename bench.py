@@ -248,6 +248,8 @@ HEADLINE = [
     "woe_iv",
     "did_estimate",
     "label_noise",
+    "kmv_distinct",
+    "bootstrap_ci",
 ]
 
 

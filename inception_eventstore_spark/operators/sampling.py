@@ -721,3 +721,175 @@ def kfold_leakage_report(
             "leaked_groups",
         )
     )
+
+
+# Truncated-Poisson(1) CDF thresholds on the 60-bit hash domain:
+# P(W <= i) for i = 0..3, scaled by 2^60 and floored. A draw u in
+# [0, 2^60) maps to the first i with u < threshold, else 4. Exact
+# integer literals shared by the Spark plan and the oracle generator
+# below — the two sides can never drift.
+import math as _math
+
+_POISSON1_CDF = [
+    _math.exp(-1.0),
+    2.0 * _math.exp(-1.0),
+    2.5 * _math.exp(-1.0),
+    (8.0 / 3.0) * _math.exp(-1.0),
+]
+POISSON1_THRESHOLDS = [int(c * float(1 << 60)) for c in _POISSON1_CDF]
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Truncated Poisson(1) weight (0..4) from a uniform 60-bit draw."""
+    t = POISSON1_THRESHOLDS
+    return (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .otherwise(4)
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: str = "v1",
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean of ``value_col`` via the
+    Poisson bootstrap (Chamandy 2012, "Estimating uncertainty for
+    massive data streams" — the resampling scheme that works in one
+    streaming pass): instead of drawing n rows with replacement per
+    replicate (impossible without global coordination), each row
+    contributes an independent Poisson(1) weight per replicate, here a
+    DETERMINISTIC truncated-Poisson draw from the portable 60-bit md5
+    hash of (seed, replicate, key) so the whole procedure replays
+    bit-identically in any engine.
+
+    Scale shape: one projection explodes each row into ``b``
+    (replicate, weight) pairs — map-side only — and a partial-first
+    groupBy reduces them to exactly ``b`` (sum_w, sum_wx) integer
+    pairs; value quantization is ``floor(value · 2^20)`` (binary
+    fixed-point, exact in doubles). The bounded b-row table crosses to
+    the driver where the order statistics are picked (the km_survival
+    bounded-axis pattern); no window, no python UDF, no full-data
+    shuffle — the log never moves, only b rows do.
+
+    Output (one row): n_rows, b, mean_full, boot_median, ci_lo, ci_hi
+    (doubles rounded 6dp in-plan). Replicate means are doubles
+    computed as float(sum_wx)/float(sum_w)/2^20 with ties broken by
+    replicate id, so selection is deterministic; a replicate with zero
+    total weight (only possible for tiny inputs) is excluded from the
+    order statistics.
+    """
+    if b < 8:
+        raise ValueError(f"b must be >= 8, got {b}")
+    lo_rank = max(1, _math.ceil(alpha / 2.0 * b))
+    micros = F.floor(F.col(value_col) * F.lit(1048576.0)).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"),
+        micros.alias("_v"),
+    )
+    totals = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_v").cast("bigint").alias("sv"),
+    ).collect()[0]
+    n_rows, sum_micros = int(totals["n"]), int(totals["sv"] or 0)
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    u = md5_prefix60(
+        F.concat(
+            F.lit(f"boot:{seed}:"),
+            F.col("rep").cast("string"),
+            F.lit(":"),
+            F.col("_k"),
+        )
+    )
+    reps = (
+        base.select("_k", "_v", rep)
+        .withColumn("_w", _poisson1_weight(u).cast("bigint"))
+        .groupBy("rep")
+        .agg(
+            F.sum("_w").cast("bigint").alias("sw"),
+            F.sum(F.col("_w") * F.col("_v")).cast("bigint").alias("swx"),
+        )
+        .collect()
+    )
+    means = sorted(
+        (float(r["swx"]) / float(r["sw"]) / 1048576.0, int(r["rep"]))
+        for r in reps
+        if int(r["sw"]) > 0
+    )
+    nb = len(means)
+    med = means[(nb + 1) // 2 - 1][0]
+    lo = means[lo_rank - 1][0]
+    hi = means[nb - lo_rank][0]
+    mean_full = float(sum_micros) / float(n_rows) / 1048576.0
+
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    raw = _local_df(
+        df.sparkSession,
+        [(n_rows, b, mean_full, med, lo, hi)],
+        "n_rows bigint, b bigint, mean_full double, boot_median double, "
+        "ci_lo double, ci_hi double",
+    )
+    return raw.select(
+        "n_rows",
+        "b",
+        F.round("mean_full", 6).alias("mean_full"),
+        F.round("boot_median", 6).alias("boot_median"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+def poisson_bootstrap_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    value_expr: str,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: str = "v1",
+) -> str:
+    """DuckDB twin of ``poisson_bootstrap_ci`` — same hash, same
+    integer thresholds, same fixed-point quantization, same order
+    statistics. Generated from the SAME python threshold constants."""
+    t = POISSON1_THRESHOLDS
+    lo_rank = max(1, _math.ceil(alpha / 2.0 * b))
+    return f"""
+WITH src AS (SELECT CAST({key_expr} AS VARCHAR) AS k,
+    CAST(floor(({value_expr}) * 1048576.0) AS BIGINT) AS v
+  FROM ({source_sql}) s WHERE {value_expr} IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS BIGINT) AS sv FROM src),
+reps AS (SELECT rep, k, v,
+    CAST(concat('0x', substr(md5(concat('boot:{seed}:',
+      CAST(rep AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) AS u
+  FROM src CROSS JOIN range(0, {b}) r(rep)),
+w AS (SELECT rep,
+    CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1
+         WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3
+         ELSE 4 END AS w, v
+  FROM reps),
+agg AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
+    CAST(sum(w * v) AS BIGINT) AS swx
+  FROM w GROUP BY rep HAVING sum(w) > 0),
+m AS (SELECT rep,
+    CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) / 1048576.0 AS mu,
+    row_number() OVER (ORDER BY CAST(swx AS DOUBLE)
+      / CAST(sw AS DOUBLE) / 1048576.0, rep) AS r,
+    count(*) OVER () AS nb
+  FROM agg)
+SELECT (SELECT n FROM tot) AS n_rows, CAST({b} AS BIGINT) AS b,
+  round((SELECT CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+    FROM tot), 6) AS mean_full,
+  round(max(CASE WHEN r = (nb + 1) // 2 THEN mu END), 6)
+    AS boot_median,
+  round(max(CASE WHEN r = {lo_rank} THEN mu END), 6) AS ci_lo,
+  round(max(CASE WHEN r = nb - {lo_rank} + 1 THEN mu END), 6) AS ci_hi
+FROM m
+"""

@@ -539,3 +539,154 @@ SELECT e_a.denom AS denom_a, e_b.denom AS denom_b,
     AS jaccard
 FROM e_a, e_b, e_u
 """
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    shards: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values (theta) sketch state: per group, the ``k``
+    smallest DISTINCT portable 60-bit hashes of the value, ranked
+    ``r`` in [1, k] (Bar-Yossef 2002; the Apache DataSketches theta
+    family's core). The sketch is a fixed k-row certificate per group
+    no matter how large the input, and two sketches merge by taking
+    the k smallest of their union — see ``kmv_merge``.
+
+    Scale shape: one distinct shuffle on (group, hash), then a
+    TWO-PHASE top-k — phase 1 ranks within (group, hash mod
+    ``shards``) so no task ever sees more than ~1/shards of a group's
+    distinct values, phase 2 re-ranks the surviving ≤ k·shards
+    candidates per group (bounded, so the per-group window is safe —
+    never a full-group single task; CLAUDE.md rank-window rule).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = list(group_cols or [])
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_prefix60(F.concat(F.lit("kmv:"), value.cast("string")))
+    hashed = (
+        df.where(value.isNotNull())
+        .select(*groups, h.alias("h"))
+        .distinct()
+        .withColumn("_shard", F.pmod(F.col("h"), F.lit(shards)))
+    )
+    w1 = Window.partitionBy(*groups, "_shard").orderBy("h")
+    cand = (
+        hashed.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_shard", "_r1")
+    )
+    if groups:
+        w2 = Window.partitionBy(*groups).orderBy("h")
+        ranked = cand.withColumn(
+            "r", F.row_number().over(w2).cast("bigint")
+        )
+    else:
+        # no group key → a plain window would be a SinglePartition
+        # funnel; rank the (bounded) candidates with the two-phase
+        # shard rank instead
+        from inception_eventstore_spark.functions.ranking import (
+            grouped_row_number,
+        )
+
+        ranked = grouped_row_number(cand, [F.col("h")], rank_col="r")
+    return ranked.where(F.col("r") <= k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate from KMV sketch state. When the group
+    holds fewer than k distinct values the sketch IS the value set and
+    the count is exact; otherwise the standard unbiased estimator
+    (k-1)/theta with theta = h_k / 2^60, evaluated in pure integer
+    fixed-point — ``(k-1)·2^40 div (h_k div 2^20)`` — so the result is
+    a BIGINT that cannot drift between engines (the div-by-2^20
+    pre-shift keeps the numerator under 2^63; it costs at most ~2^-40
+    relative granularity against the sketch's own ~1/sqrt(k) error).
+    """
+    groups = list(group_cols or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    num = (k - 1) << 40
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"div({num}, greatest(div(kth_hash, 1048576), 1))")
+    )
+    return agg.select(
+        *groups,
+        "n_kept",
+        "kth_hash",
+        est.cast("bigint").alias("kmv_est"),
+    )
+
+
+def kmv_merge(
+    sketches: list[DataFrame], k: int = 64
+) -> DataFrame:
+    """Merge KMV sketches (columns ``h``, ``r``; any groups already
+    projected away): k smallest distinct hashes of the union — the
+    sketch-algebra property that lets 1000 executors each sketch a
+    shard and a final k·n_shards-row pass produce the global sketch.
+    Input is bounded (k rows per sketch); the global rank still runs
+    through the two-phase shard rank so no SinglePartition window
+    exists anywhere in the family.
+    """
+    from functools import reduce
+
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select("h") for s in sketches],
+    ).distinct()
+    ranked = grouped_row_number(u, [F.col("h")], rank_col="r")
+    return ranked.where(F.col("r") <= k)
+
+
+def kmv_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    group_expr: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of ``kmv_sketch`` → ``kmv_estimate`` per group plus
+    the ``kmv_merge`` ALL row — identical hash, identical integer
+    fixed-point, so the estimates are bit-equal. Kept beside the
+    operator so the arithmetic can never drift."""
+    num = (k - 1) << 40
+    return f"""
+WITH src AS ({source_sql}),
+h AS (SELECT DISTINCT {group_expr} AS grp,
+  CAST(concat('0x', substr(md5(concat('kmv:',
+    CAST({value_expr} AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM src WHERE {value_expr} IS NOT NULL),
+kept AS (SELECT grp, h,
+    row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+  FROM h QUALIFY r <= {k}),
+per_grp AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+    max(h) AS kth_hash
+  FROM kept GROUP BY grp),
+all_kept AS (SELECT DISTINCT h FROM kept),
+all_rank AS (SELECT h, row_number() OVER (ORDER BY h) AS r
+  FROM all_kept QUALIFY r <= {k}),
+all_row AS (SELECT '__ALL__' AS grp,
+    CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+  FROM all_rank),
+u AS (SELECT * FROM per_grp UNION ALL SELECT * FROM all_row)
+SELECT grp, n_kept, kth_hash,
+  CAST(CASE WHEN n_kept < {k} THEN n_kept
+    ELSE {num} // greatest(kth_hash // 1048576, 1)
+  END AS BIGINT) AS kmv_est
+FROM u
+"""

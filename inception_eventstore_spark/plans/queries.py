@@ -10917,3 +10917,86 @@ _R6AN_QUERIES = {
     "label_noise": QueryDef(q_label_noise, _LABEL_NOISE_ORACLE),
 }
 QUERIES = {**_R6AN_QUERIES, **QUERIES}
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV / theta-sketch distinct users per event type plus the
+    merged '__ALL__' row (sketches.kmv_sketch/kmv_estimate/kmv_merge):
+    the k-minimum-values counterpart of hll_distinct, demonstrating
+    the other mergeable distinct sketch — fixed k-row state per group,
+    integer fixed-point estimator, and an exact-union merge (any hash
+    among the global k smallest is necessarily inside its own group's
+    sketch, so merging per-group sketches IS the global sketch). The
+    sketch is checkpointed once (≤ k·|types| rows) and feeds both the
+    per-group estimates and the merge."""
+    from inception_eventstore_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(
+        ev, "user_id", ["event_type"], k=64
+    ).localCheckpoint(eager=False)
+    per = SK.kmv_estimate(sk, ["event_type"], k=64).select(
+        F.col("event_type").alias("grp"), "n_kept", "kth_hash", "kmv_est"
+    )
+    merged = SK.kmv_merge([sk], k=64)
+    allrow = SK.kmv_estimate(merged, [], k=64).select(
+        F.lit("__ALL__").alias("grp"), "n_kept", "kth_hash", "kmv_est"
+    )
+    return per.unionByName(allrow).orderBy("grp")
+
+
+def _kmv_distinct_oracle() -> str:
+    from inception_eventstore_spark.operators.sketches import kmv_oracle_sql
+
+    inner = kmv_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "user_id",
+        "event_type",
+        k=64,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY grp"
+
+
+_R6AO_QUERIES = {
+    "kmv_distinct": QueryDef(q_kmv_distinct, _kmv_distinct_oracle()),
+}
+QUERIES = {**_R6AO_QUERIES, **QUERIES}
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Percentile bootstrap CI for the mean order total via the
+    deterministic Poisson bootstrap (sampling.poisson_bootstrap_ci,
+    Chamandy 2012): each order contributes a truncated-Poisson(1)
+    weight per replicate drawn from the portable md5-60 hash, so 200
+    resampled means — and hence the CI — replay bit-identically in
+    DuckDB. The log explodes map-side into (replicate, weight) pairs
+    and partial-aggregates to exactly 200 integer rows; only those
+    cross to the driver for the order statistics (km_survival
+    bounded-axis pattern)."""
+    from inception_eventstore_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        orders, "o_orderkey", "o_totalprice", b=200
+    )
+
+
+def _bootstrap_ci_oracle() -> str:
+    from inception_eventstore_spark.operators.sampling import (
+        poisson_bootstrap_oracle_sql,
+    )
+
+    return poisson_bootstrap_oracle_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        "o_orderkey",
+        "o_totalprice",
+        b=200,
+    )
+
+
+_R6AP_QUERIES = {
+    "bootstrap_ci": QueryDef(q_bootstrap_ci, _bootstrap_ci_oracle()),
+}
+QUERIES = {**_R6AP_QUERIES, **QUERIES}

@@ -450,3 +450,71 @@ class TestGroupedKfold:
         df = spark.createDataFrame([(1, 1)], ["row_id", "grp"])
         with pytest.raises(ValueError):
             grouped_kfold(df, k=1, group_col="grp")
+
+
+class TestPoissonBootstrapCI:
+    def _fixture(self, spark, n=2000):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).cast("double").alias("x"),
+        )
+
+    def test_ci_brackets_mean(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            poisson_bootstrap_ci,
+        )
+
+        row = poisson_bootstrap_ci(
+            self._fixture(spark), "k", "x", b=64
+        ).first()
+        # true mean of id%100 over 2000 rows is 49.5; sd ~28.9, so the
+        # 95% CI half-width ~ 1.96*28.9/sqrt(2000) ~ 1.27
+        assert row["n_rows"] == 2000
+        assert row["mean_full"] == 49.5  # integer inputs: micros exact
+        assert row["ci_lo"] < row["mean_full"] < row["ci_hi"]
+        assert row["ci_lo"] > 47.0 and row["ci_hi"] < 52.0
+        assert abs(row["boot_median"] - row["mean_full"]) < 1.0
+
+    def test_deterministic(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            poisson_bootstrap_ci,
+        )
+
+        df = self._fixture(spark, 500)
+        a = poisson_bootstrap_ci(df, "k", "x", b=32).first()
+        b = poisson_bootstrap_ci(
+            df.repartition(7), "k", "x", b=32
+        ).first()
+        assert a.asDict() == b.asDict()
+
+    def test_oracle_parity(self, spark):
+        import duckdb
+
+        from inception_eventstore_spark.operators.sampling import (
+            poisson_bootstrap_ci,
+            poisson_bootstrap_oracle_sql,
+        )
+
+        rows = [(i, float((i * 37) % 250) / 4.0) for i in range(300)]
+        df = spark.createDataFrame(rows, ["k", "x"])
+        got = poisson_bootstrap_ci(df, "k", "x", b=48).first().asDict()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"({k}, {x})" for k, x in rows)
+            + ") v(k, x)"
+        )
+        sql = poisson_bootstrap_oracle_sql(
+            "SELECT k, x FROM t", "k", "x", b=48
+        )
+        cols = ["n_rows", "b", "mean_full", "boot_median", "ci_lo", "ci_hi"]
+        want = dict(zip(cols, con.sql(sql).fetchone()))
+        assert got == want
+
+    def test_b_guard(self, spark):
+        from inception_eventstore_spark.operators.sampling import (
+            poisson_bootstrap_ci,
+        )
+
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(self._fixture(spark, 10), "k", "x", b=4)

@@ -309,3 +309,80 @@ class TestHllOverlap:
         ]
         for c, w in zip(cols, want):
             assert got[c] == w, (c, got[c], w)
+
+
+class TestKMV:
+    def test_exact_when_below_k(self, spark):
+        """Fewer than k distinct values: the sketch IS the value set
+        and the estimate is the exact distinct count."""
+        df = spark.range(40).select((F.col("id") % 17).alias("k"))
+        row = SK.kmv_estimate(SK.kmv_sketch(df, "k", k=64), k=64).first()
+        assert row["n_kept"] == 17
+        assert row["kmv_est"] == 17
+
+    def test_estimate_accuracy_20k(self, spark):
+        """20k distinct keys, k=256: theoretical RSD ~1/sqrt(k-2)
+        ~6.3%; the hash is fixed so the error is a constant — pin a
+        ~2-sigma envelope."""
+        n = 20_000
+        df = spark.range(n).select(F.col("id").alias("k"))
+        row = SK.kmv_estimate(
+            SK.kmv_sketch(df, "k", k=256), k=256
+        ).first()
+        assert row["n_kept"] == 256
+        assert 0.87 * n < row["kmv_est"] < 1.13 * n
+
+    def test_duplicates_do_not_move_sketch(self, spark):
+        once = spark.range(1000).select(F.col("id").alias("k"))
+        many = once.crossJoin(spark.range(7)).select("k")
+        r1 = SK.kmv_estimate(SK.kmv_sketch(once, "k")).first()
+        r2 = SK.kmv_estimate(SK.kmv_sketch(many, "k")).first()
+        assert r1["kth_hash"] == r2["kth_hash"]
+        assert r1["kmv_est"] == r2["kmv_est"]
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        """kmv_merge of two disjoint halves is bit-identical to the
+        sketch of the union — the exactness property that makes the
+        sketch shard-parallel at any scale."""
+        a = spark.range(0, 5000).select(F.col("id").alias("k"))
+        b = spark.range(5000, 10000).select(F.col("id").alias("k"))
+        merged = SK.kmv_merge(
+            [SK.kmv_sketch(a, "k", k=128), SK.kmv_sketch(b, "k", k=128)],
+            k=128,
+        )
+        whole = SK.kmv_sketch(a.unionByName(b), "k", k=128)
+        got = sorted(r["h"] for r in merged.collect())
+        want = sorted(r["h"] for r in whole.collect())
+        assert got == want
+
+    def test_oracle_parity_grouped(self, spark):
+        """DuckDB twin reproduces per-group estimates AND the merged
+        __ALL__ row bit-for-bit."""
+        rows = [(f"g{i % 3}", i % 97) for i in range(600)]
+        df = spark.createDataFrame(rows, ["g", "k"])
+        sk = SK.kmv_sketch(df, "k", ["g"], k=32)
+        per = SK.kmv_estimate(sk, ["g"], k=32)
+        got = {
+            r["g"]: (r["n_kept"], r["kth_hash"], r["kmv_est"])
+            for r in per.collect()
+        }
+        allrow = SK.kmv_estimate(SK.kmv_merge([sk], k=32), k=32).first()
+        got["__ALL__"] = (
+            allrow["n_kept"],
+            allrow["kth_hash"],
+            allrow["kmv_est"],
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"('g{i % 3}', {i % 97})" for i in range(600))
+            + ") v(g, k)"
+        )
+        sql = SK.kmv_oracle_sql("SELECT g, k FROM t", "k", "g", k=32)
+        want = {g: (n, kh, e) for g, n, kh, e in con.sql(sql).fetchall()}
+        assert got == want
+
+    def test_k_bound(self, spark):
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError):
+            SK.kmv_sketch(df, "k", k=1)

@@ -794,6 +794,28 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "bootstrap_ci": [
+        # the exploded (replicate, weight) aggregation executes at
+        # call time (b integer rows cross to the driver for the order
+        # statistics); the probed plan is the returned 1-row table
+        ("returned relation is the driver-assembled CI row (local "
+         "scan, no lingering distributed stages)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "kmv_distinct": [
+        ("distinct (type, hash) pairs partial-aggregate before the "
+         "shuffle — only distinct survivors move",
+         r"HashAggregate.*partial|partial_count"),
+        # the sketch itself is checkpointed (≤ k·|types| rows) so its
+        # two-phase build is probe-hidden; the visible merge rank must
+        # fan across _gr_pid shards, never one task
+        ("merged-sketch global rank fans across range shards",
+         r"hashpartitioning\(_gr_pid"),
+        ("per-group estimate aggregates the checkpointed k-row sketch",
+         r"Scan ExistingRDD"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
 }
 
 
