@@ -250,6 +250,8 @@ HEADLINE = [
     "label_noise",
     "kmv_distinct",
     "bootstrap_ci",
+    "cuped_estimate",
+    "srm_check",
 ]
 
 

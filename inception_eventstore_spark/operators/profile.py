@@ -1036,3 +1036,184 @@ def did_estimate(
         ).alias("did"),
     )
     return flat
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 2,
+    treat_bucket: int = 1,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the sensitivity of online controlled experiments"):
+    each user's PRE-period activity is the control covariate for their
+    POST-period outcome — theta = cov(X,Y)/var(X) pooled across arms,
+    adjusted outcome Y − theta·(X − mean(X)). The standard lift for
+    underpowered A/B tests; reported next to the raw diff so the
+    variance reduction is visible.
+
+    Determinism: per-user pre/post sums are exact BIGINT micro-units
+    (floor(v·2^20) per row), down-shifted to units via integer div so
+    every moment (Σx, Σy, Σx², Σxy) stays an exact BIGINT under ANSI
+    mode; theta and the means are then FIXED-ORDER double expressions
+    of those exact scalars (each BIGINT cast to double before any
+    product — the DuckDB twin computes the identical expression, and
+    DuckDB's HUGEINT widening never engages). Time split at the
+    midpoint day, as in did_estimate.
+
+    Scale: one partial-aggregated per-user rollup (the only shuffle,
+    on the user key) + a scalar moment fold. Users with no pre-period
+    activity carry X = 0 — the covariate is still centered, so the
+    estimator stays unbiased.
+
+    Output one row: n_users, n_t, n_c, theta, mean_y_t, mean_y_c,
+    diff_raw, diff_cuped (6-dp).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if not 0 <= treat_bucket < n_buckets:
+        raise ValueError("treat_bucket out of range")
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    ).select(
+        F.expr(
+            "date_add(_d0, CAST(datediff(_d1, _d0) div 2 AS INT))"
+        ).alias("_split")
+    )
+    per_user = (
+        events.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(user_col).alias("_u"),
+            (F.col(user_col) % n_buckets == treat_bucket)
+            .cast("int")
+            .alias("_t"),
+            (F.to_date(F.col(ts_col)) > F.col("_split"))
+            .cast("int")
+            .alias("_post"),
+            F.floor(F.col(value_col) * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("_vq"),
+        )
+        .groupBy("_u", "_t")
+        .agg(
+            F.expr(
+                "div(coalesce(sum(CASE WHEN _post = 0 THEN _vq END), 0),"
+                " 1048576)"
+            ).alias("_x"),
+            F.expr(
+                "div(coalesce(sum(CASE WHEN _post = 1 THEN _vq END), 0),"
+                " 1048576)"
+            ).alias("_y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum("_x").cast("bigint").alias("sx"),
+        F.sum("_y").cast("bigint").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("bigint").alias("sxy"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_x")).otherwise(0))
+        .cast("bigint")
+        .alias("sxt"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0))
+        .cast("bigint")
+        .alias("syt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / F.nullif(
+        d("n") * d("sxx") - d("sx") * d("sx"), F.lit(0.0)
+    )
+    nc = F.col("n") - F.col("nt")
+    my_t = d("syt") / d("nt")
+    my_c = (d("sy") - d("syt")) / nc.cast("double")
+    mx_t = d("sxt") / d("nt")
+    mx_c = (d("sx") - d("sxt")) / nc.cast("double")
+    mx_all = d("sx") / d("n")
+    adj = (my_t - theta * (mx_t - mx_all)) - (
+        my_c - theta * (mx_c - mx_all)
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_t"),
+        nc.cast("bigint").alias("n_c"),
+        F.round(theta, 6).alias("theta"),
+        F.round(my_t, 6).alias("mean_y_t"),
+        F.round(my_c, 6).alias("mean_y_c"),
+        F.round(my_t - my_c, 6).alias("diff_raw"),
+        F.round(adj, 6).alias("diff_cuped"),
+    )
+
+
+def srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of any experiment
+    readout (Fabijan et al. 2019): distinct users per assignment
+    bucket vs the uniform expectation, chi-square computed from the
+    INTEGER identity chi2 = (k·Σn_i² − n²)/n so no data-dependent
+    float summation exists (a CASE-summed chi2 over k double terms
+    would be engine-order-dependent; this is one division of exact
+    BIGINTs). Flag at the df = k−1, p = 0.05 critical value.
+
+    Scale: one distinct-user rollup (partial-aggregated on the user
+    key) to k rows. Output one row: n_users, per-bucket counts ppm
+    shares folded via conditional sums, chi2_6dp, srm flag.
+    """
+    if not 2 <= n_buckets <= 16:
+        raise ValueError("n_buckets must be in [2, 16]")
+    # chi-square 0.95 quantiles for df = 1..15
+    crit = [
+        3.841459,
+        5.991465,
+        7.814728,
+        9.487729,
+        11.070498,
+        12.591587,
+        14.067140,
+        15.507313,
+        16.918978,
+        18.307038,
+        19.675138,
+        21.026070,
+        22.362032,
+        23.684791,
+        24.995790,
+    ][n_buckets - 2]
+    per_bucket = (
+        events.select(
+            (F.col(user_col) % n_buckets).cast("int").alias("_b"),
+            F.col(user_col).alias("_u"),
+        )
+        .distinct()
+        .groupBy("_b")
+        .agg(F.count("*").cast("bigint").alias("_n"))
+    )
+    m = per_bucket.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("snn"),
+        *[
+            F.sum(F.when(F.col("_b") == b, F.col("_n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{b}")
+            for b in range(n_buckets)
+        ],
+    )
+    chi2 = (
+        F.lit(n_buckets).cast("double") * F.col("snn").cast("double")
+        - F.col("n").cast("double") * F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_users"),
+        *[F.col(f"n_{b}") for b in range(n_buckets)],
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(crit)).cast("int").alias("srm_flag"),
+    )

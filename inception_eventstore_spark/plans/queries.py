@@ -11000,3 +11000,113 @@ _R6AP_QUERIES = {
     "bootstrap_ci": QueryDef(q_bootstrap_ci, _bootstrap_ci_oracle()),
 }
 QUERIES = {**_R6AP_QUERIES, **QUERIES}
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (profile.cuped_adjustment,
+    Deng 2013): pre-period per-user activity as the covariate for the
+    post-period outcome, theta pooled, diff_raw vs diff_cuped side by
+    side. Per-user sums are exact integer micro-units down-shifted by
+    integer div; theta/means are fixed-order double expressions of
+    exact BIGINT moments."""
+    from inception_eventstore_spark.operators.profile import (
+        cuped_adjustment,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_adjustment(ev)
+
+
+_CUPED_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+s AS (SELECT d0 + CAST(datediff('day', d0, d1) // 2 AS INT) AS split
+  FROM b),
+pu AS (
+  SELECT user_id, CAST(user_id % 2 = 1 AS INT) AS t,
+    COALESCE(sum(CASE WHEN CAST(ts AS DATE) <= (SELECT split FROM s)
+      THEN CAST(floor(value * 1048576.0) AS BIGINT) END), 0)
+      // 1048576 AS x,
+    COALESCE(sum(CASE WHEN CAST(ts AS DATE) > (SELECT split FROM s)
+      THEN CAST(floor(value * 1048576.0) AS BIGINT) END), 0)
+      // 1048576 AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(t) AS BIGINT) AS nt,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
+  FROM pu)
+SELECT n AS n_users, nt AS n_t, CAST(n - nt AS BIGINT) AS n_c,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS theta,
+  round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_y_t,
+  round((CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
+    / CAST(n - nt AS DOUBLE), 6) AS mean_y_c,
+  round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+    - (CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
+      / CAST(n - nt AS DOUBLE), 6) AS diff_raw,
+  round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+      * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
+         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+    - ((CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE))
+        / CAST(n - nt AS DOUBLE)
+      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        * ((CAST(sx AS DOUBLE) - CAST(sxt AS DOUBLE))
+            / CAST(n - nt AS DOUBLE)
+           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+    AS diff_cuped
+FROM m
+"""
+
+
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch gate (profile.srm_check): distinct users
+    per 3-way assignment bucket vs uniform, chi-square from the
+    integer identity (k·Σn² − n²)/n — one division of exact BIGINTs,
+    no float summation."""
+    from inception_eventstore_spark.operators.profile import srm_check
+
+    ev = _t(spark, sf_dir, "events")
+    return srm_check(ev, n_buckets=3)
+
+
+_SRM_ORACLE = """
+WITH pb AS (
+  SELECT CAST(user_id % 3 AS INT) AS b,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+m AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(n * n) AS BIGINT) AS snn,
+    CAST(sum(CASE WHEN b = 0 THEN n ELSE 0 END) AS BIGINT) AS n_0,
+    CAST(sum(CASE WHEN b = 1 THEN n ELSE 0 END) AS BIGINT) AS n_1,
+    CAST(sum(CASE WHEN b = 2 THEN n ELSE 0 END) AS BIGINT) AS n_2
+  FROM pb)
+SELECT n AS n_users, n_0, n_1, n_2,
+  round((3.0 * CAST(snn AS DOUBLE)
+    - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+    AS chi2,
+  CAST((3.0 * CAST(snn AS DOUBLE)
+    - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+    > 5.991465 AS INT) AS srm_flag
+FROM m
+"""
+
+
+_R6AQ_QUERIES = {
+    "cuped_estimate": QueryDef(q_cuped, _CUPED_ORACLE),
+    "srm_check": QueryDef(q_srm, _SRM_ORACLE),
+}
+QUERIES = {**_R6AQ_QUERIES, **QUERIES}

@@ -1291,3 +1291,138 @@ class TestLabelNoiseCounts:
         # over y=0 = (0.4+0.9)/2 = 0.65; row 2's 1-p = 0.4 ≤ 0.65 →
         # keeps label 0
         assert got.get((0, 1), 0) == 0
+
+
+class TestCupedAdjustment:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_removes_covariate_imbalance(self, spark):
+        """Outcome = own pre-period level + effect·treat. Arms have
+        imbalanced pre-period baselines, so the raw diff is biased by
+        the imbalance; CUPED (theta = 1 here by construction) removes
+        it exactly and recovers the true effect."""
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            cuped_adjustment,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        # users 1..8; odd = treated. Pre level varies per user and is
+        # deliberately higher for treated (imbalance +3 on average).
+        pre = {1: 10.0, 3: 12.0, 5: 14.0, 7: 16.0,
+               2: 8.0, 4: 10.0, 6: 11.0, 8: 11.0}
+        effect = 2.0
+        for u, x in pre.items():
+            eid += 1
+            rows.append((eid, d0, u, "e", x))
+            y = x + (effect if u % 2 == 1 else 0.0)
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(days=10), u, "e", y))
+        (r,) = cuped_adjustment(self._mk(spark, rows)).collect()
+        assert r["n_users"] == 8 and r["n_t"] == 4 and r["n_c"] == 4
+        # raw diff = effect + baseline imbalance (13-10=3)
+        assert r["diff_raw"] == 5.0
+        # expected theta/adjustment from the same exact integer moments
+        xs = {u: x for u, x in pre.items()}
+        ys = {u: x + (effect if u % 2 == 1 else 0.0)
+              for u, x in pre.items()}
+        n = len(xs)
+        sx = sum(xs.values())
+        sy = sum(ys.values())
+        sxx = sum(v * v for v in xs.values())
+        sxy = sum(xs[u] * ys[u] for u in xs)
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert r["theta"] == round(theta, 6)
+        t_users = [u for u in xs if u % 2 == 1]
+        c_users = [u for u in xs if u % 2 == 0]
+        mxa = sx / n
+        adj = (
+            sum(ys[u] for u in t_users) / 4
+            - theta * (sum(xs[u] for u in t_users) / 4 - mxa)
+        ) - (
+            sum(ys[u] for u in c_users) / 4
+            - theta * (sum(xs[u] for u in c_users) / 4 - mxa)
+        )
+        assert abs(r["diff_cuped"] - adj) < 1e-6
+        # the adjustment moves the estimate toward the true effect
+        assert abs(r["diff_cuped"] - effect) < abs(r["diff_raw"] - effect)
+
+    def test_no_pre_activity_counts_as_zero(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            cuped_adjustment,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, d0, 2, "e", 5.0),
+            (2, d0 + dt.timedelta(days=10), 2, "e", 6.0),
+            # user 1 (treated) has ONLY post activity → x = 0
+            (3, d0 + dt.timedelta(days=10), 1, "e", 9.0),
+        ]
+        (r,) = cuped_adjustment(self._mk(spark, rows)).collect()
+        assert r["n_users"] == 2
+        assert r["diff_raw"] == 3.0  # 9 - 6
+        # var(x) over {5, 0} is nonzero → theta defined, no crash
+        assert r["theta"] is not None
+
+    def test_bucket_guards(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            cuped_adjustment,
+        )
+
+        df = self._mk(spark, [])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            cuped_adjustment(df, n_buckets=1)
+        with _pt.raises(ValueError):
+            cuped_adjustment(df, treat_bucket=5)
+
+
+class TestSrmCheck:
+    def _mk(self, spark, user_ids):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(i, d0, u, "e", 1.0) for i, u in enumerate(user_ids)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+
+    def test_balanced_passes(self, spark):
+        from inception_eventstore_spark.operators.profile import srm_check
+
+        # users 0..299 → exactly 100 per bucket of user_id % 3
+        df = self._mk(spark, list(range(300)) * 2)  # dup events ok
+        (r,) = srm_check(df, n_buckets=3).collect()
+        assert (r["n_0"], r["n_1"], r["n_2"]) == (100, 100, 100)
+        assert r["chi2"] == 0.0 and r["srm_flag"] == 0
+
+    def test_planted_mismatch_flags(self, spark):
+        from inception_eventstore_spark.operators.profile import srm_check
+
+        # bucket 2 loses 60 of its 100 users → chi2 blows past 5.99
+        users = [u for u in range(300) if not (u % 3 == 2 and u < 180)]
+        (r,) = srm_check(self._mk(spark, users), n_buckets=3).collect()
+        n0, n1, n2 = r["n_0"], r["n_1"], r["n_2"]
+        assert (n0, n1, n2) == (100, 100, 40)
+        n, snn = n0 + n1 + n2, n0 * n0 + n1 * n1 + n2 * n2
+        assert r["chi2"] == round((3.0 * snn - float(n) * n) / n, 6)
+        assert r["srm_flag"] == 1
+
+    def test_bucket_guard(self, spark):
+        from inception_eventstore_spark.operators.profile import srm_check
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            srm_check(self._mk(spark, [1]), n_buckets=1)

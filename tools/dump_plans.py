@@ -794,6 +794,22 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    # both A/B readouts END in a one-row scalar aggregate — the final
+    # SinglePartition exchange is the legitimate global-agg stage, so
+    # no blanket !SinglePartition here (CLAUDE.md plan-check rule)
+    "cuped_estimate": [
+        ("split-day bounds broadcast back — the log never shuffles "
+         "to meet them", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("per-user pre/post sums partial-aggregate on the user key",
+         r"HashAggregate[^\n]*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "srm_check": [
+        ("distinct users partial-aggregate before the k-row rollup",
+         r"HashAggregate[^\n]*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere", "!Window"),
+    ],
     "bootstrap_ci": [
         # the exploded (replicate, weight) aggregation executes at
         # call time (b integer rows cross to the driver for the order
