@@ -252,6 +252,7 @@ HEADLINE = [
     "bootstrap_ci",
     "cuped_estimate",
     "srm_check",
+    "ccf_leadlag",
 ]
 
 

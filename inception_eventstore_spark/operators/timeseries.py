@@ -700,3 +700,91 @@ def acf_daily(
             F.round(F.col("_num") / F.col("_den"), 6).alias("acf"),
         )
     )
+
+
+def cross_correlation_daily(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lead-lag cross-correlation of two event types' daily counts at
+    lags −``max_lag``..+``max_lag`` — the "do errors lead churn by two
+    days?" diagnostic (the cross-series sibling of acf_daily). For lag
+    l, r(l) = corr(a_t, b_{t+l}) over the zero-filled global day grid,
+    so a peak at positive l means A LEADS B by l days.
+
+    Determinism: unlike acf_daily (which centers first and accepts
+    1-ulp summation jitter), every per-lag moment here — n, Σa, Σb,
+    Σa², Σb², Σab — is an exact BIGINT of raw counts; the Pearson
+    combination is one fixed-order double expression of those exact
+    scalars, so the result is bit-equal cross-engine. NULL when either
+    side is constant on the overlap (zero variance).
+
+    Scale: the heavy pass is the per-day count rollup
+    (partial-aggregated over the full log); everything after runs on
+    the bounded day axis (span·(2L+1) rows), with the lag pairing a
+    broadcast self-join of that tiny grid. BIGINT headroom: safe to
+    ~3e9 events/day/type (count² per day grid row must fit 2^63 after
+    the day-axis sum).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_d")
+    )
+
+    def _daily(t: str, out: str) -> DataFrame:
+        return (
+            events.where(F.col(type_col) == t)
+            .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    grid = (
+        days.join(_daily(type_a, "_a"), "_d", "left")
+        .join(_daily(type_b, "_b"), "_d", "left")
+        .select(
+            "_d",
+            F.coalesce("_a", F.lit(0)).alias("_a"),
+            F.coalesce("_b", F.lit(0)).alias("_b"),
+        )
+        .localCheckpoint(eager=False)  # bounded day axis, used twice
+    )
+    lags = grid.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("_l")
+    ).select(F.col("_l").cast("int").alias("lag"))
+    pairs = (
+        grid.select("_d", "_a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(
+                grid.select(F.col("_d").alias("_d2"), "_b")
+            ),
+            F.expr("date_add(_d, lag) = _d2"),
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("_a").cast("bigint").alias("sa"),
+        F.sum("_b").cast("bigint").alias("sb"),
+        F.sum(F.col("_a") * F.col("_a")).cast("bigint").alias("saa"),
+        F.sum(F.col("_b") * F.col("_b")).cast("bigint").alias("sbb"),
+        F.sum(F.col("_a") * F.col("_b")).cast("bigint").alias("sab"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n_days") * d("sab") - d("sa") * d("sb")
+    var_a = d("n_days") * d("saa") - d("sa") * d("sa")
+    var_b = d("n_days") * d("sbb") - d("sb") * d("sb")
+    r = num / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0))
+    return m.select(
+        "lag", "n_days", F.round(r, 6).alias("ccf")
+    ).orderBy("lag")

@@ -11110,3 +11110,59 @@ _R6AQ_QUERIES = {
     "srm_check": QueryDef(q_srm, _SRM_ORACLE),
 }
 QUERIES = {**_R6AQ_QUERIES, **QUERIES}
+
+
+def q_ccf_leadlag(spark, sf_dir):
+    """Lead-lag cross-correlation of error vs purchase daily counts at
+    lags ±7 (timeseries.cross_correlation_daily) — the cross-series
+    sibling of acf_daily, fully integer-moment exact (no centered
+    float sums)."""
+    from inception_eventstore_spark.operators.timeseries import (
+        cross_correlation_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cross_correlation_daily(ev, "error", "purchase", max_lag=7)
+
+
+_CCF_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+  FROM b),
+da AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS a
+  FROM events WHERE event_type = 'error' GROUP BY 1),
+db AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS bb
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+grid AS (
+  SELECT days.d, COALESCE(da.a, 0) AS a, COALESCE(db.bb, 0) AS bb
+  FROM days LEFT JOIN da ON days.d = da.d
+  LEFT JOIN db ON days.d = db.d),
+lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+pairs AS (
+  SELECT l.lag, g1.a, g2.bb
+  FROM grid g1 CROSS JOIN lags l
+  JOIN grid g2 ON g2.d = g1.d + to_days(l.lag::INT)),
+m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(bb) AS BIGINT) AS sb,
+    CAST(sum(a * a) AS BIGINT) AS saa,
+    CAST(sum(bb * bb) AS BIGINT) AS sbb,
+    CAST(sum(a * bb) AS BIGINT) AS sab
+  FROM pairs GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_days,
+  round((CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+    / nullif(sqrt((CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      * (CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0.0), 6) AS ccf
+FROM m ORDER BY lag
+"""
+
+
+_R6AR_QUERIES = {
+    "ccf_leadlag": QueryDef(q_ccf_leadlag, _CCF_ORACLE),
+}
+QUERIES = {**_R6AR_QUERIES, **QUERIES}

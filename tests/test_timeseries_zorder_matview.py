@@ -640,3 +640,103 @@ class TestSeasonalNaiveEval:
 
         with pytest.raises(ValueError):
             seasonal_naive_eval(self._events(spark, [("a", 1, 1.0)]), season_days=0)
+
+
+class TestCrossCorrelationDaily:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_planted_lead_peaks_at_lag(self, spark):
+        """b is a copied two days later: ccf hits exactly 1.0 at
+        lag +2 (identical paired vectors; sqrt of a perfect-square
+        double is exact) and is lower everywhere else."""
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, "a", 1.0)
+                )
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day + 2), 1, "b", 1.0)
+                )
+        got = {
+            r["lag"]: r["ccf"]
+            for r in TS.cross_correlation_daily(
+                self._mk(spark, rows), "a", "b", max_lag=3
+            ).collect()
+        }
+        assert got[2] == 1.0
+        assert all(v is None or v < 1.0
+                   for l, v in got.items() if l != 2)
+
+    def test_antisymmetry_with_swapped_sides(self, spark):
+        """ccf_ab(l) == ccf_ba(−l) — the lead-lag readout is
+        direction-consistent."""
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for day, (ca, cb) in enumerate(
+            [(3, 1), (1, 4), (4, 1), (1, 5), (5, 9), (9, 2), (2, 6)]
+        ):
+            for _ in range(ca):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, "a", 1.0)
+                )
+            for _ in range(cb):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, "b", 1.0)
+                )
+        df = self._mk(spark, rows)
+        ab = {
+            r["lag"]: (r["n_days"], r["ccf"])
+            for r in TS.cross_correlation_daily(
+                df, "a", "b", max_lag=3
+            ).collect()
+        }
+        ba = {
+            r["lag"]: (r["n_days"], r["ccf"])
+            for r in TS.cross_correlation_daily(
+                df, "b", "a", max_lag=3
+            ).collect()
+        }
+        for l in range(-3, 4):
+            assert ab[l] == ba[-l]
+
+    def test_constant_side_is_null(self, spark):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows = []
+        for day in range(5):
+            rows.append(
+                (day * 2, d0 + dt.timedelta(days=day), 1, "a", 1.0)
+            )
+            rows.append(
+                (day * 2 + 1, d0 + dt.timedelta(days=day), 1, "b", 1.0)
+            )
+        rows.append((99, d0 + dt.timedelta(days=2), 1, "b", 1.0))
+        got = {
+            r["lag"]: r["ccf"]
+            for r in TS.cross_correlation_daily(
+                self._mk(spark, rows), "a", "b", max_lag=1
+            ).collect()
+        }
+        assert got[0] is None  # a is constant 1/day → zero variance
+
+    def test_lag_guard(self, spark):
+        with pytest.raises(ValueError):
+            TS.cross_correlation_daily(
+                self._mk(spark, []), "a", "b", max_lag=0
+            )

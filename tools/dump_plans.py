@@ -794,6 +794,14 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "ccf_leadlag": [
+        ("per-day count rollups partial-aggregate over the log",
+         r"HashAggregate[^\n]*partial"),
+        ("lag pairing is a broadcast join of the bounded day grid",
+         r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere — pure integer moments", "!Window"),
+    ],
     # both A/B readouts END in a one-row scalar aggregate — the final
     # SinglePartition exchange is the legitimate global-agg stage, so
     # no blanket !SinglePartition here (CLAUDE.md plan-check rule)
