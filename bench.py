@@ -253,6 +253,7 @@ HEADLINE = [
     "cuped_estimate",
     "srm_check",
     "ccf_leadlag",
+    "dbscan_clusters",
 ]
 
 

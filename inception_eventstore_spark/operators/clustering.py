@@ -350,3 +350,139 @@ def semantic_dedup_flags(
             ),
         )
     )
+
+
+def dbscan_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Grid-bucketed DBSCAN (Ester 1996) over 2-d points — density
+    clustering without an all-pairs join: each point lands in an
+    eps-sized grid cell, candidate neighbors come ONLY from the 3×3
+    adjacent cells (a 9-way map-side explode joined on the cell key —
+    every true eps-neighbor is inside that stencil, so the pruning is
+    lossless), and exact dist² ≤ eps² filters the survivors.
+
+    Roles: a point with ≥ ``min_pts`` neighbors (EXCLUDING itself) is
+    a ``core``; core points within eps connect into clusters via the
+    large-star/small-star connected-components operator (cluster id =
+    smallest core id, deterministic); a non-core point within eps of a
+    core is a ``border`` assigned to its smallest-id neighboring
+    cluster (the deterministic tie-break for DBSCAN's order-dependent
+    border assignment); everything else is ``noise`` (cluster NULL).
+
+    Determinism: cells are floor(x/eps) on identically-computed
+    doubles; dist² is the fixed-order expression (Δx² + Δy²) compared
+    against the in-engine product eps·eps — bit-identical in any
+    IEEE engine, so roles and clusters replay exactly.
+
+    Scale: the only data-sized shuffles are the cell-key equi-join
+    (each point moves 9× — the stencil, not the data, is the constant)
+    and the neighbor-count partial agg; within-cell pair fan-out is
+    bounded by the densest cell, which eps controls — the same dial
+    the SemDeDup cell count turns. CC is O(log² n) rounds on the
+    core-core edge list only.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    e = float(eps)
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).withColumns(
+        {
+            "_cx": F.floor(F.col("_x") / F.lit(e)).cast("bigint"),
+            "_cy": F.floor(F.col("_y") / F.lit(e)).cast("bigint"),
+        }
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = pts.withColumn("_o", F.explode(offsets)).select(
+        F.col("_id").alias("_ia"),
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+        (F.col("_cx") + F.col("_o.dx")).alias("_kx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_ky"),
+    )
+    right = pts.select(
+        F.col("_id").alias("_ib"),
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+        F.col("_cx").alias("_kx"),
+        F.col("_cy").alias("_ky"),
+    )
+    dx = F.col("_xa") - F.col("_xb")
+    dy = F.col("_ya") - F.col("_yb")
+    pairs = (
+        left.join(right, ["_kx", "_ky"])
+        .where(
+            (F.col("_ia") != F.col("_ib"))
+            & (dx * dx + dy * dy <= F.lit(e) * F.lit(e))
+        )
+        .select("_ia", "_ib")
+        .localCheckpoint(eager=False)  # reused by counts, edges, borders
+    )
+    ncount = pairs.groupBy(F.col("_ia").alias("_id")).agg(
+        F.count("*").cast("bigint").alias("_nn")
+    )
+    roles = pts.select("_id").join(ncount, "_id", "left").select(
+        "_id",
+        (F.coalesce("_nn", F.lit(0)) >= min_pts).alias("_core"),
+    ).localCheckpoint(eager=False)
+    cores = roles.where("_core").select("_id")
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("_id", "_ia"), "_ia")
+        .join(cores.withColumnRenamed("_id", "_ib"), "_ib")
+        .select("_ia", "_ib")
+    )
+    from inception_eventstore_spark.operators.components import (
+        connected_components,
+    )
+
+    cc = connected_components(core_edges, src="_ia", dst="_ib")
+    core_assign = (
+        cores.join(
+            cc.withColumnRenamed("node", "_id"), "_id", "left"
+        )
+        # isolated cores (no core neighbor) head their own cluster
+        .select(
+            "_id",
+            F.coalesce("component", F.col("_id")).alias("cluster"),
+            F.lit("core").alias("role"),
+        )
+    )
+    borders = (
+        pairs.join(
+            core_assign.select(
+                F.col("_id").alias("_ib"),
+                F.col("cluster").alias("_bc"),
+            ),
+            "_ib",
+        )
+        .groupBy(F.col("_ia").alias("_id"))
+        .agg(F.min("_bc").alias("cluster"))
+        .join(roles.where(~F.col("_core")).select("_id"), "_id")
+        .select("_id", "cluster", F.lit("border").alias("role"))
+    )
+    assigned = core_assign.unionByName(borders)
+    return (
+        pts.select("_id")
+        .join(assigned, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+    )

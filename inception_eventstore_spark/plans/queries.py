@@ -11166,3 +11166,90 @@ _R6AR_QUERIES = {
     "ccf_leadlag": QueryDef(q_ccf_leadlag, _CCF_ORACLE),
 }
 QUERIES = {**_R6AR_QUERIES, **QUERIES}
+
+
+def q_dbscan(spark, sf_dir):
+    """Grid-bucketed DBSCAN over the 2-d projection of the embedding
+    table (clustering.dbscan_2d, Ester 1996): eps-cell stencil join →
+    exact dist² filter → core/border/noise roles → large-star/small-
+    star components for the core graph. The oracle replays the same
+    stencil and roles and resolves clusters by min-label propagation
+    with pointer doubling (15 rounds cover diameter 2^15) in one
+    recursive CTE."""
+    from inception_eventstore_spark.operators.clustering import dbscan_2d
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return dbscan_2d(
+        pts, "vec_id", "x", "y", eps=0.03, min_pts=4
+    ).orderBy("vec_id")
+
+
+def _dbscan_oracle(eps: float = 0.03, min_pts: int = 4) -> str:
+    e = f"CAST({eps!r} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT vec_id AS id,
+    CAST(embedding[1] AS DOUBLE) AS x,
+    CAST(embedding[2] AS DOUBLE) AS y,
+    CAST(floor(CAST(embedding[1] AS DOUBLE) / {e}) AS BIGINT) AS cx,
+    CAST(floor(CAST(embedding[2] AS DOUBLE) / {e}) AS BIGINT) AS cy
+  FROM embeddings),
+offs AS (SELECT a.dx, b.dy FROM range(-1, 2) a(dx), range(-1, 2) b(dy)),
+pairs AS (
+  SELECT p1.id AS ia, p2.id AS ib
+  FROM pts p1 CROSS JOIN offs o
+  JOIN pts p2 ON p2.cx = p1.cx + o.dx AND p2.cy = p1.cy + o.dy
+  WHERE p1.id <> p2.id
+    AND (p1.x - p2.x) * (p1.x - p2.x)
+      + (p1.y - p2.y) * (p1.y - p2.y) <= {e} * {e}),
+nc AS (SELECT ia AS id, count(*) AS nn FROM pairs GROUP BY 1),
+roles AS (SELECT p.id, COALESCE(nc.nn, 0) >= {min_pts} AS core
+  FROM pts p LEFT JOIN nc ON p.id = nc.id),
+cedges AS (
+  SELECT ia, ib FROM pairs
+  JOIN roles r1 ON r1.id = pairs.ia AND r1.core
+  JOIN roles r2 ON r2.id = pairs.ib AND r2.core),
+nodes AS (SELECT DISTINCT ia AS id FROM cedges),
+lp AS (
+  SELECT id, id AS lbl, 0 AS it FROM nodes
+  UNION ALL
+  SELECT r.id,
+    least(r.lbl,
+      coalesce((SELECT min(r2.lbl) FROM lp r2
+        JOIN cedges e2 ON e2.ia = r.id AND e2.ib = r2.id), r.lbl),
+      coalesce((SELECT min(r3.lbl) FROM lp r3
+        WHERE r3.id = r.lbl), r.lbl)) AS lbl,
+    r.it + 1
+  FROM lp r WHERE r.it < 15),
+fin AS (SELECT id, lbl FROM lp WHERE it = 15),
+core_assign AS (
+  SELECT r.id, COALESCE(f.lbl, r.id) AS cluster
+  FROM roles r LEFT JOIN fin f ON f.id = r.id WHERE r.core),
+borders AS (
+  SELECT pr.ia AS id, min(ca.cluster) AS cluster
+  FROM pairs pr
+  JOIN core_assign ca ON ca.id = pr.ib
+  JOIN roles r ON r.id = pr.ia AND NOT r.core
+  GROUP BY 1)
+SELECT p.id AS vec_id,
+  CASE WHEN r.core THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  CAST(COALESCE(ca.cluster, b.cluster) AS BIGINT) AS cluster
+FROM pts p
+JOIN roles r ON r.id = p.id
+LEFT JOIN core_assign ca ON ca.id = p.id
+LEFT JOIN borders b ON b.id = p.id
+ORDER BY vec_id
+"""
+
+
+_R6AS_QUERIES = {
+    "dbscan_clusters": QueryDef(q_dbscan, _dbscan_oracle()),
+}
+QUERIES = {**_R6AS_QUERIES, **QUERIES}

@@ -174,3 +174,86 @@ class TestSemanticDedup:
         rows = {r["vec_id"]: r["is_dup"] for r in semantic_dedup_flags(
             emb, cent, threshold=0.99).collect()}
         assert rows == {10: 1, 20: 0}
+
+
+class TestDbscan2d:
+    def _run(self, spark, pts, eps, min_pts):
+        from inception_eventstore_spark.operators.clustering import (
+            dbscan_2d,
+        )
+
+        df = spark.createDataFrame(pts, "id long, x double, y double")
+        return {
+            r["id"]: (r["role"], r["cluster"])
+            for r in dbscan_2d(df, "id", "x", "y", eps, min_pts).collect()
+        }
+
+    def test_two_blobs_and_noise(self, spark):
+        """Two 5-point crosses (every point within eps of the center,
+        centers far apart) and one isolated point: two clusters headed
+        by their min ids, arms are cores too (4 neighbors through the
+        center? no — arms see center + 2 near arms), isolated = noise."""
+        eps = 1.0
+        blob = lambda x0, y0, base: [  # noqa: E731
+            (base, x0, y0),
+            (base + 1, x0 + 0.5, y0),
+            (base + 2, x0 - 0.5, y0),
+            (base + 3, x0, y0 + 0.5),
+            (base + 4, x0, y0 - 0.5),
+        ]
+        pts = blob(0.0, 0.0, 10) + blob(100.0, 100.0, 20) + [(99, 50.0, 50.0)]
+        got = self._run(spark, pts, eps, min_pts=4)
+        assert got[99] == ("noise", None)
+        # centers see 4 neighbors; arms see center + 2 side arms (dist
+        # 0.5√2 ≈ 0.707 < 1) + opposite arm at dist 1.0 — exactly eps,
+        # inclusive → 4 neighbors: everyone is core
+        for base in (10, 20):
+            for i in range(5):
+                role, cl = got[base + i]
+                assert role == "core"
+                assert cl == base
+
+    def test_border_vs_noise(self, spark):
+        """A 5-point dense blob plus a satellite within eps of one blob
+        member only: the satellite has 1 neighbor → border, assigned
+        the blob's cluster; a farther point is noise."""
+        pts = [
+            (1, 0.0, 0.0),
+            (2, 0.1, 0.0),
+            (3, 0.0, 0.1),
+            (4, 0.1, 0.1),
+            (5, 0.05, 0.05),
+            # within eps only of (0.1, 0) and (0.1, 0.1): 2 neighbors
+            # < min_pts → border of cluster 1
+            (6, 1.05, 0.0),
+            (7, 5.0, 5.0),  # noise
+        ]
+        got = self._run(spark, pts, eps=1.0, min_pts=4)
+        assert got[6][0] == "border" and got[6][1] == 1
+        assert got[7] == ("noise", None)
+        assert all(got[i] == ("core", 1) for i in range(1, 6))
+
+    def test_stencil_is_lossless_across_cells(self, spark):
+        """Two points 0.9·eps apart straddling a cell boundary (cells
+        differ in both coordinates) still pair — the 3×3 stencil
+        catches every true eps-neighbor."""
+        eps = 1.0
+        pts = [
+            (1, -0.01, -0.01),
+            (2, 0.62, 0.62),  # dist ≈ 0.891 < 1, cell (0,0) vs (-1,-1)
+            (3, 1.3, 1.3),    # dist to 2 ≈ 0.96 < 1, cell (1,1)
+        ]
+        got = self._run(spark, pts, eps, min_pts=1)
+        # chain 1-2-3: all cores (≥1 neighbor), one cluster headed by 1
+        assert got == {1: ("core", 1), 2: ("core", 1), 3: ("core", 1)}
+
+    def test_guards(self, spark):
+        from inception_eventstore_spark.operators.clustering import (
+            dbscan_2d,
+        )
+
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+        with pytest.raises(ValueError):
+            dbscan_2d(df, "id", "x", "y", eps=0.0)
+        with pytest.raises(ValueError):
+            dbscan_2d(df, "id", "x", "y", eps=1.0, min_pts=0)

@@ -794,6 +794,16 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "dbscan_clusters": [
+        ("stencil pairing is a cell-key equi-join, never a cartesian "
+         "of the points", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian product anywhere", "!CartesianProduct"),
+        ("neighbor counts partial-aggregate before the shuffle",
+         r"HashAggregate[^\n]*partial"),
+        ("core components come from the checkpointed CC fixpoint",
+         r"Scan ExistingRDD"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "ccf_leadlag": [
         ("per-day count rollups partial-aggregate over the log",
          r"HashAggregate[^\n]*partial"),
