@@ -254,6 +254,7 @@ HEADLINE = [
     "srm_check",
     "ccf_leadlag",
     "dbscan_clusters",
+    "theil_sen_trend",
 ]
 
 

@@ -788,3 +788,79 @@ def cross_correlation_daily(
     return m.select(
         "lag", "n_days", F.round(r, 6).alias("ccf")
     ).orderBy("lag")
+
+
+def theil_sen_daily_trend(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust trend of each key's daily event counts — the
+    median of all pairwise slopes (c_j − c_i)/(j − i) over the
+    zero-filled global day grid (Theil 1950 / Sen 1968; 29.3%
+    breakdown point, so level shifts and outlier days barely move it,
+    unlike the OLS slope in regression_trend).
+
+    Determinism: slopes are rationals of exact integers; they are
+    ORDERED by the identically-computed double (ties broken by the day
+    pair, so selection is total) and the selected median is REPORTED
+    in integer micro-units via ``div((c_j−c_i)·2^20, j−i)`` —
+    truncating integer division matches between engines and sidesteps
+    the 6-dp half-boundary class that exact small-denominator
+    rationals (k/128) would hit under round() (CLAUDE.md invariant).
+    Lower median for even pair counts.
+
+    Scale: the data-sized pass is the per-(key, day) count rollup;
+    everything after lives on the day grid — pairs are day-span²/2 per
+    key (~66k for a year) REGARDLESS of input size, so the per-key
+    rank window is cardinality-bounded by construction (the acf_daily
+    acceptance), never a data-sized single task.
+    """
+    cnts = events.groupBy(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_d"),
+        F.col("_d0"),
+    ).select("_d", F.datediff("_d", "_d0").cast("bigint").alias("_i"))
+    keys = events.select(F.col(key_col).alias("_k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(days))
+        .join(cnts, ["_k", "_d"], "left")
+        .select(
+            "_k", "_i", F.coalesce("_x", F.lit(0)).alias("_x")
+        )
+        .localCheckpoint(eager=False)  # bounded day axis, self-joined
+    )
+    g2 = grid.select(
+        F.col("_k"),
+        F.col("_i").alias("_j"),
+        F.col("_x").alias("_y"),
+    )
+    pairs = grid.join(g2, "_k").where(F.col("_j") > F.col("_i"))
+    slope_d = (F.col("_y") - F.col("_x")).cast("double") / (
+        F.col("_j") - F.col("_i")
+    ).cast("double")
+    slope_micro = F.expr("div((_y - _x) * 1048576, _j - _i)")
+    w = Window.partitionBy("_k").orderBy(slope_d, "_i", "_j")
+    ranked = pairs.select(
+        "_k",
+        "_i",
+        "_j",
+        slope_micro.alias("_sm"),
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy("_k")).alias("_m"),
+    )
+    return (
+        ranked.where(F.col("_r") == F.expr("div(_m + 1, 2)"))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_m").cast("bigint").alias("n_pairs"),
+            F.col("_sm").cast("bigint").alias("sen_slope_micro"),
+        )
+        .orderBy(key_col)
+    )

@@ -11253,3 +11253,56 @@ _R6AS_QUERIES = {
     "dbscan_clusters": QueryDef(q_dbscan, _dbscan_oracle()),
 }
 QUERIES = {**_R6AS_QUERIES, **QUERIES}
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust daily trend per event type (timeseries.
+    theil_sen_daily_trend): median of all pairwise day slopes over the
+    zero-filled grid — the outlier-proof complement of
+    regression_trend. Reported in truncating integer micro-units to
+    dodge the k/128 6-dp half-boundary class; ordered by identical
+    doubles with a total (i, j) tie-break."""
+    from inception_eventstore_spark.operators.timeseries import (
+        theil_sen_daily_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_daily_trend(ev)
+
+
+_THEIL_SEN_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (
+  SELECT datediff('day', (SELECT d0 FROM b), d) AS i, d
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+          AS d FROM b)),
+keys AS (SELECT DISTINCT event_type AS k FROM events),
+cnt AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT keys.k, days.i, COALESCE(cnt.x, 0) AS x
+  FROM keys CROSS JOIN days
+  LEFT JOIN cnt ON cnt.k = keys.k AND cnt.d = days.d),
+pairs AS (
+  SELECT g1.k, g1.i, g2.i AS j, g1.x, g2.x AS y
+  FROM grid g1 JOIN grid g2 ON g1.k = g2.k AND g2.i > g1.i),
+ranked AS (
+  SELECT k, CAST((y - x) * 1048576 // (j - i) AS BIGINT) AS sm,
+    row_number() OVER (PARTITION BY k
+      ORDER BY CAST(y - x AS DOUBLE) / CAST(j - i AS DOUBLE), i, j)
+      AS r,
+    count(*) OVER (PARTITION BY k) AS m
+  FROM pairs)
+SELECT k AS event_type, CAST(m AS BIGINT) AS n_pairs,
+  sm AS sen_slope_micro
+FROM ranked WHERE r = (m + 1) // 2 ORDER BY k
+"""
+
+
+_R6AT_QUERIES = {
+    "theil_sen_trend": QueryDef(q_theil_sen, _THEIL_SEN_ORACLE),
+}
+QUERIES = {**_R6AT_QUERIES, **QUERIES}

@@ -740,3 +740,65 @@ class TestCrossCorrelationDaily:
             TS.cross_correlation_daily(
                 self._mk(spark, []), "a", "b", max_lag=0
             )
+
+
+class TestTheilSenDailyTrend:
+    def _mk(self, spark, day_counts, typ="a"):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for day, c in enumerate(day_counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, typ, 1.0)
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_perfect_line_recovers_slope(self, spark):
+        """Counts 1,3,5,7,9 (slope 2/day): every pairwise slope is 2,
+        so the median is exactly 2·2^20 micro-units."""
+        df = self._mk(spark, [1, 3, 5, 7, 9])
+        (r,) = TS.theil_sen_daily_trend(df).collect()
+        assert r["n_pairs"] == 10
+        assert r["sen_slope_micro"] == 2 * 1048576
+
+    def test_outlier_immunity_vs_ols(self, spark):
+        """A flat series with one 100× spike day: the Sen slope stays
+        0 (median pairwise slope) even though OLS would tilt hard."""
+        df = self._mk(spark, [2, 2, 2, 2, 200, 2, 2, 2, 2])
+        (r,) = TS.theil_sen_daily_trend(df).collect()
+        assert r["sen_slope_micro"] == 0
+
+    def test_negative_trend_truncation_matches(self, spark):
+        """Decaying counts: slope −3/2 per day on some pairs — the
+        micro value uses TRUNCATING div on a negative numerator, same
+        as the SQL twin (−3·2^20/2 → −1572864)."""
+        df = self._mk(spark, [7, 4, 1])
+        (r,) = TS.theil_sen_daily_trend(df).collect()
+        # pairwise slopes: (4-7)/1=-3, (1-7)/2=-3, (1-4)/1=-3 → median -3
+        assert r["n_pairs"] == 3
+        assert r["sen_slope_micro"] == -3 * 1048576
+
+    def test_zero_filled_gap_days_count(self, spark):
+        """A day with no events is a real 0 in the grid, not a hole:
+        3-day span with counts 2,0,2 → slopes 0-2=-2, 0, +2 → median 0."""
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows = []
+        for eid, day in [(1, 0), (2, 0), (3, 2), (4, 2)]:
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day), 1, "a", 1.0)
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        (r,) = TS.theil_sen_daily_trend(df).collect()
+        assert r["n_pairs"] == 3
+        assert r["sen_slope_micro"] == 0

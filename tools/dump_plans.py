@@ -794,6 +794,19 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "theil_sen_trend": [
+        # the per-day rollup sits behind the grid's checkpoint barrier
+        # (probe-hidden); what must be visible: the bounded grid scans
+        # and a non-cartesian pairing
+        ("pairing runs on the checkpointed bounded day grid",
+         r"Scan ExistingRDD"),
+        ("day-grid self-join is never a cartesian of the log",
+         "!CartesianProduct"),
+        # the per-key rank window runs on day-span²/2 rows per key —
+        # cardinality-bounded by construction (acf_daily acceptance),
+        # and never a single partition (global lint covers that)
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "dbscan_clusters": [
         ("stencil pairing is a cell-key equi-join, never a cartesian "
          "of the points", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
