@@ -255,6 +255,7 @@ HEADLINE = [
     "ccf_leadlag",
     "dbscan_clusters",
     "theil_sen_trend",
+    "rake_keywords",
 ]
 
 

@@ -474,3 +474,98 @@ def winnow_matches(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    max_phrase_len: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose 2010, "Automatic
+    keyword extraction from individual documents"): candidate phrases
+    are maximal stopword-free token runs (delimiters = the language's
+    stopword list), each word scores degree/freq where freq = its
+    occurrences inside candidates and degree = Σ lengths of the
+    candidates containing it, and a phrase scores the sum of its
+    words' scores. Phrases longer than ``max_phrase_len`` are dropped
+    (the standard RAKE noise guard — and the fan-out bound).
+
+    Exactness: word scores are small-denominator rationals — exactly
+    the 6-dp half-boundary class — so each is TRUNCATED to integer
+    micro-units (div(degree·2^20, freq), identical in any engine) and
+    the phrase score is their exact BIGINT sum; ranking ties break on
+    the phrase text.
+
+    Scale shape: one posexplode projection, a per-document running
+    delimiter count (window bounded by document length, never a
+    corpus-sized partition), two partial-aggregated rollups (per
+    phrase instance, per word), a broadcast word-score join back, and
+    a TakeOrdered top-k — the corpus shuffles only as (doc, phrase)
+    and word keys, never as pairs.
+    """
+    if lang not in STOPWORDS:
+        raise ValueError(f"no stopword list for lang {lang!r}")
+    if max_phrase_len < 1:
+        raise ValueError("max_phrase_len must be >= 1")
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+    ).withColumn("_delim", F.array_contains(sw, F.col("_tok")))
+    wd = (
+        Window.partitionBy("_doc")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    words = (
+        toks.withColumn(
+            "_pid", F.sum(F.col("_delim").cast("int")).over(wd)
+        )
+        .where(~F.col("_delim"))
+        .select("_doc", "_pid", "_pos", "_tok")
+        .localCheckpoint(eager=False)  # feeds three rollups
+    )
+    plen = words.groupBy("_doc", "_pid").agg(
+        F.count("*").cast("bigint").alias("_plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    ).where(F.col("_plen") <= max_phrase_len)
+    kept_words = words.join(
+        plen.select("_doc", "_pid", "_plen"), ["_doc", "_pid"]
+    )
+    wstats = kept_words.groupBy("_tok").agg(
+        F.count("*").cast("bigint").alias("_freq"),
+        F.sum("_plen").cast("bigint").alias("_deg"),
+    )
+    wscore = wstats.select(
+        "_tok",
+        F.expr("div(_deg * 1048576, _freq)").alias("_ws"),
+    )
+    inst = (
+        kept_words.join(F.broadcast(wscore), "_tok")
+        .groupBy("_doc", "_pid")
+        .agg(F.sum("_ws").cast("bigint").alias("_score"))
+        .join(plen, ["_doc", "_pid"])
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.min("_plen").cast("bigint").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("_score").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(int(top_k))
+    )

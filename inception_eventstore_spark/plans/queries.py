@@ -11306,3 +11306,54 @@ _R6AT_QUERIES = {
     "theil_sen_trend": QueryDef(q_theil_sen, _THEIL_SEN_ORACLE),
 }
 QUERIES = {**_R6AT_QUERIES, **QUERIES}
+
+
+def q_rake_keywords(spark, sf_dir):
+    """Corpus-level RAKE keyword extraction (text.rake_keywords, Rose
+    2010): stopword-delimited candidate phrases, word degree/freq
+    scores truncated to integer micro-units (the small-denominator
+    rational half-boundary dodge), phrase score = exact BIGINT sum,
+    top-20 by (score, phrase)."""
+    from inception_eventstore_spark.operators.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_k=20)
+
+
+def _rake_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+tk1 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+    i -> {{'p': i, 'w': tk[i]}})) AS u FROM t),
+tok AS (SELECT doc_id, u.p AS pos, u.w AS tok,
+    list_contains([{sw}], u.w) AS delim FROM tk1),
+pw AS (SELECT *, sum(CASE WHEN delim THEN 1 ELSE 0 END) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+  FROM tok),
+words AS (SELECT doc_id, pid, pos, tok FROM pw WHERE NOT delim),
+plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM words GROUP BY 1, 2 HAVING count(*) <= 4),
+kw AS (SELECT w.doc_id, w.pid, w.tok, p.plen
+  FROM words w JOIN plen p USING (doc_id, pid)),
+ws AS (SELECT tok,
+    CAST(CAST(sum(plen) AS BIGINT) * 1048576 // count(*) AS BIGINT)
+      AS ws
+  FROM kw GROUP BY tok),
+inst AS (SELECT kw.doc_id, kw.pid, CAST(sum(ws.ws) AS BIGINT) AS score
+  FROM kw JOIN ws USING (tok) GROUP BY 1, 2),
+ph AS (SELECT p.phrase, CAST(min(p.plen) AS BIGINT) AS n_words,
+    CAST(count(*) AS BIGINT) AS n_occurrences,
+    CAST(min(i.score) AS BIGINT) AS score_micro
+  FROM plen p JOIN inst i USING (doc_id, pid) GROUP BY 1)
+SELECT phrase, n_words, n_occurrences, score_micro
+FROM ph ORDER BY score_micro DESC, phrase LIMIT 20
+"""
+
+
+_R6AU_QUERIES = {
+    "rake_keywords": QueryDef(q_rake_keywords, _rake_oracle()),
+}
+QUERIES = {**_R6AU_QUERIES, **QUERIES}

@@ -851,3 +851,62 @@ class TestWinnowGuards:
         ).count()
         assert capped == 0
         assert uncapped == 12 * 11 // 2
+
+
+class TestRakeKeywords:
+    def _run(self, spark, texts, **kw):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        return {
+            r["phrase"]: (
+                r["n_words"],
+                r["n_occurrences"],
+                r["score_micro"],
+            )
+            for r in TX.rake_keywords(df, **kw).collect()
+        }
+
+    def test_hand_computed_scores(self, spark):
+        """'deep learning of neural networks' splits at 'of' into two
+        2-word phrases; a second 'deep learning' doc doubles those
+        words' freq AND degree, so their ratio stays 2 — every phrase
+        scores exactly 2 words · 2·2^20."""
+        got = self._run(
+            spark,
+            ["deep learning of neural networks", "deep learning"],
+        )
+        assert got["deep learning"] == (2, 2, 2 * 2 * 1048576)
+        assert got["neural networks"] == (2, 1, 2 * 2 * 1048576)
+        assert set(got) == {"deep learning", "neural networks"}
+
+    def test_degree_rewards_longer_cooccurrence(self, spark):
+        """'gradient descent optimizer' (3-phrase) outranks a lone
+        'gradient' (1-phrase): shared word 'gradient' has freq 2,
+        degree 3+1=4 → ws = 2·2^20; members of the long phrase carry
+        degree 3 each."""
+        got = self._run(spark, ["gradient descent optimizer", "gradient"])
+        w = 1048576
+        # descent/optimizer: 3·2^20 each; gradient: 4·2^20/2 = 2·2^20
+        assert got["gradient descent optimizer"] == (3, 1, (3 + 3 + 2) * w)
+        assert got["gradient"] == (1, 1, 2 * w)
+
+    def test_long_runs_dropped(self, spark):
+        got = self._run(
+            spark,
+            ["alpha beta gamma delta epsilon", "the alpha beta"],
+            max_phrase_len=4,
+        )
+        # the 5-word run is dropped entirely; only 'alpha beta' remains
+        assert set(got) == {"alpha beta"}
+        assert got["alpha beta"][1] == 1
+
+    def test_top_k_and_guards(self, spark):
+        got = self._run(
+            spark, ["x y", "x z", "y z", "x", "y", "z"], top_k=2
+        )
+        assert len(got) == 2
+        with pytest.raises(ValueError):
+            self._run(spark, ["a"], lang="xx")
+        with pytest.raises(ValueError):
+            self._run(spark, ["a"], max_phrase_len=0)

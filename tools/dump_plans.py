@@ -794,6 +794,15 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "rake_keywords": [
+        ("word-score join back is broadcast — the phrase instances "
+         "never shuffle to meet the vocab", r"BroadcastHashJoin"),
+        ("phrase/word rollups partial-aggregate before their shuffles",
+         r"HashAggregate[^\n]*partial"),
+        ("top-k via TakeOrdered, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "theil_sen_trend": [
         # the per-day rollup sits behind the grid's checkpoint barrier
         # (probe-hidden); what must be visible: the bounded grid scans
