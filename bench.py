@@ -256,6 +256,7 @@ HEADLINE = [
     "dbscan_clusters",
     "theil_sen_trend",
     "rake_keywords",
+    "holt_linear",
 ]
 
 

@@ -864,3 +864,81 @@ def theil_sen_daily_trend(
         )
         .orderBy(key_col)
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — matches Spark's
+    ``div`` and DuckDB's ``//`` on negatives, unlike python's
+    flooring ``//``."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def holt_linear_daily(
+    events: DataFrame,
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 4),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) of the
+    zero-filled daily event totals — level + trend state per day plus
+    the one-step-ahead forecast error (the anomaly/forecast residual
+    ewma_events can't give because it has no trend term).
+
+    The recurrence l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is inherently sequential, so
+    it follows the km_survival pattern: the distributed pass shrinks
+    the log to the BOUNDED day axis (one partial-aggregated rollup),
+    the recurrence runs driver-side in EXACT integers — α, β are
+    rationals (an/ad), state lives in 2^20 micro-units, every step is
+    one truncating division ``tdiv(an·xq + (ad−an)·(l+b), ad)`` — and
+    the result returns as a local DataFrame. Truncation (not floor)
+    matches Spark div / DuckDB ``//`` on negative trends, so the
+    recursive-CTE oracle replays bit-for-bit.
+
+    Output per day (from day 1; init l_0 = x_0, b_0 = x_1 − x_0):
+    day_index, day, n_events, level_micro, trend_micro,
+    onestep_err_micro = x_t·2^20 − (l_{t−1} + b_{t−1}).
+    """
+    an, ad = alpha
+    bn, bd = beta
+    if not (0 < an <= ad and 0 < bn <= bd):
+        raise ValueError("alpha/beta must be rationals in (0, 1]")
+    per_day = (
+        events.groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+        .agg(F.count("*").cast("bigint").alias("_x"))
+        .collect()
+    )
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    if len(rows) < 2:
+        raise ValueError("need at least 2 observed days")
+    d0, d1 = rows[0]["_d"], rows[-1]["_d"]
+    by_day = {r["_d"]: int(r["_x"]) for r in rows}
+    import datetime as _dt
+
+    span = (d1 - d0).days + 1
+    xs = [
+        by_day.get(d0 + _dt.timedelta(days=i), 0) for i in range(span)
+    ]
+    q = 1 << 20
+    lvl = xs[0] * q
+    trd = (xs[1] - xs[0]) * q
+    out = []
+    for i in range(1, span):
+        xq = xs[i] * q
+        err = xq - (lvl + trd)
+        new_l = _tdiv(an * xq + (ad - an) * (lvl + trd), ad)
+        new_t = _tdiv(bn * (new_l - lvl) + (bd - bn) * trd, bd)
+        lvl, trd = new_l, new_t
+        out.append(
+            (i, d0 + _dt.timedelta(days=i), xs[i], lvl, trd, err)
+        )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "day_index bigint, day date, n_events bigint, "
+        "level_micro bigint, trend_micro bigint, "
+        "onestep_err_micro bigint",
+    )

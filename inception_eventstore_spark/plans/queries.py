@@ -11357,3 +11357,66 @@ _R6AU_QUERIES = {
     "rake_keywords": QueryDef(q_rake_keywords, _rake_oracle()),
 }
 QUERIES = {**_R6AU_QUERIES, **QUERIES}
+
+
+def q_holt_linear(spark, sf_dir):
+    """Holt linear-trend smoothing of daily event totals (timeseries.
+    holt_linear_daily, alpha = beta = 1/4): level/trend state and
+    one-step forecast errors in exact 2^20 micro-units — km_survival
+    driver-recurrence pattern, recursive-CTE oracle with truncating
+    division on both sides."""
+    from inception_eventstore_spark.operators.timeseries import (
+        holt_linear_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_linear_daily(ev).orderBy("day_index")
+
+
+def _holt_oracle(an: int = 1, ad: int = 4, bn: int = 1, bd: int = 4) -> str:
+    def td(a: str, d: int) -> str:
+        return (f"(CASE WHEN ({a}) >= 0 THEN ({a}) // {d} "
+                f"ELSE -((-({a})) // {d}) END)")
+
+    l_new = td(f"{an} * ((SELECT x FROM days WHERE i = r.it + 1) "
+               f"* 1048576) + {ad - an} * (r.l + r.tr)", ad)
+    tr_new = td(f"{bn} * ({l_new} - r.l) + {bd - bn} * r.tr", bd)
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (
+  SELECT datediff('day', (SELECT d0 FROM b), g.d) AS i, g.d,
+    COALESCE(c.x, 0) AS x
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+          AS d FROM b) g
+  LEFT JOIN (SELECT CAST(ts AS DATE) AS d,
+      CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1) c
+    ON g.d = c.d),
+rec AS (
+  SELECT 0 AS it,
+    (SELECT x FROM days WHERE i = 0) * 1048576 AS l,
+    ((SELECT x FROM days WHERE i = 1)
+      - (SELECT x FROM days WHERE i = 0)) * 1048576 AS tr,
+    CAST(NULL AS BIGINT) AS err
+  UNION ALL
+  SELECT r.it + 1,
+    {l_new},
+    {tr_new},
+    (SELECT x FROM days WHERE i = r.it + 1) * 1048576
+      - (r.l + r.tr)
+  FROM rec r WHERE r.it + 1 <= (SELECT max(i) FROM days))
+SELECT CAST(r.it AS BIGINT) AS day_index, d.d AS day,
+  CAST(d.x AS BIGINT) AS n_events, CAST(r.l AS BIGINT) AS level_micro,
+  CAST(r.tr AS BIGINT) AS trend_micro,
+  CAST(r.err AS BIGINT) AS onestep_err_micro
+FROM rec r JOIN days d ON d.i = r.it
+WHERE r.it >= 1
+ORDER BY day_index
+"""
+
+
+_R6AV_QUERIES = {
+    "holt_linear": QueryDef(q_holt_linear, _holt_oracle()),
+}
+QUERIES = {**_R6AV_QUERIES, **QUERIES}

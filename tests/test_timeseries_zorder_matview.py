@@ -802,3 +802,86 @@ class TestTheilSenDailyTrend:
         (r,) = TS.theil_sen_daily_trend(df).collect()
         assert r["n_pairs"] == 3
         assert r["sen_slope_micro"] == 0
+
+
+class TestHoltLinearDaily:
+    def _mk(self, spark, day_counts):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for day, c in enumerate(day_counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, "a", 1.0)
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_perfect_line_tracked_exactly(self, spark):
+        """x_t = 5 + 3t: with l0 = x0, b0 = 3 the one-step forecast is
+        always exact — zero error, level = x_t·2^20, trend = 3·2^20 at
+        every step (the recurrence fixed point)."""
+        q = 1 << 20
+        df = self._mk(spark, [5, 8, 11, 14, 17])
+        rows = TS.holt_linear_daily(df).orderBy("day_index").collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r["onestep_err_micro"] == 0
+            assert r["level_micro"] == r["n_events"] * q
+            assert r["trend_micro"] == 3 * q
+
+    def test_step_change_error_and_decay(self, spark):
+        """Flat 10/day then a jump to 50: the jump day's one-step error
+        is exactly 40·2^20, and the trend turns positive after it."""
+        q = 1 << 20
+        df = self._mk(spark, [10, 10, 10, 50, 50])
+        rows = {
+            r["day_index"]: r
+            for r in TS.holt_linear_daily(df).collect()
+        }
+        assert rows[1]["onestep_err_micro"] == 0
+        assert rows[3]["onestep_err_micro"] == 40 * q
+        assert rows[3]["trend_micro"] > 0
+
+    def test_oracle_parity_with_negative_trend(self, spark):
+        """Decaying counts force negative trend state — truncating div
+        on both sides must agree sign-for-sign with the recursive-CTE
+        twin."""
+        import duckdb
+
+        from inception_eventstore_spark.plans.queries import _holt_oracle
+
+        counts = [40, 25, 13, 7, 3, 2, 1, 0, 0, 1]
+        df = self._mk(spark, counts)
+        got = [
+            tuple(r)
+            for r in TS.holt_linear_daily(df)
+            .orderBy("day_index")
+            .collect()
+        ]
+        con = duckdb.connect()
+        vals = []
+        eid = 0
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 1)
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                eid += 1
+                vals.append(
+                    f"(TIMESTAMP '{d0 + dt.timedelta(days=day)} 00:00:00')"
+                )
+        con.execute(
+            "CREATE TABLE events AS SELECT * FROM (VALUES "
+            + ", ".join(vals) + ") v(ts)"
+        )
+        want = [tuple(r) for r in con.sql(_holt_oracle()).fetchall()]
+        assert got == want
+
+    def test_needs_two_days(self, spark):
+        with pytest.raises(ValueError):
+            TS.holt_linear_daily(self._mk(spark, [3]))

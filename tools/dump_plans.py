@@ -794,6 +794,14 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "holt_linear": [
+        # km_survival pattern: the day-axis rollup executes at call
+        # time, the sequential recurrence runs driver-side in exact
+        # integers; the probed plan is the returned local day table
+        ("returned relation is the driver-computed state table",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "rake_keywords": [
         ("word-score join back is broadcast — the phrase instances "
          "never shuffle to meet the vocab", r"BroadcastHashJoin"),
