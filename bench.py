@@ -257,6 +257,7 @@ HEADLINE = [
     "theil_sen_trend",
     "rake_keywords",
     "holt_linear",
+    "item_item_cf",
 ]
 
 

@@ -138,3 +138,85 @@ def association_rules(
     out = out.localCheckpoint(eager=True)
     b.unpersist()
     return out
+
+
+def item_item_topk(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    k: int = 5,
+    min_pair_count: int = 2,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """Item-item cosine collaborative filtering (Sarwar 2001,
+    "Item-based collaborative filtering recommendation algorithms"):
+    each item's top-``k`` neighbors by binary-vector cosine
+    co(a,b)/√(n_a·n_b) — the normalized complement of
+    ``association_rules``' lift (lift rewards rarity, cosine rewards
+    overlap share; both read the SAME capped pair counts).
+
+    Exactness: cosine involves a square root, and rational cosines
+    (co²·perfect-square margins) land on 6-dp half-boundaries — so the
+    reported score is SQUARED cosine in integer micro-units,
+    ``div(co²·2^20, n_a·n_b)`` (monotone with cosine for the ranking,
+    truncating div identical cross-engine). Ranking ties break
+    (cos2 desc, co desc, item_b). BIGINT headroom: co ≤ ~2.9e6
+    baskets-in-common before co²·2^20 overflows — cap-bounded inputs
+    stay far under.
+
+    Scale: the pair join is basket-keyed with the ``max_basket_items``
+    cap (the basket_lift shape); the per-item rank window partitions
+    on item_a over that item's co-occurring items — bounded by the
+    catalog, the standard item-CF candidate set, never the raw log.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    b = _prep(baskets, basket_col, item_col, max_basket_items)
+    freq = b.groupBy(F.col("_it").alias("item_a")).agg(
+        F.count("*").cast("bigint").alias("n_a")
+    )
+    half = _pairs(b).where(F.col("pair_count") >= int(min_pair_count))
+    # mirror so every item sees its full neighbor list
+    both = half.unionByName(
+        half.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "pair_count",
+        )
+    )
+    joined = (
+        both.join(freq, "item_a")
+        .join(
+            freq.select(
+                F.col("item_a").alias("item_b"),
+                F.col("n_a").alias("n_b"),
+            ),
+            "item_b",
+        )
+        .withColumn(
+            "cos2_micro",
+            F.expr(
+                "div(pair_count * pair_count * 1048576, n_a * n_b)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cos2_micro").desc(),
+        F.col("pair_count").desc(),
+        "item_b",
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            "n_a",
+            "n_b",
+            "cos2_micro",
+            "rank",
+        )
+    )

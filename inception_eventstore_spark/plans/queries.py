@@ -11420,3 +11420,58 @@ _R6AV_QUERIES = {
     "holt_linear": QueryDef(q_holt_linear, _holt_oracle()),
 }
 QUERIES = {**_R6AV_QUERIES, **QUERIES}
+
+
+def q_item_item_cf(spark, sf_dir):
+    """Item-item cosine collaborative filtering over order baskets
+    (basket.item_item_topk, Sarwar 2001): top-5 neighbors per part by
+    squared cosine in integer micro-units — the normalized complement
+    of basket_lift on the same capped pair counts."""
+    from inception_eventstore_spark.operators.basket import item_item_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_item_topk(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        k=5,
+        min_pair_count=2,
+    ).orderBy("item_a", "rank")
+
+
+_ITEM_ITEM_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+  FROM lineitem),
+sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+bb AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)),
+ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY it),
+p AS (
+  SELECT a.it AS item_a, b2.it AS item_b,
+    CAST(count(*) AS BIGINT) AS pc
+  FROM bb a JOIN bb b2 ON a.bk = b2.bk AND a.it < b2.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+pb AS (
+  SELECT item_a, item_b, pc FROM p
+  UNION ALL
+  SELECT item_b, item_a, pc FROM p),
+j AS (
+  SELECT t.item_a, t.item_b, t.pc, ca.c AS n_a, cb.c AS n_b,
+    CAST(t.pc * t.pc * 1048576 // (ca.c * cb.c) AS BIGINT)
+      AS cos2_micro
+  FROM pb t
+  JOIN ic ca ON t.item_a = ca.it
+  JOIN ic cb ON t.item_b = cb.it),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY item_a
+      ORDER BY cos2_micro DESC, pc DESC, item_b) AS rank
+  FROM j)
+SELECT item_a, item_b, pc AS pair_count, n_a, n_b, cos2_micro,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY item_a, rank
+"""
+
+
+_R6AW_QUERIES = {
+    "item_item_cf": QueryDef(q_item_item_cf, _ITEM_ITEM_ORACLE),
+}
+QUERIES = {**_R6AW_QUERIES, **QUERIES}

@@ -902,3 +902,78 @@ class TestRetrievalNdcg:
             retrieval_ndcg(
                 docs, self._queries(spark, [(1, ["apple"])]), k=0
             )
+
+
+class TestItemItemTopk:
+    def _mk(self, spark, baskets):
+        rows = [(bk, it) for bk, items in baskets for it in items]
+        return spark.createDataFrame(rows, ["basket_id", "item_id"])
+
+    def test_hand_computed_cosine(self, spark):
+        """Items 1 and 2 co-occur in 2 of their 2/4 baskets:
+        cos² = 4/(2·4) = 0.5 → 524288 micro. Item 3 co-occurs once
+        with 2 → filtered by min_pair_count=2."""
+        from inception_eventstore_spark.operators.basket import (
+            item_item_topk,
+        )
+
+        baskets = [
+            (10, [1, 2]),
+            (11, [1, 2]),
+            (12, [2, 3]),
+            (13, [2]),
+        ]
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["pair_count"],
+                r["n_a"],
+                r["n_b"],
+                r["cos2_micro"],
+                r["rank"],
+            )
+            for r in item_item_topk(
+                self._mk(spark, baskets), k=5, min_pair_count=2
+            ).collect()
+        }
+        assert got[(1, 2)] == (2, 2, 4, (4 * 1048576) // 8, 1)
+        assert got[(2, 1)] == (2, 4, 2, (4 * 1048576) // 8, 1)
+        assert (2, 3) not in got and (3, 2) not in got
+
+    def test_rank_orders_by_overlap_share(self, spark):
+        """Item 1's best neighbor is the one sharing ALL its baskets
+        (cos² = co²/(n·n)), not the merely popular one."""
+        from inception_eventstore_spark.operators.basket import (
+            item_item_topk,
+        )
+
+        baskets = [
+            (1, [1, 2, 3]),
+            (2, [1, 2, 3]),
+            (3, [3]),
+            (4, [3]),
+            (5, [3]),
+            (6, [3]),
+        ]
+        # cos²(1,2) = 4/(2·2) = 1.0; cos²(1,3) = 4/(2·6) = 1/3
+        rows = item_item_topk(
+            self._mk(spark, baskets), k=2, min_pair_count=2
+        ).where(F.col("item_a") == 1).orderBy("rank").collect()
+        assert [r["item_b"] for r in rows] == [2, 3]
+        assert rows[0]["cos2_micro"] == 1048576
+        assert rows[1]["cos2_micro"] == 1048576 // 3
+
+    def test_k_truncates_and_guard(self, spark):
+        from inception_eventstore_spark.operators.basket import (
+            item_item_topk,
+        )
+
+        baskets = [(b, [1, 2, 3, 4]) for b in range(3)]
+        rows = item_item_topk(
+            self._mk(spark, baskets), k=2, min_pair_count=2
+        ).collect()
+        per_a = {}
+        for r in rows:
+            per_a.setdefault(r["item_a"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2] for v in per_a.values())
+        with pytest.raises(ValueError):
+            item_item_topk(self._mk(spark, baskets), k=0)

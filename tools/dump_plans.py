@@ -794,6 +794,15 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "item_item_cf": [
+        ("pair generation is a basket-keyed self-equi-join, never a "
+         "cartesian", "!CartesianProduct"),
+        ("pair/margin counts partial-aggregate before their shuffles",
+         r"HashAggregate[^\n]*partial"),
+        ("rank window partitions on item_a over its candidate list, "
+         "never one partition", "!Exchange SinglePartition"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "holt_linear": [
         # km_survival pattern: the day-axis rollup executes at call
         # time, the sequential recurrence runs driver-side in exact
