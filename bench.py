@@ -258,6 +258,7 @@ HEADLINE = [
     "rake_keywords",
     "holt_linear",
     "item_item_cf",
+    "isotonic_calibration",
 ]
 
 

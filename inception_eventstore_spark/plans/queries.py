@@ -11475,3 +11475,72 @@ _R6AW_QUERIES = {
     "item_item_cf": QueryDef(q_item_item_cf, _ITEM_ITEM_ORACLE),
 }
 QUERIES = {**_R6AW_QUERIES, **QUERIES}
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAVA) recalibration of the quality model's is-English
+    probability (scoring.isotonic_calibration, Zadrozny 2002) on the
+    calibration_curve bin axis — minimax closed form over the bounded
+    bin table, integer micro-unit quantization before the max/min."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.isotonic_calibration(
+        scored.withColumn("is_en", F.col("lang") == "en"),
+        "quality_prob",
+        "is_en",
+        bins=10,
+    )
+
+
+_ISOTONIC_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) AS p
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT least(CAST(floor(s.p * 10) AS INTEGER), 9) AS bin,
+    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.p IS NOT NULL),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos
+  FROM lab GROUP BY bin),
+jk AS (
+  SELECT j.bin AS jj, k.bin AS kk,
+    CAST(CAST(sum(m.n_pos) AS BIGINT) * 1048576
+      // CAST(sum(m.n) AS BIGINT) AS BIGINT) AS avg_micro
+  FROM g j JOIN g k ON j.bin <= k.bin
+  JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY 1, 2),
+fit AS (
+  SELECT i.bin, max(inner_min) AS iso_micro
+  FROM (
+    SELECT i.bin, jk.jj, min(jk.avg_micro) AS inner_min
+    FROM g i JOIN jk ON jk.jj <= i.bin AND jk.kk >= i.bin
+    GROUP BY 1, 2) i
+  GROUP BY 1)
+SELECT CAST(g.bin AS INT) AS bin, g.n, g.n_pos,
+  CAST(g.n_pos * 1048576 // g.n AS BIGINT) AS raw_micro,
+  CAST(fit.iso_micro AS BIGINT) AS iso_micro
+FROM g JOIN fit ON g.bin = fit.bin
+ORDER BY bin
+"""
+
+
+_R6AX_QUERIES = {
+    "isotonic_calibration": QueryDef(
+        q_isotonic_calibration, _ISOTONIC_ORACLE
+    ),
+}
+QUERIES = {**_R6AX_QUERIES, **QUERIES}

@@ -1426,3 +1426,57 @@ class TestSrmCheck:
 
         with _pt.raises(ValueError):
             srm_check(self._mk(spark, [1]), n_buckets=1)
+
+
+class TestIsotonicCalibration:
+    def _run(self, spark, rows, bins=10):
+        from inception_eventstore_spark.operators.scoring import (
+            isotonic_calibration,
+        )
+
+        df = spark.createDataFrame(rows, "p double, y int")
+        return {
+            r["bin"]: (r["n"], r["n_pos"], r["raw_micro"], r["iso_micro"])
+            for r in isotonic_calibration(df, "p", "y", bins=bins).collect()
+        }
+
+    def test_violating_bins_pool_to_weighted_average(self, spark):
+        """Rates 0.6 then 0.2 violate monotonicity → PAVA pools both
+        bins to 4/10 = div(4·2^20, 10)."""
+        rows = [(0.05, 1)] * 3 + [(0.05, 0)] * 2 + [(0.15, 1)] * 1 + [
+            (0.15, 0)
+        ] * 4
+        got = self._run(spark, rows)
+        pooled = (4 * 1048576) // 10
+        assert got[0] == (5, 3, (3 * 1048576) // 5, pooled)
+        assert got[1] == (5, 1, (1 * 1048576) // 5, pooled)
+
+    def test_monotone_input_unchanged(self, spark):
+        rows = [(0.05, 1)] * 1 + [(0.05, 0)] * 4 + [(0.15, 1)] * 3 + [
+            (0.15, 0)
+        ] * 2
+        got = self._run(spark, rows)
+        assert got[0][3] == got[0][2]  # iso == raw
+        assert got[1][3] == got[1][2]
+
+    def test_weighted_pooling(self, spark):
+        """n=1 rate-1.0 bin vs n=3 rate-0.0 bin → pooled 1/4."""
+        rows = [(0.05, 1), (0.15, 0), (0.15, 0), (0.15, 0)]
+        got = self._run(spark, rows)
+        pooled = 1048576 // 4
+        assert got[0][3] == pooled and got[1][3] == pooled
+
+    def test_result_is_monotone(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (rng.random(), rng.randint(0, 1)) for _ in range(400)
+        ]
+        got = self._run(spark, rows)
+        fits = [got[b][3] for b in sorted(got)]
+        assert fits == sorted(fits)
+
+    def test_bins_guard(self, spark):
+        with pytest.raises(ValueError):
+            self._run(spark, [(0.5, 1)], bins=1)

@@ -794,6 +794,14 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "isotonic_calibration": [
+        ("per-bin label rollup partial-aggregates over the corpus",
+         r"HashAggregate[^\n]*partial"),
+        ("minimax runs on the checkpointed ≤ bins-row table",
+         r"Scan ExistingRDD"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere — closed-form minimax joins", "!Window"),
+    ],
     "item_item_cf": [
         ("pair generation is a basket-keyed self-equi-join, never a "
          "cartesian", "!CartesianProduct"),
