@@ -259,6 +259,7 @@ HEADLINE = [
     "holt_linear",
     "item_item_cf",
     "isotonic_calibration",
+    "hll_sliding_distinct",
 ]
 
 

@@ -690,3 +690,99 @@ SELECT grp, n_kept, kth_hash,
   END AS BIGINT) AS kmv_est
 FROM u
 """
+
+
+def hll_sliding_distinct(
+    events: DataFrame,
+    window_days: int = 7,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    p: int = 9,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct-value estimate per day from
+    MERGED daily HLL register state — the sketch twin of the exact
+    ``timeseries.sliding_distinct_users``, and the reason sketches
+    matter for windows: per-day registers are built ONCE (≤ days·2^p
+    rows however large the log), and every trailing window is a
+    register-MAX merge of ≤ ``window_days`` day sketches — the log is
+    scanned once regardless of window count, where the exact operator
+    re-shuffles user-day contributions per window width.
+
+    Same output certificate as ``hll_distinct`` per day: hll_denom
+    (exact BIGINT), hll_zeros, hll_est. Days reported are those with
+    ≥ 1 own event (the sliding_distinct_users convention).
+
+    Scale: one partial-aggregated register rollup over the log, then a
+    window_days-way explode of the tiny register table; everything
+    after is bounded by days·2^p.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    daily = hll_registers(
+        events.select(
+            F.to_date(F.col(ts_col)).alias("_d"), F.col(value_col)
+        ),
+        value_col,
+        ["_d"],
+        p,
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), int(window_days) - 1),
+            )
+        ).alias("day"),
+        "reg_idx",
+        "m_j",
+    )
+    wreg = contrib.groupBy("day", "reg_idx").agg(
+        F.max("m_j").alias("m_j")
+    )
+    est = hll_estimate_from_registers(wreg, p=p, group_cols=["day"])
+    observed = events.select(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    return est.join(observed, "day").orderBy("day")
+
+
+def hll_sliding_oracle_sql(
+    window_days: int = 7,
+    value_expr: str = "user_id",
+    p: int = 9,
+) -> str:
+    """DuckDB twin of ``hll_sliding_distinct`` over the ``events``
+    view — identical hash, register, merge, and estimate arithmetic."""
+    m = 1 << p
+    q = 60 - p + 1
+    c = _hll_raw_constant(m, q)
+    return f"""
+WITH h AS (SELECT CAST(ts AS DATE) AS d,
+  CAST(concat('0x', substr(md5(concat('hll:',
+    CAST({value_expr} AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events),
+r AS (SELECT d, h % {m} AS reg_idx,
+  CASE WHEN h // {m} > 0 THEN {q} - length(bin(h // {m}))
+       ELSE {q} END AS rho
+  FROM h),
+regs AS (SELECT d, reg_idx, max(rho) AS m_j FROM r GROUP BY 1, 2),
+contrib AS (SELECT d + o.i::INT AS day, reg_idx, m_j
+  FROM regs, range(0, {window_days}) o(i)),
+wreg AS (SELECT day, reg_idx, max(m_j) AS m_j FROM contrib
+  GROUP BY 1, 2),
+agg AS (SELECT day,
+  CAST(sum(1::BIGINT << ({q} - m_j)) AS BIGINT) AS present_denom,
+  CAST(count(*) AS BIGINT) AS n_regs FROM wreg GROUP BY day),
+fin AS (SELECT day,
+  CAST(present_denom + ({m} - n_regs) * (1::BIGINT << {q}) AS BIGINT)
+    AS hll_denom,
+  CAST({m} - n_regs AS BIGINT) AS hll_zeros FROM agg),
+obs AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT fin.day, hll_denom, hll_zeros,
+  CASE WHEN hll_zeros > 0 AND {c!r} / hll_denom <= {2.5 * m!r}
+       THEN {float(m)!r} * ln({float(m)!r} / hll_zeros)
+       ELSE {c!r} / hll_denom
+  END AS hll_est
+FROM fin JOIN obs ON fin.day = obs.day
+ORDER BY fin.day
+"""

@@ -11544,3 +11544,29 @@ _R6AX_QUERIES = {
     ),
 }
 QUERIES = {**_R6AX_QUERIES, **QUERIES}
+
+
+def q_hll_sliding(spark, sf_dir):
+    """Trailing-7-day distinct users per day from merged daily HLL
+    registers (sketches.hll_sliding_distinct) — the sketch twin of
+    sliding_active_users: one register rollup over the log, every
+    window a ≤7-way register-MAX merge. Exact BIGINT register
+    certificate per day hash-matches the SQL twin."""
+    from inception_eventstore_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.hll_sliding_distinct(ev, window_days=7)
+
+
+def _hll_sliding_oracle() -> str:
+    from inception_eventstore_spark.operators.sketches import (
+        hll_sliding_oracle_sql,
+    )
+
+    return hll_sliding_oracle_sql(window_days=7)
+
+
+_R6AY_QUERIES = {
+    "hll_sliding_distinct": QueryDef(q_hll_sliding, _hll_sliding_oracle()),
+}
+QUERIES = {**_R6AY_QUERIES, **QUERIES}

@@ -386,3 +386,62 @@ class TestKMV:
         df = spark.range(3).select(F.col("id").alias("k"))
         with pytest.raises(ValueError):
             SK.kmv_sketch(df, "k", k=1)
+
+
+class TestHllSlidingDistinct:
+    def _mk(self, spark, day_users):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for day, users in enumerate(day_users):
+            for u in users:
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), u, "e", 1.0)
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_window_merge_equals_rebuild(self, spark):
+        """Each day's trailing-3-day sliding sketch is bit-identical to
+        an HLL built from scratch on that window's raw rows — the
+        merge==rebuild certificate, per window."""
+        import datetime as dt
+
+        day_users = [
+            list(range(0, 40)),
+            list(range(20, 70)),
+            [],
+            list(range(60, 90)),
+            list(range(0, 10)),
+        ]
+        df = self._mk(spark, day_users)
+        got = {
+            r["day"]: (r["hll_denom"], r["hll_zeros"], r["hll_est"])
+            for r in SK.hll_sliding_distinct(
+                df, window_days=3
+            ).collect()
+        }
+        d0 = dt.date(2024, 3, 1)
+        for day_idx in (0, 1, 3, 4):
+            window_users = set()
+            for j in range(max(0, day_idx - 2), day_idx + 1):
+                window_users |= set(day_users[j])
+            raw = spark.createDataFrame(
+                [(u,) for u in window_users], ["user_id"]
+            )
+            want = SK.hll_distinct(raw, "user_id").first()
+            assert got[d0 + dt.timedelta(days=day_idx)] == (
+                want["hll_denom"],
+                want["hll_zeros"],
+                want["hll_est"],
+            )
+        # day 2 (no own events) is not reported
+        assert d0 + dt.timedelta(days=2) not in got
+
+    def test_window_guard(self, spark):
+        with pytest.raises(ValueError):
+            SK.hll_sliding_distinct(self._mk(spark, [[1]]), window_days=0)

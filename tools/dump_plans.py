@@ -794,6 +794,15 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "hll_sliding_distinct": [
+        ("daily register rollup is map-side combinable (partial_max "
+         "before the shuffle — the log moves once, as registers)",
+         r"partial_max|HashAggregate.*partial"),
+        ("window merge re-aggregates only the exploded register table",
+         r"HashAggregate"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window function anywhere — merges, not frames", "!Window"),
+    ],
     "isotonic_calibration": [
         ("per-bin label rollup partial-aggregates over the corpus",
          r"HashAggregate[^\n]*partial"),
