@@ -260,6 +260,7 @@ HEADLINE = [
     "item_item_cf",
     "isotonic_calibration",
     "hll_sliding_distinct",
+    "quantile_normalize",
 ]
 
 

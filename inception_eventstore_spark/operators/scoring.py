@@ -392,3 +392,72 @@ def isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+def quantile_normalize(
+    scored: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization (the genomics-standard
+    distribution harmonizer, Bolstad 2003, applied to quality scores):
+    each row's value is replaced by the GLOBAL value at the matching
+    quantile — rank r of n_g within its group maps to global rank
+    ceil(r·N/n_g) — so every group ends up with an identical score
+    distribution and per-source scorer drift cannot leak into a
+    downstream threshold cut (quality_quantile_filter's cross-source
+    failure mode).
+
+    Determinism: both rankings are TOTAL orders ((value, id)
+    tie-break) computed with the two-phase shard rank — never a
+    single-task window — and the target rank is exact integer
+    arithmetic ``div(r·N + n_g − 1, n_g)`` (= ceil for positives), so
+    the mapping replays bit-for-bit. Values should be exact integers
+    (quantized upstream).
+
+    Scale: two grouped_row_number passes (one range shuffle each) and
+    one rank-keyed equi-join of the ranked relation against the global
+    value table — all data-sized work is keyed, nothing funnels.
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    v = F.col(value_col)
+    base = scored.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        v.alias("_v"),
+    ).where(v.isNotNull())
+    in_group = grouped_row_number(
+        base,
+        [F.col("_v"), F.col("_id")],
+        group_cols=["_g"],
+        rank_col="_r",
+        with_group_count="_ng",
+    )
+    global_ranked = grouped_row_number(
+        base.select(F.col("_v").alias("_gv"), F.col("_id").alias("_gid")),
+        [F.col("_gv"), F.col("_gid")],
+        rank_col="_t",
+        with_group_count="_nt",
+    )
+    n_total = int(global_ranked.agg(F.max("_t")).first()[0] or 0)
+    target = in_group.withColumn(
+        "_t", F.expr(f"div(_r * {n_total} + _ng - 1, _ng)")
+    )
+    return (
+        target.join(
+            global_ranked.select("_t", "_gv"), "_t"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            F.col("_r").cast("bigint").alias("group_rank"),
+            F.col("_ng").cast("bigint").alias("group_n"),
+            F.col("_gv").alias(f"{value_col}_qnorm"),
+        )
+        .orderBy(id_col)
+    )

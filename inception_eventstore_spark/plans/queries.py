@@ -11570,3 +11570,64 @@ _R6AY_QUERIES = {
     "hll_sliding_distinct": QueryDef(q_hll_sliding, _hll_sliding_oracle()),
 }
 QUERIES = {**_R6AY_QUERIES, **QUERIES}
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of quality-score micros across sources
+    (scoring.quantile_normalize, Bolstad 2003): per-source rank maps
+    to the global value at ceil(r·N/n_g) — identical post-map
+    distributions, scorer drift removed. Both ranks two-phase; exact
+    integer target ranks."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    pm = scored.select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality_prob") * 1e6)
+        .cast("bigint")
+        .alias("score_pm"),
+    )
+    return SC.quantile_normalize(pm, "score_pm", "source", "doc_id")
+
+
+_QNORM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, CAST(round(round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) * 1000000) AS BIGINT) AS pm
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+base AS (SELECT s.doc_id, d.source, s.pm
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.pm IS NOT NULL),
+ig AS (SELECT doc_id, source, pm,
+    row_number() OVER (PARTITION BY source ORDER BY pm, doc_id) AS r,
+    count(*) OVER (PARTITION BY source) AS ng
+  FROM base),
+gl AS (SELECT pm AS gv,
+    row_number() OVER (ORDER BY pm, doc_id) AS t,
+    count(*) OVER () AS nt
+  FROM base)
+SELECT ig.doc_id, ig.source, ig.pm AS score_pm,
+  CAST(ig.r AS BIGINT) AS group_rank,
+  CAST(ig.ng AS BIGINT) AS group_n,
+  gl.gv AS score_pm_qnorm
+FROM ig JOIN gl ON gl.t = (ig.r * gl.nt + ig.ng - 1) // ig.ng
+ORDER BY ig.doc_id
+"""
+
+
+_R6AZ_QUERIES = {
+    "quantile_normalize": QueryDef(q_quantile_normalize, _QNORM_ORACLE),
+}
+QUERIES = {**_R6AZ_QUERIES, **QUERIES}

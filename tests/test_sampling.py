@@ -518,3 +518,54 @@ class TestPoissonBootstrapCI:
 
         with pytest.raises(ValueError):
             poisson_bootstrap_ci(self._fixture(spark, 10), "k", "x", b=4)
+
+
+class TestQuantileNormalize:
+    def _run(self, spark, rows):
+        from inception_eventstore_spark.operators.scoring import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        return quantile_normalize(df, "v", "g", "id").collect()
+
+    def test_groups_get_identical_distributions(self, spark):
+        """Group a (values 0..9) and group b (100..109, shifted +100):
+        after normalization both carry the SAME multiset — the even-
+        rank global values (ceil(r·20/10) = 2r)."""
+        rows = [(i, "a", i) for i in range(10)] + [
+            (100 + i, "b", 100 + i) for i in range(10)
+        ]
+        out = self._run(spark, rows)
+        glob = sorted([r[2] for r in rows])
+        expect = sorted(glob[2 * r - 1] for r in range(1, 11))
+        by_g: dict[str, list[int]] = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["v_qnorm"])
+        assert sorted(by_g["a"]) == expect
+        assert sorted(by_g["b"]) == expect
+
+    def test_extremes_map_to_extremes(self, spark):
+        rows = [(1, "a", 5), (2, "a", 50), (3, "b", 7), (4, "b", 9)]
+        out = {r["id"]: r["v_qnorm"] for r in self._run(spark, rows)}
+        # both group maxima map to the global max (rank N)
+        assert out[2] == 50 and out[4] == 50
+
+    def test_partitioning_invariant(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            quantile_normalize,
+        )
+
+        rows = [(i, f"g{i % 3}", (i * 37) % 101) for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        a = sorted(
+            tuple(r)
+            for r in quantile_normalize(df, "v", "g", "id").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in quantile_normalize(
+                df.repartition(13), "v", "g", "id"
+            ).collect()
+        )
+        assert a == b

@@ -794,6 +794,15 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "quantile_normalize": [
+        # both rankings run through grouped_row_number, whose eager
+        # checkpoint hides upstream — assert the visible shard keying
+        ("ranks fan across range shards, never a single task",
+         r"hashpartitioning\(_gr_pid"),
+        ("the rank-keyed mapping join is an equi-join",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "hll_sliding_distinct": [
         ("daily register rollup is map-side combinable (partial_max "
          "before the shuffle — the log moves once, as registers)",
