@@ -261,6 +261,7 @@ HEADLINE = [
     "isotonic_calibration",
     "hll_sliding_distinct",
     "quantile_normalize",
+    "mad_outlier_days",
 ]
 
 

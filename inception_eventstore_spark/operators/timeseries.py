@@ -942,3 +942,82 @@ def holt_linear_daily(
         "level_micro bigint, trend_micro bigint, "
         "onestep_err_micro bigint",
     )
+
+
+def mad_outlier_days(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    z_num: int = 6745,
+    z_den_thousandths: int = 35000,
+) -> DataFrame:
+    """Per-key POINT-anomaly days by the modified z-score (Iglewicz &
+    Hoaglin 1993): flag day t when 0.6745·|x_t − median| / MAD > 3.5,
+    evaluated as the pure-integer cross-product ``6745·|x − med| >
+    35000·MAD`` — the robust single-day complement of the driver-side
+    CUSUM level-shift monitor (same median/MAD centering, but a point
+    test, and fully DISTRIBUTED: no recurrence, so no driver state at
+    all).
+
+    Both medians (of x, then of |x − med|) are exact lower-median
+    order statistics picked by rank over the zero-filled key×day grid
+    — windows bounded by the day span (the acf_daily cardinality
+    acceptance), never data-sized. MAD = 0 (over half the days
+    identical) degenerates to flagging any deviation — the standard
+    MAD caveat, documented not hidden.
+
+    Output: flagged days only — (key, day, x, med, mad), ordered.
+    """
+    cnts = events.groupBy(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_d")
+    )
+    keys = events.select(F.col(key_col).alias("_k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(days))
+        .join(cnts, ["_k", "_d"], "left")
+        .select("_k", "_d", F.coalesce("_x", F.lit(0)).alias("_x"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("_k").orderBy(col, "_d")
+        ranked = df.select(
+            "_k",
+            F.col(col),
+            "_d",
+            F.row_number().over(w).alias("_r"),
+            F.count("*").over(Window.partitionBy("_k")).alias("_n"),
+        )
+        return ranked.where(
+            F.col("_r") == F.expr("div(_n + 1, 2)")
+        ).select("_k", F.col(col).alias(out))
+
+    med = _lower_median(grid, "_x", "med")
+    dev = grid.join(F.broadcast(med), "_k").withColumn(
+        "_dev", F.abs(F.col("_x") - F.col("med"))
+    )
+    mad = _lower_median(
+        dev.select("_k", F.col("_dev").alias("_x"), "_d"), "_x", "mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "_k")
+        .where(
+            F.col("_dev") * F.lit(int(z_num))
+            > F.col("mad") * F.lit(int(z_den_thousandths))
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_d").alias("day"),
+            F.col("_x").alias("x"),
+            "med",
+            "mad",
+        )
+        .orderBy(key_col, "day")
+    )

@@ -11631,3 +11631,61 @@ _R6AZ_QUERIES = {
     "quantile_normalize": QueryDef(q_quantile_normalize, _QNORM_ORACLE),
 }
 QUERIES = {**_R6AZ_QUERIES, **QUERIES}
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Modified-z robust outlier days per event type (timeseries.
+    mad_outlier_days, Iglewicz-Hoaglin): exact lower-median/MAD over
+    the zero-filled day grid, pure-integer 6745·dev > 25000·MAD test
+    (z > 2.5 — the synthetic Poisson-ish counts never reach the 3.5
+    default, which would make the gate vacuous) — the distributed
+    point complement of cusum_changepoints."""
+    from inception_eventstore_spark.operators.timeseries import (
+        mad_outlier_days,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outlier_days(ev, z_den_thousandths=25000)
+
+
+_MAD_OUTLIER_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+    AS d FROM b),
+keys AS (SELECT DISTINCT event_type AS k FROM events),
+cnt AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT keys.k, days.d, COALESCE(cnt.x, 0) AS x
+  FROM keys CROSS JOIN days
+  LEFT JOIN cnt ON cnt.k = keys.k AND cnt.d = days.d),
+med AS (
+  SELECT k, x AS med FROM (
+    SELECT k, x,
+      row_number() OVER (PARTITION BY k ORDER BY x, d) AS r,
+      count(*) OVER (PARTITION BY k) AS n
+    FROM grid)
+  WHERE r = (n + 1) // 2),
+dev AS (SELECT g.k, g.d, g.x, med.med, abs(g.x - med.med) AS dv
+  FROM grid g JOIN med ON g.k = med.k),
+mad AS (
+  SELECT k, dv AS mad FROM (
+    SELECT k, dv,
+      row_number() OVER (PARTITION BY k ORDER BY dv, d) AS r,
+      count(*) OVER (PARTITION BY k) AS n
+    FROM dev)
+  WHERE r = (n + 1) // 2)
+SELECT dev.k AS event_type, dev.d AS day, dev.x, dev.med, mad.mad
+FROM dev JOIN mad ON dev.k = mad.k
+WHERE dev.dv * 6745 > mad.mad * 25000
+ORDER BY event_type, day
+"""
+
+
+_R6BA_QUERIES = {
+    "mad_outlier_days": QueryDef(q_mad_outliers, _MAD_OUTLIER_ORACLE),
+}
+QUERIES = {**_R6BA_QUERIES, **QUERIES}

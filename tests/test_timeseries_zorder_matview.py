@@ -885,3 +885,56 @@ class TestHoltLinearDaily:
     def test_needs_two_days(self, spark):
         with pytest.raises(ValueError):
             TS.holt_linear_daily(self._mk(spark, [3]))
+
+
+class TestMadOutlierDays:
+    def _mk(self, spark, day_counts, typ="a"):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for day, c in enumerate(day_counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, typ, 1.0)
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_planted_spike_flagged(self, spark):
+        """Stable ~10/day with one 100-count day: med 10, MAD small,
+        the spike is the only flag."""
+        import datetime as dt
+
+        counts = [10, 11, 9, 10, 100, 10, 11, 9, 10, 10, 11]
+        df = self._mk(spark, counts)
+        rows = TS.mad_outlier_days(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["day"] == dt.date(2024, 3, 5)
+        assert r["x"] == 100 and r["med"] == 10
+
+    def test_quiet_series_unflagged(self, spark):
+        # spread keeps MAD ≥ 1 (half the days at the median would
+        # zero it out); max dev 3 < 3.5·MAD → nothing flags
+        df = self._mk(spark, [10, 12, 9, 10, 13, 8, 11, 10])
+        assert TS.mad_outlier_days(df).count() == 0
+
+    def test_mad_zero_degenerates_to_any_deviation(self, spark):
+        """Over half the days identical → MAD 0: any deviating day
+        flags (the documented MAD caveat)."""
+        df = self._mk(spark, [5, 5, 5, 5, 5, 6, 5, 5])
+        rows = TS.mad_outlier_days(df).collect()
+        assert [(r["x"], r["mad"]) for r in rows] == [(6, 0)]
+
+    def test_zero_filled_gap_day_can_flag(self, spark):
+        """A silent day is a real 0 — far from a ~20 median it flags."""
+        import datetime as dt
+
+        counts = [20, 21, 19, 20, 0, 20, 21, 19, 20]
+        df = self._mk(spark, counts)
+        days = [r["day"] for r in TS.mad_outlier_days(df).collect()]
+        assert days == [dt.date(2024, 3, 5)]

@@ -794,6 +794,14 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "mad_outlier_days": [
+        ("per-day count rollup sits behind the grid checkpoint; the "
+         "visible work runs on the bounded grid scans",
+         r"Scan ExistingRDD"),
+        ("median/MAD join back broadcast — the grid never reshuffles "
+         "to meet two scalars per key", r"BroadcastHashJoin"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "quantile_normalize": [
         # both rankings run through grouped_row_number, whose eager
         # checkpoint hides upstream — assert the visible shard keying
