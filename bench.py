@@ -262,6 +262,7 @@ HEADLINE = [
     "hll_sliding_distinct",
     "quantile_normalize",
     "mad_outlier_days",
+    "ess_report",
 ]
 
 

@@ -117,3 +117,47 @@ def dsir_select(
         .where(F.col("score") >= F.col("cut"))
         .drop("cut")
     )
+
+
+def ess_report(
+    weighted: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Effective-sample-size diagnostics for an importance-weighted
+    corpus (Kong 1992; the standard "did reweighting quietly throw
+    away my data" check before any DSIR/DoReMi-weighted training run):
+    ESS = (Σw)²/Σw² — the equivalent count of equal-weight samples —
+    plus the max single-row weight share. ESS/n near 1 means weights
+    are benign; a low ratio or a dominant row means the weighted
+    sample is effectively tiny.
+
+    Weights MUST be non-negative integers (quantize upstream — e.g.
+    score ppm): Σw and Σw² then stay exact BIGINTs under ANSI mode and
+    the ratios are fixed-order double expressions of exact scalars,
+    bit-equal cross-engine. One partial-aggregated rollup; output is
+    |groups| rows.
+    """
+    groups = list(group_cols or [])
+    w = F.col(weight_col)
+    m = (
+        weighted.where(w.isNotNull() & (w > 0))
+        .groupBy(*groups)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(w).cast("bigint").alias("sw"),
+            F.sum(w * w).cast("bigint").alias("sww"),
+            F.max(w).cast("bigint").alias("wmax"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ess = d("sw") * d("sw") / d("sww")
+    return m.select(
+        *groups,
+        "n",
+        "sw",
+        "wmax",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / d("n"), 6).alias("ess_ratio"),
+        F.round(d("wmax") / d("sw"), 6).alias("max_share"),
+    )

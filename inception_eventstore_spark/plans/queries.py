@@ -11689,3 +11689,61 @@ _R6BA_QUERIES = {
     "mad_outlier_days": QueryDef(q_mad_outliers, _MAD_OUTLIER_ORACLE),
 }
 QUERIES = {**_R6BA_QUERIES, **QUERIES}
+
+
+def q_ess_report(spark, sf_dir):
+    """Effective-sample-size diagnostics of quality-score-ppm weights
+    per language (importance.ess_report, Kong 1992): ESS = (Σw)²/Σw²
+    from exact BIGINT sums — the pre-flight check for any weighted
+    training mixture."""
+    from inception_eventstore_spark.operators import scoring as SC
+    from inception_eventstore_spark.operators.importance import ess_report
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    pm = scored.select(
+        "lang",
+        F.round(F.col("quality_prob") * 1e6)
+        .cast("bigint")
+        .alias("w_pm"),
+    )
+    return ess_report(pm, "w_pm", ["lang"]).orderBy("lang")
+
+
+_ESS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, CAST(round(round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) * 1000000) AS BIGINT) AS pm
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+base AS (SELECT d.lang, s.pm AS w
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.pm IS NOT NULL AND s.pm > 0),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(w) AS BIGINT) AS sw,
+    CAST(sum(w * w) AS BIGINT) AS sww,
+    CAST(max(w) AS BIGINT) AS wmax
+  FROM base GROUP BY lang)
+SELECT lang, n, sw, wmax,
+  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+    / CAST(sww AS DOUBLE), 6) AS ess,
+  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+    / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ess_ratio,
+  round(CAST(wmax AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS max_share
+FROM m ORDER BY lang
+"""
+
+
+_R6BB_QUERIES = {
+    "ess_report": QueryDef(q_ess_report, _ESS_ORACLE),
+}
+QUERIES = {**_R6BB_QUERIES, **QUERIES}

@@ -71,3 +71,38 @@ class TestImportance:
         kept = {r.doc_id for r in IM.dsir_select(pool, target, 0.25).collect()}
         assert kept <= {100, 103, 106}
         assert len(kept) >= 2
+
+
+class TestEssReport:
+    def _run(self, spark, rows):
+        from inception_eventstore_spark.operators.importance import (
+            ess_report,
+        )
+
+        df = spark.createDataFrame(rows, "g string, w long")
+        return {
+            r["g"]: r for r in ess_report(df, "w", ["g"]).collect()
+        }
+
+    def test_equal_weights_ess_equals_n(self, spark):
+        got = self._run(spark, [("a", 7)] * 20)
+        r = got["a"]
+        assert r["n"] == 20 and r["ess"] == 20.0
+        assert r["ess_ratio"] == 1.0
+        assert r["max_share"] == 0.05
+
+    def test_dominant_weight_collapses_ess(self, spark):
+        """One weight 1000 against nine weight-1 rows: ESS =
+        (1009)²/(1000009) ≈ 1.018 — the weighted sample is
+        effectively ONE row."""
+        rows = [("a", 1000)] + [("a", 1)] * 9
+        r = self._run(spark, rows)["a"]
+        assert r["n"] == 10
+        assert r["ess"] == round(1009.0**2 / 1000009.0, 6)
+        assert r["ess"] < 1.1
+        assert r["max_share"] == round(1000.0 / 1009.0, 6)
+
+    def test_zero_and_null_weights_excluded(self, spark):
+        rows = [("a", 5), ("a", 0), ("a", None), ("a", 5)]
+        r = self._run(spark, rows)["a"]
+        assert r["n"] == 2 and r["sw"] == 10

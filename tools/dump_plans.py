@@ -794,6 +794,12 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "ess_report": [
+        ("per-group weight moments partial-aggregate over the corpus",
+         r"HashAggregate[^\n]*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere — one rollup", "!Window"),
+    ],
     "mad_outlier_days": [
         ("per-day count rollup sits behind the grid checkpoint; the "
          "visible work runs on the bounded grid scans",
