@@ -263,6 +263,7 @@ HEADLINE = [
     "quantile_normalize",
     "mad_outlier_days",
     "ess_report",
+    "source_similarity_js",
 ]
 
 

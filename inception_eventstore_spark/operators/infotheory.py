@@ -187,3 +187,81 @@ def cohens_kappa(
             6,
         ).alias("kappa"),
     )
+
+
+def source_token_js(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two groups'
+    token distributions — the corpus-similarity matrix a mixture
+    designer reads before merging sources (Lin 1991; the symmetric,
+    bounded-by-ln2 alternative to KL). Each group's distribution is
+    add-k smoothed over the GLOBAL vocabulary, so absent tokens carry
+    the floor probability rather than breaking the log.
+
+    Shape: one partial-aggregated (group, token) count, a vocab×groups
+    zero-filled grid (vocab-keyed — the grid is |V|·|S| rows however
+    large the corpus), one token-keyed self-join producing
+    |V|·C(|S|,2) term rows, and a per-pair rollup. Probabilities are
+    ratios of exact integers; the per-pair Σ term is a double
+    summation whose order jitter sits far inside the 6-dp round (the
+    adamic_adar/dsir acceptance).
+
+    Output per unordered pair (src_a < src_b): n_tokens (union vocab
+    size = global |V|), js (6-dp; 0 ≡ identical, ln 2 ≈ 0.693147 ≡
+    disjoint).
+    """
+    from inception_eventstore_spark.operators.dedup import tokens
+
+    k = float(smoothing)
+    if k <= 0:
+        raise ValueError("smoothing must be > 0")
+    tc = (
+        docs.select(
+            F.col(group_col).alias("_s"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .groupBy("_s", "_tok")
+        .agg(F.count("*").cast("bigint").alias("_c"))
+    )
+    vocab = tc.select("_tok").distinct()
+    totals = tc.groupBy("_s").agg(F.sum("_c").cast("bigint").alias("_tot"))
+    n_vocab = int(vocab.count())
+    grid = (
+        totals.select("_s", "_tot")
+        .crossJoin(vocab)
+        .join(tc, ["_s", "_tok"], "left")
+        .select(
+            "_s",
+            "_tok",
+            (
+                (F.coalesce("_c", F.lit(0)).cast("double") + F.lit(k))
+                / (F.col("_tot").cast("double") + F.lit(k * n_vocab))
+            ).alias("_p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = grid.select(
+        F.col("_s").alias("_sb"),
+        F.col("_tok"),
+        F.col("_p").alias("_q"),
+    )
+    pairs = grid.join(b, "_tok").where(F.col("_s") < F.col("_sb"))
+    m = (F.col("_p") + F.col("_q")) / 2
+    term = (
+        F.col("_p") * F.log(F.col("_p") / m)
+        + F.col("_q") * F.log(F.col("_q") / m)
+    ) / 2
+    return (
+        pairs.groupBy(
+            F.col("_s").alias("src_a"), F.col("_sb").alias("src_b")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("js"),
+        )
+        .orderBy("src_a", "src_b")
+    )

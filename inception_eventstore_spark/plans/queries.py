@@ -11747,3 +11747,47 @@ _R6BB_QUERIES = {
     "ess_report": QueryDef(q_ess_report, _ESS_ORACLE),
 }
 QUERIES = {**_R6BB_QUERIES, **QUERIES}
+
+
+def q_source_js(spark, sf_dir):
+    """Pairwise source-similarity matrix: Jensen-Shannon divergence
+    between every two sources' add-½-smoothed token distributions
+    (infotheory.source_token_js, Lin 1991) — the corpus-mixture
+    designer's merge map. Probabilities are exact-integer ratios; the
+    Σ term order jitter sits inside the 6-dp round."""
+    from inception_eventstore_spark.operators.infotheory import (
+        source_token_js,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_token_js(docs, "text", "source")
+
+
+_SOURCE_JS_ORACLE = f"""
+WITH t AS (SELECT source, {_DUCK_TOKENS} AS tk FROM documents),
+tc AS (SELECT source AS s, unnest(tk) AS tok FROM t),
+cnt AS (SELECT s, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tc GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT tok FROM cnt),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY s),
+grid AS (
+  SELECT tot.s, vocab.tok,
+    (CAST(COALESCE(cnt.c, 0) AS DOUBLE) + 0.5)
+      / (CAST(tot.tot AS DOUBLE) + 0.5 * (SELECT n FROM nv)) AS p
+  FROM tot CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.s = tot.s AND cnt.tok = vocab.tok),
+pairs AS (
+  SELECT a.s AS src_a, b.s AS src_b, a.p, b.p AS q
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.s < b.s)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(sum((p * ln(p / ((p + q) / 2))
+    + q * ln(q / ((p + q) / 2))) / 2), 6) AS js
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_R6BC_QUERIES = {
+    "source_similarity_js": QueryDef(q_source_js, _SOURCE_JS_ORACLE),
+}
+QUERIES = {**_R6BC_QUERIES, **QUERIES}

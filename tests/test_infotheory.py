@@ -121,3 +121,40 @@ class TestCohensKappa:
         r = cohens_kappa(df, "t", "p").first()
         # NULL == NULL counts as agreement (eqNullSafe), po = 2/4
         assert r["observed_agreement"] == 0.5
+
+
+class TestSourceTokenJs:
+    def _run(self, spark, rows, **kw):
+        from inception_eventstore_spark.operators.infotheory import (
+            source_token_js,
+        )
+
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {
+            (r["src_a"], r["src_b"]): r
+            for r in source_token_js(df, "text", "source", **kw).collect()
+        }
+
+    def test_identical_sources_near_zero(self, spark):
+        rows = [("a", "x y z x"), ("b", "x y z x")]
+        got = self._run(spark, rows)
+        assert got[("a", "b")]["js"] == 0.0
+
+    def test_disjoint_sources_near_ln2(self, spark):
+        """Disjoint vocabularies approach ln 2 from below (smoothing
+        keeps the floor probability shared)."""
+        rows = [("a", " ".join(["x"] * 100)), ("b", " ".join(["y"] * 100))]
+        got = self._run(spark, rows)
+        assert 0.6 < got[("a", "b")]["js"] < 0.693148
+
+    def test_symmetry_and_pair_ordering(self, spark):
+        rows = [("b", "x y"), ("a", "x z"), ("c", "y z")]
+        got = self._run(spark, rows)
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert all(r["n_tokens"] == 3 for r in got.values())
+
+    def test_smoothing_guard(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._run(spark, [("a", "x")], smoothing=0.0)

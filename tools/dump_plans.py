@@ -794,6 +794,14 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "source_similarity_js": [
+        ("token counts partial-aggregate over the corpus — only "
+         "(group, token) rows shuffle", r"HashAggregate[^\n]*partial"),
+        ("pair terms come from a token-keyed equi-join of the "
+         "checkpointed vocab grid", r"Scan ExistingRDD"),
+        ("no cartesian of the corpus", "!CartesianProduct"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "ess_report": [
         ("per-group weight moments partial-aggregate over the corpus",
          r"HashAggregate[^\n]*partial"),
