@@ -264,6 +264,8 @@ HEADLINE = [
     "mad_outlier_days",
     "ess_report",
     "source_similarity_js",
+    "ratio_metric_ci",
+    "threshold_sweep",
 ]
 
 

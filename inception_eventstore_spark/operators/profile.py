@@ -1217,3 +1217,81 @@ def srm_check(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(crit)).cast("int").alias("srm_flag"),
     )
+
+
+def ratio_metric_ci(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    n_buckets: int = 2,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-arm ratio metric (Σ value / Σ events per USER cluster) with
+    a delta-method confidence interval (Deng 2018, "Applying the delta
+    method in metric analytics") — the correct CI for per-user ratio
+    metrics like revenue-per-event, where naive row-level variance
+    ignores user clustering.
+
+    R = X̄/N̄ over users; Var(R) ≈ (S_xx − 2R·S_xn + R²·S_nn)/(U·N̄²)
+    with sample (co)variances from exact per-user integer moments
+    (value micros floor(v·2^20), down-shifted by integer div to units
+    as in cuped_adjustment, so every Σ, Σ², Σxy is an exact BIGINT
+    under ANSI); R, the variance, and the z-interval are fixed-order
+    double expressions of those exact scalars.
+
+    Scale: one user-keyed partial-agg rollup, then an arms-row scalar
+    fold. Output per arm: bucket, n_users, sum_units, sum_events,
+    ratio, se, ci_lo, ci_hi (6-dp).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    per_user = (
+        events.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            (F.col(user_col) % n_buckets).cast("int").alias("_b"),
+            F.floor(F.col(value_col) * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("_vq"),
+        )
+        .groupBy("_u", "_b")
+        .agg(
+            F.expr("div(sum(_vq), 1048576)").alias("_x"),
+            F.count("*").cast("bigint").alias("_n"),
+        )
+    )
+    m = per_user.groupBy("_b").agg(
+        F.count("*").cast("bigint").alias("u"),
+        F.sum("_x").cast("bigint").alias("sx"),
+        F.sum("_n").cast("bigint").alias("sn"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("snn"),
+        F.sum(F.col("_x") * F.col("_n")).cast("bigint").alias("sxn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u = d("u")
+    xbar = d("sx") / u
+    nbar = d("sn") / u
+    r = d("sx") / d("sn")
+    # sample covariances (divide by U-1), then Var(R̄) per Deng 2018
+    s_xx = (d("sxx") - u * xbar * xbar) / (u - F.lit(1.0))
+    s_nn = (d("snn") - u * nbar * nbar) / (u - F.lit(1.0))
+    s_xn = (d("sxn") - u * xbar * nbar) / (u - F.lit(1.0))
+    var = (
+        (s_xx - F.lit(2.0) * r * s_xn + r * r * s_nn)
+        / (u * nbar * nbar)
+    )
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        m.select(
+            F.col("_b").alias("bucket"),
+            F.col("u").alias("n_users"),
+            F.col("sx").alias("sum_units"),
+            F.col("sn").alias("sum_events"),
+            F.round(r, 6).alias("ratio"),
+            F.round(se, 6).alias("se"),
+            F.round(r - F.lit(z) * se, 6).alias("ci_lo"),
+            F.round(r + F.lit(z) * se, 6).alias("ci_hi"),
+        )
+        .orderBy("bucket")
+    )

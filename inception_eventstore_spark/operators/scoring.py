@@ -461,3 +461,74 @@ def quantile_normalize(
         )
         .orderBy(id_col)
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_thresholds: int = 9,
+) -> DataFrame:
+    """Precision / recall / F1 at every decision threshold k/(n+1) —
+    the operating-point table read before committing a quality-filter
+    cutoff (the tabular view of quality_auc's curve). One
+    partial-aggregated scan: each row's (pm, y) contributes to all
+    thresholds via conditional sums over the bounded threshold axis,
+    so the corpus is read ONCE, not once per threshold.
+
+    Exactness: probabilities compare as integer ppm against integer
+    threshold ppm (strict >); precision/recall/F1 are reported as
+    exact integer ppm via truncating BIGINT division — rationals of
+    small denominators are precisely the 6-dp-round half-boundary
+    class, so no float rates exist anywhere. F1's single-division form
+    2tp/(2tp+fp+fn) keeps it one div.
+    """
+    if not 1 <= n_thresholds <= 99:
+        raise ValueError("n_thresholds must be in [1, 99]")
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("int")
+    pm = F.round(p * 1e6).cast("bigint")
+    base = scored.where(p.isNotNull()).select(
+        pm.alias("_pm"), y.alias("_y")
+    )
+    step = 1_000_000 // (n_thresholds + 1)
+    aggs = []
+    for k in range(1, n_thresholds + 1):
+        t = k * step
+        pred = F.col("_pm") > t
+        aggs += [
+            F.sum(F.when(pred & (F.col("_y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tp{k}"),
+            F.sum(F.when(pred & (F.col("_y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_fp{k}"),
+            F.sum(F.when(~pred & (F.col("_y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_fn{k}"),
+        ]
+    wide = base.agg(*aggs)
+    rows = None
+    for k in range(1, n_thresholds + 1):
+        t = k * step
+        one = wide.select(
+            F.lit(t).cast("bigint").alias("threshold_ppm"),
+            F.col(f"_tp{k}").alias("tp"),
+            F.col(f"_fp{k}").alias("fp"),
+            F.col(f"_fn{k}").alias("fn"),
+            F.expr(
+                f"CASE WHEN _tp{k} + _fp{k} > 0 THEN "
+                f"div(_tp{k} * 1000000, _tp{k} + _fp{k}) END"
+            ).cast("bigint").alias("precision_ppm"),
+            F.expr(
+                f"CASE WHEN _tp{k} + _fn{k} > 0 THEN "
+                f"div(_tp{k} * 1000000, _tp{k} + _fn{k}) END"
+            ).cast("bigint").alias("recall_ppm"),
+            F.expr(
+                f"CASE WHEN 2 * _tp{k} + _fp{k} + _fn{k} > 0 THEN "
+                f"div(2 * _tp{k} * 1000000,"
+                f" 2 * _tp{k} + _fp{k} + _fn{k}) END"
+            ).cast("bigint").alias("f1_ppm"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("threshold_ppm")

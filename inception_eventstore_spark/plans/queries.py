@@ -11791,3 +11791,121 @@ _R6BC_QUERIES = {
     "source_similarity_js": QueryDef(q_source_js, _SOURCE_JS_ORACLE),
 }
 QUERIES = {**_R6BC_QUERIES, **QUERIES}
+
+
+def q_ratio_ci(spark, sf_dir):
+    """Per-arm revenue-per-event ratio with delta-method CI
+    (profile.ratio_metric_ci, Deng 2018) — the user-clustered ratio
+    CI the A/B family needs beyond Wilson (counts) and CUPED (means).
+    Exact per-user integer moments; fixed-order double combination."""
+    from inception_eventstore_spark.operators.profile import (
+        ratio_metric_ci,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ratio_metric_ci(ev)
+
+
+_RATIO_CI_ORACLE = """
+WITH pu AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS b,
+    CAST(sum(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT)
+      // 1048576 AS x,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT b, CAST(count(*) AS BIGINT) AS u,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sn,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(n * n) AS BIGINT) AS snn,
+    CAST(sum(x * n) AS BIGINT) AS sxn
+  FROM pu GROUP BY b),
+e AS (SELECT b, u, sx, sn,
+    CAST(u AS DOUBLE) AS ud,
+    CAST(sx AS DOUBLE) / CAST(u AS DOUBLE) AS xbar,
+    CAST(sn AS DOUBLE) / CAST(u AS DOUBLE) AS nbar,
+    CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+    CAST(sxx AS DOUBLE) AS sxxd, CAST(snn AS DOUBLE) AS snnd,
+    CAST(sxn AS DOUBLE) AS sxnd
+  FROM m),
+v AS (SELECT b, u, sx, sn, r,
+    sqrt(greatest((
+      ((sxxd - ud * xbar * xbar) / (ud - 1.0))
+      - 2.0 * r * ((sxnd - ud * xbar * nbar) / (ud - 1.0))
+      + r * r * ((snnd - ud * nbar * nbar) / (ud - 1.0))
+    ) / (ud * nbar * nbar), 0.0)) AS se
+  FROM e)
+SELECT CAST(b AS INT) AS bucket, u AS n_users, sx AS sum_units,
+  sn AS sum_events, round(r, 6) AS ratio, round(se, 6) AS se,
+  round(r - 1.959963984540054 * se, 6) AS ci_lo,
+  round(r + 1.959963984540054 * se, 6) AS ci_hi
+FROM v ORDER BY bucket
+"""
+
+
+_R6BD_QUERIES = {
+    "ratio_metric_ci": QueryDef(q_ratio_ci, _RATIO_CI_ORACLE),
+}
+QUERIES = {**_R6BD_QUERIES, **QUERIES}
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Operating-point table of the quality model at 9 thresholds
+    (scoring.threshold_sweep): tp/fp/fn + precision/recall/F1 as
+    exact integer ppm — the tabular complement of quality_auc. One
+    corpus scan feeds every threshold via conditional sums."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.threshold_sweep(
+        scored.withColumn("is_en", F.col("lang") == "en"),
+        "quality_prob",
+        "is_en",
+    )
+
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, CAST(round(round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) * 1000000) AS BIGINT) AS pm
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT s.pm, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.pm IS NOT NULL),
+th AS (SELECT CAST(k * 100000 AS BIGINT) AS threshold_ppm
+  FROM range(1, 10) r(k)),
+cells AS (
+  SELECT th.threshold_ppm,
+    CAST(sum(CASE WHEN pm > threshold_ppm AND y = 1
+      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN pm > threshold_ppm AND y = 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN pm <= threshold_ppm AND y = 1
+      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM th CROSS JOIN lab GROUP BY 1)
+SELECT threshold_ppm, tp, fp, fn,
+  CAST(CASE WHEN tp + fp > 0
+    THEN tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+  CAST(CASE WHEN tp + fn > 0
+    THEN tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+  CAST(CASE WHEN 2 * tp + fp + fn > 0
+    THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT)
+    AS f1_ppm
+FROM cells ORDER BY threshold_ppm
+"""
+
+
+_R6BE_QUERIES = {
+    "threshold_sweep": QueryDef(q_threshold_sweep, _THRESHOLD_SWEEP_ORACLE),
+}
+QUERIES = {**_R6BE_QUERIES, **QUERIES}

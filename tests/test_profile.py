@@ -1480,3 +1480,126 @@ class TestIsotonicCalibration:
     def test_bins_guard(self, spark):
         with pytest.raises(ValueError):
             self._run(spark, [(0.5, 1)], bins=1)
+
+
+class TestRatioMetricCi:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_hand_computed_ratio_and_clustering(self, spark):
+        """Arm 0: two users, (x=10, n=2) and (x=2, n=2) → ratio 3.0.
+        The delta-method SE is computed from the same exact moments in
+        python and must match to the 6-dp round."""
+        import datetime as dt
+        import math
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, d0, 2, "e", 4.0),
+            (2, d0, 2, "e", 6.0),
+            (3, d0, 4, "e", 1.0),
+            (4, d0, 4, "e", 1.0),
+            # arm 1, single pattern
+            (5, d0, 1, "e", 3.0),
+            (6, d0, 3, "e", 5.0),
+        ]
+        from inception_eventstore_spark.operators.profile import (
+            ratio_metric_ci,
+        )
+
+        got = {
+            r["bucket"]: r
+            for r in ratio_metric_ci(self._mk(spark, rows)).collect()
+        }
+        r0 = got[0]
+        assert (r0["n_users"], r0["sum_units"], r0["sum_events"]) == (
+            2,
+            12,
+            4,
+        )
+        assert r0["ratio"] == 3.0
+        # python replica of the delta method over users (10,2),(2,2)
+        u, xs, ns = 2, [10, 2], [2, 2]
+        xbar, nbar = sum(xs) / u, sum(ns) / u
+        r = sum(xs) / sum(ns)
+        sxx = sum((x - xbar) ** 2 for x in xs) / (u - 1)
+        snn = sum((n - nbar) ** 2 for n in ns) / (u - 1)
+        sxn = sum(
+            (x - xbar) * (n - nbar) for x, n in zip(xs, ns)
+        ) / (u - 1)
+        se = math.sqrt(
+            max(
+                (sxx - 2 * r * sxn + r * r * snn) / (u * nbar * nbar),
+                0.0,
+            )
+        )
+        assert abs(r0["se"] - se) < 1e-6
+        assert r0["ci_lo"] < r0["ratio"] < r0["ci_hi"]
+
+    def test_bucket_guard(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            ratio_metric_ci,
+        )
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            ratio_metric_ci(self._mk(spark, []), n_buckets=1)
+
+
+class TestThresholdSweep:
+    def test_hand_computed_operating_points(self, spark):
+        """4 rows: p=0.95/y=1, p=0.85/y=0, p=0.55/y=1, p=0.15/y=0.
+        At t=0.5: tp=2 fp=1 fn=0 → precision 2/3, recall 1, F1 4/5.
+        At t=0.9: tp=1 fp=0 fn=1 → precision 1, recall 1/2, F1 2/3."""
+        from inception_eventstore_spark.operators.scoring import (
+            threshold_sweep,
+        )
+
+        df = spark.createDataFrame(
+            [(0.95, 1), (0.85, 0), (0.55, 1), (0.15, 0)],
+            "p double, y int",
+        )
+        got = {
+            r["threshold_ppm"]: r
+            for r in threshold_sweep(df, "p", "y").collect()
+        }
+        assert len(got) == 9
+        t5 = got[500000]
+        assert (t5["tp"], t5["fp"], t5["fn"]) == (2, 1, 0)
+        assert t5["precision_ppm"] == 2 * 1000000 // 3
+        assert t5["recall_ppm"] == 1000000
+        assert t5["f1_ppm"] == 4 * 1000000 // 5
+        t9 = got[900000]
+        assert (t9["tp"], t9["fp"], t9["fn"]) == (1, 0, 1)
+        assert t9["precision_ppm"] == 1000000
+        assert t9["recall_ppm"] == 500000
+        assert t9["f1_ppm"] == 2 * 1000000 // 3
+
+    def test_empty_cells_are_null(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            threshold_sweep,
+        )
+
+        df = spark.createDataFrame([(0.05, 0)], "p double, y int")
+        got = {
+            r["threshold_ppm"]: r
+            for r in threshold_sweep(df, "p", "y").collect()
+        }
+        # no predicted positives, no actual positives anywhere
+        assert got[500000]["precision_ppm"] is None
+        assert got[500000]["recall_ppm"] is None
+
+    def test_guard(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            threshold_sweep,
+        )
+
+        df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            threshold_sweep(df, "p", "y", n_thresholds=0)

@@ -794,6 +794,18 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "ratio_metric_ci": [
+        ("per-user moments partial-aggregate on the user key",
+         r"HashAggregate[^\n]*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere — two rollups", "!Window"),
+    ],
+    "threshold_sweep": [
+        ("one corpus scan feeds all thresholds (conditional sums in a "
+         "single scalar aggregate)", r"HashAggregate"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere", "!Window"),
+    ],
     "source_similarity_js": [
         ("token counts partial-aggregate over the corpus — only "
          "(group, token) rows shuffle", r"HashAggregate[^\n]*partial"),
