@@ -266,6 +266,7 @@ HEADLINE = [
     "source_similarity_js",
     "ratio_metric_ci",
     "threshold_sweep",
+    "dispersion_report",
 ]
 
 

@@ -1021,3 +1021,56 @@ def mad_outlier_days(
         )
         .orderBy(key_col, "day")
     )
+
+
+def dispersion_report(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of each key's
+    daily counts over the zero-filled day grid — the Poisson-ness
+    triage that tells you whether rate anomalies need a negative-
+    binomial model (VMR ≫ 1, bursty) or plain Poisson bands (VMR ≈ 1);
+    the calendar-axis complement of interarrival_burstiness.
+
+    Exactness: n, Σx, Σx² are exact BIGINTs of raw counts; the
+    sample-variance/mean combination is ONE fixed-order double
+    expression, and vmr is reported alongside the exact integer
+    moments so any downstream gate can re-derive it. Heavy pass =
+    the per-day partial-agg rollup; everything after is |keys| rows.
+    """
+    cnts = events.groupBy(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_d")
+    )
+    keys = events.select(F.col(key_col).alias("_k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(days))
+        .join(cnts, ["_k", "_d"], "left")
+        .select("_k", F.coalesce("_x", F.lit(0)).alias("_x"))
+    )
+    m = grid.groupBy("_k").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("_x").cast("bigint").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sx") / d("n_days")
+    var = (d("sxx") - d("n_days") * mean * mean) / (
+        d("n_days") - F.lit(1.0)
+    )
+    return m.select(
+        F.col("_k").alias(key_col),
+        "n_days",
+        "sx",
+        "sxx",
+        F.round(mean, 6).alias("mean_per_day"),
+        F.round(var / F.nullif(mean, F.lit(0.0)), 6).alias("vmr"),
+    ).orderBy(key_col)

@@ -11909,3 +11909,53 @@ _R6BE_QUERIES = {
     "threshold_sweep": QueryDef(q_threshold_sweep, _THRESHOLD_SWEEP_ORACLE),
 }
 QUERIES = {**_R6BE_QUERIES, **QUERIES}
+
+
+def q_dispersion(spark, sf_dir):
+    """Index of dispersion (variance/mean) of daily counts per event
+    type (timeseries.dispersion_report) — Poisson-vs-bursty triage on
+    the calendar axis; exact BIGINT moments, one fixed-order double
+    combination."""
+    from inception_eventstore_spark.operators.timeseries import (
+        dispersion_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return dispersion_report(ev)
+
+
+_DISPERSION_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+    AS d FROM b),
+keys AS (SELECT DISTINCT event_type AS k FROM events),
+cnt AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT keys.k, COALESCE(cnt.x, 0) AS x
+  FROM keys CROSS JOIN days
+  LEFT JOIN cnt ON cnt.k = keys.k AND cnt.d = days.d),
+m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM grid GROUP BY k)
+SELECT k AS event_type, n_days, sx, sxx,
+  round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+    AS mean_per_day,
+  round(((CAST(sxx AS DOUBLE) - CAST(n_days AS DOUBLE)
+      * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+      * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+    / (CAST(n_days AS DOUBLE) - 1.0))
+    / nullif(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 0.0), 6)
+    AS vmr
+FROM m ORDER BY event_type
+"""
+
+
+_R6BF_QUERIES = {
+    "dispersion_report": QueryDef(q_dispersion, _DISPERSION_ORACLE),
+}
+QUERIES = {**_R6BF_QUERIES, **QUERIES}

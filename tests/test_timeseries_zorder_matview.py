@@ -938,3 +938,41 @@ class TestMadOutlierDays:
         df = self._mk(spark, counts)
         days = [r["day"] for r in TS.mad_outlier_days(df).collect()]
         assert days == [dt.date(2024, 3, 5)]
+
+
+class TestDispersionReport:
+    def _mk(self, spark, day_counts, typ="a"):
+        import datetime as dt
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for day, c in enumerate(day_counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, d0 + dt.timedelta(days=day), 1, typ, 1.0)
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_constant_series_vmr_zero(self, spark):
+        (r,) = TS.dispersion_report(self._mk(spark, [5, 5, 5, 5])).collect()
+        assert r["mean_per_day"] == 5.0 and r["vmr"] == 0.0
+
+    def test_hand_computed_vmr(self, spark):
+        """Counts 2, 6: mean 4, sample var ((2-4)²+(6-4)²)/1 = 8,
+        VMR = 2.0 exactly."""
+        (r,) = TS.dispersion_report(self._mk(spark, [2, 6])).collect()
+        assert (r["n_days"], r["sx"], r["sxx"]) == (2, 8, 40)
+        assert r["mean_per_day"] == 4.0 and r["vmr"] == 2.0
+
+    def test_burst_raises_vmr_above_one(self, spark):
+        steady = TS.dispersion_report(
+            self._mk(spark, [4, 5, 4, 5, 4, 5])
+        ).first()["vmr"]
+        bursty = TS.dispersion_report(
+            self._mk(spark, [0, 0, 13, 0, 0, 14])
+        ).first()["vmr"]
+        assert steady < 1.0 < bursty

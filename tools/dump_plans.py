@@ -794,6 +794,12 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "dispersion_report": [
+        ("per-day counts partial-aggregate over the log",
+         r"HashAggregate[^\n]*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no window anywhere — two rollups", "!Window"),
+    ],
     "ratio_metric_ci": [
         ("per-user moments partial-aggregate on the user key",
          r"HashAggregate[^\n]*partial"),
