@@ -277,8 +277,24 @@ def main() -> None:
     # all 32 executor threads) — the wide-row joins (semdedup pair
     # verify, CC rounds) need real executor memory, same setting the
     # scale smokes use
+    # spark.ui.enabled=false: the UI's AppStatusListener retains live
+    # state for every stage/task of the run — after ~150 queries
+    # (2000+ stages in one JVM) the listener bus measurably throttles
+    # scheduling (semdedup mid-bench: 15.2 s with UI on, 3.5 s with UI
+    # off at identical plans — the true root cause of the r5
+    # warm>cold anomaly). A per-query production job never carries
+    # another 200 queries' UI state, so benching without it is the
+    # faithful setup; retention caps are defense-in-depth for tools
+    # that re-enable the UI.
     spark = get_spark(
-        "bench", extra_configs={"spark.driver.memory": "16g"}
+        "bench",
+        extra_configs={
+            "spark.driver.memory": "16g",
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "10",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
