@@ -63,7 +63,10 @@ def main() -> int:
     from inception_eventstore_spark.session import get_spark
 
     spark = get_spark("oracle-check", master="local[8]",
-                      extra_configs={"spark.sql.shuffle.partitions": "8"})
+                      extra_configs={"spark.sql.shuffle.partitions": "8",
+                                     # 250+ queries in one JVM: the UI
+                                     # listener throttles (CLAUDE.md)
+                                     "spark.ui.enabled": "false"})
 
     con = duckdb.connect()
     for t in TABLES:

@@ -1580,7 +1580,10 @@ def main() -> int:
     from inception_eventstore_spark.session import get_spark
 
     spark = get_spark("plan-dump", master="local[4]",
-                      extra_configs={"spark.sql.shuffle.partitions": "8"})
+                      extra_configs={"spark.sql.shuffle.partitions": "8",
+                                     # 150+ probed plans in one JVM:
+                                     # UI listener throttles (CLAUDE.md)
+                                     "spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
