@@ -321,7 +321,11 @@ def main() -> None:
     # (r5: warm_total > cold_total). Nudge a GC periodically, OUTSIDE
     # the timed sections, so each query runs against a clean executor
     # storage pool like it would in a fresh job.
-    _gc_every = 15
+    # per-query: a 241-query run generates enough codegen-class +
+    # arrow-buffer garbage that old-gen pauses land MID-query at
+    # _gc_every=15 (semdedup cold read 25.6 s vs 3.5 s in a clean
+    # repro); the nudge is outside every timed section
+    _gc_every = 1
     _since_gc = 0
 
     def _maybe_gc(force: bool = False) -> None:
