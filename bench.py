@@ -267,6 +267,7 @@ HEADLINE = [
     "ratio_metric_ci",
     "threshold_sweep",
     "dispersion_report",
+    "lsh_band_plan",
 ]
 
 

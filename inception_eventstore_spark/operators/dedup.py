@@ -881,3 +881,150 @@ def simhash_jaccard_calibration(
             "max_jaccard",
         )
     )
+
+
+def lsh_band_plan(
+    pairs: DataFrame,
+    jaccard_col: str = "jaccard",
+    budget: int = 64,
+    threshold: float = 0.5,
+    bins: int = 64,
+) -> DataFrame:
+    """Data-grounded MinHash banding planner: score every (bands,
+    rows-per-band) split of a ``budget``-hash signature against the
+    CORPUS'S OWN measured pair-similarity profile, instead of the
+    textbook curve alone (Leskovec/Rajaraman/Ullman ch.3 S-curve
+    1 − (1−s^r)^b). Input is any verified pair table with an exact
+    Jaccard column mined BELOW the operating threshold (e.g.
+    ngram_jaccard_pairs at a permissive floor), so the expected
+    false-positive volume reflects the real near-threshold mass —
+    boilerplate-heavy corpora have fat 0.3-0.5 tails the textbook
+    uniform assumption misses.
+
+    Per candidate split: n_below/n_above (exact BIGINT pair counts
+    around ``threshold``), exp_fp_pairs = Σ_{s<t} n(s)·p_{b,r}(s)
+    (expected sub-threshold pairs the banding would surface for
+    verification — wasted work) and exp_fn_pairs = Σ_{s≥t}
+    n(s)·(1−p_{b,r}(s)) (true pairs the banding would MISS — lost
+    recall), evaluated at 1/``bins`` similarity-bin midpoints. Pairs
+    below the mining floor are invisible — their per-pair catch
+    probability is bounded above by p(floor), so the reported exp_fp
+    is a near-threshold figure, not total candidate volume.
+
+    Scale: the expensive part is the caller's pair mining; this is a
+    bins-row histogram crossed with ≤ d(budget) splits. pow() ulp
+    differences sit under the 6-dp round (the acf acceptance).
+    """
+    if budget < 2:
+        raise ValueError("budget must be >= 2")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    j = F.col(jaccard_col)
+    hist = (
+        pairs.where(j.isNotNull())
+        .select(
+            F.least(
+                F.floor(j * bins).cast("int"), F.lit(int(bins) - 1)
+            ).alias("_bin")
+        )
+        .groupBy("_bin")
+        .agg(F.count("*").cast("bigint").alias("_n"))
+    )
+    splits = [
+        (budget // r, r)
+        for r in range(1, budget + 1)
+        if budget % r == 0
+    ]
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    sp = _local_df(
+        pairs.sparkSession,
+        splits,
+        "bands bigint, rows_per_band bigint",
+    )
+    s_mid = (F.col("_bin").cast("double") + F.lit(0.5)) / F.lit(
+        float(bins)
+    )
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s_mid, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    below = F.col("_bin") < int(threshold * bins)
+    return (
+        hist.crossJoin(F.broadcast(sp))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(below, F.col("_n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(~below, F.col("_n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.round(
+                F.sum(
+                    F.when(below, F.col("_n").cast("double") * p)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("exp_fp_pairs"),
+            F.round(
+                F.sum(
+                    F.when(~below, F.col("_n").cast("double") * (1.0 - p))
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("exp_fn_pairs"),
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+def sampled_jaccard_pairs(
+    docs: DataFrame,
+    fraction: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: str = "plan",
+) -> DataFrame:
+    """ALL-pairs exact n-gram Jaccard over a deterministic hash sample
+    — the unbiased similarity HISTOGRAM feed for ``lsh_band_plan``
+    (threshold-mined pair tables like ngram_jaccard_pairs only see
+    s ≥ floor, so the sub-threshold mass a banding planner must price
+    is invisible to them). A fixed-size sample estimates the histogram
+    as well as the corpus does; ``fraction`` is the quadratic-cost
+    dial (sample² pairs), exactly the role SemDeDup's cluster count
+    plays. Returns (id_a, id_b, jaccard) for EVERY sampled pair,
+    including zeros — the FP-mass bins the planner exists to expose.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    from inception_eventstore_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    sample = deterministic_sample(docs, fraction, id_col, seed)
+    sets = shingle_sets(sample, id_col, text_col, n).localCheckpoint(
+        eager=False  # both pair sides read it
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")
+    )
+    b = sets.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (
+        F.size("_sa").cast("double")
+        + F.size("_sb").cast("double")
+        - inter
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+    )

@@ -11959,3 +11959,74 @@ _R6BF_QUERIES = {
     "dispersion_report": QueryDef(q_dispersion, _DISPERSION_ORACLE),
 }
 QUERIES = {**_R6BF_QUERIES, **QUERIES}
+
+
+def q_lsh_band_plan(spark, sf_dir):
+    """MinHash banding planner grounded on the corpus's own sampled
+    similarity histogram (dedup.sampled_jaccard_pairs →
+    dedup.lsh_band_plan): every (bands, rows) split of a 64-hash
+    budget priced by expected false-positive pair volume vs expected
+    missed true pairs at threshold 0.8 — the table read before
+    committing a dedup banding config. The r=1 row makes the planner's
+    point: even near-zero-similarity mass floods verification when
+    bands are single-row."""
+    from inception_eventstore_spark.operators.dedup import (
+        lsh_band_plan,
+        sampled_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = sampled_jaccard_pairs(d, fraction=0.3, n=3)
+    return lsh_band_plan(pairs, budget=64, threshold=0.8)
+
+
+_LSH_PLAN_ORACLE = f"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST(('0x' || substr(md5('plan:' || CAST(doc_id AS VARCHAR)),
+    1, 15)) AS BIGINT) % 1000000 < 300000),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM sample),
+sets AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(tk, i,
+      least(i + 2, len(tk))), ' ')
+      for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS grams
+  FROM toks WHERE len(tk) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+    CAST(len(a.grams) AS DOUBLE) AS sa,
+    CAST(len(b.grams) AS DOUBLE) AS sb
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+binned AS (
+  SELECT least(CAST(floor((inter / (sa + sb - inter)) * 64)
+    AS INTEGER), 63) AS bin
+  FROM pairs),
+hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY bin),
+splits AS (SELECT * FROM (VALUES (64, 1), (32, 2), (16, 4), (8, 8),
+  (4, 16), (2, 32), (1, 64)) s(bands, rows_per_band)),
+terms AS (
+  SELECT s.bands, s.rows_per_band, h.bin, h.n,
+    1.0 - power(1.0 - power((CAST(h.bin AS DOUBLE) + 0.5) / 64.0,
+      CAST(s.rows_per_band AS DOUBLE)), CAST(s.bands AS DOUBLE)) AS p
+  FROM hist h CROSS JOIN splits s)
+SELECT CAST(bands AS BIGINT) AS bands,
+  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+  CAST(sum(CASE WHEN bin < 51 THEN n ELSE 0 END) AS BIGINT)
+    AS n_below,
+  CAST(sum(CASE WHEN bin >= 51 THEN n ELSE 0 END) AS BIGINT)
+    AS n_above,
+  round(sum(CASE WHEN bin < 51
+    THEN CAST(n AS DOUBLE) * p ELSE 0.0 END), 6) AS exp_fp_pairs,
+  round(sum(CASE WHEN bin >= 51
+    THEN CAST(n AS DOUBLE) * (1.0 - p) ELSE 0.0 END), 6)
+    AS exp_fn_pairs
+FROM terms GROUP BY 1, 2 ORDER BY rows_per_band
+"""
+
+
+_R6BG_QUERIES = {
+    "lsh_band_plan": QueryDef(q_lsh_band_plan, _LSH_PLAN_ORACLE),
+}
+QUERIES = {**_R6BG_QUERIES, **QUERIES}

@@ -803,3 +803,96 @@ class TestMmrDiverseTopk:
             mmr_diverse_topk(
                 corpus, [(0, [1.0, 0.0])], lam_num=11, lam_den=10
             )
+
+
+class TestLshBandPlan:
+    def test_hand_computed_single_bin(self, spark):
+        """100 pairs all at jaccard 0.5 (bin 32, mid 0.5078125):
+        below an 0.8 threshold, so exp_fp = 100·p and exp_fn = 0 —
+        p from the same S-curve in python."""
+        from inception_eventstore_spark.operators.dedup import (
+            lsh_band_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i + 1000, 0.5) for i in range(100)],
+            "id_a long, id_b long, jaccard double",
+        )
+        got = {
+            (r["bands"], r["rows_per_band"]): r
+            for r in lsh_band_plan(
+                df, budget=64, threshold=0.8
+            ).collect()
+        }
+        assert len(got) == 7
+        s = (32 + 0.5) / 64.0
+        for (b, rpb), row in got.items():
+            p = 1.0 - (1.0 - s**rpb) ** b
+            assert row["n_below"] == 100 and row["n_above"] == 0
+            assert row["exp_fp_pairs"] == round(100 * p, 6)
+            assert row["exp_fn_pairs"] == 0.0
+
+    def test_fp_fn_tradeoff_is_monotone_in_rows(self, spark):
+        """More rows per band → stricter bands → fewer expected FPs
+        and more expected FNs, monotonically."""
+        from inception_eventstore_spark.operators.dedup import (
+            lsh_band_plan,
+        )
+
+        rows = [(i, i + 9000, 0.3) for i in range(50)] + [
+            (i, i + 8000, 0.9) for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "id_a long, id_b long, jaccard double"
+        )
+        out = (
+            lsh_band_plan(df, budget=64, threshold=0.8)
+            .orderBy("rows_per_band")
+            .collect()
+        )
+        fps = [r["exp_fp_pairs"] for r in out]
+        fns = [r["exp_fn_pairs"] for r in out]
+        assert fps == sorted(fps, reverse=True)
+        assert fns == sorted(fns)
+        assert all(r["n_below"] == 50 and r["n_above"] == 20 for r in out)
+
+    def test_guards(self, spark):
+        from inception_eventstore_spark.operators.dedup import (
+            lsh_band_plan,
+            sampled_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2, 0.5)], "id_a long, id_b long, jaccard double"
+        )
+        with pytest.raises(ValueError):
+            lsh_band_plan(df, budget=1)
+        with pytest.raises(ValueError):
+            lsh_band_plan(df, threshold=1.0)
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError):
+            sampled_jaccard_pairs(docs, fraction=0.0)
+
+    def test_sampled_pairs_include_zeros(self, spark):
+        """The sampler's whole point: disjoint documents appear with
+        jaccard 0.0 instead of being threshold-filtered away."""
+        from inception_eventstore_spark.operators.dedup import (
+            sampled_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),
+                (3, "epsilon zeta eta theta"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in sampled_jaccard_pairs(docs, fraction=1.0).collect()
+        }
+        assert got[(1, 2)] == 1.0
+        assert got[(1, 3)] == 0.0 and got[(2, 3)] == 0.0

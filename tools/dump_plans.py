@@ -794,6 +794,16 @@ CHECKS = {
         ("no python UDF anywhere — codes, hamming, and the cosine fold "
          "are all JVM expressions", "!BatchEvalPython|ArrowEvalPython"),
     ],
+    "lsh_band_plan": [
+        ("sampled all-pairs join reads the checkpointed shingle sets "
+         "(sample fraction is the quadratic dial)",
+         r"Scan ExistingRDD"),
+        ("split table broadcast onto the bins-row histogram",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("histogram partial-aggregates before the shuffle",
+         r"HashAggregate[^\n]*partial"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
     "dispersion_report": [
         ("per-day counts partial-aggregate over the log",
          r"HashAggregate[^\n]*partial"),
