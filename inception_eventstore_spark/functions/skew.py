@@ -50,3 +50,59 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])),
     )
     return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
+def cap_hot_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int | None,
+    label: str,
+) -> DataFrame:
+    """Bound banded pair-join fan-out: drop every bucket whose member
+    count exceeds ``max_bucket`` BEFORE the self-join, and log what was
+    dropped. The self-join on (bucket) materializes ~df²/2 candidates
+    per bucket, so one boilerplate flood (m near-identical docs landing
+    in one LSH band bucket / simhash block bucket) turns a linear scan
+    into an m² blow-up at corpus scale — the same fan-out class as
+    winnow max_df / basket max_basket_items (CLAUDE.md invariant), so
+    the same dial: bound each bucket by min(df, cap), here by dropping
+    over-cap buckets outright (a flood that size is exact-duplicate or
+    boilerplate mass that `dedup.exact_duplicate_groups` should collapse
+    first; pair enumeration over it is quadratic BY CONTRACT and never
+    what the caller wants).
+
+    Mechanics: one same-key groupBy count over the narrow banded
+    relation (its input is persisted at every call site, so this is one
+    cheap extra job), then — only when hot buckets exist — a broadcast
+    anti-join against the (tiny) hot-bucket list. With zero hot buckets
+    the input plan is returned UNCHANGED, so fixture-scale runs keep
+    byte-identical plans and oracle hashes; capped runs log bucket
+    count, largest bucket, and dropped-row total at WARNING.
+
+    ``max_bucket=None`` disables the cap (index/probe paths that never
+    self-join).
+    """
+    if max_bucket is None:
+        return banded
+    counts = banded.groupBy(*bucket_cols).agg(
+        F.count("*").alias("_bucket_df")
+    )
+    hot = counts.where(F.col("_bucket_df") > int(max_bucket))
+    stats = hot.agg(
+        F.count("*").alias("n"),
+        F.max("_bucket_df").alias("mx"),
+        F.sum("_bucket_df").alias("rows"),
+    ).first()
+    if not stats["n"]:
+        return banded
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: dropping %d hot buckets (> %d members; largest %d, "
+        "%d banded rows) before the pair self-join — run "
+        "exact-duplicate collapse first to keep their recall",
+        label, stats["n"], int(max_bucket), stats["mx"], stats["rows"],
+    )
+    return banded.join(
+        F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti"
+    )

@@ -109,6 +109,7 @@ def hamming63_pairs(
     n_blocks: int,
     block_bits: int,
     materialize: bool = True,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Generic banded-hamming self-join over a 63-bit hash column:
     (id_a, id_b, hamming ≤ max_hamming). Lossless iff max_hamming ≤
@@ -128,7 +129,17 @@ def hamming63_pairs(
     a true duplicate flood; for web-scale floods prefer
     exact-group dedup (`dedup.exact_duplicate_groups` on the hash)
     and feed only group representatives here.) Never an all-pairs
-    join on either level."""
+    join on either level.
+
+    ``max_bucket`` (skew.cap_hot_buckets) additionally bounds the
+    DISTINCT-hash bucket fan-out: with small block alphabets
+    (block_bits=7 → 128 values) a large distinct-hash population piles
+    thousands of unrelated hashes into each (block, value) bucket by
+    birthday pressure alone, and a dense near-dup cluster does the
+    same with related ones — either way the bucket self-join goes df²
+    before the bit_count verify. Over-cap buckets are dropped with a
+    logged report; pairs agreeing on another, cooler block still
+    surface."""
     if max_hamming > n_blocks - 1:
         raise ValueError(
             f"max_hamming {max_hamming} > {n_blocks - 1} breaks the "
@@ -153,6 +164,11 @@ def hamming63_pairs(
                 ]
             )
         ).alias("_blk", "_bv"),
+    )
+    from inception_eventstore_spark.functions.skew import cap_hot_buckets
+
+    blocks = cap_hot_buckets(
+        blocks, ["_blk", "_bv"], max_bucket, "hamming63_pairs"
     )
     left = blocks.select("_blk", "_bv", F.col("_h").alias("_ha"))
     right = blocks.select("_blk", "_bv", F.col("_h").alias("_hb"))

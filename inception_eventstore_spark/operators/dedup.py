@@ -233,6 +233,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -240,6 +241,14 @@ def minhash_lsh_pairs(
     rows/band = num_hashes // bands; a pair collides in ≥1 band with
     probability 1-(1-j^r)^b — the standard S-curve. Verification
     intersects the hashed shingle sets of bucket partners only.
+
+    ``max_bucket`` bounds per-bucket fan-out (skew.cap_hot_buckets): a
+    boilerplate flood of m near-identical docs shares a band hash and
+    would materialize m²/2 candidates per band before the verify join;
+    over-cap buckets are dropped with a logged report. Recall stays
+    high for ordinary near-dups — a pair has `bands` independent
+    chances to collide and floods that size are exact-dup mass that
+    exact_duplicate_groups collapses losslessly first.
     """
     rows_per_band = num_hashes // bands
     # sets feed the signature pass AND both sides of the verify join —
@@ -262,6 +271,11 @@ def minhash_lsh_pairs(
     ).persist()  # both sides of the bucket self-join read this (16 rows ×
     # 20 bytes per doc) — without it the shingle+signature pipeline runs twice
     banded.count()
+    from inception_eventstore_spark.functions.skew import cap_hot_buckets
+
+    banded = cap_hot_buckets(
+        banded, ["_band", "_bh"], max_bucket, "minhash_lsh_pairs"
+    )
     left = banded.select("_band", "_bh", F.col("_id").alias("id_a"))
     right = banded.select("_band", "_bh", F.col("_id").alias("id_b"))
     cand = (
@@ -367,6 +381,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_blocks: int = 4,
     hash_source: str = "xxhash64",
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -378,6 +393,14 @@ def simhash_near_duplicates(
     bucketing is lossless (pigeonhole), so the result is EXACTLY the
     hamming-ball pair set — which is what lets the md5 ``hash_source``
     variant hash-match a DuckDB all-pairs oracle.
+
+    ``max_bucket`` (skew.cap_hot_buckets) drops block buckets with more
+    members than the cap before the self-join — a dense near-identical
+    cluster puts all m members in the SAME bucket of every block (m²
+    candidates × n_blocks); losslessness then holds for everything
+    outside the dropped (logged) buckets. Exact-dup mass should be
+    collapsed by exact_duplicate_groups first, which restores those
+    pairs for free.
     """
     # base feeds BOTH sides of the self-join: without a persist the whole
     # token→signature aggregation executes (and compiles) twice.
@@ -399,6 +422,11 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("_blk", "_bv"),
+    )
+    from inception_eventstore_spark.functions.skew import cap_hot_buckets
+
+    blocks = cap_hot_buckets(
+        blocks, ["_blk", "_bv"], max_bucket, "simhash_near_duplicates"
     )
     left = blocks.select("_blk", "_bv", F.col("_id").alias("id_a"),
                          F.col("_sh").alias("sh_a"))

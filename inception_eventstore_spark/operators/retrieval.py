@@ -510,8 +510,11 @@ def retrieval_ndcg(
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").cast("int").alias("rel"))
     )
+    # Gain 2^rel - 1 on a BIGINT base, rel clamped to 62: an INT base
+    # wraps mod 32 in Spark for rel >= 31 (DuckDB raises), so a query
+    # with 31+ distinct terms would silently corrupt DCG otherwise.
     gain = F.expr(
-        "CAST(shiftleft(1, coalesce(rel, 0)) - 1 AS BIGINT)"
+        "shiftleft(CAST(1 AS BIGINT), least(coalesce(rel, 0), 62)) - 1"
     )
     dcg = (
         ranked.join(rel, ["query_id", "doc_id"], "left")
@@ -540,7 +543,9 @@ def retrieval_ndcg(
     lo = F.least(F.col("_cum"), F.lit(k)).cast("int")
     hi = F.least(F.col("_cum") + F.col("_c"), F.lit(k)).cast("int")
     contrib = (
-        F.expr("CAST(shiftleft(1, rel) - 1 AS BIGINT)").cast("double")
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), least(rel, 62)) - 1"
+        ).cast("double")
         * (F.element_at(wparr, hi + 1) - F.element_at(wparr, lo + 1))
     )
     idcg = (

@@ -723,11 +723,12 @@ def kfold_leakage_report(
     )
 
 
-# Truncated-Poisson(1) CDF thresholds on the 60-bit hash domain:
-# P(W <= i) for i = 0..3, scaled by 2^60 and floored. A draw u in
-# [0, 2^60) maps to the first i with u < threshold, else 4. Exact
-# integer literals shared by the Spark plan and the oracle generator
-# below — the two sides can never drift.
+# Truncated-Poisson(1) CDF thresholds on a 20-bit lane domain:
+# P(W <= i) for i = 0..3, scaled by 2^20 and floored. A draw u is a
+# 20-bit lane value in [0, 2^20) — one md5 yields three such lanes
+# (the CLAUDE.md lane-split rule) — mapping to the first i with
+# u < threshold, else 4. Exact integer literals shared by the Spark
+# plan and the oracle generator below — the two sides can never drift.
 import math as _math
 
 _POISSON1_CDF = [

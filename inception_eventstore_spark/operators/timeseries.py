@@ -794,6 +794,7 @@ def theil_sen_daily_trend(
     events: DataFrame,
     key_col: str = "event_type",
     ts_col: str = "ts",
+    max_span_days: int = 1500,
 ) -> DataFrame:
     """Theil-Sen robust trend of each key's daily event counts — the
     median of all pairwise slopes (c_j − c_i)/(j − i) over the
@@ -814,7 +815,12 @@ def theil_sen_daily_trend(
     everything after lives on the day grid — pairs are day-span²/2 per
     key (~66k for a year) REGARDLESS of input size, so the per-key
     rank window is cardinality-bounded by construction (the acf_daily
-    acceptance), never a data-sized single task.
+    acceptance), never a data-sized single task. The bound is only as
+    good as the span, though: a multi-year log (10 y ≈ 6.7M pairs per
+    key) funnels one large window task, so spans past ``max_span_days``
+    raise with instructions to coarsen to weekly buckets (pre-truncate
+    ts to the week start and divide the reported slope by 7) rather
+    than silently degrade.
     """
     cnts = events.groupBy(
         F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
@@ -823,6 +829,16 @@ def theil_sen_daily_trend(
         F.min(F.to_date(F.col(ts_col))).alias("_d0"),
         F.max(F.to_date(F.col(ts_col))).alias("_d1"),
     )
+    _b = bounds.first()
+    b0, b1 = _b["_d0"], _b["_d1"]
+    if b0 is not None and (b1 - b0).days + 1 > max_span_days:
+        raise ValueError(
+            f"theil_sen_daily_trend: day span {(b1 - b0).days + 1} "
+            f"exceeds max_span_days={max_span_days} "
+            f"({((b1 - b0).days + 1) ** 2 // 2:,} pairs per key in one "
+            "rank window). Coarsen to weekly buckets first: "
+            "date_trunc('week', ts) as the day, slope/7 on report."
+        )
     days = bounds.select(
         F.explode(F.sequence("_d0", "_d1")).alias("_d"),
         F.col("_d0"),

@@ -10232,7 +10232,7 @@ wt(rank, w) AS (VALUES {wt}),
 wp(idx, wp) AS (VALUES {wp}),
 dcg AS (
   SELECT r.query_id,
-    sum(CAST((1::BIGINT << coalesce(rel.rel, 0)) - 1 AS DOUBLE) * wt.w)
+    sum(CAST((1::BIGINT << least(coalesce(rel.rel, 0), 62)) - 1 AS DOUBLE) * wt.w)
       AS dcg
   FROM r LEFT JOIN rel
     ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
@@ -10246,7 +10246,7 @@ rc2 AS (SELECT query_id, rel, c,
   FROM rc),
 idcg AS (
   SELECT query_id,
-    sum(CAST((1::BIGINT << rel) - 1 AS DOUBLE) * (hi.wp - lo.wp))
+    sum(CAST((1::BIGINT << least(rel, 62)) - 1 AS DOUBLE) * (hi.wp - lo.wp))
       AS idcg
   FROM rc2
   JOIN wp lo ON lo.idx = least(cum, {k})

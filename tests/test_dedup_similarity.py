@@ -896,3 +896,121 @@ class TestLshBandPlan:
         }
         assert got[(1, 2)] == 1.0
         assert got[(1, 3)] == 0.0 and got[(2, 3)] == 0.0
+
+
+class TestHotBucketCap:
+    """skew.cap_hot_buckets bounds banded pair-join fan-out: a
+    boilerplate flood (hundreds of near-identical docs sharing every
+    band/block bucket) must not materialize m²/2 candidates; pairs in
+    ordinary (cool) buckets must be untouched."""
+
+    def test_cap_helper_drops_only_hot_buckets(self, spark):
+        from inception_eventstore_spark.functions.skew import (
+            cap_hot_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+            "b int, id int",
+        )
+        kept = cap_hot_buckets(df, ["b"], 2, "t")
+        got = sorted((r["b"], r["id"]) for r in kept.collect())
+        assert got == [(2, 20), (2, 21), (3, 30)]
+        # cap=None and cap >= max bucket both return the input unchanged
+        assert cap_hot_buckets(df, ["b"], None, "t") is df
+        assert sorted(
+            r["id"] for r in cap_hot_buckets(df, ["b"], 3, "t").collect()
+        ) == [10, 11, 12, 20, 21, 30]
+
+    def test_minhash_500_doc_flood_bounded(self, spark):
+        """The verdict scenario: a 500-doc boilerplate cluster. With
+        the cap the job completes with bounded candidates — the flood's
+        band buckets are dropped, a genuine 2-doc near-dup elsewhere
+        still surfaces through its (cool) buckets."""
+        rng = random.Random(11)
+        boiler = _doc(rng, 40)
+        other = _doc(rng, 40)
+        near = other.split()
+        near[5] = "changedword"
+        rows = [(i, boiler) for i in range(500)]
+        rows += [(9000, other), (9001, " ".join(near))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = D.minhash_lsh_pairs(
+            docs, threshold=0.8, max_bucket=100
+        ).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in got}
+        assert (9000, 9001) in ids
+        assert all(a >= 9000 for a, _ in ids), "flood pairs must be dropped"
+
+    def test_minhash_cap_above_bucket_size_is_identity(self, spark):
+        """Below the cap the result is exactly the uncapped result —
+        the gate-scale fixtures stay hash-identical at the default."""
+        rng = random.Random(13)
+        boiler = _doc(rng, 40)
+        rows = [(i, boiler) for i in range(20)]
+        rows += [(100 + i, _doc(rng, 40)) for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(
+                docs, threshold=0.8, max_bucket=None
+            ).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(
+                docs, threshold=0.8, max_bucket=256
+            ).collect()
+        }
+        assert capped == uncapped
+        assert len(uncapped) == 20 * 19 // 2
+
+    def test_simhash_flood_bounded(self, spark):
+        rng = random.Random(17)
+        boiler = _doc(rng, 40)
+        other = _doc(rng, 40)
+        rows = [(i, boiler) for i in range(200)]
+        rows += [(9000, other), (9001, other)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = D.simhash_near_duplicates(
+            docs, max_hamming=3, max_bucket=50
+        ).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in got}
+        assert ids == {(9000, 9001)}
+
+    def test_hamming63_cap_is_subset_and_keeps_same_hash_pairs(
+        self, spark
+    ):
+        """Distinct-hash flood: 300 hashes differing only in the two
+        low 7-bit blocks flood every bucket of blocks 2..8. The capped
+        result is a subset of the uncapped one, and hamming-0 pairs
+        (equi-join path, not banded) are unaffected by the cap."""
+        from inception_eventstore_spark.operators.audiofp import (
+            hamming63_pairs,
+        )
+
+        base = 0x1234_5678_9ABC << 14
+        rows = [(i, base + i) for i in range(300)]
+        rows += [(1000, base + 3), (1001, base + 7)]  # dup hashes
+        hashes = spark.createDataFrame(rows, "aid long, h long")
+        kw = dict(
+            id_col="aid", hash_col="h", max_hamming=8,
+            n_blocks=9, block_bits=7, materialize=False,
+        )
+        uncapped = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming63_pairs(
+                hashes, max_bucket=None, **kw
+            ).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming63_pairs(
+                hashes, max_bucket=100, **kw
+            ).collect()
+        }
+        assert capped <= uncapped
+        assert (3, 1000, 0) in capped and (7, 1001, 0) in capped
+        # pairs agreeing on a cool low block still surface despite the
+        # hot blocks 2..8 being dropped
+        assert any(h > 0 for _, _, h in capped)
