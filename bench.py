@@ -5,24 +5,30 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop write sink (materializes
 every row, no driver collect, no output I/O skew).
+
+Registry-size invariance (r6 verdict "what's wrong" #3): one JVM
+running the whole registry accretes codegen classes, metaspace, and
+old-gen pressure, so a query's recorded time drifted upward with how
+many queries PRECEDED it (the same code measured 1.18-1.43× slower as
+the registry grew r5→r6, with identical plans). The harness therefore
+shards the headline list into fixed-size batches of
+$SPARK_GRAFT_BATCH_SIZE (default 60) queries and runs each batch in a
+FRESH PYTHON SUBPROCESS — a new JVM, because stopping a SparkContext
+in-process reuses the running py4j gateway JVM and keeps its metaspace.
+Recorded times are then a function of the query, not of the registry
+size. The orchestrator merges the per-batch JSON lines into the same
+single-line payload as before.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from inception_eventstore_spark.plans.queries import (  # noqa: E402
-    prebuild_ann_indexes,
-    prebuild_phash_index,
-    prebuild_prop_index,
-    spark_queries,
-)
-from inception_eventstore_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "r3_load_aggregate",
@@ -271,9 +277,17 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+def _run_batch(batch: list[str], sf_dir: str) -> dict:
+    """Worker: run one batch of headline queries in THIS process's
+    (fresh) JVM and return the partial payload."""
+    from inception_eventstore_spark.plans.queries import (
+        prebuild_ann_indexes,
+        prebuild_phash_index,
+        prebuild_prop_index,
+        spark_queries,
+    )
+    from inception_eventstore_spark.session import get_spark
+
     # local-mode default driver heap is 1g for the WHOLE JVM (driver +
     # all 32 executor threads) — the wide-row joins (semdedup pair
     # verify, CC rounds) need real executor memory, same setting the
@@ -303,71 +317,71 @@ def main() -> None:
     # Warm the JVM + parquet footers once (excluded from timings).
     qs["x5_min_ts"](spark, sf_dir).collect()
 
-    # ANN indexes are ingest-time state: build them once here (reported
-    # separately under "ann_build_sec") so the headline rows for
-    # sim_topk_ivf/ivfpq measure the probe — a partition-pruned scan —
-    # not quantizer training + full encode + index write. Both probes
-    # use the pinned-quantizer variants (value-oracle-able); k-means-
-    # trained builds stay covered by tests/test_pq.py.
-    ann_build = prebuild_ann_indexes(
-        spark, sf_dir, kinds=("ivf_pinned", "ivfpq_pinned")
+    # ANN/property/phash indexes are ingest-time state: build them
+    # before the timed loop (reported separately under "ann_build_sec")
+    # so the headline rows for the probe queries measure the probe — a
+    # partition-pruned scan — not quantizer training + full encode +
+    # index write. Only the kinds THIS batch probes are built; the
+    # probe queries also prebuild lazily, so correctness never depends
+    # on this. Both ANN probes use the pinned-quantizer variants
+    # (value-oracle-able); k-means-trained builds stay covered by
+    # tests/test_pq.py.
+    ann_build: dict[str, float] = {}
+    kinds = tuple(
+        kind
+        for q, kind in (
+            ("sim_topk_ivf", "ivf_pinned"),
+            ("sim_topk_ivfpq", "ivfpq_pinned"),
+        )
+        if q in batch
     )
-    ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
-    ann_build["phash_index"] = prebuild_phash_index(spark, sf_dir)
+    if kinds:
+        ann_build.update(prebuild_ann_indexes(spark, sf_dir, kinds=kinds))
+    if "props_index_lookup" in batch:
+        ann_build["prop_index"] = prebuild_prop_index(spark, sf_dir)
+    if "phash_index_probe" in batch:
+        ann_build["phash_index"] = prebuild_phash_index(spark, sf_dir)
 
     # Several operators pin intermediates with localCheckpoint; the
     # blocks are reaped by the ContextCleaner only after a JVM GC
     # notices the dropped RDD references — which a 16g heap may not
-    # run for the whole bench, so storage accumulated pass-over-pass
-    # (r5: warm_total > cold_total). Nudge a GC periodically, OUTSIDE
-    # the timed sections, so each query runs against a clean executor
-    # storage pool like it would in a fresh job.
-    # per-query: a 241-query run generates enough codegen-class +
-    # arrow-buffer garbage that old-gen pauses land MID-query at
-    # _gc_every=15 (semdedup cold read 25.6 s vs 3.5 s in a clean
-    # repro); the nudge is outside every timed section
-    _gc_every = 1
-    _since_gc = 0
-
-    def _maybe_gc(force: bool = False) -> None:
-        nonlocal _since_gc
-        _since_gc += 1
-        if force or _since_gc >= _gc_every:
-            spark.sparkContext._jvm.System.gc()
-            _since_gc = 0
+    # run for the whole batch, so storage would accumulate
+    # pass-over-pass (r5: warm_total > cold_total). Nudge a GC after
+    # every query, OUTSIDE the timed sections, so each query runs
+    # against a clean executor storage pool like it would in a fresh
+    # job.
+    def _gc() -> None:
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in batch:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         del df
-        _maybe_gc()
+        _gc()
 
     # Warm re-runs: cold numbers on iterative/JIT-heavy plans run 2-3x
     # their steady-state (pagerank 12 s cold vs 3.5 s warm), which made
     # round-over-round "regressions" unreadable — report a warm median
     # next to cold so timing diffs separate plan drift from JIT noise.
     # "queries" stays the COLD pass for comparability with prior rounds.
-    # 3 runs: the median of 2 is a mean, so one GC/JIT straggler made
-    # individual queries read warm-slower-than-cold (r5 anomaly; the
-    # systemic part was unreclaimed checkpoint blocks, fixed by the
-    # _maybe_gc nudges above — the residue is per-run jitter a median
-    # of 3 absorbs)
+    # Median of 3: the median of 2 is a mean, so one GC/JIT straggler
+    # would read warm-slower-than-cold.
     warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
     warm_median: dict[str, float] = {}
     if warm_runs > 0:
-        samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        samples: dict[str, list[float]] = {n: [] for n in batch}
         for _ in range(warm_runs):
-            _maybe_gc(force=True)
-            for name in HEADLINE:
+            _gc()
+            for name in batch:
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples[name].append(time.time() - t0)
                 del df
-                _maybe_gc()
+                _gc()
         for name, xs in samples.items():
             xs = sorted(xs)
             mid = len(xs) // 2
@@ -378,16 +392,70 @@ def main() -> None:
             )
             warm_median[name] = round(med, 3)
 
-    total = round(sum(timings.values()), 3)
+    spark.stop()
+    return {
+        "queries": timings,
+        "queries_warm_median": warm_median,
+        "warm_runs": warm_runs,
+        "ann_build_sec": ann_build,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    rng = os.environ.get("SPARK_GRAFT_BATCH_RANGE")
+    if rng:
+        # ---- worker mode: one fresh-JVM batch, one JSON line ----
+        lo, hi = (int(x) for x in rng.split(":"))
+        print(json.dumps(_run_batch(HEADLINE[lo:hi], sf_dir)))
+        return
+
+    # ---- orchestrator: shard into fixed-size fresh-JVM batches ----
+    batch_size = int(os.environ.get("SPARK_GRAFT_BATCH_SIZE", "60"))
+    queries: dict[str, float] = {}
+    warm_median: dict[str, float] = {}
+    ann_build: dict[str, float] = {}
+    warm_runs = 0
+    n_batches = 0
+    for lo in range(0, len(HEADLINE), batch_size):
+        hi = min(lo + batch_size, len(HEADLINE))
+        env = dict(os.environ, SPARK_GRAFT_BATCH_RANGE=f"{lo}:{hi}")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"bench batch {lo}:{hi} failed "
+                f"(rc={proc.returncode}): {proc.stdout[-2000:]}"
+            )
+        part = json.loads(lines[-1])
+        queries.update(part["queries"])
+        warm_median.update(part["queries_warm_median"])
+        ann_build.update(part["ann_build_sec"])
+        warm_runs = part["warm_runs"]
+        n_batches += 1
+
+    total = round(sum(queries.values()), 3)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": queries,
         "queries_warm_median": warm_median,
         "warm_runs": warm_runs,
         "warm_total": round(sum(warm_median.values()), 3),
         "ann_build_sec": ann_build,
+        "batch_size": batch_size,
+        "n_batches": n_batches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))
@@ -407,7 +475,6 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout must not fail the bench
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -706,23 +706,55 @@ def containment_pairs(
     return out
 
 
+#: Seeded Gear table for CDC boundary hashing: 256 deterministic
+#: 20-bit entries (md5("cdc-gear-{j}") prefix), one per low byte of a
+#: code point. 20-bit entries keep every DuckDB-side partial sum far
+#: below BIGINT (Σ_{t<m} g·2^t ≤ 2^20·2^m·m) while giving the low
+#: ``mask_bits`` ≤ 16 test bits full entropy. Literal on BOTH engines:
+#: the oracle embeds the same 256 numbers as an array literal, so the
+#: boundary rule can never drift between Spark and DuckDB.
+import hashlib as _hashlib
+
+GEAR_TABLE: list[int] = [
+    int(_hashlib.md5(f"cdc-gear-{j}".encode()).hexdigest()[:5], 16)
+    for j in range(256)
+]
+
+
 def cdc_chunks(
     docs: DataFrame,
     k: int = 8,
     mask_bits: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "gear",
 ) -> DataFrame:
     """(id, chunk_start, chunk_len, chunk_fp) — content-defined
     chunking (the LBFS/Rabin boundary rule behind storage dedup and
     rsync-style delta transfer): a chunk boundary closes after every
-    position whose k-gram hash satisfies ``hash % 2^mask_bits == 0``,
-    giving ~2^mask_bits expected chunk length. Because boundaries are
-    functions of LOCAL content only, an insertion early in a document
-    shifts every fixed-size block but leaves all later CDC chunks —
-    and therefore their fingerprints — identical: the property that
-    makes cross-version/cross-doc chunk dedup work where fixed
-    chunking fails.
+    position whose rolling content hash satisfies
+    ``hash % 2^mask_bits == 0``, giving ~2^mask_bits expected chunk
+    length. Because boundaries are functions of LOCAL content only, an
+    insertion early in a document shifts every fixed-size block but
+    leaves all later CDC chunks — and therefore their fingerprints —
+    identical: the property that makes cross-version/cross-doc chunk
+    dedup work where fixed chunking fails.
+
+    ``method="gear"`` (default) is the FastCDC/ddelta Gear hash: per
+    position i, h_i = Σ_t GEAR[cp_{i−t}]·2^t over the trailing window,
+    boundary iff the low ``mask_bits`` bits are zero. Because tap t
+    only touches bits ≥ t, h_i mod 2^m depends on EXACTLY the last m
+    code points — the locality window is m, and the whole per-document
+    computation is m vectorized shift-adds over a numpy code-point
+    array (an Arrow `mapInPandas` kernel emitting only the surviving
+    boundary positions, ~1/2^m of rows). This replaced a full md5 per
+    character position (r6 verdict: ~50× the compute; 8.6 s → ~2 s at
+    sf0.1) with identical downstream shape. ``k`` is ignored for gear
+    (the window is mask_bits by construction).
+
+    ``method="md5"`` is the previous portable-arithmetic rule (40-bit
+    md5 prefix of each k-gram % 2^mask_bits), kept for fingerprints
+    already persisted under it.
 
     Deviation from production CDC, documented: no min/max chunk-length
     clamps — the clamps make boundary validity depend on the PREVIOUS
@@ -731,39 +763,47 @@ def cdc_chunks(
     parallel projection. The tail of each document always closes its
     final chunk.
 
-    Shape: one gram posexplode + a boundary filter (the stream carries
-    only ~1/2^mask_bits of positions), one per-doc lag window over the
-    surviving boundaries (bounded by doc length), and one join back to
-    slice chunk text for the md5 fingerprint. All JVM expressions —
-    the 40-bit md5-prefix gram hash is the same portable arithmetic as
-    `winnow_fingerprints`."""
+    Shape: boundary stream (narrow: id + position), one per-doc lag
+    window over the surviving boundaries (bounded by doc length), and
+    one join back to slice chunk text for the md5 fingerprint
+    (JVM-side)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    if not 1 <= mask_bits <= 30:
-        raise ValueError("mask_bits must be in [1, 30]")
+    if not 1 <= mask_bits <= 16:
+        raise ValueError("mask_bits must be in [1, 16]")
     mask = 1 << mask_bits
     base = docs.select(
         F.col(id_col), F.col(text_col).alias("_t")
     ).where(F.length("_t") >= 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("_t") - k + 1, F.lit(1))),
-        lambda i: F.col("_t").substr(i, F.lit(k)),
-    )
-    g = base.select(
-        id_col,
-        F.length("_t").alias("_n"),
-        F.posexplode(grams).alias("_p0", "_g"),
-    )
-    h = F.conv(
-        F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 10), 16, 10
-    ).cast("bigint")
-    # boundary closes AFTER the matching gram; never past the doc end
-    bounds = g.where(F.pmod(h, F.lit(mask)) == 0).select(
-        id_col,
-        F.least(F.col("_p0") + F.lit(k), F.col("_n")).alias("_e"),
-    )
+    if method == "gear":
+        bounds = _gear_boundaries(base, id_col, mask_bits)
+    elif method == "md5":
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_t") - k + 1, F.lit(1))
+            ),
+            lambda i: F.col("_t").substr(i, F.lit(k)),
+        )
+        g = base.select(
+            id_col,
+            F.length("_t").alias("_n"),
+            F.posexplode(grams).alias("_p0", "_g"),
+        )
+        h = F.conv(
+            F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 10),
+            16, 10,
+        ).cast("bigint")
+        # boundary closes AFTER the matching gram; never past the doc end
+        bounds = g.where(F.pmod(h, F.lit(mask)) == 0).select(
+            id_col,
+            F.least(F.col("_p0") + F.lit(k), F.col("_n"))
+            .cast("bigint")
+            .alias("_e"),
+        )
+    else:
+        raise ValueError(f"unknown CDC method {method!r}")
     ends = bounds.unionByName(
-        base.select(id_col, F.length("_t").alias("_e"))
+        base.select(id_col, F.length("_t").cast("bigint").alias("_e"))
     ).dropDuplicates([id_col, "_e"])
     w = Window.partitionBy(id_col).orderBy("_e")
     spans = ends.withColumn(
@@ -780,12 +820,69 @@ def cdc_chunks(
             F.md5(
                 F.encode(
                     F.col("_t").substr(
-                        F.col("_s"), F.col("_e") - F.col("_s") + 1
+                        F.col("_s").cast("int"),
+                        (F.col("_e") - F.col("_s") + 1).cast("int"),
                     ),
                     "UTF-8",
                 )
             ).alias("chunk_fp"),
         )
+    )
+
+
+def _gear_boundaries(
+    base: DataFrame, id_col: str, mask_bits: int
+) -> DataFrame:
+    """(id, _e): 1-indexed boundary END positions under the Gear rule.
+
+    Numpy kernel per document: code points via utf-32-le decode (no
+    per-char python loop), one table gather, m−1 vectorized shift-adds
+    (tap t shifts GEAR by t bits, so only taps t < m can touch the low
+    m test bits — the window is exactly m code points, partial at the
+    document head). Emits ~len/2^m rows per doc. Input is `spread`
+    first: a one-split parquet would otherwise funnel the whole corpus
+    through one python worker (CLAUDE.md explode-operator invariant).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from inception_eventstore_spark.functions.spread import spread
+
+    m = mask_bits
+    test_mask = (1 << m) - 1
+    out_schema = StructType(
+        [
+            StructField("_id_", base.schema[id_col].dataType),
+            StructField("_e", LongType()),
+        ]
+    )
+    gear = GEAR_TABLE
+
+    def kernel(pdf_iter):
+        import pandas as pd
+
+        g_arr = np.asarray(gear, dtype=np.uint64)
+        msk = np.uint64(test_mask)
+        for pdf in pdf_iter:
+            ids, es = [], []
+            for did, txt in zip(pdf["_id_"], pdf["_t"]):
+                cp = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                )
+                g = g_arr[cp & 255]
+                acc = g.copy()
+                for t in range(1, m):
+                    acc[t:] += g[: len(g) - t] << np.uint64(t)
+                hit = np.flatnonzero((acc & msk) == 0)
+                if len(hit):
+                    ids.extend([did] * len(hit))
+                    es.extend((hit + 1).tolist())
+            yield pd.DataFrame({"_id_": ids, "_e": es})
+
+    return (
+        spread(base.select(F.col(id_col).alias("_id_"), "_t"))
+        .mapInPandas(kernel, out_schema)
+        .select(F.col("_id_").alias(id_col), "_e")
     )
 
 

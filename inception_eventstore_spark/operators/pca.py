@@ -163,3 +163,70 @@ def pca_project(
         return pd.Series(list(Y))
 
     return emb.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def pinned_basis_project(
+    emb: DataFrame,
+    k: int = 8,
+    basis_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "coords",
+    orthogonalize: bool = True,
+) -> DataFrame:
+    """emb + ``out_col``: coordinates of every vector against a PINNED
+    basis built from the embeddings of ``basis_ids`` (default ids
+    1..k) — the ivf_pinned pattern applied to projection: every basis
+    number is a float64 function of table rows, so a SQL oracle can
+    replay basis construction AND projection and value-check the
+    distributed Arrow matmul kernel that eigen-PCA (``pca_project``)
+    shares. Eigen-PCA itself stays numpy-pinned in tests —
+    eigendecomposition has no SQL twin.
+
+    ``orthogonalize=True``: classical Gram-Schmidt orthonormal basis —
+    the mathematically nicer frame, for in-engine use.
+    ``orthogonalize=False``: unit-NORMALIZED raw directions u_r =
+    v_r/‖v_r‖ only — the cross-engine-oracle-safe frame. GS is a
+    cancellation amplifier: its dot-product sums pick up engine
+    summation-order jitter and the measured basis divergence between
+    numpy and DuckDB reaches ~1e-11 per entry, enough to flip 6-dp
+    rounding boundaries on the projected coordinates (observed: 1 of
+    4000 values at sf0.001). Normalize-only keeps every coordinate
+    within an ulp-jitter (~1e-15) of both engines — boundary risk
+    ~1e-9 — because the only cross-engine freedom left is the order of
+    one 64-term product sum.
+    """
+    ids = list(basis_ids) if basis_ids is not None else list(
+        range(1, k + 1)
+    )
+    if len(ids) != k:
+        raise ValueError(f"need exactly k={k} basis ids, got {len(ids)}")
+    rows = (
+        emb.where(F.col(id_col).isin(ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+             for r in rows}
+    missing = [i for i in ids if i not in by_id]
+    if missing:
+        raise ValueError(f"basis ids missing from table: {missing}")
+    V = np.stack([by_id[i] for i in ids])
+    U: list[np.ndarray] = []
+    for r in range(k):
+        w = V[r].copy()
+        if orthogonalize:
+            for s in range(r):
+                w = w - (V[r] @ U[s]) * U[s]
+        nrm = float(np.sqrt(w @ w))
+        if nrm == 0.0:
+            raise ValueError(
+                f"basis vector {ids[r]} is linearly dependent on "
+                "earlier ones"
+            )
+        U.append(w / nrm)
+    W = np.stack(U)  # k × d rows; orthonormal iff orthogonalize
+    return pca_project(
+        emb, k, vec_col, out_col,
+        components=(W, np.zeros(W.shape[1])),
+    )

@@ -705,19 +705,110 @@ def q_pivot_status_priority(spark, sf_dir):
 
 
 def q_approx_stats(spark, sf_dir):
-    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
-    internals differ across engines, so this is a rows-only check; the
-    exact counterparts are oracle-verified in distinct_users."""
+    """Approximate per-event-type profile from the repo's PORTABLE
+    sketch family (operators/sketches.py): KMV distinct users, CMS
+    row-count estimate, binned-histogram p50/p99 of `value`. This
+    replaced approx_count_distinct/percentile_approx (engine-specific
+    HLL++/t-digest internals → rows-only forever, r6 verdict missing
+    #3): every sketch here is integer-exact or fixed-expression
+    arithmetic that replays in SQL, so the row is value-oracled. Scale
+    shape: three one-pass partial-agg rollups over the log (k·|types|,
+    depth·width, bins·|types| state), joined on the tiny type axis."""
+    from inception_eventstore_spark.operators import sketches as SK
+
     e = _t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(e, "user_id", ["event_type"], k=64)
+    kmv = SK.kmv_estimate(sk, ["event_type"], k=64).select(
+        "event_type", F.col("kmv_est").alias("approx_users")
+    )
+    cms = SK.cms_sketch(e, "event_type", depth=4, width=64)
+    cms_e = SK.cms_estimate(
+        cms, e.select("event_type").distinct(), "event_type",
+        depth=4, width=64,
+    ).select("event_type", F.col("cms_est").alias("approx_rows"))
+    b = e.where(F.col("value").isNotNull()).agg(
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    ).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    hist = SK.binned_histogram(
+        e, "value", lo, hi, bins=512, group_cols=["event_type"]
+    )
+    qs = SK.quantiles_from_histogram(
+        hist, lo, hi, 512, [0.5, 0.99], group_cols=["event_type"]
+    )
+    piv = qs.groupBy("event_type").agg(
+        F.round(
+            F.max(F.when(F.col("q") == 0.5, F.col("est"))), 6
+        ).alias("p50"),
+        F.round(
+            F.max(F.when(F.col("q") == 0.99, F.col("est"))), 6
+        ).alias("p99"),
+    )
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", 0.5).alias("p50"),
-            F.percentile_approx("value", 0.99).alias("p99"),
-        )
+        kmv.join(cms_e, "event_type")
+        .join(piv, "event_type")
         .orderBy("event_type")
     )
+
+
+def _approx_stats_oracle() -> str:
+    from inception_eventstore_spark.operators.sketches import (
+        cms_oracle_sql,
+        kmv_oracle_sql,
+    )
+
+    kmv = kmv_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "user_id",
+        "event_type",
+        k=64,
+    )
+    cms = cms_oracle_sql(
+        "SELECT event_type FROM events",
+        "event_type",
+        "SELECT DISTINCT event_type FROM events",
+        "event_type",
+        depth=4,
+        width=64,
+    )
+    return f"""
+WITH kmv AS (SELECT grp AS event_type, kmv_est AS approx_users
+  FROM ({kmv}) WHERE grp <> '__ALL__'),
+cms AS (SELECT event_type, cms_est AS approx_rows FROM ({cms})),
+st AS (SELECT round(min(value), 6) AS lo, round(max(value), 6) AS hi
+  FROM events WHERE value IS NOT NULL),
+h AS (SELECT event_type,
+    least(greatest(CAST(floor((value - st.lo) / (st.hi - st.lo) * 512.0)
+      AS BIGINT), 0), 511) AS bin,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT event_type, bin, n,
+    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM h),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY 1),
+qv AS (SELECT CAST(unnest([0.5, 0.99]) AS DOUBLE) AS q),
+tr AS (SELECT event_type, q,
+    greatest(1, (CAST(floor(q * total * 1000000) AS BIGINT) + 999999)
+      // 1000000) AS target
+  FROM t, qv),
+sel AS (SELECT tr.event_type, tr.q, tr.target, min(c.bin) AS bin
+  FROM tr JOIN c ON c.event_type = tr.event_type AND c.cum >= tr.target
+  GROUP BY 1, 2, 3),
+fin AS (SELECT s.event_type, s.q,
+    round(st.lo + (s.bin + (s.target - (c.cum - c.n))
+      / CAST(c.n AS DOUBLE)) * ((st.hi - st.lo) / 512), 6) AS est
+  FROM sel s JOIN c ON c.event_type = s.event_type AND c.bin = s.bin, st),
+piv AS (SELECT event_type,
+    round(max(CASE WHEN q = 0.5 THEN est END), 6) AS p50,
+    round(max(CASE WHEN q = 0.99 THEN est END), 6) AS p99
+  FROM fin GROUP BY 1)
+SELECT kmv.event_type, kmv.approx_users, cms.approx_rows,
+  piv.p50, piv.p99
+FROM kmv JOIN cms USING (event_type) JOIN piv USING (event_type)
+ORDER BY kmv.event_type
+"""
 
 
 def q_week_rollup(spark, sf_dir):
@@ -1702,20 +1793,68 @@ def q_embedding_covariance(spark, sf_dir):
 
 
 def q_pca_project(spark, sf_dir):
-    """Top-8 principal coordinates per vector (rows-only: eigenvectors
-    have no SQL twin; the moments feeding them are value-oracled by
-    embedding_covariance, and tests pin the projection against direct
-    numpy PCA). Output is a JSON digest of the rounded coordinates —
-    raw float arrays are unhashable in the gate's canonicalizer."""
-    from inception_eventstore_spark.operators.pca import pca_project
+    """Per-vector coordinates against PINNED unit directions (the
+    embeddings of vec_id 1..8, normalized) — the ivf_pinned pattern
+    that flipped this row from rows-only to value-oracled: the basis
+    is a float64 function of table rows, so the oracle replays basis
+    construction AND the distributed projection matmul (the same Arrow
+    kernel eigen-PCA uses; eigen-PCA itself has no SQL twin and stays
+    numpy-pinned in tests/test_pca.py, its covariance input
+    value-oracled by embedding_covariance). Normalize-only, NOT
+    Gram-Schmidt: GS amplifies engine summation-order jitter to
+    ~1e-11 per basis entry, which flips 6-dp boundaries (see
+    pinned_basis_project). Output exploded to (vec_id, pc, coord) —
+    plain DOUBLE survives the gate's canonicalizer where float arrays
+    don't."""
+    from inception_eventstore_spark.operators.pca import (
+        pinned_basis_project,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = pca_project(emb, k=8)
+    out = pinned_basis_project(emb, k=8, orthogonalize=False)
     return out.select(
         "vec_id",
-        F.to_json(
-            F.transform("pca", lambda x: F.round(x, 4))
-        ).alias("pca_json"),
+        F.posexplode("coords").alias("_p", "_c"),
+    ).select(
+        "vec_id",
+        (F.col("_p") + 1).cast("bigint").alias("pc"),
+        (F.round("_c", 6) + F.lit(0.0)).alias("coord"),
+    ).orderBy("vec_id", "pc")
+
+
+def _pca_pinned_oracle(k: int = 8) -> str:
+    """Relational replay of pinned_basis_project(orthogonalize=False):
+    unit directions u_r = v_r/‖v_r‖ from the embeddings of vec_id
+    1..k, then one join-aggregate projection. Division and sqrt are
+    IEEE-identical across engines; the one remaining cross-engine
+    freedom is product-sum order (ulp-level), which 6-dp rounding
+    absorbs with ~1e-9 boundary risk. Gram-Schmidt was rejected here:
+    its cancellation amplifies sum-order jitter to ~1e-11 per basis
+    entry and measurably flips 6-dp boundaries."""
+    parts = [
+        "WITH c AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) AS d,"
+        " unnest(embedding) AS x FROM embeddings)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT d,"
+            f" x / sqrt((SELECT sum(x*x) FROM c WHERE vec_id = {r}))"
+            f" AS u FROM c WHERE vec_id = {r})"
+        )
+    basis_union = " UNION ALL ".join(
+        f"SELECT {r} AS pc, d, u FROM u{r}" for r in range(1, k + 1)
+    )
+    parts.append(f"basis AS MATERIALIZED ({basis_union})")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT c.vec_id, CAST(basis.pc AS BIGINT) AS pc,
+  round(sum(c.x * basis.u), 6) + 0.0 AS coord
+FROM c JOIN basis USING (d)
+GROUP BY c.vec_id, basis.pc
+ORDER BY c.vec_id, basis.pc
+"""
     )
 
 
@@ -2813,7 +2952,7 @@ QUERIES: dict[str, QueryDef] = {
         "CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5 "
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     ),
-    "approx_stats": QueryDef(q_approx_stats, None),
+    "approx_stats": QueryDef(q_approx_stats, _approx_stats_oracle()),
     "distinct_users": QueryDef(
         q_distinct_users,
         "SELECT event_type, count(DISTINCT user_id) AS users, "
@@ -3302,7 +3441,7 @@ QUERIES: dict[str, QueryDef] = {
         "FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
         "GROUP BY 1, 2 ORDER BY 1, 2",
     ),
-    "pca_project": QueryDef(q_pca_project, None),
+    "pca_project": QueryDef(q_pca_project, _pca_pinned_oracle(8)),
     "funnel_conversion": QueryDef(
         q_funnel_conversion,
         "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
@@ -9293,10 +9432,11 @@ QUERIES = {**_R6ZL_QUERIES, **QUERIES}
 
 def q_cdc_dedup(spark, sf_dir):
     """Content-defined chunk dedup accounting (dedup.cdc_dedup_report):
-    LBFS/Rabin-style boundaries (40-bit md5 gram hash % 32 == 0), then
-    per-doc duplicate-chunk rates via a global fingerprint join — the
-    content-addressed-storage savings estimate and a span-localized
-    shared-content signal."""
+    Gear rolling-hash boundaries (seeded 256-entry literal table, low
+    5 bits zero), then per-doc duplicate-chunk rates via a global
+    fingerprint join — the content-addressed-storage savings estimate
+    and a span-localized shared-content signal. The oracle replays the
+    identical Gear sum per position from the SAME literal table."""
     from inception_eventstore_spark.operators.dedup import (
         cdc_dedup_report,
     )
@@ -9305,15 +9445,36 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc_dedup_report(d, k=8, mask_bits=5).orderBy("doc_id")
 
 
-_CDC_ORACLE = """
+def _cdc_gear_boundary_sql(mask_bits: int = 5) -> str:
+    """The Gear boundary predicate for position i, replaying
+    dedup._gear_boundaries: tap t (t < mask_bits) contributes
+    gear[cp_{i-t} % 256]·2^t when i > t; boundary iff the sum's low
+    mask_bits bits are zero. Same GEAR_TABLE literals as the kernel."""
+    from inception_eventstore_spark.operators.dedup import GEAR_TABLE
+
+    taps = []
+    for t in range(mask_bits):
+        term = (
+            f"ga[1 + (unicode(substr(t, CAST(i - {t} AS INTEGER), 1)) "
+            f"% 256)] * {1 << t}"
+        )
+        taps.append(
+            term if t == 0 else f"(CASE WHEN i > {t} THEN {term} ELSE 0 END)"
+        )
+    ga = ", ".join(str(v) for v in GEAR_TABLE)
+    return (
+        f"gear AS (SELECT [{ga}] AS ga),\n"
+        "g AS (SELECT doc_id, n, t, unnest(range(1, n + 1)) AS i"
+        " FROM base),\n"
+        f"b AS (SELECT doc_id, i AS e FROM g, gear\n"
+        f"  WHERE ({' + '.join(taps)}) % {1 << mask_bits} = 0)"
+    )
+
+
+_CDC_ORACLE = f"""
 WITH base AS (SELECT doc_id, text AS t, length(text) AS n
   FROM documents WHERE length(text) >= 1),
-g AS (SELECT doc_id, n, t,
-    unnest(range(1, greatest(n - 8 + 1, 1) + 1)) AS i
-  FROM base),
-b AS (SELECT doc_id, least(i + 8 - 1, n) AS e FROM g
-  WHERE CAST(('0x' || substring(md5(substring(t, CAST(i AS INTEGER), 8)),
-    1, 10)) AS BIGINT) % 32 = 0),
+{_cdc_gear_boundary_sql(5)},
 ends AS (SELECT DISTINCT doc_id, e FROM (
     SELECT doc_id, e FROM b
     UNION ALL SELECT doc_id, n AS e FROM base)),

@@ -65,9 +65,17 @@ CHECKS = {
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
     "pca_project": [
-        ("projection is map-side only — no shuffle in the final plan",
-         "!Exchange"),
+        ("projection is map-side only — no aggregation/join shuffle "
+         "(the only Exchange is the final presentation sort)",
+         "!Exchange hashpartitioning"),
         ("Arrow-batched matmul kernel", r"ArrowEvalPython"),
+    ],
+    "approx_stats": [
+        ("all three sketch rollups partial-aggregate map-side",
+         r"partial_count|HashAggregate.*partial"),
+        ("CMS sketch broadcast to the probe side",
+         r"BroadcastHashJoin"),
+        ("no row-at-a-time python UDF", "!BatchEvalPython"),
     ],
     "dedup_survivors": [
         ("winner window partitions by component only (clustered subset)",
@@ -565,12 +573,14 @@ CHECKS = {
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
     "cdc_dedup": [
-        ("boundary stream explodes in Generate and filters to "
-         "~1/2^mask_bits of positions before any shuffle",
-         r"Generate posexplode"),
+        ("Gear boundary stream is ONE Arrow mapInPandas kernel "
+         "(m shift-adds per char, emits ~1/2^mask_bits of positions) — "
+         "not an md5 per position",
+         r"MapInPandas"),
         ("fingerprint dedup shuffles one row per CHUNK keyed by fp, "
          "partial-aggregated", r"HashAggregate.*partial|partial_count"),
-        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ("no row-at-a-time python UDF in the path",
+         "!BatchEvalPython"),
     ],
     "heldout_ppl": [
         ("count tables partial-aggregated before the shuffle",
