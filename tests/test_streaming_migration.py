@@ -759,3 +759,106 @@ class TestStreamIntervalJoin:
         )
         assert {(r["event_id"], r["event_id_r"])
                 for r in batch.collect()} == got
+
+
+class TestStreamingRedelivery:
+    """The at-least-once + PK-dedup contract (SURVEY §4): a retried
+    foreachBatch epoch re-delivers rows, and the C1 counter / X1 index
+    views must still equal the batch fold applied ONCE — including
+    after a crash landing between the events commit and the index
+    append."""
+
+    def _store(self, spark, root):
+        lay = L.for_tenant(str(root), "redeliver", "es")
+        return lay, EventStore(spark, lay, event_type_expr=_et_expr)
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, schema=schemas.EVENTS_SCHEMA)
+
+    def test_exact_redelivery_is_idempotent(self, spark, tmp_path):
+        from inception_eventstore_spark.operators.counters import (
+            MessageCounter,
+        )
+
+        lay, store = self._store(spark, tmp_path / "wh1")
+        rows = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID1, 2, 0, T0 + HOUR, _payload("b")),
+            (AID2, 1, 0, T0 + 2 * HOUR, _payload("c", "type-t")),
+        ]
+        b = self._batch(spark, rows)
+        store._append_rows(b, maintain_index=True, anti_join_existing=True)
+        # the retry: same epoch, same rows, delivered again
+        store._append_rows(b, maintain_index=True, anti_join_existing=True)
+        assert store.events_df().count() == 3
+        idx = IndexByEventTypeStore(spark, lay)
+        assert idx.count("type-s") == 2 and idx.count("type-t") == 1
+        assert MessageCounter(spark, lay).get_count("type-s") == 2
+
+    def test_partial_overlap_redelivery(self, spark, tmp_path):
+        """A retried epoch that also carries NEW rows (source picked up
+        more files): old rows dedup away, new rows land exactly once —
+        views equal a fresh store where the union was applied once."""
+        from inception_eventstore_spark.operators.counters import (
+            MessageCounter,
+        )
+
+        lay, store = self._store(spark, tmp_path / "wh2")
+        first = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID2, 1, 0, T0 + HOUR, _payload("c", "type-t")),
+        ]
+        second = first + [
+            (AID1, 2, 0, T0 + 2 * HOUR, _payload("b")),
+            (AID2, 2, 0, T0 + 3 * HOUR, _payload("d", "type-t")),
+        ]
+        store._append_rows(
+            self._batch(spark, first), maintain_index=True,
+            anti_join_existing=True,
+        )
+        store._append_rows(
+            self._batch(spark, second), maintain_index=True,
+            anti_join_existing=True,
+        )
+        lay2, store2 = self._store(spark, tmp_path / "wh2_ref")
+        store2._append_rows(
+            self._batch(spark, second), maintain_index=True,
+            anti_join_existing=True,
+        )
+        for s, l in ((store, lay), (store2, lay2)):
+            assert s.events_df().count() == 4
+            idx = IndexByEventTypeStore(spark, l)
+            assert idx.count("type-s") == 2 and idx.count("type-t") == 2
+            c = MessageCounter(spark, l)
+            assert c.get_count("type-s") == 2
+            assert c.get_count("type-t") == 2
+
+    def test_crash_between_events_commit_and_index_append(
+        self, spark, tmp_path
+    ):
+        """Worst-case retry: the prior attempt wrote EVENTS but died
+        before the index append. The redelivered batch anti-joins to
+        zero new events, yet the index/counter maintenance must still
+        see the full batch — deriving the index from the events
+        survivors would lose these rows permanently (the in-source
+        invariant at eventstore._append_rows)."""
+        from inception_eventstore_spark.operators.counters import (
+            MessageCounter,
+        )
+
+        lay, store = self._store(spark, tmp_path / "wh3")
+        rows = [
+            (AID1, 1, 0, T0, _payload("a")),
+            (AID2, 1, 0, T0 + HOUR, _payload("c", "type-t")),
+        ]
+        b = self._batch(spark, rows)
+        # simulate the partial commit: events land, index never does
+        store._write_events(b.dropDuplicates(["id", "rev", "pos"]))
+        assert store.events_df().count() == 2
+        assert IndexByEventTypeStore(spark, lay).count("type-s") == 0
+        # the retry delivers the same batch through the normal path
+        store._append_rows(b, maintain_index=True, anti_join_existing=True)
+        assert store.events_df().count() == 2
+        idx = IndexByEventTypeStore(spark, lay)
+        assert idx.count("type-s") == 1 and idx.count("type-t") == 1
+        assert MessageCounter(spark, lay).get_count("type-t") == 1

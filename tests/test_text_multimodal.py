@@ -910,3 +910,82 @@ class TestRakeKeywords:
             self._run(spark, ["a"], lang="xx")
         with pytest.raises(ValueError):
             self._run(spark, ["a"], max_phrase_len=0)
+
+
+class TestMp4Metadata:
+    """ISO-BMFF box-walk metadata: codec-free catalog audit of MP4
+    payloads (multimodal.encode_mp4_stub / parse_mp4_metadata /
+    mp4_metadata)."""
+
+    def test_roundtrip_video_only(self):
+        from inception_eventstore_spark.operators import multimodal as M
+
+        p = M.encode_mp4_stub(48, 32, 1250, video_codec=b"hvc1",
+                              brand=b"mp42")
+        m = M.parse_mp4_metadata(p)
+        assert m == {
+            "major_brand": "mp42", "duration_ms": 1250, "n_tracks": 1,
+            "video_codec": "hvc1", "width": 48, "height": 32,
+            "audio_codec": None,
+        }
+
+    def test_roundtrip_with_audio(self):
+        from inception_eventstore_spark.operators import multimodal as M
+
+        m = M.parse_mp4_metadata(
+            M.encode_mp4_stub(64, 48, 9000, with_audio=True)
+        )
+        assert (m["n_tracks"], m["audio_codec"]) == (2, "mp4a")
+        assert (m["width"], m["height"]) == (64, 48)
+
+    def test_version1_mvhd_and_unknown_boxes_skipped(self):
+        """Real files carry v1 (64-bit time) mvhd and free/udta boxes;
+        the walker must read v1 duration and skip unknowns by size."""
+        import struct
+
+        from inception_eventstore_spark.operators import multimodal as M
+
+        base = M.encode_mp4_stub(32, 24, 7000)
+        mvhd_v1 = M._mp4_full(
+            b"mvhd", 1,
+            struct.pack(">QQIQ", 0, 0, 1000, 7500)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8 + M._MP4_MATRIX + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        # rebuild: ftyp + free + moov(mvhd_v1 only) — no tracks
+        ftyp = M._mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+        free = M._mp4_box(b"free", b"junk bytes here")
+        moov = M._mp4_box(b"moov", mvhd_v1)
+        m = M.parse_mp4_metadata(ftyp + free + moov)
+        assert m["duration_ms"] == 7500 and m["n_tracks"] == 0
+        assert M.parse_mp4_metadata(base)["duration_ms"] == 7000
+
+    def test_non_bmff_raises(self):
+        import pytest as _pt
+
+        from inception_eventstore_spark.operators import multimodal as M
+
+        with _pt.raises(ValueError):
+            M.parse_mp4_metadata(b"\x00\x00\x00\x08mdat")  # no ftyp/moov
+        with _pt.raises(ValueError):
+            M.parse_mp4_metadata(b"RIFF0000WAVE")
+
+    def test_mp4_metadata_operator(self, spark):
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators import multimodal as M
+
+        assets = M.synthetic_assets(spark, n=64).where(
+            F.col("mime") == "video/mp4"
+        )
+        got = {r["asset_id"]: r for r in M.mp4_metadata(assets).collect()}
+        rows = [r for r in M.synthetic_asset_rows(64)
+                if r[2] == "video/mp4"]
+        assert len(got) == len(rows) > 0
+        for r in rows:
+            m = M.parse_mp4_metadata(bytes(r[6]))
+            g = got[r[0]]
+            assert g["duration_ms"] == m["duration_ms"] == 5000 + r[0] * 100
+            assert g["video_codec"] == "avc1"
+            assert g["width"] == m["width"]

@@ -381,6 +381,12 @@ CHECKS = {
          r"MapInPandas"),
         ("no shuffle anywhere — chunk slicing is map-side", "!Exchange"),
     ],
+    "multimodal_mp4_meta": [
+        ("moov box walk is one Arrow-batched python kernel",
+         r"MapInPandas"),
+        ("header parse is map-side — the only Exchange is the final "
+         "presentation sort", "!Exchange hashpartitioning"),
+    ],
     "quality_model_score": [
         ("model table joins broadcast — the corpus never shuffles to "
          "meet the weights", r"BroadcastHashJoin"),
