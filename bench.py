@@ -276,6 +276,12 @@ HEADLINE = [
     "lsh_band_plan",
     # r7 additions
     "multimodal_mp4_meta",
+    "mann_kendall",
+    "mann_whitney_u",
+    "phrase_search",
+    "dp_noisy_counts",
+    "propensity_strata",
+    "eb_shrunk_rates",
 ]
 
 

@@ -256,3 +256,73 @@ def t_closeness_report(
         .alias("rows_at_risk"),
         F.sum("_n").cast("bigint").alias("n_rows"),
     )
+
+
+def discrete_laplace_thresholds(
+    epsilon: float = 0.5, bound: int = 24, lane_bits: int = 20
+) -> list[int]:
+    """Inverse-CDF thresholds for the two-sided geometric (discrete
+    Laplace) mechanism P(k) ∝ α^|k|, α = e^(−ε), truncated at ±bound
+    (residual mass < α^bound — below one lane unit at the defaults).
+    Scaled by 2^lane_bits and floored: exact integer LITERALS shared
+    by the Spark plan and the DuckDB oracle, the POISSON1_THRESHOLDS
+    pattern (operators/sampling.py) — a lane draw u maps to the first
+    k in [−bound..bound] with u < threshold[k + bound]."""
+    import math
+
+    a = math.exp(-float(epsilon))
+    weights = [a ** abs(k) for k in range(-bound, bound + 1)]
+    norm = sum(weights)
+    cum = 0.0
+    out = []
+    for w in weights:
+        cum += w / norm
+        out.append(int(cum * float(1 << lane_bits)))
+    out[-1] = 1 << lane_bits  # close the top bin against float slack
+    return out
+
+
+def dp_noisy_counts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    epsilon: float = 0.5,
+    release_id: str = "release-1",
+    bound: int = 24,
+) -> DataFrame:
+    """ε-differential-privacy RELEASE MECHANICS for per-group counts:
+    true count + discrete-Laplace noise calibrated to sensitivity 1
+    (one row changes one group count by 1), the geometric mechanism of
+    Ghosh-Roughgarden-Sundararajan 2009. Output (group, noisy_count,
+    noise) — noise surfaced because this demonstration draw is
+    DETERMINISTIC: u is a 20-bit md5 lane of (release_id, group), so
+    the whole release replays in the DuckDB oracle. A production
+    release gets its privacy from an unpredictable seed — swap the
+    lane source for a CSPRNG draw per release; calibration, truncation
+    and the inverse-CDF mapping are exactly what ships.
+
+    Scale: one partial-aggregated count per group + a broadcast-free
+    literal CASE ladder over 2·bound+1 thresholds — noise addition is
+    O(|groups|).
+    """
+    from inception_eventstore_spark.operators.sampling import (
+        md5_prefix60,
+    )
+
+    th = discrete_laplace_thresholds(epsilon, bound)
+    counts = events.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    u = F.pmod(
+        md5_prefix60(
+            F.concat(F.lit(f"dp:{release_id}:"), F.col("grp"))
+        ),
+        F.lit(1 << 20),
+    )
+    noise = F.lit(bound)  # fallthrough == top bin
+    for i in range(len(th) - 1, -1, -1):
+        noise = F.when(u < th[i], F.lit(i - bound)).otherwise(noise)
+    return counts.select(
+        "grp",
+        noise.cast("bigint").alias("noise"),
+        (F.col("_n") + noise).cast("bigint").alias("noisy_count"),
+    )

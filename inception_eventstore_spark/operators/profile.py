@@ -1295,3 +1295,178 @@ def ratio_metric_ci(
         )
         .orderBy("bucket")
     )
+
+
+def mann_whitney_u(
+    events: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    groups' value distributions — the nonparametric A/B readout for
+    skewed metrics where the t-family (cuped_adjustment,
+    ratio_metric_ci) mis-sizes. One row: n_a, n_b, the exact U
+    statistic in ×2 units, the tie term, and the tie-corrected normal
+    score z_u.
+
+    Exactness recipe (the kmv/bootstrap integer discipline):
+    - rank state is built per DISTINCT value — groupBy(value) with
+      integer group counts; doubles are only ever compared/grouped,
+      never summed, so cross-engine bit-equality of the raw column
+      carries through;
+    - midranks are half-integers → everything runs in ×2 units:
+      midrank_x2 = 2·(#strictly-below) + t + 1 (exact BIGINT);
+    - the global running count uses sharded_running_sums (integer,
+      associative → bit-identical to the oracle's sequential window;
+      NEVER a single-partition window — CLAUDE.md rank invariant);
+    - U_a_x2 = Σ n_a(v)·midrank_x2(v) − n_a(n_a+1) and the tie term
+      Σ(t³−t) are exact BIGINTs; only z is a double — one fixed-order
+      expression of five integers, rounded 6 dp.
+
+    Scale: one partial-aggregated rollup to the distinct-value axis,
+    one two-phase running sum over it, one scalar aggregate.
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+
+    vals = events.where(
+        F.col(type_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    per = (
+        vals.groupBy(F.col(value_col).alias("_v"))
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == group_a, 1).otherwise(0)
+            ).cast("bigint").alias("_na"),
+            F.sum(
+                F.when(F.col(type_col) == group_b, 1).otherwise(0)
+            ).cast("bigint").alias("_nb"),
+        )
+        .withColumn("_nt", (F.col("_na") + F.col("_nb")).cast("bigint"))
+    )
+    r = sharded_running_sums(per, [F.col("_v")], ["_nt"])
+    mid_x2 = (
+        2 * (F.col("_nt_cum") - F.col("_nt")) + F.col("_nt") + 1
+    )
+    agg = r.agg(
+        F.sum(F.col("_na") * mid_x2).cast("bigint").alias("_ra_x2"),
+        F.sum("_na").cast("bigint").alias("n_a"),
+        F.sum("_nb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("_nt") * F.col("_nt") * F.col("_nt") - F.col("_nt")
+        ).cast("bigint").alias("tie_sum"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u_x2 = (
+        F.col("_ra_x2") - F.col("n_a") * (F.col("n_a") + 1)
+    ).cast("bigint")
+    out = agg.withColumn("u_a_x2", u_x2)
+    n = d("n_a") + d("n_b")
+    var = (
+        d("n_a") * d("n_b") / F.lit(12.0)
+        * ((n + 1.0) - d("tie_sum") / (n * (n - 1.0)))
+    )
+    z = (d("u_a_x2") - d("n_a") * d("n_b")) / (2.0 * F.sqrt(var))
+    return out.select(
+        "n_a", "n_b", "u_a_x2", "tie_sum",
+        (F.round(z, 6) + F.lit(0.0)).alias("z_u"),
+    )
+
+
+def propensity_strata(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_strata: int = 10,
+    weights: tuple[int, int, int] = (37, 101, 53),
+) -> DataFrame:
+    """Propensity-score STRATIFICATION readout (Rosenbaum & Rubin
+    1983/1984 subclassification): users are ranked by a pinned linear
+    propensity index over activity covariates (event count, active
+    days, click count — integer weights, so the score is an exact
+    BIGINT), cut into ``n_strata`` equal-rank strata, and the
+    treated-vs-control outcome gap (total purchase value) is reported
+    per stratum — the within-stratum comparison that removes the
+    activity confound a raw diff would carry. Pinned weights rather
+    than a fitted logistic on purpose: iterative fitting has no SQL
+    twin, while the stratification/readout machinery — the part that
+    runs at 100 TB — is identical either way (the quality_model_score
+    pinned-model pattern).
+
+    Determinism: covariates and score are exact BIGINTs; outcome is
+    per-row floor(v·2^20) micro-units (exact both engines); the global
+    rank goes through grouped_row_number (two-phase shard rank, never
+    a single-partition window) with (score, user) total order; stratum
+    = div((rank−1)·n_strata, N) in integer arithmetic; per-stratum
+    means are fixed-order doubles of exact integers, rounded 6 dp.
+
+    Output per stratum: stratum, n_treated, n_control, diff_y (NULL
+    when an arm is empty).
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    w1, w2, w3 = (int(w) for w in weights)
+    per = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.count("*").cast("bigint").alias("_nev"),
+        F.countDistinct(F.to_date(F.col(ts_col)))
+        .cast("bigint")
+        .alias("_ndays"),
+        F.sum(F.when(F.col(type_col) == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nclick"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(type_col) == "purchase",
+                    F.floor(F.col(value_col) * F.lit(1048576.0))
+                    .cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("_y"),
+    ).select(
+        "_u",
+        (F.col("_u") % 2).cast("int").alias("_t"),
+        (
+            w1 * F.col("_nev") + w2 * F.col("_ndays")
+            + w3 * F.col("_nclick")
+        ).cast("bigint").alias("_s"),
+        "_y",
+    )
+    ranked = grouped_row_number(
+        per, [F.col("_s"), F.col("_u")], rank_col="_rk",
+        with_group_count="_n",
+    )
+    st = ranked.select(
+        F.expr(f"div((_rk - 1) * {int(n_strata)}, _n)").alias("stratum"),
+        "_t", "_y",
+    )
+    g = st.groupBy("stratum").agg(
+        F.sum("_t").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("_t")).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0))
+        .cast("bigint").alias("_syt"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0))
+        .cast("bigint").alias("_syc"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = (
+        d("_syt") / d("n_treated") - d("_syc") / d("n_control")
+    ) / F.lit(1048576.0)
+    return g.select(
+        F.col("stratum").cast("bigint").alias("stratum"),
+        "n_treated",
+        "n_control",
+        F.when(
+            (F.col("n_treated") > 0) & (F.col("n_control") > 0),
+            F.round(diff, 6) + F.lit(0.0),
+        ).alias("diff_y"),
+    ).orderBy("stratum")

@@ -563,3 +563,49 @@ def retrieval_ndcg(
             F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matches): documents containing the EXACT consecutive
+    token phrase, with the number of occurrence positions — the
+    positional-postings conjunction behind search-engine quoted
+    queries, done with ONE explode + ONE aggregation instead of k−1
+    positional self-joins: every posting of a phrase token votes for
+    the anchor position `pos − slot` of each phrase slot it could
+    fill, and an anchor with all k DISTINCT slots present is a match.
+    Repeated words in the phrase are handled for free (one token maps
+    to several slots; distinct-slot counting keeps the conjunction
+    exact).
+
+    Scale: postings are pre-filtered to the phrase's tokens (a
+    broadcast ~k-row slot map) BEFORE the aggregation, so the shuffle
+    carries only candidate-token positions — the document stream never
+    self-joins.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    phrase = [w.lower() for w in phrase]
+    k = len(phrase)
+    spark = docs.sparkSession
+    slots = spark.createDataFrame(
+        [(w, s) for s, w in enumerate(phrase)], "token string, slot int"
+    )
+    postings = _tokenized(docs, id_col, text_col).select(
+        "doc_id", F.posexplode("_toks").alias("pos", "token")
+    )
+    anchors = postings.join(F.broadcast(slots), "token").select(
+        "doc_id", (F.col("pos") - F.col("slot")).alias("_a"), "slot"
+    )
+    matches = (
+        anchors.groupBy("doc_id", "_a")
+        .agg(F.countDistinct("slot").alias("_k"))
+        .where(F.col("_k") == k)
+    )
+    return matches.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )

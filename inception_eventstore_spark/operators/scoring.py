@@ -532,3 +532,69 @@ def threshold_sweep(
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows.orderBy("threshold_ppm")
+
+
+def eb_shrunk_rates(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    success_type: str = "purchase",
+    min_n_fit: int = 5,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-key success
+    rates — the standard smoother for CTR/quality rates before they
+    feed ranking or filtering: raw x/n for a 3-event key is noise, so
+    every key's rate is pulled toward the corpus prior with strength
+    proportional to the prior's pseudo-counts:
+
+        shrunk = (x + α) / (n + α + β)
+
+    with (α, β) fitted by method of moments on the raw-rate
+    distribution of keys with n ≥ ``min_n_fit`` (Robinson's
+    batting-average construction): μ, v = mean/variance of raw rates →
+    α = μ·(μ(1−μ)/v − 1), β = (1−μ)·(μ(1−μ)/v − 1).
+
+    Determinism: per-key raw rates are quantized to exact integers
+    div(x·2^20, n) BEFORE any summation, so the fit moments are exact
+    BIGINT sums (float sums over data-sized rows would be
+    order-dependent); μ, v, α, β and each shrunk rate are then
+    fixed-order double expressions of exact integers, rounded 6 dp.
+    Degenerate fit (v ≤ 0 or undefined) falls back to raw rates,
+    flagged in the ``prior_used`` column.
+
+    Scale: one partial-aggregated per-key rollup + one scalar fit fold
+    broadcast back as two literals — the corpus never shuffles twice.
+    """
+    per = events.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(
+            F.when(F.col(type_col) == success_type, 1).otherwise(0)
+        ).cast("bigint").alias("_x"),
+    ).withColumn("_rq", F.expr("div(_x * 1048576, _n)"))
+    fit = per.where(F.col("_n") >= int(min_n_fit)).agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("_rq").cast("bigint").alias("s1"),
+        F.sum(F.col("_rq") * F.col("_rq")).cast("bigint").alias("s2"),
+    ).first()
+    m, s1, s2 = int(fit["m"]), int(fit["s1"] or 0), int(fit["s2"] or 0)
+    q = float(1 << 20)
+    prior_used = False
+    alpha = beta = 0.0
+    if m >= 2:
+        mu = (s1 / m) / q
+        v = (s2 / m - (s1 / m) * (s1 / m)) / (q * q) * (m / (m - 1.0))
+        if 0.0 < mu < 1.0 and v > 0.0:
+            k = mu * (1.0 - mu) / v - 1.0
+            if k > 0.0:
+                alpha, beta, prior_used = mu * k, (1.0 - mu) * k, True
+    num = F.col("_x").cast("double") + F.lit(alpha)
+    den = F.col("_n").cast("double") + F.lit(alpha) + F.lit(beta)
+    return per.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").alias("n"),
+        F.col("_x").alias("x"),
+        (F.round(F.col("_rq").cast("double") / F.lit(q), 6) + F.lit(0.0))
+        .alias("raw_rate"),
+        (F.round(num / den, 6) + F.lit(0.0)).alias("shrunk_rate"),
+        F.lit(prior_used).alias("prior_used"),
+    )

@@ -1090,3 +1090,102 @@ def dispersion_report(
         F.round(mean, 6).alias("mean_per_day"),
         F.round(var / F.nullif(mean, F.lit(0.0)), 6).alias("vmr"),
     ).orderBy(key_col)
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    max_span_days: int = 1500,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945 / Kendall 1975)
+    per key over the zero-filled daily counts — the hypothesis-test
+    companion of ``theil_sen_daily_trend`` (same pairs, same grid):
+    S = Σ_{i<j} sign(c_j − c_i), tie-corrected variance
+    var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 over the tie groups
+    of equal counts, and the continuity-corrected normal score
+    z = (S ∓ 1)/√var.
+
+    Determinism: S and the variance NUMERATOR are exact integers
+    (reported as BIGINTs); only z is a double — one fixed-order
+    expression of the two integers, rounded at 6 dp. No window
+    anywhere: two aggregations over the bounded day-grid pair join
+    (span²/2 pairs per key regardless of input size, max_span_days
+    guarded like theil_sen).
+
+    Output per key: n_days, s_stat, var_num18 (= 18·var, exact),
+    z_mk (6 dp).
+    """
+    cnts = events.groupBy(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    bounds = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    _b = bounds.first()
+    b0, b1 = _b["_d0"], _b["_d1"]
+    if b0 is not None and (b1 - b0).days + 1 > max_span_days:
+        raise ValueError(
+            f"mann_kendall_daily: day span {(b1 - b0).days + 1} exceeds "
+            f"max_span_days={max_span_days}; coarsen to weekly buckets"
+        )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("_d"),
+        F.col("_d0"),
+    ).select("_d", F.datediff("_d", "_d0").cast("bigint").alias("_i"))
+    keys = events.select(F.col(key_col).alias("_k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(days))
+        .join(cnts, ["_k", "_d"], "left")
+        .select("_k", "_i", F.coalesce("_x", F.lit(0)).alias("_x"))
+        .localCheckpoint(eager=False)  # bounded day axis, self-joined
+    )
+    g2 = grid.select(
+        F.col("_k"), F.col("_i").alias("_j"), F.col("_x").alias("_y")
+    )
+    s = (
+        grid.join(g2, "_k")
+        .where(F.col("_j") > F.col("_i"))
+        .groupBy("_k")
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("_y") - F.col("_x")).cast("double")
+                ).cast("bigint")
+            ).alias("s_stat"),
+            (F.count("*") * 2).alias("_pairs2"),
+        )
+    )
+    ties = (
+        grid.groupBy("_k", "_x")
+        .agg(F.count("*").cast("bigint").alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.count("*").alias("_ngroups"),
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).cast("bigint").alias("_tie_sum"),
+            F.sum("_t").cast("bigint").alias("n_days"),
+        )
+    )
+    var_num = (
+        F.col("n_days") * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5) - F.col("_tie_sum")
+    ).cast("bigint")
+    joined = s.join(ties, "_k").withColumn("var_num18", var_num)
+    sd = F.sqrt(F.col("var_num18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        "n_days",
+        "s_stat",
+        "var_num18",
+        (F.round(z, 6) + F.lit(0.0)).alias("z_mk"),
+    ).orderBy(key_col)

@@ -12288,3 +12288,319 @@ _R7A_QUERIES = {
     ),
 }
 QUERIES = {**_R7A_QUERIES, **QUERIES}
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per event type
+    (timeseries.mann_kendall_daily) — the hypothesis-test companion of
+    theil_sen_trend over the SAME zero-filled day-grid pairs: exact
+    integer S statistic and tie-corrected variance numerator, one
+    fixed-order double z. No window anywhere — two aggregations over
+    the bounded pair join."""
+    from inception_eventstore_spark.operators.timeseries import (
+        mann_kendall_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall_daily(ev)
+
+
+_MANN_KENDALL_ORACLE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+days AS (
+  SELECT datediff('day', (SELECT d0 FROM b), d) AS i
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+          AS d FROM b)),
+keys AS (SELECT DISTINCT event_type AS k FROM events),
+cnt AS (SELECT event_type AS k,
+    datediff('day', (SELECT d0 FROM b), CAST(ts AS DATE)) AS i,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT keys.k, days.i, COALESCE(cnt.x, 0) AS x
+  FROM keys CROSS JOIN days
+  LEFT JOIN cnt ON cnt.k = keys.k AND cnt.i = days.i),
+s AS (
+  SELECT g1.k,
+    CAST(sum(CASE WHEN g2.x > g1.x THEN 1
+                  WHEN g2.x < g1.x THEN -1 ELSE 0 END) AS BIGINT)
+      AS s_stat
+  FROM grid g1 JOIN grid g2 ON g1.k = g2.k AND g2.i > g1.i
+  GROUP BY 1),
+ties AS (
+  SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+    CAST(sum(t) AS BIGINT) AS n_days
+  FROM (SELECT k, x, CAST(count(*) AS BIGINT) AS t
+        FROM grid GROUP BY k, x)
+  GROUP BY 1),
+j AS (
+  SELECT s.k, ties.n_days, s.s_stat,
+    CAST(ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+      - ties.tie_sum AS BIGINT) AS var_num18
+  FROM s JOIN ties ON s.k = ties.k)
+SELECT k AS event_type, n_days, s_stat, var_num18,
+  round(CASE WHEN s_stat > 0
+          THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num18 AS DOUBLE) / 18.0)
+        WHEN s_stat < 0
+          THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num18 AS DOUBLE) / 18.0)
+        ELSE 0.0 END, 6) + 0.0 AS z_mk
+FROM j ORDER BY k
+"""
+
+
+_R7B_QUERIES = {
+    "mann_kendall": QueryDef(q_mann_kendall, _MANN_KENDALL_ORACLE),
+}
+QUERIES = {**_R7B_QUERIES, **QUERIES}
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum between click and purchase value
+    distributions (profile.mann_whitney_u) — nonparametric A/B readout
+    with midrank tie handling. Exact BIGINT U (×2 units) and tie term;
+    the global midrank running count goes through the two-phase
+    sharded_running_sums, never a single-partition window."""
+    from inception_eventstore_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "click", "purchase")
+
+
+_MANN_WHITNEY_ORACLE = """
+WITH v AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+per AS (
+  SELECT v,
+    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM v GROUP BY v),
+r AS (
+  SELECT na, nb, na + nb AS nt,
+    CAST(sum(na + nb) OVER (ORDER BY v
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ntc
+  FROM per),
+agg AS (
+  SELECT
+    CAST(sum(na * (2 * (ntc - nt) + nt + 1)) AS BIGINT) AS ra_x2,
+    CAST(sum(na) AS BIGINT) AS n_a,
+    CAST(sum(nb) AS BIGINT) AS n_b,
+    CAST(sum(nt * nt * nt - nt) AS BIGINT) AS tie_sum
+  FROM r)
+SELECT n_a, n_b,
+  CAST(ra_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2, tie_sum,
+  round((CAST(ra_x2 - n_a * (n_a + 1) AS DOUBLE)
+         - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+           - CAST(tie_sum AS DOUBLE)
+             / (CAST(n_a + n_b AS DOUBLE)
+                * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 6) + 0.0
+    AS z_u
+FROM agg
+"""
+
+
+_R7C_QUERIES = {
+    "mann_whitney_u": QueryDef(q_mann_whitney, _MANN_WHITNEY_ORACLE),
+}
+QUERIES = {**_R7C_QUERIES, **QUERIES}
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact consecutive-phrase search (retrieval.phrase_search) for
+    "table key" — positional-postings conjunction via the anchor-vote
+    trick (pos − slot), one explode + one aggregation, never a
+    positional self-join; postings pre-filtered to the phrase tokens
+    via a broadcast slot map before any shuffle."""
+    from inception_eventstore_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, ["table", "key"]).orderBy("doc_id")
+
+
+_PHRASE_SEARCH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS token,
+    generate_subscripts(tk, 1) - 1 AS pos FROM toks),
+ph(token, slot) AS (VALUES ('table', 0), ('key', 1)),
+anchors AS (
+  SELECT ex.doc_id, ex.pos - ph.slot AS a, ph.slot
+  FROM ex JOIN ph USING (token)),
+m AS (SELECT doc_id, a FROM anchors
+  GROUP BY doc_id, a HAVING count(DISTINCT slot) = 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_R7D_QUERIES = {
+    "phrase_search": QueryDef(q_phrase_search, _PHRASE_SEARCH_ORACLE),
+}
+QUERIES = {**_R7D_QUERIES, **QUERIES}
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """Per-event-type counts released through the ε=0.5 discrete-
+    Laplace (geometric) mechanism (pii.dp_noisy_counts) — sensitivity-1
+    calibration, ±24 truncation, inverse-CDF over literal 2^20-scaled
+    thresholds. The demonstration draw is a deterministic md5 lane of
+    (release, group), so the oracle replays the entire release;
+    production swaps the lane for a CSPRNG seed (documented)."""
+    from inception_eventstore_spark.operators.pii import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev).orderBy("grp")
+
+
+def _dp_noisy_oracle(epsilon: float = 0.5, bound: int = 24) -> str:
+    from inception_eventstore_spark.operators.pii import (
+        discrete_laplace_thresholds,
+    )
+
+    th = discrete_laplace_thresholds(epsilon, bound)
+    ladder = " ".join(
+        f"WHEN u < {t} THEN {i - bound}" for i, t in enumerate(th)
+    )
+    return f"""
+WITH c AS (SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+u AS (SELECT grp, n,
+    CAST(concat('0x', substr(md5(concat('dp:release-1:', grp)), 1, 15))
+      AS BIGINT) % 1048576 AS u
+  FROM c),
+z AS (SELECT grp, n, CASE {ladder} ELSE {bound} END AS noise FROM u)
+SELECT grp, CAST(noise AS BIGINT) AS noise,
+  CAST(n + noise AS BIGINT) AS noisy_count
+FROM z ORDER BY grp
+"""
+
+
+_R7E_QUERIES = {
+    "dp_noisy_counts": QueryDef(q_dp_noisy_counts, _dp_noisy_oracle()),
+}
+QUERIES = {**_R7E_QUERIES, **QUERIES}
+
+
+def q_propensity_strata(spark, sf_dir):
+    """Propensity-stratified treated-vs-control purchase-value gaps
+    (profile.propensity_strata): pinned integer propensity index,
+    equal-rank decile strata via the two-phase shard rank, exact
+    integer state end-to-end, per-stratum fixed-order double diff."""
+    from inception_eventstore_spark.operators.profile import (
+        propensity_strata,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return propensity_strata(ev)
+
+
+_PROPENSITY_ORACLE = """
+WITH per AS (
+  SELECT user_id AS u, CAST(user_id % 2 AS INT) AS t,
+    CAST(count(*) AS BIGINT) AS n_ev,
+    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_click,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(floor(value * 1048576.0) AS BIGINT) END), 0)
+      AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+sc AS (SELECT u, t, y,
+    CAST(37 * n_ev + 101 * n_days + 53 * n_click AS BIGINT) AS s
+  FROM per),
+r AS (SELECT t, y,
+    row_number() OVER (ORDER BY s, u) AS rk,
+    count(*) OVER () AS n
+  FROM sc),
+st AS (SELECT (rk - 1) * 10 // n AS stratum, t, y FROM r),
+g AS (SELECT stratum,
+    CAST(sum(t) AS BIGINT) AS n_treated,
+    CAST(sum(1 - t) AS BIGINT) AS n_control,
+    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+  FROM st GROUP BY 1)
+SELECT CAST(stratum AS BIGINT) AS stratum, n_treated, n_control,
+  CASE WHEN n_treated > 0 AND n_control > 0 THEN
+    round((CAST(syt AS DOUBLE) / n_treated
+           - CAST(syc AS DOUBLE) / n_control) / 1048576.0, 6) + 0.0
+  END AS diff_y
+FROM g ORDER BY stratum
+"""
+
+
+_R7F_QUERIES = {
+    "propensity_strata": QueryDef(
+        q_propensity_strata, _PROPENSITY_ORACLE
+    ),
+}
+QUERIES = {**_R7F_QUERIES, **QUERIES}
+
+
+def q_eb_shrunk_rates(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (scoring.eb_shrunk_rates): method-of-moments prior over
+    integer-quantized raw rates (div(x·2^20, n) — exact BIGINT
+    moments), shrunk = (x+α)/(n+α+β) as a fixed-order double. The
+    oracle recomputes α, β with the IDENTICAL operation order, so the
+    driver-side fit replays in SQL."""
+    from inception_eventstore_spark.operators.scoring import (
+        eb_shrunk_rates,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return eb_shrunk_rates(ev).select(
+        "user_id", "n", "x", "raw_rate", "shrunk_rate",
+        F.col("prior_used").cast("int").alias("prior_used"),
+    ).orderBy("user_id")
+
+
+_EB_SHRUNK_ORACLE = """
+WITH per AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS x
+  FROM events GROUP BY 1),
+pq AS (SELECT k, n, x, CAST(x * 1048576 // n AS BIGINT) AS rq FROM per),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(coalesce(sum(rq), 0) AS BIGINT) AS s1,
+    CAST(coalesce(sum(rq * rq), 0) AS BIGINT) AS s2
+  FROM pq WHERE n >= 5),
+pr AS (
+  SELECT m,
+    (CAST(s1 AS DOUBLE) / m) / 1048576.0 AS mu,
+    (CAST(s2 AS DOUBLE) / m
+     - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m))
+      / (1048576.0 * 1048576.0) * (CAST(m AS DOUBLE) / (m - 1.0)) AS v
+  FROM fit),
+ab AS (
+  SELECT CASE WHEN m >= 2 AND mu > 0.0 AND mu < 1.0 AND v > 0.0
+              AND mu * (1.0 - mu) / v - 1.0 > 0.0
+         THEN mu * (mu * (1.0 - mu) / v - 1.0) ELSE 0.0 END AS alpha,
+         CASE WHEN m >= 2 AND mu > 0.0 AND mu < 1.0 AND v > 0.0
+              AND mu * (1.0 - mu) / v - 1.0 > 0.0
+         THEN (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0)
+         ELSE 0.0 END AS beta_
+  FROM pr)
+SELECT pq.k AS user_id, pq.n, pq.x,
+  round(CAST(rq AS DOUBLE) / 1048576.0, 6) + 0.0 AS raw_rate,
+  round((CAST(x AS DOUBLE) + ab.alpha)
+        / (CAST(n AS DOUBLE) + ab.alpha + ab.beta_), 6) + 0.0
+    AS shrunk_rate,
+  CAST(CASE WHEN ab.alpha > 0.0 OR ab.beta_ > 0.0
+       THEN 1 ELSE 0 END AS INT) AS prior_used
+FROM pq, ab ORDER BY pq.k
+"""
+
+
+_R7G_QUERIES = {
+    "eb_shrunk_rates": QueryDef(q_eb_shrunk_rates, _EB_SHRUNK_ORACLE),
+}
+QUERIES = {**_R7G_QUERIES, **QUERIES}

@@ -168,3 +168,42 @@ class TestTCloseness:
             P.t_closeness_report(df, [], "secret")
         with pytest.raises(ValueError):
             P.t_closeness_report(df, ["qi"], "secret", t_num=0)
+
+
+class TestDpNoisyCounts:
+    def test_noise_bounded_and_deterministic(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.pii import (
+            dp_noisy_counts,
+        )
+
+        rows = [
+            (u, ("click", "view", "purchase")[u % 3],
+             dt.datetime(2024, 1, 1 + u % 5, 0, 0, 0))
+            for u in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        a = {r["grp"]: (r["noise"], r["noisy_count"])
+             for r in dp_noisy_counts(df, bound=24).collect()}
+        b = {r["grp"]: (r["noise"], r["noisy_count"])
+             for r in dp_noisy_counts(df, bound=24).collect()}
+        assert a == b  # deterministic release
+        assert all(abs(n) <= 24 for n, _ in a.values())
+        assert a["click"][1] == 100 + a["click"][0]
+
+    def test_release_id_changes_draw_thresholds_calibrated(self, spark):
+        from inception_eventstore_spark.operators.pii import (
+            discrete_laplace_thresholds,
+        )
+        import math
+
+        th = discrete_laplace_thresholds(epsilon=0.5, bound=24)
+        assert len(th) == 49 and th[-1] == 1 << 20
+        assert all(b >= a for a, b in zip(th, th[1:]))
+        # P(noise = 0) mass matches (1−α)/(1+α) within quantization
+        a = math.exp(-0.5)
+        p0 = (th[24] - th[23]) / float(1 << 20)
+        assert abs(p0 - (1 - a) / (1 + a)) < 1e-5

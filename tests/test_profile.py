@@ -1603,3 +1603,143 @@ class TestThresholdSweep:
 
         with _pt.raises(ValueError):
             threshold_sweep(df, "p", "y", n_thresholds=0)
+
+
+class TestMannWhitneyU:
+    def test_hand_computed_with_ties(self, spark):
+        """A = {1, 2}, B = {2, 3}: pooled midranks 1, 2.5, 2.5, 4 →
+        R_A = 3.5 (×2 = 7), U_A = R_A − n_A(n_A+1)/2 = 0.5 (×2 = 1),
+        tie term = 2³ − 2 = 6."""
+        from inception_eventstore_spark.operators.profile import (
+            mann_whitney_u,
+        )
+
+        rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        r = mann_whitney_u(df, "a", "b").first()
+        assert (r["n_a"], r["n_b"]) == (2, 2)
+        assert r["u_a_x2"] == 1
+        assert r["tie_sum"] == 6
+
+    def test_stochastic_dominance_sign(self, spark):
+        """All of B above all of A → U_A = 0, z strongly negative."""
+        from inception_eventstore_spark.operators.profile import (
+            mann_whitney_u,
+        )
+
+        rows = [("a", float(i)) for i in range(20)] + [
+            ("b", 100.0 + i) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        r = mann_whitney_u(df, "a", "b").first()
+        assert r["u_a_x2"] == 0
+        assert r["z_u"] < -4
+
+
+class TestPropensityStrata:
+    def test_strata_partition_users_evenly(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            propensity_strata,
+        )
+
+        import datetime as dt
+
+        rows = []
+        for u in range(100):
+            for j in range(1 + u % 5):
+                rows.append(
+                    (u, "click" if j % 2 else "purchase",
+                     float(10 + u % 7),
+                     dt.datetime(2024, 1, 1 + j % 28, 12, 0, 0))
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, value double, "
+            "ts timestamp"
+        )
+        out = propensity_strata(df).collect()
+        assert [r["stratum"] for r in out] == sorted(
+            {r["stratum"] for r in out}
+        )
+        total = sum(r["n_treated"] + r["n_control"] for r in out)
+        assert total == 100
+        sizes = [r["n_treated"] + r["n_control"] for r in out]
+        assert max(sizes) - min(sizes) <= 1  # equal-rank deciles
+
+    def test_empty_arm_gives_null_diff(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            propensity_strata,
+        )
+
+        import datetime as dt
+
+        rows = [
+            (2 * u, "purchase", 5.0, dt.datetime(2024, 1, 1, 1, 0, 0))
+            for u in range(10)
+        ]  # every user even → all control
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, value double, "
+            "ts timestamp"
+        )
+        out = propensity_strata(df, n_strata=2).collect()
+        assert all(r["n_treated"] == 0 for r in out)
+        assert all(r["diff_y"] is None for r in out)
+
+
+class TestEbShrunkRates:
+    def test_shrinkage_pulls_small_n_toward_prior(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.scoring import (
+            eb_shrunk_rates,
+        )
+
+        rows = []
+        # 40 well-observed users with rates spread around ~30%
+        # (2..8 purchases of 20 — nonzero variance so the fit engages)
+        for u in range(40):
+            k = 2 + u % 7
+            for j in range(20):
+                rows.append(
+                    (u, "purchase" if j < k else "click",
+                     dt.datetime(2024, 1, 1 + j % 28, 0, 0, 0))
+                )
+        # one 1-event user with a raw rate of 1.0
+        rows.append((999, "purchase", dt.datetime(2024, 1, 5, 0, 0, 0)))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = {r["user_id"]: r for r in eb_shrunk_rates(df).collect()}
+        lone = out[999]
+        assert lone["raw_rate"] == 1.0
+        assert lone["prior_used"] is True
+        # one observation against a strong prior (k ≈ 17.6): pulled
+        # nearly all the way to the prior mean (~0.244), never past it
+        assert 0.244 < lone["shrunk_rate"] < 0.4
+        # a well-observed user keeps a much larger share of its
+        # deviation from the prior mean than the 1-event user
+        # (shrinkage factor n/(n+k): 20 obs ≈ 53 % kept, 1 obs ≈ 5 %)
+        mu = 0.244  # fit prior mean on this fixture (replicated)
+        w = out[0]
+        kept_w = abs(w["shrunk_rate"] - mu) / abs(w["raw_rate"] - mu)
+        kept_l = abs(lone["shrunk_rate"] - mu) / abs(lone["raw_rate"] - mu)
+        assert kept_w > 0.4 > 0.1 > kept_l
+
+    def test_degenerate_fit_falls_back_to_raw(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.scoring import (
+            eb_shrunk_rates,
+        )
+
+        # every user identical → zero variance → no prior
+        rows = [
+            (u, "purchase" if j == 0 else "click",
+             dt.datetime(2024, 1, 1, 0, 0, 0))
+            for u in range(6) for j in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = eb_shrunk_rates(df).collect()
+        assert all(r["prior_used"] is False for r in out)
+        assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)

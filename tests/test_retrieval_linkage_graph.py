@@ -977,3 +977,61 @@ class TestItemItemTopk:
         assert all(sorted(v) == [1, 2] for v in per_a.values())
         with pytest.raises(ValueError):
             item_item_topk(self._mk(spark, baskets), k=0)
+
+
+class TestPhraseSearch:
+    def test_counts_and_positions(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            phrase_search,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick fox the quick dog"),
+                (2, "quick the fox"),
+                (3, "the quick the quick the quick"),
+                (4, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, ["the", "quick"]).collect()
+        }
+        assert got == {1: 2, 3: 3}
+
+    def test_repeated_token_phrase(self, spark):
+        """'buffalo buffalo' — one token filling two slots: the
+        distinct-slot anchor vote must still require CONSECUTIVE
+        positions."""
+        from inception_eventstore_spark.operators.retrieval import (
+            phrase_search,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "buffalo buffalo buffalo"),
+                (2, "buffalo x buffalo"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, ["buffalo", "buffalo"]).collect()
+        }
+        assert got == {1: 2}
+
+    def test_case_folding_and_guard(self, spark):
+        import pytest as _pt
+
+        from inception_eventstore_spark.operators.retrieval import (
+            phrase_search,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "Spark SQL engine")], "doc_id long, text string"
+        )
+        got = phrase_search(docs, ["spark", "SQL"]).collect()
+        assert len(got) == 1 and got[0]["n_matches"] == 1
+        with _pt.raises(ValueError):
+            phrase_search(docs, [])

@@ -976,3 +976,60 @@ class TestDispersionReport:
             self._mk(spark, [0, 0, 13, 0, 0, 14])
         ).first()["vmr"]
         assert steady < 1.0 < bursty
+
+
+class TestMannKendall:
+    def test_monotone_series_max_s(self, spark):
+        """Strictly increasing daily counts → S = n(n−1)/2, no ties."""
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            mann_kendall_daily,
+        )
+
+        rows = []
+        for d in range(8):
+            for j in range(d + 1):  # 1, 2, ..., 8 events per day
+                rows.append(
+                    ("t", dt.datetime(2024, 2, 1 + d, 10, j, 0))
+                )
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        r = mann_kendall_daily(df).first()
+        assert r["n_days"] == 8
+        assert r["s_stat"] == 8 * 7 // 2
+        assert r["var_num18"] == 8 * 7 * 21  # no ties
+        assert r["z_mk"] > 2
+
+    def test_flat_series_zero(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            mann_kendall_daily,
+        )
+
+        rows = [
+            ("t", dt.datetime(2024, 2, 1 + d, 10, 0, 0)) for d in range(6)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        r = mann_kendall_daily(df).first()
+        assert r["s_stat"] == 0 and r["z_mk"] == 0.0
+
+    def test_span_guard(self, spark):
+        import datetime as dt
+
+        import pytest as _pt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            mann_kendall_daily,
+            theil_sen_daily_trend,
+        )
+
+        rows = [
+            ("t", dt.datetime(2014, 1, 1, 0, 0, 0)),
+            ("t", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        with _pt.raises(ValueError, match="max_span_days"):
+            mann_kendall_daily(df)
+        with _pt.raises(ValueError, match="max_span_days"):
+            theil_sen_daily_trend(df)
