@@ -282,6 +282,8 @@ HEADLINE = [
     "dp_noisy_counts",
     "propensity_strata",
     "eb_shrunk_rates",
+    "logrank_test",
+    "brier_decomposition",
 ]
 
 

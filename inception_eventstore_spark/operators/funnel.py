@@ -687,3 +687,117 @@ def markov_stationary(
         out,
         "state string, stationary_p double, row_entropy_nats double",
     )
+
+
+def logrank_test(
+    events: DataFrame,
+    start_type: str,
+    event_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Log-rank (Mantel-Cox 1966/1972) two-arm survival comparison
+    over the SAME time-to-event construction as ``km_survival`` (first
+    ``start_type`` → first subsequent ``event_type``, right-censored
+    at the last event; censors at t still at risk AT t): arm = user_id
+    parity, O₁ = observed arm-1 events, E₁ = Σ_j d_j·n₁ⱼ/n_j, V =
+    Σ_j d_j·(n₁ⱼ/n_j)(n₀ⱼ/n_j)(n_j−d_j)/(n_j−1) over event days, z =
+    (O₁ − E₁)/√V — the hypothesis test km_survival's curves beg for.
+
+    Exactness: O₁ is an exact integer; E₁ and V accumulate in integer
+    micro-units with one truncating division per day (python ints on
+    the driver are unbounded; the oracle's HUGEINT products + ``//``
+    replay the identical arithmetic), so both engines hold the same
+    three integers before the one fixed-order double z.
+
+    Scale: km_survival's shape — two partial-aggregated per-user
+    passes, a per-(day, arm) rollup bounded by the observation span,
+    and the prefix recurrence on the driver (the km bounded-axis
+    pattern); result returns via a local one-row DataFrame.
+    """
+    q = 1 << 20
+    starts = (
+        events.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    lasts = events.groupBy(user_col).agg(F.max(ts_col).alias("_tmax"))
+    evs = events.where(F.col(type_col) == event_type).select(
+        F.col(user_col).alias("_eu"), F.col(ts_col).alias("_ets")
+    )
+    first_event = (
+        starts.join(evs, starts[user_col] == F.col("_eu"))
+        .where(F.col("_ets") >= F.col("_t0"))
+        .groupBy(user_col)
+        .agg(F.min("_ets").alias("_te"))
+    )
+    per_user = (
+        starts.join(lasts, user_col)
+        .join(first_event, user_col, "left")
+        .select(
+            (F.col(user_col) % 2).cast("int").alias("_arm"),
+            F.when(
+                F.col("_te").isNotNull(),
+                F.datediff(F.to_date("_te"), F.to_date("_t0")),
+            )
+            .otherwise(
+                F.datediff(F.to_date("_tmax"), F.to_date("_t0"))
+            )
+            .cast("bigint")
+            .alias("_d"),
+            F.col("_te").isNotNull().cast("int").alias("_obs"),
+        )
+    )
+    per_day = (
+        per_user.groupBy("_d")
+        .agg(
+            F.sum(F.when(F.col("_arm") == 1, F.col("_obs")).otherwise(0))
+            .cast("bigint").alias("_d1"),
+            F.sum(
+                F.when(F.col("_arm") == 1, 1 - F.col("_obs")).otherwise(0)
+            ).cast("bigint").alias("_c1"),
+            F.sum(F.when(F.col("_arm") == 0, F.col("_obs")).otherwise(0))
+            .cast("bigint").alias("_d0"),
+            F.sum(
+                F.when(F.col("_arm") == 0, 1 - F.col("_obs")).otherwise(0)
+            ).cast("bigint").alias("_c0"),
+        )
+        .collect()
+    )
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    n1 = sum(int(r["_d1"]) + int(r["_c1"]) for r in rows)
+    n0 = sum(int(r["_d0"]) + int(r["_c0"]) for r in rows)
+    n1_total, n0_total = n1, n0
+    o1 = 0
+    e1_q = 0
+    v_q = 0
+    for r in rows:
+        d1, c1 = int(r["_d1"]), int(r["_c1"])
+        d0, c0 = int(r["_d0"]), int(r["_c0"])
+        nj, dj = n1 + n0, d1 + d0
+        if dj > 0 and nj >= 2:
+            o1 += d1
+            e1_q += (dj * n1 * q) // nj
+            v_q += (dj * n1 * n0 * (nj - dj) * q) // (
+                nj * nj * (nj - 1)
+            )
+        n1 -= d1 + c1
+        n0 -= d0 + c0
+    spark = events.sparkSession
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    out = _local_df(
+        spark,
+        [(n1_total, n0_total, o1, e1_q, v_q)],
+        "n_arm1 bigint, n_arm0 bigint, o1 bigint, e1_micro bigint, "
+        "v_micro bigint",
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (d("o1") - d("e1_micro") / F.lit(float(q))) / F.sqrt(
+        d("v_micro") / F.lit(float(q))
+    )
+    return out.select(
+        "n_arm1", "n_arm0", "o1", "e1_micro", "v_micro",
+        (F.round(z, 6) + F.lit(0.0)).alias("z_logrank"),
+    )

@@ -598,3 +598,107 @@ def eb_shrunk_rates(
         (F.round(num / den, 6) + F.lit(0.0)).alias("shrunk_rate"),
         F.lit(prior_used).alias("prior_used"),
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """One-row Brier-score decomposition (Murphy 1973) of a
+    probabilistic classifier: exact Brier = mean (p − y)², plus the
+    binned reliability / resolution / uncertainty split
+    REL − RES + UNC and the within-bin residual (Brier − that) that a
+    constant-within-bin assumption hides — the single table that says
+    whether a quality model's error is miscalibration (REL) or missing
+    discrimination (low RES).
+
+    Exactness recipe: p quantized per row to pq = floor(p·2^20) and
+    squared-error sums taken over INTEGERS — Σ(pq − y·2^20)² per bin
+    is an exact BIGINT (≤ N·2^40, ANSI-safe). Bin deviations are
+    integer-divided to micro-units FIRST (D_b = div(s_pq − 2^20·pos_b,
+    n_b), ±2^20-bounded) so their squares never overflow and both
+    engines run the identical truncating arithmetic; the final five
+    ratios are fixed-order double expressions of exact integers,
+    rounded 6 dp.
+
+    Scale: one partial-aggregated groupBy on the bin id, one ≤bins-row
+    fold. No window, no python.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    q = 1 << 20
+    p = F.col(prob_col)
+    pq = F.floor(p * F.lit(float(q))).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    b = F.least(F.floor(p * bins).cast("int"), F.lit(int(bins) - 1))
+    rows = scored.where(p.isNotNull()).select(
+        b.alias("_b"), pq.alias("_pq"), y.alias("_y")
+    )
+    # ≤bins rows, read by TWO folds (totals, then resolution with the
+    # totals baked in) — eager checkpoint so the corpus scoring scan
+    # runs exactly once, not once per fold
+    per_bin = rows.groupBy("_b").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_y").cast("bigint").alias("_pos"),
+        F.sum("_pq").cast("bigint").alias("_spq"),
+        F.sum(
+            (F.col("_pq") - q * F.col("_y"))
+            * (F.col("_pq") - q * F.col("_y"))
+        ).cast("bigint").alias("_se"),
+    ).localCheckpoint(eager=True)
+    # integer micro deviations per bin (truncating div — identical in
+    # DuckDB), then exact integer weighted squares
+    db = F.expr(f"div(_spq - {q} * _pos, _n)")
+    g = per_bin.select(
+        "_n", "_pos", "_se",
+        (F.col("_n") * db * db).cast("bigint").alias("_rel_q"),
+        F.col("_spq").alias("_spq"),
+    )
+    tot = g.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_pos").cast("bigint").alias("pos"),
+        F.sum("_se").cast("bigint").alias("se_q"),
+        F.sum("_rel_q").cast("bigint").alias("rel_q"),
+    )
+    # resolution needs global pos — second small pass over the bin
+    # table with the totals broadcast back
+    tot_row = tot.first()
+    n_total, pos_total = int(tot_row["n"]), int(tot_row["pos"])
+    if n_total == 0:
+        raise ValueError("no scored rows")
+    dyb = F.expr(
+        f"div((_pos * {n_total} - {pos_total} * _n) * {q},"
+        f" _n * {n_total})"
+    )
+    res_q = int(
+        per_bin.select(
+            F.sum((F.col("_n") * dyb * dyb).cast("bigint")).alias("r")
+        ).first()["r"]
+    )
+    se_q, rel_q = int(tot_row["se_q"]), int(tot_row["rel_q"])
+    spark = scored.sparkSession
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    out = _local_df(
+        spark,
+        [(n_total, pos_total, se_q, rel_q, res_q)],
+        "n bigint, pos bigint, _se bigint, _rel bigint, _res bigint",
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    qq = float(q) * float(q)
+    brier = d("_se") / (d("n") * F.lit(qq))
+    rel = d("_rel") / (d("n") * F.lit(qq))
+    res = d("_res") / (d("n") * F.lit(qq))
+    ybar = d("pos") / d("n")
+    unc = ybar * (F.lit(1.0) - ybar)
+    return out.select(
+        "n", "pos",
+        (F.round(brier, 6) + F.lit(0.0)).alias("brier"),
+        (F.round(rel, 6) + F.lit(0.0)).alias("reliability"),
+        (F.round(res, 6) + F.lit(0.0)).alias("resolution"),
+        (F.round(unc, 6) + F.lit(0.0)).alias("uncertainty"),
+        (F.round(brier - (rel - res + unc), 6) + F.lit(0.0))
+        .alias("residual"),
+    )

@@ -12604,3 +12604,168 @@ _R7G_QUERIES = {
     "eb_shrunk_rates": QueryDef(q_eb_shrunk_rates, _EB_SHRUNK_ORACLE),
 }
 QUERIES = {**_R7G_QUERIES, **QUERIES}
+
+
+def q_logrank_test(spark, sf_dir):
+    """Log-rank two-arm time-to-purchase comparison (funnel.
+    logrank_test) over km_survival's exact construction — integer O/E/V
+    accumulation on the bounded day axis (km driver pattern), one
+    fixed-order double z; the oracle replays the prefix arithmetic with
+    window sums + HUGEINT // products."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return FU.logrank_test(ev, start_type="signup",
+                           event_type="purchase")
+
+
+_LOGRANK_ORACLE = """
+WITH starts AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+lasts AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+fe AS (
+  SELECT e.user_id, min(e.ts) AS te
+  FROM events e JOIN starts s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY e.user_id),
+per_user AS (
+  SELECT CAST(s.user_id % 2 AS INT) AS arm,
+    CASE WHEN fe.te IS NOT NULL
+      THEN datediff('day', CAST(s.t0 AS DATE), CAST(fe.te AS DATE))
+      ELSE datediff('day', CAST(s.t0 AS DATE), CAST(l.tmax AS DATE))
+    END AS d,
+    CASE WHEN fe.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM starts s JOIN lasts l ON s.user_id = l.user_id
+  LEFT JOIN fe ON s.user_id = fe.user_id),
+per_day AS (
+  SELECT d,
+    CAST(sum(CASE WHEN arm = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN arm = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM per_user GROUP BY d),
+tot AS (
+  SELECT CAST(coalesce(sum(d1 + c1), 0) AS BIGINT) AS n1_total,
+    CAST(coalesce(sum(d0 + c0), 0) AS BIGINT) AS n0_total
+  FROM per_day),
+risk AS (
+  SELECT d, d1, d0,
+    (SELECT n1_total FROM tot)
+      - coalesce(sum(d1 + c1) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+    (SELECT n0_total FROM tot)
+      - coalesce(sum(d0 + c0) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+  FROM per_day),
+terms AS (
+  SELECT d1, d0, n1, n0, n1 + n0 AS nj, d1 + d0 AS dj
+  FROM risk WHERE d1 + d0 > 0 AND n1 + n0 >= 2),
+acc AS (
+  SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+    CAST(coalesce(sum((dj * n1 * 1048576) // nj), 0) AS BIGINT)
+      AS e1_micro,
+    CAST(coalesce(sum((dj * n1 * n0 * (nj - dj) * 1048576)
+      // (nj * nj * (nj - 1))), 0) AS BIGINT) AS v_micro
+  FROM terms)
+SELECT tot.n1_total AS n_arm1, tot.n0_total AS n_arm0,
+  acc.o1, acc.e1_micro, acc.v_micro,
+  round((CAST(acc.o1 AS DOUBLE) - CAST(acc.e1_micro AS DOUBLE) / 1048576.0)
+    / sqrt(CAST(acc.v_micro AS DOUBLE) / 1048576.0), 6) + 0.0
+    AS z_logrank
+FROM tot, acc
+"""
+
+
+_R7H_QUERIES = {
+    "logrank_test": QueryDef(q_logrank_test, _LOGRANK_ORACLE),
+}
+QUERIES = {**_R7H_QUERIES, **QUERIES}
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the quality model's Brier score at
+    predicting English (scoring.brier_decomposition): exact integer
+    squared-error and deviation moments (per-row floor(p·2^20)
+    quantization, truncating-div bin deviations), five fixed-order
+    double ratios — calibration (REL) vs discrimination (RES) vs
+    irreducible base rate (UNC), plus the within-bin residual."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.brier_decomposition(
+        scored.withColumn("is_en", (F.col("lang") == "en").cast("int")),
+        "quality_prob",
+        "is_en",
+        bins=10,
+    )
+
+
+_BRIER_ORACLE = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) AS p
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+rows_ AS (SELECT
+    least(CAST(floor(s.p * 10) AS INTEGER), 9) AS b,
+    CAST(floor(s.p * 1048576.0) AS BIGINT) AS pq,
+    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.p IS NOT NULL),
+per_bin AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(pq) AS BIGINT) AS spq,
+    CAST(sum((pq - 1048576 * y) * (pq - 1048576 * y)) AS BIGINT) AS se
+  FROM rows_ GROUP BY b),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(pos) AS BIGINT) AS pos,
+    CAST(sum(se) AS BIGINT) AS se_q,
+    CAST(sum(n * ((spq - 1048576 * pos) // n)
+             * ((spq - 1048576 * pos) // n)) AS BIGINT) AS rel_q
+  FROM per_bin),
+res AS (SELECT CAST(sum(pb.n
+      * (((pb.pos * tot.n - tot.pos * pb.n) * 1048576)
+         // (pb.n * tot.n))
+      * (((pb.pos * tot.n - tot.pos * pb.n) * 1048576)
+         // (pb.n * tot.n))) AS BIGINT) AS res_q
+  FROM per_bin pb, tot)
+SELECT tot.n, tot.pos,
+  round(CAST(se_q AS DOUBLE)
+    / (CAST(tot.n AS DOUBLE) * 1099511627776.0), 6) + 0.0 AS brier,
+  round(CAST(rel_q AS DOUBLE)
+    / (CAST(tot.n AS DOUBLE) * 1099511627776.0), 6) + 0.0
+    AS reliability,
+  round(CAST(res.res_q AS DOUBLE)
+    / (CAST(tot.n AS DOUBLE) * 1099511627776.0), 6) + 0.0
+    AS resolution,
+  round((CAST(tot.pos AS DOUBLE) / tot.n)
+    * (1.0 - CAST(tot.pos AS DOUBLE) / tot.n), 6) + 0.0
+    AS uncertainty,
+  round(CAST(se_q AS DOUBLE) / (CAST(tot.n AS DOUBLE) * 1099511627776.0)
+    - (CAST(rel_q AS DOUBLE) / (CAST(tot.n AS DOUBLE) * 1099511627776.0)
+       - CAST(res.res_q AS DOUBLE)
+         / (CAST(tot.n AS DOUBLE) * 1099511627776.0)
+       + (CAST(tot.pos AS DOUBLE) / tot.n)
+         * (1.0 - CAST(tot.pos AS DOUBLE) / tot.n)), 6) + 0.0
+    AS residual
+FROM tot, res
+"""
+
+
+_R7I_QUERIES = {
+    "brier_decomposition": QueryDef(
+        q_brier_decomposition, _BRIER_ORACLE.format(toks=_DUCK_TOKENS)
+    ),
+}
+QUERIES = {**_R7I_QUERIES, **QUERIES}

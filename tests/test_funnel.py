@@ -678,3 +678,43 @@ class TestMarkovStationary:
         ev = self._events(spark, {})
         with pytest.raises(ValueError):
             markov_stationary(ev, iterations=0)
+
+
+class TestLogrankTest:
+    def _fix(self, spark, shift_days):
+        import datetime as dt
+
+        rows = []
+        for u in range(1, 41):
+            t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+            rows.append((u, "signup", t0))
+            d = 3 + (u % 5) + (shift_days if u % 2 == 1 else 0)
+            rows.append(
+                (u, "purchase", t0 + dt.timedelta(days=d))
+            )
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    def test_identical_arms_near_zero(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            logrank_test,
+        )
+
+        r = logrank_test(self._fix(spark, 0), "signup", "purchase").first()
+        assert r["n_arm1"] == 20 and r["n_arm0"] == 20
+        assert r["o1"] == 20
+        # arms share the exact event-time distribution → O ≈ E, |z| small
+        assert abs(r["z_logrank"]) < 1.0
+
+    def test_delayed_arm_negative_z(self, spark):
+        from inception_eventstore_spark.operators.funnel import (
+            logrank_test,
+        )
+
+        r = logrank_test(self._fix(spark, 30), "signup",
+                         "purchase").first()
+        # arm 1 purchases 30 days later: fewer observed arm-1 events
+        # early while its at-risk share is high → O1 < E1, z < 0
+        assert r["o1"] * (1 << 20) < r["e1_micro"]
+        assert r["z_logrank"] < -3

@@ -1743,3 +1743,51 @@ class TestEbShrunkRates:
         out = eb_shrunk_rates(df).collect()
         assert all(r["prior_used"] is False for r in out)
         assert all(r["shrunk_rate"] == r["raw_rate"] for r in out)
+
+
+class TestBrierDecomposition:
+    def _score_df(self, spark, rows):
+        return spark.createDataFrame(rows, "p double, y int")
+
+    def test_sharp_calibrated_scorer(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            brier_decomposition,
+        )
+
+        rows = [(0.95, 1)] * 40 + [(0.05, 0)] * 60
+        r = brier_decomposition(
+            self._score_df(spark, rows), "p", "y"
+        ).first()
+        assert r["brier"] < 0.01
+        assert r["reliability"] < 0.01
+        # resolution recovers nearly all the uncertainty
+        assert abs(r["resolution"] - r["uncertainty"]) < 0.02
+        assert r["uncertainty"] == 0.24
+
+    def test_uninformative_scorer(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            brier_decomposition,
+        )
+
+        # constant base-rate prediction: no resolution, no reliability
+        # penalty, brier == uncertainty
+        rows = [(0.4, 1)] * 40 + [(0.4, 0)] * 60
+        r = brier_decomposition(
+            self._score_df(spark, rows), "p", "y"
+        ).first()
+        assert r["resolution"] == 0.0
+        assert r["reliability"] < 1e-5
+        assert abs(r["brier"] - r["uncertainty"]) < 1e-5
+        assert abs(r["brier"] - 0.24) < 1e-5
+
+    def test_guard(self, spark):
+        import pytest as _pt
+
+        from inception_eventstore_spark.operators.scoring import (
+            brier_decomposition,
+        )
+
+        with _pt.raises(ValueError):
+            brier_decomposition(
+                self._score_df(spark, [(0.5, 1)]), "p", "y", bins=1
+            )

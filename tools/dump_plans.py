@@ -1288,6 +1288,21 @@ CHECKS.update({
     "eb_shrunk_rates": [_PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY],
 })
 CHECKS.update({
+    "logrank_test": [
+        # km bounded-axis pattern: distributed per-user/per-day
+        # rollups shrink to the day axis, the prefix recurrence runs
+        # driver-side, the result returns as a local relation
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "brier_decomposition": [
+        ("bin table eagerly checkpointed — corpus scored once for two "
+         "folds", r"Scan ExistingRDD|LocalTableScan"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+CHECKS.update({
     # broadcast-dimension joins: the small side must broadcast, never
     # shuffle the fact table to meet it
     name: [_PARTIAL_AGG,
