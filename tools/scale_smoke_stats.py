@@ -17,6 +17,11 @@ Shapes proven here (the 100 TB argument for each):
   neighbors — cell-stencil candidate volume ~9·n, never n².
 - item_item_topk: 10× lineitem baskets (basket count grows, basket
   SIZE fixed) — pair volume grows linearly with baskets.
+- r7 family (mann_kendall / mann_whitney_u / logrank / eb_shrunk /
+  propensity_strata / dp_noisy_counts): calendar-bounded pair grids,
+  distinct-value-axis rank state, user-keyed partial-agg rollups and
+  |groups|-sized releases — every one must stay near-flat as events
+  grow 100×.
 
 Usage: python tools/scale_smoke_stats.py [sf_dir] [reps]
 Prints one JSON line with row volumes + timings.
@@ -107,6 +112,46 @@ def main() -> int:
     t0 = time.time()
     volumes["holt_days"] = holt_linear_daily(ev).count()
     timings["holt_linear"] = round(time.time() - t0, 3)
+
+    # ---- r7 family: same calendar-bounded / partial-agg shapes ----
+    from inception_eventstore_spark.operators.funnel import logrank_test
+    from inception_eventstore_spark.operators.pii import dp_noisy_counts
+    from inception_eventstore_spark.operators.profile import (
+        mann_whitney_u,
+        propensity_strata,
+    )
+    from inception_eventstore_spark.operators.scoring import (
+        eb_shrunk_rates,
+    )
+    from inception_eventstore_spark.operators.timeseries import (
+        mann_kendall_daily,
+    )
+
+    t0 = time.time()
+    volumes["mann_kendall_keys"] = mann_kendall_daily(ev).count()
+    timings["mann_kendall"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    (r,) = mann_whitney_u(ev, "click", "purchase").collect()
+    volumes["mwu_n"] = int(r["n_a"] + r["n_b"])
+    timings["mann_whitney_u"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    (r,) = logrank_test(ev, "signup", "purchase").collect()
+    volumes["logrank_users"] = int(r["n_arm1"] + r["n_arm0"])
+    timings["logrank_test"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["eb_keys"] = eb_shrunk_rates(ev).count()
+    timings["eb_shrunk_rates"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["propensity_strata_rows"] = propensity_strata(ev).count()
+    timings["propensity_strata"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["dp_groups"] = dp_noisy_counts(ev).count()
+    timings["dp_noisy_counts"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=64)
