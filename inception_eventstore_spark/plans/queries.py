@@ -3556,8 +3556,13 @@ _DRIVER_LEDGER_FRONT = [
     "pack_greedy_stats", "kmeans_assign", "cluster_balanced_sample",
     "merge_changelog",
     # r7 rows whose oracles are new/changed this round — surface them
-    # to the driver alongside the backlog
+    # to the driver alongside the backlog (priority order: the 44
+    # never-sampled rows above come first; if the driver window is
+    # exactly 50, the tail below is what gets cut)
     "pca_project", "approx_stats", "cdc_dedup",
+    "multimodal_mp4_meta", "mann_kendall", "mann_whitney_u",
+    "phrase_search", "dp_noisy_counts", "propensity_strata",
+    "eb_shrunk_rates", "logrank_test", "brier_decomposition",
 ]
 
 
