@@ -11,13 +11,23 @@ running the whole registry accretes codegen classes, metaspace, and
 old-gen pressure, so a query's recorded time drifted upward with how
 many queries PRECEDED it (the same code measured 1.18-1.43× slower as
 the registry grew r5→r6, with identical plans). The harness therefore
-shards the headline list into fixed-size batches of
-$SPARK_GRAFT_BATCH_SIZE (default 60) queries and runs each batch in a
-FRESH PYTHON SUBPROCESS — a new JVM, because stopping a SparkContext
+shards the headline list into batches and runs each batch in a FRESH
+PYTHON SUBPROCESS — a new JVM, because stopping a SparkContext
 in-process reuses the running py4j gateway JVM and keeps its metaspace.
 Recorded times are then a function of the query, not of the registry
 size. The orchestrator merges the per-batch JSON lines into the same
 single-line payload as before.
+
+Batch-composition pinning (r7 verdict next #2): positional slices of
+HEADLINE meant every round's prepends reshuffled which queries share a
+JVM, and warm medians on UNCHANGED code moved 1.5-2× with batch
+placement (cohort_retention 2.08×). Batches are now assigned by a
+STABLE name hash — bucket = md5(name) % $SPARK_GRAFT_BENCH_BUCKETS
+(default 6) — so an existing query keeps its JVM cohort forever;
+additions join their hash bucket without displacing anyone. Changing
+the bucket count is the one thing that reshuffles — bump it only with
+a round-note. SPARK_GRAFT_BATCH_RANGE=lo:hi still runs a manual
+positional slice for debugging.
 """
 
 from __future__ import annotations
@@ -287,6 +297,16 @@ HEADLINE = [
 ]
 
 
+def _bucket(name: str, n_buckets: int) -> int:
+    """Stable JVM-cohort assignment: md5, never python hash() (which is
+    salted per process). A query's bucket depends only on its name and
+    the bucket count, so round-over-round warm medians compare the same
+    JVM cohort."""
+    import hashlib
+
+    return int(hashlib.md5(name.encode()).hexdigest()[:8], 16) % n_buckets
+
+
 def _run_batch(batch: list[str], sf_dir: str) -> dict:
     """Worker: run one batch of headline queries in THIS process's
     (fresh) JVM and return the partial payload."""
@@ -417,21 +437,30 @@ def main() -> None:
 
     rng = os.environ.get("SPARK_GRAFT_BATCH_RANGE")
     if rng:
-        # ---- worker mode: one fresh-JVM batch, one JSON line ----
+        # ---- worker mode (manual positional slice, debugging) ----
         lo, hi = (int(x) for x in rng.split(":"))
         print(json.dumps(_run_batch(HEADLINE[lo:hi], sf_dir)))
         return
 
-    # ---- orchestrator: shard into fixed-size fresh-JVM batches ----
-    batch_size = int(os.environ.get("SPARK_GRAFT_BATCH_SIZE", "60"))
+    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "6"))
+    bucket_env = os.environ.get("SPARK_GRAFT_BATCH_BUCKET")
+    if bucket_env is not None:
+        # ---- worker mode: one stable-hash bucket, fresh JVM ----
+        b = int(bucket_env)
+        batch = [n for n in HEADLINE if _bucket(n, n_buckets) == b]
+        print(json.dumps(_run_batch(batch, sf_dir)))
+        return
+
+    # ---- orchestrator: one fresh-JVM subprocess per hash bucket ----
     queries: dict[str, float] = {}
     warm_median: dict[str, float] = {}
     ann_build: dict[str, float] = {}
     warm_runs = 0
     n_batches = 0
-    for lo in range(0, len(HEADLINE), batch_size):
-        hi = min(lo + batch_size, len(HEADLINE))
-        env = dict(os.environ, SPARK_GRAFT_BATCH_RANGE=f"{lo}:{hi}")
+    for b in range(n_buckets):
+        if not any(_bucket(n, n_buckets) == b for n in HEADLINE):
+            continue
+        env = dict(os.environ, SPARK_GRAFT_BATCH_BUCKET=str(b))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -444,7 +473,7 @@ def main() -> None:
         ]
         if proc.returncode != 0 or not lines:
             raise RuntimeError(
-                f"bench batch {lo}:{hi} failed "
+                f"bench bucket {b}/{n_buckets} failed "
                 f"(rc={proc.returncode}): {proc.stdout[-2000:]}"
             )
         part = json.loads(lines[-1])
@@ -464,7 +493,7 @@ def main() -> None:
         "warm_runs": warm_runs,
         "warm_total": round(sum(warm_median.values()), 3),
         "ann_build_sec": ann_build,
-        "batch_size": batch_size,
+        "bench_buckets": n_buckets,
         "n_batches": n_batches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

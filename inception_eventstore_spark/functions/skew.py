@@ -81,8 +81,18 @@ def cap_hot_buckets(
 
     ``max_bucket=None`` disables the cap (index/probe paths that never
     self-join).
+
+    Recall-loss visibility (ADVICE r7): every call records a report —
+    ``{"n_hot", "largest", "dropped_rows", "max_bucket"}`` — readable
+    via :func:`last_cap_report`, so callers can detect that true pairs
+    were sacrificed without scraping WARNING logs. A report with
+    ``n_hot == 0`` means the plan was returned unchanged (lossless).
     """
     if max_bucket is None:
+        _CAP_REPORTS[label] = {
+            "n_hot": 0, "largest": 0, "dropped_rows": 0,
+            "max_bucket": None,
+        }
         return banded
     counts = banded.groupBy(*bucket_cols).agg(
         F.count("*").alias("_bucket_df")
@@ -93,6 +103,12 @@ def cap_hot_buckets(
         F.max("_bucket_df").alias("mx"),
         F.sum("_bucket_df").alias("rows"),
     ).first()
+    _CAP_REPORTS[label] = {
+        "n_hot": int(stats["n"] or 0),
+        "largest": int(stats["mx"] or 0),
+        "dropped_rows": int(stats["rows"] or 0),
+        "max_bucket": int(max_bucket),
+    }
     if not stats["n"]:
         return banded
     import logging
@@ -106,3 +122,19 @@ def cap_hot_buckets(
     return banded.join(
         F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti"
     )
+
+
+# label → most recent cap report for that call site (driver-local; the
+# banded pair operators run their cap at call time, so the report is
+# complete as soon as the operator returns)
+_CAP_REPORTS: dict[str, dict] = {}
+
+
+def last_cap_report(label: str) -> dict | None:
+    """The most recent :func:`cap_hot_buckets` report for ``label``
+    (``minhash_lsh_pairs`` / ``simhash_near_duplicates`` /
+    ``hamming63_pairs``), or None if that call site has not run in
+    this driver. ``n_hot > 0`` means true pairs inside the dropped
+    buckets were sacrificed for bounded fan-out — collapse exact
+    duplicates first and re-run to recover them."""
+    return _CAP_REPORTS.get(label)

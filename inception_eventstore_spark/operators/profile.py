@@ -1322,15 +1322,31 @@ def mann_whitney_u(
       associative → bit-identical to the oracle's sequential window;
       NEVER a single-partition window — CLAUDE.md rank invariant);
     - U_a_x2 = Σ n_a(v)·midrank_x2(v) − n_a(n_a+1) and the tie term
-      Σ(t³−t) are exact BIGINTs; only z is a double — one fixed-order
+      Σ(t³−t) are exact; only z is a double — one fixed-order
       expression of five integers, rounded 6 dp.
 
+    Tie-term overflow safety (ADVICE r7): t³ for a value tied across
+    ≥ 2^21 rows exceeds BIGINT, and ANSI mode raises where the DuckDB
+    oracle silently widens to HUGEINT. The cube is therefore never
+    materialized Spark-side: per value, (t−1)·t·(t+1) is decomposed
+    into three base-2^31 LANES by interleaved div/mod (every
+    intermediate ≤ 2^62 for t ≤ 2^31), the lanes are summed as three
+    independent BIGINTs (each lane sum safe to 2^32 distinct values),
+    and the exact tie sum is recombined DRIVER-SIDE in python ints —
+    the logrank_test pattern. Limits, enforced with clear errors
+    rather than an opaque ANSI crash: max tie count ≤ 2^31 per value,
+    and the recombined Σ(t³−t) must itself fit the BIGINT `tie_sum`
+    output column (< 2^63 — also the bound past which the oracle's
+    HUGEINT→BIGINT cast would raise).
+
     Scale: one partial-aggregated rollup to the distinct-value axis,
-    one two-phase running sum over it, one scalar aggregate.
+    one two-phase running sum over it, one scalar fold whose five
+    exact integers return via a one-row local relation.
     """
     from inception_eventstore_spark.functions.ranking import (
         sharded_running_sums,
     )
+    from inception_eventstore_spark.plans.queries import _local_df
 
     vals = events.where(
         F.col(type_col).isin([group_a, group_b])
@@ -1352,23 +1368,60 @@ def mann_whitney_u(
     mid_x2 = (
         2 * (F.col("_nt_cum") - F.col("_nt")) + F.col("_nt") + 1
     )
-    agg = r.agg(
+    # (t−1)·t·(t+1) in base-2^31 lanes: every intermediate ≤ 2^62 for
+    # t ≤ 2^31, and each lane column is < 2^31 (ch bounded by t³/2^62)
+    lane = 1 << 31
+    r = (
+        r.withColumn("_p1", F.expr("(_nt - 1) * _nt"))
+        .withColumn("_h1", F.expr(f"div(_p1, {lane})"))
+        .withColumn("_l1", F.expr(f"_p1 % {lane}"))
+        .withColumn("_bb", F.expr("_l1 * (_nt + 1)"))
+        .withColumn(
+            "_cc", F.expr(f"_h1 * (_nt + 1) + div(_bb, {lane})")
+        )
+    )
+    row = r.agg(
         F.sum(F.col("_na") * mid_x2).cast("bigint").alias("_ra_x2"),
         F.sum("_na").cast("bigint").alias("n_a"),
         F.sum("_nb").cast("bigint").alias("n_b"),
-        F.sum(
-            F.col("_nt") * F.col("_nt") * F.col("_nt") - F.col("_nt")
-        ).cast("bigint").alias("tie_sum"),
+        F.max("_nt").cast("bigint").alias("max_t"),
+        F.sum(F.expr(f"div(_cc, {lane})")).cast("bigint").alias("_s2"),
+        F.sum(F.expr(f"_cc % {lane}")).cast("bigint").alias("_s1"),
+        F.sum(F.expr(f"_bb % {lane}")).cast("bigint").alias("_s0"),
+    ).first()
+    if row["n_a"] is None:
+        raise ValueError("no rows in either group")
+    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    if int(row["max_t"]) > lane:
+        raise ValueError(
+            "mann_whitney_u: a single value ties across "
+            f"{row['max_t']} rows (> 2^31) — the lane decomposition "
+            "bound; the rank test is degenerate at that tie mass"
+        )
+    # (t−1)·t·(t+1) IS t³−t, so the lane recombination is the whole
+    # tie sum — exact in python ints
+    tie_sum = (
+        int(row["_s2"]) * lane * lane
+        + int(row["_s1"]) * lane
+        + int(row["_s0"])
+    )
+    if tie_sum >= 1 << 63:
+        raise ValueError(
+            "mann_whitney_u: tie term exceeds BIGINT — the tie_sum "
+            "output column (and the oracle's HUGEINT→BIGINT cast) "
+            "cannot represent it"
+        )
+    u_a_x2 = int(row["_ra_x2"]) - n_a * (n_a + 1)
+    out = _local_df(
+        events.sparkSession,
+        [(n_a, n_b, u_a_x2, tie_sum)],
+        "n_a bigint, n_b bigint, u_a_x2 bigint, tie_sum bigint",
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    u_x2 = (
-        F.col("_ra_x2") - F.col("n_a") * (F.col("n_a") + 1)
-    ).cast("bigint")
-    out = agg.withColumn("u_a_x2", u_x2)
-    n = d("n_a") + d("n_b")
+    nd = d("n_a") + d("n_b")
     var = (
         d("n_a") * d("n_b") / F.lit(12.0)
-        * ((n + 1.0) - d("tie_sum") / (n * (n - 1.0)))
+        * ((nd + 1.0) - d("tie_sum") / (nd * (nd - 1.0)))
     )
     z = (d("u_a_x2") - d("n_a") * d("n_b")) / (2.0 * F.sqrt(var))
     return out.select(

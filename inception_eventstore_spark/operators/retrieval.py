@@ -592,8 +592,15 @@ def phrase_search(
     phrase = [w.lower() for w in phrase]
     k = len(phrase)
     spark = docs.sparkSession
-    slots = spark.createDataFrame(
-        [(w, s) for s, w in enumerate(phrase)], "token string, slot int"
+    # _local_df, not raw createDataFrame: the raw path shards k rows
+    # into 32 pickled slices and any task reading several pays a
+    # python-deserializer round-trip per slice (CLAUDE.md fixture rule)
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    slots = _local_df(
+        spark,
+        [(w, s) for s, w in enumerate(phrase)],
+        "token string, slot int",
     )
     postings = _tokenized(docs, id_col, text_col).select(
         "doc_id", F.posexplode("_toks").alias("pos", "token")

@@ -562,15 +562,20 @@ def eb_shrunk_rates(
     Degenerate fit (v ≤ 0 or undefined) falls back to raw rates,
     flagged in the ``prior_used`` column.
 
-    Scale: one partial-aggregated per-key rollup + one scalar fit fold
-    broadcast back as two literals — the corpus never shuffles twice.
+    Scale: the per-key rollup is persisted, read by the fit action and
+    by the returned plan, then released (curation.py's persist →
+    checkpoint-result → unpersist discipline) — the corpus never
+    shuffles twice. μ and v are computed as float(s)/m — CAST-then-
+    divide, the exact order the DuckDB oracle runs — so the two
+    engines agree bit-for-bit even past s2 > 2^53 (~8M keys), where a
+    fused exact-int division would differ by 1 ulp.
     """
     per = events.groupBy(F.col(key_col).alias("_k")).agg(
         F.count("*").cast("bigint").alias("_n"),
         F.sum(
             F.when(F.col(type_col) == success_type, 1).otherwise(0)
         ).cast("bigint").alias("_x"),
-    ).withColumn("_rq", F.expr("div(_x * 1048576, _n)"))
+    ).withColumn("_rq", F.expr("div(_x * 1048576, _n)")).persist()
     fit = per.where(F.col("_n") >= int(min_n_fit)).agg(
         F.count("*").cast("bigint").alias("m"),
         F.sum("_rq").cast("bigint").alias("s1"),
@@ -581,15 +586,20 @@ def eb_shrunk_rates(
     prior_used = False
     alpha = beta = 0.0
     if m >= 2:
-        mu = (s1 / m) / q
-        v = (s2 / m - (s1 / m) * (s1 / m)) / (q * q) * (m / (m - 1.0))
+        # float(s)/m (round s to double FIRST) — matches the oracle's
+        # CAST(s AS DOUBLE)/m; see docstring
+        mu = (float(s1) / m) / q
+        v = (
+            (float(s2) / m - (float(s1) / m) * (float(s1) / m))
+            / (q * q) * (m / (m - 1.0))
+        )
         if 0.0 < mu < 1.0 and v > 0.0:
             k = mu * (1.0 - mu) / v - 1.0
             if k > 0.0:
                 alpha, beta, prior_used = mu * k, (1.0 - mu) * k, True
     num = F.col("_x").cast("double") + F.lit(alpha)
     den = F.col("_n").cast("double") + F.lit(alpha) + F.lit(beta)
-    return per.select(
+    out = per.select(
         F.col("_k").alias(key_col),
         F.col("_n").alias("n"),
         F.col("_x").alias("x"),
@@ -598,6 +608,12 @@ def eb_shrunk_rates(
         (F.round(num / den, 6) + F.lit(0.0)).alias("shrunk_rate"),
         F.lit(prior_used).alias("prior_used"),
     )
+    # one row per key — checkpoint the result eagerly so the persisted
+    # rollup can be released here rather than leaking across calls
+    # (SIDE EFFECT: the operator executes at call time)
+    out = out.localCheckpoint(eager=True)
+    per.unpersist()
+    return out
 
 
 def brier_decomposition(
@@ -614,14 +630,22 @@ def brier_decomposition(
     whether a quality model's error is miscalibration (REL) or missing
     discrimination (low RES).
 
-    Exactness recipe: p quantized per row to pq = floor(p·2^20) and
-    squared-error sums taken over INTEGERS — Σ(pq − y·2^20)² per bin
-    is an exact BIGINT (≤ N·2^40, ANSI-safe). Bin deviations are
-    integer-divided to micro-units FIRST (D_b = div(s_pq − 2^20·pos_b,
-    n_b), ±2^20-bounded) so their squares never overflow and both
-    engines run the identical truncating arithmetic; the final five
-    ratios are fixed-order double expressions of exact integers,
-    rounded 6 dp.
+    Exactness recipe: p quantized per row to pq = floor(p·2^20), and
+    every squared term re-quantized by div(·, 2^14) BEFORE summation
+    so the BIGINT accumulators stay ANSI-safe far past gate scale:
+    per-row squared error div((pq − y·2^20)², 2^14) ≤ 2^26, so
+    Σ ≤ N·2^26 holds to N < 2^37 (~1.4e11 rows; raising past that
+    needs a wider quantum — documented bound, was N < 2^23 before the
+    r8 rescale). Bin deviations are integer-divided to micro-units
+    FIRST: reliability uses D_b = div(s_pq − 2^20·pos_b, n_b) and
+    resolution uses the micro-unit RATE gap div(pos_b·2^20, n_b) −
+    div(pos_tot·2^20, n_tot) (each ±2^20-bounded, so n·div(D², 2^14)
+    ≤ n·2^26 — never the unbounded cross product pos_b·n_tot·2^20
+    that overflowed past n·n_tot > 2^43). Both engines run the
+    identical truncating arithmetic; quantization displaces each
+    ratio by < 2^-26 ≈ 1.5e-8, invisible at the 6-dp rounding; the
+    final five ratios are fixed-order double expressions of exact
+    integers.
 
     Scale: one partial-aggregated groupBy on the bin id, one ≤bins-row
     fold. No window, no python.
@@ -629,6 +653,7 @@ def brier_decomposition(
     if bins < 2:
         raise ValueError("bins must be >= 2")
     q = 1 << 20
+    sh = 1 << 14  # squared-term quantum: keeps BIGINT sums to N < 2^37
     p = F.col(prob_col)
     pq = F.floor(p * F.lit(float(q))).cast("bigint")
     y = F.col(label_col).cast("bigint")
@@ -643,18 +668,19 @@ def brier_decomposition(
         F.count("*").cast("bigint").alias("_n"),
         F.sum("_y").cast("bigint").alias("_pos"),
         F.sum("_pq").cast("bigint").alias("_spq"),
-        F.sum(
-            (F.col("_pq") - q * F.col("_y"))
-            * (F.col("_pq") - q * F.col("_y"))
-        ).cast("bigint").alias("_se"),
+        F.sum(F.expr(
+            f"div((_pq - {q} * _y) * (_pq - {q} * _y), {sh})"
+        )).cast("bigint").alias("_se"),
     ).localCheckpoint(eager=True)
     # integer micro deviations per bin (truncating div — identical in
-    # DuckDB), then exact integer weighted squares
-    db = F.expr(f"div(_spq - {q} * _pos, _n)")
+    # DuckDB), squares re-quantized by 2^14 before the n-weighting so
+    # n·div(db², 2^14) ≤ n·2^26 stays a BIGINT to n < 2^37
     g = per_bin.select(
         "_n", "_pos", "_se",
-        (F.col("_n") * db * db).cast("bigint").alias("_rel_q"),
-        F.col("_spq").alias("_spq"),
+        (F.col("_n") * F.expr(
+            f"div(div(_spq - {q} * _pos, _n)"
+            f" * div(_spq - {q} * _pos, _n), {sh})"
+        )).cast("bigint").alias("_rel_q"),
     )
     tot = g.agg(
         F.sum("_n").cast("bigint").alias("n"),
@@ -663,18 +689,21 @@ def brier_decomposition(
         F.sum("_rel_q").cast("bigint").alias("rel_q"),
     )
     # resolution needs global pos — second small pass over the bin
-    # table with the totals broadcast back
+    # table with the global micro-unit rate baked in as a literal
     tot_row = tot.first()
     n_total, pos_total = int(tot_row["n"]), int(tot_row["pos"])
     if n_total == 0:
         raise ValueError("no scored rows")
-    dyb = F.expr(
-        f"div((_pos * {n_total} - {pos_total} * _n) * {q},"
-        f" _n * {n_total})"
-    )
+    rate_g = (pos_total * q) // n_total  # exact, ∈ [0, 2^20]
     res_q = int(
         per_bin.select(
-            F.sum((F.col("_n") * dyb * dyb).cast("bigint")).alias("r")
+            F.sum(
+                F.col("_n")
+                * F.expr(
+                    f"div((div(_pos * {q}, _n) - {rate_g})"
+                    f" * (div(_pos * {q}, _n) - {rate_g}), {sh})"
+                )
+            ).cast("bigint").alias("r")
         ).first()["r"]
     )
     se_q, rel_q = int(tot_row["se_q"]), int(tot_row["rel_q"])
@@ -687,7 +716,7 @@ def brier_decomposition(
         "n bigint, pos bigint, _se bigint, _rel bigint, _res bigint",
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    qq = float(q) * float(q)
+    qq = float(q) * float(q) / float(sh)  # accumulators are q²/2^14
     brier = d("_se") / (d("n") * F.lit(qq))
     rel = d("_rel") / (d("n") * F.lit(qq))
     res = d("_res") / (d("n") * F.lit(qq))

@@ -916,11 +916,24 @@ class TestHotBucketCap:
         kept = cap_hot_buckets(df, ["b"], 2, "t")
         got = sorted((r["b"], r["id"]) for r in kept.collect())
         assert got == [(2, 20), (2, 21), (3, 30)]
+        # the recall-loss report is exposed programmatically (ADVICE
+        # r7) — no log scraping needed to detect dropped true pairs
+        from inception_eventstore_spark.functions.skew import (
+            last_cap_report,
+        )
+
+        rep = last_cap_report("t")
+        assert rep == {
+            "n_hot": 1, "largest": 3, "dropped_rows": 3,
+            "max_bucket": 2,
+        }
         # cap=None and cap >= max bucket both return the input unchanged
         assert cap_hot_buckets(df, ["b"], None, "t") is df
+        assert last_cap_report("t")["n_hot"] == 0
         assert sorted(
             r["id"] for r in cap_hot_buckets(df, ["b"], 3, "t").collect()
         ) == [10, 11, 12, 20, 21, 30]
+        assert last_cap_report("t")["n_hot"] == 0
 
     def test_minhash_500_doc_flood_bounded(self, spark):
         """The verdict scenario: a 500-doc boilerplate cluster. With

@@ -1635,6 +1635,51 @@ class TestMannWhitneyU:
         assert r["u_a_x2"] == 0
         assert r["z_u"] < -4
 
+    def test_mega_tie_lane_recombination_exact(self, spark):
+        """ADVICE r7: the per-value cube is never materialized
+        Spark-side — base-2^31 lanes recombine driver-side in python
+        ints. A tie mass just under the BIGINT output bound
+        (t = 2^21 − 2, t³ − t ≈ 2^63 − 2.6e13) must come back exact."""
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.profile import (
+            mann_whitney_u,
+        )
+
+        t = (1 << 21) - 2
+        big = spark.range(t).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias(
+                "event_type"
+            ),
+            F.lit(5.0).alias("value"),
+        )
+        extra = spark.createDataFrame(
+            [("a", 1.0), ("b", 9.0), ("b", 9.0)],
+            "event_type string, value double",
+        )
+        r = mann_whitney_u(big.unionByName(extra), "a", "b").first()
+        assert r["n_a"] == t // 2 + 1 and r["n_b"] == t // 2 + 2
+        assert r["tie_sum"] == (t**3 - t) + (2**3 - 2)
+
+    def test_tie_sum_past_bigint_raises_clearly(self, spark):
+        """Σ(t³−t) past 2^63 cannot land in the BIGINT tie_sum column
+        (nor survive the oracle's HUGEINT→BIGINT cast): the operator
+        must raise a clear ValueError, never an opaque ANSI crash."""
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from inception_eventstore_spark.operators.profile import (
+            mann_whitney_u,
+        )
+
+        big = spark.range(2_200_000).select(  # t³ ≈ 1.06e19 > 2^63
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias(
+                "event_type"
+            ),
+            F.lit(5.0).alias("value"),
+        )
+        with _pt.raises(ValueError, match="tie term exceeds BIGINT"):
+            mann_whitney_u(big, "a", "b")
 
 class TestPropensityStrata:
     def test_strata_partition_users_evenly(self, spark):

@@ -1264,11 +1264,12 @@ CHECKS.update({
         _NO_CARTESIAN, _JVM_ONLY,
     ],
     "mann_whitney_u": [
-        # midrank running count goes through sharded_running_sums,
-        # whose eager checkpoint hides upstream stages — assert the
-        # visible shard machinery / checkpointed relation
-        ("two-phase shard rank machinery (never a single-partition "
-         "window)", r"Scan ExistingRDD|hashpartitioning\(_gr_pid"),
+        # r8: the scalar fold runs at call time (tie lanes recombined
+        # driver-side in exact python ints — ADVICE r7 overflow fix);
+        # the returned plan is the one-row local relation, km pattern
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all in the visible plan", "!Window"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
     "phrase_search": [
@@ -1285,7 +1286,14 @@ CHECKS.update({
     ],
 })
 CHECKS.update({
-    "eb_shrunk_rates": [_PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY],
+    "eb_shrunk_rates": [
+        # r8: rollup persisted, result eagerly checkpointed so the
+        # persist can be released at call time (ADVICE r7) — the
+        # visible plan is the final select over the local relation
+        ("result reads the checkpointed per-key rollup",
+         r"Scan ExistingRDD|LocalTableScan"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
 })
 CHECKS.update({
     "logrank_test": [
@@ -1304,10 +1312,13 @@ CHECKS.update({
 })
 CHECKS.update({
     # broadcast-dimension joins: the small side must broadcast, never
-    # shuffle the fact table to meet it
+    # shuffle the fact table to meet it. NOTE: dict.update REPLACES
+    # the whole list for these names, so this literal must carry every
+    # assertion the earlier entry gave them — _JVM_ONLY included
+    # (ADVICE r7: the old literal silently dropped it).
     name: [_PARTIAL_AGG,
            ("small dimension joins broadcast", r"BroadcastHashJoin"),
-           _NO_CARTESIAN]
+           _NO_CARTESIAN, _JVM_ONLY]
     for name in [
         "q3_shipping_priority", "q5_local_supplier_volume",
         "q7_nation_volume", "q8_market_share", "q9_product_profit",

@@ -49,16 +49,27 @@ def spark_nested_cols(schema) -> list[str]:
 
 
 def main() -> int:
+    import time
+
+    t_start = time.time()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     import __spark_entry__ as entrymod
+    from inception_eventstore_spark.plans.queries import (
+        prebuild_ann_indexes,
+        prebuild_phash_index,
+        prebuild_prop_index,
+    )
     from inception_eventstore_spark.session import get_spark
 
     spark = get_spark(
         "registry-lint",
-        master="local[8]",
-        extra_configs={"spark.sql.shuffle.partitions": "8"},
+        extra_configs={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.driver.memory": "8g",
+        },
     )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -69,13 +80,37 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     problems: list[str] = []
 
-    for name, fn in qs.items():
+    # The wall-time problem (VERDICT r7 wrong #2: 15-25 min): many
+    # queries execute driver actions at BUILD time (km-pattern folds,
+    # eager checkpoints), each a few seconds of scheduler latency on
+    # tiny sf0.001 jobs — serially that's the whole runtime. Spark's
+    # driver accepts concurrent job submission, so build the plans
+    # from a thread pool; the only cross-query shared state is the
+    # persisted ANN/prop/phash index builds, which are prebuilt
+    # serially here first (bench.py's prebuild discipline) so the
+    # probe queries only ever READ them.
+    prebuild_ann_indexes(spark, sf_dir, kinds=("ivf_pinned", "ivfpq_pinned"))
+    prebuild_prop_index(spark, sf_dir)
+    prebuild_phash_index(spark, sf_dir)
+
+    def _build(item):
+        name, fn = item
         try:
             sdf = fn(spark, sf_dir)
+            return name, list(sdf.columns), spark_nested_cols(sdf.schema), None
         except Exception as e:  # noqa: BLE001 - lint must report, not die
-            problems.append(f"{name}: spark plan failed to build: {e!r}")
+            return name, None, None, repr(e)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("SPARK_GRAFT_LINT_WORKERS", "8"))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        built = list(pool.map(_build, qs.items()))
+
+    for name, cols, nested, err in built:
+        if err is not None:
+            problems.append(f"{name}: spark plan failed to build: {err}")
             continue
-        nested = spark_nested_cols(sdf.schema)
         if nested:
             problems.append(
                 f"{name}: array/map/struct output columns {nested} "
@@ -96,20 +131,22 @@ def main() -> int:
                     f"{name}: oracle column {cname} has non-portable "
                     f"type {ctype}"
                 )
-        if sorted(sdf.columns) != sorted(ocols):
+        if sorted(cols) != sorted(ocols):
             problems.append(
-                f"{name}: column-name mismatch spark={sorted(sdf.columns)} "
+                f"{name}: column-name mismatch spark={sorted(cols)} "
                 f"oracle={sorted(ocols)}"
             )
 
     spark.stop()
+    wall = round(time.time() - t_start, 1)
     if problems:
         print(f"LINT FAILURES ({len(problems)}):")
         for p in problems:
             print(" -", p)
         return 1
     print(
-        f"registry lint clean: {len(qs)} queries, {len(oracles)} oracles"
+        f"registry lint clean: {len(qs)} queries, {len(oracles)} oracles "
+        f"({wall}s wall, {workers} plan-build threads)"
     )
     return 0
 

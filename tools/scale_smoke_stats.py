@@ -153,6 +153,25 @@ def main() -> int:
     volumes["dp_groups"] = dp_noisy_counts(ev).count()
     timings["dp_noisy_counts"] = round(time.time() - t0, 3)
 
+    # brier at the full event volume: with the pre-r8 unscaled
+    # accumulators this crashed under ANSI past ~2^23 rows (ADVICE r7
+    # medium) — the 2^14-quantum rescale must survive 10M+ rows
+    from inception_eventstore_spark.operators.scoring import (
+        brier_decomposition,
+    )
+
+    scored = ev.select(
+        (
+            F.pmod(F.xxhash64("user_id", "ts"), F.lit(1 << 30))
+            / F.lit(float(1 << 30))
+        ).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    t0 = time.time()
+    (r,) = brier_decomposition(scored, "p", "y", bins=10).collect()
+    volumes["brier_rows"] = int(r["n"])
+    timings["brier_decomposition"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=64)
     volumes["kmv_rows"] = sk.count()
