@@ -294,6 +294,8 @@ HEADLINE = [
     "eb_shrunk_rates",
     "logrank_test",
     "brier_decomposition",
+    # r8 additions
+    "multimodal_mp4_frames",
 ]
 
 

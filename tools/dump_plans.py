@@ -387,6 +387,11 @@ CHECKS = {
         ("header parse is map-side — the only Exchange is the final "
          "presentation sort", "!Exchange hashpartitioning"),
     ],
+    "multimodal_mp4_frames": [
+        ("sample-table slicing is one Arrow-batched python kernel",
+         r"MapInPandas"),
+        ("frame extraction is map-side — no shuffle", "!Exchange"),
+    ],
     "quality_model_score": [
         ("model table joins broadcast — the corpus never shuffles to "
          "meet the weights", r"BroadcastHashJoin"),
