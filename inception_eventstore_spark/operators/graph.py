@@ -74,22 +74,33 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge list")
+    # The rank table is |nodes| rows — orders of magnitude below the
+    # edge list. Below ~5M nodes it fits a broadcast comfortably, and
+    # broadcasting it turns EVERY iteration into a map-side join over
+    # the cached edges plus one partial-aggregated groupBy(dst) whose
+    # shuffle carries ~|nodes|×|partitions| partial rows, not |edges|
+    # (r8: 6.6 s → the edges never shuffle after the one-time cache
+    # build). A billion-node graph exceeds broadcast budgets — there
+    # the shuffle join on the cached src partitioning is the right
+    # plan, so the dial flips automatically on node count.
+    bcast = n <= 5_000_000
+    maybe_b = F.broadcast if bcast else (lambda df: df)
     # out-degree is joined onto the edge list ONCE — every iteration is
-    # then a single rank⋈edges equi-join on the cached src partitioning
+    # then a single rank⋈edges equi-join (broadcast or co-partitioned)
     # plus one partial-aggregated groupBy(dst)
     outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
-    E2 = E.join(outdeg, "src").cache()
+    E2 = E.join(maybe_b(outdeg), "src").cache()
     base = (1.0 - d) / n
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(int(iterations)):
         contribs = (
-            ranks.join(E2, ranks["node"] == E2["src"])
+            E2.join(maybe_b(ranks), ranks["node"] == E2["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("_in"))
         )
         ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
+            maybe_b(contribs), nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
             (

@@ -1729,6 +1729,102 @@ class TestPropensityStrata:
         assert all(r["n_treated"] == 0 for r in out)
         assert all(r["diff_y"] is None for r in out)
 
+    def test_ml_fit_parity(self, spark):
+        """fit='ml' (pyspark.ml LogisticRegression — the production
+        path) must reproduce the pinned stratification on a separable
+        fixture: treated users (odd ids) run systematically more
+        active, so both the pinned activity index and the fitted
+        propensity rank users the same way — decile labels must agree
+        within ±1 for the vast majority and rank-correlate strongly."""
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            propensity_user_scores,
+        )
+
+        rows = []
+        for u in range(200):
+            n_ev = 2 + (u % 7) + 6 * (u % 2)  # treatment ↑ activity
+            for j in range(n_ev):
+                rows.append(
+                    (u, "click" if j % 3 else "purchase",
+                     float(5 + j % 4),
+                     dt.datetime(2024, 1, 1 + j % 21, 9, 0, 0))
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, value double, "
+            "ts timestamp"
+        ).repartition(8)
+
+        def deciles(fit):
+            scored = propensity_user_scores(df, fit=fit).collect()
+            order = sorted(scored, key=lambda r: (r["_s"], r["_u"]))
+            n = len(order)
+            return {
+                r["_u"]: (i * 10) // n for i, r in enumerate(order)
+            }, {r["_u"]: r["_s"] for r in scored}
+
+        d_pin, s_pin = deciles("pinned")
+        d_ml, s_ml = deciles("ml")
+        assert set(d_pin) == set(d_ml) and len(d_pin) == 200
+        close = sum(
+            1 for u in d_pin if abs(d_pin[u] - d_ml[u]) <= 1
+        )
+        assert close >= 180, f"only {close}/200 deciles within ±1"
+        # Spearman rank correlation between the two scores
+        def ranks(s):
+            order = sorted(s, key=lambda u: (s[u], u))
+            return {u: i for i, u in enumerate(order)}
+
+        ra, rb = ranks(s_pin), ranks(s_ml)
+        n = len(ra)
+        d2 = sum((ra[u] - rb[u]) ** 2 for u in ra)
+        rho = 1 - 6 * d2 / (n * (n * n - 1))
+        assert rho > 0.9, f"spearman {rho}"
+
+    def test_ml_fit_through_strata_readout(self, spark):
+        """The fitted path must flow through the full stratification
+        readout: equal-rank strata, all 100 users accounted for."""
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            propensity_strata,
+        )
+
+        rows = []
+        for u in range(100):
+            for j in range(1 + u % 5 + 3 * (u % 2)):
+                rows.append(
+                    (u, "click" if j % 2 else "purchase",
+                     float(10 + u % 7),
+                     dt.datetime(2024, 1, 1 + j % 28, 12, 0, 0))
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, value double, "
+            "ts timestamp"
+        )
+        out = propensity_strata(df, fit="ml").collect()
+        total = sum(r["n_treated"] + r["n_control"] for r in out)
+        assert total == 100
+        sizes = [r["n_treated"] + r["n_control"] for r in out]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_bad_fit_mode_raises(self, spark):
+        import datetime as dt
+
+        import pytest as _pt
+
+        from inception_eventstore_spark.operators.profile import (
+            propensity_strata,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "click", 1.0, dt.datetime(2024, 1, 1))],
+            "user_id long, event_type string, value double, ts timestamp",
+        )
+        with _pt.raises(ValueError, match="fit must be"):
+            propensity_strata(df, fit="xgboost")
+
 
 class TestEbShrunkRates:
     def test_shrinkage_pulls_small_n_toward_prior(self, spark):

@@ -1916,6 +1916,8 @@ EXTRA_CHECKS = [
              r"HashAggregate[^\n]*partial_sum"),
             ("message passing is a key equi-join, never nested-loop",
              "!CartesianProduct|BroadcastNestedLoopJoin"),
+            ("small-n rank table broadcasts — cached edges never "
+             "shuffle per iteration (r8)", r"BroadcastHashJoin"),
             ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
         ],
     ),
