@@ -296,6 +296,14 @@ HEADLINE = [
     "brier_decomposition",
     # r8 additions
     "multimodal_mp4_frames",
+    "chi_square_independence",
+    "kruskal_wallis",
+    "spearman_corr",
+    "ipw_ate",
+    "seasonal_decompose",
+    "permutation_pvalue",
+    "v_optimal_histogram",
+    "cochran_armitage",
 ]
 
 

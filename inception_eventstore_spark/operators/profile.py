@@ -22,6 +22,8 @@ num_max, avg_len).
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1598,3 +1600,525 @@ def propensity_user_scores(
     out = scored.localCheckpoint(eager=True)
     assembled.unpersist()
     return out
+
+
+def chi_square_independence(
+    events: DataFrame,
+    row_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pearson chi-square test of independence between an event's
+    category and its day-of-week — the classic contingency audit
+    ("does event mix drift by weekday?") that decides whether a
+    per-weekday breakdown is signal or noise. Reports chi2, the
+    degrees of freedom, and Cramér's V effect size in one row.
+
+    Day-of-week is computed PORTABLY as datediff-from-a-known-Monday
+    mod 7 (0 = Monday): Spark's ``dayofweek`` is 1-indexed from
+    Sunday while DuckDB's is 0-indexed, so neither builtin crosses
+    engines.
+
+    Determinism recipe (quantize-before-combine, CLAUDE.md): the full
+    R×C grid (distinct categories × observed weekdays, zero-filled —
+    empty cells still contribute their expected mass) is bounded, and
+    each cell's contribution
+        (o·n − rt·ct)² / (n·rt·ct)
+    is one fixed-order double expression of four exact BIGINTs
+    (o·n − rt·ct is exact while n < ~3·10⁹ rows; every subsequent op
+    is a correctly-rounded IEEE step on identical operands, so the
+    doubles are bit-identical cross-engine). Each contribution is
+    floored to 2^20 micro-units and the micro-units are summed as
+    BIGINTs — integer addition is associative, so the total is
+    engine/partitioning-independent; chi2 never touches a
+    cross-engine-ordered double sum.
+
+    Scale: one partial-aggregated groupBy to the bounded cell axis;
+    the row/column marginals re-aggregate those cells (broadcast
+    joins back); the final scalar agg's Exchange SinglePartition is
+    the legitimate one-row fold.
+
+    Output (one row): n, n_rows, n_cols, dof, chi2 (6 dp),
+    cramers_v (6 dp; NULL when dof = 0).
+    """
+    dow = F.pmod(
+        F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-05"))),
+        F.lit(7),
+    ).cast("bigint")
+    cells = (
+        events.where(F.col(row_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(row_col).alias("_r"), dow.alias("_c"))
+        .agg(F.count("*").cast("bigint").alias("_o"))
+    )
+    grid = (
+        cells.select("_r").distinct()
+        .crossJoin(F.broadcast(cells.select("_c").distinct()))
+        .join(cells, ["_r", "_c"], "left")
+        .select("_r", "_c", F.coalesce("_o", F.lit(0)).alias("_o"))
+    )
+    rt = grid.groupBy("_r").agg(F.sum("_o").cast("bigint").alias("_rt"))
+    ct = grid.groupBy("_c").agg(F.sum("_o").cast("bigint").alias("_ct"))
+    j = grid.join(F.broadcast(rt), "_r").join(F.broadcast(ct), "_c")
+    # n via a broadcast one-row total (rt and ct both sum to n)
+    tot = rt.agg(F.sum("_rt").cast("bigint").alias("_n"))
+    j = j.crossJoin(F.broadcast(tot))
+    dd = (F.col("_o") * F.col("_n") - F.col("_rt") * F.col("_ct")).cast(
+        "double"
+    )
+    contrib = (
+        dd * dd
+        / (
+            F.col("_n").cast("double")
+            * F.col("_rt").cast("double")
+            * F.col("_ct").cast("double")
+        )
+    )
+    per = j.select(
+        "_n",
+        "_r",
+        "_c",
+        F.floor(contrib * F.lit(1048576.0)).cast("bigint").alias("_cu"),
+    )
+    agg = per.groupBy().agg(
+        F.max("_n").alias("n"),
+        F.countDistinct("_r").cast("bigint").alias("n_rows"),
+        F.countDistinct("_c").cast("bigint").alias("n_cols"),
+        F.sum("_cu").cast("bigint").alias("_su"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    chi2 = F.col("_su").cast("double") / F.lit(1048576.0)
+    mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v = F.sqrt(
+        chi2 / (F.col("n").cast("double") * mindim.cast("double"))
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        dof.cast("bigint").alias("dof"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        F.when(dof > 0, F.round(v, 6) + F.lit(0.0)).alias("cramers_v"),
+    )
+
+
+def ipw_ate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_strata: int = 10,
+    weights: tuple[int, int, int] = (37, 101, 53),
+    fit: str = "pinned",
+) -> DataFrame:
+    """Average-treatment-effect READOUT over the propensity strata —
+    the single number `propensity_strata`'s per-stratum table rolls
+    up to. Within each stratum the propensity is the exact rational
+    p̂_s = n_treated_s / n_s, and the Hájek inverse-propensity-weighted
+    estimator with a stratum-constant p̂ collapses to the classic
+    subclassification estimator (Rosenbaum & Rubin 1984):
+
+        ATE = Σ_s (n_s / n) · (ȳ_treated,s − ȳ_control,s)
+
+    so one formula IS both estimators; strata with an empty arm are
+    dropped from the sum (and counted in `n_strata_dropped`).
+
+    Determinism: ranks/strata/outcome sums are the exact-integer
+    propensity machinery (`propensity_user_scores`; grouped_row_number
+    two-phase rank — never a single-partition window); each stratum's
+    contribution n_s·(syt/nt − syc/nc)/n is one fixed-order double of
+    five exact BIGINTs, floored to 2^20 micro-units (outcome is
+    already in 2^20 fixed-point, so contributions are 2^40-scaled)
+    and summed as BIGINTs — the chi_square quantize-before-combine
+    recipe, immune to cross-engine sum order over the bounded stratum
+    axis. The naive (unadjusted) difference is reported alongside for
+    the confounding-size contrast.
+
+    Output (one row): n_users, n_treated, n_control, n_strata_used,
+    n_strata_dropped, ate (6 dp), naive_diff (6 dp).
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    per = propensity_user_scores(
+        events, user_col=user_col, type_col=type_col,
+        value_col=value_col, ts_col=ts_col, weights=weights, fit=fit,
+    )
+    ranked = grouped_row_number(
+        per, [F.col("_s"), F.col("_u")], rank_col="_rk",
+        with_group_count="_n",
+    )
+    st = ranked.select(
+        F.expr(f"div((_rk - 1) * {int(n_strata)}, _n)").alias("_st"),
+        "_t", "_y", "_n",
+    )
+    g = st.groupBy("_st").agg(
+        F.max("_n").alias("_nu"),
+        F.count("*").cast("bigint").alias("_ns"),
+        F.sum("_t").cast("bigint").alias("_nt"),
+        F.sum(1 - F.col("_t")).cast("bigint").alias("_nc"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0))
+        .cast("bigint").alias("_syt"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0))
+        .cast("bigint").alias("_syc"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ok = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    contrib = (
+        d("_ns") * (d("_syt") / d("_nt") - d("_syc") / d("_nc")) / d("_nu")
+    )
+    agg = g.groupBy().agg(
+        F.max("_nu").alias("n_users"),
+        F.sum("_nt").cast("bigint").alias("n_treated"),
+        F.sum("_nc").cast("bigint").alias("n_control"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint")
+        .alias("n_strata_used"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("bigint")
+        .alias("n_strata_dropped"),
+        F.sum(
+            F.when(ok, F.floor(contrib).cast("bigint")).otherwise(0)
+        ).cast("bigint").alias("_au"),
+        F.sum(F.when(ok, F.col("_syt")).otherwise(0)).cast("bigint")
+        .alias("_syt_ok"),
+        F.sum(F.when(ok, F.col("_syc")).otherwise(0)).cast("bigint")
+        .alias("_syc_ok"),
+        F.sum(F.when(ok, F.col("_nt")).otherwise(0)).cast("bigint")
+        .alias("_nt_ok"),
+        F.sum(F.when(ok, F.col("_nc")).otherwise(0)).cast("bigint")
+        .alias("_nc_ok"),
+    )
+    naive = (
+        d("_syt_ok") / d("_nt_ok") - d("_syc_ok") / d("_nc_ok")
+    ) / F.lit(1048576.0)
+    return agg.select(
+        "n_users", "n_treated", "n_control",
+        "n_strata_used", "n_strata_dropped",
+        (
+            F.round(F.col("_au").cast("double") / F.lit(1048576.0), 6)
+            + F.lit(0.0)
+        ).alias("ate"),
+        F.when(
+            (F.col("_nt_ok") > 0) & (F.col("_nc_ok") > 0),
+            F.round(naive, 6) + F.lit(0.0),
+        ).alias("naive_diff"),
+    )
+
+
+def kruskal_wallis(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) — the k-group
+    generalization of `mann_whitney_u`: do the value distributions of
+    ALL event types share a location? One row per group (its size and
+    exact rank sum) with the global tie-corrected H repeated, so the
+    per-group rank profile and the test statistic travel together.
+
+    Exactness recipe (the mann_whitney_u integer discipline, extended
+    to k groups):
+    - rank state per DISTINCT value: groupBy(value, group) counts plus
+      a per-value re-aggregation; doubles are only grouped/compared,
+      never summed;
+    - midranks ×2 via `sharded_running_sums` over the distinct-value
+      axis (never a single-partition window), joined back to the
+      bounded (value, group) cells by value;
+    - per-group rank sums R_g (×2 units) are exact BIGINTs
+      (Σ n_g(v)·midrank_x2(v) ≤ 2n² — safe to n ≈ 2^31);
+    - the tie term Σ(t³−t) uses the base-2^31 LANE decomposition with
+      driver-side python-int recombination (the mann_whitney_u /
+      logrank pattern — never a BIGINT cube under ANSI mode);
+    - H needs Σ_g R_g²/n_g, whose exact integer form overflows at
+      n ≈ 55k — so each group's term is ONE fixed-order double of two
+      exact BIGINTs, floored to 2^20 micro-units, and the micro-units
+      are summed in python ints over the bounded group axis
+      (quantize-before-combine): the statistic is bit-reproducible in
+      any engine that can floor a correctly-rounded double.
+
+    The bounded k-row readout returns via `_local_df` (the km_survival
+    driver pattern); only H itself is a double, one fixed-order
+    expression rounded 6 dp.
+
+    Output per group: group, n_g, rank_sum_x2, plus the global n,
+    tie_sum, h_tied (identical on every row).
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vals = events.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    cells = vals.groupBy(
+        F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count("*").cast("bigint").alias("_ng"))
+    per = cells.groupBy("_v").agg(
+        F.sum("_ng").cast("bigint").alias("_nt")
+    )
+    r = sharded_running_sums(per, [F.col("_v")], ["_nt"])
+    mid = r.select(
+        "_v",
+        (
+            2 * (F.col("_nt_cum") - F.col("_nt")) + F.col("_nt") + 1
+        ).alias("_mx2"),
+        "_nt",
+    )
+    # tie lanes: (t−1)·t·(t+1) decomposed base-2^31 (every
+    # intermediate ≤ 2^62 for t ≤ 2^31) — recombined driver-side
+    lane = 1 << 31
+    ties = (
+        mid.withColumn("_p1", F.expr("(_nt - 1) * _nt"))
+        .withColumn("_h1", F.expr(f"div(_p1, {lane})"))
+        .withColumn("_l1", F.expr(f"_p1 % {lane}"))
+        .withColumn("_bb", F.expr("_l1 * (_nt + 1)"))
+        .withColumn(
+            "_cc", F.expr(f"_h1 * (_nt + 1) + div(_bb, {lane})")
+        )
+        .agg(
+            F.sum(F.expr(f"_bb % {lane}")).cast("bigint").alias("_s0"),
+            F.sum(F.expr(f"_cc % {lane}")).cast("bigint").alias("_s1"),
+            F.sum(F.expr(f"div(_cc, {lane})")).cast("bigint")
+            .alias("_s2"),
+        )
+        .collect()[0]
+    )
+    groups = (
+        cells.join(mid.select("_v", "_mx2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_ng").cast("bigint").alias("_n_g"),
+            F.sum(F.col("_ng") * F.col("_mx2")).cast("bigint")
+            .alias("_rs_x2"),
+        )
+        .collect()
+    )
+    if not groups:
+        raise ValueError("kruskal_wallis: no non-null rows")
+    tie_sum = (
+        int(ties["_s2"] or 0) * lane * lane
+        + int(ties["_s1"] or 0) * lane
+        + int(ties["_s0"] or 0)
+    )
+    if tie_sum >= 1 << 63:
+        raise ValueError(
+            "kruskal_wallis: tie term exceeds BIGINT — the tie_sum "
+            "output column cannot represent it"
+        )
+    n = sum(int(g["_n_g"]) for g in groups)
+    # Σ_g R_g²/n_g in 2^20 micro-units, floored per group — mirrors
+    # the oracle's floor(CAST(rs AS DOUBLE)·CAST(rs AS DOUBLE)
+    # / (4.0·CAST(ng AS DOUBLE)) · 1048576.0) exactly
+    s_u = 0
+    for g in groups:
+        rs_d, ng_d = float(int(g["_rs_x2"])), float(int(g["_n_g"]))
+        s_u += _math.floor(rs_d * rs_d / (4.0 * ng_d) * 1048576.0)
+    n_d = float(n)
+    h = (
+        12.0 * (float(s_u) / 1048576.0) / (n_d * (n_d + 1.0))
+        - 3.0 * (n_d + 1.0)
+    )
+    denom = 1.0 - float(tie_sum) / (n_d * n_d * n_d - n_d)
+    h_tied = h / denom if denom > 0.0 else float("nan")
+    rows = sorted(
+        (str(g["_g"]), int(g["_n_g"]), int(g["_rs_x2"])) for g in groups
+    )
+    out = _local_df(
+        events.sparkSession,
+        [(gname, ng, rs, n, tie_sum, h_tied) for gname, ng, rs in rows],
+        "grp string, n_g bigint, rank_sum_x2 bigint, n bigint, "
+        "tie_sum bigint, h_tied double",
+    )
+    return out.select(
+        "grp", "n_g", "rank_sum_x2", "n", "tie_sum",
+        (F.round("h_tied", 6) + F.lit(0.0)).alias("h_tied"),
+    )
+
+
+def spearman_user_corr(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spearman rank correlation between a user's activity volume
+    (event count) and monetary intensity (total value, 2^20
+    fixed-point) — the tie-robust monotone-association readout
+    (Spearman 1904; Pearson-on-midranks form, the standard
+    tie-corrected estimator). Heavy ties are the norm here (most
+    users share small event counts), so the d² shortcut formula
+    would be WRONG; midranks are required.
+
+    Exactness recipe:
+    - per-user covariates are exact BIGINTs (count; floor(v·2^20));
+    - each variable's midranks ×2 come from one distinct-value
+      rollup + `sharded_running_sums` (never a single-partition
+      window), joined back by value — two bounded-axis equi-joins;
+    - Σx and Σy need no computation: midranks ×2 over n rows sum to
+      exactly n(n+1) BY CONSTRUCTION (asserted in pytest);
+    - the cross-moments Σx², Σy², Σxy (each ≤ 4n³ — BIGINT-unsafe
+      past n ≈ 1.3M) are decomposed per row into base-2^31 lanes and
+      the lane sums recombine DRIVER-SIDE in exact python ints (the
+      mann_whitney_u overflow pattern);
+    - rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)) is
+      evaluated as ONE fixed-order double expression of exact
+      integers — python int→float and DuckDB HUGEINT→DOUBLE are both
+      correctly rounded, so the doubles agree bit-for-bit.
+
+    Output (one row, via `_local_df`): n, sxx, syy, sxy (exact ×4
+    rank units; guarded to BIGINT), rho (6 dp).
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    per = events.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(user_col).alias("_u")
+    ).agg(
+        F.count("*").cast("bigint").alias("_x"),
+        F.sum(
+            F.floor(F.col(value_col) * F.lit(1048576.0)).cast("bigint")
+        ).cast("bigint").alias("_y"),
+    )
+    per = per.localCheckpoint(eager=False)  # two rank passes read it
+
+    def midranks(col: str) -> DataFrame:
+        ax = per.groupBy(F.col(col).alias("_v")).agg(
+            F.count("*").cast("bigint").alias("_nt")
+        )
+        r = sharded_running_sums(ax, [F.col("_v")], ["_nt"])
+        return r.select(
+            F.col("_v").alias(col),
+            (
+                2 * (F.col("_nt_cum") - F.col("_nt")) + F.col("_nt") + 1
+            ).alias(f"_m{col}"),
+        )
+
+    j = (
+        per.join(midranks("_x"), "_x")
+        .join(midranks("_y"), "_y")
+        .select(F.col("_m_x").alias("_rx"), F.col("_m_y").alias("_ry"))
+    )
+    lane = 1 << 31
+    sums = {}
+    lanes = []
+    for nm, expr in (("xx", "_rx * _rx"), ("yy", "_ry * _ry"),
+                     ("xy", "_rx * _ry")):
+        lanes.append(
+            F.sum(F.expr(f"({expr}) % {lane}")).cast("bigint")
+            .alias(f"_{nm}_lo")
+        )
+        lanes.append(
+            F.sum(F.expr(f"div({expr}, {lane})")).cast("bigint")
+            .alias(f"_{nm}_hi")
+        )
+    row = j.agg(F.count("*").cast("bigint").alias("_n"), *lanes).collect()[0]
+    n = int(row["_n"])
+    if n < 2:
+        raise ValueError("spearman_user_corr: need at least 2 rows")
+    for nm in ("xx", "yy", "xy"):
+        sums[nm] = int(row[f"_{nm}_hi"]) * lane + int(row[f"_{nm}_lo"])
+        if sums[nm] >= 1 << 63:
+            raise ValueError(
+                f"spearman_user_corr: S{nm} exceeds the BIGINT output "
+                "column — reduce n or widen the readout"
+            )
+    s = n * (n + 1)  # Σ midrank_x2 — exact by construction
+    num = n * sums["xy"] - s * s
+    dx = n * sums["xx"] - s * s
+    dy = n * sums["yy"] - s * s
+    rho = (
+        float(num) / _math.sqrt(float(dx) * float(dy))
+        if dx > 0 and dy > 0 else float("nan")
+    )
+    out = _local_df(
+        events.sparkSession,
+        [(n, sums["xx"], sums["yy"], sums["xy"], rho)],
+        "n bigint, sxx bigint, syy bigint, sxy bigint, rho double",
+    )
+    return out.select(
+        "n", "sxx", "syy", "sxy",
+        (F.round("rho", 6) + F.lit(0.0)).alias("rho"),
+    )
+
+
+def cochran_armitage(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    resp_type: str = "purchase",
+    max_dose: int = 5,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) for a
+    monotone dose-response: does a user's conversion probability
+    (any 'purchase') rise with an ordered exposure dose (active days,
+    capped at ``max_dose``)? The one-degree-of-freedom test that a
+    k-level chi-square wastes power on when the alternative is
+    ordered — the standard readout for engagement-tier funnels.
+
+    With dose scores w_i = i over dose groups (n_i, r_i), n = Σn_i,
+    R = Σr_i:
+
+        Z = (n·Σw·r − R·Σw·n)
+            / sqrt(R·(n−R)/n · (n·Σw²·n − (Σw·n)²) / n)
+
+    evaluated as the textbook equivalent
+        num = n·Σwr − R·Σwn,
+        Z   = num / sqrt(R·(n−R)·(n·Σw²n − (Σwn)²) / n)   … all ints.
+
+    Determinism (the kruskal_wallis driver pattern): one user-keyed
+    partial-agg rollup, then one bounded groupBy to the ≤ max_dose
+    dose axis; the ≤ max_dose exact-integer rows cross to the driver
+    where num and the variance term are computed in UNBOUNDED python
+    ints (num ≈ w·n² overflows BIGINT past ~40M users — the oracle's
+    HUGEINT widening and python ints agree exactly); Z is one
+    fixed-order double of exact integers, rounded 6 dp. Output
+    integers are guarded against the BIGINT column bound with a clear
+    error.
+
+    Output (one row): n_users, n_resp, trend_num (exact), z_ca (6 dp;
+    NULL when the variance is zero).
+    """
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    per = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.least(
+            F.countDistinct(F.to_date(F.col(ts_col))).cast("bigint"),
+            F.lit(int(max_dose)).cast("bigint"),
+        ).alias("_w"),
+        F.max(
+            F.when(F.col(type_col) == resp_type, 1).otherwise(0)
+        ).cast("bigint").alias("_r"),
+    )
+    dose = per.groupBy("_w").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("_r").cast("bigint").alias("_rr"),
+    ).collect()
+    if not dose:
+        raise ValueError("cochran_armitage: no rows")
+    n = sum(int(d["_n"]) for d in dose)
+    r_tot = sum(int(d["_rr"]) for d in dose)
+    swr = sum(int(d["_w"]) * int(d["_rr"]) for d in dose)
+    swn = sum(int(d["_w"]) * int(d["_n"]) for d in dose)
+    sw2n = sum(int(d["_w"]) * int(d["_w"]) * int(d["_n"]) for d in dose)
+    num = n * swr - r_tot * swn
+    var_num = r_tot * (n - r_tot) * (n * sw2n - swn * swn)
+    if abs(num) >= 1 << 63:
+        raise ValueError(
+            "cochran_armitage: trend numerator exceeds the BIGINT "
+            "output column"
+        )
+    z = (
+        float(num) / _math.sqrt(float(var_num) / float(n))
+        if var_num > 0 else None
+    )
+    out = _local_df(
+        events.sparkSession,
+        [(n, r_tot, num, z)],
+        "n_users bigint, n_resp bigint, trend_num bigint, z_ca double",
+    )
+    return out.select(
+        "n_users", "n_resp", "trend_num",
+        (F.round("z_ca", 6) + F.lit(0.0)).alias("z_ca"),
+    )

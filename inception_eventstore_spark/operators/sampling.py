@@ -933,3 +933,156 @@ SELECT (SELECT n FROM tot) AS n_rows, CAST({b} AS BIGINT) AS b,
   round(max(CASE WHEN r = nb - {lo_rank} + 1 THEN mu END), 6) AS ci_hi
 FROM m
 """
+
+
+def permutation_pvalue(
+    df: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    key_col: str = "event_id",
+    b: int = 199,
+    seed: str = "v1",
+) -> DataFrame:
+    """Two-sample permutation test for the difference of means —
+    the assumption-free companion of `poisson_bootstrap_ci` and the
+    parametric t-family: under H₀ the group labels are exchangeable,
+    so relabel the pooled rows ``b`` times and ask how often the
+    relabeled |mean_A − mean_B| reaches the observed one. p-value is
+    the standard add-one rational (1 + #extreme)/(1 + b) (Phipson &
+    Smyth 2010 — never exactly zero).
+
+    The relabeling is the Bernoulli(n_a/n) RE-ALLOCATION form (each
+    row independently redraws its label with the pooled treatment
+    rate) rather than the exact-hypergeometric shuffle — the only
+    form with a one-pass, coordination-free distributed execution;
+    asymptotically equivalent, and the docstring says so rather than
+    pretending otherwise.
+
+    Determinism (the poisson_bootstrap recipe, label-flavored): one
+    portable 60-bit md5 per (seed, 3-replicate block, row key) splits
+    into three 20-bit lanes; a row joins pseudo-group A in replicate
+    r iff its lane draw < div(n_a·2^20, n) (integer threshold,
+    identical both engines); values are floor(v·2^20) fixed-point, so
+    per-replicate sums are exact BIGINTs, every replicate mean is one
+    fixed-order double of two exact integers, and the |T_r| ≥ |T_obs|
+    comparisons are decided on bit-identical doubles. Fully in-plan:
+    the b-row replicate table and the one-row observed statistic meet
+    in a broadcast cross join; the final scalar agg's Exchange
+    SinglePartition is the legitimate one-row fold.
+
+    Scale: the explode multiplies rows by b MAP-SIDE ONLY and the
+    partial-first groupBy collapses to b rows before any shuffle; the
+    input is repartitioned first so a single-file parquet doesn't
+    serialize the whole rows·b hash work onto one task (the
+    poisson_bootstrap lesson).
+
+    Output (one row): n_a, n_b, b, t_obs (6 dp), n_extreme, p_value
+    (6 dp).
+    """
+    if b < 19:
+        raise ValueError(f"b must be >= 19, got {b}")
+    base = df.where(
+        F.col(type_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.floor(F.col(value_col) * F.lit(1048576.0)).cast("bigint")
+        .alias("_v"),
+        F.when(F.col(type_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("_a"),
+    )
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("_k")
+    ).localCheckpoint(eager=False)  # observed agg + b-way explode
+    obs = base.agg(
+        F.sum("_a").cast("bigint").alias("_na"),
+        F.sum(1 - F.col("_a")).cast("bigint").alias("_nb"),
+        F.sum(F.col("_a") * F.col("_v")).cast("bigint").alias("_sva"),
+        F.sum((1 - F.col("_a")) * F.col("_v")).cast("bigint")
+        .alias("_svb"),
+    ).withColumn(
+        "_thresh",
+        F.expr("div(_na * 1048576, _na + _nb)").cast("bigint"),
+    )
+    blk = F.explode(
+        F.sequence(F.lit(0), F.lit((b + 2) // 3 - 1))
+    ).alias("_blk")
+    h = md5_prefix60(
+        F.concat(
+            F.lit(f"perm:{seed}:"),
+            F.col("_blk").cast("string"),
+            F.lit(":"),
+            F.col("_k"),
+        )
+    )
+    lanes = F.array(
+        F.pmod(F.col("_h"), F.lit(1 << 20)),
+        F.pmod(F.expr("div(_h, 1048576)"), F.lit(1 << 20)),
+        F.expr("div(_h, 1099511627776)"),
+    )
+    reps = (
+        base.select("_k", "_v", blk)
+        .withColumn("_h", h)
+        .select(
+            "_k", "_v",
+            F.posexplode(lanes).alias("_l", "_u"),
+            F.col("_blk"),
+        )
+        .select(
+            "_v",
+            (F.col("_blk") * 3 + F.col("_l")).alias("_rep"),
+            "_u",
+        )
+        .where(F.col("_rep") < b)
+        .crossJoin(F.broadcast(obs.select("_thresh")))
+        .withColumn(
+            "_pa", F.when(F.col("_u") < F.col("_thresh"), F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint")
+        )
+        .groupBy("_rep")
+        .agg(
+            F.sum("_pa").cast("bigint").alias("_ra"),
+            F.count("*").cast("bigint").alias("_rn"),
+            F.sum(F.col("_pa") * F.col("_v")).cast("bigint")
+            .alias("_rva"),
+            F.sum((1 - F.col("_pa")) * F.col("_v")).cast("bigint")
+            .alias("_rvb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    t_obs = d("_sva") / d("_na") - d("_svb") / d("_nb")
+    t_rep = d("_rva") / d("_ra") - d("_rvb") / (d("_rn") - d("_ra"))
+    scored = reps.crossJoin(F.broadcast(obs)).select(
+        "_na", "_nb", "_sva", "_svb",
+        F.when(
+            (F.col("_ra") > 0) & (F.col("_rn") > F.col("_ra"))
+            & (F.abs(t_rep) >= F.abs(t_obs)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("bigint").alias("_ex"),
+    )
+    agg = scored.groupBy().agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_sva").alias("_sva"),
+        F.max("_svb").alias("_svb"),
+        F.sum("_ex").cast("bigint").alias("n_extreme"),
+    )
+    t_final = (
+        d("_sva") / d("n_a") - d("_svb") / d("n_b")
+    ) / F.lit(1048576.0)
+    return agg.select(
+        "n_a", "n_b",
+        F.lit(int(b)).cast("bigint").alias("b"),
+        (F.round(t_final, 6) + F.lit(0.0)).alias("t_obs"),
+        "n_extreme",
+        (
+            F.round(
+                (F.col("n_extreme") + 1).cast("double")
+                / F.lit(float(b + 1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )

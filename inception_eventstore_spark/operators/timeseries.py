@@ -1189,3 +1189,137 @@ def mann_kendall_daily(
         "var_num18",
         (F.round(z, 6) + F.lit(0.0)).alias("z_mk"),
     ).orderBy(key_col)
+
+
+def seasonal_decompose_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    period: int = 7,
+    max_span_days: int = 100_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count (the moving-average method of Macaulay 1931, the
+    `decompose()` everyone knows from R): trend = centered
+    ``period``-day moving average, seasonal = per-phase mean of the
+    detrended series, residual = the rest. The drift/weekly-cycle
+    separation every traffic anomaly review starts from.
+
+    PURE INTEGER recipe — no doubles anywhere, so cross-engine
+    equality is structural rather than numerical:
+    - the zero-filled day grid is bounded (`max_span_days` guard, the
+      mann_kendall pattern);
+    - trend_u = div(Σ_{±h} count · 2^20, period): truncating integer
+      division, identical in Spark (`div`) and DuckDB (`//`, both
+      truncate toward zero — and this numerator is non-negative
+      anyway). Odd ``period`` required so the window centers exactly;
+    - the moving window is an explode(sequence(−h..h)) equi-join on
+      day index — NEVER a window function (no single-task funnel; a
+      day-axis window would also need a global sort). Edge days
+      without a full window are dropped, as in every classical
+      implementation;
+    - phase = day-index mod period relative to a PORTABLE epoch
+      Monday (datediff from 1970-01-05 mod 7 when period = 7 — Spark
+      `dayofweek` and DuckDB `dayofweek` disagree on indexing, so
+      neither builtin is used);
+    - seasonal_u(phase) = div(Σ detrended_u, n_phase): the numerator
+      can be negative, and BOTH engines' integer division truncates
+      toward zero, so the quotients agree exactly (verified in
+      pytest with negative-numerator fixtures). Seasonal means are
+      reported as-is (not re-centered), the plain-means convention.
+
+    Scale: one groupBy to the bounded day axis; everything after is
+    bounded-axis joins (≤ max_span_days rows). Output per day (full
+    windows only): day, n_events, trend_u, seasonal_u, resid_u —
+    2^20 fixed-point BIGINTs with n·2^20 = trend_u + seasonal_u +
+    resid_u exactly.
+    """
+    if period % 2 != 1 or period < 3:
+        raise ValueError(
+            f"period must be odd and >= 3, got {period}"
+        )
+    h = period // 2
+    cnts = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    bounds = cnts.agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    b = bounds.first()
+    if b["_d0"] is None:
+        raise ValueError("seasonal_decompose_daily: no rows")
+    span = (b["_d1"] - b["_d0"]).days + 1
+    if span > max_span_days:
+        raise ValueError(
+            f"seasonal_decompose_daily: span {span} exceeds "
+            f"max_span_days={max_span_days}"
+        )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("_d0", "_d1")).alias("_d")
+        )
+        .join(cnts, "_d", "left")
+        .select(
+            "_d",
+            F.coalesce("_x", F.lit(0)).alias("_x"),
+            F.pmod(
+                F.datediff(F.col("_d"), F.to_date(F.lit("1970-01-05"))),
+                F.lit(int(period)),
+            ).cast("bigint").alias("_ph"),
+            F.datediff(
+                F.col("_d"), F.to_date(F.lit("1970-01-01"))
+            ).cast("bigint").alias("_i"),
+        )
+        .localCheckpoint(eager=False)  # bounded axis, read 3x
+    )
+    # centered moving sum via offset explode + equi-join on day index
+    contrib = grid.select(
+        F.explode(
+            F.sequence(F.lit(-int(h)), F.lit(int(h)))
+        ).alias("_off"),
+        (F.col("_i")).alias("_src"),
+        "_x",
+    ).select((F.col("_src") + F.col("_off")).alias("_i"), "_x")
+    win = contrib.groupBy("_i").agg(
+        F.sum("_x").cast("bigint").alias("_wsum"),
+        F.count("*").cast("bigint").alias("_wn"),
+    )
+    lo = grid.agg(F.min("_i")).first()[0]
+    hi = lo + span - 1
+    tr = (
+        grid.join(win, "_i")
+        # full windows only: the edge days also see fewer contributors
+        .where(
+            (F.col("_i") >= F.lit(int(lo + h)))
+            & (F.col("_i") <= F.lit(int(hi - h)))
+        )
+        .select(
+            "_d", "_i", "_ph", "_x",
+            F.expr(f"div(_wsum * 1048576, {int(period)})")
+            .cast("bigint").alias("_tu"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    det = tr.select(
+        "_ph", (F.col("_x") * F.lit(1048576) - F.col("_tu")).alias("_du")
+    )
+    seas = det.groupBy("_ph").agg(
+        F.sum("_du").cast("bigint").alias("_dsum"),
+        F.count("*").cast("bigint").alias("_dn"),
+    ).select(
+        "_ph",
+        F.expr("div(_dsum, _dn)").cast("bigint").alias("_su"),
+    )
+    return (
+        tr.join(F.broadcast(seas), "_ph")
+        .select(
+            F.col("_d").alias("day"),
+            F.col("_x").alias("n_events"),
+            F.col("_tu").alias("trend_u"),
+            F.col("_su").alias("seasonal_u"),
+            (
+                F.col("_x") * F.lit(1048576) - F.col("_tu")
+                - F.col("_su")
+            ).cast("bigint").alias("resid_u"),
+        )
+        .orderBy("day")
+    )

@@ -3558,6 +3558,9 @@ _DRIVER_LEDGER_FRONT = [
     "text_fingerprints",
     # r8 new/changed oracles prepend here as they land:
     "multimodal_mp4_frames",
+    "chi_square_independence", "kruskal_wallis", "spearman_corr",
+    "ipw_ate", "seasonal_decompose", "permutation_pvalue",
+    "v_optimal_histogram", "cochran_armitage",
 ]
 
 
@@ -12836,3 +12839,520 @@ _R8A_QUERIES = {
     ),
 }
 QUERIES = {**_R8A_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# r8: six new analytics operators (chi-square, Kruskal-Wallis,
+# Spearman, IPW ATE, seasonal decomposition, permutation test)
+# ----------------------------------------------------------------------
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence of event_type × weekday
+    (profile.chi_square_independence) — bounded R×C grid, per-cell
+    contributions floored to 2^20 micro-units and summed as BIGINTs
+    (quantize-before-combine), Cramér's V alongside."""
+    from inception_eventstore_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    return chi_square_independence(_t(spark, sf_dir, "events"))
+
+
+_CHI_SQUARE_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS r,
+    CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+      AS BIGINT) AS c,
+    CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+grid AS (
+  SELECT rr.r, cc.c, COALESCE(cells.o, 0) AS o
+  FROM (SELECT DISTINCT r FROM cells) rr
+  CROSS JOIN (SELECT DISTINCT c FROM cells) cc
+  LEFT JOIN cells ON cells.r = rr.r AND cells.c = cc.c),
+rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM grid GROUP BY 1),
+ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM grid GROUP BY 1),
+tot AS (SELECT CAST(sum(rt) AS BIGINT) AS n FROM rt),
+per AS (
+  SELECT n,
+    CAST(floor(
+      CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      * 1048576.0) AS BIGINT) AS cu,
+    g.r, g.c
+  FROM grid g
+  JOIN rt ON rt.r = g.r
+  JOIN ct ON ct.c = g.c
+  CROSS JOIN tot),
+agg AS (
+  SELECT max(n) AS n,
+    CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+    CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+    CAST(sum(cu) AS BIGINT) AS su
+  FROM per)
+SELECT n, n_rows, n_cols,
+  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+  round(CAST(su AS DOUBLE) / 1048576.0, 6) + 0.0 AS chi2,
+  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+    round(sqrt(CAST(su AS DOUBLE) / 1048576.0
+      / (CAST(n AS DOUBLE)
+         * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 6) + 0.0
+  END AS cramers_v
+FROM agg
+"""
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across ALL event types' value distributions
+    (profile.kruskal_wallis) — midranks ×2 via sharded_running_sums,
+    tie term in base-2^31 lanes recombined driver-side, per-group
+    R²/n quantized to micro-units before the bounded-axis sum."""
+    from inception_eventstore_spark.operators.profile import (
+        kruskal_wallis,
+    )
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"))
+
+
+_KRUSKAL_ORACLE = """
+WITH v AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+cells AS (
+  SELECT v, g, CAST(count(*) AS BIGINT) AS ng FROM v GROUP BY 1, 2),
+per AS (SELECT v, CAST(sum(ng) AS BIGINT) AS nt FROM cells GROUP BY 1),
+r AS (
+  SELECT v, nt,
+    CAST(sum(nt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS ntc
+  FROM per),
+mid AS (SELECT v, 2 * (ntc - nt) + nt + 1 AS mx2, nt FROM r),
+ties AS (
+  SELECT CAST(sum(nt * nt * nt - nt) AS BIGINT) AS tie_sum FROM mid),
+tot AS (SELECT CAST(sum(nt) AS BIGINT) AS n FROM per),
+grp AS (
+  SELECT g, CAST(sum(ng) AS BIGINT) AS n_g,
+    CAST(sum(ng * mx2) AS BIGINT) AS rs
+  FROM cells JOIN mid ON cells.v = mid.v GROUP BY 1),
+su AS (
+  SELECT CAST(sum(CAST(floor(
+      CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+      / (4.0 * CAST(n_g AS DOUBLE)) * 1048576.0) AS BIGINT))
+    AS BIGINT) AS s_u
+  FROM grp),
+h AS (
+  SELECT n, tie_sum,
+    round(
+      (12.0 * (CAST(s_u AS DOUBLE) / 1048576.0)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+       - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+      / (1.0 - CAST(tie_sum AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE))), 6) + 0.0 AS h_tied
+  FROM su, tot, ties)
+SELECT CAST(g AS VARCHAR) AS grp, n_g, rs AS rank_sum_x2,
+  n, tie_sum, h_tied
+FROM grp, h ORDER BY grp
+"""
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between per-user event count and
+    total value (profile.spearman_user_corr) — tie-corrected
+    Pearson-on-midranks; cross-moments in base-2^31 lanes recombined
+    driver-side in exact python ints."""
+    from inception_eventstore_spark.operators.profile import (
+        spearman_user_corr,
+    )
+
+    return spearman_user_corr(_t(spark, sf_dir, "events"))
+
+
+_SPEARMAN_ORACLE = """
+WITH per AS (
+  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS x,
+    CAST(sum(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+ax AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS nt FROM per GROUP BY 1),
+rx AS (
+  SELECT v,
+    2 * (CAST(sum(nt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) - nt) + nt + 1 AS m
+  FROM ax),
+ay AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS nt FROM per GROUP BY 1),
+ry AS (
+  SELECT v,
+    2 * (CAST(sum(nt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) - nt) + nt + 1 AS m
+  FROM ay),
+j AS (
+  SELECT rx.m AS mx, ry.m AS my
+  FROM per JOIN rx ON per.x = rx.v JOIN ry ON per.y = ry.v),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(mx * mx) AS BIGINT) AS sxx,
+    CAST(sum(my * my) AS BIGINT) AS syy,
+    CAST(sum(mx * my) AS BIGINT) AS sxy
+  FROM j)
+SELECT n, sxx, syy, sxy,
+  round(CAST(n * sxy - (n * (n + 1)) * (n * (n + 1)) AS DOUBLE)
+    / sqrt(CAST(n * sxx - (n * (n + 1)) * (n * (n + 1)) AS DOUBLE)
+           * CAST(n * syy - (n * (n + 1)) * (n * (n + 1)) AS DOUBLE)),
+    6) + 0.0 AS rho
+FROM s
+"""
+
+
+def q_ipw_ate(spark, sf_dir):
+    """Stratified / Hájek-IPW average treatment effect over the
+    pinned propensity strata (profile.ipw_ate) — the one-number
+    rollup of propensity_strata, per-stratum contributions floored to
+    micro-units before the bounded-axis sum; naive diff alongside."""
+    from inception_eventstore_spark.operators.profile import ipw_ate
+
+    return ipw_ate(_t(spark, sf_dir, "events"))
+
+
+_IPW_ATE_ORACLE = """
+WITH per AS (
+  SELECT user_id AS u, CAST(user_id % 2 AS INT) AS t,
+    CAST(count(*) AS BIGINT) AS n_ev,
+    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_click,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(floor(value * 1048576.0) AS BIGINT) END), 0)
+      AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+sc AS (SELECT u, t, y,
+    CAST(37 * n_ev + 101 * n_days + 53 * n_click AS BIGINT) AS s
+  FROM per),
+r AS (SELECT t, y,
+    row_number() OVER (ORDER BY s, u) AS rk,
+    count(*) OVER () AS n
+  FROM sc),
+st AS (SELECT (rk - 1) * 10 // n AS stratum, t, y, n FROM r),
+g AS (SELECT stratum,
+    CAST(max(n) AS BIGINT) AS nu,
+    CAST(count(*) AS BIGINT) AS ns,
+    CAST(sum(t) AS BIGINT) AS nt,
+    CAST(sum(1 - t) AS BIGINT) AS nc,
+    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+  FROM st GROUP BY 1),
+agg AS (
+  SELECT max(nu) AS n_users,
+    CAST(sum(nt) AS BIGINT) AS n_treated,
+    CAST(sum(nc) AS BIGINT) AS n_control,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_strata_used,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 0 ELSE 1 END)
+      AS BIGINT) AS n_strata_dropped,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN
+      CAST(floor(CAST(ns AS DOUBLE)
+        * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+        / CAST(nu AS DOUBLE)) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS au,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN syt ELSE 0 END)
+      AS BIGINT) AS syt_ok,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN syc ELSE 0 END)
+      AS BIGINT) AS syc_ok,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+      AS BIGINT) AS nt_ok,
+    CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nc ELSE 0 END)
+      AS BIGINT) AS nc_ok
+  FROM g)
+SELECT n_users, n_treated, n_control, n_strata_used, n_strata_dropped,
+  round(CAST(au AS DOUBLE) / 1048576.0, 6) + 0.0 AS ate,
+  CASE WHEN nt_ok > 0 AND nc_ok > 0 THEN
+    round((CAST(syt_ok AS DOUBLE) / CAST(nt_ok AS DOUBLE)
+           - CAST(syc_ok AS DOUBLE) / CAST(nc_ok AS DOUBLE))
+      / 1048576.0, 6) + 0.0
+  END AS naive_diff
+FROM agg
+"""
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive weekly decomposition of the daily event count
+    (timeseries.seasonal_decompose_daily) — PURE INTEGER: centered
+    7-day moving average via an offset-explode equi-join (never a
+    window), truncating integer division identical in both engines,
+    n·2^20 = trend + seasonal + residual exactly per day."""
+    from inception_eventstore_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    return seasonal_decompose_daily(_t(spark, sf_dir, "events"))
+
+
+_SEASONAL_ORACLE = """
+WITH cnts AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnts),
+grid AS (
+  SELECT g.d, COALESCE(cnts.x, 0) AS x,
+    CAST(datediff('day', DATE '1970-01-05', g.d) % 7 AS BIGINT) AS ph,
+    CAST(datediff('day', DATE '1970-01-01', g.d) AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+          AS d FROM b) g
+  LEFT JOIN cnts ON cnts.d = g.d),
+contrib AS (
+  SELECT i + off AS i, x FROM grid CROSS JOIN range(-3, 4) o(off)),
+win AS (SELECT i, CAST(sum(x) AS BIGINT) AS wsum FROM contrib GROUP BY 1),
+lims AS (SELECT min(i) AS lo, max(i) AS hi FROM grid),
+tr AS (
+  SELECT grid.d, grid.i, grid.ph, grid.x,
+    CAST(wsum * 1048576 AS BIGINT) // 7 AS tu
+  FROM grid JOIN win ON win.i = grid.i, lims
+  WHERE grid.i >= lims.lo + 3 AND grid.i <= lims.hi - 3),
+seas AS (
+  SELECT ph,
+    CAST(sum(x * 1048576 - tu) AS BIGINT)
+      // CAST(count(*) AS BIGINT) AS su
+  FROM tr GROUP BY 1)
+SELECT tr.d AS day, tr.x AS n_events, CAST(tu AS BIGINT) AS trend_u,
+  CAST(su AS BIGINT) AS seasonal_u,
+  CAST(tr.x * 1048576 - tu - su AS BIGINT) AS resid_u
+FROM tr JOIN seas ON tr.ph = seas.ph ORDER BY day
+"""
+
+
+def q_permutation_pvalue(spark, sf_dir):
+    """Two-sample permutation test (Bernoulli re-allocation form) for
+    click vs purchase mean value (sampling.permutation_pvalue) —
+    b=199 deterministic md5-lane relabelings, exact integer replicate
+    sums, add-one p-value; fully in-plan (no driver loop)."""
+    from inception_eventstore_spark.operators.sampling import (
+        permutation_pvalue,
+    )
+
+    return permutation_pvalue(_t(spark, sf_dir, "events"))
+
+
+_PERMUTATION_ORACLE = """
+WITH src AS (
+  SELECT CAST(event_id AS VARCHAR) AS k,
+    CAST(floor(value * 1048576.0) AS BIGINT) AS v,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+obs AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na,
+    CAST(sum(1 - a) AS BIGINT) AS nb,
+    CAST(sum(a * v) AS BIGINT) AS sva,
+    CAST(sum((1 - a) * v) AS BIGINT) AS svb,
+    CAST(CAST(sum(a) AS BIGINT) * 1048576 AS BIGINT)
+      // (CAST(sum(a) AS BIGINT) + CAST(sum(1 - a) AS BIGINT))
+      AS thresh
+  FROM src),
+blocks AS (
+  SELECT r.blk, k, v,
+    CAST(concat('0x', substr(md5(concat('perm:v1:',
+      CAST(r.blk AS VARCHAR), ':', k)), 1, 15)) AS BIGINT) AS h
+  FROM src CROSS JOIN range(0, 67) r(blk)),
+reps AS (
+  SELECT blk * 3 + lane AS rep, v,
+    CASE lane WHEN 0 THEN h % 1048576
+              WHEN 1 THEN (h // 1048576) % 1048576
+              ELSE h // 1099511627776 END AS u
+  FROM blocks CROSS JOIN range(0, 3) l(lane)
+  WHERE blk * 3 + lane < 199),
+lab AS (
+  SELECT rep, v,
+    CASE WHEN u < (SELECT thresh FROM obs) THEN 1 ELSE 0 END AS pa
+  FROM reps),
+ragg AS (
+  SELECT rep, CAST(sum(pa) AS BIGINT) AS ra,
+    CAST(count(*) AS BIGINT) AS rn,
+    CAST(sum(pa * v) AS BIGINT) AS rva,
+    CAST(sum((1 - pa) * v) AS BIGINT) AS rvb
+  FROM lab GROUP BY 1),
+sc AS (
+  SELECT CASE WHEN ra > 0 AND rn > ra AND
+      abs(CAST(rva AS DOUBLE) / CAST(ra AS DOUBLE)
+          - CAST(rvb AS DOUBLE)
+            / (CAST(rn AS DOUBLE) - CAST(ra AS DOUBLE)))
+      >= abs(CAST(sva AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(svb AS DOUBLE) / CAST(nb AS DOUBLE))
+    THEN 1 ELSE 0 END AS ex
+  FROM ragg, obs),
+fin AS (SELECT CAST(sum(ex) AS BIGINT) AS n_extreme FROM sc)
+SELECT na AS n_a, nb AS n_b, CAST(199 AS BIGINT) AS b,
+  round((CAST(sva AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(svb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1048576.0, 6)
+    + 0.0 AS t_obs,
+  n_extreme,
+  round(CAST(n_extreme + 1 AS DOUBLE) / 200.0, 6) + 0.0 AS p_value
+FROM obs, fin
+"""
+
+
+_R8B_QUERIES = {
+    "chi_square_independence": QueryDef(q_chi_square, _CHI_SQUARE_ORACLE),
+    "kruskal_wallis": QueryDef(q_kruskal_wallis, _KRUSKAL_ORACLE),
+    "spearman_corr": QueryDef(q_spearman_corr, _SPEARMAN_ORACLE),
+    "ipw_ate": QueryDef(q_ipw_ate, _IPW_ATE_ORACLE),
+    "seasonal_decompose": QueryDef(
+        q_seasonal_decompose, _SEASONAL_ORACLE
+    ),
+    "permutation_pvalue": QueryDef(
+        q_permutation_pvalue, _PERMUTATION_ORACLE
+    ),
+}
+QUERIES = {**_R8B_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# r8 batch 2: v-optimal histogram (DP, km driver pattern with an
+# unrolled-CTE SQL twin) and the Cochran-Armitage trend test
+# ----------------------------------------------------------------------
+
+
+def q_v_optimal_histogram(spark, sf_dir):
+    """k=8 v-optimal histogram over event values (VLDB'98 DP on the
+    bounded 32-bin pre-aggregation — histogram.v_optimal_histogram):
+    integer 2^20-scaled SSE costs so every DP comparison is exact;
+    the oracle replays the DP with 7 unrolled MATERIALIZED CTE steps
+    and HUGEINT arithmetic, making the identical argmin choices."""
+    from inception_eventstore_spark.operators.histogram import (
+        v_optimal_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return v_optimal_histogram(ev, "value", n_bins=32, k=8)
+
+
+def _vopt_dp_steps() -> str:
+    """d2..d8: one DP step per segment count — identical structure,
+    generated so the oracle and operator can't drift on step count."""
+    steps = []
+    for t in range(2, 9):
+        steps.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT j, cost, m FROM (
+    SELECT sc.j, d{t - 1}.cost + sc.cu AS cost, d{t - 1}.j AS m,
+      row_number() OVER (PARTITION BY sc.j
+        ORDER BY d{t - 1}.cost + sc.cu, d{t - 1}.j) AS rn
+    FROM d{t - 1} JOIN cost sc ON sc.i = d{t - 1}.j + 1) x
+  WHERE rn = 1)""")
+    return ",".join(steps)
+
+
+_VOPT_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(floor(value * 256.0) AS BIGINT) AS x FROM events
+  WHERE value IS NOT NULL),
+mm AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+bx AS (
+  SELECT CASE WHEN hi = lo THEN 0
+    ELSE least(31, (x - lo) * 32 // (hi - lo + 1)) END AS b, x
+  FROM src, mm),
+ag AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c, CAST(sum(x) AS BIGINT) AS s,
+    CAST(sum(x * x) AS BIGINT) AS ss
+  FROM bx GROUP BY 1),
+grid AS (
+  SELECT r.range AS b, COALESCE(ag.c, 0) AS c, COALESCE(ag.s, 0) AS s,
+    COALESCE(ag.ss, 0) AS ss
+  FROM range(0, 32) r LEFT JOIN ag ON ag.b = r.range),
+seg AS (
+  SELECT i.range AS i, j.range AS j,
+    CAST(sum(g.c) AS BIGINT) AS c, CAST(sum(g.s) AS BIGINT) AS s,
+    CAST(sum(g.ss) AS BIGINT) AS ss
+  FROM range(0, 32) i JOIN range(0, 32) j ON j.range >= i.range
+  JOIN grid g ON g.b BETWEEN i.range AND j.range
+  GROUP BY 1, 2),
+cost AS (
+  SELECT i, j,
+    CASE WHEN c = 0 THEN CAST(0 AS HUGEINT)
+      ELSE CAST(ss AS HUGEINT) * 1048576
+           - (CAST(s AS HUGEINT) * s * 1048576) // c END AS cu
+  FROM seg),
+d1 AS MATERIALIZED (
+  SELECT j, cu AS cost, -1 AS m FROM cost WHERE i = 0),
+{_vopt_dp_steps()},
+b8 AS (SELECT m AS m7 FROM d8 WHERE j = 31),
+b7 AS (SELECT b8.m7, d7.m AS m6 FROM b8 JOIN d7 ON d7.j = b8.m7),
+b6 AS (SELECT b7.m7, b7.m6, d6.m AS m5
+       FROM b7 JOIN d6 ON d6.j = b7.m6),
+b5 AS (SELECT b6.*, d5.m AS m4 FROM b6 JOIN d5 ON d5.j = b6.m5),
+b4 AS (SELECT b5.*, d4.m AS m3 FROM b5 JOIN d4 ON d4.j = b5.m4),
+b3 AS (SELECT b4.*, d3.m AS m2 FROM b4 JOIN d3 ON d3.j = b4.m3),
+b2 AS (SELECT b3.*, d2.m AS m1 FROM b3 JOIN d2 ON d2.j = b3.m2),
+bounds AS MATERIALIZED (
+  SELECT 0 AS seg, 0 AS lo, m1 AS hi FROM b2
+  UNION ALL SELECT 1, m1 + 1, m2 FROM b2
+  UNION ALL SELECT 2, m2 + 1, m3 FROM b2
+  UNION ALL SELECT 3, m3 + 1, m4 FROM b2
+  UNION ALL SELECT 4, m4 + 1, m5 FROM b2
+  UNION ALL SELECT 5, m5 + 1, m6 FROM b2
+  UNION ALL SELECT 6, m6 + 1, m7 FROM b2
+  UNION ALL SELECT 7, m7 + 1, 31 FROM b2),
+segagg AS (
+  SELECT bo.seg, bo.lo, bo.hi,
+    CAST(sum(g.c) AS BIGINT) AS c, CAST(sum(g.s) AS BIGINT) AS s,
+    CAST(sum(g.ss) AS BIGINT) AS ss
+  FROM bounds bo JOIN grid g ON g.b BETWEEN bo.lo AND bo.hi
+  GROUP BY 1, 2, 3)
+SELECT CAST(seg AS BIGINT) AS seg, CAST(lo AS BIGINT) AS lo_bucket,
+  CAST(hi AS BIGINT) AS hi_bucket, c AS n_rows, s AS sum_q,
+  CAST((CASE WHEN c = 0 THEN CAST(0 AS HUGEINT)
+    ELSE CAST(ss AS HUGEINT) * 1048576
+         - (CAST(s AS HUGEINT) * s * 1048576) // c END) // 1048576
+    AS BIGINT) AS sse_q
+FROM segagg ORDER BY seg
+"""
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage dose-response trend: conversion (any
+    purchase) vs active-day dose capped at 5
+    (profile.cochran_armitage) — exact integer trend numerator on the
+    bounded dose axis, python-int driver fold, one fixed-order z."""
+    from inception_eventstore_spark.operators.profile import (
+        cochran_armitage,
+    )
+
+    return cochran_armitage(_t(spark, sf_dir, "events"))
+
+
+_COCHRAN_ORACLE = """
+WITH per AS (
+  SELECT user_id AS u,
+    least(CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT), 5) AS w,
+    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS r
+  FROM events GROUP BY 1),
+dose AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_i,
+    CAST(sum(r) AS BIGINT) AS r_i
+  FROM per GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+    CAST(sum(r_i) AS BIGINT) AS r,
+    sum(w * r_i) AS swr, sum(w * n_i) AS swn,
+    sum(w * w * n_i) AS sw2n
+  FROM dose)
+SELECT n AS n_users, r AS n_resp,
+  CAST(n * swr - r * swn AS BIGINT) AS trend_num,
+  CASE WHEN r * (n - r) * (n * sw2n - swn * swn) > 0 THEN
+    round(CAST(n * swr - r * swn AS DOUBLE)
+      / sqrt(CAST(r * (n - r) * (n * sw2n - swn * swn) AS DOUBLE)
+             / CAST(n AS DOUBLE)), 6) + 0.0
+  END AS z_ca
+FROM agg
+"""
+
+
+_R8C_QUERIES = {
+    "v_optimal_histogram": QueryDef(
+        q_v_optimal_histogram, _VOPT_ORACLE
+    ),
+    "cochran_armitage": QueryDef(q_cochran_armitage, _COCHRAN_ORACLE),
+}
+QUERIES = {**_R8C_QUERIES, **QUERIES}

@@ -1334,6 +1334,73 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # r8 analytics family
+    "chi_square_independence": [
+        ("bounded R×C grid sides broadcast", r"BroadcastHashJoin"),
+        ("no window anywhere", "!Window"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "kruskal_wallis": [
+        # mann_whitney_u pattern: tie lanes + per-group terms fold at
+        # call time, the returned plan is the bounded local relation
+        ("result is the bounded per-group local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all in the visible plan", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "spearman_corr": [
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all in the visible plan", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "ipw_ate": [
+        ("rank runs through the two-phase shard machinery "
+         "(checkpoint-visible)",
+         r"Scan ExistingRDD|hashpartitioning\(_gr_pid"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "seasonal_decompose": [
+        # moving average is an offset-explode equi-join on the bounded
+        # day axis (checkpoint-visible), NEVER a window function
+        ("bounded day-grid relation (checkpoint-visible)",
+         r"Scan ExistingRDD"),
+        ("no window at all — trend/seasonal are joins+aggregations",
+         "!Window"),
+        ("seasonal means join broadcast back", r"BroadcastHashJoin"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "permutation_pvalue": [
+        ("observed stats meet replicates in a broadcast join",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("explode collapses map-side before the replicate shuffle",
+         r"partial"),
+        ("no window anywhere", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
+CHECKS.update({
+    # r8 batch 2
+    "v_optimal_histogram": [
+        # km bounded-axis pattern: one partial-agg pass to 32 bins,
+        # the DP runs driver-side, the result is the local relation
+        ("result is the bounded segment local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "cochran_armitage": [
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def _ann_lsh_probe(spark, sf_dir: str):
     """Persisted-LSH probe: build the _sig-partitioned index in a temp
     dir, return the candidate scan — must show PartitionFilters on _sig

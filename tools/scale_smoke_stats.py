@@ -22,6 +22,12 @@ Shapes proven here (the 100 TB argument for each):
   distinct-value-axis rank state, user-keyed partial-agg rollups and
   |groups|-sized releases — every one must stay near-flat as events
   grow 100×.
+- r8 family (chi_square / kruskal_wallis / spearman / ipw_ate /
+  seasonal_decompose / permutation_pvalue / v_optimal_histogram /
+  cochran_armitage): bounded R×C grids, distinct-value rank axes,
+  user-keyed rollups, calendar-bounded moving windows, a b-way
+  map-side explode, and 32-bin DP pre-aggregations — the same
+  flat-cost shapes, proven at 10M events.
 
 Usage: python tools/scale_smoke_stats.py [sf_dir] [reps]
 Prints one JSON line with row volumes + timings.
@@ -171,6 +177,66 @@ def main() -> int:
     (r,) = brier_decomposition(scored, "p", "y", bins=10).collect()
     volumes["brier_rows"] = int(r["n"])
     timings["brier_decomposition"] = round(time.time() - t0, 3)
+
+    # ---- r8 family: chi2 / KW / Spearman / IPW / seasonal / perm ----
+    from inception_eventstore_spark.operators.profile import (
+        chi_square_independence,
+        ipw_ate,
+        kruskal_wallis,
+        spearman_user_corr,
+    )
+    from inception_eventstore_spark.operators.sampling import (
+        permutation_pvalue,
+    )
+    from inception_eventstore_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    t0 = time.time()
+    (r,) = chi_square_independence(ev).collect()
+    volumes["chi_square_n"] = int(r["n"])
+    timings["chi_square_independence"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    rows = kruskal_wallis(ev).collect()
+    volumes["kruskal_groups"] = len(rows)
+    timings["kruskal_wallis"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    (r,) = spearman_user_corr(ev).collect()
+    volumes["spearman_n"] = int(r["n"])
+    timings["spearman_corr"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    (r,) = ipw_ate(ev).collect()
+    volumes["ipw_users"] = int(r["n_users"])
+    timings["ipw_ate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    volumes["seasonal_days"] = seasonal_decompose_daily(ev).count()
+    timings["seasonal_decompose"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    (r,) = permutation_pvalue(ev, b=64).collect()
+    volumes["perm_n"] = int(r["n_a"] + r["n_b"])
+    timings["permutation_pvalue"] = round(time.time() - t0, 3)
+
+    from inception_eventstore_spark.operators.histogram import (
+        v_optimal_histogram,
+    )
+    from inception_eventstore_spark.operators.profile import (
+        cochran_armitage,
+    )
+
+    t0 = time.time()
+    rows = v_optimal_histogram(ev, "value", n_bins=32, k=8).collect()
+    volumes["vopt_rows"] = sum(int(r["n_rows"]) for r in rows)
+    timings["v_optimal_histogram"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    (r,) = cochran_armitage(ev).collect()
+    volumes["cochran_users"] = int(r["n_users"])
+    timings["cochran_armitage"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=64)
