@@ -304,6 +304,8 @@ HEADLINE = [
     "permutation_pvalue",
     "v_optimal_histogram",
     "cochran_armitage",
+    "retrieval_ql_dirichlet",
+    "haar_energy_daily",
 ]
 
 

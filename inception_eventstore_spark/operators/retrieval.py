@@ -616,3 +616,70 @@ def phrase_search(
     return matches.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_matches")
     )
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by Dirichlet-smoothed query likelihood
+    (Zhai & Lafferty, SIGIR 2001) — the language-modeling retrieval
+    twin of :func:`bm25_topk`, and the better ranker for short
+    queries against variable-length documents:
+
+        score(d) = Σ_t ln((tf_{t,d} + µ·cf_t/|C|) / (dl_d + µ))
+
+    where cf_t is the COLLECTION frequency and |C| the corpus token
+    count — unlike BM25, a document is penalized for query terms it
+    lacks (the tf = 0 smoothing term still contributes), so every
+    document with at least one indexable token participates.
+
+    Scale shape: one tokenizing pass; postings narrowed to the query
+    terms BEFORE the aggregation shuffle (the `_tf_table` rule); the
+    |terms|-row collection-frequency table broadcast-crosses the
+    per-doc length relation, so the corpus-sized side never shuffles
+    to meet the query. Terms with cf = 0 are dropped (their smoothed
+    probability is 0 — ln undefined; the standard convention).
+
+    Determinism: tf, dl, cf, |C| are exact integers; each term's ln
+    is one fixed-order double and the per-doc sum is rounded to 6 dp
+    BEFORE the (score desc, doc_id) cut — the bm25_topk recipe (ln of
+    a rational never terminates at a decimal boundary).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = _tokenized(docs, id_col, text_col)
+    n_docs, sum_dl = _derive_stats(toks)
+    if n_docs == 0 or sum_dl == 0:
+        raise ValueError("empty corpus")
+
+    tf = _tf_table(toks, lambda df: df.where(F.col("token").isin(terms)))
+    cf = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
+        .where(F.col("cf") > 0)
+    )
+    dls = toks.select("doc_id", F.size("_toks").cast("bigint").alias("dl"))
+    grid = dls.crossJoin(F.broadcast(cf))
+    joined = grid.join(tf.select("doc_id", "token", "tf"),
+                       ["doc_id", "token"], "left")
+    lp = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(float(mu)) * F.col("cf").cast("double")
+            / F.lit(float(sum_dl))
+        )
+        / (F.col("dl").cast("double") + F.lit(float(mu)))
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.round(F.sum(lp), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

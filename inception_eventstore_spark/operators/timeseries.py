@@ -1323,3 +1323,106 @@ def seasonal_decompose_daily(
         )
         .orderBy("day")
     )
+
+
+def haar_energy_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    levels: int = 5,
+) -> DataFrame:
+    """Multi-resolution Haar detail energies of the daily event count
+    (Haar 1910; the wavelet variance screen of Percival & Walden
+    2000): which time scale — 2-day flicker, weekly swing, fortnight
+    drift — carries the traffic's variance? Level l's detail
+    coefficients difference adjacent 2^(l−1)-day block sums; high
+    energy at level 3 (≈ weekly) is the signature seasonal_decompose
+    then quantifies.
+
+    PURE INTEGER, like seasonal_decompose: the UNNORMALIZED Haar
+    transform (s = a + b, d = a − b) keeps every coefficient an exact
+    BIGINT, so energies Σd² are exact and cross-engine equality is
+    structural. The analysis window is the FIRST 2^levels days from
+    the corpus minimum date, zero-padded past the observed span —
+    a fixed dyadic grid both engines construct identically.
+
+    Scale: one groupBy to the bounded day axis; the pyramid is
+    ``levels`` chained aggregations over ≤ 2^levels rows. Overflow
+    guard: |d| ≤ N (window row count) at every level, so energies are
+    bounded by 2^levels·N² — refused with a clear error past BIGINT
+    rather than an opaque ANSI crash.
+
+    Output per level: level (1..levels, coarser = larger), n_coeffs,
+    energy — plus the level-0 row (n_coeffs = 2^levels, energy = Σx²,
+    the raw signal energy for normalizing the detail shares).
+    """
+    if not 1 <= levels <= 10:
+        raise ValueError(f"levels must be in [1, 10], got {levels}")
+    width = 1 << levels
+    cnts = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    b = cnts.agg(F.min("_d").alias("_d0"),
+                 F.sum("_x").alias("_n")).first()
+    if b["_d0"] is None:
+        raise ValueError("haar_energy_daily: no rows")
+    n_total = int(b["_n"])
+    if width * n_total * n_total >= 1 << 63:
+        raise ValueError(
+            "haar_energy_daily: detail energy could exceed BIGINT "
+            f"({n_total} rows in window) — pre-scale the counts"
+        )
+    d0 = b["_d0"]
+    grid = (
+        events.sparkSession.range(width)
+        .select(F.col("id").cast("bigint").alias("_i"))
+        .join(
+            cnts.select(
+                F.datediff("_d", F.lit(d0)).cast("bigint").alias("_i"),
+                "_x",
+            ),
+            "_i",
+            "left",
+        )
+        .select("_i", F.coalesce("_x", F.lit(0)).alias("_x"))
+        .localCheckpoint(eager=False)  # bounded dyadic axis
+    )
+    outs = [
+        grid.agg(
+            F.lit(0).cast("bigint").alias("level"),
+            F.lit(int(width)).cast("bigint").alias("n_coeffs"),
+            F.sum(F.col("_x") * F.col("_x")).cast("bigint")
+            .alias("energy"),
+        )
+    ]
+    cur = grid
+    for lvl in range(1, levels + 1):
+        pre = cur.select(
+            F.expr("div(_i, 2)").alias("_p"),
+            (F.col("_i") % 2).alias("_m"),
+            "_x",
+        )
+        pair = pre.groupBy("_p").agg(
+            F.sum(F.when(F.col("_m") == 0, F.col("_x"))
+                  .otherwise(0)).cast("bigint").alias("_a"),
+            F.sum(F.when(F.col("_m") == 1, F.col("_x"))
+                  .otherwise(0)).cast("bigint").alias("_b"),
+        )
+        nxt = pair.select(
+            F.col("_p").alias("_i"),
+            (F.col("_a") + F.col("_b")).alias("_x"),
+            (F.col("_a") - F.col("_b")).alias("_dd"),
+        ).localCheckpoint(eager=False)
+        outs.append(
+            nxt.agg(
+                F.lit(int(lvl)).cast("bigint").alias("level"),
+                F.lit(int(width >> lvl)).cast("bigint")
+                .alias("n_coeffs"),
+                F.sum(F.col("_dd") * F.col("_dd")).cast("bigint")
+                .alias("energy"),
+            )
+        )
+        cur = nxt.select("_i", "_x")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")

@@ -3561,6 +3561,7 @@ _DRIVER_LEDGER_FRONT = [
     "chi_square_independence", "kruskal_wallis", "spearman_corr",
     "ipw_ate", "seasonal_decompose", "permutation_pvalue",
     "v_optimal_histogram", "cochran_armitage",
+    "retrieval_ql_dirichlet", "haar_energy_daily",
 ]
 
 
@@ -13356,3 +13357,123 @@ _R8C_QUERIES = {
     "cochran_armitage": QueryDef(q_cochran_armitage, _COCHRAN_ORACLE),
 }
 QUERIES = {**_R8C_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# r8 batch 3: Dirichlet query-likelihood retrieval + Haar wavelet
+# energy screen
+# ----------------------------------------------------------------------
+
+
+def q_ql_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed query likelihood top-10 for the bm25 query
+    terms (retrieval.ql_dirichlet_topk) — the LM-retrieval twin:
+    absent terms still contribute their smoothed penalty, so every
+    doc participates; postings narrowed to the query terms before any
+    shuffle; 6-dp rounding before the deterministic (score, doc_id)
+    cut."""
+    from inception_eventstore_spark.operators.retrieval import (
+        ql_dirichlet_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ql_dirichlet_topk(
+        docs, ["spark", "merge", "window"], k=10, mu=2000.0
+    )
+
+
+_QL_DIRICHLET_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sdl FROM toks),
+ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ex
+  WHERE token IN ('merge', 'spark', 'window') GROUP BY 1, 2),
+cf AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+  GROUP BY 1 HAVING sum(tf) > 0),
+dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+grid AS (
+  SELECT dls.doc_id, dls.dl, cf.token, cf.cf FROM dls CROSS JOIN cf),
+j AS (
+  SELECT g.doc_id, g.dl, g.cf, COALESCE(tf.tf, 0) AS tf
+  FROM grid g
+  LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.token = g.token),
+s AS (
+  SELECT doc_id,
+    ln((CAST(tf AS DOUBLE)
+        + 2000.0 * CAST(cf AS DOUBLE)
+          / CAST((SELECT sdl FROM st) AS DOUBLE))
+       / (CAST(dl AS DOUBLE) + 2000.0)) AS lp
+  FROM j)
+SELECT doc_id, round(sum(lp), 6) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_haar_energy(spark, sf_dir):
+    """Haar wavelet detail energies of daily traffic over the first
+    32 days (timeseries.haar_energy_daily) — PURE INTEGER pyramid
+    (unnormalized s = a+b / d = a−b), exact BIGINT energies per
+    scale, zero-padded fixed dyadic grid."""
+    from inception_eventstore_spark.operators.timeseries import (
+        haar_energy_daily,
+    )
+
+    return haar_energy_daily(_t(spark, sf_dir, "events"), levels=5)
+
+
+_HAAR_ORACLE = """
+WITH cnts AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0 FROM cnts),
+grid AS (
+  SELECT r.range AS i, COALESCE(c.x, 0) AS x
+  FROM range(0, 32) r LEFT JOIN (
+    SELECT datediff('day', (SELECT d0 FROM b), d) AS i, x FROM cnts) c
+  ON c.i = r.range),
+l1 AS (
+  SELECT i // 2 AS p,
+    CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN i % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS b
+  FROM grid GROUP BY 1),
+l2 AS (
+  SELECT p // 2 AS p,
+    CAST(sum(CASE WHEN p % 2 = 0 THEN a + b ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN p % 2 = 1 THEN a + b ELSE 0 END) AS BIGINT) AS b
+  FROM l1 GROUP BY 1),
+l3 AS (
+  SELECT p // 2 AS p,
+    CAST(sum(CASE WHEN p % 2 = 0 THEN a + b ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN p % 2 = 1 THEN a + b ELSE 0 END) AS BIGINT) AS b
+  FROM l2 GROUP BY 1),
+l4 AS (
+  SELECT p // 2 AS p,
+    CAST(sum(CASE WHEN p % 2 = 0 THEN a + b ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN p % 2 = 1 THEN a + b ELSE 0 END) AS BIGINT) AS b
+  FROM l3 GROUP BY 1),
+l5 AS (
+  SELECT p // 2 AS p,
+    CAST(sum(CASE WHEN p % 2 = 0 THEN a + b ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN p % 2 = 1 THEN a + b ELSE 0 END) AS BIGINT) AS b
+  FROM l4 GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS level, CAST(32 AS BIGINT) AS n_coeffs,
+  CAST(sum(x * x) AS BIGINT) AS energy FROM grid
+UNION ALL SELECT 1, 16, CAST(sum((a - b) * (a - b)) AS BIGINT) FROM l1
+UNION ALL SELECT 2, 8, CAST(sum((a - b) * (a - b)) AS BIGINT) FROM l2
+UNION ALL SELECT 3, 4, CAST(sum((a - b) * (a - b)) AS BIGINT) FROM l3
+UNION ALL SELECT 4, 2, CAST(sum((a - b) * (a - b)) AS BIGINT) FROM l4
+UNION ALL SELECT 5, 1, CAST(sum((a - b) * (a - b)) AS BIGINT) FROM l5
+ORDER BY level
+"""
+
+
+_R8D_QUERIES = {
+    "retrieval_ql_dirichlet": QueryDef(
+        q_ql_dirichlet, _QL_DIRICHLET_ORACLE
+    ),
+    "haar_energy_daily": QueryDef(q_haar_energy, _HAAR_ORACLE),
+}
+QUERIES = {**_R8D_QUERIES, **QUERIES}

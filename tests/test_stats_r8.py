@@ -492,3 +492,119 @@ class TestCochranArmitage:
         spec = [(10, 2, True), (10, 2, False)]
         out = cochran_armitage(self._users(spark, spec)).collect()[0]
         assert out.z_ca is None
+
+
+from inception_eventstore_spark.operators.retrieval import (  # noqa: E402
+    ql_dirichlet_topk,
+)
+from inception_eventstore_spark.operators.timeseries import (  # noqa: E402
+    haar_energy_daily,
+)
+
+
+class TestQlDirichlet:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_matches_python_reference(self, spark):
+        texts = [
+            "spark merge window spark spark",
+            "merge window merge table",
+            "table key value store store store",
+            "window window window",
+        ]
+        out = ql_dirichlet_topk(
+            self._docs(spark, texts), ["spark", "merge"], k=4, mu=10.0
+        ).collect()
+        # driver-side reference with identical arithmetic
+        toks = [t.split() for t in texts]
+        sdl = sum(len(t) for t in toks)
+        cf = {q: sum(t.count(q) for t in toks) for q in ("merge", "spark")}
+        want = {}
+        for i, t in enumerate(toks):
+            s = 0.0
+            for q in ("merge", "spark"):
+                s += math.log(
+                    (float(t.count(q)) + 10.0 * float(cf[q]) / float(sdl))
+                    / (float(len(t)) + 10.0))
+            want[i] = round(s, 6)
+        got = {r.doc_id: r.score for r in out}
+        assert got == pytest.approx(want, abs=1e-9)
+        # doc 0 (both terms frequent, short) must win
+        assert out[0].doc_id == 0
+
+    def test_missing_terms_penalized_not_excluded(self, spark):
+        texts = ["spark spark spark", "table key value"]
+        out = {r.doc_id: r.score for r in ql_dirichlet_topk(
+            self._docs(spark, texts), ["spark"], k=2, mu=5.0).collect()}
+        assert set(out) == {0, 1}          # smoothing keeps doc 1 in
+        assert out[0] > out[1]
+
+    def test_zero_cf_terms_dropped(self, spark):
+        texts = ["spark spark", "merge merge"]
+        out = ql_dirichlet_topk(
+            self._docs(spark, texts), ["spark", "nosuchterm"], k=2
+        ).collect()
+        assert len(out) == 2  # scores from 'spark' alone, no ln(0)
+
+    def test_guards(self, spark):
+        d = self._docs(spark, ["a"])
+        with pytest.raises(ValueError, match="non-empty"):
+            ql_dirichlet_topk(d, [])
+        with pytest.raises(ValueError, match="mu must be"):
+            ql_dirichlet_topk(d, ["a"], mu=0.0)
+
+
+def _haar_reference(xs, levels):
+    out = [(0, len(xs), sum(x * x for x in xs))]
+    cur = list(xs)
+    for lvl in range(1, levels + 1):
+        a = cur[0::2]; b = cur[1::2]
+        det = [x - y for x, y in zip(a, b)]
+        cur = [x + y for x, y in zip(a, b)]
+        out.append((lvl, len(det), sum(d * d for d in det)))
+    return out
+
+
+class TestHaarEnergy:
+    def _daily(self, spark, counts):
+        rows, eid = [], 0
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, TS + dt.timedelta(days=d), 1, "view", 1.0))
+                eid += 1
+        return _ev(spark, rows)
+
+    def test_matches_python_pyramid(self, spark):
+        counts = [5, 1, 4, 4, 9, 2, 6, 6, 3, 3, 8, 1, 0, 7, 2, 5,
+                  1, 1, 2, 9, 4, 4, 4, 4, 0, 0, 5, 6, 7, 2, 3, 1]
+        out = haar_energy_daily(self._daily(spark, counts)).collect()
+        want = _haar_reference(counts, 5)
+        got = [(r.level, r.n_coeffs, r.energy) for r in out]
+        assert got == want
+
+    def test_zero_padding_past_span(self, spark):
+        counts = [3, 3, 3, 3]  # only 4 observed days -> 28 zero-pad
+        out = haar_energy_daily(self._daily(spark, counts)).collect()
+        want = _haar_reference(counts + [0] * 28, 5)
+        assert [(r.level, r.n_coeffs, r.energy) for r in out] == want
+
+    def test_constant_signal_detail_free(self, spark):
+        out = haar_energy_daily(self._daily(spark, [4] * 32)).collect()
+        for r in out:
+            if r.level >= 1:
+                assert r.energy == 0
+
+    def test_alternating_signal_all_level1(self, spark):
+        sig = [6, 0] * 16
+        out = {r.level: r.energy
+               for r in haar_energy_daily(self._daily(spark, sig)).collect()}
+        assert out[1] == 16 * 36 and out[2] == 0 and out[5] == 0
+
+    def test_guards(self, spark):
+        with pytest.raises(ValueError, match="no rows"):
+            haar_energy_daily(_ev(spark, []))
+        with pytest.raises(ValueError, match="levels"):
+            haar_energy_daily(self._daily(spark, [1]), levels=0)

@@ -1401,6 +1401,27 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # r8 batch 3
+    "retrieval_ql_dirichlet": [
+        ("query-term cf table broadcast-crosses the doc lengths",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("postings narrowed to query terms before the agg shuffle",
+         r"PushedFilters|Filter"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "haar_energy_daily": [
+        # bounded dyadic pyramid: every level is a checkpoint-visible
+        # bounded relation, never a window
+        ("bounded dyadic grid (checkpoint-visible)",
+         r"Scan ExistingRDD"),
+        ("no window at all — the pyramid is chained aggregations",
+         "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def _ann_lsh_probe(spark, sf_dir: str):
     """Persisted-LSH probe: build the _sig-partitioned index in a temp
     dir, return the candidate scan — must show PartitionFilters on _sig

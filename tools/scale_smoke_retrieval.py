@@ -37,6 +37,7 @@ def main() -> int:
 
     from inception_eventstore_spark.operators.retrieval import (
         bm25_topk,
+        ql_dirichlet_topk,
         phrase_search,
         tokens,
     )
@@ -90,6 +91,16 @@ def main() -> int:
     )
 
     t0 = time.time()
+    ql = ql_dirichlet_topk(
+        docs, ["spark", "merge", "window"], k=10, mu=2000.0
+    ).collect()
+    out["ql_dirichlet_sec"] = round(time.time() - t0, 2)
+    assert len(ql) == 10
+    assert all(r["doc_id"] % 97 == 0 for r in ql), (
+        "QL top-k must be planted docs — query terms exist nowhere else"
+    )
+
+    t0 = time.time()
     matches = phrase_search(docs, ["p1", "p2", "p1"]).collect()
     out["phrase_sec"] = round(time.time() - t0, 2)
     out["phrase_matches"] = len(matches)
@@ -118,7 +129,8 @@ def main() -> int:
 
     docs.unpersist()
     out["total_sec"] = round(
-        out["bm25_sec"] + out["phrase_sec"] + out["candidate_count_sec"], 2
+        out["bm25_sec"] + out["ql_dirichlet_sec"] + out["phrase_sec"]
+        + out["candidate_count_sec"], 2
     )
     print(json.dumps({"smoke": "retrieval_r8", **out}))
     return 0

@@ -221,6 +221,14 @@ def main() -> int:
     volumes["perm_n"] = int(r["n_a"] + r["n_b"])
     timings["permutation_pvalue"] = round(time.time() - t0, 3)
 
+    from inception_eventstore_spark.operators.timeseries import (
+        haar_energy_daily,
+    )
+
+    t0 = time.time()
+    volumes["haar_levels"] = haar_energy_daily(ev).count()
+    timings["haar_energy_daily"] = round(time.time() - t0, 3)
+
     from inception_eventstore_spark.operators.histogram import (
         v_optimal_histogram,
     )
