@@ -306,6 +306,8 @@ HEADLINE = [
     "cochran_armitage",
     "retrieval_ql_dirichlet",
     "haar_energy_daily",
+    "changepoints_lsq",
+    "entity_clusters",
 ]
 
 

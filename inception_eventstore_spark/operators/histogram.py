@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["v_optimal_histogram"]
+__all__ = ["v_optimal_histogram", "v_optimal_segmentation"]
 
 _SCALE = 1 << 20
 
@@ -47,6 +47,61 @@ def _seg_cost(c: int, s: int, ss: int) -> int:
     if c == 0:
         return 0
     return ss * _SCALE - (s * s * _SCALE) // c
+
+
+def v_optimal_segmentation(
+    bins: list[tuple[int, int, int]], k: int
+) -> list[tuple[int, int, int]]:
+    """Exact k-segment least-squares DP over a bounded pre-binned
+    axis: ``bins`` is [(count, sum, sum_sq)] per position; returns
+    [(lo, hi, cost_u)] per segment with cost_u the 2^20-scaled
+    integer SSE. Shared by `v_optimal_histogram` (value axis) and
+    `timeseries.changepoints_lsq` (day axis) — ONE cost/tie-break
+    definition, so their oracles replay the identical argmin choices
+    (ties break to the smallest split, the row_number ORDER BY
+    (cost, prev) rule)."""
+    n_bins = len(bins)
+    if not 2 <= k <= n_bins:
+        raise ValueError(f"need 2 <= k <= n_bins, got k={k}, n_bins={n_bins}")
+    pc = [0] * (n_bins + 1)
+    ps = [0] * (n_bins + 1)
+    pss = [0] * (n_bins + 1)
+    for b, (c, s, ss) in enumerate(bins):
+        pc[b + 1] = pc[b] + c
+        ps[b + 1] = ps[b] + s
+        pss[b + 1] = pss[b] + ss
+
+    def cost(i: int, j: int) -> int:  # buckets i..j inclusive
+        return _seg_cost(
+            pc[j + 1] - pc[i], ps[j + 1] - ps[i], pss[j + 1] - pss[i]
+        )
+
+    INF = float("inf")
+    best = [[INF] * n_bins for _ in range(k + 1)]
+    prev = [[-1] * n_bins for _ in range(k + 1)]
+    for j in range(n_bins):
+        best[1][j] = cost(0, j)
+    for t in range(2, k + 1):
+        for j in range(t - 1, n_bins):
+            for m in range(t - 2, j):
+                if best[t - 1][m] is INF:
+                    continue
+                cand = best[t - 1][m] + cost(m + 1, j)
+                if cand < best[t][j]:
+                    best[t][j], prev[t][j] = cand, m
+    splits = []
+    j = n_bins - 1
+    for t in range(k, 1, -1):
+        m = prev[t][j]
+        splits.append(m)
+        j = m
+    splits = sorted(splits)
+    bounds = (
+        [(0, splits[0])]
+        + [(splits[i] + 1, splits[i + 1]) for i in range(len(splits) - 1)]
+        + [(splits[-1] + 1, n_bins - 1)]
+    )
+    return [(blo, bhi, cost(blo, bhi)) for blo, bhi in bounds]
 
 
 def v_optimal_histogram(
@@ -101,58 +156,16 @@ def v_optimal_histogram(
     got = {int(r["_b"]): (int(r["_c"]), int(r["_s"]), int(r["_ss"]))
            for r in rows}
     bins = [got.get(b, (0, 0, 0)) for b in range(int(n_bins))]
-
-    # prefix sums (python ints, unbounded)
-    pc = [0] * (n_bins + 1)
-    ps = [0] * (n_bins + 1)
-    pss = [0] * (n_bins + 1)
-    for b, (c, s, ss) in enumerate(bins):
-        pc[b + 1] = pc[b] + c
-        ps[b + 1] = ps[b] + s
-        pss[b + 1] = pss[b] + ss
-
-    def cost(i: int, j: int) -> int:  # buckets i..j inclusive
-        return _seg_cost(
-            pc[j + 1] - pc[i], ps[j + 1] - ps[i], pss[j + 1] - pss[i]
-        )
-
-    # DP: best[t][j] = min cost of buckets 0..j in t segments;
-    # ties break to the SMALLEST previous split (the oracle's
-    # row_number ORDER BY cost, prev)
-    INF = float("inf")
-    best = [[INF] * n_bins for _ in range(k + 1)]
-    prev = [[-1] * n_bins for _ in range(k + 1)]
-    for j in range(n_bins):
-        best[1][j] = cost(0, j)
-    for t in range(2, k + 1):
-        for j in range(t - 1, n_bins):
-            for m in range(t - 2, j):
-                if best[t - 1][m] is INF:
-                    continue
-                cand = best[t - 1][m] + cost(m + 1, j)
-                if cand < best[t][j] or (
-                    cand == best[t][j] and m < prev[t][j]
-                ):
-                    best[t][j], prev[t][j] = cand, m
-    # backtrack the k segments
-    splits = []
-    j = n_bins - 1
-    for t in range(k, 1, -1):
-        m = prev[t][j]
-        splits.append(m)
-        j = m
-    splits = sorted(splits)  # k-1 split points m: segment ends at m
-    bounds = (
-        [(0, splits[0])]
-        + [(splits[i] + 1, splits[i + 1]) for i in range(len(splits) - 1)]
-        + [(splits[-1] + 1, n_bins - 1)]
-    )
+    pc_tot = 0
     out_rows = []
-    for seg, (blo, bhi) in enumerate(bounds):
-        c = pc[bhi + 1] - pc[blo]
-        s = ps[bhi + 1] - ps[blo]
-        sse_q = cost(blo, bhi) // _SCALE
-        out_rows.append((seg, blo, bhi, c, s, sse_q))
+    for seg, (blo, bhi, cost_u) in enumerate(
+        v_optimal_segmentation(bins, k)
+    ):
+        c = sum(bins[b][0] for b in range(blo, bhi + 1))
+        s_ = sum(bins[b][1] for b in range(blo, bhi + 1))
+        pc_tot += c
+        out_rows.append((seg, blo, bhi, c, s_, cost_u // _SCALE))
+    assert pc_tot == nr  # segments tile the axis
 
     from inception_eventstore_spark.plans.queries import _local_df
 

@@ -131,3 +131,65 @@ def fuzzy_join(
         .distinct()
     )
     return pairs.select(*out_cols, F.col("dist").cast("bigint").alias("dist"))
+
+
+def entity_clusters(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    right_id_offset: int,
+    max_len: int = 64,
+) -> DataFrame:
+    """End-to-end entity resolution: `fuzzy_join` (lossless
+    deletion-neighborhood blocking, levenshtein ≤ 1) feeds
+    `components.connected_components` (large/small-star, O(log² n)
+    rounds), so near-identical records collapse to one canonical
+    cluster id — the master-data dedup every catalog/CRM ingestion
+    needs, with every stage already proven at scale.
+
+    Left and right rows share one node-id space via
+    ``right_id_offset`` (caller guarantees disjointness — enforced
+    here); every node appears in the output, isolated ones labeled
+    self (matches the dedup_by_components convention). Output:
+    (node, component), component = smallest node id in the cluster.
+    """
+    from inception_eventstore_spark.operators.components import (
+        connected_components,
+    )
+
+    lmax = left.agg(F.max(F.col(left_id))).first()[0]
+    if lmax is not None and int(lmax) >= int(right_id_offset):
+        raise ValueError(
+            f"right_id_offset {right_id_offset} does not clear the "
+            f"left id space (max {lmax})"
+        )
+    pairs = fuzzy_join(
+        left, right, left_col, right_col,
+        left_id=left_id, right_id=right_id, max_len=max_len,
+    ).select(
+        F.col("left_id").alias("id_a"),
+        (F.col("right_id") + F.lit(int(right_id_offset))).alias("id_b"),
+    )
+    comp = connected_components(pairs)
+    nodes = (
+        left.select(F.col(left_id).cast("bigint").alias("node"))
+        .unionByName(
+            right.select(
+                (F.col(right_id) + F.lit(int(right_id_offset)))
+                .cast("bigint").alias("node")
+            )
+        )
+        .distinct()
+    )
+    return (
+        nodes.join(comp, nodes["node"] == comp["node"], "left")
+        .select(
+            nodes["node"],
+            F.coalesce(comp["component"], nodes["node"])
+            .cast("bigint").alias("component"),
+        )
+        .orderBy("node")
+    )

@@ -1426,3 +1426,81 @@ def haar_energy_daily(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("level")
+
+
+def changepoints_lsq(
+    events: DataFrame,
+    ts_col: str = "ts",
+    k: int = 4,
+    max_span_days: int = 512,
+) -> DataFrame:
+    """Multiple-changepoint detection by exact least-squares
+    segmentation (the optimal-partitioning form of Bai & Perron 1998 /
+    Jackson et al. 2005): split the zero-filled daily event count into
+    ``k`` contiguous regimes minimizing total within-segment SSE —
+    the global, multi-break companion of `cusum_changepoints` (which
+    is sequential and single-shift).
+
+    Machinery is `histogram.v_optimal_segmentation` verbatim — the
+    day axis IS a pre-binned axis with one observation per bin — so
+    cost definition, integer 2^20-scaled SSE, and argmin tie-breaks
+    are shared with the v-optimal histogram, and the oracle replays
+    the identical DP with unrolled MATERIALIZED CTE steps over the
+    dynamic day axis. Corpus cost: ONE partial-aggregated groupBy to
+    the bounded day grid (`max_span_days` guard, the mann_kendall
+    pattern); the DP never sees data volume.
+
+    Output per regime: seg, lo_day, hi_day (offsets from the minimum
+    date), n_days, total (events in regime), sse_q (integer SSE of
+    daily counts).
+    """
+    from inception_eventstore_spark.operators.histogram import (
+        _SCALE,
+        v_optimal_segmentation,
+    )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    cnts = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.to_date(F.col(ts_col)).alias("_d")
+    ).agg(F.count("*").cast("bigint").alias("_x"))
+    b = cnts.agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1"),
+        F.max("_x").alias("_xmax"),
+    ).first()
+    if b["_d0"] is None:
+        raise ValueError("changepoints_lsq: no rows")
+    span = (b["_d1"] - b["_d0"]).days + 1
+    if span > max_span_days:
+        raise ValueError(
+            f"changepoints_lsq: day span {span} exceeds "
+            f"max_span_days={max_span_days}; coarsen to weekly buckets"
+        )
+    xmax = int(b["_xmax"])
+    if xmax * xmax * span >= 1 << 63:
+        raise ValueError(
+            "changepoints_lsq: sum of squared daily counts could "
+            f"exceed BIGINT (max {xmax}/day over {span} days)"
+        )
+    rows = (
+        cnts.select(
+            F.datediff("_d", F.lit(b["_d0"])).cast("bigint").alias("_i"),
+            "_x",
+        )
+        .collect()
+    )
+    got = {int(r["_i"]): int(r["_x"]) for r in rows}
+    bins = [(1, got.get(i, 0), got.get(i, 0) ** 2) for i in range(span)]
+    out_rows = []
+    for seg, (blo, bhi, cost_u) in enumerate(
+        v_optimal_segmentation(bins, k)
+    ):
+        total = sum(bins[i][1] for i in range(blo, bhi + 1))
+        out_rows.append(
+            (seg, blo, bhi, bhi - blo + 1, total, cost_u // _SCALE)
+        )
+    return _local_df(
+        events.sparkSession,
+        out_rows,
+        "seg bigint, lo_day bigint, hi_day bigint, n_days bigint, "
+        "total bigint, sse_q bigint",
+    )

@@ -3562,6 +3562,7 @@ _DRIVER_LEDGER_FRONT = [
     "ipw_ate", "seasonal_decompose", "permutation_pvalue",
     "v_optimal_histogram", "cochran_armitage",
     "retrieval_ql_dirichlet", "haar_energy_daily",
+    "changepoints_lsq", "entity_clusters",
 ]
 
 
@@ -13228,11 +13229,11 @@ def q_v_optimal_histogram(spark, sf_dir):
     return v_optimal_histogram(ev, "value", n_bins=32, k=8)
 
 
-def _vopt_dp_steps() -> str:
-    """d2..d8: one DP step per segment count — identical structure,
+def _vopt_dp_steps(k: int = 8) -> str:
+    """d2..dk: one DP step per segment count — identical structure,
     generated so the oracle and operator can't drift on step count."""
     steps = []
-    for t in range(2, 9):
+    for t in range(2, k + 1):
         steps.append(f"""
 d{t} AS MATERIALIZED (
   SELECT j, cost, m FROM (
@@ -13477,3 +13478,138 @@ _R8D_QUERIES = {
     "haar_energy_daily": QueryDef(q_haar_energy, _HAAR_ORACLE),
 }
 QUERIES = {**_R8D_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# r8 batch 4: least-squares changepoints (shared v-optimal DP) and
+# end-to-end entity-resolution clusters
+# ----------------------------------------------------------------------
+
+
+def q_changepoints_lsq(spark, sf_dir):
+    """k=4 least-squares regime segmentation of daily traffic
+    (timeseries.changepoints_lsq) — v_optimal_segmentation on the
+    zero-filled day axis; integer SSE costs, identical DP/tie-breaks
+    to v_optimal_histogram, oracle replays via unrolled CTEs over the
+    dynamic day span."""
+    from inception_eventstore_spark.operators.timeseries import (
+        changepoints_lsq,
+    )
+
+    return changepoints_lsq(_t(spark, sf_dir, "events"), k=4)
+
+
+_CHANGEPOINT_ORACLE = f"""
+WITH cnts AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnts),
+grid AS (
+  SELECT datediff('day', (SELECT d0 FROM b), g.d) AS i,
+    COALESCE(c.x, 0) AS x
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+          AS d FROM b) g
+  LEFT JOIN cnts c ON c.d = g.d),
+lastj AS (SELECT max(i) AS ji FROM grid),
+seg AS (
+  SELECT i.i AS i, j.i AS j,
+    CAST(count(*) AS BIGINT) AS c, CAST(sum(g.x) AS BIGINT) AS s,
+    CAST(sum(g.x * g.x) AS BIGINT) AS ss
+  FROM (SELECT i FROM grid) i JOIN (SELECT i FROM grid) j
+    ON j.i >= i.i
+  JOIN grid g ON g.i BETWEEN i.i AND j.i
+  GROUP BY 1, 2),
+cost AS (
+  SELECT i, j,
+    CASE WHEN c = 0 THEN CAST(0 AS HUGEINT)
+      ELSE CAST(ss AS HUGEINT) * 1048576
+           - (CAST(s AS HUGEINT) * s * 1048576) // c END AS cu
+  FROM seg),
+d1 AS MATERIALIZED (
+  SELECT j, cu AS cost, -1 AS m FROM cost WHERE i = 0),
+{_vopt_dp_steps(4)},
+b4 AS (SELECT m AS m3 FROM d4 WHERE j = (SELECT ji FROM lastj)),
+b3 AS (SELECT b4.m3, d3.m AS m2 FROM b4 JOIN d3 ON d3.j = b4.m3),
+b2 AS (SELECT b3.*, d2.m AS m1 FROM b3 JOIN d2 ON d2.j = b3.m2),
+bounds AS MATERIALIZED (
+  SELECT 0 AS seg, 0 AS lo, m1 AS hi FROM b2
+  UNION ALL SELECT 1, m1 + 1, m2 FROM b2
+  UNION ALL SELECT 2, m2 + 1, m3 FROM b2
+  UNION ALL SELECT 3, m3 + 1, (SELECT ji FROM lastj) FROM b2)
+SELECT CAST(bo.seg AS BIGINT) AS seg, CAST(bo.lo AS BIGINT) AS lo_day,
+  CAST(bo.hi AS BIGINT) AS hi_day,
+  CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(g.x) AS BIGINT) AS total,
+  CAST((CASE WHEN count(*) = 0 THEN CAST(0 AS HUGEINT)
+    ELSE CAST(sum(g.x * g.x) AS HUGEINT) * 1048576
+         - (CAST(sum(g.x) AS HUGEINT) * sum(g.x) * 1048576)
+           // count(*) END) // 1048576 AS BIGINT) AS sse_q
+FROM bounds bo JOIN grid g ON g.i BETWEEN bo.lo AND bo.hi
+GROUP BY 1, 2, 3 ORDER BY seg
+"""
+
+
+def q_entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution (linkage.entity_clusters):
+    customer names vs deterministically-corrupted variants —
+    deletion-neighborhood fuzzy join feeds large/small-star connected
+    components; every node labeled, isolates self. The oracle is the
+    brute-force levenshtein cross join closed by a recursive CTE."""
+    from inception_eventstore_spark.operators.linkage import (
+        entity_clusters,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
+    )
+    pos = (F.col("c_custkey") % 15 + 2).cast("int")
+    right = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("rname"),
+    )
+    return entity_clusters(
+        left, right, "lname", "rname", "lid", "rid",
+        right_id_offset=10_000_000,
+    )
+
+
+_ENTITY_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+L AS (SELECT c_custkey AS lid, c_name AS lname FROM customer),
+R AS (SELECT c_custkey + 10000000 AS rid,
+  substr(c_name, 1, CAST(c_custkey % 15 + 2 AS INT) - 1)
+  || substr(c_name, CAST(c_custkey % 15 + 2 AS INT) + 1, len(c_name))
+  AS rname FROM customer),
+pr AS (
+  SELECT lid AS u, rid AS v FROM L, R
+  WHERE levenshtein(lname, rname) <= 1),
+und AS (SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+  WHERE n.v <> r.u),
+comp AS (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM reach GROUP BY u),
+nodes AS (SELECT lid AS node FROM L UNION SELECT rid AS node FROM R)
+SELECT CAST(n.node AS BIGINT) AS node,
+  CAST(COALESCE(c.component, n.node) AS BIGINT) AS component
+FROM nodes n LEFT JOIN comp c ON c.node = n.node
+ORDER BY node
+"""
+
+
+_R8E_QUERIES = {
+    "changepoints_lsq": QueryDef(
+        q_changepoints_lsq, _CHANGEPOINT_ORACLE
+    ),
+    "entity_clusters": QueryDef(
+        q_entity_clusters, _ENTITY_CLUSTERS_ORACLE
+    ),
+}
+QUERIES = {**_R8E_QUERIES, **QUERIES}

@@ -608,3 +608,88 @@ class TestHaarEnergy:
             haar_energy_daily(_ev(spark, []))
         with pytest.raises(ValueError, match="levels"):
             haar_energy_daily(self._daily(spark, [1]), levels=0)
+
+
+from inception_eventstore_spark.operators.linkage import (  # noqa: E402
+    entity_clusters,
+)
+from inception_eventstore_spark.operators.timeseries import (  # noqa: E402
+    changepoints_lsq,
+)
+
+
+class TestChangepointsLsq:
+    def _daily(self, spark, counts):
+        rows, eid = [], 0
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, TS + dt.timedelta(days=d), 1, "view", 1.0))
+                eid += 1
+        return _ev(spark, rows)
+
+    def test_planted_regimes_recovered(self, spark):
+        counts = [5] * 6 + [20] * 5 + [2] * 7
+        out = changepoints_lsq(
+            self._daily(spark, counts), k=3
+        ).orderBy("seg").collect()
+        assert [(r.lo_day, r.hi_day) for r in out] == [
+            (0, 5), (6, 10), (11, 17)]
+        assert [r.total for r in out] == [30, 100, 14]
+        assert all(r.sse_q == 0 for r in out)  # constant regimes
+
+    def test_dp_optimal_vs_brute_force(self, spark):
+        counts = [3, 7, 1, 9, 9, 8, 2, 2, 3, 14, 13, 1]
+        out = changepoints_lsq(self._daily(spark, counts), k=3).collect()
+        bins = [(1, c, c * c) for c in counts]
+        want = _brute_force_vopt(bins, 3)
+        got = 0
+        for r in out:
+            seg = counts[r.lo_day: r.hi_day + 1]
+            c, s, ss = len(seg), sum(seg), sum(x * x for x in seg)
+            got += ss * (1 << 20) - (s * s * (1 << 20)) // c
+        assert got == want
+        assert sum(r.n_days for r in out) == len(counts)
+
+    def test_guards(self, spark):
+        with pytest.raises(ValueError, match="no rows"):
+            changepoints_lsq(_ev(spark, []))
+        long = self._daily(spark, [1, 1])
+        with pytest.raises(ValueError, match="max_span_days"):
+            changepoints_lsq(long, max_span_days=1)
+
+
+class TestEntityClusters:
+    def _frames(self, spark, lefts, rights):
+        L = spark.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(lefts)],
+            "lid long, lname string")
+        R = spark.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(rights)],
+            "rid long, rname string")
+        return L, R
+
+    def test_chain_clustering_and_isolates(self, spark):
+        # left 'anna' and left 'ana' both link to right 'ana' (dist
+        # 1 / 0) -> one cluster; 'bob' stays isolated self-labeled
+        L, R = self._frames(spark, ["anna", "bob", "ana"], ["ana"])
+        out = {r.node: r.component for r in entity_clusters(
+            L, R, "lname", "rname", "lid", "rid",
+            right_id_offset=100).collect()}
+        assert out == {1: 1, 2: 2, 3: 1, 101: 1}
+
+    def test_offset_guard(self, spark):
+        L, R = self._frames(spark, ["a"], ["a"])
+        with pytest.raises(ValueError, match="right_id_offset"):
+            entity_clusters(L, R, "lname", "rname", "lid", "rid",
+                            right_id_offset=1)
+
+    def test_all_nodes_present(self, spark):
+        L, R = self._frames(
+            spark, ["alpha", "beta", "gamma"], ["alpa", "betta", "zzz"])
+        out = entity_clusters(
+            L, R, "lname", "rname", "lid", "rid",
+            right_id_offset=100).collect()
+        assert len(out) == 6
+        comp = {r.node: r.component for r in out}
+        assert comp[101] == 1 and comp[102] == 2  # dist-1 matches
+        assert comp[103] == 103                   # unmatched variant

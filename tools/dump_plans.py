@@ -1422,6 +1422,25 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # r8 batch 4
+    "changepoints_lsq": [
+        ("result is the bounded regime local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "entity_clusters": [
+        # CC output is eagerly checkpointed each round — the visible
+        # plan reads the converged edge relation
+        ("converged components relation (checkpoint-visible)",
+         r"Scan ExistingRDD"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def _ann_lsh_probe(spark, sf_dir: str):
     """Persisted-LSH probe: build the _sig-partitioned index in a temp
     dir, return the candidate scan — must show PartitionFilters on _sig
