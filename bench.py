@@ -308,6 +308,8 @@ HEADLINE = [
     "haar_energy_daily",
     "changepoints_lsq",
     "entity_clusters",
+    "boilerplate_fraction",
+    "blocklist_hits",
 ]
 
 

@@ -456,3 +456,108 @@ def quality_signal_correlations(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    min_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a document's
+    non-empty lines that are CORPUS-COMMON (trimmed line appears in
+    ≥ ``min_df`` distinct documents) — navigation chrome, cookie
+    banners, footers. The complementary READOUT to
+    `remove_duplicate_lines` (which mutates): curation pipelines
+    score first and gate on the score, because a 90%-boilerplate page
+    should be dropped whole, not trimmed and kept.
+
+    Scale: one line explode; the line-df table is |distinct lines|
+    rows built from the same explode (dropDuplicates before the df
+    count, map-side combined); one equi-join back on the line hash —
+    never a doc×doc comparison. Counts are exact BIGINTs; the
+    fraction is the only double, rounded 6 dp.
+
+    Output: (id, n_lines, n_boiler, boiler_ppm), the share as EXACT
+    integer parts-per-million via truncating division (the
+    quality_auc ppm pattern — a rounded double ratio of small ints
+    can land on 6-dp half-boundaries where Spark HALF_UP and DuckDB
+    half-even diverge); docs with zero non-empty lines excluded.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+        )
+        .select("_id", F.trim(F.col("_raw")).alias("_ln"))
+        .where(F.col("_ln") != "")
+    )
+    lines = lines.persist()
+    df_tab = (
+        lines.dropDuplicates(["_id", "_ln"])
+        .groupBy("_ln")
+        .agg(F.countDistinct("_id").cast("bigint").alias("_df"))
+    )
+    per = (
+        lines.join(df_tab, "_ln")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("_df") >= int(min_df), 1).otherwise(0)
+            ).cast("bigint").alias("n_boiler"),
+        )
+    )
+    out = per.select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        "n_boiler",
+        F.expr("div(n_boiler * 1000000, n_lines)").cast("bigint")
+        .alias("boiler_ppm"),
+    ).localCheckpoint(eager=True)
+    lines.unpersist()
+    return out
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document blocklist density: token count, blocklisted-token
+    count, and hit rate for an exact-term blocklist (the
+    unsafe-content / spam-vocabulary gate every corpus curation run
+    applies before training). Exact TOKEN matching on the shared
+    tokenizer — substring matching flags 'classic' for 'ass'; callers
+    wanting phrase blocks compose `retrieval.phrase_search`.
+
+    Scale: one tokenize+explode, the blocklist as a broadcast literal
+    IN-set filter evaluated map-side (hits aggregate before any
+    shuffle); the token total comes from the same pass via a
+    conditional sum, so the corpus is scanned ONCE. Docs with zero
+    tokens are excluded (no rate defined).
+
+    Output: (id, n_tokens, n_hits, hit_ppm) — the rate as EXACT
+    integer parts-per-million (truncating div, the quality_auc ppm
+    pattern; no cross-engine rounding surface at all).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tset = sorted({t.lower() for t in terms})
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    per = ex.groupBy("_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_t").isin(tset), 1).otherwise(0))
+        .cast("bigint").alias("n_hits"),
+    )
+    return per.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_hits",
+        F.expr("div(n_hits * 1000000, n_tokens)").cast("bigint")
+        .alias("hit_ppm"),
+    )

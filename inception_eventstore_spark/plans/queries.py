@@ -3563,6 +3563,7 @@ _DRIVER_LEDGER_FRONT = [
     "v_optimal_histogram", "cochran_armitage",
     "retrieval_ql_dirichlet", "haar_energy_daily",
     "changepoints_lsq", "entity_clusters",
+    "boilerplate_fraction", "blocklist_hits",
 ]
 
 
@@ -13613,3 +13614,96 @@ _R8E_QUERIES = {
     ),
 }
 QUERIES = {**_R8E_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# r8 batch 5: curation gates — boilerplate share and blocklist density
+# ----------------------------------------------------------------------
+
+
+def q_boilerplate_fraction(spark, sf_dir):
+    """Per-doc boilerplate share over the planted corpus (every doc
+    gains the global newsletter line + a doc_id%7 group footer —
+    the q_dedup_lines fixture): corpus-common lines (df >= 10)
+    counted per doc, share as exact integer ppm
+    (curation.boilerplate_fraction)."""
+    from inception_eventstore_spark.operators.curation import (
+        boilerplate_fraction,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter for updates"),
+            F.concat(
+                F.lit("group footer number "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return boilerplate_fraction(planted, min_df=10).orderBy("doc_id")
+
+
+_BOILERPLATE_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+    text || chr(10) || 'subscribe to our newsletter for updates'
+    || chr(10) || 'group footer number ' || CAST(doc_id % 7 AS VARCHAR)
+    AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, trim(l) AS ln FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+    FROM planted)
+  WHERE trim(l) <> ''),
+dfp AS (
+  SELECT ln, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM lines GROUP BY 1),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_boiler
+  FROM lines JOIN dfp ON lines.ln = dfp.ln GROUP BY 1)
+SELECT doc_id, n_lines, n_boiler,
+  CAST(n_boiler * 1000000 // n_lines AS BIGINT) AS boiler_ppm
+FROM per ORDER BY doc_id
+"""
+
+
+def q_blocklist_hits(spark, sf_dir):
+    """Blocklist token density per document
+    (curation.blocklist_hits): exact-term matches on the shared
+    tokenizer against a 3-word blocklist, rate as exact integer ppm
+    — the unsafe-vocabulary gate, scanned once map-side."""
+    from inception_eventstore_spark.operators.curation import (
+        blocklist_hits,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_hits(d, ["dup", "slow", "stale"]).orderBy("doc_id")
+
+
+_BLOCKLIST_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN t IN ('dup', 'slow', 'stale') THEN 1 ELSE 0
+      END) AS BIGINT) AS n_hits
+  FROM ex GROUP BY 1)
+SELECT doc_id, n_tokens, n_hits,
+  CAST(n_hits * 1000000 // n_tokens AS BIGINT) AS hit_ppm
+FROM per ORDER BY doc_id
+"""
+
+
+_R8F_QUERIES = {
+    "boilerplate_fraction": QueryDef(
+        q_boilerplate_fraction, _BOILERPLATE_ORACLE
+    ),
+    "blocklist_hits": QueryDef(q_blocklist_hits, _BLOCKLIST_ORACLE),
+}
+QUERIES = {**_R8F_QUERIES, **QUERIES}

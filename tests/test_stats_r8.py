@@ -693,3 +693,64 @@ class TestEntityClusters:
         comp = {r.node: r.component for r in out}
         assert comp[101] == 1 and comp[102] == 2  # dist-1 matches
         assert comp[103] == 103                   # unmatched variant
+
+
+from inception_eventstore_spark.operators.curation import (  # noqa: E402
+    blocklist_hits,
+    boilerplate_fraction,
+)
+
+
+class TestBoilerplateFraction:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_planted_boilerplate_scored(self, spark):
+        footer = "subscribe now"
+        texts = [f"unique line {i}\n{footer}\n  {footer}  " for i in range(12)]
+        texts.append("all alone")
+        out = {r.doc_id: r for r in boilerplate_fraction(
+            self._docs(spark, texts), min_df=10).collect()}
+        for i in range(12):
+            # 3 lines, 2 are the common footer (trim-normalized)
+            assert (out[i].n_lines, out[i].n_boiler) == (3, 2)
+            assert out[i].boiler_ppm == 2 * 1000000 // 3
+        assert (out[12].n_lines, out[12].n_boiler) == (1, 0)
+
+    def test_within_doc_repeat_not_corpus_df(self, spark):
+        # a line repeated 20x in ONE doc has df=1 -> not boilerplate
+        texts = ["spam\n" * 20 + "tail", "other"]
+        out = {r.doc_id: r for r in boilerplate_fraction(
+            self._docs(spark, texts), min_df=2).collect()}
+        assert out[0].n_boiler == 0
+
+    def test_empty_lines_dropped(self, spark):
+        texts = ["a\n\n  \nb", "c"]
+        out = {r.doc_id: r for r in boilerplate_fraction(
+            self._docs(spark, texts), min_df=2).collect()}
+        assert out[0].n_lines == 2
+
+
+class TestBlocklistHits:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_exact_token_matching(self, spark):
+        texts = ["spam and ham and spam", "classic words only",
+                 "SPAM shouted"]
+        out = {r.doc_id: r for r in blocklist_hits(
+            self._docs(spark, texts), ["spam", "ass"]).collect()}
+        assert (out[0].n_tokens, out[0].n_hits) == (5, 2)
+        assert out[0].hit_ppm == 2 * 1000000 // 5
+        # 'classic' must NOT match blocklisted 'ass' (token, not substring)
+        assert out[1].n_hits == 0
+        # tokenizer lowercases
+        assert out[2].n_hits == 1
+
+    def test_empty_terms_raise(self, spark):
+        with pytest.raises(ValueError, match="non-empty"):
+            blocklist_hits(self._docs(spark, ["a"]), [])

@@ -1441,6 +1441,25 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # r8 batch 5
+    "boilerplate_fraction": [
+        # line-df pass persisted + result eagerly checkpointed so the
+        # explode runs once for both consumers
+        ("result reads the checkpointed per-doc rollup",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "blocklist_hits": [
+        ("blocklist IN-set evaluated map-side before the shuffle",
+         r"partial"),
+        ("no window at all", "!Window"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def _ann_lsh_probe(spark, sf_dir: str):
     """Persisted-LSH probe: build the _sig-partitioned index in a temp
     dir, return the candidate scan — must show PartitionFilters on _sig
