@@ -310,6 +310,8 @@ HEADLINE = [
     "entity_clusters",
     "boilerplate_fraction",
     "blocklist_hits",
+    "holt_winters",
+    "simpsons_check",
 ]
 
 

@@ -2122,3 +2122,98 @@ def cochran_armitage(
         "n_users", "n_resp", "trend_num",
         (F.round("z_ca", 6) + F.lit(0.0)).alias("z_ca"),
     )
+
+
+def simpsons_check(
+    events: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Simpson's-paradox audit (Simpson 1951; the Blyth 1972 framing):
+    does the aggregate mean-value gap between two event groups keep
+    its SIGN inside every weekday stratum? A metric whose aggregate
+    direction flips under an obvious stratification should never ship
+    as a topline — this is the one-glance diagnostic.
+
+    Stratum = the portable epoch-Monday weekday (the chi_square
+    convention). Per stratum: exact BIGINT counts and 2^20
+    fixed-point value sums; the stratum and aggregate mean gaps are
+    fixed-order doubles of exact integers FLOORED to micro-units
+    (quantize-before-anything, so the sign tests compare exact
+    BIGINTs — no float comparison crosses the engine boundary).
+    Strata with an empty arm report NULL gap and don't count as
+    reversals.
+
+    Output per stratum: stratum, n_a, n_b, gap_u (micro-units, NULL
+    when an arm is empty), agg_gap_u (repeated), reversed (1 when the
+    stratum gap's sign opposes a nonzero aggregate gap), plus
+    n_reversed repeated — the headline: n_reversed > 0 means the
+    topline is confounded.
+    """
+    vals = events.where(
+        F.col(type_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.pmod(
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-05"))
+            ),
+            F.lit(7),
+        ).cast("bigint").alias("_st"),
+        F.when(F.col(type_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint").alias("_a"),
+        F.floor(F.col(value_col) * F.lit(1048576.0)).cast("bigint")
+        .alias("_v"),
+    )
+    g = vals.groupBy("_st").agg(
+        F.sum("_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("_a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_v")).cast("bigint").alias("_sva"),
+        F.sum((1 - F.col("_a")) * F.col("_v")).cast("bigint")
+        .alias("_svb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    gap_u = F.floor(d("_sva") / d("n_a") - d("_svb") / d("n_b")).cast(
+        "bigint"
+    )
+    per = g.select(
+        "_st", "n_a", "n_b", "_sva", "_svb",
+        F.when(ok, gap_u).alias("gap_u"),
+    )
+    agg = per.groupBy().agg(
+        F.sum("n_a").cast("bigint").alias("_ta"),
+        F.sum("n_b").cast("bigint").alias("_tb"),
+        F.sum("_sva").cast("bigint").alias("_tva"),
+        F.sum("_svb").cast("bigint").alias("_tvb"),
+    ).select(
+        F.floor(d("_tva") / d("_ta") - d("_tvb") / d("_tb"))
+        .cast("bigint").alias("agg_gap_u")
+    )
+    j = per.crossJoin(F.broadcast(agg)).select(
+        F.col("_st").alias("stratum"),
+        "n_a", "n_b", "gap_u", "agg_gap_u",
+        F.when(
+            F.col("gap_u").isNotNull()
+            & (F.col("agg_gap_u") != 0)
+            & (
+                (F.col("gap_u") > 0) & (F.col("agg_gap_u") < 0)
+                | (F.col("gap_u") < 0) & (F.col("agg_gap_u") > 0)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("bigint").alias("reversed"),
+    )
+    tot = j.groupBy().agg(
+        F.sum("reversed").cast("bigint").alias("n_reversed")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum", "n_a", "n_b", "gap_u", "agg_gap_u",
+            "reversed", "n_reversed",
+        )
+        .orderBy("stratum")
+    )

@@ -1504,3 +1504,95 @@ def changepoints_lsq(
         "seg bigint, lo_day bigint, hi_day bigint, n_days bigint, "
         "total bigint, sse_q bigint",
     )
+
+
+def holt_winters_daily(
+    events: DataFrame,
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 4),
+    gamma: tuple[int, int] = (1, 4),
+    period: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (Winters
+    1960) of the zero-filled daily totals — `holt_linear_daily` plus
+    the seasonal state the weekly traffic cycle actually needs:
+
+        l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−p}
+
+    Init (the standard first-cycle convention): l_{p−1} = mean of the
+    first period (truncating div, micro-units), b_{p−1} = 0,
+    s_i = x_i·2^20 − l_{p−1} for i < p; the recurrence starts at t=p.
+
+    Same exactness contract as holt_linear: the km driver pattern
+    (one partial-agg rollup to the bounded day axis, recurrence in
+    exact python ints, `_local_df` out); α/β/γ are rationals, state
+    in 2^20 micro-units, every step one truncating division. The
+    oracle carries the p-slot seasonal state as p ROTATING COLUMNS of
+    a recursive CTE — the recursive row is (l, b, s_0..s_{p−1}) and
+    step t rewrites slot t mod p only — replaying bit-for-bit.
+
+    Output per day (t ≥ p): day_index, day, n_events, level_micro,
+    trend_micro, seasonal_micro (the s_{t−p} USED at t), and
+    onestep_err_micro = x_t·2^20 − (l_{t−1} + b_{t−1} + s_{t−p}).
+    """
+    an, ad = alpha
+    bn, bd = beta
+    gn, gd = gamma
+    for n_, d_ in ((an, ad), (bn, bd), (gn, gd)):
+        if not 0 < n_ <= d_:
+            raise ValueError("alpha/beta/gamma must be rationals in (0, 1]")
+    p = int(period)
+    if p < 2:
+        raise ValueError(f"period must be >= 2, got {p}")
+    per_day = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+        .agg(F.count("*").cast("bigint").alias("_x"))
+        .collect()
+    )
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    if not rows:
+        raise ValueError("holt_winters_daily: no rows")
+    d0, d1 = rows[0]["_d"], rows[-1]["_d"]
+    import datetime as _dt
+
+    span = (d1 - d0).days + 1
+    if span < p + 1:
+        raise ValueError(
+            f"need more than one full period ({p} days); span is {span}"
+        )
+    by_day = {r["_d"]: int(r["_x"]) for r in rows}
+    xs = [
+        by_day.get(d0 + _dt.timedelta(days=i), 0) for i in range(span)
+    ]
+    q = 1 << 20
+    lvl = _tdiv(sum(xs[:p]) * q, p)
+    trd = 0
+    seas = [xs[i] * q - lvl for i in range(p)]
+    out = []
+    for t in range(p, span):
+        xq = xs[t] * q
+        s_used = seas[t % p]
+        err = xq - (lvl + trd + s_used)
+        new_l = _tdiv(
+            an * (xq - s_used) + (ad - an) * (lvl + trd), ad
+        )
+        new_b = _tdiv(bn * (new_l - lvl) + (bd - bn) * trd, bd)
+        new_s = _tdiv(gn * (xq - new_l) + (gd - gn) * s_used, gd)
+        lvl, trd = new_l, new_b
+        seas[t % p] = new_s
+        out.append(
+            (t, d0 + _dt.timedelta(days=t), xs[t], lvl, trd, s_used, err)
+        )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "day_index bigint, day date, n_events bigint, "
+        "level_micro bigint, trend_micro bigint, "
+        "seasonal_micro bigint, onestep_err_micro bigint",
+    )

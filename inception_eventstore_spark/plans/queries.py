@@ -3564,6 +3564,7 @@ _DRIVER_LEDGER_FRONT = [
     "retrieval_ql_dirichlet", "haar_energy_daily",
     "changepoints_lsq", "entity_clusters",
     "boilerplate_fraction", "blocklist_hits",
+    "holt_winters", "simpsons_check",
 ]
 
 
@@ -13707,3 +13708,149 @@ _R8F_QUERIES = {
     "blocklist_hits": QueryDef(q_blocklist_hits, _BLOCKLIST_ORACLE),
 }
 QUERIES = {**_R8F_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# r8 batch 6: Holt-Winters seasonal smoothing + Simpson's-paradox audit
+# ----------------------------------------------------------------------
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple smoothing of daily totals
+    (timeseries.holt_winters_daily, alpha = beta = gamma = 1/4,
+    weekly period): km driver pattern, exact 2^20 micro-unit state,
+    truncating divisions; the oracle's recursive CTE carries the
+    7-slot seasonal state as rotating columns."""
+    from inception_eventstore_spark.operators.timeseries import (
+        holt_winters_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_winters_daily(ev).orderBy("day_index")
+
+
+def _holt_winters_oracle(
+    an: int = 1, ad: int = 4, bn: int = 1, bd: int = 4,
+    gn: int = 1, gd: int = 4, p: int = 7,
+) -> str:
+    def td(a: str, d: int) -> str:
+        return (f"(CASE WHEN ({a}) >= 0 THEN ({a}) // {d} "
+                f"ELSE -((-({a})) // {d}) END)")
+
+    l0 = f"(((SELECT sum(x) FROM days WHERE i < {p}) * 1048576) // {p})"
+    xq = "((SELECT x FROM days WHERE i = r.it + 1) * 1048576)"
+    s_used = (
+        f"(CASE (r.it + 1) % {p} "
+        + " ".join(f"WHEN {k} THEN r.s{k}" for k in range(p))
+        + " END)"
+    )
+    l_new = td(
+        f"{an} * ({xq} - {s_used}) + {ad - an} * (r.l + r.tr)", ad
+    )
+    b_new = td(f"{bn} * ({l_new} - r.l) + {bd - bn} * r.tr", bd)
+    s_new = td(f"{gn} * ({xq} - {l_new}) + {gd - gn} * {s_used}", gd)
+    init_s = ", ".join(
+        f"((SELECT x FROM days WHERE i = {k}) * 1048576 - {l0}) AS s{k}"
+        for k in range(p)
+    )
+    step_s = ", ".join(
+        f"CASE WHEN (r.it + 1) % {p} = {k} THEN {s_new} ELSE r.s{k} END"
+        f" AS s{k}"
+        for k in range(p)
+    )
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events WHERE ts IS NOT NULL),
+days AS (
+  SELECT datediff('day', (SELECT d0 FROM b), g.d) AS i, g.d,
+    COALESCE(c.x, 0) AS x
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+          AS d FROM b) g
+  LEFT JOIN (SELECT CAST(ts AS DATE) AS d,
+      CAST(count(*) AS BIGINT) AS x FROM events
+      WHERE ts IS NOT NULL GROUP BY 1) c
+    ON g.d = c.d),
+rec AS (
+  SELECT {p - 1} AS it, {l0} AS l, CAST(0 AS BIGINT) AS tr,
+    {init_s},
+    CAST(NULL AS BIGINT) AS s_used, CAST(NULL AS BIGINT) AS err
+  UNION ALL
+  SELECT r.it + 1,
+    {l_new},
+    {b_new},
+    {step_s},
+    {s_used},
+    {xq} - (r.l + r.tr + {s_used})
+  FROM rec r WHERE r.it + 1 <= (SELECT max(i) FROM days))
+SELECT CAST(r.it AS BIGINT) AS day_index, d.d AS day,
+  CAST(d.x AS BIGINT) AS n_events, CAST(r.l AS BIGINT) AS level_micro,
+  CAST(r.tr AS BIGINT) AS trend_micro,
+  CAST(r.s_used AS BIGINT) AS seasonal_micro,
+  CAST(r.err AS BIGINT) AS onestep_err_micro
+FROM rec r JOIN days d ON d.i = r.it
+WHERE r.it >= {p}
+ORDER BY day_index
+"""
+
+
+def q_simpsons_check(spark, sf_dir):
+    """Simpson's-paradox audit of the click-vs-purchase value gap
+    across weekday strata (profile.simpsons_check): exact-integer
+    sign tests on floored micro-unit gaps — reversal flags never ride
+    a float comparison."""
+    from inception_eventstore_spark.operators.profile import (
+        simpsons_check,
+    )
+
+    return simpsons_check(_t(spark, sf_dir, "events"))
+
+
+_SIMPSONS_ORACLE = """
+WITH v AS (
+  SELECT CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+      AS BIGINT) AS st,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+    CAST(floor(value * 1048576.0) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+g AS (
+  SELECT st, CAST(sum(a) AS BIGINT) AS n_a,
+    CAST(sum(1 - a) AS BIGINT) AS n_b,
+    CAST(sum(a * v) AS BIGINT) AS sva,
+    CAST(sum((1 - a) * v) AS BIGINT) AS svb
+  FROM v GROUP BY 1),
+agg AS (
+  SELECT CAST(floor(
+      CAST(sum(sva) AS DOUBLE) / CAST(sum(n_a) AS DOUBLE)
+      - CAST(sum(svb) AS DOUBLE) / CAST(sum(n_b) AS DOUBLE))
+    AS BIGINT) AS agg_gap_u
+  FROM g),
+per AS (
+  SELECT st, n_a, n_b,
+    CASE WHEN n_a > 0 AND n_b > 0 THEN
+      CAST(floor(CAST(sva AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(svb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        AS BIGINT)
+    END AS gap_u,
+    (SELECT agg_gap_u FROM agg) AS agg_gap_u
+  FROM g),
+j AS (
+  SELECT st, n_a, n_b, gap_u, agg_gap_u,
+    CASE WHEN gap_u IS NOT NULL AND agg_gap_u <> 0
+      AND ((gap_u > 0 AND agg_gap_u < 0)
+           OR (gap_u < 0 AND agg_gap_u > 0))
+    THEN 1 ELSE 0 END AS rev
+  FROM per)
+SELECT st AS stratum, n_a, n_b, gap_u, agg_gap_u,
+  CAST(rev AS BIGINT) AS reversed,
+  (SELECT CAST(sum(rev) AS BIGINT) FROM j) AS n_reversed
+FROM j ORDER BY stratum
+"""
+
+
+_R8G_QUERIES = {
+    "holt_winters": QueryDef(q_holt_winters, _holt_winters_oracle()),
+    "simpsons_check": QueryDef(q_simpsons_check, _SIMPSONS_ORACLE),
+}
+QUERIES = {**_R8G_QUERIES, **QUERIES}

@@ -754,3 +754,109 @@ class TestBlocklistHits:
     def test_empty_terms_raise(self, spark):
         with pytest.raises(ValueError, match="non-empty"):
             blocklist_hits(self._docs(spark, ["a"]), [])
+
+
+from inception_eventstore_spark.operators.profile import (  # noqa: E402
+    simpsons_check,
+)
+from inception_eventstore_spark.operators.timeseries import (  # noqa: E402
+    holt_winters_daily,
+)
+
+
+def _hw_reference(xs, p=7, a=(1, 4), b=(1, 4), g=(1, 4)):
+    def tdiv(x, y):
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    an, ad = a; bn, bd = b; gn, gd = g
+    Q = 1 << 20
+    lvl = tdiv(sum(xs[:p]) * Q, p)
+    trd = 0
+    seas = [xs[i] * Q - lvl for i in range(p)]
+    out = []
+    for t in range(p, len(xs)):
+        xq = xs[t] * Q
+        s_used = seas[t % p]
+        err = xq - (lvl + trd + s_used)
+        new_l = tdiv(an * (xq - s_used) + (ad - an) * (lvl + trd), ad)
+        new_b = tdiv(bn * (new_l - lvl) + (bd - bn) * trd, bd)
+        new_s = tdiv(gn * (xq - new_l) + (gd - gn) * s_used, gd)
+        lvl, trd = new_l, new_b
+        seas[t % p] = new_s
+        out.append((t, xs[t], lvl, trd, s_used, err))
+    return out
+
+
+class TestHoltWinters:
+    def _daily(self, spark, counts):
+        rows, eid = [], 0
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, TS + dt.timedelta(days=d), 1, "view", 1.0))
+                eid += 1
+        return _ev(spark, rows)
+
+    def test_matches_python_recurrence(self, spark):
+        counts = [4, 9, 2, 7, 5, 1, 8] * 3 + [6, 3, 2]
+        out = holt_winters_daily(self._daily(spark, counts)).collect()
+        want = _hw_reference(counts)
+        got = [(r.day_index, r.n_events, r.level_micro, r.trend_micro,
+                r.seasonal_micro, r.onestep_err_micro) for r in out]
+        assert got == want
+
+    def test_pure_weekly_signal_small_errors(self, spark):
+        counts = [9, 1, 2, 3, 4, 5, 6] * 5
+        out = holt_winters_daily(self._daily(spark, counts)).collect()
+        # after init, a perfectly periodic signal forecasts itself:
+        # one-step errors stay at the truncation-crumb scale
+        late = [r for r in out if r.day_index >= 14]
+        assert all(abs(r.onestep_err_micro) < (1 << 20) for r in late)
+
+    def test_guards(self, spark):
+        with pytest.raises(ValueError, match="full period"):
+            holt_winters_daily(self._daily(spark, [1, 1, 1]))
+        with pytest.raises(ValueError, match="rationals"):
+            holt_winters_daily(self._daily(spark, [1] * 20), alpha=(3, 2))
+
+
+class TestSimpsonsCheck:
+    def test_planted_reversal(self, spark):
+        # weekday 0: a >> b;  weekday 1: a >> b ... but aggregate
+        # flips because b-heavy mass sits on a high-value stratum.
+        rows, eid = [], 0
+        # stratum 0 (Monday): a=10, b=1 -> within-stratum gap positive
+        for _ in range(10):
+            rows.append((eid, TS, 1, "click", 10.0)); eid += 1
+        rows.append((eid, TS, 1, "purchase", 9.0)); eid += 1
+        # stratum 1: a=1 low value, b=10 high value; within-stratum
+        # gap also positive (a=101 > b=100) but b mass dominates agg
+        d1 = TS + dt.timedelta(days=1)
+        rows.append((eid, d1, 1, "click", 101.0)); eid += 1
+        for _ in range(10):
+            rows.append((eid, d1, 1, "purchase", 100.0)); eid += 1
+        out = simpsons_check(_ev(spark, rows)).collect()
+        by = {r.stratum: r for r in out}
+        assert by[0].gap_u > 0 and by[1].gap_u > 0
+        # aggregate: mean_a = (100+101)/11 ~ 18.3; mean_b = 1009/11 ~ 91.7
+        assert by[0].agg_gap_u < 0
+        assert by[0].reversed == 1 and by[1].reversed == 1
+        assert all(r.n_reversed == 2 for r in out)
+
+    def test_consistent_data_no_reversal(self, spark):
+        rows, eid = [], 0
+        for day in range(3):
+            d = TS + dt.timedelta(days=day)
+            for _ in range(5):
+                rows.append((eid, d, 1, "click", 10.0)); eid += 1
+                rows.append((eid, d, 1, "purchase", 5.0)); eid += 1
+        out = simpsons_check(_ev(spark, rows)).collect()
+        assert all(r.reversed == 0 and r.n_reversed == 0 for r in out)
+        assert all(r.gap_u == 5 * 1048576 for r in out)
+
+    def test_empty_arm_stratum_null(self, spark):
+        rows = [(0, TS, 1, "click", 3.0),
+                (1, TS, 1, "purchase", 1.0),
+                (2, TS + dt.timedelta(days=1), 1, "click", 4.0)]
+        out = {r.stratum: r for r in simpsons_check(_ev(spark, rows)).collect()}
+        assert out[1].gap_u is None and out[1].reversed == 0

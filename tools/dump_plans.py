@@ -1460,6 +1460,23 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # r8 batch 6
+    "holt_winters": [
+        ("result is the bounded day-axis local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "simpsons_check": [
+        ("aggregate gap meets strata in a broadcast join",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no window at all", "!Window"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def _ann_lsh_probe(spark, sf_dir: str):
     """Persisted-LSH probe: build the _sig-partitioned index in a temp
     dir, return the candidate scan — must show PartitionFilters on _sig
