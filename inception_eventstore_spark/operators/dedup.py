@@ -952,9 +952,13 @@ def simhash_jaccard_calibration(
         docs, id_col, text_col, max_hamming, n_blocks,
         hash_source="md5",
     )
+    # THREE consumers below (A side, B side, sizes) — without the
+    # persist each re-runs the tokenize+explode+distinct corpus pass
+    # (observed 9.7 -> 5.5 s warm at sf0.1); the bounded result is
+    # eagerly checkpointed so the persist can be released at return
     tk = docs.select(
         F.col(id_col).alias("_d"), F.explode(tokens(text_col)).alias("_t")
-    ).distinct()
+    ).distinct().persist()
     sz = tk.groupBy("_d").agg(F.count("*").alias("_sz"))
     a = tk.select(F.col("_d").alias("id_a"), "_t")
     b = tk.select(F.col("_d").alias("id_b"), F.col("_t").alias("_tb"))
@@ -990,7 +994,7 @@ def simhash_jaccard_calibration(
             ).alias("_j"),
         )
     )
-    return (
+    out = (
         j.groupBy("hamming")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
@@ -1005,7 +1009,10 @@ def simhash_jaccard_calibration(
             "min_jaccard",
             "max_jaccard",
         )
+        .localCheckpoint(eager=True)  # <= max_hamming+1 rows
     )
+    tk.unpersist()
+    return out
 
 
 def lsh_band_plan(

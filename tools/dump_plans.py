@@ -631,10 +631,14 @@ CHECKS = {
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
     "simhash_calibration": [
+        # r8: the <= 7-row result is eagerly checkpointed (the token
+        # table is persisted across its three consumers and released),
+        # so the probe sees the local relation — CLAUDE.md checkpoint
+        # plan-check rule
+        ("bounded calibration table (checkpoint-visible)",
+         r"Scan ExistingRDD|LocalTableScan"),
         ("candidates come from the banded bucket join — never an "
          "all-pairs product", "!CartesianProduct|BroadcastNestedLoopJoin"),
-        ("signature aggregation partial-first",
-         r"HashAggregate.*partial|partial_sum"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
     "join_cardinality": [
