@@ -72,6 +72,15 @@ def main() -> int:
         extra_configs={"spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _gc() -> None:
+        # bench.py's r5 lesson: localCheckpoint blocks are reaped only
+        # when a JVM GC runs, and a 16g heap may never GC on its own —
+        # without this, later queries in the single-JVM smoke pay
+        # accumulated storage/old-gen pressure (observed 2.5 s -> 35 s
+        # on haar purely by position)
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     volumes: dict[str, int] = {}
 
@@ -99,25 +108,30 @@ def main() -> int:
     (r,) = cuped_adjustment(ev).collect()
     volumes["cuped_users"] = int(r["n_users"])
     timings["cuped_adjustment"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = srm_check(ev, n_buckets=3).collect()
     volumes["srm_users"] = int(r["n_users"])
     timings["srm_check"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["ccf_lags"] = cross_correlation_daily(
         ev, "error", "purchase", max_lag=7
     ).count()
     timings["ccf_leadlag"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["theil_sen_keys"] = theil_sen_daily_trend(ev).count()
     timings["theil_sen_trend"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["holt_days"] = holt_linear_daily(ev).count()
     timings["holt_linear"] = round(time.time() - t0, 3)
+    _gc()
 
     # ---- r7 family: same calendar-bounded / partial-agg shapes ----
     from inception_eventstore_spark.operators.funnel import logrank_test
@@ -136,28 +150,34 @@ def main() -> int:
     t0 = time.time()
     volumes["mann_kendall_keys"] = mann_kendall_daily(ev).count()
     timings["mann_kendall"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = mann_whitney_u(ev, "click", "purchase").collect()
     volumes["mwu_n"] = int(r["n_a"] + r["n_b"])
     timings["mann_whitney_u"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = logrank_test(ev, "signup", "purchase").collect()
     volumes["logrank_users"] = int(r["n_arm1"] + r["n_arm0"])
     timings["logrank_test"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["eb_keys"] = eb_shrunk_rates(ev).count()
     timings["eb_shrunk_rates"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["propensity_strata_rows"] = propensity_strata(ev).count()
     timings["propensity_strata"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["dp_groups"] = dp_noisy_counts(ev).count()
     timings["dp_noisy_counts"] = round(time.time() - t0, 3)
+    _gc()
 
     # brier at the full event volume: with the pre-r8 unscaled
     # accumulators this crashed under ANSI past ~2^23 rows (ADVICE r7
@@ -177,6 +197,7 @@ def main() -> int:
     (r,) = brier_decomposition(scored, "p", "y", bins=10).collect()
     volumes["brier_rows"] = int(r["n"])
     timings["brier_decomposition"] = round(time.time() - t0, 3)
+    _gc()
 
     # ---- r8 family: chi2 / KW / Spearman / IPW / seasonal / perm ----
     from inception_eventstore_spark.operators.profile import (
@@ -196,30 +217,36 @@ def main() -> int:
     (r,) = chi_square_independence(ev).collect()
     volumes["chi_square_n"] = int(r["n"])
     timings["chi_square_independence"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     rows = kruskal_wallis(ev).collect()
     volumes["kruskal_groups"] = len(rows)
     timings["kruskal_wallis"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = spearman_user_corr(ev).collect()
     volumes["spearman_n"] = int(r["n"])
     timings["spearman_corr"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = ipw_ate(ev).collect()
     volumes["ipw_users"] = int(r["n_users"])
     timings["ipw_ate"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["seasonal_days"] = seasonal_decompose_daily(ev).count()
     timings["seasonal_decompose"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = permutation_pvalue(ev, b=64).collect()
     volumes["perm_n"] = int(r["n_a"] + r["n_b"])
     timings["permutation_pvalue"] = round(time.time() - t0, 3)
+    _gc()
 
     from inception_eventstore_spark.operators.timeseries import (
         haar_energy_daily,
@@ -228,6 +255,7 @@ def main() -> int:
     t0 = time.time()
     volumes["haar_levels"] = haar_energy_daily(ev).count()
     timings["haar_energy_daily"] = round(time.time() - t0, 3)
+    _gc()
 
     from inception_eventstore_spark.operators.histogram import (
         v_optimal_histogram,
@@ -240,22 +268,26 @@ def main() -> int:
     rows = v_optimal_histogram(ev, "value", n_bins=32, k=8).collect()
     volumes["vopt_rows"] = sum(int(r["n_rows"]) for r in rows)
     timings["v_optimal_histogram"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     (r,) = cochran_armitage(ev).collect()
     volumes["cochran_users"] = int(r["n_users"])
     timings["cochran_armitage"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=64)
     volumes["kmv_rows"] = sk.count()
     timings["kmv_sketch"] = round(time.time() - t0, 3)
+    _gc()
 
     t0 = time.time()
     volumes["hll_sliding_days"] = SK.hll_sliding_distinct(
         ev, window_days=7
     ).count()
     timings["hll_sliding"] = round(time.time() - t0, 3)
+    _gc()
 
     # 1.5M orders × 64 deterministic replicates
     o0 = load_table(spark, sf_dir, "orders").select(
@@ -280,6 +312,7 @@ def main() -> int:
     ).collect()
     volumes["bootstrap_n"] = int(r["n_rows"])
     timings["poisson_bootstrap"] = round(time.time() - t0, 3)
+    _gc()
     orders.unpersist()
 
     # 1M synthetic uniform 2-d points, eps for ~3 expected neighbors
@@ -298,6 +331,7 @@ def main() -> int:
         {f"dbscan_{r['role']}": int(r["count"]) for r in rc}
     )
     timings["dbscan_1m"] = round(time.time() - t0, 3)
+    _gc()
 
     # 10× lineitem baskets for item-item CF
     li0 = load_table(spark, sf_dir, "lineitem").select(
@@ -322,6 +356,7 @@ def main() -> int:
     )
     volumes["item_cf_rows"] = cf.count()
     timings["item_item_cf"] = round(time.time() - t0, 3)
+    _gc()
     li.unpersist()
     ev.unpersist()
 
