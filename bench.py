@@ -23,10 +23,17 @@ HEADLINE meant every round's prepends reshuffled which queries share a
 JVM, and warm medians on UNCHANGED code moved 1.5-2× with batch
 placement (cohort_retention 2.08×). Batches are now assigned by a
 STABLE name hash — bucket = md5(name) % $SPARK_GRAFT_BENCH_BUCKETS
-(default 6) — so an existing query keeps its JVM cohort forever;
+(default 12) — so an existing query keeps its JVM cohort forever;
 additions join their hash bucket without displacing anyone. Changing
 the bucket count is the one thing that reshuffles — bump it only with
-a round-note. SPARK_GRAFT_BATCH_RANGE=lo:hi still runs a manual
+a round-note. ROUND-NOTE r8: bumped 6 -> 12 after measuring in-JVM
+accretion drag: every >1.5x "regression" in the first r8 run sat in a
+bucket that had gained new-query co-residents (token_allocation 3.3 ->
+8.0 s sharing with entity_clusters, isolated-JVM ground truth 3.7 s),
+while the median unchanged-query ratio was 0.996. Halving batch size
+(~45 -> ~24 queries/JVM) bounds codegen/metaspace accretion; the one-
+time reshuffle makes THIS round's committed bench the new cohort
+baseline. SPARK_GRAFT_BATCH_RANGE=lo:hi still runs a manual
 positional slice for debugging.
 """
 
@@ -460,7 +467,7 @@ def main() -> None:
         print(json.dumps(_run_batch(HEADLINE[lo:hi], sf_dir)))
         return
 
-    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "6"))
+    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "12"))
     bucket_env = os.environ.get("SPARK_GRAFT_BATCH_BUCKET")
     if bucket_env is not None:
         # ---- worker mode: one stable-hash bucket, fresh JVM ----
