@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full payload JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact ~150-char summary
+JSON line (same metric/value/unit/sf, no per-query map) as the FINAL
+stdout line — the driver tails stdout to ~2000 chars, which truncated the
+full line every round since r3, so the last line must fit the tail.
 
 Each query is forced end-to-end with the noop write sink (materializes
 every row, no driver collect, no output I/O skew).
@@ -424,13 +427,22 @@ def _run_batch(batch: list[str], sf_dir: str) -> dict:
     # "queries" stays the COLD pass for comparability with prior rounds.
     # Median of 3: the median of 2 is a mean, so one GC/JIT straggler
     # would read warm-slower-than-cold.
+    # Wall-time bound (r8 verdict next #6): warm total grew 387->476 s in
+    # one round and the bench itself was becoming the bottleneck. Queries
+    # whose COLD time is already sub-second are JIT-noise-dominated, so
+    # they get 2 warm passes instead of 3; the heavy tail keeps 3. With 2
+    # samples the median IS the mean, which one GC straggler corrupts —
+    # report min-of-2 for those (a fine steady-state estimator at <1 s),
+    # true median-of-3 for the rest.
     warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
     warm_median: dict[str, float] = {}
     if warm_runs > 0:
         samples: dict[str, list[float]] = {n: [] for n in batch}
-        for _ in range(warm_runs):
+        for pass_i in range(warm_runs):
             _gc()
             for name in batch:
+                if pass_i >= 2 and warm_runs >= 3 and timings[name] < 1.0:
+                    continue
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -439,6 +451,9 @@ def _run_batch(batch: list[str], sf_dir: str) -> dict:
                 _gc()
         for name, xs in samples.items():
             xs = sorted(xs)
+            if len(xs) == 2:
+                warm_median[name] = round(xs[0], 3)
+                continue
             mid = len(xs) // 2
             med = (
                 xs[mid]
@@ -523,6 +538,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))
+    # The driver's BENCH_r*.json keeps only a ~2000-char tail of stdout and
+    # the full payload line outgrew that at r3 — BENCH_r03..r08 all record
+    # "parsed": null (r8 verdict next #1). Print a compact summary as the
+    # FINAL stdout line (~150 chars, fits any tail window) so the driver's
+    # last-line JSON parse succeeds; the full per-query map lives in
+    # BENCH_full_latest.json below.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "warm_total": payload["warm_total"],
+        "n_queries": len(queries),
+        "sf": payload["sf"],
+    }
     # The driver's BENCH_r*.json records only a 2000-char tail of stdout,
     # which truncates the per-query map (VERDICT r3 "missing" #3) — also
     # persist the full payload so round-over-round timing diffs are
@@ -539,6 +568,7 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout must not fail the bench
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

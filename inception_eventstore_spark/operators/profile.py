@@ -1661,7 +1661,18 @@ def chi_square_independence(
     # n via a broadcast one-row total (rt and ct both sum to n)
     tot = rt.agg(F.sum("_rt").cast("bigint").alias("_n"))
     j = j.crossJoin(F.broadcast(tot))
-    dd = (F.col("_o") * F.col("_n") - F.col("_rt") * F.col("_ct")).cast(
+    # Overflow guard (r8 advice): o·n and rt·ct are BIGINT products of
+    # values ≤ n, exact only while n² < 2^63, i.e. n ≤ 3037000499.
+    # The check rides inside the expression (assert-through-branch), so
+    # it cannot be pruned and costs nothing per row — matching the
+    # explicit-guard style of v_optimal_histogram / haar_energy_daily.
+    n_checked = F.expr(
+        "if(_n <= 3037000499, _n, raise_error(concat("
+        "'chi_square_independence: n = ', _n, "
+        "' exceeds the exact-BIGINT bound n <= 3037000499 "
+        "(o*n / rt*ct would overflow)')))"
+    )
+    dd = (F.col("_o") * n_checked - F.col("_rt") * F.col("_ct")).cast(
         "double"
     )
     contrib = (
@@ -1906,6 +1917,13 @@ def kruskal_wallis(
             "output column cannot represent it"
         )
     n = sum(int(g["_n_g"]) for g in groups)
+    if n < 2:
+        # n=1 would divide by n³−n = 0 in the tie correction; match
+        # the operator's other degenerate-input guard style.
+        raise ValueError(
+            "kruskal_wallis: needs at least 2 non-null rows "
+            f"(got {n}) — tie correction divides by n^3 - n"
+        )
     # Σ_g R_g²/n_g in 2^20 micro-units, floored per group — mirrors
     # the oracle's floor(CAST(rs AS DOUBLE)·CAST(rs AS DOUBLE)
     # / (4.0·CAST(ng AS DOUBLE)) · 1048576.0) exactly

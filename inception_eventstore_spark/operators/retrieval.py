@@ -636,7 +636,9 @@ def ql_dirichlet_topk(
     where cf_t is the COLLECTION frequency and |C| the corpus token
     count — unlike BM25, a document is penalized for query terms it
     lacks (the tf = 0 smoothing term still contributes), so every
-    document with at least one indexable token participates.
+    document participates — including token-free ones (dl = 0 rows
+    are kept and the smoothing term µ·cf_t/|C| / (0 + µ) is
+    well-defined).
 
     Scale shape: one tokenizing pass; postings narrowed to the query
     terms BEFORE the aggregation shuffle (the `_tf_table` rule); the

@@ -12866,7 +12866,7 @@ def q_chi_square(spark, sf_dir):
 _CHI_SQUARE_ORACLE = """
 WITH cells AS (
   SELECT event_type AS r,
-    CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+    CAST(((datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7) + 7) % 7
       AS BIGINT) AS c,
     CAST(count(*) AS BIGINT) AS o
   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -13000,6 +13000,13 @@ s AS (
     CAST(sum(my * my) AS BIGINT) AS syy,
     CAST(sum(mx * my) AS BIGINT) AS sxy
   FROM j)
+-- BIGINT bound (oracle-side only): sxy/sxx/syy are Σ of midrank-x2
+-- products ≤ n·(2n)² = 4n³, and the final n·sxy products reach
+-- ~8n⁴, which exceeds BIGINT near n ≈ 1.3M distinct users. DuckDB
+-- silently widens these to HUGEINT (the outer CASTs keep the SELECT
+-- BIGINT/DOUBLE), so the oracle is exact but the documented
+-- gate-scale bound is n ≲ 1.3M; the Spark side is lane-decomposed
+-- (base-2^31) and has no such limit.
 SELECT n, sxx, syy, sxy,
   round(CAST(n * sxy - (n * (n + 1)) * (n * (n + 1)) AS DOUBLE)
     / sqrt(CAST(n * sxx - (n * (n + 1)) * (n * (n + 1)) AS DOUBLE)
@@ -13100,7 +13107,7 @@ WITH cnts AS (
 b AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnts),
 grid AS (
   SELECT g.d, COALESCE(cnts.x, 0) AS x,
-    CAST(datediff('day', DATE '1970-01-05', g.d) % 7 AS BIGINT) AS ph,
+    CAST(((datediff('day', DATE '1970-01-05', g.d) % 7) + 7) % 7 AS BIGINT) AS ph,
     CAST(datediff('day', DATE '1970-01-01', g.d) AS BIGINT) AS i
   FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
           AS d FROM b) g
@@ -13808,7 +13815,7 @@ def q_simpsons_check(spark, sf_dir):
 
 _SIMPSONS_ORACLE = """
 WITH v AS (
-  SELECT CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+  SELECT CAST(((datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7) + 7) % 7
       AS BIGINT) AS st,
     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
     CAST(floor(value * 1048576.0) AS BIGINT) AS v

@@ -293,10 +293,10 @@ class TestSeasonalDecompose:
         mean_u = 30 * 1048576 // 7
         det = 1 * 1048576 - mean_u  # negative
         n = len(tue)
-        expect = int(math.trunc(det * n / n))  # trunc-toward-zero div
         # python // floors; the engines truncate -> compare via int()
         total = det * n
         q = -((-total) // n) if total < 0 else total // n
+        assert q == int(math.trunc(total / n))  # float/int cross-check
         assert all(r.seasonal_u == q for r in tue)
 
     def test_even_period_raises(self, spark):
