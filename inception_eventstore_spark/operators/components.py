@@ -40,32 +40,66 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Attach each node's strictly-larger neighbors to its minimum
-    neighborhood node (Γ⁺ min): emit (v, m) for v ∈ Γ(u), v > u."""
-    nbrs = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
-    mins = mins.select("u", F.least("m", F.col("u")).alias("m"))
-    return _canonical(
-        nbrs.join(mins, "u")
+    neighborhood node (Γ⁺ min): emit (v, m) for v ∈ Γ(u), v > u.
+
+    Shape (r9 rewrite): a min-over-`Window.partitionBy(u)` replaces
+    the former groupBy-min + self-join — ONE exchange per star instead
+    of two-plus-broadcast, and (because the loop re-plans every round)
+    a much smaller logical tree that references the input exactly once
+    (`explode` of both orientations, not a union of two scans). The
+    per-round cost of the CC loop is DRIVER-side planning + codegen,
+    not execution, so plan size is the thing to minimize. The window
+    key is the node id — the same key (and the same hot-node skew
+    bound) as the groupBy/join it replaces, never a single partition.
+
+    The output is NOT deduplicated: per-round dedup is optional in the
+    alternating-star algorithm (Kiveris et al. §3 run it once per
+    round, not per operator), duplicate (v, m) rows inflate the next
+    operator's input only linearly, and `_small_star`'s trailing
+    `_canonical` dedups the round."""
+    from pyspark.sql import Window
+
+    nbrs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        nbrs.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # already canonical: m = min(Γ(u) ∪ {u}) ≤ u < v, so the
+        # emitted (v, m) rows satisfy u > v with no self-loops
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Attach each node's smaller-or-equal neighbors (and itself) to its
-    minimum smaller neighbor."""
+    minimum smaller neighbor — same single-exchange window shape as
+    `_large_star` (the (u, m) self-edge is emitted once per neighbor
+    and deduplicated by the trailing `_canonical`)."""
+    from pyspark.sql import Window
+
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-    nbr_edges = (
-        directed.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    m = F.min("v").over(Window.partitionBy("u"))
+    return _canonical(
+        directed.withColumn("m", m)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u"), F.col("m").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
     )
-    self_edges = mins.select("u", F.col("m").alias("v"))
-    return _canonical(nbr_edges.union(self_edges))
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -93,16 +127,47 @@ def connected_components(
     (jaccard, hamming, …) are ignored. Isolated documents never appear
     in a pair list — callers wanting them labeled union the full id set
     afterwards (see ``dedup_by_components``)."""
-    edges = _canonical(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    # eager=False + the signature aggregate as the materializing action:
+    # one job per round instead of two (the eager checkpoint job and
+    # the signature job both scanned the same fresh edge set — r9 cut).
+    #
+    # Partition-count right-sizing: the edge set SHRINKS every round
+    # (stars collapse), but a checkpointed relation keeps its width, so
+    # late rounds were running ~6 stages of 32 near-empty tasks each —
+    # pure scheduling overhead at the tail. The signature already knows
+    # the exact row count, so coalesce (narrow, post-materialization) to
+    # ~500k rows/partition, never widening past the current width: at
+    # 100 TB the count stays large and this is a no-op; at the tail it
+    # turns each star stage into a handful of tasks. AQE coalesces the
+    # POST-shuffle side; this handles the map side the same way.
+    def _rightsized(e: DataFrame, n: int) -> DataFrame:
+        # DataFrame.coalesce never widens, so no partition-count probe
+        # is needed (probing via .rdd would re-run plan→RDD conversion
+        # — a fresh compile — every round)
+        return e.coalesce(max(1, n // 500_000 + 1))
+
+    # Round 1 is fused into the initial materialization: the first
+    # star pass rides the same compiled plan (and the same job) that
+    # canonicalizes the raw pairs, saving one full
+    # checkpoint+signature cycle. If the input is already a star
+    # forest this runs one redundant (cheap) pass — the loop still
+    # detects the fixed point by signature equality.
+    edges = _small_star(
+        _large_star(
+            _canonical(
+                pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            )
+        )
+    ).localCheckpoint(eager=False)
     sig = _signature(edges)
+    edges = _rightsized(edges, sig[0])
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             break
         sig = new_sig
+        edges = _rightsized(edges, sig[0])
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
