@@ -322,6 +322,16 @@ HEADLINE = [
     "blocklist_hits",
     "holt_winters",
     "simpsons_check",
+    # r9 additions
+    "anova_oneway",
+    "welch_ttest",
+    "mcnemar_test",
+    "kendall_tau_daily",
+    "nelson_aalen",
+    "forecast_accuracy",
+    "retrieval_ql_jm",
+    "target_encoding",
+    "hits_custsupp",
 ]
 
 

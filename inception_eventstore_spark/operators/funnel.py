@@ -801,3 +801,95 @@ def logrank_test(
         "n_arm1", "n_arm0", "o1", "e1_micro", "v_micro",
         (F.round(z, 6) + F.lit(0.0)).alias("z_logrank"),
     )
+
+
+def nelson_aalen_hazard(
+    events: DataFrame,
+    start_type: str,
+    event_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate over the event log —
+    the additive sibling of :func:`km_survival` (Nelson 1972; Aalen
+    1978): H(t) = Σ_{t_i ≤ t} d_i / n_i over distinct event days, on
+    the same time-to-event / right-censoring definitions as the KM
+    operator (first ``start_type`` to first subsequent ``event_type``,
+    censored at the user's last event; censorings at t stay at risk
+    AT t). H is what hazard-ratio eyeballing and log-log plots want:
+    piecewise-linear, directly comparable across cohorts, and its
+    increments are the raw per-day hazards.
+
+    Exactness: d_i/n_i sums of rationals can terminate on decimal
+    rounding half-boundaries, so — exactly like the KM product-limit
+    recurrence — the estimate is the INTEGER recurrence
+    ``H_i = H_{i-1} + div(d_i · 10^9, n_i)`` in parts-per-billion:
+    exact, engine-independent, error ≤ one ppb per step. d_i·10^9
+    fits BIGINT to ~9·10^9 events per day.
+
+    Scale (the km_survival driver pattern): the full-log work is two
+    partial-aggregated per-user groupBys; only the bounded per-day
+    table crosses to the driver for the sequential fold, returning via
+    a local DataFrame.
+
+    Output: one row per distinct event day — t_days, n_risk,
+    n_events, hazard_ppb (cumulative).
+    """
+    starts = (
+        events.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    lasts = events.groupBy(user_col).agg(F.max(ts_col).alias("_tmax"))
+    evs = events.where(F.col(type_col) == event_type).select(
+        F.col(user_col).alias("_eu"), F.col(ts_col).alias("_ets")
+    )
+    first_event = (
+        starts.join(evs, starts[user_col] == F.col("_eu"))
+        .where(F.col("_ets") >= F.col("_t0"))
+        .groupBy(user_col)
+        .agg(F.min("_ets").alias("_te"))
+    )
+    per_user = (
+        starts.join(lasts, user_col)
+        .join(first_event, user_col, "left")
+        .select(
+            F.when(
+                F.col("_te").isNotNull(),
+                F.datediff(F.to_date("_te"), F.to_date("_t0")),
+            )
+            .otherwise(
+                F.datediff(F.to_date("_tmax"), F.to_date("_t0"))
+            )
+            .cast("bigint")
+            .alias("_d"),
+            F.col("_te").isNotNull().cast("int").alias("_obs"),
+        )
+    )
+    per_day = (
+        per_user.groupBy("_d")
+        .agg(
+            F.sum("_obs").cast("bigint").alias("_de"),
+            F.sum(1 - F.col("_obs")).cast("bigint").alias("_ce"),
+        )
+        .collect()
+    )
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    n_risk = sum(int(r["_de"]) + int(r["_ce"]) for r in rows)
+    h = 0
+    out = []
+    for r in rows:
+        de = int(r["_de"])
+        if de > 0:
+            h += (de * 10**9) // n_risk
+            out.append((int(r["_d"]), n_risk, de, h))
+        n_risk -= de + int(r["_ce"])
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "t_days bigint, n_risk bigint, n_events bigint, "
+        "hazard_ppb bigint",
+    )

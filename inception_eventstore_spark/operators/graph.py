@@ -491,3 +491,111 @@ def kcore(
     ).localCheckpoint(eager=True)
     sym.unpersist()
     return out
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, hub_u, auth_u) after ``iterations`` synchronous HITS
+    steps (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    environment") over the directed edge list — hubs point at good
+    authorities, authorities are pointed at by good hubs: the natural
+    readout for bipartite purchase/citation graphs where PageRank's
+    single score conflates the two roles.
+
+    Deterministic integer spec both engines implement exactly (the
+    LPA/pagerank fixed-iteration philosophy): scores start at 2^30;
+    each step
+
+        a_v = div(Σ_{(u,v)∈E} h_u, dmax)   then
+        h_u = div(Σ_{(u,v)∈E} a_v, dmax)
+
+    where ``dmax`` = the graph's maximum in- or out-degree, computed
+    once up front. Dividing by a step-constant rescales but never
+    reorders a power iteration, so the RANKING is HITS's (up to the
+    declared integer floor); the exact-integer recurrence is what
+    makes a cross-engine value oracle possible at all — L2
+    normalization would put a sqrt-of-sum under engine-ordered
+    floating addition. Scores stay ≤ 2^30 by a_v ≤ 2^30·deg_v ≤
+    2^30·dmax, exact BIGINT for dmax < 2^23 (guarded). Duplicate
+    edges count as parallel edges (weight = multiplicity), like
+    `pagerank`.
+
+    Scale: degree table and dmax are one aggregate; each iteration is
+    one score⋈edges equi-join plus one partial-aggregated groupBy —
+    the pagerank loop shape, edges cached once, lazy linear DAG,
+    checkpointed at the end.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    E = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).cache()
+    nodes = (
+        E.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge list")
+    deg = E.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+    ).groupBy("node").agg(F.count("*").alias("_deg"))
+    dmax = int(deg.agg(F.max("_deg")).first()[0])
+    if dmax >= 1 << 23:
+        raise ValueError(
+            f"hits_scores: max degree {dmax} >= 2^23 — the 2^30-scaled "
+            "in-sums would overflow BIGINT"
+        )
+    bcast = n <= 5_000_000
+    maybe_b = F.broadcast if bcast else (lambda df: df)
+
+    hubs = nodes.select("node", F.lit(1 << 30).cast("bigint").alias("h"))
+    auths = None
+    for _ in range(int(iterations)):
+        auths = (
+            E.join(maybe_b(hubs), hubs["node"] == E["src"])
+            .groupBy("dst")
+            .agg(
+                F.expr(f"div(sum(h), {dmax})").cast("bigint").alias("a")
+            )
+        )
+        a_tab = nodes.join(
+            maybe_b(auths), nodes["node"] == auths["dst"], "left"
+        ).select(
+            "node", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")
+        )
+        hub_in = (
+            E.join(maybe_b(a_tab), a_tab["node"] == E["dst"])
+            .groupBy("src")
+            .agg(
+                F.expr(f"div(sum(a), {dmax})").cast("bigint").alias("h")
+            )
+        )
+        hubs = nodes.join(
+            maybe_b(hub_in), nodes["node"] == hub_in["src"], "left"
+        ).select(
+            "node", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")
+        )
+        auths = a_tab
+    out = hubs.join(
+        auths.select(F.col("node").alias("_an"), "a"),
+        hubs["node"] == F.col("_an"),
+    ).select(
+        "node",
+        F.col("h").alias("hub_u"),
+        F.col("a").alias("auth_u"),
+    )
+    if not checkpoint:
+        return out
+    res = out.localCheckpoint(eager=True)
+    E.unpersist()
+    nodes.unpersist()
+    return res

@@ -2235,3 +2235,302 @@ def simpsons_check(
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: classical test-statistic readouts on the event log
+# ---------------------------------------------------------------------------
+
+
+def _group_moments(
+    vals: DataFrame, group_col: Column, value_col: str
+) -> DataFrame:
+    """Per-group exact integer moments of q = floor(value·2^20):
+    (n, Σq, Σq² in two base-2^31 lanes). q ≤ 2^31.5 is guarded
+    in-expression so p = q·q is exact (≤ 2^63); the lane sums are
+    BIGINT-safe to n ≈ 2^31 rows per group (s0 ≤ n·2^31) — the
+    mann_whitney_u / kruskal_wallis lane recipe, recombined
+    driver-side in unbounded python ints (equal to the oracle's
+    HUGEINT sum by exactness of both)."""
+    lane = 1 << 31
+    q = F.expr(
+        "CASE WHEN abs(_qv) <= 3037000499 THEN _qv ELSE raise_error("
+        "'group moments: |floor(value*2^20)| exceeds 3037000499 — "
+        "q*q would overflow BIGINT') END"
+    )
+    return (
+        vals.withColumn("_qv", F.floor(F.col(value_col) * 1048576.0).cast("bigint"))
+        .withColumn("_q", q)
+        .withColumn("_p", F.expr("_q * _q"))
+        .groupBy(group_col.alias("_g"))
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_q").cast("bigint").alias("_s"),
+            F.sum(F.expr(f"_p % {lane}")).cast("bigint").alias("_p0"),
+            F.sum(F.expr(f"div(_p, {lane})")).cast("bigint").alias("_p1"),
+        )
+    )
+
+
+def anova_oneway(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way analysis of variance (Fisher): does mean ``value``
+    differ across ``group_col`` levels? The parametric sibling of
+    :func:`kruskal_wallis` — more power when the response is roughly
+    normal, and the standard first readout for k-arm experiments.
+
+    Determinism (the kruskal_wallis driver pattern): per-group exact
+    integer moments of q = floor(value·2^20) via `_group_moments`
+    (Σq² in base-2^31 lanes, recombined driver-side in python ints —
+    bit-equal to the oracle's HUGEINT sums); each group's S_g²/n_g
+    term is ONE fixed-order double of two exact ints floored to 2^20
+    micro-units and summed over the bounded group axis
+    (quantize-before-combine), so
+
+        ssb_u = Σ_g floor(S_g²/n_g · 2^20) − floor(S²/n · 2^20)
+        ssw_u = (Σq²)·2^20 − Σ_g floor(S_g²/n_g · 2^20)
+
+    are exact integers on both engines, and F is one fixed-order
+    double ratio of them. Output (one row): n_rows, k_groups,
+    f_stat (6 dp; NULL when k < 2, n ≤ k, or ssw ≤ 0).
+    """
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vals = events.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    groups = _group_moments(vals, F.col(group_col), value_col).collect()
+    if not groups:
+        raise ValueError("anova_oneway: no non-null rows")
+    if len(groups) > 100_000:
+        raise ValueError(
+            f"anova_oneway: {len(groups)} groups — the bounded-axis "
+            "driver fold expects a categorical group column"
+        )
+    lane = 1 << 31
+    k = len(groups)
+    n = sum(int(g["_n"]) for g in groups)
+    s_tot = sum(int(g["_s"]) for g in groups)
+    sq2 = sum(int(g["_p0"]) + int(g["_p1"]) * lane for g in groups)
+    a_u = 0
+    for g in groups:
+        s_d, n_d = float(int(g["_s"])), float(int(g["_n"]))
+        a_u += _math.floor(s_d * s_d / n_d * 1048576.0)
+    ssb_u = a_u - _math.floor(
+        float(s_tot) * float(s_tot) / float(n) * 1048576.0
+    )
+    ssw_u = sq2 * 1048576 - a_u
+    f_stat = None
+    if k >= 2 and n > k and ssw_u > 0:
+        f_stat = (float(ssb_u) / float(k - 1)) / (
+            float(ssw_u) / float(n - k)
+        )
+    out = _local_df(
+        events.sparkSession,
+        [(n, k, f_stat)],
+        "n_rows bigint, k_groups bigint, f_stat double",
+    )
+    return out.select(
+        "n_rows", "k_groups",
+        (F.round("f_stat", 6) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+def welch_ttest(
+    events: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test (Welch 1947) between
+    the ``value`` distributions of two event types — the default
+    two-arm comparison when variances differ (and the test the classic
+    pooled t silently gets wrong when they do). Reports the
+    Welch-Satterthwaite effective degrees of freedom alongside t.
+
+    Determinism: the same `_group_moments` exact-integer machinery as
+    :func:`anova_oneway` (Σq² lanes, python-int recombination); means,
+    variances, t and df are ONE fixed-order double expression tree of
+    the six exact integers, mirrored token-for-token in the oracle —
+    int→double is correctly rounded on both engines, and t's square
+    root keeps the 6-dp rounding off rational half-boundaries.
+
+    Output (one row): n_a, n_b, t_welch (6 dp), df_welch (6 dp; both
+    NULL when either arm has < 2 rows or zero variance-sum).
+    """
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vals = events.where(
+        F.col(type_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    lane = 1 << 31
+    rows = {
+        str(g["_g"]): g
+        for g in _group_moments(vals, F.col(type_col), value_col).collect()
+    }
+    ga, gb = rows.get(group_a), rows.get(group_b)
+    n_a = int(ga["_n"]) if ga else 0
+    n_b = int(gb["_n"]) if gb else 0
+    t_w = df_w = None
+    if n_a >= 2 and n_b >= 2:
+        def _mv(g, n):
+            s_d, n_d = float(int(g["_s"])), float(n)
+            q2 = float(int(g["_p0"]) + int(g["_p1"]) * lane)
+            m = s_d / n_d
+            v = (q2 - s_d * s_d / n_d) / float(n - 1)
+            return m, v
+
+        m_a, v_a = _mv(ga, n_a)
+        m_b, v_b = _mv(gb, n_b)
+        se_a, se_b = v_a / float(n_a), v_b / float(n_b)
+        se2 = se_a + se_b
+        if se2 > 0.0:
+            t_w = (m_a - m_b) / _math.sqrt(se2)
+            df_w = (se2 * se2) / (
+                se_a * se_a / float(n_a - 1)
+                + se_b * se_b / float(n_b - 1)
+            )
+    out = _local_df(
+        events.sparkSession,
+        [(n_a, n_b, t_w, df_w)],
+        "n_a bigint, n_b bigint, t_welch double, df_welch double",
+    )
+    return out.select(
+        "n_a", "n_b",
+        (F.round("t_welch", 6) + F.lit(0.0)).alias("t_welch"),
+        (F.round("df_welch", 6) + F.lit(0.0)).alias("df_welch"),
+    )
+
+
+def mcnemar_paired(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """McNemar's test (1947) for paired binary outcomes: per user, did
+    they ever emit ``type_a`` vs ever emit ``type_b``? Only the
+    DISCORDANT users (one behaviour without the other) carry
+    information, and χ² = (b−c)²/(b+c) over those — the standard
+    paired comparison for two classifiers / two funnel steps measured
+    on the same population.
+
+    Fully integer: one user-keyed partial-agg rollup, one 4-cell
+    aggregate; the statistic is reported in exact 2^20 micro-units
+    via integer division (`div((b−c)²·2^20, b+c)`) so no double — and
+    no cross-engine rounding — exists anywhere. (b−c)²·2^20 is exact
+    BIGINT for |b−c| ≤ 2^21 discordant users; guarded.
+
+    Output (one row): n_users, b_disc, c_disc, chi2_u (micro-units;
+    NULL when b + c = 0).
+    """
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    per = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.max(F.when(F.col(type_col) == type_a, 1).otherwise(0))
+        .cast("bigint").alias("_a"),
+        F.max(F.when(F.col(type_col) == type_b, 1).otherwise(0))
+        .cast("bigint").alias("_b"),
+    )
+    row = per.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(
+            ((F.col("_a") == 1) & (F.col("_b") == 0)).cast("bigint")
+        ).cast("bigint").alias("_bd"),
+        F.sum(
+            ((F.col("_a") == 0) & (F.col("_b") == 1)).cast("bigint")
+        ).cast("bigint").alias("_cd"),
+    ).first()
+    n, bd, cd = int(row["_n"]), int(row["_bd"] or 0), int(row["_cd"] or 0)
+    if abs(bd - cd) >= 1 << 21:
+        raise ValueError(
+            "mcnemar_paired: (b-c)^2 * 2^20 exceeds BIGINT — more than "
+            "2^21 net-discordant users"
+        )
+    chi2_u = (
+        ((bd - cd) * (bd - cd) * 1048576) // (bd + cd)
+        if bd + cd > 0 else None
+    )
+    return _local_df(
+        events.sparkSession,
+        [(n, bd, cd, chi2_u)],
+        "n_users bigint, b_disc bigint, c_disc bigint, chi2_u bigint",
+    )
+
+
+def kendall_tau_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kendall's τ-b between daily event volume and daily distinct
+    users over the observation span — the fully tie-corrected monotone
+    association on the BOUNDED day axis (the third rank-correlation
+    lens next to spearman_user_corr / mann_kendall, and the robust
+    choice when the axis is short enough that every pair can be
+    examined exactly).
+
+    Exactness: the day rollup (count, distinct users — both exact
+    BIGINTs) is bounded by the calendar and crosses to the driver (the
+    km_survival pattern), where concordant/discordant/tie counts over
+    all C(D,2) pairs are exact python ints; τ-b's denominator
+    sqrt((n0−n1)(n0−n2)) is IEEE-correctly-rounded on both engines, so
+    the reported integer `tau_ppm = floor(num·10^6 / sqrt(...))` is
+    deterministic (floor of a bit-identical double — the pq.py
+    quantization convention, no round() half-boundary anywhere).
+
+    Output (one row): n_days, n_pairs, concordant, discordant,
+    tie_x, tie_y, tau_ppm (NULL when either axis is fully tied).
+    """
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    per_day = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+        .agg(
+            F.count("*").cast("bigint").alias("_x"),
+            F.countDistinct(F.col(user_col)).cast("bigint").alias("_y"),
+        )
+        .collect()
+    )
+    if not per_day:
+        raise ValueError("kendall_tau_daily: no rows")
+    if len(per_day) > 100_000:
+        raise ValueError(
+            f"kendall_tau_daily: {len(per_day)} days — the all-pairs "
+            "driver fold expects a bounded observation span"
+        )
+    days = sorted((int(r["_x"]), int(r["_y"])) for r in per_day)
+    d = len(days)
+    nc = nd = 0
+    for i in range(d):
+        xi, yi = days[i]
+        for j in range(i + 1, d):
+            xj, yj = days[j]
+            s = (xi - xj) * (yi - yj)
+            if (xi != xj) and (yi != yj):
+                if s > 0:
+                    nc += 1
+                else:
+                    nd += 1
+    from collections import Counter
+
+    tx = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in days).values())
+    ty = sum(t * (t - 1) // 2 for t in Counter(y for _, y in days).values())
+    n0 = d * (d - 1) // 2
+    tau_ppm = None
+    if n0 - tx > 0 and n0 - ty > 0:
+        denom = _math.sqrt(float(n0 - tx) * float(n0 - ty))
+        tau_ppm = _math.floor(float(nc - nd) * 1000000.0 / denom)
+    return _local_df(
+        events.sparkSession,
+        [(d, n0, nc, nd, tx, ty, tau_ppm)],
+        "n_days bigint, n_pairs bigint, concordant bigint, "
+        "discordant bigint, tie_x bigint, tie_y bigint, tau_ppm bigint",
+    )

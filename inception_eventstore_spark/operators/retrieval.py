@@ -685,3 +685,72 @@ def ql_dirichlet_topk(
         F.round(F.sum(lp), 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def ql_jelinek_mercer_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    lam: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by Jelinek-Mercer-smoothed query likelihood
+    (Zhai & Lafferty, SIGIR 2001) — linear interpolation between the
+    document and collection language models:
+
+        score(d) = Σ_t ln((1−λ)·tf_{t,d}/dl_d + λ·cf_t/|C|)
+
+    The third member of the retrieval family next to
+    :func:`bm25_topk` and :func:`ql_dirichlet_topk`: JM's constant
+    mixing weight suits LONG (verbose) queries where Dirichlet's
+    length-adaptive smoothing suits short ones — Zhai & Lafferty's
+    table 4 conclusion, and why engines expose both.
+
+    Documents with dl = 0 score with the pure collection term (the
+    (1−λ)·tf/dl document term is vacuous — tf is necessarily 0), so
+    every document participates, like the Dirichlet twin. Terms with
+    cf = 0 are dropped (smoothed probability 0 — ln undefined; the
+    standard convention).
+
+    Scale and determinism are the ql_dirichlet_topk recipe unchanged:
+    postings narrowed to query terms before the shuffle, |terms|-row
+    cf broadcast, exact-integer tf/dl/cf/|C|, one fixed-order ln per
+    term, 6 dp round BEFORE the (score desc, doc_id) cut.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lambda must be in (0, 1), got {lam}")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = _tokenized(docs, id_col, text_col)
+    n_docs, sum_dl = _derive_stats(toks)
+    if n_docs == 0 or sum_dl == 0:
+        raise ValueError("empty corpus")
+
+    tf = _tf_table(toks, lambda df: df.where(F.col("token").isin(terms)))
+    cf = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
+        .where(F.col("cf") > 0)
+    )
+    dls = toks.select("doc_id", F.size("_toks").cast("bigint").alias("dl"))
+    grid = dls.crossJoin(F.broadcast(cf))
+    joined = grid.join(tf.select("doc_id", "token", "tf"),
+                       ["doc_id", "token"], "left")
+    doc_term = F.when(
+        F.col("dl") > 0,
+        F.lit(1.0 - float(lam))
+        * F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+        / F.col("dl").cast("double"),
+    ).otherwise(F.lit(0.0))
+    lp = F.log(
+        doc_term
+        + F.lit(float(lam)) * F.col("cf").cast("double")
+        / F.lit(float(sum_dl))
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.round(F.sum(lp), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -1086,3 +1086,66 @@ def permutation_pvalue(
             + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    k: int = 5,
+    group_col: str = "user_id",
+    seed: str = "v1",
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free way to turn a
+    categorical column into a numeric feature: rows in fold f are
+    encoded with the target mean of the category computed over the
+    OTHER folds only (Micci-Barreca 2001's mean encoding, k-fold
+    variant), so a row never sees its own target. Folds come from
+    `grouped_kfold` (group-aware, content-keyed md5), so the encoding
+    inherits the no-entity-straddle discipline.
+
+    Exactness: the target is quantized to q = floor(target·2^20)
+    BIGINT; per-(category, fold) sums/counts and the category totals
+    are exact integers, and the encoding is the exact integer division
+    ``enc_u = div(S_cat − S_cat,f, n_cat − n_cat,f)`` (2^20
+    micro-units, truncation identical in both engines) — no doubles
+    anywhere.
+
+    Scale: ONE partial-aggregated (category, fold) rollup; the
+    category totals re-aggregate those |cats|·k rows; output is the
+    bounded (category, fold) encoding table a training job broadcast-
+    joins back to the corpus. Output: cat, fold, n_in (rows of the
+    fold), n_out, enc_u (NULL when the fold holds the whole category).
+    """
+    folded = grouped_kfold(df, k, group_col, seed)
+    cells = (
+        folded.where(
+            F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
+        )
+        .groupBy(
+            F.col(cat_col).alias("cat"), F.col("fold").cast("bigint").alias("fold")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_in"),
+            F.sum(
+                F.floor(F.col(target_col) * 1048576.0).cast("bigint")
+            ).cast("bigint").alias("_s_in"),
+        )
+    )
+    totals = cells.groupBy("cat").agg(
+        F.sum("n_in").cast("bigint").alias("_n_tot"),
+        F.sum("_s_in").cast("bigint").alias("_s_tot"),
+    )
+    return (
+        cells.join(F.broadcast(totals), "cat")
+        .select(
+            "cat",
+            "fold",
+            "n_in",
+            (F.col("_n_tot") - F.col("n_in")).alias("n_out"),
+            F.when(
+                F.col("_n_tot") > F.col("n_in"),
+                F.expr("div(_s_tot - _s_in, _n_tot - n_in)"),
+            ).cast("bigint").alias("enc_u"),
+        )
+    )

@@ -1596,3 +1596,84 @@ def holt_winters_daily(
         "level_micro bigint, trend_micro bigint, "
         "seasonal_micro bigint, onestep_err_micro bigint",
     )
+
+
+def forecast_accuracy(
+    events: DataFrame,
+    ts_col: str = "ts",
+    season_days: int = 7,
+) -> DataFrame:
+    """Scale-free forecast-accuracy scorecard for the seasonal-naive
+    baseline on daily event VOLUME: MASE (Hyndman & Koehler 2006 —
+    seasonal-naive absolute error relative to the one-step-naive
+    in-sample MAE) and sMAPE, the two metrics forecast benchmarking
+    (M3/M4) standardized on. `seasonal_naive_eval` reports raw
+    per-key micro-unit MAE; this is the normalized single-row readout
+    that is comparable across series and scales.
+
+    Conventions: daily counts are exact BIGINTs on the observed day
+    axis; a day is evaluated when the day ``season_days`` earlier
+    (numerator) / one day earlier (denominator) exists in the data.
+    Both metrics are exact integers — no double anywhere:
+
+        mase_ppm     = div(Σ|e7| · n1 · 10^6, Σ|e1| · n7)
+        smape_mean_u = div(Σ_d div(2·|e7_d|·2^20, x_d + f_d), n7)
+
+    (per-day sMAPE terms integer-quantized BEFORE the sum —
+    quantize-before-combine; days with x + f = 0 contribute 0 by the
+    usual convention). Σ|e7|·n1·10^6 is exact BIGINT while
+    total-events · days · 10^6 < 2^63 (~9·10^8 daily-event-days) —
+    far past any daily rollup.
+
+    Scale: one partial-aggregated rollup to the day axis, two
+    self-equi-joins of that bounded relation on day offsets (never an
+    ordered window), one scalar fold. Output (one row): n_days,
+    n_eval, n_naive, mase_ppm, smape_mean_u (NULLs when a window is
+    empty or the naive error is 0).
+    """
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+        .agg(F.count("*").cast("bigint").alias("_x"))
+    )
+    lag7 = daily.select(
+        F.date_add(F.col("_d"), int(season_days)).alias("_d"),
+        F.col("_x").alias("_f"),
+    )
+    lag1 = daily.select(
+        F.date_add(F.col("_d"), 1).alias("_d"),
+        F.col("_x").alias("_p"),
+    )
+    e7 = daily.join(lag7, "_d").select(
+        "_d", "_x", "_f",
+        F.abs(F.col("_x") - F.col("_f")).alias("_a7"),
+        F.when(
+            F.col("_x") + F.col("_f") > 0,
+            F.expr("div(2 * abs(_x - _f) * 1048576, _x + _f)"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("_su"),
+    )
+    e1 = daily.join(lag1, "_d").select(
+        F.abs(F.col("_x") - F.col("_p")).alias("_a1")
+    )
+    a7 = e7.agg(
+        F.count("*").cast("bigint").alias("n7"),
+        F.sum("_a7").cast("bigint").alias("s7"),
+        F.sum("_su").cast("bigint").alias("su"),
+    )
+    a1 = e1.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum("_a1").cast("bigint").alias("s1"),
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    out = nd.crossJoin(F.broadcast(a7)).crossJoin(F.broadcast(a1))
+    return out.select(
+        "n_days",
+        F.col("n7").alias("n_eval"),
+        F.col("n1").alias("n_naive"),
+        F.when(
+            (F.col("n7") > 0) & (F.col("s1") > 0),
+            F.expr("div(s7 * n1 * 1000000, s1 * n7)"),
+        ).cast("bigint").alias("mase_ppm"),
+        F.when(F.col("n7") > 0, F.expr("div(su, n7)"))
+        .cast("bigint").alias("smape_mean_u"),
+    )

@@ -3541,30 +3541,26 @@ QUERIES = {
 # these never-driver-checked names FIRST so the r7 driver window lands
 # on them; remove names from this list as driver rows appear.
 _DRIVER_LEDGER_FRONT = [
-    # r8 evidence-debt rotation (VERDICT r7 missing #1). All 50 rows
-    # the r7 driver sampled came back green, so the r7 backlog is
-    # cleared. What remains: (a) the 6 r7 queries at positions 50-55
-    # that the 50-row window cut — never sampled by any driver round;
-    # (b) 10 queries whose LATEST driver row is a stale r01-r05
-    # failure/no_oracle even though all have long since been fixed and
-    # oracled (green in every local full-gate run since).
-    # (a) never driver-sampled:
-    "phrase_search", "dp_noisy_counts", "propensity_strata",
-    "eb_shrunk_rates", "logrank_test", "brier_decomposition",
-    # (b) stale non-green latest driver row:
-    "dedup_simhash", "knn_graph_lsh", "multimodal_features",
-    "multimodal_real_decode", "pack_sequences", "sim_cosine_near_dup",
-    "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh",
-    "text_fingerprints",
-    # r8 new/changed oracles prepend here as they land:
-    "multimodal_mp4_frames",
-    "chi_square_independence", "kruskal_wallis", "spearman_corr",
-    "ipw_ate", "seasonal_decompose", "permutation_pvalue",
-    "v_optimal_histogram", "cochran_armitage",
-    "retrieval_ql_dirichlet", "haar_energy_daily",
-    "changepoints_lsq", "entity_clusters",
-    "boilerplate_fraction", "blocklist_hits",
-    "holt_winters", "simpsons_check",
+    # r9 rotation (VERDICT r8 next #5). r8 cleared all evidence debt —
+    # every registry query's latest driver row is green — so the
+    # front's only job is surfacing THIS round's new and changed
+    # oracles/plans: the 9 r9 queries, the whole
+    # connected-components family (the CC round loop and
+    # fuzzy_join/entity_clusters plans were rewritten — window-based
+    # stars, fused first round), and the queries whose oracle SQL or
+    # operator arithmetic was touched by the r8-advice fixes
+    # (pre-epoch-portable weekday oracles, chi-square overflow guard).
+    # r9 new:
+    "anova_oneway", "welch_ttest", "mcnemar_test", "kendall_tau_daily",
+    "nelson_aalen", "forecast_accuracy", "retrieval_ql_jm",
+    "target_encoding", "hits_custsupp",
+    # r9-changed plans (CC family + fuzzy blocking):
+    "entity_clusters", "fuzzy_join_names", "dedup_cc_clusters",
+    "dedup_survivors", "soft_dedup_weights", "dbscan_clusters",
+    "phash_clusters", "video_near_dup", "audio_near_dup",
+    # r9-changed oracles / guarded operators (r8 advice fixes):
+    "chi_square_independence", "simpsons_check", "seasonal_decompose",
+    "kruskal_wallis", "spearman_corr", "retrieval_ql_dirichlet",
 ]
 
 
@@ -13861,3 +13857,430 @@ _R8G_QUERIES = {
     "simpsons_check": QueryDef(q_simpsons_check, _SIMPSONS_ORACLE),
 }
 QUERIES = {**_R8G_QUERIES, **QUERIES}
+
+
+# ---------------------------------------------------------------------------
+# r9 registrations
+# ---------------------------------------------------------------------------
+
+
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F across event types (profile.anova_oneway) —
+    exact-integer group moments (Σq² in base-2^31 lanes ≡ the
+    oracle's HUGEINT sums), per-group S²/n floored to 2^20 micro-units
+    over the bounded group axis, F one fixed-order double ratio."""
+    from inception_eventstore_spark.operators.profile import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"))
+
+
+_ANOVA_ORACLE = """
+WITH v AS (
+  SELECT event_type AS g, CAST(floor(value * 1048576.0) AS BIGINT) AS q
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+    CAST(sum(q) AS BIGINT) AS s_g,
+    sum(q * q) AS q2_g
+  FROM v GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(s_g) AS BIGINT) AS s,
+    sum(q2_g) AS q2,
+    sum(CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        / CAST(n_g AS DOUBLE) * 1048576.0) AS BIGINT)) AS a_u
+  FROM grp)
+SELECT n AS n_rows, k AS k_groups,
+  CASE WHEN k >= 2 AND n > k AND (q2 * 1048576 - a_u) > 0 THEN
+    round((CAST(a_u - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1048576.0) AS DOUBLE)
+           / CAST(k - 1 AS DOUBLE))
+          / (CAST(q2 * 1048576 - a_u AS DOUBLE)
+             / CAST(n - k AS DOUBLE)), 6) + 0.0
+  END AS f_stat
+FROM agg
+"""
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t between click and purchase values
+    (profile.welch_ttest): same exact-integer moment machinery as
+    ANOVA; t and the Welch-Satterthwaite df are one fixed-order double
+    tree of six exact integers, mirrored token-for-token."""
+    from inception_eventstore_spark.operators.profile import welch_ttest
+
+    return welch_ttest(_t(spark, sf_dir, "events"))
+
+
+_WELCH_ORACLE = """
+WITH v AS (
+  SELECT event_type AS g, CAST(floor(value * 1048576.0) AS BIGINT) AS q
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+agg AS (
+  SELECT
+    CAST(count(*) FILTER (g = 'click') AS BIGINT) AS na,
+    CAST(count(*) FILTER (g = 'purchase') AS BIGINT) AS nb,
+    CAST(coalesce(sum(q) FILTER (g = 'click'), 0) AS BIGINT) AS sa,
+    CAST(coalesce(sum(q) FILTER (g = 'purchase'), 0) AS BIGINT) AS sb,
+    coalesce(sum(q * q) FILTER (g = 'click'), 0) AS qa,
+    coalesce(sum(q * q) FILTER (g = 'purchase'), 0) AS qb
+  FROM v),
+m AS (
+  SELECT na, nb,
+    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+       / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+       / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+  FROM agg WHERE na >= 2 AND nb >= 2),
+s AS (
+  SELECT na, nb, ma, mb,
+    va / CAST(na AS DOUBLE) AS sea,
+    vb / CAST(nb AS DOUBLE) AS seb
+  FROM m)
+SELECT
+  coalesce((SELECT na FROM s), (SELECT na FROM agg)) AS n_a,
+  coalesce((SELECT nb FROM s), (SELECT nb FROM agg)) AS n_b,
+  (SELECT CASE WHEN sea + seb > 0 THEN
+     round((ma - mb) / sqrt(sea + seb), 6) + 0.0 END FROM s) AS t_welch,
+  (SELECT CASE WHEN sea + seb > 0 THEN
+     round(((sea + seb) * (sea + seb))
+       / (sea * sea / CAST(na - 1 AS DOUBLE)
+          + seb * seb / CAST(nb - 1 AS DOUBLE)), 6) + 0.0
+   END FROM s) AS df_welch
+"""
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's paired test: clicked-ever vs purchased-ever per user
+    (profile.mcnemar_paired) — pure integers, the statistic reported
+    in exact 2^20 micro-units via integer division; no double, no
+    rounding anywhere."""
+    from inception_eventstore_spark.operators.profile import (
+        mcnemar_paired,
+    )
+
+    return mcnemar_paired(_t(spark, sf_dir, "events"))
+
+
+_MCNEMAR_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS a,
+    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS b
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS bd,
+    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS cd
+  FROM per)
+SELECT n AS n_users, bd AS b_disc, cd AS c_disc,
+  CASE WHEN bd + cd > 0 THEN
+    CAST((bd - cd) * (bd - cd) * 1048576 // (bd + cd) AS BIGINT)
+  END AS chi2_u
+FROM agg
+"""
+
+
+def q_kendall_tau_daily(spark, sf_dir):
+    """Kendall τ-b between daily volume and daily distinct users
+    (profile.kendall_tau_daily): the bounded day axis crosses to the
+    driver (km pattern) for exact all-pairs concordance counting;
+    tau reported as floor-ppm of a bit-identical double — no round()
+    half-boundary."""
+    from inception_eventstore_spark.operators.profile import (
+        kendall_tau_daily,
+    )
+
+    return kendall_tau_daily(_t(spark, sf_dir, "events"))
+
+
+_KENDALL_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+pr AS (
+  SELECT d1.x AS x1, d1.y AS y1, d2.x AS x2, d2.y AS y2
+  FROM d d1 JOIN d d2 ON d1.day < d2.day),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+    CAST(coalesce(sum(CASE WHEN x1 <> x2 AND y1 <> y2
+      AND (x1 - x2) * (y1 - y2) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS nc,
+    CAST(coalesce(sum(CASE WHEN x1 <> x2 AND y1 <> y2
+      AND (x1 - x2) * (y1 - y2) < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS nd
+  FROM pr),
+tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT)
+    AS tie_x FROM (SELECT count(*) AS t FROM d GROUP BY x)),
+ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT)
+    AS tie_y FROM (SELECT count(*) AS t FROM d GROUP BY y))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+  n0 AS n_pairs, nc AS concordant, nd AS discordant,
+  tie_x, tie_y,
+  CASE WHEN n0 - tie_x > 0 AND n0 - tie_y > 0 THEN
+    CAST(floor(CAST(nc - nd AS DOUBLE) * 1000000.0
+      / sqrt(CAST(n0 - tie_x AS DOUBLE) * CAST(n0 - tie_y AS DOUBLE)))
+      AS BIGINT)
+  END AS tau_ppm
+FROM agg, tx, ty
+"""
+
+
+_R9A_QUERIES = {
+    "anova_oneway": QueryDef(q_anova_oneway, _ANOVA_ORACLE),
+    "welch_ttest": QueryDef(q_welch_ttest, _WELCH_ORACLE),
+    "mcnemar_test": QueryDef(q_mcnemar_test, _MCNEMAR_ORACLE),
+    "kendall_tau_daily": QueryDef(q_kendall_tau_daily, _KENDALL_ORACLE),
+}
+QUERIES = {**_R9A_QUERIES, **QUERIES}
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard, signup→purchase, right-censored
+    at the last event (funnel.nelson_aalen_hazard) — the additive twin
+    of km_survival on identical definitions; the estimate is the exact
+    integer recurrence H_i = H_{i-1} + div(d_i·10^9, n_i) in ppb,
+    replayed by the oracle as a windowed sum of the identical integer
+    terms (the increments are independent, unlike KM's product)."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    return FU.nelson_aalen_hazard(
+        _t(spark, sf_dir, "events"),
+        start_type="signup", event_type="purchase",
+    )
+
+
+_NELSON_AALEN_ORACLE = """
+WITH starts AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+lasts AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+fe AS (
+  SELECT e.user_id, min(e.ts) AS te
+  FROM events e JOIN starts s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY e.user_id),
+per_user AS (
+  SELECT CASE WHEN fe.te IS NOT NULL
+      THEN datediff('day', CAST(s.t0 AS DATE), CAST(fe.te AS DATE))
+      ELSE datediff('day', CAST(s.t0 AS DATE), CAST(l.tmax AS DATE))
+    END AS d,
+    CASE WHEN fe.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM starts s JOIN lasts l ON s.user_id = l.user_id
+  LEFT JOIN fe ON s.user_id = fe.user_id),
+per_day AS (
+  SELECT d, CAST(sum(obs) AS BIGINT) AS de,
+    CAST(sum(1 - obs) AS BIGINT) AS ce
+  FROM per_user GROUP BY d),
+risk AS (
+  SELECT d, de, ce,
+    (SELECT count(*) FROM per_user)
+      - coalesce(sum(de + ce) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_risk
+  FROM per_day)
+SELECT d AS t_days, CAST(n_risk AS BIGINT) AS n_risk, de AS n_events,
+  CAST(sum(de * 1000000000 // n_risk)
+    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS hazard_ppb
+FROM risk WHERE de > 0
+"""
+
+
+def q_forecast_accuracy(spark, sf_dir):
+    """MASE + sMAPE scorecard of the seasonal-naive baseline on daily
+    event counts (timeseries.forecast_accuracy): day-offset self-joins
+    of the bounded rollup (no ordered window), both metrics exact
+    integers (ppm / per-day-quantized micro-units)."""
+    from inception_eventstore_spark.operators.timeseries import (
+        forecast_accuracy,
+    )
+
+    return forecast_accuracy(_t(spark, sf_dir, "events"))
+
+
+_FORECAST_ACC_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+e7 AS (SELECT a.x AS x, b.x AS f FROM d a JOIN d b ON a.day = b.day + 7),
+e1 AS (SELECT a.x AS x, b.x AS p FROM d a JOIN d b ON a.day = b.day + 1),
+a7 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n7,
+    CAST(coalesce(sum(abs(x - f)), 0) AS BIGINT) AS s7,
+    CAST(coalesce(sum(CASE WHEN x + f > 0
+      THEN 2 * abs(x - f) * 1048576 // (x + f) ELSE 0 END), 0)
+      AS BIGINT) AS su
+  FROM e7),
+a1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1,
+    CAST(coalesce(sum(abs(x - p)), 0) AS BIGINT) AS s1
+  FROM e1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+SELECT n_days, n7 AS n_eval, n1 AS n_naive,
+  CASE WHEN n7 > 0 AND s1 > 0 THEN
+    CAST(s7 * n1 * 1000000 // (s1 * n7) AS BIGINT) END AS mase_ppm,
+  CASE WHEN n7 > 0 THEN CAST(su // n7 AS BIGINT) END AS smape_mean_u
+FROM nd, a7, a1
+"""
+
+
+def q_ql_jelinek_mercer(spark, sf_dir):
+    """Jelinek-Mercer-smoothed query likelihood top-10 for the bm25
+    query terms (retrieval.ql_jelinek_mercer_topk) — the third family
+    member next to BM25 and Dirichlet: constant-λ interpolation, the
+    long-query smoothing choice; same postings-narrowing scale shape
+    and ln-of-rational 6-dp determinism."""
+    from inception_eventstore_spark.operators.retrieval import (
+        ql_jelinek_mercer_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ql_jelinek_mercer_topk(
+        docs, ["spark", "merge", "window"], k=10, lam=0.1
+    )
+
+
+_QL_JM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sdl FROM toks),
+ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ex
+  WHERE token IN ('merge', 'spark', 'window') GROUP BY 1, 2),
+cf AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+  GROUP BY 1 HAVING sum(tf) > 0),
+dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+grid AS (
+  SELECT dls.doc_id, dls.dl, cf.token, cf.cf FROM dls CROSS JOIN cf),
+j AS (
+  SELECT g.doc_id, g.dl, g.cf, COALESCE(tf.tf, 0) AS tf
+  FROM grid g
+  LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.token = g.token),
+s AS (
+  SELECT doc_id,
+    ln((CASE WHEN dl > 0 THEN
+          0.9 * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+        ELSE 0.0 END)
+       + 0.1 * CAST(cf AS DOUBLE)
+         / CAST((SELECT sdl FROM st) AS DOUBLE)) AS lp
+  FROM j)
+SELECT doc_id, round(sum(lp), 6) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_target_encoding(spark, sf_dir):
+    """Out-of-fold target encoding of event_type by value
+    (sampling.target_encode_kfold over grouped_kfold's content-keyed
+    user folds): the bounded (category, fold) encoding table in exact
+    2^20 micro-units — no doubles, no leakage."""
+    from inception_eventstore_spark.operators.sampling import (
+        target_encode_kfold,
+    )
+
+    return target_encode_kfold(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        k=5, group_col="user_id",
+    )
+
+
+_TARGET_ENC_ORACLE = """
+WITH folded AS (
+  SELECT event_type AS cat, value,
+    CAST(('0x' || substring(md5('kfold-v1:'
+      || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+cells AS (
+  SELECT cat, CAST(fold AS BIGINT) AS fold,
+    CAST(count(*) AS BIGINT) AS n_in,
+    CAST(sum(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT)
+      AS s_in
+  FROM folded GROUP BY 1, 2),
+tot AS (
+  SELECT cat, CAST(sum(n_in) AS BIGINT) AS n_tot,
+    CAST(sum(s_in) AS BIGINT) AS s_tot
+  FROM cells GROUP BY 1)
+SELECT c.cat, c.fold, c.n_in,
+  CAST(t.n_tot - c.n_in AS BIGINT) AS n_out,
+  CASE WHEN t.n_tot > c.n_in THEN
+    CAST((t.s_tot - c.s_in) // (t.n_tot - c.n_in) AS BIGINT)
+  END AS enc_u
+FROM cells c JOIN tot t USING (cat)
+"""
+
+
+def q_hits_custsupp(spark, sf_dir):
+    """4-iteration HITS over the directed customer→supplier purchase
+    graph (graph.hits_scores): hubs = buyers that reach strong
+    suppliers, authorities = suppliers bought by strong buyers. The
+    deterministic dmax-normalized integer recurrence is replayed by
+    the oracle's unrolled materialized CTE steps."""
+    from inception_eventstore_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return G.hits_scores(edges, iterations=4)
+
+
+def _hits_oracle() -> str:
+    head = """
+WITH e AS MATERIALIZED (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT node, count(*) AS d FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+dm AS (SELECT CAST(max(d) AS BIGINT) AS dmax FROM deg),
+h0 AS (SELECT node, CAST(1073741824 AS BIGINT) AS h FROM nodes)"""
+    step = """,
+a{it} AS MATERIALIZED (
+  SELECT nodes.node, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(h) // (SELECT dmax FROM dm) AS BIGINT) AS a
+    FROM e JOIN h{prev} ON e.src = h{prev}.node GROUP BY e.dst) s
+  USING (node)),
+h{it} AS MATERIALIZED (
+  SELECT nodes.node, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node,
+      CAST(sum(a) // (SELECT dmax FROM dm) AS BIGINT) AS h
+    FROM e JOIN a{it} ON e.dst = a{it}.node GROUP BY e.src) s
+  USING (node))"""
+    body = head + "".join(
+        step.format(it=i, prev=i - 1) for i in (1, 2, 3, 4)
+    )
+    return body + (
+        "\nSELECT h4.node, CAST(h4.h AS BIGINT) AS hub_u,"
+        " CAST(a4.a AS BIGINT) AS auth_u\n"
+        "FROM h4 JOIN a4 USING (node)"
+    )
+
+
+_R9B_QUERIES = {
+    "nelson_aalen": QueryDef(q_nelson_aalen, _NELSON_AALEN_ORACLE),
+    "forecast_accuracy": QueryDef(
+        q_forecast_accuracy, _FORECAST_ACC_ORACLE
+    ),
+    "retrieval_ql_jm": QueryDef(q_ql_jelinek_mercer, _QL_JM_ORACLE),
+    "target_encoding": QueryDef(q_target_encoding, _TARGET_ENC_ORACLE),
+    "hits_custsupp": QueryDef(q_hits_custsupp, _hits_oracle()),
+}
+QUERIES = {**_R9B_QUERIES, **QUERIES}

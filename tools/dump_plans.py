@@ -1481,6 +1481,71 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # r9 batch 1 — stats/timeseries driver folds + distributed joins
+    "anova_oneway": [
+        # group moments fold at call time over the bounded group axis
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "welch_ttest": [
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "mcnemar_test": [
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "kendall_tau_daily": [
+        ("result is the bounded one-row local relation (day axis "
+         "folded driver-side, km pattern)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "nelson_aalen": [
+        ("result is the driver-computed day table (km pattern)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+    ],
+    "forecast_accuracy": [
+        # lag-7 / lag-1 are day-offset equi-joins of the bounded
+        # rollup — never an ordered window
+        ("no window at all — lags are self-equi-joins", "!Window"),
+        ("scalar metric rollups meet in broadcast joins",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "retrieval_ql_jm": [
+        ("query-term cf table broadcast-crosses the doc lengths",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("postings narrowed to query terms before the agg shuffle",
+         r"PushedFilters|Filter"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "target_encoding": [
+        ("category totals re-aggregate the bounded (cat, fold) cells "
+         "and join back broadcast", r"BroadcastHashJoin"),
+        ("no window at all", "!Window"),
+        _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "hits_custsupp": [
+        # 4 fixed iterations checkpointed at the end — the visible
+        # plan reads the converged score relation
+        ("converged score relation (checkpoint-visible)",
+         r"Scan ExistingRDD"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def _ann_lsh_probe(spark, sf_dir: str):
     """Persisted-LSH probe: build the _sig-partitioned index in a temp
     dir, return the candidate scan — must show PartitionFilters on _sig
