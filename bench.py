@@ -332,6 +332,10 @@ HEADLINE = [
     "retrieval_ql_jm",
     "target_encoding",
     "hits_custsupp",
+    "brown_forsythe",
+    "ece_calibration",
+    "borda_fusion",
+    "multimodal_bmp",
 ]
 
 

@@ -2252,15 +2252,27 @@ def _group_moments(
     mann_whitney_u / kruskal_wallis lane recipe, recombined
     driver-side in unbounded python ints (equal to the oracle's
     HUGEINT sum by exactness of both)."""
+    return _int_group_moments(
+        vals.withColumn(
+            "_qv", F.floor(F.col(value_col) * 1048576.0).cast("bigint")
+        ),
+        group_col,
+    )
+
+
+def _int_group_moments(vals: DataFrame, group_col: Column) -> DataFrame:
+    """The integer half of `_group_moments`: per-group (n, Σq, Σq²
+    lanes) over a prepared BIGINT ``_qv`` column — shared with
+    operators whose quantity is already an exact integer (e.g.
+    Brown-Forsythe's absolute deviations)."""
     lane = 1 << 31
     q = F.expr(
         "CASE WHEN abs(_qv) <= 3037000499 THEN _qv ELSE raise_error("
-        "'group moments: |floor(value*2^20)| exceeds 3037000499 — "
+        "'group moments: |q| exceeds 3037000499 — "
         "q*q would overflow BIGINT') END"
     )
     return (
-        vals.withColumn("_qv", F.floor(F.col(value_col) * 1048576.0).cast("bigint"))
-        .withColumn("_q", q)
+        vals.withColumn("_q", q)
         .withColumn("_p", F.expr("_q * _q"))
         .groupBy(group_col.alias("_g"))
         .agg(
@@ -2270,6 +2282,31 @@ def _group_moments(
             F.sum(F.expr(f"div(_p, {lane})")).cast("bigint").alias("_p1"),
         )
     )
+
+
+def _anova_fold(groups: list) -> tuple[int, int, float | None]:
+    """Driver fold shared by `anova_oneway` / `brown_forsythe`:
+    (n, k, F) from the bounded per-group moment rows — micro-unit
+    quantize-before-combine, one fixed-order double ratio."""
+    lane = 1 << 31
+    k = len(groups)
+    n = sum(int(g["_n"]) for g in groups)
+    s_tot = sum(int(g["_s"]) for g in groups)
+    sq2 = sum(int(g["_p0"]) + int(g["_p1"]) * lane for g in groups)
+    a_u = 0
+    for g in groups:
+        s_d, n_d = float(int(g["_s"])), float(int(g["_n"]))
+        a_u += _math.floor(s_d * s_d / n_d * 1048576.0)
+    ssb_u = a_u - _math.floor(
+        float(s_tot) * float(s_tot) / float(n) * 1048576.0
+    )
+    ssw_u = sq2 * 1048576 - a_u
+    f_stat = None
+    if k >= 2 and n > k and ssw_u > 0:
+        f_stat = (float(ssb_u) / float(k - 1)) / (
+            float(ssw_u) / float(n - k)
+        )
+    return n, k, f_stat
 
 
 def anova_oneway(
@@ -2310,24 +2347,7 @@ def anova_oneway(
             f"anova_oneway: {len(groups)} groups — the bounded-axis "
             "driver fold expects a categorical group column"
         )
-    lane = 1 << 31
-    k = len(groups)
-    n = sum(int(g["_n"]) for g in groups)
-    s_tot = sum(int(g["_s"]) for g in groups)
-    sq2 = sum(int(g["_p0"]) + int(g["_p1"]) * lane for g in groups)
-    a_u = 0
-    for g in groups:
-        s_d, n_d = float(int(g["_s"])), float(int(g["_n"]))
-        a_u += _math.floor(s_d * s_d / n_d * 1048576.0)
-    ssb_u = a_u - _math.floor(
-        float(s_tot) * float(s_tot) / float(n) * 1048576.0
-    )
-    ssw_u = sq2 * 1048576 - a_u
-    f_stat = None
-    if k >= 2 and n > k and ssw_u > 0:
-        f_stat = (float(ssb_u) / float(k - 1)) / (
-            float(ssw_u) / float(n - k)
-        )
+    n, k, f_stat = _anova_fold(groups)
     out = _local_df(
         events.sparkSession,
         [(n, k, f_stat)],
@@ -2533,4 +2553,75 @@ def kendall_tau_daily(
         [(d, n0, nc, nd, tx, ty, tau_ppm)],
         "n_days bigint, n_pairs bigint, concordant bigint, "
         "discordant bigint, tie_x bigint, tie_y bigint, tau_ppm bigint",
+    )
+
+
+def brown_forsythe(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Brown-Forsythe test (1974) for equality of variances across
+    groups: one-way ANOVA on the absolute deviations from each
+    group's MEDIAN — the robust (median-centered) Levene variant, and
+    the pre-check that decides whether the classic pooled t/F is even
+    admissible. Reported F large ⇒ spreads differ.
+
+    Determinism: q = floor(value·2^20) exact BIGINT; the group median
+    is the LOW median (value at row k = (n+1) div 2 under
+    (q, id) order) — computed with `grouped_row_number` (two-phase
+    shard rank, never a per-group single task) and well-defined under
+    ties because the k-th ORDER STATISTIC by value does not depend on
+    tie order; deviations |q − med_g| are exact integers fed to the
+    shared `_int_group_moments` + `_anova_fold` machinery (Σd² lanes,
+    micro-unit quantize-before-combine, one fixed-order F).
+
+    Scale: one rank pass over the grouped values (bounded |groups|-row
+    median table broadcast back), one moment rollup, driver fold on
+    the bounded group axis. Output (one row): n_rows, k_groups,
+    f_bf (6 dp; NULL when k < 2, n ≤ k, or zero within-spread).
+    """
+    from inception_eventstore_spark.functions.ranking import (
+        grouped_row_number,
+    )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vals = events.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.floor(F.col(value_col) * 1048576.0).cast("bigint").alias("_qv"),
+        F.col(id_col).alias("_id"),
+    )
+    ranked = grouped_row_number(
+        vals,
+        order_cols=[F.col("_qv").asc(), F.col("_id").asc()],
+        group_cols=["_g"],
+        rank_col="_r",
+        with_group_count="_ng",
+    )
+    med = ranked.where(
+        F.col("_r") == F.expr("div(_ng + 1, 2)")
+    ).select("_g", F.col("_qv").alias("_med"))
+    dev = vals.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_qv") - F.col("_med")).alias("_qv")
+    )
+    groups = _int_group_moments(dev, F.col("_g")).collect()
+    if not groups:
+        raise ValueError("brown_forsythe: no non-null rows")
+    if len(groups) > 100_000:
+        raise ValueError(
+            f"brown_forsythe: {len(groups)} groups — the bounded-axis "
+            "driver fold expects a categorical group column"
+        )
+    n, k, f_stat = _anova_fold(groups)
+    out = _local_df(
+        events.sparkSession,
+        [(n, k, f_stat)],
+        "n_rows bigint, k_groups bigint, f_bf double",
+    )
+    return out.select(
+        "n_rows", "k_groups",
+        (F.round("f_bf", 6) + F.lit(0.0)).alias("f_bf"),
     )

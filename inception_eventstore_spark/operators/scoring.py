@@ -731,3 +731,40 @@ def brier_decomposition(
         (F.round(brier - (rel - res + unc), 6) + F.lit(0.0))
         .alias("residual"),
     )
+
+
+def ece_report(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error — the one-number rollup of
+    :func:`calibration_curve`'s reliability diagram:
+    ECE = Σ_b (n_b/n)·|pos_rate_b − mean_prob_b| (Naeini et al., AAAI
+    2015), the metric a probability-gated curation threshold should be
+    judged by before anyone trusts its cutoff.
+
+    Determinism: the per-bin `gap` column is already cross-engine
+    stable (6-dp round of a mean-of-rounded-probabilities minus an
+    exact integer-ppm rate); it is re-quantized to integer ppm with a
+    nearest-int round (the double sits within 1e-9 of an integer, so
+    no half-boundary exists) and the weighted sum + final division are
+    exact BIGINT arithmetic over the bounded bin axis.
+
+    Output (one row): n, n_bins_occupied, ece_ppm.
+    """
+    curve = calibration_curve(scored, prob_col, label_col, bins)
+    g = curve.select(
+        "n",
+        F.round(F.abs(F.col("gap")) * 1000000.0)
+        .cast("bigint")
+        .alias("_gap_ppm"),
+    )
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_bins_occupied"),
+        F.expr("CAST(div(sum(n * _gap_ppm), sum(n)) AS BIGINT)").alias(
+            "ece_ppm"
+        ),
+    )

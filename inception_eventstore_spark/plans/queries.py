@@ -3554,6 +3554,8 @@ _DRIVER_LEDGER_FRONT = [
     "anova_oneway", "welch_ttest", "mcnemar_test", "kendall_tau_daily",
     "nelson_aalen", "forecast_accuracy", "retrieval_ql_jm",
     "target_encoding", "hits_custsupp",
+    "brown_forsythe", "ece_calibration", "borda_fusion",
+    "multimodal_bmp",
     # r9-changed plans (CC family + fuzzy blocking):
     "entity_clusters", "fuzzy_join_names", "dedup_cc_clusters",
     "dedup_survivors", "soft_dedup_weights", "dbscan_clusters",
@@ -14284,3 +14286,219 @@ _R9B_QUERIES = {
     "hits_custsupp": QueryDef(q_hits_custsupp, _hits_oracle()),
 }
 QUERIES = {**_R9B_QUERIES, **QUERIES}
+
+
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe robust variance-equality test across event types
+    (profile.brown_forsythe): ANOVA on |q − group-low-median| with the
+    median from a two-phase shard rank; shared exact-integer moment
+    machinery and fixed-order F."""
+    from inception_eventstore_spark.operators.profile import (
+        brown_forsythe,
+    )
+
+    return brown_forsythe(_t(spark, sf_dir, "events"))
+
+
+_BROWN_FORSYTHE_ORACLE = """
+WITH v AS (
+  SELECT event_type AS g,
+    CAST(floor(value * 1048576.0) AS BIGINT) AS q, event_id AS id
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+rk AS (
+  SELECT g, q,
+    row_number() OVER (PARTITION BY g ORDER BY q, id) AS r,
+    count(*) OVER (PARTITION BY g) AS ng
+  FROM v),
+med AS (SELECT g, q AS med FROM rk WHERE r = (ng + 1) // 2),
+d AS (SELECT v.g, abs(v.q - med.med) AS q FROM v JOIN med USING (g)),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+    CAST(sum(q) AS BIGINT) AS s_g,
+    sum(q * q) AS q2_g
+  FROM d GROUP BY 1),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(s_g) AS BIGINT) AS s,
+    sum(q2_g) AS q2,
+    sum(CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        / CAST(n_g AS DOUBLE) * 1048576.0) AS BIGINT)) AS a_u
+  FROM grp)
+SELECT n AS n_rows, k AS k_groups,
+  CASE WHEN k >= 2 AND n > k AND (q2 * 1048576 - a_u) > 0 THEN
+    round((CAST(a_u - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1048576.0) AS DOUBLE)
+           / CAST(k - 1 AS DOUBLE))
+          / (CAST(q2 * 1048576 - a_u AS DOUBLE)
+             / CAST(n - k AS DOUBLE)), 6) + 0.0
+  END AS f_bf
+FROM agg
+"""
+
+
+def q_ece_calibration(spark, sf_dir):
+    """Expected calibration error of the quality model at predicting
+    English (scoring.ece_report over calibration_curve's bins): the
+    one-number rollup — per-bin gaps re-quantized to integer ppm, the
+    weighted sum and final division exact BIGINT arithmetic."""
+    from inception_eventstore_spark.operators import scoring as SC
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = SC.linear_quality_score(docs, dim=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return SC.ece_report(
+        scored.withColumn("is_en", F.col("lang") == "en"),
+        "quality_prob",
+        "is_en",
+        bins=10,
+    )
+
+
+_ECE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+bk AS (SELECT doc_id, unnest(list_transform(tk, tok ->
+  CAST(('0x' || substring(md5('bow-v1:' || tok), 1, 15)) AS BIGINT)
+  % 64)) AS bucket FROM t),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+w AS (SELECT i AS bucket,
+  (CAST(('0x' || substring(md5('qw:v1:' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) - 576460752303423488) / 576460752303423488.0 AS w
+  FROM range(0, 64) t(i)),
+s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(sum(w * cnt)
+    / sum(cnt)))), 6) AS p
+  FROM c JOIN w ON c.bucket = w.bucket GROUP BY doc_id),
+lab AS (SELECT s.p,
+    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+    least(CAST(floor(s.p * 10) AS INTEGER), 9) AS bin
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.p IS NOT NULL),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    round(avg(p), 6) AS mean_prob
+  FROM lab GROUP BY bin),
+gp AS (SELECT n,
+    CAST(round(abs(round(mean_prob
+      - CAST(CAST((n_pos * 1000000) // n AS BIGINT) AS DOUBLE) / 1e6,
+      6)) * 1000000.0) AS BIGINT) AS gap_ppm
+  FROM g)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_bins_occupied,
+  CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
+FROM gp
+"""
+
+
+def q_borda_fusion(spark, sf_dir):
+    """Borda-count fusion of the same lexical (BM25) and semantic
+    (exact top-k) rankings rrf_fusion combines
+    (retrieval.borda_fuse): linear positional points, pure integer
+    end-to-end — the social-choice combiner beside RRF's hyperbolic
+    weighting."""
+    from inception_eventstore_spark.operators import retrieval as RT
+    from inception_eventstore_spark.operators import similarity as S
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = _local_df(
+        spark,
+        [
+            (1, ["spark", "merge"]),
+            (2, ["window", "key"]),
+            (3, ["batch"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    lexical = RT.bm25_multi_topk(docs, qdf, k=10).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    qrows = (
+        emb.where(F.col("vec_id").isin(1, 2, 3))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    semantic = S.multi_query_topk(
+        emb.where(F.col("vec_id") >= 5), queries, k=10
+    ).select("query_id", F.col("vec_id").alias("item_id"), "rank")
+    return (
+        RT.borda_fuse([lexical, semantic], list_size=10, top_n=10)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _borda_fusion_oracle() -> str:
+    """The rrf_fusion oracle with the combiner swapped: same lexical +
+    semantic ranked lists (byte-identical CTE prefix, asserted), Borda
+    points 10 − rank + 1 instead of reciprocal ppb."""
+    base = _rrf_fusion_oracle()
+    old_f = """f AS (SELECT query_id, item_id,
+    CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb,
+    CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY query_id, item_id)
+SELECT query_id, item_id, rrf_ppb, n_lists,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_ppb DESC, item_id) AS BIGINT) AS fused_rank
+FROM f"""
+    new_f = """f AS (SELECT query_id, item_id,
+    CAST(sum(10 - rank + 1) AS BIGINT) AS borda_points,
+    CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY query_id, item_id)
+SELECT query_id, item_id, borda_points, n_lists,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY borda_points DESC, item_id) AS BIGINT) AS fused_rank
+FROM f"""
+    assert old_f in base, "rrf oracle combiner block moved"
+    return base.replace(old_f, new_f)
+
+
+def q_multimodal_bmp(spark, sf_dir):
+    """BMP (24-bit BI_RGB DIB) ingest audit (multimodal.bmp_catalog):
+    every payload REALLY decoded — header walk, padded odd-width
+    scanlines, bottom-up AND top-down row order — and fingerprinted
+    by the md5 of the exact RGB pixel block; one Arrow mapInPandas
+    kernel over the binary column."""
+    from inception_eventstore_spark.operators import multimodal as MM
+
+    assets = _local_df(
+        spark,
+        [(i, bytearray(p)) for i, p in MM.synthetic_bmp_asset_rows(64)],
+        "asset_id long, payload binary",
+    )
+    return MM.bmp_catalog(assets).orderBy("asset_id")
+
+
+def _bmp_oracle() -> str:
+    import hashlib
+
+    from inception_eventstore_spark.operators.multimodal import (
+        decode_bmp,
+        synthetic_bmp_asset_rows,
+    )
+
+    values = []
+    for aid, payload in synthetic_bmp_asset_rows(64):
+        px = decode_bmp(payload)
+        values.append(
+            f"({aid}, {px.shape[1]}, {px.shape[0]}, "
+            f"'{hashlib.md5(px.tobytes()).hexdigest()}')"
+        )
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, "
+        "CAST(c1 AS BIGINT) AS width, CAST(c2 AS BIGINT) AS height, "
+        "c3 AS pixel_md5 "
+        f"FROM (VALUES {', '.join(values)}) t(c0, c1, c2, c3) "
+        "ORDER BY asset_id"
+    )
+
+
+_R9C_QUERIES = {
+    "brown_forsythe": QueryDef(q_brown_forsythe, _BROWN_FORSYTHE_ORACLE),
+    "ece_calibration": QueryDef(q_ece_calibration, _ECE_ORACLE),
+    "borda_fusion": QueryDef(q_borda_fusion, _borda_fusion_oracle()),
+    "multimodal_bmp": QueryDef(q_multimodal_bmp, _bmp_oracle()),
+}
+QUERIES = {**_R9C_QUERIES, **QUERIES}

@@ -350,3 +350,190 @@ class TestHits:
                 spark.createDataFrame([(1, 2)], "src long, dst long"),
                 iterations=0,
             )
+
+
+class TestBrownForsythe:
+    def test_unequal_spread_large_f(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            brown_forsythe,
+        )
+
+        rows, eid = [], 0
+        # group a: tight around 10; group b: wide
+        for v in (9.0, 10.0, 10.0, 11.0, 10.0):
+            rows.append((eid, TS, eid, "a", v)); eid += 1
+        for v in (0.0, 5.0, 10.0, 15.0, 20.0):
+            rows.append((eid, TS, eid, "b", v)); eid += 1
+        out = brown_forsythe(_ev(spark, rows)).collect()[0]
+        assert (out.n_rows, out.k_groups) == (10, 2)
+        # hand BF: medians 10 and 10; deviations a: 1,0,0,1,0
+        # b: 10,5,0,5,10 -> ANOVA on deviations
+        a = [1.0, 0.0, 0.0, 1.0, 0.0]
+        b = [10.0, 5.0, 0.0, 5.0, 10.0]
+        ma, mb = sum(a) / 5, sum(b) / 5
+        gm = (sum(a) + sum(b)) / 10
+        ssb = 5 * (ma - gm) ** 2 + 5 * (mb - gm) ** 2
+        ssw = sum((x - ma) ** 2 for x in a) + sum((x - mb) ** 2 for x in b)
+        f = (ssb / 1) / (ssw / 8)
+        assert out.f_bf == pytest.approx(f, rel=1e-4)
+
+    def test_equal_spread_small_f(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            brown_forsythe,
+        )
+
+        rows, eid = [], 0
+        for g, off in (("a", 0.0), ("b", 100.0)):
+            for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+                rows.append((eid, TS, eid, g, v + off)); eid += 1
+        out = brown_forsythe(_ev(spark, rows)).collect()[0]
+        # identical shapes shifted by a constant -> identical
+        # deviations -> F exactly 0 (up to micro-unit floors)
+        assert abs(out.f_bf) < 1e-5
+
+
+class TestEce:
+    def test_rollup_matches_curve(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            calibration_curve,
+            ece_report,
+        )
+
+        rows = []
+        # probs in two bins with controlled positive rates
+        for i in range(10):
+            rows.append((i, 0.25, 1 if i < 5 else 0))   # bin 2, rate .5
+        for i in range(10, 30):
+            rows.append((i, 0.85, 1 if i < 28 else 0))  # bin 8, rate .9
+        df = spark.createDataFrame(
+            rows, "doc_id long, p double, y int"
+        )
+        curve = calibration_curve(df, "p", "y", bins=10).collect()
+        out = ece_report(df, "p", "y", bins=10).collect()[0]
+        assert out.n == 30 and out.n_bins_occupied == 2
+        num = sum(
+            r.n * round(abs(r.gap) * 1e6) for r in curve
+        )
+        assert out.ece_ppm == int(num) // 30
+
+
+class TestBorda:
+    def test_hand_fusion(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            borda_fuse,
+        )
+
+        l1 = spark.createDataFrame(
+            [(1, 100, 1), (1, 101, 2), (1, 102, 3)],
+            "query_id long, item_id long, rank long",
+        )
+        l2 = spark.createDataFrame(
+            [(1, 102, 1), (1, 100, 2), (1, 103, 3)],
+            "query_id long, item_id long, rank long",
+        )
+        out = {
+            r.item_id: r
+            for r in borda_fuse([l1, l2], list_size=3).collect()
+        }
+        # points: 100 -> 3+2=5, 101 -> 2, 102 -> 1+3=4, 103 -> 1
+        assert out[100].borda_points == 5 and out[100].fused_rank == 1
+        assert out[102].borda_points == 4 and out[102].fused_rank == 2
+        assert out[101].borda_points == 2
+        assert out[103].borda_points == 1
+        assert out[100].n_lists == 2 and out[101].n_lists == 1
+
+    def test_rank_overflow_raises(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            borda_fuse,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, 100, 4)], "query_id long, item_id long, rank long"
+        )
+        with pytest.raises(Exception, match="borda_fuse"):
+            borda_fuse([bad], list_size=3).collect()
+
+
+class TestBmp:
+    def test_round_trip(self):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(7)
+        for w, h in ((17, 12), (16, 9), (1, 1), (5, 3)):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(px)), px), (w, h)
+
+    def test_gray_expansion_and_guards(self):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        px = decode_bmp(encode_bmp(g))
+        assert np.array_equal(px[:, :, 0], g)
+        assert np.array_equal(px[:, :, 1], g)
+        with pytest.raises(ValueError, match="BMP"):
+            decode_bmp(b"NOPE" + b"\x00" * 60)
+
+    def test_top_down_fixture_decodes_identically(self):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.multimodal import (
+            _synthetic_image,
+            decode_bmp,
+            decode_ppm,
+            synthetic_bmp_asset_rows,
+        )
+
+        rows = synthetic_bmp_asset_rows(6)
+        for i, payload in rows:
+            expect = decode_ppm(_synthetic_image(i * 17 + 3, w=17, h=12))
+            assert np.array_equal(decode_bmp(payload), expect), i
+        # every third payload is genuinely top-down (negative height)
+        import struct
+
+        assert struct.unpack_from("<i", rows[0][1], 22)[0] < 0
+        assert struct.unpack_from("<i", rows[1][1], 22)[0] > 0
+
+    def test_sniffer_integration(self):
+        import numpy as np
+
+        from inception_eventstore_spark.operators.multimodal import (
+            _decode_image,
+            encode_bmp,
+        )
+
+        px = np.zeros((4, 5, 3), dtype=np.uint8)
+        px[:, :, 0] = 200
+        assert np.array_equal(_decode_image(encode_bmp(px)), px)
+
+    def test_catalog_kernel(self, spark):
+        import hashlib
+
+        from inception_eventstore_spark.operators.multimodal import (
+            bmp_catalog,
+            decode_bmp,
+            synthetic_bmp_asset_rows,
+        )
+        from inception_eventstore_spark.plans.queries import _local_df
+
+        rows = synthetic_bmp_asset_rows(8)
+        assets = _local_df(
+            spark,
+            [(i, bytearray(p)) for i, p in rows],
+            "asset_id long, payload binary",
+        )
+        got = {r.asset_id: r for r in bmp_catalog(assets).collect()}
+        for i, payload in rows:
+            px = decode_bmp(payload)
+            assert got[i].width == px.shape[1]
+            assert got[i].height == px.shape[0]
+            assert got[i].pixel_md5 == hashlib.md5(px.tobytes()).hexdigest()

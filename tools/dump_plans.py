@@ -1543,6 +1543,39 @@ CHECKS.update({
         ("no window at all", "!Window"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
+    "brown_forsythe": [
+        # grouped_row_number eagerly checkpoints the rank pass; the
+        # returned relation is the bounded one-row local fold
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "ece_calibration": [
+        ("one-row rollup of the bounded bin axis — final scalar agg",
+         r"HashAggregate"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "borda_fusion": [
+        # per-query window over the bounded fused candidate set —
+        # partitioned by query_id, never a single partition
+        ("fused rank windows by query_id",
+         r"Window.*query_id|hashpartitioning\(query_id"),
+        ("fused rank never a single partition",
+         "!Exchange SinglePartition"),
+        # the semantic input is the same Arrow batch kernel rrf_fusion
+        # fuses — a python worker is expected there, not in the fusion
+        ("semantic side stays the Arrow batch kernel",
+         r"MapInPandas|ArrowEvalPython"),
+        _NO_CARTESIAN,
+    ],
+    "multimodal_bmp": [
+        ("local fixture relation feeds the Arrow kernel",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("decode runs in ONE Arrow python kernel (mapInPandas), "
+         "never row-at-a-time", r"MapInPandas"),
+        _NO_CARTESIAN,
+    ],
 })
 
 
