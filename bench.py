@@ -336,6 +336,8 @@ HEADLINE = [
     "ece_calibration",
     "borda_fusion",
     "multimodal_bmp",
+    "cohens_d",
+    "rank_overlap_rbo",
 ]
 
 

@@ -2625,3 +2625,70 @@ def brown_forsythe(
         "n_rows", "k_groups",
         (F.round("f_bf", 6) + F.lit(0.0)).alias("f_bf"),
     )
+
+
+def cohens_d_effect(
+    events: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Standardized effect size between two arms: Cohen's d (pooled-SD
+    mean difference) and the small-sample-corrected Hedges' g — the
+    number a significance test (welch_ttest) does NOT give you: how
+    BIG the difference is, which is what a launch decision actually
+    needs once n is large enough to make any difference "significant".
+
+    Determinism: the same `_group_moments` exact-integer machinery as
+    welch_ttest/anova; d and g are one fixed-order double tree of the
+    six exact integers (pooled variance, then a square root — so the
+    6-dp rounding sits on an irrational, never a rational
+    half-boundary), mirrored token-for-token in the oracle.
+
+    Output (one row): n_a, n_b, cohens_d (6 dp), hedges_g (6 dp; both
+    NULL when either arm has < 2 rows or the pooled variance is 0).
+    """
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vals = events.where(
+        F.col(type_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    lane = 1 << 31
+    rows = {
+        str(g["_g"]): g
+        for g in _group_moments(vals, F.col(type_col), value_col).collect()
+    }
+    ga, gb = rows.get(group_a), rows.get(group_b)
+    n_a = int(ga["_n"]) if ga else 0
+    n_b = int(gb["_n"]) if gb else 0
+    d_val = g_val = None
+    if n_a >= 2 and n_b >= 2:
+        def _mv(g, n):
+            s_d, n_d = float(int(g["_s"])), float(n)
+            q2 = float(int(g["_p0"]) + int(g["_p1"]) * lane)
+            m = s_d / n_d
+            v = (q2 - s_d * s_d / n_d) / float(n - 1)
+            return m, v
+
+        m_a, v_a = _mv(ga, n_a)
+        m_b, v_b = _mv(gb, n_b)
+        sp2 = (
+            float(n_a - 1) * v_a + float(n_b - 1) * v_b
+        ) / float(n_a + n_b - 2)
+        if sp2 > 0.0:
+            d_val = (m_a - m_b) / _math.sqrt(sp2)
+            g_val = d_val * (
+                1.0 - 3.0 / (4.0 * float(n_a + n_b) - 9.0)
+            )
+    out = _local_df(
+        events.sparkSession,
+        [(n_a, n_b, d_val, g_val)],
+        "n_a bigint, n_b bigint, cohens_d double, hedges_g double",
+    )
+    return out.select(
+        "n_a", "n_b",
+        (F.round("cohens_d", 6) + F.lit(0.0)).alias("cohens_d"),
+        (F.round("hedges_g", 6) + F.lit(0.0)).alias("hedges_g"),
+    )

@@ -3555,7 +3555,7 @@ _DRIVER_LEDGER_FRONT = [
     "nelson_aalen", "forecast_accuracy", "retrieval_ql_jm",
     "target_encoding", "hits_custsupp",
     "brown_forsythe", "ece_calibration", "borda_fusion",
-    "multimodal_bmp",
+    "multimodal_bmp", "cohens_d", "rank_overlap_rbo",
     # r9-changed plans (CC family + fuzzy blocking):
     "entity_clusters", "fuzzy_join_names", "dedup_cc_clusters",
     "dedup_survivors", "soft_dedup_weights", "dbscan_clusters",
@@ -14502,3 +14502,143 @@ _R9C_QUERIES = {
     "multimodal_bmp": QueryDef(q_multimodal_bmp, _bmp_oracle()),
 }
 QUERIES = {**_R9C_QUERIES, **QUERIES}
+
+
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d + Hedges' g between click and purchase values
+    (profile.cohens_d_effect) — the effect-size companion of
+    welch_ttest on the same exact-integer moment machinery."""
+    from inception_eventstore_spark.operators.profile import (
+        cohens_d_effect,
+    )
+
+    return cohens_d_effect(_t(spark, sf_dir, "events"))
+
+
+_COHENS_D_ORACLE = """
+WITH v AS (
+  SELECT event_type AS g, CAST(floor(value * 1048576.0) AS BIGINT) AS q
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+agg AS (
+  SELECT
+    CAST(count(*) FILTER (g = 'click') AS BIGINT) AS na,
+    CAST(count(*) FILTER (g = 'purchase') AS BIGINT) AS nb,
+    CAST(coalesce(sum(q) FILTER (g = 'click'), 0) AS BIGINT) AS sa,
+    CAST(coalesce(sum(q) FILTER (g = 'purchase'), 0) AS BIGINT) AS sb,
+    coalesce(sum(q * q) FILTER (g = 'click'), 0) AS qa,
+    coalesce(sum(q * q) FILTER (g = 'purchase'), 0) AS qb
+  FROM v),
+m AS (
+  SELECT na, nb,
+    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+       / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+       / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+  FROM agg WHERE na >= 2 AND nb >= 2),
+s AS (
+  SELECT na, nb, ma, mb,
+    (CAST(na - 1 AS DOUBLE) * va + CAST(nb - 1 AS DOUBLE) * vb)
+      / CAST(na + nb - 2 AS DOUBLE) AS sp2
+  FROM m)
+SELECT
+  coalesce((SELECT na FROM s), (SELECT na FROM agg)) AS n_a,
+  coalesce((SELECT nb FROM s), (SELECT nb FROM agg)) AS n_b,
+  (SELECT CASE WHEN sp2 > 0 THEN
+     round((ma - mb) / sqrt(sp2), 6) + 0.0 END FROM s) AS cohens_d,
+  (SELECT CASE WHEN sp2 > 0 THEN
+     round(((ma - mb) / sqrt(sp2))
+       * (1.0 - 3.0 / (4.0 * CAST(na + nb AS DOUBLE) - 9.0)), 6)
+     + 0.0 END FROM s) AS hedges_g
+"""
+
+
+def q_rank_overlap_rbo(spark, sf_dir):
+    """Rank-biased overlap between the BM25 and Dirichlet-QL top-10
+    for the same query (retrieval.rank_overlap_rbo): exact integer
+    ppm — each depth's term is div(ov·9^(d-1)·10^6, d·10^d); the two
+    bounded lists fold driver-side."""
+    from inception_eventstore_spark.operators.retrieval import (
+        rank_overlap_rbo,
+    )
+
+    return rank_overlap_rbo(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "merge", "window"], k=10, mu=2000.0,
+    )
+
+
+def _rbo_oracle() -> str:
+    pows = ", ".join(
+        f"({d}, {9 ** (d - 1) * 10**6}, {d * 10**d})"
+        for d in range(1, 11)
+    )
+    return f"""
+WITH kk AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM toks),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+  FROM ex WHERE token IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+    ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM st) - count(DISTINCT doc_id) + 0.5)
+             / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY token),
+bm_sc AS (
+  SELECT doc_id,
+    round(sum(idf * (tf * (kk.k1 + 1.0))
+              / (tf + kk.k1 * ((1.0 - kk.b)
+                 + kk.b * dl / ((SELECT CAST(sdl AS DOUBLE) FROM st)
+                               / (SELECT n FROM st))))), 6) AS score
+  FROM tf JOIN idf USING (token), kk GROUP BY doc_id),
+bm AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm_sc QUALIFY r <= 10),
+cf AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+  GROUP BY 1 HAVING sum(tf) > 0),
+dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+grid AS (
+  SELECT dls.doc_id, dls.dl, cf.token, cf.cf FROM dls CROSS JOIN cf),
+jj AS (
+  SELECT g.doc_id, g.dl, g.cf, COALESCE(tf.tf, 0) AS tf
+  FROM grid g
+  LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.token = g.token),
+ql_sc AS (
+  SELECT doc_id, round(sum(
+    ln((CAST(tf AS DOUBLE)
+        + 2000.0 * CAST(cf AS DOUBLE)
+          / CAST((SELECT sdl FROM st) AS DOUBLE))
+       / (CAST(dl AS DOUBLE) + 2000.0))), 6) AS score
+  FROM jj GROUP BY doc_id),
+ql AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ql_sc QUALIFY r <= 10),
+pr AS (
+  SELECT bm.r AS ra, ql.r AS rb FROM bm JOIN ql USING (doc_id)),
+pows AS (SELECT * FROM (VALUES {pows}) t(d, w9, w10)),
+ov AS (
+  SELECT p.d, p.w9, p.w10,
+    CAST(coalesce(sum(CASE WHEN pr.ra <= p.d AND pr.rb <= p.d
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ov
+  FROM pows p LEFT JOIN pr ON TRUE
+  GROUP BY p.d, p.w9, p.w10)
+SELECT CAST(10 AS BIGINT) AS k,
+  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS overlap_k,
+  CAST(sum(ov * w9 // w10) AS BIGINT) AS rbo_ppm
+FROM ov
+"""
+
+
+_R9D_QUERIES = {
+    "cohens_d": QueryDef(q_cohens_d, _COHENS_D_ORACLE),
+    "rank_overlap_rbo": QueryDef(q_rank_overlap_rbo, _rbo_oracle()),
+}
+QUERIES = {**_R9D_QUERIES, **QUERIES}

@@ -537,3 +537,91 @@ class TestBmp:
             assert got[i].width == px.shape[1]
             assert got[i].height == px.shape[0]
             assert got[i].pixel_md5 == hashlib.md5(px.tobytes()).hexdigest()
+
+
+class TestCohensD:
+    def test_hand_effect_size(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            cohens_d_effect,
+        )
+
+        a = [1.0, 2.0, 3.0, 4.0]
+        b = [5.0, 6.0, 7.0, 8.0, 9.0]
+        rows, eid = [], 0
+        for v in a:
+            rows.append((eid, TS, eid, "click", v)); eid += 1
+        for v in b:
+            rows.append((eid, TS, eid, "purchase", v)); eid += 1
+        out = cohens_d_effect(_ev(spark, rows)).collect()[0]
+        ma, mb = sum(a) / 4, sum(b) / 5
+        va = sum((x - ma) ** 2 for x in a) / 3
+        vb = sum((x - mb) ** 2 for x in b) / 4
+        sp2 = (3 * va + 4 * vb) / 7
+        d = (ma - mb) / math.sqrt(sp2)
+        g = d * (1 - 3 / (4 * 9 - 9))
+        assert out.cohens_d == pytest.approx(d, abs=1e-4)
+        assert out.hedges_g == pytest.approx(g, abs=1e-4)
+
+    def test_zero_variance_null(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            cohens_d_effect,
+        )
+
+        rows = [(0, TS, 0, "click", 2.0), (1, TS, 1, "click", 2.0),
+                (2, TS, 2, "purchase", 5.0), (3, TS, 3, "purchase", 5.0)]
+        out = cohens_d_effect(_ev(spark, rows)).collect()[0]
+        assert out.cohens_d is None and out.hedges_g is None
+
+
+class TestRbo:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def test_identical_rankers_truncated_max(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            rank_overlap_rbo,
+        )
+
+        # equal-length docs with strictly decreasing tf: BM25 and QL
+        # agree on the top-3 order, so the truncated RBO is maximal
+        docs = self._docs(
+            spark,
+            ["apple apple apple", "apple apple pad", "apple pad pad",
+             "pear tart plum", "pear pear pear"],
+        )
+        out = rank_overlap_rbo(docs, ["apple"], k=3).collect()[0]
+        # identical lists: ov_d = d -> rbo = sum 9^(d-1)*1e6 // 10^d
+        expect = sum((d * 9 ** (d - 1) * 10**6) // (d * 10**d)
+                     for d in (1, 2, 3))
+        assert out.rbo_ppm == expect
+        assert out.overlap_k == 3
+
+    def test_python_fold_matches_definition(self, spark):
+        from inception_eventstore_spark.operators.retrieval import (
+            bm25_topk,
+            ql_dirichlet_topk,
+            rank_overlap_rbo,
+        )
+
+        texts = [
+            "spark merge window", "spark spark lake", "merge queue",
+            "window pane glass", "spark", "merge window spark extra",
+            "unrelated words here", "lake house", "glass spark",
+            "merge merge merge",
+        ]
+        docs = self._docs(spark, texts)
+        out = rank_overlap_rbo(
+            docs, ["spark", "merge"], k=5
+        ).collect()[0]
+        la = [r.doc_id for r in
+              bm25_topk(docs, ["spark", "merge"], k=5).collect()]
+        lb = [r.doc_id for r in
+              ql_dirichlet_topk(docs, ["spark", "merge"], k=5).collect()]
+        rbo = 0
+        for d in range(1, 6):
+            ov = len(set(la[:d]) & set(lb[:d]))
+            rbo += (ov * 9 ** (d - 1) * 10**6) // (d * 10**d)
+        assert out.rbo_ppm == rbo

@@ -1576,6 +1576,20 @@ CHECKS.update({
          "never row-at-a-time", r"MapInPandas"),
         _NO_CARTESIAN,
     ],
+    "cohens_d": [
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "rank_overlap_rbo": [
+        # both retrieval plans execute at call time; the returned
+        # relation is the one-row driver fold
+        ("result is the bounded one-row local relation",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
 })
 
 
