@@ -13891,12 +13891,12 @@ agg AS (
     CAST(sum(s_g) AS BIGINT) AS s,
     sum(q2_g) AS q2,
     sum(CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-        / CAST(n_g AS DOUBLE) * 1048576.0) AS BIGINT)) AS a_u
+        / CAST(n_g AS DOUBLE) * 1048576.0) AS HUGEINT)) AS a_u
   FROM grp)
 SELECT n AS n_rows, k AS k_groups,
   CASE WHEN k >= 2 AND n > k AND (q2 * 1048576 - a_u) > 0 THEN
-    round((CAST(a_u - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-             / CAST(n AS DOUBLE) * 1048576.0) AS DOUBLE)
+    round((CAST(a_u - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1048576.0) AS HUGEINT) AS DOUBLE)
            / CAST(k - 1 AS DOUBLE))
           / (CAST(q2 * 1048576 - a_u AS DOUBLE)
              / CAST(n - k AS DOUBLE)), 6) + 0.0
@@ -14323,12 +14323,12 @@ agg AS (
     CAST(sum(s_g) AS BIGINT) AS s,
     sum(q2_g) AS q2,
     sum(CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-        / CAST(n_g AS DOUBLE) * 1048576.0) AS BIGINT)) AS a_u
+        / CAST(n_g AS DOUBLE) * 1048576.0) AS HUGEINT)) AS a_u
   FROM grp)
 SELECT n AS n_rows, k AS k_groups,
   CASE WHEN k >= 2 AND n > k AND (q2 * 1048576 - a_u) > 0 THEN
-    round((CAST(a_u - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-             / CAST(n AS DOUBLE) * 1048576.0) AS DOUBLE)
+    round((CAST(a_u - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1048576.0) AS HUGEINT) AS DOUBLE)
            / CAST(k - 1 AS DOUBLE))
           / (CAST(q2 * 1048576 - a_u AS DOUBLE)
              / CAST(n - k AS DOUBLE)), 6) + 0.0

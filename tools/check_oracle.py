@@ -57,7 +57,11 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept space- AND comma-separated name lists; an unknown name is
+    # an ERROR, not a silent no-op — a typo'd (or comma-joined, r9)
+    # filter used to match nothing and report a VACUOUS "all declared
+    # queries match"
+    only = {n for arg in sys.argv[2:] for n in arg.split(",") if n}
 
     import __spark_entry__ as entrymod
     from inception_eventstore_spark.session import get_spark
@@ -76,6 +80,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — "
+            "nothing would be checked"
+        )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -90,9 +100,17 @@ def main() -> int:
                   f"({spark_s:.1f}s)")
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001 — record + keep checking
+            # an oracle that ERRORS must fail THIS query, not abort the
+            # whole gate with 250 queries unchecked (r9: the anova
+            # oracle's BIGINT overflow hid every later result)
+            print(f"  {name:28s} FAIL oracle error: {e}")
+            failures.append(name)
+            continue
         duck_s = time.time() - t0
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
