@@ -102,6 +102,15 @@ def main() -> int:
     volumes["lpa_nodes"] = lpa.count()
     timings["label_propagation_3iter"] = round(time.time() - t0, 3)
 
+    # -- HITS (r9): 4 iterations of the dmax-normalized integer
+    # recurrence on the same 12M-edge graph — the pagerank loop shape
+    # (cached edges, broadcast score joins, partial-agg in-sums) must
+    # hold at 100× exactly as pagerank's does ------------------------
+    t0 = time.time()
+    hits = G.hits_scores(edges, iterations=4)
+    volumes["hits_nodes"] = hits.count()
+    timings["hits_4iter"] = round(time.time() - t0, 3)
+
     # -- triangles + Adamic-Adar need a non-bipartite graph: fold the
     # purchase graph into a K-node collision graph (keys knuth-hashed
     # so copies don't align), ~12M edges over 1M nodes, deg≈20 --------

@@ -358,6 +358,71 @@ def main() -> int:
     timings["item_item_cf"] = round(time.time() - t0, 3)
     _gc()
     li.unpersist()
+
+    # ---- r9 family: ANOVA / Welch / BF / McNemar / Kendall /
+    # forecast accuracy / Nelson-Aalen — user-keyed or group-moment
+    # rollups plus calendar-bounded driver folds, all flat-cost ------
+    from inception_eventstore_spark.operators.funnel import (
+        nelson_aalen_hazard,
+    )
+    from inception_eventstore_spark.operators.profile import (
+        anova_oneway,
+        brown_forsythe,
+        kendall_tau_daily,
+        mcnemar_paired,
+        welch_ttest,
+    )
+    from inception_eventstore_spark.operators.timeseries import (
+        forecast_accuracy,
+    )
+
+    t0 = time.time()
+    (r,) = anova_oneway(ev).collect()
+    volumes["anova_n"] = int(r["n_rows"])
+    assert r["f_stat"] is not None
+    timings["anova_oneway"] = round(time.time() - t0, 3)
+    _gc()
+
+    t0 = time.time()
+    (r,) = welch_ttest(ev).collect()
+    volumes["welch_n"] = int(r["n_a"] + r["n_b"])
+    assert r["t_welch"] is not None
+    timings["welch_ttest"] = round(time.time() - t0, 3)
+    _gc()
+
+    t0 = time.time()
+    (r,) = brown_forsythe(ev).collect()
+    volumes["bf_n"] = int(r["n_rows"])
+    assert r["f_bf"] is not None
+    timings["brown_forsythe"] = round(time.time() - t0, 3)
+    _gc()
+
+    t0 = time.time()
+    (r,) = mcnemar_paired(ev).collect()
+    volumes["mcnemar_users"] = int(r["n_users"])
+    timings["mcnemar_paired"] = round(time.time() - t0, 3)
+    _gc()
+
+    t0 = time.time()
+    (r,) = kendall_tau_daily(ev).collect()
+    volumes["kendall_days"] = int(r["n_days"])
+    assert r["tau_ppm"] is not None
+    timings["kendall_tau_daily"] = round(time.time() - t0, 3)
+    _gc()
+
+    t0 = time.time()
+    (r,) = forecast_accuracy(ev).collect()
+    volumes["forecast_days"] = int(r["n_days"])
+    timings["forecast_accuracy"] = round(time.time() - t0, 3)
+    _gc()
+
+    t0 = time.time()
+    volumes["nelson_aalen_days"] = nelson_aalen_hazard(
+        ev, start_type="signup", event_type="purchase"
+    ).count()
+    timings["nelson_aalen"] = round(time.time() - t0, 3)
+    _gc()
+
     ev.unpersist()
 
     print(
