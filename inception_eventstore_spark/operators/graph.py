@@ -557,6 +557,13 @@ def hits_scores(
     bcast = n <= 5_000_000
     maybe_b = F.broadcast if bcast else (lambda df: df)
 
+    # SPARSE iteration state (r9 tightening): a node with score 0
+    # contributes nothing to any in-sum, so the per-iteration rebuild
+    # of a dense all-nodes score table (two extra left joins per
+    # iteration in the first cut) is pure padding — the inner joins
+    # below see every src/dst anyway, and the zeros are re-attached
+    # ONCE at output time. Values are bit-identical; the lazy tree is
+    # half the joins (execution AND the one-time compile).
     hubs = nodes.select("node", F.lit(1 << 30).cast("bigint").alias("h"))
     auths = None
     for _ in range(int(iterations)):
@@ -566,32 +573,32 @@ def hits_scores(
             .agg(
                 F.expr(f"div(sum(h), {dmax})").cast("bigint").alias("a")
             )
+            .select(F.col("dst").alias("node"), "a")
         )
-        a_tab = nodes.join(
-            maybe_b(auths), nodes["node"] == auths["dst"], "left"
-        ).select(
-            "node", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")
-        )
-        hub_in = (
-            E.join(maybe_b(a_tab), a_tab["node"] == E["dst"])
+        hubs = (
+            E.join(maybe_b(auths), auths["node"] == E["dst"])
             .groupBy("src")
             .agg(
                 F.expr(f"div(sum(a), {dmax})").cast("bigint").alias("h")
             )
+            .select(F.col("src").alias("node"), "h")
         )
-        hubs = nodes.join(
-            maybe_b(hub_in), nodes["node"] == hub_in["src"], "left"
-        ).select(
-            "node", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")
+    out = (
+        nodes.join(
+            maybe_b(hubs.withColumnRenamed("node", "_hn")),
+            nodes["node"] == F.col("_hn"),
+            "left",
         )
-        auths = a_tab
-    out = hubs.join(
-        auths.select(F.col("node").alias("_an"), "a"),
-        hubs["node"] == F.col("_an"),
-    ).select(
-        "node",
-        F.col("h").alias("hub_u"),
-        F.col("a").alias("auth_u"),
+        .join(
+            maybe_b(auths.withColumnRenamed("node", "_an")),
+            nodes["node"] == F.col("_an"),
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_u"),
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_u"),
+        )
     )
     if not checkpoint:
         return out
