@@ -2521,10 +2521,14 @@ def kendall_tau_daily(
     )
     if not per_day:
         raise ValueError("kendall_tau_daily: no rows")
-    if len(per_day) > 100_000:
+    if len(per_day) > 20_000:
+        # the driver fold is O(D²) python pairs — at the 20k-day cap
+        # (54 years of daily data) that is 2·10^8 comparisons, the
+        # practical ceiling; longer axes should pre-aggregate to weeks
         raise ValueError(
-            f"kendall_tau_daily: {len(per_day)} days — the all-pairs "
-            "driver fold expects a bounded observation span"
+            f"kendall_tau_daily: {len(per_day)} days exceeds the "
+            "20000-day all-pairs driver bound — aggregate to a coarser "
+            "axis first"
         )
     days = sorted((int(r["_x"]), int(r["_y"])) for r in per_day)
     d = len(days)
