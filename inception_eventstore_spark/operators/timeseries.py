@@ -1622,8 +1622,8 @@ def forecast_accuracy(
     (per-day sMAPE terms integer-quantized BEFORE the sum —
     quantize-before-combine; days with x + f = 0 contribute 0 by the
     usual convention). Σ|e7|·n1·10^6 is exact BIGINT while
-    total-events · days · 10^6 < 2^63 (~9·10^8 daily-event-days) —
-    far past any daily rollup.
+    Σ|e7| · n_days < 9.2·10^12 (e.g. 2.5·10^9 total absolute error
+    at a 10-year daily axis) — far past any daily rollup.
 
     Scale: one partial-aggregated rollup to the day axis, two
     self-equi-joins of that bounded relation on day offsets (never an
