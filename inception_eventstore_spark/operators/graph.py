@@ -514,8 +514,12 @@ def hits_scores(
         a_v = div(Σ_{(u,v)∈E} h_u, dmax)   then
         h_u = div(Σ_{(u,v)∈E} a_v, dmax)
 
-    where ``dmax`` = the graph's maximum in- or out-degree, computed
-    once up front. Dividing by a step-constant rescales but never
+    where ``dmax`` = the graph's maximum TOTAL degree (in-degree plus
+    out-degree, i.e. the count of edge endpoints touching the node),
+    computed once up front. Total degree >= max(in, out), so the
+    rescale is more conservative than greatest(max-in, max-out) —
+    same fixed point ranking, smaller integers per step; the oracle
+    mirrors this exactly. Dividing by a step-constant rescales but never
     reorders a power iteration, so the RANKING is HITS's (up to the
     declared integer floor); the exact-integer recurrence is what
     makes a cross-engine value oracle possible at all — L2

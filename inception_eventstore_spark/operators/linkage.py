@@ -160,6 +160,14 @@ def entity_clusters(
     here); every node appears in the output, isolated ones labeled
     self (matches the dedup_by_components convention). Output:
     (node, component), component = smallest node id in the cluster.
+
+    PRECONDITION: ``left_id`` must be unique within ``left`` and
+    ``right_id`` unique within ``right`` (record keys). The node
+    union below is NOT distinct'd — duplicate ids on either side
+    yield duplicate (node, component) output rows rather than a
+    normalized labeling. This is the same precondition the offset
+    disjointness check rests on; enforcing it would cost two extra
+    full-relation aggregations per call, so it is documented instead.
     """
     from inception_eventstore_spark.operators.components import (
         connected_components,

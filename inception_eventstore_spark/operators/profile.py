@@ -2484,6 +2484,39 @@ def mcnemar_paired(
     )
 
 
+def _count_inversions(a: list) -> int:
+    """Exact count of strict inversions (pairs i<j with a[i] > a[j])
+    via bottom-up merge sort — O(n log n) python ints, no recursion
+    depth limit, no float anywhere."""
+    n = len(a)
+    inv = 0
+    src = list(a)
+    buf = [0] * n
+    width = 1
+    while width < n:
+        for lo in range(0, n, 2 * width):
+            mid = min(lo + width, n)
+            hi = min(lo + 2 * width, n)
+            if mid >= hi or src[mid - 1] <= src[mid]:
+                continue  # halves already ordered — nothing to merge
+            i, j, k = lo, mid, lo
+            while i < mid and j < hi:
+                if src[i] <= src[j]:
+                    buf[k] = src[i]
+                    i += 1
+                else:
+                    buf[k] = src[j]
+                    inv += mid - i
+                    j += 1
+                k += 1
+            buf[k:k + (mid - i)] = src[i:mid]
+            k += mid - i
+            buf[k:k + (hi - j)] = src[j:hi]
+            src[lo:hi] = buf[lo:hi]
+        width *= 2
+    return inv
+
+
 def kendall_tau_daily(
     events: DataFrame,
     user_col: str = "user_id",
@@ -2498,12 +2531,17 @@ def kendall_tau_daily(
 
     Exactness: the day rollup (count, distinct users — both exact
     BIGINTs) is bounded by the calendar and crosses to the driver (the
-    km_survival pattern), where concordant/discordant/tie counts over
-    all C(D,2) pairs are exact python ints; τ-b's denominator
-    sqrt((n0−n1)(n0−n2)) is IEEE-correctly-rounded on both engines, so
-    the reported integer `tau_ppm = floor(num·10^6 / sqrt(...))` is
-    deterministic (floor of a bit-identical double — the pq.py
-    quantization convention, no round() half-boundary anywhere).
+    km_survival pattern), where concordant/discordant/tie counts are
+    exact python ints via Knight's O(D log D) algorithm (Knight 1966,
+    JASA): sort by (x, y), count discordant pairs as strict merge-sort
+    inversions on y, recover concordant from the tie identity
+    nc = n0 − nd − tx − ty + txy — bit-identical integers to the naive
+    all-pairs sweep (property-tested), no O(D²) loop and no day cap;
+    τ-b's denominator sqrt((n0−n1)(n0−n2)) is IEEE-correctly-rounded
+    on both engines, so the reported integer
+    `tau_ppm = floor(num·10^6 / sqrt(...))` is deterministic (floor of
+    a bit-identical double — the pq.py quantization convention, no
+    round() half-boundary anywhere).
 
     Output (one row): n_days, n_pairs, concordant, discordant,
     tie_x, tie_y, tau_ppm (NULL when either axis is fully tied).
@@ -2521,33 +2559,21 @@ def kendall_tau_daily(
     )
     if not per_day:
         raise ValueError("kendall_tau_daily: no rows")
-    if len(per_day) > 20_000:
-        # the driver fold is O(D²) python pairs — at the 20k-day cap
-        # (54 years of daily data) that is 2·10^8 comparisons, the
-        # practical ceiling; longer axes should pre-aggregate to weeks
-        raise ValueError(
-            f"kendall_tau_daily: {len(per_day)} days exceeds the "
-            "20000-day all-pairs driver bound — aggregate to a coarser "
-            "axis first"
-        )
     days = sorted((int(r["_x"]), int(r["_y"])) for r in per_day)
     d = len(days)
-    nc = nd = 0
-    for i in range(d):
-        xi, yi = days[i]
-        for j in range(i + 1, d):
-            xj, yj = days[j]
-            s = (xi - xj) * (yi - yj)
-            if (xi != xj) and (yi != yj):
-                if s > 0:
-                    nc += 1
-                else:
-                    nd += 1
     from collections import Counter
 
+    # Knight 1966: with rows sorted by (x, y), a strict inversion on y
+    # is exactly a pair with x_i < x_j and y_i > y_j (x-tied groups
+    # arrive y-sorted, contributing zero), i.e. the discordant count.
+    nd = _count_inversions([y for _, y in days])
     tx = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in days).values())
     ty = sum(t * (t - 1) // 2 for t in Counter(y for _, y in days).values())
+    txy = sum(t * (t - 1) // 2 for t in Counter(days).values())
     n0 = d * (d - 1) // 2
+    # every pair is concordant, discordant, or tied in x and/or y;
+    # inclusion-exclusion on the tie classes recovers concordant
+    nc = n0 - nd - tx - ty + txy
     tau_ppm = None
     if n0 - tx > 0 and n0 - ty > 0:
         denom = _math.sqrt(float(n0 - tx) * float(n0 - ty))

@@ -14091,7 +14091,7 @@ risk AS (
       AS n_risk
   FROM per_day)
 SELECT d AS t_days, CAST(n_risk AS BIGINT) AS n_risk, de AS n_events,
-  CAST(sum(de * 1000000000 // n_risk)
+  CAST(sum(CAST(de AS HUGEINT) * 1000000000 // n_risk)
     OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
     AS hazard_ppb
 FROM risk WHERE de > 0

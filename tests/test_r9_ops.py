@@ -144,6 +144,51 @@ class TestKendall:
         assert (out.concordant, out.discordant) == (0, 6)
         assert out.tau_ppm == -1000000
 
+    def test_knight_matches_pair_loop(self):
+        # Knight's O(D log D) path must produce the EXACT integers the
+        # naive all-pairs sweep does, on adversarial tie-heavy inputs.
+        import random
+        from collections import Counter
+
+        from inception_eventstore_spark.operators.profile import (
+            _count_inversions,
+        )
+
+        rng = random.Random(4093)
+        for trial in range(200):
+            d = rng.randint(1, 40)
+            lo, hi = 0, rng.choice([1, 2, 4, 50])
+            pts = [
+                (rng.randint(lo, hi), rng.randint(lo, hi))
+                for _ in range(d)
+            ]
+            # naive reference
+            nc_ref = nd_ref = 0
+            for i in range(d):
+                for j in range(i + 1, d):
+                    xi, yi = pts[i]
+                    xj, yj = pts[j]
+                    if xi != xj and yi != yj:
+                        if (xi - xj) * (yi - yj) > 0:
+                            nc_ref += 1
+                        else:
+                            nd_ref += 1
+            # Knight path (mirrors kendall_tau_daily exactly)
+            days = sorted(pts)
+            nd = _count_inversions([y for _, y in days])
+            tx = sum(
+                t * (t - 1) // 2
+                for t in Counter(x for x, _ in days).values()
+            )
+            ty = sum(
+                t * (t - 1) // 2
+                for t in Counter(y for _, y in days).values()
+            )
+            txy = sum(t * (t - 1) // 2 for t in Counter(days).values())
+            n0 = d * (d - 1) // 2
+            nc = n0 - nd - tx - ty + txy
+            assert (nc, nd) == (nc_ref, nd_ref), (trial, pts)
+
     def test_ties_reduce_denominator(self, spark):
         # x = 4,4,6 (one tied x pair), y = 1,2,3
         out = kendall_tau_daily(
