@@ -257,11 +257,16 @@ def interval_concurrency(
     Each interval explodes to (+1 at start, −1 at end); ONE running
     sum ordered by (ts, delta) — ends sort before starts at the same
     instant, enforcing half-open semantics — gives the open count.
-    The running sum is a genuine prefix scan: pass ``partition_col``
-    (e.g. the interval's date) to keep the window partitioned at
-    scale; without it the sweep is a single-partition sort, correct
-    but serial (the token_offsets two-phase trick applies if a global
-    unpartitioned sweep at 100 TB is ever needed)."""
+    With ``partition_col`` (e.g. the interval's date) the prefix scan
+    is an ordinary partitioned window. WITHOUT it the sweep routes
+    through the two-phase `sharded_running_sums` (range-shuffle +
+    #shards-row offset collect) instead of a single-partition window:
+    ties on (ts, delta) are pre-aggregated to make the shard order
+    total, then each tie group re-expands to its per-event prefix
+    values — delta is constant within a group, so the expanded
+    multiset {base + i·delta} is bit-identical to the sequential
+    window's output for ANY within-tie order. Scale-safe by default;
+    no `partitionBy(lit(1))` path remains."""
     parts = [partition_col] if partition_col else []
     ev = intervals.select(
         *parts,
@@ -276,16 +281,38 @@ def interval_concurrency(
             )
         ).alias("_e"),
     ).select(*parts, "_e.ts", "_e.delta")
-    w = (
-        Window.partitionBy(*parts)
-        if parts
-        else Window.partitionBy(F.lit(1))
+    if parts:
+        w = (
+            Window.partitionBy(*parts)
+            .orderBy("ts", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ev.withColumn(
+            "concurrent", F.sum("delta").over(w).cast("bigint")
+        )
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
     )
-    w = w.orderBy("ts", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+
+    grp = ev.groupBy("ts", "delta").agg(
+        F.count("*").cast("bigint").alias("_n")
+    ).withColumn(
+        "_net", (F.col("delta") * F.col("_n")).cast("bigint")
     )
-    return ev.withColumn(
-        "concurrent", F.sum("delta").over(w).cast("bigint")
+    cum = sharded_running_sums(grp, [F.col("ts"), F.col("delta")], ["_net"])
+    return (
+        cum.withColumn(
+            "_i", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_n")))
+        )
+        .select(
+            "ts",
+            "delta",
+            (
+                F.col("_net_cum")
+                - F.col("_net")
+                + F.col("delta") * F.col("_i")
+            ).cast("bigint").alias("concurrent"),
+        )
     )
 
 

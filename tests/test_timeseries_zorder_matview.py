@@ -573,6 +573,39 @@ class TestIntervalConcurrency:
         assert at15 == [0, 1]  # end processed first, then the new start
         assert rows[-1][2] == 0  # sweep closes at zero
 
+    def test_unpartitioned_two_phase_with_ties(self, spark):
+        # the None path routes through sharded_running_sums; tie
+        # groups on (ts, delta) must re-expand to the exact per-event
+        # prefix multiset a sequential sweep would emit
+        from inception_eventstore_spark.operators.timeseries import (
+            interval_concurrency,
+        )
+
+        iv = spark.createDataFrame(
+            [(0, 10), (0, 10), (0, 5), (5, 10), (10, 12)], ["s", "e"]
+        )
+        got = sorted(
+            (r["ts"], r["delta"], r["concurrent"])
+            for r in interval_concurrency(iv, "s", "e").collect()
+        )
+        # sequential reference: events sorted by (ts, delta), running sum
+        events = sorted(
+            [(s, 1) for s, _ in [(0, 10), (0, 10), (0, 5), (5, 10),
+                                 (10, 12)]]
+            + [(e, -1) for _, e in [(0, 10), (0, 10), (0, 5), (5, 10),
+                                    (10, 12)]]
+        )
+        acc, ref = 0, []
+        for t, d in events:
+            acc += d
+            ref.append((t, d, acc))
+        assert got == sorted(ref)
+        # and the plan contains no single-partition window
+        assert "SinglePartition" not in (
+            interval_concurrency(iv, "s", "e")._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+
     def test_partitioned_sweep(self, spark):
         from inception_eventstore_spark.operators.timeseries import (
             interval_concurrency,
