@@ -64,6 +64,37 @@ class TestConnectedComponents:
             edges = [(a, b) for a, b in edges if a != b]
             assert _cc(spark, edges) == _union_find_labels(n, edges)
 
+    def test_distributed_loop_matches_driver_finish(self, spark):
+        """Force the distributed star loop (driver_finish_edges=0) and
+        check it labels identically to the driver union-find path —
+        both must equal the reference on tie-heavy random graphs."""
+        rng = random.Random(11)
+        for _ in range(2):
+            n = 50
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            loop = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    df, driver_finish_edges=0
+                ).collect()
+            }
+            assert loop == _union_find_labels(n, edges)
+            assert loop == _cc(spark, edges)
+
+    def test_driver_finish_schema_matches_loop(self, spark):
+        # both paths must emit the same column types (downstream joins
+        # and the oracle schema gate depend on it)
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        a = connected_components(df)
+        b = connected_components(df, driver_finish_edges=0)
+        assert [f.dataType for f in a.schema.fields] == [
+            f.dataType for f in b.schema.fields
+        ]
+
     def test_empty_pairs(self, spark):
         df = spark.createDataFrame([], "id_a long, id_b long")
         assert connected_components(df).count() == 0
