@@ -1066,3 +1066,170 @@ def mmr_diverse_topk(
         "query_id bigint, sel_rank bigint, "
         f"{id_col} bigint, mmr_score_e7 bigint",
     )
+
+
+def ann_recall_audit(
+    corpus: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 7,
+    probe_radius: int = 2,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Measured recall@k of each approximate probe strategy against
+    the exact brute-force top-k on a deterministic query sample — the
+    go/no-go gate before trusting an index at 100 TB: an index whose
+    audited recall is below target gets retuned (more planes / probes
+    / cells), not shipped. One row per strategy:
+
+        (strategy, n_queries, n_exact, n_hit, recall)
+
+    micro-averaged over the query set (n_hit = |approx ∩ exact| summed
+    across queries). Strategies audited: ``lsh`` (hyperplane-signature
+    bucket probe, hamming ≤ probe_radius ball), ``ivf`` (n_probe
+    nearest cells of the supplied pinned coarse quantizer), ``sq8``
+    (asymmetric scan of the dequantized int8 corpus). All ranking is
+    by (round(dist, 6), id) — the cross-engine contract every sim_topk
+    oracle uses — so the audited sets replay exactly in SQL.
+
+    Scale shape: ``queries`` is a bounded dial (≤ 64, enforced): the
+    exact pass and the sq8 scan are |corpus|·|Q| broadcast-join rows
+    (brute force is the DEFINITION of the audit baseline), lsh/ivf
+    probe only their buckets/cells via equi-joins on a broadcast
+    (query, bucket) table, and every per-query top-k is a
+    window-partitioned-by-query rank — nothing single-partition. The
+    corpus is scanned once per strategy family; centroid assignment
+    and signatures are one pass each.
+    """
+    from inception_eventstore_spark.operators import pq as PQ
+    from inception_eventstore_spark.plans.queries import _local_df
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if len(queries) > 64:
+        raise ValueError(
+            f"{len(queries)} queries — the audit is a bounded-dial "
+            "sample (<= 64); a bigger evaluation set should sample down"
+        )
+    if not centroids:
+        raise ValueError(
+            "ann_recall_audit needs the index's pinned coarse quantizer "
+            "(centroids) — audit what you would ship"
+        )
+    spark = corpus.sparkSession
+    dim = len(queries[0][1])
+    qdf = F.broadcast(
+        _local_df(
+            spark,
+            [(int(qid), [float(x) for x in v]) for qid, v in queries],
+            "qid bigint, q array<double>",
+        )
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("ev")
+    ).persist()
+
+    rdist = F.round(l2_distance(F.col("ev"), F.col("q")), 6).alias("dist")
+    wq = Window.partitionBy("qid").orderBy("dist", "vec_id")
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    # |Q|·k rows — eagerly pinned: it is referenced once per strategy
+    # (semi-join) plus the n_exact aggregate, and each reference would
+    # otherwise re-run the whole brute-force scan
+    exact = _topk(
+        corp.crossJoin(qdf).select("qid", "vec_id", rdist)
+    ).localCheckpoint(eager=True)
+
+    # --- lsh: signature scan once, ball-exploded equi-join ---
+    sigged = corp.withColumn(
+        "_sig", _signature_udf(n_planes, dim, seed)(F.col("ev"))
+    )
+    ball_rows = []
+    for qid, v in queries:
+        qsig = _py_signature([float(x) for x in v], n_planes, dim, seed)
+        ball_rows.extend(
+            (int(qid), int(s))
+            for s in hamming_ball(qsig, n_planes, probe_radius)
+        )
+    ball = F.broadcast(_local_df(spark, ball_rows, "qid bigint, _sig bigint"))
+    lsh = _topk(
+        sigged.join(ball, "_sig").join(qdf, "qid")
+        .select("qid", "vec_id", rdist)
+    )
+
+    # --- ivf: one assignment pass, probe = (query, cell) equi-join ---
+    cdf = F.broadcast(
+        _local_df(
+            spark,
+            [(c, [float(x) for x in cv]) for c, cv in enumerate(centroids)],
+            "cell bigint, cv array<double>",
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy("_dc", "cell")
+    assigned = (
+        corp.crossJoin(cdf)
+        .select(
+            "vec_id", "cell", l2_distance(F.col("ev"), F.col("cv")).alias("_dc")
+        )
+        .withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, v in queries
+        for c in rank_cells(centroids, [float(x) for x in v])[:n_probe]
+    ]
+    probes = F.broadcast(_local_df(spark, probe_rows, "qid bigint, cell bigint"))
+    ivf = _topk(
+        corp.join(assigned, "vec_id").join(probes, "cell").join(qdf, "qid")
+        .select("qid", "vec_id", rdist)
+    )
+
+    # --- sq8: asymmetric scan of the dequantized corpus ---
+    b = {
+        int(r["dim"]): (float(r["lo"]), float(r["hi"]))
+        for r in PQ.sq8_bounds(corp, vec_col="ev").collect()
+    }
+    lo = F.array(*[F.lit(b[i][0]) for i in sorted(b)])
+    hi = F.array(*[F.lit(b[i][1]) for i in sorted(b)])
+    dq = PQ.sq8_encode(corp, id_col="vec_id", vec_col="ev").select(
+        "vec_id", PQ.sq8_dequantize(F.col("codes"), lo, hi).alias("ev")
+    )
+    sq8 = _topk(dq.crossJoin(qdf).select("qid", "vec_id", rdist))
+
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    parts = []
+    for name, approx in (("lsh", lsh), ("ivf", ivf), ("sq8", sq8)):
+        nh = (
+            approx.join(F.broadcast(exact), ["qid", "vec_id"], "leftsemi")
+            .agg(F.count("*").cast("bigint").alias("n_hit"))
+        )
+        parts.append(
+            nh.crossJoin(F.broadcast(ne)).select(
+                F.lit(name).alias("strategy"),
+                F.lit(len(queries)).cast("bigint").alias("n_queries"),
+                F.col("n_exact"),
+                F.col("n_hit"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_exact"), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    res = out.localCheckpoint(eager=True)
+    corp.unpersist()
+    return res

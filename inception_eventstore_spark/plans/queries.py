@@ -14642,3 +14642,145 @@ _R9D_QUERIES = {
     "rank_overlap_rbo": QueryDef(q_rank_overlap_rbo, _rbo_oracle()),
 }
 QUERIES = {**_R9D_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# Round-10 additions
+# ----------------------------------------------------------------------
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """Recall@10 audit of every approximate probe strategy (lsh /
+    pinned-quantizer ivf / sq8 asymmetric) against exact brute force
+    on a 2-query deterministic sample (similarity.ann_recall_audit) —
+    the go/no-go gate before trusting an index at scale. The oracle
+    replays ALL FOUR searches and the recall arithmetic in SQL, so the
+    measured recall itself is the value under oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id").isin(0, 33)).orderBy("vec_id").collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qrows
+    ]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").between(1, 16))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return S.ann_recall_audit(
+        emb.where(F.col("vec_id") != 0),
+        queries,
+        k=10,
+        n_planes=6,
+        seed=7,
+        probe_radius=2,
+        centroids=cents,
+        n_probe=3,
+    )
+
+
+def _ann_recall_audit_oracle(
+    n_planes: int = 6, dim: int = 64, seed: int = 7,
+    radius: int = 2, n_probe: int = 3, k: int = 10,
+) -> str:
+    """Replays the full audit: literal-plane LSH signatures + ball
+    probe, pinned-centroid IVF assignment + n_probe cells, corpus-
+    bounds SQ8 encode/dequantize, exact scan, and the per-strategy
+    micro-averaged recall — every ranking by (round(dist,6), id), the
+    fold-L2 idiom of _SIM_TOPK_IVF_ORACLE."""
+    from inception_eventstore_spark.operators.similarity import (
+        _plane_signs,
+    )
+
+    signs = _plane_signs(n_planes, dim, seed)
+
+    def sig_expr(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({col}, "
+            f"[{', '.join(repr(float(s)) for s in signs[p])}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            f"(acc, x) -> acc + x))"
+        )
+
+    return f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+qs AS (SELECT vec_id AS qid, ev AS q, {sig_expr('ev')} AS qsig
+  FROM v WHERE vec_id IN (0, 33)),
+corpus AS (SELECT vec_id, ev, {sig_expr('ev')} AS sig
+  FROM v WHERE vec_id <> 0),
+dist AS (SELECT qs.qid, c.vec_id,
+    round({l2('c.ev', 'qs.q')}, 6) AS dist, c.sig, qs.qsig
+  FROM corpus c CROSS JOIN qs),
+exact AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id, row_number() OVER (
+    PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dist)
+  WHERE rn <= {k}),
+lsh AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id, row_number() OVER (
+    PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM dist
+  WHERE bit_count(xor(CAST(sig AS BIGINT), CAST(qsig AS BIGINT)))
+        <= {radius})
+  WHERE rn <= {k}),
+cent AS (SELECT vec_id - 1 AS cell, ev AS cv FROM v
+  WHERE vec_id BETWEEN 1 AND 16),
+asg AS (SELECT vec_id, cell FROM (
+  SELECT c.vec_id, ct.cell, row_number() OVER (
+    PARTITION BY c.vec_id ORDER BY {l2('c.ev', 'ct.cv')}, ct.cell) AS rn
+  FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+pc AS (SELECT qid, cell FROM (
+  SELECT qs.qid, ct.cell, row_number() OVER (
+    PARTITION BY qs.qid ORDER BY {l2('ct.cv', 'qs.q')}, ct.cell) AS rn
+  FROM cent ct CROSS JOIN qs) WHERE rn <= {n_probe}),
+ivf AS (SELECT qid, vec_id FROM (
+  SELECT d.qid, d.vec_id, row_number() OVER (
+    PARTITION BY d.qid ORDER BY d.dist, d.vec_id) AS rn
+  FROM dist d JOIN asg USING (vec_id)
+  JOIN pc ON d.qid = pc.qid AND asg.cell = pc.cell)
+  WHERE rn <= {k}),
+exx AS (SELECT vec_id, generate_subscripts(ev, 1) - 1 AS dim,
+  unnest(ev) AS x FROM corpus),
+b AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM exx GROUP BY dim),
+dqe AS (SELECT vec_id, exx.dim,
+  lo + (CASE WHEN hi > lo THEN least(255, greatest(0,
+          CAST(floor((x - lo) / (hi - lo) * 256.0) AS INT)))
+        ELSE 0 END + 0.5) * (hi - lo) / 256.0 AS xd
+  FROM exx JOIN b ON exx.dim = b.dim),
+dqv AS (SELECT vec_id, list(xd ORDER BY dim) AS dv FROM dqe
+  GROUP BY vec_id),
+sq8 AS (SELECT qid, vec_id FROM (
+  SELECT qs.qid, dqv.vec_id, row_number() OVER (
+    PARTITION BY qs.qid
+    ORDER BY round({l2('dqv.dv', 'qs.q')}, 6), dqv.vec_id) AS rn
+  FROM dqv CROSS JOIN qs) WHERE rn <= {k}),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+hits AS (
+  SELECT 'lsh' AS strategy, CAST(count(*) AS BIGINT) AS n_hit
+    FROM lsh JOIN exact USING (qid, vec_id)
+  UNION ALL SELECT 'ivf', CAST(count(*) AS BIGINT)
+    FROM ivf JOIN exact USING (qid, vec_id)
+  UNION ALL SELECT 'sq8', CAST(count(*) AS BIGINT)
+    FROM sq8 JOIN exact USING (qid, vec_id))
+SELECT strategy, CAST(2 AS BIGINT) AS n_queries, ne.n_exact,
+  hits.n_hit, round(hits.n_hit * 1.0 / ne.n_exact, 6) AS recall
+FROM hits CROSS JOIN ne
+"""
+
+
+_R10_QUERIES = {
+    "ann_recall_audit": QueryDef(
+        q_ann_recall_audit, _ann_recall_audit_oracle()
+    ),
+}
+QUERIES = {**_R10_QUERIES, **QUERIES}

@@ -1,0 +1,81 @@
+"""Round-10 operators: ANN recall audit, BPE merge learning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inception_eventstore_spark.operators.similarity import (
+    ann_recall_audit,
+)
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs, start=1)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+class TestAnnRecallAudit:
+    def test_guards(self, spark):
+        df = _emb(spark, [[0.0, 1.0]])
+        with pytest.raises(ValueError, match="non-empty"):
+            ann_recall_audit(df, [], centroids=[[0.0, 1.0]])
+        with pytest.raises(ValueError, match="bounded-dial"):
+            ann_recall_audit(
+                df,
+                [(i, [0.0, 1.0]) for i in range(65)],
+                centroids=[[0.0, 1.0]],
+            )
+        with pytest.raises(ValueError, match="centroids"):
+            ann_recall_audit(df, [(0, [0.0, 1.0])])
+
+    def test_separable_corpus_full_recall(self, spark):
+        # two tight 4-d clusters far apart: every strategy should
+        # retrieve the query's own cluster perfectly at k = cluster
+        # size, so all recalls are 1.0 — the audit's sanity fixed point
+        a = [[1.0 + 0.01 * i, 0.0, 0.0, 0.0] for i in range(4)]
+        b = [[0.0, 0.0, 0.0, 9.0 + 0.01 * i] for i in range(4)]
+        corpus = _emb(spark, a + b)
+        out = {
+            r["strategy"]: r
+            for r in ann_recall_audit(
+                corpus,
+                [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 0.0, 0.0, 9.0])],
+                k=4,
+                n_planes=4,
+                probe_radius=1,
+                centroids=[a[0], b[0]],
+                n_probe=1,
+            ).collect()
+        }
+        assert set(out) == {"lsh", "ivf", "sq8"}
+        for name, r in out.items():
+            assert r["n_queries"] == 2
+            assert r["n_exact"] == 8
+            assert r["n_hit"] == 8, name
+            assert r["recall"] == 1.0, name
+
+    def test_zero_probe_overlap_zero_recall(self, spark):
+        # centroids chosen so the probed cell never holds the exact
+        # neighbors -> ivf recall must be 0, not NULL/absent
+        # every corpus point assigns to cell 1 (centroid [0.9, 0]),
+        # but the query's nearest centroid is cell 0 — probing an
+        # EMPTY cell must yield n_hit 0 / recall 0.0, not NULL/absent
+        a = [[1.0, 0.0], [1.1, 0.0]]
+        b = [[0.0, 9.0], [0.0, 9.1]]
+        out = {
+            r["strategy"]: r
+            for r in ann_recall_audit(
+                _emb(spark, a + b),
+                [(7, [2.0, 0.0])],
+                k=2,
+                n_planes=2,
+                probe_radius=0,
+                centroids=[[2.1, 0.0], [0.9, 0.0]],
+                n_probe=1,
+            ).collect()
+        }
+        assert out["ivf"]["n_hit"] == 0
+        assert out["ivf"]["recall"] == 0.0
