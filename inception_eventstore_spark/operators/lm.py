@@ -170,6 +170,17 @@ def bpe_pair_counts(
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+    return _bpe_pairs_from_vocab(vocab, merges=merges, top_n=top_n)
+
+
+def _bpe_pairs_from_vocab(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Pair-count core of ``bpe_pair_counts`` over a pre-built
+    (w, freq) vocabulary — split out so the merge-learning loop can
+    checkpoint the corpus rollup ONCE and re-pair per round."""
     if merges:
         # " c h a r s </w> " — spaces delimit symbols; sentinels keep
         # the lookarounds valid at both ends (shared with bpe_encode)
@@ -231,6 +242,66 @@ def bpe_pair_counts(
             F.col("pair_count").desc(), "sym_a", "sym_b"
         ).limit(int(top_n))
     return pairs
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The BPE merge-learning loop (Sennrich et al. 2016): ``n_merges``
+    rounds of argmax-pair selection over the word-frequency
+    vocabulary — the tokenizer-training primitive the token-fertility
+    / OOV operators assume. Output one row per learned merge:
+
+        (merge_rank, sym_a, sym_b, pair_count)
+
+    where pair_count is the pair's weighted corpus count AT SELECTION
+    TIME (i.e. after the preceding merges were applied). Ties break
+    (pair_count DESC, sym_a, sym_b) — binary string order on both
+    engines, so the learned sequence is deterministic.
+
+    Scale shape: the ONE corpus-scale pass is the (word, freq) rollup,
+    checkpointed up front; every round then re-pairs the vocabulary
+    (|vocab| rows, orders of magnitude smaller than the corpus) with
+    the merges-so-far applied as JVM regex, and takes the argmax with
+    a 1-row TakeOrdered — n small jobs over bounded data, no driver
+    state beyond the merge list itself (the km_survival sequential-
+    small-state shape; the recurrence axis here is n_merges, a dial).
+    Greedy run semantics match the oracle's run-parity rule: for
+    a == b, a run of k symbols merges at offsets 0, 2, 4, …; for
+    a != b matches never overlap.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for r in range(int(n_merges)):
+        best = (
+            _bpe_pairs_from_vocab(vocab, merges=merges or None)
+            .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
+            .first()
+        )
+        if best is None:
+            break  # vocabulary fully merged — fewer rows than asked
+        merges.append((best["sym_a"], best["sym_b"]))
+        out_rows.append(
+            (r + 1, best["sym_a"], best["sym_b"], int(best["pair_count"]))
+        )
+    return _local_df(
+        docs.sparkSession,
+        out_rows,
+        "merge_rank bigint, sym_a string, sym_b string, pair_count bigint",
+    )
 
 
 def pmi_collocations(

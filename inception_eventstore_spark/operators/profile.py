@@ -2722,3 +2722,131 @@ def cohens_d_effect(
         (F.round("cohens_d", 6) + F.lit(0.0)).alias("cohens_d"),
         (F.round("hedges_g", 6) + F.lit(0.0)).alias("hedges_g"),
     )
+
+
+def wilcoxon_signed_rank(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED per-user
+    totals: each user's value sum BEFORE the global time midpoint vs
+    AFTER it — the non-parametric paired alternative to a paired t
+    (mann_whitney_u is the unpaired cousin; mcnemar_paired the binary
+    one). Large |z| ⇒ the within-user before/after shift is systematic.
+
+    Exactness: the midpoint is integer microseconds div 2 of
+    (min_ts + max_ts); per-user pre/post sums are rounded at 6 dp then
+    floor-quantized to 2^20 micro-units (the cross-engine money
+    contract), so the paired difference d is an exact BIGINT. Zero
+    differences drop (the classic convention). Ranks of |d| use
+    AVERAGE ranks doubled — for a tie group spanning ranks lo..hi the
+    doubled average is lo + hi, an exact integer — computed as one
+    groupBy(|d|) + the two-phase `sharded_running_sums` prefix (never
+    a single-partition window). With S2 = 2·ΣW⁺ and the tie term
+    T = Σ(t³ − t):
+
+        z = (2·S2 − n(n+1)) / sqrt((2·n(n+1)(2n+1) − T) / 3)
+
+    — every input an exact integer, so z is a bit-identical double on
+    both engines, rounded 6 dp. Output one row:
+    (n_pairs, s2_pos, tie_cube, z_ppm = floor(z·10^6) — NULL when the
+    variance is 0).
+
+    Overflow guards: n < 2^21 keeps n(n+1)(2n+1) < 2^63; tie groups
+    are capped at 10^5 members (quantized nonzero diffs tying 100k
+    deep means the value column is degenerate — pre-bucket it)."""
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    b = ev.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("_hi"),
+    ).first()
+    if b["_lo"] is None:
+        raise ValueError("wilcoxon_signed_rank: no rows")
+    mid = (int(b["_lo"]) + int(b["_hi"])) // 2
+    q = lambda c: F.floor(F.round(c, 6) * F.lit(float(1 << 20))).cast(  # noqa: E731
+        "bigint"
+    )
+    per_user = (
+        ev.groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col(ts_col)) < mid, F.col(value_col)
+                ).otherwise(F.lit(0.0))
+            ).alias("_pre"),
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col(ts_col)) >= mid, F.col(value_col)
+                ).otherwise(F.lit(0.0))
+            ).alias("_post"),
+        )
+        .select((q(F.col("_post")) - q(F.col("_pre"))).alias("_d"))
+        .where(F.col("_d") != 0)
+    )
+    grp = per_user.groupBy(
+        F.abs(F.col("_d")).alias("_ad")
+    ).agg(
+        F.count("*").cast("bigint").alias("_t"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_tpos"),
+    )
+    stepped = sharded_running_sums(grp, [F.col("_ad")], ["_t"])
+    row = stepped.select(
+        "_t",
+        "_tpos",
+        # doubled average rank of the tie group at |d|: prefix-before
+        # is the inclusive cumsum minus the group size
+        (2 * (F.col("_t_cum") - F.col("_t")) + F.col("_t") + 1).alias(
+            "_r2"
+        ),
+    ).agg(
+        F.sum("_t").cast("bigint").alias("n"),
+        F.sum(F.col("_r2") * F.col("_tpos")).cast("bigint").alias("s2"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("bigint")
+        .alias("tc"),
+        F.max("_t").cast("bigint").alias("_tmax"),
+    ).first()
+    n = int(row["n"] or 0)
+    if n == 0:
+        return _local_df(
+            events.sparkSession,
+            [(0, 0, 0, None)],
+            "n_pairs bigint, s2_pos bigint, tie_cube bigint, z_ppm bigint",
+        )
+    if n >= 1 << 21:
+        raise ValueError(
+            f"wilcoxon_signed_rank: {n} pairs — n(n+1)(2n+1) would "
+            "overflow BIGINT past 2^21 pairs"
+        )
+    if int(row["_tmax"]) > 100_000:
+        raise ValueError(
+            "wilcoxon_signed_rank: a quantized |d| tie group exceeds "
+            "1e5 members — the value column is degenerate at 2^20 "
+            "micro-units; pre-bucket or rescale it"
+        )
+    s2, tc = int(row["s2"]), int(row["tc"])
+    a = 2 * n * (n + 1) * (2 * n + 1) - tc
+    z_ppm = None
+    if a > 0:
+        # floor of a bit-identical double (the pq.py quantization
+        # convention) — never round(), which can split engines at an
+        # exact 6-dp half boundary
+        z_ppm = _math.floor(
+            float(2 * s2 - n * (n + 1)) / _math.sqrt(a / 3.0) * 1e6
+        )
+    return _local_df(
+        events.sparkSession,
+        [(n, s2, tc, z_ppm)],
+        "n_pairs bigint, s2_pos bigint, tie_cube bigint, z_ppm bigint",
+    )

@@ -14784,3 +14784,74 @@ _R10_QUERIES = {
     ),
 }
 QUERIES = {**_R10_QUERIES, **QUERIES}
+
+
+def q_bpe_learn_merges(spark, sf_dir):
+    """Six rounds of BPE merge learning over the documents vocabulary
+    (lm.bpe_learn_merges): argmax weighted pair per round, previous
+    merges applied greedily before re-pairing. The oracle unrolls the
+    identical six rounds as materialized CTEs, applying each learned
+    merge with the run-parity rule (for a = b, a run of k symbols
+    merges at even offsets — exactly the non-consuming-lookaround
+    regex semantics of the Spark side)."""
+    from inception_eventstore_spark.operators import lm as LM
+
+    return LM.bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=6
+    )
+
+
+def _bpe_learn_oracle(n: int = 6) -> str:
+    head = f"""
+WITH vocab AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest({_DUCK_TOKENS}) AS w FROM documents) GROUP BY w),
+s1 AS MATERIALIZED (
+  SELECT w, freq, generate_subscripts(s, 1) AS i, unnest(s) AS sym FROM (
+    SELECT w, freq, list_append(string_split(w, ''), '</w>') AS s
+    FROM vocab))"""
+    pick = """,
+m{r} AS MATERIALIZED (
+  SELECT sa, sb, cnt FROM (
+    SELECT x.sym AS sa, y.sym AS sb, CAST(sum(x.freq) AS BIGINT) AS cnt
+    FROM s{r} x JOIN s{r} y ON x.w = y.w AND y.i = x.i + 1
+    GROUP BY 1, 2)
+  ORDER BY cnt DESC, sa, sb LIMIT 1)"""
+    apply = """,
+k{r} AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, row_number() OVER (
+      PARTITION BY w, grp ORDER BY i) AS rn
+    FROM (
+      SELECT x.w, x.i,
+        x.i - row_number() OVER (PARTITION BY x.w ORDER BY x.i) AS grp
+      FROM s{r} x JOIN s{r} y ON x.w = y.w AND y.i = x.i + 1, m{r}
+      WHERE x.sym = m{r}.sa AND y.sym = m{r}.sb))
+  WHERE rn % 2 = 1),
+s{r1} AS MATERIALIZED (
+  SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY i) AS i, sym
+  FROM (
+    SELECT s.w, s.freq, s.i,
+      CASE WHEN k1.i IS NOT NULL
+        THEN (SELECT sa || sb FROM m{r}) ELSE s.sym END AS sym
+    FROM s{r} s
+    LEFT JOIN k{r} k1 ON s.w = k1.w AND s.i = k1.i
+    LEFT JOIN k{r} k2 ON s.w = k2.w AND s.i = k2.i + 1
+    WHERE k2.i IS NULL))"""
+    body = head
+    for r in range(1, n + 1):
+        body += pick.format(r=r)
+        if r < n:
+            body += apply.format(r=r, r1=r + 1)
+    tail = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, sa AS sym_a, "
+        f"sb AS sym_b, cnt AS pair_count FROM m{r}"
+        for r in range(1, n + 1)
+    )
+    return body + "\n" + tail
+
+
+_R10B_QUERIES = {
+    "bpe_learn_merges": QueryDef(q_bpe_learn_merges, _bpe_learn_oracle()),
+}
+QUERIES = {**_R10B_QUERIES, **QUERIES}

@@ -79,3 +79,42 @@ class TestAnnRecallAudit:
         }
         assert out["ivf"]["n_hit"] == 0
         assert out["ivf"]["recall"] == 0.0
+
+
+class TestBpeLearnMerges:
+    def test_run_parity_and_early_break(self, spark):
+        # one word "aaaa" (freq 2): round 1 must count the (a,a) run
+        # as 3 pairs/word and merge greedily at offsets 0 and 2
+        # ("aa aa </w>", never "aa a a </w>"); round 4 has no pairs
+        # left and the loop must stop at 3 rows
+        from inception_eventstore_spark.operators.lm import (
+            bpe_learn_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa")], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+            for r in bpe_learn_merges(docs, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == [
+            (1, "a", "a", 6),
+            (2, "aa", "</w>", 2),  # '</w>' < 'aa' in binary order
+            (3, "aa", "aa</w>", 2),
+        ]
+
+    def test_guard(self, spark):
+        from inception_eventstore_spark.operators.lm import (
+            bpe_learn_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bpe_learn_merges(docs, n_merges=0)

@@ -167,6 +167,40 @@ def main() -> int:
     volumes["bm25_multi_rows"] = RT.bm25_multi_topk(docs, qdf, k=5).count()
     timings["retrieval_bm25_multi"] = round(time.time() - t0, 3)
 
+    # -- BPE merge learning: the corpus-scale pass is ONE (word, freq)
+    # rollup; each round then re-pairs only the vocabulary (r10) ------
+    from inception_eventstore_spark.operators.lm import (
+        bpe_learn_merges,
+        tokens,
+    )
+
+    # second-level replication (×4, fresh vocab prefix) lifts the BPE
+    # corpus past 10M tokens — the rollup is the only token-scale pass
+    bpe_docs = (
+        docs.crossJoin(
+            spark.range(4).select(F.col("id").alias("_rep2"))
+        )
+        .select(
+            F.concat(
+                F.lit("bpetok"), F.col("_rep2").cast("string"),
+                F.lit(" "), F.col("text"),
+            ).alias("text"),
+        )
+    )
+    volumes["bpe_tokens"] = int(
+        bpe_docs.select(
+            F.size(tokens("text")).alias("n")
+        ).agg(F.sum("n")).first()[0]
+    )
+    assert volumes["bpe_tokens"] >= 10_000_000, volumes["bpe_tokens"]
+    t0 = time.time()
+    learned = bpe_learn_merges(bpe_docs, n_merges=4).collect()
+    timings["bpe_learn_merges_4"] = round(time.time() - t0, 3)
+    assert len(learned) == 4 and all(
+        r["pair_count"] > 0 for r in learned
+    ), f"bpe merge rounds degenerate: {learned}"
+    volumes["bpe_top_pair_count"] = int(learned[0]["pair_count"])
+
     # -- epoch shuffle: two-phase shard rank over the replicated corpus —
     # the permutation must be total (max rank == count) with NO
     # single-partition Exchange (the r4 scale-killer this replaced)
