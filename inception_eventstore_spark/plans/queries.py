@@ -14855,3 +14855,61 @@ _R10B_QUERIES = {
     "bpe_learn_merges": QueryDef(q_bpe_learn_merges, _bpe_learn_oracle()),
 }
 QUERIES = {**_R10B_QUERIES, **QUERIES}
+
+
+def q_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank z on paired per-user value totals before
+    vs after the global time midpoint (profile.wilcoxon_signed_rank):
+    2^20-quantized integer differences, doubled average ranks via the
+    two-phase shard cumsum, exact-integer tie correction, z floored to
+    ppm. The oracle replays the identical rank arithmetic with a
+    sequential SQL window."""
+    from inception_eventstore_spark.operators.profile import (
+        wilcoxon_signed_rank,
+    )
+
+    return wilcoxon_signed_rank(_t(spark, sf_dir, "events"))
+
+
+_WILCOXON_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL),
+bnd AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM ev),
+pu AS (
+  SELECT user_id,
+    CAST(floor(round(sum(CASE WHEN tus >= (SELECT mid FROM bnd)
+        THEN value ELSE 0 END), 6) * 1048576.0) AS BIGINT)
+    - CAST(floor(round(sum(CASE WHEN tus < (SELECT mid FROM bnd)
+        THEN value ELSE 0 END), 6) * 1048576.0) AS BIGINT) AS d
+  FROM ev GROUP BY user_id),
+grp AS (
+  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos
+  FROM pu WHERE d <> 0 GROUP BY 1),
+st AS (
+  SELECT t, tpos,
+    2 * (sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - t)
+      + t + 1 AS r2
+  FROM grp),
+agg AS (
+  SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+    CAST(coalesce(sum(r2 * tpos), 0) AS BIGINT) AS s2,
+    CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tc
+  FROM st)
+SELECT n AS n_pairs, s2 AS s2_pos, tc AS tie_cube,
+  CASE WHEN n > 0 AND (2 * n * (n + 1) * (2 * n + 1) - tc) > 0 THEN
+    CAST(floor((2.0 * s2 - n * (n + 1))
+      / sqrt((2 * n * (n + 1) * (2 * n + 1) - tc) / 3.0)
+      * 1000000.0) AS BIGINT)
+  ELSE NULL END AS z_ppm
+FROM agg
+"""
+
+
+_R10C_QUERIES = {
+    "wilcoxon_signed_rank": QueryDef(
+        q_wilcoxon_signed_rank, _WILCOXON_ORACLE
+    ),
+}
+QUERIES = {**_R10C_QUERIES, **QUERIES}

@@ -118,3 +118,53 @@ class TestBpeLearnMerges:
 
         with _pytest.raises(ValueError):
             bpe_learn_merges(docs, n_merges=0)
+
+
+class TestWilcoxonSignedRank:
+    def test_hand_values(self, spark):
+        import datetime as dt
+        import math
+
+        from inception_eventstore_spark.operators.profile import (
+            wilcoxon_signed_rank,
+        )
+
+        t_pre = dt.datetime(2024, 1, 1, 0, 0, 0)
+        t_post = dt.datetime(2024, 1, 2, 0, 0, 0)
+        rows = [
+            (1, t_pre, 1, "view", 1.0), (2, t_post, 1, "view", 3.0),
+            (3, t_pre, 2, "view", 5.0), (4, t_post, 2, "view", 1.0),
+            (5, t_pre, 3, "view", 1.0), (6, t_post, 3, "view", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        out = wilcoxon_signed_rank(df).collect()[0]
+        # |d| in 2^20 units: 2 (+), 4 (-), 6 (+): doubled avg ranks
+        # 2/4/6, S2 = 2 + 6 = 8, no ties
+        assert out.n_pairs == 3
+        assert out.s2_pos == 8
+        assert out.tie_cube == 0
+        assert out.z_ppm == math.floor(4.0 / math.sqrt(56.0) * 1e6)
+
+    def test_all_zero_diffs(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.profile import (
+            wilcoxon_signed_rank,
+        )
+
+        t_pre = dt.datetime(2024, 1, 1, 0, 0, 0)
+        t_post = dt.datetime(2024, 1, 2, 0, 0, 0)
+        rows = [
+            (1, t_pre, 1, "view", 2.0), (2, t_post, 1, "view", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        out = wilcoxon_signed_rank(df).collect()[0]
+        assert (out.n_pairs, out.z_ppm) == (0, None)
