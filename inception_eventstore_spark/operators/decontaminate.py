@@ -190,3 +190,75 @@ def contamination_fraction(
             ),
         )
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row novelty report: what fraction of the test split's
+    DISTINCT word n-grams never appear in the training split —
+    the memorization-vs-generalization denominator every eval-split
+    design needs (a test set with low n-gram novelty measures recall
+    of the training data, not generalization; cf. the train-test
+    overlap analyses of Lewis et al. 2021).
+
+        (n_train_grams, n_test_grams, n_novel, novelty)
+
+    Gram identity is the PORTABLE 60-bit md5 of the space-joined
+    lowercase token n-gram (`sampling.md5_prefix60` — the repo-wide
+    cross-engine hash), so counts replay exactly in SQL. Scale shape:
+    each side collapses to its distinct gram-hash set first (one
+    partial-aggregated shuffle each, 8-byte keys), then one hash
+    anti-join; the corpus text never shuffles."""
+    from inception_eventstore_spark.operators.sampling import md5_prefix60
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        staged = docs.select(tokens(text_col).alias("_toks")).where(
+            F.size("_toks") >= n
+        )
+        length = F.size("_toks")
+        starts = F.sequence(F.lit(1), length - F.lit(n - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(F.col("_toks"), i + F.lit(j))
+                   for j in range(n)]
+        )
+        return (
+            staged.select(
+                F.explode(
+                    F.transform(starts, lambda i: gram(i))
+                ).alias("_g")
+            )
+            .select(md5_prefix60(F.col("_g")).alias("gh"))
+            .distinct()
+        )
+
+    tr = _grams(train)
+    te = _grams(test)
+    n_tr = tr.agg(F.count("*").cast("bigint").alias("n_train_grams"))
+    n_te = te.agg(F.count("*").cast("bigint").alias("n_test_grams"))
+    n_nov = te.join(tr, "gh", "left_anti").agg(
+        F.count("*").cast("bigint").alias("n_novel")
+    )
+    return (
+        n_tr.crossJoin(F.broadcast(n_te))
+        .crossJoin(F.broadcast(n_nov))
+        .select(
+            "n_train_grams",
+            "n_test_grams",
+            "n_novel",
+            F.when(
+                F.col("n_test_grams") > 0,
+                F.round(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_test_grams"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )

@@ -2850,3 +2850,55 @@ def wilcoxon_signed_rank(
         [(n, s2, tc, z_ppm)],
         "n_pairs bigint, s2_pos bigint, tie_cube bigint, z_ppm bigint",
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator (Hill 1975) of the power-law tail index over the
+    top-k order statistics of a positive integer column — the standard
+    heavy-tail diagnostic for document lengths, degree distributions
+    and token frequencies (alpha ≈ 1 ⇒ Zipf-like; small alpha ⇒ the
+    tail dominates aggregates and per-key work needs skew handling).
+
+        H = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)),   alpha = 1/H
+
+    Exactness: the top k+1 VALUES are an order-unambiguous multiset
+    (ties don't matter — only values enter), fetched with a TakeOrdered
+    (per-partition top-k + driver merge, no global sort); the ln fold
+    runs driver-side in rank order, mirrored by the oracle's
+    list_reduce over the identically-ordered list, so H is a
+    bit-identical double and the ppm floors are safe. Output one row:
+    (k, x_tail, hill_ppm, alpha_ppm — NULL when the top k+1 values are
+    all equal)."""
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tops = [
+        int(r["_x"])
+        for r in df.where(F.col(value_col) > 0)
+        .select(F.col(value_col).cast("bigint").alias("_x"))
+        .orderBy(F.col("_x").desc())
+        .limit(k + 1)
+        .collect()
+    ]
+    if len(tops) < k + 1:
+        raise ValueError(
+            f"hill_tail_index: need {k + 1} positive values, "
+            f"got {len(tops)}"
+        )
+    xk = float(tops[k])
+    acc = 0.0
+    for x in tops[:k]:
+        acc += _math.log(float(x) / xk)
+    hm = acc / float(k)
+    hill_ppm = _math.floor(hm * 1e6)
+    alpha_ppm = _math.floor(1e6 / hm) if hm > 0 else None
+    return _local_df(
+        df.sparkSession,
+        [(k, int(tops[k]), hill_ppm, alpha_ppm)],
+        "k bigint, x_tail bigint, hill_ppm bigint, alpha_ppm bigint",
+    )

@@ -569,3 +569,63 @@ def rake_keywords(
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(int(top_k))
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Flesch reading ease (Flesch 1948) from the classic
+    whitespace/punctuation/vowel-group heuristics — the readability
+    axis of corpus quality scoring (too-low = legalese/boilerplate,
+    implausibly-high = fragment noise; filters pair it with
+    quality_features' length/stopword signals).
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    Heuristics, identical in both engines: sentences = count of
+    ``[.!?]+`` runs (min 1); syllables = count of ``[aeiouy]+`` vowel
+    groups over the lowercased text — vowel groups never span a
+    space, so the global count equals the per-word sum — plus 1 for
+    each vowel-less word (the "every word has a syllable" floor).
+    Output (id, n_words, n_sentences, n_syllables, flesch_milli) with
+    flesch_milli = floor(flesch·1000): the ratios are single exact-
+    integer divisions and one fixed-order linear combination, so the
+    double is bit-identical cross-engine and the floor is safe (the
+    pq.py quantization convention). Docs with no words report NULL.
+
+    Scale: one map-only pass — two regexp counts and one staged-array
+    filter per row, no shuffle, no UDF."""
+    toks = tokens(text_col)
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        toks.alias("_toks"),
+    )
+    w = F.size("_toks").cast("bigint")
+    s = F.greatest(
+        F.regexp_count(F.col("_txt"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syl = (
+        F.regexp_count(F.lower(F.col("_txt")), F.lit("[aeiouy]+"))
+        + F.size(
+            F.filter(
+                F.col("_toks"), lambda t: ~t.rlike("[aeiouy]")
+            )
+        )
+    ).cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / w.cast("double"))
+    )
+    return staged.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.when(w > 0, F.floor(flesch * F.lit(1000.0)).cast("bigint"))
+        .alias("flesch_milli"),
+    )

@@ -14913,3 +14913,141 @@ _R10C_QUERIES = {
     ),
 }
 QUERIES = {**_R10C_QUERIES, **QUERIES}
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Train/test 3-gram novelty over an 80/20 portable-hash document
+    split (decontaminate.ngram_novelty): distinct md5-60 gram sets per
+    side, one anti-join — the eval-split overlap gate. Oracle replays
+    the split, the grams, the hash, and the ratio."""
+    from inception_eventstore_spark.operators.decontaminate import (
+        ngram_novelty,
+    )
+    from inception_eventstore_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), seed="v1")
+    return ngram_novelty(
+        d.where(b < 800_000), d.where(b >= 800_000), n=3
+    )
+
+
+_NGRAM_NOVELTY_ORACLE = f"""
+WITH lab AS (
+  SELECT CAST(concat('0x', substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 1000000 < 800000 AS is_train,
+    {_DUCK_TOKENS} AS tk
+  FROM documents),
+g AS (
+  SELECT is_train, unnest([
+      tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' '
+        || tk[CAST(i AS INT) + 2]
+      for i in generate_series(1, len(tk) - 2)]) AS gram
+  FROM lab WHERE len(tk) >= 3),
+gh AS (
+  SELECT DISTINCT is_train,
+    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+  FROM g),
+tr AS (SELECT h FROM gh WHERE is_train),
+te AS (SELECT h FROM gh WHERE NOT is_train),
+c AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train_grams,
+  (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test_grams,
+  (SELECT CAST(count(*) AS BIGINT) FROM te
+     WHERE h NOT IN (SELECT h FROM tr)) AS n_novel)
+SELECT n_train_grams, n_test_grams, n_novel,
+  CASE WHEN n_test_grams > 0
+    THEN round(n_novel * 1.0 / n_test_grams, 6) END AS novelty
+FROM c
+"""
+
+
+_R10D_QUERIES = {
+    "ngram_novelty": QueryDef(q_ngram_novelty, _NGRAM_NOVELTY_ORACLE),
+}
+QUERIES = {**_R10D_QUERIES, **QUERIES}
+
+
+def q_readability(spark, sf_dir):
+    """Per-document Flesch reading ease (text.readability_scores):
+    vowel-group syllable heuristic + sentence-run count, score floored
+    to milli-units from a fixed-order double expression. Map-only, no
+    shuffle; oracle recomputes every heuristic."""
+    from inception_eventstore_spark.operators.text import (
+        readability_scores,
+    )
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+_READABILITY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      + len(list_filter(tk, t -> NOT regexp_matches(t, '[aeiouy]')))
+      AS BIGINT) AS n_syllables
+  FROM d)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN CAST(floor(
+    (CAST(206.835 AS DOUBLE)
+     - CAST(1.015 AS DOUBLE)
+       * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+     - CAST(84.6 AS DOUBLE)
+       * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+    * 1000.0) AS BIGINT) END AS flesch_milli
+FROM m
+"""
+
+
+_R10E_QUERIES = {
+    "readability": QueryDef(q_readability, _READABILITY_ORACLE),
+}
+QUERIES = {**_R10E_QUERIES, **QUERIES}
+
+
+def q_hill_tail_index(spark, sf_dir):
+    """Hill tail-index of the document length distribution
+    (profile.hill_tail_index, k=100): TakeOrdered top-101 lengths,
+    rank-ordered driver ln fold, ppm floors; the oracle folds the
+    identically-ordered list with list_reduce."""
+    from inception_eventstore_spark.operators.profile import (
+        hill_tail_index,
+    )
+
+    return hill_tail_index(
+        _t(spark, sf_dir, "documents"), "n_chars", k=100
+    )
+
+
+_HILL_ORACLE = """
+WITH v AS (
+  SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE n_chars > 0
+  ORDER BY x DESC LIMIT 101),
+r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM v),
+tail AS (SELECT CAST(x AS DOUBLE) AS xk, x AS xi FROM r WHERE rn = 101),
+l AS (
+  SELECT list(ln(CAST(x AS DOUBLE) / (SELECT xk FROM tail))
+              ORDER BY rn) AS ls
+  FROM r WHERE rn <= 100),
+h AS (
+  SELECT list_reduce(list_prepend(0.0, ls), (a, b) -> a + b)
+         / 100.0 AS hm
+  FROM l)
+SELECT CAST(100 AS BIGINT) AS k,
+  (SELECT CAST(xi AS BIGINT) FROM tail) AS x_tail,
+  CAST(floor(hm * 1000000.0) AS BIGINT) AS hill_ppm,
+  CASE WHEN hm > 0
+    THEN CAST(floor(1000000.0 / hm) AS BIGINT) END AS alpha_ppm
+FROM h
+"""
+
+
+_R10F_QUERIES = {
+    "hill_tail_index": QueryDef(q_hill_tail_index, _HILL_ORACLE),
+}
+QUERIES = {**_R10F_QUERIES, **QUERIES}

@@ -168,3 +168,102 @@ class TestWilcoxonSignedRank:
         )
         out = wilcoxon_signed_rank(df).collect()[0]
         assert (out.n_pairs, out.z_ppm) == (0, None)
+
+
+class TestNgramNovelty:
+    def test_hand_counts(self, spark):
+        from inception_eventstore_spark.operators.decontaminate import (
+            ngram_novelty,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        test = spark.createDataFrame(
+            [(2, "b c d e")], "doc_id long, text string"
+        )
+        out = ngram_novelty(train, test, n=3).collect()[0]
+        # train grams {abc, bcd}; test grams {bcd, cde}: one novel
+        assert (
+            out.n_train_grams,
+            out.n_test_grams,
+            out.n_novel,
+            out.novelty,
+        ) == (2, 2, 1, 0.5)
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.decontaminate import (
+            ngram_novelty,
+        )
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            ngram_novelty(d, d, n=0)
+
+
+class TestReadability:
+    def test_hand_flesch(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.text import (
+            readability_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "Hello world."), (2, "   ")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in readability_scores(docs).collect()
+        }
+        r1 = rows[1]
+        assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (2, 1, 3)
+        f = 206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (3.0 / 2.0)
+        assert r1.flesch_milli == math.floor(f * 1000.0)
+        # whitespace-only doc: zero words -> NULL score
+        r2 = rows[2]
+        assert (r2.n_words, r2.flesch_milli) == (0, None)
+
+    def test_vowelless_word_floor(self, spark):
+        from inception_eventstore_spark.operators.text import (
+            readability_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "psst 7th")], "doc_id long, text string"
+        )
+        r = readability_scores(docs).collect()[0]
+        # 'psst' has no vowel group (floor 1), '7th' has none either
+        assert r.n_syllables == 2
+
+
+class TestHillTailIndex:
+    def test_hand_fold(self, spark):
+        import math
+
+        from inception_eventstore_spark.operators.profile import (
+            hill_tail_index,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([8, 4, 2, 1, 1])],
+            "id long, n long",
+        )
+        out = hill_tail_index(df, "n", k=2).collect()[0]
+        hm = (math.log(8.0 / 2.0) + math.log(4.0 / 2.0)) / 2.0
+        assert out.k == 2 and out.x_tail == 2
+        assert out.hill_ppm == math.floor(hm * 1e6)
+        assert out.alpha_ppm == math.floor(1e6 / hm)
+
+    def test_too_few(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.profile import (
+            hill_tail_index,
+        )
+
+        df = spark.createDataFrame([(1, 5)], "id long, n long")
+        with _pytest.raises(ValueError, match="positive values"):
+            hill_tail_index(df, "n", k=3)
