@@ -893,3 +893,116 @@ def nelson_aalen_hazard(
         "t_days bigint, n_risk bigint, n_events bigint, "
         "hazard_ppb bigint",
     )
+
+
+def aalen_johansen_cif(
+    events: DataFrame,
+    start_type: str,
+    cause_a: str,
+    cause_b: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under COMPETING risks
+    (Aalen & Johansen 1978): from each user's first ``start_type``,
+    the first subsequent event among {cause_a, cause_b} decides which
+    risk claimed the user and when; users reaching neither are
+    censored at their last event. Unlike running two KM curves
+    (which over-count because each treats the other cause as
+    censoring), the CIF splits ONE all-cause survival:
+
+        CIF_k(t) = Σ_{t_i ≤ t} S(t_i⁻) · d_{k,i} / n_i
+
+    Exactness: the all-cause product-limit S and both incidence sums
+    run as the km_survival integer recurrence in ppb —
+    ``inc_k = div(S_prev · d_k, n_i)``,
+    ``S = div(S_prev · (n_i − d_a − d_b), n_i)`` —
+    exact BIGINT at every step (guard: d·10⁹ must fit, same ~9·10⁹
+    events/day bound as nelson_aalen), replayed by the oracle's
+    recursive CTE. Scale: two partial-aggregated per-user groupBys;
+    only the calendar-bounded per-day table crosses to the driver.
+
+    Output per event day: (t_days, n_risk, d_cause_a, d_cause_b,
+    cif_a_ppb, cif_b_ppb)."""
+    starts = (
+        events.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    lasts = events.groupBy(user_col).agg(F.max(ts_col).alias("_tmax"))
+    evs = events.where(
+        F.col(type_col).isin(cause_a, cause_b)
+    ).select(
+        F.col(user_col).alias("_eu"),
+        F.col(ts_col).alias("_ets"),
+        F.col(type_col).alias("_ety"),
+    )
+    # first competing event at-or-after t0: min (ts, type) struct —
+    # the type tiebreak at an exact timestamp tie is the struct's
+    # lexicographic second field, identical in the oracle
+    first_event = (
+        starts.join(evs, starts[user_col] == F.col("_eu"))
+        .where(F.col("_ets") >= F.col("_t0"))
+        .groupBy(user_col)
+        .agg(F.min(F.struct("_ets", "_ety")).alias("_fe"))
+        .select(
+            user_col,
+            F.col("_fe._ets").alias("_te"),
+            F.col("_fe._ety").alias("_ty"),
+        )
+    )
+    per_user = (
+        starts.join(lasts, user_col)
+        .join(first_event, user_col, "left")
+        .select(
+            F.when(
+                F.col("_te").isNotNull(),
+                F.datediff(F.to_date("_te"), F.to_date("_t0")),
+            )
+            .otherwise(F.datediff(F.to_date("_tmax"), F.to_date("_t0")))
+            .cast("bigint")
+            .alias("_d"),
+            (F.col("_ty") == cause_a).cast("int").alias("_a"),
+            (F.col("_ty") == cause_b).cast("int").alias("_b"),
+        )
+    )
+    per_day = (
+        per_user.groupBy("_d")
+        .agg(
+            F.sum(F.coalesce(F.col("_a"), F.lit(0)))
+            .cast("bigint").alias("_da"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0)))
+            .cast("bigint").alias("_db"),
+            F.count("*").cast("bigint").alias("_n"),
+        )
+        .collect()
+    )
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    n_risk = sum(int(r["_n"]) for r in rows)
+    s = 10**9
+    cif_a = cif_b = 0
+    out = []
+    for r in rows:
+        da, db = int(r["_da"]), int(r["_db"])
+        if da + db > 0:
+            if (da + db) >= 9_000_000_000:
+                raise ValueError(
+                    "aalen_johansen_cif: more than 9e9 events on one "
+                    "day — S·d would overflow BIGINT in the oracle"
+                )
+            cif_a += (s * da) // n_risk
+            cif_b += (s * db) // n_risk
+            s = (s * (n_risk - da - db)) // n_risk
+            out.append(
+                (int(r["_d"]), n_risk, da, db, cif_a, cif_b)
+            )
+        n_risk -= int(r["_n"])
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "t_days bigint, n_risk bigint, d_cause_a bigint, "
+        "d_cause_b bigint, cif_a_ppb bigint, cif_b_ppb bigint",
+    )

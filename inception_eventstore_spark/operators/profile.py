@@ -2902,3 +2902,64 @@ def hill_tail_index(
         [(k, int(tops[k]), hill_ppm, alpha_ppm)],
         "k bigint, x_tail bigint, hill_ppm bigint, alpha_ppm bigint",
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of row-count shares per
+    group: hhi = Σ_i share_i² over the members of each group, reported
+    in ppm next to CR1 (the largest member's share) — the standard
+    market/supplier/source concentration gauge (10⁶ = monopoly;
+    antitrust's 2500-point line = 25 000 ppm here × 100). For corpus
+    work: is a nation's supply (or a language's crawl) dominated by
+    one source?
+
+        (group, n_members, total, hhi_ppm, cr1_ppm)
+
+    Exactness: member counts are exact BIGINTs; squares stay exact
+    BIGINT under the in-expression guard total ≤ 3 037 000 499 (the
+    chi_square bound — beyond it pre-aggregate or sample), summed as
+    DECIMAL(38,0) so millions of members cannot overflow; the final
+    ratio is (double(Σc²) / (double(C)·double(C)))·10⁶ floored — all
+    inputs exact integers, so the double is bit-identical cross-engine
+    and the floor is safe. cr1 is pure integer division. One
+    partial-aggregated rollup to (group, member) then one to group —
+    the corpus shuffles once on the pair key."""
+    c = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(member_col).alias("_m")
+    ).agg(F.count("*").cast("bigint").alias("_c"))
+    per = c.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("_c").cast("bigint").alias("total"),
+        F.sum(
+            (F.col("_c") * F.col("_c")).cast("decimal(38,0)")
+        ).alias("_sq"),
+        F.max("_c").cast("bigint").alias("_mx"),
+    )
+    tot_checked = F.expr(
+        "if(total <= 3037000499, total, raise_error(concat("
+        "'hhi_concentration: group total = ', total, "
+        "' exceeds the exact-BIGINT bound 3037000499 "
+        "(member-count squares would overflow)')))"
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_members",
+        "total",
+        F.floor(
+            (
+                F.col("_sq").cast("double")
+                / (
+                    tot_checked.cast("double")
+                    * F.col("total").cast("double")
+                )
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("hhi_ppm"),
+        F.expr("div(_mx * 1000000, total)").cast("bigint").alias(
+            "cr1_ppm"
+        ),
+    )

@@ -15051,3 +15051,193 @@ _R10F_QUERIES = {
     "hill_tail_index": QueryDef(q_hill_tail_index, _HILL_ORACLE),
 }
 QUERIES = {**_R10F_QUERIES, **QUERIES}
+
+
+def q_ppr_custsupp(spark, sf_dir):
+    """3-iteration PERSONALIZED PageRank from customer 1's node over
+    the customer↔supplier purchase graph (graph.personalized_pagerank):
+    teleport mass pinned to the seed, rank = proximity-by-link — the
+    recommendation readout next to global pagerank. Oracle unrolls the
+    identical seeded recurrence; rank rounded to 9 dp like pagerank."""
+    from inception_eventstore_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cn"),
+        (F.col("l_suppkey") * 2 + 1).alias("sn"),
+    )
+    edges = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cn").alias("src"), F.col("sn").alias("dst")),
+                F.struct(F.col("sn").alias("src"), F.col("cn").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    r = G.personalized_pagerank(edges, seeds=[2], iterations=3)
+    return r.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _ppr_oracle() -> str:
+    head = """
+WITH e AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node,
+  CASE WHEN node = 2 THEN CAST(1.0 AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS rank
+  FROM nodes)"""
+    step = """,
+i{it} AS (
+  SELECT e.dst AS node, sum(r{prev}.rank / deg.outdeg) AS m
+  FROM e JOIN r{prev} ON e.src = r{prev}.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{it} AS (
+  SELECT nodes.node,
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      * (CASE WHEN nodes.node = 2 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END)
+    + CAST(0.85 AS DOUBLE) * coalesce(m, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN i{it} ON nodes.node = i{it}.node)"""
+    body = head + "".join(
+        step.format(it=i, prev=i - 1) for i in (1, 2, 3)
+    )
+    return body + "\nSELECT node, round(rank, 9) AS rank FROM r3"
+
+
+_R10G_QUERIES = {
+    "ppr_custsupp": QueryDef(q_ppr_custsupp, _ppr_oracle()),
+}
+QUERIES = {**_R10G_QUERIES, **QUERIES}
+
+
+def q_hhi_supplier_nation(spark, sf_dir):
+    """Supplier concentration of lineitem volume per nation
+    (profile.hhi_concentration): exact BIGINT count shares, DECIMAL
+    square sums, HHI + CR1 in ppm. Oracle recomputes the identical
+    integer arithmetic under DuckDB's HUGEINT widening."""
+    from inception_eventstore_spark.operators.profile import (
+        hhi_concentration,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", "s_suppkey")
+    )
+    return hhi_concentration(j, "n_name", "s_suppkey")
+
+
+_HHI_ORACLE = """
+WITH c AS (
+  SELECT n_name, s_suppkey, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2),
+per AS (
+  SELECT n_name,
+    CAST(count(*) AS BIGINT) AS n_members,
+    CAST(sum(c) AS BIGINT) AS total,
+    sum(c * c) AS sq,
+    CAST(max(c) AS BIGINT) AS mx
+  FROM c GROUP BY 1)
+SELECT n_name, n_members, total,
+  CAST(floor((CAST(sq AS DOUBLE)
+      / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+    * 1000000.0) AS BIGINT) AS hhi_ppm,
+  CAST(mx * 1000000 // total AS BIGINT) AS cr1_ppm
+FROM per
+"""
+
+
+_R10H_QUERIES = {
+    "hhi_supplier_nation": QueryDef(
+        q_hhi_supplier_nation, _HHI_ORACLE
+    ),
+}
+QUERIES = {**_R10H_QUERIES, **QUERIES}
+
+
+def q_aalen_johansen(spark, sf_dir):
+    """Competing-risks cumulative incidence signup→{purchase | error}
+    (funnel.aalen_johansen_cif): one all-cause integer product-limit
+    split across the two causes in exact ppb; the oracle replays the
+    recurrence with a recursive CTE over event days."""
+    from inception_eventstore_spark.operators import funnel as FU
+
+    return FU.aalen_johansen_cif(
+        _t(spark, sf_dir, "events"),
+        start_type="signup", cause_a="purchase", cause_b="error",
+    )
+
+
+_AJ_ORACLE = """
+WITH RECURSIVE starts AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+lasts AS (SELECT user_id, max(ts) AS tmax FROM events GROUP BY user_id),
+fe AS (
+  SELECT user_id, te, ty FROM (
+    SELECT e.user_id, e.ts AS te, e.event_type AS ty,
+      row_number() OVER (
+        PARTITION BY e.user_id ORDER BY e.ts, e.event_type) AS rn
+    FROM events e JOIN starts s ON e.user_id = s.user_id
+    WHERE e.event_type IN ('purchase', 'error') AND e.ts >= s.t0)
+  WHERE rn = 1),
+per_user AS (
+  SELECT CASE WHEN fe.te IS NOT NULL
+      THEN datediff('day', CAST(s.t0 AS DATE), CAST(fe.te AS DATE))
+      ELSE datediff('day', CAST(s.t0 AS DATE), CAST(l.tmax AS DATE))
+    END AS d,
+    CASE WHEN fe.ty = 'purchase' THEN 1 ELSE 0 END AS a,
+    CASE WHEN fe.ty = 'error' THEN 1 ELSE 0 END AS b
+  FROM starts s JOIN lasts l ON s.user_id = l.user_id
+  LEFT JOIN fe ON s.user_id = fe.user_id),
+per_day AS (
+  SELECT d, CAST(sum(a) AS BIGINT) AS da, CAST(sum(b) AS BIGINT) AS db,
+    CAST(count(*) AS BIGINT) AS n
+  FROM per_user GROUP BY d),
+risk AS (
+  SELECT d, da, db,
+    (SELECT count(*) FROM per_user)
+      - coalesce(sum(n) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_risk
+  FROM per_day),
+ev_days AS (
+  SELECT d, da, db, n_risk, row_number() OVER (ORDER BY d) AS rn
+  FROM risk WHERE da + db > 0),
+aj AS (
+  SELECT rn, d, da, db, n_risk,
+    (1000000000 * da) // n_risk AS cifa,
+    (1000000000 * db) // n_risk AS cifb,
+    (1000000000 * (n_risk - da - db)) // n_risk AS s
+  FROM ev_days WHERE rn = 1
+  UNION ALL
+  SELECT e.rn, e.d, e.da, e.db, e.n_risk,
+    aj.cifa + (aj.s * e.da) // e.n_risk,
+    aj.cifb + (aj.s * e.db) // e.n_risk,
+    (aj.s * (e.n_risk - e.da - e.db)) // e.n_risk
+  FROM aj JOIN ev_days e ON e.rn = aj.rn + 1)
+SELECT d AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+  da AS d_cause_a, db AS d_cause_b,
+  CAST(cifa AS BIGINT) AS cif_a_ppb, CAST(cifb AS BIGINT) AS cif_b_ppb
+FROM aj
+"""
+
+
+_R10I_QUERIES = {
+    "aalen_johansen": QueryDef(q_aalen_johansen, _AJ_ORACLE),
+}
+QUERIES = {**_R10I_QUERIES, **QUERIES}

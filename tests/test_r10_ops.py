@@ -267,3 +267,92 @@ class TestHillTailIndex:
         df = spark.createDataFrame([(1, 5)], "id long, n long")
         with _pytest.raises(ValueError, match="positive values"):
             hill_tail_index(df, "n", k=3)
+
+
+class TestHhiConcentration:
+    def test_hand_values(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            hhi_concentration,
+        )
+
+        rows = [("g", "m1")] * 3 + [("g", "m2")]
+        df = spark.createDataFrame(rows, "grp string, member string")
+        out = hhi_concentration(df, "grp", "member").collect()[0]
+        assert (out.n_members, out.total) == (2, 4)
+        assert out.hhi_ppm == 625000  # (9 + 1) / 16
+        assert out.cr1_ppm == 750000
+
+    def test_monopoly(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            hhi_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [("g", "m1")] * 5, "grp string, member string"
+        )
+        out = hhi_concentration(df, "grp", "member").collect()[0]
+        assert out.hhi_ppm == 1000000 and out.cr1_ppm == 1000000
+
+
+class TestPersonalizedPagerank:
+    def test_two_cycle_from_seed(self, spark):
+        from inception_eventstore_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1)], "src long, dst long"
+        )
+        r = {
+            row["node"]: row["rank"]
+            for row in personalized_pagerank(
+                edges, seeds=[1], iterations=3
+            ).collect()
+        }
+        assert abs(r[1] - 0.258375) < 1e-12
+        assert abs(r[2] - 0.741625) < 1e-12
+
+    def test_missing_seed_raises(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2)], "src long, dst long"
+        )
+        with _pytest.raises(ValueError, match="absent"):
+            personalized_pagerank(edges, seeds=[99])
+
+
+class TestAalenJohansen:
+    def test_hand_cif(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.funnel import (
+            aalen_johansen_cif,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        day = dt.timedelta(days=1)
+        rows = [
+            (1, t0, 1, "signup", 1.0), (2, t0 + day, 1, "purchase", 1.0),
+            (3, t0, 2, "signup", 1.0), (4, t0 + day, 2, "error", 1.0),
+            (5, t0, 3, "signup", 1.0), (6, t0 + 2 * day, 3, "click", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        out = aalen_johansen_cif(
+            df, start_type="signup", cause_a="purchase", cause_b="error"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.t_days, r.n_risk, r.d_cause_a, r.d_cause_b) == (
+            1, 3, 1, 1,
+        )
+        assert r.cif_a_ppb == 10**9 // 3
+        assert r.cif_b_ppb == 10**9 // 3
