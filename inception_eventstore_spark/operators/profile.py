@@ -2963,3 +2963,71 @@ def hhi_concentration(
             "cr1_ppm"
         ),
     )
+
+
+def sprt_daily(
+    events: DataFrame,
+    p0: float,
+    p1: float,
+    success_type: str = "purchase",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) on the
+    daily success rate: each day's events are Bernoulli trials
+    (success = ``success_type``), and the cumulative log-likelihood
+    ratio of H1: p = p1 vs H0: p = p0 decides as data ARRIVES —
+    the always-valid sequential monitor that stops experiments early
+    instead of waiting for a fixed horizon:
+
+        LLR_t = X_t·ln(p1/p0) + (N_t − X_t)·ln((1−p1)/(1−p0))
+        accept H1 when LLR ≥ ln((1−β)/α); H0 when ≤ ln(β/(1−α)).
+
+    Determinism: X_t/N_t are exact BIGINT running sums over the
+    calendar-bounded day rollup (two-phase `sharded_running_sums`,
+    never a single-partition window); the two ln constants are
+    computed ONCE driver-side and embedded as literals — the oracle
+    embeds the repr() of the same doubles, so LLR is one fixed-order
+    double expression with identical inputs on both engines; reported
+    as floor(LLR·10⁶). The per-day decision flag is the state AT that
+    day (the first 'h1'/'h0' day is where a live monitor would stop).
+
+    Output per day: (day, n_cum, x_cum, llr_ppm, decision)."""
+    from inception_eventstore_spark.functions.ranking import (
+        sharded_running_sums,
+    )
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    a_const = _math.log(p1 / p0)
+    b_const = _math.log((1.0 - p1) / (1.0 - p0))
+    hi = _math.log((1.0 - beta) / alpha)
+    lo = _math.log(beta / (1.0 - alpha))
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(
+                (F.col(type_col) == success_type).cast("int")
+            ).cast("bigint").alias("_x"),
+        )
+    )
+    stepped = sharded_running_sums(daily, [F.col("day")], ["_n", "_x"])
+    llr = (
+        F.col("_x_cum").cast("double") * F.lit(a_const)
+        + (F.col("_n_cum") - F.col("_x_cum")).cast("double")
+        * F.lit(b_const)
+    )
+    return stepped.select(
+        "day",
+        F.col("_n_cum").alias("n_cum"),
+        F.col("_x_cum").alias("x_cum"),
+        F.floor(llr * F.lit(1000000.0)).cast("bigint").alias("llr_ppm"),
+        F.when(llr >= F.lit(hi), F.lit("h1"))
+        .when(llr <= F.lit(lo), F.lit("h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -1704,3 +1704,95 @@ def forecast_accuracy(
         F.when(F.col("n7") > 0, F.expr("div(su, n7)"))
         .cast("bigint").alias("smape_mean_u"),
     )
+
+
+def quantile_forecast_eval(
+    events: DataFrame,
+    ts_col: str = "ts",
+    q_num: int = 9,
+    q_den: int = 10,
+) -> DataFrame:
+    """Pinball-loss scorecard of the per-weekday empirical quantile
+    forecast of daily event volume — the capacity-planning companion
+    to `forecast_accuracy` (a point forecast scores where the middle
+    is; a q-quantile forecast is judged by the pinball / quantile
+    loss, the strictly proper score for quantiles — Koenker & Bassett
+    1978):
+
+        L_q(y, f) = q·(y−f)        if y ≥ f
+                    (1−q)·(f−y)    otherwise
+
+    Forecast: for each weekday, the LOW q-quantile (order statistic at
+    ceil(q·n)) of that weekday's daily counts — an exact integer, no
+    interpolation, so the whole evaluation is integer arithmetic:
+    the reported loss is scaled by ``q_den`` (loss_x_den =
+    q_num·(y−f) or (q_den−q_num)·(f−y), summed as BIGINT). Output one
+    row: (n_days, q_ppm, total_loss_x_den, mean_loss_x_den —
+    integer div).
+
+    Scale: the corpus collapses to the calendar-bounded (day, count)
+    rollup first; the quantile is a row_number rank over that BOUNDED
+    rollup partitioned by weekday (7 partitions of ≤ |days| rows each —
+    never the raw event stream through a window) and the join back is
+    a 7-row broadcast."""
+    if not (0 < q_num < q_den):
+        raise ValueError("need 0 < q_num < q_den")
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.count("*").cast("bigint").alias("_y"))
+        # pre-epoch-portable weekday (the chi_square_independence
+        # convention): days since Monday 1970-01-05, double-mod so
+        # pre-epoch dates stay in [0, 7)
+        .withColumn(
+            "_wd",
+            (
+                (
+                    F.datediff(F.col("_day"), F.lit("1970-01-05")) % 7
+                    + 7
+                )
+                % 7
+            ).cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_wd").orderBy("_y", "_day")
+    ranked = daily.withColumn("_rn", F.row_number().over(w))
+    sizes = daily.groupBy("_wd").agg(F.count("*").alias("_n"))
+    # low q-quantile: value at rank ceil(q·n) = (q_num·n + q_den − 1)
+    # div q_den — exact integer rank arithmetic
+    fc = (
+        ranked.join(F.broadcast(sizes), "_wd")
+        .where(
+            F.col("_rn")
+            == F.expr(f"div(_n * {int(q_num)} + {int(q_den) - 1}, "
+                      f"{int(q_den)})")
+        )
+        .select("_wd", F.col("_y").alias("_f"))
+    )
+    loss = (
+        daily.join(F.broadcast(fc), "_wd")
+        .select(
+            F.when(
+                F.col("_y") >= F.col("_f"),
+                F.lit(int(q_num)) * (F.col("_y") - F.col("_f")),
+            )
+            .otherwise(
+                F.lit(int(q_den - q_num)) * (F.col("_f") - F.col("_y"))
+            )
+            .cast("bigint")
+            .alias("_l"),
+        )
+    )
+    return loss.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.lit(int(q_num * 1_000_000 // q_den)).cast("bigint").alias(
+            "q_ppm"
+        ),
+        F.sum("_l").cast("bigint").alias("total_loss_x_den"),
+        F.expr("div(sum(_l), count(*))").cast("bigint").alias(
+            "mean_loss_x_den"
+        ),
+    )

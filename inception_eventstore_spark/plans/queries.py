@@ -15241,3 +15241,99 @@ _R10I_QUERIES = {
     "aalen_johansen": QueryDef(q_aalen_johansen, _AJ_ORACLE),
 }
 QUERIES = {**_R10I_QUERIES, **QUERIES}
+
+
+def q_quantile_pinball(spark, sf_dir):
+    """Pinball-loss evaluation of the per-weekday empirical 0.9-
+    quantile forecast of daily volume (timeseries.quantile_forecast_
+    eval): exact-integer order-statistic forecast, loss scaled by the
+    quantile denominator so everything stays BIGINT. Oracle replays
+    rank pick and loss."""
+    from inception_eventstore_spark.operators.timeseries import (
+        quantile_forecast_eval,
+    )
+
+    return quantile_forecast_eval(_t(spark, sf_dir, "events"))
+
+
+_PINBALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+d2 AS (
+  SELECT day, y,
+    CAST(((datediff('day', DATE '1970-01-05', day) % 7) + 7) % 7
+      AS BIGINT) AS wd
+  FROM daily),
+rk AS (
+  SELECT wd, y, row_number() OVER (
+    PARTITION BY wd ORDER BY y, day) AS rn FROM d2),
+sz AS (SELECT wd, CAST(count(*) AS BIGINT) AS n FROM d2 GROUP BY wd),
+fc AS (
+  SELECT rk.wd, rk.y AS f FROM rk JOIN sz USING (wd)
+  WHERE rk.rn = (sz.n * 9 + 9) // 10),
+loss AS (
+  SELECT CASE WHEN d2.y >= fc.f THEN 9 * (d2.y - fc.f)
+              ELSE 1 * (fc.f - d2.y) END AS l
+  FROM d2 JOIN fc USING (wd))
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+  CAST(900000 AS BIGINT) AS q_ppm,
+  CAST(sum(l) AS BIGINT) AS total_loss_x_den,
+  CAST(sum(l) // count(*) AS BIGINT) AS mean_loss_x_den
+FROM loss
+"""
+
+
+_R10J_QUERIES = {
+    "quantile_pinball": QueryDef(q_quantile_pinball, _PINBALL_ORACLE),
+}
+QUERIES = {**_R10J_QUERIES, **QUERIES}
+
+
+def q_sprt_purchase(spark, sf_dir):
+    """Wald SPRT monitor of the daily purchase share, H0 p=0.19 vs
+    H1 p=0.21 (profile.sprt_daily): exact integer running counts via
+    the two-phase shard cumsum, ln constants embedded as identical
+    double literals on both engines, LLR floored to ppm."""
+    from inception_eventstore_spark.operators.profile import sprt_daily
+
+    return sprt_daily(_t(spark, sf_dir, "events"), p0=0.19, p1=0.21)
+
+
+def _sprt_oracle() -> str:
+    import math as _m
+
+    a = _m.log(0.21 / 0.19)
+    b = _m.log((1.0 - 0.21) / (1.0 - 0.19))
+    hi = _m.log((1.0 - 0.05) / 0.05)
+    lo = _m.log(0.05 / (1.0 - 0.05))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT day,
+    CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+    CAST(sum(x) OVER w AS BIGINT) AS x_cum
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+l AS (
+  SELECT day, n_cum, x_cum,
+    CAST(x_cum AS DOUBLE) * {a!r}
+      + CAST(n_cum - x_cum AS DOUBLE) * {b!r} AS llr
+  FROM cum)
+SELECT day, n_cum, x_cum,
+  CAST(floor(llr * 1000000.0) AS BIGINT) AS llr_ppm,
+  CASE WHEN llr >= {hi!r} THEN 'h1'
+       WHEN llr <= {lo!r} THEN 'h0'
+       ELSE 'continue' END AS decision
+FROM l
+"""
+
+
+_R10K_QUERIES = {
+    "sprt_purchase": QueryDef(q_sprt_purchase, _sprt_oracle()),
+}
+QUERIES = {**_R10K_QUERIES, **QUERIES}

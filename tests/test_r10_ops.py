@@ -356,3 +356,95 @@ class TestAalenJohansen:
         )
         assert r.cif_a_ppb == 10**9 // 3
         assert r.cif_b_ppb == 10**9 // 3
+
+
+class TestQuantilePinball:
+    def test_hand_loss(self, spark):
+        import datetime as dt
+
+        from inception_eventstore_spark.operators.timeseries import (
+            quantile_forecast_eval,
+        )
+
+        # three Mondays with daily counts 1, 2, 10: the low 0.9-
+        # quantile picks rank ceil(0.9*3)=3 -> forecast 10
+        rows, eid = [], 0
+        for day, cnt in ((1, 1), (8, 2), (15, 10)):
+            for _ in range(cnt):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 9), 1, "view", 1.0)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        out = quantile_forecast_eval(df).collect()[0]
+        # losses vs f=10: (10-1)*1, (10-2)*1, 0 -> total 17
+        assert (out.n_days, out.q_ppm) == (3, 900000)
+        assert out.total_loss_x_den == 17
+        assert out.mean_loss_x_den == 5
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.timeseries import (
+            quantile_forecast_eval,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+        )
+        with _pytest.raises(ValueError):
+            quantile_forecast_eval(df, q_num=10, q_den=10)
+
+
+class TestSprtDaily:
+    def test_hand_llr(self, spark):
+        import datetime as dt
+        import math
+
+        from inception_eventstore_spark.operators.profile import sprt_daily
+
+        rows, eid = [], 0
+        for day, n, x in ((1, 10, 2), (2, 10, 8)):
+            for i in range(n):
+                t = "purchase" if i < x else "view"
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 9), 1, t, 1.0)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        out = {
+            r["day"].isoformat(): r
+            for r in sprt_daily(df, p0=0.2, p1=0.8).collect()
+        }
+        # mirror the operator's constants EXACTLY: 1.0 - 0.8 is not
+        # the double 0.2, so log((1-p1)/(1-p0)) != log(p0/p1) here
+        a = math.log(0.8 / 0.2)
+        b = math.log((1.0 - 0.8) / (1.0 - 0.2))
+        d1 = out["2024-01-01"]
+        assert (d1.n_cum, d1.x_cum) == (10, 2)
+        assert d1.llr_ppm == math.floor((2.0 * a + 8.0 * b) * 1e6)
+        assert d1.decision == "h0"
+        d2 = out["2024-01-02"]
+        assert (d2.n_cum, d2.x_cum) == (20, 10)
+        assert d2.llr_ppm == math.floor((10.0 * a + 10.0 * b) * 1e6)
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.profile import sprt_daily
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+        )
+        with _pytest.raises(ValueError):
+            sprt_daily(df, p0=0.3, p1=0.3)
