@@ -218,3 +218,70 @@ def range_join(
         .where((F.col(point_col) >= F.col(lo_col)) & upper)
         .drop("_rb")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+    max_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval OVERLAP join: every (left, right) pair whose closed
+    intervals [l_lo, l_hi] × [r_lo, r_hi] intersect
+    (l_lo ≤ r_hi AND r_lo ≤ l_hi) — the general two-sided sibling of
+    `range_join` (point-in-interval): campaign windows × user activity
+    spans, maintenance windows × sessions, any time-overlap pairing.
+
+    Never a cross join: both sides explode into the ``bucket_width``-
+    wide buckets their interval covers, pairs meet on the bucket
+    equi-key, the exact overlap predicate filters, and a distinct on
+    (left_id, right_id) removes multi-bucket repeats — the same
+    bucketization the attribution lookback join uses (CLAUDE.md:
+    interval pairs must key on a window-sized bucket, or the join
+    materializes quadratic history). Fan-out per row is
+    len/bucket_width, guarded by ``max_buckets`` (an interval covering
+    more than that many buckets means bucket_width is mis-sized for
+    the data — raise it).
+
+    Output: (left_id, l_lo, l_hi, right_id, r_lo, r_hi), distinct.
+    Integer div bucketing — exact over the full int64 range."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+
+    def _explode(df, lo, hi, ncheck):
+        guarded = F.expr(
+            f"if(`{hi}` div {bucket_width} - `{lo}` div {bucket_width}"
+            f" < {int(max_buckets)}, `{lo}` div {bucket_width}, "
+            f"raise_error('interval_join: an interval covers more than "
+            f"{int(max_buckets)} buckets ({ncheck}) — raise "
+            f"bucket_width'))"
+        )
+        return df.withColumn(
+            "_ib",
+            F.explode(
+                F.sequence(
+                    guarded, F.expr(f"`{hi}` div {bucket_width}")
+                )
+            ),
+        )
+
+    lx = _explode(
+        left.select(left_id, l_lo, l_hi), l_lo, l_hi, "left side"
+    )
+    rx = _explode(
+        right.select(right_id, r_lo, r_hi), r_lo, r_hi, "right side"
+    )
+    return (
+        lx.join(rx, "_ib")
+        .where(
+            (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+        )
+        .drop("_ib")
+        .distinct()
+    )

@@ -759,3 +759,85 @@ def heldout_perplexity(
         F.round(xent, 6).alias("cross_entropy"),
         F.round(F.exp(xent), 6).alias("perplexity"),
     )
+
+
+def good_turing_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_r: int = 20,
+    gram_n: int = 1,
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table with the smoothed
+    count r* = (r+1)·N_{r+1}/N_r (Good 1953) — the classic LM
+    smoothing primitive and the standard unseen-mass estimator
+    (p_unseen = N_1/N): how much probability should a tokenizer /
+    LM reserve for words it has never seen?
+
+    Output one row per raw count r in [1, max_r] where N_r > 0:
+    (r, n_r, n_r1, r_star_u, p0_ppm) with r_star_u =
+    div((r+1)·N_{r+1}·2^20, N_r) — exact integer micro-units, NULL
+    when N_{r+1} = 0 (the turn-to-regression tail, reported rather
+    than extrapolated) — and p0_ppm = div(N_1·10^6, N) repeated on
+    each row (N = total token count). All-BIGINT arithmetic.
+
+    ``gram_n`` picks the unit: 1 = words, n > 1 = word n-grams
+    (space-joined) — the useful regime is whichever unit actually has
+    singletons (a tiny closed vocabulary has no N_1 and the table is
+    empty by definition).
+
+    Scale: the corpus collapses to (gram, count), then to
+    (count, N_count) — two partial-aggregated shuffles; the r↔r+1
+    pairing is a self-join of the tiny frequency-of-frequencies
+    table."""
+    if max_r < 1:
+        raise ValueError("max_r must be >= 1")
+    if gram_n < 1:
+        raise ValueError("gram_n must be >= 1")
+    if gram_n == 1:
+        units = docs.select(F.explode(tokens(text_col)).alias("w"))
+    else:
+        staged = docs.select(tokens(text_col).alias("_tk")).where(
+            F.size("_tk") >= gram_n
+        )
+        starts = F.sequence(
+            F.lit(1), F.size("_tk") - F.lit(gram_n - 1)
+        )
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(F.col("_tk"), i + F.lit(j))
+                   for j in range(gram_n)]
+        )
+        units = staged.select(
+            F.explode(F.transform(starts, lambda i: gram(i))).alias("w")
+        )
+    vocab = units.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    fof = vocab.groupBy(F.col("_c").alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_r")
+    ).localCheckpoint(eager=True)
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("_n"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r"))).cast("bigint")
+        .alias("_n1"),
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        fof.where(F.col("r") <= int(max_r))
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r1", F.lit(0)).cast("bigint").alias("n_r1"),
+            F.when(
+                F.col("n_r1").isNotNull(),
+                F.expr("div((r + 1) * n_r1 * 1048576, n_r)"),
+            ).cast("bigint").alias("r_star_u"),
+            F.expr(
+                "div(coalesce(_n1, 0) * 1000000, _n)"
+            ).cast("bigint").alias("p0_ppm"),
+        )
+    )

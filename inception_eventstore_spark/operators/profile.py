@@ -3031,3 +3031,53 @@ def sprt_daily(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def capture_recapture(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chapman capture-recapture estimate (Chapman 1951) of the true
+    population size from two OVERLAPPING samples — how big is the real
+    corpus/user base when each crawl/snapshot sees only part of it?
+    Marking is the id: an item "recaptured" in snapshot B is one whose
+    id already appeared in snapshot A.
+
+        N̂ = ((n_a + 1)(n_b + 1)) div (m + 1) − 1,  m = |A ∩ B|
+
+    (the bias-corrected Chapman form — defined even at m = 0, unlike
+    the raw Lincoln–Petersen n_a·n_b/m). All quantities are exact
+    BIGINT counts and one integer division, so the estimate replays
+    exactly in SQL. Output one row: (n_a, n_b, n_both, n_hat).
+
+    Scale: two distinct-id aggregations and one semi-join on the id —
+    the snapshots shuffle once each on the 8-byte key. Guard:
+    n_a, n_b < 3.03e9 keeps the (n_a+1)(n_b+1) product exact BIGINT
+    (in-expression, the chi_square convention)."""
+    a = snap_a.select(F.col(id_col).alias("_id")).distinct()
+    b = snap_b.select(F.col(id_col).alias("_id")).distinct()
+    na = a.agg(F.count("*").cast("bigint").alias("n_a"))
+    nb = b.agg(F.count("*").cast("bigint").alias("n_b"))
+    m = a.join(b, "_id", "leftsemi").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    checked = F.expr(
+        "if(n_a <= 3037000499 and n_b <= 3037000499, n_a, "
+        "raise_error('capture_recapture: snapshot sizes exceed the "
+        "exact-BIGINT product bound 3037000499'))"
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .select(
+            checked.alias("n_a"),
+            "n_b",
+            "n_both",
+            (
+                F.expr(
+                    "div((n_a + 1) * (n_b + 1), n_both + 1)"
+                ) - F.lit(1)
+            ).cast("bigint").alias("n_hat"),
+        )
+    )

@@ -15337,3 +15337,133 @@ _R10K_QUERIES = {
     "sprt_purchase": QueryDef(q_sprt_purchase, _sprt_oracle()),
 }
 QUERIES = {**_R10K_QUERIES, **QUERIES}
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture corpus-size estimate from two
+    overlapping 50% hash snapshots of documents
+    (profile.capture_recapture): exact integer counts and division;
+    the oracle replays both md5 samples and the estimator."""
+    from inception_eventstore_spark.operators.profile import (
+        capture_recapture,
+    )
+    from inception_eventstore_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(hash_bucket(F.col("doc_id"), seed="crA") < 500_000)
+    b = d.where(hash_bucket(F.col("doc_id"), seed="crB") < 500_000)
+    return capture_recapture(a, b)
+
+
+_CAPTURE_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT doc_id FROM documents
+  WHERE CAST(concat('0x', substr(md5('crA:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 1000000 < 500000),
+b AS (
+  SELECT DISTINCT doc_id FROM documents
+  WHERE CAST(concat('0x', substr(md5('crB:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % 1000000 < 500000),
+c AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+  (SELECT CAST(count(*) AS BIGINT) FROM a
+     WHERE doc_id IN (SELECT doc_id FROM b)) AS n_both)
+SELECT n_a, n_b, n_both,
+  CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT) AS n_hat
+FROM c
+"""
+
+
+def q_good_turing(spark, sf_dir):
+    """Good–Turing frequency-of-frequencies over the documents word
+    TRIGRAMS (lm.good_turing_counts, r ≤ 10 — the fixture's unigram
+    vocabulary is closed, trigrams are where singletons live):
+    smoothed counts in exact 2^20 micro-units, unseen mass in ppm."""
+    from inception_eventstore_spark.operators.lm import (
+        good_turing_counts,
+    )
+
+    return good_turing_counts(
+        _t(spark, sf_dir, "documents"), max_r=10, gram_n=3
+    )
+
+
+_GOOD_TURING_ORACLE = f"""
+WITH tt AS (SELECT {_DUCK_TOKENS} AS tk FROM documents),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest([
+        tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' '
+          || tk[CAST(i AS INT) + 2]
+        for i in generate_series(1, len(tk) - 2)]) AS w
+    FROM tt WHERE len(tk) >= 3) GROUP BY w),
+fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+  FROM vocab GROUP BY c),
+tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n,
+  CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1
+  FROM fof)
+SELECT f.r, f.n_r,
+  CAST(coalesce(x.n_r, 0) AS BIGINT) AS n_r1,
+  CASE WHEN x.n_r IS NOT NULL
+    THEN CAST((f.r + 1) * x.n_r * 1048576 // f.n_r AS BIGINT)
+  END AS r_star_u,
+  CAST(tot.n1 * 1000000 // tot.n AS BIGINT) AS p0_ppm
+FROM fof f LEFT JOIN fof x ON x.r = f.r + 1 CROSS JOIN tot
+WHERE f.r <= 10
+"""
+
+
+def q_interval_join_windows(spark, sf_dir):
+    """Interval-overlap join (joins.interval_join): per-user activity
+    spans × twelve fixed 7-day campaign windows, bucket-exploded on
+    the week key — never a cross join. Oracle is the brute overlap
+    join at gate scale."""
+    from inception_eventstore_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    spans = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+    )
+    week = 7 * 86_400_000_000
+    t0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    wins = _local_df(
+        spark,
+        [(w, t0 + w * week, t0 + (w + 1) * week - 1) for w in range(12)],
+        "w_id bigint, wlo bigint, whi bigint",
+    )
+    return interval_join(
+        spans, wins, "user_id", "w_id",
+        "lo", "hi", "wlo", "whi",
+        bucket_width=week,
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH spans AS (
+  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+    CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+wins AS (
+  SELECT CAST(w AS BIGINT) AS w_id,
+    CAST(1704067200000000 + w * 604800000000 AS BIGINT) AS wlo,
+    CAST(1704067200000000 + (w + 1) * 604800000000 - 1 AS BIGINT) AS whi
+  FROM generate_series(0, 11) AS t(w))
+SELECT user_id, lo, hi, w_id, wlo, whi
+FROM spans JOIN wins ON lo <= whi AND wlo <= hi
+"""
+
+
+_R10L_QUERIES = {
+    "capture_recapture": QueryDef(q_capture_recapture, _CAPTURE_ORACLE),
+    "good_turing": QueryDef(q_good_turing, _GOOD_TURING_ORACLE),
+    "interval_join_windows": QueryDef(
+        q_interval_join_windows, _INTERVAL_JOIN_ORACLE
+    ),
+}
+QUERIES = {**_R10L_QUERIES, **QUERIES}

@@ -448,3 +448,100 @@ class TestSprtDaily:
         )
         with _pytest.raises(ValueError):
             sprt_daily(df, p0=0.3, p1=0.3)
+
+
+class TestCaptureRecapture:
+    def test_chapman_hand(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            capture_recapture,
+        )
+
+        a = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+        b = spark.createDataFrame([(2,), (3,), (4,)], "doc_id long")
+        out = capture_recapture(a, b).collect()[0]
+        assert (out.n_a, out.n_b, out.n_both) == (3, 3, 2)
+        assert out.n_hat == (4 * 4) // 3 - 1  # = 4
+
+    def test_disjoint_defined(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            capture_recapture,
+        )
+
+        a = spark.createDataFrame([(1,)], "doc_id long")
+        b = spark.createDataFrame([(2,)], "doc_id long")
+        out = capture_recapture(a, b).collect()[0]
+        assert out.n_both == 0 and out.n_hat == 3
+
+
+class TestGoodTuring:
+    def test_hand_table(self, spark):
+        from inception_eventstore_spark.operators.lm import (
+            good_turing_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c")], "doc_id long, text string"
+        )
+        rows = {
+            r["r"]: r for r in good_turing_counts(docs).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[1].r_star_u == 2 * 1048576      # (1+1)*N2/N1
+        assert rows[2].r_star_u == 3 * 1048576      # (2+1)*N3/N2
+        assert rows[3].r_star_u is None              # N4 = 0 tail
+        assert rows[1].p0_ppm == 10**6 // 6
+
+
+class TestIntervalJoin:
+    def test_overlap_pairs(self, spark):
+        from inception_eventstore_spark.operators.joins import (
+            interval_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 0, 10), (2, 20, 30), (3, 50, 60)],
+            "lid long, lo long, hi long",
+        )
+        right = spark.createDataFrame(
+            [(7, 5, 25), (8, 100, 110)],
+            "rid long, rlo long, rhi long",
+        )
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, "lid", "rid",
+                "lo", "hi", "rlo", "rhi", bucket_width=8,
+            ).collect()
+        )
+        assert got == [(1, 7), (2, 7)]
+
+    def test_touching_endpoints_closed(self, spark):
+        from inception_eventstore_spark.operators.joins import (
+            interval_join,
+        )
+
+        left = spark.createDataFrame([(1, 0, 10)], "lid long, lo long, hi long")
+        right = spark.createDataFrame([(9, 10, 20)], "rid long, rlo long, rhi long")
+        assert interval_join(
+            left, right, "lid", "rid", "lo", "hi", "rlo", "rhi",
+            bucket_width=4,
+        ).count() == 1  # closed intervals: touching at 10 overlaps
+
+    def test_fanout_guard(self, spark):
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.joins import (
+            interval_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 0, 1000)], "lid long, lo long, hi long"
+        )
+        right = spark.createDataFrame(
+            [(9, 1, 2)], "rid long, rlo long, rhi long"
+        )
+        with _pytest.raises(Exception, match="buckets"):
+            interval_join(
+                left, right, "lid", "rid", "lo", "hi", "rlo", "rhi",
+                bucket_width=1, max_buckets=10,
+            ).count()
