@@ -344,6 +344,21 @@ HEADLINE = [
     "multimodal_bmp",
     "cohens_d",
     "rank_overlap_rbo",
+    # r10 additions
+    "ann_recall_audit",
+    "bpe_learn_merges",
+    "wilcoxon_signed_rank",
+    "ngram_novelty",
+    "readability",
+    "hill_tail_index",
+    "ppr_custsupp",
+    "hhi_supplier_nation",
+    "aalen_johansen",
+    "quantile_pinball",
+    "sprt_purchase",
+    "capture_recapture",
+    "good_turing",
+    "interval_join_windows",
 ]
 
 

@@ -2207,6 +2207,105 @@ def window_over_single_partition(plan: str) -> bool:
     return False
 
 
+CHECKS.update({
+    # r10 batch — recall audit, BPE learning, monitoring stats,
+    # novelty/readability/tail profiling, PPR, interval join
+    "ann_recall_audit": [
+        ("audited per-strategy recall is the eagerly-pinned bounded "
+         "result (3 rows)", r"Scan ExistingRDD"),
+        _NO_CARTESIAN,
+    ],
+    "bpe_learn_merges": [
+        ("learned merge table is the bounded local relation "
+         "(n_merges-round driver argmax loop, km pattern)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "wilcoxon_signed_rank": [
+        ("result is the bounded one-row local relation (rank prefix "
+         "via two-phase shard cumsum at build time)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "ngram_novelty": [
+        ("novel grams via an anti-join on the 8-byte hash",
+         r"LeftAnti"),
+        ("gram sets partial-aggregated before their shuffles",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "readability": [
+        ("map-only scoring pass — no shuffle anywhere", "!Exchange"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "hill_tail_index": [
+        ("result is the bounded one-row local relation (TakeOrdered "
+         "top-k at build time, rank-ordered driver ln fold)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "ppr_custsupp": [
+        ("converged seeded rank relation (checkpoint-visible)",
+         r"Scan ExistingRDD"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "hhi_supplier_nation": [
+        ("dimension joins broadcast — the lineitem body never "
+         "shuffles to meet them", r"BroadcastHashJoin"),
+        ("count shares partial-aggregated before the pair-key "
+         "shuffle", r"HashAggregate[^\n]*partial|partial_count"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "aalen_johansen": [
+        ("competing-risk CIF table is the bounded local relation "
+         "(day axis folded driver-side, km pattern)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "quantile_pinball": [
+        ("weekday-quantile rank window partitions by weekday over "
+         "the checkpointed bounded day rollup",
+         r"hashpartitioning\(_wd"),
+        ("forecast joins back broadcast", r"BroadcastHashJoin"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "sprt_purchase": [
+        ("running counts via the two-phase shard cumsum",
+         r"hashpartitioning\(_gr_pid|Window.*_gr_pid"),
+        ("no single-partition window",
+         "!Window[^\n]*Exchange SinglePartition"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "capture_recapture": [
+        ("recapture overlap is a semi-join on the id", r"LeftSemi"),
+        ("snapshot counts partial-aggregated",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "good_turing": [
+        ("frequency-of-frequencies table pinned once and self-joined "
+         "(checkpoint-visible)", r"Scan ExistingRDD"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "interval_join_windows": [
+        ("both sides explode into week buckets", r"Generate explode"),
+        ("pairs meet on the bucket equi-key, never a cross product",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("multi-bucket repeats removed by a partial-aggregated "
+         "distinct", r"HashAggregate[^\n]*partial|partial_count"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+})
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # optional 2nd arg: comma-list of query names — probe ONLY those and

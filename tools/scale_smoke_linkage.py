@@ -1,6 +1,10 @@
-"""Linkage scale smoke: 10M-name fuzzy join + entity_clusters
-end-to-end (VERDICT r8 next #3 — the slowest registry query was the
-least scale-proven family).
+"""Linkage scale smoke: 5M-name fuzzy join + entity_clusters
+end-to-end (VERDICT r8 next #3; default trimmed 10M -> 5M per VERDICT
+r9 next #9 so the full smoke suite stays runnable in one sitting —
+every bound below is an exact function of n, and the planted pair
+graph stays far above connected_components' 1M-edge driver-finish
+dial, so the DISTRIBUTED star loop is what this smoke exercises;
+pass 10000000 to reproduce the r9 record).
 
 What it demonstrates (the 100 TB posture, on one box):
 
@@ -50,7 +54,7 @@ def _delete_at(name, pos):
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
 
     from inception_eventstore_spark.operators.linkage import (
         deletion_keys,
