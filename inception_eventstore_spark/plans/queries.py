@@ -3541,28 +3541,26 @@ QUERIES = {
 # these never-driver-checked names FIRST so the r7 driver window lands
 # on them; remove names from this list as driver rows appear.
 _DRIVER_LEDGER_FRONT = [
-    # r9 rotation (VERDICT r8 next #5). r8 cleared all evidence debt —
-    # every registry query's latest driver row is green — so the
-    # front's only job is surfacing THIS round's new and changed
-    # oracles/plans: the 9 r9 queries, the whole
-    # connected-components family (the CC round loop and
-    # fuzzy_join/entity_clusters plans were rewritten — window-based
-    # stars, fused first round), and the queries whose oracle SQL or
-    # operator arithmetic was touched by the r8-advice fixes
-    # (pre-epoch-portable weekday oracles, chi-square overflow guard).
-    # r9 new:
-    "anova_oneway", "welch_ttest", "mcnemar_test", "kendall_tau_daily",
-    "nelson_aalen", "forecast_accuracy", "retrieval_ql_jm",
-    "target_encoding", "hits_custsupp",
-    "brown_forsythe", "ece_calibration", "borda_fusion",
-    "multimodal_bmp", "cohens_d", "rank_overlap_rbo",
-    # r9-changed plans (CC family + fuzzy blocking):
-    "entity_clusters", "fuzzy_join_names", "dedup_cc_clusters",
-    "dedup_survivors", "soft_dedup_weights", "dbscan_clusters",
-    "phash_clusters", "video_near_dup", "audio_near_dup",
-    # r9-changed oracles / guarded operators (r8 advice fixes):
-    "chi_square_independence", "simpsons_check", "seasonal_decompose",
-    "kruskal_wallis", "spearman_corr", "retrieval_ql_dirichlet",
+    # r10 rotation (VERDICT r9 next #6). Evidence debt is zero, so the
+    # front surfaces THIS round's new and changed oracles/plans: the
+    # 14 r10 queries, the connected-components family (CC gained the
+    # bounded-edge driver union-find finish — plan changes for every
+    # consumer), interval_concurrency's consumer (the unpartitioned
+    # path now routes through sharded_running_sums), and the two
+    # r9-advice-touched oracles (Knight kendall rewrite, Nelson-Aalen
+    # HUGEINT term).
+    # r10 new:
+    "ann_recall_audit", "bpe_learn_merges", "wilcoxon_signed_rank",
+    "ngram_novelty", "readability", "hill_tail_index",
+    "ppr_custsupp", "hhi_supplier_nation", "aalen_johansen",
+    "quantile_pinball", "sprt_purchase", "capture_recapture",
+    "good_turing", "interval_join_windows",
+    # r10-changed plans (CC driver finish + sweep rewrite):
+    "entity_clusters", "dedup_cc_clusters", "dedup_survivors",
+    "soft_dedup_weights", "phash_clusters", "video_near_dup",
+    "audio_near_dup", "session_concurrency",
+    # r10-changed operators/oracles (r9 advice fixes):
+    "kendall_tau_daily", "nelson_aalen", "hits_custsupp",
 ]
 
 
