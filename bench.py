@@ -6,6 +6,18 @@ JSON line (same metric/value/unit/sf, no per-query map) as the FINAL
 stdout line — the driver tails stdout to ~2000 chars, which truncated the
 full line every round since r3, so the last line must fit the tail.
 
+Timeout-survivability (r11, after BENCH_r10.json came back rc=124 with
+an EMPTY tail): the orchestrator now STREAMS a parsable compact line
+after every bucket, prints a provisional summary (and writes the full
+BENCH_full_latest.json) BEFORE the isolated-triage loop, and re-prints
+the final summary last — a run killed at any point still leaves a
+valid headline_queries_total line as the last stdout line. Wall is cut
+by (a) folding the dedicated cold pass into the measurement loop
+(pass 0 = cold record, passes 1..N = warm samples, min-of-N estimator)
+and (b) the HEADLINE_CURATED retirement policy below (~124 rows
+instead of the full registry; SPARK_GRAFT_BENCH_FULL=1 restores the
+full sweep).
+
 Each query is forced end-to-end with the noop write sink (materializes
 every row, no driver collect, no output I/O skew).
 
@@ -56,7 +68,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+HEADLINE_FULL = [
     "r3_load_aggregate",
     "r4_keyset_page",
     "r9_time_scan",
@@ -359,7 +371,173 @@ HEADLINE = [
     "capture_recapture",
     "good_turing",
     "interval_join_windows",
+    # r11 additions
+    "kn_continuation",
+    "retrieval_map",
+    "graph_modularity",
+    "conformal_interval",
+    "bh_fdr_signtest",
+    "hilbert_cells",
 ]
+
+# ---- headline retirement policy (r11, VERDICT r10 next #4) ----
+# 297 queries x (cold + warm passes) in 12 JVMs outgrew the driver's
+# wall budget (BENCH_r10.json: rc=124, empty tail). The correctness
+# gate (tools/check_oracle.py, ~5 min at sf0.01) already covers every
+# registered query, so the per-round HEADLINE bench is CURATED:
+#   (a) every §2 core/eventstore query,
+#   (b) all 31 queries of the r1 BASELINE set (BENCH_r01.json) so
+#       bench_vs_baseline stays computable round-over-round,
+#   (c) every query whose previous COMMITTED warm median was >= 2.5 s
+#       (the perf-sensitive tail where regressions actually live),
+#   (d) one representative per operator family that (c) would
+#       otherwise drop entirely (ANN probes, multimodal decode,
+#       sketches, packing/sampling, CDC/merge, survival, interval
+#       join, TPC-H heavies),
+#   (e) every query added or touched in the current round.
+# Retired queries stay in HEADLINE_FULL and still run under
+# SPARK_GRAFT_BENCH_FULL=1 (the occasional full sweep); bucket
+# assignment is by name hash, so curation never moves a surviving
+# query to a different JVM cohort — it only removes co-residents.
+HEADLINE_CURATED = [
+    "r3_load_aggregate",
+    "r4_keyset_page",
+    "r9_time_scan",
+    "r10_replay_grouped",
+    "r11_replay_by_type",
+    "window_commit_order",
+    "x1_index_day_counts",
+    "x2_index_day_read",
+    "c3_counters",
+    "join_revenue_by_nation",
+    "q1_pricing_summary",
+    "topk_per_group",
+    "rollup_orders",
+    "pivot_status_priority",
+    "scalar_funcs",
+    "json_props_extract",
+    "exists_semi_join",
+    "distinct_users",
+    "asof_join",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "token_count",
+    "text_lang_id",
+    "sim_topk_l2",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_cosine_near_dup",
+    "multimodal_features",
+    "curation_gopher",
+    "curation_top_bigram",
+    "dedup_bloom_membership",
+    "sim_topk_ivfpq",
+    "merge_changelog",
+    "pack_sequences",
+    "dsir_importance",
+    "tfidf_weights",
+    "lm_bigram_score",
+    "dedup_survivors",
+    "multimodal_real_decode",
+    "profile_events",
+    "expectations",
+    "retrieval_bm25",
+    "fuzzy_join_names",
+    "dedup_substring_spans",
+    "pagerank_custsupp",
+    "props_index_lookup",
+    "basket_lift",
+    "q2_min_cost_supplier",
+    "matview_orders",
+    "epoch_shuffle",
+    "knn_graph_lsh",
+    "retrieval_bm25_multi",
+    "lm_stupid_backoff",
+    "q21_waiting_suppliers",
+    "graph_lpa_knn",
+    "graph_triangles_knn",
+    "skipgram_ppmi",
+    "dedup_containment",
+    "session_concurrency",
+    "ks_drift",
+    "ngram_uniqueness",
+    "ppl_buckets",
+    "domain_reweight",
+    "winnow_matches",
+    "semdedup",
+    "soft_dedup_weights",
+    "token_allocation",
+    "quality_correlations",
+    "image_phash",
+    "phash_near_dup",
+    "audio_near_dup",
+    "phash_clusters",
+    "psi_timeline",
+    "heavy_hitters_cms",
+    "graph_bfs_hops",
+    "rrf_fusion",
+    "langid_kappa",
+    "quality_auc",
+    "tfidf_cosine_topk",
+    "span_corruption",
+    "score_percentiles",
+    "cdc_dedup",
+    "trimmed_stats",
+    "funnel_latency",
+    "simhash_calibration",
+    "graph_kcore",
+    "retrieval_ndcg",
+    "acf_daily",
+    "woe_iv",
+    "label_noise",
+    "kmv_distinct",
+    "dbscan_clusters",
+    "item_item_cf",
+    "isotonic_calibration",
+    "quantile_normalize",
+    "ess_report",
+    "threshold_sweep",
+    "lsh_band_plan",
+    "mann_kendall",
+    "logrank_test",
+    "multimodal_mp4_frames",
+    "kruskal_wallis",
+    "spearman_corr",
+    "ipw_ate",
+    "seasonal_decompose",
+    "entity_clusters",
+    "hits_custsupp",
+    "brown_forsythe",
+    "ece_calibration",
+    "borda_fusion",
+    "rank_overlap_rbo",
+    "ann_recall_audit",
+    "bpe_learn_merges",
+    "wilcoxon_signed_rank",
+    "ngram_novelty",
+    "ppr_custsupp",
+    "hhi_supplier_nation",
+    "sprt_purchase",
+    "capture_recapture",
+    "interval_join_windows",
+    # r11: new this round (rule e)
+    "kn_continuation",
+    "retrieval_map",
+    "graph_modularity",
+    "conformal_interval",
+    "bh_fdr_signtest",
+    "hilbert_cells",
+]
+
+HEADLINE = (
+    HEADLINE_FULL
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL")
+    else HEADLINE_CURATED
+)
 
 
 def _bucket(name: str, n_buckets: int) -> int:
@@ -448,62 +626,38 @@ def _run_batch(batch: list[str], sf_dir: str) -> dict:
     def _gc() -> None:
         spark.sparkContext._jvm.System.gc()
 
+    # Pass structure (r11, VERDICT r10 next #1b — cut wall): the old
+    # harness ran 1 dedicated cold pass + 2-3 warm passes; the cold
+    # pass is now FOLDED into the loop — pass 0 is recorded under
+    # "queries" (the cold number, same position it always had: after
+    # the x5 warmup + prebuilds, first execution of this plan in this
+    # JVM), passes 1..WARM_RUNS are the warm samples. Warm estimator
+    # is min-of-N (a mean/median of 2 is corrupted by one GC
+    # straggler; min is a fine steady-state estimator and is RECORDED
+    # per query so round-over-round diffs know min2 is biased low vs
+    # the median3 used through r10).
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in batch:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        del df
-        _gc()
-
-    # Warm re-runs: cold numbers on iterative/JIT-heavy plans run 2-3x
-    # their steady-state (pagerank 12 s cold vs 3.5 s warm), which made
-    # round-over-round "regressions" unreadable — report a warm median
-    # next to cold so timing diffs separate plan drift from JIT noise.
-    # "queries" stays the COLD pass for comparability with prior rounds.
-    # Median of 3: the median of 2 is a mean, so one GC/JIT straggler
-    # would read warm-slower-than-cold.
-    # Wall-time bound (r8 verdict next #6): warm total grew 387->476 s in
-    # one round and the bench itself was becoming the bottleneck. Queries
-    # whose COLD time is already sub-second are JIT-noise-dominated, so
-    # they get 2 warm passes instead of 3; the heavy tail keeps 3. With 2
-    # samples the median IS the mean, which one GC straggler corrupts —
-    # report min-of-2 for those (a fine steady-state estimator at <1 s),
-    # true median-of-3 for the rest.
-    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
     warm_median: dict[str, float] = {}
     warm_estimator: dict[str, str] = {}
-    if warm_runs > 0:
-        samples: dict[str, list[float]] = {n: [] for n in batch}
-        for pass_i in range(warm_runs):
+    samples: dict[str, list[float]] = {n: [] for n in batch}
+    for pass_i in range(1 + warm_runs):
+        for name in batch:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            del df
             _gc()
-            for name in batch:
-                if pass_i >= 2 and warm_runs >= 3 and timings[name] < 1.0:
-                    continue
-                t0 = time.time()
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                samples[name].append(time.time() - t0)
-                del df
-                _gc()
-        for name, xs in samples.items():
-            xs = sorted(xs)
-            if len(xs) == 2:
-                # min-of-2 (a mean of 2 is corrupted by one straggler);
-                # the estimator is RECORDED per query so round-over-
-                # round comparisons know min2 is biased low vs median3
-                warm_median[name] = round(xs[0], 3)
-                warm_estimator[name] = "min2"
-                continue
-            mid = len(xs) // 2
-            med = (
-                xs[mid]
-                if len(xs) % 2
-                else (xs[mid - 1] + xs[mid]) / 2.0
-            )
-            warm_median[name] = round(med, 3)
-            warm_estimator[name] = f"median{len(xs)}"
+            if pass_i == 0:
+                timings[name] = round(dt, 3)
+            else:
+                samples[name].append(dt)
+    for name, xs in samples.items():
+        if not xs:
+            continue
+        warm_median[name] = round(min(xs), 3)
+        warm_estimator[name] = f"min{len(xs)}"
 
     spark.stop()
     return {
@@ -543,15 +697,24 @@ def main() -> None:
         return
 
     # ---- orchestrator: one fresh-JVM subprocess per hash bucket ----
+    # Streaming partials (r11, VERDICT r10 next #1a): BENCH_r10.json was
+    # rc=124 with an EMPTY tail because this loop used to buffer
+    # everything and print once at the end — a run that outlives the
+    # driver's wall budget must still leave a parsable
+    # headline_queries_total line on stdout. Every partial line below is
+    # a complete compact payload (metric/value/unit/sf) so the driver's
+    # last-line JSON parse succeeds no matter where a timeout lands.
     queries: dict[str, float] = {}
     warm_median: dict[str, float] = {}
     warm_estimator: dict[str, str] = {}
     ann_build: dict[str, float] = {}
     warm_runs = 0
     n_batches = 0
-    for b in range(n_buckets):
-        if not any(_bucket(n, n_buckets) == b for n in HEADLINE):
-            continue
+    active = [
+        b for b in range(n_buckets)
+        if any(_bucket(n, n_buckets) == b for n in HEADLINE)
+    ]
+    for b in active:
         env = dict(os.environ, SPARK_GRAFT_BATCH_BUCKET=str(b))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -575,6 +738,15 @@ def main() -> None:
         ann_build.update(part["ann_build_sec"])
         warm_runs = part["warm_runs"]
         n_batches += 1
+        print(json.dumps({
+            "metric": "headline_queries_total",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "warm_total": round(sum(warm_median.values()), 3),
+            "n_queries": len(queries),
+            "partial": f"{n_batches}/{len(active)}",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }), flush=True)
 
     # ---- self-triage (r9 verdict next #1): any query whose warm
     # median exceeds 2x its value in the PREVIOUS COMMITTED
@@ -611,12 +783,85 @@ def main() -> None:
     # must not isolated-rerun against committed sf0.1 medians
     if prev_payload.get("sf") == cur_sf:
         prev_warm = prev_payload.get("queries_warm_median", {})
-    outliers = sorted(
-        n for n, w in warm_median.items()
+    # Outlier selection (widened r11, VERDICT r10 next #3): the >2x
+    # ratio rule alone left the 1.5-2x drift band unexplained
+    # (quantile_normalize +56%, basket_lift +55% in r10 with no
+    # isolated evidence). In addition to every >2x row, the 3 largest
+    # ABSOLUTE regressions (delta >= 1.0 s and ratio > 1.3) are
+    # isolated too, all under the same cap. Ordered by delta
+    # descending so the cap keeps the most expensive drifts.
+    regress = {
+        n: (w - prev_warm[n], w / prev_warm[n])
+        for n, w in warm_median.items()
         if n in prev_warm and prev_warm[n] > 0
-        and w >= 0.5 and w > 2.0 * prev_warm[n]
+    }
+    over2 = {
+        n for n, (dlt, ratio) in regress.items()
+        if warm_median[n] >= 0.5 and ratio > 2.0
+    }
+    top_delta = [
+        n for n, (dlt, ratio) in sorted(
+            regress.items(), key=lambda kv: -kv[1][0]
+        )
+        if n not in over2 and dlt >= 1.0 and ratio > 1.3
+    ][:3]
+    outliers = sorted(
+        over2 | set(top_delta), key=lambda n: -regress[n][0]
     )
     max_iso = int(os.environ.get("SPARK_GRAFT_MAX_ISOLATED", "8"))
+
+    # Provisional record BEFORE the triage loop (r11): if the driver's
+    # timeout lands during the isolated re-runs, the last stdout line
+    # is this parsable summary and BENCH_full_latest.json already
+    # holds the complete per-query map (minus "isolated").
+    total = round(sum(queries.values()), 3)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "queries_warm_median": warm_median,
+        "queries_warm_estimator": warm_estimator,
+        "warm_runs": warm_runs,
+        "warm_total": round(sum(warm_median.values()), 3),
+        "isolated": {},
+        "ann_build_sec": ann_build,
+        "bench_buckets": n_buckets,
+        "n_batches": n_batches,
+        "n_headline_full": len(HEADLINE_FULL),
+        "headline_mode": "full" if HEADLINE is HEADLINE_FULL
+        else "curated",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_latest.json"),
+    )
+
+    def _write_full() -> None:
+        try:
+            with open(out, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout must not fail the bench
+
+    def _compact(**extra) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "warm_total": payload["warm_total"],
+            "n_queries": len(queries),
+            "sf": payload["sf"],
+            **extra,
+        })
+
+    _write_full()
+    print(_compact(n_isolated_pending=min(len(outliers), max_iso)),
+          flush=True)
+
     for name in outliers[:max_iso]:
         env = dict(os.environ, SPARK_GRAFT_ISOLATE_QUERY=name)
         proc = subprocess.run(
@@ -635,55 +880,15 @@ def main() -> None:
         part = json.loads(lines[-1])
         isolated[name] = part["queries_warm_median"].get(name, -1.0)
 
-    total = round(sum(queries.values()), 3)
-    payload = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": queries,
-        "queries_warm_median": warm_median,
-        "queries_warm_estimator": warm_estimator,
-        "warm_runs": warm_runs,
-        "warm_total": round(sum(warm_median.values()), 3),
-        "isolated": isolated,
-        "ann_build_sec": ann_build,
-        "bench_buckets": n_buckets,
-        "n_batches": n_batches,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    print(json.dumps(payload))
-    # The driver's BENCH_r*.json keeps only a ~2000-char tail of stdout and
-    # the full payload line outgrew that at r3 — BENCH_r03..r08 all record
-    # "parsed": null (r8 verdict next #1). Print a compact summary as the
-    # FINAL stdout line (~150 chars, fits any tail window) so the driver's
-    # last-line JSON parse succeeds; the full per-query map lives in
-    # BENCH_full_latest.json below.
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "warm_total": payload["warm_total"],
-        "n_queries": len(queries),
-        "n_isolated": len(isolated),
-        "sf": payload["sf"],
-    }
-    # The driver's BENCH_r*.json records only a 2000-char tail of stdout,
-    # which truncates the per-query map (VERDICT r3 "missing" #3) — also
-    # persist the full payload so round-over-round timing diffs are
-    # auditable from the repo itself. $SPARK_GRAFT_BENCH_OUT overrides the
-    # default committed path.
-    out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_full_latest.json"),
-    )
-    try:
-        with open(out, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout must not fail the bench
-    print(json.dumps(compact))
+    payload["isolated"] = isolated
+    _write_full()
+    # Full per-query payload line (auditable from a teed log), then the
+    # compact summary as the FINAL stdout line: the driver keeps only a
+    # ~2000-char tail of stdout and its last-line JSON parse must
+    # succeed (the full line outgrew the tail at r3 — BENCH_r03..r08
+    # all record "parsed": null).
+    print(json.dumps(payload), flush=True)
+    print(_compact(n_isolated=len(isolated)), flush=True)
 
 
 if __name__ == "__main__":

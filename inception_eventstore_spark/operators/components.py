@@ -177,10 +177,14 @@ def connected_components(
     small (``driver_finish_edges`` dial, exact count from the
     signature — no extra job) the remaining O(log n) rounds are pure
     overhead: the bounded set collects and an exact union-find labels
-    it in milliseconds (the km_survival bounded-axis pattern). The
-    distributed loop still handles arbitrarily large graphs — the dial
-    only short-circuits the tail the 10M-name linkage smoke shows
-    shrinking by orders of magnitude per round."""
+    it driver-side (the km_survival bounded-axis pattern). At the
+    default 1M-edge dial that finish is seconds and a few hundred MB
+    of driver heap (~1M pyspark Rows + a ~2M-entry dict), not free —
+    it wins because it replaces SEVERAL ~0.6 s-compile rounds, and 16g
+    driver heap is the repo's bench/smoke floor. Lower the dial on
+    thin drivers. The distributed loop still handles arbitrarily large
+    graphs — the dial only short-circuits the tail the 5M-name linkage
+    smoke shows shrinking by orders of magnitude per round."""
     # eager=False + the signature aggregate as the materializing action:
     # one job per round instead of two (the eager checkpoint job and
     # the signature job both scanned the same fresh edge set — r9 cut).

@@ -689,3 +689,93 @@ def personalized_pagerank(
     E2.unpersist()
     nodes.unpersist()
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity breakdown (Newman & Girvan 2004) of a node
+    partition over the undirected graph — the standard "are these
+    communities real?" score for the partitions `label_propagation`
+    (or any clusterer) emits:
+
+        Q = Σ_c [ m_c/m − (d_c/(2m))² ]
+          = Σ_c (4·m·m_c − d_c²) / (4m²)
+
+    with m the undirected edge count, m_c the intra-community edge
+    count and d_c the community's degree sum. Everything is reported
+    as EXACT BIGINTs — per community one row
+    (label, n_nodes, degree_sum, m_intra, q_num) with the shared
+    denominator in q_den = 4m², so Q = Σ q_num / q_den is replayable
+    bit-for-bit in SQL and no float or division-rounding convention
+    ever enters (q_num is negative for worse-than-random communities;
+    emitting the rational avoids the div-vs-floor negative-rounding
+    mismatch between engines).
+
+    Scale: one canonicalization groupBy, one (node → degree) partial
+    agg, two broadcast-sized joins of the label table onto the edge
+    endpoints (labels are one row per node — at corpus scale this is
+    the same equi-join shuffle LPA itself runs), and a bounded
+    per-label rollup. No window, no collect."""
+    und = undirected_edges(edges, src_col, dst_col)
+    und = und.localCheckpoint(eager=False)  # feeds m, degrees, intra
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    )
+    m = und.agg(F.count("*").cast("bigint").alias("_m"))
+    deg = (
+        _neighbors(und)
+        .groupBy(F.col("node").alias("_n"))
+        .agg(F.count("*").cast("bigint").alias("_d"))
+    )
+    per_label = (
+        deg.join(lab, "_n")
+        .groupBy("_l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("_d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    intra = (
+        und.join(lab.withColumnRenamed("_n", "x"), "x")
+        .withColumnRenamed("_l", "_lx")
+        .join(lab.withColumnRenamed("_n", "y"), "y")
+        .withColumnRenamed("_l", "_ly")
+        .where(F.col("_lx") == F.col("_ly"))
+        .groupBy(F.col("_lx").alias("_l"))
+        .agg(F.count("*").cast("bigint").alias("m_intra"))
+    )
+    # guard INSIDE the expression tree (lazy `if` — the ADVICE r10
+    # ordering lesson): 4m² must stay exact BIGINT, so m above
+    # floor(sqrt(2^63/4)) raises the intended message instead of an
+    # ANSI overflow; degree_sum ≤ 2m is then safe to square for free
+    mck = (
+        "if(_m <= 1518500249, _m, raise_error('modularity: edge count "
+        "exceeds the exact-BIGINT bound 1518500249 (4m² would "
+        "overflow) — pre-contract the graph or shard by component'))"
+    )
+    return (
+        per_label.join(intra, "_l", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("_l").alias("label"),
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("m_intra", F.lit(0)).cast("bigint").alias("m_intra"),
+            # degree_sum² does not contain the guard, so it is squared
+            # in DECIMAL (can't overflow) — every BIGINT multiply has
+            # mck as an operand and therefore raises first
+            F.expr(
+                f"cast(4 * {mck} * coalesce(m_intra, 0) "
+                f"- cast(degree_sum as decimal(38,0)) * degree_sum "
+                f"as bigint)"
+            ).alias("q_num"),
+            F.expr(f"cast(4 * {mck} * _m as bigint)").alias("q_den"),
+        )
+        .orderBy("label")
+    )

@@ -255,12 +255,22 @@ def interval_join(
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
 
     def _explode(df, lo, hi, ncheck):
+        # lo > hi is rejected before anything else (ADVICE r10): an
+        # inverted interval would make F.sequence step DOWNWARD
+        # through the reversed bucket range and the closed-overlap
+        # predicate can still emit pairs for a logically empty
+        # interval — silent garbage, so it raises like the fan-out
+        # guard below instead.
         guarded = F.expr(
+            f"if(`{lo}` > `{hi}`, "
+            f"raise_error(concat('interval_join: inverted interval "
+            f"(lo > hi) on the {ncheck}: ', cast(`{lo}` as string), "
+            f"' > ', cast(`{hi}` as string))), "
             f"if(`{hi}` div {bucket_width} - `{lo}` div {bucket_width}"
             f" < {int(max_buckets)}, `{lo}` div {bucket_width}, "
             f"raise_error('interval_join: an interval covers more than "
             f"{int(max_buckets)} buckets ({ncheck}) — raise "
-            f"bucket_width'))"
+            f"bucket_width')))"
         )
         return df.withColumn(
             "_ib",

@@ -841,3 +841,66 @@ def good_turing_counts(
             ).cast("bigint").alias("p0_ppm"),
         )
     )
+
+
+def kn_continuation(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser–Ney continuation statistics (Kneser & Ney 1995) for the
+    ``k`` most frequent tokens: the KN insight is that a word's
+    lower-order weight should be how many distinct CONTEXTS it
+    continues, not how often it occurs — "francisco" is frequent but
+    follows almost only "san", so its continuation probability is tiny
+    while its raw unigram probability is large. Per top token:
+
+        p_cont(w)  = |{a : c(a, w) > 0}| / |{(a, b) : c(a, b) > 0}|
+        p_uni(w)   = c(w) / N
+
+    both reported in exact ppm (integer div of exact BIGINT counts —
+    engine-portable, no rounding surface). The p_uni_ppm / p_cont_ppm
+    gap is the burstiness diagnostic LM smoothing reads.
+
+    Scale: one tokenization feeds both sides; the bigram TYPE table
+    (distinct (a, b)) is one partial-agg distinct on the pair key, the
+    left-context counts fall out of it with a second bounded groupBy,
+    and the two corpus-wide scalars broadcast back. Top-k selection is
+    a TakeOrdered over the vocabulary-sized count table — never a
+    single-partition window."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tk = _tokenized(docs, id_col, text_col).localCheckpoint(eager=False)
+    uni = tk.select(F.explode("_tk").alias("_t")).groupBy("_t").agg(
+        F.count("*").cast("bigint").alias("n_token")
+    )
+    total = uni.agg(
+        F.sum("n_token").cast("bigint").alias("_n"),
+    )
+    types = _bigrams_tk(tk).select("_a", "_b").distinct()
+    types = types.localCheckpoint(eager=False)  # feeds two aggregates
+    n_types = types.agg(F.count("*").cast("bigint").alias("_nt"))
+    left = types.groupBy(F.col("_b").alias("_t")).agg(
+        F.count("*").cast("bigint").alias("n_left_contexts")
+    )
+    top = uni.orderBy(F.col("n_token").desc(), "_t").limit(int(k))
+    return (
+        top.join(left, "_t", "left")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            F.col("_t").alias("token"),
+            "n_token",
+            F.coalesce("n_left_contexts", F.lit(0)).cast("bigint")
+            .alias("n_left_contexts"),
+            F.expr(
+                "cast(div(coalesce(n_left_contexts, 0) * 1000000, _nt) "
+                "as bigint)"
+            ).alias("p_cont_ppm"),
+            F.expr("cast(div(n_token * 1000000, _n) as bigint)").alias(
+                "p_uni_ppm"
+            ),
+        )
+        .orderBy(F.col("n_token").desc(), "token")
+    )

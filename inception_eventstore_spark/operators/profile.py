@@ -2931,12 +2931,16 @@ def hhi_concentration(
     c = df.groupBy(
         F.col(group_col).alias("grp"), F.col(member_col).alias("_m")
     ).agg(F.count("*").cast("bigint").alias("_c"))
+    # _c is cast to DECIMAL(38,0) BEFORE the square (ADVICE r10): a
+    # BIGINT _c * _c would hit an ANSI overflow inside the aggregate
+    # for any member count > ~3.03e9, firing before the raise_error
+    # guard below ever evaluates — the decimal square is exact up to
+    # 1e19² and leaves the guard as the only failure mode.
+    c_dec = F.col("_c").cast("decimal(38,0)")
     per = c.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n_members"),
         F.sum("_c").cast("bigint").alias("total"),
-        F.sum(
-            (F.col("_c") * F.col("_c")).cast("decimal(38,0)")
-        ).alias("_sq"),
+        F.sum(c_dec * c_dec).alias("_sq"),
         F.max("_c").cast("bigint").alias("_mx"),
     )
     tot_checked = F.expr(
@@ -2959,9 +2963,13 @@ def hhi_concentration(
             )
             * F.lit(1000000.0)
         ).cast("bigint").alias("hhi_ppm"),
-        F.expr("div(_mx * 1000000, total)").cast("bigint").alias(
-            "cr1_ppm"
-        ),
+        # decimal multiply for the same reason as _sq: `_mx * 1000000`
+        # in BIGINT overflows (before the guard can fire) once the
+        # largest member exceeds ~9.2e12 rows
+        F.expr(
+            "cast(div(cast(_mx as decimal(38,0)) * 1000000, total) "
+            "as bigint)"
+        ).alias("cr1_ppm"),
     )
 
 
@@ -3062,22 +3070,147 @@ def capture_recapture(
     m = a.join(b, "_id", "leftsemi").agg(
         F.count("*").cast("bigint").alias("n_both")
     )
-    checked = F.expr(
-        "if(n_a <= 3037000499 and n_b <= 3037000499, n_a, "
+    # The guard lives INSIDE n_hat's expression tree (ADVICE r10): as
+    # a sibling select column it could lose the evaluation race to the
+    # (n_a + 1) * (n_b + 1) multiply, surfacing an ANSI overflow
+    # instead of the intended message. `if` is lazy, so here the
+    # raise_error always wins. Bound is 3 037 000 498 (not ...499):
+    # the Chapman form multiplies n + 1.
+    guarded_na = (
+        "if(n_a <= 3037000498 and n_b <= 3037000498, n_a, "
         "raise_error('capture_recapture: snapshot sizes exceed the "
-        "exact-BIGINT product bound 3037000499'))"
+        "exact-BIGINT product bound 3037000498'))"
     )
     return (
         na.crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(m))
         .select(
-            checked.alias("n_a"),
+            F.col("n_a"),
             "n_b",
             "n_both",
             (
                 F.expr(
-                    "div((n_a + 1) * (n_b + 1), n_both + 1)"
+                    f"div(({guarded_na} + 1) * (n_b + 1), n_both + 1)"
                 ) - F.lit(1)
             ).cast("bigint").alias("n_hat"),
         )
+    )
+
+
+def sign_test_bh(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    horizon: int = 57,
+    q_ppm: int = 100_000,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Per-group exact one-sided SIGN TEST for upward drift over the
+    trailing ``horizon``-day window, with Benjamini–Hochberg FDR
+    control (Benjamini & Hochberg 1995) across the groups — the
+    multiple-testing discipline a dashboard sweeping hundreds of
+    segments for "is this metric trending up?" must apply before
+    alerting.
+
+    Input: ``day_col`` an INTEGER day index and ``value_col`` an
+    already-quantized INTEGER daily amount (callers quantize; exact
+    money = cents via DECIMAL cast). Per group the trailing window is
+    ZERO-FILLED to a common calendar (fixed n = horizon−1 comparisons;
+    ties — e.g. two empty days — count as not-up), k_up = #{d :
+    v_d > v_{d−1}}, and the p-value is the exact binomial tail
+    p = Σ_{j≥k} C(n,j) / 2ⁿ — an exact BIGINT rational with the SAME
+    denominator for every group (that shared denominator is why ties
+    are kept: ordering p-values reduces to ordering their BIGINT
+    numerators, no cross-denominator rational comparison). BH then
+    rejects ranks 1..k* where k* = max{i : pᵢ ≤ (i/m)·q} (step-up).
+
+    Execution is the km_survival bounded-axis pattern: the corpus
+    shrinks to one row per (group, day) in a single partial-agg
+    shuffle, the window fill and lag run over the bounded
+    groups×horizon relation, and the m ≤ ``max_groups`` per-group
+    (k_up) rows collect to the driver where C(n,j), the tail sums and
+    the step-up scan run in exact arbitrary-precision integers
+    (horizon ≤ 63 keeps every emitted numerator inside BIGINT:
+    Σ C(62,j) ≤ 2⁶² — the result returns via `_local_df`, the SQL
+    oracle replays the identical integer arithmetic with HUGEINT
+    intermediates).
+
+    Output per group, ordered by BH rank:
+        (group, k_up, n_cmp, p_num, p_den, rank, rejected)
+    """
+    from math import comb
+
+    from pyspark.sql import Window
+
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    if not 2 <= horizon <= 63:
+        raise ValueError(f"horizon must be in [2, 63], got {horizon}")
+    if not 0 < q_ppm < 1_000_000:
+        raise ValueError(f"q_ppm must be in (0, 1e6), got {q_ppm}")
+    gtype = df.schema[group_col].dataType.simpleString()
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("_g"), F.col(day_col).alias("_d")
+        )
+        .agg(F.sum(value_col).cast("bigint").alias("_v"))
+    )
+    daily = daily.localCheckpoint(eager=False)  # max-day scalar + fill
+    maxd = daily.agg(F.max("_d")).first()[0]
+    if maxd is None:
+        raise ValueError("sign_test_bh: no rows")
+    lo = int(maxd) - horizon + 1
+    cal = (
+        daily.select("_g").distinct()
+        .select(
+            "_g",
+            F.explode(
+                F.sequence(F.lit(lo), F.lit(int(maxd)))
+            ).alias("_d"),
+        )
+    )
+    filled = (
+        cal.join(daily, ["_g", "_d"], "left")
+        .select("_g", "_d", F.coalesce("_v", F.lit(0)).alias("_v"))
+    )
+    w = Window.partitionBy("_g").orderBy("_d")  # horizon rows per group
+    k = (
+        filled.withColumn("_pv", F.lag("_v").over(w))
+        .where(F.col("_pv").isNotNull())
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.when(F.col("_v") > F.col("_pv"), 1).otherwise(0)
+            ).cast("bigint").alias("_k")
+        )
+    )
+    rows = k.collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"sign_test_bh: {len(rows)} groups exceed max_groups="
+            f"{max_groups} — pre-aggregate or raise the dial"
+        )
+    n = horizon - 1
+    m = len(rows)
+    tail = [0] * (n + 2)
+    for j in range(n, -1, -1):  # tail[j] = sum_{i>=j} C(n, i), exact
+        tail[j] = tail[j + 1] + comb(n, j)
+    scored = sorted(
+        ((tail[int(r["_k"])], r["_g"], int(r["_k"])) for r in rows)
+    )
+    k_star = 0
+    for i, (p_num, _, _) in enumerate(scored, start=1):
+        # p <= (i/m)q  <=>  p_num * m * 1e6 <= i * q_ppm * 2^n
+        if p_num * m * 1_000_000 <= i * q_ppm * (1 << n):
+            k_star = i
+    out = [
+        (g, ku, n, p_num, 1 << n, i, 1 if i <= k_star else 0)
+        for i, (p_num, g, ku) in enumerate(scored, start=1)
+    ]
+    return _local_df(
+        df.sparkSession,
+        out,
+        f"{group_col} {gtype}, k_up bigint, n_cmp bigint, "
+        "p_num bigint, p_den bigint, rank bigint, rejected bigint",
     )

@@ -876,3 +876,113 @@ def rank_overlap_rbo(
         [(k, ov_k, rbo_ppm)],
         "k bigint, overlap_k bigint, rbo_ppm bigint",
     )
+
+
+def retrieval_map(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Average precision at ``k`` of the BM25 ranking per query — the
+    second standard retrieval scorecard next to :func:`retrieval_ndcg`,
+    with BINARY relevance: a document is relevant iff it contains ALL
+    of the query's distinct terms (the conjunctive-match proxy — the
+    graded ≥1-term proxy would mark every BM25 candidate relevant and
+    collapse AP to 1).
+
+        AP@k = Σ_{i≤k, rel_i} P@i / min(R, k),   P@i = c_i / i
+
+    computed EXACTLY in integers: with L = lcm(1..k) every P@i is
+    c_i·(L/i)/L, so the sum is one BIGINT and
+    ap_ppm = div(Σ c_i·(L/i) · 10⁶, L·min(R, k)) replays bit-for-bit
+    in SQL — no floating point anywhere.
+
+    Scale: the ranking is `bm25_multi_topk`'s one-scan dataflow; the
+    relevance table is distinct (doc, token) ⋈ broadcast query terms
+    with a count == m filter (partial-agg, corpus shuffles once on the
+    token key); the running hit count c_i is a window over ≤ k rows
+    per query — cardinality-bounded by construction, never
+    corpus-sized."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lcm = math.lcm(*range(1, k + 1))
+
+    ranked = bm25_multi_topk(
+        docs, queries, k=k, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, terms_col=terms_col,
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("token"),
+        )
+        .withColumn("token", F.lower("token"))
+        .dropDuplicates(["query_id", "token"])
+    )
+    m_terms = q.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("_m")
+    )
+    doc_terms = (
+        _tokenized(docs, id_col, text_col)
+        .select("doc_id", F.explode("_toks").alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
+    rel = (
+        doc_terms.join(F.broadcast(q), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("_hit"))
+        .join(F.broadcast(m_terms), "query_id")
+        .where(F.col("_hit") == F.col("_m"))
+        .select("query_id", "doc_id")
+    )
+    rel = rel.localCheckpoint(eager=False)  # feeds R count + rank join
+    r_tot = rel.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_rel")
+    )
+    from pyspark.sql import Window
+
+    # ≤ k rows per query after the rank filter — bounded window
+    wspec = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = (
+        ranked.where(F.col("rank") <= int(k))
+        .join(rel.withColumn("_r", F.lit(1)), ["query_id", "doc_id"], "left")
+        .withColumn("_rel", F.coalesce("_r", F.lit(0)).cast("bigint"))
+        .withColumn("_c", F.sum("_rel").over(wspec))
+        .select(
+            "query_id",
+            (
+                F.col("_rel") * F.col("_c")
+                * F.expr(f"div(cast({int(lcm)} as bigint), rank)")
+            ).alias("_t"),
+            F.col("_rel").alias("_hit"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("_t").cast("bigint").alias("_s"),
+            F.sum("_hit").cast("bigint").alias("n_rel_topk"),
+        )
+    )
+    return (
+        hits.join(r_tot, "query_id")
+        .where(F.col("n_rel") > 0)
+        .select(
+            "query_id",
+            "n_rel",
+            "n_rel_topk",
+            F.expr(
+                f"cast(div(_s * 1000000, "
+                f"{int(lcm)} * least(n_rel, {int(k)})) as bigint)"
+            ).alias("ap_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -3541,26 +3541,37 @@ QUERIES = {
 # these never-driver-checked names FIRST so the r7 driver window lands
 # on them; remove names from this list as driver rows appear.
 _DRIVER_LEDGER_FRONT = [
-    # r10 rotation (VERDICT r9 next #6). Evidence debt is zero, so the
-    # front surfaces THIS round's new and changed oracles/plans: the
-    # 14 r10 queries, the connected-components family (CC gained the
-    # bounded-edge driver union-find finish — plan changes for every
-    # consumer), interval_concurrency's consumer (the unpartitioned
-    # path now routes through sharded_running_sums), and the two
-    # r9-advice-touched oracles (Knight kendall rewrite, Nelson-Aalen
-    # HUGEINT term).
-    # r10 new:
-    "ann_recall_audit", "bpe_learn_merges", "wilcoxon_signed_rank",
-    "ngram_novelty", "readability", "hill_tail_index",
-    "ppr_custsupp", "hhi_supplier_nation", "aalen_johansen",
-    "quantile_pinball", "sprt_purchase", "capture_recapture",
-    "good_turing", "interval_join_windows",
-    # r10-changed plans (CC driver finish + sweep rewrite):
-    "entity_clusters", "dedup_cc_clusters", "dedup_survivors",
-    "soft_dedup_weights", "phash_clusters", "video_near_dup",
-    "audio_near_dup", "session_concurrency",
-    # r10-changed operators/oracles (r9 advice fixes):
-    "kendall_tau_daily", "nelson_aalen", "hits_custsupp",
+    # r11 rotation (VERDICT r10 next #5). The front surfaces THIS
+    # round's new and changed oracles/plans: the 5 r11 queries, the
+    # three queries whose operators took the r10-ADVICE overflow-guard
+    # fixes (hhi decimal square + cr1 decimal multiply,
+    # capture_recapture guard-inside-n_hat, interval_join inverted-
+    # interval raise), the modularity/LPA pair (graph_modularity
+    # shares LPA's plan), and a band of oracles the driver has not
+    # sampled since r8 (mid-registry rows the front-50 window never
+    # reaches).
+    # r11 new:
+    "kn_continuation", "retrieval_map", "graph_modularity",
+    "conformal_interval", "bh_fdr_signtest", "hilbert_cells",
+    # r11-touched operators (ADVICE r10 fixes):
+    "hhi_supplier_nation", "capture_recapture", "interval_join_windows",
+    # shares a plan with the new modularity query:
+    "graph_lpa_knn",
+    # not driver-sampled since r8, most not since r6 (checked against
+    # CORRECTNESS_r01..r10.json — the mid-registry band the front-50
+    # window never reaches):
+    "km_survival", "mmr_diverse_topk", "graph_kcore", "benford_audit",
+    "cusum_changepoints", "retrieval_ndcg", "snapshot_diff",
+    "conversion_ci", "frequent_paths", "acf_daily",
+    "gini_concentration", "sim_topk_filtered", "markov_stationary",
+    "session_flow", "woe_iv", "did_estimate", "label_noise",
+    "kmv_distinct", "bootstrap_ci", "cuped_estimate", "srm_check",
+    "ccf_leadlag", "dbscan_clusters", "theil_sen_trend",
+    "rake_keywords", "holt_linear", "item_item_cf",
+    "isotonic_calibration", "hll_sliding_distinct",
+    "quantile_normalize", "mad_outlier_days", "ess_report",
+    "source_similarity_js", "ratio_metric_ci", "threshold_sweep",
+    "dispersion_report", "lsh_band_plan",
 ]
 
 
@@ -15465,3 +15476,367 @@ _R10L_QUERIES = {
     ),
 }
 QUERIES = {**_R10L_QUERIES, **QUERIES}
+
+
+# ----------------------------------------------------------------------
+# Round-11 additions: KN continuation stats, retrieval MAP, graph
+# modularity, split-conformal intervals, BH-FDR sign tests
+# ----------------------------------------------------------------------
+
+
+def q_kn_continuation(spark, sf_dir):
+    """Kneser–Ney continuation statistics for the 20 most frequent
+    tokens (lm.kn_continuation): continuation probability = distinct
+    left contexts / distinct bigram types, next to the raw unigram
+    probability — both exact integer ppm. One tokenization feeds the
+    unigram counts and the distinct-pair type table; top-k is a
+    TakeOrdered over the vocabulary-sized count table."""
+    from inception_eventstore_spark.operators.lm import kn_continuation
+
+    return kn_continuation(_t(spark, sf_dir, "documents"), k=20)
+
+
+_KN_CONTINUATION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+uc AS (SELECT t AS token, count(*) AS n
+  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+tot AS (SELECT sum(n) AS nn FROM uc),
+pairs AS (
+  SELECT g['a'] AS a, g['b'] AS b FROM (
+    SELECT unnest([struct_pack(a := tk[i], b := tk[i+1])
+                   for i in generate_series(1, len(tk)-1)]) AS g
+    FROM toks WHERE len(tk) >= 2)),
+ty AS (SELECT DISTINCT a, b FROM pairs),
+nt AS (SELECT count(*) AS nty FROM ty),
+lc AS (SELECT b AS token, count(*) AS nl FROM ty GROUP BY 1),
+top AS (SELECT token, n FROM uc ORDER BY n DESC, token LIMIT 20)
+SELECT top.token, CAST(top.n AS BIGINT) AS n_token,
+  CAST(coalesce(lc.nl, 0) AS BIGINT) AS n_left_contexts,
+  CAST((coalesce(lc.nl, 0) * 1000000) // nt.nty AS BIGINT) AS p_cont_ppm,
+  CAST((top.n * 1000000) // tot.nn AS BIGINT) AS p_uni_ppm
+FROM top LEFT JOIN lc USING (token) CROSS JOIN nt CROSS JOIN tot
+ORDER BY n_token DESC, token
+"""
+
+
+def q_retrieval_map(spark, sf_dir):
+    """Mean-average-precision scorecard: AP@10 of the BM25 ranking per
+    query (retrieval.retrieval_map), binary relevance = contains ALL
+    query terms, computed EXACTLY in integers via the lcm(1..10)=2520
+    common denominator — no float enters the metric. Same one-scan
+    BM25 dataflow as retrieval_ndcg."""
+    from inception_eventstore_spark.operators.retrieval import (
+        retrieval_map,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = _local_df(
+        spark,
+        [
+            (1, ["spark", "merge", "key"]),
+            (2, ["window", "batch"]),
+            (3, ["key", "batch", "merge"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return retrieval_map(docs, qdf, k=10)
+
+
+_RETRIEVAL_MAP_ORACLE = f"""
+WITH kb AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+qs AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'merge'), (1, 'key'),
+                             (2, 'window'), (2, 'batch'),
+                             (3, 'key'), (3, 'batch'), (3, 'merge'))
+       AS t(query_id, token)),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM toks),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, any_value(dl) AS dl
+  FROM ex WHERE token IN (SELECT token FROM qs)
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+    ln(1.0 + ((SELECT CAST(n AS DOUBLE) FROM st)
+              - count(DISTINCT doc_id) + 0.5)
+             / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY token),
+sc AS (
+  SELECT query_id, doc_id,
+    round(sum(idf * (tf * (kb.k1 + 1.0))
+              / (tf + kb.k1 * ((1.0 - kb.b)
+                 + kb.b * dl / ((SELECT CAST(sdl AS DOUBLE) FROM st)
+                               / (SELECT n FROM st))))), 6) AS score
+  FROM tf JOIN idf USING (token) JOIN qs USING (token), kb
+  GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rank FROM sc),
+dt AS (SELECT DISTINCT doc_id, token FROM
+  (SELECT doc_id, unnest(tk) AS token FROM toks)),
+mt AS (SELECT query_id, count(*) AS m FROM qs GROUP BY 1),
+relc AS (SELECT qs.query_id, dt.doc_id, count(*) AS hit
+  FROM dt JOIN qs USING (token) GROUP BY 1, 2),
+rel AS (SELECT query_id, doc_id
+  FROM relc JOIN mt USING (query_id) WHERE hit = m),
+rtot AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+hits AS (SELECT r.query_id, r.rank,
+    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS relv
+  FROM r LEFT JOIN rel
+    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  WHERE r.rank <= 10),
+cum AS (SELECT query_id, rank, relv,
+    sum(relv) OVER (PARTITION BY query_id ORDER BY rank) AS c
+  FROM hits),
+s AS (SELECT query_id, sum(relv * c * (2520 // rank)) AS s,
+    sum(relv) AS n_rel_topk
+  FROM cum GROUP BY 1)
+SELECT s.query_id, CAST(rtot.n_rel AS BIGINT) AS n_rel,
+  CAST(s.n_rel_topk AS BIGINT) AS n_rel_topk,
+  CAST((s.s * 1000000) // (2520 * least(rtot.n_rel, 10)) AS BIGINT)
+    AS ap_ppm
+FROM s JOIN rtot USING (query_id)
+WHERE rtot.n_rel > 0 ORDER BY query_id
+"""
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity breakdown of the 3-iteration LPA partition
+    over the exact 3-NN embedding graph (graph.modularity): per
+    community (n_nodes, degree_sum, m_intra) and the exact rational
+    contribution q_num / q_den with the shared 4m² denominator — the
+    "are these communities real?" audit for the graph_lpa_knn
+    partition. All-BIGINT outputs; no float anywhere."""
+    from inception_eventstore_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=False)
+    lbl = label_propagation(edges, iterations=3)
+    return modularity(edges, lbl)
+
+
+def _modularity_oracle() -> str:
+    steps = []
+    prev = "l0"
+    for i in (1, 2, 3):
+        steps.append(
+            f"v{i} AS (SELECT nb.node, {prev}.label, count(*) AS cnt "
+            f"FROM nb JOIN {prev} ON nb.nbr = {prev}.node GROUP BY 1, 2), "
+            f"l{i} AS (SELECT node, label FROM v{i} QUALIFY row_number() "
+            f"OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1)"
+        )
+        prev = f"l{i}"
+    body = ", ".join(steps)
+    return (
+        f"WITH {_KNN_EDGE_CTE.strip()}, "
+        "l0 AS (SELECT DISTINCT node, node AS label FROM nb), "
+        f"{body}, "
+        "deg AS (SELECT node, count(*) AS d FROM nb GROUP BY 1), "
+        "m AS (SELECT count(*) AS m FROM und), "
+        "pl AS (SELECT l3.label, count(*) AS n_nodes, sum(deg.d) AS dsum "
+        "  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1), "
+        "ie AS (SELECT la.label AS label, count(*) AS mi "
+        "  FROM und JOIN l3 la ON und.x = la.node "
+        "  JOIN l3 lb ON und.y = lb.node "
+        "  WHERE la.label = lb.label GROUP BY 1) "
+        "SELECT pl.label, CAST(pl.n_nodes AS BIGINT) AS n_nodes, "
+        "  CAST(pl.dsum AS BIGINT) AS degree_sum, "
+        "  CAST(coalesce(ie.mi, 0) AS BIGINT) AS m_intra, "
+        "  CAST(4 * m.m * coalesce(ie.mi, 0) - pl.dsum * pl.dsum "
+        "       AS BIGINT) AS q_num, "
+        "  CAST(4 * m.m * m.m AS BIGINT) AS q_den "
+        "FROM pl LEFT JOIN ie USING (label) CROSS JOIN m ORDER BY pl.label"
+    )
+
+
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval + finite-sample coverage
+    audit on event values (scoring.conformal_interval): md5-hash
+    train/cal/test splits, per-type integer-mean model, exact
+    order-statistic conformal quantile at α = 10%, realized test
+    coverage vs the 900 000 ppm target. events.value ≥ 0 in the
+    fixtures, so the integer mean's div/floor-div semantics agree
+    across engines."""
+    from inception_eventstore_spark.operators.scoring import (
+        conformal_interval,
+    )
+
+    return conformal_interval(_t(spark, sf_dir, "events"))
+
+
+_CONFORMAL_ORACLE = """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS k, event_type AS g,
+    CAST(floor(value * 1048576.0) AS BIGINT) AS v,
+    CAST(concat('0x', substr(md5(concat('conf:v1:',
+      CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 4 AS b
+  FROM events WHERE value IS NOT NULL),
+model AS (
+  SELECT g, CAST(sum(v) // count(*) AS BIGINT) AS mu
+  FROM base WHERE b <= 1 GROUP BY g),
+cal AS (
+  SELECT base.k, abs(base.v - model.mu) AS r
+  FROM base JOIN model USING (g) WHERE b = 2),
+nc AS (SELECT count(*) AS n_cal FROM cal),
+rsel AS (SELECT least(n_cal,
+    ((n_cal + 1) * 900000 + 999999) // 1000000) AS rk FROM nc),
+ranked AS (SELECT r, row_number() OVER (ORDER BY r, k) AS rn FROM cal),
+qhat AS (SELECT ranked.r AS qh FROM ranked, rsel WHERE rn = rsel.rk),
+tst AS (
+  SELECT abs(base.v - model.mu) AS r
+  FROM base JOIN model USING (g) WHERE b = 3)
+SELECT CAST(nc.n_cal AS BIGINT) AS n_cal,
+  CAST(rsel.rk AS BIGINT) AS q_rank,
+  CAST(qhat.qh AS BIGINT) AS qhat_u,
+  CAST(count(*) AS BIGINT) AS n_test,
+  CAST(sum(CASE WHEN tst.r <= qhat.qh THEN 1 ELSE 0 END) AS BIGINT)
+    AS covered,
+  CAST((sum(CASE WHEN tst.r <= qhat.qh THEN 1 ELSE 0 END) * 1000000)
+       // count(*) AS BIGINT) AS coverage_ppm,
+  CAST(900000 AS BIGINT) AS target_ppm
+FROM tst, nc, rsel, qhat
+GROUP BY nc.n_cal, rsel.rk, qhat.qh
+"""
+
+
+def q_bh_fdr_signtest(spark, sf_dir):
+    """Per-nation exact sign test for upward revenue drift over the
+    trailing 57-day order window, with Benjamini–Hochberg FDR control
+    across the 25 nations (profile.sign_test_bh) — the
+    multiple-testing gate a segment-sweeping trend monitor needs.
+    Daily revenue is exact cents (DECIMAL cast of the 2-dp money
+    column), day axis is an integer day index, and the p-values are
+    exact binomial-tail BIGINT rationals with the shared 2⁵⁶
+    denominator; the bounded per-nation rows finish driver-side in
+    arbitrary-precision integers (km_survival pattern)."""
+    from inception_eventstore_spark.operators.profile import sign_test_bh
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    df = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("d"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents"),
+        )
+    )
+    return sign_test_bh(
+        df, "n_name", "d", "cents", horizon=57, q_ppm=100_000
+    )
+
+
+_BH_SIGNTEST_ORACLE = """
+WITH RECURSIVE rev AS (
+  SELECT n_name AS g,
+    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS BIGINT) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+mx AS (SELECT max(d) AS md FROM rev),
+cal AS (
+  SELECT gg.g, mx.md - 56 + t.s AS d
+  FROM (SELECT DISTINCT g FROM rev) gg
+  CROSS JOIN mx CROSS JOIN generate_series(0, 56) AS t(s)),
+f AS (SELECT cal.g, cal.d, coalesce(rev.v, 0) AS v
+  FROM cal LEFT JOIN rev USING (g, d)),
+l AS (SELECT g, v, lag(v) OVER (PARTITION BY g ORDER BY d) AS pv FROM f),
+k AS (SELECT g, sum(CASE WHEN v > pv THEN 1 ELSE 0 END) AS k_up
+  FROM l WHERE pv IS NOT NULL GROUP BY 1),
+bi(j, c) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT j + 1, (c * (56 - j)) // (j + 1) FROM bi WHERE j < 56),
+tails AS (SELECT a.j AS k, sum(b.c) AS pn
+  FROM bi a JOIN bi b ON b.j >= a.j GROUP BY 1),
+sc AS (SELECT k.g, k.k_up, tails.pn FROM k JOIN tails ON tails.k = k.k_up),
+rk AS (SELECT g, k_up, pn,
+    row_number() OVER (ORDER BY pn, g) AS rank,
+    count(*) OVER () AS m
+  FROM sc),
+ks AS (SELECT coalesce(max(rank), 0) AS kstar FROM rk
+  WHERE pn * m * 1000000
+        <= CAST(rank AS HUGEINT) * 100000
+           * CAST(72057594037927936 AS HUGEINT))
+SELECT g AS n_name, CAST(k_up AS BIGINT) AS k_up,
+  CAST(56 AS BIGINT) AS n_cmp, CAST(pn AS BIGINT) AS p_num,
+  CAST(72057594037927936 AS BIGINT) AS p_den,
+  CAST(rank AS BIGINT) AS rank,
+  CAST(CASE WHEN rank <= ks.kstar THEN 1 ELSE 0 END AS BIGINT)
+    AS rejected
+FROM rk CROSS JOIN ks ORDER BY rank
+"""
+
+
+_R11A_QUERIES = {
+    "kn_continuation": QueryDef(q_kn_continuation, _KN_CONTINUATION_ORACLE),
+    "retrieval_map": QueryDef(q_retrieval_map, _RETRIEVAL_MAP_ORACLE),
+    "graph_modularity": QueryDef(q_graph_modularity, _modularity_oracle()),
+    "conformal_interval": QueryDef(q_conformal_interval, _CONFORMAL_ORACLE),
+    "bh_fdr_signtest": QueryDef(q_bh_fdr_signtest, _BH_SIGNTEST_ORACLE),
+}
+QUERIES = {**_R11A_QUERIES, **QUERIES}
+
+
+def q_hilbert_cells(spark, sf_dir):
+    """Hilbert-curve cell histogram over (user_id%16, event_id%16)
+    (zorder.with_hilbert_index) — certifies the exact unrolled
+    per-level descent the Hilbert layout writer clusters files by
+    (the better-locality sibling of zorder_cells: consecutive cells
+    are always grid-adjacent, so min/max file skipping works for both
+    dimensions with no power-of-two seam jumps). The oracle replays
+    the identical staged nonnegative div/mod algebra level by level."""
+    from inception_eventstore_spark.sources.zorder import (
+        with_hilbert_index,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).alias("x"),
+        (F.col("event_id") % 16).alias("y"),
+    )
+    return (
+        with_hilbert_index(ev, F.col("x"), F.col("y"), bits=4, out="_h")
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("h")
+    )
+
+
+def _hilbert_oracle() -> str:
+    lines = [
+        "h0 AS (SELECT user_id % 16 AS x, event_id % 16 AS y, "
+        "0 AS d FROM events)"
+    ]
+    prev = "h0"
+    for i, s in enumerate((8, 4, 2, 1), start=1):
+        lines.append(
+            f"h{i} AS (SELECT "
+            f"CASE WHEN ry = 1 THEN xm ELSE CASE WHEN rx = 1 "
+            f"THEN {s - 1} - ym ELSE ym END END AS x, "
+            f"CASE WHEN ry = 1 THEN ym ELSE CASE WHEN rx = 1 "
+            f"THEN {s - 1} - xm ELSE xm END END AS y, "
+            f"d + {s * s} * (rx * (3 - ry) + (1 - rx) * ry) AS d "
+            f"FROM (SELECT (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry, "
+            f"x % {s} AS xm, y % {s} AS ym, d FROM {prev}))"
+        )
+        prev = f"h{i}"
+    return (
+        "WITH " + ", ".join(lines)
+        + f" SELECT CAST(d AS BIGINT) AS h, count(*) AS n "
+          f"FROM {prev} GROUP BY d ORDER BY h"
+    )
+
+
+_R11B_QUERIES = {
+    "hilbert_cells": QueryDef(q_hilbert_cells, _hilbert_oracle()),
+}
+QUERIES = {**_R11B_QUERIES, **QUERIES}

@@ -545,3 +545,24 @@ class TestIntervalJoin:
                 left, right, "lid", "rid", "lo", "hi", "rlo", "rhi",
                 bucket_width=1, max_buckets=10,
             ).count()
+
+    def test_inverted_interval_raises(self, spark):
+        # ADVICE r10: lo > hi used to make F.sequence step downward
+        # and silently emit pairs for a logically empty interval
+        import pytest as _pytest
+
+        from inception_eventstore_spark.operators.joins import (
+            interval_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 10, 0)], "lid long, lo long, hi long"
+        )
+        right = spark.createDataFrame(
+            [(9, 1, 2)], "rid long, rlo long, rhi long"
+        )
+        with _pytest.raises(Exception, match="inverted"):
+            interval_join(
+                left, right, "lid", "rid", "lo", "hi", "rlo", "rhi",
+                bucket_width=4,
+            ).count()

@@ -2303,6 +2303,55 @@ CHECKS.update({
          "distinct", r"HashAggregate[^\n]*partial|partial_count"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
+    # ---- r11 ----
+    "kn_continuation": [
+        ("unigram/pair-type tables partial-aggregated",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        ("top-k is a TakeOrdered over the count table, never a "
+         "global sort + window", r"TakeOrderedAndProject"),
+        ("no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "retrieval_map": [
+        ("conjunctive relevance partial-aggregated before the rank "
+         "join", r"HashAggregate[^\n]*partial|partial_count"),
+        ("running hit count windows only the ≤k ranked rows per "
+         "query", r"Window"),
+        ("per-query relevance totals broadcast back",
+         r"BroadcastHashJoin"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "graph_modularity": [
+        ("canonical edge set pinned once and reused "
+         "(checkpoint-visible)", r"Scan ExistingRDD"),
+        ("per-label rollups partial-aggregated",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        ("label table meets the edge endpoints on equi-joins",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "conformal_interval": [
+        ("calibration quantile ranks via the two-phase shard rank, "
+         "never a single-partition window",
+         r"hashpartitioning\(_gr_pid"),
+        ("per-group model broadcast back onto the splits",
+         r"BroadcastHashJoin"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "bh_fdr_signtest": [
+        ("BH finish is the bounded driver fold over per-group exact "
+         "tails (km pattern)", r"Scan ExistingRDD|LocalTableScan"),
+        ("no window in the emitted plan", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "hilbert_cells": [
+        ("one partial-aggregated cell rollup",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        ("unrolled descent stays in one codegen'd projection over "
+         "the scan — no join, no window", "!Window"),
+        ("no join at all", "!Join"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
 })
 
 
