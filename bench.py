@@ -378,6 +378,11 @@ HEADLINE_FULL = [
     "conformal_interval",
     "bh_fdr_signtest",
     "hilbert_cells",
+    "graph_assortativity",
+    "kmv_users_setops",
+    "croston_purchases",
+    "gains_acctbal",
+    "wasserstein_value_drift",
 ]
 
 # ---- headline retirement policy (r11, VERDICT r10 next #4) ----
@@ -531,6 +536,11 @@ HEADLINE_CURATED = [
     "conformal_interval",
     "bh_fdr_signtest",
     "hilbert_cells",
+    "graph_assortativity",
+    "kmv_users_setops",
+    "croston_purchases",
+    "gains_acctbal",
+    "wasserstein_value_drift",
 ]
 
 HEADLINE = (

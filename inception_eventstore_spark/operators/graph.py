@@ -39,6 +39,8 @@ __all__ = [
     "triangle_counts",
     "adamic_adar",
     "bfs_hops",
+    "modularity",
+    "assortativity",
 ]
 
 
@@ -778,4 +780,68 @@ def modularity(
             F.expr(f"cast(4 * {mck} * _m as bigint)").alias("q_den"),
         )
         .orderBy("label")
+    )
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected graph: the Pearson correlation of the endpoint degrees
+    over the DIRECTED edge list (each canonical edge counted both
+    ways — the standard symmetric form, so Σx ≡ Σy and the two
+    variance terms coincide). Positive = hubs link to hubs (social
+    nets), negative = hubs link to leaves (KNN graphs, the web) —
+    the one-number structural fingerprint next to `modularity`.
+
+    One row: (m_directed, sum_x, sum_xx, sum_xy — all exact BIGINTs —
+    and r_assort, 6 dp). The five sums are exact integer aggregates;
+    r is computed as ONE fixed-order double expression of those exact
+    integers (the regression_trend recipe), so it replays bit-for-bit
+    in SQL. Exactness bound: sums stay exact doubles while
+    Σd² < 2⁵³ — past that (≈10¹² high-degree edges) pre-contract the
+    graph; the sketch of record is the BIGINT sums, which never lose
+    a bit.
+
+    Scale: one canonicalization groupBy, one degree aggregate, two
+    equi-joins of the (node, degree) table onto the endpoints, one
+    scalar fold. No window, no collect beyond the one-row result."""
+    und = undirected_edges(edges, src_col, dst_col)
+    und = und.localCheckpoint(eager=False)  # degrees + both joins
+    deg = (
+        _neighbors(und)
+        .groupBy(F.col("node"))
+        .agg(F.count("*").cast("bigint").alias("_d"))
+    )
+    pairs = (
+        _neighbors(und)
+        .join(deg.withColumnRenamed("node", "node_x")
+              .withColumnRenamed("_d", "_dx"),
+              F.col("node") == F.col("node_x"))
+        .join(deg.withColumnRenamed("node", "node_y")
+              .withColumnRenamed("_d", "_dy"),
+              F.col("nbr") == F.col("node_y"))
+        .select("_dx", "_dy")
+    )
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("m_directed"),
+        F.sum("_dx").cast("bigint").alias("sum_x"),
+        F.sum(F.col("_dx") * F.col("_dx")).cast("bigint").alias("sum_xx"),
+        F.sum(F.col("_dx") * F.col("_dy")).cast("bigint").alias("sum_xy"),
+    )
+    num = (
+        F.col("m_directed").cast("double")
+        * F.col("sum_xy").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+    )
+    den = (
+        F.col("m_directed").cast("double")
+        * F.col("sum_xx").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+    )
+    return sums.select(
+        "m_directed", "sum_x", "sum_xx", "sum_xy",
+        F.when(den > 0, F.round(num / den, 6)).alias("r_assort"),
     )

@@ -786,3 +786,65 @@ SELECT fin.day, hll_denom, hll_zeros,
 FROM fin JOIN obs ON fin.day = obs.day
 ORDER BY fin.day
 """
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str | Column,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch set operations (the Apache DataSketches theta
+    algebra over this module's KMV state): distinct-count estimates
+    for two sets, their UNION, their INTERSECTION, and a Jaccard
+    estimate — from two fixed k-row certificates, never from the raw
+    sets. The 1000-executor story: each source sketches independently
+    (k rows each), and every set-expression a dashboard asks for is
+    answered from bounded sketch rows.
+
+        union     : k smallest of the merged hash sets (`kmv_merge`)
+        ρ         : |union-sketch hashes present in BOTH sides| /
+                    |union-sketch rows|
+        intersect : ρ · est_union   (the standard theta estimator)
+
+    All arithmetic is the integer fixed-point of `kmv_estimate` plus
+    two integer divs — every output column is an exact BIGINT that
+    replays bit-for-bit in SQL. Exact-regime guarantee: when both
+    sides hold < k distinct values the sketches ARE the sets and
+    every estimate (including the intersection) is exact.
+
+    One row: (n_a, est_a, n_b, est_b, n_union, est_union, n_common,
+    est_intersection, jaccard_ppm)."""
+    sa = kmv_sketch(df_a, value_col, k=k).localCheckpoint(eager=False)
+    sb = kmv_sketch(df_b, value_col, k=k).localCheckpoint(eager=False)
+    ea = kmv_estimate(sa, k=k).select(
+        F.col("n_kept").alias("n_a"), F.col("kmv_est").alias("est_a")
+    )
+    eb = kmv_estimate(sb, k=k).select(
+        F.col("n_kept").alias("n_b"), F.col("kmv_est").alias("est_b")
+    )
+    u = kmv_merge([sa, sb], k=k).localCheckpoint(eager=False)
+    eu = kmv_estimate(u, k=k).select(
+        F.col("n_kept").alias("n_union"),
+        F.col("kmv_est").alias("est_union"),
+    )
+    common = (
+        u.join(sa.select("h"), "h", "leftsemi")
+        .join(sb.select("h"), "h", "leftsemi")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_a", "est_a", "n_b", "est_b", "n_union", "est_union",
+            "n_common",
+            F.expr(
+                "cast(div(n_common * est_union, n_union) as bigint)"
+            ).alias("est_intersection"),
+            F.expr(
+                "cast(div(n_common * 1000000, n_union) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )

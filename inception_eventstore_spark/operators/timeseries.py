@@ -1796,3 +1796,78 @@ def quantile_forecast_eval(
             "mean_loss_x_den"
         ),
     )
+
+
+def croston_daily(
+    events: DataFrame,
+    alpha: tuple[int, int] = (1, 4),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand over
+    the zero-filled daily event counts — the standard forecaster when
+    most periods are zero (spare parts, rare event types, long-tail
+    SKUs), where plain exponential smoothing biases toward zero:
+    demand SIZE and inter-arrival INTERVAL are smoothed separately on
+    demand periods only, and the per-period rate is their ratio.
+
+    Exactness follows the holt_linear_daily recipe exactly: the
+    distributed pass shrinks the log to the bounded day axis (one
+    partial-aggregated rollup + driver zero-fill), the recurrence
+    runs driver-side in exact integers — α = an/ad rational, state in
+    2^20 micro-units, every step one truncating division, matching
+    Spark ``div`` / the oracle's CASE-truncating ``//`` — and the
+    result returns via `_local_df`, replayed bit-for-bit by a
+    recursive-CTE oracle. Callers pre-filter to the sparse slice
+    whose demand they forecast.
+
+    Convention (both engines): demand periods are days with x > 0,
+    1-based day index t over the [min_day, max_day] span; state
+    initializes at the first demand day t₁ as z = x_{t₁}·2²⁰,
+    p = t₁·2²⁰ (the first interval measured from the span start);
+    each later demand day t with gap i = t − t_prev updates
+
+        z ← z + tdiv(an·(x_t·2²⁰ − z), ad)
+        p ← p + tdiv(an·(i·2²⁰ − p), ad)
+
+    Output per demand day: (day_index, day, demand, z_micro, p_micro,
+    f_ppm = tdiv(z·10⁶, p) — the per-period demand-rate forecast)."""
+    an, ad = alpha
+    if not 0 < an <= ad:
+        raise ValueError("alpha must be a rational in (0, 1]")
+    per_day = (
+        events.groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+        .agg(F.count("*").cast("bigint").alias("_x"))
+        .collect()
+    )
+    rows = sorted(per_day, key=lambda r: r["_d"])
+    if not rows:
+        raise ValueError("croston_daily: no rows")
+    import datetime as _dt
+
+    d0 = rows[0]["_d"]
+    demands = [
+        ((r["_d"] - d0).days + 1, r["_d"], int(r["_x"]))
+        for r in rows
+        if int(r["_x"]) > 0
+    ]
+    if len(demands) < 2:
+        raise ValueError("croston_daily: need >= 2 demand days")
+    q = 1 << 20
+    t1, day1, x1 = demands[0]
+    z, p = x1 * q, t1 * q
+    out = [(t1, day1, x1, z, p, _tdiv(z * 1_000_000, p))]
+    prev_t = t1
+    for t, day, x in demands[1:]:
+        gap = t - prev_t
+        z = z + _tdiv(an * (x * q - z), ad)
+        p = p + _tdiv(an * (gap * q - p), ad)
+        prev_t = t
+        out.append((t, day, x, z, p, _tdiv(z * 1_000_000, p)))
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    return _local_df(
+        events.sparkSession,
+        out,
+        "day_index bigint, day date, demand bigint, z_micro bigint, "
+        "p_micro bigint, f_ppm bigint",
+    )

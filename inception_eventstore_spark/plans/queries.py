@@ -3553,6 +3553,8 @@ _DRIVER_LEDGER_FRONT = [
     # r11 new:
     "kn_continuation", "retrieval_map", "graph_modularity",
     "conformal_interval", "bh_fdr_signtest", "hilbert_cells",
+    "graph_assortativity", "kmv_users_setops", "croston_purchases",
+    "gains_acctbal", "wasserstein_value_drift",
     # r11-touched operators (ADVICE r10 fixes):
     "hhi_supplier_nation", "capture_recapture", "interval_join_windows",
     # shares a plan with the new modularity query:
@@ -15840,3 +15842,271 @@ _R11B_QUERIES = {
     "hilbert_cells": QueryDef(q_hilbert_cells, _hilbert_oracle()),
 }
 QUERIES = {**_R11B_QUERIES, **QUERIES}
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the exact 3-NN embedding graph
+    (graph.assortativity): Pearson correlation of endpoint degrees
+    over the directed edge list, exact BIGINT sums + ONE fixed-order
+    double expression rounded 6 dp (the regression_trend recipe) —
+    the structural fingerprint next to graph_modularity (KNN graphs
+    run disassortative: hubs link to leaves)."""
+    from inception_eventstore_spark.operators.graph import assortativity
+
+    return assortativity(_knn_edges(spark, sf_dir))
+
+
+_ASSORTATIVITY_ORACLE = f"""
+WITH {_KNN_EDGE_CTE.strip()},
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY 1),
+pr AS (SELECT da.d AS dx, db.d AS dy
+  FROM nb JOIN deg da ON nb.node = da.node
+  JOIN deg db ON nb.nbr = db.node),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(dx) AS BIGINT) AS sx,
+    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+    CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM pr)
+SELECT m AS m_directed, sx AS sum_x, sxx AS sum_xx, sxy AS sum_xy,
+  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS r_assort
+FROM s
+"""
+
+
+def q_kmv_users_setops(spark, sf_dir):
+    """Theta-sketch set algebra over two user populations
+    (sketches.kmv_set_ops): click users vs purchase users — distinct
+    estimates for each side, their union, their intersection and a
+    Jaccard estimate, all from two fixed 64-row KMV certificates in
+    exact integer fixed-point. The dashboards-from-sketches pattern:
+    at 100 TB neither raw set is ever re-scanned for a set
+    expression."""
+    from inception_eventstore_spark.operators.sketches import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_ops(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+        k=64,
+    )
+
+
+_KMV_SETOPS_ORACLE = """
+WITH ha AS (SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv:',
+    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+hb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv:',
+    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r
+  FROM ha) WHERE r <= 64),
+sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r
+  FROM hb) WHERE r <= 64),
+su AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r
+  FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL
+        SELECT h FROM sb))) WHERE r <= 64),
+ea AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+    ELSE CAST({NUM} // greatest(max(h) // 1048576, 1) AS BIGINT) END
+    AS est FROM sa),
+eb AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+    ELSE CAST({NUM} // greatest(max(h) // 1048576, 1) AS BIGINT) END
+    AS est FROM sb),
+eu AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+    ELSE CAST({NUM} // greatest(max(h) // 1048576, 1) AS BIGINT) END
+    AS est FROM su),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM su
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+SELECT ea.n AS n_a, ea.est AS est_a, eb.n AS n_b, eb.est AS est_b,
+  eu.n AS n_union, eu.est AS est_union, cm.n_common,
+  CAST((cm.n_common * eu.est) // eu.n AS BIGINT) AS est_intersection,
+  CAST((cm.n_common * 1000000) // eu.n AS BIGINT) AS jaccard_ppm
+FROM ea, eb, eu, cm
+""".replace("{NUM}", str(63 << 40))
+
+
+def q_croston_purchases(spark, sf_dir):
+    """Croston intermittent-demand forecast
+    (timeseries.croston_daily) of the sparse purchase stream of one
+    1%-of-users slice (user_id % 101 = 7): demand-size and
+    inter-arrival EWMAs in exact 2^20 micro-integers, driver-side
+    recurrence over the bounded demand-day axis (holt_linear_daily
+    pattern), recursive-CTE oracle replays every truncating
+    division."""
+    from inception_eventstore_spark.operators.timeseries import (
+        croston_daily,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & (F.pmod(F.col("user_id"), F.lit(101)) == 7)
+    )
+    return croston_daily(ev)
+
+
+def _croston_oracle(an: int = 1, ad: int = 4) -> str:
+    def td(a: str, d: int) -> str:
+        return (f"(CASE WHEN ({a}) >= 0 THEN ({a}) // {d} "
+                f"ELSE -((-({a})) // {d}) END)")
+
+    z_new = td(f"{an} * (d.x * 1048576 - r.z)", ad)
+    p_new = td(f"{an} * ((d.t - r.t) * 1048576 - r.p)", ad)
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT ts FROM events
+  WHERE event_type = 'purchase' AND user_id % 101 = 7),
+dd AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM src GROUP BY 1),
+b AS (SELECT min(d) AS d0 FROM dd),
+dem AS (SELECT row_number() OVER (ORDER BY d) AS rn,
+    datediff('day', (SELECT d0 FROM b), d) + 1 AS t, d, x
+  FROM dd),
+rec AS (
+  SELECT 1 AS rn, (SELECT t FROM dem WHERE rn = 1) AS t,
+    (SELECT x FROM dem WHERE rn = 1) * 1048576 AS z,
+    (SELECT t FROM dem WHERE rn = 1) * 1048576 AS p
+  UNION ALL
+  SELECT r.rn + 1, d.t, r.z + {z_new}, r.p + {p_new}
+  FROM rec r JOIN dem d ON d.rn = r.rn + 1)
+SELECT CAST(d.t AS BIGINT) AS day_index, d.d AS day,
+  CAST(d.x AS BIGINT) AS demand, CAST(r.z AS BIGINT) AS z_micro,
+  CAST(r.p AS BIGINT) AS p_micro,
+  CAST((CAST(r.z AS HUGEINT) * 1000000) // r.p AS BIGINT) AS f_ppm
+FROM rec r JOIN dem d ON d.rn = r.rn
+ORDER BY day_index
+"""
+
+
+_R11C_QUERIES = {
+    "graph_assortativity": QueryDef(
+        q_graph_assortativity, _ASSORTATIVITY_ORACLE
+    ),
+    "kmv_users_setops": QueryDef(q_kmv_users_setops, _KMV_SETOPS_ORACLE),
+    "croston_purchases": QueryDef(q_croston_purchases, _croston_oracle()),
+}
+QUERIES = {**_R11C_QUERIES, **QUERIES}
+
+
+def q_gains_acctbal(spark, sf_dir):
+    """Cumulative gains/lift deciles (scoring.gains_table): customers
+    ranked by account balance, responder = placed at least one
+    1-URGENT order — the decile targeting chart, every rate/lift an
+    exact-integer ppm (two-phase shard rank, bounded triangular
+    prefix join, no window)."""
+    from inception_eventstore_spark.operators.scoring import gains_table
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    resp = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey").distinct()
+        .withColumn("_y1", F.lit(1))
+    )
+    df = (
+        c.join(resp, c["c_custkey"] == resp["o_custkey"], "left")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("s"),
+            F.coalesce("_y1", F.lit(0)).alias("y"),
+        )
+    )
+    return gains_table(df, "s", "y", "k", n_buckets=10)
+
+
+_GAINS_ORACLE = """
+WITH resp AS (SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+base AS (SELECT c_custkey AS k, c_acctbal AS s,
+    CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM customer LEFT JOIN resp ON c_custkey = o_custkey),
+r AS (SELECT *, row_number() OVER (ORDER BY s DESC, k) AS rank,
+    count(*) OVER () AS n
+  FROM base),
+per AS (SELECT ((rank - 1) * 10) // n AS bucket,
+    CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS resp
+  FROM r GROUP BY 1),
+tot AS (SELECT CAST(sum(nn) AS BIGINT) AS tn,
+    CAST(sum(resp) AS BIGINT) AS tr FROM per),
+cum AS (SELECT a.bucket, CAST(sum(b.nn) AS BIGINT) AS cum_n,
+    CAST(sum(b.resp) AS BIGINT) AS cum_resp
+  FROM per a JOIN per b ON b.bucket <= a.bucket GROUP BY 1)
+SELECT CAST(per.bucket AS BIGINT) AS bucket, per.nn AS n, per.resp,
+  CAST((per.resp * 1000000) // per.nn AS BIGINT) AS rate_ppm,
+  cum.cum_n, cum.cum_resp,
+  CAST(CASE WHEN tot.tr = 0 THEN 0
+    ELSE (cum.cum_resp * 1000000) // tot.tr END AS BIGINT)
+    AS cum_capture_ppm,
+  CAST(CASE WHEN tot.tr = 0 THEN 0
+    ELSE (CAST(cum.cum_resp AS HUGEINT) * tot.tn * 1000000)
+         // (CAST(cum.cum_n AS HUGEINT) * tot.tr) END AS BIGINT)
+    AS cum_lift_ppm
+FROM per JOIN cum USING (bucket) CROSS JOIN tot ORDER BY bucket
+"""
+
+
+def q_wasserstein_value_drift(spark, sf_dir):
+    """Earth-mover drift between the click and purchase value
+    distributions (profile.wasserstein_binned): W1 = ∫|F_A − F_B| on
+    a fixed 1024-bin grid over [0, 512), per-bin ppm terms quantized
+    before summing — the how-far-did-it-move companion of ks_drift.
+    Running CDFs via sharded_running_sums, never a single-partition
+    window."""
+    from inception_eventstore_spark.operators.profile import (
+        wasserstein_binned,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_binned(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=512.0,
+        bins=1024,
+    )
+
+
+_WASSERSTEIN_ORACLE = """
+WITH ca AS (SELECT least(1023, greatest(0,
+    CAST(floor((value - 0.0) * 2.0) AS BIGINT))) AS b,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+  GROUP BY 1),
+cb AS (SELECT least(1023, greatest(0,
+    CAST(floor((value - 0.0) * 2.0) AS BIGINT))) AS b,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+axis AS (SELECT CAST(g AS BIGINT) AS b
+  FROM generate_series(0, 1023) t(g)),
+g AS (SELECT axis.b, coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb
+  FROM axis LEFT JOIN ca USING (b) LEFT JOIN cb USING (b)),
+c AS (SELECT b, sum(na) OVER (ORDER BY b) AS cna,
+    sum(nb) OVER (ORDER BY b) AS cnb
+  FROM g),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+    CAST(sum(nb) AS BIGINT) AS tb FROM g)
+SELECT t.ta AS n_a, t.tb AS n_b, CAST(1024 AS BIGINT) AS n_bins,
+  CAST(sum((abs(CAST(c.cna AS HUGEINT) * t.tb
+                - CAST(c.cnb AS HUGEINT) * t.ta) * 1000000)
+           // (CAST(t.ta AS HUGEINT) * t.tb)) AS BIGINT) AS w1_bin_ppm
+FROM c CROSS JOIN t GROUP BY t.ta, t.tb
+"""
+
+
+_R11D_QUERIES = {
+    "gains_acctbal": QueryDef(q_gains_acctbal, _GAINS_ORACLE),
+    "wasserstein_value_drift": QueryDef(
+        q_wasserstein_value_drift, _WASSERSTEIN_ORACLE
+    ),
+}
+QUERIES = {**_R11D_QUERIES, **QUERIES}

@@ -337,3 +337,191 @@ class TestHilbertIndex:
         df = spark.createDataFrame([(0, 0)], "x long, y long")
         with pytest.raises(ValueError, match="bits"):
             with_hilbert_index(df, F.col("x"), F.col("y"), bits=0)
+
+
+class TestAssortativity:
+    def test_star_perfectly_disassortative(self, spark):
+        from inception_eventstore_spark.operators.graph import (
+            assortativity,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        row = assortativity(edges).collect()[0]
+        # K1,3: directed pairs (3,1)x3 + (1,3)x3
+        assert row["m_directed"] == 6
+        assert row["sum_x"] == 12
+        assert row["sum_xx"] == 30
+        assert row["sum_xy"] == 18
+        assert row["r_assort"] == -1.0
+
+    def test_regular_graph_degenerate(self, spark):
+        from inception_eventstore_spark.operators.graph import (
+            assortativity,
+        )
+
+        # 4-cycle: every degree 2 -> zero variance -> r NULL
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        row = assortativity(edges).collect()[0]
+        assert row["r_assort"] is None
+
+
+class TestKmvSetOps:
+    def test_exact_regime(self, spark):
+        from inception_eventstore_spark.operators.sketches import (
+            kmv_set_ops,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(1, 11)], "v long")
+        b = spark.createDataFrame([(i,) for i in range(6, 16)], "v long")
+        row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+        # both sides < k: sketches ARE the sets, everything exact
+        assert row["n_a"] == 10 and row["est_a"] == 10
+        assert row["n_b"] == 10 and row["est_b"] == 10
+        assert row["n_union"] == 15 and row["est_union"] == 15
+        assert row["n_common"] == 5
+        assert row["est_intersection"] == 5
+        assert row["jaccard_ppm"] == 5_000_000 // 15
+
+    def test_disjoint_zero_intersection(self, spark):
+        from inception_eventstore_spark.operators.sketches import (
+            kmv_set_ops,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(20)], "v long")
+        b = spark.createDataFrame([(i,) for i in range(100, 120)], "v long")
+        row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+        assert row["n_common"] == 0
+        assert row["est_intersection"] == 0 and row["jaccard_ppm"] == 0
+
+    def test_estimator_regime_plausible(self, spark):
+        from inception_eventstore_spark.operators.sketches import (
+            kmv_set_ops,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(3000)], "v long")
+        b = spark.createDataFrame(
+            [(i,) for i in range(1500, 4500)], "v long"
+        )
+        row = kmv_set_ops(a, b, "v", k=64).collect()[0]
+        # ~1/sqrt(64) = 12.5% sketch error; generous envelope
+        assert 2000 < row["est_a"] < 4500
+        assert 3000 < row["est_union"] < 7000
+        assert 600 < row["est_intersection"] < 3200
+
+
+class TestCrostonDaily:
+    def _events(self, spark, day_counts):
+        import datetime as dt
+
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        eid = 0
+        for day, n in day_counts:
+            for _ in range(n):
+                rows.append((eid, base + dt.timedelta(days=day - 1)))
+                eid += 1
+        return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    def test_hand_recurrence(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            croston_daily,
+        )
+
+        q = 1 << 20
+        out = croston_daily(
+            self._events(spark, [(1, 2), (4, 6)])
+        ).orderBy("day_index").collect()
+        assert [r["day_index"] for r in out] == [1, 4]
+        r1, r2 = out
+        assert r1["z_micro"] == 2 * q and r1["p_micro"] == q
+        assert r1["f_ppm"] == 2_000_000
+        # t=4: gap 3: z = 2q + (6q-2q)//4 = 3q; p = q + (3q-q)//4 = 1.5q
+        assert r2["z_micro"] == 3 * q
+        assert r2["p_micro"] == q + q // 2
+        assert r2["f_ppm"] == (3 * q * 1_000_000) // (q + q // 2)
+
+    def test_guards(self, spark):
+        from inception_eventstore_spark.operators.timeseries import (
+            croston_daily,
+        )
+
+        with pytest.raises(ValueError, match="demand days"):
+            croston_daily(self._events(spark, [(1, 3)]))
+        with pytest.raises(ValueError, match="alpha"):
+            croston_daily(
+                self._events(spark, [(1, 1), (2, 1)]), alpha=(5, 4)
+            )
+
+
+class TestGainsTable:
+    def test_separable_scores(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            gains_table,
+        )
+
+        # 20 rows, scores 20..1; the 10 best-scored are the responders
+        df = spark.createDataFrame(
+            [(i, float(20 - i), 1 if i < 10 else 0) for i in range(20)],
+            "k long, s double, y long",
+        )
+        rows = gains_table(df, "s", "y", "k", n_buckets=10).collect()
+        assert [r["bucket"] for r in rows] == list(range(10))
+        assert all(r["n"] == 2 for r in rows)
+        assert [r["resp"] for r in rows] == [2] * 5 + [0] * 5
+        # top bucket: lift = (2/2) / (10/20) = 2x exactly
+        assert rows[0]["cum_lift_ppm"] == 2_000_000
+        assert rows[0]["rate_ppm"] == 1_000_000
+        # through bucket 4 every responder is captured
+        assert rows[4]["cum_capture_ppm"] == 1_000_000
+        # full population: lift 1x by construction
+        assert rows[9]["cum_lift_ppm"] == 1_000_000
+
+    def test_bucket_guard(self, spark):
+        from inception_eventstore_spark.operators.scoring import (
+            gains_table,
+        )
+
+        df = spark.createDataFrame([(1, 1.0, 1)], "k long, s double, y long")
+        with pytest.raises(ValueError, match="n_buckets"):
+            gains_table(df, "s", "y", "k", n_buckets=1)
+
+
+class TestWassersteinBinned:
+    def test_point_masses_exact_distance(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            wasserstein_binned,
+        )
+
+        a = spark.createDataFrame([(0.0,)] * 100, "v double")
+        b = spark.createDataFrame([(10.0,)] * 100, "v double")
+        row = wasserstein_binned(a, b, "v", lo=0.0, hi=16.0, bins=16)
+        r = row.collect()[0]
+        # masses 10 bins apart: W1 = 10 bin units exactly
+        assert r["n_a"] == 100 and r["n_b"] == 100
+        assert r["w1_bin_ppm"] == 10_000_000
+
+    def test_identical_zero(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            wasserstein_binned,
+        )
+
+        a = spark.createDataFrame(
+            [(float(i % 7),) for i in range(50)], "v double"
+        )
+        r = wasserstein_binned(a, a, "v", lo=0.0, hi=8.0, bins=8)
+        assert r.collect()[0]["w1_bin_ppm"] == 0
+
+    def test_guards(self, spark):
+        from inception_eventstore_spark.operators.profile import (
+            wasserstein_binned,
+        )
+
+        a = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="hi > lo"):
+            wasserstein_binned(a, a, "v", lo=1.0, hi=1.0)
+        with pytest.raises(ValueError, match="bins"):
+            wasserstein_binned(a, a, "v", lo=0.0, hi=1.0, bins=1)

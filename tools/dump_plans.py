@@ -2352,6 +2352,48 @@ CHECKS.update({
         ("no join at all", "!Join"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
+    "graph_assortativity": [
+        ("canonical edge set pinned once and reused "
+         "(checkpoint-visible)", r"Scan ExistingRDD"),
+        ("degree sums partial-aggregated",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        ("degree table meets the endpoints on equi-joins",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "kmv_users_setops": [
+        ("both sketches + union are pinned k-row certificates "
+         "(checkpoint-visible)", r"Scan ExistingRDD"),
+        ("intersection = semi-joins on the bounded sketch rows",
+         r"LeftSemi"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "croston_purchases": [
+        ("recurrence finishes driver-side over the bounded "
+         "demand-day axis (km pattern)",
+         r"Scan ExistingRDD|LocalTableScan"),
+        ("no window in the emitted plan", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "gains_acctbal": [
+        # the shard-rank machinery runs at construction and the
+        # bounded per-bucket table is checkpointed, so the visible
+        # plan starts at the ExistingRDD scan (CLAUDE.md
+        # grouped_row_number consumer convention)
+        ("bounded per-bucket table pinned (checkpoint-visible; rank "
+         "ran via the two-phase shard rank at construction)",
+         r"Scan ExistingRDD"),
+        ("cumulative sums are a bounded triangular join over "
+         "n_buckets rows — no window at all", "!Window"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
+    "wasserstein_value_drift": [
+        ("per-side histograms partial-aggregated",
+         r"HashAggregate[^\n]*partial|partial_count"),
+        ("running CDFs via sharded_running_sums "
+         "(checkpoint-visible shard rank)", r"hashpartitioning|Scan ExistingRDD"),
+        _NO_CARTESIAN, _JVM_ONLY,
+    ],
 })
 
 
