@@ -171,7 +171,12 @@ def item_item_topk(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    b = _prep(baskets, basket_col, item_col, max_basket_items)
+    # b feeds THREE consumers (freq + both self-join sides) — persist
+    # or the dedup + size-cap chain executes three times (guide §5;
+    # same rationale as association_rules' persist above). Blocks are
+    # reaped by the ContextCleaner when the result frame is dropped.
+    b = _prep(baskets, basket_col, item_col, max_basket_items).persist()
+    b.count()  # materialize before the concurrent join stages
     freq = b.groupBy(F.col("_it").alias("item_a")).agg(
         F.count("*").cast("bigint").alias("n_a")
     )

@@ -315,44 +315,53 @@ def ngram_uniqueness(
     text (the inverse of `top_ngram_fraction`'s within-doc repetition
     — this one measures ACROSS-corpus repetition per doc).
 
-    One shingle explode over hashed grams (8-byte keys), a
-    document-frequency table from the same explode, and a
-    partial-aggregated fold back to one row per doc — no self-join of
-    documents, the df table is |distinct grams| rows."""
+    One shingle explode over hashed grams (8-byte keys), ONE gram
+    aggregate, and a doc-sized fold — no self-join of documents and
+    (r11, guide §2.3/§2.4) no join back onto the exploded relation:
+    a gram with df == 1 has exactly one owner, so ``min(_id)`` in the
+    same per-gram aggregate names it for free, ``unique_grams`` is a
+    count over the df==1 gram subset grouped by that owner, and
+    ``n_grams`` is ``size(_sh)`` read map-side off the shingle sets.
+    The former shape shuffled the full exploded relation a second time
+    (ex ⋈ df_tab, then a groupBy(_id) over it); this one shuffles the
+    grams once and everything after is doc-sized."""
     from inception_eventstore_spark.operators.dedup import shingle_sets
 
-    sets = shingle_sets(docs, id_col, text_col, k=n)
-    ex = sets.select(
-        F.col("_id"), F.explode("_sh").alias("_g")
-    ).persist()
-    ex.count()  # two consumers below — materialize the explode once
-    df_tab = ex.groupBy("_g").agg(F.countDistinct("_id").alias("_df"))
-    per_doc = (
-        ex.join(df_tab, "_g")
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
-                "unique_grams"
-            ),
-        )
+    # sets feeds the gram explode AND the per-doc size — persist the
+    # per-doc arrays (narrower than the explode the old shape pinned)
+    sets = shingle_sets(docs, id_col, text_col, k=n).persist()
+    sets.count()
+    ex = sets.select(F.col("_id"), F.explode("_sh").alias("_g"))
+    uniq = (
+        ex.groupBy("_g")
+        .agg(F.count("*").alias("_df"), F.min("_id").alias("_owner"))
+        .where(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias("_id"))
+        .agg(F.count("*").alias("unique_grams"))
     )
+    per_doc = sets.select(
+        "_id", F.size("_sh").cast("bigint").alias("n_grams")
+    ).join(uniq, "_id", "left")
     out = per_doc.select(
         F.col("_id").alias(id_col),
-        F.col("n_grams").cast("bigint").alias("n_grams"),
-        F.col("unique_grams").cast("bigint").alias("unique_grams"),
+        "n_grams",
+        F.coalesce(F.col("unique_grams"), F.lit(0))
+        .cast("bigint")
+        .alias("unique_grams"),
         F.round(
-            F.col("unique_grams").cast("double") / F.col("n_grams"), 6
+            F.coalesce(F.col("unique_grams"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            6,
         ).alias("uniqueness"),
     )
     # one row per doc — cheap to checkpoint eagerly, and releasing the
-    # persisted explode here keeps repeated calls from accumulating
+    # persisted sets here keeps repeated calls from accumulating
     # executor storage in a long-lived session. SIDE EFFECT: the
     # operator executes at call time (eager=False would unpersist the
-    # explode before it is ever reused); compose further filters on
-    # the per-doc RESULT, not into this plan
+    # shingle sets before they are ever reused); compose further
+    # filters on the per-doc RESULT, not into this plan
     out = out.localCheckpoint(eager=True)
-    ex.unpersist()
+    sets.unpersist()
     return out
 
 

@@ -952,44 +952,33 @@ def simhash_jaccard_calibration(
         docs, id_col, text_col, max_hamming, n_blocks,
         hash_source="md5",
     )
-    # THREE consumers below (A side, B side, sizes) — without the
-    # persist each re-runs the tokenize+explode+distinct corpus pass
-    # (observed 9.7 -> 5.5 s warm at sf0.1); the bounded result is
-    # eagerly checkpointed so the persist can be released at return
-    tk = docs.select(
-        F.col(id_col).alias("_d"), F.explode(tokens(text_col)).alias("_t")
-    ).distinct().persist()
-    sz = tk.groupBy("_d").agg(F.count("*").alias("_sz"))
-    a = tk.select(F.col("_d").alias("id_a"), "_t")
-    b = tk.select(F.col("_d").alias("id_b"), F.col("_t").alias("_tb"))
-    # (pair, token-of-A) left-joined to B's tokens on (id_b, token):
-    # matched rows count toward |A∩B|; pairs with zero overlap keep
-    # their rows (all unmatched) and fold to _inter = 0
-    inter = (
-        pairs.join(a, "id_a")
-        .join(
-            b,
-            (pairs["id_b"] == b["id_b"]) & (F.col("_t") == F.col("_tb")),
-            "left",
-        )
-        .drop(b["id_b"])
-        .groupBy("id_a", "id_b", "hamming")
-        .agg(
-            F.sum(
-                F.when(F.col("_tb").isNotNull(), 1).otherwise(0)
-            ).alias("_inter")
-        )
+    # Exact token-set verify, the minhash/containment idiom: the token
+    # SET of a doc is a single map-side projection (array_distinct over
+    # the tokenizer — no explode, no distinct shuffle, no persist), and
+    # |A∩B| is one array_intersect per surviving pair. The former
+    # explode-join form shipped (pair × |A-tokens|) rows through a
+    # two-key left join + re-aggregation, and its exploded corpus pass
+    # fed three consumers (guide §2.3/§2.4: fewer shuffles, decide on
+    # small rows). Values identical: same distinct-token sets, same
+    # |A∩B| / (|A|+|B|−|A∩B|) double arithmetic — integer sizes either
+    # way, one double division per pair.
+    tsets = docs.select(
+        F.col(id_col).alias("_d"),
+        F.array_distinct(tokens(text_col)).alias("_ts"),
     )
+    inter_sz = F.size(F.array_intersect("_ta", "_tb"))
     j = (
-        inter.join(sz.withColumnRenamed("_d", "id_a")
-                   .withColumnRenamed("_sz", "_sa"), "id_a")
-        .join(sz.withColumnRenamed("_d", "id_b")
-              .withColumnRenamed("_sz", "_sb"), "id_b")
+        pairs.join(
+            tsets.select(F.col("_d").alias("id_a"),
+                         F.col("_ts").alias("_ta")), "id_a")
+        .join(
+            tsets.select(F.col("_d").alias("id_b"),
+                         F.col("_ts").alias("_tb")), "id_b")
         .select(
             "hamming",
             F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+                inter_sz.cast("double")
+                / (F.size("_ta") + F.size("_tb") - inter_sz),
                 6,
             ).alias("_j"),
         )
@@ -1011,7 +1000,6 @@ def simhash_jaccard_calibration(
         )
         .localCheckpoint(eager=True)  # <= max_hamming+1 rows
     )
-    tk.unpersist()
     return out
 
 

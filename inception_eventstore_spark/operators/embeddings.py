@@ -123,8 +123,13 @@ def tfidf_bucket_weights(
     table being bucket-indexed (not vocabulary-indexed) keeps it O(dim)
     regardless of corpus size — the hashing trick applied to the
     statistics as well as the features."""
+    # counts feeds BOTH the per-bucket df aggregate and the weighted
+    # output rows — persist it or the tokenize+hash+aggregate chain
+    # executes twice (guide §5; the df aggregate's broadcast build runs
+    # first and fills the cache). Blocks are reaped by the
+    # ContextCleaner when the result frame is dropped.
     counts = bow_bucket_counts(docs, dim=dim, id_col=id_col,
-                               text_col=text_col, seed=seed)
+                               text_col=text_col, seed=seed).persist()
     n_docs = docs.select(id_col).distinct().count()
     df_per_bucket = counts.groupBy("bucket").agg(
         F.countDistinct(id_col).alias("_df")

@@ -62,9 +62,15 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     d = float(damping)
+    # E feeds THREE consumers (the node set, the out-degree aggregate,
+    # and the probe side of E2) — persist it or the caller's upstream
+    # edge-build plan (often a join, e.g. lineitem⋈orders in the
+    # declared custsupp queries) executes three times before the
+    # iterations even start (guide §2.4 / §5: one scan, not three).
+    # Released before return, after E2 (edges+outdeg) is materialized.
     E = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).repartition("src")
+    ).repartition("src").persist()
     # one scan, not a union of two: explode each edge into its endpoints
     nodes = (
         E.select(
@@ -75,6 +81,7 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        E.unpersist()
         raise ValueError("empty edge list")
     # The rank table is |nodes| rows — orders of magnitude below the
     # edge list. Below ~5M nodes it fits a broadcast comfortably, and
@@ -92,6 +99,8 @@ def pagerank(
     # plus one partial-aggregated groupBy(dst)
     outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
     E2 = E.join(maybe_b(outdeg), "src").cache()
+    E2.count()  # materialize from the persisted E, then release E
+    E.unpersist()
     base = (1.0 - d) / n
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -644,9 +653,11 @@ def personalized_pagerank(
         raise ValueError("seeds must be non-empty")
     d = float(damping)
     seeds = [int(s) for s in seeds]
+    # same three-consumer persist rationale as `pagerank` (node set,
+    # out-degree, E2 probe side) — one upstream edge-build, not three
     E = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).repartition("src")
+    ).repartition("src").persist()
     nodes = (
         E.select(
             F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
@@ -654,16 +665,25 @@ def personalized_pagerank(
         .distinct()
         .cache()
     )
-    n_seed_present = nodes.where(F.col("node").isin(seeds)).count()
+    # one aggregate answers both driver questions (seed presence and
+    # the broadcast dial) — previously two separate count jobs
+    _nrow = nodes.agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("node").isin(seeds), 1)).alias("_ns"),
+    ).first()
+    n_seed_present = int(_nrow["_ns"])
     if n_seed_present != len(set(seeds)):
+        E.unpersist()
         raise ValueError(
             f"{len(set(seeds)) - n_seed_present} seed(s) absent from "
             "the graph"
         )
-    bcast_n = nodes.count() <= 5_000_000
+    bcast_n = int(_nrow["_n"]) <= 5_000_000
     maybe_b = F.broadcast if bcast_n else (lambda df: df)
     outdeg = E.groupBy("src").agg(F.count("*").alias("outdeg"))
     E2 = E.join(maybe_b(outdeg), "src").cache()
+    E2.count()  # materialize from the persisted E, then release E
+    E.unpersist()
     s_mass = 1.0 / len(set(seeds))
     s_col = F.when(
         F.col("node").isin(seeds), F.lit(s_mass)

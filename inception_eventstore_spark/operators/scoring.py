@@ -27,7 +27,7 @@ any score column, e.g. this one).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from inception_eventstore_spark.operators.embeddings import bow_bucket_counts
@@ -416,46 +416,94 @@ def quantile_normalize(
     the mapping replays bit-for-bit. Values should be exact integers
     (quantized upstream).
 
-    Scale: two grouped_row_number passes (one range shuffle each) and
-    one rank-keyed equi-join of the ranked relation against the global
-    value table — all data-sized work is keyed, nothing funnels.
+    Scale/efficiency (r11): the in-group and global rankings share ONE
+    range partitioning. Both rank by the same total order (value, id),
+    and a shard of the (value, id) range respects the global order of
+    EVERY group's subsequence — so one repartitionByRange + one
+    checkpoint + one (shard, group)-count collect yields both the
+    per-group shard offsets and (summed across groups, in shard order)
+    the global ones. The former two grouped_row_number passes executed
+    the upstream scoring chain twice and ran two shuffles, two
+    checkpoints, two collects, plus a separate n_total action (guide
+    §2.4: shuffles share an exchange when keyed the same way). Ranks
+    are identical rank-for-rank, so the oracle hash-match is unchanged.
     """
     from inception_eventstore_spark.functions.ranking import (
-        grouped_row_number,
+        _OFF,
+        _PID,
+        _driver_df,
     )
 
+    spark = scored.sparkSession
+    num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     v = F.col(value_col)
     base = scored.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_g"),
         v.alias("_v"),
     ).where(v.isNotNull())
-    in_group = grouped_row_number(
-        base,
-        [F.col("_v"), F.col("_id")],
-        group_cols=["_g"],
-        rank_col="_r",
-        with_group_count="_ng",
+    order_cols = [F.col("_v"), F.col("_id")]
+    parts = (
+        base.repartitionByRange(num_shards, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    global_ranked = grouped_row_number(
-        base.select(F.col("_v").alias("_gv"), F.col("_id").alias("_gid")),
-        [F.col("_gv"), F.col("_gid")],
-        rank_col="_t",
-        with_group_count="_nt",
+    rows = (
+        parts.groupBy(_PID, "_g").agg(F.count("*").alias("_n")).collect()
     )
-    n_total = int(global_ranked.agg(F.max("_t")).first()[0] or 0)
-    target = in_group.withColumn(
-        "_t", F.expr(f"div(_r * {n_total} + _ng - 1, _ng)")
-    )
-    return (
-        target.join(
-            global_ranked.select("_t", "_gv"), "_t"
+    # one fold, three products: per-(shard, group) exclusive prefixes,
+    # per-shard global exclusive prefixes, and the group/global totals
+    grp_off: dict = {}
+    glob_off: dict[int, int] = {}
+    glob_acc = 0
+    grp_rows, glob_rows = [], []
+    for r in sorted(rows, key=lambda r: (r[_PID], str(r["_g"]))):
+        pid = int(r[_PID])
+        key = r["_g"]
+        grp_rows.append((pid, key, grp_off.get(key, 0)))
+        grp_off[key] = grp_off.get(key, 0) + int(r["_n"])
+        if pid not in glob_off:
+            glob_off[pid] = glob_acc
+        glob_acc += int(r["_n"])
+    glob_rows = [(p, o) for p, o in glob_off.items()]
+    n_total = glob_acc
+    off_schema = parts.select(
+        F.col(_PID), F.col("_g"), F.lit(0).cast("long").alias(_OFF)
+    ).schema
+    off_df = _driver_df(spark, grp_rows, off_schema)
+    goff_df = _driver_df(spark, glob_rows, f"{_PID} int, _goff long")
+    ng_rows = [(k, int(n)) for k, n in grp_off.items()]
+    ng_schema = parts.select(
+        F.col("_g"), F.lit(0).cast("long").alias("_ng")
+    ).schema
+    ng_df = _driver_df(spark, ng_rows, ng_schema)
+    w_grp = Window.partitionBy(_PID, "_g").orderBy(*order_cols)
+    w_glob = Window.partitionBy(_PID).orderBy(*order_cols)
+    ranked = (
+        parts.join(F.broadcast(off_df), [_PID, "_g"])
+        .join(F.broadcast(goff_df), _PID)
+        .join(F.broadcast(ng_df), "_g")
+        .withColumn(
+            "_r", (F.col(_OFF) + F.row_number().over(w_grp)).cast("bigint")
         )
+        .withColumn(
+            "_ts",
+            (F.col("_goff") + F.row_number().over(w_glob)).cast("bigint"),
+        )
+    )
+    target = ranked.select(
+        "_id", "_g", "_v", "_r", F.col("_ng"),
+        F.expr(f"div(_r * {n_total} + _ng - 1, _ng)").alias("_t"),
+    )
+    global_vals = ranked.select(F.col("_ts").alias("_t"),
+                                F.col("_v").alias("_gv"))
+    return (
+        target.join(global_vals, "_t")
         .select(
             F.col("_id").alias(id_col),
             F.col("_g").alias(group_col),
             F.col("_v").alias(value_col),
-            F.col("_r").cast("bigint").alias("group_rank"),
+            F.col("_r").alias("group_rank"),
             F.col("_ng").cast("bigint").alias("group_n"),
             F.col("_gv").alias(f"{value_col}_qnorm"),
         )

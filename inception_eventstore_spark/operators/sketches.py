@@ -586,16 +586,31 @@ def kmv_sketch(
         ranked = cand.withColumn(
             "r", F.row_number().over(w2).cast("bigint")
         )
-    else:
-        # no group key → a plain window would be a SinglePartition
-        # funnel; rank the (bounded) candidates with the two-phase
-        # shard rank instead
-        from inception_eventstore_spark.functions.ranking import (
-            grouped_row_number,
-        )
+        return ranked.where(F.col("r") <= k)
+    # no group key → a plain window would be a SinglePartition funnel,
+    # and the two-phase shard rank (used through r10) costs a range
+    # shuffle + checkpoint + collect for a relation that phase 1 has
+    # already bounded to ≤ k·shards rows AT ANY INPUT SCALE. Finish
+    # driver-side instead (the km_survival bounded-axis pattern):
+    # TakeOrdered pulls the k smallest candidates (per-partition top-k
+    # + driver merge, no full sort), ranks are assigned in python, and
+    # the k-row certificate returns via a 1-slice local frame.
+    return _kmv_rank_bounded(df.sparkSession, cand, k)
 
-        ranked = grouped_row_number(cand, [F.col("h")], rank_col="r")
-    return ranked.where(F.col("r") <= k)
+
+def _kmv_rank_bounded(spark, cand: DataFrame, k: int) -> DataFrame:
+    """(h, r) = the k smallest hashes of a BOUNDED candidate relation,
+    ranked 1..k — the driver finish shared by the ungrouped
+    ``kmv_sketch`` path and ``kmv_merge``. ``cand`` must be bounded by
+    construction (≤ k·shards rows / ≤ Σ k_i rows), so the k-row collect
+    is driver-safe at any corpus size; orderBy().limit() executes as
+    TakeOrdered (per-partition top-k + driver merge, never a global
+    sort)."""
+    rows = cand.select("h").orderBy("h").limit(int(k)).collect()
+    out = [(int(r["h"]), i + 1) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), "h bigint, r bigint"
+    )
 
 
 def kmv_estimate(
@@ -642,16 +657,15 @@ def kmv_merge(
     """
     from functools import reduce
 
-    from inception_eventstore_spark.functions.ranking import (
-        grouped_row_number,
-    )
-
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
     u = reduce(
         lambda a, b: a.unionByName(b),
         [s.select("h") for s in sketches],
     ).distinct()
-    ranked = grouped_row_number(u, [F.col("h")], rank_col="r")
-    return ranked.where(F.col("r") <= k)
+    # input is ≤ Σ k_i rows by the sketch contract — driver finish
+    # (same bounded-axis rationale as the ungrouped kmv_sketch path)
+    return _kmv_rank_bounded(sketches[0].sparkSession, u, k)
 
 
 def kmv_oracle_sql(

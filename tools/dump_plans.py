@@ -981,12 +981,12 @@ CHECKS = {
         ("distinct (type, hash) pairs partial-aggregate before the "
          "shuffle — only distinct survivors move",
          r"HashAggregate.*partial|partial_count"),
-        # the sketch itself is checkpointed (≤ k·|types| rows) so its
-        # two-phase build is probe-hidden; the visible merge rank must
-        # fan across _gr_pid shards, never one task
-        ("merged-sketch global rank fans across range shards",
-         r"hashpartitioning\(_gr_pid"),
-        ("per-group estimate aggregates the checkpointed k-row sketch",
+        # the merge rank is a DRIVER FINISH over the ≤ Σk-row bounded
+        # union (r11, km_survival bounded-axis pattern) — the merged
+        # certificate re-enters as a 1-slice local frame; the grouped
+        # sketch stays checkpointed (≤ k·|types| rows)
+        ("merged sketch + per-group sketch re-enter as bounded local "
+         "frames (driver finish)",
          r"Scan ExistingRDD"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
