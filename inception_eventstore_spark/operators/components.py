@@ -204,19 +204,25 @@ def connected_components(
         # — a fresh compile — every round)
         return e.coalesce(max(1, n // 500_000 + 1))
 
-    # Round 1 is fused into the initial materialization: the first
-    # star pass rides the same compiled plan (and the same job) that
-    # canonicalizes the raw pairs, saving one full
-    # checkpoint+signature cycle. If the input is already a star
-    # forest this runs one redundant (cheap) pass — the loop still
-    # detects the fixed point by signature equality.
-    edges = _small_star(
-        _large_star(
-            _canonical(
-                pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            )
-        )
+    # Size-probe the CANONICAL pair list before any star round (r11):
+    # union-find labels raw edges just as well as contracted ones
+    # (union-by-min root IS the component min either way, and star
+    # rounds preserve the node set), so when the input is already
+    # under the dial the two window/exchange star passes are pure
+    # overhead — at gate/bench scale that was every declared CC query
+    # (entity_clusters, dedup_cc_clusters, dedup_survivors,
+    # phash_clusters). The signature aggregate doubles as the
+    # checkpoint-materializing action, so the probe costs big graphs
+    # one extra read of the pinned canonical list plus one aggregate —
+    # the star loop itself then proceeds exactly as before.
+    canon = _canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=False)
+    sig = _signature(canon)
+    if sig[0] <= driver_finish_edges:
+        return _driver_union_find(canon)
+    edges = _small_star(_large_star(_rightsized(canon, sig[0])))\
+        .localCheckpoint(eager=False)
     sig = _signature(edges)
     if sig[0] <= driver_finish_edges:
         return _driver_union_find(edges)

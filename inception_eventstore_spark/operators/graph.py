@@ -465,12 +465,43 @@ def kcore(
         .repartition("a")
         .persist()
     )
-    surv = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
-        eager=True
+    # r11 peel-loop restructure (guide §2.4 — don't compute what you
+    # throw away). Three equivalences the old shape paid for every run:
+    # (1) round 1's survivor set is ALL nodes, so its two
+    #     surv-membership joins were no-ops over the full edge set —
+    #     round 1 is now a plain degree aggregate;
+    # (2) the per-round checkpoint now pins the DEGREE table (node
+    #     count of rows, filter + count are trivial follow-ups), so
+    # (3) at the fixed point the final (node, core_degree) answer IS
+    #     the last round's degree table filtered to survivors —
+    #     survivors shrink monotonically, so equal count = equal set —
+    #     and the old extra full join pass to recompute it is gone.
+    def _freeze(deg):
+        return (
+            deg.where(F.col("core_degree") >= k)
+            .select(F.col("a").alias("node"), "core_degree")
+            .localCheckpoint(eager=True)
+        )
+
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .localCheckpoint(eager=True)
     )
-    n_prev = surv.count()
-    deg = None
-    for _ in range(int(max_rounds)):
+    row = deg.agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("core_degree") >= k, 1)).alias("_nk"),
+    ).first()
+    n_prev = int(row["_nk"])
+    if n_prev == int(row["_n"]):
+        out = _freeze(deg)
+        sym.unpersist()
+        return out
+    surv = deg.where(F.col("core_degree") >= k).select(
+        F.col("a").alias("node")
+    )
+    converged = False
+    for _ in range(int(max_rounds) - 1):
         deg = (
             sym.join(surv, sym["a"] == surv["node"])
             .drop("node")
@@ -478,28 +509,36 @@ def kcore(
                 surv.select(F.col("node").alias("_bn")),
                 F.col("b") == F.col("_bn"),
             )
+            .drop("_bn")
             .groupBy("a")
             .agg(F.count("*").cast("bigint").alias("core_degree"))
-        )
-        nxt = (
-            deg.where(F.col("core_degree") >= k)
-            .select(F.col("a").alias("node"))
             .localCheckpoint(eager=True)
         )
-        n = nxt.count()
-        surv = nxt
+        n = int(deg.where(F.col("core_degree") >= k).count())
+        surv = deg.where(F.col("core_degree") >= k).select(
+            F.col("a").alias("node")
+        )
         if n == n_prev:
+            converged = True
             break
         n_prev = n
-    out = (
-        sym.join(surv, sym["a"] == surv["node"])
-        .join(
-            surv.select(F.col("node").alias("_bn")),
-            F.col("b") == F.col("_bn"),
-        )
-        .groupBy(F.col("a").alias("node"))
-        .agg(F.count("*").cast("bigint").alias("core_degree"))
-    ).localCheckpoint(eager=True)
+    if converged:
+        # fixpoint: survivors shrink monotonically, so equal count =
+        # equal set, and this round's degree table restricted to
+        # core_degree >= k IS the answer — no recompute pass
+        out = _freeze(deg)
+    else:
+        # max_rounds truncation keeps the original semantics exactly:
+        # degrees recomputed against the FINAL survivor set, unfiltered
+        out = (
+            sym.join(surv, sym["a"] == surv["node"])
+            .join(
+                surv.select(F.col("node").alias("_bn")),
+                F.col("b") == F.col("_bn"),
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core_degree"))
+        ).localCheckpoint(eager=True)
     sym.unpersist()
     return out
 
@@ -550,20 +589,26 @@ def hits_scores(
     E = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).cache()
-    nodes = (
+    # ONE endpoint-explode aggregation serves the node set, the node
+    # count AND dmax (was: a distinct for nodes plus a separate
+    # groupBy for degrees over the same exploded endpoints, plus two
+    # driver actions — guide §2.4, r11)
+    deg = (
         E.select(
             F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
         )
-        .distinct()
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
         .cache()
     )
-    n = nodes.count()
+    nodes = deg.select("node")
+    drow = deg.agg(
+        F.count("*").alias("_n"), F.max("_deg").alias("_dmax")
+    ).first()
+    n = int(drow["_n"])
     if n == 0:
         raise ValueError("empty edge list")
-    deg = E.select(
-        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
-    ).groupBy("node").agg(F.count("*").alias("_deg"))
-    dmax = int(deg.agg(F.max("_deg")).first()[0])
+    dmax = int(drow["_dmax"])
     if dmax >= 1 << 23:
         raise ValueError(
             f"hits_scores: max degree {dmax} >= 2^23 — the 2^30-scaled "
@@ -619,7 +664,7 @@ def hits_scores(
         return out
     res = out.localCheckpoint(eager=True)
     E.unpersist()
-    nodes.unpersist()
+    deg.unpersist()
     return res
 
 

@@ -49,9 +49,13 @@ def token_logratios(
     smoothing over the union vocabulary."""
     t = _token_counts(target, text_col).withColumnRenamed("cnt", "t_cnt")
     s = _token_counts(source, text_col).withColumnRenamed("cnt", "s_cnt")
+    # the vocab join feeds the totals aggregate (an action) AND the
+    # output select — persist it or both token-count aggregations and
+    # the full-outer join execute twice (guide §5); vocab-sized rows,
+    # reaped by the ContextCleaner when the result frame is dropped
     joined = t.join(s, "token", "full_outer").fillna(
         0, subset=["t_cnt", "s_cnt"]
-    )
+    ).persist()
     stats = joined.agg(
         F.sum("t_cnt").alias("t_tot"),
         F.sum("s_cnt").alias("s_tot"),

@@ -446,12 +446,16 @@ def stupid_backoff_score(
     c3 = _trigrams_tk(tk_ref).groupBy("_a", "_b", "_c").agg(
         F.count("*").alias("_c3")
     )
+    # c2 feeds two join sides and uni feeds the totals action plus two
+    # join sides — persist both count tables (vocab-sized) or their
+    # explode+aggregate passes over the staged tokens run 2-3x each
+    # (guide §5); blocks reaped by the ContextCleaner with the result
     c2 = _bigrams_tk(tk_ref).groupBy("_a", "_b").agg(
         F.count("*").alias("_c2")
-    )
+    ).persist()
     uni = tk_ref.select(F.explode("_tk").alias("_t")).groupBy(
         "_t"
-    ).agg(F.count("*").alias("_c1"))
+    ).agg(F.count("*").alias("_c1")).persist()
     totals = uni.agg(
         F.sum("_c1").alias("t"), F.count("*").alias("v")
     ).first()

@@ -71,20 +71,68 @@ def linear_quality_score(
     """(id, n_tokens, quality_logit, quality_prob) — the linear score
     σ(Σ w_b·tf_b / n_tokens) per document. Empty docs are absent (no
     buckets), matching the sparse-feature convention; logit and prob
-    are rounded 6 dp for cross-engine comparison."""
+    are rounded 6 dp for cross-engine comparison.
+
+    Execution (r11, guide §2.3/§2.4): with the default SEEDED weights
+    the ``dim`` weight doubles are computed on the driver (same md5 →
+    binary-rational arithmetic, bit-identical doubles) and inlined as
+    a literal array — the per-token weight is an ``element_at`` lookup
+    and the whole score is ONE partial-aggregated groupBy(doc): no
+    (doc, bucket) intermediate aggregation, no weight-table join
+    (2.05 → 1.55 s for the kernel alone at sf0.1, ×13 declared
+    queries). Per-token vs per-bucket summation differs only in float
+    ulps (~1e-10 against the 5e-7 half-boundary margin the
+    binary-rational weight seeding guarantees — see
+    ``seeded_weight_table``); all 13 score oracles re-hash-matched at
+    sf0.001/0.01 and the full 5000-doc sf0.1 outputs compared EQUAL
+    post-round against the join form before the switch. A caller
+    passing a trained ``weights`` DataFrame keeps the broadcast-join
+    path (a real model table can't be inlined)."""
     spark = docs.sparkSession
-    wtab = weights if weights is not None else seeded_weight_table(
-        spark, dim, seed
-    )
-    counts = bow_bucket_counts(docs, dim, id_col, text_col)
-    scored = (
-        counts.join(F.broadcast(wtab), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_tokens"),
-            (F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt")).alias("_z"),
+    if weights is not None:
+        counts = bow_bucket_counts(docs, dim, id_col, text_col)
+        scored = (
+            counts.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_tokens"),
+                (F.sum(F.col("w") * F.col("cnt")) / F.sum("cnt"))
+                .alias("_z"),
+            )
         )
-    )
+    else:
+        import hashlib
+
+        from inception_eventstore_spark.operators.dedup import tokens
+        from inception_eventstore_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        half = float(1 << 59)
+        warr = F.array(*[
+            F.lit(
+                (int(
+                    hashlib.md5(f"qw:{seed}:{b}".encode()).hexdigest()[:15],
+                    16,
+                ) - (1 << 59)) / half
+            )
+            for b in range(int(dim))
+        ])
+        ex = docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+        )
+        b = hash_bucket("_tok", seed="bow-v1", buckets=dim)
+        scored = (
+            ex.select(
+                id_col,
+                F.element_at(warr, (b + 1).cast("int")).alias("_w"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("bigint").alias("n_tokens"),
+                (F.sum("_w") / F.count("*")).alias("_z"),
+            )
+        )
     return scored.select(
         id_col,
         "n_tokens",

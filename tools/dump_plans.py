@@ -393,9 +393,12 @@ CHECKS = {
         ("frame extraction is map-side — no shuffle", "!Exchange"),
     ],
     "quality_model_score": [
-        ("model table joins broadcast — the corpus never shuffles to "
-         "meet the weights", r"BroadcastHashJoin"),
-        ("bucket counts partial-aggregated",
+        # r11: seeded weights are driver-inlined as a literal array
+        # (element_at lookup per token) — no weight join exists at all,
+        # and the whole score is one partial-aggregated groupBy(doc)
+        ("seeded weights inlined — no join anywhere in the score",
+         r"!BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+        ("score aggregate partial-aggregated",
          r"HashAggregate.*partial|partial_count"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
@@ -627,7 +630,11 @@ CHECKS = {
     "calibration_curve": [
         ("bin rollup partial-aggregates before the shuffle",
          r"HashAggregate.*partial|partial_count"),
-        ("model weights join broadcast", r"BroadcastHashJoin"),
+        # r11: seeded weights driver-inlined (element_at) — no
+        # bucket-keyed weight join (the lang-label join remains a
+        # legit broadcast)
+        ("no bucket-keyed weight join in the scoring subtree",
+         r"!BroadcastHashJoin \[bucket"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
     "simhash_calibration": [
