@@ -457,7 +457,7 @@ def winnow_matches(
     # the fingerprint relation feeds THREE consumers (the df filter and
     # both sides of the inverted-index self-join) — persist it or the
     # whole per-char-position hash + per-doc window pipeline executes
-    # three times (guide §5; measured 4.6 → 2.9 s isolated at sf0.1).
+    # three times (guide §5; measured 4.6 → 1.8 s isolated at sf0.1).
     # The count materializes it before the concurrent join stages; the
     # ContextCleaner reaps the blocks once the result DataFrame is
     # dropped (bench/session GC discipline, same as minhash_lsh_pairs).
