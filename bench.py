@@ -633,7 +633,19 @@ def _run_batch(batch: list[str], sf_dir: str) -> dict:
     # every query, OUTSIDE the timed sections, so each query runs
     # against a clean executor storage pool like it would in a fresh
     # job.
+    #
+    # r12 (VERDICT r11 #1 — cache honesty): clearCache() as well.
+    # persist() registers the plan in the session CacheManager, which
+    # pins the InMemoryRelation until an explicit unpersist — the GC
+    # nudge alone cannot reap it. A warm pass that rebuilds the
+    # IDENTICAL plan then reads the previous pass's columnar cache and
+    # the min-of-N estimator reports near-zero recompute (r11: winnow
+    # cold 5.75 s vs cache-assisted warm 1.78 s). Clearing the session
+    # cache between timed queries makes every sample an honest
+    # fresh-computation measurement; the ANN/prop/phash prebuilds are
+    # parquet directories on disk, untouched by this.
     def _gc() -> None:
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
     # Pass structure (r11, VERDICT r10 next #1b — cut wall): the old

@@ -46,6 +46,11 @@ def main() -> int:
     qs["x5_min_ts"](spark, sf_dir).collect()
 
     def _gc() -> None:
+        # cache honesty (VERDICT r11 #1): persist() pins plans in the
+        # session CacheManager across reps — rep1+ would read rep0's
+        # columnar cache and report near-zero recompute. Same
+        # discipline as bench.py's timing loop.
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
     def njobs() -> int:
