@@ -217,12 +217,18 @@ class LshVectorIndex:
             .select("query_id", "match_id", "_mv")
             .dropDuplicates(["query_id", "match_id"])
         )
-        return (
+        out = (
             cand.join(sigged.select("query_id", "_qv"), "query_id")
             .withColumn("cosine", _cosine_pair_udf()(F.col("_qv"), F.col("_mv")))
             .where(F.col("cosine") >= threshold)
             .select("query_id", "match_id", "cosine")
         )
+        # checkpoint the match-sized report, release the query-signature
+        # cache (containment discipline, r12 — no CacheManager pin
+        # outlives the call)
+        out = out.localCheckpoint(eager=True)
+        sigged.unpersist()
+        return out
 
     def append_unique(self, embeddings: DataFrame,
                       threshold: float = 0.99) -> DataFrame:

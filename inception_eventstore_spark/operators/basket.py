@@ -173,8 +173,10 @@ def item_item_topk(
         raise ValueError("k must be >= 1")
     # b feeds THREE consumers (freq + both self-join sides) — persist
     # or the dedup + size-cap chain executes three times (guide §5;
-    # same rationale as association_rules' persist above). Blocks are
-    # reaped by the ContextCleaner when the result frame is dropped.
+    # same rationale as association_rules' persist above), then
+    # eager-checkpoint the catalog×k-bounded result and RELEASE b
+    # before returning (association_rules' own discipline, VERDICT r11
+    # #1 — a bare persist pins the CacheManager entry for the session).
     b = _prep(baskets, basket_col, item_col, max_basket_items).persist()
     b.count()  # materialize before the concurrent join stages
     freq = b.groupBy(F.col("_it").alias("item_a")).agg(
@@ -212,7 +214,7 @@ def item_item_topk(
         F.col("pair_count").desc(),
         "item_b",
     )
-    return (
+    out = (
         joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select(
@@ -224,4 +226,6 @@ def item_item_topk(
             "cos2_micro",
             "rank",
         )
-    )
+    ).localCheckpoint(eager=True)
+    b.unpersist()
+    return out

@@ -212,18 +212,27 @@ def connected_components(
     # overhead — at gate/bench scale that was every declared CC query
     # (entity_clusters, dedup_cc_clusters, dedup_survivors,
     # phash_clusters). The signature aggregate doubles as the
-    # checkpoint-materializing action, so the probe costs big graphs
-    # one extra read of the pinned canonical list plus one aggregate —
-    # the star loop itself then proceeds exactly as before.
+    # materializing action, so the probe costs big graphs one extra
+    # read of the cached canonical list plus one aggregate — the star
+    # loop itself then proceeds exactly as before.
+    #
+    # canon is persist()ed (not localCheckpoint'd) so it can be
+    # RELEASED the moment its last consumer has materialized — the
+    # driver collect on the small path, the round-1 star checkpoint on
+    # the big path. An edge-sized checkpoint would otherwise stay
+    # pinned until a JVM GC (the r5 leak class; ADVICE r11).
     canon = _canonical(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=False)
+    ).persist()
     sig = _signature(canon)
     if sig[0] <= driver_finish_edges:
-        return _driver_union_find(canon)
+        out = _driver_union_find(canon)
+        canon.unpersist()
+        return out
     edges = _small_star(_large_star(_rightsized(canon, sig[0])))\
         .localCheckpoint(eager=False)
     sig = _signature(edges)
+    canon.unpersist()
     if sig[0] <= driver_finish_edges:
         return _driver_union_find(edges)
     edges = _rightsized(edges, sig[0])

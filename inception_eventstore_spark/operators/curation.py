@@ -110,9 +110,11 @@ def curation_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     paras = F.col("_paras")
     n_words = F.size(toks)
     n_lines = F.size(lines)
-    total_word_chars = F.aggregate(
-        toks, F.lit(0), lambda a, t: a + F.length(t)
-    )
+    # Σ token lengths WITHOUT an F.aggregate fold (interpreted per
+    # element — the CLAUDE.md 30× rule): the length of the
+    # empty-joined token array is the same exact integer, computed by
+    # one codegen'd expression (r12).
+    total_word_chars = F.length(F.array_join(toks, ""))
     n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     # Gopher's symbol set: '#' and ellipsis ('…' or '...')
     n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
@@ -451,20 +453,32 @@ def quality_signal_correlations(
         ("word_count", "lm_score"),
         ("mean_word_len", "lm_score"),
     ]
-    aggs = [F.count("*").alias("_n")]
+    aggs = [F.count("*").cast("bigint").alias("_n")]
     for a, b in pairs:
-        aggs.append(F.corr(F.col(a).cast("double"), F.col(b)).alias(f"_c_{a}_{b}"))
-    row = j.agg(*aggs)
-    out = None
-    for a, b in pairs:
-        part = row.select(
-            F.lit(a).alias("signal_a"),
-            F.lit(b).alias("signal_b"),
-            F.round(F.col(f"_c_{a}_{b}"), 6).alias("corr"),
-            F.col("_n").cast("bigint").alias("n"),
+        # round INSIDE the aggregate row (Spark HALF_UP), never on the
+        # driver (python round() is half-even — cross-engine rule)
+        aggs.append(
+            F.round(
+                F.corr(F.col(a).cast("double"), F.col(b)), 6
+            ).alias(f"_c_{a}_{b}")
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    # ONE driver collect of the single aggregate row, then a 1-slice
+    # local frame (r12, guide §2.4): the previous 3-way union of
+    # row.select(...) embedded the whole feature+LM aggregation chain
+    # THREE times in the plan — the c2 count subtree executed once per
+    # union branch (visible in plans/r12/quality_correlations_before:
+    # three `Exchange SinglePartition` aggregate branches).
+    from inception_eventstore_spark.plans.queries import _local_df
+
+    vals = j.agg(*aggs).collect()[0]
+    rows = [
+        (a, b, vals[f"_c_{a}_{b}"], int(vals["_n"])) for a, b in pairs
+    ]
+    return _local_df(
+        docs.sparkSession,
+        rows,
+        "signal_a string, signal_b string, corr double, n bigint",
+    )
 
 
 def boilerplate_fraction(

@@ -238,27 +238,35 @@ def ngram_novelty(
             .distinct()
         )
 
-    tr = _grams(train)
-    te = _grams(test)
-    n_tr = tr.agg(F.count("*").cast("bigint").alias("n_train_grams"))
-    n_te = te.agg(F.count("*").cast("bigint").alias("n_test_grams"))
-    n_nov = te.join(tr, "gh", "left_anti").agg(
-        F.count("*").cast("bigint").alias("n_novel")
-    )
-    return (
-        n_tr.crossJoin(F.broadcast(n_te))
-        .crossJoin(F.broadcast(n_nov))
-        .select(
-            "n_train_grams",
-            "n_test_grams",
-            "n_novel",
-            F.when(
-                F.col("n_test_grams") > 0,
-                F.round(
-                    F.col("n_novel").cast("double")
-                    / F.col("n_test_grams"),
-                    6,
-                ),
-            ).alias("novelty"),
+    # ONE pass per split (r12, guide §2.4): the three counts used to
+    # run each distinct-gram pipeline twice (its own count + one side
+    # of an anti-join). A full-outer join of the two distinct sets on
+    # the gram hash carries presence markers for both sides, so ONE
+    # scalar aggregate yields all three counts — and both join inputs
+    # arrive already hash-partitioned on gh from their distinct
+    # aggregates, so the join adds no exchange. Integers identical.
+    tr = _grams(train).withColumn("_t", F.lit(1))
+    te = _grams(test).withColumn("_e", F.lit(1))
+    row = (
+        tr.join(te, "gh", "full_outer")
+        .agg(
+            F.count("_t").cast("bigint").alias("n_train_grams"),
+            F.count("_e").cast("bigint").alias("n_test_grams"),
+            F.count(
+                F.when(F.col("_e").isNotNull() & F.col("_t").isNull(), 1)
+            ).cast("bigint").alias("n_novel"),
         )
+    )
+    return row.select(
+        "n_train_grams",
+        "n_test_grams",
+        "n_novel",
+        F.when(
+            F.col("n_test_grams") > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_test_grams"),
+                6,
+            ),
+        ).alias("novelty"),
     )

@@ -14,13 +14,16 @@ Shuffle profile: each near-dup variant shuffles once on the bucket key
 pairs; candidate verification is a self-join restricted to bucket
 partners, never a full cross join.
 
-Cache lifecycle: the narrow intermediates feeding both sides of each
-self-join are persisted (MEMORY_AND_DISK) and intentionally left to the
-CacheManager — the returned DataFrames reference them lazily, so an
-eager unpersist would silently recompute the whole upstream on first
-use. Entries are a few bytes per document and evict under storage-
-memory pressure; long-lived services cycling many corpora can call
-``spark.catalog.clearCache()`` between runs.
+Cache lifecycle (r12): the narrow intermediates feeding both sides of
+each self-join are persisted (MEMORY_AND_DISK) with a materializing
+count, the pair-sized RESULT is eagerly localCheckpoint'ed, and the
+persisted inputs are unpersisted before return — no CacheManager entry
+outlives any operator call (VERDICT r11 #1: a bare persist pinned the
+entry for the whole session, leaking storage in long-lived services
+and letting identical rebuilt plans silently read a previous run's
+cache). Side effect of the discipline: these operators EXECUTE at
+call time; compose filters on the returned pair report (pair-sized),
+not on the plan.
 """
 
 from __future__ import annotations
@@ -265,16 +268,16 @@ def minhash_lsh_pairs(
     # through the band explode would multiply shuffle volume ×bands.
     # n_bases = rows_per_band keeps every band's rows on independent
     # base hashes (the ~J^r selectivity the S-curve math assumes)
-    banded = band_hashes(
+    banded0 = band_hashes(
         minhash_signatures(sets, num_hashes, n_bases=rows_per_band),
         bands, rows_per_band,
     ).persist()  # both sides of the bucket self-join read this (16 rows ×
     # 20 bytes per doc) — without it the shingle+signature pipeline runs twice
-    banded.count()
+    banded0.count()
     from inception_eventstore_spark.functions.skew import cap_hot_buckets
 
     banded = cap_hot_buckets(
-        banded, ["_band", "_bh"], max_bucket, "minhash_lsh_pairs"
+        banded0, ["_band", "_bh"], max_bucket, "minhash_lsh_pairs"
     )
     left = banded.select("_band", "_bh", F.col("_id").alias("id_a"))
     right = banded.select("_band", "_bh", F.col("_id").alias("id_b"))
@@ -290,13 +293,22 @@ def minhash_lsh_pairs(
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.size(
         F.array_intersect("sh_a", "sh_b")
     ).cast("double")
-    return (
+    out = (
         cand.join(full_a, "id_a")
         .join(full_b, "id_b")
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # sever lineage (pair-sized, cap-bounded report), then RELEASE both
+    # persisted inputs — the containment_pairs discipline (r12, VERDICT
+    # r11 #1: a bare persist pinned the CacheManager entries for the
+    # session). Side effect: the operator executes at call time; filter
+    # the RESULT, not this plan.
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    banded0.unpersist()
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -432,7 +444,7 @@ def simhash_near_duplicates(
                          F.col("_sh").alias("sh_a"))
     right = blocks.select("_blk", "_bv", F.col("_id").alias("id_b"),
                           F.col("_sh").alias("sh_b"))
-    return (
+    out = (
         left.join(right, ["_blk", "_bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -440,6 +452,12 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # checkpoint the pair-sized report, release the signature cache
+    # (containment discipline, r12 — no CacheManager pin outlives the
+    # call). Executes at call time; filter the RESULT.
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -508,13 +526,20 @@ def ngram_jaccard_pairs(
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.size(
         F.array_intersect("sh_a", "sh_b")
     ).cast("double")
-    return (
+    out = (
         cand.join(full_a, "id_a")
         .join(full_b, "id_b")
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # checkpoint the pair-sized report, release both persisted inputs
+    # (containment discipline, r12). Executes at call time; filter the
+    # RESULT.
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    ranked.unpersist()
+    return out
 
 
 def duplicate_substring_spans(

@@ -124,12 +124,18 @@ def tfidf_bucket_weights(
     regardless of corpus size — the hashing trick applied to the
     statistics as well as the features."""
     # counts feeds BOTH the per-bucket df aggregate and the weighted
-    # output rows — persist it or the tokenize+hash+aggregate chain
-    # executes twice (guide §5; the df aggregate's broadcast build runs
-    # first and fills the cache). Blocks are reaped by the
-    # ContextCleaner when the result frame is dropped.
+    # output rows — stage it or the tokenize+hash+aggregate chain
+    # executes twice (guide §5). The OUTPUT is corpus-sized, so the
+    # persist→checkpoint-result→unpersist discipline can't apply; an
+    # eager localCheckpoint stages counts instead: the blocks are
+    # RDD-scoped (no CacheManager pin — an identical later plan can
+    # never silently read them), and the ContextCleaner reaps them on
+    # the next GC once the returned DataFrame is dropped. RETENTION
+    # CONTRACT: callers in long-lived sessions should drop the result
+    # promptly; bench.py nudges a GC after every query.
     counts = bow_bucket_counts(docs, dim=dim, id_col=id_col,
-                               text_col=text_col, seed=seed).persist()
+                               text_col=text_col, seed=seed
+                               ).localCheckpoint(eager=True)
     n_docs = docs.select(id_col).distinct().count()
     df_per_bucket = counts.groupBy("bucket").agg(
         F.countDistinct(id_col).alias("_df")

@@ -246,8 +246,24 @@ def bm25_multi_topk(
     Output: (query_id, rank, doc_id, score), score rounded to 6 dp
     BEFORE the (score desc, doc_id) cut.
     """
-    from pyspark.sql import Window
+    scored, _q = _multi_scored(
+        docs, queries, id_col, text_col, query_id_col, terms_col,
+        k1, b, corpus_stats,
+    )
+    return _topk_ranked(scored, k)
 
+
+def _multi_scored(
+    docs, queries, id_col, text_col, query_id_col, terms_col,
+    k1, b, corpus_stats, with_hits: bool = False,
+):
+    """(scored, q): the shared (query_id, doc_id, score[, _hit])
+    BM25 aggregate of `bm25_multi_topk`. ``with_hits`` additionally
+    carries the per-(query, doc) matched-DISTINCT-term count in the
+    SAME aggregate — a doc is one tf row per contained term, so the
+    count doubles as the conjunctive-relevance signal retrieval_map
+    needs (r12: saves the scorecards a second corpus tokenize+explode
+    pass; the score expression is untouched)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(terms_col).alias("token"),
@@ -269,13 +285,22 @@ def bm25_multi_topk(
         lambda df: df.join(F.broadcast(term_universe), "token", "left_semi"),
     )
     idf = _idf_table(tf, n_docs)
+    aggs = [F.round(F.sum("_s"), 6).alias("score")]
+    if with_hits:
+        aggs.append(F.count("*").cast("bigint").alias("_hit"))
     scored = (
         tf.join(F.broadcast(idf), "token")
         .join(F.broadcast(q), "token")
         .withColumn("_s", _bm25_term_score(k1, b, avgdl))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .agg(*aggs)
     )
+    return scored, q
+
+
+def _topk_ranked(scored, k: int):
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -449,6 +474,7 @@ def retrieval_ndcg(
     text_col: str = "text",
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """nDCG@k of the BM25 ranking against the term-coverage relevance
     proxy — the retrieval-quality scorecard: per query,
@@ -483,32 +509,21 @@ def retrieval_ndcg(
     warr = F.array(*[F.lit(float(x)) for x in w])
     wparr = F.array(*[F.lit(float(x)) for x in wpre])
 
-    ranked = bm25_multi_topk(
-        docs,
-        queries,
-        k=k,
-        id_col=id_col,
-        text_col=text_col,
-        query_id_col=query_id_col,
-        terms_col=terms_col,
+    # ONE corpus pass (r12, guide §2.4): the graded relevance (count of
+    # distinct query terms in the doc) IS the `_hit` column the shared
+    # BM25 aggregate can carry — the old second tokenize+explode+dedup
+    # corpus pass (doc_terms) is gone. scored feeds the rank window,
+    # the dcg join and the idcg grade-count — persist, checkpoint the
+    # |queries|-row result, release.
+    scored, _q = _multi_scored(
+        docs, queries, id_col, text_col, query_id_col, terms_col,
+        BM25_K1, BM25_B, None, with_hits=True,
     )
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(terms_col).alias("token"),
-        )
-        .withColumn("token", F.lower("token"))
-        .dropDuplicates(["query_id", "token"])
-    )
-    doc_terms = (
-        _tokenized(docs, id_col, text_col)
-        .select("doc_id", F.explode("_toks").alias("token"))
-        .dropDuplicates(["doc_id", "token"])
-    )
-    rel = (
-        doc_terms.join(F.broadcast(q), "token")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").cast("int").alias("rel"))
+    scored = scored.persist()
+    scored.count()  # materialize BEFORE the concurrent consumer stages
+    ranked = _topk_ranked(scored.drop("_hit"), k)
+    rel = scored.select(
+        "query_id", "doc_id", F.col("_hit").cast("int").alias("rel")
     )
     # Gain 2^rel - 1 on a BIGINT base, rel clamped to 62: an INT base
     # wraps mod 32 in Spark for rel >= 31 (DuckDB raises), so a query
@@ -553,7 +568,7 @@ def retrieval_ndcg(
         .groupBy("query_id")
         .agg(F.sum("_t").alias("_idcg"))
     )
-    return (
+    out = (
         dcg.join(idcg, "query_id")
         .where(F.col("_idcg") > 0)
         .select(
@@ -563,6 +578,11 @@ def retrieval_ndcg(
             F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
         )
     )
+    if not checkpoint:
+        return out  # plan inspection only — caches then outlive the call
+    out = out.localCheckpoint(eager=True)  # |queries| rows
+    scored.unpersist()
+    return out
 
 
 def phrase_search(
@@ -886,6 +906,7 @@ def retrieval_map(
     text_col: str = "text",
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Average precision at ``k`` of the BM25 ranking per query — the
     second standard retrieval scorecard next to :func:`retrieval_ndcg`,
@@ -913,35 +934,29 @@ def retrieval_map(
         raise ValueError("k must be >= 1")
     lcm = math.lcm(*range(1, k + 1))
 
-    ranked = bm25_multi_topk(
-        docs, queries, k=k, id_col=id_col, text_col=text_col,
-        query_id_col=query_id_col, terms_col=terms_col,
+    # ONE corpus pass (r12, guide §2.4): the BM25 aggregate already
+    # touches every (doc, query-term) posting, and a doc is relevant
+    # iff its matched-DISTINCT-term count equals the query's term
+    # count — so the relevance table falls out of the SAME aggregate
+    # (`_hit`) and the old second tokenize+explode+dedup corpus pass
+    # (doc_terms) is gone. scored feeds the rank window AND the
+    # relevance filter — persist, checkpoint the |queries|-row result,
+    # release.
+    scored, q = _multi_scored(
+        docs, queries, id_col, text_col, query_id_col, terms_col,
+        BM25_K1, BM25_B, None, with_hits=True,
     )
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(terms_col).alias("token"),
-        )
-        .withColumn("token", F.lower("token"))
-        .dropDuplicates(["query_id", "token"])
-    )
+    scored = scored.persist()
+    scored.count()  # materialize BEFORE the concurrent consumer stages
+    ranked = _topk_ranked(scored.drop("_hit"), k)
     m_terms = q.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("_m")
     )
-    doc_terms = (
-        _tokenized(docs, id_col, text_col)
-        .select("doc_id", F.explode("_toks").alias("token"))
-        .dropDuplicates(["doc_id", "token"])
-    )
     rel = (
-        doc_terms.join(F.broadcast(q), "token")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").cast("bigint").alias("_hit"))
-        .join(F.broadcast(m_terms), "query_id")
+        scored.join(F.broadcast(m_terms), "query_id")
         .where(F.col("_hit") == F.col("_m"))
         .select("query_id", "doc_id")
     )
-    rel = rel.localCheckpoint(eager=False)  # feeds R count + rank join
     r_tot = rel.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_rel")
     )
@@ -972,7 +987,7 @@ def retrieval_map(
             F.sum("_hit").cast("bigint").alias("n_rel_topk"),
         )
     )
-    return (
+    out = (
         hits.join(r_tot, "query_id")
         .where(F.col("n_rel") > 0)
         .select(
@@ -985,4 +1000,6 @@ def retrieval_map(
             ).alias("ap_ppm"),
         )
         .orderBy("query_id")
-    )
+    ).localCheckpoint(eager=True)  # |queries| rows
+    scored.unpersist()
+    return out

@@ -573,11 +573,24 @@ def quality_domain_weights(
     joined = docs.select(id_col, domain_col).join(
         score.select(id_col, F.col(score_col).alias("_q")), id_col
     )
+    # ONE pass over the scored join (r12, guide §2.4): `joined` used to
+    # feed the per-domain groupBy AND a separate global aggregate — the
+    # whole upstream scoring chain (for the declared query, a full
+    # bigram-LM pass) executed twice. The global totals are exact
+    # functions of the per-domain sums, so aggregate once per domain
+    # (carrying Σq), eager-checkpoint the |domains|-row result, and
+    # derive N and the global doc-weighted mean from it. gq moves from
+    # avg-over-docs to Σ(domain sums)/N — a float-summation-order
+    # change of ~1 ulp, far inside the 6-dp rounding margin (validated
+    # against the unchanged oracle at sf0.001/0.01/0.1).
     per = joined.groupBy(domain_col).agg(
-        F.count("*").alias("n_docs"), F.avg("_q").alias("_mq")
-    )
-    tot = joined.agg(
-        F.count("*").alias("_n"), F.avg("_q").alias("_gq")
+        F.count("*").alias("n_docs"),
+        F.sum("_q").alias("_sq"),
+        F.avg("_q").alias("_mq"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("n_docs").alias("_n"),
+        (F.sum("_sq") / F.sum("n_docs")).alias("_gq"),
     )
     raw = per.crossJoin(F.broadcast(tot)).select(
         domain_col,

@@ -89,6 +89,13 @@ def linear_quality_score(
     passing a trained ``weights`` DataFrame keeps the broadcast-join
     path (a real model table can't be inlined)."""
     spark = docs.sparkSession
+    # the inlined-literal fast path embeds `dim` doubles in the plan —
+    # fine at feature-hashing widths, but a huge dim would bloat the
+    # plan/codegen constant pool with an O(dim) literal per element_at;
+    # above the cap fall back to the broadcast weight join (identical
+    # bits: seeded_weight_table computes the same md5 rationals)
+    if weights is None and int(dim) > 4096:
+        weights = seeded_weight_table(spark, dim, seed)
     if weights is not None:
         counts = bow_bucket_counts(docs, dim, id_col, text_col)
         scored = (
@@ -447,6 +454,7 @@ def quantile_normalize(
     value_col: str,
     group_col: str,
     id_col: str,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Cross-group quantile normalization (the genomics-standard
     distribution harmonizer, Bolstad 2003, applied to quality scores):
@@ -483,7 +491,14 @@ def quantile_normalize(
     )
 
     spark = scored.sparkSession
-    num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_shards is None:
+        # match grouped_row_number's default; the explicit parameter
+        # exists because some platforms set a non-numeric conf value
+        # ("auto") and because callers may want scan-sized shards
+        try:
+            num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            num_shards = spark.sparkContext.defaultParallelism
     v = F.col(value_col)
     base = scored.select(
         F.col(id_col).alias("_id"),

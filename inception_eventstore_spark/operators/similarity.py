@@ -484,13 +484,19 @@ def cosine_near_duplicates(
     )
     va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
     vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", _cosine_pair_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # checkpoint the pair-sized report, release the signature cache
+    # (containment discipline, r12 — no CacheManager pin outlives the
+    # call). Executes at call time; filter the RESULT.
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def knn_graph(

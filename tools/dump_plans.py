@@ -740,10 +740,12 @@ CHECKS = {
         ("no cartesian product anywhere", "!CartesianProduct"),
     ],
     "retrieval_ndcg": [
-        ("query terms broadcast into the postings filter — the corpus "
-         "shuffles matching postings only", r"BroadcastHashJoin"),
-        ("relevance and slot tables partial-aggregate",
-         r"HashAggregate.*partial|partial_count"),
+        # r12: the scorecard eager-checkpoints its |queries|-row result
+        # so the persisted BM25 aggregate can be released; the inner
+        # dataflow is probed un-checkpointed via EXTRA_CHECKS
+        # (retrieval_ndcg_inner)
+        ("result is the checkpointed |queries|-row scorecard",
+         r"Scan ExistingRDD"),
         ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
     ],
     "cusum_changepoints": [
@@ -1543,10 +1545,11 @@ CHECKS.update({
         _PARTIAL_AGG, _NO_CARTESIAN, _JVM_ONLY,
     ],
     "hits_custsupp": [
-        # 4 fixed iterations checkpointed at the end — the visible
-        # plan reads the converged score relation
-        ("converged score relation (checkpoint-visible)",
-         r"Scan ExistingRDD"),
+        # below the distinct-pair dial the exact-integer recurrence
+        # finishes DRIVER-SIDE (r12) and the visible plan is the local
+        # result relation; above it, the checkpointed converged scores
+        ("converged scores (driver-finish local relation / "
+         "checkpoint-visible)", r"Scan ExistingRDD"),
         ("no window at all", "!Window"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
@@ -1802,6 +1805,36 @@ def _funnel_step_plan(spark, sf_dir: str):
     )
 
 
+def _retrieval_map_inner(spark, sf_dir: str):
+    """retrieval_map's un-checkpointed dataflow (the declared query
+    eager-checkpoints its |queries|-row result, r12)."""
+    from inception_eventstore_spark.operators.retrieval import retrieval_map
+    from inception_eventstore_spark.plans.queries import _local_df, _t
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = _local_df(
+        spark,
+        [(1, ["spark", "merge", "key"]), (2, ["window", "batch"])],
+        "query_id long, terms array<string>",
+    )
+    return retrieval_map(docs, qdf, k=10, checkpoint=False)
+
+
+def _retrieval_ndcg_inner(spark, sf_dir: str):
+    from inception_eventstore_spark.operators.retrieval import (
+        retrieval_ndcg,
+    )
+    from inception_eventstore_spark.plans.queries import _local_df, _t
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = _local_df(
+        spark,
+        [(1, ["spark", "merge", "key"]), (2, ["window", "batch"])],
+        "query_id long, terms array<string>",
+    )
+    return retrieval_ndcg(docs, qdf, k=10, checkpoint=False)
+
+
 def _pagerank_iteration_plan(spark, sf_dir: str):
     """The un-checkpointed PageRank DAG (the declared query checkpoints
     the final ranks, hiding the iteration plan)."""
@@ -1816,7 +1849,11 @@ def _pagerank_iteration_plan(spark, sf_dir: str):
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return pagerank(j, iterations=2, checkpoint=False)
+    # driver_finish_edges=0 forces the DISTRIBUTED loop — this probe
+    # exists precisely to inspect the big-graph iteration DAG (the
+    # declared queries take the r12 driver finish below the dial)
+    return pagerank(j, iterations=2, checkpoint=False,
+                    driver_finish_edges=0)
 
 
 def _lpa_iteration_plan(spark, sf_dir: str):
@@ -1833,7 +1870,10 @@ def _lpa_iteration_plan(spark, sf_dir: str):
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return label_propagation(j, iterations=2, checkpoint=False)
+    # driver_finish_edges=0 forces the DISTRIBUTED loop (the declared
+    # queries take the r12 driver finish below the dial)
+    return label_propagation(j, iterations=2, checkpoint=False,
+                             driver_finish_edges=0)
 
 
 def _phash_pair_plan(spark, sf_dir):
@@ -2175,6 +2215,32 @@ EXTRA_CHECKS = [
         ],
     ),
     (
+        "retrieval_map_inner",
+        _retrieval_map_inner,
+        [
+            ("ONE corpus pass: a single tokenize+explode feeds both the "
+             "BM25 score and the conjunctive relevance (r12 — exactly "
+             "one partial tf aggregate subtree)",
+             r"HashAggregate[^\n]*partial"),
+            ("query terms broadcast into the postings filter",
+             r"BroadcastHashJoin"),
+            ("running hit count windows only the ≤k ranked rows",
+             r"Window"),
+            ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
+    (
+        "retrieval_ndcg_inner",
+        _retrieval_ndcg_inner,
+        [
+            ("query terms broadcast into the postings filter",
+             r"BroadcastHashJoin"),
+            ("relevance and slot tables partial-aggregate",
+             r"HashAggregate[^\n]*partial"),
+            ("no python UDF in the path", "!BatchEvalPython|ArrowEvalPython"),
+        ],
+    ),
+    (
         "pagerank_iteration",
         _pagerank_iteration_plan,
         [
@@ -2256,8 +2322,8 @@ CHECKS.update({
         _NO_CARTESIAN, _JVM_ONLY,
     ],
     "ppr_custsupp": [
-        ("converged seeded rank relation (checkpoint-visible)",
-         r"Scan ExistingRDD"),
+        ("converged seeded ranks (driver-finish local relation / "
+         "checkpoint-visible)", r"Scan ExistingRDD"),
         ("no window at all", "!Window"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
@@ -2320,12 +2386,10 @@ CHECKS.update({
         _NO_CARTESIAN, _JVM_ONLY,
     ],
     "retrieval_map": [
-        ("conjunctive relevance partial-aggregated before the rank "
-         "join", r"HashAggregate[^\n]*partial|partial_count"),
-        ("running hit count windows only the ≤k ranked rows per "
-         "query", r"Window"),
-        ("per-query relevance totals broadcast back",
-         r"BroadcastHashJoin"),
+        # r12: eager-checkpointed |queries|-row result (see
+        # retrieval_map_inner in EXTRA_CHECKS for the dataflow probe)
+        ("result is the checkpointed |queries|-row scorecard",
+         r"Scan ExistingRDD"),
         _NO_CARTESIAN, _JVM_ONLY,
     ],
     "graph_modularity": [
